@@ -1,0 +1,362 @@
+"""Content parsers: the vectorized triple-extraction surface.
+
+The reference's "UDFs" are its pure transform functions — lockfile and
+manifest parsers that turn file text into entity dicts
+(``intel/github/lockfiles.py:27-120``,
+``intel/github/repos.py:1775-1859``). Here each parser is a pure Python
+function (unit-testable without a JVM) whose *behaviour* matches the
+reference, and the Spark surface is a single Arrow-batched
+``mapInPandas`` pass (:func:`extract_facts`) emitting a long "facts"
+frame — never per-row Python UDFs (BASELINE.json input_hint).
+
+Parser semantics mirrored (behaviour, not code):
+
+* npm ``package-lock.json`` — only top-level installs
+  (``node_modules/<name>`` with exactly one segment) in the v2/v3
+  ``packages`` layout; legacy v1 ``dependencies`` top level only; v2/v3
+  wins when both present; malformed JSON → empty
+  (``intel/github/lockfiles.py:63-120``).
+* ``uv.lock`` — one ``[[package]]`` per entry; a name resolving to more
+  than one distinct version is dropped as ambiguous; malformed TOML →
+  empty (``intel/github/lockfiles.py:27-60``).
+* ``requirements.txt`` — comment stripping, line continuations, option
+  lines skipped; pinned version only when the specifier set is exactly
+  one ``==``; canonicalized name; id ``{name}|{version}`` when pinned
+  else ``{name}`` (``intel/github/repos.py:1775-1859``).
+* Dockerfile — ``FROM image[:tag]`` lines → shared base-image hub
+  entities (FIXTURES.md F1 skew knob).
+* IAM-role JSON manifest — trust-policy principals → TRUSTS edges
+  (shape of ``tests/data/aws/iam/roles``; statements may be a single
+  dict or a list, principals a string or list).
+
+Fact frame schema (:data:`FACTS_DDL`): node facts carry a null ``pred``;
+edge facts carry the full (subj, pred, obj) triple. ``props_json`` is a
+deterministically-serialized (sorted keys) JSON object — determinism is
+part of the per-row sha256 invariant chain (SURVEY.md §7.4.7).
+"""
+
+from __future__ import annotations
+
+import configparser
+import json
+import re
+import tomllib
+from typing import Any, Callable, Iterable, Iterator
+
+FACTS_DDL = (
+    "repo string, path string, commit string, content_sha256 string, "
+    "subj_label string, subj_id string, pred string, "
+    "obj_label string, obj_id string, props_json string"
+)
+
+Fact = tuple[str, str, str | None, str | None, str | None, dict[str, Any]]
+# (subj_label, subj_id, pred, obj_label, obj_id, props)
+
+
+# ---------------------------------------------------------------------------
+# pure parsers (content -> domain mappings)
+# ---------------------------------------------------------------------------
+
+
+def parse_npm_lock(content: str) -> dict[str, str]:
+    """package-lock.json → {name: exact version}, direct deps only."""
+    try:
+        data = json.loads(content)
+    except (json.JSONDecodeError, ValueError):
+        return {}
+    if not isinstance(data, dict):
+        return {}
+    versions: dict[str, str] = {}
+    packages = data.get("packages")
+    if isinstance(packages, dict):
+        for pkg_path, info in packages.items():
+            if not pkg_path or not isinstance(info, dict):
+                continue
+            if not pkg_path.startswith("node_modules/"):
+                continue
+            if pkg_path.count("node_modules/") != 1:
+                continue  # nested transitive install
+            name = pkg_path[len("node_modules/"):]
+            version = info.get("version")
+            if name and isinstance(version, str) and version:
+                versions[name] = version
+    if not versions:
+        dependencies = data.get("dependencies")
+        if isinstance(dependencies, dict):
+            for name, info in dependencies.items():
+                if not isinstance(info, dict):
+                    continue
+                version = info.get("version")
+                if name and isinstance(version, str) and version:
+                    versions[name] = version
+    return versions
+
+
+def parse_uv_lock(content: str) -> dict[str, str]:
+    """uv.lock TOML → {name: version}; ambiguous names dropped."""
+    try:
+        data = tomllib.loads(content)
+    except tomllib.TOMLDecodeError:
+        return {}
+    by_name: dict[str, set[str]] = {}
+    for package in data.get("package") or []:
+        if not isinstance(package, dict):
+            continue
+        name, version = package.get("name"), package.get("version")
+        if isinstance(name, str) and name and isinstance(version, str) and version:
+            by_name.setdefault(name, set()).add(version)
+    return {n: next(iter(v)) for n, v in by_name.items() if len(v) == 1}
+
+
+_NAME_RE = re.compile(r"^([A-Za-z0-9](?:[A-Za-z0-9._-]*[A-Za-z0-9])?)")
+
+
+def canonicalize_name(name: str) -> str:
+    """PEP 503 normalization (runs of ``-_.`` → ``-``, lowercased)."""
+    return re.sub(r"[-_.]+", "-", name).lower()
+
+
+def parse_requirements_txt(content: str) -> list[dict[str, Any]]:
+    """requirements.txt → requirement dicts.
+
+    Output row: ``{id, name, specifier, version}`` with the reference's
+    id convention: ``{canon_name}|{version}`` when pinned by a single
+    ``==`` specifier, else ``{canon_name}``; ``specifier`` None when
+    empty (the reference prefers undefined over empty string).
+    """
+    normalized: list[str] = []
+    current = ""
+    for raw in content.split("\n"):
+        stripped = raw.partition("#")[0].strip()
+        if not stripped:
+            if current:
+                normalized.append(current)
+                current = ""
+            continue
+        continues = stripped.endswith("\\")
+        if continues:
+            stripped = stripped[:-1].rstrip()
+        if not stripped.startswith("-") and stripped:
+            current = f"{current} {stripped}".strip() if current else stripped
+        if not continues and current:
+            normalized.append(current)
+            current = ""
+    if current:
+        normalized.append(current)
+
+    out: list[dict[str, Any]] = []
+    for line in normalized:
+        m = _NAME_RE.match(line)
+        if not m:
+            continue  # unparseable line skipped, not fatal
+        name = canonicalize_name(m.group(1))
+        rest = line[m.end():].strip()
+        # strip extras and environment markers
+        if rest.startswith("["):
+            close = rest.find("]")
+            rest = rest[close + 1:].strip() if close >= 0 else ""
+        rest = rest.partition(";")[0].strip()
+        spec = rest if rest else None
+        version = None
+        if spec:
+            clauses = [c.strip() for c in spec.split(",") if c.strip()]
+            if len(clauses) == 1 and clauses[0].startswith("=="):
+                version = clauses[0][2:].strip()
+        req_id = f"{name}|{version}" if version else name
+        out.append({"id": req_id, "name": name, "specifier": spec, "version": version})
+    return out
+
+
+_FROM_RE = re.compile(
+    r"^\s*FROM\s+(?:--platform=\S+\s+)?(\S+?)(?:\s+AS\s+\S+)?\s*$",
+    re.IGNORECASE,
+)
+
+
+def parse_dockerfile(content: str) -> list[str]:
+    """Dockerfile → base image refs from FROM lines (stage aliases
+    excluded so multi-stage builds don't self-reference)."""
+    images: list[str] = []
+    aliases: set[str] = set()
+    for line in content.split("\n"):
+        m = _FROM_RE.match(line)
+        if not m:
+            continue
+        image = m.group(1)
+        am = re.search(r"\s+AS\s+(\S+)\s*$", line, re.IGNORECASE)
+        if am:
+            aliases.add(am.group(1).lower())
+        if image.lower() in aliases or image == "scratch":
+            continue
+        images.append(image)
+    return images
+
+
+def parse_iam_manifest(content: str) -> list[dict[str, Any]]:
+    """IAM-role manifest JSON → role dicts with trust principals.
+
+    Accepts ``{"Roles": [{RoleName, Arn, AssumeRolePolicyDocument:
+    {Statement: [{Principal: {AWS|Service|Federated: str|list}}]}}]}``,
+    the shape of the reference's fixtures
+    (``tests/data/aws/iam/roles``)."""
+    try:
+        data = json.loads(content)
+    except (json.JSONDecodeError, ValueError):
+        return []
+    if not isinstance(data, dict):
+        return []
+    out: list[dict[str, Any]] = []
+    for role in data.get("Roles") or []:
+        if not isinstance(role, dict):
+            continue
+        arn = role.get("Arn")
+        if not isinstance(arn, str) or not arn:
+            continue
+        doc = role.get("AssumeRolePolicyDocument") or {}
+        statements = doc.get("Statement") or []
+        if isinstance(statements, dict):
+            statements = [statements]
+        principals: list[str] = []
+        for stmt in statements:
+            if not isinstance(stmt, dict):
+                continue
+            principal = stmt.get("Principal") or {}
+            if isinstance(principal, str):
+                principals.append(principal)
+                continue
+            if not isinstance(principal, dict):
+                continue
+            for key in ("AWS", "Service", "Federated"):
+                val = principal.get(key)
+                if isinstance(val, str):
+                    principals.append(val)
+                elif isinstance(val, list):
+                    principals.extend(str(v) for v in val)
+        out.append(
+            {
+                "arn": arn,
+                "name": role.get("RoleName"),
+                "trust_principals": sorted(set(principals)),
+            }
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# fact emission (domain mappings -> triples)
+# ---------------------------------------------------------------------------
+
+
+def _pkg_facts(repo: str, versions: dict[str, str], eco: str) -> list[Fact]:
+    facts: list[Fact] = [("Repo", repo, None, None, None, {"name": repo})]
+    for name in sorted(versions):
+        version = versions[name]
+        pkg_id = f"{eco}:{name}@{version}"
+        facts.append(
+            ("Package", pkg_id, None, None, None,
+             {"name": name, "version": version, "ecosystem": eco})
+        )
+        facts.append(("Repo", repo, "REQUIRES", "Package", pkg_id, {}))
+    return facts
+
+
+def _requirements_facts(repo: str, reqs: list[dict[str, Any]]) -> list[Fact]:
+    facts: list[Fact] = [("Repo", repo, None, None, None, {"name": repo})]
+    for r in reqs:
+        props = {k: v for k, v in r.items() if v is not None}
+        facts.append(("PythonRequirement", r["id"], None, None, None, props))
+        facts.append(("Repo", repo, "REQUIRES", "PythonRequirement", r["id"], {}))
+    return facts
+
+
+def _dockerfile_facts(repo: str, images: list[str]) -> list[Fact]:
+    facts: list[Fact] = [("Repo", repo, None, None, None, {"name": repo})]
+    for image in images:
+        base, _, tag = image.partition(":")
+        facts.append(
+            ("BaseImage", image, None, None, None,
+             {"image": base, "tag": tag or "latest"})
+        )
+        facts.append(("Repo", repo, "USES_BASE_IMAGE", "BaseImage", image, {}))
+    return facts
+
+
+def _iam_facts(repo: str, roles: list[dict[str, Any]]) -> list[Fact]:
+    facts: list[Fact] = [("Repo", repo, None, None, None, {"name": repo})]
+    for role in roles:
+        facts.append(
+            ("Role", role["arn"], None, None, None,
+             {k: v for k, v in role.items() if k != "trust_principals" and v is not None})
+        )
+        facts.append(("Repo", repo, "DEFINES_ROLE", "Role", role["arn"], {}))
+        for principal in role["trust_principals"]:
+            facts.append(("Principal", principal, None, None, None, {}))
+            facts.append(("Role", role["arn"], "TRUSTS", "Principal", principal, {}))
+    return facts
+
+
+def _route(lang: str, path: str) -> Callable[[str, str], list[Fact]] | None:
+    """Parser registry keyed by (lang, filename pattern)."""
+    base = path.rsplit("/", 1)[-1].lower()
+    if base == "package-lock.json":
+        return lambda repo, c: _pkg_facts(repo, parse_npm_lock(c), "npm")
+    if base == "uv.lock":
+        return lambda repo, c: _pkg_facts(repo, parse_uv_lock(c), "py")
+    if base == "requirements.txt":
+        return lambda repo, c: _requirements_facts(repo, parse_requirements_txt(c))
+    if lang == "dockerfile" or base == "dockerfile":
+        return lambda repo, c: _dockerfile_facts(repo, parse_dockerfile(c))
+    if base.endswith("iam.json") or base == "roles.json":
+        return lambda repo, c: _iam_facts(repo, parse_iam_manifest(c))
+    return None
+
+
+def parse_file(repo: str, path: str, lang: str, content: str) -> list[Fact]:
+    fn = _route(lang or "", path or "")
+    if fn is None:
+        return []
+    try:
+        return fn(repo, content)
+    except Exception:
+        # a malformed file skips, never crashes the batch
+        # (lockfiles.py:39-43,82-88)
+        return []
+
+
+# ---------------------------------------------------------------------------
+# Spark surface
+# ---------------------------------------------------------------------------
+
+
+def extract_facts(repo_files):
+    """repo_files(repo, path, commit, lang, content) → facts frame.
+
+    One Arrow-batched ``mapInPandas`` pass; ``content_sha256`` is
+    computed JVM-side (``F.sha2``) *before* the UDF so the per-row
+    invariant never depends on Python string handling.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def gen(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cols = [
+            "repo", "path", "commit", "content_sha256",
+            "subj_label", "subj_id", "pred", "obj_label", "obj_id", "props_json",
+        ]
+        for pdf in batches:
+            rows: list[tuple] = []
+            for repo, path, commit, lang, content, sha in zip(
+                pdf["repo"], pdf["path"], pdf["commit"],
+                pdf["lang"], pdf["content"], pdf["content_sha256"],
+            ):
+                for s_l, s_i, pred, o_l, o_i, props in parse_file(
+                    repo, path, lang, content
+                ):
+                    rows.append(
+                        (repo, path, commit, sha, s_l, s_i, pred, o_l, o_i,
+                         json.dumps(props, sort_keys=True, separators=(",", ":")))
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    with_sha = repo_files.withColumn("content_sha256", F.sha2(F.col("content"), 256))
+    return with_sha.mapInPandas(gen, schema=FACTS_DDL)

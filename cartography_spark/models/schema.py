@@ -1,0 +1,192 @@
+"""Declarative node/relationship schema layer.
+
+Re-expresses the semantics of the reference's schema dataclasses
+(``cartography/models/core/nodes.py:175-284``,
+``cartography/models/core/relationships.py:262-426``,
+``cartography/models/core/common.py:38-128``) as Spark-side join and
+projection specs. This is NOT a port: the reference compiles these
+dataclasses into Cypher text; here they drive DataFrame ``select()``
+projections and join specifications compiled by
+:mod:`cartography_spark.operators.emit` and
+:mod:`cartography_spark.operators.link`.
+
+Invariants mirrored from the reference:
+
+* every node schema must declare an ``id`` property and gets an engine-
+  managed ``lastupdated`` (``models/core/nodes.py:48-49``);
+* ``firstseen`` is reserved — the engine sets it on create only
+  (``models/core/nodes.py:65-70``, ``graph/querybuilder.py:1270``);
+* property refs resolve either from the row (``item.name``) or from a
+  run-level kwarg (``$name``, ``set_in_kwargs=True``)
+  (``models/core/common.py:38-128``);
+* matcher flags ``ignore_case`` / ``fuzzy_and_ignore_case`` /
+  ``one_to_many`` select the join strategy
+  (``graph/querybuilder.py:711-736``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Any, Mapping
+
+RESERVED_PROPERTIES = frozenset({"firstseen"})
+REQUIRED_PROPERTIES = ("id",)
+
+
+class LinkDirection(Enum):
+    """Edge direction relative to the *source* node of the schema.
+
+    Mirrors ``models/core/relationships.py:13-27``: OUTWARD means
+    ``(source)-[rel]->(target)``, INWARD means ``(source)<-[rel]-(target)``.
+    In the triples table we always store edges as written, so INWARD
+    swaps src/dst at emission time.
+    """
+
+    OUTWARD = "OUTWARD"
+    INWARD = "INWARD"
+
+
+@dataclass(frozen=True)
+class PropertyRef:
+    """A reference to a value for a node/edge property or join key.
+
+    ``name`` is either a column of the incoming DataFrame or, when
+    ``set_in_kwargs`` is true, the name of a run-level parameter
+    (the reference's ``$param`` Cypher kwargs —
+    ``models/core/common.py:99-128``).
+    """
+
+    name: str
+    set_in_kwargs: bool = False
+    extra_index: bool = False
+    ignore_case: bool = False
+    fuzzy_and_ignore_case: bool = False
+    one_to_many: bool = False
+
+    def resolve(self, kwargs: Mapping[str, Any] | None):
+        """Return a Spark Column for this ref.
+
+        Imported lazily so schema objects stay importable without a JVM.
+        """
+        from pyspark.sql import functions as F
+
+        if self.set_in_kwargs:
+            if kwargs is None or self.name not in kwargs:
+                raise KeyError(
+                    f"PropertyRef '{self.name}' is set_in_kwargs but missing "
+                    f"from run kwargs (reference: graph/job.py:367-380 fails "
+                    f"fast on missing $-params)"
+                )
+            return F.lit(kwargs[self.name])
+        return F.col(self.name)
+
+
+@dataclass(frozen=True)
+class ExtraNodeLabel:
+    """Conditional or unconditional extra label.
+
+    Mirrors ``models/core/nodes.py:88-172``: conditions are AND-ed within
+    one declaration; several declarations of the same label OR together.
+    A declaration with no conditions applies unconditionally.
+    """
+
+    label: str
+    # mapping column -> required value; all must match (AND)
+    when: Mapping[str, Any] = field(default_factory=dict)
+
+    def condition(self):
+        from pyspark.sql import functions as F
+
+        if not self.when:
+            return F.lit(True)
+        cond = F.lit(True)
+        for col, val in self.when.items():
+            cond = cond & (F.col(col) == F.lit(val))
+        return cond
+
+
+@dataclass(frozen=True)
+class TargetNodeMatcher:
+    """Join keys for resolving the target node of a relationship.
+
+    Mirrors ``make_target_node_matcher``
+    (``models/core/relationships.py:132-169``): a mapping of
+    target-node attribute name -> PropertyRef into the incoming rows.
+    """
+
+    keys: Mapping[str, PropertyRef]
+
+
+@dataclass(frozen=True)
+class SourceNodeMatcher:
+    """Join keys for resolving the *source* node (MatchLink mode).
+
+    Mirrors ``make_source_node_matcher``
+    (``models/core/relationships.py:207-229``).
+    """
+
+    keys: Mapping[str, PropertyRef]
+
+
+@dataclass(frozen=True)
+class RelSchema:
+    """Declarative edge spec.
+
+    Mirrors ``CartographyRelSchema``
+    (``models/core/relationships.py:262-426``). When ``source_node_matcher``
+    is set this is a MatchLink schema (edge between two existing node
+    sets, ``client/core/tx.py:846-921``); otherwise the source node is the
+    row being loaded.
+    """
+
+    rel_label: str
+    target_node_label: str
+    target_node_matcher: TargetNodeMatcher
+    direction: LinkDirection = LinkDirection.OUTWARD
+    properties: Mapping[str, PropertyRef] = field(default_factory=dict)
+    source_node_label: str | None = None
+    source_node_matcher: SourceNodeMatcher | None = None
+
+    @property
+    def is_matchlink(self) -> bool:
+        return self.source_node_matcher is not None
+
+
+@dataclass(frozen=True)
+class NodeSchema:
+    """Declarative node spec.
+
+    Mirrors ``CartographyNodeSchema`` (``models/core/nodes.py:175-284``).
+    ``scoped_cleanup`` selects scoped vs global GC
+    (``graph/cleanupbuilder.py:16-120`` four-case dispatch).
+    """
+
+    label: str
+    properties: Mapping[str, PropertyRef]
+    sub_resource_relationship: RelSchema | None = None
+    other_relationships: tuple[RelSchema, ...] = ()
+    extra_node_labels: tuple[ExtraNodeLabel, ...] = ()
+    scoped_cleanup: bool = True
+
+    def __post_init__(self) -> None:
+        for required in REQUIRED_PROPERTIES:
+            if required not in self.properties:
+                raise ValueError(
+                    f"NodeSchema '{self.label}' must declare property "
+                    f"'{required}' (reference: models/core/nodes.py:48-49)"
+                )
+        for reserved in RESERVED_PROPERTIES:
+            if reserved in self.properties:
+                raise ValueError(
+                    f"Property '{reserved}' is reserved and engine-managed "
+                    f"(reference: models/core/nodes.py:65-70)"
+                )
+
+    @property
+    def all_relationships(self) -> tuple[RelSchema, ...]:
+        rels = []
+        if self.sub_resource_relationship is not None:
+            rels.append(self.sub_resource_relationship)
+        rels.extend(self.other_relationships)
+        return tuple(rels)

@@ -1,0 +1,96 @@
+"""Connected components for cross-provider canonicalization.
+
+The reference's ontology stage canonicalizes per-provider nodes into
+shared entities by pairwise link rules (``intel/ontology/``,
+``analysis/ontology/analysis.py:482-581``). At 10^12 scale pairwise
+rules chain (A=B, B=C ⇒ A=C), so canonical-id assignment is connected
+components over the SAME_AS candidate edges — the alternating
+large-star / small-star algorithm (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14), which converges in
+O(log² n) rounds with only equi-join + groupBy shuffles and no driver
+state.
+
+Canonical id = min(id) per component. Each round is two shuffles on the
+node id; rounds checkpoint-truncate lineage (SURVEY.md §7.4.5 requires
+bounded iteration + checkpoint each round).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 20,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Return (id, component) with component = min node id reachable.
+
+    ``edges`` is an undirected pair list; ids must be orderable
+    (strings are fine — min is lexicographic).
+    """
+    spark = edges.sparkSession
+    if checkpoint_dir:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    # parent pointer init: every node points at the min of its direct
+    # neighborhood (including itself)
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .distinct()
+    )
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    parent = (
+        sym.groupBy("u")
+        .agg(F.least(F.min("v"), F.first("u")).alias("p"))
+        .select(F.col("u").alias("id"), F.least(F.col("p"), F.col("u")).alias("p"))
+    )
+
+    for i in range(max_iterations):
+        # pointer jumping: p(id) <- p(p(id))
+        grand = (
+            parent.alias("a")
+            .join(
+                parent.select(
+                    F.col("id").alias("p"), F.col("p").alias("gp")
+                ).alias("b"),
+                on="p",
+                how="left",
+            )
+            .select(
+                F.col("id"),
+                F.least(F.coalesce(F.col("gp"), F.col("p")), F.col("p")).alias("p"),
+            )
+        )
+        # star contraction across edges: each node adopts the min parent
+        # seen across its neighborhood (large-star step)
+        via_edges = (
+            sym.join(parent.withColumnRenamed("id", "u"), on="u")
+            .select(F.col("v").alias("id"), F.col("p"))
+        )
+        new_parent = (
+            grand.unionByName(via_edges)
+            .groupBy("id")
+            .agg(F.min("p").alias("p"))
+        )
+        if checkpoint_dir:
+            new_parent = new_parent.checkpoint(eager=False)
+        else:
+            new_parent = new_parent.localCheckpoint(eager=False)
+
+        changed = (
+            new_parent.alias("n")
+            .join(parent.alias("o"), on="id")
+            .filter(F.col("n.p") != F.col("o.p"))
+            .limit(1)
+            .count()
+        )
+        parent = new_parent
+        if changed == 0:
+            break
+
+    return parent.select(F.col("id"), F.col("p").alias("component"))

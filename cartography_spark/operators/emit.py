@@ -1,0 +1,222 @@
+"""Schema-driven node/edge (triple) emission.
+
+The reference compiles a ``CartographyNodeSchema`` into a Cypher
+``UNWIND … MERGE … SET`` statement (``graph/querybuilder.py:1219-1316``).
+Here the same schema object compiles into DataFrame projections:
+
+* :func:`emit_nodes` — one output row per input row: the node batch
+  frame, with declared properties stringified into a
+  ``props map<string,string>`` column, conditional extra labels
+  (``graph/querybuilder.py:486-575``) folded into an
+  ``extra_labels array<string>`` column, and ``lastupdated`` stamped
+  with the run's update_tag (``sync.py:494-496``).
+* :func:`emit_edges` — one edge frame per declared relationship,
+  resolved against the existing node set with the matcher-selected join
+  strategy (see :mod:`cartography_spark.operators.link`), unioned by
+  name. A missing target drops only the edge, never the node row — the
+  reference isolates each rel in a ``CALL(i,item){…}`` subquery for the
+  same reason (``graph/querybuilder.py:1015-1093``).
+
+Everything is built from JVM-side column expressions: no Python row
+loops, no UDFs. Catalyst sees one projection per schema.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from cartography_spark.models.schema import (
+    LinkDirection,
+    NodeSchema,
+    RelSchema,
+)
+from cartography_spark.operators.link import resolve_rel_pairs
+
+NODE_COLUMNS = (
+    "label",
+    "id",
+    "lastupdated",
+    "content_sha256",
+    "extra_labels",
+    "props",
+)
+EDGE_COLUMNS = (
+    "src_label",
+    "src_id",
+    "rel_label",
+    "dst_label",
+    "dst_id",
+    "lastupdated",
+    "sub_resource_label",
+    "sub_resource_id",
+    "props",
+)
+
+
+def _props_map(
+    properties: Mapping[str, Any],
+    kwargs: Mapping[str, Any] | None,
+    exclude: tuple[str, ...] = ("id",),
+) -> Column:
+    """Build ``map<string,string>`` of declared properties.
+
+    Values are cast to string (the reference stores whatever scalar the
+    provider JSON carried; our canonical store keeps a uniform string map
+    plus typed core columns — FIXTURES.md F2). Nulls are preserved as
+    absent semantics via map with null values allowed? Spark maps cannot
+    hold null values reliably across versions, so null-valued props are
+    kept as nulls in the map build via when(); DuckDB-side comparisons
+    never read props directly.
+    """
+    entries: list[Column] = []
+    for name, ref in properties.items():
+        if name in exclude:
+            continue
+        entries.append(F.lit(name))
+        entries.append(ref.resolve(kwargs).cast("string"))
+    if not entries:
+        return F.lit(None).cast("map<string,string>")
+    return F.map_from_arrays(
+        F.array(*entries[0::2]),
+        F.array(*entries[1::2]),
+    )
+
+
+def _extra_labels(schema: NodeSchema) -> Column:
+    """Fold conditional label declarations into one array column.
+
+    Reference semantics (``graph/querybuilder.py:486-575``): conditions
+    within one declaration AND together; multiple declarations of the
+    same label OR; a failing conditional declaration *strips* the label.
+    Building the array fresh per run reproduces the strip behaviour.
+    """
+    if not schema.extra_node_labels:
+        return F.array().cast("array<string>")
+    arr = F.array().cast("array<string>")
+    # group declarations by label so several decls OR together
+    by_label: dict[str, list] = {}
+    for decl in schema.extra_node_labels:
+        by_label.setdefault(decl.label, []).append(decl)
+    for label, decls in by_label.items():
+        cond = F.lit(False)
+        for decl in decls:
+            cond = cond | decl.condition()
+        arr = F.when(cond, F.array_union(arr, F.array(F.lit(label)))).otherwise(arr)
+    return arr
+
+
+def emit_nodes(
+    df: DataFrame,
+    schema: NodeSchema,
+    update_tag: int,
+    kwargs: Mapping[str, Any] | None = None,
+    content_sha256_col: str | None = "content_sha256",
+) -> DataFrame:
+    """Project an input frame into the canonical node-batch shape.
+
+    ``firstseen`` is intentionally absent — it is assigned by the MERGE
+    path on create only (``graph/querybuilder.py:1270``).
+    """
+    sha = (
+        F.col(content_sha256_col)
+        if content_sha256_col and content_sha256_col in df.columns
+        else F.lit(None).cast("string")
+    )
+    out = df.select(
+        F.lit(schema.label).alias("label"),
+        schema.properties["id"].resolve(kwargs).cast("string").alias("id"),
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        sha.alias("content_sha256"),
+        _extra_labels(schema).alias("extra_labels"),
+        _props_map(schema.properties, kwargs).alias("props"),
+    )
+    # The reference MERGEs on (label, id): dedupe the batch the same way
+    # (last occurrence is arbitrary; reference batches overwrite in order,
+    # and upstream transforms are expected to be key-unique).
+    return out.dropDuplicates(["label", "id"])
+
+
+def _edge_frame(
+    df: DataFrame,
+    schema: NodeSchema,
+    rel: RelSchema,
+    nodes: DataFrame | None,
+    update_tag: int,
+    kwargs: Mapping[str, Any] | None,
+    sub_resource: tuple[str, str] | None,
+) -> DataFrame:
+    """Build one edge frame for a declared relationship."""
+    pairs = resolve_rel_pairs(
+        df,
+        rel,
+        nodes=nodes,
+        source_id_ref=schema.properties["id"],
+        kwargs=kwargs,
+    )
+    # pairs: __src_id (source node id), __dst_id (resolved target id) + rel props cols
+    if rel.direction == LinkDirection.OUTWARD:
+        src_label, src_id = schema.label, F.col("__src_id")
+        dst_label, dst_id = rel.target_node_label, F.col("__dst_id")
+    else:
+        src_label, src_id = rel.target_node_label, F.col("__dst_id")
+        dst_label, dst_id = schema.label, F.col("__src_id")
+
+    sub_label = F.lit(sub_resource[0]) if sub_resource else F.lit(None).cast("string")
+    sub_id = (
+        F.lit(str(sub_resource[1])) if sub_resource else F.lit(None).cast("string")
+    )
+    return pairs.select(
+        F.lit(src_label).alias("src_label") if isinstance(src_label, str) else src_label.alias("src_label"),
+        src_id.cast("string").alias("src_id"),
+        F.lit(rel.rel_label).alias("rel_label"),
+        F.lit(dst_label).alias("dst_label") if isinstance(dst_label, str) else dst_label.alias("dst_label"),
+        dst_id.cast("string").alias("dst_id"),
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        sub_label.alias("sub_resource_label"),
+        sub_id.alias("sub_resource_id"),
+        _props_map(rel.properties, kwargs, exclude=()).alias("props"),
+    ).dropDuplicates(["src_label", "src_id", "rel_label", "dst_label", "dst_id"])
+
+
+def emit_edges(
+    df: DataFrame,
+    schema: NodeSchema,
+    update_tag: int,
+    nodes: DataFrame | None = None,
+    kwargs: Mapping[str, Any] | None = None,
+) -> DataFrame | None:
+    """Emit the union of edge frames for all declared relationships.
+
+    ``nodes`` is the current node table (read-back source S2); when
+    provided, targets are resolved against it so edges to absent nodes
+    drop (OPTIONAL MATCH + WHERE j IS NOT NULL —
+    ``graph/querybuilder.py:816-902``). When None, edges are emitted
+    unresolved (dangling allowed) — used by tests and by pipelines that
+    resolve in a later LINK stage.
+
+    The sub-resource scope stamped on edges mirrors the MatchLink
+    ``_sub_resource_label/_id`` bookkeeping
+    (``graph/querybuilder.py:1811-1820``).
+    """
+    sub: tuple[str, str] | None = None
+    srr = schema.sub_resource_relationship
+    if srr is not None:
+        # sub-resource id comes from kwargs (matcher must be
+        # set_in_kwargs=True — graph/cleanupbuilder.py:568-600)
+        key_ref = next(iter(srr.target_node_matcher.keys.values()))
+        if key_ref.set_in_kwargs and kwargs is not None:
+            sub = (srr.target_node_label, str(kwargs[key_ref.name]))
+
+    frames: list[DataFrame] = []
+    for rel in schema.all_relationships:
+        frames.append(
+            _edge_frame(df, schema, rel, nodes, update_tag, kwargs, sub)
+        )
+    if not frames:
+        return None
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

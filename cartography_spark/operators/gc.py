@@ -1,0 +1,200 @@
+"""Stale-data cleanup: the reference's update_tag GC as anti-join deletes.
+
+Mirrors the four-case dispatch of ``graph/cleanupbuilder.py:16-120``:
+
+1. sub-resource + ``scoped_cleanup=True`` → scoped node GC
+   (``:244-383``; predicate ``n.lastupdated <> $UPDATE_TAG`` within the
+   tenant ``:338``) with DETACH (incident edges removed), plus scoped
+   rel GC per declared relationship (``:344-362``).
+2. ``scoped_cleanup=False`` → unscoped: delete every stale node of the
+   label (``:386-451``).
+3. no sub-resource but declared rels → rel-only cleanup (``:454-513``).
+4. no sub-resource, no rels → nothing is deleted: nodes with no
+   relationships are never auto-GCed (``:64-70``).
+
+The reference loops ``DELETE … LIMIT 10000`` until no counter updates
+(``graph/statement.py:303-328``); a distributed anti-join delete is one
+pass, so only the *semantics* (complete removal) are kept.
+
+Scale: the stale-key frame is (label, id) only — a column-pruned scan of
+one node partition; the detach anti-joins touch only edge partitions
+that actually contain the keys (partition map in the store manifest).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+from pyspark.sql import DataFrame, functions as F
+
+from cartography_spark.models.schema import NodeSchema, RelSchema
+from cartography_spark.store.graphstore import GraphStore
+
+
+def _sub_scope(schema: NodeSchema, kwargs: Mapping[str, Any]) -> tuple[str, str]:
+    srr = schema.sub_resource_relationship
+    assert srr is not None
+    key_ref = next(iter(srr.target_node_matcher.keys.values()))
+    if not key_ref.set_in_kwargs:
+        # cleanupbuilder.py:568-600: the sub-resource matcher must be a
+        # run kwarg, else the cleanup job fails fast
+        raise ValueError(
+            f"sub-resource matcher for {schema.label} must be set_in_kwargs"
+        )
+    if key_ref.name not in kwargs:
+        raise KeyError(
+            f"cleanup of {schema.label} requires kwarg '{key_ref.name}' "
+            f"(graph/job.py:367-380)"
+        )
+    return srr.target_node_label, str(kwargs[key_ref.name])
+
+
+def _scoped_stale_node_keys(
+    store: GraphStore,
+    schema: NodeSchema,
+    update_tag: int,
+    sub_label: str,
+    sub_id: str,
+) -> DataFrame:
+    """Stale nodes of the label attached to the tenant via the
+    sub-resource relationship (either edge orientation)."""
+    srr = schema.sub_resource_relationship
+    assert srr is not None
+    e = store.edges([srr.rel_label])
+    attached_fwd = e.filter(
+        (F.col("src_label") == sub_label)
+        & (F.col("src_id") == sub_id)
+        & (F.col("dst_label") == schema.label)
+    ).select(F.col("dst_id").alias("id"))
+    attached_rev = e.filter(
+        (F.col("dst_label") == sub_label)
+        & (F.col("dst_id") == sub_id)
+        & (F.col("src_label") == schema.label)
+    ).select(F.col("src_id").alias("id"))
+    attached = attached_fwd.unionByName(attached_rev).distinct()
+    stale = (
+        store.nodes([schema.label])
+        .filter(F.col("lastupdated") != int(update_tag))
+        .select("label", "id")
+    )
+    return stale.join(attached, on="id", how="left_semi")
+
+
+def _rel_predicate(
+    schema: NodeSchema,
+    rel: RelSchema,
+    update_tag: int,
+    scope: tuple[str, str] | None,
+):
+    """Stale predicate for one declared relationship's edge partition."""
+    endpoint = (
+        (F.col("src_label") == schema.label) | (F.col("dst_label") == schema.label)
+    )
+    pred = endpoint & (F.col("lastupdated") != int(update_tag))
+    if scope is not None:
+        pred = pred & (F.col("sub_resource_label") == scope[0]) & (
+            F.col("sub_resource_id") == scope[1]
+        )
+    return pred
+
+
+def run_cleanup(
+    store: GraphStore,
+    schema: NodeSchema,
+    update_tag: int,
+    kwargs: Mapping[str, Any] | None = None,
+) -> dict[str, int]:
+    """Four-case GC dispatch for one node schema."""
+    kwargs = kwargs or {}
+    result = {"nodes_deleted": 0, "edges_deleted": 0}
+    srr = schema.sub_resource_relationship
+
+    if srr is not None and schema.scoped_cleanup:
+        sub_label, sub_id = _sub_scope(schema, kwargs)
+        stale = _scoped_stale_node_keys(store, schema, update_tag, sub_label, sub_id)
+        d = store.delete_nodes(stale, detach=True)
+        result["nodes_deleted"] += d["nodes_deleted"]
+        result["edges_deleted"] += d["edges_deleted"]
+        for rel in schema.all_relationships:
+            result["edges_deleted"] += store.delete_edges(
+                rel.rel_label,
+                _rel_predicate(schema, rel, update_tag, (sub_label, sub_id)),
+            )
+    elif not schema.scoped_cleanup:
+        stale = (
+            store.nodes([schema.label])
+            .filter(F.col("lastupdated") != int(update_tag))
+            .select("label", "id")
+        )
+        d = store.delete_nodes(stale, detach=True)
+        result["nodes_deleted"] += d["nodes_deleted"]
+        result["edges_deleted"] += d["edges_deleted"]
+        for rel in schema.all_relationships:
+            result["edges_deleted"] += store.delete_edges(
+                rel.rel_label, _rel_predicate(schema, rel, update_tag, None)
+            )
+    elif schema.other_relationships:
+        # case 3: rel-only cleanup — node rows survive
+        for rel in schema.other_relationships:
+            result["edges_deleted"] += store.delete_edges(
+                rel.rel_label, _rel_predicate(schema, rel, update_tag, None)
+            )
+    # case 4: no sub-resource, no rels → never auto-delete (G7)
+    store.record_lineage(
+        "cleanup", {"label": schema.label, "update_tag": update_tag, **result}
+    )
+    return result
+
+
+def cleanup_matchlinks(
+    store: GraphStore,
+    rel: RelSchema,
+    update_tag: int,
+    sub_resource_label: str,
+    sub_resource_id: str,
+) -> int:
+    """MatchLink GC (``cleanupbuilder.py:603-667``): delete stale edges
+    of the rel scoped to the writing tenant."""
+    pred = (
+        (F.col("lastupdated") != int(update_tag))
+        & (F.col("sub_resource_label") == sub_resource_label)
+        & (F.col("sub_resource_id") == str(sub_resource_id))
+    )
+    return store.delete_edges(rel.rel_label, pred)
+
+
+def cascade_children(
+    store: GraphStore,
+    deleted_parent_keys: DataFrame,
+    rel_label: str,
+    child_label: str,
+    update_tag: int,
+) -> dict[str, int]:
+    """Cascade delete (``cleanupbuilder.py:309-334``): children of
+    deleted parents go too, but a child re-parented this run
+    (``lastupdated == update_tag``) survives."""
+    e = store.edges([rel_label])
+    parents_src = deleted_parent_keys.select(
+        F.col("label").alias("src_label"), F.col("id").alias("src_id")
+    )
+    parents_dst = deleted_parent_keys.select(
+        F.col("label").alias("dst_label"), F.col("id").alias("dst_id")
+    )
+    child_ids = (
+        e.join(parents_src, on=["src_label", "src_id"], how="left_semi")
+        .filter(F.col("dst_label") == child_label)
+        .select(F.col("dst_id").alias("id"))
+        .unionByName(
+            e.join(parents_dst, on=["dst_label", "dst_id"], how="left_semi")
+            .filter(F.col("src_label") == child_label)
+            .select(F.col("src_id").alias("id"))
+        )
+        .distinct()
+    )
+    stale_children = (
+        store.nodes([child_label])
+        .filter(F.col("lastupdated") != int(update_tag))
+        .select("label", "id")
+        .join(child_ids, on="id", how="left_semi")
+    )
+    return store.delete_nodes(stale_children, detach=True)

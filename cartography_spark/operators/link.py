@@ -1,0 +1,195 @@
+"""Entity-linking joins: matcher-flag-driven relationship resolution.
+
+The reference attaches relationships by Neo4j index lookup per row
+(``graph/querybuilder.py:816-1012``); the matcher flags choose the match
+predicate (``graph/querybuilder.py:711-736``):
+
+* plain         → ``n.k = item.f``            → equi-join
+* ignore_case   → ``toLower(n.k) = toLower(item.f)`` → equi-join on lower()
+* fuzzy         → ``toLower(n.k) CONTAINS toLower(item.f)`` → theta join
+* one_to_many   → ``n.k IN item.list``        → explode + equi-join
+
+Spark-first strategy: equi-joins let Catalyst pick broadcast vs
+sort-merge (AQE converts at runtime); one-to-many is expressed as
+``explode`` + equi-join — shuffleable and skew-splittable — instead of an
+``array_contains`` theta join; fuzzy stays a theta join and should be
+scoped (tenant/prefix blocking) before use at scale, like the
+reference's bounded cartesian MatchLink (``client/core/tx.py:928-944``).
+
+Hub-key skew (shared IAM roles / base images at 10^12 scale) is handled
+by :func:`salted_join`: explicit k-way salting of the fact side with a
+k-way replicated dimension, per SURVEY.md §4.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from cartography_spark.models.schema import PropertyRef, RelSchema
+
+
+def _target_value(attr: str) -> Column:
+    """Value of a matcher attribute on the canonical nodes table."""
+    if attr == "id":
+        return F.col("__t_id")
+    return F.element_at(F.col("__t_props"), attr)
+
+
+def _match_condition(t_val: Column, s_val: Column, ref: PropertyRef) -> Column:
+    if ref.fuzzy_and_ignore_case:
+        # graph/querybuilder.py:712-714,728-731
+        return F.lower(t_val).contains(F.lower(s_val))
+    if ref.ignore_case:
+        # graph/querybuilder.py:711,722-727
+        return F.lower(t_val) == F.lower(s_val)
+    return t_val == s_val
+
+
+def _prepare_source(
+    df: DataFrame,
+    rel: RelSchema,
+    kwargs: Mapping[str, Any] | None,
+) -> tuple[DataFrame, dict[str, Column]]:
+    """Materialize matcher source values; explode one_to_many lists.
+
+    one_to_many (``models/core/common.py:66-69``): one row attaches to
+    every id in a list column — explode first so the join is an
+    equi-join (preferred over array_contains: shuffle-partitionable,
+    AQE-skew-splittable).
+    """
+    src = df
+    svals: dict[str, Column] = {}
+    for i, (attr, ref) in enumerate(rel.target_node_matcher.keys.items()):
+        col_name = f"__s_val_{i}"
+        if ref.one_to_many:
+            src = src.withColumn(col_name, F.explode(ref.resolve(kwargs)))
+        else:
+            src = src.withColumn(col_name, ref.resolve(kwargs))
+        svals[attr] = F.col(col_name)
+    # rows with a null match value can never join (Cypher null = no match)
+    for attr in svals:
+        src = src.filter(svals[attr].isNotNull())
+    return src, svals
+
+
+def resolve_rel_pairs(
+    df: DataFrame,
+    rel: RelSchema,
+    nodes: DataFrame | None,
+    source_id_ref: PropertyRef,
+    kwargs: Mapping[str, Any] | None = None,
+) -> DataFrame:
+    """Resolve (source id, target id) pairs for one relationship schema.
+
+    Returns ``df``'s columns plus ``__src_id`` and ``__dst_id``. Inner
+    join semantics: unmatched rows emit no edge (the reference's
+    ``OPTIONAL MATCH … WHERE j IS NOT NULL`` then MERGE —
+    ``graph/querybuilder.py:816-902``), and because each relationship is
+    resolved independently a missing target never drops the node row
+    (``CALL(i,item){}`` isolation, ``graph/querybuilder.py:1015-1093``).
+    """
+    src, svals = _prepare_source(df, rel, kwargs)
+
+    if rel.is_matchlink and nodes is not None:
+        # MatchLink (client/core/tx.py:846-921): source node is matched
+        # from the graph too, not taken from the loaded row.
+        assert rel.source_node_matcher is not None and rel.source_node_label
+        src_nodes = (
+            nodes.filter(F.col("label") == rel.source_node_label)
+            .select(
+                F.col("id").alias("__m_id"),
+                F.col("props").alias("__m_props"),
+            )
+        )
+        cond = F.lit(True)
+        for j, (attr, ref) in enumerate(rel.source_node_matcher.keys.items()):
+            col_name = f"__sm_val_{j}"
+            src = src.withColumn(col_name, ref.resolve(kwargs))
+            src = src.filter(F.col(col_name).isNotNull())
+            m_val = (
+                F.col("__m_id") if attr == "id" else F.element_at(F.col("__m_props"), attr)
+            )
+            cond = cond & _match_condition(m_val, F.col(col_name), ref)
+        src = src.join(src_nodes, cond, "inner").withColumn(
+            "__src_id", F.col("__m_id").cast("string")
+        )
+    else:
+        src = src.withColumn(
+            "__src_id", source_id_ref.resolve(kwargs).cast("string")
+        )
+
+    if nodes is None:
+        # Unresolved emission: matcher must target the node id directly.
+        keys = list(rel.target_node_matcher.keys.items())
+        id_attrs = [a for a, _ in keys if a == "id"]
+        if len(keys) != 1 or not id_attrs:
+            raise ValueError(
+                f"Cannot emit unresolved edges for rel '{rel.rel_label}': "
+                f"matcher keys {list(rel.target_node_matcher.keys)} are not "
+                f"a single 'id' key; pass the nodes table to resolve."
+            )
+        return src.withColumn("__dst_id", svals["id"].cast("string"))
+
+    target = nodes.filter(F.col("label") == rel.target_node_label).select(
+        F.col("id").alias("__t_id"),
+        F.col("props").alias("__t_props"),
+    )
+    cond = F.lit(True)
+    for attr, ref in rel.target_node_matcher.keys.items():
+        cond = cond & _match_condition(_target_value(attr), svals[attr], ref)
+    joined = src.join(target, cond, "inner")
+    return joined.withColumn("__dst_id", F.col("__t_id").cast("string"))
+
+
+# ---------------------------------------------------------------------------
+# Skew handling (SURVEY.md §4: salt hub entities; the reference has no
+# equivalent because Neo4j absorbs hub nodes server-side)
+# ---------------------------------------------------------------------------
+
+
+def top_hot_keys(df: DataFrame, key: str, min_count: int = 100_000) -> list:
+    """Detect hub keys whose fan-in exceeds ``min_count``.
+
+    At 100 TB this runs as a cheap partial-agg count over the join
+    column only (column-pruned scan).
+    """
+    rows = (
+        df.groupBy(key)
+        .count()
+        .filter(F.col("count") >= min_count)
+        .select(key)
+        .collect()
+    )
+    return [r[0] for r in rows]
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Equi-join with k-way salting of the fact side.
+
+    The fact side gets ``__salt = pmod(hash(<row>), salt)`` and the dim
+    side is exploded ``salt`` ways, so a hub key's rows spread over
+    ``salt`` reducers instead of one. Salt columns are dropped on the
+    way out. Use for known-hot dimensions (shared roles, base images);
+    for organic skew AQE's skew-join split is already enabled.
+    """
+    f = fact.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt))
+    )
+    d = dim.withColumn(
+        "__salt", F.explode(F.array([F.lit(i) for i in range(salt)]))
+    )
+    out = f.join(
+        d,
+        (f[fact_key] == d[dim_key]) & (f["__salt"] == d["__salt"]),
+        how,
+    )
+    return out.drop("__salt")

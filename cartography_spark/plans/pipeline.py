@@ -1,0 +1,256 @@
+"""The sync-loop pipeline: extract → link/canon → merge → GC → enrich.
+
+Re-expresses the reference's serial sync stages (``sync.py:240-297``,
+get → transform → load → cleanup per resource,
+``intel/aws/ec2/instances.py:576-615``) as checkpoint-resumable
+DataFrame stages over the repo_files input mandated by BASELINE.json:
+
+1. **EXTRACT** — latest-commit-wins window dedupe of the input files
+   (the one windowed op, SURVEY.md §2.4 W1), then one Arrow-batched
+   ``mapInPandas`` parse pass emitting the long facts frame. The facts
+   artifact is persisted per update_tag so a resumed run skips the
+   parse.
+2. **LINK/CANON** — entity resolution: Principal nodes whose id equals
+   a Role id are the same entity; SAME_AS candidate pairs feed
+   connected components, and edges/nodes are rewritten onto canonical
+   ids (the ontology-stage semantics,
+   ``analysis/ontology/analysis.py:482-581``, generalized to
+   transitive chains).
+3. **MERGE** — Iceberg-semantics MERGE INTO nodes/edges (firstseen
+   preserved, declared props overwritten) via the GraphStore.
+4. **GC** — stale rows (``lastupdated <> update_tag``) of the labels
+   this pipeline owns are anti-join deleted with DETACH, mirroring the
+   unscoped cleanup case (``cleanupbuilder.py:386-451``); labels never
+   produced by the extractor are untouched (scope isolation).
+5. **ENRICH** — derived multi-hop edges: Repo-[:TRUSTS_VIA_ROLE]->
+   Principal from Repo-[:DEFINES_ROLE]->Role-[:TRUSTS]->Principal (the
+   ASSUMES-style derivation, ``intel/aws/ec2/instances.py:517-552``).
+
+Each stage records completion in the store manifest keyed by
+update_tag; ``run_pipeline`` on the same tag resumes after the last
+complete stage (resume-from-snapshot per the north rule).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from cartography_spark.functions.parsers import FACTS_DDL, extract_facts
+from cartography_spark.operators.components import connected_components
+from cartography_spark.store.graphstore import GraphStore
+
+PIPELINE_LABELS = (
+    "Repo", "Package", "PythonRequirement", "BaseImage", "Role", "Principal",
+)
+PIPELINE_RELS = (
+    "REQUIRES", "USES_BASE_IMAGE", "DEFINES_ROLE", "TRUSTS", "TRUSTS_VIA_ROLE",
+)
+
+
+def latest_commit_wins(repo_files: DataFrame) -> DataFrame:
+    """Keep only the greatest commit per (repo, path)."""
+    w = Window.partitionBy("repo", "path").orderBy(F.col("commit").desc())
+    return (
+        repo_files.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def facts_to_node_batch(facts: DataFrame, update_tag: int) -> DataFrame:
+    """Long facts frame → canonical node-batch shape.
+
+    The same node id can be emitted by many repos (hub entities); the
+    winner is picked deterministically (min props_json, then min sha)
+    so repeated runs produce byte-identical batches — determinism is
+    part of the sha256 invariant (SURVEY.md §7.4.7).
+    """
+    nodes = facts.filter(F.col("pred").isNull())
+    w = Window.partitionBy("subj_label", "subj_id").orderBy(
+        "props_json", "content_sha256", "repo", "path"
+    )
+    return (
+        nodes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("subj_label").alias("label"),
+            F.col("subj_id").alias("id"),
+            F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+            F.col("content_sha256"),
+            F.array().cast("array<string>").alias("extra_labels"),
+            F.from_json("props_json", "map<string,string>").alias("props"),
+        )
+    )
+
+
+def facts_to_edge_batch(facts: DataFrame, update_tag: int) -> DataFrame:
+    edges = facts.filter(F.col("pred").isNotNull())
+    return (
+        edges.select(
+            F.col("subj_label").alias("src_label"),
+            F.col("subj_id").alias("src_id"),
+            F.col("pred").alias("rel_label"),
+            F.col("obj_label").alias("dst_label"),
+            F.col("obj_id").alias("dst_id"),
+            F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+            F.lit(None).cast("string").alias("sub_resource_label"),
+            F.lit(None).cast("string").alias("sub_resource_id"),
+            F.from_json("props_json", "map<string,string>").alias("props"),
+        )
+        .dropDuplicates(["src_label", "src_id", "rel_label", "dst_label", "dst_id"])
+    )
+
+
+def canonicalize(facts: DataFrame) -> DataFrame:
+    """Rewrite Principal references onto canonical Role entities.
+
+    SAME_AS candidates: a Principal whose id equals a Role id (an ARN
+    that is both trusted and defined somewhere in the corpus) is the
+    same real-world entity. Candidates feed connected components so
+    chains resolve transitively; the canonical representative keeps the
+    Role label (min label alphabetically is 'Principal', so the mapping
+    is role-id keyed explicitly).
+    """
+    roles = (
+        facts.filter(F.col("pred").isNull() & (F.col("subj_label") == "Role"))
+        .select(F.col("subj_id").alias("role_id"))
+        .distinct()
+    )
+    principals = (
+        facts.filter(F.col("pred").isNull() & (F.col("subj_label") == "Principal"))
+        .select(F.col("subj_id").alias("principal_id"))
+        .distinct()
+    )
+    same_as = principals.join(
+        roles, principals.principal_id == roles.role_id, "inner"
+    ).select(F.col("principal_id").alias("src"), F.col("role_id").alias("dst"))
+    # components collapse transitive chains; with id-equality candidates
+    # each component is the shared ARN itself, but the operator stays
+    # general for fuzzier candidate rules
+    comp = connected_components(same_as)
+    resolved = comp.select(
+        F.col("id").alias("__old_id"), F.col("component").alias("__canon_id")
+    )
+
+    # principal node/edge references move onto the canonical Role
+    f = facts
+    # drop Principal node facts that are canonicalized away
+    f = f.join(
+        resolved.withColumnRenamed("__old_id", "subj_id"),
+        on="subj_id",
+        how="left",
+    )
+    f = f.filter(
+        ~(
+            F.col("pred").isNull()
+            & (F.col("subj_label") == "Principal")
+            & F.col("__canon_id").isNotNull()
+        )
+    ).drop("__canon_id")
+    # rewrite edge objects pointing at a canonicalized Principal
+    f = f.join(
+        resolved.withColumnRenamed("__old_id", "obj_id"),
+        on="obj_id",
+        how="left",
+    )
+    f = f.withColumn(
+        "obj_label",
+        F.when(
+            (F.col("obj_label") == "Principal") & F.col("__canon_id").isNotNull(),
+            F.lit("Role"),
+        ).otherwise(F.col("obj_label")),
+    ).drop("__canon_id")
+    return f.select(*[c.strip().split(" ")[0] for c in FACTS_DDL.split(",")])
+
+
+def derive_trusts_via_role(store: GraphStore, update_tag: int) -> DataFrame:
+    """ENRICH: (Repo)-[:DEFINES_ROLE]->(Role)-[:TRUSTS]->(p) ⇒
+    (Repo)-[:TRUSTS_VIA_ROLE]->(p) — a 2-hop derived edge like the
+    reference's instance→profile→role ASSUMES MatchLink."""
+    defines = store.edges(["DEFINES_ROLE"]).select(
+        F.col("src_id").alias("repo_id"), F.col("dst_id").alias("role_id")
+    )
+    trusts = store.edges(["TRUSTS"]).select(
+        F.col("src_id").alias("role_id"),
+        F.col("dst_label").alias("p_label"),
+        F.col("dst_id").alias("p_id"),
+    )
+    pairs = defines.join(trusts, on="role_id", how="inner")
+    return pairs.select(
+        F.lit("Repo").alias("src_label"),
+        F.col("repo_id").alias("src_id"),
+        F.lit("TRUSTS_VIA_ROLE").alias("rel_label"),
+        F.col("p_label").alias("dst_label"),
+        F.col("p_id").alias("dst_id"),
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("sub_resource_label"),
+        F.lit(None).cast("string").alias("sub_resource_id"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    ).dropDuplicates(["src_label", "src_id", "rel_label", "dst_label", "dst_id"])
+
+
+def run_pipeline(
+    spark,
+    repo_files: DataFrame,
+    store: GraphStore,
+    update_tag: int | None = None,
+    gc: bool = True,
+) -> dict:
+    """Run the full sync loop; resumes after completed stages."""
+    tag = int(update_tag if update_tag is not None else time.time())
+    artifacts = os.path.join(store.root, "artifacts", str(tag))
+    facts_path = os.path.join(artifacts, "facts")
+    metrics: dict = {"update_tag": tag}
+
+    t0 = time.time()
+    if not store.stage_done(tag, "extract"):
+        deduped = latest_commit_wins(repo_files)
+        facts = extract_facts(deduped)
+        facts = canonicalize(facts)
+        facts.write.mode("overwrite").parquet(facts_path)
+        store.mark_stage(tag, "extract", {"path": facts_path})
+    facts = spark.read.schema(FACTS_DDL).parquet(facts_path)
+    metrics["extract_s"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    if not store.stage_done(tag, "merge"):
+        node_counts = store.merge_nodes(facts_to_node_batch(facts, tag), tag)
+        edge_counts = store.merge_edges(facts_to_edge_batch(facts, tag), tag)
+        store.mark_stage(tag, "merge", {"nodes": node_counts, "edges": edge_counts})
+    metrics["merge_s"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    if not store.stage_done(tag, "enrich"):
+        # enrich before GC: derived edges restamped with this tag keep
+        # their firstseen and survive the sweep (the reference's
+        # analysis jobs carry their own generated cleanup —
+        # graph/analysisbuilder.py:425)
+        derived = derive_trusts_via_role(store, tag)
+        store.merge_edges(derived, tag)
+        store.mark_stage(tag, "enrich")
+    metrics["enrich_s"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    if gc and not store.stage_done(tag, "gc"):
+        for label in PIPELINE_LABELS:
+            if label not in store.manifest["nodes"]:
+                continue
+            stale = (
+                store.nodes([label])
+                .filter(F.col("lastupdated") != tag)
+                .select("label", "id")
+            )
+            store.delete_nodes(stale, detach=True)
+        for rel in PIPELINE_RELS:
+            if rel in store.manifest["edges"]:
+                store.delete_edges(rel, F.col("lastupdated") != tag)
+        store.mark_stage(tag, "gc")
+    metrics["gc_s"] = round(time.time() - t0, 2)
+
+    metrics["nodes_total"] = store.nodes().count()
+    metrics["edges_total"] = store.edges().count()
+    store.record_lineage("pipeline_done", metrics)
+    return metrics

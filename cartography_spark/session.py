@@ -1,0 +1,52 @@
+"""SparkSession factory tuned for the KG-construction pipeline.
+
+Local-mode defaults mirror the guidance in the public Spark docs: AQE on
+(runtime re-plan + skew-join splitting), Arrow on (all parsers are
+pandas UDFs), shuffle partitions sized to cores rather than the 200
+default. On a real cluster the same builder is driven by spark-submit
+conf; nothing here is local-only logic.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "cartography_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or (
+        f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    )
+    if shuffle_partitions is None:
+        # local[N] → N; a cluster master string leaves the AQE-coalesced
+        # default in place via 2x cores heuristic fallback of 64.
+        inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
+        if inner.isdigit():
+            shuffle_partitions = max(int(inner), 4)
+        else:
+            shuffle_partitions = 64
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

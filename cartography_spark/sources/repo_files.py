@@ -1,0 +1,202 @@
+"""Deterministic synthetic ``repo_files`` source table.
+
+The mandated pipeline input (BASELINE.json input_hint) is an Iceberg
+table ``repo_files(repo, path, commit, lang, content)``. No external
+data is allowed, so this module synthesizes it deterministically
+(seeded per repo index — identical output regardless of partitioning or
+parallelism) with the knobs FIXTURES.md F1 calls for:
+
+* npm ``package-lock.json`` in both v2/v3 ``packages`` and legacy v1
+  ``dependencies`` layouts;
+* ``uv.lock`` TOML, occasionally with an ambiguous-version package
+  (which the parser must drop);
+* ``requirements.txt`` with comments, continuations and option lines;
+* a Dockerfile whose base image is a shared hub entity (skew knob:
+  most repos use the same base image);
+* an IAM-role manifest trusting a shared hub role;
+* malformed files (parsers must skip, not crash);
+* a second, older commit for some files (exercises latest-commit-wins
+  dedupe).
+
+Generation is distributed: ``spark.range(n_repos)`` → Arrow-batched
+``mapInPandas``, so bench-scale inputs (10^5–10^6 files) never sit on
+the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+from typing import Iterable, Iterator
+
+REPO_FILES_DDL = "repo string, path string, commit string, lang string, content string"
+
+HUB_BASE_IMAGE = "ubuntu:22.04"
+HUB_PACKAGE = "left-pad"
+HUB_ROLE = "arn:aws:iam::000000000000:role/shared-ci-role"
+PKG_POOL = 500
+
+
+def _commit(rng: random.Random) -> str:
+    return "%040x" % rng.getrandbits(160)
+
+
+def _npm_lock(rng: random.Random, pkgs: list[tuple[str, str]], legacy: bool) -> str:
+    if legacy:
+        return json.dumps(
+            {
+                "lockfileVersion": 1,
+                "dependencies": {
+                    n: {"version": v, "dependencies": {f"nested-{n}": {"version": "0.0.1"}}}
+                    for n, v in pkgs
+                },
+            },
+            sort_keys=True,
+        )
+    packages = {"": {"name": "root"}}
+    for n, v in pkgs:
+        packages[f"node_modules/{n}"] = {"version": v}
+        # nested transitive install the parser must ignore
+        packages[f"node_modules/{n}/node_modules/transitive-{n}"] = {"version": "9.9.9"}
+    return json.dumps({"lockfileVersion": 3, "packages": packages}, sort_keys=True)
+
+
+def _uv_lock(pkgs: list[tuple[str, str]], ambiguous: str | None) -> str:
+    parts = []
+    for n, v in pkgs:
+        parts.append(f'[[package]]\nname = "{n}"\nversion = "{v}"\n')
+    if ambiguous:
+        parts.append(f'[[package]]\nname = "{ambiguous}"\nversion = "1.0.0"\n')
+        parts.append(f'[[package]]\nname = "{ambiguous}"\nversion = "2.0.0"\n')
+    return "\n".join(parts)
+
+
+def _requirements(pkgs: list[tuple[str, str]]) -> str:
+    lines = ["# generated", "-r base.txt"]
+    for i, (n, v) in enumerate(pkgs):
+        if i % 3 == 0:
+            lines.append(f"{n}=={v}  # pinned")
+        elif i % 3 == 1:
+            lines.append(f"{n}>={v},\\")
+            lines.append(f"  <{int(v.split('.')[0]) + 1}.0")
+        else:
+            lines.append(n)
+    return "\n".join(lines) + "\n"
+
+
+def _dockerfile(rng: random.Random, hub_fraction: float) -> str:
+    base = HUB_BASE_IMAGE if rng.random() < hub_fraction else (
+        f"registry.local/app-base:{rng.randrange(1, 20)}.0"
+    )
+    return f"FROM {base} AS build\nRUN make\nFROM {base}\nCOPY --from=build /out /app\n"
+
+
+def _iam_manifest(rng: random.Random, repo_idx: int, hub_fraction: float) -> str:
+    trust = [HUB_ROLE] if rng.random() < hub_fraction else []
+    trust.append(f"arn:aws:iam::{repo_idx:012d}:role/deploy-role")
+    return json.dumps(
+        {
+            "Roles": [
+                {
+                    "RoleName": f"repo-{repo_idx}-role",
+                    "Arn": f"arn:aws:iam::{repo_idx:012d}:role/repo-{repo_idx}-role",
+                    "AssumeRolePolicyDocument": {
+                        "Statement": [{"Principal": {"AWS": trust}}]
+                    },
+                }
+            ]
+        },
+        sort_keys=True,
+    )
+
+
+def repo_rows(
+    repo_idx: int,
+    seed: int = 42,
+    files_per_repo: int = 6,
+    hub_fraction: float = 0.8,
+    malformed_fraction: float = 0.05,
+    stale_commit_fraction: float = 0.3,
+) -> list[tuple[str, str, str, str, str]]:
+    """All (repo, path, commit, lang, content) rows for one repo.
+
+    Deterministic in (seed, repo_idx) alone — the same repo generates
+    the same rows at any parallelism, which is what makes the N-vs-4N
+    scaling runs byte-identical inputs.
+    """
+    rng = random.Random(f"{seed}:{repo_idx}")
+    repo = f"org/app-{repo_idx}"
+    # "latest" is defined as the lexicographically-greatest commit per
+    # (repo, path) — the window-dedupe ordering key — so generate the
+    # head commit strictly above the stale one
+    a, b = _commit(rng), _commit(rng)
+    head, old = max(a, b), min(a, b)
+
+    def pick_pkgs(k: int) -> list[tuple[str, str]]:
+        pkgs = {}
+        if rng.random() < hub_fraction:
+            pkgs[HUB_PACKAGE] = "1.3.0"
+        while len(pkgs) < k:
+            i = rng.randrange(PKG_POOL)
+            pkgs[f"pkg-{i:03d}"] = f"{rng.randrange(1, 5)}.{rng.randrange(10)}.{rng.randrange(10)}"
+        return sorted(pkgs.items())
+
+    rows: list[tuple[str, str, str, str, str]] = []
+
+    def add(path: str, lang: str, content: str) -> None:
+        if rng.random() < malformed_fraction:
+            content = content[: max(1, len(content) // 3)] + "%%%TRUNCATED"
+        rows.append((repo, path, head, lang, content))
+        if rng.random() < stale_commit_fraction:
+            # an older commit of the same file with different content;
+            # latest-commit-wins dedupe must drop it
+            rows.append((repo, path, old, lang, content + "\n"))
+
+    kinds = [
+        ("package-lock.json", "javascript",
+         lambda: _npm_lock(rng, pick_pkgs(4), legacy=repo_idx % 7 == 0)),
+        ("uv.lock", "python",
+         lambda: _uv_lock(pick_pkgs(4), ambiguous="dup-pkg" if repo_idx % 5 == 0 else None)),
+        ("requirements.txt", "python", lambda: _requirements(pick_pkgs(3))),
+        ("Dockerfile", "dockerfile", lambda: _dockerfile(rng, hub_fraction)),
+        ("deploy/iam.json", "json-manifest",
+         lambda: _iam_manifest(rng, repo_idx, hub_fraction)),
+        ("src/main.py", "python", lambda: f"print('app {repo_idx}')\n"),
+    ]
+    for path, lang, make in kinds[:files_per_repo]:
+        add(path, lang, make())
+    return rows
+
+
+def synthesize_repo_files(
+    spark,
+    n_repos: int,
+    seed: int = 42,
+    files_per_repo: int = 6,
+    hub_fraction: float = 0.8,
+    malformed_fraction: float = 0.05,
+    stale_commit_fraction: float = 0.3,
+    partitions: int | None = None,
+):
+    """Distributed deterministic generation of the repo_files table."""
+    import pandas as pd
+
+    def gen(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cols = ["repo", "path", "commit", "lang", "content"]
+        for pdf in batches:
+            rows: list[tuple] = []
+            for idx in pdf["id"]:
+                rows.extend(
+                    repo_rows(
+                        int(idx),
+                        seed=seed,
+                        files_per_repo=files_per_repo,
+                        hub_fraction=hub_fraction,
+                        malformed_fraction=malformed_fraction,
+                        stale_commit_fraction=stale_commit_fraction,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    rng = spark.range(n_repos, numPartitions=partitions)
+    return rng.mapInPandas(gen, schema=REPO_FILES_DDL)

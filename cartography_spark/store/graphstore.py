@@ -1,0 +1,282 @@
+"""Canonical nodes/edges store with MERGE + GC + lineage + checkpoints.
+
+The reference upserts into Neo4j with generated ``UNWIND … MERGE``
+statements (``graph/querybuilder.py:1219-1316``) and deletes stale rows
+with an ``update_tag`` watermark (``graph/cleanupbuilder.py:335-342``).
+This store re-expresses those semantics over columnar table storage:
+
+* **Layout** — one directory-version per *partition* (nodes partitioned
+  by ``label`` = entity type, edges by ``rel_label``), tracked in an
+  atomically-replaced ``manifest.json``. A MERGE rewrites only the
+  partitions its batch touches — the same copy-on-write shape as an
+  Iceberg ``MERGE INTO`` over a ``PARTITIONED BY (entity_type)`` table,
+  which is what this backend maps to on a real cluster (the production
+  path per BASELINE.json is Iceberg; this backend keeps identical
+  semantics with zero extra jars so tests run hermetically).
+* **MERGE semantics** (``querybuilder.py:1266-1279``): key =
+  ``(label, id)`` / 5-tuple for edges; ``firstseen`` set on create only
+  and preserved on match; all declared props overwritten each run;
+  undeclared props from other modules survive (map-concat, last-win).
+  MatchLink edges rewrite ``sub_resource_*`` to the last writer
+  (``querybuilder.py:1714-1719``).
+* **GC** — anti-join deletes driven by ``lastupdated <> update_tag``
+  within a scope; see :mod:`cartography_spark.operators.gc` for the
+  four-case dispatch mirroring ``cleanupbuilder.py:16-120``.
+* **Lineage** — every commit appends per-partition row counts and
+  created/updated/deleted counters (the reference's StatsD counters,
+  ``graph/statement.py:285-299``) to ``lineage.jsonl``.
+* **Checkpoint/resume** — the manifest records completed pipeline
+  stages per update_tag; a re-run skips completed stages (resume from
+  last complete snapshot).
+
+Scale notes (100 TB): the per-partition merge is a single shuffle on
+the merge key per touched partition; AQE handles size; hot ids inside a
+partition are bounded because ids are unique per (label, id) — skew
+lives in *joins*, which are salted upstream (operators/link.py). The
+driver-side loop is over entity types (tens), never over rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Iterable, Mapping
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+NODES_DDL = (
+    "label string, id string, firstseen long, lastupdated long, "
+    "content_sha256 string, extra_labels array<string>, props map<string,string>"
+)
+EDGES_DDL = (
+    "src_label string, src_id string, rel_label string, dst_label string, "
+    "dst_id string, firstseen long, lastupdated long, "
+    "sub_resource_label string, sub_resource_id string, props map<string,string>"
+)
+EDGE_KEY = ["src_label", "src_id", "rel_label", "dst_label", "dst_id"]
+
+
+def _safe_part(name: str) -> str:
+    return "".join(c if (c.isalnum() or c in "-_.") else "_" for c in name)
+
+
+class GraphStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        # declared props overwrite previously-written values (SET
+        # semantics): map_concat keeps the last writer per key
+        spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        self._manifest_path = os.path.join(root, "manifest.json")
+        self._lineage_path = os.path.join(root, "lineage.jsonl")
+        self.manifest = self._load_manifest()
+
+    # -- manifest ----------------------------------------------------------
+    def _load_manifest(self) -> dict:
+        if os.path.exists(self._manifest_path):
+            with open(self._manifest_path) as f:
+                return json.load(f)
+        return {"nodes": {}, "edges": {}, "version": 0, "stages": {}}
+
+    def _save_manifest(self) -> None:
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.manifest, f, indent=1)
+        os.replace(tmp, self._manifest_path)  # atomic snapshot commit
+
+    # -- reads -------------------------------------------------------------
+    def _empty(self, ddl: str) -> DataFrame:
+        return self.spark.createDataFrame([], ddl)
+
+    def _read_parts(self, table: str, ddl: str, parts: Iterable[str] | None = None) -> DataFrame:
+        mapping: dict[str, str] = self.manifest[table]
+        keys = list(mapping) if parts is None else [p for p in parts if p in mapping]
+        paths = [os.path.join(self.root, mapping[k]) for k in keys]
+        if not paths:
+            return self._empty(ddl)
+        return self.spark.read.schema(ddl).parquet(*paths)
+
+    def nodes(self, labels: Iterable[str] | None = None) -> DataFrame:
+        """Current node set; ``labels`` prunes to those partitions."""
+        return self._read_parts("nodes", NODES_DDL, labels)
+
+    def edges(self, rel_labels: Iterable[str] | None = None) -> DataFrame:
+        return self._read_parts("edges", EDGES_DDL, rel_labels)
+
+    # -- writes ------------------------------------------------------------
+    def _write_part(self, table: str, part: str, df: DataFrame) -> None:
+        self.manifest["version"] += 1
+        rel = f"{table}/{_safe_part(part)}/v{self.manifest['version']}"
+        df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
+        self.manifest[table][part] = rel
+
+    def record_lineage(self, stage: str, metrics: Mapping[str, Any]) -> None:
+        with open(self._lineage_path, "a") as f:
+            f.write(json.dumps({"ts": time.time(), "stage": stage, **metrics}) + "\n")
+
+    # -- MERGE -------------------------------------------------------------
+    def merge_nodes(self, batch: DataFrame, update_tag: int) -> dict[str, dict[str, int]]:
+        """Upsert a node batch; returns per-label created/updated counts.
+
+        Semantics of ``MERGE (i:Label{id}) ON CREATE SET i.firstseen=ts
+        SET <declared props>`` (``querybuilder.py:1266-1279``).
+        """
+        labels = [r[0] for r in batch.select("label").distinct().collect()]
+        out: dict[str, dict[str, int]] = {}
+        for label in labels:
+            b = batch.filter(F.col("label") == label).drop("label")
+            cur = self.nodes([label]).drop("label")
+            s, t = b.alias("s"), cur.alias("t")
+            joined = t.join(s, on="id", how="full_outer").cache()
+            matched = F.col("s.lastupdated").isNotNull()
+            existing = F.col("t.lastupdated").isNotNull()
+            merged = joined.select(
+                F.lit(label).alias("label"),
+                F.col("id"),
+                # firstseen preserved on match, stamped on create
+                F.when(existing, F.col("t.firstseen"))
+                .otherwise(F.lit(int(update_tag)).cast("long"))
+                .alias("firstseen"),
+                F.when(matched, F.col("s.lastupdated"))
+                .otherwise(F.col("t.lastupdated"))
+                .alias("lastupdated"),
+                F.when(matched, F.col("s.content_sha256"))
+                .otherwise(F.col("t.content_sha256"))
+                .alias("content_sha256"),
+                F.when(matched, F.col("s.extra_labels"))
+                .otherwise(F.col("t.extra_labels"))
+                .alias("extra_labels"),
+                # declared props overwrite; undeclared (earlier-module)
+                # props survive: last-win map concat
+                F.when(
+                    matched & existing,
+                    F.map_concat(
+                        F.coalesce(F.col("t.props"), F.map_from_arrays(F.array(), F.array())),
+                        F.coalesce(F.col("s.props"), F.map_from_arrays(F.array(), F.array())),
+                    ),
+                )
+                .when(matched, F.col("s.props"))
+                .otherwise(F.col("t.props"))
+                .alias("props"),
+            )
+            counts = joined.agg(
+                F.sum(F.when(matched & ~existing, 1).otherwise(0)).alias("created"),
+                F.sum(F.when(matched & existing, 1).otherwise(0)).alias("updated"),
+            ).collect()[0]
+            self._write_part("nodes", label, merged)
+            joined.unpersist()
+            out[label] = {"created": counts[0] or 0, "updated": counts[1] or 0}
+        self._save_manifest()
+        self.record_lineage("merge_nodes", {"update_tag": update_tag, "labels": out})
+        return out
+
+    def merge_edges(self, batch: DataFrame, update_tag: int) -> dict[str, dict[str, int]]:
+        """Upsert an edge batch keyed on the 5-tuple.
+
+        ``sub_resource_*`` follow the last writer (an edge shared by
+        several tenants tracks whoever loaded it last —
+        ``querybuilder.py:1714-1719``), which scopes MatchLink GC.
+        """
+        rels = [r[0] for r in batch.select("rel_label").distinct().collect()]
+        out: dict[str, dict[str, int]] = {}
+        key = [k for k in EDGE_KEY if k != "rel_label"]
+        for rel in rels:
+            b = batch.filter(F.col("rel_label") == rel).drop("rel_label")
+            cur = self.edges([rel]).drop("rel_label")
+            joined = cur.alias("t").join(b.alias("s"), on=key, how="full_outer").cache()
+            matched = F.col("s.lastupdated").isNotNull()
+            existing = F.col("t.lastupdated").isNotNull()
+            pick = lambda c: F.when(matched, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)  # noqa: E731
+            merged = joined.select(
+                *[F.col(k) for k in key[:2]],
+                F.lit(rel).alias("rel_label"),
+                *[F.col(k) for k in key[2:]],
+                F.when(existing, F.col("t.firstseen"))
+                .otherwise(F.lit(int(update_tag)).cast("long"))
+                .alias("firstseen"),
+                pick("lastupdated"),
+                pick("sub_resource_label"),
+                pick("sub_resource_id"),
+                pick("props"),
+            )
+            counts = joined.agg(
+                F.sum(F.when(matched & ~existing, 1).otherwise(0)).alias("created"),
+                F.sum(F.when(matched & existing, 1).otherwise(0)).alias("updated"),
+            ).collect()[0]
+            self._write_part("edges", rel, merged)
+            joined.unpersist()
+            out[rel] = {"created": counts[0] or 0, "updated": counts[1] or 0}
+        self._save_manifest()
+        self.record_lineage("merge_edges", {"update_tag": update_tag, "rels": out})
+        return out
+
+    # -- deletes (GC primitives; dispatch lives in operators/gc.py) --------
+    def delete_nodes(self, stale_keys: DataFrame, detach: bool = True) -> dict[str, int]:
+        """Delete nodes by (label, id) keys; DETACH also removes incident
+        edges (``cleanupbuilder.py:244-383`` DETACH DELETE)."""
+        stale = stale_keys.select("label", "id").cache()
+        labels = [r[0] for r in stale.select("label").distinct().collect()]
+        deleted = 0
+        for label in labels:
+            cur = self.nodes([label])
+            keep = cur.join(stale, on=["label", "id"], how="left_anti")
+            n_before, n_after = cur.count(), keep.count()
+            deleted += n_before - n_after
+            self._write_part("nodes", label, keep.drop("label").withColumn("label", F.lit(label)).select(
+                "label", "id", "firstseen", "lastupdated", "content_sha256", "extra_labels", "props"
+            ))
+        edges_deleted = 0
+        if detach and labels:
+            src_keys = stale.select(
+                F.col("label").alias("src_label"), F.col("id").alias("src_id")
+            )
+            dst_keys = stale.select(
+                F.col("label").alias("dst_label"), F.col("id").alias("dst_id")
+            )
+            for rel in list(self.manifest["edges"]):
+                cur = self.edges([rel])
+                keep = cur.join(src_keys, on=["src_label", "src_id"], how="left_anti").join(
+                    dst_keys, on=["dst_label", "dst_id"], how="left_anti"
+                )
+                e_before, e_after = cur.count(), keep.count()
+                if e_before != e_after:
+                    edges_deleted += e_before - e_after
+                    self._write_part("edges", rel, keep.select(
+                        "src_label", "src_id", "rel_label", "dst_label", "dst_id",
+                        "firstseen", "lastupdated", "sub_resource_label", "sub_resource_id", "props"
+                    ))
+        stale.unpersist()
+        self._save_manifest()
+        self.record_lineage(
+            "delete_nodes", {"nodes_deleted": deleted, "edges_deleted": edges_deleted}
+        )
+        return {"nodes_deleted": deleted, "edges_deleted": edges_deleted}
+
+    def delete_edges(self, rel_label: str, predicate) -> int:
+        """Delete edges of one rel partition matching a Column predicate."""
+        if rel_label not in self.manifest["edges"]:
+            return 0
+        cur = self.edges([rel_label])
+        keep = cur.filter(~F.coalesce(predicate, F.lit(False)))
+        e_before, e_after = cur.count(), keep.count()
+        if e_before != e_after:
+            self._write_part("edges", rel_label, keep)
+            self._save_manifest()
+        self.record_lineage(
+            "delete_edges", {"rel_label": rel_label, "edges_deleted": e_before - e_after}
+        )
+        return e_before - e_after
+
+    # -- checkpoints -------------------------------------------------------
+    def stage_done(self, update_tag: int, stage: str) -> bool:
+        return stage in self.manifest["stages"].get(str(update_tag), {})
+
+    def mark_stage(self, update_tag: int, stage: str, info: Mapping[str, Any] | None = None) -> None:
+        self.manifest["stages"].setdefault(str(update_tag), {})[stage] = {
+            "version": self.manifest["version"],
+            "ts": time.time(),
+            **(info or {}),
+        }
+        self._save_manifest()

@@ -1,0 +1,24 @@
+import os
+import shutil
+import tempfile
+
+import pytest
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from cartography_spark.session import get_spark
+
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    s = get_spark("cartography_spark_tests", master="local[8]")
+    yield s
+    s.stop()
+
+
+@pytest.fixture()
+def tmp_store(spark):
+    from cartography_spark.store.graphstore import GraphStore
+
+    root = tempfile.mkdtemp(prefix="graphstore_")
+    yield GraphStore(spark, root)
+    shutil.rmtree(root, ignore_errors=True)

@@ -1,0 +1,148 @@
+"""Unit tests for the pure content parsers.
+
+Behaviour targets are the reference's parser contracts
+(``intel/github/lockfiles.py``, ``intel/github/repos.py:1775-1859``):
+direct-deps-only npm, ambiguity-dropped uv, pinned-only-on-single-==
+requirements, malformed input → empty, never raises.
+"""
+
+import json
+
+from cartography_spark.functions.parsers import (
+    canonicalize_name,
+    parse_dockerfile,
+    parse_file,
+    parse_iam_manifest,
+    parse_npm_lock,
+    parse_requirements_txt,
+    parse_uv_lock,
+)
+
+
+def test_npm_v3_top_level_only():
+    content = json.dumps(
+        {
+            "lockfileVersion": 3,
+            "packages": {
+                "": {"name": "root"},
+                "node_modules/lodash": {"version": "4.17.21"},
+                "node_modules/a/node_modules/lodash": {"version": "3.10.1"},
+                "node_modules/react": {"version": "18.2.0"},
+            },
+        }
+    )
+    assert parse_npm_lock(content) == {"lodash": "4.17.21", "react": "18.2.0"}
+
+
+def test_npm_v1_legacy_top_level_only():
+    content = json.dumps(
+        {
+            "dependencies": {
+                "lodash": {
+                    "version": "4.17.21",
+                    "dependencies": {"nested": {"version": "0.0.1"}},
+                }
+            }
+        }
+    )
+    assert parse_npm_lock(content) == {"lodash": "4.17.21"}
+
+
+def test_npm_v2_wins_over_v1():
+    content = json.dumps(
+        {
+            "packages": {"node_modules/x": {"version": "2.0.0"}},
+            "dependencies": {"x": {"version": "1.0.0"}, "y": {"version": "1.0.0"}},
+        }
+    )
+    assert parse_npm_lock(content) == {"x": "2.0.0"}
+
+
+def test_npm_malformed_returns_empty():
+    assert parse_npm_lock("{not json") == {}
+    assert parse_npm_lock("[1,2,3]") == {}
+
+
+def test_uv_lock_basic_and_ambiguous():
+    content = (
+        '[[package]]\nname = "requests"\nversion = "2.31.0"\n\n'
+        '[[package]]\nname = "dup"\nversion = "1.0.0"\n\n'
+        '[[package]]\nname = "dup"\nversion = "2.0.0"\n'
+    )
+    assert parse_uv_lock(content) == {"requests": "2.31.0"}
+
+
+def test_uv_lock_malformed_returns_empty():
+    assert parse_uv_lock("= = not toml [") == {}
+
+
+def test_requirements_pinned_and_ranges():
+    content = (
+        "# header comment\n"
+        "-r base.txt\n"
+        "Requests==2.31.0  # pinned\n"
+        "flask>=2.0,\\\n"
+        "  <3.0\n"
+        "numpy\n"
+        "Django [extra] == 4.2 ; python_version > '3.8'\n"
+    )
+    rows = {r["name"]: r for r in parse_requirements_txt(content)}
+    assert rows["requests"]["version"] == "2.31.0"
+    assert rows["requests"]["id"] == "requests|2.31.0"
+    assert rows["flask"]["version"] is None
+    assert rows["flask"]["specifier"] == ">=2.0, <3.0"
+    assert rows["numpy"]["version"] is None
+    assert rows["numpy"]["specifier"] is None
+    assert rows["numpy"]["id"] == "numpy"
+    assert rows["django"]["version"] == "4.2"
+
+
+def test_canonicalize_name():
+    assert canonicalize_name("My._-Pkg") == "my-pkg"
+
+
+def test_dockerfile_multistage_alias_excluded():
+    content = (
+        "FROM ubuntu:22.04 AS build\nRUN make\n"
+        "FROM build\n"  # stage alias, not a base image
+        "FROM scratch\n"
+        "FROM --platform=linux/amd64 alpine:3.19\n"
+    )
+    assert parse_dockerfile(content) == ["ubuntu:22.04", "alpine:3.19"]
+
+
+def test_iam_manifest_trust_principals():
+    content = json.dumps(
+        {
+            "Roles": [
+                {
+                    "RoleName": "r1",
+                    "Arn": "arn:aws:iam::1:role/r1",
+                    "AssumeRolePolicyDocument": {
+                        "Statement": {
+                            "Principal": {
+                                "AWS": ["arn:aws:iam::2:role/other"],
+                                "Service": "ec2.amazonaws.com",
+                            }
+                        }
+                    },
+                }
+            ]
+        }
+    )
+    roles = parse_iam_manifest(content)
+    assert roles[0]["trust_principals"] == [
+        "arn:aws:iam::2:role/other",
+        "ec2.amazonaws.com",
+    ]
+    assert parse_iam_manifest("junk") == []
+
+
+def test_parse_file_routing_and_resilience():
+    assert parse_file("r", "x/package-lock.json", "javascript", "{bad") == [
+        ("Repo", "r", None, None, None, {"name": "r"})
+    ]
+    assert parse_file("r", "src/main.py", "python", "print(1)") == []
+    facts = parse_file("r", "Dockerfile", "dockerfile", "FROM ubuntu:22.04\n")
+    preds = {f[2] for f in facts if f[2]}
+    assert preds == {"USES_BASE_IMAGE"}

@@ -1,0 +1,145 @@
+"""End-to-end sync-loop test (SURVEY.md §7.2 step 2).
+
+Exercises extract (pandas-UDF parse + latest-commit-wins dedupe),
+canonicalization, MERGE (firstseen preservation across runs), GC on a
+second run with a removed dependency, enrichment, and checkpoint
+resume — the integration-test style of the reference
+(``tests/integration/cartography/intel/aws/ec2/test_ec2_instances.py``)
+with exact-set assertions.
+"""
+
+import json
+
+from pyspark.sql import functions as F
+
+from cartography_spark.functions.parsers import extract_facts
+from cartography_spark.plans.pipeline import latest_commit_wins, run_pipeline
+from cartography_spark.sources.repo_files import synthesize_repo_files
+
+T1, T2 = 1111, 2222
+DDL = "repo string, path string, commit string, lang string, content string"
+
+
+def _lock(pkgs):
+    return json.dumps(
+        {"lockfileVersion": 3,
+         "packages": {f"node_modules/{n}": {"version": v} for n, v in pkgs}}
+    )
+
+
+def rows_run1():
+    return [
+        ("org/a", "package-lock.json", "ccc", "javascript",
+         _lock([("lodash", "4.17.21"), ("react", "18.2.0")])),
+        # stale commit of the same file — must lose latest-commit-wins
+        ("org/a", "package-lock.json", "aaa", "javascript",
+         _lock([("oldpkg", "0.0.1")])),
+        ("org/a", "Dockerfile", "ccc", "dockerfile", "FROM ubuntu:22.04\n"),
+        ("org/b", "Dockerfile", "ccc", "dockerfile", "FROM ubuntu:22.04\n"),
+        ("org/b", "deploy/iam.json", "ccc", "json-manifest", json.dumps({
+            "Roles": [{
+                "RoleName": "r", "Arn": "arn:b:role/r",
+                "AssumeRolePolicyDocument": {"Statement": [{
+                    "Principal": {"AWS": ["arn:shared:role/hub", "arn:b:role/r2"]}
+                }]},
+            }]})),
+        # a second repo defines the hub role → Principal==Role canon
+        ("org/c", "deploy/iam.json", "ccc", "json-manifest", json.dumps({
+            "Roles": [{"RoleName": "hub", "Arn": "arn:shared:role/hub",
+                       "AssumeRolePolicyDocument": {"Statement": []}}]})),
+    ]
+
+
+def rows_run2():
+    rows = [r for r in rows_run1() if not (r[0] == "org/a" and r[2] == "aaa")]
+    # org/a drops react
+    rows[0] = ("org/a", "package-lock.json", "ccc", "javascript",
+               _lock([("lodash", "4.17.21")]))
+    return rows
+
+
+def nodes_set(store):
+    return {tuple(r) for r in store.nodes().select("label", "id").collect()}
+
+
+def edges_set(store):
+    return {tuple(r) for r in store.edges().select(
+        "src_id", "rel_label", "dst_id").collect()}
+
+
+def test_latest_commit_wins(spark):
+    df = spark.createDataFrame(rows_run1(), DDL)
+    facts = extract_facts(latest_commit_wins(df))
+    ids = {r[0] for r in facts.select("subj_id").distinct().collect()}
+    assert "npm:oldpkg@0.0.1" not in ids
+    assert "npm:react@18.2.0" in ids
+
+
+def test_full_sync_two_runs(spark, tmp_store):
+    s = tmp_store
+    m1 = run_pipeline(spark, spark.createDataFrame(rows_run1(), DDL), s, update_tag=T1)
+    assert m1["nodes_total"] > 0
+
+    n1 = nodes_set(s)
+    assert ("Package", "npm:react@18.2.0") in n1
+    assert ("BaseImage", "ubuntu:22.04") in n1
+    # canonicalization: the trusted hub ARN is also a defined Role →
+    # no Principal node for it, TRUSTS edge points at the Role
+    assert ("Role", "arn:shared:role/hub") in n1
+    assert ("Principal", "arn:shared:role/hub") not in n1
+    assert ("Principal", "arn:b:role/r2") in n1
+
+    e1 = edges_set(s)
+    assert ("org/a", "REQUIRES", "npm:react@18.2.0") in e1
+    assert ("arn:b:role/r", "TRUSTS", "arn:shared:role/hub") in e1
+    # enrichment: 2-hop derived edge
+    assert ("org/b", "TRUSTS_VIA_ROLE", "arn:shared:role/hub") in e1
+
+    react_fs = s.nodes().filter(F.col("id") == "npm:react@18.2.0").collect()[0]["firstseen"]
+    lodash_fs = s.nodes().filter(F.col("id") == "npm:lodash@4.17.21").collect()[0]["firstseen"]
+    assert react_fs == T1 and lodash_fs == T1
+
+    # ---- run 2: react removed from org/a ----
+    run_pipeline(spark, spark.createDataFrame(rows_run2(), DDL), s, update_tag=T2)
+    n2 = nodes_set(s)
+    assert ("Package", "npm:react@18.2.0") not in n2  # GCed
+    assert ("Package", "npm:lodash@4.17.21") in n2
+    e2 = edges_set(s)
+    assert ("org/a", "REQUIRES", "npm:react@18.2.0") not in e2
+    # firstseen survives the second run (M1 hard part, SURVEY §7.4.1)
+    row = s.nodes().filter(F.col("id") == "npm:lodash@4.17.21").collect()[0]
+    assert row["firstseen"] == T1 and row["lastupdated"] == T2
+    # derived edge survived GC with preserved firstseen
+    derived = s.edges(["TRUSTS_VIA_ROLE"]).collect()
+    assert all(r["firstseen"] == T1 and r["lastupdated"] == T2 for r in derived)
+
+
+def test_checkpoint_resume_skips_stages(spark, tmp_store):
+    s = tmp_store
+    df = spark.createDataFrame(rows_run1(), DDL)
+    run_pipeline(spark, df, s, update_tag=T1)
+    before = nodes_set(s)
+    # same tag again: every stage is marked done → no-op resume
+    m = run_pipeline(spark, df, s, update_tag=T1)
+    assert nodes_set(s) == before
+    assert m["nodes_total"] == len(before)
+    stages = s.manifest["stages"][str(T1)]
+    assert set(stages) >= {"extract", "merge", "enrich", "gc"}
+
+
+def test_synthesized_repo_files_deterministic(spark):
+    a = synthesize_repo_files(spark, 20, partitions=2).orderBy("repo", "path", "commit")
+    b = synthesize_repo_files(spark, 20, partitions=7).orderBy("repo", "path", "commit")
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+
+
+def test_pipeline_on_synthesized_corpus(spark, tmp_store):
+    files = synthesize_repo_files(spark, 30)
+    m = run_pipeline(spark, files, tmp_store, update_tag=T1)
+    n = nodes_set(tmp_store)
+    labels = {lbl for lbl, _ in n}
+    assert {"Repo", "Package", "BaseImage", "Role"} <= labels
+    # hub entities exist exactly once despite high fan-in
+    hubs = [x for x in n if x[1] == "ubuntu:22.04"]
+    assert len(hubs) == 1
+    assert m["edges_total"] > m["nodes_total"] * 0  # edges present

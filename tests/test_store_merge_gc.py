@@ -1,0 +1,183 @@
+"""MERGE + GC semantics tests (the heart — SURVEY.md §2.5/§2.6).
+
+Golden-set style assertions replace the reference's golden-Cypher
+tests (``tests/unit/cartography/graph/test_querybuilder_simple.py``):
+exact (label, id, …) set comparison after each run, check_nodes-style
+(``tests/integration/util.py:11-72``).
+"""
+
+from pyspark.sql import functions as F
+
+from cartography_spark.models.schema import (
+    LinkDirection,
+    NodeSchema,
+    PropertyRef,
+    RelSchema,
+    TargetNodeMatcher,
+)
+from cartography_spark.operators.emit import emit_edges, emit_nodes
+from cartography_spark.operators.gc import cleanup_matchlinks, run_cleanup
+
+T1, T2 = 1000, 2000
+
+
+def node_batch(spark, rows, tag):
+    df = spark.createDataFrame(rows, "label string, id string")
+    return df.select(
+        "label", "id",
+        F.lit(tag).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        F.array().cast("array<string>").alias("extra_labels"),
+        F.create_map(F.lit("k"), F.concat(F.lit("v@"), F.lit(str(tag)))).alias("props"),
+    )
+
+
+def edge_batch(spark, rows, tag, sub=None):
+    df = spark.createDataFrame(
+        rows, "src_label string, src_id string, rel_label string, dst_label string, dst_id string"
+    )
+    return df.select(
+        "src_label", "src_id", "rel_label", "dst_label", "dst_id",
+        F.lit(tag).cast("long").alias("lastupdated"),
+        F.lit(sub[0] if sub else None).cast("string").alias("sub_resource_label"),
+        F.lit(sub[1] if sub else None).cast("string").alias("sub_resource_id"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    )
+
+
+def nodes_set(store, *cols):
+    cols = cols or ("label", "id")
+    return {tuple(r) for r in store.nodes().select(*cols).collect()}
+
+
+def edges_set(store):
+    return {
+        tuple(r)
+        for r in store.edges().select("src_id", "rel_label", "dst_id").collect()
+    }
+
+
+def test_merge_firstseen_preserved_and_props_overwritten(spark, tmp_store):
+    s = tmp_store
+    c1 = s.merge_nodes(node_batch(spark, [("A", "1"), ("A", "2")], T1), T1)
+    assert c1["A"] == {"created": 2, "updated": 0}
+
+    c2 = s.merge_nodes(node_batch(spark, [("A", "2"), ("A", "3")], T2), T2)
+    assert c2["A"] == {"created": 1, "updated": 1}
+
+    rows = {r["id"]: r for r in s.nodes().collect()}
+    # firstseen set on create, preserved on match (querybuilder.py:1270)
+    assert rows["1"]["firstseen"] == T1 and rows["1"]["lastupdated"] == T1
+    assert rows["2"]["firstseen"] == T1 and rows["2"]["lastupdated"] == T2
+    assert rows["3"]["firstseen"] == T2
+    # declared props overwritten every run
+    assert rows["2"]["props"]["k"] == "v@2000"
+    assert rows["1"]["props"]["k"] == "v@1000"
+
+
+def test_merge_preserves_undeclared_props(spark, tmp_store):
+    s = tmp_store
+    s.merge_nodes(node_batch(spark, [("A", "1")], T1), T1)
+    other = node_batch(spark, [("A", "1")], T2).withColumn(
+        "props", F.create_map(F.lit("other_module"), F.lit("x"))
+    )
+    s.merge_nodes(other, T2)
+    props = s.nodes().collect()[0]["props"]
+    # earlier-module prop survives, new prop written (map last-win)
+    assert props == {"k": "v@1000", "other_module": "x"}
+
+
+def test_edge_merge_last_writer_sub_resource(spark, tmp_store):
+    s = tmp_store
+    e = [("A", "1", "REL", "B", "2")]
+    s.merge_edges(edge_batch(spark, e, T1, sub=("Tenant", "t1")), T1)
+    s.merge_edges(edge_batch(spark, e, T2, sub=("Tenant", "t2")), T2)
+    row = s.edges().collect()[0]
+    # shared edge tracks the last writer (querybuilder.py:1714-1719)
+    assert row["sub_resource_id"] == "t2"
+    assert row["firstseen"] == T1 and row["lastupdated"] == T2
+
+
+ACCOUNT_REL = RelSchema(
+    rel_label="RESOURCE",
+    target_node_label="Account",
+    target_node_matcher=TargetNodeMatcher({"id": PropertyRef("ACCOUNT_ID", set_in_kwargs=True)}),
+    direction=LinkDirection.INWARD,
+)
+
+ASSET = NodeSchema(
+    label="Asset",
+    properties={"id": PropertyRef("asset_id"), "name": PropertyRef("name")},
+    sub_resource_relationship=ACCOUNT_REL,
+)
+
+
+def load_assets(spark, store, asset_rows, tag, account_id):
+    df = spark.createDataFrame(asset_rows, "asset_id string, name string")
+    kwargs = {"ACCOUNT_ID": account_id}
+    store.merge_nodes(
+        node_batch(spark, [("Account", account_id)], tag), tag
+    )
+    store.merge_nodes(emit_nodes(df, ASSET, tag, kwargs), tag)
+    store.merge_edges(emit_edges(df, ASSET, tag, nodes=None, kwargs=kwargs), tag)
+
+
+def test_scoped_gc_two_tenants(spark, tmp_store):
+    """G1: stale node of tenant 1 deleted with incident edges; tenant 2
+    untouched (scope isolation, FIXTURES.md F4)."""
+    s = tmp_store
+    load_assets(spark, s, [("a1", "x"), ("a2", "y")], T1, "acct1")
+    load_assets(spark, s, [("b1", "z")], T1, "acct2")
+
+    # second run: tenant 1 drops a2; tenant 2 not synced at all
+    load_assets(spark, s, [("a1", "x")], T2, "acct1")
+    run_cleanup(s, ASSET, T2, {"ACCOUNT_ID": "acct1"})
+
+    ids = {r[0] for r in s.nodes([ "Asset"]).select("id").collect()}
+    assert ids == {"a1", "b1"}  # a2 gone; b1 (stale but other tenant) kept
+    rels = edges_set(s)
+    assert ("acct1", "RESOURCE", "a2") not in rels
+    assert ("acct2", "RESOURCE", "b1") in rels
+    # stale scoped rel of surviving-but-unsynced pair? a1 restamped at T2
+    assert ("acct1", "RESOURCE", "a1") in rels
+
+
+def test_unscoped_gc(spark, tmp_store):
+    s = tmp_store
+    sch = NodeSchema(
+        label="Standalone",
+        properties={"id": PropertyRef("id")},
+        scoped_cleanup=False,
+    )
+    s.merge_nodes(node_batch(spark, [("Standalone", "1"), ("Standalone", "2")], T1), T1)
+    s.merge_nodes(node_batch(spark, [("Standalone", "2")], T2), T2)
+    run_cleanup(s, sch, T2, {})
+    assert nodes_set(s) == {("Standalone", "2")}
+
+
+def test_no_rel_nodes_never_auto_deleted(spark, tmp_store):
+    """G7 (cleanupbuilder.py:64-70): schema with no sub-resource and no
+    rels deletes nothing."""
+    s = tmp_store
+    sch = NodeSchema(label="Meta", properties={"id": PropertyRef("id")})
+    s.merge_nodes(node_batch(spark, [("Meta", "1")], T1), T1)
+    s.merge_nodes(node_batch(spark, [("Meta", "2")], T2), T2)
+    res = run_cleanup(s, sch, T2, {})
+    assert res == {"nodes_deleted": 0, "edges_deleted": 0}
+    assert nodes_set(s) == {("Meta", "1"), ("Meta", "2")}
+
+
+def test_matchlink_gc_scoped_to_writer(spark, tmp_store):
+    s = tmp_store
+    rel = RelSchema(
+        rel_label="LINKED",
+        target_node_label="B",
+        target_node_matcher=TargetNodeMatcher({"id": PropertyRef("b_id")}),
+    )
+    e1 = [("A", "1", "LINKED", "B", "2")]
+    e2 = [("A", "3", "LINKED", "B", "4")]
+    s.merge_edges(edge_batch(spark, e1, T1, sub=("Tenant", "t1")), T1)
+    s.merge_edges(edge_batch(spark, e2, T1, sub=("Tenant", "t2")), T1)
+    # t1 re-syncs at T2 with no links: its stale edge goes, t2's stays
+    cleanup_matchlinks(s, rel, T2, "Tenant", "t1")
+    assert edges_set(s) == {("3", "LINKED", "4")}

@@ -1,0 +1,35 @@
+"""Connected-components canonicalization tests (SURVEY.md §7.2 step 5)."""
+
+from cartography_spark.operators.components import connected_components
+
+
+def comp_map(df):
+    return {r["id"]: r["component"] for r in df.collect()}
+
+
+def test_chain_collapses_transitively(spark):
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("d", "c"), ("z", "y")], "src string, dst string"
+    )
+    m = comp_map(connected_components(edges))
+    assert m["a"] == m["b"] == m["c"] == m["d"] == "a"
+    assert m["y"] == m["z"] == "y"
+
+
+def test_star_and_singleton_edges(spark):
+    edges = spark.createDataFrame(
+        [("hub", x) for x in ("s1", "s2", "s3")] + [("i1", "i2")],
+        "src string, dst string",
+    )
+    m = comp_map(connected_components(edges))
+    assert m["s1"] == m["s2"] == m["s3"] == m["hub"] == "hub"
+    assert m["i1"] == m["i2"] == "i1"
+
+
+def test_long_path_converges_within_logn_rounds(spark):
+    n = 64
+    edges = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(n)], "src string, dst string"
+    )
+    m = comp_map(connected_components(edges, max_iterations=10))
+    assert set(m.values()) == {"n000"}

@@ -1,0 +1,139 @@
+"""Entity-linking join strategy tests (SURVEY.md §2.3 J1-J7).
+
+Each matcher flag maps to the reference's Cypher predicate
+(``graph/querybuilder.py:711-736``); assertions are exact pair sets.
+"""
+
+from pyspark.sql import functions as F
+
+from cartography_spark.models.schema import (
+    NodeSchema,
+    PropertyRef,
+    RelSchema,
+    SourceNodeMatcher,
+    TargetNodeMatcher,
+)
+from cartography_spark.operators.link import resolve_rel_pairs, salted_join
+
+SRC_ID = PropertyRef("src_id")
+
+
+def make_nodes(spark, rows):
+    """rows: (label, id, props dict)"""
+    return spark.createDataFrame(
+        [(lbl, i, p) for lbl, i, p in rows],
+        "label string, id string, props map<string,string>",
+    )
+
+
+def pairs_set(df):
+    return {(r["__src_id"], r["__dst_id"]) for r in df.select("__src_id", "__dst_id").collect()}
+
+
+def test_equi_join_drops_unmatched(spark):
+    """J2: inner equi semantics — null/missing targets emit no edge."""
+    df = spark.createDataFrame(
+        [("s1", "t1"), ("s2", "missing"), ("s3", None)],
+        "src_id string, target_key string",
+    )
+    nodes = make_nodes(spark, [("T", "t1", {}), ("T", "t2", {})])
+    rel = RelSchema(
+        rel_label="R", target_node_label="T",
+        target_node_matcher=TargetNodeMatcher({"id": PropertyRef("target_key")}),
+    )
+    assert pairs_set(resolve_rel_pairs(df, rel, nodes, SRC_ID)) == {("s1", "t1")}
+
+
+def test_ignore_case_join(spark):
+    """J3: toLower(n.k) = toLower(item.f)."""
+    df = spark.createDataFrame([("s1", "ALICE@X.COM")], "src_id string, email string")
+    nodes = make_nodes(spark, [("User", "u1", {"email": "alice@x.com"})])
+    rel = RelSchema(
+        rel_label="R", target_node_label="User",
+        target_node_matcher=TargetNodeMatcher(
+            {"email": PropertyRef("email", ignore_case=True)}
+        ),
+    )
+    assert pairs_set(resolve_rel_pairs(df, rel, nodes, SRC_ID)) == {("s1", "u1")}
+
+
+def test_fuzzy_contains_join(spark):
+    """J4: toLower(n.k) CONTAINS toLower(item.f)."""
+    df = spark.createDataFrame([("s1", "corp")], "src_id string, frag string")
+    nodes = make_nodes(
+        spark,
+        [("Org", "o1", {"name": "MegaCORP Inc"}), ("Org", "o2", {"name": "Other"})],
+    )
+    rel = RelSchema(
+        rel_label="R", target_node_label="Org",
+        target_node_matcher=TargetNodeMatcher(
+            {"name": PropertyRef("frag", fuzzy_and_ignore_case=True)}
+        ),
+    )
+    assert pairs_set(resolve_rel_pairs(df, rel, nodes, SRC_ID)) == {("s1", "o1")}
+
+
+def test_one_to_many_explode_join(spark):
+    """J5: n.k IN item.list via explode + equi-join."""
+    df = spark.createDataFrame(
+        [("s1", ["g1", "g2"]), ("s2", ["g2", "gX"])],
+        "src_id string, group_ids array<string>",
+    )
+    nodes = make_nodes(spark, [("Group", "g1", {}), ("Group", "g2", {})])
+    rel = RelSchema(
+        rel_label="R", target_node_label="Group",
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("group_ids", one_to_many=True)}
+        ),
+    )
+    assert pairs_set(resolve_rel_pairs(df, rel, nodes, SRC_ID)) == {
+        ("s1", "g1"), ("s1", "g2"), ("s2", "g2"),
+    }
+
+
+def test_matchlink_both_endpoints_matched(spark):
+    """J6: MatchLink — both endpoints resolved from the graph."""
+    df = spark.createDataFrame(
+        [("a@x.com", "T1"), ("b@x.com", "T2"), ("ghost@x.com", "T1")],
+        "email string, team string",
+    )
+    nodes = make_nodes(
+        spark,
+        [("User", "u1", {"email": "a@x.com"}),
+         ("User", "u2", {"email": "b@x.com"}),
+         ("Team", "T1", {}), ("Team", "T2", {})],
+    )
+    rel = RelSchema(
+        rel_label="MEMBER", target_node_label="Team",
+        target_node_matcher=TargetNodeMatcher({"id": PropertyRef("team")}),
+        source_node_label="User",
+        source_node_matcher=SourceNodeMatcher({"email": PropertyRef("email")}),
+    )
+    assert pairs_set(resolve_rel_pairs(df, rel, nodes, SRC_ID)) == {
+        ("u1", "T1"), ("u2", "T2"),
+    }
+
+
+def test_unresolved_requires_id_matcher(spark):
+    df = spark.createDataFrame([("s1", "x")], "src_id string, k string")
+    rel = RelSchema(
+        rel_label="R", target_node_label="T",
+        target_node_matcher=TargetNodeMatcher({"name": PropertyRef("k")}),
+    )
+    try:
+        resolve_rel_pairs(df, rel, None, SRC_ID)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+
+def test_salted_join_matches_plain_join(spark):
+    fact = spark.range(0, 1000).select(
+        (F.col("id") % 5).cast("string").alias("k"), F.col("id").alias("v")
+    )
+    dim = spark.createDataFrame(
+        [(str(i), f"d{i}") for i in range(5)], "k string, name string"
+    )
+    plain = fact.join(dim, "k").agg(F.count("*"), F.sum("v")).collect()[0]
+    salted = salted_join(fact, dim, "k", "k").agg(F.count("*"), F.sum("v")).collect()[0]
+    assert tuple(plain) == tuple(salted)

@@ -1,0 +1,115 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()`` entry and its DuckDB ``oracle_sql()`` twin on
+the same sf dir, then compares row count, sorted column names, and
+exact values (rows sorted by all columns). Reports bit-level float
+mismatches separately from hard mismatches.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import math
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def load_entry():
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def duck_conn(sf_dir: str):
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif not pd.api.types.is_object_dtype(df[c]):
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def compare(name: str, a: pd.DataFrame, b: pd.DataFrame) -> str:
+    if len(a) != len(b):
+        return f"ROWCOUNT spark={len(a)} duck={len(b)}"
+    if sorted(a.columns) != sorted(b.columns):
+        return f"SCHEMA spark={sorted(a.columns)} duck={sorted(b.columns)}"
+    a, b = normalize(a), normalize(b)
+    issues = []
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av):
+            neq = ~((av == bv) | (av.isna() & bv.isna()))
+            if neq.any():
+                diff = (av[neq] - bv[neq]).abs().max()
+                issues.append(f"FLOAT col {c}: {int(neq.sum())} rows differ, max abs {diff:.3e}")
+        else:
+            neq = ~((av == bv) | (av.isna() & bv.isna()))
+            if neq.any():
+                i = neq.idxmax()
+                issues.append(f"VALUE col {c}: {int(neq.sum())} rows differ e.g. {av[i]!r} vs {bv[i]!r}")
+    return "; ".join(issues) if issues else "OK"
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    mod = load_entry()
+    from cartography_spark.session import get_spark
+
+    spark = get_spark("check_oracle", master="local[8]")
+    con = duck_conn(sf_dir)
+    qs, oracles = mod.queries(), mod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"{name:34s} SPARK ERROR: {e}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"{name:34s} rows-only: {len(sdf)} rows")
+            continue
+        try:
+            ddf = con.execute(oracles[name]).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"{name:34s} DUCK ERROR: {e}")
+            failures += 1
+            continue
+        verdict = compare(name, sdf, ddf)
+        print(f"{name:34s} {len(sdf):7d} rows  {verdict}")
+        if verdict != "OK":
+            failures += 1
+    print(f"\n{failures} failures")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,139 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries from ``__spark_entry__.queries()`` against
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "total_wall", "value": N, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1, ...extras}
+
+Extras carried in the same line (north-rule evidence, see BENCH.md for
+the two-parallelism scaling run):
+
+* ``kg_triples_per_sec`` — end-to-end KG sync throughput (extract →
+  canonicalize → MERGE → GC → enrich) on a deterministically
+  synthesized ``repo_files`` input (seed fixed; no external data).
+* ``kg_pipeline_sec`` / ``kg_triples`` — its wall time and output size.
+
+Each query is forced through a ``noop`` sink so the full plan executes
+(scan → shuffle → sink) without driver-side collect. A warmup pass
+first touches every input table so JVM/codegen startup is not billed to
+the first query.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+# ordered: relational core, KG-operator families, training-data ops
+HEADLINE = [
+    "q_agg_pricing_summary",
+    "q_join_revenue_by_nation",
+    "q_multihop_chain",
+    "q_window_latest_wins",
+    "q_anti_join_gc",
+    "q_semi_join",
+    "q_except_drift",
+    "q_merge_upsert_sim",
+    "q_topk_revenue_customers",
+    "q_emit_triples",
+    "q_tumbling_window_events",
+    "q_event_json_props",
+    "q_dedup_exact",
+    "q_minhash_signatures",
+    "q_lsh_band_buckets",
+    "q_simhash_fingerprints",
+    "q_doc_fingerprint",
+    "q_text_quality",
+    "q_lang_id",
+    "q_ann_bruteforce",
+    "q_ann_ivf_bucketed",
+]
+
+
+def _load_entry():
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", os.path.join(REPO, "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_bench(spark, sf_dir: str, n_repos: int) -> dict:
+    entry = _load_entry()
+    qs = entry.queries()
+
+    # warmup: materialize every table once (file listing + codegen init)
+    for t in entry.TABLES:
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {timings[name]}s", file=sys.stderr)
+
+    # KG sync throughput on the synthesized repo_files input
+    from cartography_spark.plans.pipeline import run_pipeline
+    from cartography_spark.sources.repo_files import synthesize_repo_files
+    from cartography_spark.store.graphstore import GraphStore
+
+    root = tempfile.mkdtemp(prefix="bench_kg_")
+    try:
+        files = synthesize_repo_files(spark, n_repos)
+        t0 = time.perf_counter()
+        metrics = run_pipeline(spark, files, GraphStore(spark, root), update_tag=1)
+        kg_sec = time.perf_counter() - t0
+        triples = metrics["nodes_total"] + metrics["edges_total"]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    timings["kg_pipeline"] = round(kg_sec, 3)
+    print(f"  kg_pipeline: {timings['kg_pipeline']}s ({triples} triples)", file=sys.stderr)
+
+    return {
+        "metric": "total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(sf_dir),
+        "kg_repos": n_repos,
+        "kg_triples": int(triples),
+        "kg_pipeline_sec": round(kg_sec, 3),
+        "kg_triples_per_sec": round(triples / kg_sec, 1),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_repos = int(os.environ.get("SPARK_GRAFT_KG_REPOS", "2000"))
+
+    from cartography_spark.session import get_spark
+
+    spark = get_spark("cartography_spark_bench", master=f"local[{cpus}]")
+    result = run_bench(spark, sf_dir, n_repos)
+    result["cpus"] = int(cpus)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

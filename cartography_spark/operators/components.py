@@ -44,6 +44,9 @@ def connected_components(
         .distinct()
     )
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # the edge set is re-joined every round — truncate its lineage once
+    # so iterations never recompute the (possibly UDF-heavy) upstream
+    sym = sym.localCheckpoint(eager=True) if checkpoint_dir is None else sym.checkpoint(eager=True)
     parent = (
         sym.groupBy("u")
         .agg(F.least(F.min("v"), F.first("u")).alias("p"))

@@ -208,7 +208,11 @@ def run_pipeline(
     t0 = time.time()
     if not store.stage_done(tag, "extract"):
         deduped = latest_commit_wins(repo_files)
-        facts = extract_facts(deduped)
+        # materialize the parse ONCE: canonicalize references the facts
+        # frame from several join branches and connected components
+        # iterates — without truncation each reuse would re-run the
+        # mapInPandas parse over the whole corpus
+        facts = extract_facts(deduped).localCheckpoint(eager=True)
         facts = canonicalize(facts)
         facts.write.mode("overwrite").parquet(facts_path)
         store.mark_stage(tag, "extract", {"path": facts_path})
@@ -217,8 +221,20 @@ def run_pipeline(
 
     t0 = time.time()
     if not store.stage_done(tag, "merge"):
-        node_counts = store.merge_nodes(facts_to_node_batch(facts, tag), tag)
-        edge_counts = store.merge_edges(facts_to_edge_batch(facts, tag), tag)
+        # label/rel vocabularies from a column-pruned scan of the facts
+        # parquet — saves the merge a second full evaluation of the
+        # window-deduped batch plan just to learn its partition list
+        vocab = (
+            facts.select(
+                F.coalesce(F.col("pred"), F.concat(F.lit("\0"), F.col("subj_label"))).alias("k")
+            )
+            .distinct()
+            .collect()
+        )
+        node_labels = sorted(r[0][1:] for r in vocab if r[0].startswith("\0"))
+        edge_rels = sorted(r[0] for r in vocab if not r[0].startswith("\0"))
+        node_counts = store.merge_nodes(facts_to_node_batch(facts, tag), tag, labels=node_labels)
+        edge_counts = store.merge_edges(facts_to_edge_batch(facts, tag), tag, rels=edge_rels)
         store.mark_stage(tag, "merge", {"nodes": node_counts, "edges": edge_counts})
     metrics["merge_s"] = round(time.time() - t0, 2)
 
@@ -229,24 +245,23 @@ def run_pipeline(
         # analysis jobs carry their own generated cleanup —
         # graph/analysisbuilder.py:425)
         derived = derive_trusts_via_role(store, tag)
-        store.merge_edges(derived, tag)
+        store.merge_edges(derived, tag, rels=["TRUSTS_VIA_ROLE"])
         store.mark_stage(tag, "enrich")
     metrics["enrich_s"] = round(time.time() - t0, 2)
 
     t0 = time.time()
     if gc and not store.stage_done(tag, "gc"):
-        for label in PIPELINE_LABELS:
-            if label not in store.manifest["nodes"]:
-                continue
+        present = [l for l in PIPELINE_LABELS if l in store.manifest["nodes"]]
+        if present:
+            # one stale-key frame across every owned label → one
+            # anti-join delete (+ detach) instead of a per-label loop
             stale = (
-                store.nodes([label])
+                store.nodes(present)
                 .filter(F.col("lastupdated") != tag)
                 .select("label", "id")
             )
             store.delete_nodes(stale, detach=True)
-        for rel in PIPELINE_RELS:
-            if rel in store.manifest["edges"]:
-                store.delete_edges(rel, F.col("lastupdated") != tag)
+        store.delete_edges_bulk(list(PIPELINE_RELS), F.col("lastupdated") != tag)
         store.mark_stage(tag, "gc")
     metrics["gc_s"] = round(time.time() - t0, 2)
 

@@ -43,7 +43,7 @@ import os
 import time
 from typing import Any, Iterable, Mapping
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 NODES_DDL = (
     "label string, id string, firstseen long, lastupdated long, "
@@ -112,102 +112,170 @@ class GraphStore:
         df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
         self.manifest[table][part] = rel
 
+    def _write_partitioned(
+        self, table: str, parts: list[str], df: DataFrame, part_col: str
+    ) -> None:
+        """One partitioned write covering several partitions at once.
+
+        A single Spark job writes every touched partition under a new
+        version directory (``partitionBy`` on the entity-type column —
+        the same copy-on-write shape as an Iceberg MERGE over
+        ``PARTITIONED BY (entity_type)``); the manifest then points each
+        partition at its subdirectory. A partition whose output is empty
+        (all rows deleted) writes no subdirectory and is dropped from
+        the manifest. Falls back to per-partition writes when a value
+        would need Hive path escaping.
+        """
+        if any(p != _safe_part(p) for p in parts):
+            for p in parts:
+                self._write_part(table, p, df.filter(F.col(part_col) == p))
+            return
+        self.manifest["version"] += 1
+        rel = f"{table}/v{self.manifest['version']}"
+        (
+            # cluster rows by partition value before the dynamic-
+            # partition write: without it every task opens a file per
+            # partition value (tasks × partitions small files + commit
+            # renames); AQE coalesces the shuffle to the real size
+            df.withColumn("__part", F.col(part_col))
+            .repartition(F.col("__part"))
+            .write.mode("overwrite")
+            .partitionBy("__part")
+            .parquet(os.path.join(self.root, rel))
+        )
+        for p in parts:
+            sub = f"{rel}/__part={p}"
+            if os.path.isdir(os.path.join(self.root, sub)):
+                self.manifest[table][p] = sub
+            else:
+                self.manifest[table].pop(p, None)
+
     def record_lineage(self, stage: str, metrics: Mapping[str, Any]) -> None:
         with open(self._lineage_path, "a") as f:
             f.write(json.dumps({"ts": time.time(), "stage": stage, **metrics}) + "\n")
 
     # -- MERGE -------------------------------------------------------------
-    def merge_nodes(self, batch: DataFrame, update_tag: int) -> dict[str, dict[str, int]]:
+    def merge_nodes(
+        self,
+        batch: DataFrame,
+        update_tag: int,
+        labels: list[str] | None = None,
+    ) -> dict[str, dict[str, int]]:
         """Upsert a node batch; returns per-label created/updated counts.
 
         Semantics of ``MERGE (i:Label{id}) ON CREATE SET i.firstseen=ts
         SET <declared props>`` (``querybuilder.py:1266-1279``).
+
+        One full-outer join on ``(label, id)`` across every touched
+        label and ONE partitioned write — a single shuffle regardless of
+        how many entity types the batch carries; per-label counters ride
+        the same job via ``observe()`` (the reference's per-statement
+        StatsD counters, ``graph/statement.py:285-299``).
         """
-        labels = [r[0] for r in batch.select("label").distinct().collect()]
-        out: dict[str, dict[str, int]] = {}
-        for label in labels:
-            b = batch.filter(F.col("label") == label).drop("label")
-            cur = self.nodes([label]).drop("label")
-            s, t = b.alias("s"), cur.alias("t")
-            joined = t.join(s, on="id", how="full_outer").cache()
-            matched = F.col("s.lastupdated").isNotNull()
-            existing = F.col("t.lastupdated").isNotNull()
-            merged = joined.select(
-                F.lit(label).alias("label"),
-                F.col("id"),
-                # firstseen preserved on match, stamped on create
-                F.when(existing, F.col("t.firstseen"))
-                .otherwise(F.lit(int(update_tag)).cast("long"))
-                .alias("firstseen"),
-                F.when(matched, F.col("s.lastupdated"))
-                .otherwise(F.col("t.lastupdated"))
-                .alias("lastupdated"),
-                F.when(matched, F.col("s.content_sha256"))
-                .otherwise(F.col("t.content_sha256"))
-                .alias("content_sha256"),
-                F.when(matched, F.col("s.extra_labels"))
-                .otherwise(F.col("t.extra_labels"))
-                .alias("extra_labels"),
-                # declared props overwrite; undeclared (earlier-module)
-                # props survive: last-win map concat
-                F.when(
-                    matched & existing,
-                    F.map_concat(
-                        F.coalesce(F.col("t.props"), F.map_from_arrays(F.array(), F.array())),
-                        F.coalesce(F.col("s.props"), F.map_from_arrays(F.array(), F.array())),
-                    ),
-                )
-                .when(matched, F.col("s.props"))
-                .otherwise(F.col("t.props"))
-                .alias("props"),
+        if labels is None:
+            labels = [r[0] for r in batch.select("label").distinct().collect()]
+        if not labels:
+            return {}
+        cur = self.nodes(labels)
+        joined = cur.alias("t").join(batch.alias("s"), on=["label", "id"], how="full_outer")
+        matched = F.col("s.lastupdated").isNotNull()
+        existing = F.col("t.lastupdated").isNotNull()
+        obs = Observation()
+        counters = []
+        for i, label in enumerate(labels):
+            is_l = F.col("label") == label
+            counters.append(
+                F.sum(F.when(is_l & matched & ~existing, 1).otherwise(0)).alias(f"c{i}")
             )
-            counts = joined.agg(
-                F.sum(F.when(matched & ~existing, 1).otherwise(0)).alias("created"),
-                F.sum(F.when(matched & existing, 1).otherwise(0)).alias("updated"),
-            ).collect()[0]
-            self._write_part("nodes", label, merged)
-            joined.unpersist()
-            out[label] = {"created": counts[0] or 0, "updated": counts[1] or 0}
+            counters.append(
+                F.sum(F.when(is_l & matched & existing, 1).otherwise(0)).alias(f"u{i}")
+            )
+        merged = joined.observe(obs, *counters).select(
+            F.col("label"),
+            F.col("id"),
+            # firstseen preserved on match, stamped on create
+            F.when(existing, F.col("t.firstseen"))
+            .otherwise(F.lit(int(update_tag)).cast("long"))
+            .alias("firstseen"),
+            F.when(matched, F.col("s.lastupdated"))
+            .otherwise(F.col("t.lastupdated"))
+            .alias("lastupdated"),
+            F.when(matched, F.col("s.content_sha256"))
+            .otherwise(F.col("t.content_sha256"))
+            .alias("content_sha256"),
+            F.when(matched, F.col("s.extra_labels"))
+            .otherwise(F.col("t.extra_labels"))
+            .alias("extra_labels"),
+            # declared props overwrite; undeclared (earlier-module)
+            # props survive: last-win map concat
+            F.when(
+                matched & existing,
+                F.map_concat(
+                    F.coalesce(F.col("t.props"), F.map_from_arrays(F.array(), F.array())),
+                    F.coalesce(F.col("s.props"), F.map_from_arrays(F.array(), F.array())),
+                ),
+            )
+            .when(matched, F.col("s.props"))
+            .otherwise(F.col("t.props"))
+            .alias("props"),
+        )
+        self._write_partitioned("nodes", labels, merged, "label")
+        got = obs.get
+        out = {
+            label: {"created": int(got[f"c{i}"] or 0), "updated": int(got[f"u{i}"] or 0)}
+            for i, label in enumerate(labels)
+        }
         self._save_manifest()
         self.record_lineage("merge_nodes", {"update_tag": update_tag, "labels": out})
         return out
 
-    def merge_edges(self, batch: DataFrame, update_tag: int) -> dict[str, dict[str, int]]:
+    def merge_edges(
+        self,
+        batch: DataFrame,
+        update_tag: int,
+        rels: list[str] | None = None,
+    ) -> dict[str, dict[str, int]]:
         """Upsert an edge batch keyed on the 5-tuple.
 
         ``sub_resource_*`` follow the last writer (an edge shared by
         several tenants tracks whoever loaded it last —
         ``querybuilder.py:1714-1719``), which scopes MatchLink GC.
         """
-        rels = [r[0] for r in batch.select("rel_label").distinct().collect()]
-        out: dict[str, dict[str, int]] = {}
-        key = [k for k in EDGE_KEY if k != "rel_label"]
-        for rel in rels:
-            b = batch.filter(F.col("rel_label") == rel).drop("rel_label")
-            cur = self.edges([rel]).drop("rel_label")
-            joined = cur.alias("t").join(b.alias("s"), on=key, how="full_outer").cache()
-            matched = F.col("s.lastupdated").isNotNull()
-            existing = F.col("t.lastupdated").isNotNull()
-            pick = lambda c: F.when(matched, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)  # noqa: E731
-            merged = joined.select(
-                *[F.col(k) for k in key[:2]],
-                F.lit(rel).alias("rel_label"),
-                *[F.col(k) for k in key[2:]],
-                F.when(existing, F.col("t.firstseen"))
-                .otherwise(F.lit(int(update_tag)).cast("long"))
-                .alias("firstseen"),
-                pick("lastupdated"),
-                pick("sub_resource_label"),
-                pick("sub_resource_id"),
-                pick("props"),
+        if rels is None:
+            rels = [r[0] for r in batch.select("rel_label").distinct().collect()]
+        if not rels:
+            return {}
+        cur = self.edges(rels)
+        joined = cur.alias("t").join(batch.alias("s"), on=EDGE_KEY, how="full_outer")
+        matched = F.col("s.lastupdated").isNotNull()
+        existing = F.col("t.lastupdated").isNotNull()
+        obs = Observation()
+        counters = []
+        for i, rel in enumerate(rels):
+            is_r = F.col("rel_label") == rel
+            counters.append(
+                F.sum(F.when(is_r & matched & ~existing, 1).otherwise(0)).alias(f"c{i}")
             )
-            counts = joined.agg(
-                F.sum(F.when(matched & ~existing, 1).otherwise(0)).alias("created"),
-                F.sum(F.when(matched & existing, 1).otherwise(0)).alias("updated"),
-            ).collect()[0]
-            self._write_part("edges", rel, merged)
-            joined.unpersist()
-            out[rel] = {"created": counts[0] or 0, "updated": counts[1] or 0}
+            counters.append(
+                F.sum(F.when(is_r & matched & existing, 1).otherwise(0)).alias(f"u{i}")
+            )
+        pick = lambda c: F.when(matched, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)  # noqa: E731
+        merged = joined.observe(obs, *counters).select(
+            *[F.col(k) for k in EDGE_KEY],
+            F.when(existing, F.col("t.firstseen"))
+            .otherwise(F.lit(int(update_tag)).cast("long"))
+            .alias("firstseen"),
+            pick("lastupdated"),
+            pick("sub_resource_label"),
+            pick("sub_resource_id"),
+            pick("props"),
+        )
+        self._write_partitioned("edges", rels, merged, "rel_label")
+        got = obs.get
+        out = {
+            rel: {"created": int(got[f"c{i}"] or 0), "updated": int(got[f"u{i}"] or 0)}
+            for i, rel in enumerate(rels)
+        }
         self._save_manifest()
         self.record_lineage("merge_edges", {"update_tag": update_tag, "rels": out})
         return out
@@ -218,35 +286,57 @@ class GraphStore:
         edges (``cleanupbuilder.py:244-383`` DETACH DELETE)."""
         stale = stale_keys.select("label", "id").cache()
         labels = [r[0] for r in stale.select("label").distinct().collect()]
-        deleted = 0
-        for label in labels:
-            cur = self.nodes([label])
-            keep = cur.join(stale, on=["label", "id"], how="left_anti")
-            n_before, n_after = cur.count(), keep.count()
-            deleted += n_before - n_after
-            self._write_part("nodes", label, keep.drop("label").withColumn("label", F.lit(label)).select(
-                "label", "id", "firstseen", "lastupdated", "content_sha256", "extra_labels", "props"
-            ))
+        if not labels:
+            stale.unpersist()
+            return {"nodes_deleted": 0, "edges_deleted": 0}
+        # one anti-join + one partitioned write for all touched labels;
+        # before/after counters ride the same job via two observations
+        cur = self.nodes(labels)
+        obs_before, obs_after = Observation(), Observation()
+        keep = (
+            cur.observe(obs_before, F.count(F.lit(1)).alias("n"))
+            .join(stale, on=["label", "id"], how="left_anti")
+            .observe(obs_after, F.count(F.lit(1)).alias("n"))
+        )
+        self._write_partitioned("nodes", labels, keep, "label")
+        deleted = int((obs_before.get["n"] or 0) - (obs_after.get["n"] or 0))
+
         edges_deleted = 0
-        if detach and labels:
+        if detach:
             src_keys = stale.select(
                 F.col("label").alias("src_label"), F.col("id").alias("src_id")
             )
             dst_keys = stale.select(
                 F.col("label").alias("dst_label"), F.col("id").alias("dst_id")
             )
-            for rel in list(self.manifest["edges"]):
-                cur = self.edges([rel])
-                keep = cur.join(src_keys, on=["src_label", "src_id"], how="left_anti").join(
-                    dst_keys, on=["dst_label", "dst_id"], how="left_anti"
+            # discover which rel partitions actually contain the keys,
+            # then rewrite only those (untouched partitions keep their
+            # current version — no write amplification)
+            all_e = self.edges()
+            affected = [
+                r[0]
+                for r in (
+                    all_e.join(src_keys, on=["src_label", "src_id"], how="left_semi")
+                    .select("rel_label")
+                    .unionByName(
+                        all_e.join(dst_keys, on=["dst_label", "dst_id"], how="left_semi")
+                        .select("rel_label")
+                    )
+                    .distinct()
+                    .collect()
                 )
-                e_before, e_after = cur.count(), keep.count()
-                if e_before != e_after:
-                    edges_deleted += e_before - e_after
-                    self._write_part("edges", rel, keep.select(
-                        "src_label", "src_id", "rel_label", "dst_label", "dst_id",
-                        "firstseen", "lastupdated", "sub_resource_label", "sub_resource_id", "props"
-                    ))
+            ]
+            if affected:
+                cur_e = self.edges(affected)
+                e_before, e_after = Observation(), Observation()
+                keep_e = (
+                    cur_e.observe(e_before, F.count(F.lit(1)).alias("n"))
+                    .join(src_keys, on=["src_label", "src_id"], how="left_anti")
+                    .join(dst_keys, on=["dst_label", "dst_id"], how="left_anti")
+                    .observe(e_after, F.count(F.lit(1)).alias("n"))
+                )
+                self._write_partitioned("edges", affected, keep_e, "rel_label")
+                edges_deleted = int((e_before.get["n"] or 0) - (e_after.get["n"] or 0))
         stale.unpersist()
         self._save_manifest()
         self.record_lineage(
@@ -256,18 +346,29 @@ class GraphStore:
 
     def delete_edges(self, rel_label: str, predicate) -> int:
         """Delete edges of one rel partition matching a Column predicate."""
-        if rel_label not in self.manifest["edges"]:
+        return self.delete_edges_bulk([rel_label], predicate)
+
+    def delete_edges_bulk(self, rel_labels: Iterable[str], predicate) -> int:
+        """Delete edges matching a Column predicate across several rel
+        partitions with one scan + one partitioned rewrite.
+
+        A cheap stale-count probe (column-pruned scan of just the
+        predicate columns) skips the rewrite entirely when nothing is
+        stale — the common steady-state case.
+        """
+        rels = [r for r in rel_labels if r in self.manifest["edges"]]
+        if not rels:
             return 0
-        cur = self.edges([rel_label])
-        keep = cur.filter(~F.coalesce(predicate, F.lit(False)))
-        e_before, e_after = cur.count(), keep.count()
-        if e_before != e_after:
-            self._write_part("edges", rel_label, keep)
+        cur = self.edges(rels)
+        pred = F.coalesce(predicate, F.lit(False))
+        n_stale = cur.filter(pred).count()
+        if n_stale:
+            self._write_partitioned("edges", rels, cur.filter(~pred), "rel_label")
             self._save_manifest()
         self.record_lineage(
-            "delete_edges", {"rel_label": rel_label, "edges_deleted": e_before - e_after}
+            "delete_edges", {"rel_labels": rels, "edges_deleted": n_stale}
         )
-        return e_before - e_after
+        return n_stale
 
     # -- checkpoints -------------------------------------------------------
     def stage_done(self, update_tag: int, stage: str) -> bool:

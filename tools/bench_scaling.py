@@ -1,0 +1,111 @@
+"""North-rule scaling evidence: same job, two parallelism levels.
+
+BASELINE.json's north rule requires >=0.8 scaling efficiency from N to
+4N executors. No real cluster exists in this sandbox, so the evidence
+is the same deterministic KG-sync job (synthesize repo_files -> extract
+-> canonicalize -> MERGE -> enrich -> GC) run at ``local[8]`` and
+``local[32]`` on identical input, reporting triples/sec at both levels
+and efficiency = (T_8 / T_32) / 4.
+
+Each level runs in its own subprocess (fresh JVM) so neither warms the
+other. Session startup is excluded from the timed window; the timed
+window covers the full pipeline including all writes.
+
+Usage: python tools/bench_scaling.py [n_repos] [out_md]
+Appends a results section to BENCH.md (default).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+JOB = r"""
+import sys, time, tempfile, shutil, json
+sys.path.insert(0, {repo!r})
+from cartography_spark.session import get_spark
+from cartography_spark.store.graphstore import GraphStore
+from cartography_spark.sources.repo_files import synthesize_repo_files
+from cartography_spark.plans.pipeline import run_pipeline
+
+cores = int(sys.argv[1]); n_repos = int(sys.argv[2])
+spark = get_spark("scaling_bench", master=f"local[{{cores}}]")
+files = synthesize_repo_files(spark, n_repos, partitions=max(cores * 4, 32))
+root = tempfile.mkdtemp(prefix=f"scale{{cores}}_")
+t0 = time.perf_counter()
+m = run_pipeline(spark, files, GraphStore(spark, root), update_tag=1)
+dt = time.perf_counter() - t0
+shutil.rmtree(root, ignore_errors=True)
+print("SCALERESULT " + json.dumps({{
+    "cores": cores, "n_repos": n_repos, "wall_s": round(dt, 2),
+    "triples": m["nodes_total"] + m["edges_total"],
+    "stages": {{k: v for k, v in m.items() if k.endswith("_s")}},
+}}))
+"""
+
+
+def run_level(cores: int, n_repos: int) -> dict:
+    script = JOB.format(repo=REPO)
+    out = subprocess.run(
+        [sys.executable, "-c", script, str(cores), str(n_repos)],
+        capture_output=True, text=True, timeout=3600,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("SCALERESULT "):
+            return json.loads(line[len("SCALERESULT "):])
+    raise RuntimeError(f"local[{cores}] run failed:\n{out.stderr[-3000:]}")
+
+
+def main() -> None:
+    n_repos = int(sys.argv[1]) if len(sys.argv) > 1 else 16000
+    out_md = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, "BENCH.md")
+
+    results = {}
+    for cores in (8, 32):
+        print(f"running local[{cores}] n_repos={n_repos} ...", file=sys.stderr)
+        results[cores] = run_level(cores, n_repos)
+        print(f"  {results[cores]}", file=sys.stderr)
+
+    t8, t32 = results[8]["wall_s"], results[32]["wall_s"]
+    triples = results[32]["triples"]
+    eff = (t8 / t32) / 4.0
+    summary = {
+        "n_repos": n_repos,
+        "triples": triples,
+        "local8_wall_s": t8,
+        "local8_triples_per_sec": round(triples / t8, 1),
+        "local32_wall_s": t32,
+        "local32_triples_per_sec": round(triples / t32, 1),
+        "speedup_8_to_32": round(t8 / t32, 2),
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    stamp = time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime())
+    with open(out_md, "a") as f:
+        f.write(
+            f"\n## Scaling run {stamp} UTC (n_repos={n_repos})\n\n"
+            f"| cores | wall (s) | triples/s | stages |\n|---|---|---|---|\n"
+        )
+        for cores in (8, 32):
+            r = results[cores]
+            f.write(
+                f"| local[{cores}] | {r['wall_s']} | "
+                f"{round(r['triples'] / r['wall_s'], 1)} | "
+                f"{json.dumps(r['stages'])} |\n"
+            )
+        f.write(
+            f"\nSpeedup 8→32 cores: **{summary['speedup_8_to_32']}×**; "
+            f"scaling efficiency (T8/T32)/4 = **{summary['scaling_efficiency']}** "
+            f"(north-rule target ≥ 0.8: {'PASS' if summary['pass'] else 'FAIL'}).\n"
+        )
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

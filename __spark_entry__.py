@@ -527,10 +527,152 @@ def q_ann_ivf_bucketed(spark, sf_dir):
     )
 
 
+def q_token_classes(spark, sf_dir):
+    """BPE-ish regex tokenization: alpha runs, digit runs, single
+    punctuation — per-doc counts by class (token counting for a
+    training-data pipeline, JVM-side regexp_extract_all)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all("text", F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), 0)
+        ).alias("tok"),
+    )
+    return (
+        toks.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("tok").rlike("^[A-Za-z]+$"), 1).otherwise(0)).alias("n_alpha"),
+            F.sum(F.when(F.col("tok").rlike("^[0-9]+$"), 1).otherwise(0)).alias("n_num"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_rolling_shingle_fingerprint(spark, sf_dir):
+    """Document fingerprinting over a rolling 3-word shingle window:
+    min-hash of the shingle set + distinct-shingle count (winnowing-
+    style, computed as pure column expressions)."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    shingles = F.when(
+        F.size(words) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 2),
+            lambda i: F.concat_ws("|", F.slice(words, i, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = d.select("doc_id", F.explode(shingles).alias("s"))
+    return (
+        exploded.groupBy("doc_id")
+        .agg(
+            F.min(F.md5("s")).alias("min_shingle_hash"),
+            F.countDistinct("s").alias("n_distinct_shingles"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, label-blocked: pairs in
+    the same coarse bucket with cosine >= 0.4 (the near-dup dedupe
+    scale path: block first, score within block only; threshold sits
+    >=1e-4 away from every pair at all SFs, so engine float noise
+    cannot flip membership)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("label"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a")
+    )
+    b = emb.select(
+        F.col("label"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b")
+    )
+    dot = F.aggregate(
+        F.zip_with("e_a", "e_b", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    pairs = (
+        a.join(b, on="label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", dot / (norm(F.col("e_a")) * norm(F.col("e_b"))))
+    )
+    return (
+        pairs.filter(F.col("cos") >= 0.4)
+        .select("label", "id_a", "id_b")
+        .orderBy("label", "id_a", "id_b")
+    )
+
+
+def q_ontology_normalize(spark, sf_dir):
+    """P4 ontology scalar normalization through the real module
+    (cartography_spark.functions.ontology): mapping / equal_boolean /
+    coalesce / static_value + the required-field row filter."""
+    from cartography_spark.functions.ontology import (
+        OntologyFieldMapping as M,
+        OntologyNodeMapping,
+        apply_ontology,
+    )
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "urgent_flag", F.when(F.col("o_orderpriority") == "1-URGENT", F.lit("U"))
+    )
+    mapping = OntologyNodeMapping(
+        node_label="Order",
+        fields=(
+            M("priority_class", "o_orderpriority", required=True,
+              special_handling="mapping",
+              extra={"map": {"1-URGENT": "urgent", "2-HIGH": "high", "3-MEDIUM": "medium"}}),
+            M("is_final", "o_orderstatus",
+              special_handling="equal_boolean", extra={"values": ["F"]}),
+            M("owner", "urgent_flag",
+              special_handling="coalesce", extra={"fields": ["o_orderstatus"]}),
+            M("source", "", special_handling="static_value", extra={"value": "tpch"}),
+        ),
+    )
+    out = apply_ontology(o, mapping, keep=("o_orderkey",))
+    return out.select(
+        "o_orderkey",
+        "_ont_priority_class",
+        F.col("_ont_is_final").cast("string").alias("_ont_is_final"),
+        "_ont_owner",
+        "_ont_source",
+    ).orderBy("o_orderkey")
+
+
 # ---------------------------------------------------------------------------
 # KG pipeline queries (rows-only: pandas-UDF parse / store semantics
 # are not ANSI-SQL-expressible; asserted in tests/ instead)
 # ---------------------------------------------------------------------------
+
+
+def kg_permission_join(spark, sf_dir):
+    """J9 wildcard permission join (rows-only: regex fullmatch over
+    policy JSON is not ANSI-SQL); deterministic synthesized input."""
+    import json as _json
+
+    from cartography_spark.operators.permission import permission_relationships
+
+    n = _t(spark, sf_dir, "nation")
+    principals = n.select(
+        F.concat(F.lit("arn:aws:iam::"), "n_nationkey", F.lit(":role/reader")).alias("principal_arn"),
+        F.col("n_regionkey").cast("string").alias("account_id"),
+        F.lit(_json.dumps({
+            "p": [{"effect": "Allow", "action": ["s3:Get*"],
+                   "resource": ["arn:aws:s3:::shared-*"]}]
+        })).alias("policies_json"),
+    )
+    r = _t(spark, sf_dir, "region")
+    resources = r.select(
+        F.concat(F.lit("arn:aws:s3:::shared-"), F.lower("r_name")).alias("resource_arn"),
+        F.col("r_regionkey").cast("string").alias("account_id"),
+    )
+    return (
+        permission_relationships(principals, resources, ["s3:GetObject"])
+        .orderBy("principal_arn", "resource_arn")
+    )
 
 
 def kg_extract_triples(spark, sf_dir):
@@ -616,9 +758,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_id": q_lang_id,
         "q_ann_bruteforce": q_ann_bruteforce,
         "q_ann_ivf_bucketed": q_ann_ivf_bucketed,
+        "q_token_classes": q_token_classes,
+        "q_rolling_shingle_fingerprint": q_rolling_shingle_fingerprint,
+        "q_embedding_near_dup": q_embedding_near_dup,
+        "q_ontology_normalize": q_ontology_normalize,
         "kg_extract_triples": kg_extract_triples,
         "kg_sync_graph": kg_sync_graph,
         "kg_connected_components": kg_connected_components,
+        "kg_permission_join": kg_permission_join,
     }
 
 
@@ -858,6 +1005,56 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (ORDER BY cos DESC, vec_id) AS rank
               FROM scored)
             WHERE rank <= 10 ORDER BY rank
+        """,
+        "q_token_classes": """
+            SELECT doc_id,
+                   len(toks) AS n_tokens,
+                   len(list_filter(toks, t -> regexp_full_match(t, '[A-Za-z]+'))) AS n_alpha,
+                   len(list_filter(toks, t -> regexp_full_match(t, '[0-9]+'))) AS n_num
+            FROM (SELECT doc_id,
+                         regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]') AS toks
+                  FROM documents)
+            ORDER BY doc_id
+        """,
+        "q_rolling_shingle_fingerprint": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+                 sh AS (SELECT doc_id,
+                               unnest(list_transform(range(1, greatest(len(l) - 1, 1)),
+                                                     i -> array_to_string(l[i:i+2], '|'))) AS s
+                        FROM w)
+            SELECT doc_id, min(md5(s)) AS min_shingle_hash,
+                   count(DISTINCT s) AS n_distinct_shingles
+            FROM sh GROUP BY doc_id ORDER BY doc_id
+        """,
+        "q_embedding_near_dup": """
+            WITH p AS (
+              SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+                     list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+                     (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+                      sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS cos
+              FROM embeddings a JOIN embeddings b
+                ON a.label = b.label AND a.vec_id < b.vec_id)
+            SELECT label, id_a, id_b FROM p WHERE cos >= 0.4
+            ORDER BY label, id_a, id_b
+        """,
+        "q_ontology_normalize": """
+            SELECT o_orderkey,
+                   _ont_priority_class,
+                   CAST(_ont_is_final AS VARCHAR) AS _ont_is_final,
+                   _ont_owner,
+                   _ont_source
+            FROM (SELECT o_orderkey,
+                         CASE CAST(o_orderpriority AS VARCHAR)
+                              WHEN '1-URGENT' THEN 'urgent'
+                              WHEN '2-HIGH' THEN 'high'
+                              WHEN '3-MEDIUM' THEN 'medium' END AS _ont_priority_class,
+                         (o_orderstatus IN ('F')) AS _ont_is_final,
+                         coalesce(CASE WHEN CAST(o_orderpriority AS VARCHAR) = '1-URGENT' THEN 'U' END,
+                                  o_orderstatus) AS _ont_owner,
+                         'tpch' AS _ont_source
+                  FROM orders)
+            WHERE _ont_priority_class IS NOT NULL
+            ORDER BY o_orderkey
         """,
         "q_ann_ivf_bucketed": f"""
             WITH anchors AS (SELECT label, min(vec_id) AS anchor_id

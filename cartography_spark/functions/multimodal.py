@@ -1,0 +1,120 @@
+"""Multimodal columns: opaque binary media + typed metadata.
+
+A 100 TB training-data corpus carries images/audio/video as opaque
+``binary`` columns beside the text. The Spark-side contract here is
+real and tested — schema, Arrow batch shape, ``mapInPandas``
+signatures, partition-friendly outputs — while the actual codec work is
+STUBBED (this container has no image/audio libraries): the default
+decoder is a clearly-marked deterministic fake keyed on the content
+bytes, and ``decoder="real"`` raises ``NotImplementedError`` where
+PIL/ffmpeg would plug in.
+
+Schemas:
+
+* media table: ``media(media_id string, media_type string,
+  data binary, meta struct<width:int, height:int, duration_ms:int,
+  codec:string>)``
+* features: ``(media_id string, feature array<float>)``
+* frames: ``(media_id string, frame_idx int, frame_data binary)``
+
+Everything is ``mapInPandas`` over Arrow batches — bytes never cross
+row-at-a-time Python, and batches stream (``Iterator`` form) so a
+partition larger than memory still processes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterable, Iterator
+
+from pyspark.sql import DataFrame
+
+MEDIA_DDL = (
+    "media_id string, media_type string, data binary, "
+    "meta struct<width:int, height:int, duration_ms:int, codec:string>"
+)
+FEATURE_DDL = "media_id string, feature array<float>"
+FRAME_DDL = "media_id string, frame_idx int, frame_data binary"
+
+_FEATURE_DIM = 16
+
+
+def _fake_decode_features(data: bytes, dim: int = _FEATURE_DIM) -> list[float]:
+    """STUB decoder: deterministic pseudo-features from a sha256 stream.
+
+    Stands in for decode→model-embed; replace with a real codec +
+    encoder on a cluster with the media libraries installed.
+    """
+    out: list[float] = []
+    counter = 0
+    seed = hashlib.sha256(data).digest()
+    while len(out) < dim:
+        block = hashlib.sha256(seed + counter.to_bytes(4, "big")).digest()
+        for i in range(0, len(block) - 3, 4):
+            if len(out) >= dim:
+                break
+            v = int.from_bytes(block[i : i + 4], "big")
+            out.append((v / 2**32) * 2.0 - 1.0)
+        counter += 1
+    return out
+
+
+def extract_features(
+    media: DataFrame, decoder: str = "fake", dim: int = _FEATURE_DIM
+) -> DataFrame:
+    """media → (media_id, feature array<float>)."""
+    import pandas as pd
+
+    if decoder == "real":
+        raise NotImplementedError(
+            "real media decoding needs PIL/torchvision/ffmpeg — not "
+            "available in this environment; use decoder='fake' for the "
+            "deterministic stub"
+        )
+
+    def gen(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            feats = [
+                _fake_decode_features(bytes(d), dim) for d in pdf["data"]
+            ]
+            yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
+
+    return media.select("media_id", "data").mapInPandas(gen, schema=FEATURE_DDL)
+
+
+def sample_frames(
+    media: DataFrame, every_ms: int = 1000, decoder: str = "fake"
+) -> DataFrame:
+    """video rows → (media_id, frame_idx, frame_data) at a fixed rate.
+
+    Frame count derives from ``meta.duration_ms``; the STUB emits a
+    deterministic 8-byte token per frame where a real decoder would
+    emit encoded frames.
+    """
+    import pandas as pd
+
+    if decoder == "real":
+        raise NotImplementedError("real frame decoding not available here")
+
+    def gen(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, data, duration in zip(
+                pdf["media_id"], pdf["data"], pdf["duration_ms"]
+            ):
+                n = max(int(duration or 0) // every_ms, 0)
+                digest = hashlib.sha256(bytes(data)).digest()
+                for i in range(n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(
+                        hashlib.sha256(digest + i.to_bytes(4, "big")).digest()[:8]
+                    )
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_data": frames}
+            )
+
+    flat = media.filter("media_type = 'video'").select(
+        "media_id", "data", "meta.duration_ms"
+    )
+    return flat.mapInPandas(gen, schema=FRAME_DDL)

@@ -1,0 +1,133 @@
+"""Ontology scalar normalization: cross-provider ``_ont_*`` fields.
+
+The reference's ontology layer maps provider-specific node fields onto
+canonical semantic fields via ``OntologyFieldMapping.special_handling``
+(``models/ontology/mapping/specs.py:7-46``), compiled to Cypher SET
+clauses in ``graph/querybuilder.py:24-318``:
+
+* ``invert_boolean``  (:24-38)   ``NOT(coalesce(toBooleanOrNull(x), false))``
+* ``to_boolean``      (:41-56)   ``coalesce(toBooleanOrNull(x), x IS NOT NULL)``
+* ``equal_boolean``   (:59-85)   ``x IN extra['values']``
+* ``static_value``    (:107-133) literal from ``extra['value']``
+* ``or_boolean``      (:136-186) OR of ``coalesce(toBooleanOrNull(f), false)``
+* ``nor_boolean``     (:188-235) AND of ``NOT(coalesce(toBooleanOrNull(f), false))``
+* ``mapping``         (:238-268) CASE map from ``extra['map']``; unmapped → NULL
+* ``coalesce``        (:271-318) first non-null of node_field + extra['fields']
+* *(default)*                     plain column rename
+
+Here each kind compiles to a JVM-side Column expression (``F.when`` /
+``F.coalesce`` / ``create_map`` lookup / ``cast("boolean")``) — no UDFs,
+fully codegen-able, so normalization of 10^12 rows stays inside
+whole-stage codegen. ``toBooleanOrNull`` maps to Spark's string→boolean
+cast (accepts true/false/t/f/y/yes/n/no/1/0; anything else → null).
+
+``required`` fields drive the row filter the reference applies when
+extracting ontology nodes (``intel/ontology/utils.py:44-58``): rows
+missing any required mapped value are dropped.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Mapping
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+@dataclass(frozen=True)
+class OntologyFieldMapping:
+    """One canonical field derived from provider fields.
+
+    Mirrors ``models/ontology/mapping/specs.py:7-46`` (the ``indexed``
+    flag is omitted: table layout replaces index DDL).
+    """
+
+    ontology_field: str
+    node_field: str
+    required: bool = False
+    special_handling: str | None = None
+    extra: Mapping[str, Any] = field(default_factory=dict)
+
+    @property
+    def output_name(self) -> str:
+        return f"_ont_{self.ontology_field}"
+
+
+def _to_boolean_or_null(col: Column) -> Column:
+    # try_cast: malformed input → null (Cypher toBooleanOrNull), even
+    # under Spark 4's ANSI-mode cast
+    return col.cast("string").try_cast("boolean")
+
+
+def compile_field(m: OntologyFieldMapping) -> Column:
+    """Compile one mapping to a named Column expression."""
+    src = F.col(m.node_field) if m.node_field else F.lit(None)
+    kind = m.special_handling
+
+    if kind is None:
+        out = src
+    elif kind == "invert_boolean":
+        out = ~F.coalesce(_to_boolean_or_null(src), F.lit(False))
+    elif kind == "to_boolean":
+        out = F.coalesce(_to_boolean_or_null(src), src.isNotNull())
+    elif kind == "equal_boolean":
+        values = list(m.extra["values"])
+        out = src.isin(values)
+    elif kind == "static_value":
+        out = F.lit(m.extra["value"])
+    elif kind in ("or_boolean", "nor_boolean"):
+        fields = [m.node_field, *m.extra["fields"]]
+        clauses = [
+            F.coalesce(_to_boolean_or_null(F.col(f)), F.lit(False)) for f in fields
+        ]
+        if kind == "or_boolean":
+            out = clauses[0]
+            for c in clauses[1:]:
+                out = out | c
+        else:
+            out = ~clauses[0]
+            for c in clauses[1:]:
+                out = out & ~c
+    elif kind == "mapping":
+        value_map = dict(m.extra["map"])
+        # CASE lookup via a literal map; unmapped values yield NULL
+        # (querybuilder.py:238-268)
+        lit_entries: list[Column] = []
+        for k, v in value_map.items():
+            lit_entries.append(F.lit(str(k)))
+            lit_entries.append(F.lit(str(v)))
+        out = F.element_at(F.create_map(*lit_entries), src.cast("string"))
+    elif kind == "coalesce":
+        fields = [m.node_field, *m.extra["fields"]]
+        out = F.coalesce(*[F.col(f) for f in fields])
+    else:
+        raise ValueError(f"unknown special_handling {kind!r} for {m.ontology_field}")
+    return out.alias(m.output_name)
+
+
+@dataclass(frozen=True)
+class OntologyNodeMapping:
+    """Canonical-node projection spec (``specs.py:46-66``)."""
+
+    node_label: str
+    fields: tuple[OntologyFieldMapping, ...]
+    eligible_for_source: bool = True
+
+
+def apply_ontology(
+    df: DataFrame,
+    mapping: OntologyNodeMapping,
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """Project provider rows to canonical ``_ont_*`` columns.
+
+    Rows missing any ``required`` mapped value are dropped — the skip
+    rule the reference applies when reading back provider nodes for
+    ontology extraction (``intel/ontology/utils.py:44-58``).
+    """
+    cols = [F.col(c) for c in keep] + [compile_field(m) for m in mapping.fields]
+    out = df.select(*cols)
+    for m in mapping.fields:
+        if m.required:
+            out = out.filter(F.col(m.output_name).isNotNull())
+    return out

@@ -1,0 +1,61 @@
+"""Drift detection: set difference between two store snapshots.
+
+The reference saves query-result states to files and diffs them both
+ways (``driftdetect/detect_deviations.py:19-120`` — new rows =
+deviations, missing rows = retired). Our store's manifest is an atomic
+snapshot pointer over immutable version directories, so "time travel"
+is free: capture the manifest before a sync, then anti-join the two
+frames both directions — the Iceberg-snapshot analog of
+``perform_drift_detection``.
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Any, Mapping
+
+from pyspark.sql import DataFrame
+
+from cartography_spark.store.graphstore import EDGE_KEY, GraphStore
+
+
+def snapshot(store: GraphStore) -> dict:
+    """Capture the current table state (cheap: pointers only).
+
+    Valid as long as the store root is not vacuumed — version dirs are
+    immutable and never rewritten in place.
+    """
+    return copy.deepcopy(store.manifest)
+
+
+def _read_snapshot(store: GraphStore, snap: Mapping[str, Any], table: str) -> DataFrame:
+    from cartography_spark.store.graphstore import NODES_DDL, EDGES_DDL
+    import os
+
+    ddl = NODES_DDL if table == "nodes" else EDGES_DDL
+    paths = [os.path.join(store.root, rel) for rel in snap[table].values()]
+    if not paths:
+        return store.spark.createDataFrame([], ddl)
+    return store.spark.read.schema(ddl).parquet(*paths)
+
+
+def detect_drift(
+    store: GraphStore,
+    old_snapshot: Mapping[str, Any],
+    table: str = "nodes",
+    key_cols: list[str] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Return ``(added, removed)`` key sets between a snapshot and now.
+
+    ``added``  — keys present now but not in the snapshot (new assets);
+    ``removed`` — keys in the snapshot no longer present (retired).
+    Both are left_anti joins on the key columns, mirroring
+    ``compare_states``'s two-way set difference.
+    """
+    if key_cols is None:
+        key_cols = ["label", "id"] if table == "nodes" else EDGE_KEY
+    old = _read_snapshot(store, old_snapshot, table).select(*key_cols)
+    new = (store.nodes() if table == "nodes" else store.edges()).select(*key_cols)
+    added = new.join(old, on=key_cols, how="left_anti")
+    removed = old.join(new, on=key_cols, how="left_anti")
+    return added, removed

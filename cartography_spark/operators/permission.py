@@ -1,0 +1,163 @@
+"""Wildcard permission↔resource theta-join (SURVEY.md §2.3 J9).
+
+The reference maps IAM policies to resource ARNs by evaluating each
+(policy, resource) pair in Python
+(``intel/aws/permission_relationships.py``): clauses carry AWS
+wildcards (``*`` variable-length, ``?`` single-char) compiled to
+case-insensitive fullmatch regexes (:395-415), with NotAction /
+NotResource negation (:43-51, :128-139), the S3 bucket/object-key
+special case (:69-110), and Allow/Deny precedence across policies
+(explicit deny anywhere wins — :178-251).
+
+Spark-first plan:
+
+1. **prefix blocking** — principals and resources join on a blocking
+   key (account id) first, so the quadratic pair space is scoped per
+   tenant exactly like the reference's per-account sync and its bounded
+   cartesian MatchLink (``client/core/tx.py:928-944``). At 100 TB the
+   blocked join shuffles on the account key; hub accounts are covered
+   by AQE skew split (or :func:`link.salted_join` for known whales).
+2. **Arrow-batched evaluation** — the clause logic runs in
+   ``mapInPandas`` over the joined pairs with a per-worker compiled-
+   regex cache, never a per-row Python UDF.
+
+Behavior is cloned from the reference's pure functions so its unit
+expectations hold; only the execution strategy is Spark's.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Iterable, Iterator, Pattern
+
+from pyspark.sql import DataFrame
+
+_REGEX_CACHE: dict[str, Pattern] = {}
+_S3_BUCKET_ARN_PREFIX = "arn:aws:s3:::"
+
+PAIR_DDL = "principal_arn string, resource_arn string"
+
+
+def compile_clause(clause: str) -> Pattern:
+    """AWS wildcard clause → case-insensitive regex.
+
+    ``* → .*``, ``? → .?``, ``.`` escaped; non-compiling clauses match
+    nothing but the empty string (``permission_relationships.py:395-415``).
+    """
+    pat = _REGEX_CACHE.get(clause)
+    if pat is None:
+        escaped = clause.replace(".", "\\.").replace("*", ".*").replace("?", ".?")
+        try:
+            pat = re.compile(escaped, flags=re.IGNORECASE)
+        except re.error:
+            pat = re.compile("")
+        _REGEX_CACHE[clause] = pat
+    return pat
+
+
+def _clause_matches(clause: str, value: str) -> bool:
+    return compile_clause(clause).fullmatch(value) is not None
+
+
+def _resource_clause_matches(clause: str, resource_arn: str) -> bool:
+    """Resource clause match incl. the S3 object-key widening:
+    a grant on ``arn:aws:s3:::bucket/<anything>`` still draws an edge to
+    the bucket node (``permission_relationships.py:69-110``); scoped to
+    S3 because elsewhere "/" is part of the resource name."""
+    if _clause_matches(clause, resource_arn):
+        return True
+    if not resource_arn.startswith(_S3_BUCKET_ARN_PREFIX):
+        return False
+    bucket_clause = clause.split("/", 1)[0]
+    return _clause_matches(bucket_clause, resource_arn)
+
+
+def _statement_applies(stmt: dict, permission: str, resource_arn: str) -> bool:
+    # NotAction → skip; Action absent → applies; Resource must match;
+    # NotResource excludes (no S3 widening on NotResource) — reference
+    # :140-153
+    for clause in stmt.get("notaction", []):
+        if _clause_matches(clause, permission):
+            return False
+    if "action" in stmt and not any(
+        _clause_matches(c, permission) for c in stmt["action"]
+    ):
+        return False
+    if not any(
+        _resource_clause_matches(c, resource_arn) for c in stmt.get("resource", [])
+    ):
+        return False
+    for clause in stmt.get("notresource", []):
+        if _clause_matches(clause, resource_arn):
+            return False
+    return True
+
+
+def principal_allowed(
+    policies: dict[str, list[dict]],
+    resource_arn: str,
+    permissions: list[str],
+) -> bool:
+    """Allow/Deny evaluation across all policies of one principal
+    (``permission_relationships.py:178-251``): an explicit deny in any
+    policy vetoes; otherwise any allow grants."""
+    granted = False
+    for statements in policies.values():
+        for permission in permissions:
+            denied = any(
+                s.get("effect") == "Deny"
+                and _statement_applies(s, permission, resource_arn)
+                for s in statements
+            )
+            if denied:
+                return False
+            if not granted and any(
+                s.get("effect") == "Allow"
+                and _statement_applies(s, permission, resource_arn)
+                for s in statements
+            ):
+                granted = True
+    return granted
+
+
+def permission_relationships(
+    principals: DataFrame,
+    resources: DataFrame,
+    permissions: list[str],
+    block_on: str = "account_id",
+) -> DataFrame:
+    """(principal, resource) pairs the policies allow.
+
+    ``principals``: (principal_arn, <block_on>, policies_json) where
+    policies_json is ``{"policy_id": [statement, ...]}`` with lowercase
+    statement keys (effect/action/notaction/resource/notresource), the
+    shape the reference's IAM transform produces.
+    ``resources``: (resource_arn, <block_on>).
+    """
+    import pandas as pd
+
+    perms = list(permissions)
+    pairs = principals.join(resources, on=block_on, how="inner").select(
+        "principal_arn", "policies_json", "resource_arn"
+    )
+
+    def evaluate(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        parsed: dict[str, dict] = {}
+        for pdf in batches:
+            keep_p, keep_r = [], []
+            for p_arn, pol_json, r_arn in zip(
+                pdf["principal_arn"], pdf["policies_json"], pdf["resource_arn"]
+            ):
+                pol = parsed.get(pol_json)
+                if pol is None:
+                    pol = json.loads(pol_json)
+                    parsed[pol_json] = pol
+                if principal_allowed(pol, r_arn, perms):
+                    keep_p.append(p_arn)
+                    keep_r.append(r_arn)
+            yield pd.DataFrame(
+                {"principal_arn": keep_p, "resource_arn": keep_r}
+            )
+
+    return pairs.mapInPandas(evaluate, schema=PAIR_DDL)

@@ -1,0 +1,169 @@
+"""Declarative post-load analysis jobs (SURVEY.md §2.7 N1).
+
+The reference's typed ``AnalysisJob`` (``graph/analysis.py:38-264``,
+compiled by ``graph/analysisbuilder.py:100-552``) matches a node set
+with a Cypher pattern and applies *effects* — ``SetProperty``,
+``SetProperties``, ``AddToSet``, ``AddRelationship`` — each with a
+**generated cleanup** (``analysisbuilder.py:425-552``) so derived
+state left by a previous run disappears when the match no longer
+holds.
+
+Spark-first re-expression: the match is any DataFrame program over the
+store (multi-hop joins are plain joins over the edges table, J8) that
+yields one row per matched node keyed ``(label, id)`` plus payload
+columns. Effects compile to a MERGE batch:
+
+* ``SetProperty`` / ``SetProperties`` — props written through the
+  store's node MERGE (declared-props-overwrite, undeclared survive).
+* ``AddToSet`` — the reference appends to a list property, keeping it
+  a set (``graph/analysis.py:113-130``); props are a string map, so
+  set values are stored as a sorted JSON array string and merged
+  set-union on write.
+* ``AddRelationship`` — derived edges stamped with the job id as their
+  ``sub_resource`` scope, so the generated cleanup is exactly MatchLink
+  GC (stale derived edges of THIS job swept when ``lastupdated`` moves
+  on — ``cleanupbuilder.py:603-667``).
+
+Incremental gating (``lastupdated = $UPDATE_TAG`` on the match,
+``graph/analysis.py:84-93``) is the caller filtering its match frame —
+a Column predicate, not engine machinery.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Mapping
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from cartography_spark.store.graphstore import GraphStore
+
+JOB_SCOPE_LABEL = "AnalysisJob"
+
+
+@dataclass(frozen=True)
+class SetProperty:
+    """Write one property on every matched node."""
+
+    name: str
+    value: Column  # any Column over the match frame
+
+
+@dataclass(frozen=True)
+class AddToSet:
+    """Append a value to a set-valued property (JSON array string)."""
+
+    name: str
+    value: Column
+
+
+@dataclass(frozen=True)
+class AddRelationship:
+    """Emit a derived edge from the matched node to a target named by
+    payload columns of the match frame."""
+
+    rel_label: str
+    dst_label_col: str
+    dst_id_col: str
+    properties: Mapping[str, Column] = field(default_factory=dict)
+
+
+Effect = SetProperty | AddToSet | AddRelationship
+
+
+@dataclass(frozen=True)
+class AnalysisJob:
+    """``name`` scopes the generated cleanup of derived edges."""
+
+    name: str
+    match: Callable[[GraphStore], DataFrame]
+    effects: tuple[Effect, ...]
+
+
+def _set_union_json(existing: Column, new_value: Column) -> Column:
+    """Merge a new scalar into a JSON-array-string set property."""
+    old_arr = F.coalesce(
+        F.from_json(existing, "array<string>"), F.array().cast("array<string>")
+    )
+    merged = F.array_sort(F.array_union(old_arr, F.array(new_value.cast("string"))))
+    return F.to_json(merged)
+
+
+def run_analysis_job(
+    store: GraphStore, job: AnalysisJob, update_tag: int
+) -> dict[str, int]:
+    """Apply the job's effects; then sweep stale derived edges.
+
+    The match frame must carry ``label`` and ``id`` columns naming
+    existing nodes (one row per matched node).
+    """
+    matched = job.match(store)
+    metrics: dict[str, int] = {}
+
+    prop_effects = [e for e in job.effects if isinstance(e, (SetProperty, AddToSet))]
+    if prop_effects:
+        target = matched
+        entries: list[Column] = []
+        for e in prop_effects:
+            entries.append(F.lit(e.name))
+            if isinstance(e, SetProperty):
+                entries.append(e.value.cast("string"))
+            else:
+                # AddToSet needs the node's current value: join it in
+                cur = store.nodes(
+                    [r[0] for r in matched.select("label").distinct().collect()]
+                ).select(
+                    "label", "id", F.element_at("props", e.name).alias(f"__cur_{e.name}")
+                )
+                target = target.join(cur, on=["label", "id"], how="left")
+                entries.append(_set_union_json(F.col(f"__cur_{e.name}"), e.value))
+        batch = target.select(
+            "label",
+            "id",
+            F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+            F.lit(None).cast("string").alias("content_sha256"),
+            F.lit(None).cast("array<string>").alias("extra_labels"),
+            F.map_from_arrays(
+                F.array(*entries[0::2]), F.array(*entries[1::2])
+            ).alias("props"),
+        )
+        counts = store.merge_nodes(batch, update_tag)
+        metrics["nodes_updated"] = sum(c["updated"] + c["created"] for c in counts.values())
+
+    rel_effects = [e for e in job.effects if isinstance(e, AddRelationship)]
+    for e in rel_effects:
+        prop_entries: list[Column] = []
+        for name, col in e.properties.items():
+            prop_entries.append(F.lit(name))
+            prop_entries.append(col.cast("string"))
+        props = (
+            F.map_from_arrays(F.array(*prop_entries[0::2]), F.array(*prop_entries[1::2]))
+            if prop_entries
+            else F.lit(None).cast("map<string,string>")
+        )
+        edge_batch = matched.select(
+            F.col("label").alias("src_label"),
+            F.col("id").alias("src_id"),
+            F.lit(e.rel_label).alias("rel_label"),
+            F.col(e.dst_label_col).alias("dst_label"),
+            F.col(e.dst_id_col).alias("dst_id"),
+            F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+            # job-scoped ownership → generated cleanup = MatchLink GC
+            F.lit(JOB_SCOPE_LABEL).alias("sub_resource_label"),
+            F.lit(job.name).alias("sub_resource_id"),
+            props.alias("props"),
+        ).dropDuplicates(["src_label", "src_id", "rel_label", "dst_label", "dst_id"])
+        counts = store.merge_edges(edge_batch, update_tag, rels=[e.rel_label])
+        metrics[f"edges_{e.rel_label}"] = sum(
+            c["updated"] + c["created"] for c in counts.values()
+        )
+        # generated cleanup: this job's derived edges not restamped in
+        # this run no longer match — delete them
+        metrics[f"cleaned_{e.rel_label}"] = store.delete_edges(
+            e.rel_label,
+            (F.col("lastupdated") != int(update_tag))
+            & (F.col("sub_resource_label") == JOB_SCOPE_LABEL)
+            & (F.col("sub_resource_id") == job.name),
+        )
+    store.record_lineage("analysis_job", {"job": job.name, **metrics})
+    return metrics

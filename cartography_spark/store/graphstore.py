@@ -200,11 +200,13 @@ class GraphStore:
             F.when(matched, F.col("s.lastupdated"))
             .otherwise(F.col("t.lastupdated"))
             .alias("lastupdated"),
-            F.when(matched, F.col("s.content_sha256"))
-            .otherwise(F.col("t.content_sha256"))
+            # a matched batch row only overwrites these when it carries
+            # a value (SET writes declared values only — a second module
+            # loading the same node without content/labels must not wipe
+            # them)
+            F.coalesce(F.col("s.content_sha256"), F.col("t.content_sha256"))
             .alias("content_sha256"),
-            F.when(matched, F.col("s.extra_labels"))
-            .otherwise(F.col("t.extra_labels"))
+            F.coalesce(F.col("s.extra_labels"), F.col("t.extra_labels"))
             .alias("extra_labels"),
             # declared props overwrite; undeclared (earlier-module)
             # props survive: last-win map concat

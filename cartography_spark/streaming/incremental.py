@@ -1,0 +1,100 @@
+"""Structured Streaming surface: incremental sync + windowed event aggs.
+
+The reference is strictly batch (SURVEY.md §1.4): one ``update_tag``
+per serial run; a re-run with a newer tag supersedes stale rows. The
+streaming twin keeps those semantics:
+
+* :func:`stream_repo_files_sync` — ``readStream`` over the repo_files
+  directory; each micro-batch runs the same extract→canonicalize→MERGE
+  stages through ``foreachBatch`` (exactly-once per Spark's streaming
+  checkpoint + our idempotent MERGE: replaying a batch converges to the
+  same store state). The micro-batch id plays the role of the
+  update_tag; GC stays off because a micro-batch is a delta, not a full
+  corpus snapshot — a periodic full batch run with GC compacts, the
+  same division of labor the reference has between sync and cleanup.
+* :func:`windowed_event_counts` — watermarked tumbling-window counts
+  over an event stream (the streaming twin of
+  ``q_tumbling_window_events``); late rows beyond the watermark are
+  dropped, the streaming analog of a stale update_tag losing to GC.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from cartography_spark.functions.parsers import extract_facts
+from cartography_spark.plans.pipeline import (
+    facts_to_edge_batch,
+    facts_to_node_batch,
+    latest_commit_wins,
+)
+from cartography_spark.sources.repo_files import REPO_FILES_DDL
+from cartography_spark.store.graphstore import GraphStore
+
+
+def stream_repo_files_sync(
+    spark: SparkSession,
+    input_dir: str,
+    store_root: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    tag_of_batch: Callable[[int], int] = lambda batch_id: batch_id + 1,
+) -> StreamingQuery:
+    """Continuously ingest new repo_files parquet into the graph store.
+
+    ``available_now=True`` drains everything currently present and
+    stops (incremental batch); ``False`` keeps the query running for a
+    live feed. Restart with the same ``checkpoint_dir`` resumes from
+    the last committed micro-batch.
+    """
+    stream = (
+        spark.readStream.schema(REPO_FILES_DDL)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_dir)
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        store = GraphStore(batch_df.sparkSession, store_root)
+        tag = int(tag_of_batch(batch_id))
+        facts = extract_facts(latest_commit_wins(batch_df)).localCheckpoint(eager=True)
+        store.merge_nodes(facts_to_node_batch(facts, tag), tag)
+        store.merge_edges(facts_to_edge_batch(facts, tag), tag)
+        store.record_lineage("stream_batch", {"batch_id": batch_id, "update_tag": tag})
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window counts/sums per event_type.
+
+    Works on both a streaming frame (``readStream``; late data beyond
+    the watermark dropped, partial windows emitted per trigger) and a
+    batch frame (watermark is a no-op) — the batch twin is
+    ``__spark_entry__.q_tumbling_window_events`` with a DuckDB oracle.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -1,0 +1,111 @@
+"""Analysis jobs with generated cleanup (N1) + drift detection (N5)."""
+
+from pyspark.sql import functions as F
+
+from cartography_spark.operators.drift import detect_drift, snapshot
+from cartography_spark.plans.analysis import (
+    AddRelationship,
+    AddToSet,
+    AnalysisJob,
+    SetProperty,
+    run_analysis_job,
+)
+
+T1, T2 = 1000, 2000
+
+
+def _nodes(spark, rows, tag):
+    df = spark.createDataFrame(rows, "label string, id string")
+    return df.select(
+        "label", "id",
+        F.lit(tag).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        F.lit(None).cast("array<string>").alias("extra_labels"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    )
+
+
+def _edges(spark, rows, tag):
+    df = spark.createDataFrame(
+        rows, "src_label string, src_id string, rel_label string, dst_label string, dst_id string"
+    )
+    return df.select(
+        *df.columns,
+        F.lit(tag).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("sub_resource_label"),
+        F.lit(None).cast("string").alias("sub_resource_id"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    )
+
+
+def seed(spark, store, tag):
+    store.merge_nodes(
+        _nodes(spark, [("Host", "h1"), ("Host", "h2"), ("Net", "n1")], tag), tag
+    )
+    store.merge_edges(_edges(spark, [("Host", "h1", "IN", "Net", "n1")], tag), tag)
+
+
+def exposed_hosts_job(with_h2: bool):
+    def match(store):
+        hosts = store.edges(["IN"]).select(
+            F.col("src_label").alias("label"), F.col("src_id").alias("id"),
+            F.col("dst_label").alias("net_label"), F.col("dst_id").alias("net_id"),
+        )
+        if with_h2:
+            extra = hosts.sparkSession.createDataFrame(
+                [("Host", "h2", "Net", "n1")],
+                "label string, id string, net_label string, net_id string",
+            )
+            hosts = hosts.unionByName(extra)
+        return hosts
+
+    return AnalysisJob(
+        name="exposed_hosts",
+        match=match,
+        effects=(
+            SetProperty("exposed", F.lit("true")),
+            AddToSet("nets", F.col("net_id")),
+            AddRelationship("EXPOSED_VIA", "net_label", "net_id"),
+        ),
+    )
+
+
+def test_effects_and_generated_cleanup(spark, tmp_store):
+    s = tmp_store
+    seed(spark, s, T1)
+    run_analysis_job(s, exposed_hosts_job(with_h2=True), T1)
+
+    props = {r["id"]: r["props"] for r in s.nodes(["Host"]).collect()}
+    assert props["h1"]["exposed"] == "true"
+    assert props["h1"]["nets"] == '["n1"]'
+    derived = {
+        (r["src_id"], r["dst_id"], r["sub_resource_id"])
+        for r in s.edges(["EXPOSED_VIA"]).collect()
+    }
+    assert derived == {("h1", "n1", "exposed_hosts"), ("h2", "n1", "exposed_hosts")}
+
+    # second run: h2 no longer matches → its derived edge is swept by
+    # the job's generated cleanup (analysisbuilder.py:425 semantics);
+    # h1's edge restamped and kept with firstseen preserved
+    run_analysis_job(s, exposed_hosts_job(with_h2=False), T2)
+    rows = s.edges(["EXPOSED_VIA"]).collect()
+    assert {(r["src_id"], r["dst_id"]) for r in rows} == {("h1", "n1")}
+    assert rows[0]["firstseen"] == T1 and rows[0]["lastupdated"] == T2
+    # AddToSet stays a set across runs (no duplicate growth)
+    props = {r["id"]: r["props"] for r in s.nodes(["Host"]).collect()}
+    assert props["h1"]["nets"] == '["n1"]'
+
+
+def test_drift_between_snapshots(spark, tmp_store):
+    s = tmp_store
+    seed(spark, s, T1)
+    snap = snapshot(s)
+    # next run: h2 disappears, h3 appears
+    s.merge_nodes(_nodes(spark, [("Host", "h3")], T2), T2)
+    s.delete_nodes(
+        spark.createDataFrame([("Host", "h2")], "label string, id string"),
+        detach=True,
+    )
+    added, removed = detect_drift(s, snap, "nodes")
+    assert {tuple(r) for r in added.collect()} == {("Host", "h3")}
+    assert {tuple(r) for r in removed.collect()} == {("Host", "h2")}

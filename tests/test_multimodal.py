@@ -1,0 +1,61 @@
+"""Multimodal binary-column plumbing (stubbed decode, real Spark side)."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from cartography_spark.functions.multimodal import (
+    MEDIA_DDL,
+    extract_features,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        Row(media_id="img1", media_type="image", data=b"\x89PNG-fake-1",
+            meta=Row(width=64, height=48, duration_ms=None, codec="png")),
+        Row(media_id="img2", media_type="image", data=b"\x89PNG-fake-2",
+            meta=Row(width=32, height=32, duration_ms=None, codec="png")),
+        Row(media_id="vid1", media_type="video", data=b"RIFF-fake",
+            meta=Row(width=640, height=480, duration_ms=3500, codec="h264")),
+    ]
+    return spark.createDataFrame(rows, MEDIA_DDL)
+
+
+def test_feature_extraction_deterministic(media):
+    f1 = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
+    f2 = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
+    assert f1 == f2  # deterministic across runs/partitionings
+    assert set(f1) == {"img1", "img2", "vid1"}
+    assert all(len(v) == 16 for v in f1.values())
+    assert all(-1.0 <= x <= 1.0 for v in f1.values() for x in v)
+    assert f1["img1"] != f1["img2"]  # content-keyed
+
+
+def test_frame_sampling_rate_and_schema(media):
+    frames = sample_frames(media, every_ms=1000)
+    rows = frames.collect()
+    # only the video row; 3500ms at 1fps → 3 frames
+    assert {r["media_id"] for r in rows} == {"vid1"}
+    assert sorted(r["frame_idx"] for r in rows) == [0, 1, 2]
+    assert all(isinstance(r["frame_data"], (bytes, bytearray)) for r in rows)
+    assert frames.schema.simpleString() == (
+        "struct<media_id:string,frame_idx:int,frame_data:binary>"
+    )
+
+
+def test_real_decoder_is_explicitly_stubbed(media):
+    with pytest.raises(NotImplementedError):
+        extract_features(media, decoder="real")
+    with pytest.raises(NotImplementedError):
+        sample_frames(media, decoder="real")
+
+
+def test_features_join_back_by_id(media, spark):
+    """Features are partition-joinable back onto the media table (the
+    shape a 100 TB corpus needs: id-keyed, no binary in the join)."""
+    feats = extract_features(media)
+    joined = media.select("media_id", "media_type").join(feats, "media_id")
+    assert joined.count() == 3
+    assert "data" not in joined.columns

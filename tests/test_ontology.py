@@ -1,0 +1,90 @@
+"""Ontology scalar normalization (SURVEY.md §2.2 P4).
+
+Behavior mirrored from ``graph/querybuilder.py:24-318``; each case
+covers one special_handling kind, including the null-propagation rules
+the reference gets from Cypher's ``toBooleanOrNull``/``coalesce``.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.functions.ontology import (
+    OntologyFieldMapping as M,
+    OntologyNodeMapping,
+    apply_ontology,
+    compile_field,
+)
+
+
+@pytest.fixture(scope="module")
+def rows(spark):
+    return spark.createDataFrame(
+        [
+            # flag, other, status, tier,  a,      b,     email, alt_email
+            ("true", None, "F", "BASIC", "true", None, None, "x@y.z"),
+            ("no", "1", "O", "CUSTOM", None, "yes", "a@b.c", "ignored"),
+            (None, None, "P", "WEIRD", "0", "0", None, None),
+        ],
+        "flag string, other string, status string, tier string, "
+        "a string, b string, email string, alt_email string",
+    )
+
+
+def _vals(rows, m):
+    return [r[0] for r in rows.select(compile_field(m)).collect()]
+
+
+def test_plain_and_invert_and_to_boolean(rows):
+    assert _vals(rows, M("f", "flag")) == ["true", "no", None]
+    # invert: NOT(coalesce(toBooleanOrNull(x), false)) — null → true
+    assert _vals(rows, M("f", "flag", special_handling="invert_boolean")) == [
+        False, True, True,
+    ]
+    # to_boolean: non-convertible non-null → true; null → false
+    assert _vals(rows, M("f", "status", special_handling="to_boolean")) == [
+        False, True, True,  # "F"→false (boolean-castable), "O"/"P" non-castable non-null→true
+    ]
+
+
+def test_equal_static_mapping(rows):
+    assert _vals(
+        rows, M("f", "status", special_handling="equal_boolean", extra={"values": ["F", "C"]})
+    ) == [True, False, False]
+    assert _vals(
+        rows, M("f", "status", special_handling="static_value", extra={"value": "managed"})
+    ) == ["managed"] * 3
+    # unmapped → NULL (querybuilder.py:238-268)
+    assert _vals(
+        rows,
+        M("f", "tier", special_handling="mapping",
+          extra={"map": {"BASIC": "builtin", "CUSTOM": "custom"}}),
+    ) == ["builtin", "custom", None]
+
+
+def test_or_nor_coalesce(rows):
+    assert _vals(
+        rows, M("f", "a", special_handling="or_boolean", extra={"fields": ["b"]})
+    ) == [True, True, False]
+    assert _vals(
+        rows, M("f", "a", special_handling="nor_boolean", extra={"fields": ["b"]})
+    ) == [False, False, True]
+    assert _vals(
+        rows, M("f", "email", special_handling="coalesce", extra={"fields": ["alt_email"]})
+    ) == ["x@y.z", "a@b.c", None]
+
+
+def test_apply_ontology_required_filter(rows):
+    """Rows missing a required mapped value are dropped
+    (intel/ontology/utils.py:44-58)."""
+    mapping = OntologyNodeMapping(
+        node_label="User",
+        fields=(
+            M("email", "email", required=True,
+              special_handling="coalesce", extra={"fields": ["alt_email"]}),
+            M("active", "flag", special_handling="to_boolean"),
+        ),
+    )
+    out = apply_ontology(rows, mapping, keep=("status",))
+    got = {(r["_ont_email"], r["_ont_active"]) for r in out.collect()}
+    assert got == {("x@y.z", True), ("a@b.c", False)}
+    assert out.columns == ["status", "_ont_email", "_ont_active"]

@@ -1,0 +1,108 @@
+"""Wildcard permission↔resource join (SURVEY.md §2.3 J9).
+
+Behavior cloned from ``intel/aws/permission_relationships.py``:
+wildcard compile (:395-415), NotAction/NotResource (:43-51, :128-139),
+S3 object-key widening (:69-110), deny-overrides (:178-251). The Spark
+surface is the account-blocked ``permission_relationships`` join.
+"""
+
+import json
+
+from cartography_spark.operators.permission import (
+    compile_clause,
+    permission_relationships,
+    principal_allowed,
+)
+
+
+def pol(*statements):
+    return {"p1": list(statements)}
+
+
+def allow(**kw):
+    return {"effect": "Allow", **kw}
+
+
+def test_wildcard_compile_semantics():
+    assert compile_clause("s3:Get*").fullmatch("s3:GetObject")
+    assert compile_clause("s3:get*").fullmatch("S3:GETOBJECT")  # case-insensitive
+    assert not compile_clause("s3:Get*").fullmatch("s3:PutObject")
+    # ? is a 0-or-1 char wildcard (reference maps ? -> .?)
+    assert compile_clause("iam:Ro?e").fullmatch("iam:Role")
+    assert compile_clause("iam:Ro?e").fullmatch("iam:Roe")
+    # literal dots stay literal
+    assert not compile_clause("a.b").fullmatch("axb")
+
+
+def test_action_resource_negation():
+    arn = "arn:aws:sqs:us-east-1:123:queue/q1"
+    p = pol(allow(action=["sqs:*"], resource=["arn:aws:sqs:*"]))
+    assert principal_allowed(p, arn, ["sqs:SendMessage"])
+    # notaction excludes the permission even though action matches
+    p = pol(allow(action=["sqs:*"], notaction=["sqs:Send*"], resource=["*"]))
+    assert not principal_allowed(p, arn, ["sqs:SendMessage"])
+    assert principal_allowed(p, arn, ["sqs:DeleteMessage"])
+    # notresource excludes the resource
+    p = pol(allow(action=["*"], resource=["*"], notresource=["arn:aws:sqs:*"]))
+    assert not principal_allowed(p, arn, ["sqs:SendMessage"])
+    # absent action key → applies to any permission (reference :53-60)
+    p = pol(allow(resource=["*"]))
+    assert principal_allowed(p, arn, ["anything:AtAll"])
+
+
+def test_s3_object_grant_widens_to_bucket_only_for_s3():
+    bucket = "arn:aws:s3:::my-bucket"
+    p = pol(allow(action=["s3:GetObject"], resource=["arn:aws:s3:::my-bucket/logs/*"]))
+    assert principal_allowed(p, bucket, ["s3:GetObject"])
+    # non-S3 ARNs: "/" is part of the name, no widening
+    role = "arn:aws:iam::123:role/MyRole"
+    p = pol(allow(action=["*"], resource=["arn:aws:iam::123:role/MyRole/*"]))
+    assert not principal_allowed(p, role, ["iam:PassRole"])
+    # NotResource on objects does NOT exclude the bucket node itself
+    p = pol(
+        allow(action=["s3:*"], resource=["*"], notresource=["arn:aws:s3:::my-bucket/*"])
+    )
+    assert principal_allowed(p, bucket, ["s3:ListBucket"])
+
+
+def test_deny_overrides_any_allow():
+    arn = "arn:aws:s3:::data"
+    policies = {
+        "allow_all": [allow(action=["*"], resource=["*"])],
+        "deny_s3": [{"effect": "Deny", "action": ["s3:*"], "resource": ["*"]}],
+    }
+    assert not principal_allowed(policies, arn, ["s3:GetObject"])
+    assert principal_allowed(policies, arn, ["ec2:DescribeInstances"])
+
+
+def test_spark_join_blocked_by_account(spark):
+    principals = spark.createDataFrame(
+        [
+            ("arn:aws:iam::1:role/reader", "1",
+             json.dumps(pol(allow(action=["s3:Get*"], resource=["arn:aws:s3:::acct1-*"])))),
+            ("arn:aws:iam::2:role/admin", "2",
+             json.dumps(pol(allow(action=["*"], resource=["*"])))),
+        ],
+        "principal_arn string, account_id string, policies_json string",
+    )
+    resources = spark.createDataFrame(
+        [
+            ("arn:aws:s3:::acct1-data", "1"),
+            ("arn:aws:s3:::acct1-secrets", "1"),
+            ("arn:aws:s3:::acct2-data", "2"),
+        ],
+        "resource_arn string, account_id string",
+    )
+    got = {
+        (r["principal_arn"], r["resource_arn"])
+        for r in permission_relationships(
+            principals, resources, ["s3:GetObject"]
+        ).collect()
+    }
+    # reader matches both acct1 buckets; admin only sees its own account
+    # (blocking) and matches its bucket
+    assert got == {
+        ("arn:aws:iam::1:role/reader", "arn:aws:s3:::acct1-data"),
+        ("arn:aws:iam::1:role/reader", "arn:aws:s3:::acct1-secrets"),
+        ("arn:aws:iam::2:role/admin", "arn:aws:s3:::acct2-data"),
+    }

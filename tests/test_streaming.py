@@ -1,0 +1,102 @@
+"""Structured Streaming surface: incremental sync + watermark windows."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.sources.repo_files import synthesize_repo_files
+from cartography_spark.store.graphstore import GraphStore
+from cartography_spark.streaming.incremental import (
+    stream_repo_files_sync,
+    windowed_event_counts,
+)
+
+
+@pytest.fixture()
+def dirs():
+    root = tempfile.mkdtemp(prefix="stream_")
+    paths = {k: os.path.join(root, k) for k in ("input", "store", "ckpt")}
+    os.makedirs(paths["input"])
+    yield paths
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_incremental_stream_sync(spark, dirs):
+    # drop a first wave of files, drain the stream
+    synthesize_repo_files(spark, 6).write.mode("append").parquet(dirs["input"])
+    q = stream_repo_files_sync(spark, dirs["input"], dirs["store"], dirs["ckpt"])
+    q.awaitTermination(300)
+    store = GraphStore(spark, dirs["store"])
+    n1 = store.nodes().count()
+    assert n1 > 0
+    assert store.nodes(["Repo"]).count() == 6
+
+    # second wave: new repos appear incrementally; existing rows keep
+    # firstseen (idempotent MERGE), checkpoint resumes past batch 0
+    synthesize_repo_files(spark, 10).write.mode("append").parquet(dirs["input"])
+    q = stream_repo_files_sync(spark, dirs["input"], dirs["store"], dirs["ckpt"])
+    q.awaitTermination(300)
+    store = GraphStore(spark, dirs["store"])
+    assert store.nodes(["Repo"]).count() == 10
+    wave1_ids = [f"org/app-{i}" for i in range(6)]
+    first_tags = {
+        r["firstseen"]
+        for r in store.nodes(["Repo"]).filter(F.col("id").isin(wave1_ids)).collect()
+    }
+    assert first_tags == {1}  # wave-1 repos keep their original firstseen
+    new_tags = {
+        r["firstseen"]
+        for r in store.nodes(["Repo"]).filter(~F.col("id").isin(wave1_ids)).collect()
+    }
+    assert new_tags == {2}  # wave-2 repos created in batch 1
+
+
+def test_windowed_event_counts_batch_twin(spark):
+    events = spark.createDataFrame(
+        [
+            ("2024-01-01 10:05:00", "click", 1.0),
+            ("2024-01-01 10:55:00", "click", 2.0),
+            ("2024-01-01 11:05:00", "view", 4.0),
+        ],
+        "ts_s string, event_type string, value double",
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "value")
+    got = {
+        (r["window_start"], r["event_type"], r["n_events"], r["sum_value"])
+        for r in windowed_event_counts(events).collect()
+    }
+    assert got == {
+        ("2024-01-01 10:00:00", "click", 2, 3.0),
+        ("2024-01-01 11:00:00", "view", 1, 4.0),
+    }
+
+
+def test_windowed_event_counts_streaming_mode(spark, dirs):
+    """The same aggregation runs as a real streaming query (rate-less:
+    file source + availableNow) with the watermark in the plan."""
+    events = spark.createDataFrame(
+        [("2024-01-01 10:05:00", "click", 1.0)],
+        "ts_s string, event_type string, value double",
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "value")
+    src = os.path.join(dirs["input"], "events")
+    events.write.parquet(src)
+    stream = spark.readStream.schema("ts timestamp, event_type string, value double").parquet(src)
+    out = windowed_event_counts(stream)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wincounts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(dirs["ckpt"], "win"))
+        .start()
+    )
+    q.awaitTermination(300)
+    # append mode emits only watermark-closed windows; with a single
+    # batch nothing closes — the assertion is that the streaming plan
+    # executes (watermark + window agg are streaming-legal)
+    assert spark.table("wincounts").columns == [
+        "window_start", "event_type", "n_events", "sum_value",
+    ]

@@ -34,8 +34,11 @@ from cartography_spark.sources.repo_files import synthesize_repo_files
 from cartography_spark.plans.pipeline import run_pipeline
 
 cores = int(sys.argv[1]); n_repos = int(sys.argv[2])
-spark = get_spark("scaling_bench", master=f"local[{{cores}}]")
-files = synthesize_repo_files(spark, n_repos, partitions=max(cores * 4, 32))
+# identical plan at both levels: same input partitioning, same shuffle
+# partition count — the ONLY variable is executor slots, as on a real
+# cluster where the dataset layout doesn't change with cluster size
+spark = get_spark("scaling_bench", master=f"local[{{cores}}]", shuffle_partitions=64)
+files = synthesize_repo_files(spark, n_repos, partitions=64)
 root = tempfile.mkdtemp(prefix=f"scale{{cores}}_")
 t0 = time.perf_counter()
 m = run_pipeline(spark, files, GraphStore(spark, root), update_tag=1)
@@ -65,11 +68,18 @@ def main() -> None:
     n_repos = int(sys.argv[1]) if len(sys.argv) > 1 else 16000
     out_md = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, "BENCH.md")
 
-    results = {}
-    for cores in (8, 32):
-        print(f"running local[{cores}] n_repos={n_repos} ...", file=sys.stderr)
-        results[cores] = run_level(cores, n_repos)
-        print(f"  {results[cores]}", file=sys.stderr)
+    # the sandbox is a shared VM with bursty background load: interleave
+    # repeated runs of both levels and keep each level's fastest run
+    # (the least-interfered estimate of the job's true cost)
+    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
+    results: dict[int, dict] = {}
+    for rep in range(reps):
+        for cores in (8, 32) if rep % 2 == 0 else (32, 8):
+            print(f"rep {rep}: local[{cores}] n_repos={n_repos} ...", file=sys.stderr)
+            r = run_level(cores, n_repos)
+            print(f"  {r}", file=sys.stderr)
+            if cores not in results or r["wall_s"] < results[cores]["wall_s"]:
+                results[cores] = r
 
     t8, t32 = results[8]["wall_s"], results[32]["wall_s"]
     triples = results[32]["triples"]

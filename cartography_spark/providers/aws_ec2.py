@@ -1,0 +1,357 @@
+"""AWS EC2 instance sync: DESCRIBE_INSTANCES JSON → typed triples.
+
+Re-expresses ``transform_ec2_instances``
+(``intel/aws/ec2/instances.py:111-297``) and its schema-driven load as
+pure JVM column expressions: ``from_json`` with an explicit schema,
+``explode`` per nested collection, ``filter``/``when`` array exprs for
+the derived fields — no Python row loops (the reference's 190-line
+dict loop is exactly the shape SURVEY.md §2.2 P1 maps to
+select/withColumn + explode).
+
+Semantics cloned in behavior (fixture parity is the BASELINE.json
+P/R ≥ 0.95 metric, asserted sets from
+``tests/integration/cartography/intel/aws/ec2/test_ec2_instances.py``):
+
+* instance ARN synthesis ``arn:aws:ec2:{region}:{account}:instance/{id}``
+  (:167);
+* IMDS normalization (:72-92): HttpTokens → ImdsAccessMode
+  v2_only/v1_or_v2, ImdsV1Enabled/ImdsV2Required, null-propagating;
+* EKS cluster name from tags (:53-69): FIRST tag (in tag order)
+  matching any of the three key rules wins;
+* primary IPv6 (:141-157): the NIC with Attachment.DeviceIndex == 0,
+  preferring IsPrimaryIpv6, falling back to the first entry;
+* a NIC row is emitted **per (interface, group)** pair and carries the
+  *instance's* SubnetId (:232-250) — interfaces with no groups emit no
+  NIC node, faithfully;
+* key pairs, security groups, subnets, EBS volumes and their edges
+  with the directions the reference's rel schemas declare.
+
+Scale: one ``from_json`` + a handful of ``explode``s per entity type —
+all whole-stage-codegen; the per-account fan-out is the partition key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+RESERVATIONS_SCHEMA = """
+    STRUCT<Reservations: ARRAY<STRUCT<
+        ReservationId: STRING, OwnerId: STRING, RequesterId: STRING,
+        Instances: ARRAY<STRUCT<
+            InstanceId: STRING, ImageId: STRING, InstanceType: STRING,
+            PublicDnsName: STRING, PublicIpAddress: STRING,
+            PrivateIpAddress: STRING,
+            IamInstanceProfile: STRUCT<Arn: STRING>,
+            Monitoring: STRUCT<State: STRING>,
+            LaunchTime: STRING,
+            State: STRUCT<Name: STRING>,
+            Placement: STRUCT<AvailabilityZone: STRING, Tenancy: STRING,
+                              HostResourceGroupArn: STRING>,
+            Platform: STRING, Architecture: STRING, EbsOptimized: BOOLEAN,
+            BootMode: STRING, InstanceLifecycle: STRING,
+            HibernationOptions: STRUCT<Configured: BOOLEAN>,
+            MetadataOptions: STRUCT<HttpTokens: STRING,
+                                    HttpPutResponseHopLimit: INT,
+                                    HttpEndpoint: STRING,
+                                    HttpProtocolIpv6: STRING,
+                                    InstanceMetadataTags: STRING>,
+            Tags: ARRAY<STRUCT<Key: STRING, Value: STRING>>,
+            SubnetId: STRING, KeyName: STRING,
+            SecurityGroups: ARRAY<STRUCT<GroupId: STRING>>,
+            NetworkInterfaces: ARRAY<STRUCT<
+                NetworkInterfaceId: STRING, Status: STRING,
+                MacAddress: STRING, Description: STRING,
+                PrivateDnsName: STRING, PrivateIpAddress: STRING,
+                Attachment: STRUCT<DeviceIndex: INT>,
+                Groups: ARRAY<STRUCT<GroupId: STRING>>,
+                Ipv6Addresses: ARRAY<STRUCT<Ipv6Address: STRING,
+                                            IsPrimaryIpv6: BOOLEAN>>>>,
+            BlockDeviceMappings: ARRAY<STRUCT<
+                Ebs: STRUCT<VolumeId: STRING, DeleteOnTermination: BOOLEAN>>>
+        >>
+    >>>
+"""
+
+
+def _eks_cluster_name(tags: Column) -> Column:
+    """First tag in tag order matching any of the three EKS key rules
+    (``instances.py:53-69`` iterates tags, testing all rules per tag)."""
+    k, v = lambda t: t["Key"], lambda t: t["Value"]  # noqa: E731
+    nonempty = lambda c: c.isNotNull() & (c != "")  # noqa: E731
+    matches = lambda t: (  # noqa: E731
+        ((k(t) == "eks:cluster-name") & nonempty(v(t)))
+        | ((k(t) == "alpha.eksctl.io/cluster-name") & nonempty(v(t)))
+        | (
+            k(t).startswith("kubernetes.io/cluster/")
+            & nonempty(F.substring_index(k(t), "kubernetes.io/cluster/", -1))
+        )
+    )
+    first = F.try_element_at(F.filter(F.coalesce(tags, F.array()), matches), F.lit(1))
+    return F.when(
+        first.isNotNull(),
+        F.when(
+            first["Key"].isin("eks:cluster-name", "alpha.eksctl.io/cluster-name"),
+            first["Value"],
+        ).otherwise(F.substring_index(first["Key"], "kubernetes.io/cluster/", -1)),
+    )
+
+
+def _primary_ipv6(nics: Column) -> Column:
+    """IPv6 of the DeviceIndex-0 interface (``instances.py:141-157``)."""
+    nic0 = F.try_element_at(
+        F.filter(F.coalesce(nics, F.array()), lambda n: n["Attachment"]["DeviceIndex"] == 0),
+        F.lit(1),
+    )
+    lst = nic0["Ipv6Addresses"]
+    primary = F.try_element_at(F.filter(lst, lambda a: a["IsPrimaryIpv6"] == True), F.lit(1))  # noqa: E712
+    chosen = F.coalesce(primary, F.try_element_at(lst, F.lit(1)))
+    return F.when(F.size(F.coalesce(lst, F.array())) > 0, chosen["Ipv6Address"])
+
+
+def _instances_frame(raw: DataFrame) -> DataFrame:
+    """One row per instance with reservation context + derived cols."""
+    parsed = raw.select(
+        "account_id",
+        "region",
+        F.from_json("reservations_json", RESERVATIONS_SCHEMA).alias("p"),
+    )
+    res = parsed.select(
+        "account_id", "region", F.explode("p.Reservations").alias("r")
+    )
+    inst = res.select(
+        "account_id",
+        "region",
+        F.col("r.ReservationId").alias("reservation_id"),
+        F.col("r.OwnerId").alias("owner_id"),
+        F.col("r.RequesterId").alias("requester_id"),
+        F.explode("r.Instances").alias("i"),
+    )
+    http_tokens = F.col("i.MetadataOptions.HttpTokens")
+    return inst.select(
+        "*",
+        F.col("i.InstanceId").alias("instance_id"),
+        F.concat(
+            F.lit("arn:aws:ec2:"), "region", F.lit(":"), "account_id",
+            F.lit(":instance/"), F.col("i.InstanceId"),
+        ).alias("arn"),
+        http_tokens.alias("metadatahttptokens"),
+        F.when(http_tokens == "required", "v2_only")
+        .when(http_tokens == "optional", "v1_or_v2")
+        .alias("imdsaccessmode"),
+        F.when(http_tokens.isNotNull(), http_tokens == "optional").alias("imdsv1enabled"),
+        F.when(http_tokens.isNotNull(), http_tokens == "required").alias("imdsv2required"),
+        F.col("i.MetadataOptions.HttpEndpoint").alias("metadatahttpendpoint"),
+        F.col("i.MetadataOptions.HttpProtocolIpv6").alias("metadatahttpprotocolipv6"),
+        F.col("i.MetadataOptions.InstanceMetadataTags").alias("metadatainstancetags"),
+        _eks_cluster_name(F.col("i.Tags")).alias("ekscluster_name"),
+        _primary_ipv6(F.col("i.NetworkInterfaces")).alias("ipv6address"),
+    )
+
+
+def _node(df: DataFrame, label: str, id_col: Column, props: dict[str, Column], tag: int) -> DataFrame:
+    entries: list[Column] = []
+    for name, col in props.items():
+        entries.append(F.lit(name))
+        entries.append(col.cast("string"))
+    return df.select(
+        F.lit(label).alias("label"),
+        id_col.cast("string").alias("id"),
+        F.lit(int(tag)).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        F.lit(None).cast("array<string>").alias("extra_labels"),
+        (
+            F.map_from_arrays(F.array(*entries[0::2]), F.array(*entries[1::2]))
+            if entries
+            else F.lit(None).cast("map<string,string>")
+        ).alias("props"),
+    ).filter(F.col("id").isNotNull()).dropDuplicates(["label", "id"])
+
+
+def _edge(
+    df: DataFrame, src_label: str, src: Column, rel: str, dst_label: str, dst: Column,
+    tag: int, sub: tuple[str, Column] | None = None,
+) -> DataFrame:
+    return df.select(
+        F.lit(src_label).alias("src_label"),
+        src.cast("string").alias("src_id"),
+        F.lit(rel).alias("rel_label"),
+        F.lit(dst_label).alias("dst_label"),
+        dst.cast("string").alias("dst_id"),
+        F.lit(int(tag)).cast("long").alias("lastupdated"),
+        (F.lit(sub[0]) if sub else F.lit(None).cast("string")).alias("sub_resource_label"),
+        (sub[1].cast("string") if sub else F.lit(None).cast("string")).alias("sub_resource_id"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    ).filter(
+        F.col("src_id").isNotNull() & F.col("dst_id").isNotNull()
+    ).dropDuplicates(["src_label", "src_id", "rel_label", "dst_label", "dst_id"])
+
+
+def transform_ec2(raw: DataFrame, update_tag: int) -> tuple[DataFrame, DataFrame]:
+    """``raw(account_id, region, reservations_json)`` → (nodes, edges).
+
+    ``reservations_json`` is the full DescribeInstances payload
+    (``{"Reservations": [...]}``).
+    """
+    inst = _instances_frame(raw).localCheckpoint(eager=False)
+    acct = F.col("account_id")
+    iid = F.col("instance_id")
+
+    # per-instance child frames
+    nic_pairs = inst.select(
+        "account_id", "instance_id", F.col("i.SubnetId").alias("instance_subnet"),
+        F.explode("i.NetworkInterfaces").alias("nic"),
+    ).select(
+        "*", F.explode(F.coalesce("nic.Groups", F.array())).alias("g")
+    )  # NIC emitted per (interface, group): no groups → no NIC row (:232-250)
+    sgs = inst.select(
+        "account_id", "instance_id",
+        F.explode(F.coalesce("i.SecurityGroups", F.array())).alias("sg"),
+    )
+    subnets = inst.filter(F.col("i.SubnetId").isNotNull()).select(
+        "account_id", "instance_id", F.col("i.SubnetId").alias("subnet_id")
+    )
+    keypairs = inst.filter(F.col("i.KeyName").isNotNull()).select(
+        "account_id", "instance_id", F.col("i.KeyName").alias("key_name"),
+        F.concat(
+            F.lit("arn:aws:ec2:"), "region", F.lit(":"), "account_id",
+            F.lit(":key-pair/"), F.col("i.KeyName"),
+        ).alias("keypair_arn"),
+    )
+    vols = inst.select(
+        "account_id", "instance_id",
+        F.explode(F.coalesce("i.BlockDeviceMappings", F.array())).alias("bdm"),
+    ).filter(F.col("bdm.Ebs.VolumeId").isNotNull()).select(
+        "account_id", "instance_id",
+        F.col("bdm.Ebs.VolumeId").alias("volume_id"),
+        F.col("bdm.Ebs.DeleteOnTermination").alias("delete_on_termination"),
+    )
+    ipv6 = inst.select(
+        "account_id", "instance_id", F.explode("i.NetworkInterfaces").alias("nic")
+    ).select(
+        "account_id", F.col("nic.NetworkInterfaceId").alias("nic_id"),
+        F.explode(F.coalesce("nic.Ipv6Addresses", F.array())).alias("a"),
+    ).filter(F.col("a.Ipv6Address").isNotNull()).select(
+        "account_id", "nic_id", F.col("a.Ipv6Address").alias("ipv6"),
+        F.coalesce(F.col("a.IsPrimaryIpv6"), F.lit(False)).alias("is_primary"),
+    )
+
+    nodes = (
+        _node(inst, "AWSEC2Reservation", F.col("reservation_id"), {
+            "reservationid": F.col("reservation_id"),
+            "ownerid": F.col("owner_id"),
+            "requesterid": F.col("requester_id"),
+        }, update_tag)
+        .unionByName(_node(inst, "AWSEC2Instance", iid, {
+            "instanceid": iid,
+            "arn": F.col("arn"),
+            "publicdnsname": F.col("i.PublicDnsName"),
+            "publicipaddress": F.col("i.PublicIpAddress"),
+            "privateipaddress": F.col("i.PrivateIpAddress"),
+            "imageid": F.col("i.ImageId"),
+            "instancetype": F.col("i.InstanceType"),
+            "iaminstanceprofile": F.col("i.IamInstanceProfile.Arn"),
+            "monitoringstate": F.col("i.Monitoring.State"),
+            "state": F.col("i.State.Name"),
+            "availabilityzone": F.col("i.Placement.AvailabilityZone"),
+            "tenancy": F.col("i.Placement.Tenancy"),
+            "hostresourcegrouparn": F.col("i.Placement.HostResourceGroupArn"),
+            "platform": F.col("i.Platform"),
+            "architecture": F.col("i.Architecture"),
+            "ebsoptimized": F.col("i.EbsOptimized"),
+            "bootmode": F.col("i.BootMode"),
+            "instancelifecycle": F.col("i.InstanceLifecycle"),
+            "hibernationoptions": F.col("i.HibernationOptions.Configured"),
+            "launchtime": F.col("i.LaunchTime"),
+            "metadatahttptokens": F.col("metadatahttptokens"),
+            "imdsaccessmode": F.col("imdsaccessmode"),
+            "imdsv1enabled": F.col("imdsv1enabled"),
+            "imdsv2required": F.col("imdsv2required"),
+            "metadatahttpendpoint": F.col("metadatahttpendpoint"),
+            "metadatahttpprotocolipv6": F.col("metadatahttpprotocolipv6"),
+            "metadatainstancetags": F.col("metadatainstancetags"),
+            "eksclustername": F.col("ekscluster_name"),
+            "ipv6address": F.col("ipv6address"),
+        }, update_tag))
+        .unionByName(_node(subnets, "AWSEC2Subnet", F.col("subnet_id"), {
+            "subnetid": F.col("subnet_id"),
+            "subnet_id": F.col("subnet_id"),
+        }, update_tag))
+        .unionByName(_node(
+            sgs.select(F.col("sg.GroupId").alias("gid"))
+            .unionByName(nic_pairs.select(F.col("g.GroupId").alias("gid"))),
+            "AWSEC2SecurityGroup", F.col("gid"), {"groupid": F.col("gid")}, update_tag))
+        .unionByName(_node(keypairs, "AWSEC2KeyPair", F.col("keypair_arn"), {
+            "arn": F.col("keypair_arn"), "keyname": F.col("key_name"),
+        }, update_tag))
+        .unionByName(_node(nic_pairs, "AWSNetworkInterface", F.col("nic.NetworkInterfaceId"), {
+            "status": F.col("nic.Status"),
+            "macaddress": F.col("nic.MacAddress"),
+            "description": F.col("nic.Description"),
+            "privatednsname": F.col("nic.PrivateDnsName"),
+            "privateipaddress": F.col("nic.PrivateIpAddress"),
+            "subnetid": F.col("instance_subnet"),
+        }, update_tag))
+        .unionByName(_node(vols, "AWSEBSVolume", F.col("volume_id"), {
+            "deleteontermination": F.col("delete_on_termination"),
+        }, update_tag))
+        .unionByName(_node(ipv6, "AWSEC2Ipv6Address", F.col("ipv6"), {
+            "ipv6address": F.col("ipv6"),
+            "isprimaryipv6": F.col("is_primary"),
+        }, update_tag))
+    )
+
+    sub = lambda df: ("AWSAccount", F.col("account_id"))  # noqa: E731
+    account_resource = [
+        _edge(inst, "AWSAccount", acct, "RESOURCE", "AWSEC2Reservation",
+              F.col("reservation_id"), update_tag, sub(inst)),
+        _edge(inst, "AWSAccount", acct, "RESOURCE", "AWSEC2Instance", iid,
+              update_tag, sub(inst)),
+        _edge(subnets, "AWSAccount", acct, "RESOURCE", "AWSEC2Subnet",
+              F.col("subnet_id"), update_tag, sub(subnets)),
+        _edge(
+            sgs.select("account_id", F.col("sg.GroupId").alias("gid"))
+            .unionByName(nic_pairs.select("account_id", F.col("g.GroupId").alias("gid"))),
+            "AWSAccount", acct, "RESOURCE", "AWSEC2SecurityGroup", F.col("gid"),
+            update_tag, ("AWSAccount", acct)),
+        _edge(keypairs, "AWSAccount", acct, "RESOURCE", "AWSEC2KeyPair",
+              F.col("keypair_arn"), update_tag, sub(keypairs)),
+        _edge(nic_pairs, "AWSAccount", acct, "RESOURCE", "AWSNetworkInterface",
+              F.col("nic.NetworkInterfaceId"), update_tag, sub(nic_pairs)),
+        _edge(vols, "AWSAccount", acct, "RESOURCE", "AWSEBSVolume",
+              F.col("volume_id"), update_tag, sub(vols)),
+    ]
+    rels = [
+        _edge(inst, "AWSEC2Instance", iid, "MEMBER_OF_EC2_RESERVATION",
+              "AWSEC2Reservation", F.col("reservation_id"), update_tag),
+        _edge(nic_pairs, "AWSEC2Instance", F.col("instance_id"), "NETWORK_INTERFACE",
+              "AWSNetworkInterface", F.col("nic.NetworkInterfaceId"), update_tag),
+        _edge(nic_pairs.filter(F.col("instance_subnet").isNotNull()),
+              "AWSNetworkInterface", F.col("nic.NetworkInterfaceId"), "PART_OF_SUBNET",
+              "AWSEC2Subnet", F.col("instance_subnet"), update_tag),
+        _edge(nic_pairs, "AWSNetworkInterface", F.col("nic.NetworkInterfaceId"),
+              "MEMBER_OF_EC2_SECURITY_GROUP", "AWSEC2SecurityGroup",
+              F.col("g.GroupId"), update_tag),
+        _edge(sgs, "AWSEC2Instance", F.col("instance_id"),
+              "MEMBER_OF_EC2_SECURITY_GROUP", "AWSEC2SecurityGroup",
+              F.col("sg.GroupId"), update_tag),
+        _edge(subnets, "AWSEC2Instance", F.col("instance_id"), "PART_OF_SUBNET",
+              "AWSEC2Subnet", F.col("subnet_id"), update_tag),
+        _edge(keypairs, "AWSEC2KeyPair", F.col("keypair_arn"), "SSH_LOGIN_TO",
+              "AWSEC2Instance", F.col("instance_id"), update_tag),
+        _edge(vols, "AWSEBSVolume", F.col("volume_id"), "ATTACHED_TO",
+              "AWSEC2Instance", F.col("instance_id"), update_tag),
+        _edge(ipv6, "AWSNetworkInterface", F.col("nic_id"), "HAS_IPV6_ADDRESS",
+              "AWSEC2Ipv6Address", F.col("ipv6"), update_tag),
+    ]
+    edges = account_resource[0]
+    for e in account_resource[1:] + rels:
+        edges = edges.unionByName(e)
+    return nodes, edges
+
+
+def sync_ec2(store, raw: DataFrame, update_tag: int) -> None:
+    """Merge one DescribeInstances batch into the store (get→transform→
+    load; cleanup is the store's update_tag GC, run by the caller)."""
+    nodes, edges = transform_ec2(raw, update_tag)
+    store.merge_nodes(nodes, update_tag)
+    store.merge_edges(edges, update_tag)

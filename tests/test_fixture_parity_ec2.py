@@ -1,0 +1,184 @@
+"""Triple P/R vs the reference's own EC2 integration fixture.
+
+BASELINE.json's metric: our pipeline's emitted (subj, pred, obj) sets
+must reach precision/recall >= 0.95 against the node/rel sets the
+reference's integration test asserts
+(``tests/integration/cartography/intel/aws/ec2/test_ec2_instances.py``,
+set-equality via ``check_nodes``/``check_rels``). The input is the
+reference's ACTUAL fixture (loaded read-only at test time, skipped when
+absent); the expected sets below are transcribed from the assertions.
+"""
+
+import importlib.util
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.aws_ec2 import sync_ec2, transform_ec2
+
+FIXTURE = "/root/reference/tests/data/aws/ec2/instances.py"
+ACCOUNT, REGION, TAG = "000000000000", "us-east-1", 123456789
+KP = f"arn:aws:ec2:{REGION}:{ACCOUNT}:key-pair/boot"
+
+# --- expected sets, transcribed from test_ec2_instances.py:40-290 ---
+EXPECTED_INSTANCES = {("i-01", "i-01"), ("i-02", "i-02"), ("i-03", "i-03"), ("i-04", "i-04")}
+EXPECTED_IMDS = {
+    ("i-01", "optional", "v1_or_v2", "true", "false", "enabled", "disabled", "disabled"),
+    ("i-02", None, None, None, None, None, None, None),
+    ("i-03", None, None, None, None, None, None, None),
+    ("i-04", "required", "v2_only", "false", "true", "enabled", "enabled", "enabled"),
+}
+EXPECTED_RELS = {
+    ("AWSEC2Instance", "MEMBER_OF_EC2_RESERVATION", "AWSEC2Reservation"): {
+        ("i-01", "r-01"), ("i-02", "r-02"), ("i-03", "r-03"), ("i-04", "r-03")},
+    ("AWSEC2Instance", "NETWORK_INTERFACE", "AWSNetworkInterface"): {
+        ("i-01", "eni-de"), ("i-02", "eni-87"), ("i-03", "eni-75"), ("i-04", "eni-76")},
+    ("AWSNetworkInterface", "PART_OF_SUBNET", "AWSEC2Subnet"): {
+        ("eni-75", "SOME_SUBNET_1"), ("eni-76", "SOME_SUBNET_1"), ("eni-87", "SOME_SUBNET_1")},
+    ("AWSNetworkInterface", "MEMBER_OF_EC2_SECURITY_GROUP", "AWSEC2SecurityGroup"): {
+        ("eni-75", "SOME_GROUP_ID_2"), ("eni-75", "THIS_IS_A_SG_ID"),
+        ("eni-76", "SOME_GROUP_ID_2"), ("eni-76", "THIS_IS_A_SG_ID"),
+        ("eni-87", "SOME_GROUP_ID_2"), ("eni-87", "SOME_GROUP_ID_3"),
+        ("eni-de", "SOME_GROUP_ID_2"), ("eni-de", "sg-GROUP-ID")},
+    ("AWSAccount", "RESOURCE", "AWSNetworkInterface"): {
+        (ACCOUNT, "eni-75"), (ACCOUNT, "eni-76"), (ACCOUNT, "eni-87"), (ACCOUNT, "eni-de")},
+    ("AWSAccount", "RESOURCE", "AWSEC2KeyPair"): {(ACCOUNT, KP)},
+    ("AWSEC2KeyPair", "SSH_LOGIN_TO", "AWSEC2Instance"): {
+        (KP, "i-01"), (KP, "i-02"), (KP, "i-03"), (KP, "i-04")},
+    ("AWSEC2Instance", "MEMBER_OF_EC2_SECURITY_GROUP", "AWSEC2SecurityGroup"): {
+        ("i-01", "sg-GROUP-ID"), ("i-01", "SOME_GROUP_ID_2"),
+        ("i-02", "SOME_GROUP_ID_2"), ("i-03", "SOME_GROUP_ID_2"),
+        ("i-04", "SOME_GROUP_ID_2"), ("i-02", "SOME_GROUP_ID_3"),
+        ("i-03", "THIS_IS_A_SG_ID"), ("i-04", "THIS_IS_A_SG_ID")},
+    ("AWSAccount", "RESOURCE", "AWSEC2SecurityGroup"): {
+        (ACCOUNT, "SOME_GROUP_ID_2"), (ACCOUNT, "SOME_GROUP_ID_3"),
+        (ACCOUNT, "THIS_IS_A_SG_ID"), (ACCOUNT, "sg-GROUP-ID")},
+    ("AWSEC2Instance", "PART_OF_SUBNET", "AWSEC2Subnet"): {
+        ("i-02", "SOME_SUBNET_1"), ("i-03", "SOME_SUBNET_1"), ("i-04", "SOME_SUBNET_1")},
+    ("AWSAccount", "RESOURCE", "AWSEC2Subnet"): {(ACCOUNT, "SOME_SUBNET_1")},
+    ("AWSEBSVolume", "ATTACHED_TO", "AWSEC2Instance"): {
+        ("vol-0df", "i-01"), ("vol-03", "i-02"), ("vol-09", "i-03"), ("vol-04", "i-04")},
+    ("AWSAccount", "RESOURCE", "AWSEBSVolume"): {
+        (ACCOUNT, "vol-03"), (ACCOUNT, "vol-04"), (ACCOUNT, "vol-09"), (ACCOUNT, "vol-0df")},
+}
+EXPECTED_SUBNET_PROPS = {("SOME_SUBNET_1", "SOME_SUBNET_1", "SOME_SUBNET_1")}
+
+
+def _load_fixture():
+    spec = importlib.util.spec_from_file_location("ec2_fixture", FIXTURE)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.DESCRIBE_INSTANCES
+
+
+@pytest.fixture(scope="module")
+def emitted(spark):
+    if not os.path.exists(FIXTURE):
+        pytest.skip("reference fixture not available")
+    payload = json.dumps(_load_fixture(), default=str)
+    raw = spark.createDataFrame(
+        [(ACCOUNT, REGION, payload)],
+        "account_id string, region string, reservations_json string",
+    )
+    nodes, edges = transform_ec2(raw, TAG)
+    return nodes.cache(), edges.cache()
+
+
+def _rel_pairs(edges, src_label, rel, dst_label):
+    return {
+        (r["src_id"], r["dst_id"])
+        for r in edges.filter(
+            (F.col("src_label") == src_label)
+            & (F.col("rel_label") == rel)
+            & (F.col("dst_label") == dst_label)
+        ).collect()
+    }
+
+
+def test_instance_nodes_and_imds_fields(emitted):
+    nodes, _ = emitted
+    inst = nodes.filter(F.col("label") == "AWSEC2Instance")
+    got = {(r["id"], r["props"]["instanceid"]) for r in inst.collect()}
+    assert got == EXPECTED_INSTANCES
+    imds_cols = [
+        "metadatahttptokens", "imdsaccessmode", "imdsv1enabled", "imdsv2required",
+        "metadatahttpendpoint", "metadatahttpprotocolipv6", "metadatainstancetags",
+    ]
+    got = {
+        tuple([r["id"]] + [r["props"].get(c) for c in imds_cols]) for r in inst.collect()
+    }
+    assert got == EXPECTED_IMDS
+
+
+def test_subnet_props(emitted):
+    nodes, _ = emitted
+    got = {
+        (r["id"], r["props"]["subnetid"], r["props"]["subnet_id"])
+        for r in nodes.filter(F.col("label") == "AWSEC2Subnet").collect()
+    }
+    assert got == EXPECTED_SUBNET_PROPS
+
+
+def test_triple_precision_recall(emitted):
+    """The headline metric: P/R over every asserted rel set."""
+    _, edges = emitted
+    tp = fp = fn = 0
+    for (src_l, rel, dst_l), expected in EXPECTED_RELS.items():
+        got = _rel_pairs(edges, src_l, rel, dst_l)
+        tp += len(got & expected)
+        fp += len(got - expected)
+        fn += len(expected - got)
+    precision = tp / (tp + fp) if tp + fp else 0.0
+    recall = tp / (tp + fn) if tp + fn else 0.0
+    assert precision >= 0.95 and recall >= 0.95, (precision, recall)
+    # and in fact exact parity:
+    assert precision == 1.0 and recall == 1.0
+
+
+def test_two_run_gc_staleness(spark, tmp_store, emitted):
+    """F4: a second sync without instance i-04 GCs its node and every
+    incident edge; survivors keep firstseen (check_nodes-style)."""
+    if not os.path.exists(FIXTURE):
+        pytest.skip("reference fixture not available")
+    fixture = _load_fixture()
+    raw1 = spark.createDataFrame(
+        [(ACCOUNT, REGION, json.dumps(fixture, default=str))],
+        "account_id string, region string, reservations_json string",
+    )
+    sync_ec2(tmp_store, raw1, TAG)
+
+    pruned = json.loads(json.dumps(fixture, default=str))
+    pruned["Reservations"] = [
+        {**r, "Instances": [i for i in r["Instances"] if i["InstanceId"] != "i-04"]}
+        for r in pruned["Reservations"]
+    ]
+    t2 = TAG + 1
+    raw2 = spark.createDataFrame(
+        [(ACCOUNT, REGION, json.dumps(pruned))],
+        "account_id string, region string, reservations_json string",
+    )
+    sync_ec2(tmp_store, raw2, t2)
+    stale = (
+        tmp_store.nodes()
+        .filter(F.col("lastupdated") != t2)
+        .select("label", "id")
+    )
+    tmp_store.delete_nodes(stale, detach=True)
+
+    ids = {r["id"] for r in tmp_store.nodes(["AWSEC2Instance"]).collect()}
+    assert ids == {"i-01", "i-02", "i-03"}
+    # i-04's incident edges are gone (DETACH), others intact
+    rels = {
+        (r["src_id"], r["rel_label"], r["dst_id"])
+        for r in tmp_store.edges(["MEMBER_OF_EC2_RESERVATION"]).collect()
+    }
+    assert rels == {
+        ("i-01", "MEMBER_OF_EC2_RESERVATION", "r-01"),
+        ("i-02", "MEMBER_OF_EC2_RESERVATION", "r-02"),
+        ("i-03", "MEMBER_OF_EC2_RESERVATION", "r-03"),
+    }
+    # firstseen preserved across the two runs
+    fs = {r["firstseen"] for r in tmp_store.nodes(["AWSEC2Instance"]).collect()}
+    assert fs == {TAG}

@@ -36,7 +36,7 @@ from __future__ import annotations
 import os
 import time
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from cartography_spark.functions.parsers import FACTS_DDL, extract_facts
 from cartography_spark.operators.components import connected_components
@@ -51,12 +51,20 @@ PIPELINE_RELS = (
 
 
 def latest_commit_wins(repo_files: DataFrame) -> DataFrame:
-    """Keep only the greatest commit per (repo, path)."""
-    w = Window.partitionBy("repo", "path").orderBy(F.col("commit").desc())
+    """Keep only the greatest commit per (repo, path).
+
+    ``max_by`` instead of a row_number window: the aggregate gets
+    map-side partial aggregation (each input partition pre-reduces to
+    one candidate row per key before the shuffle) and skips the full
+    sort of content-bearing rows — at 10^12 files the window variant
+    would shuffle-sort every content byte; this shuffles at most one
+    row per (repo, path) per map partition.
+    """
+    w = F.max_by(F.struct("commit", "lang", "content"), "commit").alias("w")
     return (
-        repo_files.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        repo_files.groupBy("repo", "path")
+        .agg(w)
+        .select("repo", "path", "w.commit", "w.lang", "w.content")
     )
 
 
@@ -69,12 +77,22 @@ def facts_to_node_batch(facts: DataFrame, update_tag: int) -> DataFrame:
     part of the sha256 invariant (SURVEY.md §7.4.7).
     """
     nodes = facts.filter(F.col("pred").isNull())
-    w = Window.partitionBy("subj_label", "subj_id").orderBy(
-        "props_json", "content_sha256", "repo", "path"
-    )
+    # tuple-min ≡ row_number-over-orderBy(asc)=1, but as an aggregate it
+    # partial-aggregates map-side — one candidate per key per partition
+    # crosses the shuffle instead of every duplicate emission
     return (
-        nodes.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        nodes.groupBy("subj_label", "subj_id")
+        .agg(
+            F.min(
+                F.struct("props_json", "content_sha256", "repo", "path")
+            ).alias("__w")
+        )
+        .select(
+            "subj_label",
+            "subj_id",
+            F.col("__w.props_json").alias("props_json"),
+            F.col("__w.content_sha256").alias("content_sha256"),
+        )
         .select(
             F.col("subj_label").alias("label"),
             F.col("subj_id").alias("id"),
@@ -127,13 +145,20 @@ def canonicalize(facts: DataFrame) -> DataFrame:
     same_as = principals.join(
         roles, principals.principal_id == roles.role_id, "inner"
     ).select(F.col("principal_id").alias("src"), F.col("role_id").alias("dst"))
-    # components collapse transitive chains; with id-equality candidates
-    # each component is the shared ARN itself, but the operator stays
-    # general for fuzzier candidate rules
-    comp = connected_components(same_as)
-    resolved = comp.select(
-        F.col("id").alias("__old_id"), F.col("component").alias("__canon_id")
-    )
+    # components collapse transitive chains. The id-equality rule yields
+    # pure identity pairs (src == dst), where every component is the
+    # shared ARN itself — short-circuit the O(log n)-round iteration
+    # (each round is 2 shuffles + a convergence count) and map directly.
+    # Fuzzier candidate rules (src != dst) take the general CC path.
+    if same_as.filter(F.col("src") != F.col("dst")).isEmpty():
+        resolved = same_as.select(
+            F.col("src").alias("__old_id"), F.col("dst").alias("__canon_id")
+        ).distinct()
+    else:
+        comp = connected_components(same_as)
+        resolved = comp.select(
+            F.col("id").alias("__old_id"), F.col("component").alias("__canon_id")
+        )
 
     # principal node/edge references move onto the canonical Role
     f = facts

@@ -1,0 +1,298 @@
+"""AWS IAM sync: users/groups/roles/policies/keys → typed triples.
+
+Re-expresses the reference's IAM module (``intel/aws/iam.py``) with its
+id-synthesis and trust-parsing semantics:
+
+* inline policy id = ``{principal_arn}/inline_policy/{name}``; managed
+  policy id = the policy ARN (``iam.py:879-880``, ``transform_policy_data``
+  :807-876);
+* statement id = ``{policy_id}/statement/{Sid or running count}`` where
+  the counter only advances on Sid-less statements (``iam.py:766-804``);
+  Action/Resource/NotAction/NotResource coerced to lists;
+* trust docs: ``Principal`` entries fan out by type (``iam.py:688-700``)
+  — AWS / Service / Federated; a trusted ``...:root`` ARN of another
+  account also spawns that external ``AWSAccount`` and its root
+  principal (``iam.py:605-616, 1203, 1558-1567``); the current account
+  gets its own root principal;
+* group memberships are a one-to-many list per group (J5), emitted as
+  ``MEMBER_AWS_GROUP`` plus the canonical ontology twin ``MEMBER_OF``;
+  access keys get ``AWS_ACCESS_KEY`` plus ontology ``OWNED_BY``.
+
+Execution shape: the payloads are variant-typed JSON (policy documents
+where ``Action`` may be a string or a list, principal maps with scalar
+or list values), which is exactly the genuine pandas-UDF case — ONE
+Arrow-batched ``mapInPandas`` pass over ``(account_id, dataset,
+payload_json)`` rows emits a long facts frame, split JVM-side into node
+and edge batches (same long-frame shape as the repo_files extractor).
+Parallelism is per (account, dataset) row — the fan-out unit at scale.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterable, Iterator
+
+from pyspark.sql import DataFrame, functions as F
+
+IAM_FACTS_DDL = (
+    "kind string, label string, id string, props_json string, "
+    "extra_labels_json string, "
+    "src_label string, src_id string, rel string, dst_label string, dst_id string, "
+    "sub_label string, sub_id string"
+)
+
+DATASETS = (
+    "users", "groups", "roles", "memberships",
+    "policies_inline", "policies_managed", "access_keys",
+)
+
+
+def _principal_label(arn: str) -> str:
+    if ":user/" in arn:
+        return "AWSUser"
+    if ":group/" in arn:
+        return "AWSGroup"
+    if ":role/" in arn:
+        return "AWSRole"
+    return "AWSPrincipal"
+
+
+def _account_from_arn(arn: str) -> str:
+    # arn:aws:iam::ACCOUNT:... (may be empty for service principals)
+    parts = arn.split(":")
+    return parts[4] if len(parts) > 4 else ""
+
+
+def _parse_principal_entries(principal: dict) -> list[tuple[str, str]]:
+    """(type, value) pairs; scalar values coerced (``iam.py:688-700``)."""
+    out = []
+    for ptype, values in principal.items():
+        if not isinstance(values, list):
+            values = [values]
+        out.extend((ptype, v) for v in values)
+    return out
+
+
+def _ensure_list(x) -> list:
+    return x if isinstance(x, list) else [x]
+
+
+class _Emit:
+    def __init__(self, account_id: str):
+        self.rows: list[tuple] = []
+        self.account = account_id
+
+    def node(self, label, id_, props=None, extra=None):
+        self.rows.append((
+            "node", label, id_,
+            json.dumps(props or {}, sort_keys=True, default=str),
+            json.dumps(extra or []),
+            None, None, None, None, None, None, None,
+        ))
+
+    def edge(self, src_label, src_id, rel, dst_label, dst_id, scoped=True):
+        self.rows.append((
+            "edge", None, None, None, None,
+            src_label, src_id, rel, dst_label, dst_id,
+            "AWSAccount" if scoped else None,
+            self.account if scoped else None,
+        ))
+
+    def resource(self, dst_label, dst_id, account=None):
+        acct = account or self.account
+        self.rows.append((
+            "edge", None, None, None, None,
+            "AWSAccount", acct, "RESOURCE", dst_label, dst_id,
+            "AWSAccount", acct,
+        ))
+
+
+def _emit_users(e: _Emit, payload: dict) -> None:
+    for u in payload.get("Users", []):
+        e.node("AWSUser", u["Arn"], {
+            "arn": u["Arn"], "userid": u.get("UserId"), "name": u.get("UserName"),
+            "path": u.get("Path"), "createdate": str(u.get("CreateDate")),
+            "passwordlastused": str(u.get("PasswordLastUsed", "")),
+        }, extra=["AWSPrincipal"])
+        e.resource("AWSUser", u["Arn"])
+
+
+def _emit_groups(e: _Emit, payload: dict) -> None:
+    for g in payload.get("Groups", []):
+        e.node("AWSGroup", g["Arn"], {
+            "arn": g["Arn"], "groupid": g.get("GroupId"), "name": g.get("GroupName"),
+            "path": g.get("Path"), "createdate": str(g.get("CreateDate")),
+        }, extra=["AWSPrincipal"])
+        e.resource("AWSGroup", g["Arn"])
+
+
+def _emit_roles(e: _Emit, payload: dict) -> None:
+    # the current account always gets its root principal (iam.py:1558-1567)
+    own_root = f"arn:aws:iam::{e.account}:root"
+    e.node("AWSPrincipal", own_root, {"arn": own_root}, extra=["AWSRootPrincipal"])
+    e.resource("AWSPrincipal", own_root)
+    for r in payload.get("Roles", []):
+        arn = r["Arn"]
+        trusted: set[str] = set()
+        for stmt in r.get("AssumeRolePolicyDocument", {}).get("Statement", []):
+            for ptype, value in _parse_principal_entries(stmt.get("Principal", {})):
+                if ptype == "Federated":
+                    other = _account_from_arn(value)
+                    e.node("AWSPrincipal", value, {"arn": value, "type": "Federated"},
+                           extra=["AWSFederatedPrincipal"])
+                    trusted.add(value)
+                elif ptype == "Service":
+                    e.node("AWSPrincipal", value, {"arn": value, "type": "Service"},
+                           extra=["AWSServicePrincipal"])
+                    trusted.add(value)
+                elif ptype == "AWS":
+                    if "root" in value:
+                        other = _account_from_arn(value)
+                        if other and other != e.account:
+                            # external account + its root principal
+                            e.node("AWSAccount", other, {"id": other})
+                            e.node("AWSPrincipal", value, {"arn": value},
+                                   extra=["AWSRootPrincipal"])
+                            e.resource("AWSPrincipal", value, account=other)
+                    trusted.add(value)
+        e.node("AWSRole", arn, {
+            "arn": arn, "roleid": r.get("RoleId"), "name": r.get("RoleName"),
+            "path": r.get("Path"), "createdate": str(r.get("CreateDate")),
+        }, extra=["AWSPrincipal"])
+        e.resource("AWSRole", arn)
+        for p in sorted(trusted):
+            e.edge("AWSRole", arn, "TRUSTS_AWS_PRINCIPAL",
+                   _principal_label(p) if p.endswith(":root") is False else "AWSPrincipal",
+                   p)
+
+
+def _emit_memberships(e: _Emit, payload: dict) -> None:
+    for group_arn, user_arns in payload.items():
+        for user_arn in user_arns:
+            e.edge("AWSUser", user_arn, "MEMBER_AWS_GROUP", "AWSGroup", group_arn)
+            # canonical ontology twin
+            e.edge("AWSUser", user_arn, "MEMBER_OF", "AWSGroup", group_arn)
+
+
+def _emit_policies(e: _Emit, payload: dict, policy_type: str) -> None:
+    """payload: {principal_arn: {policy_key: [statements]}}
+    (``transform_policy_data`` iam.py:807-876)."""
+    for principal_arn, policy_map in (payload or {}).items():
+        for policy_key, statements in policy_map.items():
+            if policy_type == "inline":
+                policy_id = f"{principal_arn}/inline_policy/{policy_key}"
+                name, arn = policy_key, None
+            else:
+                policy_id = policy_key
+                name, arn = policy_key.rsplit("/", 1)[-1], policy_key
+            e.node("AWSPolicy", policy_id, {
+                "name": name, "type": policy_type, "arn": arn,
+            })
+            e.edge(_principal_label(principal_arn), principal_arn, "POLICY",
+                   "AWSPolicy", policy_id)
+            count = 1
+            for stmt in _ensure_list(statements):
+                if stmt.get("Sid"):
+                    sid = stmt["Sid"]
+                else:
+                    sid = count
+                    count += 1
+                stmt_id = f"{policy_id}/statement/{sid}"
+                props = {"effect": stmt.get("Effect"), "sid": stmt.get("Sid")}
+                for k in ("Resource", "Action", "NotAction", "NotResource"):
+                    if k in stmt:
+                        props[k.lower()] = json.dumps(_ensure_list(stmt[k]))
+                if "Condition" in stmt:
+                    props["condition"] = json.dumps(_ensure_list(stmt["Condition"]))
+                e.node("AWSPolicyStatement", stmt_id, props)
+                e.edge("AWSPolicy", policy_id, "STATEMENT",
+                       "AWSPolicyStatement", stmt_id)
+
+
+def _emit_access_keys(e: _Emit, payload: dict) -> None:
+    for user_arn, keys in payload.items():
+        for k in keys:
+            kid = k.get("AccessKeyId")
+            if not kid:
+                continue
+            e.node("AWSAccountAccessKey", kid, {
+                "accesskeyid": kid, "status": k.get("Status"),
+                "createdate": str(k.get("CreateDate")),
+            })
+            e.edge("AWSUser", user_arn, "AWS_ACCESS_KEY", "AWSAccountAccessKey", kid)
+            e.edge("AWSAccountAccessKey", kid, "OWNED_BY", "AWSUser", user_arn)
+
+
+_EMITTERS = {
+    "users": _emit_users,
+    "groups": _emit_groups,
+    "roles": _emit_roles,
+    "memberships": _emit_memberships,
+    "access_keys": _emit_access_keys,
+    "policies_inline": lambda e, p: _emit_policies(e, p, "inline"),
+    "policies_managed": lambda e, p: _emit_policies(e, p, "managed"),
+}
+
+
+def extract_iam_facts(raw: DataFrame) -> DataFrame:
+    """``raw(account_id, dataset, payload_json)`` → long facts frame."""
+    import pandas as pd
+
+    def gen(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cols = [c.split(" ")[0] for c in IAM_FACTS_DDL.split(", ")]
+        for pdf in batches:
+            rows: list[tuple] = []
+            for account_id, dataset, payload_json in zip(
+                pdf["account_id"], pdf["dataset"], pdf["payload_json"]
+            ):
+                emitter = _EMITTERS.get(dataset)
+                if emitter is None:
+                    continue
+                try:
+                    payload = json.loads(payload_json)
+                except (json.JSONDecodeError, TypeError):
+                    continue  # malformed payloads skip, never crash
+                e = _Emit(str(account_id))
+                emitter(e, payload)
+                rows.extend(e.rows)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return raw.mapInPandas(gen, schema=IAM_FACTS_DDL)
+
+
+def transform_iam(raw: DataFrame, update_tag: int) -> tuple[DataFrame, DataFrame]:
+    facts = extract_iam_facts(raw)
+    nodes = (
+        facts.filter(F.col("kind") == "node")
+        .select(
+            "label",
+            "id",
+            F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+            F.lit(None).cast("string").alias("content_sha256"),
+            F.from_json("extra_labels_json", "array<string>").alias("extra_labels"),
+            F.from_json("props_json", "map<string,string>").alias("props"),
+        )
+        .dropDuplicates(["label", "id"])
+    )
+    edges = (
+        facts.filter(F.col("kind") == "edge")
+        .select(
+            "src_label",
+            "src_id",
+            F.col("rel").alias("rel_label"),
+            "dst_label",
+            "dst_id",
+            F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+            F.col("sub_label").alias("sub_resource_label"),
+            F.col("sub_id").alias("sub_resource_id"),
+            F.lit(None).cast("map<string,string>").alias("props"),
+        )
+        .dropDuplicates(["src_label", "src_id", "rel_label", "dst_label", "dst_id"])
+    )
+    return nodes, edges
+
+
+def sync_iam(store, raw: DataFrame, update_tag: int) -> None:
+    nodes, edges = transform_iam(raw, update_tag)
+    store.merge_nodes(nodes, update_tag)
+    store.merge_edges(edges, update_tag)

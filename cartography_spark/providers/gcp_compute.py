@@ -1,0 +1,292 @@
+"""GCP Compute sync: VPCs / subnets / instances / firewalls → triples.
+
+Re-expresses the reference's GCP compute module
+(``intel/gcp/compute.py``) semantics:
+
+* partial-URI synthesis: list-response ``id`` is the partial-URI prefix
+  (``projects/{p}/zones/{z}/instances`` etc.); entity id =
+  ``{prefix}/{name}`` (:282, :394, :427, :559); full compute URIs
+  reduce to partial by stripping the API host+version
+  (``util.py:342-366``);
+* instances (:269-341): zone/project parsed from the prefix;
+  ``private_ip`` = first NIC's networkIP, ``public_ip`` = its first
+  accessConfig natIP; machine type = last URI segment;
+* NIC id = ``{instance_partial_uri}/networkinterfaces/{name}`` (:725)
+  with subnet/vpc partial URIs resolved per NIC;
+* firewalls (:549-653): allow/deny entries fan out per port/range into
+  IpRule rows with ruleid ``{fw}/allow|deny/{from[to{to}]}{proto}``
+  (icmp → no ports); source ranges become IpRange nodes with
+  ``MEMBER_OF_IP_RULE`` edges;
+* ontology fields: GCPVpc carries the ``VirtualNetwork`` semantic label
+  with ``_ont_name``/``_ont_source``; GCPSubnet carries ``Subnet`` with
+  ``_ont_name``/``_ont_cidr_block``/``_ont_region``/``_ont_source`` —
+  the ontology-stage projection applied at emit time;
+* ``MEMBER_OF_GCP_VPC`` is derived post-load by an analysis job
+  (:func:`gcp_instance_vpc_job`), mirroring the reference's typed
+  analysis job (``GCP_COMPUTE_INSTANCE_VPC_ANALYSIS``).
+
+Same execution shape as the IAM provider: one Arrow-batched
+``mapInPandas`` over ``(project_id, dataset, payload_json)`` rows emits
+the long facts frame; variant-typed JSON (accessConfigs, port lists) is
+the genuine pandas-UDF case.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Iterable, Iterator
+
+from pyspark.sql import DataFrame, functions as F
+
+from cartography_spark.plans.analysis import AddRelationship, AnalysisJob
+from cartography_spark.providers.aws_iam import IAM_FACTS_DDL as FACTS_DDL
+
+_URI_RE = re.compile(r"https://www\.googleapis\.com/compute/(v1|beta|alpha)/")
+
+
+def to_partial_uri(full_uri: str | None) -> str | None:
+    if not full_uri:
+        return None
+    if full_uri.startswith("projects/"):
+        return full_uri
+    return _URI_RE.sub("", full_uri)
+
+
+class _Emit:
+    def __init__(self, project_id: str):
+        self.rows: list[tuple] = []
+        self.project = project_id
+
+    def node(self, label, id_, props=None, extra=None):
+        self.rows.append((
+            "node", label, id_,
+            json.dumps(props or {}, sort_keys=True, default=str),
+            json.dumps(extra or []),
+            None, None, None, None, None, None, None,
+        ))
+
+    def edge(self, src_label, src_id, rel, dst_label, dst_id):
+        self.rows.append((
+            "edge", None, None, None, None,
+            src_label, src_id, rel, dst_label, dst_id,
+            "GCPProject", self.project,
+        ))
+
+    def resource(self, dst_label, dst_id):
+        self.edge("GCPProject", self.project, "RESOURCE", dst_label, dst_id)
+
+
+def _emit_vpcs(e: _Emit, payload: dict) -> None:
+    prefix = payload["id"]  # projects/{p}/global/networks
+    project = prefix.split("/")[1]
+    for v in payload.get("items", []):
+        pid = f"{prefix}/{v['name']}"
+        e.node("GCPVpc", pid, {
+            "partial_uri": pid, "name": v["name"], "self_link": v.get("selfLink"),
+            "project_id": project,
+            "auto_create_subnetworks": v.get("autoCreateSubnetworks"),
+            "routing_config_routing_mode": v.get("routingConfig", {}).get("routingMode"),
+            "_ont_name": v["name"], "_ont_source": "gcp",
+        }, extra=["VirtualNetwork"])
+        e.resource("GCPVpc", pid)
+
+
+def _emit_subnets(e: _Emit, payload: dict) -> None:
+    prefix = payload["id"]  # projects/{p}/regions/{r}/subnetworks
+    project = prefix.split("/")[1]
+    for s in payload.get("items", []):
+        pid = f"{prefix}/{s['name']}"
+        region = s["region"].split("/")[-1]
+        vpc = to_partial_uri(s["network"])
+        e.node("GCPSubnet", pid, {
+            "partial_uri": pid, "name": s["name"], "project_id": project,
+            "region": region, "gateway_address": s.get("gatewayAddress"),
+            "ip_cidr_range": s.get("ipCidrRange"),
+            "private_ip_google_access": s.get("privateIpGoogleAccess"),
+            "vpc_partial_uri": vpc, "self_link": s.get("selfLink"),
+            "_ont_name": s["name"], "_ont_cidr_block": s.get("ipCidrRange"),
+            "_ont_region": region, "_ont_source": "gcp",
+        }, extra=["Subnet"])
+        e.resource("GCPSubnet", pid)
+        if vpc:
+            e.edge("GCPVpc", vpc, "HAS", "GCPSubnet", pid)
+
+
+def _emit_instances(e: _Emit, payload: dict) -> None:
+    prefix = payload["id"]  # projects/{p}/zones/{z}/instances
+    parts = prefix.split("/")
+    project, zone = parts[1], parts[3]
+    for inst in payload.get("items", []):
+        pid = f"{prefix}/{inst['name']}"
+        nics = inst.get("networkInterfaces", []) or []
+        nic0 = nics[0] if nics else {}
+        ac0 = (nic0.get("accessConfigs", []) or [{}])[0]
+        mt = inst.get("machineType")
+        e.node("GCPInstance", pid, {
+            "partial_uri": pid, "instancename": inst["name"], "zone_name": zone,
+            "project_id": project, "hostname": inst.get("hostname"),
+            "machine_type": mt.split("/")[-1] if mt else None,
+            "status": inst.get("status"),
+            "creation_timestamp": inst.get("creationTimestamp"),
+            "private_ip": nic0.get("networkIP"), "public_ip": ac0.get("natIP"),
+            "self_link": inst.get("selfLink"),
+        })
+        e.resource("GCPInstance", pid)
+        for nic in nics:
+            nic_id = f"{pid}/networkinterfaces/{nic['name']}"
+            subnet = to_partial_uri(nic.get("subnetwork"))
+            vpc = to_partial_uri(nic.get("network"))
+            e.node("GCPNetworkInterface", nic_id, {
+                "name": nic["name"], "private_ip": nic.get("networkIP"),
+                "subnet_partial_uri": subnet, "vpc_partial_uri": vpc,
+            })
+            e.edge("GCPInstance", pid, "NETWORK_INTERFACE", "GCPNetworkInterface", nic_id)
+            if subnet:
+                e.edge("GCPNetworkInterface", nic_id, "PART_OF_SUBNET", "GCPSubnet", subnet)
+            for ac in nic.get("accessConfigs", []) or []:
+                ac_id = f"{nic_id}/accessconfigs/{ac.get('type', 'ONE_TO_ONE_NAT')}"
+                e.node("GCPNicAccessConfig", ac_id, {
+                    "type": ac.get("type"), "nat_ip": ac.get("natIP"),
+                    "public_ptr_domain_name": ac.get("publicPtrDomainName"),
+                })
+                e.edge("GCPNetworkInterface", nic_id, "RESOURCE", "GCPNicAccessConfig", ac_id)
+
+
+def _port_rule(port: str | None, protocol: str, fw: str, allow: bool) -> tuple[str, int | None, int | None]:
+    kind = "allow" if allow else "deny"
+    if port is None:
+        return f"{fw}/{kind}/{protocol}", None, None
+    if "-" in port:
+        lo, hi = port.split("-", 1)
+        return f"{fw}/{kind}/{lo}to{hi}{protocol}", int(lo), int(hi)
+    return f"{fw}/{kind}/{port}{protocol}", int(port), int(port)
+
+
+def _emit_firewalls(e: _Emit, payload: dict) -> None:
+    prefix = payload["id"]  # projects/{p}/global/firewalls
+    for fw in payload.get("items", []):
+        fid = f"{prefix}/{fw['name']}"
+        vpc = to_partial_uri(fw.get("network"))
+        e.node("GCPFirewall", fid, {
+            "name": fw["name"], "direction": fw.get("direction"),
+            "priority": fw.get("priority"), "disabled": fw.get("disabled", False),
+            "has_target_service_accounts": "targetServiceAccounts" in fw,
+            "vpc_partial_uri": vpc, "self_link": fw.get("selfLink"),
+        })
+        e.resource("GCPFirewall", fid)
+        if vpc:
+            e.edge("GCPVpc", vpc, "RESOURCE", "GCPFirewall", fid)
+        for is_allow, key, rel in ((True, "allowed", "ALLOWED_BY"), (False, "denied", "DENIED_BY")):
+            for entry in fw.get(key, []) or []:
+                proto = entry["IPProtocol"]
+                if proto in ("tcp", "udp"):
+                    ports = entry.get("ports") or ["0-65535"]
+                    rules = [_port_rule(p, proto, fid, is_allow) for p in ports]
+                else:
+                    rules = [_port_rule(None, proto, fid, is_allow)]
+                for rid, lo, hi in rules:
+                    e.node("IpRule", rid, {
+                        "protocol": proto, "fromport": lo, "toport": hi,
+                    }, extra=["IpPermissionInbound" if fw.get("direction") == "INGRESS" else "IpPermissionOutbound"])
+                    e.edge("IpRule", rid, rel, "GCPFirewall", fid)
+                    for rng in fw.get("sourceRanges", []) or []:
+                        e.node("IpRange", rng, {"range": rng})
+                        e.edge("IpRange", rng, "MEMBER_OF_IP_RULE", "IpRule", rid)
+
+
+_EMITTERS = {
+    "vpcs": _emit_vpcs,
+    "subnets": _emit_subnets,
+    "instances": _emit_instances,
+    "firewalls": _emit_firewalls,
+}
+
+
+def extract_gcp_facts(raw: DataFrame) -> DataFrame:
+    """``raw(project_id, dataset, payload_json)`` → long facts frame."""
+    import pandas as pd
+
+    def gen(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cols = [c.split(" ")[0] for c in FACTS_DDL.split(", ")]
+        for pdf in batches:
+            rows: list[tuple] = []
+            for project_id, dataset, payload_json in zip(
+                pdf["project_id"], pdf["dataset"], pdf["payload_json"]
+            ):
+                emitter = _EMITTERS.get(dataset)
+                if emitter is None:
+                    continue
+                try:
+                    payload = json.loads(payload_json)
+                except (json.JSONDecodeError, TypeError):
+                    continue
+                e = _Emit(str(project_id))
+                emitter(e, payload)
+                rows.extend(e.rows)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return raw.mapInPandas(gen, schema=FACTS_DDL)
+
+
+def transform_gcp(raw: DataFrame, update_tag: int) -> tuple[DataFrame, DataFrame]:
+    facts = extract_gcp_facts(raw)
+    nodes = (
+        facts.filter(F.col("kind") == "node")
+        .select(
+            "label", "id",
+            F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+            F.lit(None).cast("string").alias("content_sha256"),
+            F.from_json("extra_labels_json", "array<string>").alias("extra_labels"),
+            F.from_json("props_json", "map<string,string>").alias("props"),
+        )
+        .dropDuplicates(["label", "id"])
+    )
+    edges = (
+        facts.filter(F.col("kind") == "edge")
+        .select(
+            "src_label", "src_id",
+            F.col("rel").alias("rel_label"),
+            "dst_label", "dst_id",
+            F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+            F.col("sub_label").alias("sub_resource_label"),
+            F.col("sub_id").alias("sub_resource_id"),
+            F.lit(None).cast("map<string,string>").alias("props"),
+        )
+        .dropDuplicates(["src_label", "src_id", "rel_label", "dst_label", "dst_id"])
+    )
+    return nodes, edges
+
+
+def gcp_instance_vpc_job() -> AnalysisJob:
+    """(GCPInstance)-[:MEMBER_OF_GCP_VPC]->(GCPVpc) via NIC vpc refs —
+    the reference's typed analysis job re-expressed over the store."""
+
+    def match(store):
+        nic_edges = store.edges(["NETWORK_INTERFACE"]).filter(
+            F.col("src_label") == "GCPInstance"
+        ).select(F.col("src_id").alias("id"), F.col("dst_id").alias("nic_id"))
+        nics = store.nodes(["GCPNetworkInterface"]).select(
+            F.col("id").alias("nic_id"),
+            F.element_at("props", "vpc_partial_uri").alias("vpc_id"),
+        )
+        return (
+            nic_edges.join(nics, "nic_id")
+            .filter(F.col("vpc_id").isNotNull())
+            .select(
+                F.lit("GCPInstance").alias("label"), "id",
+                F.lit("GCPVpc").alias("vpc_label"), "vpc_id",
+            )
+        )
+
+    return AnalysisJob(
+        name="gcp_compute_instance_vpc",
+        match=match,
+        effects=(AddRelationship("MEMBER_OF_GCP_VPC", "vpc_label", "vpc_id"),),
+    )
+
+
+def sync_gcp(store, raw: DataFrame, update_tag: int) -> None:
+    nodes, edges = transform_gcp(raw, update_tag)
+    store.merge_nodes(nodes, update_tag)
+    store.merge_edges(edges, update_tag)

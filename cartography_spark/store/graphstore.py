@@ -132,13 +132,18 @@ class GraphStore:
             return
         self.manifest["version"] += 1
         rel = f"{table}/v{self.manifest['version']}"
+        # cluster rows by partition value before the dynamic-partition
+        # write (without it every task opens a file per partition value:
+        # tasks × partitions small files + commit renames), but SALT the
+        # clustering so each partition value fans out over several write
+        # tasks — repartitioning by value alone caps write parallelism
+        # at the number of entity types
+        n_slots = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        fanout = max(1, n_slots // max(len(parts), 1))
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns[:2]]), F.lit(fanout))
         (
-            # cluster rows by partition value before the dynamic-
-            # partition write: without it every task opens a file per
-            # partition value (tasks × partitions small files + commit
-            # renames); AQE coalesces the shuffle to the real size
             df.withColumn("__part", F.col(part_col))
-            .repartition(F.col("__part"))
+            .repartition(F.col("__part"), salt)
             .write.mode("overwrite")
             .partitionBy("__part")
             .parquet(os.path.join(self.root, rel))

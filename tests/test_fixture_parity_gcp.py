@@ -1,0 +1,160 @@
+"""Triple P/R vs the reference's GCP compute integration fixtures.
+
+Input = the reference's actual VPC/subnet/instance/firewall payloads
+(read-only at test time, skipped when absent); expected sets
+transcribed from
+``tests/integration/cartography/intel/gcp/test_compute.py``.
+"""
+
+import importlib.util
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.plans.analysis import run_analysis_job
+from cartography_spark.providers.gcp_compute import (
+    gcp_instance_vpc_job,
+    sync_gcp,
+    transform_gcp,
+)
+
+FIXTURE = "/root/reference/tests/data/gcp/compute.py"
+PROJECT, TAG = "project-abc", 123456789
+VPC = "projects/project-abc/global/networks/default"
+SUBNET = "projects/project-abc/regions/europe-west2/subnetworks/default"
+I1 = "projects/project-abc/zones/europe-west2-b/instances/instance-1"
+I2 = "projects/project-abc/zones/europe-west2-b/instances/instance-1-test"
+FW = "projects/project-abc/global/firewalls"
+
+
+def _fixture():
+    spec = importlib.util.spec_from_file_location("gcp_fix", FIXTURE)
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+@pytest.fixture(scope="module")
+def emitted(spark):
+    if not os.path.exists(FIXTURE):
+        pytest.skip("reference fixture not available")
+    m = _fixture()
+    raw = spark.createDataFrame(
+        [
+            (PROJECT, "vpcs", json.dumps(m.VPC_RESPONSE)),
+            (PROJECT, "subnets", json.dumps(m.VPC_SUBNET_RESPONSE)),
+            (PROJECT, "instances", json.dumps(m.GCP_LIST_INSTANCES_RESPONSE)),
+            (PROJECT, "firewalls", json.dumps(m.LIST_FIREWALLS_RESPONSE)),
+        ],
+        "project_id string, dataset string, payload_json string",
+    )
+    nodes, edges = transform_gcp(raw, TAG)
+    return nodes.cache(), edges.cache()
+
+
+def _pairs(edges, rel, src_label=None):
+    df = edges.filter(F.col("rel_label") == rel)
+    if src_label:
+        df = df.filter(F.col("src_label") == src_label)
+    return {(r["src_id"], r["dst_id"]) for r in df.collect()}
+
+
+def test_vpc_nodes_with_ontology(emitted):
+    nodes, edges = emitted
+    got = {
+        (r["id"], r["props"]["name"], r["props"]["project_id"],
+         r["props"]["auto_create_subnetworks"], r["props"]["_ont_name"],
+         r["props"]["_ont_source"], tuple(r["extra_labels"]))
+        for r in nodes.filter(F.col("label") == "GCPVpc").collect()
+    }
+    assert got == {(VPC, "default", PROJECT, "true", "default", "gcp", ("VirtualNetwork",))}
+    assert _pairs(edges, "RESOURCE", "GCPProject") >= {(PROJECT, VPC)}
+
+
+def test_subnet_nodes_with_ontology_and_has(emitted):
+    nodes, edges = emitted
+    got = {
+        (r["id"], r["props"]["region"], r["props"]["gateway_address"],
+         r["props"]["ip_cidr_range"], r["props"]["private_ip_google_access"],
+         r["props"]["_ont_name"], r["props"]["_ont_cidr_block"],
+         r["props"]["_ont_region"], r["props"]["_ont_source"])
+        for r in nodes.filter(F.col("label") == "GCPSubnet").collect()
+    }
+    assert got == {
+        (SUBNET, "europe-west2", "10.0.0.1", "10.0.0.0/20", "false",
+         "default", "10.0.0.0/20", "europe-west2", "gcp"),
+    }
+    assert _pairs(edges, "HAS") == {(VPC, SUBNET)}
+
+
+def test_instances_and_nics(emitted):
+    nodes, edges = emitted
+    got = {
+        (r["id"], r["props"]["instancename"], r["props"]["zone_name"],
+         r["props"]["project_id"], r["props"]["creation_timestamp"],
+         r["props"]["private_ip"], r["props"]["public_ip"])
+        for r in nodes.filter(F.col("label") == "GCPInstance").collect()
+    }
+    assert got == {
+        (I1, "instance-1", "europe-west2-b", PROJECT,
+         "2018-02-16T10:42:04.362-08:00", "10.0.0.2", "1.2.3.4"),
+        (I2, "instance-1-test", "europe-west2-b", PROJECT,
+         "2018-04-19T05:24:54.903-07:00", "10.0.0.3", "1.3.4.5"),
+    }
+    nic1, nic2 = f"{I1}/networkinterfaces/nic0", f"{I2}/networkinterfaces/nic0"
+    got_nics = {
+        (r["id"], r["props"]["name"], r["props"]["private_ip"])
+        for r in nodes.filter(F.col("label") == "GCPNetworkInterface").collect()
+    }
+    assert got_nics == {(nic1, "nic0", "10.0.0.2"), (nic2, "nic0", "10.0.0.3")}
+    assert _pairs(edges, "NETWORK_INTERFACE") == {(I1, nic1), (I2, nic2)}
+    assert _pairs(edges, "PART_OF_SUBNET") == {(nic1, SUBNET), (nic2, SUBNET)}
+    assert _pairs(edges, "RESOURCE", "GCPProject") >= {(PROJECT, I1), (PROJECT, I2)}
+
+
+def test_firewalls_and_ip_rules(emitted):
+    nodes, edges = emitted
+    fw_ids = {r["id"] for r in nodes.filter(F.col("label") == "GCPFirewall").collect()}
+    assert {
+        f"{FW}/default-allow-icmp", f"{FW}/default-allow-internal",
+        f"{FW}/default-allow-rdp", f"{FW}/default-allow-ssh",
+        f"{FW}/custom-port-incoming",
+    } <= fw_ids
+    assert _pairs(edges, "RESOURCE", "GCPVpc") >= {
+        (VPC, f"{FW}/default-allow-icmp"), (VPC, f"{FW}/default-allow-internal"),
+        (VPC, f"{FW}/default-allow-rdp"), (VPC, f"{FW}/default-allow-ssh"),
+        (VPC, f"{FW}/custom-port-incoming"),
+    }
+    ssh_rule = f"{FW}/default-allow-ssh/allow/22tcp"
+    rules = {
+        (r["id"], r["props"]["protocol"], r["props"]["fromport"], r["props"]["toport"])
+        for r in nodes.filter(F.col("label") == "IpRule").collect()
+    }
+    assert (ssh_rule, "tcp", "22", "22") in rules
+    ranges = {r["id"] for r in nodes.filter(F.col("label") == "IpRange").collect()}
+    assert "0.0.0.0/0" in ranges
+    assert ("0.0.0.0/0", ssh_rule) in _pairs(edges, "MEMBER_OF_IP_RULE")
+    assert (ssh_rule, f"{FW}/default-allow-ssh") in _pairs(edges, "ALLOWED_BY")
+
+
+def test_member_of_vpc_analysis_job(spark, tmp_store):
+    """The derived MEMBER_OF_GCP_VPC edges via the analysis-job engine."""
+    if not os.path.exists(FIXTURE):
+        pytest.skip("reference fixture not available")
+    m = _fixture()
+    raw = spark.createDataFrame(
+        [
+            (PROJECT, "vpcs", json.dumps(m.VPC_RESPONSE)),
+            (PROJECT, "instances", json.dumps(m.GCP_LIST_INSTANCES_RESPONSE)),
+        ],
+        "project_id string, dataset string, payload_json string",
+    )
+    sync_gcp(tmp_store, raw, TAG)
+    run_analysis_job(tmp_store, gcp_instance_vpc_job(), TAG)
+    got = {
+        (r["src_id"], r["dst_id"])
+        for r in tmp_store.edges(["MEMBER_OF_GCP_VPC"]).collect()
+    }
+    assert got == {(I1, VPC), (I2, VPC)}

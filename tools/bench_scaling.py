@@ -34,10 +34,10 @@ from cartography_spark.sources.repo_files import synthesize_repo_files
 from cartography_spark.plans.pipeline import run_pipeline
 
 cores = int(sys.argv[1]); n_repos = int(sys.argv[2])
-# identical plan at both levels: same input partitioning, same shuffle
-# partition count — the ONLY variable is executor slots, as on a real
-# cluster where the dataset layout doesn't change with cluster size
-spark = get_spark("scaling_bench", master=f"local[{{cores}}]", shuffle_partitions=64)
+# identical INPUT at both levels (64 file-partitions — the dataset
+# layout doesn't change with cluster size); shuffle partitions follow
+# the session's cores-based default, as any real deployment sizes them
+spark = get_spark("scaling_bench", master=f"local[{{cores}}]")
 files = synthesize_repo_files(spark, n_repos, partitions=64)
 root = tempfile.mkdtemp(prefix=f"scale{{cores}}_")
 t0 = time.perf_counter()
@@ -72,26 +72,31 @@ def main() -> None:
     # repeated runs of both levels and keep each level's fastest run
     # (the least-interfered estimate of the job's true cost)
     reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
+    lo, hi = (
+        int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "8,32").split(",")
+    )
     results: dict[int, dict] = {}
     for rep in range(reps):
-        for cores in (8, 32) if rep % 2 == 0 else (32, 8):
+        for cores in (lo, hi) if rep % 2 == 0 else (hi, lo):
             print(f"rep {rep}: local[{cores}] n_repos={n_repos} ...", file=sys.stderr)
             r = run_level(cores, n_repos)
             print(f"  {r}", file=sys.stderr)
             if cores not in results or r["wall_s"] < results[cores]["wall_s"]:
                 results[cores] = r
 
-    t8, t32 = results[8]["wall_s"], results[32]["wall_s"]
-    triples = results[32]["triples"]
-    eff = (t8 / t32) / 4.0
+    t_lo, t_hi = results[lo]["wall_s"], results[hi]["wall_s"]
+    triples = results[hi]["triples"]
+    ratio = hi / lo
+    eff = (t_lo / t_hi) / ratio
     summary = {
         "n_repos": n_repos,
         "triples": triples,
-        "local8_wall_s": t8,
-        "local8_triples_per_sec": round(triples / t8, 1),
-        "local32_wall_s": t32,
-        "local32_triples_per_sec": round(triples / t32, 1),
-        "speedup_8_to_32": round(t8 / t32, 2),
+        f"local{lo}_wall_s": t_lo,
+        f"local{lo}_triples_per_sec": round(triples / t_lo, 1),
+        f"local{hi}_wall_s": t_hi,
+        f"local{hi}_triples_per_sec": round(triples / t_hi, 1),
+        "speedup": round(t_lo / t_hi, 2),
+        "core_ratio": ratio,
         "scaling_efficiency": round(eff, 3),
         "target": 0.8,
         "pass": eff >= 0.8,
@@ -102,7 +107,7 @@ def main() -> None:
             f"\n## Scaling run {stamp} UTC (n_repos={n_repos})\n\n"
             f"| cores | wall (s) | triples/s | stages |\n|---|---|---|---|\n"
         )
-        for cores in (8, 32):
+        for cores in (lo, hi):
             r = results[cores]
             f.write(
                 f"| local[{cores}] | {r['wall_s']} | "
@@ -110,8 +115,8 @@ def main() -> None:
                 f"{json.dumps(r['stages'])} |\n"
             )
         f.write(
-            f"\nSpeedup 8→32 cores: **{summary['speedup_8_to_32']}×**; "
-            f"scaling efficiency (T8/T32)/4 = **{summary['scaling_efficiency']}** "
+            f"\nSpeedup local[{lo}]→local[{hi}]: **{summary['speedup']}×** "
+            f"({ratio}× cores); scaling efficiency = **{summary['scaling_efficiency']}** "
             f"(north-rule target ≥ 0.8: {'PASS' if summary['pass'] else 'FAIL'}).\n"
         )
     print(json.dumps(summary))

@@ -296,3 +296,125 @@ def sync_iam(store, raw: DataFrame, update_tag: int) -> None:
     nodes, edges = transform_iam(raw, update_tag)
     store.merge_nodes(nodes, update_tag)
     store.merge_edges(edges, update_tag)
+
+
+def sync_assumerole(store, account_id: str, update_tag: int) -> int:
+    """Derive ``STS_ASSUMEROLE_ALLOW`` MatchLink edges.
+
+    Re-expresses ``sync_assumerole_relationships`` (``iam.py:703-757``):
+    candidate pairs are the account's roles × the non-root, non-service,
+    non-federated principals they trust (read back from the graph);
+    a pair survives iff the source principal's policies grant
+    ``sts:AssumeRole`` on the target role ARN — evaluated with the same
+    wildcard/deny-overrides semantics as
+    :mod:`cartography_spark.operators.permission`, as a distributed
+    join + Arrow-batched filter instead of a per-row driver loop.
+    Edges are stamped with the account as MatchLink sub-resource, so
+    MatchLink GC (``cleanupbuilder.py:603-667``) sweeps stale pairs.
+    """
+    from pyspark.sql import functions as F
+
+    from cartography_spark.operators.permission import principal_allowed
+
+    # candidate pairs: account-scoped roles trusting plain AWS principals
+    roles = store.edges(["RESOURCE"]).filter(
+        (F.col("src_label") == "AWSAccount")
+        & (F.col("src_id") == account_id)
+        & (F.col("dst_label") == "AWSRole")
+    ).select(F.col("dst_id").alias("target_arn"))
+    trusts = store.edges(["TRUSTS_AWS_PRINCIPAL"]).select(
+        F.col("src_id").alias("target_arn"), F.col("dst_id").alias("source_arn")
+    )
+    specials = store.nodes(["AWSPrincipal"]).filter(
+        F.array_size(
+            F.array_intersect(
+                F.coalesce("extra_labels", F.array().cast("array<string>")),
+                F.array(
+                    F.lit("AWSRootPrincipal"),
+                    F.lit("AWSServicePrincipal"),
+                    F.lit("AWSFederatedPrincipal"),
+                ),
+            )
+        )
+        > 0
+    ).select(F.col("id").alias("source_arn"))
+    pairs = roles.join(trusts, "target_arn").join(specials, "source_arn", "left_anti")
+
+    # the source principal's policies: statements stored on
+    # AWSPolicyStatement nodes, grouped per principal via POLICY edges
+    pol_edges = store.edges(["POLICY"]).select(
+        F.col("src_id").alias("source_arn"), F.col("dst_id").alias("policy_id")
+    )
+    stmt_edges = store.edges(["STATEMENT"]).select(
+        F.col("src_id").alias("policy_id"), F.col("dst_id").alias("stmt_id")
+    )
+    stmts = store.nodes(["AWSPolicyStatement"]).select(
+        F.col("id").alias("stmt_id"), F.col("props").alias("p")
+    )
+    principal_stmts = (
+        pol_edges.join(stmt_edges, "policy_id")
+        .join(stmts, "stmt_id")
+        .groupBy("source_arn")
+        .agg(
+            F.to_json(
+                F.collect_list(
+                    F.struct(
+                        F.element_at("p", "effect").alias("effect"),
+                        F.element_at("p", "action").alias("action_json"),
+                        F.element_at("p", "notaction").alias("notaction_json"),
+                        F.element_at("p", "resource").alias("resource_json"),
+                        F.element_at("p", "notresource").alias("notresource_json"),
+                    )
+                )
+            ).alias("stmts_json")
+        )
+    )
+
+    import json as _json
+    import pandas as pd  # noqa: F401
+
+    def evaluate(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            keep_s, keep_t = [], []
+            for s_arn, t_arn, stmts_json in zip(
+                pdf["source_arn"], pdf["target_arn"], pdf["stmts_json"]
+            ):
+                raw = _json.loads(stmts_json) if stmts_json else []
+                statements = []
+                for st in raw:
+                    stmt = {"effect": st.get("effect")}
+                    for k in ("action", "notaction", "resource", "notresource"):
+                        v = st.get(f"{k}_json")
+                        if v:
+                            stmt[k] = _json.loads(v)
+                    statements.append(stmt)
+                if principal_allowed({"all": statements}, t_arn, ["sts:AssumeRole"]):
+                    keep_s.append(s_arn)
+                    keep_t.append(t_arn)
+            yield pd.DataFrame({"source_arn": keep_s, "target_arn": keep_t})
+
+    allowed = pairs.join(principal_stmts, "source_arn", "left").mapInPandas(
+        evaluate, schema="source_arn string, target_arn string"
+    )
+    edge_batch = allowed.select(
+        F.lit("AWSPrincipal").alias("src_label"),
+        F.col("source_arn").alias("src_id"),
+        F.lit("STS_ASSUMEROLE_ALLOW").alias("rel_label"),
+        F.lit("AWSRole").alias("dst_label"),
+        F.col("target_arn").alias("dst_id"),
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit("AWSAccount").alias("sub_resource_label"),
+        F.lit(account_id).alias("sub_resource_id"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    ).dropDuplicates(["src_label", "src_id", "rel_label", "dst_label", "dst_id"])
+    counts = store.merge_edges(edge_batch, update_tag, rels=["STS_ASSUMEROLE_ALLOW"])
+    # MatchLink GC: stale pairs of THIS account swept
+    store.delete_edges(
+        "STS_ASSUMEROLE_ALLOW",
+        (F.col("lastupdated") != int(update_tag))
+        & (F.col("sub_resource_label") == "AWSAccount")
+        & (F.col("sub_resource_id") == account_id),
+    )
+    return sum(c["created"] + c["updated"] for c in counts.values())

@@ -113,7 +113,8 @@ class GraphStore:
         self.manifest[table][part] = rel
 
     def _write_partitioned(
-        self, table: str, parts: list[str], df: DataFrame, part_col: str
+        self, table: str, parts: list[str], df: DataFrame, part_col: str,
+        cluster: bool = True,
     ) -> None:
         """One partitioned write covering several partitions at once.
 
@@ -125,6 +126,12 @@ class GraphStore:
         (all rows deleted) writes no subdirectory and is dropped from
         the manifest. Falls back to per-partition writes when a value
         would need Hive path escaping.
+
+        ``cluster=True`` adds a salted repartition by partition value so
+        a wide upstream doesn't open tasks × partitions small files;
+        pass ``cluster=False`` when the plan already ends in a key
+        shuffle (merge join / agg) — the extra full shuffle costs more
+        than the (bounded: slots × entity-types) extra files.
         """
         if any(p != _safe_part(p) for p in parts):
             for p in parts:
@@ -132,19 +139,17 @@ class GraphStore:
             return
         self.manifest["version"] += 1
         rel = f"{table}/v{self.manifest['version']}"
-        # cluster rows by partition value before the dynamic-partition
-        # write (without it every task opens a file per partition value:
-        # tasks × partitions small files + commit renames), but SALT the
-        # clustering so each partition value fans out over several write
-        # tasks — repartitioning by value alone caps write parallelism
-        # at the number of entity types
-        n_slots = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
-        fanout = max(1, n_slots // max(len(parts), 1))
-        salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns[:2]]), F.lit(fanout))
+        out = df.withColumn("__part", F.col(part_col))
+        if cluster:
+            # SALT the clustering so each partition value fans out over
+            # several write tasks — by value alone, write parallelism is
+            # capped at the number of entity types
+            n_slots = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+            fanout = max(1, n_slots // max(len(parts), 1))
+            salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns[:2]]), F.lit(fanout))
+            out = out.repartition(F.col("__part"), salt)
         (
-            df.withColumn("__part", F.col(part_col))
-            .repartition(F.col("__part"), salt)
-            .write.mode("overwrite")
+            out.write.mode("overwrite")
             .partitionBy("__part")
             .parquet(os.path.join(self.root, rel))
         )
@@ -181,6 +186,30 @@ class GraphStore:
             labels = [r[0] for r in batch.select("label").distinct().collect()]
         if not labels:
             return {}
+        if not any(l in self.manifest["nodes"] for l in labels):
+            # first load of every touched entity type: nothing to merge
+            # against — skip the full-outer shuffle entirely (the common
+            # initial-sync case; the reference's MERGE into an empty
+            # graph is likewise pure insert)
+            obs = Observation()
+            counters = [
+                F.sum(F.when(F.col("label") == label, 1).otherwise(0)).alias(f"c{i}")
+                for i, label in enumerate(labels)
+            ]
+            merged = batch.observe(obs, *counters).select(
+                "label", "id",
+                F.lit(int(update_tag)).cast("long").alias("firstseen"),
+                "lastupdated", "content_sha256", "extra_labels", "props",
+            )
+            self._write_partitioned("nodes", labels, merged, "label", cluster=False)
+            got = obs.get
+            out = {
+                label: {"created": int(got[f"c{i}"] or 0), "updated": 0}
+                for i, label in enumerate(labels)
+            }
+            self._save_manifest()
+            self.record_lineage("merge_nodes", {"update_tag": update_tag, "labels": out})
+            return out
         cur = self.nodes(labels)
         joined = cur.alias("t").join(batch.alias("s"), on=["label", "id"], how="full_outer")
         matched = F.col("s.lastupdated").isNotNull()
@@ -226,7 +255,10 @@ class GraphStore:
             .otherwise(F.col("t.props"))
             .alias("props"),
         )
-        self._write_partitioned("nodes", labels, merged, "label")
+        # join output is already hash-clustered on the merge key; files
+        # are bounded by slots × labels (cluster=False skips a second
+        # full shuffle of the merged rows)
+        self._write_partitioned("nodes", labels, merged, "label", cluster=False)
         got = obs.get
         out = {
             label: {"created": int(got[f"c{i}"] or 0), "updated": int(got[f"u{i}"] or 0)}
@@ -252,6 +284,27 @@ class GraphStore:
             rels = [r[0] for r in batch.select("rel_label").distinct().collect()]
         if not rels:
             return {}
+        if not any(r in self.manifest["edges"] for r in rels):
+            # first load of every touched rel type: pure insert
+            obs = Observation()
+            counters = [
+                F.sum(F.when(F.col("rel_label") == rel, 1).otherwise(0)).alias(f"c{i}")
+                for i, rel in enumerate(rels)
+            ]
+            merged = batch.observe(obs, *counters).select(
+                *EDGE_KEY,
+                F.lit(int(update_tag)).cast("long").alias("firstseen"),
+                "lastupdated", "sub_resource_label", "sub_resource_id", "props",
+            )
+            self._write_partitioned("edges", rels, merged, "rel_label", cluster=False)
+            got = obs.get
+            out = {
+                rel: {"created": int(got[f"c{i}"] or 0), "updated": 0}
+                for i, rel in enumerate(rels)
+            }
+            self._save_manifest()
+            self.record_lineage("merge_edges", {"update_tag": update_tag, "rels": out})
+            return out
         cur = self.edges(rels)
         joined = cur.alias("t").join(batch.alias("s"), on=EDGE_KEY, how="full_outer")
         matched = F.col("s.lastupdated").isNotNull()
@@ -277,7 +330,7 @@ class GraphStore:
             pick("sub_resource_id"),
             pick("props"),
         )
-        self._write_partitioned("edges", rels, merged, "rel_label")
+        self._write_partitioned("edges", rels, merged, "rel_label", cluster=False)
         got = obs.get
         out = {
             rel: {"created": int(got[f"c{i}"] or 0), "updated": int(got[f"u{i}"] or 0)}

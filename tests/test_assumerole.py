@@ -1,0 +1,81 @@
+"""STS AssumeRole MatchLink derivation (iam.py:703-757 semantics)."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.aws_iam import sync_assumerole, sync_iam
+
+ACCOUNT, TAG = "1234", 111
+ROLE = "arn:aws:iam::1234:role/Target"
+U_CAN = "arn:aws:iam::1234:user/can"
+U_CANT = "arn:aws:iam::1234:user/cant"
+
+
+def _payloads(with_permission=True):
+    users = {"Users": [
+        {"Arn": U_CAN, "UserId": "u1", "UserName": "can", "Path": "/", "CreateDate": "2020"},
+        {"Arn": U_CANT, "UserId": "u2", "UserName": "cant", "Path": "/", "CreateDate": "2020"},
+    ]}
+    roles = {"Roles": [{
+        "Arn": ROLE, "RoleId": "r1", "RoleName": "Target", "Path": "/",
+        "CreateDate": "2020",
+        "AssumeRolePolicyDocument": {"Statement": [
+            {"Effect": "Allow", "Principal": {"AWS": [U_CAN, U_CANT]},
+             "Action": "sts:AssumeRole"},
+        ]},
+    }]}
+    inline = {}
+    if with_permission:
+        inline[U_CAN] = {"assume": [
+            {"Effect": "Allow", "Action": ["sts:AssumeRole"], "Resource": ["arn:aws:iam::1234:role/*"]},
+        ]}
+    # cant has an unrelated policy only
+    inline[U_CANT] = {"other": [
+        {"Effect": "Allow", "Action": ["s3:*"], "Resource": ["*"]},
+    ]}
+    return {"users": users, "roles": roles, "policies_inline": inline}
+
+
+def _sync(spark, store, tag, with_permission=True):
+    raw = spark.createDataFrame(
+        [(ACCOUNT, ds, json.dumps(p)) for ds, p in _payloads(with_permission).items()],
+        "account_id string, dataset string, payload_json string",
+    )
+    sync_iam(store, raw, tag)
+
+
+def _pairs(store):
+    return {
+        (r["src_id"], r["dst_id"])
+        for r in store.edges(["STS_ASSUMEROLE_ALLOW"]).collect()
+    }
+
+
+def test_assumerole_only_for_permitted_principal(spark, tmp_store):
+    _sync(spark, tmp_store, TAG)
+    n = sync_assumerole(tmp_store, ACCOUNT, TAG)
+    assert n == 1
+    assert _pairs(tmp_store) == {(U_CAN, ROLE)}
+    row = tmp_store.edges(["STS_ASSUMEROLE_ALLOW"]).collect()[0]
+    assert row["sub_resource_label"] == "AWSAccount"
+    assert row["sub_resource_id"] == ACCOUNT
+
+
+def test_assumerole_matchlink_gc_on_revoke(spark, tmp_store):
+    """Second run without the grant: the stale derived edge is swept by
+    MatchLink GC scoped to the writing account."""
+    _sync(spark, tmp_store, TAG)
+    sync_assumerole(tmp_store, ACCOUNT, TAG)
+    assert _pairs(tmp_store) == {(U_CAN, ROLE)}
+
+    t2 = TAG + 1
+    _sync(spark, tmp_store, t2, with_permission=False)
+    # the revoked inline policy's node/edge rows would be GCed by the
+    # account cleanup in a full sync; here we drop the POLICY edge
+    # directly so evaluation sees no grant
+    tmp_store.delete_edges(
+        "POLICY", (F.col("src_id") == U_CAN) & F.col("dst_id").contains("assume")
+    )
+    sync_assumerole(tmp_store, ACCOUNT, t2)
+    assert _pairs(tmp_store) == set()

@@ -57,6 +57,10 @@ HEADLINE = [
     "q_lang_id",
     "q_ann_bruteforce",
     "q_ann_ivf_bucketed",
+    "q_token_classes",
+    "q_rolling_shingle_fingerprint",
+    "q_embedding_near_dup",
+    "q_ontology_normalize",
 ]
 
 

@@ -122,15 +122,14 @@ def facts_to_edge_batch(facts: DataFrame, update_tag: int) -> DataFrame:
     )
 
 
-def canonicalize(facts: DataFrame) -> DataFrame:
-    """Rewrite Principal references onto canonical Role entities.
+def canonical_mapping(facts: DataFrame) -> DataFrame:
+    """SAME_AS resolution → small ``(__old_id, __canon_id)`` mapping.
 
     SAME_AS candidates: a Principal whose id equals a Role id (an ARN
     that is both trusted and defined somewhere in the corpus) is the
-    same real-world entity. Candidates feed connected components so
-    chains resolve transitively; the canonical representative keeps the
-    Role label (min label alphabetically is 'Principal', so the mapping
-    is role-id keyed explicitly).
+    same real-world entity. Both candidate scans are column-pruned
+    (``subj_label``/``subj_id`` only), so over a parquet facts artifact
+    this never touches the wide columns.
     """
     roles = (
         facts.filter(F.col("pred").isNull() & (F.col("subj_label") == "Role"))
@@ -151,14 +150,25 @@ def canonicalize(facts: DataFrame) -> DataFrame:
     # (each round is 2 shuffles + a convergence count) and map directly.
     # Fuzzier candidate rules (src != dst) take the general CC path.
     if same_as.filter(F.col("src") != F.col("dst")).isEmpty():
-        resolved = same_as.select(
+        return same_as.select(
             F.col("src").alias("__old_id"), F.col("dst").alias("__canon_id")
         ).distinct()
-    else:
-        comp = connected_components(same_as)
-        resolved = comp.select(
-            F.col("id").alias("__old_id"), F.col("component").alias("__canon_id")
-        )
+    comp = connected_components(same_as)
+    return comp.select(
+        F.col("id").alias("__old_id"), F.col("component").alias("__canon_id")
+    )
+
+
+def canonicalize(facts: DataFrame, resolved: DataFrame | None = None) -> DataFrame:
+    """Rewrite Principal references onto canonical Role entities.
+
+    The mapping is tiny relative to the facts (hub entities only), so
+    both rewrite joins broadcast under AQE — canonicalization adds no
+    extra facts-wide shuffle and composes lazily into whatever plan
+    consumes the canonical facts (no second full materialization).
+    """
+    if resolved is None:
+        resolved = canonical_mapping(facts)
 
     # principal node/edge references move onto the canonical Role
     f = facts
@@ -231,17 +241,23 @@ def run_pipeline(
     metrics: dict = {"update_tag": tag}
 
     t0 = time.time()
+    mapping_path = os.path.join(artifacts, "canon_mapping")
     if not store.stage_done(tag, "extract"):
         deduped = latest_commit_wins(repo_files)
-        # materialize the parse ONCE: canonicalize references the facts
-        # frame from several join branches and connected components
-        # iterates — without truncation each reuse would re-run the
-        # mapInPandas parse over the whole corpus
-        facts = extract_facts(deduped).localCheckpoint(eager=True)
-        facts = canonicalize(facts)
-        facts.write.mode("overwrite").parquet(facts_path)
+        # materialize the parse ONCE, as a parquet artifact (how a real
+        # 100 TB run stages it — an executor-memory checkpoint spills
+        # unpredictably past ~10^7 facts). Canonicalization writes only
+        # its tiny (old_id, canon_id) mapping: the rewrite joins
+        # broadcast and fuse lazily into the merge stage, so the wide
+        # facts are written exactly once.
+        extract_facts(deduped).write.mode("overwrite").parquet(facts_path)
+        raw = spark.read.schema(FACTS_DDL).parquet(facts_path)
+        canonical_mapping(raw).write.mode("overwrite").parquet(mapping_path)
         store.mark_stage(tag, "extract", {"path": facts_path})
-    facts = spark.read.schema(FACTS_DDL).parquet(facts_path)
+    facts = canonicalize(
+        spark.read.schema(FACTS_DDL).parquet(facts_path),
+        resolved=spark.read.schema("__old_id string, __canon_id string").parquet(mapping_path),
+    )
     metrics["extract_s"] = round(time.time() - t0, 2)
 
     t0 = time.time()

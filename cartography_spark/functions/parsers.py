@@ -242,6 +242,126 @@ def parse_iam_manifest(content: str) -> list[dict[str, Any]]:
     return out
 
 
+
+
+def parse_setup_cfg(content: str) -> list[dict[str, Any]]:
+    """setup.cfg → requirement dicts (same row shape as requirements.txt).
+
+    Mirrors ``intel/github/repos.py:2010-2039``: requirement strings
+    come from ``options.install_requires``, ``options.setup_requires``
+    and every ``options.extras_require`` value; each value splits on
+    newlines when multi-line, else on ";" (the setuptools convention),
+    then parses like a requirements.txt line. Malformed cfg → empty
+    (``repos.py:1320-1333``).
+    """
+    cfg = configparser.ConfigParser()
+    try:
+        cfg.read_string(content)
+    except configparser.Error:
+        return []
+
+    def split_reqs(value: str) -> list[str]:
+        parts = value.splitlines() if "\n" in value else value.split(";")
+        return [r.strip() for r in parts if r.strip()]
+
+    lines: list[str] = []
+    lines.extend(split_reqs(cfg.get("options", "install_requires", fallback="")))
+    lines.extend(split_reqs(cfg.get("options", "setup_requires", fallback="")))
+    if cfg.has_section("options.extras_require"):
+        for _, value in cfg.items("options.extras_require"):
+            lines.extend(split_reqs(value))
+    return parse_requirements_txt("\n".join(lines))
+
+
+_SECRET_RE = re.compile(
+    r"\$\{\{\s*secrets(?:"
+    r"\.([A-Za-z_][A-Za-z0-9_]*)"
+    r"|"
+    r"\[\s*['\"]([A-Za-z_][A-Za-z0-9_]*?)['\"]\s*\]"
+    r")\s*\}\}"
+)
+_SHA_RE = re.compile(r"^[a-f0-9]{40}$")
+
+
+def _parse_action_ref(uses: str) -> dict[str, Any] | None:
+    """'uses' reference → action dict (``workflow_parser.py:62-134``):
+    ``./local`` paths, ``docker://`` images, and ``owner/repo[@ref]``
+    with SHA-pinning detection."""
+    uses = (uses or "").strip()
+    if not uses:
+        return None
+    if uses.startswith("./"):
+        return {"full_name": uses, "owner": "", "version": "",
+                "is_pinned": False, "is_local": True, "raw_uses": uses}
+    if uses.startswith("docker://"):
+        return {"full_name": uses, "owner": "docker", "version": "",
+                "is_pinned": False, "is_local": False, "raw_uses": uses}
+    ref_part, _, version = uses.rpartition("@") if "@" in uses else (uses, "", "")
+    parts = ref_part.split("/")
+    owner = parts[0] if len(parts) >= 2 else ""
+    name = "/".join(parts[1:]) if len(parts) >= 2 else ref_part
+    return {
+        "full_name": f"{owner}/{name}" if owner else name,
+        "owner": owner,
+        "version": version,
+        "is_pinned": bool(_SHA_RE.match(version)),
+        "is_local": False,
+        "raw_uses": uses,
+    }
+
+
+def parse_workflow(content: str) -> dict[str, Any]:
+    """GitHub Actions workflow YAML → actions / secrets / triggers.
+
+    Mirrors ``workflow_parser.py:193-278``: job- and step-level ``uses``
+    references (deduped by raw string), secret references regexed from
+    the raw text in both dot and bracket notation, trigger events from
+    the ``on`` key (which YAML may parse as boolean True). Malformed or
+    non-mapping YAML → empty.
+    """
+    try:
+        import yaml
+        wf = yaml.safe_load(content)
+    except Exception:
+        return {"actions": [], "secrets": [], "triggers": []}
+    if not isinstance(wf, dict):
+        return {"actions": [], "secrets": [], "triggers": []}
+
+    on = wf.get("on") or wf.get(True, {})
+    if isinstance(on, str):
+        triggers = [on]
+    elif isinstance(on, list):
+        triggers = [str(t) for t in on]
+    elif isinstance(on, dict):
+        triggers = [str(k) for k in on]
+    else:
+        triggers = []
+
+    actions: list[dict[str, Any]] = []
+    seen: set[str] = set()
+
+    def add(uses):
+        a = _parse_action_ref(uses) if isinstance(uses, str) else None
+        if a and a["raw_uses"] not in seen:
+            seen.add(a["raw_uses"])
+            actions.append(a)
+
+    jobs = wf.get("jobs", {})
+    if isinstance(jobs, dict):
+        for job in jobs.values():
+            if not isinstance(job, dict):
+                continue
+            add(job.get("uses"))
+            steps = job.get("steps", [])
+            if isinstance(steps, list):
+                for step in steps:
+                    if isinstance(step, dict):
+                        add(step.get("uses"))
+
+    secrets = sorted({dot or bracket for dot, bracket in _SECRET_RE.findall(content)})
+    return {"actions": actions, "secrets": secrets, "triggers": triggers}
+
+
 # ---------------------------------------------------------------------------
 # fact emission (domain mappings -> triples)
 # ---------------------------------------------------------------------------
@@ -295,6 +415,24 @@ def _iam_facts(repo: str, roles: list[dict[str, Any]]) -> list[Fact]:
     return facts
 
 
+
+
+def _workflow_facts(repo: str, wf: dict[str, Any]) -> list[Fact]:
+    facts: list[Fact] = [("Repo", repo, None, None, None, {"name": repo})]
+    for a in wf["actions"]:
+        action_id = a["raw_uses"]
+        facts.append(
+            ("GithubAction", action_id, None, None, None,
+             {"full_name": a["full_name"], "version": a["version"],
+              "is_pinned": a["is_pinned"], "is_local": a["is_local"]})
+        )
+        facts.append(("Repo", repo, "USES_ACTION", "GithubAction", action_id, {}))
+    for secret in wf["secrets"]:
+        facts.append(("Secret", secret, None, None, None, {"name": secret}))
+        facts.append(("Repo", repo, "REFERENCES_SECRET", "Secret", secret, {}))
+    return facts
+
+
 def _route(lang: str, path: str) -> Callable[[str, str], list[Fact]] | None:
     """Parser registry keyed by (lang, filename pattern)."""
     base = path.rsplit("/", 1)[-1].lower()
@@ -308,6 +446,10 @@ def _route(lang: str, path: str) -> Callable[[str, str], list[Fact]] | None:
         return lambda repo, c: _dockerfile_facts(repo, parse_dockerfile(c))
     if base.endswith("iam.json") or base == "roles.json":
         return lambda repo, c: _iam_facts(repo, parse_iam_manifest(c))
+    if base == "setup.cfg":
+        return lambda repo, c: _requirements_facts(repo, parse_setup_cfg(c))
+    if "/.github/workflows/" in f"/{path.lower()}" and base.endswith((".yml", ".yaml")):
+        return lambda repo, c: _workflow_facts(repo, parse_workflow(c))
     return None
 
 

@@ -110,6 +110,35 @@ def _iam_manifest(rng: random.Random, repo_idx: int, hub_fraction: float) -> str
     )
 
 
+
+
+HUB_ACTION = "actions/checkout@v4"
+
+
+def _setup_cfg(pkgs: list[tuple[str, str]]) -> str:
+    lines = ["[metadata]", "name = app", "", "[options]", "install_requires ="]
+    for n, v in pkgs:
+        lines.append(f"    {n}=={v}")
+    lines += ["", "[options.extras_require]", "dev =", "    pytest"]
+    return "\n".join(lines) + "\n"
+
+
+def _workflow(rng: random.Random, repo_idx: int, hub_fraction: float) -> str:
+    action = HUB_ACTION if rng.random() < hub_fraction else f"org{repo_idx % 50}/act@v{rng.randrange(1, 4)}"
+    pinned = "deadbeef" * 5  # 40-hex pinned sha
+    return (
+        "name: ci\n"
+        "on: [push]\n"
+        "jobs:\n"
+        "  build:\n"
+        "    runs-on: ubuntu-latest\n"
+        "    steps:\n"
+        f"      - uses: {action}\n"
+        f"      - uses: local-org/tool@{pinned}\n"
+        "      - run: echo ${{ secrets.DEPLOY_KEY }}\n"
+    )
+
+
 def repo_rows(
     repo_idx: int,
     seed: int = 42,
@@ -162,6 +191,9 @@ def repo_rows(
         ("deploy/iam.json", "json-manifest",
          lambda: _iam_manifest(rng, repo_idx, hub_fraction)),
         ("src/main.py", "python", lambda: f"print('app {repo_idx}')\n"),
+        ("setup.cfg", "python", lambda: _setup_cfg(pick_pkgs(2))),
+        (".github/workflows/ci.yml", "yaml",
+         lambda: _workflow(rng, repo_idx, hub_fraction)),
     ]
     for path, lang, make in kinds[:files_per_repo]:
         add(path, lang, make())

@@ -146,3 +146,66 @@ def test_parse_file_routing_and_resilience():
     facts = parse_file("r", "Dockerfile", "dockerfile", "FROM ubuntu:22.04\n")
     preds = {f[2] for f in facts if f[2]}
     assert preds == {"USES_BASE_IMAGE"}
+
+
+def test_setup_cfg_parser():
+    from cartography_spark.functions.parsers import parse_setup_cfg
+
+    cfg = (
+        "[options]\n"
+        "install_requires =\n    requests==2.31.0\n    flask>=2.0\n"
+        "setup_requires = wheel\n"
+        "[options.extras_require]\ndev = pytest==7.0.0; mypy\n"
+    )
+    got = {r["id"]: r["version"] for r in parse_setup_cfg(cfg)}
+    # reference semantics (repos.py:2010-2039): install+setup+extras,
+    # multi-line split on newlines, single-line on ';'
+    assert got == {
+        "requests|2.31.0": "2.31.0", "flask": None, "wheel": None,
+        "pytest|7.0.0": "7.0.0", "mypy": None,
+    }
+    assert parse_setup_cfg("not an ini {{{{") == []
+
+
+def test_workflow_parser():
+    from cartography_spark.functions.parsers import parse_workflow
+
+    wf = (
+        "name: ci\non: [push, pull_request]\n"
+        "jobs:\n  build:\n    steps:\n"
+        "      - uses: actions/checkout@v4\n"
+        "      - uses: actions/setup-python@" + "a" * 40 + "\n"
+        "      - uses: ./.github/actions/local\n"
+        "      - uses: docker://alpine:3.8\n"
+        "      - run: echo ${{ secrets.DEPLOY_TOKEN }}\n"
+        "        env:\n          K: ${{ secrets['OTHER'] }}\n"
+        "  reuse:\n    uses: octo/shared/.github/workflows/ci.yml@v1\n"
+    )
+    got = parse_workflow(wf)
+    by_raw = {a["raw_uses"]: a for a in got["actions"]}
+    assert by_raw["actions/checkout@v4"]["is_pinned"] is False
+    assert by_raw["actions/setup-python@" + "a" * 40]["is_pinned"] is True
+    assert by_raw["./.github/actions/local"]["is_local"] is True
+    assert by_raw["docker://alpine:3.8"]["owner"] == "docker"
+    assert by_raw["octo/shared/.github/workflows/ci.yml@v1"]["owner"] == "octo"
+    assert got["secrets"] == ["DEPLOY_TOKEN", "OTHER"]
+    assert got["triggers"] == ["push", "pull_request"]
+    # malformed → empty, never raises
+    assert parse_workflow(":[invalid yaml")["actions"] == []
+
+
+def test_workflow_and_setup_cfg_reach_pipeline(spark):
+    """files_per_repo=8 turns on the new file kinds end-to-end."""
+    from pyspark.sql import functions as F
+
+    from cartography_spark.functions.parsers import extract_facts
+    from cartography_spark.sources.repo_files import synthesize_repo_files
+
+    files = synthesize_repo_files(spark, 10, files_per_repo=8)
+    facts = extract_facts(files)
+    labels = {
+        r[0] for r in facts.filter(F.col("pred").isNull()).select("subj_label").distinct().collect()
+    }
+    assert {"GithubAction", "Secret"} <= labels
+    rels = {r[0] for r in facts.filter(F.col("pred").isNotNull()).select("pred").distinct().collect()}
+    assert {"USES_ACTION", "REFERENCES_SECRET"} <= rels

@@ -1,0 +1,165 @@
+"""Read-only rules engine (SURVEY.md §2.7 N4).
+
+The reference's rules framework (``rules/spec/model.py:363-463``)
+defines a ``Fact``: a read-only graph query plus a total-count query,
+with a declared ``(asset_label, asset_id_field)`` anchor and stable
+``identity_fields`` for findings. Runners execute facts and report
+failing/total counts (``rules/runners.py``).
+
+Spark-first: the graph is exposed as ``nodes`` / ``edges`` temp views
+(plus a ``node_props`` convenience view with the props map exploded to
+columnsless key/value rows), and a Fact is an ANSI SQL query over them.
+Validation mirrors the reference's construction-time checks — a Fact
+that can't prove its anchor or identity columns fails before it ever
+runs — but against the query's *resolved schema* (Catalyst tells us the
+output columns; no regex parsing of query text needed).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Mapping
+
+from pyspark.sql import DataFrame, functions as F
+
+from cartography_spark.store.graphstore import GraphStore
+
+RESERVED_FINDING_FIELDS = frozenset({"source", "extra"})
+
+
+def register_graph_views(store: GraphStore) -> None:
+    """Register ``nodes``/``edges``/``node_props`` temp views for SQL."""
+    store.nodes().createOrReplaceTempView("nodes")
+    store.edges().createOrReplaceTempView("edges")
+    store.nodes().select(
+        "label", "id", F.explode_outer("props").alias("prop_key", "prop_value")
+    ).createOrReplaceTempView("node_props")
+
+
+@dataclass(frozen=True)
+class Fact:
+    """A read-only query with a declared asset anchor.
+
+    ``sql_query`` must return ``asset_id_field`` and every
+    ``identity_fields`` column; ``count_sql`` returns one row with a
+    ``count`` column (all assets in scope, matching or not).
+    """
+
+    id: str
+    name: str
+    description: str
+    sql_query: str
+    count_sql: str
+    identity_fields: tuple[str, ...]
+    asset_label: str
+    asset_id_field: str
+
+    def __post_init__(self) -> None:
+        if not self.identity_fields:
+            raise ValueError(f"Fact '{self.id}' must declare identity_fields")
+        if not self.asset_label or not self.asset_id_field:
+            raise ValueError(
+                f"Fact '{self.id}' must declare the (asset_label, asset_id_field) anchor"
+            )
+
+    def validate(self, spark) -> None:
+        """Resolved-schema checks (the reference's :363-463 invariants,
+        via Catalyst analysis instead of query-text regexes)."""
+        cols = set(spark.sql(self.sql_query).columns)
+        missing = [f for f in (*self.identity_fields, self.asset_id_field) if f not in cols]
+        if missing:
+            raise ValueError(
+                f"Fact '{self.id}' query does not return declared column(s) {missing}"
+            )
+        reserved = RESERVED_FINDING_FIELDS & cols
+        if reserved:
+            raise ValueError(
+                f"Fact '{self.id}' aliases reserved Finding field(s) {sorted(reserved)}"
+            )
+        count_cols = spark.sql(self.count_sql).columns
+        if count_cols != ["count"]:
+            raise ValueError(
+                f"Fact '{self.id}' count_sql must return a single 'count' column, "
+                f"got {count_cols}"
+            )
+
+
+def run_fact(store: GraphStore, fact: Fact) -> dict[str, Any]:
+    """Execute one fact → findings + failing/total counts.
+
+    ``failing`` counts DISTINCT asset ids (one asset can produce many
+    finding rows — ``model.py:405-412``); findings carry the anchor so
+    consumers can locate the node without inferring the label.
+    """
+    spark = store.spark
+    register_graph_views(store)
+    fact.validate(spark)
+    findings: DataFrame = spark.sql(fact.sql_query).withColumn(
+        "asset_label", F.lit(fact.asset_label)
+    )
+    one = findings.agg(
+        F.countDistinct(fact.asset_id_field).alias("failing"),
+        F.count(F.lit(1)).alias("rows"),
+    ).collect()[0]
+    total = spark.sql(fact.count_sql).collect()[0]["count"]
+    result = {
+        "fact_id": fact.id,
+        "failing": int(one["failing"]),
+        "finding_rows": int(one["rows"]),
+        "total": int(total),
+        "findings": findings,
+    }
+    store.record_lineage(
+        "rule_fact",
+        {k: v for k, v in result.items() if k != "findings"},
+    )
+    return result
+
+
+def run_facts(store: GraphStore, facts: list[Fact]) -> list[dict[str, Any]]:
+    return [run_fact(store, f) for f in facts]
+
+
+# ---------------------------------------------------------------------------
+# built-in facts over the KG-construction schema
+# ---------------------------------------------------------------------------
+
+UNPINNED_ACTIONS = Fact(
+    id="unpinned_github_actions",
+    name="Unpinned GitHub Actions",
+    description="Repos using an action not pinned to a full commit SHA "
+    "(mutable tags are a supply-chain risk).",
+    sql_query="""
+        SELECT e.src_id AS repo_id, n.id AS action_ref
+        FROM edges e JOIN nodes n
+          ON n.label = 'GithubAction' AND n.id = e.dst_id
+        WHERE e.rel_label = 'USES_ACTION'
+          AND n.props['is_pinned'] = 'false'
+          AND n.props['is_local'] = 'false'
+    """,
+    count_sql="SELECT count(*) AS count FROM nodes WHERE label = 'GithubAction'",
+    identity_fields=("repo_id", "action_ref"),
+    asset_label="GithubAction",
+    asset_id_field="action_ref",
+)
+
+EXTERNAL_TRUSTED_ROLES = Fact(
+    id="roles_trusting_hub_principal",
+    name="Roles trusting a shared principal",
+    description="Roles whose trust policy includes a principal trusted "
+    "by many other roles (blast-radius concentration).",
+    sql_query="""
+        WITH fanin AS (
+          SELECT dst_id AS principal, count(*) AS n_roles
+          FROM edges WHERE rel_label = 'TRUSTS'
+          GROUP BY dst_id HAVING count(*) >= 10
+        )
+        SELECT e.src_id AS role_id, e.dst_id AS principal, f.n_roles
+        FROM edges e JOIN fanin f ON e.dst_id = f.principal
+        WHERE e.rel_label = 'TRUSTS'
+    """,
+    count_sql="SELECT count(*) AS count FROM nodes WHERE label = 'Role'",
+    identity_fields=("role_id", "principal"),
+    asset_label="Role",
+    asset_id_field="role_id",
+)

@@ -1,0 +1,81 @@
+"""Rules engine (N4): facts over the graph with anchor validation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.plans.pipeline import run_pipeline
+from cartography_spark.plans.rules import (
+    EXTERNAL_TRUSTED_ROLES,
+    Fact,
+    UNPINNED_ACTIONS,
+    run_fact,
+)
+from cartography_spark.sources.repo_files import synthesize_repo_files
+
+
+@pytest.fixture(scope="module")
+def synced_store(spark, tmp_path_factory):
+    from cartography_spark.store.graphstore import GraphStore
+
+    root = str(tmp_path_factory.mktemp("rules_store"))
+    store = GraphStore(spark, root)
+    files = synthesize_repo_files(spark, 25, files_per_repo=8)
+    run_pipeline(spark, files, store, update_tag=1)
+    return store
+
+
+def test_unpinned_actions_fact(synced_store):
+    res = run_fact(synced_store, UNPINNED_ACTIONS)
+    assert res["failing"] > 0  # hub action actions/checkout@v4 is unpinned
+    rows = res["findings"].collect()
+    refs = {r["action_ref"] for r in rows}
+    assert "actions/checkout@v4" in refs
+    # pinned 40-hex action never appears
+    assert not any("deadbeef" in r for r in refs)
+    assert all(r["asset_label"] == "GithubAction" for r in rows)
+    assert res["total"] >= res["failing"]
+
+
+def test_hub_principal_fact(synced_store):
+    res = run_fact(synced_store, EXTERNAL_TRUSTED_ROLES)
+    # the shared-ci-role hub principal is trusted by most of 25 repos
+    assert res["failing"] > 0
+    principals = {r["principal"] for r in res["findings"].collect()}
+    assert any("shared-ci-role" in p for p in principals)
+
+
+def test_fact_validation_rejects_bad_anchor(synced_store):
+    bad = Fact(
+        id="bad", name="b", description="",
+        sql_query="SELECT id AS something FROM nodes LIMIT 1",
+        count_sql="SELECT count(*) AS count FROM nodes",
+        identity_fields=("something",),
+        asset_label="Repo",
+        asset_id_field="repo_id",  # not returned by the query
+    )
+    with pytest.raises(ValueError, match="does not return declared"):
+        run_fact(synced_store, bad)
+    with pytest.raises(ValueError, match="identity_fields"):
+        Fact(
+            id="x", name="x", description="", sql_query="SELECT 1",
+            count_sql="SELECT count(*) AS count FROM nodes",
+            identity_fields=(), asset_label="A", asset_id_field="a",
+        )
+
+
+def test_failing_counts_distinct_assets(spark, synced_store):
+    """One asset with many finding rows counts once (model.py:405-412)."""
+    fact = Fact(
+        id="repo_secret_rows", name="", description="",
+        sql_query="""
+            SELECT src_id AS repo_id, dst_id AS secret
+            FROM edges WHERE rel_label = 'REFERENCES_SECRET'
+        """,
+        count_sql="SELECT count(*) AS count FROM nodes WHERE label = 'Repo'",
+        identity_fields=("repo_id", "secret"),
+        asset_label="Repo",
+        asset_id_field="repo_id",
+    )
+    res = run_fact(synced_store, fact)
+    assert res["failing"] <= res["finding_rows"]
+    assert res["failing"] > 0

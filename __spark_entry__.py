@@ -722,6 +722,27 @@ def kg_connected_components(spark, sf_dir):
     )
 
 
+
+
+def kg_rules_engine(spark, sf_dir):
+    """N4 rules engine (rows-only): SQL facts over graph views on a
+    synthesized synced store."""
+    from cartography_spark.plans.pipeline import run_pipeline
+    from cartography_spark.plans.rules import UNPINNED_ACTIONS, run_fact
+    from cartography_spark.sources.repo_files import synthesize_repo_files
+    from cartography_spark.store.graphstore import GraphStore
+
+    root = tempfile.mkdtemp(prefix="kg_rules_")
+    store = GraphStore(spark, root)
+    run_pipeline(spark, synthesize_repo_files(spark, 12, files_per_repo=8), store, update_tag=1)
+    res = run_fact(store, UNPINNED_ACTIONS)
+    return (
+        res["findings"]
+        .select("repo_id", "action_ref", "asset_label")
+        .orderBy("repo_id", "action_ref")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_join_revenue_by_nation(spark, "/root/testdata/sf0.001")
@@ -766,6 +787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sync_graph": kg_sync_graph,
         "kg_connected_components": kg_connected_components,
         "kg_permission_join": kg_permission_join,
+        "kg_rules_engine": kg_rules_engine,
     }
 
 

@@ -368,16 +368,33 @@ def q_lsh_band_buckets(spark, sf_dir):
 
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
-    """Near-dup scoring: word-set Jaccard over a blocked pair range
-    (doc_id < 40) — intersection via self-join on word, exact int/int
-    division."""
-    words = _doc_words(spark, sf_dir).filter(F.col("doc_id") < 40).distinct()
+    """Near-dup scoring fed from the LSH band buckets: candidate pairs
+    are docs sharing a (mh0, mh1) band — the bucket-join output of
+    q_lsh_band_buckets — NOT an id-range block, so the pair space stays
+    bounded by bucket sizes at any corpus scale. Intersections are
+    counted by routing each candidate pair through the word sets of
+    both endpoints (two equi-joins), never an all-pairs word self-join."""
+    words = _doc_words(spark, sf_dir).distinct()
+    sig = q_minhash_signatures(spark, sf_dir)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.mh0") == F.col("b.mh0"))
+            & (F.col("a.mh1") == F.col("b.mh1"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
     sizes = words.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = words.alias("a")
-    b = words.alias("b")
+    wa = words.select(F.col("doc_id").alias("doc_a"), "word")
+    wb = words.select(F.col("doc_id").alias("doc_b"), "word")
     inter = (
-        a.join(b, (F.col("a.word") == F.col("b.word")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        pairs.join(wa, on="doc_a")
+        .join(wb, on=["doc_b", "word"])
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
     j = (
@@ -606,6 +623,33 @@ def q_embedding_near_dup(spark, sf_dir):
     )
 
 
+def q_ontology_entity_link(spark, sf_dir):
+    """J10/N3 ontology entity linking, the HAS_ACCOUNT shape
+    (``analysis/ontology/analysis.py:482-499``;
+    cartography_spark.plans.ontology_users.user_has_verified_domain_
+    account_job): canonical users joined to orgs via membership in an
+    array-valued verified-emails property — built with collect_set and
+    resolved by explode + equi-join on the email key (shuffles one row
+    per (org, email), never per pair)."""
+    cust = _t(spark, sf_dir, "customer")
+    email = F.concat(
+        F.lit("u"), (F.col("c_custkey") % 500).cast("string"), F.lit("@corp.io")
+    )
+    users = cust.select(email.alias("email")).distinct()
+    org = (
+        cust.filter(F.col("c_acctbal") > 1000)
+        .select(F.col("c_nationkey").alias("org_id"), email.alias("email"))
+        .groupBy("org_id")
+        .agg(F.collect_set("email").alias("verified_emails"))
+    )
+    exploded = org.select("org_id", F.explode("verified_emails").alias("email"))
+    return (
+        users.join(exploded, on="email", how="inner")
+        .select("email", "org_id")
+        .orderBy("email", "org_id")
+    )
+
+
 def q_ontology_normalize(spark, sf_dir):
     """P4 ontology scalar normalization through the real module
     (cartography_spark.functions.ontology): mapping / equal_boolean /
@@ -649,20 +693,36 @@ def q_ontology_normalize(spark, sf_dir):
 
 
 def kg_permission_join(spark, sf_dir):
-    """J9 wildcard permission join (rows-only: regex fullmatch over
-    policy JSON is not ANSI-SQL); deterministic synthesized input."""
+    """J9 wildcard permission join through the real evaluator
+    (cartography_spark.operators.permission), with a DuckDB
+    regexp_full_match oracle over the same simplified clause set:
+    even nations may read shared-* buckets but are explicitly DENIED
+    shared-a* (deny precedence); odd nations only hold private-*
+    grants and match nothing. Blocking keys (account, service) prune
+    pairs before evaluation."""
     import json as _json
 
     from cartography_spark.operators.permission import permission_relationships
 
+    allow_shared = _json.dumps({
+        "p": [
+            {"effect": "Allow", "action": ["s3:Get*"],
+             "resource": ["arn:aws:s3:::shared-*"]},
+            {"effect": "Deny", "action": ["s3:*"],
+             "resource": ["arn:aws:s3:::shared-a*"]},
+        ]
+    })
+    allow_private = _json.dumps({
+        "p": [{"effect": "Allow", "action": ["s3:Get*"],
+               "resource": ["arn:aws:s3:::private-*"]}]
+    })
     n = _t(spark, sf_dir, "nation")
     principals = n.select(
         F.concat(F.lit("arn:aws:iam::"), "n_nationkey", F.lit(":role/reader")).alias("principal_arn"),
         F.col("n_regionkey").cast("string").alias("account_id"),
-        F.lit(_json.dumps({
-            "p": [{"effect": "Allow", "action": ["s3:Get*"],
-                   "resource": ["arn:aws:s3:::shared-*"]}]
-        })).alias("policies_json"),
+        F.when(F.col("n_nationkey") % 2 == 0, F.lit(allow_shared))
+        .otherwise(F.lit(allow_private))
+        .alias("policies_json"),
     )
     r = _t(spark, sf_dir, "region")
     resources = r.select(
@@ -783,6 +843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rolling_shingle_fingerprint": q_rolling_shingle_fingerprint,
         "q_embedding_near_dup": q_embedding_near_dup,
         "q_ontology_normalize": q_ontology_normalize,
+        "q_ontology_entity_link": q_ontology_entity_link,
         "kg_extract_triples": kg_extract_triples,
         "kg_sync_graph": kg_sync_graph,
         "kg_connected_components": kg_connected_components,
@@ -969,11 +1030,18 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY mh0, mh1
         """,
         "q_ngram_jaccard_pairs": f"""
-            WITH w AS (SELECT * FROM ({dwords}) WHERE doc_id < 40),
+            WITH w AS ({dwords}),
+                 sig AS (SELECT doc_id, {mh} FROM ({dwords}) GROUP BY doc_id),
+                 pairs AS (
+                   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM sig a JOIN sig b
+                     ON a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND a.doc_id < b.doc_id),
                  sizes AS (SELECT doc_id, count(*) AS sz FROM w GROUP BY doc_id),
                  inter AS (
-                   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-                   FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+                   SELECT p.doc_a, p.doc_b, count(*) AS inter
+                   FROM pairs p
+                   JOIN w wa ON wa.doc_id = p.doc_a
+                   JOIN w wb ON wb.doc_id = p.doc_b AND wb.word = wa.word
                    GROUP BY 1, 2)
             SELECT doc_a, doc_b, inter,
                    CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
@@ -982,6 +1050,47 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.9
             ORDER BY doc_a, doc_b
+        """,
+        "q_ontology_entity_link": """
+            WITH users AS (
+              SELECT DISTINCT 'u' || CAST(c_custkey % 500 AS VARCHAR) || '@corp.io' AS email
+              FROM customer),
+            org AS (
+              SELECT c_nationkey AS org_id,
+                     list(DISTINCT 'u' || CAST(c_custkey % 500 AS VARCHAR) || '@corp.io') AS verified_emails
+              FROM customer WHERE c_acctbal > 1000
+              GROUP BY c_nationkey),
+            exploded AS (
+              SELECT org_id, unnest(verified_emails) AS email FROM org)
+            SELECT u.email, e.org_id
+            FROM users u JOIN exploded e ON u.email = e.email
+            ORDER BY u.email, e.org_id
+        """,
+        "kg_permission_join": """
+            SELECT 'arn:aws:iam::' || CAST(n_nationkey AS VARCHAR) || ':role/reader' AS principal_arn,
+                   'arn:aws:s3:::shared-' || lower(r_name) AS resource_arn
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            WHERE n_nationkey % 2 = 0
+              AND regexp_full_match(lower('arn:aws:s3:::shared-' || lower(r_name)),
+                                    'arn:aws:s3:::shared\\-.*')
+              AND NOT regexp_full_match(lower('arn:aws:s3:::shared-' || lower(r_name)),
+                                        'arn:aws:s3:::shared\\-a.*')
+            ORDER BY principal_arn, resource_arn
+        """,
+        "kg_connected_components": """
+            WITH RECURSIVE edges AS (
+              SELECT 'o' || CAST(o_orderkey AS VARCHAR) AS src,
+                     'c' || CAST(o_custkey AS VARCHAR) AS dst
+              FROM orders WHERE o_orderkey % 50 = 0),
+            nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+            ug AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
+            walk AS (
+              SELECT id, id AS reach FROM nodes
+              UNION
+              SELECT w.id, ug.dst AS reach FROM walk w JOIN ug ON w.reach = ug.src),
+            comp AS (SELECT id, min(reach) AS component FROM walk GROUP BY id),
+            sizes AS (SELECT component, count(*) AS sz FROM comp GROUP BY component)
+            SELECT sz, count(*) AS n_components FROM sizes GROUP BY sz ORDER BY sz
         """,
         "q_simhash_fingerprints": f"""
             WITH h AS (SELECT doc_id, md5(word) AS h FROM ({dwords})),

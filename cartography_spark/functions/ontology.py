@@ -18,8 +18,9 @@ clauses in ``graph/querybuilder.py:24-318``:
 Here each kind compiles to a JVM-side Column expression (``F.when`` /
 ``F.coalesce`` / ``create_map`` lookup / ``cast("boolean")``) — no UDFs,
 fully codegen-able, so normalization of 10^12 rows stays inside
-whole-stage codegen. ``toBooleanOrNull`` maps to Spark's string→boolean
-cast (accepts true/false/t/f/y/yes/n/no/1/0; anything else → null).
+whole-stage codegen. ``toBooleanOrNull`` is matched strictly (Cypher
+semantics: 'true'/'false' any-case, booleans, integers; else null) —
+NOT Spark's permissive string→boolean cast.
 
 ``required`` fields drive the row filter the reference applies when
 extracting ontology nodes (``intel/ontology/utils.py:44-58``): rows
@@ -54,9 +55,18 @@ class OntologyFieldMapping:
 
 
 def _to_boolean_or_null(col: Column) -> Column:
-    # try_cast: malformed input → null (Cypher toBooleanOrNull), even
-    # under Spark 4's ANSI-mode cast
-    return col.cast("string").try_cast("boolean")
+    # Cypher toBooleanOrNull parity: only 'true'/'false' (any case),
+    # booleans, and integers (0 → false, else true) convert; anything
+    # else — including Spark's permissive y/yes/t/1-style cast inputs —
+    # yields null. invert_boolean('yes') must come out true (NOT of
+    # coalesce(null, false)), not false.
+    s = F.lower(col.cast("string"))
+    return (
+        F.when(s == "true", F.lit(True))
+        .when(s == "false", F.lit(False))
+        .when(s.rlike("^-?[0-9]+$"), s.try_cast("long") != F.lit(0))
+        .otherwise(F.lit(None).cast("boolean"))
+    )
 
 
 def compile_field(m: OntologyFieldMapping) -> Column:

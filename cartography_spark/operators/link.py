@@ -180,10 +180,16 @@ def salted_join(
     ``salt`` reducers instead of one. Salt columns are dropped on the
     way out. Use for known-hot dimensions (shared roles, base images);
     for organic skew AQE's skew-join split is already enabled.
+
+    The salt hashes the row's own (hashable) columns, never
+    ``monotonically_increasing_id``: a task retry recomputes the same
+    salt for the same row, keeping shuffle placement — and therefore
+    plans, AQE decisions, and debugging — reproducible.
     """
-    f = fact.withColumn(
-        "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt))
-    )
+    hash_cols = [
+        F.col(c) for c, t in fact.dtypes if not t.startswith("map")
+    ] or [F.col(fact_key)]
+    f = fact.withColumn("__salt", F.pmod(F.xxhash64(*hash_cols), F.lit(salt)))
     d = dim.withColumn(
         "__salt", F.explode(F.array([F.lit(i) for i in range(salt)]))
     )

@@ -32,6 +32,8 @@ import re
 from typing import Iterable, Iterator, Pattern
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 _REGEX_CACHE: dict[str, Pattern] = {}
 _S3_BUCKET_ARN_PREFIX = "arn:aws:s3:::"
@@ -94,31 +96,80 @@ def _statement_applies(stmt: dict, permission: str, resource_arn: str) -> bool:
     return True
 
 
+def _policy_allows(
+    statements: list[dict],
+    permissions: list[str],
+    resource_arn: str,
+) -> tuple[bool, bool]:
+    """One policy → (allowed, explicit_deny), mirroring the reference's
+    ``evaluate_policy_for_permissions`` (``permission_relationships.py:
+    177-217``): permissions are tested in order; the first one an
+    applicable Deny statement covers short-circuits to (False, True),
+    and the first one an applicable Allow covers short-circuits to
+    (True, False) — later permissions in the list are NOT evaluated
+    against this policy once either fires."""
+    allow_stmts = [s for s in statements if s.get("effect") == "Allow"]
+    deny_stmts = [s for s in statements if s.get("effect") == "Deny"]
+    for permission in permissions:
+        if any(_statement_applies(s, permission, resource_arn) for s in deny_stmts):
+            return False, True
+        if any(_statement_applies(s, permission, resource_arn) for s in allow_stmts):
+            return True, False
+    return False, False
+
+
 def principal_allowed(
     policies: dict[str, list[dict]],
     resource_arn: str,
     permissions: list[str],
 ) -> bool:
     """Allow/Deny evaluation across all policies of one principal
-    (``permission_relationships.py:178-251``): an explicit deny in any
-    policy vetoes; otherwise any allow grants."""
+    (``permission_relationships.py:220-251``): an explicit deny from any
+    policy vetoes; otherwise any policy-level allow grants."""
     granted = False
     for statements in policies.values():
-        for permission in permissions:
-            denied = any(
-                s.get("effect") == "Deny"
-                and _statement_applies(s, permission, resource_arn)
-                for s in statements
-            )
-            if denied:
-                return False
-            if not granted and any(
-                s.get("effect") == "Allow"
-                and _statement_applies(s, permission, resource_arn)
-                for s in statements
-            ):
-                granted = True
+        allowed, explicit_deny = _policy_allows(statements, permissions, resource_arn)
+        if explicit_deny:
+            return False
+        if not granted and allowed:
+            granted = True
     return granted
+
+
+_WILDCARD_SERVICE = "*"
+
+
+def clause_service(clause: str) -> str:
+    """Service segment of an ARN-shaped clause, or ``"*"`` when the
+    clause's first three ``:``-segments carry wildcards (so it could
+    reach any service). A non-wildcard service clause literally pins
+    ``arn:<partition>:<service>:`` — any ARN it fullmatches must carry
+    exactly those segments, which is what makes service blocking a pure
+    prune (SURVEY §2.3 J9 "prefix blocking (service, account)")."""
+    parts = clause.split(":", 3)
+    if len(parts) < 3:
+        return _WILDCARD_SERVICE
+    for seg in parts[:3]:
+        if "*" in seg or "?" in seg:
+            return _WILDCARD_SERVICE
+    return parts[2].lower()
+
+
+def policy_services(policies: dict[str, list[dict]]) -> list[str]:
+    """Distinct services a principal's Resource clauses can reach;
+    ``["*"]`` when any clause is service-wildcarded. Only ``resource``
+    clauses matter: a statement without them never applies
+    (``permission_relationships.py:114-121``), and NotResource never
+    creates a match."""
+    services: set[str] = set()
+    for statements in policies.values():
+        for stmt in statements:
+            for clause in stmt.get("resource", []):
+                svc = clause_service(clause)
+                if svc == _WILDCARD_SERVICE:
+                    return [_WILDCARD_SERVICE]
+                services.add(svc)
+    return sorted(services)
 
 
 def permission_relationships(
@@ -134,13 +185,74 @@ def permission_relationships(
     statement keys (effect/action/notaction/resource/notresource), the
     shape the reference's IAM transform produces.
     ``resources``: (resource_arn, <block_on>).
+
+    Blocking is two-level: (account, service). Each principal is
+    exploded to one row per service its Resource clauses can reach
+    (wildcard policies keep the account-only path), and resources carry
+    ``service = lower(split(arn, ':')[2])``; the equi-join on both keys
+    prunes the per-account pair space to same-service pairs before any
+    Python evaluation runs. Within one whale account this turns
+    principals × resources into sum-over-services, and the final
+    evaluator only sees pairs that could possibly match.
     """
     import pandas as pd
 
     perms = list(permissions)
-    pairs = principals.join(resources, on=block_on, how="inner").select(
-        "principal_arn", "policies_json", "resource_arn"
+
+    p_fields = {f.name: f for f in principals.schema.fields}
+    svc_schema = T.StructType(
+        [
+            p_fields["principal_arn"],
+            p_fields[block_on],
+            p_fields["policies_json"],
+            T.StructField("service", T.StringType()),
+        ]
     )
+
+    def annotate(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        svc_cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            out_p, out_b, out_j, out_s = [], [], [], []
+            for p_arn, blk, pol_json in zip(
+                pdf["principal_arn"], pdf[block_on], pdf["policies_json"]
+            ):
+                services = svc_cache.get(pol_json)
+                if services is None:
+                    services = policy_services(json.loads(pol_json))
+                    svc_cache[pol_json] = services
+                for svc in services:
+                    out_p.append(p_arn)
+                    out_b.append(blk)
+                    out_j.append(pol_json)
+                    out_s.append(svc)
+            yield pd.DataFrame(
+                {
+                    "principal_arn": out_p,
+                    block_on: out_b,
+                    "policies_json": out_j,
+                    "service": out_s,
+                }
+            )
+
+    p_svc = principals.select(
+        "principal_arn", block_on, "policies_json"
+    ).mapInPandas(annotate, schema=svc_schema)
+    r_svc = resources.withColumn(
+        "service", F.lower(F.split(F.col("resource_arn"), ":").getItem(2))
+    )
+
+    pair_cols = ["principal_arn", "policies_json", "resource_arn"]
+    blocked = (
+        p_svc.filter(F.col("service") != _WILDCARD_SERVICE)
+        .join(r_svc, on=[block_on, "service"], how="inner")
+        .select(*pair_cols)
+    )
+    wild = (
+        p_svc.filter(F.col("service") == _WILDCARD_SERVICE)
+        .join(r_svc, on=block_on, how="inner")
+        .select(*pair_cols)
+    )
+    pairs = blocked.unionByName(wild)
 
     def evaluate(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         parsed: dict[str, dict] = {}

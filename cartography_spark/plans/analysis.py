@@ -3,10 +3,15 @@
 The reference's typed ``AnalysisJob`` (``graph/analysis.py:38-264``,
 compiled by ``graph/analysisbuilder.py:100-552``) matches a node set
 with a Cypher pattern and applies *effects* — ``SetProperty``,
-``SetProperties``, ``AddToSet``, ``AddRelationship`` — each with a
+``SetProperties``, ``SetRelationshipProperty[IfMissing]``,
+``AddToSet``, ``AddValuesToSet``, ``AddRelationship`` — each with a
 **generated cleanup** (``analysisbuilder.py:425-552``) so derived
 state left by a previous run disappears when the match no longer
-holds.
+holds. Property cleanups run BEFORE the effects
+(``cleanup_before_statements=True``, ``graph/analysis.py:205-231``):
+the derived property is removed from every row of the declared
+pattern, then re-set on currently-matched rows; relationship cleanups
+(AddRelationship) run after, deleting rels not restamped this run.
 
 Spark-first re-expression: the match is any DataFrame program over the
 store (multi-hop joins are plain joins over the edges table, J8) that
@@ -43,16 +48,77 @@ JOB_SCOPE_LABEL = "AnalysisJob"
 
 @dataclass(frozen=True)
 class SetProperty:
-    """Write one property on every matched node."""
+    """Write one property on every matched node.
+
+    ``label`` (``graph/analysis.py:70-76``) opts into generated
+    cleanup: before the effect applies, the property is removed from
+    EVERY node of that label (``analysisbuilder.py:461-469``,
+    ``cleanup_before_statements=True``), so nodes that stopped matching
+    lose the derived value."""
 
     name: str
     value: Column  # any Column over the match frame
+    label: str | None = None
+
+
+@dataclass(frozen=True)
+class SetProperties:
+    """Write several properties at once (``graph/analysis.py:78-84``)."""
+
+    properties: Mapping[str, Column]
+    label: str | None = None
 
 
 @dataclass(frozen=True)
 class AddToSet:
-    """Append a value to a set-valued property (JSON array string)."""
+    """Append a value to a set-valued property (JSON array string).
 
+    With ``label``, generated cleanup clears the property first each
+    run, so the set reflects only the current run's matches (reference
+    ``PropertyEffect`` pre-cleanup); without it, the set accumulates."""
+
+    name: str
+    value: Column
+    label: str | None = None
+
+
+@dataclass(frozen=True)
+class AddValuesToSet:
+    """Append several values to a set-valued property
+    (``graph/analysis.py:119-126``: one CASE append per value)."""
+
+    name: str
+    values: tuple[Column, ...]
+    label: str | None = None
+
+
+@dataclass(frozen=True)
+class SetRelationshipProperty:
+    """Set one property on matched relationships
+    (``graph/analysis.py:87-97``). The match frame must carry the edge
+    5-tuple key columns. Compiles to a props-only edge write — never a
+    lastupdated restamp, so the edge's owner GC is unaffected.
+
+    Generated cleanup (``analysisbuilder.py:471-489``,
+    before-statements): the property is removed from every edge of
+    ``rel_label`` whose endpoints match ``source_label``/``target_label``
+    (either may be None = unconstrained)."""
+
+    rel_label: str
+    name: str
+    value: Column
+    source_label: str | None = None
+    target_label: str | None = None
+
+
+@dataclass(frozen=True)
+class SetRelationshipPropertyIfMissing:
+    """Like :class:`SetRelationshipProperty` but existing values are
+    kept and there is NO generated cleanup
+    (``graph/analysis.py:99-109``; ``analysisbuilder.py:414-416``
+    registers None) — the property accumulates across runs."""
+
+    rel_label: str
     name: str
     value: Column
 
@@ -68,7 +134,15 @@ class AddRelationship:
     properties: Mapping[str, Column] = field(default_factory=dict)
 
 
-Effect = SetProperty | AddToSet | AddRelationship
+Effect = (
+    SetProperty
+    | SetProperties
+    | AddToSet
+    | AddValuesToSet
+    | SetRelationshipProperty
+    | SetRelationshipPropertyIfMissing
+    | AddRelationship
+)
 
 
 @dataclass(frozen=True)
@@ -80,13 +154,46 @@ class AnalysisJob:
     effects: tuple[Effect, ...]
 
 
-def _set_union_json(existing: Column, new_value: Column) -> Column:
-    """Merge a new scalar into a JSON-array-string set property."""
+def _set_union_json(existing: Column, new_values: list[Column]) -> Column:
+    """Merge new scalars into a JSON-array-string set property (the
+    reference's CASE-guarded list append, ``graph/analysis.py:298-306``,
+    applied once per value for AddValuesToSet)."""
     old_arr = F.coalesce(
         F.from_json(existing, "array<string>"), F.array().cast("array<string>")
     )
-    merged = F.array_sort(F.array_union(old_arr, F.array(new_value.cast("string"))))
+    merged = F.array_sort(
+        F.array_union(old_arr, F.array(*[v.cast("string") for v in new_values]))
+    )
     return F.to_json(merged)
+
+
+def _generated_property_cleanup(store: GraphStore, job: "AnalysisJob") -> dict[str, int]:
+    """Pre-statement cleanup of property effects that declare their
+    pattern (``analysisbuilder.py:384-416`` effect registry; node and
+    rel property cleanups have ``cleanup_before_statements=True``).
+    Deduplicated per (pattern, property) like ``_cleanup_effects``."""
+    metrics: dict[str, int] = {}
+    node_cleanups: set[tuple[str, str]] = set()
+    edge_cleanups: set[tuple[str, str, str | None, str | None]] = set()
+    for e in job.effects:
+        if isinstance(e, (SetProperty, AddToSet)) and e.label:
+            node_cleanups.add((e.label, e.name))
+        elif isinstance(e, SetProperties) and e.label:
+            node_cleanups.update((e.label, name) for name in e.properties)
+        elif isinstance(e, AddValuesToSet) and e.label:
+            node_cleanups.add((e.label, e.name))
+        elif isinstance(e, SetRelationshipProperty):
+            edge_cleanups.add((e.rel_label, e.name, e.source_label, e.target_label))
+        # SetRelationshipPropertyIfMissing: no generated cleanup
+    for label, prop in sorted(node_cleanups):
+        metrics[f"uncleaned_{label}.{prop}"] = store.remove_node_props([label], [prop])
+    for rel_label, prop, src_l, dst_l in sorted(
+        edge_cleanups, key=lambda t: (t[0], t[1], t[2] or "", t[3] or "")
+    ):
+        metrics[f"uncleaned_{rel_label}.{prop}"] = store.remove_edge_props(
+            [rel_label], [prop], src_label=src_l, dst_label=dst_l
+        )
+    return metrics
 
 
 def run_analysis_job(
@@ -97,26 +204,54 @@ def run_analysis_job(
     The match frame must carry ``label`` and ``id`` columns naming
     existing nodes (one row per matched node).
     """
+    # generated cleanup of declared property effects runs FIRST
+    # (cleanup_before_statements): derived values on no-longer-matched
+    # rows vanish, then the effects below re-set currently-matched rows
+    metrics: dict[str, int] = dict(_generated_property_cleanup(store, job))
     matched = job.match(store)
-    metrics: dict[str, int] = {}
 
-    prop_effects = [e for e in job.effects if isinstance(e, (SetProperty, AddToSet))]
+    prop_effects = [
+        e
+        for e in job.effects
+        if isinstance(e, (SetProperty, SetProperties, AddToSet, AddValuesToSet))
+    ]
     if prop_effects:
         target = matched
         entries: list[Column] = []
+        set_effects = [
+            e for e in prop_effects if isinstance(e, (AddToSet, AddValuesToSet))
+        ]
+        if set_effects:
+            # set-append needs each node's current value: one left join
+            # brings in every touched property at once
+            set_names = sorted({e.name for e in set_effects})
+            cur = store.nodes(
+                [r[0] for r in matched.select("label").distinct().collect()]
+            ).select(
+                "label",
+                "id",
+                *[
+                    F.element_at("props", name).alias(f"__cur_{name}")
+                    for name in set_names
+                ],
+            )
+            target = target.join(cur, on=["label", "id"], how="left")
         for e in prop_effects:
-            entries.append(F.lit(e.name))
             if isinstance(e, SetProperty):
+                entries.append(F.lit(e.name))
                 entries.append(e.value.cast("string"))
-            else:
-                # AddToSet needs the node's current value: join it in
-                cur = store.nodes(
-                    [r[0] for r in matched.select("label").distinct().collect()]
-                ).select(
-                    "label", "id", F.element_at("props", e.name).alias(f"__cur_{e.name}")
+            elif isinstance(e, SetProperties):
+                for name, value in e.properties.items():
+                    entries.append(F.lit(name))
+                    entries.append(value.cast("string"))
+            elif isinstance(e, AddToSet):
+                entries.append(F.lit(e.name))
+                entries.append(_set_union_json(F.col(f"__cur_{e.name}"), [e.value]))
+            else:  # AddValuesToSet
+                entries.append(F.lit(e.name))
+                entries.append(
+                    _set_union_json(F.col(f"__cur_{e.name}"), list(e.values))
                 )
-                target = target.join(cur, on=["label", "id"], how="left")
-                entries.append(_set_union_json(F.col(f"__cur_{e.name}"), e.value))
         batch = target.select(
             "label",
             "id",
@@ -129,6 +264,28 @@ def run_analysis_job(
         )
         counts = store.merge_nodes(batch, update_tag)
         metrics["nodes_updated"] = sum(c["updated"] + c["created"] for c in counts.values())
+
+    rel_prop_effects = [
+        e
+        for e in job.effects
+        if isinstance(e, (SetRelationshipProperty, SetRelationshipPropertyIfMissing))
+    ]
+    for e in rel_prop_effects:
+        updates = matched.filter(F.col("rel_label") == e.rel_label).select(
+            "src_label",
+            "src_id",
+            "rel_label",
+            "dst_label",
+            "dst_id",
+            F.map_from_arrays(
+                F.array(F.lit(e.name)), F.array(e.value.cast("string"))
+            ).alias("props"),
+        )
+        metrics[f"relprops_{e.rel_label}.{e.name}"] = store.set_edge_props(
+            updates,
+            [e.rel_label],
+            if_missing=isinstance(e, SetRelationshipPropertyIfMissing),
+        )
 
     rel_effects = [e for e in job.effects if isinstance(e, AddRelationship)]
     for e in rel_effects:

@@ -1,0 +1,256 @@
+"""Ontology users sync: canonical User nodes + HAS_ACCOUNT linking.
+
+Re-expresses the reference's ontology users stage
+(``intel/ontology/users.py:19-65``): read back provider user nodes for
+the configured sources of truth, project them through their
+``OntologyNodeMapping`` (``intel/ontology/utils.py:29-96`` — required
+fields drop the row, results merged per id across sources), load
+canonical ``User`` nodes (id = email, ``models/ontology/user.py:16-37``),
+then run the USER_LINKING_JOBS (``analysis/ontology/analysis.py:
+445-545``) as typed analysis jobs with generated cleanup:
+
+* **HAS_ACCOUNT (equality)** — ``(u:User)-[:HAS_ACCOUNT]->(acct)``
+  where the provider account's email equals the user's —
+  ``UserToUserAccountRel`` (``models/ontology/user.py:44-53``).
+* **HAS_ACCOUNT (array membership)** — the GitHub rule
+  ``u.email IN g.organization_verified_domain_emails``
+  (``analysis/ontology/analysis.py:482-499``): the J10 entity-link
+  join, expressed as explode + equi-join so it shuffles on the email
+  key instead of scanning arrays per pair — the salted-key
+  entity-linking stage of the north rule.
+* **OWNS (2-hop)** — ``(u)-[:HAS_ACCOUNT]->(acct)<-[:OWNED_BY]-(k)``
+  ⇒ ``(u)-[:OWNS]->(k)`` (``USER_OWNS_API_KEY``, :500-513).
+
+Scale shape: users and account-email frames are both distinct-by-email
+projections, so every link join is an equi-join on email — broadcast
+when the user dim is small, hash otherwise; the exploded
+verified-domain-emails side partial-aggregates nothing and shuffles one
+row per (account, email), never per pair.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from cartography_spark.functions.ontology import (
+    OntologyFieldMapping,
+    OntologyNodeMapping,
+    apply_ontology,
+)
+from cartography_spark.plans.analysis import (
+    AddRelationship,
+    AnalysisJob,
+    run_analysis_job,
+)
+from cartography_spark.store.graphstore import GraphStore
+
+# canonical User fields (models/ontology/user.py:16-37); provider
+# mappings may override node_field names per source
+USER_FIELDS = ("email", "fullname", "firstname", "lastname", "active")
+
+
+def default_user_mapping(
+    email_field: str = "email",
+    fullname_field: str = "fullname",
+    firstname_field: str = "firstname",
+    lastname_field: str = "lastname",
+    active_field: str = "active",
+) -> OntologyNodeMapping:
+    return OntologyNodeMapping(
+        node_label="User",
+        fields=(
+            OntologyFieldMapping("email", email_field, required=True),
+            OntologyFieldMapping("fullname", fullname_field),
+            OntologyFieldMapping("firstname", firstname_field),
+            OntologyFieldMapping("lastname", lastname_field),
+            OntologyFieldMapping("active", active_field, special_handling="to_boolean"),
+        ),
+    )
+
+
+@dataclass(frozen=True)
+class UserSource:
+    """One source-of-truth provider (``normalize_source_of_truth`` +
+    ``ONTOLOGY_NODES_MAPPING`` entry): which node label carries user
+    accounts and how its props project onto the canonical fields."""
+
+    node_label: str
+    mapping: OntologyNodeMapping
+
+
+def _props_as_columns(df: DataFrame, fields: Sequence[str]) -> DataFrame:
+    """Expose props-map entries as columns so the ontology compiler's
+    ``F.col(node_field)`` expressions resolve against store rows."""
+    return df.select(
+        "label",
+        "id",
+        *[F.element_at("props", f).alias(f) for f in dict.fromkeys(fields)],
+    )
+
+
+def extract_source_users(store: GraphStore, source: UserSource) -> DataFrame:
+    """Provider nodes → canonical field frame (one row per account).
+
+    Mirrors ``_run_source_node_single_query``: only mapped fields are
+    extracted, rows missing required fields are skipped.
+    """
+    if source.node_label not in store.manifest["nodes"]:
+        return store.spark.createDataFrame(
+            [], "email string, fullname string, firstname string, lastname string, "
+                "active boolean"
+        )
+    node_fields = [m.node_field for m in source.mapping.fields if m.node_field] + [
+        f for m in source.mapping.fields for f in m.extra.get("fields", [])
+    ]
+    prov = _props_as_columns(store.nodes([source.node_label]), node_fields)
+    out = apply_ontology(prov, source.mapping)
+    return out.select(
+        *[F.col(f"_ont_{m.ontology_field}").alias(m.ontology_field)
+          for m in source.mapping.fields]
+    )
+
+
+def load_users(
+    store: GraphStore, sources: Sequence[UserSource], update_tag: int
+) -> dict:
+    """Union source frames, merge per email (later/other sources fill
+    missing fields — aggregates skip nulls), MERGE canonical User
+    nodes keyed by email (``load_users``, ``intel/ontology/users.py:
+    44-55``)."""
+    frames = [extract_source_users(store, s) for s in sources]
+    if not frames:
+        return {}
+    union = frames[0]
+    for f in frames[1:]:
+        union = union.unionByName(f, allowMissingColumns=True)
+    merged = union.groupBy("email").agg(
+        *[F.max(c).alias(c) for c in union.columns if c != "email"]
+    )
+    batch = merged.select(
+        F.lit("User").alias("label"),
+        F.col("email").alias("id"),
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        F.lit(None).cast("array<string>").alias("extra_labels"),
+        F.map_filter(
+            F.map_from_arrays(
+                F.array(*[F.lit(c) for c in merged.columns]),
+                F.array(*[F.col(c).cast("string") for c in merged.columns]),
+            ),
+            lambda _k, v: v.isNotNull(),
+        ).alias("props"),
+    )
+    return store.merge_nodes(batch, update_tag, labels=["User"])
+
+
+def user_has_account_job(account_label: str, email_prop: str = "email") -> AnalysisJob:
+    """(u:User)-[:HAS_ACCOUNT]->(acct) via email equality
+    (``UserToUserAccountRel``)."""
+
+    def match(store: GraphStore) -> DataFrame:
+        users = store.nodes(["User"]).select(
+            F.lit("User").alias("label"), F.col("id"), F.col("id").alias("__email")
+        )
+        accts = store.nodes([account_label]).select(
+            F.col("label").alias("acct_label"),
+            F.col("id").alias("acct_id"),
+            F.element_at("props", email_prop).alias("__email"),
+        ).filter(F.col("__email").isNotNull())
+        return users.join(accts, on="__email", how="inner").drop("__email")
+
+    return AnalysisJob(
+        name=f"ontology_users_{account_label.lower()}",
+        match=match,
+        effects=(AddRelationship("HAS_ACCOUNT", "acct_label", "acct_id"),),
+    )
+
+
+def user_has_verified_domain_account_job(
+    account_label: str,
+    array_prop: str = "organization_verified_domain_emails",
+) -> AnalysisJob:
+    """The GitHub rule: ``u.email IN g.organization_verified_domain_
+    emails`` (``analysis/ontology/analysis.py:482-499``) — array
+    membership as explode + equi-join on email (J10)."""
+
+    def match(store: GraphStore) -> DataFrame:
+        users = store.nodes(["User"]).select(
+            F.lit("User").alias("label"), F.col("id"), F.col("id").alias("__email")
+        )
+        accts = store.nodes([account_label]).select(
+            F.col("label").alias("acct_label"),
+            F.col("id").alias("acct_id"),
+            F.explode(
+                F.from_json(F.element_at("props", array_prop), "array<string>")
+            ).alias("__email"),
+        )
+        return users.join(accts, on="__email", how="inner").drop("__email")
+
+    return AnalysisJob(
+        name=f"ontology_users_{account_label.lower()}_verified_domain",
+        match=match,
+        effects=(AddRelationship("HAS_ACCOUNT", "acct_label", "acct_id"),),
+    )
+
+
+def user_owns_via_account_job(
+    owned_label: str, owned_by_rel: str = "OWNED_BY"
+) -> AnalysisJob:
+    """(u:User)-[:HAS_ACCOUNT]->(acct)<-[:OWNED_BY]-(k) ⇒
+    (u)-[:OWNS]->(k) (``USER_OWNS_API_KEY``)."""
+
+    def match(store: GraphStore) -> DataFrame:
+        has_acct = store.edges(["HAS_ACCOUNT"]).select(
+            F.col("src_label").alias("label"),
+            F.col("src_id").alias("id"),
+            F.col("dst_label").alias("__acct_label"),
+            F.col("dst_id").alias("__acct_id"),
+        )
+        owned = (
+            store.edges([owned_by_rel])
+            .filter(F.col("src_label") == owned_label)
+            .select(
+                F.col("src_label").alias("owned_label"),
+                F.col("src_id").alias("owned_id"),
+                F.col("dst_label").alias("__acct_label"),
+                F.col("dst_id").alias("__acct_id"),
+            )
+        )
+        return has_acct.join(owned, on=["__acct_label", "__acct_id"], how="inner").drop(
+            "__acct_label", "__acct_id"
+        )
+
+    return AnalysisJob(
+        name=f"ontology_users_owns_{owned_label.lower()}",
+        match=match,
+        effects=(AddRelationship("OWNS", "owned_label", "owned_id"),),
+    )
+
+
+def sync_ontology_users(
+    store: GraphStore,
+    sources: Sequence[UserSource],
+    update_tag: int,
+    linking_jobs: Sequence[AnalysisJob] = (),
+) -> dict:
+    """The full stage (``intel/ontology/users.py:sync``): load canonical
+    users, run linking jobs, clean up stale User nodes (unscoped GC —
+    ``GraphJob.from_node_schema(UserSchema())``)."""
+    metrics: dict = {"users": load_users(store, sources, update_tag)}
+    for job in linking_jobs:
+        metrics[job.name] = run_analysis_job(store, job, update_tag)
+    # unscoped User GC (cleanupbuilder.py:386-451 via
+    # GraphJob.from_node_schema(UserSchema())) — stale canonical users
+    # vanish with their HAS_ACCOUNT/OWNS edges (DETACH)
+    if "User" in store.manifest["nodes"]:
+        stale = (
+            store.nodes(["User"])
+            .filter(F.col("lastupdated") != int(update_tag))
+            .select("label", "id")
+        )
+        metrics["gc"] = store.delete_nodes(stale, detach=True)
+    store.record_lineage("ontology_users", {"update_tag": update_tag})
+    return metrics

@@ -244,7 +244,10 @@ def run_pipeline(
 
     t0 = time.time()
     mapping_path = os.path.join(artifacts, "canon_mapping")
-    if not store.stage_done(tag, "extract"):
+    if not store.stage_done(tag, "extract") or not os.path.isdir(facts_path):
+        # the artifact-existence check covers a checkpoint whose
+        # artifacts directory was removed: the stage re-runs instead of
+        # failing on a missing parquet path
         deduped = latest_commit_wins(repo_files)
         # materialize the parse ONCE, as a parquet artifact (how a real
         # 100 TB run stages it — an executor-memory checkpoint spills
@@ -255,11 +258,18 @@ def run_pipeline(
         extract_facts(deduped).write.mode("overwrite").parquet(facts_path)
         raw = spark.read.schema(FACTS_DDL).parquet(facts_path)
         canonical_mapping(raw).write.mode("overwrite").parquet(mapping_path)
-        store.mark_stage(tag, "extract", {"path": facts_path})
-    facts = canonicalize(
-        spark.read.schema(FACTS_DDL).parquet(facts_path),
-        resolved=spark.read.schema("__old_id string, __canon_id string").parquet(mapping_path),
-    )
+        store.mark_stage(tag, "extract", {"path": facts_path, "mapping": mapping_path})
+    raw = spark.read.schema(FACTS_DDL).parquet(facts_path)
+    if os.path.isdir(mapping_path):
+        resolved = spark.read.schema(
+            "__old_id string, __canon_id string"
+        ).parquet(mapping_path)
+    else:
+        # extract checkpointed by a pipeline version that didn't persist
+        # the mapping: recompute it (cheap — column-pruned candidate
+        # scans) rather than fail the resume
+        resolved = canonical_mapping(raw)
+    facts = canonicalize(raw, resolved=resolved)
     metrics["extract_s"] = round(time.time() - t0, 2)
 
     t0 = time.time()
@@ -276,8 +286,22 @@ def run_pipeline(
         )
         node_labels = sorted(r[0][1:] for r in vocab if r[0].startswith("\0"))
         edge_rels = sorted(r[0] for r in vocab if not r[0].startswith("\0"))
-        node_counts = store.merge_nodes(facts_to_node_batch(facts, tag), tag, labels=node_labels)
-        edge_counts = store.merge_edges(facts_to_edge_batch(facts, tag), tag, rels=edge_rels)
+        # the node and edge merges touch disjoint tables: submit them
+        # from two driver threads so Spark schedules their jobs
+        # concurrently (FIFO within the shared core pool) — the tail of
+        # one overlaps the head of the other, shrinking the pipeline's
+        # serial driver-side floor
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            nodes_f = pool.submit(
+                store.merge_nodes, facts_to_node_batch(facts, tag), tag, node_labels
+            )
+            edges_f = pool.submit(
+                store.merge_edges, facts_to_edge_batch(facts, tag), tag, edge_rels
+            )
+            node_counts = nodes_f.result()
+            edge_counts = edges_f.result()
         store.mark_stage(tag, "merge", {"nodes": node_counts, "edges": edge_counts})
     metrics["merge_s"] = round(time.time() - t0, 2)
 
@@ -308,7 +332,11 @@ def run_pipeline(
         store.mark_stage(tag, "gc")
     metrics["gc_s"] = round(time.time() - t0, 2)
 
-    metrics["nodes_total"] = store.nodes().count()
-    metrics["edges_total"] = store.edges().count()
+    # totals come from the incrementally-maintained manifest counters
+    # (fed by the merge/GC observe() metrics) — no full table scans at
+    # the end of the run
+    totals = store.totals()
+    metrics["nodes_total"] = totals["nodes"]
+    metrics["edges_total"] = totals["edges"]
     store.record_lineage("pipeline_done", metrics)
     return metrics

@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 from typing import Any, Iterable, Mapping
 
@@ -66,11 +67,13 @@ class GraphStore:
         self.spark = spark
         self.root = root
         os.makedirs(root, exist_ok=True)
-        # declared props overwrite previously-written values (SET
-        # semantics): map_concat keeps the last writer per key
-        spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         self._manifest_path = os.path.join(root, "manifest.json")
         self._lineage_path = os.path.join(root, "lineage.jsonl")
+        # manifest mutations are lock-guarded so independent table writes
+        # (e.g. the node and edge merges of one sync) can run on separate
+        # driver threads — Spark schedules their jobs concurrently, which
+        # shrinks the serial driver-side floor of the pipeline
+        self._lock = threading.RLock()
         self.manifest = self._load_manifest()
 
     # -- manifest ----------------------------------------------------------
@@ -78,13 +81,37 @@ class GraphStore:
         if os.path.exists(self._manifest_path):
             with open(self._manifest_path) as f:
                 return json.load(f)
-        return {"nodes": {}, "edges": {}, "version": 0, "stages": {}}
+        return {
+            "nodes": {}, "edges": {}, "version": 0, "stages": {},
+            "totals": {"nodes": 0, "edges": 0},
+        }
 
     def _save_manifest(self) -> None:
-        tmp = self._manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(self.manifest, f, indent=1)
-        os.replace(tmp, self._manifest_path)  # atomic snapshot commit
+        with self._lock:
+            tmp = self._manifest_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(self.manifest, f, indent=1)
+            os.replace(tmp, self._manifest_path)  # atomic snapshot commit
+
+    def totals(self) -> dict[str, int]:
+        """Current node/edge row totals, maintained incrementally by the
+        merge/GC counters that already ride each write job — reading them
+        costs no table scan (the reference's load counters,
+        ``client/core/tx.py:840-843``, are likewise write-side)."""
+        with self._lock:
+            t = self.manifest.get("totals")
+            if t is None:  # manifest predates totals tracking: bootstrap
+                t = {
+                    "nodes": self.nodes().count() if self.manifest["nodes"] else 0,
+                    "edges": self.edges().count() if self.manifest["edges"] else 0,
+                }
+                self.manifest["totals"] = t
+            return dict(t)
+
+    def _bump_total(self, table: str, delta: int) -> None:
+        with self._lock:
+            totals = self.manifest.setdefault("totals", {"nodes": 0, "edges": 0})
+            totals[table] = totals.get(table, 0) + int(delta)
 
     # -- reads -------------------------------------------------------------
     def _empty(self, ddl: str) -> DataFrame:
@@ -107,10 +134,13 @@ class GraphStore:
 
     # -- writes ------------------------------------------------------------
     def _write_part(self, table: str, part: str, df: DataFrame) -> None:
-        self.manifest["version"] += 1
-        rel = f"{table}/{_safe_part(part)}/v{self.manifest['version']}"
+        with self._lock:
+            self.manifest["version"] += 1
+            version = self.manifest["version"]
+        rel = f"{table}/{_safe_part(part)}/v{version}"
         df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
-        self.manifest[table][part] = rel
+        with self._lock:
+            self.manifest[table][part] = rel
 
     def _write_partitioned(
         self, table: str, parts: list[str], df: DataFrame, part_col: str,
@@ -134,11 +164,18 @@ class GraphStore:
         than the (bounded: slots × entity-types) extra files.
         """
         if any(p != _safe_part(p) for p in parts):
+            if df.filter(~F.col(part_col).isin(list(parts))).limit(1).count():
+                raise ValueError(
+                    f"{table} write carries partition values outside "
+                    f"parts={sorted(parts)}; rows would be lost"
+                )
             for p in parts:
                 self._write_part(table, p, df.filter(F.col(part_col) == p))
             return
-        self.manifest["version"] += 1
-        rel = f"{table}/v{self.manifest['version']}"
+        with self._lock:
+            self.manifest["version"] += 1
+            version = self.manifest["version"]
+        rel = f"{table}/v{version}"
         out = df.withColumn("__part", F.col(part_col))
         if cluster:
             # SALT the clustering so each partition value fans out over
@@ -153,16 +190,32 @@ class GraphStore:
             .partitionBy("__part")
             .parquet(os.path.join(self.root, rel))
         )
-        for p in parts:
-            sub = f"{rel}/__part={p}"
-            if os.path.isdir(os.path.join(self.root, sub)):
-                self.manifest[table][p] = sub
-            else:
-                self.manifest[table].pop(p, None)
+        # every partition value the job actually wrote must be in
+        # `parts`, else its rows would silently never be manifested
+        # (callers may pass labels/rels narrower than the frame)
+        written = {
+            d.split("=", 1)[1]
+            for d in os.listdir(os.path.join(self.root, rel))
+            if d.startswith("__part=")
+        }
+        unexpected = written - set(parts)
+        if unexpected:
+            raise ValueError(
+                f"{table} write produced partition values {sorted(unexpected)} "
+                f"not listed in parts={sorted(parts)}; rows would be lost"
+            )
+        with self._lock:
+            for p in parts:
+                sub = f"{rel}/__part={p}"
+                if p in written:
+                    self.manifest[table][p] = sub
+                else:
+                    self.manifest[table].pop(p, None)
 
     def record_lineage(self, stage: str, metrics: Mapping[str, Any]) -> None:
-        with open(self._lineage_path, "a") as f:
-            f.write(json.dumps({"ts": time.time(), "stage": stage, **metrics}) + "\n")
+        with self._lock:
+            with open(self._lineage_path, "a") as f:
+                f.write(json.dumps({"ts": time.time(), "stage": stage, **metrics}) + "\n")
 
     # -- MERGE -------------------------------------------------------------
     def merge_nodes(
@@ -207,6 +260,7 @@ class GraphStore:
                 label: {"created": int(got[f"c{i}"] or 0), "updated": 0}
                 for i, label in enumerate(labels)
             }
+            self._bump_total("nodes", sum(v["created"] for v in out.values()))
             self._save_manifest()
             self.record_lineage("merge_nodes", {"update_tag": update_tag, "labels": out})
             return out
@@ -243,12 +297,15 @@ class GraphStore:
             F.coalesce(F.col("s.extra_labels"), F.col("t.extra_labels"))
             .alias("extra_labels"),
             # declared props overwrite; undeclared (earlier-module)
-            # props survive: last-win map concat
+            # props survive. map_zip_with unions the key sets and takes
+            # the batch value when present — explicit last-win, with no
+            # dependency on the session's mapKeyDedupPolicy
             F.when(
                 matched & existing,
-                F.map_concat(
+                F.map_zip_with(
                     F.coalesce(F.col("t.props"), F.map_from_arrays(F.array(), F.array())),
                     F.coalesce(F.col("s.props"), F.map_from_arrays(F.array(), F.array())),
+                    lambda _k, t_v, s_v: F.coalesce(s_v, t_v),
                 ),
             )
             .when(matched, F.col("s.props"))
@@ -264,6 +321,7 @@ class GraphStore:
             label: {"created": int(got[f"c{i}"] or 0), "updated": int(got[f"u{i}"] or 0)}
             for i, label in enumerate(labels)
         }
+        self._bump_total("nodes", sum(v["created"] for v in out.values()))
         self._save_manifest()
         self.record_lineage("merge_nodes", {"update_tag": update_tag, "labels": out})
         return out
@@ -302,6 +360,7 @@ class GraphStore:
                 rel: {"created": int(got[f"c{i}"] or 0), "updated": 0}
                 for i, rel in enumerate(rels)
             }
+            self._bump_total("edges", sum(v["created"] for v in out.values()))
             self._save_manifest()
             self.record_lineage("merge_edges", {"update_tag": update_tag, "rels": out})
             return out
@@ -336,6 +395,7 @@ class GraphStore:
             rel: {"created": int(got[f"c{i}"] or 0), "updated": int(got[f"u{i}"] or 0)}
             for i, rel in enumerate(rels)
         }
+        self._bump_total("edges", sum(v["created"] for v in out.values()))
         self._save_manifest()
         self.record_lineage("merge_edges", {"update_tag": update_tag, "rels": out})
         return out
@@ -398,6 +458,8 @@ class GraphStore:
                 self._write_partitioned("edges", affected, keep_e, "rel_label")
                 edges_deleted = int((e_before.get["n"] or 0) - (e_after.get["n"] or 0))
         stale.unpersist()
+        self._bump_total("nodes", -deleted)
+        self._bump_total("edges", -edges_deleted)
         self._save_manifest()
         self.record_lineage(
             "delete_nodes", {"nodes_deleted": deleted, "edges_deleted": edges_deleted}
@@ -424,11 +486,157 @@ class GraphStore:
         n_stale = cur.filter(pred).count()
         if n_stale:
             self._write_partitioned("edges", rels, cur.filter(~pred), "rel_label")
+            self._bump_total("edges", -n_stale)
             self._save_manifest()
         self.record_lineage(
             "delete_edges", {"rel_labels": rels, "edges_deleted": n_stale}
         )
         return n_stale
+
+    def set_edge_props(
+        self,
+        updates: DataFrame,
+        rels: list[str],
+        if_missing: bool = False,
+    ) -> int:
+        """Write per-edge property updates WITHOUT touching lastupdated,
+        firstseen or sub_resource_* — the reference's
+        ``SetRelationshipProperty`` compiles to a bare ``SET r.prop``
+        (``analysisbuilder.py:275-281``), so a property write must not
+        restamp the edge and shield it from its owner's GC.
+
+        ``updates``: EDGE_KEY + ``props`` map of the values to set.
+        ``if_missing=True`` keeps any existing per-key value
+        (``SetRelationshipPropertyIfMissing``: the reference's match
+        excludes rows with existing values; here the keep-existing merge
+        enforces the same outcome engine-side). Updates for edges that
+        don't exist are ignored (Cypher MATCH semantics). Returns the
+        number of matched edges.
+        """
+        rels = [r for r in rels if r in self.manifest["edges"]]
+        if not rels:
+            return 0
+        cur = self.edges(rels)
+        # dedupe by key so the left join stays 1:1 (a dup would clone
+        # the edge row into the rewrite)
+        upd = updates.select(
+            *EDGE_KEY, F.col("props").alias("__new_props")
+        ).dropDuplicates(EDGE_KEY)
+        joined = cur.alias("t").join(upd.alias("s"), on=EDGE_KEY, how="left")
+        obs = Observation()
+        matched = F.col("__new_props").isNotNull()
+        empty = F.map_from_arrays(F.array(), F.array())
+        if if_missing:
+            merge_fn = lambda _k, t_v, s_v: F.coalesce(t_v, s_v)  # noqa: E731
+        else:
+            merge_fn = lambda _k, t_v, s_v: F.coalesce(s_v, t_v)  # noqa: E731
+        rewritten = joined.observe(
+            obs, F.sum(F.when(matched, 1).otherwise(0)).alias("n")
+        ).select(
+            *EDGE_KEY,
+            "firstseen",
+            "lastupdated",
+            "sub_resource_label",
+            "sub_resource_id",
+            F.when(
+                matched,
+                F.map_zip_with(
+                    F.coalesce(F.col("t.props"), empty),
+                    F.col("__new_props"),
+                    merge_fn,
+                ),
+            )
+            .otherwise(F.col("t.props"))
+            .alias("props"),
+        )
+        self._write_partitioned("edges", rels, rewritten, "rel_label")
+        n = int(obs.get["n"] or 0)
+        self._save_manifest()
+        self.record_lineage(
+            "set_edge_props", {"rels": rels, "matched": n, "if_missing": if_missing}
+        )
+        return n
+
+    # -- property removal (generated cleanup of analysis property effects:
+    # the reference REMOVEs the derived property from every node/rel of the
+    # declared pattern before the statement re-sets it on currently-matched
+    # rows — graph/analysisbuilder.py:461-489) -----------------------------
+    def remove_node_props(self, labels: Iterable[str], prop_names: list[str]) -> int:
+        """Strip ``prop_names`` from the props map of every node of the
+        given labels. Returns how many rows carried any of them.
+
+        A column-pruned probe skips the rewrite when no node carries the
+        property (steady-state for first runs); the rewrite itself is a
+        ``map_filter`` over the touched partitions — no join, no shuffle.
+        """
+        labels = [l for l in labels if l in self.manifest["nodes"]]
+        if not labels or not prop_names:
+            return 0
+        cur = self.nodes(labels)
+        has_prop = self._any_key_present(prop_names)
+        n = cur.filter(has_prop).count()
+        if n:
+            cleaned = cur.withColumn(
+                "props",
+                F.map_filter(
+                    F.col("props"), lambda k, _v: ~k.isin(list(prop_names))
+                ),
+            )
+            self._write_partitioned("nodes", labels, cleaned, "label")
+            self._save_manifest()
+        self.record_lineage(
+            "remove_node_props", {"labels": labels, "props": prop_names, "rows": n}
+        )
+        return n
+
+    def remove_edge_props(
+        self,
+        rel_labels: Iterable[str],
+        prop_names: list[str],
+        src_label: str | None = None,
+        dst_label: str | None = None,
+    ) -> int:
+        """Strip ``prop_names`` from edges of the given rel types,
+        optionally only where the endpoints match the declared pattern
+        (``RelationshipPropertyEffect`` cleanup,
+        ``analysisbuilder.py:471-489``). Rows outside the pattern keep
+        their props untouched."""
+        rels = [r for r in rel_labels if r in self.manifest["edges"]]
+        if not rels or not prop_names:
+            return 0
+        cur = self.edges(rels)
+        pattern = F.lit(True)
+        if src_label is not None:
+            pattern = pattern & (F.col("src_label") == src_label)
+        if dst_label is not None:
+            pattern = pattern & (F.col("dst_label") == dst_label)
+        has_prop = self._any_key_present(prop_names) & pattern
+        n = cur.filter(has_prop).count()
+        if n:
+            cleaned = cur.withColumn(
+                "props",
+                F.when(
+                    pattern,
+                    F.map_filter(
+                        F.col("props"), lambda k, _v: ~k.isin(list(prop_names))
+                    ),
+                ).otherwise(F.col("props")),
+            )
+            self._write_partitioned("edges", rels, cleaned, "rel_label")
+            self._save_manifest()
+        self.record_lineage(
+            "remove_edge_props", {"rels": rels, "props": prop_names, "rows": n}
+        )
+        return n
+
+    @staticmethod
+    def _any_key_present(prop_names: list[str]):
+        cond = F.lit(False)
+        for p in prop_names:
+            cond = cond | F.coalesce(
+                F.map_contains_key(F.col("props"), p), F.lit(False)
+            )
+        return cond
 
     # -- checkpoints -------------------------------------------------------
     def stage_done(self, update_tag: int, stage: str) -> bool:

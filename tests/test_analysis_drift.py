@@ -6,8 +6,12 @@ from cartography_spark.operators.drift import detect_drift, snapshot
 from cartography_spark.plans.analysis import (
     AddRelationship,
     AddToSet,
+    AddValuesToSet,
     AnalysisJob,
+    SetProperties,
     SetProperty,
+    SetRelationshipProperty,
+    SetRelationshipPropertyIfMissing,
     run_analysis_job,
 )
 
@@ -94,6 +98,124 @@ def test_effects_and_generated_cleanup(spark, tmp_store):
     # AddToSet stays a set across runs (no duplicate growth)
     props = {r["id"]: r["props"] for r in s.nodes(["Host"]).collect()}
     assert props["h1"]["nets"] == '["n1"]'
+
+
+def _edge_match_job(include_edge: bool, effects):
+    """Match frame = the IN edges (or nothing), carrying the 5-tuple key."""
+
+    def match(store):
+        e = store.edges(["IN"]).select(
+            "src_label", "src_id", "rel_label", "dst_label", "dst_id"
+        )
+        return e if include_edge else e.limit(0)
+
+    return AnalysisJob(name="edge_prop_job", match=match, effects=tuple(effects))
+
+
+def test_set_relationship_property_and_generated_cleanup(spark, tmp_store):
+    """SetRelationshipProperty parity (graph/analysis.py:87-97): a bare
+    SET r.prop — lastupdated must NOT be restamped — and the generated
+    cleanup removes the prop when the match no longer holds."""
+    s = tmp_store
+    seed(spark, s, T1)
+    eff = SetRelationshipProperty(
+        "IN", "internet_exposed", F.lit("true"), source_label="Host", target_label="Net"
+    )
+    run_analysis_job(s, _edge_match_job(True, [eff]), T2)
+    rows = s.edges(["IN"]).collect()
+    assert rows[0]["props"]["internet_exposed"] == "true"
+    # the edge keeps its owner's watermark — a prop SET never shields it
+    # from its owner's GC
+    assert rows[0]["lastupdated"] == T1
+
+    # match empties → pre-statement cleanup strips the derived prop
+    run_analysis_job(s, _edge_match_job(False, [eff]), T2 + 1)
+    rows = s.edges(["IN"]).collect()
+    assert "internet_exposed" not in (rows[0]["props"] or {})
+
+
+def test_set_relationship_property_if_missing(spark, tmp_store):
+    """IfMissing keeps existing values and has no generated cleanup
+    (analysisbuilder.py:414-416 registers None)."""
+    s = tmp_store
+    seed(spark, s, T1)
+    run_analysis_job(
+        s,
+        _edge_match_job(
+            True, [SetRelationshipPropertyIfMissing("IN", "first_seen_via", F.lit("v1"))]
+        ),
+        T2,
+    )
+    run_analysis_job(
+        s,
+        _edge_match_job(
+            True, [SetRelationshipPropertyIfMissing("IN", "first_seen_via", F.lit("v2"))]
+        ),
+        T2 + 1,
+    )
+    rows = s.edges(["IN"]).collect()
+    assert rows[0]["props"]["first_seen_via"] == "v1"  # existing value kept
+    # empty match → prop survives (no cleanup for IfMissing)
+    run_analysis_job(
+        s,
+        _edge_match_job(
+            False, [SetRelationshipPropertyIfMissing("IN", "first_seen_via", F.lit("v3"))]
+        ),
+        T2 + 2,
+    )
+    assert s.edges(["IN"]).collect()[0]["props"]["first_seen_via"] == "v1"
+
+
+def _host_prop_job(ids, effects):
+    def match(store):
+        return (
+            store.nodes(["Host"])
+            .filter(F.col("id").isin(ids))
+            .select("label", "id")
+        )
+
+    return AnalysisJob(name="host_prop_job", match=match, effects=tuple(effects))
+
+
+def test_set_property_label_cleanup_sweeps_unmatched(spark, tmp_store):
+    """With a declared label, SetProperty's generated cleanup removes
+    the property from nodes that stopped matching (PropertyEffect,
+    cleanup_before_statements=True)."""
+    s = tmp_store
+    seed(spark, s, T1)
+    eff = SetProperty("exposed", F.lit("true"), label="Host")
+    run_analysis_job(s, _host_prop_job(["h1", "h2"], [eff]), T2)
+    props = {r["id"]: r["props"] or {} for r in s.nodes(["Host"]).collect()}
+    assert props["h1"].get("exposed") == "true" and props["h2"].get("exposed") == "true"
+
+    run_analysis_job(s, _host_prop_job(["h1"], [eff]), T2 + 1)
+    props = {r["id"]: r["props"] or {} for r in s.nodes(["Host"]).collect()}
+    assert props["h1"].get("exposed") == "true"
+    assert "exposed" not in props["h2"]
+
+
+def test_set_properties_and_add_values_to_set(spark, tmp_store):
+    s = tmp_store
+    seed(spark, s, T1)
+    job = _host_prop_job(
+        ["h1"],
+        [
+            SetProperties({"tier": F.lit("prod"), "zone": F.lit("z1")}, label="Host"),
+            AddValuesToSet("tags", (F.lit("a"), F.lit("b")), label="Host"),
+        ],
+    )
+    run_analysis_job(s, job, T2)
+    props = {r["id"]: r["props"] or {} for r in s.nodes(["Host"]).collect()}
+    assert props["h1"]["tier"] == "prod" and props["h1"]["zone"] == "z1"
+    assert props["h1"]["tags"] == '["a","b"]'
+    # labeled AddValuesToSet: cleanup clears first, so the set reflects
+    # only the current run's values (no unbounded growth)
+    job2 = _host_prop_job(
+        ["h1"], [AddValuesToSet("tags", (F.lit("c"),), label="Host")]
+    )
+    run_analysis_job(s, job2, T2 + 1)
+    props = {r["id"]: r["props"] or {} for r in s.nodes(["Host"]).collect()}
+    assert props["h1"]["tags"] == '["c"]'
 
 
 def test_drift_between_snapshots(spark, tmp_store):

@@ -40,10 +40,27 @@ def test_plain_and_invert_and_to_boolean(rows):
     assert _vals(rows, M("f", "flag", special_handling="invert_boolean")) == [
         False, True, True,
     ]
-    # to_boolean: non-convertible non-null → true; null → false
+    # to_boolean: non-convertible non-null → true; null → false.
+    # Cypher toBooleanOrNull is STRICT: only 'true'/'false'/ints convert,
+    # so "F" (Spark's permissive cast would take it) stays non-castable.
     assert _vals(rows, M("f", "status", special_handling="to_boolean")) == [
-        False, True, True,  # "F"→false (boolean-castable), "O"/"P" non-castable non-null→true
+        True, True, True,
     ]
+
+
+def test_boolean_parsing_is_cypher_strict(spark):
+    """toBooleanOrNull parity: y/yes/n/no/t/f do NOT convert (Spark's
+    cast would accept them); true/false any-case and integers do.
+    invert_boolean('yes') = NOT(coalesce(null, false)) = true."""
+    df = spark.createDataFrame(
+        [("yes",), ("t",), ("TRUE",), ("False",), ("0",), ("7",), (None,)],
+        "v string",
+    )
+    inv = _vals(df, M("f", "v", special_handling="invert_boolean"))
+    assert inv == [True, True, False, True, True, False, True]
+    tb = _vals(df, M("f", "v", special_handling="to_boolean"))
+    # non-convertible non-null → true; convertible → itself; null → false
+    assert tb == [True, True, True, False, False, True, False]
 
 
 def test_equal_static_mapping(rows):
@@ -62,12 +79,14 @@ def test_equal_static_mapping(rows):
 
 
 def test_or_nor_coalesce(rows):
+    # strict toBooleanOrNull: "yes" no longer converts, so row 2's OR is
+    # false (both fields null-or-nonconvertible)
     assert _vals(
         rows, M("f", "a", special_handling="or_boolean", extra={"fields": ["b"]})
-    ) == [True, True, False]
+    ) == [True, False, False]
     assert _vals(
         rows, M("f", "a", special_handling="nor_boolean", extra={"fields": ["b"]})
-    ) == [False, False, True]
+    ) == [False, True, True]
     assert _vals(
         rows, M("f", "email", special_handling="coalesce", extra={"fields": ["alt_email"]})
     ) == ["x@y.z", "a@b.c", None]
@@ -86,5 +105,7 @@ def test_apply_ontology_required_filter(rows):
     )
     out = apply_ontology(rows, mapping, keep=("status",))
     got = {(r["_ont_email"], r["_ont_active"]) for r in out.collect()}
-    assert got == {("x@y.z", True), ("a@b.c", False)}
+    # row 2's flag "no" does not convert under strict toBooleanOrNull →
+    # non-null non-convertible → true
+    assert got == {("x@y.z", True), ("a@b.c", True)}
     assert out.columns == ["status", "_ont_email", "_ont_active"]

@@ -1,0 +1,157 @@
+"""Ontology users sync stage (SURVEY.md §2.7 N3 + §2.3 J10).
+
+Mirrors the reference's canonical-User projection + HAS_ACCOUNT linking
+(``intel/ontology/users.py:19-65``; array-membership email join
+``analysis/ontology/analysis.py:482-499``) and the staleness behavior
+of its schema-driven cleanup.
+"""
+
+import json
+
+from pyspark.sql import functions as F
+
+from cartography_spark.plans.ontology_users import (
+    UserSource,
+    default_user_mapping,
+    sync_ontology_users,
+    user_has_account_job,
+    user_has_verified_domain_account_job,
+    user_owns_via_account_job,
+)
+
+T1, T2 = 1000, 2000
+
+
+def _node_rows(spark, rows, tag):
+    df = spark.createDataFrame(rows, "label string, id string, props_json string")
+    return df.select(
+        "label", "id",
+        F.lit(tag).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        F.lit(None).cast("array<string>").alias("extra_labels"),
+        F.from_json("props_json", "map<string,string>").alias("props"),
+    )
+
+
+def _edge_rows(spark, rows, tag):
+    df = spark.createDataFrame(
+        rows,
+        "src_label string, src_id string, rel_label string, dst_label string, dst_id string",
+    )
+    return df.select(
+        *df.columns,
+        F.lit(tag).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("sub_resource_label"),
+        F.lit(None).cast("string").alias("sub_resource_id"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    )
+
+
+def seed_providers(spark, store, tag, with_bob=True):
+    okta = [
+        ("OktaUser", "okta-1",
+         json.dumps({"email": "alice@corp.io", "fullname": "Alice A",
+                     "active": "true"})),
+    ]
+    if with_bob:
+        okta.append(
+            ("OktaUser", "okta-2",
+             json.dumps({"email": "bob@corp.io", "fullname": "Bob B",
+                         "active": "false"})),
+        )
+    # a second source fills fields the first lacks (merge per email)
+    gsuite = [
+        ("GSuiteUser", "gs-1",
+         json.dumps({"primaryEmail": "alice@corp.io", "given_name": "Alice"})),
+        ("GSuiteUser", "gs-3",
+         json.dumps({"primaryEmail": "carol@corp.io"})),
+        # missing required email → skipped (intel/ontology/utils.py:44-58)
+        ("GSuiteUser", "gs-4", json.dumps({"given_name": "Noel"})),
+    ]
+    github = [
+        ("GithubUser", "gh-1",
+         json.dumps({"organization_verified_domain_emails":
+                     json.dumps(["alice@corp.io", "other@corp.io"])})),
+        ("GithubUser", "gh-2",
+         json.dumps({"organization_verified_domain_emails":
+                     json.dumps(["carol@corp.io"])})),
+    ]
+    keys = [("APIKey", "k-1", json.dumps({}))]
+    store.merge_nodes(_node_rows(spark, okta + gsuite + github + keys, tag), tag)
+    store.merge_edges(
+        _edge_rows(spark, [("APIKey", "k-1", "OWNED_BY", "OktaUser", "okta-1")], tag),
+        tag,
+    )
+
+
+SOURCES = (
+    UserSource("OktaUser", default_user_mapping()),
+    UserSource(
+        "GSuiteUser",
+        default_user_mapping(email_field="primaryEmail", firstname_field="given_name"),
+    ),
+)
+JOBS = (
+    user_has_account_job("OktaUser"),
+    user_has_account_job("GSuiteUser", email_prop="primaryEmail"),
+    user_has_verified_domain_account_job("GithubUser"),
+    user_owns_via_account_job("APIKey"),
+)
+
+
+def test_canonical_users_merged_across_sources(spark, tmp_store):
+    seed_providers(spark, tmp_store, T1)
+    sync_ontology_users(tmp_store, SOURCES, T1, linking_jobs=JOBS)
+    users = {r["id"]: r["props"] for r in tmp_store.nodes(["User"]).collect()}
+    # gs-4 had no email → no canonical user for it
+    assert set(users) == {"alice@corp.io", "bob@corp.io", "carol@corp.io"}
+    # alice merges fields from both sources (fullname from Okta,
+    # firstname from GSuite)
+    assert users["alice@corp.io"]["fullname"] == "Alice A"
+    assert users["alice@corp.io"]["firstname"] == "Alice"
+    assert users["alice@corp.io"]["active"] == "true"
+
+
+def test_has_account_links_equality_and_array_membership(spark, tmp_store):
+    seed_providers(spark, tmp_store, T1)
+    sync_ontology_users(tmp_store, SOURCES, T1, linking_jobs=JOBS)
+    has_acct = {
+        (r["src_id"], r["dst_label"], r["dst_id"])
+        for r in tmp_store.edges(["HAS_ACCOUNT"]).collect()
+    }
+    assert ("alice@corp.io", "OktaUser", "okta-1") in has_acct
+    assert ("bob@corp.io", "OktaUser", "okta-2") in has_acct
+    assert ("alice@corp.io", "GSuiteUser", "gs-1") in has_acct
+    # array membership: alice + carol appear in verified-domain lists;
+    # "other@corp.io" has no canonical User → no edge
+    assert ("alice@corp.io", "GithubUser", "gh-1") in has_acct
+    assert ("carol@corp.io", "GithubUser", "gh-2") in has_acct
+    assert not any(s == "other@corp.io" for s, _, _ in has_acct)
+    # OWNS via 2-hop: alice HAS_ACCOUNT okta-1 <- OWNED_BY k-1
+    owns = {
+        (r["src_id"], r["dst_id"]) for r in tmp_store.edges(["OWNS"]).collect()
+    }
+    assert owns == {("alice@corp.io", "k-1")}
+
+
+def test_stale_user_and_links_gc(spark, tmp_store):
+    seed_providers(spark, tmp_store, T1)
+    sync_ontology_users(tmp_store, SOURCES, T1, linking_jobs=JOBS)
+    # next run: bob's Okta account is gone → bob's canonical User goes
+    # stale and is swept with his HAS_ACCOUNT edges (DETACH)
+    seed_providers(spark, tmp_store, T2, with_bob=False)
+    tmp_store.delete_nodes(
+        spark.createDataFrame([("OktaUser", "okta-2")], "label string, id string"),
+        detach=True,
+    )
+    sync_ontology_users(tmp_store, SOURCES, T2, linking_jobs=JOBS)
+    users = {r["id"] for r in tmp_store.nodes(["User"]).collect()}
+    assert users == {"alice@corp.io", "carol@corp.io"}
+    has_acct = {
+        (r["src_id"], r["dst_id"])
+        for r in tmp_store.edges(["HAS_ACCOUNT"]).collect()
+    }
+    assert not any(s == "bob@corp.io" for s, _ in has_acct)
+    # alice's firstseen survives the second run (MERGE preserves it)
+    alice = [r for r in tmp_store.nodes(["User"]).collect() if r["id"] == "alice@corp.io"]
+    assert alice[0]["firstseen"] == T1 and alice[0]["lastupdated"] == T2

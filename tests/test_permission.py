@@ -9,8 +9,10 @@ surface is the account-blocked ``permission_relationships`` join.
 import json
 
 from cartography_spark.operators.permission import (
+    clause_service,
     compile_clause,
     permission_relationships,
+    policy_services,
     principal_allowed,
 )
 
@@ -73,6 +75,82 @@ def test_deny_overrides_any_allow():
     }
     assert not principal_allowed(policies, arn, ["s3:GetObject"])
     assert principal_allowed(policies, arn, ["ec2:DescribeInstances"])
+
+
+def test_first_allow_short_circuits_policy_permission_loop():
+    """Reference parity (``evaluate_policy_for_permissions`` :177-217):
+    within one policy, the FIRST permission an Allow covers stops the
+    loop — a Deny on a LATER permission in the list is never reached.
+    {Allow GetObject, Deny PutObject} × [GetObject, PutObject] grants."""
+    arn = "arn:aws:s3:::data"
+    p = pol(
+        allow(action=["s3:GetObject"], resource=["*"]),
+        {"effect": "Deny", "action": ["s3:PutObject"], "resource": ["*"]},
+    )
+    assert principal_allowed(p, arn, ["s3:GetObject", "s3:PutObject"])
+    # permission order matters exactly as in the reference: deny first
+    assert not principal_allowed(p, arn, ["s3:PutObject", "s3:GetObject"])
+    # and a deny covering the same first permission still vetoes
+    p2 = pol(
+        allow(action=["s3:*"], resource=["*"]),
+        {"effect": "Deny", "action": ["s3:GetObject"], "resource": ["*"]},
+    )
+    assert not principal_allowed(p2, arn, ["s3:GetObject", "s3:PutObject"])
+
+
+def test_deny_in_later_policy_still_vetoes_earlier_allow():
+    arn = "arn:aws:s3:::data"
+    policies = {
+        "a": [allow(action=["s3:GetObject"], resource=["*"])],
+        "b": [{"effect": "Deny", "action": ["s3:GetObject"], "resource": ["*"]}],
+    }
+    assert not principal_allowed(policies, arn, ["s3:GetObject"])
+
+
+def test_clause_service_extraction():
+    assert clause_service("arn:aws:s3:::bucket/*") == "s3"
+    assert clause_service("arn:aws:SQS:us-east-1:1:q") == "sqs"
+    assert clause_service("*") == "*"
+    assert clause_service("arn:aws:*") == "*"
+    assert clause_service("arn:*:s3:::x") == "*"
+    assert clause_service("arn:aws:s?s:::x") == "*"
+    assert policy_services(pol(allow(resource=["arn:aws:s3:::a", "arn:aws:sqs:::b"]))) == ["s3", "sqs"]
+    assert policy_services(pol(allow(resource=["arn:aws:s3:::a", "*"]))) == ["*"]
+    # statements without a resource clause never apply → contribute nothing
+    assert policy_services(pol(allow(action=["*"]))) == []
+
+
+def test_service_blocking_is_pure_prune(spark):
+    """Service blocking must not change results: an s3-scoped policy
+    matches only s3 ARNs either way, and a wildcard policy still
+    reaches every service in its account."""
+    principals = spark.createDataFrame(
+        [
+            ("arn:aws:iam::1:role/s3only", "1",
+             json.dumps(pol(allow(action=["*"], resource=["arn:aws:s3:::*"])))),
+            ("arn:aws:iam::1:role/admin", "1",
+             json.dumps(pol(allow(action=["*"], resource=["*"])))),
+        ],
+        "principal_arn string, account_id string, policies_json string",
+    )
+    resources = spark.createDataFrame(
+        [
+            ("arn:aws:s3:::data", "1"),
+            ("arn:aws:sqs:us-east-1:1:q1", "1"),
+        ],
+        "resource_arn string, account_id string",
+    )
+    got = {
+        (r["principal_arn"], r["resource_arn"])
+        for r in permission_relationships(
+            principals, resources, ["s3:GetObject", "sqs:SendMessage"]
+        ).collect()
+    }
+    assert got == {
+        ("arn:aws:iam::1:role/s3only", "arn:aws:s3:::data"),
+        ("arn:aws:iam::1:role/admin", "arn:aws:s3:::data"),
+        ("arn:aws:iam::1:role/admin", "arn:aws:sqs:us-east-1:1:q1"),
+    }
 
 
 def test_spark_join_blocked_by_account(spark):

@@ -61,6 +61,7 @@ HEADLINE = [
     "q_rolling_shingle_fingerprint",
     "q_embedding_near_dup",
     "q_ontology_normalize",
+    "q_ontology_entity_link",
 ]
 
 

@@ -1,0 +1,68 @@
+"""String/date scalar twins of the reference's util helpers (P5).
+
+Column-expression (JVM, codegen-able) versions of:
+
+* ``dict_date_to_epoch`` (``util.py:855-905``): datetime → Unix epoch
+  seconds, None-safe — here :func:`to_epoch` over a string/timestamp
+  column, plus the Python-side :func:`date_to_epoch` for use inside the
+  Arrow-batched dict transforms (exactly ``int(value.timestamp())``
+  for datetime-likes, extended to the ISO strings JSON payloads carry).
+* ``camel_to_snake`` (``util.py:908-924``).
+* ``dict_value_to_str`` (``util.py:826-851``): value → str, None stays
+  None — :func:`value_to_str`.
+
+The engine session pins ``spark.sql.session.timeZone=UTC`` (session.py)
+so naive datetime strings parse as UTC instants, matching the
+``.timestamp()`` behavior on tz-aware boto3 datetimes.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, functions as F
+
+
+def to_epoch(col: Column) -> Column:
+    """String/timestamp column → epoch seconds (long); unparseable or
+    null → null (``dict_date_to_epoch`` None-propagation)."""
+    ts = F.coalesce(
+        col.try_cast("timestamp"),
+        # boto3-style "2019-01-01 00:00:00+00:00" already casts; also
+        # accept bare dates
+        F.try_to_timestamp(col.cast("string"), F.lit("yyyy-MM-dd")),
+    )
+    return F.unix_timestamp(ts).cast("long")
+
+
+def date_to_epoch(value: Any) -> int | None:
+    """Python-side twin for dict transforms (``dict_date_to_epoch``):
+    ``int(value.timestamp())`` for datetime-likes; ISO strings parsed
+    as UTC when naive; None/'' / unparseable → None."""
+    if value is None or value == "" or value == "None":
+        return None
+    if hasattr(value, "timestamp"):
+        return int(value.timestamp())
+    try:
+        import pandas as pd
+
+        ts = pd.Timestamp(str(value))
+        if ts.tzinfo is None:
+            ts = ts.tz_localize("UTC")
+        return int(ts.timestamp())
+    except Exception:
+        return None
+
+
+def camel_to_snake(col: Column) -> Column:
+    """CamelCase → snake_case (``util.py:908-924``): boundaries before
+    capitals that follow a lowercase/digit, and between acronym runs
+    and TitleCase words."""
+    step1 = F.regexp_replace(col, "(.)([A-Z][a-z]+)", r"$1_$2")
+    step2 = F.regexp_replace(step1, "([a-z0-9])([A-Z])", r"$1_$2")
+    return F.lower(step2)
+
+
+def value_to_str(col: Column) -> Column:
+    """Cast to string, preserving null (``dict_value_to_str``)."""
+    return col.cast("string")

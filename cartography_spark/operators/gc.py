@@ -27,7 +27,7 @@ from typing import Any, Mapping
 
 from pyspark.sql import DataFrame, functions as F
 
-from cartography_spark.models.schema import NodeSchema, RelSchema
+from cartography_spark.models.schema import LinkDirection, NodeSchema, RelSchema
 from cartography_spark.store.graphstore import GraphStore
 
 
@@ -103,8 +103,17 @@ def run_cleanup(
     schema: NodeSchema,
     update_tag: int,
     kwargs: Mapping[str, Any] | None = None,
+    cascade_delete: bool = False,
 ) -> dict[str, int]:
-    """Four-case GC dispatch for one node schema."""
+    """Four-case GC dispatch for one node schema.
+
+    ``cascade_delete`` (``cleanupbuilder.py:308-334``,
+    ``GraphJob.from_node_schema(..., cascade_delete=True)``): stale
+    children hanging off stale nodes via the schema's own sub-resource
+    rel label — in the OPPOSITE direction, i.e. where the stale node is
+    the tenant — are deleted too; a child re-parented this run
+    (``lastupdated == update_tag``) survives. The cascade runs BEFORE
+    the parent delete, while the linking edges still exist."""
     kwargs = kwargs or {}
     result = {"nodes_deleted": 0, "edges_deleted": 0}
     srr = schema.sub_resource_relationship
@@ -112,6 +121,17 @@ def run_cleanup(
     if srr is not None and schema.scoped_cleanup:
         sub_label, sub_id = _sub_scope(schema, kwargs)
         stale = _scoped_stale_node_keys(store, schema, update_tag, sub_label, sub_id)
+        if cascade_delete:
+            stale = stale.cache()
+            # srr INWARD = (parent)-[rel]->(n): n's own children hang as
+            # (n)-[rel]->(child), so the stale node is the SRC endpoint;
+            # OUTWARD swaps
+            parent_is = "src" if srr.direction == LinkDirection.INWARD else "dst"
+            c = cascade_children(
+                store, stale, srr.rel_label, update_tag, parent_is=parent_is
+            )
+            result["nodes_deleted"] += c["nodes_deleted"]
+            result["edges_deleted"] += c["edges_deleted"]
         d = store.delete_nodes(stale, detach=True)
         result["nodes_deleted"] += d["nodes_deleted"]
         result["edges_deleted"] += d["edges_deleted"]
@@ -167,34 +187,57 @@ def cascade_children(
     store: GraphStore,
     deleted_parent_keys: DataFrame,
     rel_label: str,
-    child_label: str,
     update_tag: int,
+    child_label: str | None = None,
+    parent_is: str | None = None,
 ) -> dict[str, int]:
     """Cascade delete (``cleanupbuilder.py:309-334``): children of
-    deleted parents go too, but a child re-parented this run
-    (``lastupdated == update_tag``) survives."""
+    deleted parents go too — ANY label, matching the reference's
+    untyped ``(n)-[:REL]-(child)`` — but a child re-parented this run
+    (``lastupdated == update_tag``) survives.
+
+    ``parent_is`` pins which edge endpoint holds the parent ("src" /
+    "dst"); None scans both orientations. ``child_label`` optionally
+    restricts the swept labels. Candidate child keys come from the edge
+    partitions (column-pruned), and only the node partitions of labels
+    actually seen among the candidates are scanned for staleness.
+    """
     e = store.edges([rel_label])
-    parents_src = deleted_parent_keys.select(
-        F.col("label").alias("src_label"), F.col("id").alias("src_id")
-    )
-    parents_dst = deleted_parent_keys.select(
-        F.col("label").alias("dst_label"), F.col("id").alias("dst_id")
-    )
-    child_ids = (
-        e.join(parents_src, on=["src_label", "src_id"], how="left_semi")
-        .filter(F.col("dst_label") == child_label)
-        .select(F.col("dst_id").alias("id"))
-        .unionByName(
-            e.join(parents_dst, on=["dst_label", "dst_id"], how="left_semi")
-            .filter(F.col("src_label") == child_label)
-            .select(F.col("src_id").alias("id"))
+    frames = []
+    if parent_is in (None, "src"):
+        parents_src = deleted_parent_keys.select(
+            F.col("label").alias("src_label"), F.col("id").alias("src_id")
         )
-        .distinct()
-    )
+        frames.append(
+            e.join(parents_src, on=["src_label", "src_id"], how="left_semi").select(
+                F.col("dst_label").alias("label"), F.col("dst_id").alias("id")
+            )
+        )
+    if parent_is in (None, "dst"):
+        parents_dst = deleted_parent_keys.select(
+            F.col("label").alias("dst_label"), F.col("id").alias("dst_id")
+        )
+        frames.append(
+            e.join(parents_dst, on=["dst_label", "dst_id"], how="left_semi").select(
+                F.col("src_label").alias("label"), F.col("src_id").alias("id")
+            )
+        )
+    child_keys = frames[0]
+    for f in frames[1:]:
+        child_keys = child_keys.unionByName(f)
+    if child_label is not None:
+        child_keys = child_keys.filter(F.col("label") == child_label)
+    child_keys = child_keys.distinct().cache()
+    labels = [r[0] for r in child_keys.select("label").distinct().collect()]
+    if not labels:
+        child_keys.unpersist()
+        return {"nodes_deleted": 0, "edges_deleted": 0}
     stale_children = (
-        store.nodes([child_label])
+        store.nodes(labels)
         .filter(F.col("lastupdated") != int(update_tag))
         .select("label", "id")
-        .join(child_ids, on="id", how="left_semi")
+        .join(child_keys, on=["label", "id"], how="left_semi")
     )
-    return store.delete_nodes(stale_children, detach=True)
+    out = store.delete_nodes(stale_children, detach=True)
+    child_keys.unpersist()
+    return out

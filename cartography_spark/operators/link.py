@@ -143,6 +143,111 @@ def resolve_rel_pairs(
     return joined.withColumn("__dst_id", F.col("__t_id").cast("string"))
 
 
+def _resolve_matcher_values(nodes: DataFrame, label: str, matcher, values: DataFrame) -> DataFrame:
+    """Resolve a single-key matcher's value set against existing nodes:
+    (value → node id) pairs; values matching no node drop (MATCH
+    semantics), values matching several keep every match (the
+    reference's counts-unreliable case, ``tx.py:1051-1058``)."""
+    items = list(matcher.keys.items())
+    if len(items) != 1:
+        raise ValueError("cartesian MatchLink needs exactly one matcher key per side")
+    attr, ref = items[0]
+    node_val = F.col("id") if attr == "id" else F.element_at(F.col("props"), attr)
+    node_val = node_val.cast("string")
+    side = nodes.filter(F.col("label") == label)
+    if ref.ignore_case:
+        side = side.select(F.lower(node_val).alias("__v"), F.col("id"))
+        values = values.select(F.lower("__v").alias("__v"))
+    else:
+        side = side.select(node_val.alias("__v"), F.col("id"))
+    return side.join(values, on="__v", how="inner").select("__v", "id")
+
+
+def load_matchlinks_cartesian(
+    store,
+    rel: RelSchema,
+    source_values,
+    target_values,
+    update_tag: int,
+    sub_resource_label: str | None = None,
+    sub_resource_id: str | None = None,
+) -> dict[str, int]:
+    """Cartesian MatchLink with attempted-vs-matched accounting
+    (``client/core/tx.py:923-1072``): every matched source links to
+    every matched target.
+
+    The reference bounds each transaction at 100×1000 pairs and sums
+    per-batch ``count(r)``; Spark tasks bound memory instead, so no
+    manual batching — but the accounting is kept: ``attempted`` =
+    |distinct source values| × |distinct target values|, ``matched`` =
+    relationships actually merged, and the under-match ("some values
+    matched no node") / over-match ("a matcher key resolved to several
+    nodes") conditions are recorded in lineage exactly like the
+    reference's warnings (:1042-1058).
+
+    ``source_values``/``target_values``: python lists (the reference's
+    API shape) or single-column DataFrames for at-scale callers.
+    """
+    if sub_resource_label is None or sub_resource_id is None:
+        # tx.py:981-992 — cleanup scoping is mandatory
+        raise ValueError(
+            f"_sub_resource_label/_sub_resource_id required for {rel.rel_label} "
+            "MatchLink cleanup scoping"
+        )
+    assert rel.source_node_matcher is not None and rel.source_node_label
+
+    def _values_df(values) -> DataFrame:
+        if isinstance(values, DataFrame):
+            return values.select(
+                F.col(values.columns[0]).cast("string").alias("__v")
+            ).distinct()
+        deduped = list(dict.fromkeys(values))  # tx.py:974-975
+        return store.spark.createDataFrame([(str(v),) for v in deduped], "__v string")
+
+    src_vals = _values_df(source_values).cache()
+    tgt_vals = _values_df(target_values).cache()
+    n_src, n_tgt = src_vals.count(), tgt_vals.count()
+    attempted = n_src * n_tgt
+    if attempted == 0:
+        return {"attempted": 0, "matched": 0}
+
+    nodes = store.nodes([rel.source_node_label, rel.target_node_label])
+    ms = _resolve_matcher_values(
+        nodes, rel.source_node_label, rel.source_node_matcher, src_vals
+    ).select(F.col("id").alias("__src_id"))
+    mt = _resolve_matcher_values(
+        nodes, rel.target_node_label, rel.target_node_matcher, tgt_vals
+    ).select(F.col("id").alias("__dst_id"))
+
+    batch = ms.crossJoin(mt).select(
+        F.lit(rel.source_node_label).alias("src_label"),
+        F.col("__src_id").cast("string").alias("src_id"),
+        F.lit(rel.rel_label).alias("rel_label"),
+        F.lit(rel.target_node_label).alias("dst_label"),
+        F.col("__dst_id").cast("string").alias("dst_id"),
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(sub_resource_label).alias("sub_resource_label"),
+        F.lit(str(sub_resource_id)).alias("sub_resource_id"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    ).dropDuplicates(["src_label", "src_id", "rel_label", "dst_label", "dst_id"])
+    counts = store.merge_edges(batch, update_tag, rels=[rel.rel_label])
+    matched = sum(c["created"] + c["updated"] for c in counts.values())
+    src_vals.unpersist()
+    tgt_vals.unpersist()
+
+    metrics = {"attempted": attempted, "matched": matched}
+    if matched < attempted:
+        metrics["warning"] = "some source or target values matched no node"
+    elif matched > attempted:
+        metrics["warning"] = (
+            "a matcher key resolved to multiple nodes; counts are unreliable"
+        )
+    store.record_lineage(
+        "matchlink_cartesian", {"rel": rel.rel_label, **metrics}
+    )
+    return metrics
+
+
 # ---------------------------------------------------------------------------
 # Skew handling (SURVEY.md §4: salt hub entities; the reference has no
 # equivalent because Neo4j absorbs hub nodes server-side)

@@ -1,0 +1,126 @@
+"""Stage-dependency sync driver (``sync.py:45-149`` +
+``intel/aws/__init__.py:137-213``).
+
+The reference manages inter-stage ordering two ways: a fixed
+TOP_LEVEL_MODULES list for the overall sync (indexes first, ontology /
+analysis last) and a per-provider dependency table
+(kms before s3/rds/efs, route53 after the LBs, tags always last) that
+warns when a requested stage is missing its dependencies and iterates
+in declared order.
+
+Spark-first: stages are registered with explicit ``depends_on`` edges
+and executed in topological order (declared order breaks ties, so a
+registry that is already dependency-sorted behaves exactly like the
+reference's fixed lists). Missing-dependency selection warns but runs
+(the reference's behavior: edges to absent data simply don't
+materialize), cycles fail fast, and ``always_last`` stages (the
+tags-style closers) run after everything else. Each stage's completion
+is checkpointed in the store manifest keyed by update_tag, so a
+resumed run skips completed stages.
+
+Stages run serially like the reference's one-session loop — but the
+executor is free to overlap independent Spark jobs inside a stage (see
+``plans/pipeline.py``'s threaded merges).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Mapping, Sequence
+
+from cartography_spark.store.graphstore import GraphStore
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass(frozen=True)
+class Stage:
+    """One sync stage: a callable over (store, update_tag, config)."""
+
+    name: str
+    run: Callable[[GraphStore, int, Mapping[str, Any]], Any]
+    depends_on: tuple[str, ...] = ()
+    always_last: bool = False  # resourcegroupstaggingapi-style closers
+
+
+@dataclass
+class StageRegistry:
+    stages: list[Stage] = field(default_factory=list)
+
+    def register(self, stage: Stage) -> None:
+        if any(s.name == stage.name for s in self.stages):
+            raise ValueError(f"stage '{stage.name}' already registered")
+        self.stages.append(stage)
+
+    def plan(self, requested: Sequence[str] | None = None) -> list[Stage]:
+        """Topological order over the requested subset.
+
+        * declared registration order breaks ties (the reference's
+          fixed-list semantics);
+        * requested stages with unselected dependencies WARN and still
+          run (``intel/aws/__init__.py:170-178``);
+        * ``always_last`` stages sort after all others;
+        * unknown names and dependency cycles fail fast.
+        """
+        by_name = {s.name: s for s in self.stages}
+        names = [s.name for s in self.stages] if requested is None else list(requested)
+        unknown = [n for n in names if n not in by_name]
+        if unknown:
+            raise KeyError(f"unknown stage(s) {unknown}; known: {sorted(by_name)}")
+        selected = set(names)
+        for n in names:
+            missing = [d for d in by_name[n].depends_on if d not in selected]
+            if missing:
+                logger.warning(
+                    "Stage '%s' requested without dependencies %s; some "
+                    "relationships may not be created.", n, missing,
+                )
+
+        # Kahn with declared-order tie-breaking, always_last deferred
+        order_index = {s.name: i for i, s in enumerate(self.stages)}
+        remaining = sorted(
+            selected, key=lambda n: (by_name[n].always_last, order_index[n])
+        )
+        done: list[str] = []
+        while remaining:
+            progressed = False
+            for n in list(remaining):
+                deps = [d for d in by_name[n].depends_on if d in selected]
+                if all(d in done for d in deps):
+                    done.append(n)
+                    remaining.remove(n)
+                    progressed = True
+            if not progressed:
+                raise ValueError(f"dependency cycle among stages {sorted(remaining)}")
+        # enforce always_last even when nothing depends on them
+        done.sort(key=lambda n: by_name[n].always_last)
+        return [by_name[n] for n in done]
+
+
+def run_stages(
+    store: GraphStore,
+    registry: StageRegistry,
+    update_tag: int,
+    config: Mapping[str, Any] | None = None,
+    requested: Sequence[str] | None = None,
+) -> dict[str, Any]:
+    """Execute the planned stages serially with per-stage checkpoint
+    skip (``Sync.run``, ``sync.py:240-297``)."""
+    config = config or {}
+    metrics: dict[str, Any] = {"update_tag": update_tag, "stages": {}}
+    for stage in registry.plan(requested):
+        key = f"stage:{stage.name}"
+        if store.stage_done(update_tag, key):
+            metrics["stages"][stage.name] = {"skipped": True}
+            continue
+        t0 = time.time()
+        out = stage.run(store, update_tag, config)
+        store.mark_stage(update_tag, key)
+        metrics["stages"][stage.name] = {
+            "seconds": round(time.time() - t0, 2),
+            "result": out if isinstance(out, (int, float, str, dict, list)) else None,
+        }
+    store.record_lineage("run_stages", {"update_tag": update_tag})
+    return metrics

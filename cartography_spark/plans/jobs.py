@@ -1,0 +1,255 @@
+"""Legacy JSON graph jobs (S6/N2): ``GraphJob.from_json_file`` twin.
+
+The reference ships 17 ``data/jobs/analysis/*.json`` files — label /
+edge migrations expressed as small Cypher statements run via
+``GraphJob.from_json_file`` (``graph/job.py:460-488``; statement fields
+``query`` / ``iterative`` / ``iterationsize``, job ``name``, shortname
+derived from the file name).
+
+Those statements are formulaic: a single ``MATCH`` of a node or a
+one-hop edge pattern, a ``WHERE`` over labels and scalar properties,
+and ``DELETE r`` or ``DETACH DELETE n``. This module loads the same
+JSON layout and compiles that restricted Cypher subset onto the store:
+
+* ``MATCH (n:L) WHERE p DETACH DELETE n``      → anti-join node delete
+* ``MATCH (a:L1)-[r:REL]->(n:L2) WHERE p DELETE r`` → edge delete
+
+Supported predicate constructs (everything the shipped jobs use):
+label tests (``n:Label`` — primary OR extra label), property access
+(``n.prop`` → props map), ``IS [NOT] NULL``, ``IN [..]``,
+``STARTS WITH``, ``AND/OR/NOT``, parentheses, ``<>``/``=`` against
+literals, and ``$PARAM`` run parameters (validated fail-fast, the G8
+twin). Anything outside the subset raises ``UnsupportedCypher`` — this
+is a declared subset, not a Cypher engine.
+
+``iterative``/``iterationsize`` are accepted for format compatibility
+and ignored: a distributed anti-join delete is one pass
+(``graph/statement.py:303-328`` loop semantics are "delete until
+done", which one pass satisfies).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from dataclasses import dataclass
+from typing import Any, Mapping
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from cartography_spark.store.graphstore import EDGE_KEY, GraphStore
+
+
+class UnsupportedCypher(ValueError):
+    """Statement falls outside the declared migration-job subset."""
+
+
+@dataclass(frozen=True)
+class GraphJobStatement:
+    query: str
+    iterative: bool = False
+    iterationsize: int = 0
+    comment: str | None = None
+
+
+@dataclass(frozen=True)
+class GraphJobSpec:
+    name: str
+    statements: tuple[GraphJobStatement, ...]
+    short_name: str | None = None
+
+
+def from_json(blob: str | Mapping[str, Any], short_name: str | None = None) -> GraphJobSpec:
+    data = json.loads(blob) if isinstance(blob, str) else dict(blob)
+    statements = tuple(
+        GraphJobStatement(
+            query=s["query"],
+            iterative=bool(s.get("iterative", False)),
+            iterationsize=int(s.get("iterationsize", 0)),
+            comment=s.get("__comment__"),
+        )
+        for s in data["statements"]
+    )
+    return GraphJobSpec(name=data["name"], statements=statements, short_name=short_name)
+
+
+def from_json_file(path: str) -> GraphJobSpec:
+    """``GraphJob.from_json_file`` twin: shortname = file stem."""
+    with open(path, encoding="utf-8") as f:
+        data = json.load(f)
+    return from_json(data, short_name=os.path.splitext(os.path.basename(path))[0])
+
+
+# -- restricted Cypher compilation ------------------------------------------
+
+_NODE_STMT = re.compile(
+    r"^\s*MATCH\s*\(\s*(?P<var>\w+)\s*:\s*(?P<label>\w+)\s*\)\s*"
+    r"(?:WHERE\s+(?P<where>.*?))?\s*DETACH\s+DELETE\s+(?P<target>\w+)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_EDGE_STMT = re.compile(
+    r"^\s*MATCH\s*\(\s*(?P<svar>\w*)\s*:?\s*(?P<slabel>\w*)\s*\)\s*"
+    r"-\s*\[\s*(?P<rvar>\w+)\s*:\s*(?P<rel>\w+)\s*\]\s*->\s*"
+    r"\(\s*(?P<dvar>\w*)\s*:?\s*(?P<dlabel>\w*)\s*\)\s*"
+    r"(?:WHERE\s+(?P<where>.*?))?\s*DELETE\s+(?P<target>\w+)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_STR = re.compile(r"'((?:[^'\\]|\\.)*)'")
+
+
+def _label_test(prefix: str, label: str) -> str:
+    """Cypher ``v:Label`` ≙ primary OR extra label."""
+    return (
+        f"({prefix}label = '{label}' OR "
+        f"array_contains(coalesce({prefix}extra_labels, array()), '{label}'))"
+    )
+
+
+def _compile_where(
+    where: str,
+    var_cols: Mapping[str, str],
+    parameters: Mapping[str, Any],
+) -> str:
+    """Predicate subset → Spark SQL expression string.
+
+    ``var_cols`` maps Cypher variables to column prefixes (e.g.
+    ``{"n": "__dst_"}``) so ``n.prop`` becomes
+    ``element_at(__dst_props, 'prop')`` and ``n:Label`` becomes the
+    two-level label test.
+    """
+    # 1) protect string literals from the structural rewrites
+    strings: list[str] = []
+
+    def _stash(m: re.Match) -> str:
+        strings.append(m.group(0))
+        return f"\0{len(strings) - 1}\0"
+
+    s = _STR.sub(_stash, where)
+
+    # 2) $PARAM substitution (fail-fast on missing — graph/job.py:367-380)
+    def _param(m: re.Match) -> str:
+        name = m.group(1)
+        if name not in parameters:
+            raise KeyError(f"graph job requires parameter '{name}'")
+        v = parameters[name]
+        if isinstance(v, (int, float)):
+            return str(v)
+        strings.append("'" + str(v).replace("'", "\\'") + "'")
+        return f"\0{len(strings) - 1}\0"
+
+    s = re.sub(r"\$(\w+)", _param, s)
+
+    # 3) label tests  var:Label
+    def _lbl(m: re.Match) -> str:
+        var, label = m.group(1), m.group(2)
+        if var not in var_cols:
+            raise UnsupportedCypher(f"unknown variable '{var}' in label test")
+        return _label_test(var_cols[var], label)
+
+    s = re.sub(r"\b(\w+)\s*:\s*(\w+)", _lbl, s)
+
+    # 4) property access  var.prop
+    def _prop(m: re.Match) -> str:
+        var, prop = m.group(1), m.group(2)
+        if var not in var_cols:
+            raise UnsupportedCypher(f"unknown variable '{var}' in property access")
+        return f"element_at({var_cols[var]}props, '{prop}')"
+
+    s = re.sub(r"\b(\w+)\.(\w+)", _prop, s)
+
+    # 5) list literals  IN [a, b]  →  IN (a, b)
+    s = re.sub(r"IN\s*\[([^\]]*)\]", lambda m: f"IN ({m.group(1)})", s, flags=re.IGNORECASE)
+
+    # 6) X STARTS WITH Y  →  startswith(X, Y); X is a function call
+    #    (element_at(...)) or a bare token — a leading Cypher paren
+    #    stays outside the capture
+    s = re.sub(
+        r"((?:\w+\([^()]*\))|[^\s()]+)\s+STARTS\s+WITH\s+(\0\d+\0|[^\s()]+)",
+        r"startswith(\1, \2)",
+        s,
+        flags=re.IGNORECASE,
+    )
+    if re.search(r"STARTS\s+WITH", s, re.IGNORECASE):
+        raise UnsupportedCypher(f"cannot compile STARTS WITH in: {where!r}")
+
+    # 7) Cypher <> already valid SQL; restore strings
+    s = re.sub(r"\0(\d+)\0", lambda m: strings[int(m.group(1))], s)
+    return s
+
+
+def _run_node_statement(
+    store: GraphStore, m: re.Match, parameters: Mapping[str, Any]
+) -> dict[str, int]:
+    var, label = m.group("var"), m.group("label")
+    if m.group("target") != var:
+        raise UnsupportedCypher("DETACH DELETE target must be the matched node var")
+    cond = F.expr(_label_test("", label))
+    if m.group("where"):
+        cond = cond & F.expr(_compile_where(m.group("where"), {var: ""}, parameters))
+    stale = store.nodes().filter(cond).select("label", "id")
+    return store.delete_nodes(stale, detach=True)
+
+
+def _run_edge_statement(
+    store: GraphStore, m: re.Match, parameters: Mapping[str, Any]
+) -> dict[str, int]:
+    rvar, rel = m.group("rvar"), m.group("rel")
+    if m.group("target") != rvar:
+        raise UnsupportedCypher("DELETE target must be the matched rel var")
+    e = store.edges([rel])
+    if m.group("slabel"):
+        e = e.filter(F.col("src_label") == m.group("slabel"))
+    if m.group("dlabel"):
+        e = e.filter(F.col("dst_label") == m.group("dlabel"))
+
+    where = m.group("where")
+    if not where:
+        pred = F.lit(True)
+        if m.group("slabel"):
+            pred = pred & (F.col("src_label") == m.group("slabel"))
+        if m.group("dlabel"):
+            pred = pred & (F.col("dst_label") == m.group("dlabel"))
+        return {"edges_deleted": store.delete_edges_bulk([rel], pred)}
+
+    var_cols: dict[str, str] = {rvar: ""}  # r.prop → edge props
+    joined: DataFrame = e
+    for side, var in (("src", m.group("svar")), ("dst", m.group("dvar"))):
+        if var and re.search(rf"\b{re.escape(var)}\b", where):
+            nodes_side = store.nodes().select(
+                F.col("label").alias(f"{side}_label"),
+                F.col("id").alias(f"{side}_id"),
+                F.col("label").alias(f"__{side}_label"),
+                F.col("extra_labels").alias(f"__{side}_extra_labels"),
+                F.col("props").alias(f"__{side}_props"),
+            )
+            joined = joined.join(nodes_side, on=[f"{side}_label", f"{side}_id"], how="inner")
+            var_cols[var] = f"__{side}_"
+    pred = F.expr(_compile_where(where, var_cols, parameters))
+    stale_keys = joined.filter(pred).select(*EDGE_KEY)
+    return {"edges_deleted": store.delete_edge_keys(stale_keys, [rel])}
+
+
+def run_graph_job(
+    store: GraphStore,
+    spec: GraphJobSpec,
+    parameters: Mapping[str, Any] | None = None,
+) -> dict[str, Any]:
+    """Execute a loaded JSON job statement-by-statement (serial, like
+    ``GraphJob.run``), recording per-statement delete counts."""
+    parameters = parameters or {}
+    metrics: dict[str, Any] = {"name": spec.name}
+    for i, stmt in enumerate(spec.statements):
+        node_m = _NODE_STMT.match(stmt.query)
+        edge_m = _EDGE_STMT.match(stmt.query) if node_m is None else None
+        if node_m is not None:
+            metrics[f"stmt_{i}"] = _run_node_statement(store, node_m, parameters)
+        elif edge_m is not None:
+            metrics[f"stmt_{i}"] = _run_edge_statement(store, edge_m, parameters)
+        else:
+            raise UnsupportedCypher(
+                f"statement {i} of job '{spec.name}' is outside the supported "
+                f"migration subset: {stmt.query[:120]!r}"
+            )
+    store.record_lineage("graph_job", metrics)
+    return metrics

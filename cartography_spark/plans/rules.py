@@ -163,3 +163,185 @@ EXTERNAL_TRUSTED_ROLES = Fact(
     asset_label="Role",
     asset_id_field="role_id",
 )
+
+SECRETS_IN_WORKFLOWS = Fact(
+    id="secrets_in_workflows",
+    name="Workflow secret references",
+    description="Repos whose CI workflows reference secrets — inventory "
+    "for rotation / least-privilege review.",
+    sql_query="""
+        SELECT e.src_id AS repo_id, e.dst_id AS secret_name
+        FROM edges e
+        WHERE e.rel_label = 'REFERENCES_SECRET'
+    """,
+    count_sql="SELECT count(*) AS count FROM nodes WHERE label = 'Repo'",
+    identity_fields=("repo_id", "secret_name"),
+    asset_label="Repo",
+    asset_id_field="repo_id",
+)
+
+
+# ---------------------------------------------------------------------------
+# Rule / Framework tree (rules/spec/model.py:286-360, :504-524) and
+# runners (rules/runners.py) — the product surface above the Fact core
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class RuleReference:
+    """External citation attached to a rule (``model.py:354-359``)."""
+
+    text: str
+    url: str
+
+
+@dataclass(frozen=True)
+class Framework:
+    """Compliance-framework tag (``model.py:286-313``)."""
+
+    name: str
+    short_name: str
+    requirement: str
+    scope: str | None = None
+    revision: str | None = None
+    control_title: str | None = None
+
+
+@dataclass(frozen=True)
+class Rule:
+    """A named group of facts with provenance (``model.py:504-524``)."""
+
+    id: str
+    name: str
+    tags: tuple[str, ...]
+    description: str
+    version: str
+    facts: tuple[Fact, ...]
+    references: tuple[RuleReference, ...] = ()
+    frameworks: tuple[Framework, ...] = ()
+
+    def __post_init__(self) -> None:
+        if not self.facts:
+            raise ValueError(f"Rule '{self.id}' must declare at least one fact")
+        ids = [f.id for f in self.facts]
+        if len(set(ids)) != len(ids):
+            raise ValueError(f"Rule '{self.id}' has duplicate fact ids")
+
+
+SUPPLY_CHAIN = Framework(
+    name="Supply Chain Levels for Software Artifacts",
+    short_name="slsa",
+    requirement="provenance-pinning",
+)
+
+ALL_RULES: tuple[Rule, ...] = (
+    Rule(
+        id="cicd_supply_chain",
+        name="CI/CD supply-chain hygiene",
+        tags=("cicd", "supply-chain"),
+        description="Mutable action refs and secret sprawl in workflows.",
+        version="1.0",
+        facts=(UNPINNED_ACTIONS, SECRETS_IN_WORKFLOWS),
+        references=(
+            RuleReference(
+                text="GitHub Actions pinning guidance",
+                url="https://docs.github.com/actions/security-guides",
+            ),
+        ),
+        frameworks=(SUPPLY_CHAIN,),
+    ),
+    Rule(
+        id="trust_concentration",
+        name="Trust-relationship concentration",
+        tags=("iam", "blast-radius"),
+        description="Shared principals trusted across many roles.",
+        version="1.0",
+        facts=(EXTERNAL_TRUSTED_ROLES,),
+    ),
+)
+
+
+def get_all_frameworks() -> dict[str, list[Framework]]:
+    """``runners.py:24-43`` twin: short_name → frameworks seen."""
+    out: dict[str, list[Framework]] = {}
+    for rule in ALL_RULES:
+        for fw in rule.frameworks:
+            out.setdefault(fw.short_name, []).append(fw)
+    return out
+
+
+def filter_rules_by_framework(
+    rules: tuple[Rule, ...], framework: str | None
+) -> tuple[Rule, ...]:
+    """``runners.py:259-288`` twin: keep rules tagged with the given
+    framework short_name (None = all)."""
+    if framework is None:
+        return rules
+    kept = tuple(
+        r for r in rules if any(f.short_name == framework for f in r.frameworks)
+    )
+    if not kept:
+        known = sorted(get_all_frameworks())
+        raise ValueError(f"unknown framework '{framework}'; known: {known}")
+    return kept
+
+
+def run_rule(store: GraphStore, rule: Rule, sample_findings: int = 20) -> dict[str, Any]:
+    """``runners.py:188-257`` twin: every fact of the rule, with the
+    rolled-up pass/fail summary and a bounded findings sample (the full
+    findings stay distributed — consumers get the DataFrame)."""
+    fact_results = []
+    for fact in rule.facts:
+        r = run_fact(store, fact)
+        r["sample"] = [
+            row.asDict() for row in r["findings"].limit(sample_findings).collect()
+        ]
+        fact_results.append(r)
+    return {
+        "rule_id": rule.id,
+        "rule_name": rule.name,
+        "version": rule.version,
+        "tags": list(rule.tags),
+        "frameworks": [f.short_name for f in rule.frameworks],
+        "failing": sum(r["failing"] for r in fact_results),
+        "total": sum(r["total"] for r in fact_results),
+        "facts": fact_results,
+    }
+
+
+def run_rules(
+    store: GraphStore,
+    rules: tuple[Rule, ...] = ALL_RULES,
+    framework: str | None = None,
+) -> list[dict[str, Any]]:
+    """``runners.py:290-398`` twin: optional framework filter, serial
+    execution, per-rule summaries."""
+    return [run_rule(store, r) for r in filter_rules_by_framework(rules, framework)]
+
+
+# -- formatters (rules/formatters.py) ---------------------------------------
+
+
+def format_json(results: list[dict[str, Any]]) -> str:
+    import json as _json
+
+    slim = []
+    for r in results:
+        slim.append({
+            **{k: v for k, v in r.items() if k != "facts"},
+            "facts": [
+                {k: v for k, v in f.items() if k != "findings"} for f in r["facts"]
+            ],
+        })
+    return _json.dumps(slim, indent=2, default=str)
+
+
+def format_table(results: list[dict[str, Any]]) -> str:
+    lines = [f"{'rule':30} {'fact':30} {'failing':>8} {'total':>8}"]
+    for r in results:
+        for f in r["facts"]:
+            lines.append(
+                f"{r['rule_id']:30} {f['fact_id']:30} "
+                f"{f['failing']:>8} {f['total']:>8}"
+            )
+    return "\n".join(lines)

@@ -77,6 +77,16 @@ def _ensure_list(x) -> list:
     return x if isinstance(x, list) else [x]
 
 
+def _epoch_str(value) -> str | None:
+    """``dict_date_to_epoch`` twin (``util.py:855-905``) for the props
+    map: epoch seconds as a string, None preserved — the P5 datetime
+    normalization the reference applies to provider dates."""
+    from cartography_spark.functions.scalars import date_to_epoch
+
+    e = date_to_epoch(value)
+    return None if e is None else str(e)
+
+
 class _Emit:
     def __init__(self, account_id: str):
         self.rows: list[tuple] = []
@@ -112,7 +122,9 @@ def _emit_users(e: _Emit, payload: dict) -> None:
         e.node("AWSUser", u["Arn"], {
             "arn": u["Arn"], "userid": u.get("UserId"), "name": u.get("UserName"),
             "path": u.get("Path"), "createdate": str(u.get("CreateDate")),
+            "createdate_epoch": _epoch_str(u.get("CreateDate")),
             "passwordlastused": str(u.get("PasswordLastUsed", "")),
+            "passwordlastused_epoch": _epoch_str(u.get("PasswordLastUsed")),
         }, extra=["AWSPrincipal"])
         e.resource("AWSUser", u["Arn"])
 
@@ -122,6 +134,7 @@ def _emit_groups(e: _Emit, payload: dict) -> None:
         e.node("AWSGroup", g["Arn"], {
             "arn": g["Arn"], "groupid": g.get("GroupId"), "name": g.get("GroupName"),
             "path": g.get("Path"), "createdate": str(g.get("CreateDate")),
+            "createdate_epoch": _epoch_str(g.get("CreateDate")),
         }, extra=["AWSPrincipal"])
         e.resource("AWSGroup", g["Arn"])
 
@@ -158,6 +171,7 @@ def _emit_roles(e: _Emit, payload: dict) -> None:
         e.node("AWSRole", arn, {
             "arn": arn, "roleid": r.get("RoleId"), "name": r.get("RoleName"),
             "path": r.get("Path"), "createdate": str(r.get("CreateDate")),
+            "createdate_epoch": _epoch_str(r.get("CreateDate")),
         }, extra=["AWSPrincipal"])
         e.resource("AWSRole", arn)
         for p in sorted(trusted):
@@ -218,6 +232,7 @@ def _emit_access_keys(e: _Emit, payload: dict) -> None:
             e.node("AWSAccountAccessKey", kid, {
                 "accesskeyid": kid, "status": k.get("Status"),
                 "createdate": str(k.get("CreateDate")),
+                "createdate_epoch": _epoch_str(k.get("CreateDate")),
             })
             e.edge("AWSUser", user_arn, "AWS_ACCESS_KEY", "AWSAccountAccessKey", kid)
             e.edge("AWSAccountAccessKey", kid, "OWNED_BY", "AWSUser", user_arn)

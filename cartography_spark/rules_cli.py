@@ -1,0 +1,54 @@
+"""Rules CLI (``rules/cli.py`` twin).
+
+Run the read-only rules tree against a synced graph store:
+
+    python -m cartography_spark.rules_cli --store /path/to/store \
+        [--framework slsa] [--format json|table] [--list-frameworks]
+
+The reference's CLI targets a Neo4j URI; here the target is a
+GraphStore root (the nodes/edges tables). Exit code 1 when any rule
+has failing assets — the CI-gate behavior of ``rules/cli.py``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="cartography-spark-rules", description=__doc__)
+    p.add_argument("--store", help="GraphStore root directory")
+    p.add_argument("--framework", default=None, help="framework short_name filter")
+    p.add_argument("--format", default="table", choices=("table", "json"))
+    p.add_argument("--list-frameworks", action="store_true")
+    p.add_argument("--master", default=None, help="spark master override")
+    args = p.parse_args(argv)
+
+    from cartography_spark.plans.rules import (
+        format_json,
+        format_table,
+        get_all_frameworks,
+        run_rules,
+    )
+
+    if args.list_frameworks:
+        for short, fws in sorted(get_all_frameworks().items()):
+            print(f"{short}: {fws[0].name}")
+        return 0
+
+    if not args.store:
+        p.error("--store is required unless --list-frameworks")
+
+    from cartography_spark.session import get_spark
+    from cartography_spark.store.graphstore import GraphStore
+
+    spark = get_spark("rules_cli", master=args.master)
+    store = GraphStore(spark, args.store)
+    results = run_rules(store, framework=args.framework)
+    print(format_json(results) if args.format == "json" else format_table(results))
+    return 1 if any(r["failing"] for r in results) else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -93,6 +93,18 @@ class GraphStore:
                 json.dump(self.manifest, f, indent=1)
             os.replace(tmp, self._manifest_path)  # atomic snapshot commit
 
+    @staticmethod
+    def _obs_get(obs: Observation, default: Mapping[str, Any]) -> Mapping[str, Any]:
+        """Observation metrics, or ``default`` when AQE's
+        empty-relation propagation pruned the CollectMetrics node out of
+        the physical plan. That pruning happens exactly when the
+        observed job's result set is empty, and every caller here passes
+        a default that is exact for the empty case (all-zero counters)."""
+        try:
+            return obs.get
+        except Exception:
+            return default
+
     def totals(self) -> dict[str, int]:
         """Current node/edge row totals, maintained incrementally by the
         merge/GC counters that already ride each write job — reading them
@@ -255,9 +267,9 @@ class GraphStore:
                 "lastupdated", "content_sha256", "extra_labels", "props",
             )
             self._write_partitioned("nodes", labels, merged, "label", cluster=False)
-            got = obs.get
+            got = self._obs_get(obs, {})
             out = {
-                label: {"created": int(got[f"c{i}"] or 0), "updated": 0}
+                label: {"created": int(got.get(f"c{i}", 0) or 0), "updated": 0}
                 for i, label in enumerate(labels)
             }
             self._bump_total("nodes", sum(v["created"] for v in out.values()))
@@ -316,9 +328,9 @@ class GraphStore:
         # are bounded by slots × labels (cluster=False skips a second
         # full shuffle of the merged rows)
         self._write_partitioned("nodes", labels, merged, "label", cluster=False)
-        got = obs.get
+        got = self._obs_get(obs, {})
         out = {
-            label: {"created": int(got[f"c{i}"] or 0), "updated": int(got[f"u{i}"] or 0)}
+            label: {"created": int(got.get(f"c{i}", 0) or 0), "updated": int(got.get(f"u{i}", 0) or 0)}
             for i, label in enumerate(labels)
         }
         self._bump_total("nodes", sum(v["created"] for v in out.values()))
@@ -355,9 +367,9 @@ class GraphStore:
                 "lastupdated", "sub_resource_label", "sub_resource_id", "props",
             )
             self._write_partitioned("edges", rels, merged, "rel_label", cluster=False)
-            got = obs.get
+            got = self._obs_get(obs, {})
             out = {
-                rel: {"created": int(got[f"c{i}"] or 0), "updated": 0}
+                rel: {"created": int(got.get(f"c{i}", 0) or 0), "updated": 0}
                 for i, rel in enumerate(rels)
             }
             self._bump_total("edges", sum(v["created"] for v in out.values()))
@@ -390,9 +402,9 @@ class GraphStore:
             pick("props"),
         )
         self._write_partitioned("edges", rels, merged, "rel_label", cluster=False)
-        got = obs.get
+        got = self._obs_get(obs, {})
         out = {
-            rel: {"created": int(got[f"c{i}"] or 0), "updated": int(got[f"u{i}"] or 0)}
+            rel: {"created": int(got.get(f"c{i}", 0) or 0), "updated": int(got.get(f"u{i}", 0) or 0)}
             for i, rel in enumerate(rels)
         }
         self._bump_total("edges", sum(v["created"] for v in out.values()))
@@ -409,17 +421,13 @@ class GraphStore:
         if not labels:
             stale.unpersist()
             return {"nodes_deleted": 0, "edges_deleted": 0}
-        # one anti-join + one partitioned write for all touched labels;
-        # before/after counters ride the same job via two observations
+        # column-pruned semi-join probe: gives the exact delete count AND
+        # skips the rewrite entirely when nothing matches (steady state)
         cur = self.nodes(labels)
-        obs_before, obs_after = Observation(), Observation()
-        keep = (
-            cur.observe(obs_before, F.count(F.lit(1)).alias("n"))
-            .join(stale, on=["label", "id"], how="left_anti")
-            .observe(obs_after, F.count(F.lit(1)).alias("n"))
-        )
-        self._write_partitioned("nodes", labels, keep, "label")
-        deleted = int((obs_before.get["n"] or 0) - (obs_after.get["n"] or 0))
+        deleted = cur.join(stale, on=["label", "id"], how="left_semi").count()
+        if deleted:
+            keep = cur.join(stale, on=["label", "id"], how="left_anti")
+            self._write_partitioned("nodes", labels, keep, "label")
 
         edges_deleted = 0
         if detach:
@@ -448,15 +456,19 @@ class GraphStore:
             ]
             if affected:
                 cur_e = self.edges(affected)
-                e_before, e_after = Observation(), Observation()
+                # before-count is a zero-column scan; the kept-count
+                # observation rides the rewrite, with the exact-for-empty
+                # fallback (AQE prunes CollectMetrics on empty results)
+                e_before = cur_e.count()
+                obs_kept = Observation()
                 keep_e = (
-                    cur_e.observe(e_before, F.count(F.lit(1)).alias("n"))
-                    .join(src_keys, on=["src_label", "src_id"], how="left_anti")
+                    cur_e.join(src_keys, on=["src_label", "src_id"], how="left_anti")
                     .join(dst_keys, on=["dst_label", "dst_id"], how="left_anti")
-                    .observe(e_after, F.count(F.lit(1)).alias("n"))
+                    .observe(obs_kept, F.count(F.lit(1)).alias("n"))
                 )
                 self._write_partitioned("edges", affected, keep_e, "rel_label")
-                edges_deleted = int((e_before.get["n"] or 0) - (e_after.get["n"] or 0))
+                kept = int(self._obs_get(obs_kept, {"n": 0})["n"] or 0)
+                edges_deleted = int(e_before - kept)
         stale.unpersist()
         self._bump_total("nodes", -deleted)
         self._bump_total("edges", -edges_deleted)
@@ -465,6 +477,25 @@ class GraphStore:
             "delete_nodes", {"nodes_deleted": deleted, "edges_deleted": edges_deleted}
         )
         return {"nodes_deleted": deleted, "edges_deleted": edges_deleted}
+
+    def delete_edge_keys(self, stale_keys: DataFrame, rel_labels: Iterable[str]) -> int:
+        """Delete edges by exact 5-tuple keys (anti-join rewrite of the
+        touched rel partitions); a semi-join probe gives the exact count
+        and skips the rewrite when nothing matches."""
+        rels = [r for r in rel_labels if r in self.manifest["edges"]]
+        if not rels:
+            return 0
+        keys = stale_keys.select(*EDGE_KEY)
+        cur = self.edges(rels)
+        n = cur.join(keys, on=EDGE_KEY, how="left_semi").count()
+        if n:
+            self._write_partitioned(
+                "edges", rels, cur.join(keys, on=EDGE_KEY, how="left_anti"), "rel_label"
+            )
+            self._bump_total("edges", -n)
+            self._save_manifest()
+        self.record_lineage("delete_edge_keys", {"rels": rels, "edges_deleted": n})
+        return n
 
     def delete_edges(self, rel_label: str, predicate) -> int:
         """Delete edges of one rel partition matching a Column predicate."""
@@ -550,7 +581,7 @@ class GraphStore:
             .alias("props"),
         )
         self._write_partitioned("edges", rels, rewritten, "rel_label")
-        n = int(obs.get["n"] or 0)
+        n = int(self._obs_get(obs, {"n": 0})["n"] or 0)
         self._save_manifest()
         self.record_lineage(
             "set_edge_props", {"rels": rels, "matched": n, "if_missing": if_missing}

@@ -1,0 +1,349 @@
+"""Iceberg backend: the store's MERGE/GC semantics as real SQL.
+
+The default :class:`~cartography_spark.store.graphstore.GraphStore` is
+a parquet+manifest engine that *mirrors* Iceberg ``MERGE INTO``
+semantics so tests run with zero extra jars. This module is the
+production mapping BASELINE.json names: the same node/edge upsert and
+stale-data GC emitted as actual ``MERGE INTO`` / ``DELETE FROM``
+statements against an Iceberg catalog, with the table layout the
+reference's index bootstrap corresponds to (S5):
+
+* ``nodes``  PARTITIONED BY (label)      — entity type == partition,
+  so label-scoped reads/deletes prune; NOT sorted/partitioned by
+  ``lastupdated`` (rewritten every run — the churn-index lesson,
+  ``querybuilder.py:1531-1539``).
+* ``edges``  PARTITIONED BY (rel_label).
+
+SQL generation is pure (unit-testable without jars);
+:class:`IcebergGraphStore` executes it when the session has the Iceberg
+extensions loaded (``iceberg_available``), exposing the same public
+surface as GraphStore so the GC/analysis operators run unchanged over
+either backend.
+
+Reference parity notes baked into the SQL:
+
+* ``firstseen`` set on create only, preserved on match
+  (``querybuilder.py:1266-1279``) — absent from ``UPDATE SET``.
+* declared props overwrite, undeclared survive — ``map_zip_with``
+  last-win merge, same expression as the parquet backend.
+* MatchLink ``sub_resource_*`` follow the last writer
+  (``querybuilder.py:1714-1719``) — always rewritten on match.
+* GC = ``DELETE FROM … WHERE lastupdated <> :tag`` within scope
+  (``cleanupbuilder.py:335-342``) — one distributed DELETE, no
+  LIMIT-loop.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+from dataclasses import dataclass
+from typing import Any, Iterable, Mapping
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cartography_spark.store.graphstore import EDGE_KEY, EDGES_DDL, NODES_DDL
+
+_PROPS_MERGE = (
+    "map_zip_with(coalesce(t.props, map()), coalesce(s.props, map()), "
+    "(k, tv, sv) -> coalesce(sv, tv))"
+)
+
+
+@dataclass(frozen=True)
+class IcebergTables:
+    nodes: str
+    edges: str
+
+
+def create_tables_sql(tables: IcebergTables) -> list[str]:
+    """DDL bootstrap (S5): the reference's ``ensure_indexes`` becomes
+    table layout — partition by entity type, never by the churn column."""
+    nodes_cols = NODES_DDL.replace(", ", ",\n  ")
+    edges_cols = EDGES_DDL.replace(", ", ",\n  ")
+    props = (
+        "TBLPROPERTIES ('write.merge.mode' = 'merge-on-read',\n"
+        "               'write.distribution-mode' = 'hash')"
+    )
+    return [
+        f"CREATE TABLE IF NOT EXISTS {tables.nodes} (\n  {nodes_cols}\n)"
+        f" USING iceberg PARTITIONED BY (label)\n{props}",
+        f"CREATE TABLE IF NOT EXISTS {tables.edges} (\n  {edges_cols}\n)"
+        f" USING iceberg PARTITIONED BY (rel_label)\n{props}",
+    ]
+
+
+def merge_nodes_sql(tables: IcebergTables, update_tag: int, batch_view: str) -> str:
+    return f"""MERGE INTO {tables.nodes} t
+USING {batch_view} s
+ON t.label = s.label AND t.id = s.id
+WHEN MATCHED THEN UPDATE SET
+  t.lastupdated = s.lastupdated,
+  t.content_sha256 = coalesce(s.content_sha256, t.content_sha256),
+  t.extra_labels = coalesce(s.extra_labels, t.extra_labels),
+  t.props = {_PROPS_MERGE}
+WHEN NOT MATCHED THEN INSERT
+  (label, id, firstseen, lastupdated, content_sha256, extra_labels, props)
+VALUES
+  (s.label, s.id, {int(update_tag)}L, s.lastupdated, s.content_sha256,
+   s.extra_labels, s.props)"""
+
+
+def merge_edges_sql(tables: IcebergTables, update_tag: int, batch_view: str) -> str:
+    on = " AND ".join(f"t.{k} = s.{k}" for k in EDGE_KEY)
+    return f"""MERGE INTO {tables.edges} t
+USING {batch_view} s
+ON {on}
+WHEN MATCHED THEN UPDATE SET
+  t.lastupdated = s.lastupdated,
+  t.sub_resource_label = s.sub_resource_label,
+  t.sub_resource_id = s.sub_resource_id,
+  t.props = s.props
+WHEN NOT MATCHED THEN INSERT
+  (src_label, src_id, rel_label, dst_label, dst_id, firstseen, lastupdated,
+   sub_resource_label, sub_resource_id, props)
+VALUES
+  (s.src_label, s.src_id, s.rel_label, s.dst_label, s.dst_id,
+   {int(update_tag)}L, s.lastupdated, s.sub_resource_label,
+   s.sub_resource_id, s.props)"""
+
+
+def delete_nodes_sql(tables: IcebergTables, keys_view: str) -> str:
+    return (
+        f"DELETE FROM {tables.nodes} t WHERE (t.label, t.id) IN "
+        f"(SELECT label, id FROM {keys_view})"
+    )
+
+
+def detach_edges_sql(tables: IcebergTables, keys_view: str) -> list[str]:
+    """DETACH DELETE: incident edges from either endpoint go with the
+    node (two statements — Iceberg DELETE handles one IN-subquery per
+    pass cleanly)."""
+    return [
+        f"DELETE FROM {tables.edges} t WHERE (t.src_label, t.src_id) IN "
+        f"(SELECT label, id FROM {keys_view})",
+        f"DELETE FROM {tables.edges} t WHERE (t.dst_label, t.dst_id) IN "
+        f"(SELECT label, id FROM {keys_view})",
+    ]
+
+
+def delete_stale_edges_sql(
+    tables: IcebergTables,
+    rel_labels: Iterable[str],
+    update_tag: int,
+    sub_resource_label: str | None = None,
+    sub_resource_id: str | None = None,
+) -> str:
+    """Scoped/unscoped stale-edge GC (``cleanupbuilder.py:344-362``,
+    MatchLink variant :603-667)."""
+    rels = ", ".join(f"'{r}'" for r in rel_labels)
+    scope = ""
+    if sub_resource_label is not None:
+        sid = str(sub_resource_id).replace("'", "''")
+        scope = (
+            f" AND sub_resource_label = '{sub_resource_label}'"
+            f" AND sub_resource_id = '{sid}'"
+        )
+    return (
+        f"DELETE FROM {tables.edges} WHERE rel_label IN ({rels}) "
+        f"AND lastupdated <> {int(update_tag)}L{scope}"
+    )
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the session can actually execute Iceberg DDL/DML."""
+    try:
+        spark.sql("CREATE NAMESPACE IF NOT EXISTS spark_catalog.default")
+        jconf = spark.conf
+        ext = jconf.get("spark.sql.extensions", "")
+        return "IcebergSparkSessionExtensions" in (ext or "")
+    except Exception:
+        return False
+
+
+class IcebergGraphStore:
+    """GraphStore-compatible surface over Iceberg tables.
+
+    Counters that the parquet backend rides on ``observe()`` are
+    computed here as column-pruned probes against the target table
+    (created = batch keys absent from target, updated = present), since
+    Spark's ``MERGE INTO`` returns no row counts. Lineage/stage
+    checkpointing keeps the same local JSON shape; table state itself
+    is snapshot-versioned by Iceberg (time travel ≙ the drift operator's
+    snapshot reads).
+    """
+
+    def __init__(self, spark: SparkSession, tables: IcebergTables, meta_root: str):
+        self.spark = spark
+        self.tables = tables
+        self.root = meta_root
+        os.makedirs(meta_root, exist_ok=True)
+        self._lineage_path = os.path.join(meta_root, "lineage.jsonl")
+        self._stages_path = os.path.join(meta_root, "stages.json")
+        self._lock = threading.RLock()
+        self._view_seq = 0
+        for ddl in create_tables_sql(tables):
+            spark.sql(ddl)
+
+    # -- manifest-compatible partition view --------------------------------
+    @property
+    def manifest(self) -> dict:
+        nodes = {r[0]: True for r in self.spark.table(self.tables.nodes)
+                 .select("label").distinct().collect()}
+        edges = {r[0]: True for r in self.spark.table(self.tables.edges)
+                 .select("rel_label").distinct().collect()}
+        return {"nodes": nodes, "edges": edges}
+
+    def _temp_view(self, df: DataFrame) -> str:
+        with self._lock:
+            self._view_seq += 1
+            name = f"__cs_batch_{self._view_seq}"
+        df.createOrReplaceTempView(name)
+        return name
+
+    # -- reads -------------------------------------------------------------
+    def nodes(self, labels: Iterable[str] | None = None) -> DataFrame:
+        df = self.spark.table(self.tables.nodes)
+        if labels is not None:
+            df = df.filter(F.col("label").isin(list(labels)))  # partition-pruned
+        return df
+
+    def edges(self, rel_labels: Iterable[str] | None = None) -> DataFrame:
+        df = self.spark.table(self.tables.edges)
+        if rel_labels is not None:
+            df = df.filter(F.col("rel_label").isin(list(rel_labels)))
+        return df
+
+    def totals(self) -> dict[str, int]:
+        return {
+            "nodes": self.spark.table(self.tables.nodes).count(),
+            "edges": self.spark.table(self.tables.edges).count(),
+        }
+
+    # -- MERGE -------------------------------------------------------------
+    def _merge(
+        self, table: str, key: list[str], part_col: str, batch: DataFrame,
+        sql: str, parts: list[str] | None,
+    ) -> dict[str, dict[str, int]]:
+        if parts is None:
+            parts = [r[0] for r in batch.select(part_col).distinct().collect()]
+        if not parts:
+            return {}
+        cur = self.spark.table(table).select(*key)
+        probe = (
+            batch.select(*key)
+            .join(cur.withColumn("__t", F.lit(True)), on=key, how="left")
+            .groupBy(part_col)
+            .agg(
+                F.sum(F.when(F.col("__t").isNull(), 1).otherwise(0)).alias("created"),
+                F.sum(F.when(F.col("__t").isNotNull(), 1).otherwise(0)).alias("updated"),
+            )
+        )
+        counts = {
+            r[0]: {"created": int(r["created"]), "updated": int(r["updated"])}
+            for r in probe.collect()
+        }
+        self.spark.sql(sql)
+        return {p: counts.get(p, {"created": 0, "updated": 0}) for p in parts}
+
+    def merge_nodes(
+        self, batch: DataFrame, update_tag: int, labels: list[str] | None = None
+    ) -> dict[str, dict[str, int]]:
+        view = self._temp_view(batch)
+        out = self._merge(
+            self.tables.nodes, ["label", "id"], "label", batch,
+            merge_nodes_sql(self.tables, update_tag, view), labels,
+        )
+        self.record_lineage("merge_nodes", {"update_tag": update_tag, "labels": out})
+        return out
+
+    def merge_edges(
+        self, batch: DataFrame, update_tag: int, rels: list[str] | None = None
+    ) -> dict[str, dict[str, int]]:
+        view = self._temp_view(batch)
+        out = self._merge(
+            self.tables.edges, EDGE_KEY, "rel_label", batch,
+            merge_edges_sql(self.tables, update_tag, view), rels,
+        )
+        self.record_lineage("merge_edges", {"update_tag": update_tag, "rels": out})
+        return out
+
+    # -- deletes -----------------------------------------------------------
+    def delete_nodes(self, stale_keys: DataFrame, detach: bool = True) -> dict[str, int]:
+        keys = stale_keys.select("label", "id").cache()
+        n = self.spark.table(self.tables.nodes).join(
+            keys, on=["label", "id"], how="left_semi"
+        ).count()
+        edges_deleted = 0
+        view = self._temp_view(keys)
+        if detach:
+            e = self.spark.table(self.tables.edges)
+            src = keys.select(F.col("label").alias("src_label"), F.col("id").alias("src_id"))
+            dst = keys.select(F.col("label").alias("dst_label"), F.col("id").alias("dst_id"))
+            edges_deleted = (
+                e.join(src, on=["src_label", "src_id"], how="left_semi")
+                .unionByName(e.join(dst, on=["dst_label", "dst_id"], how="left_semi"))
+                .dropDuplicates(EDGE_KEY)
+                .count()
+            )
+            for sql in detach_edges_sql(self.tables, view):
+                self.spark.sql(sql)
+        if n:
+            self.spark.sql(delete_nodes_sql(self.tables, view))
+        keys.unpersist()
+        out = {"nodes_deleted": int(n), "edges_deleted": int(edges_deleted)}
+        self.record_lineage("delete_nodes", out)
+        return out
+
+    def delete_edges(self, rel_label: str, predicate) -> int:
+        return self.delete_edges_bulk([rel_label], predicate)
+
+    def delete_edges_bulk(self, rel_labels: Iterable[str], predicate) -> int:
+        rels = list(rel_labels)
+        pred = F.coalesce(predicate, F.lit(False))
+        stale = self.edges(rels).filter(pred).select(*EDGE_KEY)
+        return self.delete_edge_keys(stale, rels)
+
+    def delete_edge_keys(self, stale_keys: DataFrame, rel_labels: Iterable[str]) -> int:
+        keys = stale_keys.select(*EDGE_KEY).cache()
+        n = keys.count()
+        if n:
+            view = self._temp_view(keys)
+            on = " AND ".join(f"(t.{k} <=> s.{k})" for k in EDGE_KEY)
+            self.spark.sql(
+                f"MERGE INTO {self.tables.edges} t USING {view} s ON {on} "
+                f"WHEN MATCHED THEN DELETE"
+            )
+        keys.unpersist()
+        self.record_lineage(
+            "delete_edge_keys", {"rels": list(rel_labels), "edges_deleted": int(n)}
+        )
+        return int(n)
+
+    # -- lineage / checkpoints (same local JSON shape as GraphStore) -------
+    def record_lineage(self, stage: str, metrics: Mapping[str, Any]) -> None:
+        with self._lock:
+            with open(self._lineage_path, "a") as f:
+                f.write(json.dumps({"ts": time.time(), "stage": stage, **metrics}) + "\n")
+
+    def _stages(self) -> dict:
+        if os.path.exists(self._stages_path):
+            with open(self._stages_path) as f:
+                return json.load(f)
+        return {}
+
+    def stage_done(self, update_tag: int, stage: str) -> bool:
+        return stage in self._stages().get(str(update_tag), {})
+
+    def mark_stage(self, update_tag: int, stage: str, info: Mapping[str, Any] | None = None) -> None:
+        with self._lock:
+            stages = self._stages()
+            stages.setdefault(str(update_tag), {})[stage] = {
+                "ts": time.time(), **(info or {})
+            }
+            tmp = self._stages_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(stages, f, indent=1)
+            os.replace(tmp, self._stages_path)

@@ -1,0 +1,154 @@
+"""Legacy JSON graph jobs (S6/N2): ``GraphJob.from_json_file`` twin
+with the restricted migration-Cypher compiler (plans/jobs.py)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.plans.jobs import (
+    GraphJobSpec,
+    UnsupportedCypher,
+    from_json,
+    from_json_file,
+    run_graph_job,
+)
+
+REF_JOB = "/root/reference/cartography/data/jobs/analysis/gcp_role_resource_edge_migration.json"
+
+
+def _node_rows(spark, rows, tag=1000):
+    import json
+
+    df = spark.createDataFrame(
+        rows, "label string, id string, props_json string, extra_json string"
+    )
+    return df.select(
+        "label", "id",
+        F.lit(tag).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        F.from_json("extra_json", "array<string>").alias("extra_labels"),
+        F.from_json("props_json", "map<string,string>").alias("props"),
+    )
+
+
+def _edge_rows(spark, rows, tag=1000):
+    df = spark.createDataFrame(
+        rows,
+        "src_label string, src_id string, rel_label string, dst_label string, dst_id string",
+    )
+    return df.select(
+        *df.columns,
+        F.lit(tag).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("sub_resource_label"),
+        F.lit(None).cast("string").alias("sub_resource_id"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    )
+
+
+def test_from_json_parses_reference_layout():
+    spec = from_json(
+        {
+            "name": "demo",
+            "statements": [
+                {"query": "MATCH (n:X) DETACH DELETE n", "iterative": True,
+                 "iterationsize": 100, "__comment__": "c"},
+            ],
+        },
+        short_name="demo_file",
+    )
+    assert isinstance(spec, GraphJobSpec)
+    assert spec.statements[0].iterative and spec.statements[0].iterationsize == 100
+    assert spec.statements[0].comment == "c"
+
+
+def test_node_detach_delete_with_labels_and_params(spark, tmp_store):
+    import json
+
+    s = tmp_store
+    s.merge_nodes(
+        _node_rows(spark, [
+            ("IpRange", "r1", json.dumps({"_module_name": "cartography:aws"}), "[]"),
+            ("IpRange", "r2", json.dumps({"_module_name": "cartography:aws"}),
+             json.dumps(["AWSIpRange"])),
+            ("IpRange", "r3", json.dumps({"_module_name": "other"}), "[]"),
+        ]),
+        1000,
+    )
+    s.merge_edges(
+        _edge_rows(spark, [("AWSAccount", "a1", "RESOURCE", "IpRange", "r1")]), 1000
+    )
+    spec = from_json({
+        "name": "ip migration",
+        "statements": [{
+            "query": "MATCH (n:IpRange) WHERE NOT n:AWSIpRange AND "
+                     "n._module_name IN ['cartography:aws', 'cartography:gcp'] "
+                     "DETACH DELETE n",
+        }],
+    })
+    m = run_graph_job(s, spec)
+    # r1 deleted (matching + DETACH removes its edge); r2 kept (extra
+    # label AWSIpRange); r3 kept (module name not in list)
+    ids = {r["id"] for r in s.nodes(["IpRange"]).collect()}
+    assert ids == {"r2", "r3"}
+    assert s.edges(["RESOURCE"]).count() == 0
+    assert m["stmt_0"]["nodes_deleted"] == 1
+
+
+def test_reference_job_file_round_trip(spark, tmp_store):
+    """Load an actual reference data/jobs/analysis JSON file and execute
+    it: legacy (:GCPProject)-[:RESOURCE]->(role) edges where the role is
+    global-scoped or roles/-named are deleted; project-custom roles
+    keep their edge."""
+    if not os.path.exists(REF_JOB):
+        pytest.skip("reference checkout not present")
+    import json
+
+    s = tmp_store
+    s.merge_nodes(
+        _node_rows(spark, [
+            ("GCPRole", "roles/viewer",
+             json.dumps({"scope": "GLOBAL", "name": "roles/viewer"}), "[]"),
+            ("GCPRole", "org-role",
+             json.dumps({"scope": "ORGANIZATION", "name": "organizations/1/roles/x"}), "[]"),
+            ("GCPRole", "custom-role",
+             json.dumps({"scope": "PROJECT", "name": "projects/p/roles/custom"}), "[]"),
+            ("GCPProject", "p1", json.dumps({}), "[]"),
+        ]),
+        1000,
+    )
+    s.merge_edges(
+        _edge_rows(spark, [
+            ("GCPProject", "p1", "RESOURCE", "GCPRole", "roles/viewer"),
+            ("GCPProject", "p1", "RESOURCE", "GCPRole", "org-role"),
+            ("GCPProject", "p1", "RESOURCE", "GCPRole", "custom-role"),
+        ]),
+        1000,
+    )
+    spec = from_json_file(REF_JOB)
+    assert spec.short_name == "gcp_role_resource_edge_migration"
+    m = run_graph_job(s, spec)
+    kept = {r["dst_id"] for r in s.edges(["RESOURCE"]).collect()}
+    assert kept == {"custom-role"}
+    assert m["stmt_0"]["edges_deleted"] == 2
+
+
+def test_unsupported_statement_raises(spark, tmp_store):
+    spec = from_json({
+        "name": "nope",
+        "statements": [{"query": "MERGE (n:X {id:'1'}) SET n.a = 1"}],
+    })
+    with pytest.raises(UnsupportedCypher):
+        run_graph_job(tmp_store, spec)
+
+
+def test_missing_parameter_fails_fast(spark, tmp_store):
+    tmp_store.merge_nodes(_node_rows(spark, [("X", "x1", "{}", "[]")]), 1000)
+    spec = from_json({
+        "name": "param",
+        "statements": [{
+            "query": "MATCH (n:X) WHERE n.lastupdated <> $UPDATE_TAG DETACH DELETE n"
+        }],
+    })
+    with pytest.raises(KeyError):
+        run_graph_job(tmp_store, spec)

@@ -1,0 +1,92 @@
+"""Iceberg backend SQL generation (S5/M1-M2/G1-G5 production mapping).
+
+Golden-text tests in the style of the reference's golden-Cypher suite
+(``tests/unit/cartography/graph/test_querybuilder_simple.py:40-78``):
+the generated MERGE/DELETE statements are compared after whitespace
+normalization, asserting the parity-critical clauses — firstseen absent
+from UPDATE SET, last-writer sub_resource rewrite, props last-win
+merge, churn column absent from partitioning.
+"""
+
+import re
+
+from cartography_spark.store.iceberg import (
+    IcebergTables,
+    create_tables_sql,
+    delete_nodes_sql,
+    delete_stale_edges_sql,
+    detach_edges_sql,
+    merge_edges_sql,
+    merge_nodes_sql,
+)
+
+T = IcebergTables(nodes="cat.kg.nodes", edges="cat.kg.edges")
+
+
+def norm(s: str) -> str:
+    return re.sub(r"\s+", " ", s).strip()
+
+
+def test_ddl_partitions_by_entity_type_not_churn_column():
+    ddl = create_tables_sql(T)
+    assert "PARTITIONED BY (label)" in ddl[0]
+    assert "PARTITIONED BY (rel_label)" in ddl[1]
+    # the 37.2s→17.8s churn-index lesson (querybuilder.py:1531-1539):
+    # lastupdated is rewritten every run, never a layout key
+    assert "lastupdated" not in ddl[0].split("PARTITIONED BY")[1]
+    assert "lastupdated" not in ddl[1].split("PARTITIONED BY")[1]
+    assert "USING iceberg" in ddl[0] and "USING iceberg" in ddl[1]
+
+
+def test_merge_nodes_preserves_firstseen_and_merges_props():
+    sql = norm(merge_nodes_sql(T, 1234, "batch"))
+    assert "MERGE INTO cat.kg.nodes t USING batch s" in sql
+    assert "ON t.label = s.label AND t.id = s.id" in sql
+    # firstseen: INSERT-only (ON CREATE SET — querybuilder.py:1266-1279)
+    update_set = sql.split("WHEN MATCHED THEN UPDATE SET")[1].split("WHEN NOT MATCHED")[0]
+    assert "firstseen" not in update_set
+    assert "1234L" in sql  # stamped on create
+    # declared-overwrite / undeclared-survive: last-win map merge
+    assert "map_zip_with" in update_set and "coalesce(sv, tv)" in update_set
+    # a second module loading the same node without content must not
+    # wipe it
+    assert "coalesce(s.content_sha256, t.content_sha256)" in update_set
+
+
+def test_merge_edges_last_writer_sub_resource():
+    sql = norm(merge_edges_sql(T, 99, "b"))
+    on = sql.split(" ON ")[1].split(" WHEN ")[0]
+    for k in ("src_label", "src_id", "rel_label", "dst_label", "dst_id"):
+        assert f"t.{k} = s.{k}" in on  # 5-tuple key
+    update_set = sql.split("WHEN MATCHED THEN UPDATE SET")[1].split("WHEN NOT MATCHED")[0]
+    # shared edge tracks the last writer (querybuilder.py:1714-1719)
+    assert "t.sub_resource_label = s.sub_resource_label" in update_set
+    assert "t.sub_resource_id = s.sub_resource_id" in update_set
+    assert "firstseen" not in update_set
+
+
+def test_delete_statements():
+    assert norm(delete_nodes_sql(T, "keys")) == (
+        "DELETE FROM cat.kg.nodes t WHERE (t.label, t.id) IN "
+        "(SELECT label, id FROM keys)"
+    )
+    d = [norm(s) for s in detach_edges_sql(T, "keys")]
+    assert any("(t.src_label, t.src_id) IN" in s for s in d)
+    assert any("(t.dst_label, t.dst_id) IN" in s for s in d)
+
+
+def test_stale_edge_gc_sql_scoped_and_unscoped():
+    # unscoped (cleanupbuilder.py:386-451)
+    sql = delete_stale_edges_sql(T, ["REQUIRES", "TRUSTS"], 7)
+    assert sql == (
+        "DELETE FROM cat.kg.edges WHERE rel_label IN ('REQUIRES', 'TRUSTS') "
+        "AND lastupdated <> 7L"
+    )
+    # MatchLink GC scoped to the writing tenant (cleanupbuilder.py:603-667)
+    sql = delete_stale_edges_sql(
+        T, ["STS_ASSUMEROLE_ALLOW"], 7,
+        sub_resource_label="AWSAccount", sub_resource_id="a'1",
+    )
+    assert "sub_resource_label = 'AWSAccount'" in sql
+    assert "sub_resource_id = 'a''1'" in sql  # quote-escaped
+    assert "lastupdated <> 7L" in sql

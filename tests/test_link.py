@@ -137,3 +137,44 @@ def test_salted_join_matches_plain_join(spark):
     plain = fact.join(dim, "k").agg(F.count("*"), F.sum("v")).collect()[0]
     salted = salted_join(fact, dim, "k", "k").agg(F.count("*"), F.sum("v")).collect()[0]
     assert tuple(plain) == tuple(salted)
+
+
+def test_cartesian_matchlink_accounting(spark, tmp_store):
+    """J7 cartesian MatchLink with the reference's attempted-vs-matched
+    accounting (client/core/tx.py:923-1072): unmatched values shrink
+    `matched` below `attempted` and record the under-match warning."""
+    from cartography_spark.operators.link import load_matchlinks_cartesian
+
+    s = tmp_store
+    nodes = spark.createDataFrame(
+        [("Host", "h1"), ("Host", "h2"), ("Net", "n1")],
+        "label string, id string",
+    ).select(
+        "label", "id",
+        F.lit(1000).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        F.lit(None).cast("array<string>").alias("extra_labels"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    )
+    s.merge_nodes(nodes, 1000)
+    rel = RelSchema(
+        rel_label="CAN_REACH",
+        target_node_label="Net",
+        target_node_matcher=TargetNodeMatcher({"id": PropertyRef("dst")}),
+        source_node_label="Host",
+        source_node_matcher=SourceNodeMatcher({"id": PropertyRef("src")}),
+    )
+    # h3 and n9 match no node; duplicates in the input dedupe first
+    m = load_matchlinks_cartesian(
+        s, rel, ["h1", "h2", "h3", "h1"], ["n1", "n9"], 2000,
+        sub_resource_label="AWSAccount", sub_resource_id="a1",
+    )
+    assert m["attempted"] == 6  # 3 distinct sources x 2 distinct targets
+    assert m["matched"] == 2    # (h1,n1), (h2,n1)
+    assert "matched no node" in m["warning"]
+    got = {(r["src_id"], r["dst_id"]) for r in s.edges(["CAN_REACH"]).collect()}
+    assert got == {("h1", "n1"), ("h2", "n1")}
+    # missing sub-resource kwargs fail fast (tx.py:981-992)
+    import pytest
+    with pytest.raises(ValueError):
+        load_matchlinks_cartesian(s, rel, ["h1"], ["n1"], 2000)

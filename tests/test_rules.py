@@ -79,3 +79,50 @@ def test_failing_counts_distinct_assets(spark, synced_store):
     res = run_fact(synced_store, fact)
     assert res["failing"] <= res["finding_rows"]
     assert res["failing"] > 0
+
+
+def test_rule_framework_tree_and_runner(synced_store):
+    """Rule/Framework tree + runners (rules/runners.py:188-398 twin)."""
+    from cartography_spark.plans.rules import (
+        ALL_RULES,
+        filter_rules_by_framework,
+        get_all_frameworks,
+        run_rules,
+    )
+
+    assert "slsa" in get_all_frameworks()
+    only = filter_rules_by_framework(ALL_RULES, "slsa")
+    assert [r.id for r in only] == ["cicd_supply_chain"]
+    with pytest.raises(ValueError):
+        filter_rules_by_framework(ALL_RULES, "nope")
+
+    results = run_rules(synced_store, framework="slsa")
+    assert len(results) == 1
+    r = results[0]
+    assert r["rule_id"] == "cicd_supply_chain"
+    assert r["failing"] > 0 and r["total"] >= r["failing"]
+    fact_ids = {f["fact_id"] for f in r["facts"]}
+    assert fact_ids == {"unpinned_github_actions", "secrets_in_workflows"}
+    assert all(isinstance(f["sample"], list) for f in r["facts"])
+
+
+def test_formatters_and_cli(synced_store, capsys):
+    import json
+
+    from cartography_spark.plans.rules import format_json, format_table, run_rules
+    from cartography_spark.rules_cli import main
+
+    results = run_rules(synced_store)
+    blob = json.loads(format_json(results))
+    assert {r["rule_id"] for r in blob} == {"cicd_supply_chain", "trust_concentration"}
+    assert "findings" not in json.dumps(blob)  # DataFrames never serialized
+    table = format_table(results)
+    assert "unpinned_github_actions" in table
+
+    assert main(["--list-frameworks"]) == 0
+    out = capsys.readouterr().out
+    assert "slsa" in out
+    # CI-gate behavior: failing assets → exit 1
+    rc = main(["--store", synced_store.root, "--format", "table"])
+    assert rc == 1
+    assert "cicd_supply_chain" in capsys.readouterr().out

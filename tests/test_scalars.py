@@ -1,0 +1,73 @@
+"""P5 scalar twins (util.py: dict_date_to_epoch :855, camel_to_snake
+:908, dict_value_to_str :826)."""
+
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from cartography_spark.functions.scalars import (
+    camel_to_snake,
+    date_to_epoch,
+    to_epoch,
+    value_to_str,
+)
+
+
+def test_date_to_epoch_python_twin():
+    dt = datetime(2023, 1, 15, 10, 30, 0, tzinfo=timezone.utc)
+    assert date_to_epoch(dt) == 1673778600
+    # reference doctest value is local-tz; tz-aware is deterministic
+    assert date_to_epoch("2023-01-15T10:30:00+00:00") == 1673778600
+    assert date_to_epoch("2023-01-15 10:30:00") == 1673778600  # naive → UTC
+    assert date_to_epoch(None) is None
+    assert date_to_epoch("") is None
+    assert date_to_epoch("None") is None  # str(None) artifacts
+    assert date_to_epoch("not-a-date") is None
+
+
+def test_to_epoch_column(spark):
+    df = spark.createDataFrame(
+        [("2023-01-15 10:30:00+00:00",), ("2023-01-15 10:30:00",),
+         ("2023-01-15",), (None,), ("garbage",)],
+        "d string",
+    )
+    got = [r[0] for r in df.select(to_epoch(F.col("d"))).collect()]
+    assert got == [1673778600, 1673778600, 1673740800, None, None]
+
+
+def test_camel_to_snake(spark):
+    df = spark.createDataFrame(
+        [("CamelCase",), ("HTTPResponse",), ("already_snake",), ("EC2Instance",)],
+        "s string",
+    )
+    got = [r[0] for r in df.select(camel_to_snake(F.col("s"))).collect()]
+    assert got == ["camel_case", "http_response", "already_snake", "ec2_instance"]
+
+
+def test_value_to_str_preserves_null(spark):
+    df = spark.createDataFrame([(1,), (None,)], "v int")
+    got = [r[0] for r in df.select(value_to_str(F.col("v"))).collect()]
+    assert got == ["1", None]
+
+
+def test_iam_provider_emits_epoch_props(spark, tmp_store):
+    """The IAM transform stores the epoch twin alongside the string
+    date (the parity-divergence risk VERDICT called out on
+    providers/aws_iam.py:118)."""
+    import json
+
+    from cartography_spark.providers.aws_iam import transform_iam
+
+    payload = {"Users": [{
+        "Arn": "arn:aws:iam::1:user/u1", "UserId": "AID1", "UserName": "u1",
+        "Path": "/", "CreateDate": "2023-01-15 10:30:00+00:00",
+    }]}
+    raw = spark.createDataFrame(
+        [("1", "users", json.dumps(payload))],
+        "account_id string, dataset string, payload_json string",
+    )
+    nodes, _edges = transform_iam(raw, 111)
+    row = [r for r in nodes.collect() if r["label"] == "AWSUser"][0]
+    assert row["props"]["createdate_epoch"] == "1673778600"
+    assert row["props"]["createdate"] == "2023-01-15 10:30:00+00:00"
+    assert row["props"].get("passwordlastused_epoch") is None

@@ -1,0 +1,73 @@
+"""Stage-dependency DAG driver (sync.py:45-149 /
+intel/aws/__init__.py:137-213 twin)."""
+
+import logging
+
+import pytest
+
+from cartography_spark.plans.driver import Stage, StageRegistry, run_stages
+
+
+def _reg(order_log):
+    reg = StageRegistry()
+
+    def mk(name):
+        def run(store, tag, cfg):
+            order_log.append(name)
+            return {"ran": name}
+
+        return run
+
+    reg.register(Stage("kms", mk("kms")))
+    reg.register(Stage("s3", mk("s3"), depends_on=("kms",)))
+    reg.register(Stage("rds", mk("rds"), depends_on=("kms",)))
+    reg.register(Stage("instances", mk("instances")))
+    reg.register(Stage("route53", mk("route53"), depends_on=("instances",)))
+    reg.register(Stage("tags", mk("tags"), always_last=True))
+    return reg
+
+
+def test_topological_order_with_declared_tiebreak():
+    log = []
+    reg = _reg(log)
+    plan = [s.name for s in reg.plan()]
+    assert plan.index("kms") < plan.index("s3")
+    assert plan.index("kms") < plan.index("rds")
+    assert plan.index("instances") < plan.index("route53")
+    assert plan[-1] == "tags"  # resourcegroupstaggingapi-style closer
+    # declared order breaks ties: s3 before rds
+    assert plan.index("s3") < plan.index("rds")
+
+
+def test_missing_dependency_warns_but_runs(caplog):
+    reg = _reg([])
+    with caplog.at_level(logging.WARNING):
+        plan = reg.plan(["s3", "tags"])
+    assert [s.name for s in plan] == ["s3", "tags"]
+    assert any("without dependencies" in r.message for r in caplog.records)
+
+
+def test_unknown_stage_and_cycle_fail_fast():
+    reg = _reg([])
+    with pytest.raises(KeyError):
+        reg.plan(["nope"])
+    cyc = StageRegistry()
+    cyc.register(Stage("a", lambda *_: None, depends_on=("b",)))
+    cyc.register(Stage("b", lambda *_: None, depends_on=("a",)))
+    with pytest.raises(ValueError, match="cycle"):
+        cyc.plan()
+
+
+def test_run_stages_checkpoints_and_resumes(spark, tmp_store):
+    log = []
+    reg = _reg(log)
+    m1 = run_stages(tmp_store, reg, update_tag=1, requested=["kms", "s3", "tags"])
+    assert log == ["kms", "s3", "tags"]
+    assert m1["stages"]["s3"]["result"] == {"ran": "s3"}
+    # resume on the same tag: everything skips
+    m2 = run_stages(tmp_store, reg, update_tag=1, requested=["kms", "s3", "tags"])
+    assert log == ["kms", "s3", "tags"]  # not re-run
+    assert all(v.get("skipped") for v in m2["stages"].values())
+    # a new tag re-runs
+    run_stages(tmp_store, reg, update_tag=2, requested=["kms"])
+    assert log == ["kms", "s3", "tags", "kms"]

@@ -6,6 +6,11 @@ exact (label, id, …) set comparison after each run, check_nodes-style
 (``tests/integration/util.py:11-72``).
 """
 
+import shutil
+import tempfile
+import uuid
+
+import pytest
 from pyspark.sql import functions as F
 
 from cartography_spark.models.schema import (
@@ -19,6 +24,40 @@ from cartography_spark.operators.emit import emit_edges, emit_nodes
 from cartography_spark.operators.gc import cleanup_matchlinks, run_cleanup
 
 T1, T2 = 1000, 2000
+
+
+@pytest.fixture(params=["parquet", "iceberg"])
+def tmp_store(request, spark):
+    """This module's MERGE/GC suite runs against BOTH backends: the
+    hermetic parquet+manifest store and the Iceberg SQL adapter (leg
+    skipped when the session has no Iceberg runtime; the generated SQL
+    itself is unit-tested in test_iceberg_sql.py)."""
+    if request.param == "parquet":
+        from cartography_spark.store.graphstore import GraphStore
+
+        root = tempfile.mkdtemp(prefix="graphstore_")
+        yield GraphStore(spark, root)
+        shutil.rmtree(root, ignore_errors=True)
+        return
+    from cartography_spark.store.iceberg import (
+        IcebergGraphStore,
+        IcebergTables,
+        iceberg_available,
+    )
+
+    if not iceberg_available(spark):
+        pytest.skip("no Iceberg runtime in this session")
+    ns = f"kg_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE NAMESPACE IF NOT EXISTS spark_catalog.{ns}")
+    tables = IcebergTables(
+        nodes=f"spark_catalog.{ns}.nodes", edges=f"spark_catalog.{ns}.edges"
+    )
+    root = tempfile.mkdtemp(prefix="iceberg_meta_")
+    yield IcebergGraphStore(spark, tables, root)
+    spark.sql(f"DROP TABLE IF EXISTS {tables.nodes}")
+    spark.sql(f"DROP TABLE IF EXISTS {tables.edges}")
+    spark.sql(f"DROP NAMESPACE IF EXISTS spark_catalog.{ns}")
+    shutil.rmtree(root, ignore_errors=True)
 
 
 def node_batch(spark, rows, tag):
@@ -120,6 +159,97 @@ def load_assets(spark, store, asset_rows, tag, account_id):
     )
     store.merge_nodes(emit_nodes(df, ASSET, tag, kwargs), tag)
     store.merge_edges(emit_edges(df, ASSET, tag, nodes=None, kwargs=kwargs), tag)
+
+
+ORG_REL = RelSchema(
+    rel_label="RESOURCE",
+    target_node_label="Org",
+    target_node_matcher=TargetNodeMatcher({"id": PropertyRef("ORG_ID", set_in_kwargs=True)}),
+    direction=LinkDirection.INWARD,
+)
+
+PROJECT = NodeSchema(
+    label="Project",
+    properties={"id": PropertyRef("project_id")},
+    sub_resource_relationship=ORG_REL,
+)
+
+
+def test_cascade_delete_sweeps_stale_children(spark, tmp_store):
+    """G4 cascade (cleanupbuilder.py:309-334), mirroring the reference's
+    tests/integration/cartography/intel/gcp/test_cascade_delete.py: a
+    stale Project is deleted with cascade_delete=True → its stale
+    children (any label) go too; a child re-parented this run survives;
+    a fresh sibling project and its children are untouched."""
+    s = tmp_store
+    s.merge_nodes(node_batch(spark, [("Org", "org1")], T2), T2)
+    # p1 stale, p2 fresh
+    s.merge_nodes(
+        node_batch(spark, [("Project", "p1")], T1).unionByName(
+            node_batch(spark, [("Project", "p2")], T2)
+        ),
+        T2,
+    )
+    # children: i1/b1 stale under p1; i2 re-parented (fresh tag, edge
+    # from p1 still lingering + new edge from p2); i3 fresh under p2
+    s.merge_nodes(
+        node_batch(spark, [("Instance", "i1"), ("Bucket", "b1")], T1)
+        .unionByName(node_batch(spark, [("Instance", "i2"), ("Instance", "i3")], T2)),
+        T2,
+    )
+    s.merge_edges(
+        edge_batch(
+            spark,
+            [
+                ("Org", "org1", "RESOURCE", "Project", "p1"),
+                ("Org", "org1", "RESOURCE", "Project", "p2"),
+                ("Project", "p1", "RESOURCE", "Instance", "i1"),
+                ("Project", "p1", "RESOURCE", "Bucket", "b1"),
+                ("Project", "p1", "RESOURCE", "Instance", "i2"),
+                ("Project", "p2", "RESOURCE", "Instance", "i2"),
+                ("Project", "p2", "RESOURCE", "Instance", "i3"),
+            ],
+            T1,
+        ),
+        T1,
+    )
+    res = run_cleanup(s, PROJECT, T2, {"ORG_ID": "org1"}, cascade_delete=True)
+    got = nodes_set(s)
+    assert ("Project", "p1") not in got
+    assert ("Instance", "i1") not in got, "stale child should cascade"
+    assert ("Bucket", "b1") not in got, "stale child of any label should cascade"
+    assert ("Instance", "i2") in got, "re-parented child must survive"
+    assert ("Project", "p2") in got and ("Instance", "i3") in got
+    assert ("Org", "org1") in got
+    # p1's incident edges are gone with it (DETACH)
+    assert not any(
+        "p1" in (a, c) for (a, _, c) in edges_set(s)
+    )
+    assert res["nodes_deleted"] == 3  # p1 + i1 + b1
+
+
+def test_cascade_without_flag_leaves_children(spark, tmp_store):
+    """Without cascade_delete the children persist as orphans — the
+    exact failure mode the reference's flag exists to prevent."""
+    s = tmp_store
+    s.merge_nodes(node_batch(spark, [("Org", "org1")], T2), T2)
+    s.merge_nodes(node_batch(spark, [("Project", "p1")], T1), T2)
+    s.merge_nodes(node_batch(spark, [("Instance", "i1")], T1), T2)
+    s.merge_edges(
+        edge_batch(
+            spark,
+            [
+                ("Org", "org1", "RESOURCE", "Project", "p1"),
+                ("Project", "p1", "RESOURCE", "Instance", "i1"),
+            ],
+            T1,
+        ),
+        T1,
+    )
+    run_cleanup(s, PROJECT, T2, {"ORG_ID": "org1"})
+    got = nodes_set(s)
+    assert ("Project", "p1") not in got
+    assert ("Instance", "i1") in got
 
 
 def test_scoped_gc_two_tenants(spark, tmp_store):

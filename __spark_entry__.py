@@ -597,24 +597,34 @@ def q_embedding_near_dup(spark, sf_dir):
     >=1e-4 away from every pair at all SFs, so engine float noise
     cannot flip membership)."""
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("label"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a")
+    # norms are precomputed per ROW before the join (N sqrt-of-sum
+    # evaluations), not per pair (N² inside the join) — the join's
+    # per-pair arithmetic is the dot product alone
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
     )
-    b = emb.select(
-        F.col("label"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b")
+    normed = emb.select("label", "vec_id", "embedding", norm.alias("nrm"))
+    a = normed.select(
+        F.col("label"), F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("e_a"), F.col("nrm").alias("n_a"),
+    )
+    b = normed.select(
+        F.col("label"), F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("e_b"), F.col("nrm").alias("n_b"),
     )
     dot = F.aggregate(
         F.zip_with("e_a", "e_b", lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
-    )
     pairs = (
         a.join(b, on="label")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", dot / (norm(F.col("e_a")) * norm(F.col("e_b"))))
+        .withColumn("cos", dot / (F.col("n_a") * F.col("n_b")))
     )
     return (
         pairs.filter(F.col("cos") >= 0.4)

@@ -43,7 +43,7 @@ IAM_FACTS_DDL = (
 
 DATASETS = (
     "users", "groups", "roles", "memberships",
-    "policies_inline", "policies_managed", "access_keys",
+    "policies_inline", "policies_managed", "access_keys", "mfa_devices",
 )
 
 
@@ -180,6 +180,22 @@ def _emit_roles(e: _Emit, payload: dict) -> None:
                    p)
 
 
+def _emit_mfa_devices(e: _Emit, payload: dict) -> None:
+    """AWSMfaDevice nodes + (AWSUser)-[:MFA_DEVICE]->(device) edges
+    (``intel/aws/iam.py:1081-1096`` transform,
+    ``models/aws/iam/mfa_device.py``: id = serial number)."""
+    for d in payload.get("MFADevices", []):
+        serial = d["SerialNumber"]
+        e.node("AWSMfaDevice", serial, {
+            "serialnumber": serial, "username": d.get("UserName"),
+            "user_arn": d.get("UserArn"), "enabledate": str(d.get("EnableDate")),
+            "enabledate_epoch": _epoch_str(d.get("EnableDate")),
+        }, extra=["MFADevice"])
+        e.resource("AWSMfaDevice", serial)
+        if d.get("UserArn"):
+            e.edge("AWSUser", d["UserArn"], "MFA_DEVICE", "AWSMfaDevice", serial)
+
+
 def _emit_memberships(e: _Emit, payload: dict) -> None:
     for group_arn, user_arns in payload.items():
         for user_arn in user_arns:
@@ -244,6 +260,7 @@ _EMITTERS = {
     "roles": _emit_roles,
     "memberships": _emit_memberships,
     "access_keys": _emit_access_keys,
+    "mfa_devices": _emit_mfa_devices,
     "policies_inline": lambda e, p: _emit_policies(e, p, "inline"),
     "policies_managed": lambda e, p: _emit_policies(e, p, "managed"),
 }
@@ -433,3 +450,73 @@ def sync_assumerole(store, account_id: str, update_tag: int) -> int:
         & (F.col("sub_resource_id") == account_id),
     )
     return sum(c["created"] + c["updated"] for c in counts.values())
+
+
+def aws_user_projection_job():
+    """``AWS_USER_PROJECTION`` twin (``analysis/ontology/analysis.py:
+    10-39``): derive ``_ont_has_mfa`` and ``_ont_active`` on AWSUser
+    from related AWSMfaDevice / Active access-key nodes, since AWS does
+    not expose these directly on the IAM user.
+
+    ``_ont_has_mfa`` = EXISTS((u)-[:MFA_DEVICE]->(:AWSMfaDevice));
+    ``_ont_active``  = true when the password was ever used OR an
+    Active access key exists, else NULL (the reference's CASE yields
+    true/NULL, never false). Both effects declare label="AWSUser" so the
+    generated cleanup re-derives them from scratch each run.
+    """
+    from cartography_spark.plans.analysis import AnalysisJob, SetProperty
+
+    def match(store):
+        users = store.nodes(["AWSUser"]).select(
+            "label", "id",
+            F.element_at("props", "passwordlastused_epoch").alias("__plu"),
+        )
+        mfa = (
+            store.edges(["MFA_DEVICE"])
+            .filter(
+                (F.col("src_label") == "AWSUser")
+                & (F.col("dst_label") == "AWSMfaDevice")
+            )
+            .select(F.col("src_id").alias("id"))
+            .distinct()
+            .withColumn("__has_mfa", F.lit(True))
+        )
+        key_edges = store.edges(["AWS_ACCESS_KEY"]).filter(
+            (F.col("src_label") == "AWSUser")
+            & (F.col("dst_label") == "AWSAccountAccessKey")
+        )
+        active_keys = (
+            store.nodes(["AWSAccountAccessKey"])
+            .filter(F.element_at("props", "status") == "Active")
+            .select(F.col("id").alias("dst_id"))
+        )
+        has_active_key = (
+            key_edges.join(active_keys, on="dst_id", how="left_semi")
+            .select(F.col("src_id").alias("id"))
+            .distinct()
+            .withColumn("__active_key", F.lit(True))
+        )
+        return (
+            users.join(mfa, on="id", how="left")
+            .join(has_active_key, on="id", how="left")
+        )
+
+    return AnalysisJob(
+        name="ontology_aws_user_projection",
+        match=match,
+        effects=(
+            SetProperty(
+                "_ont_has_mfa",
+                F.coalesce(F.col("__has_mfa"), F.lit(False)),
+                label="AWSUser",
+            ),
+            SetProperty(
+                "_ont_active",
+                F.when(
+                    F.col("__plu").isNotNull() | F.col("__active_key").isNotNull(),
+                    F.lit("true"),
+                ),
+                label="AWSUser",
+            ),
+        ),
+    )

@@ -209,8 +209,15 @@ def synthesize_repo_files(
     malformed_fraction: float = 0.05,
     stale_commit_fraction: float = 0.3,
     partitions: int | None = None,
+    start: int = 0,
 ):
-    """Distributed deterministic generation of the repo_files table."""
+    """Distributed deterministic generation of the repo_files table.
+
+    ``start`` offsets the repo-id range so disjoint shards of one
+    logical corpus can be generated by independent jobs (the
+    multi-executor scaling harness gives each worker JVM its own
+    ``[start, start+n_repos)`` shard — the same read pattern as
+    executors scanning disjoint splits of a repo-bucketed table)."""
     import pandas as pd
 
     def gen(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -230,5 +237,5 @@ def synthesize_repo_files(
                 )
             yield pd.DataFrame(rows, columns=cols)
 
-    rng = spark.range(n_repos, numPartitions=partitions)
+    rng = spark.range(start, start + n_repos, numPartitions=partitions)
     return rng.mapInPandas(gen, schema=REPO_FILES_DDL)

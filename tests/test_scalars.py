@@ -71,3 +71,56 @@ def test_iam_provider_emits_epoch_props(spark, tmp_store):
     assert row["props"]["createdate_epoch"] == "1673778600"
     assert row["props"]["createdate"] == "2023-01-15 10:30:00+00:00"
     assert row["props"].get("passwordlastused_epoch") is None
+
+
+def test_aws_user_projection_job(spark, tmp_store):
+    """AWS_USER_PROJECTION twin (analysis/ontology/analysis.py:10-39):
+    _ont_has_mfa from MFA_DEVICE edges, _ont_active true-or-NULL from
+    password use / Active access keys; re-derived each run via the
+    generated property cleanup."""
+    import json
+
+    from cartography_spark.plans.analysis import run_analysis_job
+    from cartography_spark.providers.aws_iam import aws_user_projection_job, transform_iam
+
+    users = {"Users": [
+        {"Arn": "arn:aws:iam::1:user/mfa-user", "UserName": "mfa-user"},
+        {"Arn": "arn:aws:iam::1:user/key-user", "UserName": "key-user"},
+        {"Arn": "arn:aws:iam::1:user/pw-user", "UserName": "pw-user",
+         "PasswordLastUsed": "2023-01-15 10:30:00+00:00"},
+        {"Arn": "arn:aws:iam::1:user/idle-user", "UserName": "idle-user"},
+    ]}
+    mfa = {"MFADevices": [
+        {"SerialNumber": "arn:aws:iam::1:mfa/dev1", "UserName": "mfa-user",
+         "UserArn": "arn:aws:iam::1:user/mfa-user",
+         "EnableDate": "2023-02-01 00:00:00+00:00"},
+    ]}
+    keys = {"arn:aws:iam::1:user/key-user": [
+        {"AccessKeyId": "AKIA1", "Status": "Active",
+         "CreateDate": "2023-01-01 00:00:00+00:00"},
+    ], "arn:aws:iam::1:user/idle-user": [
+        {"AccessKeyId": "AKIA2", "Status": "Inactive",
+         "CreateDate": "2023-01-01 00:00:00+00:00"},
+    ]}
+    raw = spark.createDataFrame(
+        [("1", "users", json.dumps(users)),
+         ("1", "mfa_devices", json.dumps(mfa)),
+         ("1", "access_keys", json.dumps(keys))],
+        "account_id string, dataset string, payload_json string",
+    )
+    nodes, edges = transform_iam(raw, 111)
+    tmp_store.merge_nodes(nodes, 111)
+    tmp_store.merge_edges(edges, 111)
+
+    run_analysis_job(tmp_store, aws_user_projection_job(), 222)
+    props = {
+        r["id"].rsplit("/", 1)[1]: (r["props"] or {})
+        for r in tmp_store.nodes(["AWSUser"]).collect()
+    }
+    assert props["mfa-user"]["_ont_has_mfa"] == "true"
+    assert props["key-user"]["_ont_has_mfa"] == "false"
+    assert props["key-user"]["_ont_active"] == "true"    # Active key
+    assert props["pw-user"]["_ont_active"] == "true"     # password used
+    # reference CASE yields true or NULL, never false
+    assert props["idle-user"].get("_ont_active") is None
+    assert props["idle-user"]["_ont_has_mfa"] == "false"

@@ -26,12 +26,43 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 JOB = r"""
-import sys, time, tempfile, shutil, json
+import sys, time, tempfile, shutil, json, os, glob
 sys.path.insert(0, {repo!r})
 from cartography_spark.session import get_spark
 from cartography_spark.store.graphstore import GraphStore
 from cartography_spark.sources.repo_files import synthesize_repo_files
 from cartography_spark.plans.pipeline import run_pipeline
+
+
+def cpu_all():
+    # CPU seconds across the LIVE process tree (this driver, the JVM,
+    # and every pyspark sidecar worker). local[N] bounds only the JVM
+    # task slots -- the python workers run outside that budget, so the
+    # nominal core count under-states what low-N levels consume; this
+    # measures what was actually burned.
+    total = 0.0
+    clk = os.sysconf("SC_CLK_TCK")
+    seen = set()
+    def walk(pid):
+        nonlocal total
+        if pid in seen:
+            return
+        seen.add(pid)
+        try:
+            with open(f"/proc/{{pid}}/stat") as f:
+                parts = f.read().rsplit(")", 1)[1].split()
+            total += (int(parts[11]) + int(parts[12])) / clk
+        except Exception:
+            return
+        for cf in glob.glob(f"/proc/{{pid}}/task/*/children"):
+            try:
+                for child in open(cf).read().split():
+                    walk(int(child))
+            except Exception:
+                pass
+    walk(os.getpid())
+    return total
+
 
 cores = int(sys.argv[1]); n_repos = int(sys.argv[2])
 # identical INPUT at both levels (64 file-partitions — the dataset
@@ -40,12 +71,13 @@ cores = int(sys.argv[1]); n_repos = int(sys.argv[2])
 spark = get_spark("scaling_bench", master=f"local[{{cores}}]")
 files = synthesize_repo_files(spark, n_repos, partitions=64)
 root = tempfile.mkdtemp(prefix=f"scale{{cores}}_")
-t0 = time.perf_counter()
+c0 = cpu_all(); t0 = time.perf_counter()
 m = run_pipeline(spark, files, GraphStore(spark, root), update_tag=1)
-dt = time.perf_counter() - t0
+dt = time.perf_counter() - t0; c1 = cpu_all()
 shutil.rmtree(root, ignore_errors=True)
 print("SCALERESULT " + json.dumps({{
     "cores": cores, "n_repos": n_repos, "wall_s": round(dt, 2),
+    "cpu_s": round(c1 - c0, 2), "eff_cores": round((c1 - c0) / dt, 2),
     "triples": m["nodes_total"] + m["edges_total"],
     "stages": {{k: v for k, v in m.items() if k.endswith("_s")}},
 }}))
@@ -101,24 +133,55 @@ def main() -> None:
         "target": 0.8,
         "pass": eff >= 0.8,
     }
+    # resource-normalized efficiency: local[N] bounds only JVM task
+    # slots; the python sidecar workers burn cores OUTSIDE that budget,
+    # inflating the low-N baseline's actual core usage. On a real
+    # cluster N->4N executors multiplies PROVISIONED cores (sidecars
+    # included, bounded by the executor container), so the governing
+    # ratio is total CPU-seconds at lo vs hi.
+    if "cpu_s" in results[lo] and "cpu_s" in results[hi]:
+        cpu_lo, cpu_hi = results[lo]["cpu_s"], results[hi]["cpu_s"]
+        summary.update({
+            f"local{lo}_cpu_s": cpu_lo,
+            f"local{lo}_effective_cores": results[lo]["eff_cores"],
+            f"local{hi}_cpu_s": cpu_hi,
+            f"local{hi}_effective_cores": results[hi]["eff_cores"],
+            "cpu_seconds_efficiency": round(cpu_lo / cpu_hi, 3),
+            "resource_normalized_efficiency": round(
+                (t_lo * results[lo]["eff_cores"])
+                / (t_hi * results[hi]["eff_cores"]),
+                3,
+            ),
+        })
     stamp = time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime())
     with open(out_md, "a") as f:
         f.write(
             f"\n## Scaling run {stamp} UTC (n_repos={n_repos})\n\n"
-            f"| cores | wall (s) | triples/s | stages |\n|---|---|---|---|\n"
+            f"| cores | wall (s) | triples/s | cpu (s) | effective cores | stages |\n"
+            f"|---|---|---|---|---|---|\n"
         )
         for cores in (lo, hi):
             r = results[cores]
             f.write(
                 f"| local[{cores}] | {r['wall_s']} | "
                 f"{round(r['triples'] / r['wall_s'], 1)} | "
+                f"{r.get('cpu_s', '—')} | {r.get('eff_cores', '—')} | "
                 f"{json.dumps(r['stages'])} |\n"
             )
         f.write(
             f"\nSpeedup local[{lo}]→local[{hi}]: **{summary['speedup']}×** "
-            f"({ratio}× cores); scaling efficiency = **{summary['scaling_efficiency']}** "
+            f"({ratio}× cores); wall-clock scaling efficiency = "
+            f"**{summary['scaling_efficiency']}** "
             f"(north-rule target ≥ 0.8: {'PASS' if summary['pass'] else 'FAIL'}).\n"
         )
+        if "resource_normalized_efficiency" in summary:
+            f.write(
+                f"Resource-normalized efficiency (wall × cores actually "
+                f"burned, lo vs hi) = "
+                f"**{summary['resource_normalized_efficiency']}** — local[N] "
+                f"caps only JVM task slots; pyspark sidecar workers burn "
+                f"cores outside that budget, inflating the low-N baseline.\n"
+            )
     print(json.dumps(summary))
 
 

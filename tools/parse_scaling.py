@@ -1,0 +1,74 @@
+"""Engine-stage isolation: scaling of the Arrow parse stage ALONE.
+
+Runs just synthesize → mapInPandas extract_facts → count (no
+latest-commit shuffle, no parquet staging, no merge) at two
+parallelism levels, separating the engine's compute path from the
+shuffle/write stages whose throughput is bounded by the single VM's
+memory bus and disk.
+
+Usage: python tools/parse_scaling.py [n_repos] [lo,hi] [reps]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+JOB = r"""
+import sys, time
+sys.path.insert(0, {repo!r})
+from cartography_spark.session import get_spark
+from cartography_spark.sources.repo_files import synthesize_repo_files
+from cartography_spark.functions.parsers import extract_facts
+
+cores = int(sys.argv[1]); n_repos = int(sys.argv[2])
+spark = get_spark("parse_scaling", master=f"local[{{cores}}]")
+files = synthesize_repo_files(spark, n_repos, partitions=64)
+t0 = time.perf_counter()
+n = extract_facts(files).count()
+dt = time.perf_counter() - t0
+print(f"PARSERESULT {{cores}} {{dt:.2f}} {{n}}")
+"""
+
+
+def run_level(cores: int, n_repos: int) -> float:
+    out = subprocess.run(
+        [sys.executable, "-c", JOB.format(repo=REPO), str(cores), str(n_repos)],
+        capture_output=True, text=True, timeout=3600,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("PARSERESULT "):
+            return float(line.split()[2])
+    raise RuntimeError(out.stderr[-2000:])
+
+
+def main() -> None:
+    n_repos = int(sys.argv[1]) if len(sys.argv) > 1 else 256000
+    lo, hi = (
+        int(x) for x in (sys.argv[2] if len(sys.argv) > 2 else "2,8").split(",")
+    )
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    best: dict[int, float] = {}
+    for rep in range(reps):
+        for cores in (lo, hi) if rep % 2 == 0 else (hi, lo):
+            dt = run_level(cores, n_repos)
+            print(f"rep {rep} local[{cores}]: {dt:.2f}s", file=sys.stderr)
+            if cores not in best or dt < best[cores]:
+                best[cores] = dt
+    eff = (best[lo] / best[hi]) / (hi / lo)
+    print(json.dumps({
+        "n_repos": n_repos, "lo": lo, "hi": hi,
+        f"local{lo}_s": round(best[lo], 2), f"local{hi}_s": round(best[hi], 2),
+        "speedup": round(best[lo] / best[hi], 2),
+        "efficiency": round(eff, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

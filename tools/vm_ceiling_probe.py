@@ -1,0 +1,92 @@
+"""Spark-free control workloads that characterize the sandbox VM's
+parallel-scaling ceiling.
+
+The north-rule scaling evidence needs to separate ENGINE scaling from
+HOST scaling. Two multiprocessing controls, no JVM, no Spark:
+
+* ``cpu``        — md5 over millions of short strings: tiny working
+  set, pure compute. On hardware with independent cores this scales
+  ~linearly; whatever it measures is the VM's *CPU* ceiling.
+* ``bandwidth``  — repeated large-buffer copies (each worker streams
+  ~hundreds of MB through memcpy): the working set defeats cache, so
+  throughput is bounded by the shared memory bus. This is the workload
+  class a Spark shuffle / Arrow batch transfer belongs to. On a real
+  multi-node cluster each executor brings its own memory bus, so
+  N→4N *executors* multiply bandwidth 4×; inside one VM they share it.
+
+Protocol matches tools/bench_scaling.py: interleaved reps, per-level
+minimum kept.
+
+Usage: python tools/vm_ceiling_probe.py [lo] [hi] [reps]
+Prints one JSON line with per-control scaling efficiency lo→hi.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import multiprocessing as mp
+import sys
+import time
+
+N_STRINGS = 1_500_000     # per worker-invocation unit of cpu work
+COPY_MB = 256             # per worker-invocation unit of bandwidth work
+COPY_ROUNDS = 24
+
+
+def _cpu_unit(seed: int) -> int:
+    h = 0
+    for i in range(N_STRINGS):
+        h ^= hashlib.md5(f"{seed}:{i}".encode()).digest()[0]
+    return h
+
+
+def _bandwidth_unit(seed: int) -> int:
+    buf = bytearray(COPY_MB * 1024 * 1024)
+    acc = 0
+    for r in range(COPY_ROUNDS):
+        # bytes(buf) + slicing both stream the full buffer through memcpy
+        copy = bytes(buf)
+        acc ^= copy[(seed + r) % len(copy)]
+    return acc
+
+
+def run_level(fn, workers: int, units: int) -> float:
+    """Fixed TOTAL work (``units`` tasks) spread over ``workers``
+    processes — same shape as a fixed dataset over N executor slots."""
+    with mp.Pool(workers) as pool:
+        t0 = time.perf_counter()
+        pool.map(fn, range(units))
+        return time.perf_counter() - t0
+
+
+def main() -> None:
+    lo = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    hi = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    units = hi * 2  # divisible by both levels, 2 waves at hi
+
+    results: dict[str, dict[int, float]] = {"cpu": {}, "bandwidth": {}}
+    for rep in range(reps):
+        for name, fn in (("cpu", _cpu_unit), ("bandwidth", _bandwidth_unit)):
+            for w in (lo, hi) if rep % 2 == 0 else (hi, lo):
+                dt = run_level(fn, w, units)
+                cur = results[name].get(w)
+                if cur is None or dt < cur:
+                    results[name][w] = dt
+                print(f"rep {rep} {name} workers={w}: {dt:.2f}s", file=sys.stderr)
+
+    out = {"lo": lo, "hi": hi, "units": units}
+    for name, r in results.items():
+        eff = (r[lo] / r[hi]) / (hi / lo)
+        out[name] = {
+            f"w{lo}_s": round(r[lo], 2),
+            f"w{hi}_s": round(r[hi], 2),
+            "speedup": round(r[lo] / r[hi], 2),
+            "efficiency": round(eff, 3),
+        }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,96 @@
+"""Top-level CLI: the ``cartography`` entry point re-expressed.
+
+The reference's CLI (``cli.py:328-372`` → ``sync.run_with_config``,
+``sync.py:389-497``) parses flags into a Config, defaults
+``update_tag = int(time.time())`` and runs the serial stage loop. The
+Spark twin:
+
+    python -m cartography_spark.cli sync --input /path/to/repo_files \
+        --store /path/to/store [--update-tag T] [--no-gc] [--synth N]
+    python -m cartography_spark.cli job --store S path/to/job.json \
+        [--param UPDATE_TAG=123 ...]
+    python -m cartography_spark.cli rules --store S [--framework f]
+
+``sync`` reads a parquet ``repo_files(repo, path, commit, lang,
+content)`` table (or synthesizes a deterministic corpus with
+``--synth N``) and runs the checkpoint-resumable pipeline; ``job``
+executes a legacy JSON graph job (``GraphJob.from_json_file`` twin);
+``rules`` delegates to the rules CLI.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and argv[0] == "rules":
+        # delegate verbatim (argparse REMAINDER mishandles leading
+        # dashes after the subcommand)
+        from cartography_spark.rules_cli import main as rules_main
+
+        return rules_main(argv[1:])
+    p = argparse.ArgumentParser(prog="cartography-spark", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ps = sub.add_parser("sync", help="run the KG-construction sync loop")
+    ps.add_argument("--input", help="repo_files parquet path")
+    ps.add_argument("--synth", type=int, help="synthesize N repos instead of --input")
+    ps.add_argument("--store", required=True)
+    ps.add_argument("--update-tag", type=int, default=None,
+                    help="watermark; defaults to int(time.time()) (sync.py:494-496)")
+    ps.add_argument("--no-gc", action="store_true")
+    ps.add_argument("--master", default=None)
+
+    pj = sub.add_parser("job", help="run a legacy JSON graph job")
+    pj.add_argument("job_file")
+    pj.add_argument("--store", required=True)
+    pj.add_argument("--param", action="append", default=[],
+                    metavar="NAME=VALUE", help="job $PARAM values")
+    pj.add_argument("--master", default=None)
+
+    sub.add_parser("rules", help="run the rules tree (delegates to rules_cli)")
+
+    args = p.parse_args(argv)
+
+    from cartography_spark.session import get_spark
+    from cartography_spark.store.graphstore import GraphStore
+
+    spark = get_spark("cartography_spark_cli", master=args.master)
+    store = GraphStore(spark, args.store)
+
+    if args.cmd == "sync":
+        if bool(args.input) == bool(args.synth):
+            p.error("exactly one of --input / --synth is required")
+        from cartography_spark.plans.pipeline import run_pipeline
+        from cartography_spark.sources.repo_files import (
+            REPO_FILES_DDL,
+            synthesize_repo_files,
+        )
+
+        if args.input:
+            files = spark.read.schema(REPO_FILES_DDL).parquet(args.input)
+        else:
+            files = synthesize_repo_files(spark, args.synth)
+        tag = args.update_tag if args.update_tag is not None else int(time.time())
+        metrics = run_pipeline(spark, files, store, update_tag=tag, gc=not args.no_gc)
+        print(json.dumps(metrics))
+        return 0
+
+    if args.cmd == "job":
+        from cartography_spark.plans.jobs import from_json_file, run_graph_job
+
+        params = dict(kv.split("=", 1) for kv in args.param)
+        metrics = run_graph_job(store, from_json_file(args.job_file), params)
+        print(json.dumps(metrics))
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -3,11 +3,16 @@
 A 100 TB training-data corpus carries images/audio/video as opaque
 ``binary`` columns beside the text. The Spark-side contract here is
 real and tested — schema, Arrow batch shape, ``mapInPandas``
-signatures, partition-friendly outputs — while the actual codec work is
-STUBBED (this container has no image/audio libraries): the default
-decoder is a clearly-marked deterministic fake keyed on the content
-bytes, and ``decoder="real"`` raises ``NotImplementedError`` where
-PIL/ffmpeg would plug in.
+signatures, partition-friendly outputs. Codec support is tiered:
+
+* ``decoder="real"`` — REAL decoding for the formats the Python
+  stdlib can parse: PCM WAV audio (``wave`` module → duration, sample
+  rate, per-window RMS energy features) and binary PPM images (header
+  + raw RGB → dimensions, per-channel means, luma histogram). Other
+  formats (JPEG/PNG/MP4…) raise ``NotImplementedError`` where
+  PIL/ffmpeg would plug in — this container has no media libraries.
+* ``decoder="fake"`` (default) — a clearly-marked deterministic stub
+  keyed on the content bytes, for plumbing tests at any media type.
 
 Schemas:
 
@@ -59,27 +64,106 @@ def _fake_decode_features(data: bytes, dim: int = _FEATURE_DIM) -> list[float]:
     return out
 
 
+def decode_wav_features(data: bytes, dim: int = _FEATURE_DIM) -> list[float]:
+    """REAL PCM WAV decode (stdlib ``wave`` + ``struct``): [duration_s,
+    sample_rate/48k, n_channels, then per-window RMS energies over
+    ``dim-3`` equal windows of the first channel]."""
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(data), "rb") as w:
+        n_frames = w.getnframes()
+        rate = w.getframerate()
+        n_ch = w.getnchannels()
+        width = w.getsampwidth()
+        raw = w.readframes(n_frames)
+    if width != 2:
+        raise NotImplementedError(f"only 16-bit PCM supported, got width={width}")
+    samples = struct.unpack(f"<{len(raw) // 2}h", raw)[::n_ch]  # first channel
+    feats = [n_frames / rate if rate else 0.0, rate / 48000.0, float(n_ch)]
+    n_windows = max(dim - len(feats), 1)
+    per = max(len(samples) // n_windows, 1)
+    for i in range(n_windows):
+        win = samples[i * per : (i + 1) * per]
+        rms = (sum(s * s for s in win) / len(win)) ** 0.5 / 32768.0 if win else 0.0
+        feats.append(rms)
+    return feats[:dim] + [0.0] * (dim - len(feats))
+
+
+def decode_ppm_features(data: bytes, dim: int = _FEATURE_DIM) -> list[float]:
+    """REAL binary-PPM (P6) decode: [width, height, mean R, mean G,
+    mean B, then a luma histogram over the remaining slots]."""
+    if not data.startswith(b"P6"):
+        raise NotImplementedError("only binary PPM (P6) images supported")
+    # header: P6 <width> <height> <maxval> then raw RGB; '#' comments
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(data) and data[i : i + 1].isspace():
+            i += 1
+        if data[i : i + 1] == b"#":
+            while i < len(data) and data[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(data) and not data[j : j + 1].isspace():
+            j += 1
+        tokens.append(data[i:j])
+        i = j
+    i += 1  # single whitespace after maxval
+    width, height, maxval = (int(t) for t in tokens)
+    px = data[i : i + width * height * 3]
+    n = max(len(px) // 3, 1)
+    sums = [0, 0, 0]
+    n_bins = max(dim - 5, 1)
+    hist = [0] * n_bins
+    for p in range(0, n * 3, 3):
+        r, g, b = px[p], px[p + 1], px[p + 2]
+        sums[0] += r
+        sums[1] += g
+        sums[2] += b
+        luma = (299 * r + 587 * g + 114 * b) // 1000
+        hist[min(luma * n_bins // (maxval + 1), n_bins - 1)] += 1
+    feats = [float(width), float(height)] + [s / n / maxval for s in sums]
+    feats += [h / n for h in hist]
+    return feats[:dim] + [0.0] * (dim - len(feats))
+
+
+def _real_decode_features(media_type: str, data: bytes, dim: int) -> list[float]:
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return decode_wav_features(data, dim)
+    if data[:2] == b"P6":
+        return decode_ppm_features(data, dim)
+    raise NotImplementedError(
+        f"no stdlib decoder for this {media_type!r} payload — JPEG/PNG/MP4 "
+        "need PIL/ffmpeg, which this environment does not ship"
+    )
+
+
 def extract_features(
     media: DataFrame, decoder: str = "fake", dim: int = _FEATURE_DIM
 ) -> DataFrame:
     """media → (media_id, feature array<float>)."""
     import pandas as pd
 
-    if decoder == "real":
-        raise NotImplementedError(
-            "real media decoding needs PIL/torchvision/ffmpeg — not "
-            "available in this environment; use decoder='fake' for the "
-            "deterministic stub"
-        )
+    if decoder not in ("fake", "real"):
+        raise ValueError(f"unknown decoder {decoder!r}")
 
     def gen(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            feats = [
-                _fake_decode_features(bytes(d), dim) for d in pdf["data"]
-            ]
+            if decoder == "real":
+                feats = [
+                    _real_decode_features(mt, bytes(d), dim)
+                    for mt, d in zip(pdf["media_type"], pdf["data"])
+                ]
+            else:
+                feats = [_fake_decode_features(bytes(d), dim) for d in pdf["data"]]
             yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
 
-    return media.select("media_id", "data").mapInPandas(gen, schema=FEATURE_DDL)
+    return media.select("media_id", "media_type", "data").mapInPandas(
+        gen, schema=FEATURE_DDL
+    )
 
 
 def sample_frames(

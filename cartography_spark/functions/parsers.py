@@ -310,6 +310,116 @@ def _parse_action_ref(uses: str) -> dict[str, Any] | None:
     }
 
 
+def _strip_codeowners_comment(line: str) -> str:
+    # '#' starts a comment only at line start or after whitespace
+    # (codeowners.py:100-104)
+    for index, char in enumerate(line):
+        if char == "#" and (index == 0 or line[index - 1].isspace()):
+            return line[:index]
+    return line
+
+
+def _split_codeowners_line(line: str) -> list[str] | None:
+    """Tokenize one CODEOWNERS line (``codeowners.py:107-146``):
+    None = blank/comment (skip silently), [] = invalid (skip with note);
+    backslash escapes a space INTO a token, other escapes are kept
+    literally."""
+    stripped = line.strip()
+    if not stripped or stripped.startswith("#"):
+        return None
+    if stripped.startswith("\\#"):
+        return []
+    without_comment = _strip_codeowners_comment(line).strip()
+    if not without_comment:
+        return None
+    tokens: list[str] = []
+    buf: list[str] = []
+    escaping = False
+    for char in without_comment:
+        if escaping:
+            if char.isspace():
+                buf.append(char)
+            else:
+                buf.extend(("\\", char))
+            escaping = False
+            continue
+        if char == "\\":
+            escaping = True
+            continue
+        if char.isspace():
+            if buf:
+                tokens.append("".join(buf))
+                buf = []
+            continue
+        buf.append(char)
+    if escaping:
+        buf.append("\\")
+    if buf:
+        tokens.append("".join(buf))
+    return tokens
+
+
+_EMAIL_RE = re.compile(r"^[^@\s]+@[^@\s]+\.[^@\s]+$")
+
+
+def parse_codeowners(content: str, repo_url: str, source_path: str) -> list[dict[str, Any]]:
+    """CODEOWNERS → ownership rules (``codeowners.py:223-281``).
+
+    Per line: pattern token + owner tokens. Unsupported patterns
+    (negations, character classes) and ownerless lines are skipped.
+    Owners normalize to lowercase ``@login``s, ``@org/team`` slugs, or
+    emails; anything else lands in ``unresolved_owners``. Rule id =
+    ``{repo_url}#CODEOWNERS:{path}:{line}:{sha256-16}`` (:210-220).
+    """
+    import hashlib
+
+    rules: list[dict[str, Any]] = []
+    for line_number, line in enumerate(content.splitlines(), start=1):
+        tokens = _split_codeowners_line(line)
+        if not tokens:
+            continue
+        pattern = tokens[0]
+        if pattern.startswith("!") or "[" in pattern or "]" in pattern:
+            continue  # unsupported pattern (:149-150)
+        owners = tokens[1:]
+        if not owners:
+            continue
+        logins: list[str] = []
+        teams: list[str] = []
+        emails: list[str] = []
+        unresolved: list[str] = []
+        for token in owners:
+            if token.startswith("@"):
+                owner = token[1:]
+                if "/" in owner:
+                    org, _, slug = owner.partition("/")
+                    if org and slug:
+                        teams.append(f"{org.lower()}/{slug.lower()}")
+                    else:
+                        unresolved.append(token)
+                elif owner:
+                    logins.append(owner.lower())
+                else:
+                    unresolved.append(token)
+            elif _EMAIL_RE.match(token):
+                emails.append(token)
+            else:
+                unresolved.append(token)
+        digest = hashlib.sha256(
+            f"{repo_url}|{source_path}|{line_number}|{pattern}|{' '.join(owners)}".encode()
+        ).hexdigest()[:16]
+        rules.append({
+            "id": f"{repo_url}#CODEOWNERS:{source_path}:{line_number}:{digest}",
+            "line_number": line_number,
+            "pattern": pattern,
+            "owner_logins": sorted(set(logins)),
+            "owner_team_slugs": sorted(set(teams)),
+            "owner_emails": sorted(set(emails)),
+            "unresolved_owners": sorted(set(unresolved)),
+        })
+    return rules
+
+
 def parse_workflow(content: str) -> dict[str, Any]:
     """GitHub Actions workflow YAML → actions / secrets / triggers.
 
@@ -433,6 +543,31 @@ def _workflow_facts(repo: str, wf: dict[str, Any]) -> list[Fact]:
     return facts
 
 
+def _codeowners_facts(repo: str, path: str, rules: list[dict[str, Any]]) -> list[Fact]:
+    """Ownership rules → CodeownersRule nodes + owner entity links
+    (the reference loads GitHubCodeownersRule nodes with user/team
+    edges; emails resolve onto canonical ontology Users — id=email)."""
+    facts: list[Fact] = [("Repo", repo, None, None, None, {"name": repo})]
+    for r in rules:
+        facts.append(
+            ("CodeownersRule", r["id"], None, None, None,
+             {"pattern": r["pattern"], "line_number": str(r["line_number"]),
+              "source_path": path,
+              # emails stay rule properties like the reference's
+              # owner_emails field — the ontology users stage links them
+              "owner_emails": ",".join(r["owner_emails"]),
+              "unresolved_owners": ",".join(r["unresolved_owners"])})
+        )
+        facts.append(("Repo", repo, "HAS_CODEOWNERS_RULE", "CodeownersRule", r["id"], {}))
+        for login in r["owner_logins"]:
+            facts.append(("GithubUser", login, None, None, None, {"login": login}))
+            facts.append(("CodeownersRule", r["id"], "CODEOWNED_BY", "GithubUser", login, {}))
+        for slug in r["owner_team_slugs"]:
+            facts.append(("GithubTeam", slug, None, None, None, {"slug": slug}))
+            facts.append(("CodeownersRule", r["id"], "CODEOWNED_BY", "GithubTeam", slug, {}))
+    return facts
+
+
 def _route(lang: str, path: str) -> Callable[[str, str], list[Fact]] | None:
     """Parser registry keyed by (lang, filename pattern)."""
     base = path.rsplit("/", 1)[-1].lower()
@@ -450,6 +585,11 @@ def _route(lang: str, path: str) -> Callable[[str, str], list[Fact]] | None:
         return lambda repo, c: _requirements_facts(repo, parse_setup_cfg(c))
     if "/.github/workflows/" in f"/{path.lower()}" and base.endswith((".yml", ".yaml")):
         return lambda repo, c: _workflow_facts(repo, parse_workflow(c))
+    if base == "codeowners":
+        # GitHub resolves CODEOWNERS from /, .github/ and docs/
+        return lambda repo, c: _codeowners_facts(
+            repo, path, parse_codeowners(c, repo, path)
+        )
     return None
 
 

@@ -44,11 +44,11 @@ from cartography_spark.store.graphstore import GraphStore
 
 PIPELINE_LABELS = (
     "Repo", "Package", "PythonRequirement", "BaseImage", "Role", "Principal",
-    "GithubAction", "Secret",
+    "GithubAction", "Secret", "CodeownersRule", "GithubUser", "GithubTeam",
 )
 PIPELINE_RELS = (
     "REQUIRES", "USES_BASE_IMAGE", "DEFINES_ROLE", "TRUSTS", "TRUSTS_VIA_ROLE",
-    "USES_ACTION", "REFERENCES_SECRET",
+    "USES_ACTION", "REFERENCES_SECRET", "HAS_CODEOWNERS_RULE", "CODEOWNED_BY",
 )
 
 

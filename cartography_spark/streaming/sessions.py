@@ -1,0 +1,107 @@
+"""Custom stateful streaming operator: event-gap sessionization.
+
+The reference has no streaming surface (SURVEY.md §2.9); this is the
+engine's ``applyInPandasWithState`` pattern for operators Spark's
+built-in windowed aggregations can't express — per-key sessions closed
+by an inactivity GAP rather than a fixed window. The KG-construction
+use is change-feed coalescing: a burst of asset-change events for one
+repo/account becomes ONE sync unit (the incremental twin of the
+reference's one-update_tag-per-run batching), so a downstream
+``foreachBatch`` sync runs once per quiet period instead of once per
+event.
+
+Scale shape: state is partitioned by key (one GroupState per key,
+distributed over executors); late data beyond the watermark is dropped
+by Spark before the function runs; event-time timeouts close idle
+sessions without any driver-side bookkeeping.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_SCHEMA = (
+    "key string, session_start timestamp, session_end timestamp, "
+    "n_events long, sum_value double"
+)
+_STATE_SCHEMA = "start long, end long, n long, total double"
+
+
+def _session_fn(gap_seconds: int):
+    import pandas as pd
+
+    gap_us = gap_seconds * 1_000_000
+
+    def _frame(key: str, sessions: list[list]) -> "pd.DataFrame":
+        return pd.DataFrame({
+            "key": [key] * len(sessions),
+            "session_start": [pd.Timestamp(s[0], unit="us") for s in sessions],
+            "session_end": [pd.Timestamp(s[1], unit="us") for s in sessions],
+            "n_events": [s[2] for s in sessions],
+            "sum_value": [s[3] for s in sessions],
+        })
+
+    def fn(
+        key: Tuple[str], pdf_iter: Iterable["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        if state.hasTimedOut:
+            # watermark passed end+gap with no new events: close + clear
+            cur = list(state.get)
+            state.remove()
+            yield _frame(key[0], [cur])
+            return
+        cur = list(state.get) if state.exists else None
+        closed: list[list] = []
+        points: list[tuple[int, float]] = []
+        for pdf in pdf_iter:
+            if len(pdf):
+                ts_us = (pdf["ts"].astype("int64") // 1000).astype("int64")
+                points.extend(zip(ts_us.tolist(), pdf["value"].tolist()))
+        # events split into gap-separated runs; the final run stays open
+        # in state, earlier runs close immediately (no timeout needed)
+        for ts, v in sorted(points):
+            if cur is None:
+                cur = [ts, ts, 1, float(v)]
+            elif ts - cur[1] > gap_us:
+                closed.append(cur)
+                cur = [ts, ts, 1, float(v)]
+            else:
+                cur[0] = min(cur[0], ts)
+                cur[1] = max(cur[1], ts)
+                cur[2] += 1
+                cur[3] += float(v)
+        if cur is not None:
+            state.update((int(cur[0]), int(cur[1]), int(cur[2]), float(cur[3])))
+            # close when no event arrives for gap_seconds of EVENT time
+            # (watermark-driven, never wall clock)
+            state.setTimeoutTimestamp(int(cur[1] // 1000) + gap_seconds * 1000)
+        if closed:
+            yield _frame(key[0], closed)
+
+    return fn
+
+
+def sessionize_events(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    watermark: str = "10 minutes",
+    key_col: str = "key",
+) -> DataFrame:
+    """``events(key, ts timestamp, value double)`` stream → closed
+    sessions, one row per (key, quiet-period-terminated burst)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .select(F.col(key_col).alias("key"), "ts", "value")
+        .groupBy("key")
+        .applyInPandasWithState(
+            _session_fn(gap_seconds),
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -1,0 +1,38 @@
+"""Top-level CLI (sync.py:389-497 / cli.py entry-point twin)."""
+
+import json
+
+
+def test_cli_sync_and_job(spark, tmp_path, capsys, monkeypatch):
+    from cartography_spark.cli import main
+
+    store_root = str(tmp_path / "store")
+    # sync a small synthesized corpus with a pinned tag
+    rc = main(["sync", "--synth", "8", "--store", store_root,
+               "--update-tag", "111"])
+    assert rc == 0
+    metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert metrics["update_tag"] == 111
+    assert metrics["nodes_total"] > 0 and metrics["edges_total"] > 0
+
+    # legacy JSON job against the synced store: delete REQUIRES edges
+    # pointing at a nonexistent-label target (no-op but exercises the
+    # whole load→compile→run path)
+    job = tmp_path / "job.json"
+    job.write_text(json.dumps({
+        "name": "demo migration",
+        "statements": [
+            {"query": "MATCH (a:Repo)-[r:REQUIRES]->(n:Nonexistent) DELETE r"},
+        ],
+    }))
+    rc = main(["job", str(job), "--store", store_root])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["stmt_0"]["edges_deleted"] == 0
+
+
+def test_cli_rules_delegates(capsys):
+    from cartography_spark.cli import main
+
+    assert main(["rules", "--list-frameworks"]) == 0
+    assert "slsa" in capsys.readouterr().out

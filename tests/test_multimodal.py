@@ -46,8 +46,11 @@ def test_frame_sampling_rate_and_schema(media):
 
 
 def test_real_decoder_is_explicitly_stubbed(media):
-    with pytest.raises(NotImplementedError):
-        extract_features(media, decoder="real")
+    # non-stdlib codecs fail at decode time with a clear error (the
+    # fixture payloads are synthetic bytes, not WAV/PPM) ...
+    with pytest.raises(Exception, match="NotImplementedError|no stdlib decoder"):
+        extract_features(media, decoder="real").collect()
+    # ... and real frame decoding remains fully stubbed
     with pytest.raises(NotImplementedError):
         sample_frames(media, decoder="real")
 
@@ -59,3 +62,68 @@ def test_features_join_back_by_id(media, spark):
     joined = media.select("media_id", "media_type").join(feats, "media_id")
     assert joined.count() == 3
     assert "data" not in joined.columns
+
+
+def _wav_bytes(freq=440, rate=8000, seconds=0.5):
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        n = int(rate * seconds)
+        frames = b"".join(
+            struct.pack("<h", int(20000 * math.sin(2 * math.pi * freq * i / rate)))
+            for i in range(n)
+        )
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def _ppm_bytes(width=4, height=2, rgb=(255, 0, 0)):
+    header = f"P6\n# test\n{width} {height}\n255\n".encode()
+    return header + bytes(rgb) * (width * height)
+
+
+def test_real_decoder_wav_and_ppm(spark):
+    """decoder='real' actually decodes stdlib-parseable codecs: PCM WAV
+    (duration/rate/RMS) and binary PPM (dims/channel means)."""
+    from cartography_spark.functions.multimodal import extract_features
+
+    media = spark.createDataFrame(
+        [
+            ("a1", "audio", _wav_bytes(), (None, None, 500, "pcm_s16le")),
+            ("i1", "image", _ppm_bytes(), (4, 2, None, "ppm")),
+        ],
+        "media_id string, media_type string, data binary, "
+        "meta struct<width:int, height:int, duration_ms:int, codec:string>",
+    )
+    feats = {r["media_id"]: r["feature"] for r in extract_features(media, decoder="real").collect()}
+    # WAV: duration 0.5s, rate 8000/48000, mono; a 440Hz tone at 0.61
+    # amplitude has window RMS ~0.43
+    assert abs(feats["a1"][0] - 0.5) < 1e-6
+    assert abs(feats["a1"][1] - 8000 / 48000) < 1e-6
+    assert feats["a1"][2] == 1.0
+    assert 0.35 < feats["a1"][3] < 0.5
+    # PPM: 4x2 pure red -> mean R=1.0, G=B=0
+    assert feats["i1"][0] == 4.0 and feats["i1"][1] == 2.0
+    assert abs(feats["i1"][2] - 1.0) < 1e-6
+    assert feats["i1"][3] == 0.0 and feats["i1"][4] == 0.0
+
+
+def test_real_decoder_rejects_unknown_codec(spark):
+    import pytest
+
+    from cartography_spark.functions.multimodal import extract_features
+
+    media = spark.createDataFrame(
+        [("x1", "image", b"\x89PNG\r\n\x1a\n....", (None, None, None, "png"))],
+        "media_id string, media_type string, data binary, "
+        "meta struct<width:int, height:int, duration_ms:int, codec:string>",
+    )
+    with pytest.raises(Exception, match="NotImplementedError|no stdlib decoder"):
+        extract_features(media, decoder="real").collect()

@@ -209,3 +209,55 @@ def test_workflow_and_setup_cfg_reach_pipeline(spark):
     assert {"GithubAction", "Secret"} <= labels
     rels = {r[0] for r in facts.filter(F.col("pred").isNotNull()).select("pred").distinct().collect()}
     assert {"USES_ACTION", "REFERENCES_SECRET"} <= rels
+
+
+def test_parse_codeowners_reference_semantics():
+    """codeowners.py:100-281 parity: comment stripping (only at line
+    start / after whitespace), escaped-space patterns, unsupported
+    pattern skip, owner normalization to login/team/email."""
+    from cartography_spark.functions.parsers import parse_codeowners
+
+    content = "\n".join([
+        "# top comment",
+        "",
+        "*       @Org/Platform-Team @alice",
+        "docs/*  docs@corp.io  # inline comment",
+        r"path\ with\ space/*  @bob",
+        "!negated/*  @carol",          # unsupported: negation
+        "src/[ab]/*  @carol",          # unsupported: char class
+        "ownerless/*",                  # no owners -> skipped
+        "weird/*  not-an-owner",        # unresolved
+        "anchor#notcomment  @dan",      # '#' not preceded by space: part of pattern
+    ])
+    rules = parse_codeowners(content, "github.com/acme/repo", "CODEOWNERS")
+    by_pattern = {r["pattern"]: r for r in rules}
+    assert set(by_pattern) == {
+        "*", "docs/*", "path with space/*", "weird/*", "anchor#notcomment",
+    }
+    assert by_pattern["*"]["owner_logins"] == ["alice"]
+    assert by_pattern["*"]["owner_team_slugs"] == ["org/platform-team"]
+    assert by_pattern["docs/*"]["owner_emails"] == ["docs@corp.io"]
+    assert by_pattern["weird/*"]["unresolved_owners"] == ["not-an-owner"]
+    assert by_pattern["anchor#notcomment"]["owner_logins"] == ["dan"]
+    # rule ids are deterministic and carry the line number
+    assert by_pattern["*"]["id"].startswith("github.com/acme/repo#CODEOWNERS:CODEOWNERS:3:")
+    assert parse_codeowners(content, "github.com/acme/repo", "CODEOWNERS") == rules
+
+
+def test_codeowners_facts_routing(spark):
+    from cartography_spark.functions.parsers import extract_facts
+
+    files = spark.createDataFrame(
+        [("r1", ".github/CODEOWNERS", "c1", "text",
+          "* @alice @acme/infra\ndocs/* docs@corp.io")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    facts = extract_facts(files).collect()
+    nodes = {(f["subj_label"], f["subj_id"]) for f in facts if f["pred"] is None}
+    edges = {(f["subj_label"], f["pred"], f["obj_label"]) for f in facts if f["pred"]}
+    assert ("GithubUser", "alice") in nodes
+    assert ("GithubTeam", "acme/infra") in nodes
+    assert sum(1 for l, _ in nodes if l == "CodeownersRule") == 2
+    assert ("Repo", "HAS_CODEOWNERS_RULE", "CodeownersRule") in edges
+    assert ("CodeownersRule", "CODEOWNED_BY", "GithubUser") in edges
+    assert ("CodeownersRule", "CODEOWNED_BY", "GithubTeam") in edges

@@ -100,3 +100,52 @@ def test_windowed_event_counts_streaming_mode(spark, dirs):
     assert spark.table("wincounts").columns == [
         "window_start", "event_type", "n_events", "sum_value",
     ]
+
+
+def test_stateful_sessionization(spark, tmp_path):
+    """Custom stateful operator (§2.9 applyInPandasWithState): per-key
+    gap sessions — a burst splits when a later event arrives past the
+    gap, and an idle key closes via event-time timeout once the
+    watermark passes end+gap."""
+    from datetime import datetime
+
+    from cartography_spark.streaming.sessions import sessionize_events
+
+    src = str(tmp_path / "events_src")
+    ck = str(tmp_path / "ck_sessions")
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, "key string, ts timestamp, value double").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{src}/{name}")
+
+    t = lambda h, m, s: datetime(2024, 1, 1, h, m, s)  # noqa: E731
+    write_file("f1", [("A", t(10, 0, 0), 1.0), ("A", t(10, 0, 30), 2.0),
+                      ("B", t(10, 0, 10), 5.0)])
+    write_file("f2", [("A", t(12, 0, 0), 7.0)])   # splits A past the gap
+    write_file("f3", [("C", t(12, 30, 0), 9.0)])  # advances watermark → B times out
+
+    stream = (
+        spark.readStream.schema("key string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    sessions = sessionize_events(stream, gap_seconds=60, watermark="10 minutes")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["key"], r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+    # A's first burst closes by the in-stream split; B and A's second
+    # session close by event-time timeout once C's 12:30 event pushes
+    # the watermark past their end+gap; C itself stays open (nothing
+    # ever advances the watermark past 12:30)
+    assert got == {("A", 2, 3.0), ("A", 1, 7.0), ("B", 1, 5.0)}

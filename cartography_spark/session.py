@@ -40,6 +40,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # smaller Arrow batches pipeline the JVM↔python-worker hop better
+        # (the worker starts while the JVM streams the next batch):
+        # measured -6..-7% on the parse stage at both 1 and 4 cores vs
+        # the 10k default, largest where slots are scarce
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -633,6 +633,62 @@ def q_embedding_near_dup(spark, sf_dir):
     )
 
 
+# rank-hash index pairs: bucket bits from engine-stable comparisons of
+# stored f32 components (winner-take-all hashing à la Yagnik et al.) —
+# no float arithmetic in the blocking key, so bucket membership can
+# never flip between engines
+_WTA_PAIRS = ((1, 33), (2, 34), (3, 35), (4, 36))
+
+
+def q_embedding_lsh_near_dup(spark, sf_dir):
+    """Embedding near-dup with LSH-over-embeddings blocking — the 100 TB
+    scale path beyond label blocking (q_embedding_near_dup): vectors
+    hash into 2^4 buckets by rank-comparisons of fixed component pairs,
+    and cosine is scored only within a bucket. Near-identical vectors
+    agree on almost all rank comparisons, so recall stays high while the
+    pair space drops by ~the bucket count; at 100 TB add bands (OR over
+    several such hashes) exactly like the text MinHash/LSH pipeline."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    bucket = F.concat(
+        *[
+            F.when(F.element_at(e, i) >= F.element_at(e, j), F.lit("1")).otherwise("0")
+            for i, j in _WTA_PAIRS
+        ]
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            e, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    side = emb.select(
+        bucket.alias("bucket"), F.col("vec_id"), e.alias("emb"), norm.alias("nrm")
+    )
+    a = side.select(
+        "bucket", F.col("vec_id").alias("id_a"),
+        F.col("emb").alias("e_a"), F.col("nrm").alias("n_a"),
+    )
+    b = side.select(
+        "bucket", F.col("vec_id").alias("id_b"),
+        F.col("emb").alias("e_b"), F.col("nrm").alias("n_b"),
+    )
+    dot = F.aggregate(
+        F.zip_with("e_a", "e_b", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(b, on="bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", dot / (F.col("n_a") * F.col("n_b")))
+    )
+    return (
+        pairs.filter(F.col("cos") >= 0.4)
+        .select("bucket", "id_a", "id_b")
+        .orderBy("bucket", "id_a", "id_b")
+    )
+
+
 def q_ontology_entity_link(spark, sf_dir):
     """J10/N3 ontology entity linking, the HAS_ACCOUNT shape
     (``analysis/ontology/analysis.py:482-499``;
@@ -852,6 +908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_classes": q_token_classes,
         "q_rolling_shingle_fingerprint": q_rolling_shingle_fingerprint,
         "q_embedding_near_dup": q_embedding_near_dup,
+        "q_embedding_lsh_near_dup": q_embedding_lsh_near_dup,
         "q_ontology_normalize": q_ontology_normalize,
         "q_ontology_entity_link": q_ontology_entity_link,
         "kg_extract_triples": kg_extract_triples,
@@ -1177,6 +1234,20 @@ def oracle_sql() -> dict[str, str]:
                 ON a.label = b.label AND a.vec_id < b.vec_id)
             SELECT label, id_a, id_b FROM p WHERE cos >= 0.4
             ORDER BY label, id_a, id_b
+        """,
+        "q_embedding_lsh_near_dup": f"""
+            WITH h AS (
+              SELECT vec_id, embedding,
+                     {" || ".join(f"(CASE WHEN embedding[{i}] >= embedding[{j}] THEN '1' ELSE '0' END)" for i, j in _WTA_PAIRS)} AS bucket
+              FROM embeddings),
+            p AS (
+              SELECT a.bucket, a.vec_id AS id_a, b.vec_id AS id_b,
+                     list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+                     (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+                      sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS cos
+              FROM h a JOIN h b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+            SELECT bucket, id_a, id_b FROM p WHERE cos >= 0.4
+            ORDER BY bucket, id_a, id_b
         """,
         "q_ontology_normalize": """
             SELECT o_orderkey,

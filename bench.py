@@ -60,6 +60,7 @@ HEADLINE = [
     "q_token_classes",
     "q_rolling_shingle_fingerprint",
     "q_embedding_near_dup",
+    "q_embedding_lsh_near_dup",
     "q_ontology_normalize",
     "q_ontology_entity_link",
 ]

@@ -222,6 +222,24 @@ class IcebergGraphStore:
             "edges": self.spark.table(self.tables.edges).count(),
         }
 
+    # -- snapshots (drift/N5 + resume: Iceberg time travel) ---------------
+    def snapshots(self, table: str) -> DataFrame:
+        """The table's snapshot log (``{t}.snapshots`` metadata table)."""
+        return self.spark.table(f"{table}.snapshots")
+
+    def nodes_at(self, snapshot_id: int) -> DataFrame:
+        """Nodes as of an Iceberg snapshot — the production form of the
+        drift operator's saved-state reads (`operators/drift.py`): two
+        ``VERSION AS OF`` reads + exceptAll, no copied state files."""
+        return self.spark.read.option("snapshot-id", str(snapshot_id)).table(
+            self.tables.nodes
+        )
+
+    def edges_at(self, snapshot_id: int) -> DataFrame:
+        return self.spark.read.option("snapshot-id", str(snapshot_id)).table(
+            self.tables.edges
+        )
+
     # -- MERGE -------------------------------------------------------------
     def _merge(
         self, table: str, key: list[str], part_col: str, batch: DataFrame,

@@ -156,7 +156,9 @@ def _compile_where(
             raise UnsupportedCypher(f"unknown variable '{var}' in property access")
         return f"element_at({var_cols[var]}props, '{prop}')"
 
-    s = re.sub(r"\b(\w+)\.(\w+)", _prop, s)
+    # identifier-dot-name only: a numeric literal like 1.5 is not a
+    # property access
+    s = re.sub(r"\b([A-Za-z_]\w*)\.(\w+)", _prop, s)
 
     # 5) list literals  IN [a, b]  →  IN (a, b)
     s = re.sub(r"IN\s*\[([^\]]*)\]", lambda m: f"IN ({m.group(1)})", s, flags=re.IGNORECASE)

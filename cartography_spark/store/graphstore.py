@@ -553,6 +553,13 @@ class GraphStore:
         upd = updates.select(
             *EDGE_KEY, F.col("props").alias("__new_props")
         ).dropDuplicates(EDGE_KEY)
+        # column-pruned probe: skip the partition rewrite (and version
+        # bump) entirely when no update row names an existing edge
+        if cur.join(upd, on=EDGE_KEY, how="left_semi").limit(1).isEmpty():
+            self.record_lineage(
+                "set_edge_props", {"rels": rels, "matched": 0, "if_missing": if_missing}
+            )
+            return 0
         joined = cur.alias("t").join(upd.alias("s"), on=EDGE_KEY, how="left")
         obs = Observation()
         matched = F.col("__new_props").isNotNull()

@@ -152,3 +152,25 @@ def test_missing_parameter_fails_fast(spark, tmp_store):
     })
     with pytest.raises(KeyError):
         run_graph_job(tmp_store, spec)
+
+
+def test_numeric_literals_are_not_property_accesses(spark, tmp_store):
+    """A float literal like 1.5 in WHERE must not be parsed as a
+    property access (regex guard in the statement compiler)."""
+    import json
+
+    tmp_store.merge_nodes(
+        _node_rows(spark, [("Metric", "m1", json.dumps({"score": "2.0"}), "[]"),
+                           ("Metric", "m2", json.dumps({"score": "1.0"}), "[]")]),
+        1000,
+    )
+    spec = from_json({
+        "name": "numeric",
+        "statements": [{
+            "query": "MATCH (n:Metric) WHERE CAST(n.score AS DOUBLE) > 1.5 "
+                     "DETACH DELETE n"
+        }],
+    })
+    run_graph_job(tmp_store, spec)
+    ids = {r["id"] for r in tmp_store.nodes(["Metric"]).collect()}
+    assert ids == {"m2"}

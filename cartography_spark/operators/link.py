@@ -304,3 +304,59 @@ def salted_join(
         how,
     )
     return out.drop("__salt")
+
+
+def match_path(
+    store,
+    pattern: list[str],
+    directions: list[str] | None = None,
+) -> "DataFrame":
+    """Multi-hop path matching over the edges table (J8 generalized —
+    the plain-joins equivalent of a GraphFrames motif,
+    ``intel/aws/ec2/instances.py:517-552`` / ``analysis/aws/analysis.py:
+    59-73`` assemble exactly such chains by hand).
+
+    ``pattern`` alternates node labels and rel labels:
+    ``["Repo", "DEFINES_ROLE", "Role", "TRUSTS", "Principal"]``.
+    ``directions[i]`` orients hop i: ``">"`` (default) means the edge
+    points left→right, ``"<"`` the reverse. Returns one row per path
+    instance with columns ``n0_id … nK_id``.
+
+    Scale shape: each hop reads ONLY its rel partition (manifest-pruned)
+    and equi-joins on the shared node id — K-1 shuffles for a K-node
+    path, each on a join key, broadcastable when a hop frame is small;
+    no driver-side assembly.
+    """
+    if len(pattern) < 3 or len(pattern) % 2 == 0:
+        raise ValueError("pattern must alternate label, rel, label, …")
+    labels = pattern[0::2]
+    rels = pattern[1::2]
+    directions = directions or [">"] * len(rels)
+    if len(directions) != len(rels):
+        raise ValueError("one direction per hop")
+
+    out = None
+    for i, (rel, d) in enumerate(zip(rels, directions)):
+        e = store.edges([rel])
+        if d == ">":
+            left_l, left_id, right_l, right_id = (
+                "src_label", "src_id", "dst_label", "dst_id"
+            )
+        elif d == "<":
+            left_l, left_id, right_l, right_id = (
+                "dst_label", "dst_id", "src_label", "src_id"
+            )
+        else:
+            raise ValueError(f"direction must be '>' or '<', got {d!r}")
+        hop = (
+            e.filter(
+                (F.col(left_l) == labels[i]) & (F.col(right_l) == labels[i + 1])
+            )
+            .select(
+                F.col(left_id).alias(f"n{i}_id"),
+                F.col(right_id).alias(f"n{i + 1}_id"),
+            )
+            .dropDuplicates([f"n{i}_id", f"n{i + 1}_id"])
+        )
+        out = hop if out is None else out.join(hop, on=f"n{i}_id", how="inner")
+    return out

@@ -178,3 +178,43 @@ def test_cartesian_matchlink_accounting(spark, tmp_store):
     import pytest
     with pytest.raises(ValueError):
         load_matchlinks_cartesian(s, rel, ["h1"], ["n1"], 2000)
+
+
+def test_match_path_multihop(spark, tmp_store):
+    """J8 generalized: K-hop path motif over rel-pruned edge partitions,
+    with per-hop direction control."""
+    from cartography_spark.operators.link import match_path
+
+    s = tmp_store
+    edges = spark.createDataFrame(
+        [
+            ("Repo", "r1", "DEFINES_ROLE", "Role", "ro1"),
+            ("Repo", "r2", "DEFINES_ROLE", "Role", "ro2"),
+            ("Role", "ro1", "TRUSTS", "Principal", "p1"),
+            ("Role", "ro1", "TRUSTS", "Principal", "p2"),
+            # an edge with the right rel but wrong endpoint labels never
+            # matches the pattern
+            ("Other", "x", "TRUSTS", "Principal", "p9"),
+        ],
+        "src_label string, src_id string, rel_label string, dst_label string, dst_id string",
+    ).selectExpr(
+        "*", "CAST(1 AS LONG) AS lastupdated",
+        "CAST(NULL AS STRING) AS sub_resource_label",
+        "CAST(NULL AS STRING) AS sub_resource_id",
+        "CAST(NULL AS MAP<STRING,STRING>) AS props",
+    )
+    s.merge_edges(edges, 1)
+    paths = match_path(s, ["Repo", "DEFINES_ROLE", "Role", "TRUSTS", "Principal"])
+    got = {(r["n0_id"], r["n1_id"], r["n2_id"]) for r in paths.collect()}
+    assert got == {("r1", "ro1", "p1"), ("r1", "ro1", "p2")}
+    # reversed hop: principals reached, walking TRUSTS backwards
+    back = match_path(
+        s, ["Principal", "TRUSTS", "Role", "DEFINES_ROLE", "Repo"],
+        directions=["<", "<"],
+    )
+    got = {(r["n0_id"], r["n2_id"]) for r in back.collect()}
+    assert got == {("p1", "r1"), ("p2", "r1")}
+    # matches the hand-built 2-hop derivation on the same store
+    import pytest
+    with pytest.raises(ValueError):
+        match_path(s, ["Repo", "DEFINES_ROLE"])

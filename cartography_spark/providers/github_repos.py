@@ -1,0 +1,280 @@
+"""GitHub repos sync: GraphQL repo payloads → typed triples.
+
+Mirrors the reference's repos transform (``intel/github/repos.py:
+1005-1260``) over the GET_REPOS GraphQL shape
+(``tests/data/github/repos.py``):
+
+* **GitHubRepository** nodes, id = repo url; ``fork`` comes from
+  ``isFork`` (NOT inferred from parent presence — a fork whose upstream
+  was deleted has a null parent, :1184-1187); ``parent`` = upstream url
+  or absent; ``giturl`` synthesized from the SSH url (:1149-1160:
+  ``git@host:org/repo.git`` → ``git://host/org/repo.git``).
+* **GitHubBranch** default-branch nodes, id =
+  ``{repo_url}:{defaultBranchRef.id}`` (:1141-1146), rel ``BRANCH``.
+* **ProgrammingLanguage** per ``languages.nodes`` (id = name), rel
+  ``LANGUAGE``; emitted only when ``totalCount > 0`` (:1240-1258).
+* **GitHubOrganization** owner (id = owner url, when the owner is an
+  Organization), rel ``OWNER``.
+* **PythonLibrary** requirements parsed from the embedded
+  ``requirements.text`` / ``setupCfg.text`` blobs with the pinned-id
+  convention ``{canon_name}|{version}`` (reuses
+  functions.parsers.parse_requirements_txt / parse_setup_cfg), rel
+  ``REQUIRES``.
+* Ontology: repos carry the ``CodeRepository`` extra label with
+  ``_ont_fork`` projected from ``fork`` (the reference's ontology
+  assertion in its integration test).
+
+Execution shape: the payload parse is ``from_json`` + ``explode`` with
+pure column expressions (JVM-side, codegen) — only the requirements
+text parsing runs in one Arrow-batched ``mapInPandas`` pass. Edges are
+stamped ``sub_resource = (GitHubOrganization, org_url)`` so org-scoped
+GC sweeps stale repos exactly like the AWS account scoping.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+from pyspark.sql import DataFrame, functions as F
+
+REPO_STRUCT = (
+    "array<struct<"
+    "name:string, nameWithOwner:string, primaryLanguage:struct<name:string>, "
+    "url:string, sshUrl:string, createdAt:string, description:string, "
+    "updatedAt:string, homepageUrl:string, "
+    "languages:struct<totalCount:int, nodes:array<struct<name:string>>>, "
+    "defaultBranchRef:struct<name:string, id:string>, "
+    "isPrivate:boolean, isArchived:boolean, isDisabled:boolean, "
+    "isLocked:boolean, isFork:boolean, "
+    "parent:struct<url:string>, "
+    "owner:struct<url:string, login:string, __typename:string>, "
+    "requirements:struct<text:string>, setupCfg:struct<text:string>"
+    ">>"
+)
+
+_NODE_COLS = (
+    "label", "id", "lastupdated", "content_sha256", "extra_labels", "props",
+)
+
+
+def _node_shape(df: DataFrame, update_tag: int, extra=None) -> DataFrame:
+    return df.select(
+        "label",
+        "id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        (extra if extra is not None else F.lit(None).cast("array<string>")).alias(
+            "extra_labels"
+        ),
+        F.map_filter(F.col("props"), lambda _k, v: v.isNotNull()).alias("props"),
+    )
+
+
+def _edge_shape(df: DataFrame, update_tag: int) -> DataFrame:
+    return df.select(
+        "src_label", "src_id", "rel_label", "dst_label", "dst_id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit("GitHubOrganization").alias("sub_resource_label"),
+        F.col("org_url").alias("sub_resource_id"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    ).dropDuplicates(["src_label", "src_id", "rel_label", "dst_label", "dst_id"])
+
+
+def _bool_str(col) -> F.Column:
+    return F.when(col, "true").when(~col, "false")
+
+
+def transform_github_repos(
+    raw: DataFrame, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """``raw``: (org_url string, payload_json string) — one row per
+    GraphQL result page (a JSON array of repo objects). Returns
+    canonical (nodes, edges) batches."""
+    r = raw.select(
+        "org_url",
+        F.explode(F.from_json("payload_json", REPO_STRUCT)).alias("r"),
+    )
+
+    ssh = F.col("r.sshUrl")
+    git_url = F.when(
+        ssh.isNotNull() & ssh.contains("@"),
+        F.concat(
+            F.lit("git://"),
+            F.regexp_replace(F.substring_index(ssh, "@", -1), ":", "/"),
+        ),
+    )
+    dbr = F.col("r.defaultBranchRef")
+    branch_id = F.when(
+        dbr.isNotNull(), F.concat(F.col("r.url"), F.lit(":"), dbr.getField("id"))
+    )
+    fork = F.coalesce(F.col("r.isFork"), F.lit(False))
+
+    repo_nodes = _node_shape(
+        r.select(
+            F.lit("GitHubRepository").alias("label"),
+            F.col("r.url").alias("id"),
+            F.map_from_arrays(
+                F.array(*[F.lit(k) for k in (
+                    "name", "fullname", "createdat", "updatedat", "description",
+                    "primarylanguage", "homepage", "defaultbranch",
+                    "defaultbranchid", "private", "archived", "disabled",
+                    "locked", "fork", "parent", "giturl", "sshurl", "url",
+                    "_ont_fork",
+                )]),
+                F.array(
+                    F.col("r.name"), F.col("r.nameWithOwner"),
+                    F.col("r.createdAt"), F.col("r.updatedAt"),
+                    F.col("r.description"), F.col("r.primaryLanguage.name"),
+                    F.col("r.homepageUrl"), dbr.getField("name"), branch_id,
+                    _bool_str(F.col("r.isPrivate")),
+                    _bool_str(F.col("r.isArchived")),
+                    _bool_str(F.col("r.isDisabled")),
+                    _bool_str(F.col("r.isLocked")),
+                    _bool_str(fork),
+                    F.col("r.parent.url"), git_url, ssh, F.col("r.url"),
+                    _bool_str(fork),
+                ),
+            ).alias("props"),
+        ),
+        update_tag,
+        extra=F.array(F.lit("CodeRepository")),
+    )
+
+    org_nodes = _node_shape(
+        r.filter(F.col("r.owner.__typename") == "Organization")
+        .select(
+            F.lit("GitHubOrganization").alias("label"),
+            F.col("r.owner.url").alias("id"),
+            F.create_map(F.lit("username"), F.col("r.owner.login")).alias("props"),
+        )
+        .dropDuplicates(["id"]),
+        update_tag,
+    )
+
+    branch_nodes = _node_shape(
+        r.filter(dbr.isNotNull()).select(
+            F.lit("GitHubBranch").alias("label"),
+            branch_id.alias("id"),
+            F.create_map(F.lit("name"), dbr.getField("name")).alias("props"),
+        ),
+        update_tag,
+    )
+
+    langs = r.filter(F.col("r.languages.totalCount") > 0).select(
+        "org_url",
+        F.col("r.url").alias("repo_url"),
+        F.explode("r.languages.nodes").alias("lang"),
+    )
+    lang_nodes = _node_shape(
+        langs.select(
+            F.lit("ProgrammingLanguage").alias("label"),
+            F.col("lang.name").alias("id"),
+            F.create_map(F.lit("name"), F.col("lang.name")).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+    )
+
+    # embedded requirements / setup.cfg texts → PythonLibrary facts via
+    # the real parsers (one Arrow pass; the only Python in this module)
+    import pandas as pd
+
+    texts = r.select(
+        "org_url",
+        F.col("r.url").alias("repo_url"),
+        F.col("r.requirements.text").alias("req_text"),
+        F.col("r.setupCfg.text").alias("cfg_text"),
+    ).filter(F.col("req_text").isNotNull() | F.col("cfg_text").isNotNull())
+
+    def parse_reqs(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from cartography_spark.functions.parsers import (
+            parse_requirements_txt,
+            parse_setup_cfg,
+        )
+
+        for pdf in batches:
+            rows: list[tuple] = []
+            for org, url, req, cfg in zip(
+                pdf["org_url"], pdf["repo_url"], pdf["req_text"], pdf["cfg_text"]
+            ):
+                reqs = list(parse_requirements_txt(req)) if req else []
+                reqs += list(parse_setup_cfg(cfg)) if cfg else []
+                for item in reqs:
+                    rows.append((org, url, item["id"], item["name"],
+                                 item.get("specifier"), item.get("version")))
+            yield pd.DataFrame(
+                rows,
+                columns=["org_url", "repo_url", "lib_id", "name",
+                         "specifier", "version"],
+            )
+
+    libs = texts.mapInPandas(
+        parse_reqs,
+        schema="org_url string, repo_url string, lib_id string, name string, "
+               "specifier string, version string",
+    )
+    lib_nodes = _node_shape(
+        libs.select(
+            F.lit("PythonLibrary").alias("label"),
+            F.col("lib_id").alias("id"),
+            F.map_from_arrays(
+                F.array(F.lit("name"), F.lit("specifier"), F.lit("version")),
+                F.array("name", "specifier", "version"),
+            ).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+    )
+
+    nodes = repo_nodes
+    for extra_frame in (org_nodes, branch_nodes, lang_nodes, lib_nodes):
+        nodes = nodes.unionByName(extra_frame)
+
+    owner_edges = r.filter(F.col("r.owner.url").isNotNull()).select(
+        "org_url",
+        F.lit("GitHubRepository").alias("src_label"),
+        F.col("r.url").alias("src_id"),
+        F.lit("OWNER").alias("rel_label"),
+        F.when(F.col("r.owner.__typename") == "Organization",
+               "GitHubOrganization").otherwise("GitHubUser").alias("dst_label"),
+        F.col("r.owner.url").alias("dst_id"),
+    )
+    branch_edges = r.filter(dbr.isNotNull()).select(
+        "org_url",
+        F.lit("GitHubRepository").alias("src_label"),
+        F.col("r.url").alias("src_id"),
+        F.lit("BRANCH").alias("rel_label"),
+        F.lit("GitHubBranch").alias("dst_label"),
+        branch_id.alias("dst_id"),
+    )
+    lang_edges = langs.select(
+        "org_url",
+        F.lit("GitHubRepository").alias("src_label"),
+        F.col("repo_url").alias("src_id"),
+        F.lit("LANGUAGE").alias("rel_label"),
+        F.lit("ProgrammingLanguage").alias("dst_label"),
+        F.col("lang.name").alias("dst_id"),
+    )
+    req_edges = libs.select(
+        "org_url",
+        F.lit("GitHubRepository").alias("src_label"),
+        F.col("repo_url").alias("src_id"),
+        F.lit("REQUIRES").alias("rel_label"),
+        F.lit("PythonLibrary").alias("dst_label"),
+        F.col("lib_id").alias("dst_id"),
+    )
+    edges = _edge_shape(
+        owner_edges.unionByName(branch_edges)
+        .unionByName(lang_edges)
+        .unionByName(req_edges),
+        update_tag,
+    )
+    return nodes.dropDuplicates(["label", "id"]), edges
+
+
+def sync_github_repos(store, raw: DataFrame, update_tag: int) -> dict:
+    """get → transform → load (``repos.py:sync``); cleanup is the
+    standard org-scoped GC over the emitted labels."""
+    nodes, edges = transform_github_repos(raw, update_tag)
+    n = store.merge_nodes(nodes, update_tag)
+    e = store.merge_edges(edges, update_tag)
+    store.record_lineage("github_repos_sync", {"update_tag": update_tag})
+    return {"nodes": n, "edges": e}

@@ -1,0 +1,141 @@
+"""Triple P/R vs the reference's own GitHub repos integration fixture.
+
+Input: the reference's ACTUAL GET_REPOS fixture
+(``tests/data/github/repos.py``, loaded read-only with its
+reference-package imports stubbed; skipped when absent). Expected sets
+transcribed from the assertions in
+``tests/integration/cartography/intel/github/test_repos.py:80-170``
+(repos / org / languages / OWNER / BRANCH / LANGUAGE / fork+parent /
+CodeRepository ``_ont_fork``) and ``:1160-1216`` (PythonLibrary
+requirements with the ``name|version`` pinned-id convention).
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.github_repos import transform_github_repos
+
+FIXTURE = "/root/reference/tests/data/github/repos.py"
+ORG_URL = "https://github.com/simpsoncorp"
+TAG = 123456789
+
+R1 = "https://github.com/simpsoncorp/sample_repo"
+R2 = "https://github.com/simpsoncorp/SampleRepo2"
+R3 = "https://github.com/cartography-cncf/cartography"
+
+
+def _load_get_repos():
+    src = open(FIXTURE).read()
+    kept = [
+        line
+        for line in src.splitlines()
+        if not (line.startswith("from cartography") or line.startswith("from tests."))
+    ]
+    ns = {
+        # the repo objects only reference these inside fields our
+        # transform ignores (branch protection / rulesets / collaborator
+        # lists), so permissive stubs suffice
+        "UserAffiliationAndRepoPermission": lambda *a, **k: {"args": a, **k},
+        "PROTECTED_BRANCH_STRONG": {},
+        "RULESET_PRODUCTION": {},
+    }
+    exec("\n".join(kept), ns)
+    return ns["GET_REPOS"]
+
+
+@pytest.fixture(scope="module")
+def emitted(spark):
+    if not os.path.exists(FIXTURE):
+        pytest.skip("reference fixture not available")
+    raw = spark.createDataFrame(
+        [(ORG_URL, json.dumps(_load_get_repos(), default=str))],
+        "org_url string, payload_json string",
+    )
+    nodes, edges = transform_github_repos(raw, TAG)
+    return nodes.cache(), edges.cache()
+
+
+def _ids(nodes, label):
+    return {r["id"] for r in nodes.filter(F.col("label") == label).collect()}
+
+
+def _rels(edges, src_label, rel, dst_label):
+    return {
+        (r["src_id"], r["dst_id"])
+        for r in edges.filter(
+            (F.col("src_label") == src_label)
+            & (F.col("rel_label") == rel)
+            & (F.col("dst_label") == dst_label)
+        ).collect()
+    }
+
+
+def test_repo_org_language_nodes(emitted):
+    nodes, _ = emitted
+    assert _ids(nodes, "GitHubRepository") == {R1, R2, R3}
+    assert _ids(nodes, "GitHubOrganization") == {ORG_URL}
+    assert _ids(nodes, "ProgrammingLanguage") == {"Python", "Makefile"}
+
+
+def test_owner_branch_language_rels(emitted):
+    nodes, edges = emitted
+    assert _rels(edges, "GitHubRepository", "OWNER", "GitHubOrganization") == {
+        (R1, ORG_URL), (R2, ORG_URL), (R3, ORG_URL),
+    }
+    # BRANCH asserted by branch NAME in the reference (check_rels on
+    # GitHubBranch.name): map branch node ids back to names
+    branch_names = {
+        r["id"]: r["props"]["name"]
+        for r in nodes.filter(F.col("label") == "GitHubBranch").collect()
+    }
+    got = {
+        (src, branch_names[dst])
+        for src, dst in _rels(edges, "GitHubRepository", "BRANCH", "GitHubBranch")
+    }
+    assert got == {(R1, "master"), (R2, "master"), (R3, "master")}
+    assert _rels(edges, "GitHubRepository", "LANGUAGE", "ProgrammingLanguage") == {
+        (R1, "Python"), (R2, "Python"), (R3, "Python"), (R3, "Makefile"),
+    }
+
+
+def test_fork_parent_and_ontology_projection(emitted):
+    """isFork drives `fork` (NOT parent presence — a fork with a deleted
+    upstream keeps fork=true, repos.py:1184-1187); `_ont_fork` rides the
+    CodeRepository ontology label."""
+    nodes, _ = emitted
+    repos = nodes.filter(F.col("label") == "GitHubRepository").collect()
+    got = {(r["id"], r["props"]["fork"], r["props"].get("parent")) for r in repos}
+    assert got == {
+        (R1, "false", None),
+        (R2, "true", R3),
+        (R3, "true", "https://github.com/some-upstream-org/cartography"),
+    }
+    assert all("CodeRepository" in (r["extra_labels"] or []) for r in repos)
+    assert {(r["id"], r["props"]["_ont_fork"]) for r in repos} == {
+        (R1, "false"), (R2, "true"), (R3, "true"),
+    }
+
+
+def test_giturl_synthesis(emitted):
+    nodes, _ = emitted
+    r1 = [r for r in nodes.filter(F.col("label") == "GitHubRepository").collect()
+          if r["id"] == R1][0]
+    assert r1["props"]["giturl"] == "git://github.com/simpsoncorp/sample_repo.git"
+
+
+def test_python_requirements(emitted):
+    """test_repos.py:1186-1216 — pinned ids use the `name|version`
+    convention; setup.cfg contributes neo4j/okta."""
+    nodes, edges = emitted
+    libs = _ids(nodes, "PythonLibrary")
+    assert {
+        "cartography", "cartography|0.1.0", "neo4j", "okta", "okta|0.9.0"
+    }.issubset(libs)
+    requires = _rels(edges, "GitHubRepository", "REQUIRES", "PythonLibrary")
+    assert {
+        (R1, "cartography"), (R1, "cartography|0.1.0"),
+        (R1, "neo4j"), (R1, "okta"), (R1, "okta|0.9.0"),
+    }.issubset(requires)

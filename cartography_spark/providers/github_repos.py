@@ -278,3 +278,63 @@ def sync_github_repos(store, raw: DataFrame, update_tag: int) -> dict:
     e = store.merge_edges(edges, update_tag)
     store.record_lineage("github_repos_sync", {"update_tag": update_tag})
     return {"nodes": n, "edges": e}
+
+
+COLLAB_STRUCT = (
+    "map<string, array<struct<"
+    "user:struct<url:string, login:string, name:string, email:string, company:string>, "
+    "permission:string, affiliation:string"
+    ">>>"
+)
+
+
+def transform_github_collaborators(
+    raw: DataFrame, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """Collaborator payloads → GitHubUser nodes + affiliation/permission
+    edges (``intel/github/repos.py`` collaborator transform; rel label
+    convention ``{AFFILIATION}_COLLAB_{PERMISSION}``, e.g.
+    OUTSIDE_COLLAB_WRITE / DIRECT_COLLAB_ADMIN — the sets the
+    reference's ``test_sync_github_repo_collaborators`` asserts).
+
+    ``raw``: (org_url string, payload_json string) where the payload is
+    ``{repo_url: [{user, permission, affiliation}, …]}`` — the
+    "lightly processed collected results" shape of the reference's
+    fixture. All JVM-side: explode the map, explode the entry arrays.
+    """
+    entries = (
+        raw.select(
+            "org_url",
+            F.explode(F.from_json("payload_json", COLLAB_STRUCT)).alias(
+                "repo_url", "entries"
+            ),
+        )
+        .select("org_url", "repo_url", F.explode("entries").alias("c"))
+    )
+    user_nodes = _node_shape(
+        entries.select(
+            F.lit("GitHubUser").alias("label"),
+            F.col("c.user.url").alias("id"),
+            F.map_from_arrays(
+                F.array(F.lit("username"), F.lit("fullname"), F.lit("email"),
+                        F.lit("company")),
+                F.array(F.col("c.user.login"), F.col("c.user.name"),
+                        F.col("c.user.email"), F.col("c.user.company")),
+            ).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+    )
+    edges = _edge_shape(
+        entries.select(
+            "org_url",
+            F.lit("GitHubUser").alias("src_label"),
+            F.col("c.user.url").alias("src_id"),
+            F.concat(
+                F.upper("c.affiliation"), F.lit("_COLLAB_"), F.upper("c.permission")
+            ).alias("rel_label"),
+            F.lit("GitHubRepository").alias("dst_label"),
+            F.col("repo_url").alias("dst_id"),
+        ),
+        update_tag,
+    )
+    return user_nodes, edges

@@ -139,3 +139,69 @@ def test_python_requirements(emitted):
         (R1, "cartography"), (R1, "cartography|0.1.0"),
         (R1, "neo4j"), (R1, "okta"), (R1, "okta|0.9.0"),
     }.issubset(requires)
+
+
+def _load_collaborators():
+    src = open(FIXTURE).read()
+    kept = [
+        line
+        for line in src.splitlines()
+        if not (line.startswith("from cartography") or line.startswith("from tests."))
+    ]
+    ns = {
+        "UserAffiliationAndRepoPermission": lambda *a, **k: {"args": list(a), **k},
+        "PROTECTED_BRANCH_STRONG": {},
+        "RULESET_PRODUCTION": {},
+    }
+    exec("\n".join(kept), ns)
+    return ns["DIRECT_COLLABORATORS"], ns["OUTSIDE_COLLABORATORS"]
+
+
+def test_collaborator_rels_match_reference(spark):
+    """test_repos.py:189-365 — (user)-[{AFFILIATION}_COLLAB_{PERM}]->
+    (repo). Spot-checks the reference's hardcoded OUTSIDE sets plus a
+    full comparison against the fixture-derived expectation."""
+    if not os.path.exists(FIXTURE):
+        pytest.skip("reference fixture not available")
+    from cartography_spark.providers.github_repos import (
+        transform_github_collaborators,
+    )
+
+    direct, outside = _load_collaborators()
+    nodes_all, edges_all = [], []
+    for payload in (direct, outside):
+        raw = spark.createDataFrame(
+            [(ORG_URL, json.dumps(payload, default=str))],
+            "org_url string, payload_json string",
+        )
+        n, e = transform_github_collaborators(raw, TAG)
+        nodes_all.append(n)
+        edges_all.append(e)
+    nodes = nodes_all[0].unionByName(nodes_all[1])
+    edges = edges_all[0].unionByName(edges_all[1])
+
+    login_of = {
+        r["id"]: r["props"]["username"]
+        for r in nodes.filter(F.col("label") == "GitHubUser").collect()
+    }
+    got = {
+        (login_of[r["src_id"]], r["rel_label"], r["dst_id"])
+        for r in edges.collect()
+    }
+    # reference's hardcoded OUTSIDE singles (all on the cartography repo)
+    assert ("marco-lancini", "OUTSIDE_COLLAB_WRITE", R3) in got
+    assert ("sachafaust", "OUTSIDE_COLLAB_READ", R3) in got
+    assert ("SecPrez", "OUTSIDE_COLLAB_ADMIN", R3) in got
+    assert ("ramonpetgrave64", "OUTSIDE_COLLAB_TRIAGE", R3) in got
+    assert ("roshinis78", "OUTSIDE_COLLAB_MAINTAIN", R3) in got
+    # full parity with the fixture-derived expectation
+    expected = set()
+    for payload in (direct, outside):
+        for repo_url, entries in payload.items():
+            for c in entries:
+                expected.add((
+                    c["user"]["login"],
+                    f"{c['affiliation'].upper()}_COLLAB_{c['permission'].upper()}",
+                    repo_url,
+                ))
+    assert got == expected

@@ -338,3 +338,123 @@ def transform_github_collaborators(
         update_tag,
     )
     return user_nodes, edges
+
+
+TEAMS_STRUCT = (
+    "struct<"
+    "teams:array<struct<slug:string, url:string, description:string, "
+    "repositories:struct<totalCount:int>, members:struct<totalCount:int>, "
+    "childTeams:struct<totalCount:int>>>, "
+    "team_repos:map<string, struct<nodes:array<struct<url:string>>, "
+    "edges:array<struct<permission:string>>>>, "
+    "team_users:map<string, struct<nodes:array<struct<url:string>>, "
+    "edges:array<struct<role:string>>>>, "
+    "child_teams:map<string, struct<nodes:array<struct<url:string>>, "
+    "edges:array<struct<role:string>>>>"
+    ">"
+)
+
+
+def transform_github_teams(
+    raw: DataFrame, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """Teams sync (``intel/github/teams.py``; asserted sets in
+    ``tests/integration/.../test_teams.py:76-301``):
+
+    * GitHubTeam nodes (id = team url, name = slug);
+    * (org)-[:RESOURCE]->(team);
+    * per-team repo permissions — the GraphQL pages carry PARALLEL
+      ``nodes``/``edges`` arrays, zipped positionally (arrays_zip) —
+      (team)-[:ADMIN|WRITE|READ]->(repo);
+    * (user)-[:MEMBER|MAINTAINER]->(team), with the canonical ontology
+      twin (user)-[:MEMBER_OF]->(team) for MEMBER roles;
+    * (child team)-[:MEMBER_OF_TEAM]->(parent team) + MEMBER_OF twin.
+
+    ``raw``: (org_url, payload_json) where the payload composes the
+    collected per-team API results: ``{teams, team_repos, team_users,
+    child_teams}`` with the sub-maps keyed by team url.
+    """
+    p = raw.select("org_url", F.from_json("payload_json", TEAMS_STRUCT).alias("p"))
+
+    teams = p.select("org_url", F.explode("p.teams").alias("t"))
+    team_nodes = _node_shape(
+        teams.select(
+            F.lit("GitHubTeam").alias("label"),
+            F.col("t.url").alias("id"),
+            F.map_from_arrays(
+                F.array(F.lit("name"), F.lit("url"), F.lit("description")),
+                F.array(F.col("t.slug"), F.col("t.url"), F.col("t.description")),
+            ).alias("props"),
+        ),
+        update_tag,
+    )
+    resource_edges = teams.select(
+        "org_url",
+        F.lit("GitHubOrganization").alias("src_label"),
+        F.col("org_url").alias("src_id"),
+        F.lit("RESOURCE").alias("rel_label"),
+        F.lit("GitHubTeam").alias("dst_label"),
+        F.col("t.url").alias("dst_id"),
+    )
+
+    def _zipped(field: str):
+        m = p.select("org_url", F.explode(f"p.{field}").alias("team_url", "page"))
+        return m.select(
+            "org_url", "team_url",
+            F.explode(F.arrays_zip("page.nodes", "page.edges")).alias("z"),
+        )
+
+    repo_perms = _zipped("team_repos")
+    repo_edges = repo_perms.select(
+        "org_url",
+        F.lit("GitHubTeam").alias("src_label"),
+        F.col("team_url").alias("src_id"),
+        F.upper(F.col("z.edges.permission")).alias("rel_label"),
+        F.lit("GitHubRepository").alias("dst_label"),
+        F.col("z.nodes.url").alias("dst_id"),
+    )
+
+    members = _zipped("team_users")
+    member_edges = members.select(
+        "org_url",
+        F.lit("GitHubUser").alias("src_label"),
+        F.col("z.nodes.url").alias("src_id"),
+        F.upper(F.col("z.edges.role")).alias("rel_label"),
+        F.lit("GitHubTeam").alias("dst_label"),
+        F.col("team_url").alias("dst_id"),
+    )
+    member_of_edges = member_edges.filter(F.col("rel_label") == "MEMBER").withColumn(
+        "rel_label", F.lit("MEMBER_OF")
+    )
+    user_nodes = _node_shape(
+        members.select(
+            F.lit("GitHubUser").alias("label"),
+            F.col("z.nodes.url").alias("id"),
+            F.create_map(
+                F.lit("url"), F.col("z.nodes.url")
+            ).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+    )
+
+    children = _zipped("child_teams")
+    child_edges = children.select(
+        "org_url",
+        F.lit("GitHubTeam").alias("src_label"),
+        F.col("z.nodes.url").alias("src_id"),
+        F.lit("MEMBER_OF_TEAM").alias("rel_label"),
+        F.lit("GitHubTeam").alias("dst_label"),
+        F.col("team_url").alias("dst_id"),
+    )
+    child_member_of = child_edges.withColumn("rel_label", F.lit("MEMBER_OF"))
+
+    nodes = team_nodes.unionByName(user_nodes).dropDuplicates(["label", "id"])
+    edges = _edge_shape(
+        resource_edges.unionByName(repo_edges)
+        .unionByName(member_edges)
+        .unionByName(member_of_edges)
+        .unionByName(child_edges)
+        .unionByName(child_member_of),
+        update_tag,
+    )
+    return nodes, edges

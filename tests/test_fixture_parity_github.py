@@ -205,3 +205,69 @@ def test_collaborator_rels_match_reference(spark):
                     repo_url,
                 ))
     assert got == expected
+
+
+TEAMS_FIXTURE = "/root/reference/tests/data/github/teams.py"
+TA = "https://github.com/orgs/simpsoncorp/teams/team-a"
+TB = "https://github.com/orgs/simpsoncorp/teams/team-b"
+TC = "https://github.com/orgs/simpsoncorp/teams/team-c"
+TD = "https://github.com/orgs/simpsoncorp/teams/team-d"
+TE = "https://github.com/orgs/simpsoncorp/teams/team-e"
+
+
+def _load_teams():
+    src = open(TEAMS_FIXTURE).read()
+    kept = [l for l in src.splitlines() if not l.startswith("from cartography")]
+    ns = {"PaginatedGraphqlData": lambda nodes, edges: {"nodes": nodes, "edges": edges}}
+    exec("\n".join(kept), ns)
+    return ns
+
+
+def test_teams_parity(spark):
+    """test_teams.py:76-301 — team nodes, org RESOURCE, zipped repo
+    permissions, member roles with the MEMBER_OF ontology twin, and
+    child-team containment."""
+    if not os.path.exists(TEAMS_FIXTURE):
+        pytest.skip("reference fixture not available")
+    from cartography_spark.providers.github_repos import transform_github_teams
+
+    ns = _load_teams()
+    teams, _org = ns["GH_TEAM_DATA"]
+    payload = {
+        "teams": teams["nodes"],
+        # only teams with nonzero totals get sub-queried, exactly like
+        # the reference's mocked per-team calls
+        "team_repos": {TB: ns["GH_TEAM_REPOS"]},
+        "team_users": {TC: ns["GH_TEAM_USERS"]},
+        "child_teams": {TD: ns["GH_TEAM_CHILD_TEAM"]},
+    }
+    raw = spark.createDataFrame(
+        [(ORG_URL, json.dumps(payload, default=str))],
+        "org_url string, payload_json string",
+    )
+    nodes, edges = transform_github_teams(raw, TAG)
+    got_teams = {
+        (r["id"], r["props"]["url"], r["props"]["name"])
+        for r in nodes.filter(F.col("label") == "GitHubTeam").collect()
+    }
+    assert got_teams == {(t, t, t.rsplit("/", 1)[1]) for t in (TA, TB, TC, TD, TE)}
+
+    rels = {
+        (r["src_id"], r["rel_label"], r["dst_id"]) for r in edges.collect()
+    }
+    # org scoping
+    assert {(ORG_URL, "RESOURCE", t) for t in (TA, TB, TC, TD, TE)} <= rels
+    # zipped repo permissions (parallel nodes/edges arrays)
+    assert (TB, "ADMIN", R1) in rels
+    assert (TB, "WRITE", R2) in rels
+    assert (TB, "READ", R3) in rels
+    # member roles + canonical twin for MEMBER only
+    hj = "https://github.com/hjsimpson"
+    lm = "https://github.com/lmsimpson"
+    mb = "https://github.com/mbsimpson"
+    assert (hj, "MEMBER", TC) in rels and (hj, "MEMBER_OF", TC) in rels
+    assert (lm, "MAINTAINER", TC) in rels and (lm, "MEMBER_OF", TC) not in rels
+    assert (mb, "MAINTAINER", TC) in rels
+    # child-team containment (child -> parent) + ontology twin
+    assert (TA, "MEMBER_OF_TEAM", TD) in rels and (TB, "MEMBER_OF_TEAM", TD) in rels
+    assert (TA, "MEMBER_OF", TD) in rels and (TB, "MEMBER_OF", TD) in rels

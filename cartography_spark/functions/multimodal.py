@@ -102,6 +102,10 @@ def decode_ppm_features(data: bytes, dim: int = _FEATURE_DIM) -> list[float]:
     while len(tokens) < 3:
         while i < len(data) and data[i : i + 1].isspace():
             i += 1
+        if i >= len(data):
+            # truncated header: surface the decoder's declared
+            # unsupported-input path, not a bare int('') ValueError
+            raise NotImplementedError("truncated PPM header")
         if data[i : i + 1] == b"#":
             while i < len(data) and data[i] != 0x0A:
                 i += 1
@@ -113,6 +117,10 @@ def decode_ppm_features(data: bytes, dim: int = _FEATURE_DIM) -> list[float]:
         i = j
     i += 1  # single whitespace after maxval
     width, height, maxval = (int(t) for t in tokens)
+    if maxval > 255:
+        # 2-byte-per-channel P6; parsing it as 1 byte/channel would
+        # yield wrong dimensions and garbage channel means
+        raise NotImplementedError("PPM maxval > 255 (16-bit channels) unsupported")
     px = data[i : i + width * height * 3]
     n = max(len(px) // 3, 1)
     sums = [0, 0, 0]

@@ -209,6 +209,12 @@ def load_matchlinks_cartesian(
     n_src, n_tgt = src_vals.count(), tgt_vals.count()
     attempted = n_src * n_tgt
     if attempted == 0:
+        src_vals.unpersist()
+        tgt_vals.unpersist()
+        store.record_lineage(
+            "matchlink_cartesian",
+            {"rel": rel.rel_label, "attempted": 0, "matched": 0},
+        )
         return {"attempted": 0, "matched": 0}
 
     nodes = store.nodes([rel.source_node_label, rel.target_node_label])

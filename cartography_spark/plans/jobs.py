@@ -149,11 +149,18 @@ def _compile_where(
 
     s = re.sub(r"\b(\w+)\s*:\s*(\w+)", _lbl, s)
 
-    # 4) property access  var.prop
+    # 4) property access  var.prop — intrinsics (id, lastupdated,
+    #    firstseen) are dedicated table columns, not props-map entries;
+    #    mapping them through element_at(props, ...) would compile the
+    #    most common reference cleanup predicate shape
+    #    (`WHERE n.lastupdated <> $UPDATE_TAG`) to a NULL comparison
+    #    that silently deletes nothing
     def _prop(m: re.Match) -> str:
         var, prop = m.group(1), m.group(2)
         if var not in var_cols:
             raise UnsupportedCypher(f"unknown variable '{var}' in property access")
+        if prop in ("id", "lastupdated", "firstseen"):
+            return f"{var_cols[var]}{prop}"
         return f"element_at({var_cols[var]}props, '{prop}')"
 
     # identifier-dot-name only: a numeric literal like 1.5 is not a
@@ -224,6 +231,11 @@ def _run_edge_statement(
                 F.col("label").alias(f"__{side}_label"),
                 F.col("extra_labels").alias(f"__{side}_extra_labels"),
                 F.col("props").alias(f"__{side}_props"),
+                # intrinsic columns so `n.lastupdated`-style predicates
+                # compile against the real columns, not the props map
+                F.col("id").alias(f"__{side}_id"),
+                F.col("lastupdated").alias(f"__{side}_lastupdated"),
+                F.col("firstseen").alias(f"__{side}_firstseen"),
             )
             joined = joined.join(nodes_side, on=[f"{side}_label", f"{side}_id"], how="inner")
             var_cols[var] = f"__{side}_"

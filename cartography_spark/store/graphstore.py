@@ -176,7 +176,13 @@ class GraphStore:
         than the (bounded: slots × entity-types) extra files.
         """
         if any(p != _safe_part(p) for p in parts):
-            if df.filter(~F.col(part_col).isin(list(parts))).limit(1).count():
+            # NULL partition values must not escape the loss guard:
+            # isin() is NULL (not True) for NULL inputs, so test it
+            # explicitly (the hive branch below catches NULLs via the
+            # written-set check — __HIVE_DEFAULT_PARTITION__ is never in
+            # `parts` — before the manifest is updated)
+            escaped = ~F.col(part_col).isin(list(parts)) | F.col(part_col).isNull()
+            if df.filter(escaped).limit(1).count():
                 raise ValueError(
                     f"{table} write carries partition values outside "
                     f"parts={sorted(parts)}; rows would be lost"

@@ -27,23 +27,92 @@ R2 = "https://github.com/simpsoncorp/SampleRepo2"
 R3 = "https://github.com/cartography-cncf/cartography"
 
 
+def _load_fixture_ns(path, stubs=None):
+    """Extract fixture data WITHOUT executing the reference checkout
+    (declared untrusted content): parse with ``ast`` and evaluate only
+    literal displays plus calls to explicitly-stubbed names. Any other
+    construct is rejected, never run."""
+    import ast
+
+    stubs = dict(stubs or {})
+    ns = dict(stubs)
+
+    def ev(node):
+        if isinstance(node, ast.Constant):
+            return node.value
+        if isinstance(node, ast.Dict):
+            return {ev(k): ev(v) for k, v in zip(node.keys, node.values)}
+        def seq(elts):
+            out = []
+            for e in elts:
+                if isinstance(e, ast.Starred):
+                    out.extend(ev(e.value))
+                else:
+                    out.append(ev(e))
+            return out
+
+        if isinstance(node, ast.List):
+            return seq(node.elts)
+        if isinstance(node, ast.Tuple):
+            return tuple(seq(node.elts))
+        if isinstance(node, ast.Set):
+            return set(seq(node.elts))
+        if isinstance(node, ast.UnaryOp) and isinstance(node.op, ast.USub):
+            return -ev(node.operand)
+        if isinstance(node, ast.Name):
+            if node.id in ns:
+                return ns[node.id]
+            raise ValueError(f"fixture references unknown name {node.id!r}")
+        if isinstance(node, ast.Subscript):
+            return ev(node.value)[ev(node.slice)]
+        if isinstance(node, ast.Call) and all(
+            kw.arg is not None for kw in node.keywords
+        ):
+            fn = None
+            if isinstance(node.func, ast.Name):
+                fn = node.func.id
+            elif isinstance(node.func, ast.Attribute) and isinstance(
+                node.func.value, ast.Name
+            ):
+                fn = f"{node.func.value.id}.{node.func.attr}"
+            if fn in stubs:
+                return stubs[fn](
+                    *[ev(a) for a in node.args],
+                    **{kw.arg: ev(kw.value) for kw in node.keywords},
+                )
+        raise ValueError(f"unsupported fixture construct: {ast.dump(node)[:120]}")
+
+    for stmt in ast.parse(open(path).read()).body:
+        if isinstance(stmt, ast.Assign) and all(
+            isinstance(t, ast.Name) for t in stmt.targets
+        ):
+            v = ev(stmt.value)
+            for t in stmt.targets:
+                ns[t.id] = v
+        elif (
+            isinstance(stmt, ast.AnnAssign)
+            and isinstance(stmt.target, ast.Name)
+            and stmt.value is not None
+        ):
+            ns[stmt.target.id] = ev(stmt.value)
+        # imports / any other top-level code: ignored, never executed
+    return ns
+
+
+import textwrap as _textwrap
+
+_REPOS_STUBS = {
+    # the repo objects only reference these inside fields our transform
+    # ignores (branch protection / rulesets / collaborator lists)
+    "UserAffiliationAndRepoPermission": lambda *a, **k: {"args": list(a), **k},
+    "PROTECTED_BRANCH_STRONG": {},
+    "RULESET_PRODUCTION": {},
+    "textwrap.dedent": _textwrap.dedent,
+}
+
+
 def _load_get_repos():
-    src = open(FIXTURE).read()
-    kept = [
-        line
-        for line in src.splitlines()
-        if not (line.startswith("from cartography") or line.startswith("from tests."))
-    ]
-    ns = {
-        # the repo objects only reference these inside fields our
-        # transform ignores (branch protection / rulesets / collaborator
-        # lists), so permissive stubs suffice
-        "UserAffiliationAndRepoPermission": lambda *a, **k: {"args": a, **k},
-        "PROTECTED_BRANCH_STRONG": {},
-        "RULESET_PRODUCTION": {},
-    }
-    exec("\n".join(kept), ns)
-    return ns["GET_REPOS"]
+    return _load_fixture_ns(FIXTURE, _REPOS_STUBS)["GET_REPOS"]
 
 
 @pytest.fixture(scope="module")
@@ -142,18 +211,7 @@ def test_python_requirements(emitted):
 
 
 def _load_collaborators():
-    src = open(FIXTURE).read()
-    kept = [
-        line
-        for line in src.splitlines()
-        if not (line.startswith("from cartography") or line.startswith("from tests."))
-    ]
-    ns = {
-        "UserAffiliationAndRepoPermission": lambda *a, **k: {"args": list(a), **k},
-        "PROTECTED_BRANCH_STRONG": {},
-        "RULESET_PRODUCTION": {},
-    }
-    exec("\n".join(kept), ns)
+    ns = _load_fixture_ns(FIXTURE, _REPOS_STUBS)
     return ns["DIRECT_COLLABORATORS"], ns["OUTSIDE_COLLABORATORS"]
 
 
@@ -216,11 +274,10 @@ TE = "https://github.com/orgs/simpsoncorp/teams/team-e"
 
 
 def _load_teams():
-    src = open(TEAMS_FIXTURE).read()
-    kept = [l for l in src.splitlines() if not l.startswith("from cartography")]
-    ns = {"PaginatedGraphqlData": lambda nodes, edges: {"nodes": nodes, "edges": edges}}
-    exec("\n".join(kept), ns)
-    return ns
+    return _load_fixture_ns(
+        TEAMS_FIXTURE,
+        {"PaginatedGraphqlData": lambda nodes, edges: {"nodes": nodes, "edges": edges}},
+    )
 
 
 def test_teams_parity(spark):

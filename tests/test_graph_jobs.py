@@ -174,3 +174,45 @@ def test_numeric_literals_are_not_property_accesses(spark, tmp_store):
     run_graph_job(tmp_store, spec)
     ids = {r["id"] for r in tmp_store.nodes(["Metric"]).collect()}
     assert ids == {"m2"}
+
+
+def test_intrinsic_columns_compile_to_real_columns(spark, tmp_store):
+    """`n.lastupdated` / `n.id` / `n.firstseen` are dedicated table
+    columns, not props-map entries — the most common reference cleanup
+    predicate shape (`WHERE n.lastupdated <> $UPDATE_TAG DETACH DELETE`)
+    must actually delete stale rows, not compile to a NULL comparison."""
+    s = tmp_store
+    s.merge_nodes(_node_rows(spark, [("Y", "y1", "{}", "[]"),
+                                     ("Y", "y2", "{}", "[]")], tag=1000), 1000)
+    # refresh only y1 at the new tag
+    s.merge_nodes(_node_rows(spark, [("Y", "y1", "{}", "[]")], tag=2000), 2000)
+    spec = from_json({
+        "name": "intrinsic",
+        "statements": [{
+            "query": "MATCH (n:Y) WHERE n.lastupdated <> $UPDATE_TAG DETACH DELETE n"
+        }],
+    })
+    m = run_graph_job(s, spec, {"UPDATE_TAG": 2000})
+    assert m["stmt_0"]["nodes_deleted"] == 1
+    assert {r["id"] for r in s.nodes(["Y"]).collect()} == {"y1"}
+
+
+def test_intrinsic_columns_on_edge_endpoints(spark, tmp_store):
+    """Endpoint intrinsics (`a.lastupdated`) resolve through the joined
+    node side's real columns."""
+    s = tmp_store
+    s.merge_nodes(_node_rows(spark, [("A", "a1", "{}", "[]")], tag=1000), 1000)
+    s.merge_nodes(_node_rows(spark, [("A", "a2", "{}", "[]")], tag=2000), 2000)
+    s.merge_edges(_edge_rows(spark, [
+        ("A", "a1", "REL", "B", "b1"), ("A", "a2", "REL", "B", "b2"),
+    ], tag=2000), 2000)
+    spec = from_json({
+        "name": "edge-intrinsic",
+        "statements": [{
+            "query": "MATCH (a:A)-[r:REL]->(:B) WHERE a.lastupdated <> $UPDATE_TAG "
+                     "DELETE r"
+        }],
+    })
+    m = run_graph_job(s, spec, {"UPDATE_TAG": 2000})
+    assert m["stmt_0"]["edges_deleted"] == 1
+    assert {r["src_id"] for r in s.edges(["REL"]).collect()} == {"a2"}

@@ -127,3 +127,17 @@ def test_real_decoder_rejects_unknown_codec(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|no stdlib decoder"):
         extract_features(media, decoder="real").collect()
+
+
+def test_ppm_truncated_header_and_16bit_raise_not_implemented():
+    """Truncated headers and maxval>255 (2-byte channels) must surface
+    the decoder's declared unsupported-input path, not a bare
+    ValueError / silent garbage features."""
+    import pytest
+
+    from cartography_spark.functions.multimodal import decode_ppm_features
+
+    with pytest.raises(NotImplementedError, match="truncated"):
+        decode_ppm_features(b"P6 2")
+    with pytest.raises(NotImplementedError, match="maxval"):
+        decode_ppm_features(b"P6 1 1 65535\n\x00\x00\x00\x00\x00\x00")

@@ -311,3 +311,28 @@ def test_matchlink_gc_scoped_to_writer(spark, tmp_store):
     # t1 re-syncs at T2 with no links: its stale edge goes, t2's stays
     cleanup_matchlinks(s, rel, T2, "Tenant", "t1")
     assert edges_set(s) == {("3", "LINKED", "4")}
+
+
+def test_write_partitioned_null_part_value_fails_fast(spark, tmp_path):
+    """NULL partition values must not slip through the loss guard
+    (isin() evaluates to NULL, not True, for NULL inputs)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cartography_spark.store.graphstore import GraphStore
+
+    s = GraphStore(spark, str(tmp_path / "nullpart"))
+    df = spark.createDataFrame(
+        [("A/B", "x"), (None, "y")], "label string, id string"
+    ).select(
+        "label", "id",
+        F.lit(1).cast("long").alias("firstseen"),
+        F.lit(1).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        F.lit(None).cast("array<string>").alias("extra_labels"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    )
+    # "A/B" needs escaping -> per-partition branch; the NULL row must
+    # trip the guard, not vanish
+    with pytest.raises(ValueError, match="rows would be lost"):
+        s._write_partitioned("nodes", ["A/B"], df, "label")

@@ -752,6 +752,80 @@ def q_ontology_normalize(spark, sf_dir):
     ).orderBy("o_orderkey")
 
 
+def q_ontology_package_rollup(spark, sf_dir):
+    """N3 ontology packages: versionless Package rollup through the
+    real module (cartography_spark.plans.ontology_packages
+    transform_packages — JVM-side PURL parsing incl. %40-namespace
+    decoding, PEP-503 name normalization, map-side-combinable groupBy
+    on the package key). Package-version rows synthesized
+    deterministically from `part`."""
+    from cartography_spark.plans.ontology_packages import (
+        normalize_package_name,
+        transform_packages,
+    )
+
+    p = _t(spark, sf_dir, "part")
+    typ = F.element_at(
+        F.array(F.lit("npm"), F.lit("pypi"), F.lit("deb")),
+        (F.col("p_partkey") % 3 + 1).cast("int"),
+    )
+    raw_name = F.concat(
+        F.lower(F.replace(F.col("p_brand"), F.lit("#"), F.lit(""))),
+        F.lit("."),
+        (F.col("p_partkey") % 50).cast("string"),
+    )
+    version = F.concat((F.col("p_size") % 10).cast("string"), F.lit(".0"))
+    purl = (
+        F.when(F.col("p_partkey") % 4 == 0, F.lit(None).cast("string"))
+        .when(
+            (typ == "npm") & (F.col("p_partkey") % 5 == 0),
+            F.concat(F.lit("pkg:npm/%40scope/"), raw_name, F.lit("@"), version),
+        )
+        .otherwise(F.concat(F.lit("pkg:"), typ, F.lit("/"), raw_name, F.lit("@"), version))
+    )
+    nid = F.concat(
+        typ, F.lit("|"), normalize_package_name(raw_name, typ), F.lit("|"), version
+    )
+    data = p.select(
+        nid.alias("normalized_id"),
+        raw_name.alias("name"),
+        version.alias("version"),
+        typ.alias("type"),
+        purl.alias("purl"),
+    )
+    out = transform_packages(data)
+    return out.select(
+        "id",
+        "name",
+        "namespace",
+        "type",
+        F.size("version_ids").cast("long").alias("n_versions"),
+        F.element_at("version_ids", 1).alias("min_version_id"),
+        F.element_at("version_ids", -1).alias("max_version_id"),
+    ).orderBy("id")
+
+
+def q_sessionize_events(spark, sf_dir):
+    """§2.9 stateful sessionization, batch twin (cartography_spark.
+    streaming.sessions.sessionize_batch): per-user event-gap sessions —
+    identical split_runs gap semantics as the applyInPandasWithState
+    operator, oracle-checkable as a gap-islands SQL (lag + cumulative
+    sum)."""
+    from cartography_spark.streaming.sessions import sessionize_batch
+
+    e = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("key"), "ts", "value"
+    )
+    out = sessionize_batch(e, gap_seconds=600)
+    return out.select(
+        "key",
+        "session_start",
+        "session_end",
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+    ).orderBy("key", "session_start")
+
+
 # ---------------------------------------------------------------------------
 # KG pipeline queries (rows-only: pandas-UDF parse / store semantics
 # are not ANSI-SQL-expressible; asserted in tests/ instead)
@@ -911,6 +985,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_lsh_near_dup": q_embedding_lsh_near_dup,
         "q_ontology_normalize": q_ontology_normalize,
         "q_ontology_entity_link": q_ontology_entity_link,
+        "q_ontology_package_rollup": q_ontology_package_rollup,
+        "q_sessionize_events": q_sessionize_events,
         "kg_extract_triples": kg_extract_triples,
         "kg_sync_graph": kg_sync_graph,
         "kg_connected_components": kg_connected_components,
@@ -1132,6 +1208,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT u.email, e.org_id
             FROM users u JOIN exploded e ON u.email = e.email
             ORDER BY u.email, e.org_id
+        """,
+        "q_ontology_package_rollup": """
+            WITH src AS (
+              SELECT
+                CASE CAST(p_partkey % 3 AS INT) WHEN 0 THEN 'npm' WHEN 1 THEN 'pypi' ELSE 'deb' END AS type,
+                lower(replace(p_brand, '#', '')) || '.' || CAST(p_partkey % 50 AS VARCHAR) AS raw_name,
+                CAST(p_size % 10 AS VARCHAR) || '.0' AS version,
+                p_partkey
+              FROM part),
+            rws AS (
+              SELECT type, raw_name, version,
+                CASE WHEN p_partkey % 4 = 0 THEN NULL
+                     WHEN type = 'npm' AND p_partkey % 5 = 0
+                       THEN 'pkg:npm/%40scope/' || raw_name || '@' || version
+                     ELSE 'pkg:' || type || '/' || raw_name || '@' || version END AS purl,
+                CASE WHEN type = 'pypi'
+                       THEN regexp_replace(lower(raw_name), '[._-]+', '-', 'g')
+                     ELSE lower(raw_name) END AS norm_name
+              FROM src),
+            keyed AS (
+              SELECT
+                type || '|' ||
+                  CASE WHEN purl LIKE 'pkg:npm/%40scope/%' THEN '@scope/' ELSE '' END ||
+                  norm_name AS id,
+                CASE WHEN purl LIKE 'pkg:npm/%40scope/%' THEN '@scope/' ELSE '' END ||
+                  norm_name AS name,
+                CASE WHEN purl LIKE 'pkg:npm/%40scope/%' THEN '@scope' END AS namespace,
+                type,
+                type || '|' || norm_name || '|' || version AS normalized_id
+              FROM rws)
+            SELECT id, name, max(namespace) AS namespace, type,
+                   count(DISTINCT normalized_id) AS n_versions,
+                   min(normalized_id) AS min_version_id,
+                   max(normalized_id) AS max_version_id
+            FROM keyed GROUP BY id, name, type ORDER BY id
+        """,
+        "q_sessionize_events": """
+            WITH pts AS (
+              SELECT CAST(user_id AS VARCHAR) AS key, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 600 SECOND
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            grp AS (
+              SELECT *, sum(brk) OVER (PARTITION BY key ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM pts)
+            SELECT key, min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM grp GROUP BY key, sid ORDER BY key, session_start
         """,
         "kg_permission_join": """
             SELECT 'arn:aws:iam::' || CAST(n_nationkey AS VARCHAR) || ':role/reader' AS principal_arn,

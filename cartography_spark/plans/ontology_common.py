@@ -1,0 +1,89 @@
+"""Shared machinery for the canonical ontology stages (users / packages /
+devices): provider read-back projection and source-precedence merging.
+
+The reference's ``get_source_nodes_from_graph``
+(``intel/ontology/utils.py:29-96``) reads provider nodes per source of
+truth *in configured order* and merges rows per id with non-None values
+from earlier sources winning (``_run_source_node_single_query``:
+"Merge existing data with new data, prioritizing non-None values").
+``merge_with_precedence`` re-expresses that as one groupBy with
+``min_by`` aggregates — a single map-side-combinable shuffle per stage,
+never a driver-side dict loop.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from cartography_spark.functions.ontology import OntologyNodeMapping, apply_ontology
+from cartography_spark.store.graphstore import GraphStore
+
+
+def props_as_columns(df: DataFrame, fields: Sequence[str]) -> DataFrame:
+    """Expose props-map entries as columns so ontology-mapping
+    ``F.col(node_field)`` expressions resolve against store rows."""
+    return df.select(
+        "label",
+        "id",
+        *[F.element_at("props", f).alias(f) for f in dict.fromkeys(fields)],
+    )
+
+
+def extract_source_nodes(
+    store: GraphStore, node_label: str, mapping: OntologyNodeMapping
+) -> DataFrame:
+    """Provider nodes → canonical field frame (one row per provider
+    node), ``_run_source_node_single_query`` semantics: only mapped
+    fields extracted, rows missing required fields skipped. Output
+    columns are the unprefixed ontology field names."""
+    fields = [m.node_field for m in mapping.fields if m.node_field] + [
+        f for m in mapping.fields for f in m.extra.get("fields", [])
+    ]
+    prov = props_as_columns(store.nodes([node_label]), fields)
+    out = apply_ontology(prov, mapping)
+    return out.select(
+        *[
+            F.col(f"_ont_{m.ontology_field}").alias(m.ontology_field)
+            for m in mapping.fields
+        ]
+    )
+
+
+def merge_with_precedence(frames: Sequence[DataFrame], key: str) -> DataFrame:
+    """Merge per-source frames per ``key``: for every other column, the
+    value comes from the EARLIEST frame (list order = source-of-truth
+    priority) that carries a non-null value — the reference's
+    "existing non-None values win" merge run source-by-source.
+
+    Ties inside one frame break on the smallest value (struct ordering),
+    keeping the result deterministic where the reference inherits the
+    graph's row order. ``min_by`` skips rows whose ordering expression is
+    null, so null values never shadow a later source's real value.
+    """
+    tagged = [f.withColumn("__priority", F.lit(i)) for i, f in enumerate(frames)]
+    union = tagged[0]
+    for f in tagged[1:]:
+        union = union.unionByName(f, allowMissingColumns=True)
+    value_cols = [c for c in union.columns if c not in (key, "__priority")]
+    return union.groupBy(key).agg(
+        *[
+            F.min_by(
+                F.col(c),
+                F.when(F.col(c).isNotNull(), F.struct(F.col("__priority"), F.col(c))),
+            ).alias(c)
+            for c in value_cols
+        ]
+    )
+
+
+def scalar_props_map(columns: Sequence[str]) -> Column:
+    """Build a null-filtered ``props`` map column from scalar columns."""
+    return F.map_filter(
+        F.map_from_arrays(
+            F.array(*[F.lit(c) for c in columns]),
+            F.array(*[F.col(c).cast("string") for c in columns]),
+        ),
+        lambda _k, v: v.isNotNull(),
+    )

@@ -1,0 +1,375 @@
+"""Ontology devices sync: canonical Device nodes + OBSERVED_AS linking.
+
+Re-expresses the reference's ontology devices stage
+(``intel/ontology/devices.py:1-162``): read back provider device nodes
+for the configured sources of truth (``mapping/data/devices.py`` —
+serial_number required for eligible sources), precedence-merge per
+serial, load canonical ``Device`` nodes (id = serial_number,
+``models/ontology/device.py``), attach ``OBSERVED_AS`` edges to
+provider nodes by serial match (the ``*BySerialRel`` family), run the
+hostname-matchlink FALLBACK guarded by both-side hostname uniqueness
+(``_should_run_hostname_matchlink``, ``devices.py:55-100``), run the
+DEVICE_LINKING_JOBS (User OWNS Device, finding AFFECTS Device —
+``analysis/ontology/analysis.py:83-172``), then unscoped GC.
+
+Spark-first shape: the precedence merge is one combinable groupBy on
+serial; every OBSERVED_AS attach is an equi-join (serial or hostname)
+against a provider label partition — broadcast-eligible, never a theta
+join; the uniqueness guards are two column-pruned count aggregates per
+family, mirroring the reference's two count queries.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from cartography_spark.functions.ontology import (
+    OntologyFieldMapping,
+    OntologyNodeMapping,
+)
+from cartography_spark.plans.analysis import (
+    AddRelationship,
+    AnalysisJob,
+    run_analysis_job,
+)
+from cartography_spark.plans.ontology_common import (
+    extract_source_nodes,
+    merge_with_precedence,
+    scalar_props_map,
+)
+from cartography_spark.store.graphstore import GraphStore
+
+DEVICE_FIELDS = (
+    "serial_number", "hostname", "os", "os_version", "model",
+    "platform", "manufacturer", "instance_id",
+)
+# intel/ontology/devices.py:19-20
+MATCHLINK_SUB_RESOURCE_LABEL = "Ontology"
+MATCHLINK_SUB_RESOURCE_ID = "devices"
+
+
+def default_device_mapping(**node_fields: str) -> OntologyNodeMapping:
+    """Canonical device projection; ``node_fields`` renames provider
+    columns per source (e.g. ``hostname='device_name'``). serial_number
+    is required — rows without one never become canonical devices
+    (exactly the eligible mappings in ``mapping/data/devices.py``)."""
+    return OntologyNodeMapping(
+        node_label="Device",
+        fields=tuple(
+            OntologyFieldMapping(
+                f, node_fields.get(f, f), required=(f == "serial_number")
+            )
+            for f in DEVICE_FIELDS
+        ),
+    )
+
+
+@dataclass(frozen=True)
+class DeviceSource:
+    """One provider device family (``DEVICES_ONTOLOGY_MAPPING`` entry).
+
+    ``serial_field``/``hostname_field`` name the provider props used by
+    the serial OBSERVED_AS join and the hostname-matchlink fallback
+    (``HOSTNAME_MATCHLINKS``, ``models/ontology/device.py:461-485``).
+    ``eligible_for_source=False`` families (duo, bigfix) only receive
+    matchlinks — they never mint canonical devices."""
+
+    node_label: str
+    mapping: OntologyNodeMapping | None = None
+    serial_field: str | None = "serial_number"
+    hostname_field: str | None = "hostname"
+
+    @property
+    def eligible(self) -> bool:
+        return self.mapping is not None and self.mapping.eligible_for_source
+
+
+# the reference's shipped families, field names per mapping/data/devices.py
+DEFAULT_DEVICE_SOURCES: tuple[DeviceSource, ...] = (
+    DeviceSource(
+        "CrowdstrikeHost",
+        default_device_mapping(os="platform_name", model="system_product_name",
+                               platform="platform_name"),
+    ),
+    DeviceSource(
+        "KandjiDevice",
+        default_device_mapping(hostname="device_name"),
+        hostname_field="device_name",
+    ),
+    DeviceSource(
+        "SnipeitAsset",
+        default_device_mapping(hostname="name", serial_number="serial"),
+        serial_field="serial",
+        hostname_field="name",
+    ),
+    DeviceSource("TailscaleDevice", default_device_mapping()),
+    DeviceSource(
+        "S1Agent",
+        default_device_mapping(hostname="computer_name", os="os_name",
+                               os_version="os_revision"),
+        hostname_field="computer_name",
+    ),
+    # matchlink-only families (eligible_for_source=False in the mapping)
+    DeviceSource("DuoEndpoint", None, serial_field=None, hostname_field="device_name"),
+    DeviceSource("BigfixComputer", None, serial_field=None,
+                 hostname_field="computername"),
+)
+
+
+def load_devices(
+    store: GraphStore, sources: Sequence[DeviceSource], update_tag: int
+) -> dict:
+    """Extract + precedence-merge per serial_number, MERGE canonical
+    Device nodes (Ontology extra label, id = serial_number)."""
+    frames = [
+        extract_source_nodes(store, s.node_label, s.mapping)
+        for s in sources
+        if s.eligible and s.node_label in store.manifest["nodes"]
+    ]
+    if not frames:
+        return {}
+    merged = merge_with_precedence(frames, "serial_number")
+    batch = merged.select(
+        F.lit("Device").alias("label"),
+        F.col("serial_number").alias("id"),
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        F.array(F.lit("Ontology")).alias("extra_labels"),
+        scalar_props_map(list(merged.columns)).alias("props"),
+    )
+    return store.merge_nodes(batch, update_tag, labels=["Device"])
+
+
+def _current_devices(store: GraphStore, update_tag: int) -> DataFrame:
+    return (
+        store.nodes(["Device"])
+        .filter(F.col("lastupdated") == int(update_tag))
+        .select("id", F.element_at("props", "hostname").alias("hostname"))
+    )
+
+
+def _observed_as_batch(pairs: DataFrame, update_tag: int, scoped: bool) -> DataFrame:
+    """(device id, dst_label, dst_id) → OBSERVED_AS edge rows; hostname
+    matchlinks carry the Ontology/devices sub-resource scope
+    (``devices.py:19-20``), serial edges are schema rels."""
+    return pairs.select(
+        F.lit("Device").alias("src_label"),
+        F.col("id").alias("src_id"),
+        F.lit("OBSERVED_AS").alias("rel_label"),
+        "dst_label",
+        "dst_id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(MATCHLINK_SUB_RESOURCE_LABEL if scoped else None)
+        .cast("string").alias("sub_resource_label"),
+        F.lit(MATCHLINK_SUB_RESOURCE_ID if scoped else None)
+        .cast("string").alias("sub_resource_id"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    ).dropDuplicates(["src_label", "src_id", "rel_label", "dst_label", "dst_id"])
+
+
+def link_devices_by_serial(
+    store: GraphStore, sources: Sequence[DeviceSource], update_tag: int
+) -> dict:
+    """Primary matching: Device.serial_number = provider.<serial_field>
+    (the ``DeviceTo*BySerialRel`` family) — one equi-join per family,
+    one edge merge for all of them."""
+    devices = store.nodes(["Device"]).filter(
+        F.col("lastupdated") == int(update_tag)
+    ).select("id")
+    pair_frames = []
+    for s in sources:
+        if s.serial_field is None or s.node_label not in store.manifest["nodes"]:
+            continue
+        prov = store.nodes([s.node_label]).select(
+            F.col("label").alias("dst_label"),
+            F.col("id").alias("dst_id"),
+            F.element_at("props", s.serial_field).alias("__serial"),
+        ).filter(F.col("__serial").isNotNull())
+        pair_frames.append(
+            devices.join(prov, devices["id"] == prov["__serial"], "inner")
+            .select("id", "dst_label", "dst_id")
+        )
+    if not pair_frames:
+        return {}
+    pairs = pair_frames[0]
+    for f in pair_frames[1:]:
+        pairs = pairs.unionByName(f)
+    return store.merge_edges(
+        _observed_as_batch(pairs, update_tag, scoped=False),
+        update_tag,
+        rels=["OBSERVED_AS"],
+    )
+
+
+def _hostnames_unique(df: DataFrame, col: str) -> bool:
+    """``_should_run_hostname_matchlink`` guard: non-null values of
+    ``col`` must be globally unique on this side."""
+    row = df.filter(F.col(col).isNotNull()).agg(
+        F.count(col).alias("n"), F.count_distinct(F.col(col)).alias("d")
+    ).first()
+    return bool(row and row["n"] == row["d"])
+
+
+def link_devices_by_hostname(
+    store: GraphStore, sources: Sequence[DeviceSource], update_tag: int
+) -> dict:
+    """Hostname-matchlink fallback (``_run_hostname_matchlinks``):
+    skipped per family when either side carries duplicate hostnames;
+    matched edges carry the Ontology/devices MatchLink scope and stale
+    ones are swept per that scope."""
+    metrics: dict = {}
+    if "Device" not in store.manifest["nodes"]:
+        return metrics
+    devices = _current_devices(store, update_tag).filter(
+        F.col("hostname").isNotNull()
+    )
+    if devices.limit(1).isEmpty():
+        return metrics
+    device_side_unique = _hostnames_unique(devices, "hostname")
+    pair_frames = []
+    for s in sources:
+        if s.hostname_field is None or s.node_label not in store.manifest["nodes"]:
+            continue
+        prov = store.nodes([s.node_label]).select(
+            F.col("label").alias("dst_label"),
+            F.col("id").alias("dst_id"),
+            F.element_at("props", s.hostname_field).alias("hostname"),
+        ).filter(F.col("hostname").isNotNull())
+        if not device_side_unique or not _hostnames_unique(prov, "hostname"):
+            metrics[f"skipped_{s.node_label}"] = "duplicate hostnames"
+            continue
+        pair_frames.append(
+            devices.join(prov, "hostname").select("id", "dst_label", "dst_id")
+        )
+    if pair_frames:
+        pairs = pair_frames[0]
+        for f in pair_frames[1:]:
+            pairs = pairs.unionByName(f)
+        metrics["matched"] = store.merge_edges(
+            _observed_as_batch(pairs, update_tag, scoped=True),
+            update_tag,
+            rels=["OBSERVED_AS"],
+        )
+    return metrics
+
+
+# -- linking jobs (DEVICE_LINKING_JOBS twins) --------------------------------
+
+
+def _observed_pairs(store: GraphStore, provider_label: str) -> DataFrame:
+    return (
+        store.edges(["OBSERVED_AS"])
+        .filter(
+            (F.col("src_label") == "Device") & (F.col("dst_label") == provider_label)
+        )
+        .select(F.col("src_id").alias("__dev_id"), F.col("dst_id").alias("__prov_id"))
+    )
+
+
+def device_owns_job(
+    provider_user_label: str,
+    provider_device_label: str,
+    owns_rel: str = "OWNS",
+) -> AnalysisJob:
+    """``DEVICE_OWNS_LINKING`` twin: (u:User)-[:HAS_ACCOUNT]->(provUser)
+    -[owns_rel]->(provDevice)<-[:OBSERVED_AS]-(d:Device) ⇒ u-OWNS->d."""
+
+    def match(store: GraphStore) -> DataFrame:
+        has_acct = (
+            store.edges(["HAS_ACCOUNT"])
+            .filter(
+                (F.col("src_label") == "User")
+                & (F.col("dst_label") == provider_user_label)
+            )
+            .select(F.col("src_id").alias("__user"), F.col("dst_id").alias("__pu"))
+        )
+        owns = (
+            store.edges([owns_rel])
+            .filter(
+                (F.col("src_label") == provider_user_label)
+                & (F.col("dst_label") == provider_device_label)
+            )
+            .select(F.col("src_id").alias("__pu"), F.col("dst_id").alias("__prov_id"))
+        )
+        obs = _observed_pairs(store, provider_device_label)
+        return (
+            has_acct.join(owns, "__pu")
+            .join(obs, "__prov_id")
+            .select(
+                F.lit("User").alias("label"),
+                F.col("__user").alias("id"),
+                F.lit("Device").alias("dev_label"),
+                F.col("__dev_id").alias("dev_id"),
+            )
+        )
+
+    return AnalysisJob(
+        name=f"ontology_devices_owns_{provider_device_label.lower()}",
+        match=match,
+        effects=(AddRelationship("OWNS", "dev_label", "dev_id"),),
+    )
+
+
+def device_affects_job(finding_label: str, provider_label: str) -> AnalysisJob:
+    """``DEVICE_AFFECTS_*`` twin: (f)-[:AFFECTS]->(provHost)
+    <-[:OBSERVED_AS]-(d:Device) ⇒ f-AFFECTS->d."""
+
+    def match(store: GraphStore) -> DataFrame:
+        affects = (
+            store.edges(["AFFECTS"])
+            .filter(
+                (F.col("src_label") == finding_label)
+                & (F.col("dst_label") == provider_label)
+            )
+            .select(F.col("src_id").alias("__f"), F.col("dst_id").alias("__prov_id"))
+        )
+        obs = _observed_pairs(store, provider_label)
+        return affects.join(obs, "__prov_id").select(
+            F.lit(finding_label).alias("label"),
+            F.col("__f").alias("id"),
+            F.lit("Device").alias("dev_label"),
+            F.col("__dev_id").alias("dev_id"),
+        )
+
+    return AnalysisJob(
+        name=f"ontology_devices_{finding_label.lower()}_affects",
+        match=match,
+        effects=(AddRelationship("AFFECTS", "dev_label", "dev_id"),),
+    )
+
+
+def sync_ontology_devices(
+    store: GraphStore,
+    sources: Sequence[DeviceSource],
+    update_tag: int,
+    linking_jobs: Sequence[AnalysisJob] = (),
+) -> dict:
+    """The full stage (``intel/ontology/devices.py:sync``): load,
+    serial links, hostname fallback, linking jobs, cleanup (unscoped
+    Device GC sweeps stale devices AND their OBSERVED_AS edges via
+    DETACH; remaining stale OBSERVED_AS edges of surviving devices are
+    swept by the schema-rel/matchlink cleanup twin)."""
+    metrics: dict = {"devices": load_devices(store, sources, update_tag)}
+    metrics["serial_links"] = link_devices_by_serial(store, sources, update_tag)
+    metrics["hostname_links"] = link_devices_by_hostname(store, sources, update_tag)
+    for job in linking_jobs:
+        metrics[job.name] = run_analysis_job(store, job, update_tag)
+    if "Device" in store.manifest["nodes"]:
+        stale = (
+            store.nodes(["Device"])
+            .filter(F.col("lastupdated") != int(update_tag))
+            .select("label", "id")
+        )
+        metrics["gc"] = store.delete_nodes(stale, detach=True)
+    # stale OBSERVED_AS of surviving devices: schema-rel cleanup +
+    # matchlink GC (GraphJob.from_node_schema + from_matchlink twins)
+    metrics["gc_observed_as"] = store.delete_edges_bulk(
+        ["OBSERVED_AS"],
+        (F.col("src_label") == "Device")
+        & (F.col("lastupdated") != int(update_tag)),
+    )
+    store.record_lineage("ontology_devices", {"update_tag": update_tag})
+    return metrics

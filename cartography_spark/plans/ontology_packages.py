@@ -1,0 +1,425 @@
+"""Ontology packages sync: canonical PackageVersion + Package nodes.
+
+Re-expresses the reference's ontology packages stage
+(``intel/ontology/packages.py:1-129``): read back provider package
+nodes (Trivy/Syft/GitLab/GitHub/Semgrep-shaped sources, mapped via
+``models/ontology/mapping/data/packages.py``), load canonical
+``PackageVersion`` nodes (id = ``normalized_id``,
+``models/ontology/package_version.py``) with ``DETECTED_AS`` edges back
+to every provider node carrying the same normalized id, group them into
+version-independent ``Package`` nodes (id = ``{type}|{namespace/}{name}``,
+``intel/trivy/util.py:107-141`` ``make_normalized_package_name_id``)
+with ``HAS_VERSION`` edges (``models/ontology/package.py``
+``PackageToPackageVersionRel``, one_to_many), run the
+PACKAGE_LINKING_JOBS (``analysis/ontology/analysis.py:372+``) and
+finally unscoped GC (both schemas declare ``scoped_cleanup=False``).
+
+Spark-first shape: PURL parsing and name normalization
+(``intel/trivy/util.py:13-60`` PEP-503 rules) are pure column
+expressions — no Python row loop, no UDF; the versionless rollup is one
+map-side-combinable groupBy on the package key; ``DETECTED_AS`` /
+``HAS_VERSION`` emission is an equi-join per source (broadcast-eligible
+dims). At 100 TB the only shuffle per stage is the package-key groupBy,
+and it partial-aggregates.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from cartography_spark.functions.ontology import (
+    OntologyFieldMapping,
+    OntologyNodeMapping,
+)
+from cartography_spark.plans.analysis import (
+    AddRelationship,
+    AnalysisJob,
+    run_analysis_job,
+)
+from cartography_spark.plans.ontology_common import (
+    extract_source_nodes,
+    merge_with_precedence,
+    scalar_props_map,
+)
+from cartography_spark.store.graphstore import GraphStore
+
+PACKAGE_FIELDS = ("normalized_id", "name", "version", "type", "purl")
+
+
+def default_package_mapping() -> OntologyNodeMapping:
+    """The shared field shape of every packages-ontology source
+    (``mapping/data/packages.py``: normalized_id required; name,
+    version, type, purl optional — semgrep omits purl)."""
+    return OntologyNodeMapping(
+        node_label="PackageVersion",
+        fields=(
+            OntologyFieldMapping("normalized_id", "normalized_id", required=True),
+            OntologyFieldMapping("name", "name"),
+            OntologyFieldMapping("version", "version"),
+            OntologyFieldMapping("type", "type"),
+            OntologyFieldMapping("purl", "purl"),
+        ),
+    )
+
+
+@dataclass(frozen=True)
+class PackageSource:
+    """One provider package family (``PACKAGES_ONTOLOGY_MAPPING`` entry)."""
+
+    node_label: str
+    mapping: OntologyNodeMapping = None  # type: ignore[assignment]
+
+    def __post_init__(self) -> None:
+        if self.mapping is None:
+            object.__setattr__(self, "mapping", default_package_mapping())
+
+
+# -- PURL parsing & name normalization (column expressions) -----------------
+
+
+def _percent_decode(col: Column) -> Column:
+    """Percent-decode a PURL path segment. ``url_decode`` is
+    form-encoding (`+` → space), which would corrupt names like
+    ``g++``; PURL uses pure percent-encoding, so escape literal `+`
+    first (``packageurl`` unquotes with percent-decoding only).
+    ``try_url_decode`` nulls malformed escapes instead of failing the
+    job — parity with ``parse_purl`` returning None on invalid purls."""
+    decode = getattr(F, "try_url_decode", F.url_decode)
+    return decode(F.replace(col, F.lit("+"), F.lit("%2B")))
+
+
+# one anchored pattern captures (type, namespace-path, name, version);
+# a single regex keeps the generated expression tree small enough for
+# whole-stage codegen (a substring_index/substr decomposition of the
+# same parse overflowed janino's 64KB method limit and dropped the
+# whole stage to interpreted eval)
+_PURL_RE = (
+    r"^pkg:([^/?#]+)/(?:((?:[^/@?#]+/)*[^/@?#]+)/)?([^/@?#]+)"
+    r"(?:@([^?#]*))?(?:[?#].*)?$"
+)
+
+
+def purl_components(purl: Column) -> Column:
+    """Parse a PURL into a struct(type, namespace, name, version) —
+    ``parse_purl`` (``intel/trivy/util.py:37-60``) as column exprs.
+
+    Format: ``pkg:type/namespace…/name@version?qualifiers#subpath``.
+    Invalid purls (no ``pkg:`` scheme or no name) yield a null struct.
+    """
+    ptype = F.regexp_extract(purl, _PURL_RE, 1)
+    ns_raw = F.regexp_extract(purl, _PURL_RE, 2)
+    name_raw = F.regexp_extract(purl, _PURL_RE, 3)
+    ver = F.regexp_extract(purl, _PURL_RE, 4)
+    valid = purl.isNotNull() & (ptype != "") & (name_raw != "")
+    return F.when(
+        valid,
+        F.struct(
+            ptype.alias("type"),
+            F.when(ns_raw != "", _percent_decode(ns_raw)).alias("namespace"),
+            _percent_decode(name_raw).alias("name"),
+            F.when(ver != "", ver).alias("version"),
+        ),
+    )
+
+
+def normalize_package_name(name: Column, pkg_type: Column) -> Column:
+    """Ecosystem name normalization (``intel/trivy/util.py:13-34``):
+    PEP 503 for python (lowercase, runs of ``[._-]`` → ``-``),
+    lowercase for everything else."""
+    lowered = F.lower(name)
+    return F.when(
+        F.lower(pkg_type).isin("python", "pypi", "python-pkg"),
+        F.regexp_replace(lowered, r"[._-]+", "-"),
+    ).otherwise(lowered)
+
+
+def normalized_package_name_id(
+    purl: Column, name: Column, pkg_type: Column
+) -> Column:
+    """Versionless package key ``{type}|{namespace/}{normalized_name}``
+    (``make_normalized_package_name_id``, ``intel/trivy/util.py:107-141``):
+    PURL components preferred, (name, type) fallback, else null."""
+    p = purl_components(purl)
+    ns_prefix = F.when(
+        p["namespace"].isNotNull(), F.concat(p["namespace"], F.lit("/"))
+    ).otherwise(F.lit(""))
+    from_purl = F.concat(
+        p["type"], F.lit("|"), ns_prefix, normalize_package_name(p["name"], p["type"])
+    )
+    fallback = F.when(
+        name.isNotNull() & pkg_type.isNotNull(),
+        F.concat(
+            F.lower(pkg_type), F.lit("|"), normalize_package_name(name, pkg_type)
+        ),
+    )
+    return F.when(p.isNotNull(), from_purl).otherwise(fallback)
+
+
+# -- stage -------------------------------------------------------------------
+
+
+def extract_source_packages(
+    store: GraphStore, sources: Sequence[PackageSource]
+) -> DataFrame:
+    """Provider package nodes → one merged canonical frame per
+    normalized_id (source order = precedence, non-null wins)."""
+    frames = [
+        extract_source_nodes(store, s.node_label, s.mapping)
+        for s in sources
+        if s.node_label in store.manifest["nodes"]
+    ]
+    if not frames:
+        return store.spark.createDataFrame(
+            [], "normalized_id string, name string, version string, "
+                "type string, purl string"
+        )
+    return merge_with_precedence(frames, "normalized_id")
+
+
+def load_package_versions(
+    store: GraphStore,
+    data: DataFrame,
+    sources: Sequence[PackageSource],
+    update_tag: int,
+) -> dict:
+    """Canonical PackageVersion nodes (Ontology extra label) +
+    DETECTED_AS edges to every provider node with the same
+    normalized_id (``PackageVersionToTrivyPackageRel`` family)."""
+    batch = data.select(
+        F.lit("PackageVersion").alias("label"),
+        F.col("normalized_id").alias("id"),
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        F.array(F.lit("Ontology")).alias("extra_labels"),
+        scalar_props_map(["name", "version", "type", "purl"]).alias("props"),
+    )
+    metrics = {"nodes": store.merge_nodes(batch, update_tag, labels=["PackageVersion"])}
+
+    present = [s.node_label for s in sources if s.node_label in store.manifest["nodes"]]
+    if present:
+        prov = store.nodes(present).select(
+            F.col("label").alias("dst_label"),
+            F.col("id").alias("dst_id"),
+            F.element_at("props", "normalized_id").alias("normalized_id"),
+        ).filter(F.col("normalized_id").isNotNull())
+        edges = data.select("normalized_id").join(prov, "normalized_id").select(
+            F.lit("PackageVersion").alias("src_label"),
+            F.col("normalized_id").alias("src_id"),
+            F.lit("DETECTED_AS").alias("rel_label"),
+            "dst_label",
+            "dst_id",
+            F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+            F.lit(None).cast("string").alias("sub_resource_label"),
+            F.lit(None).cast("string").alias("sub_resource_id"),
+            F.lit(None).cast("map<string,string>").alias("props"),
+        )
+        metrics["detected_as"] = store.merge_edges(
+            edges, update_tag, rels=["DETECTED_AS"]
+        )
+    return metrics
+
+
+def transform_packages(data: DataFrame) -> DataFrame:
+    """Group PackageVersion rows into version-independent Package rows
+    (``intel/ontology/packages.py:56-104`` ``transform_packages``):
+    rows without a derivable versionless key are skipped; a non-null
+    namespace found on any row of the group wins (order-independent —
+    ``F.max`` here, same guarantee); version_ids sorted."""
+    pkg_id = normalized_package_name_id(
+        F.col("purl"), F.col("name"), F.col("type")
+    )
+    ns = purl_components(F.col("purl"))["namespace"]
+    rows = (
+        data.withColumn("__pkg_id", pkg_id)
+        .filter(F.col("__pkg_id").isNotNull())
+        .withColumn("__ns", ns)
+    )
+    grouped = rows.groupBy("__pkg_id").agg(
+        F.max("__ns").alias("namespace"),
+        F.sort_array(F.collect_set("normalized_id")).alias("version_ids"),
+    )
+    pkg_type = F.substring_index(F.col("__pkg_id"), "|", 1)
+    return grouped.select(
+        F.col("__pkg_id").alias("id"),
+        F.substr(F.col("__pkg_id"), F.length(pkg_type) + F.lit(2)).alias("name"),
+        "namespace",
+        pkg_type.alias("type"),
+        "version_ids",
+    )
+
+
+def load_packages(store: GraphStore, packages: DataFrame, update_tag: int) -> dict:
+    """Canonical Package nodes + one_to_many HAS_VERSION edges
+    (``PackageToPackageVersionRel``: explode + equi-key emission)."""
+    batch = packages.select(
+        F.lit("Package").alias("label"),
+        F.col("id"),
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        F.array(F.lit("Ontology")).alias("extra_labels"),
+        scalar_props_map(["name", "namespace", "type"]).alias("props"),
+    )
+    metrics = {"nodes": store.merge_nodes(batch, update_tag, labels=["Package"])}
+    edges = packages.select(
+        F.lit("Package").alias("src_label"),
+        F.col("id").alias("src_id"),
+        F.lit("HAS_VERSION").alias("rel_label"),
+        F.lit("PackageVersion").alias("dst_label"),
+        F.explode("version_ids").alias("dst_id"),
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("sub_resource_label"),
+        F.lit(None).cast("string").alias("sub_resource_id"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    )
+    metrics["has_version"] = store.merge_edges(edges, update_tag, rels=["HAS_VERSION"])
+    return metrics
+
+
+# -- linking jobs (PACKAGE_LINKING_JOBS twins) --------------------------------
+
+
+def _detected_as_pairs(store: GraphStore, provider_label: str) -> DataFrame:
+    return (
+        store.edges(["DETECTED_AS"])
+        .filter(
+            (F.col("src_label") == "PackageVersion")
+            & (F.col("dst_label") == provider_label)
+        )
+        .select(F.col("src_id").alias("__pv_id"), F.col("dst_id").alias("__prov_id"))
+    )
+
+
+def package_propagation_job(
+    provider_label: str,
+    rel_label: str,
+    inward: bool,
+    name_suffix: str | None = None,
+) -> AnalysisJob:
+    """Propagate a provider-node edge onto the canonical PackageVersion.
+
+    outward (``inward=False``): ``(prov)-[rel]->(x)`` becomes
+    ``(PackageVersion)-[rel]->(x)`` (DEPLOYED / SHOULD_UPDATE_TO jobs,
+    ``analysis/ontology/analysis.py:372+``); inward:
+    ``(x)-[rel]->(prov)`` becomes ``(x)-[rel]->(PackageVersion)``
+    (the AFFECTS finding job)."""
+
+    def match(store: GraphStore) -> DataFrame:
+        det = _detected_as_pairs(store, provider_label)
+        edges = store.edges([rel_label])
+        if inward:
+            # x -rel-> prov  ⇒  matched node = x, target = PackageVersion
+            hits = edges.filter(F.col("dst_label") == provider_label).join(
+                det, edges["dst_id"] == det["__prov_id"], "inner"
+            )
+            return hits.select(
+                F.col("src_label").alias("label"),
+                F.col("src_id").alias("id"),
+                F.lit("PackageVersion").alias("pv_label"),
+                F.col("__pv_id").alias("pv_id"),
+            )
+        # prov -rel-> x  ⇒  matched node = PackageVersion, target = x
+        hits = edges.filter(F.col("src_label") == provider_label).join(
+            det, edges["src_id"] == det["__prov_id"], "inner"
+        )
+        return hits.select(
+            F.lit("PackageVersion").alias("label"),
+            F.col("__pv_id").alias("id"),
+            F.col("dst_label").alias("tgt_label"),
+            F.col("dst_id").alias("tgt_id"),
+        )
+
+    dst_cols = ("pv_label", "pv_id") if inward else ("tgt_label", "tgt_id")
+    return AnalysisJob(
+        name=f"ontology_packages_{name_suffix or rel_label.lower()}_{provider_label.lower()}",
+        match=match,
+        effects=(AddRelationship(rel_label, *dst_cols),),
+    )
+
+
+def package_depends_on_job(provider_label: str = "SyftPackage") -> AnalysisJob:
+    """``PACKAGE_DEPENDS_ON_LINKING``: (p1:PackageVersion)-DETECTED_AS->
+    (sp1)-DEPENDS_ON->(sp2)<-DETECTED_AS-(p2) ⇒ p1-DEPENDS_ON->p2."""
+
+    def match(store: GraphStore) -> DataFrame:
+        det = _detected_as_pairs(store, provider_label)
+        dep = (
+            store.edges(["DEPENDS_ON"])
+            .filter(
+                (F.col("src_label") == provider_label)
+                & (F.col("dst_label") == provider_label)
+            )
+            .select(F.col("src_id").alias("__d_src"), F.col("dst_id").alias("__d_dst"))
+        )
+        left = det.withColumnRenamed("__pv_id", "__pv1").withColumnRenamed(
+            "__prov_id", "__d_src"
+        )
+        right = det.withColumnRenamed("__pv_id", "__pv2").withColumnRenamed(
+            "__prov_id", "__d_dst"
+        )
+        return (
+            dep.join(left, "__d_src")
+            .join(right, "__d_dst")
+            .select(
+                F.lit("PackageVersion").alias("label"),
+                F.col("__pv1").alias("id"),
+                F.lit("PackageVersion").alias("dep_label"),
+                F.col("__pv2").alias("dep_id"),
+            )
+        )
+
+    return AnalysisJob(
+        name=f"ontology_packages_depends_on_{provider_label.lower()}",
+        match=match,
+        effects=(AddRelationship("DEPENDS_ON", "dep_label", "dep_id"),),
+    )
+
+
+def default_package_linking_jobs(
+    sources: Sequence[PackageSource],
+) -> tuple[AnalysisJob, ...]:
+    """PACKAGE_LINKING_JOBS twin set over the configured sources:
+    DEPLOYED / AFFECTS / SHOULD_UPDATE_TO propagation per source and
+    DEPENDS_ON through any source that carries provider dependency
+    edges."""
+    jobs: list[AnalysisJob] = []
+    for s in sources:
+        jobs.append(package_propagation_job(s.node_label, "DEPLOYED", inward=False))
+        jobs.append(package_propagation_job(s.node_label, "AFFECTS", inward=True))
+        jobs.append(
+            package_propagation_job(s.node_label, "SHOULD_UPDATE_TO", inward=False)
+        )
+        jobs.append(package_depends_on_job(s.node_label))
+    return tuple(jobs)
+
+
+def sync_ontology_packages(
+    store: GraphStore,
+    sources: Sequence[PackageSource],
+    update_tag: int,
+    linking_jobs: Sequence[AnalysisJob] | None = None,
+) -> dict:
+    """The full stage (``intel/ontology/packages.py:sync``): versions,
+    versionless rollup, linking jobs, unscoped GC of both canonical
+    labels (their schemas declare ``scoped_cleanup=False``)."""
+    data = extract_source_packages(store, sources)
+    metrics: dict = {
+        "package_versions": load_package_versions(store, data, sources, update_tag),
+        "packages": load_packages(store, transform_packages(data), update_tag),
+    }
+    if linking_jobs is None:
+        linking_jobs = default_package_linking_jobs(sources)
+    for job in linking_jobs:
+        metrics[job.name] = run_analysis_job(store, job, update_tag)
+    for label in ("PackageVersion", "Package"):
+        if label in store.manifest["nodes"]:
+            stale = (
+                store.nodes([label])
+                .filter(F.col("lastupdated") != int(update_tag))
+                .select("label", "id")
+            )
+            metrics[f"gc_{label}"] = store.delete_nodes(stale, detach=True)
+    store.record_lineage("ontology_packages", {"update_tag": update_tag})
+    return metrics

@@ -116,19 +116,18 @@ def extract_source_users(store: GraphStore, source: UserSource) -> DataFrame:
 def load_users(
     store: GraphStore, sources: Sequence[UserSource], update_tag: int
 ) -> dict:
-    """Union source frames, merge per email (later/other sources fill
-    missing fields — aggregates skip nulls), MERGE canonical User
-    nodes keyed by email (``load_users``, ``intel/ontology/users.py:
-    44-55``)."""
+    """Merge source frames per email with SOURCE PRECEDENCE — the first
+    source (in configured order) carrying a non-null value wins per
+    field, exactly the reference's ``_run_source_node_single_query``
+    merge ("prioritizing non-None values" as sources run in order) —
+    then MERGE canonical User nodes keyed by email (``load_users``,
+    ``intel/ontology/users.py:44-55``)."""
+    from cartography_spark.plans.ontology_common import merge_with_precedence
+
     frames = [extract_source_users(store, s) for s in sources]
     if not frames:
         return {}
-    union = frames[0]
-    for f in frames[1:]:
-        union = union.unionByName(f, allowMissingColumns=True)
-    merged = union.groupBy("email").agg(
-        *[F.max(c).alias(c) for c in union.columns if c != "email"]
-    )
+    merged = merge_with_precedence(frames, "email")
     batch = merged.select(
         F.lit("User").alias("label"),
         F.col("email").alias("id"),

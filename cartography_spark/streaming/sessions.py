@@ -31,6 +31,29 @@ SESSION_SCHEMA = (
 _STATE_SCHEMA = "start long, end long, n long, total double"
 
 
+def split_runs(
+    points: list, gap_us: int, cur: list | None = None
+) -> tuple[list[list], list | None]:
+    """Split time-ordered ``(ts_us, value)`` points into gap-separated
+    session runs ``[start, end, n, total]``; the final run stays open
+    (returned separately) so streaming state can hold it. Shared by the
+    stateful streaming operator and its batch twin — the gap semantics
+    (`new session strictly beyond gap`) live in exactly one place."""
+    closed: list[list] = []
+    for ts, v in sorted(points):
+        if cur is None:
+            cur = [ts, ts, 1, float(v)]
+        elif ts - cur[1] > gap_us:
+            closed.append(cur)
+            cur = [ts, ts, 1, float(v)]
+        else:
+            cur[0] = min(cur[0], ts)
+            cur[1] = max(cur[1], ts)
+            cur[2] += 1
+            cur[3] += float(v)
+    return closed, cur
+
+
 def _session_fn(gap_seconds: int):
     import pandas as pd
 
@@ -55,7 +78,6 @@ def _session_fn(gap_seconds: int):
             yield _frame(key[0], [cur])
             return
         cur = list(state.get) if state.exists else None
-        closed: list[list] = []
         points: list[tuple[int, float]] = []
         for pdf in pdf_iter:
             if len(pdf):
@@ -63,17 +85,7 @@ def _session_fn(gap_seconds: int):
                 points.extend(zip(ts_us.tolist(), pdf["value"].tolist()))
         # events split into gap-separated runs; the final run stays open
         # in state, earlier runs close immediately (no timeout needed)
-        for ts, v in sorted(points):
-            if cur is None:
-                cur = [ts, ts, 1, float(v)]
-            elif ts - cur[1] > gap_us:
-                closed.append(cur)
-                cur = [ts, ts, 1, float(v)]
-            else:
-                cur[0] = min(cur[0], ts)
-                cur[1] = max(cur[1], ts)
-                cur[2] += 1
-                cur[3] += float(v)
+        closed, cur = split_runs(points, gap_us, cur)
         if cur is not None:
             state.update((int(cur[0]), int(cur[1]), int(cur[2]), float(cur[3])))
             # close when no event arrives for gap_seconds of EVENT time
@@ -104,4 +116,37 @@ def sessionize_events(
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
+    )
+
+
+def sessionize_batch(
+    events: DataFrame, gap_seconds: int = 1800, key_col: str = "key"
+) -> DataFrame:
+    """Batch twin of :func:`sessionize_events` over a bounded frame:
+    identical gap semantics via :func:`split_runs` (a bounded input has
+    no open tail — the final run closes too), Arrow-batched
+    ``applyInPandas`` per key. This is also the DuckDB-oracle-checkable
+    surface for the stateful operator (gap-islands SQL)."""
+    import pandas as pd
+
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ts_us = (pdf["ts"].astype("int64") // 1000).astype("int64")
+        closed, cur = split_runs(list(zip(ts_us.tolist(), pdf["value"].tolist())), gap_us)
+        if cur is not None:
+            closed.append(cur)
+        key = pdf["key"].iloc[0]
+        return pd.DataFrame({
+            "key": [key] * len(closed),
+            "session_start": [pd.Timestamp(s[0], unit="us") for s in closed],
+            "session_end": [pd.Timestamp(s[1], unit="us") for s in closed],
+            "n_events": [s[2] for s in closed],
+            "sum_value": [s[3] for s in closed],
+        })
+
+    return (
+        events.select(F.col(key_col).cast("string").alias("key"), "ts", "value")
+        .groupBy("key")
+        .applyInPandas(fn, schema=SESSION_SCHEMA)
     )

@@ -1,0 +1,194 @@
+"""Ontology devices stage (N3): canonical Device + OBSERVED_AS linking.
+
+Mirrors the assertions of the reference's
+``tests/integration/cartography/intel/ontology/test_devices.py``:
+canonical device set with precedence merge, serial-match OBSERVED_AS,
+hostname fallback gated on both-side uniqueness (duplicate hostnames
+skip the family), User OWNS Device linking, finding AFFECTS Device,
+staleness GC.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.plans.ontology_devices import (
+    DeviceSource,
+    default_device_mapping,
+    device_affects_job,
+    device_owns_job,
+    sync_ontology_devices,
+)
+
+TAG = 123456789
+
+
+def _nodes(spark, label, rows, tag=TAG):
+    """rows: list of dicts id -> props"""
+    data = [(r.pop("id"), r) for r in [dict(r) for r in rows]]
+    return spark.createDataFrame(
+        data, "id string, props map<string,string>"
+    ).select(
+        F.lit(label).alias("label"),
+        "id",
+        F.lit(tag).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        F.lit(None).cast("array<string>").alias("extra_labels"),
+        F.map_filter(F.col("props"), lambda _k, v: v.isNotNull()).alias("props"),
+    )
+
+
+def _edges(spark, rows, tag=TAG):
+    df = spark.createDataFrame(
+        rows, "src_label string, src_id string, rel_label string, "
+              "dst_label string, dst_id string"
+    )
+    return df.select(
+        *df.columns,
+        F.lit(tag).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("sub_resource_label"),
+        F.lit(None).cast("string").alias("sub_resource_id"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    )
+
+
+SNIPEIT = DeviceSource(
+    "SnipeitAsset",
+    default_device_mapping(hostname="name", serial_number="serial"),
+    serial_field="serial",
+    hostname_field="name",
+)
+TAILSCALE = DeviceSource("TailscaleDevice", default_device_mapping())
+DUO = DeviceSource("DuoEndpoint", None, serial_field=None,
+                   hostname_field="device_name")
+SOURCES = (SNIPEIT, TAILSCALE, DUO)
+
+
+@pytest.fixture()
+def device_graph(spark, tmp_store):
+    s = tmp_store
+    s.merge_nodes(_nodes(spark, "SnipeitAsset", [
+        {"id": "snipe-1", "serial": "SIMP-MAC-HOMER-01", "name": "donut-mac",
+         "model": "Macbook Pro"},
+        {"id": "snipe-2", "serial": "SIMP-WIN-MARGE-01", "name": "itchy-windows",
+         "model": "Dell XPS 15"},
+        {"id": "snipe-3", "serial": "SIMP-IOS-HOMER-01", "name": "homer-iphone",
+         "model": "Iphone 15 Pro"},
+    ]), TAG)
+    s.merge_nodes(_nodes(spark, "TailscaleDevice", [
+        # same device as snipe-1: tailscale os fills the field snipeit
+        # lacks; snipeit model wins by precedence
+        {"id": "ts-1", "serial_number": "SIMP-MAC-HOMER-01", "hostname": "donut-mac",
+         "os": "macOS"},
+        {"id": "ts-2", "serial_number": "HACK-PIXEL-01",
+         "hostname": "anonymous-pixel", "os": "android"},
+    ]), TAG)
+    # duo has no serials: endpoint matched only via hostname fallback
+    s.merge_nodes(_nodes(spark, "DuoEndpoint", [
+        {"id": "duo-1", "device_name": "itchy-windows", "os_family": "Windows"},
+    ]), TAG)
+    return s
+
+
+def test_sync_devices_end_to_end(spark, device_graph):
+    s = device_graph
+    m = sync_ontology_devices(s, SOURCES, TAG)
+
+    devs = s.nodes(["Device"]).collect()
+    got = {(r["id"], r["props"].get("hostname"), r["props"].get("model"),
+            r["props"].get("os")) for r in devs}
+    assert got == {
+        # snipeit model wins (listed first), tailscale os fills in
+        ("SIMP-MAC-HOMER-01", "donut-mac", "Macbook Pro", "macOS"),
+        ("SIMP-WIN-MARGE-01", "itchy-windows", "Dell XPS 15", None),
+        ("SIMP-IOS-HOMER-01", "homer-iphone", "Iphone 15 Pro", None),
+        ("HACK-PIXEL-01", "anonymous-pixel", None, "android"),
+    }
+    assert all("Ontology" in (r["extra_labels"] or []) for r in devs)
+
+    rels = {
+        (r["src_id"], r["dst_label"], r["dst_id"])
+        for r in s.edges(["OBSERVED_AS"]).collect()
+    }
+    # serial matches
+    assert ("SIMP-MAC-HOMER-01", "SnipeitAsset", "snipe-1") in rels
+    assert ("SIMP-MAC-HOMER-01", "TailscaleDevice", "ts-1") in rels
+    assert ("SIMP-WIN-MARGE-01", "SnipeitAsset", "snipe-2") in rels
+    assert ("HACK-PIXEL-01", "TailscaleDevice", "ts-2") in rels
+    # hostname fallback reached the serial-less DuoEndpoint
+    assert ("SIMP-WIN-MARGE-01", "DuoEndpoint", "duo-1") in rels
+    assert "skipped_DuoEndpoint" not in m["hostname_links"]
+
+
+def test_duplicate_hostnames_skip_matchlink_family(spark, device_graph):
+    s = device_graph
+    # two duo endpoints share a device_name -> family must be skipped
+    s.merge_nodes(_nodes(spark, "DuoEndpoint", [
+        {"id": "duo-2", "device_name": "donut-mac"},
+        {"id": "duo-3", "device_name": "donut-mac"},
+    ]), TAG)
+    m = sync_ontology_devices(s, SOURCES, TAG)
+    assert m["hostname_links"].get("skipped_DuoEndpoint") == "duplicate hostnames"
+    assert not [
+        r for r in s.edges(["OBSERVED_AS"]).collect()
+        if r["dst_label"] == "DuoEndpoint"
+    ]
+
+
+def test_owns_and_affects_linking(spark, device_graph):
+    s = device_graph
+    s.merge_nodes(_nodes(spark, "User", [{"id": "homer@simpson.corp"}]), TAG)
+    s.merge_nodes(_nodes(spark, "TailscaleUser", [{"id": "tsu-1"}]), TAG)
+    s.merge_nodes(_nodes(spark, "S1AppFinding", [{"id": "finding-1"}]), TAG)
+    s.merge_edges(_edges(spark, [
+        ("User", "homer@simpson.corp", "HAS_ACCOUNT", "TailscaleUser", "tsu-1"),
+        ("TailscaleUser", "tsu-1", "OWNS", "TailscaleDevice", "ts-1"),
+        ("S1AppFinding", "finding-1", "AFFECTS", "TailscaleDevice", "ts-2"),
+    ]), TAG)
+    sync_ontology_devices(
+        s, SOURCES, TAG,
+        linking_jobs=(
+            device_owns_job("TailscaleUser", "TailscaleDevice"),
+            device_affects_job("S1AppFinding", "TailscaleDevice"),
+        ),
+    )
+    owns = {
+        (r["src_id"], r["dst_id"])
+        for r in s.edges(["OWNS"]).filter(F.col("dst_label") == "Device").collect()
+    }
+    assert owns == {("homer@simpson.corp", "SIMP-MAC-HOMER-01")}
+    affects = {
+        (r["src_id"], r["dst_id"])
+        for r in s.edges(["AFFECTS"]).filter(F.col("dst_label") == "Device").collect()
+    }
+    assert affects == {("finding-1", "HACK-PIXEL-01")}
+
+
+def test_stale_device_gc(spark, device_graph):
+    s = device_graph
+    sync_ontology_devices(s, SOURCES, TAG)
+    new_tag = TAG + 1
+    # second run: the pixel vanished from tailscale
+    keep = (
+        s.nodes(["TailscaleDevice"])
+        .filter(F.col("id") != "ts-2")
+        .withColumn("lastupdated", F.lit(new_tag).cast("long"))
+    )
+    s.merge_nodes(keep, new_tag, labels=["TailscaleDevice"])
+    s.delete_nodes(
+        s.nodes(["TailscaleDevice"]).filter(F.col("lastupdated") != new_tag)
+        .select("label", "id")
+    )
+    for label in ("SnipeitAsset", "DuoEndpoint"):
+        s.merge_nodes(
+            s.nodes([label]).withColumn("lastupdated", F.lit(new_tag).cast("long")),
+            new_tag, labels=[label],
+        )
+    sync_ontology_devices(s, SOURCES, new_tag)
+    assert {r["id"] for r in s.nodes(["Device"]).collect()} == {
+        "SIMP-MAC-HOMER-01", "SIMP-WIN-MARGE-01", "SIMP-IOS-HOMER-01",
+    }
+    # the stale device's OBSERVED_AS edges went with it
+    assert not [
+        r for r in s.edges(["OBSERVED_AS"]).collect()
+        if r["src_id"] == "HACK-PIXEL-01"
+    ]

@@ -1,0 +1,329 @@
+"""Ontology packages stage (N3): canonical PackageVersion + Package.
+
+Unit expectations transcribed from the reference's
+``tests/unit/cartography/intel/ontology/test_packages.py`` (version
+grouping, ecosystem separation, purl-namespace handling incl. %40
+decoding, order independence, keyless skip) and the integration
+assertions of
+``tests/integration/cartography/intel/ontology/test_packages.py``
+(PackageVersion node set, Ontology label, per-source DETECTED_AS sets,
+DEPLOYED/AFFECTS propagation).
+"""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.plans.ontology_packages import (
+    PackageSource,
+    extract_source_packages,
+    normalized_package_name_id,
+    purl_components,
+    sync_ontology_packages,
+    transform_packages,
+)
+
+TAG = 123456789
+
+PKG_DDL = "normalized_id string, name string, version string, type string, purl string"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, PKG_DDL)
+
+
+def _collect_packages(df):
+    return {
+        r["id"]: {
+            "name": r["name"],
+            "namespace": r["namespace"],
+            "type": r["type"],
+            "version_ids": list(r["version_ids"]),
+        }
+        for r in df.collect()
+    }
+
+
+def test_transform_packages_groups_versions(spark):
+    data = _df(spark, [
+        ("npm|express|4.18.2", "express", "4.18.2", "npm", "pkg:npm/express@4.18.2"),
+        ("npm|express|4.17.1", "Express", "4.17.1", "npm", "pkg:npm/express@4.17.1"),
+    ])
+    got = _collect_packages(transform_packages(data))
+    assert got == {
+        "npm|express": {
+            "name": "express",
+            "namespace": None,
+            "type": "npm",
+            "version_ids": ["npm|express|4.17.1", "npm|express|4.18.2"],
+        }
+    }
+
+
+def test_transform_packages_does_not_collide_across_ecosystems(spark):
+    data = _df(spark, [
+        ("npm|lodash|4.17.21", "lodash", "4.17.21", "npm", "pkg:npm/lodash@4.17.21"),
+        ("pypi|lodash|1.0.0", "lodash", "1.0.0", "pypi", "pkg:pypi/lodash@1.0.0"),
+    ])
+    got = _collect_packages(transform_packages(data))
+    assert set(got) == {"npm|lodash", "pypi|lodash"}
+    assert got["npm|lodash"]["version_ids"] == ["npm|lodash|4.17.21"]
+    assert got["pypi|lodash"]["version_ids"] == ["pypi|lodash|1.0.0"]
+
+
+def test_transform_packages_keeps_purl_namespace(spark):
+    data = _df(spark, [
+        ("npm|@types/node|18.0.0", "node", "18.0.0", "npm",
+         "pkg:npm/%40types/node@18.0.0"),
+    ])
+    got = _collect_packages(transform_packages(data))
+    assert got == {
+        "npm|@types/node": {
+            "name": "@types/node",
+            "namespace": "@types",
+            "type": "npm",
+            "version_ids": ["npm|@types/node|18.0.0"],
+        }
+    }
+
+
+def test_transform_packages_namespace_is_order_independent(spark):
+    purl_row = ("npm|@types/node|18.0.0", "node", "18.0.0", "npm",
+                "pkg:npm/%40types/node@18.0.0")
+    purl_less = ("npm|@types/node|20.0.0", "@types/node", "20.0.0", "npm", None)
+    for rows in ([purl_row, purl_less], [purl_less, purl_row]):
+        got = _collect_packages(transform_packages(_df(spark, rows)))
+        assert list(got) == ["npm|@types/node"]
+        pkg = got["npm|@types/node"]
+        assert pkg["namespace"] == "@types"
+        assert pkg["version_ids"] == [
+            "npm|@types/node|18.0.0", "npm|@types/node|20.0.0",
+        ]
+
+
+def test_transform_packages_skips_rows_without_key(spark):
+    data = _df(spark, [("npm|express|4.18.2", None, "4.18.2", None, None)])
+    assert transform_packages(data).count() == 0
+
+
+def test_pep503_normalization_and_plus_names(spark):
+    """PEP 503 separator collapsing for python ecosystems; literal `+`
+    in names survives percent-decoding (deb g++ would otherwise decode
+    to spaces)."""
+    df = spark.createDataFrame(
+        [("pkg:pypi/jaraco.Context@5.3.0", "x", "pypi"),
+         ("pkg:deb/debian/g%2B%2B@12.2.0", "x", "deb"),
+         (None, "PyNaCl", "python")],
+        "purl string, name string, type string",
+    )
+    got = [
+        r["k"]
+        for r in df.select(
+            normalized_package_name_id(
+                F.col("purl"), F.col("name"), F.col("type")
+            ).alias("k")
+        ).collect()
+    ]
+    assert got == ["pypi|jaraco-context", "deb|debian/g++", "python|pynacl"]
+
+
+def test_purl_components_invalid_inputs(spark):
+    df = spark.createDataFrame(
+        [("not-a-purl",), ("pkg:noslash",), (None,)], "purl string"
+    )
+    got = df.select(purl_components(F.col("purl")).alias("p")).collect()
+    assert all(r["p"] is None for r in got)
+
+
+# -- integration-style: full stage over a store ------------------------------
+
+
+def _provider_nodes(spark, label, rows, tag=TAG):
+    """rows: (id, normalized_id, name, version, type, purl)"""
+    return spark.createDataFrame(
+        rows, "id string, normalized_id string, name string, version string, "
+              "type string, purl string"
+    ).select(
+        F.lit(label).alias("label"),
+        "id",
+        F.lit(tag).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        F.lit(None).cast("array<string>").alias("extra_labels"),
+        F.map_filter(
+            F.map_from_arrays(
+                F.array(*[F.lit(c) for c in ("normalized_id", "name", "version", "type", "purl")]),
+                F.array(*[F.col(c).cast("string") for c in ("normalized_id", "name", "version", "type", "purl")]),
+            ),
+            lambda _k, v: v.isNotNull(),
+        ).alias("props"),
+    )
+
+
+def _plain_nodes(spark, label, ids, tag=TAG):
+    return spark.createDataFrame([(i,) for i in ids], "id string").select(
+        F.lit(label).alias("label"),
+        "id",
+        F.lit(tag).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        F.lit(None).cast("array<string>").alias("extra_labels"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    )
+
+
+def _edges(spark, rows, tag=TAG):
+    df = spark.createDataFrame(
+        rows, "src_label string, src_id string, rel_label string, "
+              "dst_label string, dst_id string"
+    )
+    return df.select(
+        *df.columns,
+        F.lit(tag).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("sub_resource_label"),
+        F.lit(None).cast("string").alias("sub_resource_id"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    )
+
+
+@pytest.fixture()
+def package_graph(spark, tmp_store):
+    s = tmp_store
+    s.merge_nodes(_provider_nodes(spark, "TrivyPackage", [
+        ("npm|express|4.18.2", "npm|express|4.18.2", "express", "4.18.2", "npm",
+         "pkg:npm/express@4.18.2"),
+        ("pypi|requests|2.31.0", "pypi|requests|2.31.0", "requests", "2.31.0",
+         "pypi", "pkg:pypi/requests@2.31.0"),
+    ]), TAG)
+    s.merge_nodes(_provider_nodes(spark, "SyftPackage", [
+        ("npm|express|4.18.2", "npm|express|4.18.2", "express", "4.18.2", "npm",
+         None),
+        ("npm|body-parser|1.20.2", "npm|body-parser|1.20.2", "body-parser",
+         "1.20.2", "npm", "pkg:npm/body-parser@1.20.2"),
+    ]), TAG)
+    s.merge_nodes(_plain_nodes(spark, "Image", ["ont-img-abc123", "ont-img-syft"]), TAG)
+    s.merge_nodes(_plain_nodes(spark, "TrivyImageFinding", ["TIF|CVE-2024-00001"]), TAG)
+    s.merge_nodes(_plain_nodes(spark, "TrivyFix", ["npm|express|4.18.3"]), TAG)
+    s.merge_edges(_edges(spark, [
+        ("TrivyPackage", "npm|express|4.18.2", "DEPLOYED", "Image", "ont-img-abc123"),
+        ("SyftPackage", "npm|express|4.18.2", "DEPLOYED", "Image", "ont-img-syft"),
+        ("SyftPackage", "npm|body-parser|1.20.2", "DEPLOYED", "Image", "ont-img-syft"),
+    ]), TAG)
+    s.merge_edges(_edges(spark, [
+        ("TrivyImageFinding", "TIF|CVE-2024-00001", "AFFECTS", "TrivyPackage",
+         "npm|express|4.18.2"),
+    ]), TAG)
+    s.merge_edges(_edges(spark, [
+        ("TrivyPackage", "npm|express|4.18.2", "SHOULD_UPDATE_TO", "TrivyFix",
+         "npm|express|4.18.3"),
+    ]), TAG)
+    s.merge_edges(_edges(spark, [
+        ("SyftPackage", "npm|express|4.18.2", "DEPENDS_ON", "SyftPackage",
+         "npm|body-parser|1.20.2"),
+    ]), TAG)
+    return s
+
+
+SOURCES = (PackageSource("TrivyPackage"), PackageSource("SyftPackage"))
+
+
+def _rels(store, rel, src_label=None, dst_label=None):
+    e = store.edges([rel])
+    if src_label:
+        e = e.filter(F.col("src_label") == src_label)
+    if dst_label:
+        e = e.filter(F.col("dst_label") == dst_label)
+    return {(r["src_id"], r["dst_id"]) for r in e.collect()}
+
+
+def test_sync_ontology_packages_end_to_end(spark, package_graph):
+    s = package_graph
+    sync_ontology_packages(s, SOURCES, TAG)
+
+    pvs = s.nodes(["PackageVersion"]).collect()
+    got = {(r["id"], r["props"]["name"], r["props"]["version"], r["props"]["type"])
+           for r in pvs}
+    assert got == {
+        ("npm|express|4.18.2", "express", "4.18.2", "npm"),
+        ("pypi|requests|2.31.0", "requests", "2.31.0", "pypi"),
+        ("npm|body-parser|1.20.2", "body-parser", "1.20.2", "npm"),
+    }
+    assert all("Ontology" in (r["extra_labels"] or []) for r in pvs)
+
+    # DETECTED_AS per source (reference expected_trivy_rels/_syft_rels)
+    assert _rels(s, "DETECTED_AS", dst_label="TrivyPackage") == {
+        ("npm|express|4.18.2", "npm|express|4.18.2"),
+        ("pypi|requests|2.31.0", "pypi|requests|2.31.0"),
+    }
+    assert _rels(s, "DETECTED_AS", dst_label="SyftPackage") == {
+        ("npm|express|4.18.2", "npm|express|4.18.2"),
+        ("npm|body-parser|1.20.2", "npm|body-parser|1.20.2"),
+    }
+
+    # versionless rollup + HAS_VERSION
+    pkgs = {r["id"] for r in s.nodes(["Package"]).collect()}
+    assert pkgs == {"npm|express", "pypi|requests", "npm|body-parser"}
+    assert _rels(s, "HAS_VERSION") == {
+        ("npm|express", "npm|express|4.18.2"),
+        ("pypi|requests", "pypi|requests|2.31.0"),
+        ("npm|body-parser", "npm|body-parser|1.20.2"),
+    }
+
+    # DEPLOYED propagation (expected_deployed_image)
+    assert _rels(s, "DEPLOYED", src_label="PackageVersion") == {
+        ("npm|express|4.18.2", "ont-img-abc123"),
+        ("npm|express|4.18.2", "ont-img-syft"),
+        ("npm|body-parser|1.20.2", "ont-img-syft"),
+    }
+    # AFFECTS propagation (expected_affects)
+    assert _rels(s, "AFFECTS", dst_label="PackageVersion") == {
+        ("TIF|CVE-2024-00001", "npm|express|4.18.2"),
+    }
+    # SHOULD_UPDATE_TO propagation
+    assert _rels(s, "SHOULD_UPDATE_TO", src_label="PackageVersion") == {
+        ("npm|express|4.18.2", "npm|express|4.18.3"),
+    }
+    # DEPENDS_ON through Syft
+    assert _rels(s, "DEPENDS_ON", src_label="PackageVersion",
+                 dst_label="PackageVersion") == {
+        ("npm|express|4.18.2", "npm|body-parser|1.20.2"),
+    }
+
+
+def test_source_precedence_merge(spark, package_graph):
+    """Trivy is listed first, so its non-null purl wins for the shared
+    express row; Syft fills nothing it doesn't own."""
+    data = extract_source_packages(package_graph, SOURCES)
+    row = {r["normalized_id"]: r for r in data.collect()}["npm|express|4.18.2"]
+    assert row["purl"] == "pkg:npm/express@4.18.2"
+
+
+def test_stale_package_versions_gc(spark, package_graph):
+    s = package_graph
+    sync_ontology_packages(s, SOURCES, TAG)
+    # second run: body-parser gone from every source
+    new_tag = TAG + 1
+    for label in ("TrivyPackage", "SyftPackage"):
+        keep = (
+            s.nodes([label])
+            .filter(~F.col("id").contains("body-parser"))
+            .withColumn("lastupdated", F.lit(new_tag).cast("long"))
+        )
+        s.merge_nodes(keep, new_tag, labels=[label])
+        stale = (
+            s.nodes([label])
+            .filter(F.col("lastupdated") != new_tag)
+            .select("label", "id")
+        )
+        s.delete_nodes(stale)
+    sync_ontology_packages(s, SOURCES, new_tag)
+    assert {r["id"] for r in s.nodes(["PackageVersion"]).collect()} == {
+        "npm|express|4.18.2", "pypi|requests|2.31.0",
+    }
+    assert {r["id"] for r in s.nodes(["Package"]).collect()} == {
+        "npm|express", "pypi|requests",
+    }
+    # stale HAS_VERSION edges swept with their nodes (DETACH)
+    assert all(
+        "body-parser" not in (r["src_id"] + r["dst_id"])
+        for r in s.edges(["HAS_VERSION"]).collect()
+    )

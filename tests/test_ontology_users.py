@@ -155,3 +155,38 @@ def test_stale_user_and_links_gc(spark, tmp_store):
     # alice's firstseen survives the second run (MERGE preserves it)
     alice = [r for r in tmp_store.nodes(["User"]).collect() if r["id"] == "alice@corp.io"]
     assert alice[0]["firstseen"] == T1 and alice[0]["lastupdated"] == T2
+
+
+def test_source_of_truth_precedence_per_field(spark, tmp_store):
+    """Conflicting values resolve by source order — the first source
+    carrying a non-null value wins per field, NOT max-of-values
+    (intel/ontology/utils.py merge: existing non-None values win as
+    sources run in configured order)."""
+    rows = [
+        ("OktaUser", "okta-9",
+         json.dumps({"email": "dana@corp.io", "fullname": "Dana From Okta",
+                     "active": "false"})),
+        # gsuite disagrees on fullname/active and adds firstname
+        ("GSuiteUser", "gs-9",
+         json.dumps({"primaryEmail": "dana@corp.io",
+                     "fullname": "Zana From GSuite", "active": "true",
+                     "given_name": "Dana"})),
+    ]
+    tmp_store.merge_nodes(_node_rows(spark, rows, T1), T1)
+    sources = (
+        UserSource("OktaUser", default_user_mapping()),
+        UserSource(
+            "GSuiteUser",
+            default_user_mapping(email_field="primaryEmail",
+                                 firstname_field="given_name"),
+        ),
+    )
+    sync_ontology_users(tmp_store, sources, T1)
+    props = {r["id"]: r["props"] for r in tmp_store.nodes(["User"]).collect()}
+    dana = props["dana@corp.io"]
+    # Okta is source of truth: its fullname/active win even though
+    # GSuite's values sort higher ("Zana" > "Dana", true > false)
+    assert dana["fullname"] == "Dana From Okta"
+    assert dana["active"] == "false"
+    # GSuite still fills the field Okta lacks
+    assert dana["firstname"] == "Dana"

@@ -19,6 +19,15 @@ Each query is forced through a ``noop`` sink so the full plan executes
 (scan → shuffle → sink) without driver-side collect. A warmup pass
 first touches every input table so JVM/codegen startup is not billed to
 the first query.
+
+Protocol: this VM's same-config walls vary up to 2.3× under bursty
+background load (BENCH.md raw log), so a single rep cannot distinguish
+host noise from an engine regression — the round-2 lesson. Every query
+(and the KG pipeline) therefore runs ``$SPARK_GRAFT_BENCH_REPS``
+(default 3) INTERLEAVED rounds — the full list repeats in order, so a
+noise burst hits all queries of one round rather than all reps of one
+query — and reports the per-query MINIMUM plus a rep-spread map
+(max/min per query) so the noise floor is visible in the artifact.
 """
 
 from __future__ import annotations
@@ -63,6 +72,8 @@ HEADLINE = [
     "q_embedding_lsh_near_dup",
     "q_ontology_normalize",
     "q_ontology_entity_link",
+    "q_ontology_package_rollup",
+    "q_sessionize_events",
 ]
 
 
@@ -83,22 +94,7 @@ def _sf_of(sf_dir: str) -> float:
         return -1.0
 
 
-def run_bench(spark, sf_dir: str, n_repos: int) -> dict:
-    entry = _load_entry()
-    qs = entry.queries()
-
-    # warmup: materialize every table once (file listing + codegen init)
-    for t in entry.TABLES:
-        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
-
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"  {name}: {timings[name]}s", file=sys.stderr)
-
-    # KG sync throughput on the synthesized repo_files input
+def _run_kg_pipeline(spark, n_repos: int) -> tuple[float, int]:
     from cartography_spark.plans.pipeline import run_pipeline
     from cartography_spark.sources.repo_files import synthesize_repo_files
     from cartography_spark.store.graphstore import GraphStore
@@ -112,19 +108,53 @@ def run_bench(spark, sf_dir: str, n_repos: int) -> dict:
         triples = metrics["nodes_total"] + metrics["edges_total"]
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    timings["kg_pipeline"] = round(kg_sec, 3)
-    print(f"  kg_pipeline: {timings['kg_pipeline']}s ({triples} triples)", file=sys.stderr)
+    return kg_sec, int(triples)
 
+
+def run_bench(spark, sf_dir: str, n_repos: int, reps: int = 3) -> dict:
+    entry = _load_entry()
+    qs = entry.queries()
+
+    # warmup: materialize every table once (file listing + codegen init)
+    for t in entry.TABLES:
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
+
+    # interleaved reps: repeat the FULL list per round so a host-noise
+    # burst lands on one round, not on all reps of one query; report
+    # per-query minima (the engine's floor on this box) + rep spread
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    samples["kg_pipeline"] = []
+    triples = 0
+    for rep in range(max(reps, 1)):
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            samples[name].append(dt)
+            print(f"  rep{rep} {name}: {dt:.3f}s", file=sys.stderr)
+        kg_sec, triples = _run_kg_pipeline(spark, n_repos)
+        samples["kg_pipeline"].append(kg_sec)
+        print(f"  rep{rep} kg_pipeline: {kg_sec:.3f}s ({triples} triples)",
+              file=sys.stderr)
+
+    timings = {name: round(min(vals), 3) for name, vals in samples.items()}
+    spread = {
+        name: round(max(vals) / min(vals), 2) if min(vals) > 0 else None
+        for name, vals in samples.items()
+    }
+    kg_sec = timings["kg_pipeline"]
     return {
         "metric": "total_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "rep_spread": spread,
+        "reps": max(reps, 1),
         "sf": _sf_of(sf_dir),
         "kg_repos": n_repos,
-        "kg_triples": int(triples),
-        "kg_pipeline_sec": round(kg_sec, 3),
-        "kg_triples_per_sec": round(triples / kg_sec, 1),
+        "kg_triples": triples,
+        "kg_pipeline_sec": kg_sec,
+        "kg_triples_per_sec": round(triples / kg_sec, 1) if kg_sec else None,
     }
 
 
@@ -132,11 +162,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     n_repos = int(os.environ.get("SPARK_GRAFT_KG_REPOS", "2000"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
     from cartography_spark.session import get_spark
 
     spark = get_spark("cartography_spark_bench", master=f"local[{cpus}]")
-    result = run_bench(spark, sf_dir, n_repos)
+    result = run_bench(spark, sf_dir, n_repos, reps=reps)
     result["cpus"] = int(cpus)
     print(json.dumps(result))
 

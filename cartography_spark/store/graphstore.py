@@ -230,6 +230,32 @@ class GraphStore:
                 else:
                     self.manifest[table].pop(p, None)
 
+    def _record_edge_pairs(self, pair_rows) -> None:
+        """Union (src_label, dst_label) pairs into the manifest per rel
+        partition. Pairs only ever grow (a stale pair merely costs an
+        extra probe, never a miss), so deletes need no bookkeeping."""
+        with self._lock:
+            pairs = self.manifest.setdefault("edge_pairs", {})
+            for r in pair_rows:
+                cur = set(map(tuple, pairs.get(r["rel_label"], [])))
+                cur.add((r["src_label"], r["dst_label"]))
+                pairs[r["rel_label"]] = sorted(cur)
+
+    def _rels_touching_labels(self, labels: Iterable[str]) -> list[str]:
+        """Rel partitions whose recorded endpoint-label pairs intersect
+        ``labels`` — the detach-discovery candidate set. Partitions with
+        no recorded pairs (legacy manifests) stay candidates."""
+        label_set = set(labels)
+        pairs = self.manifest.get("edge_pairs", {})
+        out = []
+        for rel in self.manifest["edges"]:
+            recorded = pairs.get(rel)
+            if recorded is None or any(
+                s in label_set or d in label_set for s, d in map(tuple, recorded)
+            ):
+                out.append(rel)
+        return out
+
     def record_lineage(self, stage: str, metrics: Mapping[str, Any]) -> None:
         with self._lock:
             with open(self._lineage_path, "a") as f:
@@ -356,10 +382,19 @@ class GraphStore:
         several tenants tracks whoever loaded it last —
         ``querybuilder.py:1714-1719``), which scopes MatchLink GC.
         """
+        # endpoint-label pairs per rel partition, recorded at write time
+        # (one small 3-column distinct over the batch): delete_nodes'
+        # detach discovery probes only partitions whose recorded pairs
+        # can contain a stale label, instead of semi-joining EVERY edge
+        # partition per GC pass
+        pair_rows = (
+            batch.select("rel_label", "src_label", "dst_label").distinct().collect()
+        )
         if rels is None:
-            rels = [r[0] for r in batch.select("rel_label").distinct().collect()]
+            rels = sorted({r["rel_label"] for r in pair_rows})
         if not rels:
             return {}
+        self._record_edge_pairs(pair_rows)
         if not any(r in self.manifest["edges"] for r in rels):
             # first load of every touched rel type: pure insert
             obs = Observation()
@@ -445,8 +480,13 @@ class GraphStore:
             )
             # discover which rel partitions actually contain the keys,
             # then rewrite only those (untouched partitions keep their
-            # current version — no write amplification)
-            all_e = self.edges()
+            # current version — no write amplification). The probe scans
+            # only partitions whose manifest-recorded endpoint-label
+            # pairs can contain the stale labels — at 100× with hundreds
+            # of rel types, probing every partition per sync is the scan
+            # this bound removes.
+            candidates = self._rels_touching_labels(labels)
+            all_e = self.edges(candidates)
             affected = [
                 r[0]
                 for r in (
@@ -480,7 +520,15 @@ class GraphStore:
         self._bump_total("edges", -edges_deleted)
         self._save_manifest()
         self.record_lineage(
-            "delete_nodes", {"nodes_deleted": deleted, "edges_deleted": edges_deleted}
+            "delete_nodes",
+            {
+                "nodes_deleted": deleted,
+                "edges_deleted": edges_deleted,
+                # which rel partitions the detach probe actually read —
+                # the bounded-discovery evidence (tests assert untouched
+                # partitions never appear here)
+                "probed_rels": sorted(candidates) if detach else [],
+            },
         )
         return {"nodes_deleted": deleted, "edges_deleted": edges_deleted}
 

@@ -152,6 +152,24 @@ def delete_stale_edges_sql(
     )
 
 
+def current_snapshot_sql(table: str) -> str:
+    """Current snapshot id from the ``refs`` metadata table — a
+    metadata-only lookup, no data-file scan."""
+    return f"SELECT snapshot_id FROM {table}.refs WHERE name = 'main'"
+
+
+def partition_counts_sql(table: str, part_field: str) -> str:
+    """Live row count per partition from the ``partitions`` metadata
+    table: ``record_count`` minus merge-on-read position deletes —
+    metadata-only, valid for both copy-on-write (no deletes tracked)
+    and merge-on-read (updates = add + position-delete) layouts."""
+    return (
+        f"SELECT partition.{part_field} AS part, "
+        f"sum(record_count - coalesce(position_delete_record_count, 0)) AS n "
+        f"FROM {table}.partitions GROUP BY partition.{part_field}"
+    )
+
+
 def iceberg_available(spark: SparkSession) -> bool:
     """True when the session can actually execute Iceberg DDL/DML."""
     try:
@@ -184,17 +202,51 @@ class IcebergGraphStore:
         self._stages_path = os.path.join(meta_root, "stages.json")
         self._lock = threading.RLock()
         self._view_seq = 0
+        self._manifest_cache: tuple | None = None
         for ddl in create_tables_sql(tables):
             spark.sql(ddl)
+
+    # -- metadata-table helpers (never scan data files) ---------------------
+    def _current_snapshot(self, table: str):
+        rows = self.spark.sql(current_snapshot_sql(table)).collect()
+        return rows[0][0] if rows else None
+
+    def _live_partition_counts(self, table: str, part_field: str) -> dict[str, int]:
+        counts = {
+            r["part"]: int(r["n"])
+            for r in self.spark.sql(partition_counts_sql(table, part_field)).collect()
+        }
+        return {p: n for p, n in counts.items() if n > 0}
 
     # -- manifest-compatible partition view --------------------------------
     @property
     def manifest(self) -> dict:
-        nodes = {r[0]: True for r in self.spark.table(self.tables.nodes)
-                 .select("label").distinct().collect()}
-        edges = {r[0]: True for r in self.spark.table(self.tables.edges)
-                 .select("rel_label").distinct().collect()}
-        return {"nodes": nodes, "edges": edges}
+        """Which entity-type / rel-type partitions exist, answered from
+        the ``partitions`` metadata table and CACHED per (nodes, edges)
+        snapshot pair — operators like ``gc.run_cleanup`` consult this
+        per call, and a full ``SELECT DISTINCT`` data scan per call is
+        exactly the plan you don't want at 100×."""
+        snap = (
+            self._current_snapshot(self.tables.nodes),
+            self._current_snapshot(self.tables.edges),
+        )
+        with self._lock:
+            cached = self._manifest_cache
+            if cached is not None and cached[0] == snap:
+                return cached[1]
+        value = {
+            "nodes": {
+                p: True
+                for p in self._live_partition_counts(self.tables.nodes, "label")
+            },
+            "edges": {
+                p: True
+                for p in self._live_partition_counts(self.tables.edges, "rel_label")
+            },
+        }
+        with self._lock:
+            self._manifest_cache = (snap, value)
+        return value
 
     def _temp_view(self, df: DataFrame) -> str:
         with self._lock:
@@ -217,9 +269,15 @@ class IcebergGraphStore:
         return df
 
     def totals(self) -> dict[str, int]:
+        """Row totals from the ``partitions`` metadata table — no data
+        scan (count() on a MoR table reads every data + delete file)."""
         return {
-            "nodes": self.spark.table(self.tables.nodes).count(),
-            "edges": self.spark.table(self.tables.edges).count(),
+            "nodes": sum(
+                self._live_partition_counts(self.tables.nodes, "label").values()
+            ),
+            "edges": sum(
+                self._live_partition_counts(self.tables.edges, "rel_label").values()
+            ),
         }
 
     # -- snapshots (drift/N5 + resume: Iceberg time travel) ---------------
@@ -242,37 +300,57 @@ class IcebergGraphStore:
 
     # -- MERGE -------------------------------------------------------------
     def _merge(
-        self, table: str, key: list[str], part_col: str, batch: DataFrame,
-        sql: str, parts: list[str] | None,
+        self, table: str, part_col: str, batch: DataFrame,
+        make_sql, parts: list[str] | None,
     ) -> dict[str, dict[str, int]]:
+        """Execute a MERGE and derive per-partition created/updated
+        counters WITHOUT scanning the target table.
+
+        ``MERGE INTO`` returns no row counts; the round-2 implementation
+        probed the batch against the full target key set (an extra full
+        join per merge — the plan you don't want at 100×). Instead:
+
+        * per-partition batch row counts ride the MERGE's own scan of
+          the source view via ``observe()`` (zero extra jobs);
+        * per-partition LIVE row counts come from the ``partitions``
+          metadata table before and after the commit (metadata-only);
+        * created = live_after − live_before (every created row is a
+          new live row; an update leaves the live count unchanged in
+          both copy-on-write and merge-on-read layouts);
+          updated = batch − created.
+        """
         if parts is None:
             parts = [r[0] for r in batch.select(part_col).distinct().collect()]
         if not parts:
             return {}
-        cur = self.spark.table(table).select(*key)
-        probe = (
-            batch.select(*key)
-            .join(cur.withColumn("__t", F.lit(True)), on=key, how="left")
-            .groupBy(part_col)
-            .agg(
-                F.sum(F.when(F.col("__t").isNull(), 1).otherwise(0)).alias("created"),
-                F.sum(F.when(F.col("__t").isNotNull(), 1).otherwise(0)).alias("updated"),
-            )
-        )
-        counts = {
-            r[0]: {"created": int(r["created"]), "updated": int(r["updated"])}
-            for r in probe.collect()
-        }
-        self.spark.sql(sql)
-        return {p: counts.get(p, {"created": 0, "updated": 0}) for p in parts}
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        counters = [
+            F.sum(F.when(F.col(part_col) == p, 1).otherwise(0)).alias(f"b{i}")
+            for i, p in enumerate(parts)
+        ]
+        view = self._temp_view(batch.observe(obs, *counters))
+        before = self._live_partition_counts(table, part_col)
+        self.spark.sql(make_sql(view))
+        after = self._live_partition_counts(table, part_col)
+        try:
+            got = obs.get
+        except Exception:  # empty batch: AQE prunes CollectMetrics
+            got = {}
+        out: dict[str, dict[str, int]] = {}
+        for i, p in enumerate(parts):
+            created = after.get(p, 0) - before.get(p, 0)
+            in_batch = int(got.get(f"b{i}", 0) or 0)
+            out[p] = {"created": created, "updated": max(in_batch - created, 0)}
+        return out
 
     def merge_nodes(
         self, batch: DataFrame, update_tag: int, labels: list[str] | None = None
     ) -> dict[str, dict[str, int]]:
-        view = self._temp_view(batch)
         out = self._merge(
-            self.tables.nodes, ["label", "id"], "label", batch,
-            merge_nodes_sql(self.tables, update_tag, view), labels,
+            self.tables.nodes, "label", batch,
+            lambda view: merge_nodes_sql(self.tables, update_tag, view), labels,
         )
         self.record_lineage("merge_nodes", {"update_tag": update_tag, "labels": out})
         return out
@@ -280,10 +358,9 @@ class IcebergGraphStore:
     def merge_edges(
         self, batch: DataFrame, update_tag: int, rels: list[str] | None = None
     ) -> dict[str, dict[str, int]]:
-        view = self._temp_view(batch)
         out = self._merge(
-            self.tables.edges, EDGE_KEY, "rel_label", batch,
-            merge_edges_sql(self.tables, update_tag, view), rels,
+            self.tables.edges, "rel_label", batch,
+            lambda view: merge_edges_sql(self.tables, update_tag, view), rels,
         )
         self.record_lineage("merge_edges", {"update_tag": update_tag, "rels": out})
         return out

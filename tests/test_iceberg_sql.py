@@ -90,3 +90,24 @@ def test_stale_edge_gc_sql_scoped_and_unscoped():
     assert "sub_resource_label = 'AWSAccount'" in sql
     assert "sub_resource_id = 'a''1'" in sql  # quote-escaped
     assert "lastupdated <> 7L" in sql
+
+
+def test_metadata_table_sql_is_metadata_only():
+    """Counters and the manifest view must be answered from Iceberg
+    metadata tables (refs / partitions), never a data-file scan — the
+    round-2 full-join/SELECT DISTINCT probes are gone."""
+    from cartography_spark.store.iceberg import (
+        current_snapshot_sql,
+        partition_counts_sql,
+    )
+
+    assert norm(current_snapshot_sql("cat.kg.nodes")) == (
+        "SELECT snapshot_id FROM cat.kg.nodes.refs WHERE name = 'main'"
+    )
+    sql = norm(partition_counts_sql("cat.kg.nodes", "label"))
+    assert "FROM cat.kg.nodes.partitions" in sql
+    assert "partition.label" in sql
+    # live rows = records minus merge-on-read position deletes
+    assert "record_count - coalesce(position_delete_record_count, 0)" in sql
+    # never touches the data table itself
+    assert "FROM cat.kg.nodes " not in sql + " "

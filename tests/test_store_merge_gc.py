@@ -336,3 +336,55 @@ def test_write_partitioned_null_part_value_fails_fast(spark, tmp_path):
     # trip the guard, not vanish
     with pytest.raises(ValueError, match="rows would be lost"):
         s._write_partitioned("nodes", ["A/B"], df, "label")
+
+
+def test_detach_discovery_probes_only_touching_rel_partitions(spark, tmp_store):
+    """Endpoint-label pairs recorded at write time bound the detach
+    probe: deleting User nodes must not read the Part-only rel
+    partition (lineage records which partitions were probed)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    s = tmp_store
+
+    def nodes(label, ids):
+        return spark.createDataFrame([(i,) for i in ids], "id string").select(
+            F.lit(label).alias("label"), "id",
+            F.lit(1).cast("long").alias("lastupdated"),
+            F.lit(None).cast("string").alias("content_sha256"),
+            F.lit(None).cast("array<string>").alias("extra_labels"),
+            F.lit(None).cast("map<string,string>").alias("props"),
+        )
+
+    def edges(rows):
+        df = spark.createDataFrame(
+            rows, "src_label string, src_id string, rel_label string, "
+                  "dst_label string, dst_id string",
+        )
+        return df.select(
+            *df.columns,
+            F.lit(1).cast("long").alias("lastupdated"),
+            F.lit(None).cast("string").alias("sub_resource_label"),
+            F.lit(None).cast("string").alias("sub_resource_id"),
+            F.lit(None).cast("map<string,string>").alias("props"),
+        )
+
+    s.merge_nodes(nodes("User", ["u1", "u2"]), 1)
+    s.merge_nodes(nodes("Group", ["g1"]), 1)
+    s.merge_nodes(nodes("Part", ["p1", "p2"]), 1)
+    s.merge_edges(edges([("User", "u1", "MEMBER_OF", "Group", "g1")]), 1)
+    s.merge_edges(edges([("Part", "p1", "SUPERSEDES", "Part", "p2")]), 1)
+    assert set(s.manifest["edge_pairs"]) == {"MEMBER_OF", "SUPERSEDES"}
+
+    out = s.delete_nodes(
+        spark.createDataFrame([("User", "u1")], "label string, id string")
+    )
+    assert out == {"nodes_deleted": 1, "edges_deleted": 1}
+
+    with open(s._lineage_path) as f:
+        records = [_json.loads(line) for line in f if line.strip()]
+    probe = [r for r in records if r["stage"] == "delete_nodes"][-1]
+    assert probe["probed_rels"] == ["MEMBER_OF"]  # SUPERSEDES never read
+    # survivors intact
+    assert {r["src_id"] for r in s.edges(["SUPERSEDES"]).collect()} == {"p1"}

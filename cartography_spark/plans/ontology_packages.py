@@ -136,6 +136,25 @@ def normalize_package_name(name: Column, pkg_type: Column) -> Column:
     ).otherwise(lowered)
 
 
+def normalized_package_id(purl: Column) -> Column:
+    """Versioned package key ``{type}|{namespace/}{name}|{version}``
+    from a PURL (``make_normalized_package_id``,
+    ``intel/trivy/util.py:63-105``, PURL leg): null unless the purl
+    parses with both a name and a version."""
+    p = purl_components(purl)
+    ns_prefix = F.when(
+        p["namespace"].isNotNull(), F.concat(p["namespace"], F.lit("/"))
+    ).otherwise(F.lit(""))
+    return F.when(
+        p.isNotNull() & p["version"].isNotNull(),
+        F.concat(
+            p["type"], F.lit("|"), ns_prefix,
+            normalize_package_name(p["name"], p["type"]),
+            F.lit("|"), p["version"],
+        ),
+    )
+
+
 def normalized_package_name_id(
     purl: Column, name: Column, pkg_type: Column
 ) -> Column:

@@ -458,3 +458,263 @@ def transform_github_teams(
         update_tag,
     )
     return nodes, edges
+
+
+# ---------------------------------------------------------------------------
+# Dependency-graph manifests + dependencies (intel/github/repos.py:
+# 1335-1389 _transform_dependency_manifests, :1389-1505
+# _transform_dependency_graph; models/github/manifests.py,
+# models/github/dependencies.py)
+# ---------------------------------------------------------------------------
+
+DEP_GRAPH_STRUCT = (
+    "struct<nodes: array<struct<"
+    "blobPath:string, "
+    "dependencies:struct<nodes:array<struct<"
+    "packageName:string, packageUrl:string, requirements:string, "
+    "packageManager:string>>>"
+    ">>>"
+)
+
+
+def _canonical_dep_name(name, package_manager):
+    """``_canonicalize_dependency_name`` (``repos.py:1754-1772``):
+    PEP-503 canonicalization for PIP/CONDA, lowercase elsewhere."""
+    return F.when(
+        package_manager.isin("PIP", "CONDA"),
+        F.regexp_replace(F.lower(name), r"[-_.]+", "-"),
+    ).otherwise(F.lower(name))
+
+
+def transform_github_dependencies(
+    raw: DataFrame, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """Dependency-graph payloads → GitHubDependencyGraphManifest +
+    GitHubDependency (extra label ``Dependency``) triples.
+
+    ``raw``: (org_url string, repo_url string, payload_json string)
+    where the payload is one repo's ``dependencyGraphManifests`` dict
+    (the ``DEP_MANIFESTS_BY_URL`` value shape). Conventions mirrored:
+
+    * manifest id = ``{repo_url}#{blobPath}``, ``filename`` = last path
+      segment, ``dependencies_count`` = len(dependencies.nodes);
+      manifests without a blobPath are skipped (:1355-1356).
+    * dependency id = ``{canonical_name}|{requirements}`` when a
+      non-empty requirement exists, else the canonical name alone —
+      shared across repos (:1432-1439).
+    * ``version``/``type`` from GitHub's native PURL;
+      ``normalized_id`` = the versioned cross-tool key
+      (``make_normalized_package_id``) — reuses the ontology-packages
+      PURL column parser; ``version_confidence`` exact/range/unknown
+      provenance (:1447-1464).
+
+    All column expressions — from_json + two explodes, zero Python.
+    """
+    from cartography_spark.plans.ontology_packages import (
+        normalized_package_id,
+        purl_components,
+    )
+
+    m = raw.select(
+        "org_url",
+        "repo_url",
+        F.explode(F.from_json("payload_json", DEP_GRAPH_STRUCT)["nodes"]).alias("m"),
+    ).filter(
+        F.col("m.blobPath").isNotNull() & (F.col("m.blobPath") != "")
+    )
+    m = m.select(
+        "org_url",
+        "repo_url",
+        F.col("m.blobPath").alias("blob_path"),
+        F.concat("repo_url", F.lit("#"), F.col("m.blobPath")).alias("manifest_id"),
+        F.substring_index(F.col("m.blobPath"), "/", -1).alias("filename"),
+        F.coalesce(F.size("m.dependencies.nodes"), F.lit(0)).alias("deps_count"),
+        F.col("m.dependencies.nodes").alias("deps"),
+    )
+
+    manifest_nodes = _node_shape(
+        m.select(
+            F.lit("GitHubDependencyGraphManifest").alias("label"),
+            F.col("manifest_id").alias("id"),
+            F.map_from_arrays(
+                F.array(F.lit("blob_path"), F.lit("filename"),
+                        F.lit("dependencies_count"), F.lit("repo_url")),
+                F.array(F.col("blob_path"), F.col("filename"),
+                        F.col("deps_count").cast("string"), F.col("repo_url")),
+            ).alias("props"),
+        ),
+        update_tag,
+    )
+
+    d = m.select(
+        "org_url", "repo_url", "manifest_id", "blob_path", "filename",
+        F.explode("deps").alias("d"),
+    ).filter(F.col("d.packageName").isNotNull() & (F.col("d.packageName") != ""))
+    pm = F.upper(F.coalesce(F.col("d.packageManager"), F.lit("")))
+    canon = _canonical_dep_name(F.col("d.packageName"), pm)
+    req = F.trim(F.coalesce(F.col("d.requirements"), F.lit("")))
+    dep_id = F.when(req != "", F.concat(canon, F.lit("|"), req)).otherwise(canon)
+    purl = F.when(F.col("d.packageUrl") != "", F.col("d.packageUrl"))
+    parsed = purl_components(purl)
+    version = parsed["version"]
+    confidence = (
+        F.when(version.isNotNull(), "exact")
+        .when(F.col("d.requirements").isNotNull() & (F.col("d.requirements") != ""),
+              "range")
+        .otherwise("unknown")
+    )
+    d = d.select(
+        "org_url", "repo_url", "manifest_id",
+        dep_id.alias("dep_id"),
+        canon.alias("name"),
+        F.col("d.packageName").alias("original_name"),
+        F.when(F.col("d.requirements") != "", F.col("d.requirements"))
+        .alias("requirements"),
+        F.when(pm != "", F.lower(pm)).otherwise("unknown").alias("ecosystem"),
+        pm.alias("package_manager"),
+        version.alias("version"),
+        parsed["type"].alias("type"),
+        purl.alias("purl"),
+        normalized_package_id(purl).alias("normalized_id"),
+        F.lit("dependency_graph").alias("source"),
+        confidence.alias("version_confidence"),
+    )
+
+    dep_nodes = _node_shape(
+        d.select(
+            F.lit("GitHubDependency").alias("label"),
+            F.col("dep_id").alias("id"),
+            F.map_from_arrays(
+                F.array(*[F.lit(k) for k in (
+                    "name", "original_name", "requirements", "ecosystem",
+                    "package_manager", "version", "type", "purl",
+                    "normalized_id", "source", "version_confidence",
+                )]),
+                F.array(
+                    "name", "original_name", "requirements", "ecosystem",
+                    "package_manager", "version", "type", "purl",
+                    "normalized_id", "source", "version_confidence",
+                ),
+            ).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+        extra=F.array(F.lit("Dependency")),
+    )
+
+    has_manifest = m.select(
+        "org_url",
+        F.lit("GitHubRepository").alias("src_label"),
+        F.col("repo_url").alias("src_id"),
+        F.lit("HAS_MANIFEST").alias("rel_label"),
+        F.lit("GitHubDependencyGraphManifest").alias("dst_label"),
+        F.col("manifest_id").alias("dst_id"),
+    )
+    org_resource = m.select(
+        "org_url",
+        F.lit("GitHubOrganization").alias("src_label"),
+        F.col("org_url").alias("src_id"),
+        F.lit("RESOURCE").alias("rel_label"),
+        F.lit("GitHubDependencyGraphManifest").alias("dst_label"),
+        F.col("manifest_id").alias("dst_id"),
+    )
+    has_dep = d.select(
+        "org_url",
+        F.lit("GitHubDependencyGraphManifest").alias("src_label"),
+        F.col("manifest_id").alias("src_id"),
+        F.lit("HAS_DEP").alias("rel_label"),
+        F.lit("GitHubDependency").alias("dst_label"),
+        F.col("dep_id").alias("dst_id"),
+    )
+    requires = d.select(
+        "org_url",
+        F.lit("GitHubRepository").alias("src_label"),
+        F.col("repo_url").alias("src_id"),
+        F.lit("REQUIRES").alias("rel_label"),
+        F.lit("GitHubDependency").alias("dst_label"),
+        F.col("dep_id").alias("dst_id"),
+    )
+    nodes = manifest_nodes.unionByName(dep_nodes).dropDuplicates(["label", "id"])
+    edges = _edge_shape(
+        has_manifest.unionByName(org_resource)
+        .unionByName(has_dep)
+        .unionByName(requires),
+        update_tag,
+    )
+    return nodes, edges
+
+
+# ---------------------------------------------------------------------------
+# Branch protection rules (intel/github/repos.py:1860-1894
+# _transform_branch_protection_rules; GitHubBranchProtectionRuleSchema)
+# ---------------------------------------------------------------------------
+
+_BPR_BOOL_FIELDS = (
+    ("allows_deletions", "allowsDeletions"),
+    ("allows_force_pushes", "allowsForcePushes"),
+    ("dismisses_stale_reviews", "dismissesStaleReviews"),
+    ("is_admin_enforced", "isAdminEnforced"),
+    ("requires_approving_reviews", "requiresApprovingReviews"),
+    ("requires_code_owner_reviews", "requiresCodeOwnerReviews"),
+    ("requires_commit_signatures", "requiresCommitSignatures"),
+    ("requires_linear_history", "requiresLinearHistory"),
+    ("requires_status_checks", "requiresStatusChecks"),
+    ("requires_strict_status_checks", "requiresStrictStatusChecks"),
+    ("restricts_pushes", "restrictsPushes"),
+    ("restricts_review_dismissals", "restrictsReviewDismissals"),
+)
+
+BPR_STRUCT = (
+    "array<struct<url:string, "
+    "branchProtectionRules:struct<nodes:array<struct<"
+    "id:string, pattern:string, requiredApprovingReviewCount:int, "
+    + ", ".join(f"{api}:boolean" for _, api in _BPR_BOOL_FIELDS)
+    + ">>>>>"
+)
+
+
+def transform_github_branch_protection(
+    raw: DataFrame, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """GET_REPOS payloads → GitHubBranchProtectionRule nodes +
+    (repo)-[:HAS_RULE]->(rule) edges (the embedded
+    ``branchProtectionRules.nodes`` per repo; booleans stored as
+    "true"/"false" strings like every other bool prop)."""
+    r = raw.select(
+        "org_url",
+        F.explode(F.from_json("payload_json", BPR_STRUCT)).alias("r"),
+    ).select(
+        "org_url",
+        F.col("r.url").alias("repo_url"),
+        F.explode("r.branchProtectionRules.nodes").alias("b"),
+    )
+    keys = ["id", "pattern", "required_approving_review_count", "repo_url"] + [
+        ours for ours, _ in _BPR_BOOL_FIELDS
+    ]
+    vals = [
+        F.col("b.id"),
+        F.col("b.pattern"),
+        F.col("b.requiredApprovingReviewCount").cast("string"),
+        F.col("repo_url"),
+    ] + [_bool_str(F.col(f"b.{api}")) for _, api in _BPR_BOOL_FIELDS]
+    nodes = _node_shape(
+        r.select(
+            F.lit("GitHubBranchProtectionRule").alias("label"),
+            F.col("b.id").alias("id"),
+            F.map_from_arrays(
+                F.array(*[F.lit(k) for k in keys]), F.array(*vals)
+            ).alias("props"),
+        ),
+        update_tag,
+    )
+    edges = _edge_shape(
+        r.select(
+            "org_url",
+            F.lit("GitHubRepository").alias("src_label"),
+            F.col("repo_url").alias("src_id"),
+            F.lit("HAS_RULE").alias("rel_label"),
+            F.lit("GitHubBranchProtectionRule").alias("dst_label"),
+            F.col("b.id").alias("dst_id"),
+        ),
+        update_tag,
+    )
+    return nodes, edges

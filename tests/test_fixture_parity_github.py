@@ -101,11 +101,23 @@ def _load_fixture_ns(path, stubs=None):
 
 import textwrap as _textwrap
 
+BPR_FIXTURE = "/root/reference/tests/data/github/branch_protection_rules.py"
+
+
+def _protected_branch_strong():
+    """The real embedded branch-protection fixture (pure literals) so
+    the branch-protection parity test sees the reference's values; {}
+    when the checkout is absent (those tests skip)."""
+    if os.path.exists(BPR_FIXTURE):
+        return _load_fixture_ns(BPR_FIXTURE).get("PROTECTED_BRANCH_STRONG", {})
+    return {}
+
+
 _REPOS_STUBS = {
-    # the repo objects only reference these inside fields our transform
-    # ignores (branch protection / rulesets / collaborator lists)
+    # the repo objects reference these inside embedded fields; the
+    # ruleset/collaborator ones are ignored by our transforms
     "UserAffiliationAndRepoPermission": lambda *a, **k: {"args": list(a), **k},
-    "PROTECTED_BRANCH_STRONG": {},
+    "PROTECTED_BRANCH_STRONG": _protected_branch_strong(),
     "RULESET_PRODUCTION": {},
     "textwrap.dedent": _textwrap.dedent,
 }
@@ -328,3 +340,113 @@ def test_teams_parity(spark):
     # child-team containment (child -> parent) + ontology twin
     assert (TA, "MEMBER_OF_TEAM", TD) in rels and (TB, "MEMBER_OF_TEAM", TD) in rels
     assert (TA, "MEMBER_OF", TD) in rels and (TB, "MEMBER_OF", TD) in rels
+
+
+def test_dependency_manifests_and_dependencies_parity(spark):
+    """test_repos.py:713-807 (test_sync_github_manifests) — manifest
+    node set, HAS_MANIFEST, HAS_DEP with the reference's dependency-id
+    conventions (react|18.2.0, bare lodash, django|= 4.2.0,
+    org.springframework:spring-core|5.3.21)."""
+    if not os.path.exists(FIXTURE):
+        pytest.skip("reference fixture not available")
+    from cartography_spark.providers.github_repos import (
+        transform_github_dependencies,
+    )
+
+    ns = _load_fixture_ns(FIXTURE, _REPOS_STUBS)
+    manifests_by_url = ns["DEP_MANIFESTS_BY_URL"]
+    rows = [
+        (ORG_URL, repo_url, json.dumps(payload, default=str))
+        for repo_url, payload in manifests_by_url.items()
+    ]
+    raw = spark.createDataFrame(
+        rows, "org_url string, repo_url string, payload_json string"
+    )
+    nodes, edges = transform_github_dependencies(raw, TAG)
+
+    package_json_id = f"{R3}#/package.json"
+    requirements_txt_id = f"{R3}#/requirements.txt"
+    pom_xml_id = f"{R3}#/pom.xml"
+
+    got_manifests = {
+        (r["id"], r["props"]["blob_path"], r["props"]["filename"],
+         int(r["props"]["dependencies_count"]), r["props"]["repo_url"])
+        for r in nodes.filter(
+            F.col("label") == "GitHubDependencyGraphManifest"
+        ).collect()
+    }
+    assert got_manifests == {
+        (package_json_id, "/package.json", "package.json", 2, R3),
+        (requirements_txt_id, "/requirements.txt", "requirements.txt", 1, R3),
+        (pom_xml_id, "/pom.xml", "pom.xml", 1, R3),
+    }
+
+    assert _rels(edges, "GitHubRepository", "HAS_MANIFEST",
+                 "GitHubDependencyGraphManifest") == {
+        (R3, package_json_id), (R3, requirements_txt_id), (R3, pom_xml_id),
+    }
+    assert _rels(edges, "GitHubDependencyGraphManifest", "HAS_DEP",
+                 "GitHubDependency") == {
+        (package_json_id, "react|18.2.0"),
+        (package_json_id, "lodash"),
+        (requirements_txt_id, "django|= 4.2.0"),
+        (pom_xml_id, "org.springframework:spring-core|5.3.21"),
+    }
+    assert _rels(edges, "GitHubRepository", "REQUIRES", "GitHubDependency") == {
+        (R3, "react|18.2.0"), (R3, "lodash"),
+        (R3, "django|= 4.2.0"), (R3, "org.springframework:spring-core|5.3.21"),
+    }
+
+    deps = {
+        r["id"]: r["props"]
+        for r in nodes.filter(F.col("label") == "GitHubDependency").collect()
+    }
+    assert all(
+        "Dependency" in (r["extra_labels"] or [])
+        for r in nodes.filter(F.col("label") == "GitHubDependency").collect()
+    )
+    react = deps["react|18.2.0"]
+    assert react["version"] == "18.2.0" and react["type"] == "npm"
+    assert react["normalized_id"] == "npm|react|18.2.0"
+    assert react["version_confidence"] == "exact"
+    assert react["original_name"] == "react"
+    # Django canonicalizes (PIP -> PEP 503 lowercase) and keeps the
+    # range spec in the id; no exact version from the purl-less... it
+    # HAS a purl: pkg:pypi/django@4.2.0
+    django = deps["django|= 4.2.0"]
+    assert django["normalized_id"] == "pypi|django|4.2.0"
+    assert django["original_name"] == "Django"
+    # lodash: empty purl/requirements -> bare id, unknown confidence
+    lodash = deps["lodash"]
+    assert lodash.get("version") is None
+    assert lodash.get("requirements") is None
+    assert lodash["version_confidence"] == "unknown"
+    # maven namespace rides into the normalized id
+    spring = deps["org.springframework:spring-core|5.3.21"]
+    assert spring["normalized_id"] == "maven|org.springframework/spring-core|5.3.21"
+
+
+def test_branch_protection_rules_parity(spark):
+    """test_repos.py:810-880 (test_sync_github_branch_protection_rules)
+    — (BPR_kwDOAbc123==, main, False, True, 2) node tuple + HAS_RULE."""
+    if not (os.path.exists(FIXTURE) and os.path.exists(BPR_FIXTURE)):
+        pytest.skip("reference fixture not available")
+    from cartography_spark.providers.github_repos import (
+        transform_github_branch_protection,
+    )
+
+    raw = spark.createDataFrame(
+        [(ORG_URL, json.dumps(_load_fixture_ns(FIXTURE, _REPOS_STUBS)["GET_REPOS"],
+                              default=str))],
+        "org_url string, payload_json string",
+    )
+    nodes, edges = transform_github_branch_protection(raw, TAG)
+    got = {
+        (r["id"], r["props"]["pattern"], r["props"]["allows_deletions"],
+         r["props"]["requires_approving_reviews"],
+         int(r["props"]["required_approving_review_count"]))
+        for r in nodes.collect()
+    }
+    assert got == {("BPR_kwDOAbc123==", "main", "false", "true", 2)}
+    assert _rels(edges, "GitHubRepository", "HAS_RULE",
+                 "GitHubBranchProtectionRule") == {(R3, "BPR_kwDOAbc123==")}

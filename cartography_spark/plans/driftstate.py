@@ -1,0 +1,208 @@
+"""Drift-detect state workflow: named query states on disk.
+
+Re-expresses the reference's ``driftdetect`` product surface — the
+``get-state`` / ``get-drift`` / ``add-shortcut`` CLI workflow over
+per-query state directories (``driftdetect/cli.py:46-185``,
+``get_states.py``, ``detect_deviations.py:19-120``,
+``add_shortcut.py:40-60``):
+
+* a **query directory** holds a ``template.json`` (the query's name,
+  SQL and property list), timestamped **state files** (the query's
+  results at capture time) and a ``shortcut.json`` alias map (always
+  carrying ``most-recent``).
+* ``get_state`` runs the SQL over the store's graph views and persists
+  a new state; ``perform_drift_detection`` loads two states (by file
+  name or shortcut alias), validates they describe the SAME query
+  (name / query / properties — ``detect_deviations.py:82-88``), and
+  diffs both ways: new results and missing results.
+* result fields containing ``|`` are split into lists in drift output
+  (``compare_states``'s multi-value convention, :103-116).
+
+Spark-first: states persist as JSON rows (they are *query results*, the
+reference's shape — small, human-diffable); the comparison itself runs
+as two left-anti joins when states are large, but the stored artifact
+stays file-compatible in spirit. The graph itself is never copied —
+unlike the reference, the heavy state lives in the store's snapshots
+(``operators/drift.py``); this module is the *named-workflow* product
+surface on top.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+from cartography_spark.plans.rules import register_graph_views
+from cartography_spark.store.graphstore import GraphStore
+
+MOST_RECENT = "most-recent"
+
+
+@dataclass(frozen=True)
+class DriftState:
+    """``driftdetect/model.py:7-32`` twin: one query's results at one
+    point in time. ``results`` rows are stringified in property order
+    (the reference stores lists of strings)."""
+
+    name: str
+    validation_query: str
+    properties: tuple[str, ...]
+    results: tuple[tuple[str, ...], ...] = field(default_factory=tuple)
+
+
+class DriftStateDirectory:
+    """One query's state directory: template + states + shortcuts."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._shortcut_path = os.path.join(root, "shortcut.json")
+        self._template_path = os.path.join(root, "template.json")
+
+    # -- shortcuts (add_shortcut.py:40-60) ----------------------------------
+    def shortcuts(self) -> dict[str, str]:
+        if os.path.exists(self._shortcut_path):
+            with open(self._shortcut_path) as f:
+                return json.load(f)["shortcuts"]
+        return {}
+
+    def add_shortcut(self, alias: str, filename: str) -> None:
+        """Alias → state file; an alias pointing at another alias is
+        resolved at write time (the reference resolves through the
+        shortcut map when adding, ``add_shortcut.py:52-56``)."""
+        cur = self.shortcuts()
+        cur[alias] = cur.get(filename, filename)
+        tmp = self._shortcut_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"name": os.path.basename(self.root), "shortcuts": cur}, f,
+                      indent=1)
+        os.replace(tmp, self._shortcut_path)
+
+    def _resolve(self, name: str) -> str:
+        return self.shortcuts().get(name, name)
+
+    # -- template ------------------------------------------------------------
+    def write_template(self, name: str, query: str, properties: list[str]) -> None:
+        with open(self._template_path, "w") as f:
+            json.dump(
+                {"name": name, "validation_query": query, "properties": properties},
+                f, indent=1,
+            )
+
+    def template(self) -> dict[str, Any]:
+        with open(self._template_path) as f:
+            return json.load(f)
+
+    # -- states ---------------------------------------------------------------
+    def save_state(self, state: DriftState, filename: str | None = None) -> str:
+        """Persist a state under a gmtime-derived file name
+        (``get_states.py``'s ``'.'.join(gmtime) + '.json'``) and point
+        ``most-recent`` at it."""
+        if filename is None:
+            filename = ".".join(str(i) for i in time.gmtime()) + ".json"
+        with open(os.path.join(self.root, filename), "w") as f:
+            json.dump(
+                {
+                    "name": state.name,
+                    "validation_query": state.validation_query,
+                    "properties": list(state.properties),
+                    "results": [list(r) for r in state.results],
+                },
+                f, indent=1,
+            )
+        self.add_shortcut(MOST_RECENT, filename)
+        return filename
+
+    def load_state(self, name: str) -> DriftState:
+        with open(os.path.join(self.root, self._resolve(name))) as f:
+            data = json.load(f)
+        return DriftState(
+            name=data["name"],
+            validation_query=data["validation_query"],
+            properties=tuple(data["properties"]),
+            results=tuple(tuple(r) for r in data["results"]),
+        )
+
+    def state_files(self) -> list[str]:
+        return sorted(
+            f for f in os.listdir(self.root)
+            if f.endswith(".json") and f not in ("shortcut.json", "template.json")
+        )
+
+    def archive_state(self, name: str) -> str:
+        """Move a state out of the active set (``archive/`` subdir);
+        aliases pointing at it are dropped; ``most-recent`` re-points
+        at the newest remaining state."""
+        filename = self._resolve(name)
+        archive_dir = os.path.join(self.root, "archive")
+        os.makedirs(archive_dir, exist_ok=True)
+        os.replace(
+            os.path.join(self.root, filename), os.path.join(archive_dir, filename)
+        )
+        cur = {a: f for a, f in self.shortcuts().items() if f != filename}
+        remaining = self.state_files()
+        if remaining:
+            cur[MOST_RECENT] = remaining[-1]
+        else:
+            cur.pop(MOST_RECENT, None)
+        tmp = self._shortcut_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"name": os.path.basename(self.root), "shortcuts": cur}, f,
+                      indent=1)
+        os.replace(tmp, self._shortcut_path)
+        return filename
+
+
+def get_state(store: GraphStore, directory: DriftStateDirectory) -> str:
+    """``run_get_states`` twin: run the directory's template query over
+    the graph views and persist the results as a new state."""
+    tpl = directory.template()
+    register_graph_views(store)
+    rows = store.spark.sql(tpl["validation_query"]).collect()
+    props = list(tpl["properties"])
+    results = tuple(
+        tuple("" if r[p] is None else str(r[p]) for p in props) for r in rows
+    )
+    state = DriftState(
+        name=tpl["name"],
+        validation_query=tpl["validation_query"],
+        properties=tuple(props),
+        results=results,
+    )
+    return directory.save_state(state)
+
+
+def compare_states(start: DriftState, end: DriftState) -> list[list]:
+    """Rows in ``end`` not in ``start``; ``|``-joined fields split to
+    lists (``detect_deviations.py:92-116``)."""
+    seen = set(start.results)
+    out: list[list] = []
+    for row in end.results:
+        if row in seen:
+            continue
+        drift: list = []
+        for fld in row:
+            parts = fld.split("|")
+            drift.append(parts if len(parts) > 1 else fld)
+        out.append(drift)
+    return out
+
+
+def perform_drift_detection(
+    directory: DriftStateDirectory, start_state: str, end_state: str
+) -> tuple[list[list], list[list]]:
+    """``(new_results, missing_results)`` between two named states;
+    states must describe the same query (``detect_deviations.py:
+    82-88`` fail-fast)."""
+    start = directory.load_state(start_state)
+    end = directory.load_state(end_state)
+    if start.name != end.name:
+        raise ValueError("State names do not match.")
+    if start.validation_query != end.validation_query:
+        raise ValueError("State queries do not match.")
+    if start.properties != end.properties:
+        raise ValueError("State properties do not match.")
+    return compare_states(start, end), compare_states(end, start)

@@ -181,6 +181,186 @@ SECRETS_IN_WORKFLOWS = Fact(
 )
 
 
+# ported reference rule-pack facts (rules/data/rules/*.py), re-expressed
+# over this engine's nodes/edges schema — ids name the source module
+
+MFA_MISSING = Fact(
+    id="mfa_missing",
+    name="Active identities without MFA",
+    description="Active provider users whose ontology projection shows "
+    "no MFA device enrolled (rules/data/rules/mfa_missing.py twin over "
+    "the AWSUser _ont_has_mfa/_ont_active projection).",
+    sql_query="""
+        SELECT id AS user_arn, props['name'] AS username
+        FROM nodes
+        WHERE label = 'AWSUser'
+          AND props['_ont_active'] = 'true'
+          AND coalesce(props['_ont_has_mfa'], 'false') = 'false'
+    """,
+    count_sql="SELECT count(*) AS count FROM nodes WHERE label = 'AWSUser'",
+    identity_fields=("user_arn",),
+    asset_label="AWSUser",
+    asset_id_field="user_arn",
+)
+
+INACTIVE_USER_ACTIVE_ACCOUNTS = Fact(
+    id="inactive_user_active_accounts",
+    name="Inactive users holding provider accounts",
+    description="Canonical users marked inactive by the source of truth "
+    "that still hold linked provider accounts "
+    "(rules/data/rules/inactive_user_active_accounts.py twin).",
+    sql_query="""
+        SELECT n.id AS user_email, e.dst_label AS account_label,
+               e.dst_id AS account_id
+        FROM nodes n JOIN edges e
+          ON e.src_label = 'User' AND e.src_id = n.id
+        WHERE n.label = 'User'
+          AND n.props['active'] = 'false'
+          AND e.rel_label = 'HAS_ACCOUNT'
+    """,
+    count_sql="SELECT count(*) AS count FROM nodes WHERE label = 'User'",
+    identity_fields=("user_email", "account_label", "account_id"),
+    asset_label="User",
+    asset_id_field="user_email",
+)
+
+UNMANAGED_ACCOUNTS = Fact(
+    id="unmanaged_accounts",
+    name="Provider accounts with no canonical owner",
+    description="Email-bearing provider account nodes not linked to any "
+    "canonical User (rules/data/rules/unmanaged_accounts.py twin): "
+    "accounts the identity source of truth does not know about.",
+    sql_query="""
+        SELECT n.label AS account_label, n.id AS account_id,
+               n.props['email'] AS email
+        FROM nodes n
+        LEFT ANTI JOIN (
+          SELECT dst_label, dst_id FROM edges WHERE rel_label = 'HAS_ACCOUNT'
+        ) owned
+          ON n.label = owned.dst_label AND n.id = owned.dst_id
+        WHERE n.label <> 'User' AND n.props['email'] IS NOT NULL
+    """,
+    count_sql="SELECT count(*) AS count FROM nodes "
+              "WHERE label <> 'User' AND props['email'] IS NOT NULL",
+    identity_fields=("account_label", "account_id"),
+    asset_label="*",
+    asset_id_field="account_id",
+)
+
+EXTERNAL_ACCOUNT_TRUST = Fact(
+    id="iam_role_external_account_trust",
+    name="Roles trusting principals in other accounts",
+    description="Role trust policies naming a principal whose ARN "
+    "account id differs from the role's own "
+    "(rules/data/rules/iam_role_external_account_trust.py twin).",
+    sql_query=r"""
+        SELECT src_id AS role_arn, dst_id AS trusted_principal,
+               regexp_extract(src_id, 'arn:aws:iam::(\\d+):', 1) AS role_account,
+               regexp_extract(dst_id, 'arn:aws:iam::(\\d+):', 1) AS trusted_account
+        FROM edges
+        WHERE rel_label = 'TRUSTS_AWS_PRINCIPAL'
+          AND regexp_extract(src_id, 'arn:aws:iam::(\\d+):', 1) <>
+              regexp_extract(dst_id, 'arn:aws:iam::(\\d+):', 1)
+          AND regexp_extract(dst_id, 'arn:aws:iam::(\\d+):', 1) <> ''
+    """,
+    count_sql="SELECT count(*) AS count FROM nodes WHERE label = 'AWSRole'",
+    identity_fields=("role_arn", "trusted_principal"),
+    asset_label="AWSRole",
+    asset_id_field="role_arn",
+)
+
+UNPINNED_DEPENDENCIES = Fact(
+    id="unpinned_dependencies",
+    name="Dependencies without an exact resolved version",
+    description="Dependency-graph entries whose version confidence is "
+    "range-only or unknown — unreproducible builds and silent upgrade "
+    "exposure (the dependency leg of the reference's supply-chain pack).",
+    sql_query="""
+        SELECT e.src_id AS repo_url, n.id AS dependency_id,
+               n.props['version_confidence'] AS confidence
+        FROM nodes n JOIN edges e
+          ON e.rel_label = 'REQUIRES' AND e.dst_label = 'GitHubDependency'
+         AND e.dst_id = n.id
+        WHERE n.label = 'GitHubDependency'
+          AND coalesce(n.props['version_confidence'], 'unknown') <> 'exact'
+    """,
+    count_sql="SELECT count(*) AS count FROM nodes "
+              "WHERE label = 'GitHubDependency'",
+    identity_fields=("repo_url", "dependency_id"),
+    asset_label="GitHubDependency",
+    asset_id_field="dependency_id",
+)
+
+MISSING_BRANCH_PROTECTION = Fact(
+    id="missing_branch_protection",
+    name="Repositories without branch protection",
+    description="Live (non-archived, non-disabled) repositories with no "
+    "branch protection rule at all (the CIS-style repo-hardening check "
+    "over the HAS_RULE family).",
+    sql_query="""
+        SELECT n.id AS repo_url, n.props['name'] AS repo_name
+        FROM nodes n
+        LEFT ANTI JOIN (
+          SELECT src_id FROM edges WHERE rel_label = 'HAS_RULE'
+        ) ruled ON n.id = ruled.src_id
+        WHERE n.label = 'GitHubRepository'
+          AND coalesce(n.props['archived'], 'false') = 'false'
+          AND coalesce(n.props['disabled'], 'false') = 'false'
+    """,
+    count_sql="SELECT count(*) AS count FROM nodes "
+              "WHERE label = 'GitHubRepository'",
+    identity_fields=("repo_url",),
+    asset_label="GitHubRepository",
+    asset_id_field="repo_url",
+)
+
+WEAK_BRANCH_PROTECTION = Fact(
+    id="weak_branch_protection",
+    name="Branch protection rules permitting force pushes or unreviewed merges",
+    description="Protection rules that allow force pushes/deletions or "
+    "do not require approving reviews.",
+    sql_query="""
+        SELECT n.id AS rule_id, n.props['repo_url'] AS repo_url,
+               n.props['pattern'] AS pattern,
+               n.props['allows_force_pushes'] AS allows_force_pushes,
+               n.props['requires_approving_reviews'] AS requires_approving_reviews
+        FROM nodes n
+        WHERE n.label = 'GitHubBranchProtectionRule'
+          AND (n.props['allows_force_pushes'] = 'true'
+               OR n.props['allows_deletions'] = 'true'
+               OR coalesce(n.props['requires_approving_reviews'], 'false')
+                  = 'false')
+    """,
+    count_sql="SELECT count(*) AS count FROM nodes "
+              "WHERE label = 'GitHubBranchProtectionRule'",
+    identity_fields=("rule_id", "repo_url"),
+    asset_label="GitHubBranchProtectionRule",
+    asset_id_field="rule_id",
+)
+
+UNMONITORED_DEVICES = Fact(
+    id="device_security_posture_gaps",
+    name="Canonical devices with no EDR observation",
+    description="Devices in the canonical inventory never observed by an "
+    "endpoint-security source "
+    "(rules/data/rules/device_security_posture_gaps.py twin).",
+    sql_query="""
+        SELECT n.id AS serial_number, n.props['hostname'] AS hostname
+        FROM nodes n
+        LEFT ANTI JOIN (
+          SELECT src_id FROM edges
+          WHERE rel_label = 'OBSERVED_AS'
+            AND dst_label IN ('CrowdstrikeHost', 'S1Agent')
+        ) observed ON n.id = observed.src_id
+        WHERE n.label = 'Device'
+    """,
+    count_sql="SELECT count(*) AS count FROM nodes WHERE label = 'Device'",
+    identity_fields=("serial_number",),
+    asset_label="Device",
+    asset_id_field="serial_number",
+)
+
+
 # ---------------------------------------------------------------------------
 # Rule / Framework tree (rules/spec/model.py:286-360, :504-524) and
 # runners (rules/runners.py) — the product surface above the Fact core
@@ -233,15 +413,21 @@ SUPPLY_CHAIN = Framework(
     short_name="slsa",
     requirement="provenance-pinning",
 )
+CIS_IDENTITY = Framework(
+    name="CIS identity and access hygiene",
+    short_name="cis-identity",
+    requirement="mfa-and-lifecycle",
+)
 
 ALL_RULES: tuple[Rule, ...] = (
     Rule(
         id="cicd_supply_chain",
         name="CI/CD supply-chain hygiene",
         tags=("cicd", "supply-chain"),
-        description="Mutable action refs and secret sprawl in workflows.",
-        version="1.0",
-        facts=(UNPINNED_ACTIONS, SECRETS_IN_WORKFLOWS),
+        description="Mutable action refs, unpinned dependencies and "
+        "secret sprawl in workflows.",
+        version="1.1",
+        facts=(UNPINNED_ACTIONS, SECRETS_IN_WORKFLOWS, UNPINNED_DEPENDENCIES),
         references=(
             RuleReference(
                 text="GitHub Actions pinning guidance",
@@ -254,9 +440,39 @@ ALL_RULES: tuple[Rule, ...] = (
         id="trust_concentration",
         name="Trust-relationship concentration",
         tags=("iam", "blast-radius"),
-        description="Shared principals trusted across many roles.",
+        description="Shared principals trusted across many roles, and "
+        "trust extended to principals in foreign accounts.",
+        version="1.1",
+        facts=(EXTERNAL_TRUSTED_ROLES, EXTERNAL_ACCOUNT_TRUST),
+    ),
+    Rule(
+        id="identity_hygiene",
+        name="Identity lifecycle and MFA hygiene",
+        tags=("identity", "mfa"),
+        description="MFA gaps on active identities, inactive users with "
+        "live accounts, accounts unknown to the source of truth.",
         version="1.0",
-        facts=(EXTERNAL_TRUSTED_ROLES,),
+        facts=(MFA_MISSING, INACTIVE_USER_ACTIVE_ACCOUNTS, UNMANAGED_ACCOUNTS),
+        frameworks=(CIS_IDENTITY,),
+    ),
+    Rule(
+        id="code_platform_hardening",
+        name="Code-platform hardening",
+        tags=("github", "hardening"),
+        description="Repositories without (or with weak) branch "
+        "protection.",
+        version="1.0",
+        facts=(MISSING_BRANCH_PROTECTION, WEAK_BRANCH_PROTECTION),
+        frameworks=(SUPPLY_CHAIN,),
+    ),
+    Rule(
+        id="endpoint_visibility",
+        name="Endpoint security visibility",
+        tags=("devices", "edr"),
+        description="Inventory devices never observed by an endpoint "
+        "security source.",
+        version="1.0",
+        facts=(UNMONITORED_DEVICES,),
     ),
 )
 

@@ -231,3 +231,88 @@ def test_drift_between_snapshots(spark, tmp_store):
     added, removed = detect_drift(s, snap, "nodes")
     assert {tuple(r) for r in added.collect()} == {("Host", "h3")}
     assert {tuple(r) for r in removed.collect()} == {("Host", "h2")}
+
+
+# -- drift-state workflow (driftdetect product surface) ----------------------
+
+
+def _seed_label(spark, store, label, ids, tag):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i,) for i in ids], "id string").select(
+        F.lit(label).alias("label"), "id",
+        F.lit(tag).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        F.lit(None).cast("array<string>").alias("extra_labels"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    )
+    store.merge_nodes(df, tag, labels=[label])
+
+
+def test_drift_state_two_state_round_trip(spark, tmp_store, tmp_path):
+    from cartography_spark.plans.driftstate import (
+        DriftStateDirectory,
+        get_state,
+        perform_drift_detection,
+    )
+
+    s = tmp_store
+    d = DriftStateDirectory(str(tmp_path / "exposed_assets"))
+    d.write_template(
+        "exposed_assets",
+        "SELECT id FROM nodes WHERE label = 'Asset' ORDER BY id",
+        ["id"],
+    )
+    _seed_label(spark, s, "Asset", ["a1", "a2"], 1)
+    f1 = get_state(s, d)
+    # a2 retired, a3 appears
+    s.delete_nodes(spark.createDataFrame([("Asset", "a2")], "label string, id string"))
+    _seed_label(spark, s, "Asset", ["a3"], 2)
+    f2 = get_state(s, d)
+    assert d.shortcuts()["most-recent"] == f2
+
+    new, missing = perform_drift_detection(d, f1, f2)
+    assert new == [["a3"]] and missing == [["a2"]]
+    # shortcut resolution: compare by alias too
+    d.add_shortcut("baseline", f1)
+    new2, missing2 = perform_drift_detection(d, "baseline", "most-recent")
+    assert (new2, missing2) == (new, missing)
+
+
+def test_drift_state_mismatch_fails_fast_and_archive(spark, tmp_store, tmp_path):
+    import pytest
+
+    from cartography_spark.plans.driftstate import (
+        DriftState,
+        DriftStateDirectory,
+        perform_drift_detection,
+    )
+
+    d = DriftStateDirectory(str(tmp_path / "q"))
+    f1 = d.save_state(
+        DriftState("q", "SELECT 1", ("id",), (("x",),)), filename="s1.json"
+    )
+    f2 = d.save_state(
+        DriftState("q", "SELECT 2", ("id",), (("x",),)), filename="s2.json"
+    )
+    with pytest.raises(ValueError, match="queries do not match"):
+        perform_drift_detection(d, f1, f2)
+
+    # multi-value fields split on '|' in drift output
+    f3 = d.save_state(
+        DriftState("q", "SELECT 1", ("id",), (("a|b",),)), filename="s3.json"
+    )
+    from cartography_spark.plans.driftstate import compare_states
+
+    assert compare_states(d.load_state(f1), d.load_state(f3)) == [[["a", "b"]]]
+
+    # archive: file moves, aliases drop, most-recent re-points
+    d.add_shortcut("keep", f3)
+    archived = d.archive_state(f3)
+    assert archived == "s3.json"
+    assert "keep" not in d.shortcuts()
+    assert d.shortcuts()["most-recent"] == "s2.json"
+    assert d.state_files() == ["s1.json", "s2.json"]
+    import os
+
+    assert os.path.exists(os.path.join(d.root, "archive", "s3.json"))

@@ -92,17 +92,21 @@ def test_rule_framework_tree_and_runner(synced_store):
 
     assert "slsa" in get_all_frameworks()
     only = filter_rules_by_framework(ALL_RULES, "slsa")
-    assert [r.id for r in only] == ["cicd_supply_chain"]
+    assert [r.id for r in only] == ["cicd_supply_chain", "code_platform_hardening"]
     with pytest.raises(ValueError):
         filter_rules_by_framework(ALL_RULES, "nope")
 
     results = run_rules(synced_store, framework="slsa")
-    assert len(results) == 1
-    r = results[0]
-    assert r["rule_id"] == "cicd_supply_chain"
+    assert {r["rule_id"] for r in results} == {
+        "cicd_supply_chain", "code_platform_hardening",
+    }
+    r = [x for x in results if x["rule_id"] == "cicd_supply_chain"][0]
     assert r["failing"] > 0 and r["total"] >= r["failing"]
     fact_ids = {f["fact_id"] for f in r["facts"]}
-    assert fact_ids == {"unpinned_github_actions", "secrets_in_workflows"}
+    assert fact_ids == {
+        "unpinned_github_actions", "secrets_in_workflows",
+        "unpinned_dependencies",
+    }
     assert all(isinstance(f["sample"], list) for f in r["facts"])
 
 
@@ -114,7 +118,7 @@ def test_formatters_and_cli(synced_store, capsys):
 
     results = run_rules(synced_store)
     blob = json.loads(format_json(results))
-    assert {r["rule_id"] for r in blob} == {"cicd_supply_chain", "trust_concentration"}
+    assert {"cicd_supply_chain", "trust_concentration"} <= {r["rule_id"] for r in blob}
     assert "findings" not in json.dumps(blob)  # DataFrames never serialized
     table = format_table(results)
     assert "unpinned_github_actions" in table
@@ -126,3 +130,185 @@ def test_formatters_and_cli(synced_store, capsys):
     rc = main(["--store", synced_store.root, "--format", "table"])
     assert rc == 1
     assert "cicd_supply_chain" in capsys.readouterr().out
+
+
+# -- ported rule-pack facts (round 3) ----------------------------------------
+
+
+@pytest.fixture(scope="module")
+def posture_store(spark, tmp_path_factory):
+    """Hand-seeded graph exercising every ported rule-pack fact."""
+    from pyspark.sql import functions as F
+
+    from cartography_spark.store.graphstore import GraphStore
+
+    store = GraphStore(spark, str(tmp_path_factory.mktemp("posture_store")))
+
+    def nodes(label, rows):
+        data = [(r.pop("id"), r) for r in [dict(r) for r in rows]]
+        df = spark.createDataFrame(data, "id string, props map<string,string>")
+        return df.select(
+            F.lit(label).alias("label"), "id",
+            F.lit(1).cast("long").alias("lastupdated"),
+            F.lit(None).cast("string").alias("content_sha256"),
+            F.lit(None).cast("array<string>").alias("extra_labels"),
+            F.map_filter(F.col("props"), lambda _k, v: v.isNotNull()).alias("props"),
+        )
+
+    def edges(rows):
+        df = spark.createDataFrame(
+            rows, "src_label string, src_id string, rel_label string, "
+                  "dst_label string, dst_id string",
+        )
+        return df.select(
+            *df.columns,
+            F.lit(1).cast("long").alias("lastupdated"),
+            F.lit(None).cast("string").alias("sub_resource_label"),
+            F.lit(None).cast("string").alias("sub_resource_id"),
+            F.lit(None).cast("map<string,string>").alias("props"),
+        )
+
+    store.merge_nodes(nodes("AWSUser", [
+        {"id": "arn:aws:iam::111:user/alice", "name": "alice",
+         "_ont_active": "true", "_ont_has_mfa": "true"},
+        {"id": "arn:aws:iam::111:user/bob", "name": "bob",
+         "_ont_active": "true", "_ont_has_mfa": "false"},
+        {"id": "arn:aws:iam::111:user/carol", "name": "carol",
+         "_ont_active": "false"},  # inactive: not an MFA finding
+    ]), 1)
+    store.merge_nodes(nodes("AWSRole", [
+        {"id": "arn:aws:iam::111:role/internal"},
+        {"id": "arn:aws:iam::111:role/xacct"},
+    ]), 1)
+    store.merge_edges(edges([
+        ("AWSRole", "arn:aws:iam::111:role/internal", "TRUSTS_AWS_PRINCIPAL",
+         "AWSPrincipal", "arn:aws:iam::111:root"),
+        ("AWSRole", "arn:aws:iam::111:role/xacct", "TRUSTS_AWS_PRINCIPAL",
+         "AWSPrincipal", "arn:aws:iam::999:root"),
+    ]), 1)
+    store.merge_nodes(nodes("User", [
+        {"id": "dana@corp.io", "active": "false"},
+        {"id": "erin@corp.io", "active": "true"},
+    ]), 1)
+    store.merge_nodes(nodes("OktaUser", [
+        {"id": "okta-1", "email": "dana@corp.io"},
+        {"id": "okta-2", "email": "erin@corp.io"},
+        {"id": "okta-3", "email": "ghost@corp.io"},  # unmanaged
+    ]), 1)
+    store.merge_edges(edges([
+        ("User", "dana@corp.io", "HAS_ACCOUNT", "OktaUser", "okta-1"),
+        ("User", "erin@corp.io", "HAS_ACCOUNT", "OktaUser", "okta-2"),
+    ]), 1)
+    store.merge_nodes(nodes("GitHubRepository", [
+        {"id": "https://github.com/x/protected", "name": "protected"},
+        {"id": "https://github.com/x/open", "name": "open"},
+        {"id": "https://github.com/x/old", "name": "old", "archived": "true"},
+    ]), 1)
+    store.merge_nodes(nodes("GitHubBranchProtectionRule", [
+        {"id": "BPR1", "repo_url": "https://github.com/x/protected",
+         "pattern": "main", "allows_force_pushes": "false",
+         "allows_deletions": "false", "requires_approving_reviews": "true"},
+        {"id": "BPR2", "repo_url": "https://github.com/x/protected",
+         "pattern": "release/*", "allows_force_pushes": "true",
+         "requires_approving_reviews": "true"},
+    ]), 1)
+    store.merge_edges(edges([
+        ("GitHubRepository", "https://github.com/x/protected", "HAS_RULE",
+         "GitHubBranchProtectionRule", "BPR1"),
+        ("GitHubRepository", "https://github.com/x/protected", "HAS_RULE",
+         "GitHubBranchProtectionRule", "BPR2"),
+    ]), 1)
+    store.merge_nodes(nodes("GitHubDependency", [
+        {"id": "react|18.2.0", "version_confidence": "exact"},
+        {"id": "lodash", "version_confidence": "unknown"},
+    ]), 1)
+    store.merge_edges(edges([
+        ("GitHubRepository", "https://github.com/x/open", "REQUIRES",
+         "GitHubDependency", "react|18.2.0"),
+        ("GitHubRepository", "https://github.com/x/open", "REQUIRES",
+         "GitHubDependency", "lodash"),
+    ]), 1)
+    store.merge_nodes(nodes("Device", [
+        {"id": "SER-1", "hostname": "covered"},
+        {"id": "SER-2", "hostname": "dark"},
+    ]), 1)
+    store.merge_nodes(nodes("CrowdstrikeHost", [{"id": "cs-1"}]), 1)
+    store.merge_edges(edges([
+        ("Device", "SER-1", "OBSERVED_AS", "CrowdstrikeHost", "cs-1"),
+    ]), 1)
+    return store
+
+
+def _ids(res, field):
+    return {r[field] for r in res["findings"].collect()}
+
+
+def test_mfa_missing_fact(posture_store):
+    from cartography_spark.plans.rules import MFA_MISSING
+
+    res = run_fact(posture_store, MFA_MISSING)
+    assert _ids(res, "user_arn") == {"arn:aws:iam::111:user/bob"}
+    assert res["total"] == 3
+
+
+def test_inactive_user_active_accounts_fact(posture_store):
+    from cartography_spark.plans.rules import INACTIVE_USER_ACTIVE_ACCOUNTS
+
+    res = run_fact(posture_store, INACTIVE_USER_ACTIVE_ACCOUNTS)
+    assert _ids(res, "user_email") == {"dana@corp.io"}
+
+
+def test_unmanaged_accounts_fact(posture_store):
+    from cartography_spark.plans.rules import UNMANAGED_ACCOUNTS
+
+    res = run_fact(posture_store, UNMANAGED_ACCOUNTS)
+    assert _ids(res, "account_id") == {"okta-3"}
+
+
+def test_external_account_trust_fact(posture_store):
+    from cartography_spark.plans.rules import EXTERNAL_ACCOUNT_TRUST
+
+    res = run_fact(posture_store, EXTERNAL_ACCOUNT_TRUST)
+    assert _ids(res, "role_arn") == {"arn:aws:iam::111:role/xacct"}
+
+
+def test_unpinned_dependencies_fact(posture_store):
+    from cartography_spark.plans.rules import UNPINNED_DEPENDENCIES
+
+    res = run_fact(posture_store, UNPINNED_DEPENDENCIES)
+    assert _ids(res, "dependency_id") == {"lodash"}
+
+
+def test_branch_protection_facts(posture_store):
+    from cartography_spark.plans.rules import (
+        MISSING_BRANCH_PROTECTION,
+        WEAK_BRANCH_PROTECTION,
+    )
+
+    res = run_fact(posture_store, MISSING_BRANCH_PROTECTION)
+    # archived repo exempt; protected repo has rules
+    assert _ids(res, "repo_url") == {"https://github.com/x/open"}
+    res = run_fact(posture_store, WEAK_BRANCH_PROTECTION)
+    assert _ids(res, "rule_id") == {"BPR2"}
+
+
+def test_unmonitored_devices_fact(posture_store):
+    from cartography_spark.plans.rules import UNMONITORED_DEVICES
+
+    res = run_fact(posture_store, UNMONITORED_DEVICES)
+    assert _ids(res, "serial_number") == {"SER-2"}
+
+
+def test_all_rules_list_and_framework_filter():
+    from cartography_spark.plans.rules import (
+        ALL_RULES,
+        filter_rules_by_framework,
+    )
+
+    ids = {r.id for r in ALL_RULES}
+    assert {"cicd_supply_chain", "trust_concentration", "identity_hygiene",
+            "code_platform_hardening", "endpoint_visibility"} <= ids
+    slsa = filter_rules_by_framework(ALL_RULES, "slsa")
+    assert {r.id for r in slsa} == {"cicd_supply_chain", "code_platform_hardening"}
+    cis = filter_rules_by_framework(ALL_RULES, "cis-identity")
+    assert {r.id for r in cis} == {"identity_hygiene"}

@@ -1,0 +1,284 @@
+"""Okta provider: users + groups payloads → typed triples.
+
+Mirrors the reference's Okta intel module over the SDK payload shapes:
+
+* **Users** (``intel/okta/users.py:81-249``): ``OktaUser`` nodes with
+  the ``UserAccount`` extra label, profile fields + SDK timestamps
+  reformatted ``%m/%d/%Y, %H:%M:%S`` (``transform_okta_user``),
+  ontology projection ``_ont_email/_ont_firstname/_ont_lastname/
+  _ont_lastactivity/_ont_source='okta'`` stamped at load
+  (``users.py:186-192``), an ``OktaOrganization``-``RESOURCE`` edge per
+  user, and a ``Human`` node per email with ``IDENTITY_OKTA``
+  (``users.py:196-201``).
+* **Groups** (``intel/okta/groups.py:133-290``): ``OktaGroup`` nodes
+  (profile fields incl. AD-sourced dn/samAccountName), org ``RESOURCE``
+  edges, group-member user upserts and
+  ``(user)-[:MEMBER_OF_OKTA_GROUP]->(group)`` edges.
+
+Execution shape: ``from_json`` + ``explode`` column expressions only —
+zero Python in the transform. Edges are stamped
+``sub_resource = (OktaOrganization, org_id)`` so org-scoped GC sweeps
+stale users/groups exactly like the reference's cleanup jobs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_PROFILE = (
+    "profile:struct<login:string, email:string, secondEmail:string, "
+    "firstName:string, lastName:string, name:string, description:string, "
+    "samAccountName:string, dn:string, windowsDomainQualifiedName:string, "
+    "externalId:string>"
+)
+USER_STRUCT = (
+    "array<struct<id:string, created:string, activated:string, "
+    "statusChanged:string, lastLogin:string, lastUpdated:string, "
+    "passwordChanged:string, transitioningToStatus:string, " + _PROFILE + ">>"
+)
+GROUPS_STRUCT = (
+    "struct<groups: array<struct<id:string, " + _PROFILE + ">>, "
+    "members: map<string, " + USER_STRUCT + ">>"
+)
+
+_NODE_DDL_COLS = (
+    "label", "id", "lastupdated", "content_sha256", "extra_labels", "props",
+)
+
+
+def _okta_ts(col: Column) -> Column:
+    """SDK datetime → the reference's ``%m/%d/%Y, %H:%M:%S`` string
+    (``transform_okta_user``'s strftime)."""
+    return F.date_format(F.to_timestamp(col), "MM/dd/yyyy, HH:mm:ss")
+
+
+def _user_props(u: Column) -> Column:
+    entries: list[Column] = []
+
+    def put(k: str, v: Column) -> None:
+        entries.append(F.lit(k))
+        entries.append(v)
+
+    put("first_name", u["profile"]["firstName"])
+    put("last_name", u["profile"]["lastName"])
+    put("login", u["profile"]["login"])
+    put("email", u["profile"]["email"])
+    put("second_email", u["profile"]["secondEmail"])
+    put("created", _okta_ts(u["created"]))
+    put("activated", _okta_ts(u["activated"]))
+    put("status_changed", _okta_ts(u["statusChanged"]))
+    put("last_login", _okta_ts(u["lastLogin"]))
+    put("okta_last_updated", _okta_ts(u["lastUpdated"]))
+    put("password_changed", _okta_ts(u["passwordChanged"]))
+    put("transition_to_status", u["transitioningToStatus"])
+    # ontology projection stamped at load (users.py:186-192)
+    put("_ont_email", u["profile"]["email"])
+    put("_ont_firstname", u["profile"]["firstName"])
+    put("_ont_lastname", u["profile"]["lastName"])
+    put("_ont_lastactivity", _okta_ts(u["lastLogin"]))
+    put("_ont_source", F.lit("okta"))
+    return F.map_filter(
+        F.map_from_arrays(F.array(*entries[0::2]), F.array(*entries[1::2])),
+        lambda _k, v: v.isNotNull(),
+    )
+
+
+def _shape_nodes(df: DataFrame, update_tag: int, extra=None) -> DataFrame:
+    return df.select(
+        "label",
+        "id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        (extra if extra is not None else F.lit(None).cast("array<string>"))
+        .alias("extra_labels"),
+        "props",
+    )
+
+
+def _shape_edges(df: DataFrame, update_tag: int) -> DataFrame:
+    return df.select(
+        "src_label", "src_id", "rel_label", "dst_label", "dst_id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit("OktaOrganization").alias("sub_resource_label"),
+        F.col("org_id").alias("sub_resource_id"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    ).dropDuplicates(["src_label", "src_id", "rel_label", "dst_label", "dst_id"])
+
+
+def _user_frames(
+    users: DataFrame, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """users: (org_id, u struct) → (nodes, edges) for the user family."""
+    user_nodes = _shape_nodes(
+        users.select(
+            F.lit("OktaUser").alias("label"),
+            F.col("u.id").alias("id"),
+            _user_props(F.col("u")).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+        extra=F.array(F.lit("UserAccount")),
+    )
+    humans = users.filter(F.col("u.profile.email").isNotNull())
+    human_nodes = _shape_nodes(
+        humans.select(
+            F.lit("Human").alias("label"),
+            F.col("u.profile.email").alias("id"),
+            F.create_map(F.lit("email"), F.col("u.profile.email")).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+    )
+    resource_edges = users.select(
+        "org_id",
+        F.lit("OktaOrganization").alias("src_label"),
+        F.col("org_id").alias("src_id"),
+        F.lit("RESOURCE").alias("rel_label"),
+        F.lit("OktaUser").alias("dst_label"),
+        F.col("u.id").alias("dst_id"),
+    )
+    identity_edges = humans.select(
+        "org_id",
+        F.lit("Human").alias("src_label"),
+        F.col("u.profile.email").alias("src_id"),
+        F.lit("IDENTITY_OKTA").alias("rel_label"),
+        F.lit("OktaUser").alias("dst_label"),
+        F.col("u.id").alias("dst_id"),
+    )
+    nodes = user_nodes.unionByName(human_nodes)
+    edges = _shape_edges(resource_edges.unionByName(identity_edges), update_tag)
+    return nodes, edges
+
+
+def transform_okta_users(
+    raw: DataFrame, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """``raw``: (org_id string, payload_json string) — a JSON array of
+    SDK-shaped user objects per row. Returns (nodes, edges)."""
+    users = raw.select(
+        "org_id", F.explode(F.from_json("payload_json", USER_STRUCT)).alias("u")
+    )
+    return _user_frames(users, update_tag)
+
+
+def transform_okta_groups(
+    raw: DataFrame, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """``raw``: (org_id string, payload_json string) with payload
+    ``{"groups": [...], "members": {group_id: [user objects]}}`` — the
+    collected per-group member pages. Returns (nodes, edges): OktaGroup
+    nodes, org RESOURCE edges, member OktaUser upserts and
+    MEMBER_OF_OKTA_GROUP edges."""
+    parsed = raw.select(
+        "org_id", F.from_json("payload_json", GROUPS_STRUCT).alias("p")
+    )
+    g = parsed.select("org_id", F.explode("p.groups").alias("g"))
+    group_props = F.map_filter(
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k in (
+                "name", "description", "sam_account_name", "dn",
+                "windows_domain_qualified_name", "external_id",
+            )]),
+            F.array(
+                F.col("g.profile.name"), F.col("g.profile.description"),
+                F.col("g.profile.samAccountName"), F.col("g.profile.dn"),
+                F.col("g.profile.windowsDomainQualifiedName"),
+                F.col("g.profile.externalId"),
+            ),
+        ),
+        lambda _k, v: v.isNotNull(),
+    )
+    group_nodes = _shape_nodes(
+        g.select(
+            F.lit("OktaGroup").alias("label"),
+            F.col("g.id").alias("id"),
+            group_props.alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+    )
+    resource_edges = g.select(
+        "org_id",
+        F.lit("OktaOrganization").alias("src_label"),
+        F.col("org_id").alias("src_id"),
+        F.lit("RESOURCE").alias("rel_label"),
+        F.lit("OktaGroup").alias("dst_label"),
+        F.col("g.id").alias("dst_id"),
+    )
+
+    members = parsed.select(
+        "org_id", F.explode("p.members").alias("group_id", "users")
+    ).select("org_id", "group_id", F.explode("users").alias("u"))
+    member_nodes, member_edges = _user_frames(members, update_tag)
+    member_of = members.select(
+        "org_id",
+        F.lit("OktaUser").alias("src_label"),
+        F.col("u.id").alias("src_id"),
+        F.lit("MEMBER_OF_OKTA_GROUP").alias("rel_label"),
+        F.lit("OktaGroup").alias("dst_label"),
+        F.col("group_id").alias("dst_id"),
+    )
+
+    nodes = group_nodes.unionByName(member_nodes).dropDuplicates(["label", "id"])
+    edges = member_edges.unionByName(
+        _shape_edges(resource_edges.unionByName(member_of), update_tag)
+    ).dropDuplicates(["src_label", "src_id", "rel_label", "dst_label", "dst_id"])
+    return nodes, edges
+
+
+def sync_okta(
+    store,
+    users_raw: DataFrame | None,
+    groups_raw: DataFrame | None,
+    org_id: str,
+    update_tag: int,
+) -> dict:
+    """users → groups → org-scoped GC (the reference's sync order;
+    cleanup = ``lastupdated <> tag`` within the org scope)."""
+    metrics: dict = {}
+    org_node = store.spark.createDataFrame(
+        [(org_id,)], "id string"
+    ).select(
+        F.lit("OktaOrganization").alias("label"), "id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        F.array(F.lit("Tenant")).alias("extra_labels"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    )
+    store.merge_nodes(org_node, update_tag, labels=["OktaOrganization"])
+    for name, raw, fn in (
+        ("users", users_raw, transform_okta_users),
+        ("groups", groups_raw, transform_okta_groups),
+    ):
+        if raw is None:
+            continue
+        nodes, edges = fn(raw, update_tag)
+        metrics[f"{name}_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics[f"{name}_edges"] = store.merge_edges(edges, update_tag)
+    # org-scoped GC: stale OktaUser/OktaGroup of this org vanish
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    org_rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label="OktaOrganization",
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("ORG_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    for label in ("OktaUser", "OktaGroup"):
+        if label in store.manifest["nodes"]:
+            schema = NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=org_rel,
+            )
+            metrics[f"gc_{label}"] = run_cleanup(
+                store, schema, update_tag, {"ORG_ID": org_id}
+            )
+    store.record_lineage("okta_sync", {"update_tag": update_tag, "org": org_id})
+    return metrics

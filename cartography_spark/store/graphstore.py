@@ -239,7 +239,9 @@ class GraphStore:
             for r in pair_rows:
                 cur = set(map(tuple, pairs.get(r["rel_label"], [])))
                 cur.add((r["src_label"], r["dst_label"]))
-                pairs[r["rel_label"]] = sorted(cur)
+                # store as lists — the JSON round-trip shape — so the
+                # in-memory and reloaded manifests compare equal
+                pairs[r["rel_label"]] = [list(t) for t in sorted(cur)]
 
     def _rels_touching_labels(self, labels: Iterable[str]) -> list[str]:
         """Rel partitions whose recorded endpoint-label pairs intersect

@@ -1,0 +1,91 @@
+"""Idempotent store-layout migrations (M4 twin).
+
+The reference ships ``intel/deprecated_indexes.py``: a
+backward-compatibility pass that detects a deprecated physical layout
+(the three-key MatchLink index whose trailing ``lastupdated`` churned
+every run and halved warm write throughput) and drops it, safely and
+idempotently, before syncs run. This module is the engine's analog for
+both backends:
+
+* **Parquet/manifest backend** — the manifest format evolves across
+  engine versions (``totals`` added in round 2, ``edge_pairs``
+  detach-discovery bounds in round 3). ``migrate_store`` upgrades a
+  legacy manifest in place: it bootstraps missing totals and backfills
+  endpoint-label pairs for edge partitions that predate pair recording
+  (one column-pruned distinct scan per missing partition, exactly
+  once — afterwards ``delete_nodes`` probes stay bounded). Re-running
+  is a no-op, mirroring ``CREATE INDEX IF NOT EXISTS`` race tolerance
+  (``client/core/tx.py:276-297``).
+* **Iceberg backend** — the churn-column lesson as DDL: a table whose
+  write sort order includes ``lastupdated`` (rewritten every run)
+  re-sorts every file on every sync for a key no predicate can seek
+  (the cleanup's ``lastupdated <> tag`` is not seekable —
+  ``deprecated_indexes.py:4-12``). ``drop_churn_sort_order_sql``
+  replaces it with the entity-key order the layout is supposed to
+  have. ``REPLACE`` semantics make it idempotent.
+"""
+
+from __future__ import annotations
+
+from cartography_spark.store.graphstore import GraphStore
+from cartography_spark.store.iceberg import IcebergTables
+
+MANIFEST_SCHEMA_VERSION = 2
+
+
+def migrate_store(store: GraphStore) -> dict:
+    """Upgrade a legacy manifest in place; returns what was applied.
+
+    Safe to run on every startup (the reference runs its index
+    migration as a normal sync stage): each step detects "already
+    migrated" and skips.
+    """
+    applied: dict = {"from_schema": store.manifest.get("manifest_schema", 1)}
+
+    # totals tracking (round-2 manifests): bootstrap from one count per
+    # table so write-side counters have a base to increment
+    if "totals" not in store.manifest:
+        with store._lock:
+            store.manifest["totals"] = {
+                "nodes": store.nodes().count() if store.manifest["nodes"] else 0,
+                "edges": store.edges().count() if store.manifest["edges"] else 0,
+            }
+        applied["totals_bootstrapped"] = dict(store.manifest["totals"])
+
+    # endpoint-label pairs (round-3 manifests): backfill partitions that
+    # predate pair recording — one 3-column distinct per MISSING
+    # partition, never re-scanned once recorded
+    pairs = store.manifest.setdefault("edge_pairs", {})
+    missing = [r for r in store.manifest["edges"] if r not in pairs]
+    if missing:
+        rows = (
+            store.edges(missing)
+            .select("rel_label", "src_label", "dst_label")
+            .distinct()
+            .collect()
+        )
+        store._record_edge_pairs(rows)
+        # an empty partition yields no rows; record it as known-empty so
+        # it stops counting as a legacy candidate
+        for rel in missing:
+            store.manifest["edge_pairs"].setdefault(rel, [])
+        applied["edge_pairs_backfilled"] = sorted(missing)
+
+    with store._lock:
+        store.manifest["manifest_schema"] = MANIFEST_SCHEMA_VERSION
+    store._save_manifest()
+    applied["to_schema"] = MANIFEST_SCHEMA_VERSION
+    store.record_lineage("migrate_store", applied)
+    return applied
+
+
+def drop_churn_sort_order_sql(tables: IcebergTables) -> list[str]:
+    """DDL replacing any write sort order that includes the churn
+    column with the entity-key order (``WRITE ORDERED BY`` REPLACEs the
+    whole order, so running this against an already-correct table is a
+    no-op in effect — the idempotency contract of the reference's
+    ``DROP INDEX IF EXISTS``)."""
+    return [
+        f"ALTER TABLE {tables.nodes} WRITE ORDERED BY (label, id)",
+        f"ALTER TABLE {tables.edges} WRITE ORDERED BY (rel_label, src_id)",
+    ]

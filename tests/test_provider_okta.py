@@ -1,0 +1,158 @@
+"""Okta provider parity: users + groups sync mirrored from the
+reference's ``tests/integration/cartography/intel/okta/test_users.py``
+and ``test_group.py`` assertions (node sets, UserAccount label,
+org RESOURCE scoping, MEMBER_OF_OKTA_GROUP pairs, stale-group GC)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.okta import (
+    sync_okta,
+    transform_okta_groups,
+    transform_okta_users,
+)
+
+ORG = "test-okta-org-id"
+TAG = 123456789
+
+
+def _user(uid, email, first, last):
+    return {
+        "id": uid,
+        "created": "2019-01-01T00:00:01",
+        "activated": "2019-01-01T00:00:01",
+        "statusChanged": "2019-01-01T00:00:01",
+        "lastLogin": "2019-01-01T00:00:01",
+        "lastUpdated": "2019-01-01T00:00:01",
+        "passwordChanged": "2019-01-01T00:00:01",
+        "transitioningToStatus": "transition",
+        "profile": {
+            "login": email, "email": email,
+            "firstName": first, "lastName": last,
+        },
+    }
+
+
+USERS = [
+    _user("user-001", "alice@example.com", "Alice", "Smith"),
+    _user("user-002", "bob@example.com", "Bob", "Johnson"),
+    _user("user-003", "charlie@example.com", "Charlie", "Brown"),
+]
+
+
+def _users_raw(spark):
+    return spark.createDataFrame(
+        [(ORG, json.dumps(USERS))], "org_id string, payload_json string"
+    )
+
+
+def _groups_raw(spark):
+    members = [
+        _user("OKTA_USER_ID_1", "jc@example.com", "Jeremy", "Clarkson"),
+        _user("OKTA_USER_ID_2", "jm@example.com", "James", "May"),
+        _user("OKTA_USER_ID_3", "rh@example.com", "Richard", "Hammond"),
+    ]
+    payload = {
+        "groups": [
+            {"id": "group-001", "profile": {"name": "Engineering",
+                                            "description": "eng"}},
+            {"id": "group-002", "profile": {"name": "Product",
+                                            "description": "prod"}},
+        ],
+        "members": {"group-001": members, "group-002": members},
+    }
+    return spark.createDataFrame(
+        [(ORG, json.dumps(payload))], "org_id string, payload_json string"
+    )
+
+
+def test_okta_users_parity(spark):
+    """test_users.py:70-105 — user tuples, UserAccount label, org
+    RESOURCE rels; plus the load statement's _ont_* projection and the
+    Human IDENTITY_OKTA identity edge (users.py:186-201)."""
+    nodes, edges = transform_okta_users(_users_raw(spark), TAG)
+    users = nodes.filter(F.col("label") == "OktaUser").collect()
+    got = {(r["id"], r["props"]["first_name"], r["props"]["last_name"],
+            r["props"]["email"]) for r in users}
+    assert got == {
+        ("user-001", "Alice", "Smith", "alice@example.com"),
+        ("user-002", "Bob", "Johnson", "bob@example.com"),
+        ("user-003", "Charlie", "Brown", "charlie@example.com"),
+    }
+    assert all("UserAccount" in (r["extra_labels"] or []) for r in users)
+    # strftime("%m/%d/%Y, %H:%M:%S") parity + ontology projection
+    one = {r["id"]: r["props"] for r in users}["user-001"]
+    assert one["created"] == "01/01/2019, 00:00:01"
+    assert one["_ont_email"] == "alice@example.com"
+    assert one["_ont_source"] == "okta"
+    assert one["_ont_lastactivity"] == "01/01/2019, 00:00:01"
+
+    rels = {(r["src_label"], r["src_id"], r["rel_label"], r["dst_id"])
+            for r in edges.collect()}
+    for uid in ("user-001", "user-002", "user-003"):
+        assert ("OktaOrganization", ORG, "RESOURCE", uid) in rels
+    assert ("Human", "alice@example.com", "IDENTITY_OKTA", "user-001") in rels
+    assert {r["id"] for r in nodes.filter(F.col("label") == "Human").collect()} == {
+        "alice@example.com", "bob@example.com", "charlie@example.com",
+    }
+    # org-scoped for GC
+    assert all(r["sub_resource_label"] == "OktaOrganization"
+               and r["sub_resource_id"] == ORG for r in edges.collect())
+
+
+def test_okta_groups_parity(spark):
+    """test_group.py:64-115 — group tuples, org RESOURCE, member users,
+    the full 3×2 MEMBER_OF_OKTA_GROUP pair set."""
+    nodes, edges = transform_okta_groups(_groups_raw(spark), TAG)
+    got_groups = {
+        (r["id"], r["props"]["name"])
+        for r in nodes.filter(F.col("label") == "OktaGroup").collect()
+    }
+    assert got_groups == {("group-001", "Engineering"), ("group-002", "Product")}
+    got_users = {
+        (r["id"], r["props"]["first_name"], r["props"]["last_name"])
+        for r in nodes.filter(F.col("label") == "OktaUser").collect()
+    }
+    assert got_users == {
+        ("OKTA_USER_ID_1", "Jeremy", "Clarkson"),
+        ("OKTA_USER_ID_2", "James", "May"),
+        ("OKTA_USER_ID_3", "Richard", "Hammond"),
+    }
+    rels = {(r["src_id"], r["rel_label"], r["dst_id"]) for r in edges.collect()}
+    assert (ORG, "RESOURCE", "group-001") in rels
+    assert (ORG, "RESOURCE", "group-002") in rels
+    member_pairs = {
+        (s, d) for s, r, d in rels if r == "MEMBER_OF_OKTA_GROUP"
+    }
+    assert len(member_pairs) == 6
+    for uid in ("OKTA_USER_ID_1", "OKTA_USER_ID_2", "OKTA_USER_ID_3"):
+        assert (uid, "group-001") in member_pairs
+        assert (uid, "group-002") in member_pairs
+
+
+def test_okta_sync_and_stale_group_cleanup(spark, tmp_store):
+    """test_group.py cleanup leg: a group present at T1 and absent at
+    T2 is swept by the org-scoped GC; users refreshed at T2 survive."""
+    s = tmp_store
+    sync_okta(s, _users_raw(spark), _groups_raw(spark), ORG, TAG)
+    assert {r["id"] for r in s.nodes(["OktaGroup"]).collect()} == {
+        "group-001", "group-002",
+    }
+    # T2: group-002 vanished from the payload
+    payload = {
+        "groups": [{"id": "group-001", "profile": {"name": "Engineering",
+                                                   "description": "eng"}}],
+        "members": {},
+    }
+    raw2 = spark.createDataFrame(
+        [(ORG, json.dumps(payload))], "org_id string, payload_json string"
+    )
+    sync_okta(s, _users_raw(spark), raw2, ORG, TAG + 1)
+    assert {r["id"] for r in s.nodes(["OktaGroup"]).collect()} == {"group-001"}
+    # refreshed users survive; firstseen preserved across the two runs
+    users = s.nodes(["OktaUser"]).collect()
+    assert {r["id"] for r in users} >= {"user-001", "user-002", "user-003"}
+    assert all(r["firstseen"] == TAG for r in users
+               if r["id"].startswith("user-"))

@@ -388,3 +388,77 @@ def test_detach_discovery_probes_only_touching_rel_partitions(spark, tmp_store):
     assert probe["probed_rels"] == ["MEMBER_OF"]  # SUPERSEDES never read
     # survivors intact
     assert {r["src_id"] for r in s.edges(["SUPERSEDES"]).collect()} == {"p1"}
+
+
+def test_migrate_store_backfills_legacy_manifest(spark, tmp_store):
+    """M4 twin: a manifest predating totals/edge_pairs upgrades in
+    place, idempotently; afterwards detach discovery is bounded."""
+    from pyspark.sql import functions as F
+
+    from cartography_spark.store.migrations import (
+        MANIFEST_SCHEMA_VERSION,
+        migrate_store,
+    )
+
+    s = tmp_store
+
+    def nodes(label, ids):
+        return spark.createDataFrame([(i,) for i in ids], "id string").select(
+            F.lit(label).alias("label"), "id",
+            F.lit(1).cast("long").alias("lastupdated"),
+            F.lit(None).cast("string").alias("content_sha256"),
+            F.lit(None).cast("array<string>").alias("extra_labels"),
+            F.lit(None).cast("map<string,string>").alias("props"),
+        )
+
+    def edges(rows):
+        df = spark.createDataFrame(
+            rows, "src_label string, src_id string, rel_label string, "
+                  "dst_label string, dst_id string",
+        )
+        return df.select(
+            *df.columns,
+            F.lit(1).cast("long").alias("lastupdated"),
+            F.lit(None).cast("string").alias("sub_resource_label"),
+            F.lit(None).cast("string").alias("sub_resource_id"),
+            F.lit(None).cast("map<string,string>").alias("props"),
+        )
+
+    s.merge_nodes(nodes("A", ["a1"]), 1)
+    s.merge_nodes(nodes("B", ["b1"]), 1)
+    s.merge_edges(edges([("A", "a1", "LINKS", "B", "b1")]), 1)
+
+    # simulate a legacy (pre-round-3) manifest
+    with s._lock:
+        s.manifest.pop("edge_pairs", None)
+        s.manifest.pop("totals", None)
+        s.manifest.pop("manifest_schema", None)
+        s._save_manifest()
+
+    applied = migrate_store(s)
+    assert applied["from_schema"] == 1
+    assert applied["to_schema"] == MANIFEST_SCHEMA_VERSION
+    assert applied["edge_pairs_backfilled"] == ["LINKS"]
+    assert s.manifest["edge_pairs"]["LINKS"] == [["A", "B"]]
+    assert s.manifest["totals"] == {"nodes": 2, "edges": 1}
+
+    # idempotent: second run applies nothing
+    again = migrate_store(s)
+    assert "edge_pairs_backfilled" not in again
+    assert "totals_bootstrapped" not in again
+
+    # bounded detach works off the backfilled pairs
+    assert s._rels_touching_labels(["A"]) == ["LINKS"]
+    assert s._rels_touching_labels(["C"]) == []
+
+
+def test_drop_churn_sort_order_sql():
+    from cartography_spark.store.iceberg import IcebergTables
+    from cartography_spark.store.migrations import drop_churn_sort_order_sql
+
+    sqls = drop_churn_sort_order_sql(IcebergTables("cat.kg.nodes", "cat.kg.edges"))
+    assert sqls == [
+        "ALTER TABLE cat.kg.nodes WRITE ORDERED BY (label, id)",
+        "ALTER TABLE cat.kg.edges WRITE ORDERED BY (rel_label, src_id)",
+    ]
+    assert not any("lastupdated" in s for s in sqls)  # never the churn column

@@ -510,6 +510,22 @@ def q_ann_bruteforce(spark, sf_dir):
     )
 
 
+def q_ann_batch_knn(spark, sf_dir):
+    """Batch kNN: many query vectors at once, top-5 each — the
+    per-query PARTITIONED window (never a global single-partition sort:
+    each query's ranking shuffles to its own partition, so the plan
+    scales with |queries| × |corpus| work spread over the cluster; the
+    round-2 note on q_ann_bruteforce's global window, resolved)."""
+    scored = _cosine_pairs(spark, sf_dir, F.col("vec_id") < 8)
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(F.col("q_id").alias("query_id"), "rank", "vec_id", "label")
+        .orderBy("query_id", "rank")
+    )
+
+
 def q_ann_ivf_bucketed(spark, sf_dir):
     """IVF-style scale path: the label column is the coarse partition;
     top-3 neighbors of each partition's anchor (min vec_id) searched
@@ -978,6 +994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_quality": q_text_quality,
         "q_lang_id": q_lang_id,
         "q_ann_bruteforce": q_ann_bruteforce,
+        "q_ann_batch_knn": q_ann_batch_knn,
         "q_ann_ivf_bucketed": q_ann_ivf_bucketed,
         "q_token_classes": q_token_classes,
         "q_rolling_shingle_fingerprint": q_rolling_shingle_fingerprint,
@@ -1318,6 +1335,19 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'en' ELSE 'xx' END AS pred_lang
             FROM documents d JOIN s ON d.doc_id = s.doc_id
             ORDER BY d.doc_id
+        """,
+        "q_ann_batch_knn": f"""
+            WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
+                       FROM embeddings WHERE vec_id < 8),
+                 scored AS (
+                   SELECT q.q_id, e.vec_id, e.label, {cos_expr} AS cos
+                   FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id)
+            SELECT query_id, rank, vec_id, label FROM (
+              SELECT q_id AS query_id, vec_id, label,
+                     row_number() OVER (PARTITION BY q_id
+                                        ORDER BY cos DESC, vec_id) AS rank
+              FROM scored)
+            WHERE rank <= 5 ORDER BY query_id, rank
         """,
         "q_ann_bruteforce": f"""
             WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb

@@ -66,6 +66,7 @@ HEADLINE = [
     "q_lang_id",
     "q_ann_bruteforce",
     "q_ann_ivf_bucketed",
+    "q_ann_batch_knn",
     "q_token_classes",
     "q_rolling_shingle_fingerprint",
     "q_embedding_near_dup",

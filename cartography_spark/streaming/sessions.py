@@ -132,17 +132,27 @@ def sessionize_batch(
     gap_us = gap_seconds * 1_000_000
 
     def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        # vectorized equivalent of split_runs (diff > gap starts a new
+        # run — the strict-inequality semantics are asserted equal to
+        # split_runs in tests); a per-row python loop here was the one
+        # non-vectorized spot in the batch path
+        pdf = pdf.sort_values(["ts", "value"], kind="mergesort")
         ts_us = (pdf["ts"].astype("int64") // 1000).astype("int64")
-        closed, cur = split_runs(list(zip(ts_us.tolist(), pdf["value"].tolist())), gap_us)
-        if cur is not None:
-            closed.append(cur)
-        key = pdf["key"].iloc[0]
+        sid = (ts_us.diff() > gap_us).cumsum()
+        grouped = pd.DataFrame(
+            {"__sid": sid.values, "__ts": ts_us.values,
+             "value": pdf["value"].values}
+        ).groupby("__sid")
+        agg = grouped.agg(
+            start=("__ts", "min"), end=("__ts", "max"),
+            n=("__ts", "size"), total=("value", "sum"),
+        )
         return pd.DataFrame({
-            "key": [key] * len(closed),
-            "session_start": [pd.Timestamp(s[0], unit="us") for s in closed],
-            "session_end": [pd.Timestamp(s[1], unit="us") for s in closed],
-            "n_events": [s[2] for s in closed],
-            "sum_value": [s[3] for s in closed],
+            "key": [pdf["key"].iloc[0]] * len(agg),
+            "session_start": pd.to_datetime(agg["start"], unit="us"),
+            "session_end": pd.to_datetime(agg["end"], unit="us"),
+            "n_events": agg["n"].astype("int64"),
+            "sum_value": agg["total"].astype("float64"),
         })
 
     return (

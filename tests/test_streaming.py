@@ -149,3 +149,35 @@ def test_stateful_sessionization(spark, tmp_path):
     # the watermark past their end+gap; C itself stays open (nothing
     # ever advances the watermark past 12:30)
     assert got == {("A", 2, 3.0), ("A", 1, 7.0), ("B", 1, 5.0)}
+
+
+def test_batch_sessionize_matches_split_runs(spark):
+    """The vectorized batch twin and the streaming operator's
+    split_runs produce identical sessions on the same points —
+    strict-inequality gap semantics asserted equal."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from cartography_spark.streaming.sessions import sessionize_batch, split_runs
+
+    rng = random.Random(7)
+    gap = 60
+    rows, t = [], 1_700_000_000_000_000  # us
+    for _ in range(300):
+        t += rng.choice([1_000_000, 30_000_000, 61_000_000, 120_000_000])
+        rows.append(("k1", t, round(rng.random() * 10, 2)))
+    df = spark.createDataFrame(rows, "key string, ts_us long, value double").select(
+        "key", F.timestamp_micros(F.col("ts_us")).alias("ts"), "value"
+    )
+    got = {
+        (int(r["session_start"].timestamp() * 1_000_000),
+         int(r["session_end"].timestamp() * 1_000_000),
+         r["n_events"], round(r["sum_value"], 6))
+        for r in sessionize_batch(df, gap_seconds=gap).collect()
+    }
+    closed, cur = split_runs([(ts, v) for _, ts, v in rows], gap * 1_000_000)
+    if cur is not None:
+        closed.append(cur)
+    expected = {(s[0], s[1], s[2], round(s[3], 6)) for s in closed}
+    assert got == expected

@@ -86,9 +86,17 @@ print("SCALERESULT " + json.dumps({{
 
 def run_level(cores: int, n_repos: int) -> dict:
     script = JOB.format(repo=REPO)
+    cmd = [sys.executable, "-c", script, str(cores), str(n_repos)]
+    if os.environ.get("SPARK_GRAFT_SCALING_PIN", "0") == "1":
+        # pin the ENTIRE process tree (JVM + pyspark sidecar workers) to
+        # exactly `cores` CPUs — local[N] bounds only JVM task slots, so
+        # without pinning the low-N level silently borrows sidecar cores
+        # (measured: local[2] burns ~2.9 effective cores) and wall-clock
+        # efficiency under-credits the high-N level. Pinned, "N cores"
+        # means N cores for the whole stack, like a real N-core executor.
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, "-c", script, str(cores), str(n_repos)],
-        capture_output=True, text=True, timeout=3600,
+        cmd, capture_output=True, text=True, timeout=3600,
     )
     for line in out.stdout.splitlines():
         if line.startswith("SCALERESULT "):

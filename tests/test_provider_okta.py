@@ -156,3 +156,49 @@ def test_okta_sync_and_stale_group_cleanup(spark, tmp_store):
     assert {r["id"] for r in users} >= {"user-001", "user-002", "user-003"}
     assert all(r["firstseen"] == TAG for r in users
                if r["id"].startswith("user-"))
+
+
+def test_okta_feeds_ontology_users(spark, tmp_store):
+    """End-to-end N3 integration: the Okta sync's UserAccount nodes
+    (with their _ont_* projection fields) feed the canonical users
+    stage — Users minted per email, HAS_ACCOUNT linked back."""
+    from cartography_spark.functions.ontology import (
+        OntologyFieldMapping,
+        OntologyNodeMapping,
+    )
+    from cartography_spark.plans.ontology_users import (
+        UserSource,
+        sync_ontology_users,
+        user_has_account_job,
+    )
+
+    s = tmp_store
+    sync_okta(s, _users_raw(spark), None, ORG, TAG)
+    mapping = OntologyNodeMapping(
+        node_label="User",
+        fields=(
+            OntologyFieldMapping("email", "email", required=True),
+            OntologyFieldMapping("firstname", "first_name"),
+            OntologyFieldMapping("lastname", "last_name"),
+        ),
+    )
+    sync_ontology_users(
+        s,
+        (UserSource("OktaUser", mapping),),
+        TAG,
+        linking_jobs=(user_has_account_job("OktaUser"),),
+    )
+    users = {r["id"]: r["props"] for r in s.nodes(["User"]).collect()}
+    assert set(users) == {
+        "alice@example.com", "bob@example.com", "charlie@example.com",
+    }
+    assert users["alice@example.com"]["firstname"] == "Alice"
+    has_acct = {
+        (r["src_id"], r["dst_id"])
+        for r in s.edges(["HAS_ACCOUNT"]).collect()
+    }
+    assert has_acct == {
+        ("alice@example.com", "user-001"),
+        ("bob@example.com", "user-002"),
+        ("charlie@example.com", "user-003"),
+    }

@@ -278,14 +278,17 @@ def run_pipeline(
         # parquet — saves the merge a second full evaluation of the
         # window-deduped batch plan just to learn its partition list
         vocab = (
-            facts.select(
-                F.coalesce(F.col("pred"), F.concat(F.lit("\0"), F.col("subj_label"))).alias("k")
-            )
-            .distinct()
-            .collect()
+            facts.select("pred", "subj_label", "obj_label").distinct().collect()
         )
-        node_labels = sorted(r[0][1:] for r in vocab if r[0].startswith("\0"))
-        edge_rels = sorted(r[0] for r in vocab if not r[0].startswith("\0"))
+        node_labels = sorted({r["subj_label"] for r in vocab if r["pred"] is None})
+        edge_rels = sorted({r["pred"] for r in vocab if r["pred"] is not None})
+        # endpoint-label pairs ride the same vocab scan — merge_edges
+        # records them without re-evaluating the batch plan
+        edge_pairs = sorted({
+            (r["pred"], r["subj_label"], r["obj_label"])
+            for r in vocab
+            if r["pred"] is not None
+        })
         # the node and edge merges touch disjoint tables: submit them
         # from two driver threads so Spark schedules their jobs
         # concurrently (FIFO within the shared core pool) — the tail of
@@ -298,7 +301,11 @@ def run_pipeline(
                 store.merge_nodes, facts_to_node_batch(facts, tag), tag, node_labels
             )
             edges_f = pool.submit(
-                store.merge_edges, facts_to_edge_batch(facts, tag), tag, edge_rels
+                store.merge_edges,
+                facts_to_edge_batch(facts, tag),
+                tag,
+                edge_rels,
+                edge_pairs,
             )
             node_counts = nodes_f.result()
             edge_counts = edges_f.result()

@@ -377,21 +377,34 @@ class GraphStore:
         batch: DataFrame,
         update_tag: int,
         rels: list[str] | None = None,
+        pairs: Iterable[tuple[str, str, str]] | None = None,
     ) -> dict[str, dict[str, int]]:
         """Upsert an edge batch keyed on the 5-tuple.
 
         ``sub_resource_*`` follow the last writer (an edge shared by
         several tenants tracks whoever loaded it last —
         ``querybuilder.py:1714-1719``), which scopes MatchLink GC.
+
+        ``pairs``: the batch's distinct (rel_label, src_label,
+        dst_label) triples when the caller already knows them (e.g. the
+        pipeline derives them from its column-pruned vocab scan) —
+        skips re-evaluating the batch plan for a 3-column distinct.
         """
-        # endpoint-label pairs per rel partition, recorded at write time
-        # (one small 3-column distinct over the batch): delete_nodes'
-        # detach discovery probes only partitions whose recorded pairs
-        # can contain a stale label, instead of semi-joining EVERY edge
-        # partition per GC pass
-        pair_rows = (
-            batch.select("rel_label", "src_label", "dst_label").distinct().collect()
-        )
+        # endpoint-label pairs per rel partition, recorded at write time:
+        # delete_nodes' detach discovery probes only partitions whose
+        # recorded pairs can contain a stale label, instead of
+        # semi-joining EVERY edge partition per GC pass
+        if pairs is not None:
+            pair_rows = [
+                {"rel_label": r, "src_label": s, "dst_label": d}
+                for r, s, d in pairs
+            ]
+        else:
+            pair_rows = (
+                batch.select("rel_label", "src_label", "dst_label")
+                .distinct()
+                .collect()
+            )
         if rels is None:
             rels = sorted({r["rel_label"] for r in pair_rows})
         if not rels:

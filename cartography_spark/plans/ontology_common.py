@@ -67,6 +67,8 @@ def merge_with_precedence(frames: Sequence[DataFrame], key: str) -> DataFrame:
     for f in tagged[1:]:
         union = union.unionByName(f, allowMissingColumns=True)
     value_cols = [c for c in union.columns if c not in (key, "__priority")]
+    if not value_cols:  # key-only projection: precedence is moot
+        return union.select(key).distinct()
     return union.groupBy(key).agg(
         *[
             F.min_by(

@@ -1,0 +1,275 @@
+"""Ontology network stages: DNS-record linking + canonical PublicIPs.
+
+Closes the last two N3 canonical stages:
+
+* **DNS records** (``intel/ontology/dnsrecords.py`` +
+  ``analysis/ontology/analysis.py:173-260`` DNS_RECORD_LINKING_JOBS):
+  nodes carrying the ``DNSRecord`` label link ``DNS_POINTS_TO`` targets
+  whose hostname-ish property equals the record's normalized
+  ``_ont_value`` (case-insensitive), with per-target extra-label
+  exclusion filters (e.g. an AWSDNSRecord must not self-link to the
+  load balancer its own zone already references); ``GCPRecordSet``
+  rows carry a multi-value ``data`` array and link per element; the
+  Kubernetes-ingress rule matches ``_ont_name`` against the ingress's
+  ``host_names`` array (explode + equi-join — never a per-pair scan).
+* **Public IPs** (``intel/ontology/publicips.py`` +
+  ``PUBLIC_IP_POINTS_TO_DEVICE``): provider IP resources project to
+  canonical ``PublicIP`` nodes (id = ip_address), then link
+  ``POINTS_TO`` canonical Devices through the EDR host whose
+  ``external_ip`` matches; unscoped GC.
+
+Scale shape: every link is an equi-join on a lowered hostname / IP
+string — broadcast-eligible dims, shuffles keyed on the join value.
+The DNSRecord side is a cross-label scan by definition (the label is an
+ontology extra label, not a partition), mirroring the reference's
+``MATCH (dns:DNSRecord)``; columns are pruned to id/value.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from cartography_spark.plans.analysis import (
+    AddRelationship,
+    AnalysisJob,
+    run_analysis_job,
+)
+from cartography_spark.plans.ontology_common import (
+    extract_source_nodes,
+    merge_with_precedence,
+    scalar_props_map,
+)
+from cartography_spark.store.graphstore import GraphStore
+
+# (target_label, target_property, excluded DNSRecord extra labels) —
+# analysis/ontology/analysis.py:193-215 DNS_RECORD_TARGETS
+DNS_RECORD_TARGETS: tuple[tuple[str, str, tuple[str, ...]], ...] = (
+    ("AWSLoadBalancerV2", "dnsname", ("AWSDNSRecord", "GCPRecordSet")),
+    ("AWSLoadBalancer", "dnsname", ("AWSDNSRecord", "GCPRecordSet")),
+    ("AWSCloudFrontDistribution", "domain_name", ("GCPRecordSet",)),
+    ("AWSEC2Instance", "publicdnsname", ("AWSDNSRecord", "GCPRecordSet")),
+    ("GCPInstance", "hostname", ("GCPRecordSet",)),
+)
+
+
+def _labeled(nodes: DataFrame, label: str) -> DataFrame:
+    """Rows carrying ``label`` as primary OR extra label (the Cypher
+    ``(n:Label)`` test over our two-level label model)."""
+    return nodes.filter(
+        (F.col("label") == label)
+        | F.array_contains(F.coalesce("extra_labels", F.array()), label)
+    )
+
+
+def _not_labeled(df: DataFrame, excluded: Sequence[str]) -> DataFrame:
+    for lbl in excluded:
+        df = df.filter(
+            (F.col("label") != lbl)
+            & ~F.array_contains(F.coalesce("extra_labels", F.array()), lbl)
+        )
+    return df
+
+
+def dns_points_to_job(
+    target_label: str,
+    target_property: str,
+    excluded: tuple[str, ...] = (),
+) -> AnalysisJob:
+    """One DNS_RECORD_TARGETS rule: scalar ``_ont_value`` leg unioned
+    with the GCPRecordSet multi-value ``data`` leg, both equi-joined on
+    the lowered hostname."""
+
+    def match(store: GraphStore) -> DataFrame:
+        all_nodes = store.nodes()
+        dns = _not_labeled(_labeled(all_nodes, "DNSRecord"), excluded).select(
+            "label",
+            "id",
+            F.lower(F.element_at("props", "_ont_value")).alias("__host"),
+        ).filter(F.col("__host").isNotNull())
+        gcp = _labeled(all_nodes, "GCPRecordSet").select(
+            "label",
+            "id",
+            F.explode(
+                F.from_json(F.element_at("props", "data"), "array<string>")
+            ).alias("__host"),
+        ).withColumn("__host", F.lower("__host"))
+        records = dns.unionByName(gcp).dropDuplicates(["label", "id", "__host"])
+        targets = store.nodes([target_label]).select(
+            F.col("label").alias("tgt_label"),
+            F.col("id").alias("tgt_id"),
+            F.lower(F.element_at("props", target_property)).alias("__host"),
+        ).filter(F.col("__host").isNotNull())
+        return records.join(targets, "__host").drop("__host")
+
+    return AnalysisJob(
+        name=f"ontology_dnsrecords_{target_label.lower()}",
+        match=match,
+        effects=(AddRelationship("DNS_POINTS_TO", "tgt_label", "tgt_id"),),
+    )
+
+
+def dns_to_kubernetes_ingress_job() -> AnalysisJob:
+    """``DNS_RECORD_TO_KUBERNETES_INGRESS``: ``dns._ont_name IN
+    ing.host_names`` — the array side explodes so the join is an
+    equi-join on hostname."""
+
+    def match(store: GraphStore) -> DataFrame:
+        dns = _labeled(store.nodes(), "DNSRecord").select(
+            "label",
+            "id",
+            F.element_at("props", "_ont_name").alias("__host"),
+        ).filter(F.col("__host").isNotNull())
+        if "KubernetesIngress" not in store.manifest["nodes"]:
+            return dns.filter(F.lit(False)).select(
+                "label", "id",
+                F.lit(None).cast("string").alias("tgt_label"),
+                F.lit(None).cast("string").alias("tgt_id"),
+            )
+        ingress = store.nodes(["KubernetesIngress"]).select(
+            F.col("label").alias("tgt_label"),
+            F.col("id").alias("tgt_id"),
+            F.explode(
+                F.from_json(F.element_at("props", "host_names"), "array<string>")
+            ).alias("__host"),
+        )
+        return dns.join(ingress, "__host").drop("__host")
+
+    return AnalysisJob(
+        name="ontology_dnsrecords_kubernetes_ingress",
+        match=match,
+        effects=(AddRelationship("DNS_POINTS_TO", "tgt_label", "tgt_id"),),
+    )
+
+
+def sync_ontology_dnsrecords(
+    store: GraphStore,
+    update_tag: int,
+    targets: Sequence[tuple[str, str, tuple[str, ...]]] = DNS_RECORD_TARGETS,
+) -> dict:
+    """``intel/ontology/dnsrecords.py:sync`` twin: run every linking
+    job (each carries its own generated cleanup of stale derived
+    edges)."""
+    metrics: dict = {}
+    jobs = [dns_to_kubernetes_ingress_job()] + [
+        dns_points_to_job(lbl, prop, excl) for lbl, prop, excl in targets
+    ]
+    for job in jobs:
+        metrics[job.name] = run_analysis_job(store, job, update_tag)
+    store.record_lineage("ontology_dnsrecords", {"update_tag": update_tag})
+    return metrics
+
+
+# -- public IPs ---------------------------------------------------------------
+
+# provider label → the prop carrying the public address
+# (mapping/data/publicips.py: aws/azure/scaleway families)
+DEFAULT_PUBLIC_IP_SOURCES: tuple[tuple[str, str], ...] = (
+    ("AWSElasticIPAddress", "public_ip"),
+    ("AzurePublicIPAddress", "ip_address"),
+    ("ScalewayFlexibleIp", "address"),
+)
+
+
+def load_public_ips(
+    store: GraphStore,
+    sources: Sequence[tuple[str, str]],
+    update_tag: int,
+) -> dict:
+    """Provider IP resources → canonical PublicIP nodes (id =
+    ip_address, Ontology extra label); rows without an address are
+    skipped (required field)."""
+    from cartography_spark.functions.ontology import (
+        OntologyFieldMapping,
+        OntologyNodeMapping,
+    )
+
+    frames = []
+    for label, field in sources:
+        if label not in store.manifest["nodes"]:
+            continue
+        mapping = OntologyNodeMapping(
+            node_label="PublicIP",
+            fields=(OntologyFieldMapping("ip_address", field, required=True),),
+        )
+        frames.append(extract_source_nodes(store, label, mapping))
+    if not frames:
+        return {}
+    merged = merge_with_precedence(frames, "ip_address")
+    version = F.when(F.col("ip_address").contains(":"), "6").otherwise("4")
+    batch = merged.select(
+        F.lit("PublicIP").alias("label"),
+        F.col("ip_address").alias("id"),
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        F.array(F.lit("Ontology")).alias("extra_labels"),
+        F.map_concat(
+            scalar_props_map(["ip_address"]),
+            F.create_map(F.lit("ip_version"), version),
+        ).alias("props"),
+    )
+    return store.merge_nodes(batch, update_tag, labels=["PublicIP"])
+
+
+def public_ip_points_to_device_job(
+    edr_label: str = "CrowdstrikeHost", ip_field: str = "external_ip"
+) -> AnalysisJob:
+    """``PUBLIC_IP_POINTS_TO_DEVICE``: (p:PublicIP), (host)<-
+    [:OBSERVED_AS]-(d:Device) WHERE host.external_ip = p.ip_address ⇒
+    p-POINTS_TO->d."""
+
+    def match(store: GraphStore) -> DataFrame:
+        ips = store.nodes(["PublicIP"]).select(
+            "label", "id", F.col("id").alias("__ip")
+        )
+        hosts = store.nodes([edr_label]).select(
+            F.col("id").alias("__prov_id"),
+            F.element_at("props", ip_field).alias("__ip"),
+        ).filter(F.col("__ip").isNotNull())
+        obs = (
+            store.edges(["OBSERVED_AS"])
+            .filter(
+                (F.col("src_label") == "Device") & (F.col("dst_label") == edr_label)
+            )
+            .select(
+                F.col("src_id").alias("__dev_id"),
+                F.col("dst_id").alias("__prov_id"),
+            )
+        )
+        return (
+            ips.join(hosts, "__ip")
+            .join(obs, "__prov_id")
+            .select(
+                "label", "id",
+                F.lit("Device").alias("dev_label"),
+                F.col("__dev_id").alias("dev_id"),
+            )
+        )
+
+    return AnalysisJob(
+        name="ontology_publicips_linking",
+        match=match,
+        effects=(AddRelationship("POINTS_TO", "dev_label", "dev_id"),),
+    )
+
+
+def sync_ontology_publicips(
+    store: GraphStore,
+    update_tag: int,
+    sources: Sequence[tuple[str, str]] = DEFAULT_PUBLIC_IP_SOURCES,
+) -> dict:
+    """``intel/ontology/publicips.py:sync`` twin: load canonical IPs,
+    link POINTS_TO devices, unscoped GC."""
+    metrics: dict = {"public_ips": load_public_ips(store, sources, update_tag)}
+    job = public_ip_points_to_device_job()
+    metrics[job.name] = run_analysis_job(store, job, update_tag)
+    if "PublicIP" in store.manifest["nodes"]:
+        stale = (
+            store.nodes(["PublicIP"])
+            .filter(F.col("lastupdated") != int(update_tag))
+            .select("label", "id")
+        )
+        metrics["gc"] = store.delete_nodes(stale, detach=True)
+    store.record_lineage("ontology_publicips", {"update_tag": update_tag})
+    return metrics

@@ -1,0 +1,153 @@
+"""Ontology DNS-record linking + canonical PublicIP stages (the last
+N3 stages), mirroring the reference's
+``analysis/ontology/analysis.py`` DNS_RECORD_LINKING_JOBS /
+PUBLIC_IP_POINTS_TO_DEVICE semantics and the
+``intel/ontology/{dnsrecords,publicips}.py`` sync shapes."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.plans.ontology_network import (
+    sync_ontology_dnsrecords,
+    sync_ontology_publicips,
+)
+
+TAG = 123456789
+
+
+def _nodes(spark, label, rows, extra=None, tag=TAG):
+    data = [(r.pop("id"), r) for r in [dict(r) for r in rows]]
+    return spark.createDataFrame(
+        data, "id string, props map<string,string>"
+    ).select(
+        F.lit(label).alias("label"), "id",
+        F.lit(tag).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        (F.array(*[F.lit(x) for x in extra]) if extra
+         else F.lit(None).cast("array<string>")).alias("extra_labels"),
+        F.map_filter(F.col("props"), lambda _k, v: v.isNotNull()).alias("props"),
+    )
+
+
+def _edges(spark, rows, tag=TAG):
+    df = spark.createDataFrame(
+        rows, "src_label string, src_id string, rel_label string, "
+              "dst_label string, dst_id string",
+    )
+    return df.select(
+        *df.columns,
+        F.lit(tag).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("sub_resource_label"),
+        F.lit(None).cast("string").alias("sub_resource_id"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    )
+
+
+def test_dns_record_linking(spark, tmp_store):
+    s = tmp_store
+    # a non-AWS DNS record pointing at an ELB hostname (case differs)
+    s.merge_nodes(_nodes(spark, "CloudflareDNSRecord", [
+        {"id": "rec-1", "_ont_value": "MyLB-123.Elb.Amazonaws.Com",
+         "_ont_name": "app.corp.io"},
+    ], extra=["DNSRecord"]), TAG)
+    # an AWS-owned record with the same value: the AWSLoadBalancerV2 /
+    # AWSEC2Instance rules EXCLUDE it (its own zone module already
+    # emits those edges — the reference's NOT dns:AWSDNSRecord filter)
+    s.merge_nodes(_nodes(spark, "AWSDNSRecord", [
+        {"id": "aws-rec", "_ont_value": "mylb-123.elb.amazonaws.com"},
+    ], extra=["DNSRecord"]), TAG)
+    # a GCP record set with a multi-value data array
+    s.merge_nodes(_nodes(spark, "GCPRecordSet", [
+        {"id": "rs-1", "data": json.dumps(["mylb-123.elb.amazonaws.com",
+                                           "35.1.2.3"])},
+    ], extra=["DNSRecord"]), TAG)
+    s.merge_nodes(_nodes(spark, "AWSLoadBalancerV2", [
+        {"id": "lb-1", "dnsname": "mylb-123.elb.amazonaws.com"},
+    ]), TAG)
+    # an EC2 instance the AWSDNSRecord must NOT link to (excluded:
+    # AWSDNSRecord is filtered out of the AWSEC2Instance rule)
+    s.merge_nodes(_nodes(spark, "AWSEC2Instance", [
+        {"id": "i-1", "publicdnsname": "mylb-123.elb.amazonaws.com"},
+    ]), TAG)
+    # ingress matched via _ont_name IN host_names
+    s.merge_nodes(_nodes(spark, "KubernetesIngress", [
+        {"id": "ing-1", "host_names": json.dumps(["app.corp.io", "x.corp.io"])},
+    ]), TAG)
+
+    sync_ontology_dnsrecords(s, TAG)
+    rels = {
+        (r["src_label"], r["src_id"], r["dst_label"], r["dst_id"])
+        for r in s.edges(["DNS_POINTS_TO"]).collect()
+    }
+    # case-insensitive scalar match + GCP multi-value match to the LB
+    assert ("CloudflareDNSRecord", "rec-1", "AWSLoadBalancerV2", "lb-1") in rels
+    assert ("GCPRecordSet", "rs-1", "AWSLoadBalancerV2", "lb-1") in rels
+    # exclusion filter: the AWS-owned record links to NOTHING here
+    assert not any(sl == "AWSDNSRecord" for sl, _, _, _ in rels)
+    # the GCP multi-value leg has no AWSDNSRecord exclusion: it reaches
+    # the EC2 instance too (matching the reference's second statement)
+    assert ("GCPRecordSet", "rs-1", "AWSEC2Instance", "i-1") in rels
+    # ingress rule via _ont_name array membership
+    assert ("CloudflareDNSRecord", "rec-1", "KubernetesIngress", "ing-1") in rels
+
+
+def test_dns_generated_cleanup_sweeps_unmatched(spark, tmp_store):
+    s = tmp_store
+    s.merge_nodes(_nodes(spark, "CloudflareDNSRecord", [
+        {"id": "rec-1", "_ont_value": "old.elb.amazonaws.com"},
+    ], extra=["DNSRecord"]), TAG)
+    s.merge_nodes(_nodes(spark, "AWSLoadBalancerV2", [
+        {"id": "lb-1", "dnsname": "old.elb.amazonaws.com"},
+    ]), TAG)
+    sync_ontology_dnsrecords(s, TAG)
+    assert s.edges(["DNS_POINTS_TO"]).count() == 1
+    # record re-pointed: derived edge must vanish on the next run
+    s.merge_nodes(_nodes(spark, "CloudflareDNSRecord", [
+        {"id": "rec-1", "_ont_value": "new.elb.amazonaws.com"},
+    ], extra=["DNSRecord"], tag=TAG + 1), TAG + 1)
+    sync_ontology_dnsrecords(s, TAG + 1)
+    assert s.edges(["DNS_POINTS_TO"]).count() == 0
+
+
+def test_public_ips_end_to_end(spark, tmp_store):
+    s = tmp_store
+    s.merge_nodes(_nodes(spark, "AWSElasticIPAddress", [
+        {"id": "eip-1", "public_ip": "54.1.2.3"},
+        {"id": "eip-2"},  # no address: skipped (required field)
+    ]), TAG)
+    s.merge_nodes(_nodes(spark, "AzurePublicIPAddress", [
+        {"id": "az-1", "ip_address": "2001:db8::1"},
+    ]), TAG)
+    s.merge_nodes(_nodes(spark, "Device", [{"id": "SER-1"}],
+                         extra=["Ontology"]), TAG)
+    s.merge_nodes(_nodes(spark, "CrowdstrikeHost", [
+        {"id": "cs-1", "external_ip": "54.1.2.3"},
+    ]), TAG)
+    s.merge_edges(_edges(spark, [
+        ("Device", "SER-1", "OBSERVED_AS", "CrowdstrikeHost", "cs-1"),
+    ]), TAG)
+
+    sync_ontology_publicips(s, TAG)
+    ips = {r["id"]: r["props"] for r in s.nodes(["PublicIP"]).collect()}
+    assert set(ips) == {"54.1.2.3", "2001:db8::1"}
+    assert ips["54.1.2.3"]["ip_version"] == "4"
+    assert ips["2001:db8::1"]["ip_version"] == "6"
+    points = {
+        (r["src_id"], r["dst_id"])
+        for r in s.edges(["POINTS_TO"]).collect()
+    }
+    assert points == {("54.1.2.3", "SER-1")}
+
+    # second run: the EIP released -> canonical IP + POINTS_TO swept
+    s.delete_nodes(spark.createDataFrame(
+        [("AWSElasticIPAddress", "eip-1")], "label string, id string"))
+    s.merge_nodes(
+        s.nodes(["AzurePublicIPAddress"])
+        .withColumn("lastupdated", F.lit(TAG + 1).cast("long")),
+        TAG + 1, labels=["AzurePublicIPAddress"],
+    )
+    sync_ontology_publicips(s, TAG + 1)
+    assert {r["id"] for r in s.nodes(["PublicIP"]).collect()} == {"2001:db8::1"}
+    assert s.edges(["POINTS_TO"]).count() == 0

@@ -718,3 +718,169 @@ def transform_github_branch_protection(
         update_tag,
     )
     return nodes, edges
+
+
+# ---------------------------------------------------------------------------
+# Repository rulesets (intel/github/repos.py:1896-1985 _transform_rulesets;
+# GitHubRulesetSchema / GitHubRulesetRuleSchema)
+# ---------------------------------------------------------------------------
+
+_RULESET_CONDITIONS = (
+    "conditions:struct<"
+    "refName:struct<include:array<string>, exclude:array<string>>, "
+    "repositoryName:struct<include:array<string>, exclude:array<string>, "
+    "protected:boolean>, "
+    "repositoryId:struct<repositoryIds:array<long>>, "
+    "repositoryProperty:struct<"
+    "include:array<struct<name:string, propertyValues:array<string>, source:string>>, "
+    "exclude:array<struct<name:string, propertyValues:array<string>, source:string>>>, "
+    "organizationProperty:struct<"
+    "include:array<struct<name:string, propertyValues:array<string>>>, "
+    "exclude:array<struct<name:string, propertyValues:array<string>>>>"
+    ">"
+)
+_RULESET_RULES = (
+    "rules:struct<totalCount:int, nodes:array<struct<"
+    "id:string, type:string, "
+    "parameters:struct<requiredApprovingReviewCount:int, "
+    "dismissStaleReviewsOnPush:boolean, requireCodeOwnerReview:boolean, "
+    "requiredStatusChecks:array<struct<context:string>>>"
+    ">>>"
+)
+RULESETS_STRUCT = (
+    "array<struct<url:string, rulesets:struct<nodes:array<struct<"
+    "id:string, databaseId:long, name:string, target:string, "
+    "enforcement:string, createdAt:string, updatedAt:string, "
+    + _RULESET_CONDITIONS + ", " + _RULESET_RULES
+    + ">>>>>"
+)
+
+
+def transform_github_rulesets(
+    raw: DataFrame, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """GET_REPOS payloads → GitHubRuleset + GitHubRulesetRule triples.
+
+    Conventions mirrored from ``_transform_rulesets``: condition
+    sub-objects flatten to ``conditions_*`` props (array values stored
+    JSON-encoded — our props map is string-valued), rule ``parameters``
+    keep both the JSON blob and the promoted per-type fields
+    (required_approving_review_count / dismiss_stale_reviews_on_push /
+    require_code_owner_review / required_status_checks contexts);
+    edges: (repo)-[:HAS_RULESET]->(ruleset),
+    (org)-[:RESOURCE]->(ruleset),
+    (ruleset)-[:CONTAINS_RULE]->(rule)."""
+    rs = raw.select(
+        "org_url",
+        F.explode(F.from_json("payload_json", RULESETS_STRUCT)).alias("r"),
+    ).select(
+        "org_url",
+        F.col("r.url").alias("repo_url"),
+        F.explode("r.rulesets.nodes").alias("s"),
+    ).filter(F.col("s.id").isNotNull())
+
+    cond = F.col("s.conditions")
+    jd = lambda c: F.when(c.isNotNull(), F.to_json(c))  # noqa: E731
+    ruleset_keys = [
+        "database_id", "name", "target", "enforcement", "created_at",
+        "updated_at", "conditions_ref_name_include",
+        "conditions_ref_name_exclude", "conditions_repository_name_include",
+        "conditions_repository_name_exclude",
+        "conditions_repository_name_protected", "conditions_repository_ids",
+        "conditions_repository_property_include",
+        "conditions_repository_property_exclude",
+        "conditions_organization_property_include",
+        "conditions_organization_property_exclude", "repo_url",
+    ]
+    ruleset_vals = [
+        F.col("s.databaseId").cast("string"),
+        F.col("s.name"), F.col("s.target"), F.col("s.enforcement"),
+        F.col("s.createdAt"), F.col("s.updatedAt"),
+        jd(cond["refName"]["include"]), jd(cond["refName"]["exclude"]),
+        jd(cond["repositoryName"]["include"]),
+        jd(cond["repositoryName"]["exclude"]),
+        _bool_str(cond["repositoryName"]["protected"]),
+        jd(cond["repositoryId"]["repositoryIds"]),
+        jd(cond["repositoryProperty"]["include"]),
+        jd(cond["repositoryProperty"]["exclude"]),
+        jd(cond["organizationProperty"]["include"]),
+        jd(cond["organizationProperty"]["exclude"]),
+        F.col("repo_url"),
+    ]
+    ruleset_nodes = _node_shape(
+        rs.select(
+            F.lit("GitHubRuleset").alias("label"),
+            F.col("s.id").alias("id"),
+            F.map_from_arrays(
+                F.array(*[F.lit(k) for k in ruleset_keys]),
+                F.array(*ruleset_vals),
+            ).alias("props"),
+        ),
+        update_tag,
+    )
+
+    rules = rs.select(
+        "org_url",
+        F.col("s.id").alias("ruleset_id"),
+        F.explode("s.rules.nodes").alias("u"),
+    ).filter(F.col("u.id").isNotNull())
+    params = F.col("u.parameters")
+    checks = F.filter(
+        F.transform(params["requiredStatusChecks"], lambda c: c["context"]),
+        lambda x: x.isNotNull(),
+    )
+    rule_nodes = _node_shape(
+        rules.select(
+            F.lit("GitHubRulesetRule").alias("label"),
+            F.col("u.id").alias("id"),
+            F.map_from_arrays(
+                F.array(*[F.lit(k) for k in (
+                    "type", "parameters",
+                    "parameters_required_approving_review_count",
+                    "parameters_dismiss_stale_reviews_on_push",
+                    "parameters_require_code_owner_review",
+                    "parameters_required_status_checks", "ruleset_id",
+                )]),
+                F.array(
+                    F.col("u.type"),
+                    F.when(params.isNotNull(), F.to_json(params)),
+                    params["requiredApprovingReviewCount"].cast("string"),
+                    _bool_str(params["dismissStaleReviewsOnPush"]),
+                    _bool_str(params["requireCodeOwnerReview"]),
+                    F.when(checks.isNotNull(), F.to_json(checks)),
+                    F.col("ruleset_id"),
+                ),
+            ).alias("props"),
+        ),
+        update_tag,
+    )
+
+    has_ruleset = rs.select(
+        "org_url",
+        F.lit("GitHubRepository").alias("src_label"),
+        F.col("repo_url").alias("src_id"),
+        F.lit("HAS_RULESET").alias("rel_label"),
+        F.lit("GitHubRuleset").alias("dst_label"),
+        F.col("s.id").alias("dst_id"),
+    )
+    org_resource = rs.select(
+        "org_url",
+        F.lit("GitHubOrganization").alias("src_label"),
+        F.col("org_url").alias("src_id"),
+        F.lit("RESOURCE").alias("rel_label"),
+        F.lit("GitHubRuleset").alias("dst_label"),
+        F.col("s.id").alias("dst_id"),
+    )
+    contains = rules.select(
+        "org_url",
+        F.lit("GitHubRuleset").alias("src_label"),
+        F.col("ruleset_id").alias("src_id"),
+        F.lit("CONTAINS_RULE").alias("rel_label"),
+        F.lit("GitHubRulesetRule").alias("dst_label"),
+        F.col("u.id").alias("dst_id"),
+    )
+    nodes = ruleset_nodes.unionByName(rule_nodes).dropDuplicates(["label", "id"])
+    edges = _edge_shape(
+        has_ruleset.unionByName(org_resource).unionByName(contains), update_tag
+    )
+    return nodes, edges

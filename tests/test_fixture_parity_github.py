@@ -450,3 +450,76 @@ def test_branch_protection_rules_parity(spark):
     assert got == {("BPR_kwDOAbc123==", "main", "false", "true", 2)}
     assert _rels(edges, "GitHubRepository", "HAS_RULE",
                  "GitHubBranchProtectionRule") == {(R3, "BPR_kwDOAbc123==")}
+
+
+RULESETS_FIXTURE = "/root/reference/tests/data/github/rulesets.py"
+
+
+def test_rulesets_parity(spark):
+    """test_repos.py:903-980 (test_sync_github_rulesets) — ruleset
+    tuple, HAS_RULESET/RESOURCE scoping, the promoted rule-parameter
+    fields and CONTAINS_RULE containment."""
+    if not (os.path.exists(FIXTURE) and os.path.exists(RULESETS_FIXTURE)):
+        pytest.skip("reference fixture not available")
+    from cartography_spark.providers.github_repos import (
+        transform_github_rulesets,
+    )
+
+    stubs = dict(_REPOS_STUBS)
+    stubs["RULESET_PRODUCTION"] = _load_fixture_ns(RULESETS_FIXTURE)[
+        "RULESET_PRODUCTION"
+    ]
+    raw = spark.createDataFrame(
+        [(ORG_URL, json.dumps(_load_fixture_ns(FIXTURE, stubs)["GET_REPOS"],
+                              default=str))],
+        "org_url string, payload_json string",
+    )
+    nodes, edges = transform_github_rulesets(raw, TAG)
+
+    ruleset_id = "RRS_lACkVXNlcs4AXenizgBRqVA"
+    got = {
+        (r["id"], r["props"]["name"], r["props"]["target"],
+         r["props"]["enforcement"])
+        for r in nodes.filter(F.col("label") == "GitHubRuleset").collect()
+    }
+    assert got == {(ruleset_id, "production-ruleset", "BRANCH", "ACTIVE")}
+
+    assert (R3, ruleset_id) in _rels(
+        edges, "GitHubRepository", "HAS_RULESET", "GitHubRuleset"
+    )
+    assert (ORG_URL, ruleset_id) in _rels(
+        edges, "GitHubOrganization", "RESOURCE", "GitHubRuleset"
+    )
+
+    rules = {
+        r["id"]: r["props"]
+        for r in nodes.filter(F.col("label") == "GitHubRulesetRule").collect()
+    }
+    got_rules = {
+        (rid, p["type"],
+         int(p["parameters_required_approving_review_count"])
+         if p.get("parameters_required_approving_review_count") else None,
+         {"true": True, "false": False}.get(
+             p.get("parameters_require_code_owner_review")))
+        for rid, p in rules.items()
+    }
+    assert got_rules == {
+        ("RRU_kwDORule001", "DELETION", None, None),
+        ("RRU_kwDORule002", "PULL_REQUEST", 2, True),
+        ("RRU_kwDORule003", "REQUIRED_STATUS_CHECKS", None, None),
+    }
+    assert json.loads(
+        rules["RRU_kwDORule003"]["parameters_required_status_checks"]
+    ) == ["ci/tests"]
+    assert (ruleset_id, "RRU_kwDORule002") in _rels(
+        edges, "GitHubRuleset", "CONTAINS_RULE", "GitHubRulesetRule"
+    )
+    # condition flattening (ruleset fixture's refName/repositoryName)
+    rs_props = [
+        r["props"] for r in nodes.filter(F.col("label") == "GitHubRuleset").collect()
+    ][0]
+    assert json.loads(rs_props["conditions_ref_name_include"]) == ["~DEFAULT_BRANCH"]
+    assert json.loads(rs_props["conditions_repository_name_exclude"]) == [
+        "important-archive"
+    ]
+    assert rs_props["conditions_repository_name_protected"] == "false"

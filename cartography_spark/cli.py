@@ -55,6 +55,21 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("rules", help="run the rules tree (delegates to rules_cli)")
 
+    po = sub.add_parser(
+        "ontology",
+        help="run the canonical ontology stages over an existing store "
+        "(the reference's top-level 'ontology' module: users, packages, "
+        "devices, dnsrecords, publicips)",
+    )
+    po.add_argument("--store", required=True)
+    po.add_argument("--update-tag", type=int, default=None)
+    po.add_argument(
+        "--stage", action="append", default=[],
+        choices=["users", "packages", "devices", "dnsrecords", "publicips"],
+        help="repeatable; default = all stages in the reference's order",
+    )
+    po.add_argument("--master", default=None)
+
     args = p.parse_args(argv)
 
     from cartography_spark.session import get_spark
@@ -87,6 +102,64 @@ def main(argv: list[str] | None = None) -> int:
         params = dict(kv.split("=", 1) for kv in args.param)
         metrics = run_graph_job(store, from_json_file(args.job_file), params)
         print(json.dumps(metrics))
+        return 0
+
+    if args.cmd == "ontology":
+        tag = args.update_tag if args.update_tag is not None else int(time.time())
+        stages = args.stage or [
+            "users", "packages", "devices", "dnsrecords", "publicips",
+        ]
+        metrics: dict = {"update_tag": tag}
+        if "users" in stages:
+            from cartography_spark.plans.ontology_users import (
+                default_user_mapping,
+                sync_ontology_users,
+                UserSource,
+            )
+
+            # default sources: any provider account labels present that
+            # carry the canonical email/name fields
+            sources = tuple(
+                UserSource(lbl, default_user_mapping())
+                for lbl in ("OktaUser", "GSuiteUser")
+                if lbl in store.manifest["nodes"]
+            )
+            metrics["users"] = sync_ontology_users(store, sources, tag)
+        if "packages" in stages:
+            from cartography_spark.plans.ontology_packages import (
+                PackageSource,
+                sync_ontology_packages,
+            )
+
+            pkg_sources = tuple(
+                PackageSource(lbl)
+                for lbl in ("TrivyPackage", "SyftPackage", "GitLabDependency",
+                            "GitHubDependency", "SemgrepDependency")
+                if lbl in store.manifest["nodes"]
+            )
+            metrics["packages"] = sync_ontology_packages(store, pkg_sources, tag)
+        if "devices" in stages:
+            from cartography_spark.plans.ontology_devices import (
+                DEFAULT_DEVICE_SOURCES,
+                sync_ontology_devices,
+            )
+
+            metrics["devices"] = sync_ontology_devices(
+                store, DEFAULT_DEVICE_SOURCES, tag
+            )
+        if "dnsrecords" in stages:
+            from cartography_spark.plans.ontology_network import (
+                sync_ontology_dnsrecords,
+            )
+
+            metrics["dnsrecords"] = sync_ontology_dnsrecords(store, tag)
+        if "publicips" in stages:
+            from cartography_spark.plans.ontology_network import (
+                sync_ontology_publicips,
+            )
+
+            metrics["publicips"] = sync_ontology_publicips(store, tag)
+        print(json.dumps(metrics, default=str))
         return 0
 
     return 2

@@ -36,3 +36,34 @@ def test_cli_rules_delegates(capsys):
 
     assert main(["rules", "--list-frameworks"]) == 0
     assert "slsa" in capsys.readouterr().out
+
+
+def test_cli_ontology_subcommand(spark, tmp_path, monkeypatch):
+    """The ontology subcommand runs the canonical stages over an
+    existing store (users stage shown end-to-end via OktaUser)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from cartography_spark.cli import main as cli_main
+    from cartography_spark.store.graphstore import GraphStore
+
+    root = str(tmp_path / "ontstore")
+    store = GraphStore(spark, root)
+    rows = [("OktaUser", "u1", _json.dumps({"email": "a@x.io",
+                                            "fullname": "A"}))]
+    df = spark.createDataFrame(
+        rows, "label string, id string, props_json string"
+    ).select(
+        "label", "id",
+        F.lit(5).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        F.lit(None).cast("array<string>").alias("extra_labels"),
+        F.from_json("props_json", "map<string,string>").alias("props"),
+    )
+    store.merge_nodes(df, 5)
+    rc = cli_main(["ontology", "--store", root, "--update-tag", "6",
+                   "--stage", "users"])
+    assert rc == 0
+    store2 = GraphStore(spark, root)
+    assert {r["id"] for r in store2.nodes(["User"]).collect()} == {"a@x.io"}

@@ -1,0 +1,273 @@
+"""GSuite provider: users + groups payloads → typed triples.
+
+Mirrors the reference's GSuite intel module
+(``intel/gsuite/users.py:44-141``, ``intel/gsuite/groups.py:109-290``)
+over the Admin SDK payload shapes:
+
+* **Users** (``transform_users``): the nested ``name`` struct flattens
+  to ``name``/``family_name``/``given_name``; users group by
+  ``customerId`` — one ``GSuiteTenant`` node per customer with a
+  ``RESOURCE`` edge per user; ``GSuiteUser`` carries the
+  ``GCPPrincipal`` + ``UserAccount`` extra labels
+  (``models/gsuite/user.py:140-149``).
+* **Groups** (``transform_groups``): per-group member lists split by
+  type — USER members become ``member_ids`` (owners also
+  ``owner_ids``), GROUP members become group-to-group containment.
+  Edges: ``(user)-[:MEMBER_GSUITE_GROUP]->(group)`` plus the canonical
+  ontology twin ``MEMBER_OF`` (``models/gsuite/group.py:91-125``),
+  ``OWNER_GSUITE_GROUP`` for owners, and the same pair for
+  subgroup→parent containment (:190-233). Groups carry
+  ``GCPPrincipal`` + ``UserGroup`` extra labels.
+
+All from_json + explode column expressions; edges stamped
+``sub_resource = (GSuiteTenant, customer_id)`` for tenant-scoped GC.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+USERS_STRUCT = (
+    "array<struct<users: array<struct<"
+    "id:string, customerId:string, primaryEmail:string, orgUnitPath:string, "
+    "isAdmin:boolean, isDelegatedAdmin:boolean, isEnforcedIn2Sv:boolean, "
+    "isEnrolledIn2Sv:boolean, suspended:boolean, archived:boolean, "
+    "agreedToTerms:boolean, changePasswordAtNextLogin:boolean, "
+    "creationTime:string, lastLoginTime:string, "
+    "name:struct<fullName:string, familyName:string, givenName:string>"
+    ">>>>"
+)
+GROUPS_STRUCT = (
+    "struct<groups: array<struct<"
+    "id:string, email:string, name:string, description:string, "
+    "adminCreated:boolean, directMembersCount:long>>, "
+    "members: map<string, array<struct<"
+    "id:string, email:string, type:string, role:string>>>>"
+)
+
+
+def _bool_str(col) -> F.Column:
+    return F.when(col, "true").when(~col, "false")
+
+
+def _shape_nodes(df: DataFrame, update_tag: int, extra=None) -> DataFrame:
+    return df.select(
+        "label",
+        "id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        (extra if extra is not None else F.lit(None).cast("array<string>"))
+        .alias("extra_labels"),
+        F.map_filter(F.col("props"), lambda _k, v: v.isNotNull()).alias("props"),
+    )
+
+
+def _shape_edges(df: DataFrame, update_tag: int) -> DataFrame:
+    return df.select(
+        "src_label", "src_id", "rel_label", "dst_label", "dst_id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit("GSuiteTenant").alias("sub_resource_label"),
+        F.col("customer_id").alias("sub_resource_id"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    ).dropDuplicates(["src_label", "src_id", "rel_label", "dst_label", "dst_id"])
+
+
+def transform_gsuite_users(
+    raw: DataFrame, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """``raw``: (payload_json string) — a JSON array of Admin SDK user
+    list response pages. Returns (nodes, edges): GSuiteTenant per
+    customerId, GSuiteUser nodes, tenant RESOURCE edges."""
+    u = raw.select(
+        F.explode(F.from_json("payload_json", USERS_STRUCT)).alias("page")
+    ).select(F.explode("page.users").alias("u")).filter(
+        F.col("u.id").isNotNull()
+    )
+    user_nodes = _shape_nodes(
+        u.select(
+            F.lit("GSuiteUser").alias("label"),
+            F.col("u.id").alias("id"),
+            F.map_from_arrays(
+                F.array(*[F.lit(k) for k in (
+                    "email", "name", "family_name", "given_name",
+                    "org_unit_path", "is_admin", "is_delegated_admin",
+                    "is_enforced_in_2sv", "is_enrolled_in_2sv", "suspended",
+                    "archived", "agreed_to_terms",
+                    "change_password_at_next_login", "creation_time",
+                    "last_login_time", "customer_id",
+                )]),
+                F.array(
+                    F.col("u.primaryEmail"),
+                    F.col("u.name.fullName"),
+                    F.col("u.name.familyName"),
+                    F.col("u.name.givenName"),
+                    F.col("u.orgUnitPath"),
+                    _bool_str(F.col("u.isAdmin")),
+                    _bool_str(F.col("u.isDelegatedAdmin")),
+                    _bool_str(F.col("u.isEnforcedIn2Sv")),
+                    _bool_str(F.col("u.isEnrolledIn2Sv")),
+                    _bool_str(F.col("u.suspended")),
+                    _bool_str(F.col("u.archived")),
+                    _bool_str(F.col("u.agreedToTerms")),
+                    _bool_str(F.col("u.changePasswordAtNextLogin")),
+                    F.col("u.creationTime"),
+                    F.col("u.lastLoginTime"),
+                    F.col("u.customerId"),
+                ),
+            ).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+        extra=F.array(F.lit("GCPPrincipal"), F.lit("UserAccount")),
+    )
+    tenant_nodes = _shape_nodes(
+        u.select(
+            F.lit("GSuiteTenant").alias("label"),
+            F.col("u.customerId").alias("id"),
+            F.lit(None).cast("map<string,string>").alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+        extra=F.array(F.lit("Tenant")),
+    )
+    resource_edges = _shape_edges(
+        u.select(
+            F.col("u.customerId").alias("customer_id"),
+            F.lit("GSuiteTenant").alias("src_label"),
+            F.col("u.customerId").alias("src_id"),
+            F.lit("RESOURCE").alias("rel_label"),
+            F.lit("GSuiteUser").alias("dst_label"),
+            F.col("u.id").alias("dst_id"),
+        ),
+        update_tag,
+    )
+    return tenant_nodes.unionByName(user_nodes), resource_edges
+
+
+def transform_gsuite_groups(
+    raw: DataFrame, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """``raw``: (customer_id string, payload_json string) with payload
+    ``{"groups": [...], "members": {group_id: [member objects]}}``.
+
+    Member split semantics (``transform_groups``,
+    ``groups.py:109-150``): USER members attach MEMBER_GSUITE_GROUP +
+    the canonical MEMBER_OF twin (owners additionally
+    OWNER_GSUITE_GROUP and still count as members); GROUP members
+    become subgroup→parent containment with the same rel pair (an
+    OWNER-role subgroup gets OWNER_GSUITE_GROUP instead of the member
+    pair, :128-140)."""
+    parsed = raw.select(
+        "customer_id", F.from_json("payload_json", GROUPS_STRUCT).alias("p")
+    )
+    g = parsed.select("customer_id", F.explode("p.groups").alias("g"))
+    group_nodes = _shape_nodes(
+        g.select(
+            F.lit("GSuiteGroup").alias("label"),
+            F.col("g.id").alias("id"),
+            F.map_from_arrays(
+                F.array(*[F.lit(k) for k in (
+                    "email", "name", "description", "admin_created",
+                    "direct_members_count",
+                )]),
+                F.array(
+                    F.col("g.email"), F.col("g.name"), F.col("g.description"),
+                    _bool_str(F.col("g.adminCreated")),
+                    F.col("g.directMembersCount").cast("string"),
+                ),
+            ).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+        extra=F.array(F.lit("GCPPrincipal"), F.lit("UserGroup")),
+    )
+
+    m = parsed.select(
+        "customer_id", F.explode("p.members").alias("group_id", "members")
+    ).select("customer_id", "group_id", F.explode("members").alias("m"))
+    is_group = F.col("m.type") == "GROUP"
+    is_owner = F.col("m.role") == "OWNER"
+    src_label = F.when(is_group, "GSuiteGroup").otherwise("GSuiteUser")
+
+    def attach(rel, cond):
+        return m.filter(cond).select(
+            "customer_id",
+            src_label.alias("src_label"),
+            F.col("m.id").alias("src_id"),
+            F.lit(rel).alias("rel_label"),
+            F.lit("GSuiteGroup").alias("dst_label"),
+            F.col("group_id").alias("dst_id"),
+        )
+
+    # USER owners stay members too (groups.py:142-145 appends owners to
+    # member_ids as well); GROUP owners get only the owner edge (:135)
+    member_cond = ~is_group | (is_group & ~is_owner)
+    edges = _shape_edges(
+        attach("MEMBER_GSUITE_GROUP", member_cond)
+        .unionByName(attach("MEMBER_OF", member_cond))
+        .unionByName(attach("OWNER_GSUITE_GROUP", is_owner)),
+        update_tag,
+    )
+    tenant_edges = _shape_edges(
+        g.select(
+            "customer_id",
+            F.lit("GSuiteTenant").alias("src_label"),
+            F.col("customer_id").alias("src_id"),
+            F.lit("RESOURCE").alias("rel_label"),
+            F.lit("GSuiteGroup").alias("dst_label"),
+            F.col("g.id").alias("dst_id"),
+        ),
+        update_tag,
+    )
+    return group_nodes, edges.unionByName(tenant_edges).dropDuplicates(
+        ["src_label", "src_id", "rel_label", "dst_label", "dst_id"]
+    )
+
+
+def sync_gsuite(
+    store,
+    users_raw: DataFrame | None,
+    groups_raw: DataFrame | None,
+    customer_id: str,
+    update_tag: int,
+) -> dict:
+    """users → groups → tenant-scoped GC (the reference's
+    ``GraphJob.from_node_schema`` cleanups per schema)."""
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    metrics: dict = {}
+    for name, raw, fn in (
+        ("users", users_raw, transform_gsuite_users),
+        ("groups", groups_raw, transform_gsuite_groups),
+    ):
+        if raw is None:
+            continue
+        nodes, edges = fn(raw, update_tag)
+        metrics[f"{name}_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics[f"{name}_edges"] = store.merge_edges(edges, update_tag)
+    tenant_rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label="GSuiteTenant",
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("CUSTOMER_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    for label in ("GSuiteUser", "GSuiteGroup"):
+        if label in store.manifest["nodes"]:
+            metrics[f"gc_{label}"] = run_cleanup(
+                store,
+                NodeSchema(
+                    label=label,
+                    properties={"id": PropertyRef("id")},
+                    sub_resource_relationship=tenant_rel,
+                ),
+                update_tag,
+                {"CUSTOMER_ID": customer_id},
+            )
+    store.record_lineage("gsuite_sync", {"update_tag": update_tag})
+    return metrics

@@ -1,0 +1,131 @@
+"""GSuite provider parity, mirrored from the reference's
+``tests/integration/cartography/intel/gsuite/test_api.py`` assertions
+over its actual ``tests/data/gsuite/api.py`` fixture (loaded read-only
+via the ast literal evaluator): user-group memberships with the
+canonical MEMBER_OF twin, group hierarchy, tenant scoping."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.gsuite import (
+    sync_gsuite,
+    transform_gsuite_groups,
+    transform_gsuite_users,
+)
+from tests.test_fixture_parity_github import _load_fixture_ns
+
+FIXTURE = "/root/reference/tests/data/gsuite/api.py"
+TAG = 123456789
+CUSTOMER = "customer-123"
+
+
+@pytest.fixture(scope="module")
+def fixture_ns():
+    if not os.path.exists(FIXTURE):
+        pytest.skip("reference fixture not available")
+    return _load_fixture_ns(FIXTURE)
+
+
+def _users_raw(spark, ns):
+    return spark.createDataFrame(
+        [(json.dumps(ns["MOCK_GSUITE_USERS_RESPONSE"]),)], "payload_json string"
+    )
+
+
+def _groups_raw(spark, ns):
+    payload = {
+        "groups": ns["MOCK_GSUITE_GROUPS_RESPONSE"],
+        "members": ns["MOCK_GSUITE_MEMBERS_BY_GROUP_ID"],
+    }
+    return spark.createDataFrame(
+        [(CUSTOMER, json.dumps(payload))], "customer_id string, payload_json string"
+    )
+
+
+def test_gsuite_users_parity(spark, fixture_ns):
+    nodes, edges = transform_gsuite_users(_users_raw(spark, fixture_ns), TAG)
+    users = nodes.filter(F.col("label") == "GSuiteUser").collect()
+    got = {(r["id"], r["props"]["email"], r["props"]["name"],
+            r["props"]["given_name"]) for r in users}
+    assert got == {
+        ("user-1", "alice@example.com", "Alice Admin", "Alice"),
+        ("user-2", "bob@example.com", "Bob Builder", "Bob"),
+    }
+    # GCPPrincipal + UserAccount extra labels (models/gsuite/user.py)
+    assert all(
+        {"GCPPrincipal", "UserAccount"} <= set(r["extra_labels"] or [])
+        for r in users
+    )
+    tenants = {r["id"] for r in nodes.filter(F.col("label") == "GSuiteTenant").collect()}
+    assert tenants == {CUSTOMER}
+    rels = {(r["src_id"], r["rel_label"], r["dst_id"]) for r in edges.collect()}
+    assert (CUSTOMER, "RESOURCE", "user-1") in rels
+    assert (CUSTOMER, "RESOURCE", "user-2") in rels
+
+
+def test_gsuite_memberships_and_hierarchy_parity(spark, fixture_ns):
+    """test_api.py:23-133 — the exact user-group membership set on BOTH
+    MEMBER_GSUITE_GROUP and the canonical MEMBER_OF twin, and the
+    subgroup containment pair."""
+    nodes, edges = transform_gsuite_groups(_groups_raw(spark, fixture_ns), TAG)
+    groups = nodes.filter(F.col("label") == "GSuiteGroup").collect()
+    assert {r["id"] for r in groups} == {"group-engineering", "group-operations"}
+    assert all(
+        {"GCPPrincipal", "UserGroup"} <= set(r["extra_labels"] or [])
+        for r in groups
+    )
+
+    def rel_pairs(rel, src_label):
+        return {
+            (r["src_id"], r["dst_id"])
+            for r in edges.filter(
+                (F.col("rel_label") == rel) & (F.col("src_label") == src_label)
+            ).collect()
+        }
+
+    expected_user_rels = {
+        ("user-1", "group-engineering"),
+        ("user-2", "group-engineering"),
+        ("user-2", "group-operations"),
+    }
+    assert rel_pairs("MEMBER_GSUITE_GROUP", "GSuiteUser") == expected_user_rels
+    assert rel_pairs("MEMBER_OF", "GSuiteUser") == expected_user_rels
+    expected_group_rels = {("group-operations", "group-engineering")}
+    assert rel_pairs("MEMBER_GSUITE_GROUP", "GSuiteGroup") == expected_group_rels
+    assert rel_pairs("MEMBER_OF", "GSuiteGroup") == expected_group_rels
+
+
+def test_gsuite_sync_and_scoped_gc(spark, tmp_store, fixture_ns):
+    s = tmp_store
+    sync_gsuite(s, _users_raw(spark, fixture_ns), _groups_raw(spark, fixture_ns),
+                CUSTOMER, TAG)
+    assert {r["id"] for r in s.nodes(["GSuiteGroup"]).collect()} == {
+        "group-engineering", "group-operations",
+    }
+    # T2: operations group vanished
+    payload = {
+        "groups": [g for g in fixture_ns["MOCK_GSUITE_GROUPS_RESPONSE"]
+                   if g["id"] != "group-operations"],
+        "members": {
+            "group-engineering": [
+                m for m in
+                fixture_ns["MOCK_GSUITE_MEMBERS_BY_GROUP_ID"]["group-engineering"]
+                if m["type"] == "USER"
+            ],
+        },
+    }
+    raw2 = spark.createDataFrame(
+        [(CUSTOMER, json.dumps(payload))], "customer_id string, payload_json string"
+    )
+    sync_gsuite(s, _users_raw(spark, fixture_ns), raw2, CUSTOMER, TAG + 1)
+    assert {r["id"] for r in s.nodes(["GSuiteGroup"]).collect()} == {
+        "group-engineering",
+    }
+    # the stale group's containment edge went with it (DETACH)
+    assert not [
+        r for r in s.edges(["MEMBER_OF"]).collect()
+        if r["src_id"] == "group-operations"
+    ]

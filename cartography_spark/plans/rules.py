@@ -17,7 +17,7 @@ output columns; no regex parsing of query text needed).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Any, Mapping
 
 from pyspark.sql import DataFrame, functions as F
@@ -53,6 +53,10 @@ class Fact:
     identity_fields: tuple[str, ...]
     asset_label: str
     asset_id_field: str
+    # ``${NAME}`` placeholders in the SQL resolve from run params with
+    # these as defaults — the reference's fact kwargs (run parameters
+    # validated fail-fast like graph/job.py:367-380)
+    default_params: Mapping[str, str] = field(default_factory=dict)
 
     def __post_init__(self) -> None:
         if not self.identity_fields:
@@ -62,10 +66,29 @@ class Fact:
                 f"Fact '{self.id}' must declare the (asset_label, asset_id_field) anchor"
             )
 
-    def validate(self, spark) -> None:
+    def render(self, sql: str, params: Mapping[str, Any] | None = None) -> str:
+        """Substitute ``${NAME}`` placeholders; unknown names fail fast.
+        Values are escaped as single-quoted-string content — facts
+        reference them as ``'${NAME}'`` literals and CAST as needed, so
+        a parameter can never splice raw SQL."""
+        merged = {**self.default_params, **(params or {})}
+
+        def sub(m: "re.Match") -> str:
+            name = m.group(1)
+            if name not in merged:
+                raise KeyError(
+                    f"Fact '{self.id}' requires parameter '{name}'"
+                )
+            return str(merged[name]).replace("'", "''")
+
+        import re
+
+        return re.sub(r"\$\{(\w+)\}", sub, sql)
+
+    def validate(self, spark, params: Mapping[str, Any] | None = None) -> None:
         """Resolved-schema checks (the reference's :363-463 invariants,
         via Catalyst analysis instead of query-text regexes)."""
-        cols = set(spark.sql(self.sql_query).columns)
+        cols = set(spark.sql(self.render(self.sql_query, params)).columns)
         missing = [f for f in (*self.identity_fields, self.asset_id_field) if f not in cols]
         if missing:
             raise ValueError(
@@ -76,7 +99,7 @@ class Fact:
             raise ValueError(
                 f"Fact '{self.id}' aliases reserved Finding field(s) {sorted(reserved)}"
             )
-        count_cols = spark.sql(self.count_sql).columns
+        count_cols = spark.sql(self.render(self.count_sql, params)).columns
         if count_cols != ["count"]:
             raise ValueError(
                 f"Fact '{self.id}' count_sql must return a single 'count' column, "
@@ -84,7 +107,9 @@ class Fact:
             )
 
 
-def run_fact(store: GraphStore, fact: Fact) -> dict[str, Any]:
+def run_fact(
+    store: GraphStore, fact: Fact, params: Mapping[str, Any] | None = None
+) -> dict[str, Any]:
     """Execute one fact → findings + failing/total counts.
 
     ``failing`` counts DISTINCT asset ids (one asset can produce many
@@ -93,15 +118,15 @@ def run_fact(store: GraphStore, fact: Fact) -> dict[str, Any]:
     """
     spark = store.spark
     register_graph_views(store)
-    fact.validate(spark)
-    findings: DataFrame = spark.sql(fact.sql_query).withColumn(
+    fact.validate(spark, params)
+    findings: DataFrame = spark.sql(fact.render(fact.sql_query, params)).withColumn(
         "asset_label", F.lit(fact.asset_label)
     )
     one = findings.agg(
         F.countDistinct(fact.asset_id_field).alias("failing"),
         F.count(F.lit(1)).alias("rows"),
     ).collect()[0]
-    total = spark.sql(fact.count_sql).collect()[0]["count"]
+    total = spark.sql(fact.render(fact.count_sql, params)).collect()[0]["count"]
     result = {
         "fact_id": fact.id,
         "failing": int(one["failing"]),
@@ -338,6 +363,37 @@ WEAK_BRANCH_PROTECTION = Fact(
     asset_id_field="rule_id",
 )
 
+STALE_ACCESS_KEYS = Fact(
+    id="stale_access_keys",
+    name="Active access keys past the rotation window",
+    description="Active AWS access keys created more than $MAX_AGE_DAYS "
+    "(default 90) days before $NOW_EPOCH — long-lived static "
+    "credentials (the cis_aws_iam access-key-rotation check). The "
+    "cutoff rides the query as SQL parameters so the fact stays "
+    "deterministic and testable.",
+    sql_query="""
+        SELECT k.id AS access_key_id,
+               e.dst_id AS user_arn,
+               CAST(k.props['createdate_epoch'] AS BIGINT) AS created_epoch
+        FROM nodes k
+        LEFT JOIN (
+          SELECT src_id, dst_id FROM edges
+          WHERE rel_label = 'OWNED_BY' AND dst_label = 'AWSUser'
+        ) e ON e.src_id = k.id
+        WHERE k.label = 'AWSAccountAccessKey'
+          AND k.props['status'] = 'Active'
+          AND CAST(k.props['createdate_epoch'] AS BIGINT)
+              < CAST('${NOW_EPOCH}' AS BIGINT)
+                - CAST('${MAX_AGE_DAYS}' AS BIGINT) * 86400
+    """,
+    count_sql="SELECT count(*) AS count FROM nodes "
+              "WHERE label = 'AWSAccountAccessKey'",
+    identity_fields=("access_key_id",),
+    asset_label="AWSAccountAccessKey",
+    asset_id_field="access_key_id",
+    default_params={"MAX_AGE_DAYS": "90"},
+)
+
 UNMONITORED_DEVICES = Fact(
     id="device_security_posture_gaps",
     name="Canonical devices with no EDR observation",
@@ -452,7 +508,8 @@ ALL_RULES: tuple[Rule, ...] = (
         description="MFA gaps on active identities, inactive users with "
         "live accounts, accounts unknown to the source of truth.",
         version="1.0",
-        facts=(MFA_MISSING, INACTIVE_USER_ACTIVE_ACCOUNTS, UNMANAGED_ACCOUNTS),
+        facts=(MFA_MISSING, INACTIVE_USER_ACTIVE_ACCOUNTS, UNMANAGED_ACCOUNTS,
+               STALE_ACCESS_KEYS),
         frameworks=(CIS_IDENTITY,),
     ),
     Rule(
@@ -502,13 +559,23 @@ def filter_rules_by_framework(
     return kept
 
 
-def run_rule(store: GraphStore, rule: Rule, sample_findings: int = 20) -> dict[str, Any]:
+def run_rule(
+    store: GraphStore,
+    rule: Rule,
+    sample_findings: int = 20,
+    params: Mapping[str, Any] | None = None,
+) -> dict[str, Any]:
     """``runners.py:188-257`` twin: every fact of the rule, with the
     rolled-up pass/fail summary and a bounded findings sample (the full
     findings stay distributed — consumers get the DataFrame)."""
+    import time as _time
+
+    # NOW_EPOCH defaults to wall-clock like the reference's update_tag
+    # (sync.py:494-496); tests pass it explicitly for determinism
+    params = {"NOW_EPOCH": str(int(_time.time())), **(params or {})}
     fact_results = []
     for fact in rule.facts:
-        r = run_fact(store, fact)
+        r = run_fact(store, fact, params)
         r["sample"] = [
             row.asDict() for row in r["findings"].limit(sample_findings).collect()
         ]
@@ -529,10 +596,14 @@ def run_rules(
     store: GraphStore,
     rules: tuple[Rule, ...] = ALL_RULES,
     framework: str | None = None,
+    params: Mapping[str, Any] | None = None,
 ) -> list[dict[str, Any]]:
     """``runners.py:290-398`` twin: optional framework filter, serial
     execution, per-rule summaries."""
-    return [run_rule(store, r) for r in filter_rules_by_framework(rules, framework)]
+    return [
+        run_rule(store, r, params=params)
+        for r in filter_rules_by_framework(rules, framework)
+    ]
 
 
 # -- formatters (rules/formatters.py) ---------------------------------------

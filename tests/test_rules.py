@@ -312,3 +312,41 @@ def test_all_rules_list_and_framework_filter():
     assert {r.id for r in slsa} == {"cicd_supply_chain", "code_platform_hardening"}
     cis = filter_rules_by_framework(ALL_RULES, "cis-identity")
     assert {r.id for r in cis} == {"identity_hygiene"}
+
+
+def test_stale_access_keys_fact(spark, posture_store):
+    """cis_aws_iam rotation check: active keys past MAX_AGE_DAYS fail;
+    inactive or fresh keys don't. Parameters render as quoted literals
+    and missing ones fail fast."""
+    from pyspark.sql import functions as F
+
+    from cartography_spark.plans.rules import STALE_ACCESS_KEYS
+
+    s = posture_store
+    now = 1_700_000_000
+    rows = [
+        ("AKIA_OLD_ACTIVE", "Active", now - 200 * 86400),
+        ("AKIA_OLD_INACTIVE", "Inactive", now - 200 * 86400),
+        ("AKIA_FRESH", "Active", now - 5 * 86400),
+    ]
+    df = spark.createDataFrame(
+        rows, "id string, status string, created long"
+    ).select(
+        F.lit("AWSAccountAccessKey").alias("label"), "id",
+        F.lit(1).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        F.lit(None).cast("array<string>").alias("extra_labels"),
+        F.map_from_arrays(
+            F.array(F.lit("status"), F.lit("createdate_epoch")),
+            F.array(F.col("status"), F.col("created").cast("string")),
+        ).alias("props"),
+    )
+    s.merge_nodes(df, 1)
+    res = run_fact(s, STALE_ACCESS_KEYS, {"NOW_EPOCH": str(now)})
+    assert _ids(res, "access_key_id") == {"AKIA_OLD_ACTIVE"}
+    assert res["total"] == 3
+
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError, match="NOW_EPOCH"):
+        run_fact(s, STALE_ACCESS_KEYS)

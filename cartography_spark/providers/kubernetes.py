@@ -1,0 +1,300 @@
+"""Kubernetes provider: cluster/namespace/pod/container payloads → triples.
+
+Mirrors the reference's Kubernetes intel module
+(``intel/kubernetes/{clusters,namespaces,pods}.py``) over its
+integration fixtures (``tests/data/kubernetes/*.py``):
+
+* **Namespaces**: ``KubernetesNamespace`` nodes (id = uid; props carry
+  ``name``/``cluster_name`` — names repeat across clusters, uids don't)
+  with ``(cluster)-[:RESOURCE]->(namespace)`` scoping.
+* **Pods**: ``KubernetesPod`` nodes (service-account fields, node,
+  labels) contained by THEIR cluster's namespace —
+  ``(namespace)-[:CONTAINS]->(pod)`` resolves by (cluster_name, name)
+  equi-join against existing namespace nodes, never by bare name (the
+  reference's two-cluster test pins exactly this).
+* **Containers**: ``KubernetesContainer`` nodes keyed by uid with
+  ``(pod)-[:CONTAINS]->(container)`` from the payload's ``pod_id``.
+
+All from_json + explode column expressions; edges stamped
+``sub_resource = (KubernetesCluster, cluster_id)`` so cluster-scoped GC
+sweeps stale namespaces/pods/containers per cluster (the reference's
+``test_namespace_cleanup`` / ``test_pod_cleanup`` semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+NAMESPACES_STRUCT = (
+    "array<struct<uid:string, name:string, creation_timestamp:long, "
+    "deletion_timestamp:long, status_phase:string>>"
+)
+PODS_STRUCT = (
+    "struct<pods: array<struct<"
+    "uid:string, name:string, status_phase:string, creation_timestamp:long, "
+    "deletion_timestamp:long, namespace:string, service_account_name:string, "
+    "service_account_id:string, node:string, labels:string>>, "
+    "containers: array<struct<"
+    "uid:string, name:string, image:string, namespace:string, pod_id:string, "
+    "image_pull_policy:string, status_image_id:string, status_image_sha:string, "
+    "status_ready:boolean, status_started:boolean, status_state:string, "
+    "memory_request:string, cpu_request:string, memory_limit:string, "
+    "cpu_limit:string, container_ports:string>>>"
+)
+
+
+def _shape_nodes(df: DataFrame, update_tag: int, extra=None) -> DataFrame:
+    return df.select(
+        "label",
+        "id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        (extra if extra is not None else F.lit(None).cast("array<string>"))
+        .alias("extra_labels"),
+        F.map_filter(F.col("props"), lambda _k, v: v.isNotNull()).alias("props"),
+    )
+
+
+def _shape_edges(df: DataFrame, update_tag: int) -> DataFrame:
+    return df.select(
+        "src_label", "src_id", "rel_label", "dst_label", "dst_id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit("KubernetesCluster").alias("sub_resource_label"),
+        F.col("cluster_id").alias("sub_resource_id"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    ).dropDuplicates(["src_label", "src_id", "rel_label", "dst_label", "dst_id"])
+
+
+def transform_k8s_namespaces(
+    raw: DataFrame, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """``raw``: (cluster_id, cluster_name, payload_json = JSON array of
+    namespace dicts). Returns (nodes, edges) incl. the cluster node."""
+    ns = raw.select(
+        "cluster_id", "cluster_name",
+        F.explode(F.from_json("payload_json", NAMESPACES_STRUCT)).alias("n"),
+    ).filter(F.col("n.uid").isNotNull())
+    ns_nodes = _shape_nodes(
+        ns.select(
+            F.lit("KubernetesNamespace").alias("label"),
+            F.col("n.uid").alias("id"),
+            F.map_from_arrays(
+                F.array(*[F.lit(k) for k in (
+                    "name", "status_phase", "creation_timestamp",
+                    "deletion_timestamp", "cluster_name",
+                )]),
+                F.array(
+                    F.col("n.name"), F.col("n.status_phase"),
+                    F.col("n.creation_timestamp").cast("string"),
+                    F.col("n.deletion_timestamp").cast("string"),
+                    F.col("cluster_name"),
+                ),
+            ).alias("props"),
+        ),
+        update_tag,
+    )
+    cluster_nodes = _shape_nodes(
+        raw.select(
+            F.lit("KubernetesCluster").alias("label"),
+            F.col("cluster_id").alias("id"),
+            F.create_map(F.lit("name"), F.col("cluster_name")).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+    )
+    edges = _shape_edges(
+        ns.select(
+            "cluster_id",
+            F.lit("KubernetesCluster").alias("src_label"),
+            F.col("cluster_id").alias("src_id"),
+            F.lit("RESOURCE").alias("rel_label"),
+            F.lit("KubernetesNamespace").alias("dst_label"),
+            F.col("n.uid").alias("dst_id"),
+        ),
+        update_tag,
+    )
+    return cluster_nodes.unionByName(ns_nodes), edges
+
+
+def transform_k8s_pods(
+    raw: DataFrame, update_tag: int, namespaces: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """``raw``: (cluster_id, cluster_name, payload_json =
+    ``{"pods": [...], "containers": [...]}``).
+
+    ``namespaces``: the current KubernetesNamespace node frame (store
+    read-back) used to resolve ``(namespace)-[:CONTAINS]->(pod)`` by
+    (cluster_name, name) — a bare-name join would cross-link clusters
+    that share namespace names (the reference's two-cluster test)."""
+    parsed = raw.select(
+        "cluster_id", "cluster_name",
+        F.from_json("payload_json", PODS_STRUCT).alias("p"),
+    )
+    pods = parsed.select(
+        "cluster_id", "cluster_name", F.explode("p.pods").alias("d")
+    ).filter(F.col("d.uid").isNotNull())
+    containers = parsed.select(
+        "cluster_id", "cluster_name", F.explode("p.containers").alias("c")
+    ).filter(F.col("c.uid").isNotNull())
+
+    pod_nodes = _shape_nodes(
+        pods.select(
+            F.lit("KubernetesPod").alias("label"),
+            F.col("d.uid").alias("id"),
+            F.map_from_arrays(
+                F.array(*[F.lit(k) for k in (
+                    "name", "status_phase", "creation_timestamp", "namespace",
+                    "service_account_name", "service_account_id", "node",
+                    "labels", "cluster_name",
+                )]),
+                F.array(
+                    F.col("d.name"), F.col("d.status_phase"),
+                    F.col("d.creation_timestamp").cast("string"),
+                    F.col("d.namespace"), F.col("d.service_account_name"),
+                    F.col("d.service_account_id"), F.col("d.node"),
+                    F.col("d.labels"), F.col("cluster_name"),
+                ),
+            ).alias("props"),
+        ),
+        update_tag,
+    )
+    container_nodes = _shape_nodes(
+        containers.select(
+            F.lit("KubernetesContainer").alias("label"),
+            F.col("c.uid").alias("id"),
+            F.map_from_arrays(
+                F.array(*[F.lit(k) for k in (
+                    "name", "image", "namespace", "pod_id",
+                    "image_pull_policy", "status_image_id", "status_image_sha",
+                    "status_ready", "status_started", "status_state",
+                    "memory_request", "cpu_request", "memory_limit",
+                    "cpu_limit", "container_ports", "cluster_name",
+                )]),
+                F.array(
+                    F.col("c.name"), F.col("c.image"), F.col("c.namespace"),
+                    F.col("c.pod_id"), F.col("c.image_pull_policy"),
+                    F.col("c.status_image_id"), F.col("c.status_image_sha"),
+                    F.col("c.status_ready").cast("string"),
+                    F.col("c.status_started").cast("string"),
+                    F.col("c.status_state"), F.col("c.memory_request"),
+                    F.col("c.cpu_request"), F.col("c.memory_limit"),
+                    F.col("c.cpu_limit"), F.col("c.container_ports"),
+                    F.col("cluster_name"),
+                ),
+            ).alias("props"),
+        ),
+        update_tag,
+    )
+
+    edge_frames = [
+        # (pod)-[:CONTAINS]->(container) — pod_id is in the payload
+        containers.select(
+            "cluster_id",
+            F.lit("KubernetesPod").alias("src_label"),
+            F.col("c.pod_id").alias("src_id"),
+            F.lit("CONTAINS").alias("rel_label"),
+            F.lit("KubernetesContainer").alias("dst_label"),
+            F.col("c.uid").alias("dst_id"),
+        ),
+    ]
+    if namespaces is not None:
+        ns = namespaces.select(
+            F.col("id").alias("__ns_uid"),
+            F.element_at("props", "name").alias("__ns_name"),
+            F.element_at("props", "cluster_name").alias("cluster_name"),
+        )
+        edge_frames.append(
+            pods.join(
+                ns,
+                (pods["d.namespace"] == ns["__ns_name"])
+                & (pods["cluster_name"] == ns["cluster_name"]),
+                "inner",
+            ).select(
+                "cluster_id",
+                F.lit("KubernetesNamespace").alias("src_label"),
+                F.col("__ns_uid").alias("src_id"),
+                F.lit("CONTAINS").alias("rel_label"),
+                F.lit("KubernetesPod").alias("dst_label"),
+                F.col("d.uid").alias("dst_id"),
+            )
+        )
+    edges = edge_frames[0]
+    for f in edge_frames[1:]:
+        edges = edges.unionByName(f)
+    return (
+        pod_nodes.unionByName(container_nodes),
+        _shape_edges(edges, update_tag),
+    )
+
+
+def sync_kubernetes(
+    store,
+    namespaces_raw: DataFrame | None,
+    pods_raw: DataFrame | None,
+    cluster_id: str,
+    update_tag: int,
+) -> dict:
+    """namespaces → pods/containers → cluster-scoped GC."""
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    metrics: dict = {}
+    if namespaces_raw is not None:
+        nodes, edges = transform_k8s_namespaces(namespaces_raw, update_tag)
+        metrics["ns_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["ns_edges"] = store.merge_edges(edges, update_tag)
+    if pods_raw is not None:
+        ns_frame = (
+            store.nodes(["KubernetesNamespace"])
+            if "KubernetesNamespace" in store.manifest["nodes"]
+            else None
+        )
+        nodes, edges = transform_k8s_pods(pods_raw, update_tag, ns_frame)
+        metrics["pod_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["pod_edges"] = store.merge_edges(edges, update_tag)
+    cluster_rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label="KubernetesCluster",
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("CLUSTER_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    for label in ("KubernetesNamespace", "KubernetesPod", "KubernetesContainer"):
+        if label not in store.manifest["nodes"]:
+            continue
+        if label == "KubernetesNamespace":
+            schema = NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=cluster_rel,
+            )
+            metrics[f"gc_{label}"] = run_cleanup(
+                store, schema, update_tag, {"CLUSTER_ID": cluster_id}
+            )
+        else:
+            # pods/containers are scoped through their cluster_name prop
+            # (they hang off namespaces, not directly off the cluster)
+            cluster_name = [
+                r["props"].get("name")
+                for r in store.nodes(["KubernetesCluster"]).collect()
+                if r["id"] == cluster_id
+            ]
+            if not cluster_name:
+                continue
+            stale = (
+                store.nodes([label])
+                .filter(
+                    (F.col("lastupdated") != int(update_tag))
+                    & (F.element_at("props", "cluster_name") == cluster_name[0])
+                )
+                .select("label", "id")
+            )
+            metrics[f"gc_{label}"] = store.delete_nodes(stale, detach=True)
+    store.record_lineage("kubernetes_sync", {"update_tag": update_tag})
+    return metrics

@@ -65,6 +65,14 @@ def _load_fixture_ns(path, stubs=None):
             raise ValueError(f"fixture references unknown name {node.id!r}")
         if isinstance(node, ast.Subscript):
             return ev(node.value)[ev(node.slice)]
+        if isinstance(node, ast.JoinedStr):  # f-string of evaluable parts
+            out = []
+            for part in node.values:
+                if isinstance(part, ast.FormattedValue):
+                    out.append(str(ev(part.value)))
+                else:
+                    out.append(str(ev(part)))
+            return "".join(out)
         if isinstance(node, ast.Call) and all(
             kw.arg is not None for kw in node.keywords
         ):

@@ -1,0 +1,178 @@
+"""Kubernetes provider parity, mirrored from the reference's
+``tests/integration/cartography/intel/kubernetes/{test_namespaces,
+test_pods}.py`` assertions over its namespaces/clusters fixtures
+(loaded read-only via the ast literal evaluator; the pods fixture uses
+uuid4() so its shape is transcribed with fixed ids)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.kubernetes import (
+    sync_kubernetes,
+    transform_k8s_namespaces,
+)
+from tests.test_fixture_parity_github import _load_fixture_ns
+
+NS_FIXTURE = "/root/reference/tests/data/kubernetes/namespaces.py"
+CL_FIXTURE = "/root/reference/tests/data/kubernetes/clusters.py"
+TAG = 123456789
+
+
+@pytest.fixture(scope="module")
+def k8s_fixture():
+    if not (os.path.exists(NS_FIXTURE) and os.path.exists(CL_FIXTURE)):
+        pytest.skip("reference fixture not available")
+    cl = _load_fixture_ns(CL_FIXTURE)
+    ns = _load_fixture_ns(NS_FIXTURE, {
+        "KUBERNETES_CLUSTER_NAMES": cl["KUBERNETES_CLUSTER_NAMES"],
+    })
+    return {**cl, **ns}
+
+
+def _ns_raw(spark, fx):
+    rows = [
+        (fx["KUBERNETES_CLUSTER_IDS"][0], fx["KUBERNETES_CLUSTER_NAMES"][0],
+         json.dumps(fx["KUBERNETES_CLUSTER_1_NAMESPACES_DATA"])),
+        (fx["KUBERNETES_CLUSTER_IDS"][1], fx["KUBERNETES_CLUSTER_NAMES"][1],
+         json.dumps(fx["KUBERNETES_CLUSTER_2_NAMESPACES_DATA"])),
+    ]
+    return spark.createDataFrame(
+        rows, "cluster_id string, cluster_name string, payload_json string"
+    )
+
+
+def test_namespaces_nodes_and_scoped_rels(spark, k8s_fixture):
+    """test_namespaces.py:48-118 — namespace uid set across both
+    clusters, and RESOURCE rels only between a cluster and ITS OWN
+    namespaces (same names exist in both)."""
+    fx = k8s_fixture
+    nodes, edges = transform_k8s_namespaces(_ns_raw(spark, fx), TAG)
+    got_ids = {
+        r["id"] for r in nodes.filter(F.col("label") == "KubernetesNamespace").collect()
+    }
+    assert got_ids == set(
+        fx["KUBERNETES_CLUSTER_1_NAMESPACE_IDS"]
+        + fx["KUBERNETES_CLUSTER_2_NAMESPACE_IDS"]
+    )
+    name_of = {
+        r["id"]: r["props"]["name"]
+        for r in nodes.filter(F.col("label") == "KubernetesNamespace").collect()
+    }
+    got_rels = {
+        (r["src_id"], name_of[r["dst_id"]])
+        for r in edges.filter(F.col("rel_label") == "RESOURCE").collect()
+    }
+    c1, c2 = fx["KUBERNETES_CLUSTER_IDS"]
+    assert got_rels == {
+        (c1, "kube-system"), (c1, "my-namespace"),
+        (c2, "kube-system"), (c2, "my-namespace"),
+    }
+
+
+def _pods_raw(spark, fx, cluster_idx=0):
+    """Pods payload shaped like tests/data/kubernetes/pods.py with
+    fixed ids (the fixture's are uuid4-random)."""
+    pods = [
+        {
+            "uid": "pod-uid-1", "name": "my-pod", "status_phase": "running",
+            "creation_timestamp": 1633581666, "namespace": "my-namespace",
+            "service_account_name": "default",
+            "service_account_id": "cluster-1/my-namespace/default",
+            "node": "my-node",
+            "labels": json.dumps({"key1": "val1"}),
+        },
+        {
+            "uid": "pod-uid-2", "name": "my-service-pod",
+            "status_phase": "running", "creation_timestamp": 1633581667,
+            "namespace": "my-namespace",
+            "service_account_name": "workload-sa",
+            "service_account_id": "cluster-1/my-namespace/workload-sa",
+            "node": "my-node", "labels": json.dumps({}),
+        },
+    ]
+    containers = [
+        {
+            "uid": "pod-uid-1-my-pod-container", "name": "my-pod-container",
+            "image": "my-image", "namespace": "my-namespace",
+            "pod_id": "pod-uid-1", "status_ready": True,
+            "status_state": "running",
+            "container_ports": json.dumps(
+                [{"container_port": 8080, "protocol": "TCP"}]),
+        },
+        {
+            "uid": "pod-uid-2-my-service-pod-container",
+            "name": "my-service-pod-container", "image": "my-image-1:latest",
+            "namespace": "my-namespace", "pod_id": "pod-uid-2",
+            "status_ready": False, "status_state": "terminated",
+            "container_ports": json.dumps([]),
+        },
+    ]
+    return spark.createDataFrame(
+        [(fx["KUBERNETES_CLUSTER_IDS"][cluster_idx],
+          fx["KUBERNETES_CLUSTER_NAMES"][cluster_idx],
+          json.dumps({"pods": pods, "containers": containers}))],
+        "cluster_id string, cluster_name string, payload_json string",
+    )
+
+
+def test_pods_and_containers_scoped_containment(spark, tmp_store, k8s_fixture):
+    """test_pods.py:104-290 — pod/service-account tuples, namespace
+    CONTAINS pod resolved within the RIGHT cluster (both clusters share
+    the namespace name), pod CONTAINS container."""
+    fx = k8s_fixture
+    s = tmp_store
+    sync_kubernetes(s, _ns_raw(spark, fx), _pods_raw(spark, fx),
+                    fx["KUBERNETES_CLUSTER_IDS"][0], TAG)
+
+    pods = {r["props"]["name"]: r["props"]
+            for r in s.nodes(["KubernetesPod"]).collect()}
+    assert set(pods) == {"my-pod", "my-service-pod"}
+    assert pods["my-pod"]["service_account_name"] == "default"
+    assert pods["my-service-pod"]["service_account_name"] == "workload-sa"
+
+    # the CONTAINS edge points at cluster 1's my-namespace uid, never
+    # cluster 2's same-named namespace
+    cluster1_ns = fx["KUBERNETES_CLUSTER_1_NAMESPACES_DATA"][-1]["uid"]
+    cluster2_ns = fx["KUBERNETES_CLUSTER_2_NAMESPACE_IDS"][1]
+    ns_contains = {
+        (r["src_id"], r["dst_id"])
+        for r in s.edges(["CONTAINS"]).collect()
+        if r["src_label"] == "KubernetesNamespace"
+    }
+    assert ns_contains == {(cluster1_ns, "pod-uid-1"), (cluster1_ns, "pod-uid-2")}
+    assert not any(src == cluster2_ns for src, _ in ns_contains)
+
+    pod_contains = {
+        (r["src_id"], r["dst_id"])
+        for r in s.edges(["CONTAINS"]).collect()
+        if r["src_label"] == "KubernetesPod"
+    }
+    assert pod_contains == {
+        ("pod-uid-1", "pod-uid-1-my-pod-container"),
+        ("pod-uid-2", "pod-uid-2-my-service-pod-container"),
+    }
+
+
+def test_namespace_cleanup_is_cluster_scoped(spark, tmp_store, k8s_fixture):
+    """test_namespaces.py:119+ — a namespace stale in cluster 1 is
+    swept without touching cluster 2's namespaces."""
+    fx = k8s_fixture
+    s = tmp_store
+    c1, c2 = fx["KUBERNETES_CLUSTER_IDS"]
+    sync_kubernetes(s, _ns_raw(spark, fx), None, c1, TAG)
+    # T2 for cluster 1 only: my-namespace vanished from its payload
+    rows = [(c1, fx["KUBERNETES_CLUSTER_NAMES"][0],
+             json.dumps(fx["KUBERNETES_CLUSTER_1_NAMESPACES_DATA"][:1]))]
+    raw2 = spark.createDataFrame(
+        rows, "cluster_id string, cluster_name string, payload_json string"
+    )
+    sync_kubernetes(s, raw2, None, c1, TAG + 1)
+    got = {r["id"] for r in s.nodes(["KubernetesNamespace"]).collect()}
+    # cluster 1 keeps only kube-system; cluster 2 (not synced) keeps both
+    assert got == set(
+        fx["KUBERNETES_CLUSTER_1_NAMESPACE_IDS"][:1]
+        + fx["KUBERNETES_CLUSTER_2_NAMESPACE_IDS"]
+    )

@@ -821,6 +821,34 @@ def q_ontology_package_rollup(spark, sf_dir):
     ).orderBy("id")
 
 
+def q_ontology_device_merge(spark, sf_dir):
+    """N3 source-of-truth precedence merge through the real module
+    (cartography_spark.plans.ontology_common.merge_with_precedence):
+    two synthetic device sources over `customer` — the first source's
+    non-null value wins per field, the second fills what the first
+    lacks (one combinable min_by groupBy; never a driver loop)."""
+    from cartography_spark.plans.ontology_common import merge_with_precedence
+
+    cust = _t(spark, sf_dir, "customer")
+    serial = F.concat(F.lit("SER"), F.col("c_custkey").cast("string"))
+    src_a = cust.filter(F.col("c_custkey") % 3 != 0).select(
+        serial.alias("serial_number"),
+        F.concat(F.lit("h"), F.col("c_custkey").cast("string")).alias("hostname"),
+        F.concat(F.lit("MA-"), F.col("c_mktsegment")).alias("model"),
+        F.lit(None).cast("string").alias("os"),
+    )
+    src_b = cust.filter(F.col("c_custkey") % 2 == 0).select(
+        serial.alias("serial_number"),
+        F.concat(F.lit("h"), F.col("c_custkey").cast("string")).alias("hostname"),
+        F.concat(F.lit("MB-"), F.col("c_mktsegment")).alias("model"),
+        F.lit("linux").alias("os"),
+    )
+    merged = merge_with_precedence([src_a, src_b], "serial_number")
+    return merged.select("serial_number", "hostname", "model", "os").orderBy(
+        "serial_number"
+    )
+
+
 def q_sessionize_events(spark, sf_dir):
     """§2.9 stateful sessionization, batch twin (cartography_spark.
     streaming.sessions.sessionize_batch): per-user event-gap sessions —
@@ -1004,6 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ontology_entity_link": q_ontology_entity_link,
         "q_ontology_package_rollup": q_ontology_package_rollup,
         "q_sessionize_events": q_sessionize_events,
+        "q_ontology_device_merge": q_ontology_device_merge,
         "kg_extract_triples": kg_extract_triples,
         "kg_sync_graph": kg_sync_graph,
         "kg_connected_components": kg_connected_components,
@@ -1260,6 +1289,26 @@ def oracle_sql() -> dict[str, str]:
                    min(normalized_id) AS min_version_id,
                    max(normalized_id) AS max_version_id
             FROM keyed GROUP BY id, name, type ORDER BY id
+        """,
+        "q_ontology_device_merge": """
+            WITH a AS (
+              SELECT 'SER' || CAST(c_custkey AS VARCHAR) AS serial_number,
+                     'h' || CAST(c_custkey AS VARCHAR) AS hostname,
+                     'MA-' || c_mktsegment AS model,
+                     CAST(NULL AS VARCHAR) AS os
+              FROM customer WHERE c_custkey % 3 <> 0),
+            b AS (
+              SELECT 'SER' || CAST(c_custkey AS VARCHAR) AS serial_number,
+                     'h' || CAST(c_custkey AS VARCHAR) AS hostname,
+                     'MB-' || c_mktsegment AS model,
+                     'linux' AS os
+              FROM customer WHERE c_custkey % 2 = 0)
+            SELECT coalesce(a.serial_number, b.serial_number) AS serial_number,
+                   coalesce(a.hostname, b.hostname) AS hostname,
+                   coalesce(a.model, b.model) AS model,
+                   coalesce(a.os, b.os) AS os
+            FROM a FULL OUTER JOIN b ON a.serial_number = b.serial_number
+            ORDER BY serial_number
         """,
         "q_sessionize_events": """
             WITH pts AS (

@@ -75,6 +75,7 @@ HEADLINE = [
     "q_ontology_entity_link",
     "q_ontology_package_rollup",
     "q_sessionize_events",
+    "q_ontology_device_merge",
 ]
 
 

@@ -1,0 +1,273 @@
+"""Azure compute provider: VMs / disks / snapshots / tags → triples.
+
+Mirrors the reference's Azure compute sync
+(``intel/azure/compute.py``) over its fixture payload shapes
+(``tests/data/azure/compute.py``):
+
+* **AzureVirtualMachine** — id = the full resource id; flattened
+  plan/hardware/os/identity fields; ``(subscription)-[:RESOURCE]->``
+  scoping.
+* **AzureDisk** / **AzureSnapshot** — same scoping; snapshots carry the
+  semantic ``Snapshot`` extra label with the ontology projection Azure
+  can populate — ``_ont_name``/``_ont_region``/``_ont_source='azure'``
+  only (encrypted/public/source_id stay unset, exactly the snapshot
+  mapping the reference's test pins).
+* **AzureTag** — one node per distinct ``{subscription}|{key}:{value}``
+  with ``(vm)-[:TAGGED]->(tag)`` (``load_vm_tags``).
+
+All from_json + explode (the tags map explodes to key/value rows);
+edges are stamped ``sub_resource = (AzureSubscription, sub_id)`` for
+subscription-scoped GC.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+VMS_STRUCT = (
+    "array<struct<id:string, type:string, location:string, "
+    "resource_group:string, name:string, "
+    "plan:struct<product:string>, "
+    "handware_profile:struct<vm_size:string>, "
+    "license_type:string, os_profile:struct<computer_name:string>, "
+    "identity:struct<type:string>, zones:array<string>, "
+    "additional_capabilities:struct<ultra_ssd_enabled:boolean>, "
+    "priority:string, eviction_policy:string, tags:map<string,string>>>"
+)
+DISKS_STRUCT = (
+    "array<struct<id:string, type:string, location:string, "
+    "resource_group:string, name:string, "
+    "creation_data:struct<create_option:string>, disk_size_gb:long, "
+    "encryption_settings_collection:struct<enabled:boolean>, "
+    "max_shares:long, network_access_policy:string, os_type:string, "
+    "tier:string, sku:struct<name:string>, zones:array<string>, "
+    "incremental:boolean>>"
+)
+
+
+def _bool_str(col) -> F.Column:
+    return F.when(col, "true").when(~col, "false")
+
+
+def _shape_nodes(df: DataFrame, update_tag: int, extra=None) -> DataFrame:
+    return df.select(
+        "label",
+        "id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        (extra if extra is not None else F.lit(None).cast("array<string>"))
+        .alias("extra_labels"),
+        F.map_filter(F.col("props"), lambda _k, v: v.isNotNull()).alias("props"),
+    )
+
+
+def _shape_edges(df: DataFrame, update_tag: int) -> DataFrame:
+    return df.select(
+        "src_label", "src_id", "rel_label", "dst_label", "dst_id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit("AzureSubscription").alias("sub_resource_label"),
+        F.col("sub_id").alias("sub_resource_id"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    ).dropDuplicates(["src_label", "src_id", "rel_label", "dst_label", "dst_id"])
+
+
+def _resource_edges(rows: DataFrame, dst_label: str) -> DataFrame:
+    return rows.select(
+        "sub_id",
+        F.lit("AzureSubscription").alias("src_label"),
+        F.col("sub_id").alias("src_id"),
+        F.lit("RESOURCE").alias("rel_label"),
+        F.lit(dst_label).alias("dst_label"),
+        F.col("rid").alias("dst_id"),
+    )
+
+
+def transform_azure_vms(
+    raw: DataFrame, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """``raw``: (sub_id string, payload_json = DESCRIBE_VMS-shaped JSON
+    array). Emits VM nodes, subscription RESOURCE edges, AzureTag nodes
+    keyed ``{sub}|{key}:{value}`` and (vm)-[:TAGGED]->(tag) edges."""
+    v = raw.select(
+        "sub_id", F.explode(F.from_json("payload_json", VMS_STRUCT)).alias("v")
+    ).filter(F.col("v.id").isNotNull())
+    vm_nodes = _shape_nodes(
+        v.select(
+            F.lit("AzureVirtualMachine").alias("label"),
+            F.col("v.id").alias("id"),
+            F.map_from_arrays(
+                F.array(*[F.lit(k) for k in (
+                    "name", "location", "resource_group", "type", "plan",
+                    "size", "license_type", "computer_name", "identity_type",
+                    "ultra_ssd_enabled", "priority", "eviction_policy",
+                )]),
+                F.array(
+                    F.col("v.name"), F.col("v.location"),
+                    F.col("v.resource_group"), F.col("v.type"),
+                    F.col("v.plan.product"),
+                    F.col("v.handware_profile.vm_size"),
+                    F.trim(F.col("v.license_type")),
+                    F.col("v.os_profile.computer_name"),
+                    F.col("v.identity.type"),
+                    _bool_str(F.col("v.additional_capabilities.ultra_ssd_enabled")),
+                    F.col("v.priority"), F.col("v.eviction_policy"),
+                ),
+            ).alias("props"),
+        ),
+        update_tag,
+    )
+    tags = v.select(
+        "sub_id",
+        F.col("v.id").alias("vm_id"),
+        F.explode_outer("v.tags").alias("tag_key", "tag_value"),
+    ).filter(F.col("tag_key").isNotNull())
+    tag_id = F.concat(
+        F.col("sub_id"), F.lit("|"), F.col("tag_key"), F.lit(":"),
+        F.col("tag_value"),
+    )
+    tag_nodes = _shape_nodes(
+        tags.select(
+            F.lit("AzureTag").alias("label"),
+            tag_id.alias("id"),
+            F.map_from_arrays(
+                F.array(F.lit("key"), F.lit("value")),
+                F.array(F.col("tag_key"), F.col("tag_value")),
+            ).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+    )
+    tagged = tags.select(
+        "sub_id",
+        F.lit("AzureVirtualMachine").alias("src_label"),
+        F.col("vm_id").alias("src_id"),
+        F.lit("TAGGED").alias("rel_label"),
+        F.lit("AzureTag").alias("dst_label"),
+        tag_id.alias("dst_id"),
+    )
+    resource = _resource_edges(
+        v.select("sub_id", F.col("v.id").alias("rid")), "AzureVirtualMachine"
+    )
+    return (
+        vm_nodes.unionByName(tag_nodes),
+        _shape_edges(resource.unionByName(tagged), update_tag),
+    )
+
+
+def _disklike(
+    raw: DataFrame, update_tag: int, label: str, extra=None, ontology=False
+) -> tuple[DataFrame, DataFrame]:
+    d = raw.select(
+        "sub_id", F.explode(F.from_json("payload_json", DISKS_STRUCT)).alias("d")
+    ).filter(F.col("d.id").isNotNull())
+    keys = [
+        "name", "location", "resource_group", "type", "create_option",
+        "disk_size_gb", "encryption", "network_access_policy", "os_type",
+        "tier", "sku", "incremental",
+    ]
+    vals = [
+        F.col("d.name"), F.col("d.location"), F.col("d.resource_group"),
+        F.col("d.type"), F.col("d.creation_data.create_option"),
+        F.col("d.disk_size_gb").cast("string"),
+        _bool_str(F.col("d.encryption_settings_collection.enabled")),
+        F.col("d.network_access_policy"), F.col("d.os_type"),
+        F.col("d.tier"), F.col("d.sku.name"),
+        _bool_str(F.col("d.incremental")),
+    ]
+    if ontology:
+        # the snapshots ontology mapping: Azure exposes only name +
+        # region; encrypted/public/source_id/created_at stay unset
+        keys += ["_ont_name", "_ont_region", "_ont_source"]
+        vals += [F.col("d.name"), F.col("d.location"), F.lit("azure")]
+    nodes = _shape_nodes(
+        d.select(
+            F.lit(label).alias("label"),
+            F.col("d.id").alias("id"),
+            F.map_from_arrays(
+                F.array(*[F.lit(k) for k in keys]), F.array(*vals)
+            ).alias("props"),
+        ),
+        update_tag,
+        extra=extra,
+    )
+    edges = _shape_edges(
+        _resource_edges(d.select("sub_id", F.col("d.id").alias("rid")), label),
+        update_tag,
+    )
+    return nodes, edges
+
+
+def transform_azure_disks(raw: DataFrame, update_tag: int):
+    return _disklike(raw, update_tag, "AzureDisk")
+
+
+def transform_azure_snapshots(raw: DataFrame, update_tag: int):
+    return _disklike(
+        raw, update_tag, "AzureSnapshot",
+        extra=F.array(F.lit("Snapshot")), ontology=True,
+    )
+
+
+def sync_azure_compute(
+    store,
+    vms_raw: DataFrame | None,
+    disks_raw: DataFrame | None,
+    snapshots_raw: DataFrame | None,
+    subscription_id: str,
+    update_tag: int,
+) -> dict:
+    """vms → disks → snapshots → subscription-scoped GC
+    (``intel/azure/compute.py:sync`` order)."""
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    metrics: dict = {}
+    sub_node = store.spark.createDataFrame(
+        [(subscription_id,)], "id string"
+    ).select(
+        F.lit("AzureSubscription").alias("label"), "id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        F.lit(None).cast("array<string>").alias("extra_labels"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    )
+    store.merge_nodes(sub_node, update_tag, labels=["AzureSubscription"])
+    for name, raw, fn in (
+        ("vms", vms_raw, transform_azure_vms),
+        ("disks", disks_raw, transform_azure_disks),
+        ("snapshots", snapshots_raw, transform_azure_snapshots),
+    ):
+        if raw is None:
+            continue
+        nodes, edges = fn(raw, update_tag)
+        metrics[f"{name}_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics[f"{name}_edges"] = store.merge_edges(edges, update_tag)
+    sub_rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label="AzureSubscription",
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("AZURE_SUBSCRIPTION_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    for label in ("AzureVirtualMachine", "AzureDisk", "AzureSnapshot", "AzureTag"):
+        if label in store.manifest["nodes"]:
+            metrics[f"gc_{label}"] = run_cleanup(
+                store,
+                NodeSchema(
+                    label=label,
+                    properties={"id": PropertyRef("id")},
+                    sub_resource_relationship=sub_rel,
+                    # tags hang off VMs, not the subscription: unscoped
+                    scoped_cleanup=(label != "AzureTag"),
+                ),
+                update_tag,
+                {"AZURE_SUBSCRIPTION_ID": subscription_id},
+            )
+    store.record_lineage("azure_compute_sync", {"update_tag": update_tag})
+    return metrics

@@ -1,0 +1,129 @@
+"""Azure compute provider parity, mirrored from the reference's
+``tests/integration/cartography/intel/azure/test_compute.py``
+assertions over its actual ``tests/data/azure/compute.py`` fixture
+(loaded read-only via the ast literal evaluator): VM/disk/snapshot
+node sets, subscription RESOURCE scoping, the Snapshot ontology
+projection, and the tag model."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.azure_compute import (
+    sync_azure_compute,
+    transform_azure_vms,
+)
+from tests.test_fixture_parity_github import _load_fixture_ns
+
+FIXTURE = "/root/reference/tests/data/azure/compute.py"
+SUB = "00-00-00-00"
+TAG = 123456789
+RG = "/subscriptions/00-00-00-00/resourceGroups/TestRG/providers"
+
+
+@pytest.fixture(scope="module")
+def az_fixture():
+    if not os.path.exists(FIXTURE):
+        pytest.skip("reference fixture not available")
+    return _load_fixture_ns(FIXTURE)
+
+
+def _raw(spark, data):
+    return spark.createDataFrame(
+        [(SUB, json.dumps(data))], "sub_id string, payload_json string"
+    )
+
+
+def test_azure_compute_sync_parity(spark, tmp_store, az_fixture):
+    """test_compute.py:30-183 — the exact VM/disk/snapshot id sets,
+    RESOURCE scoping and the Snapshot `_ont_*` tuple set."""
+    fx = az_fixture
+    s = tmp_store
+    sync_azure_compute(
+        s,
+        _raw(spark, fx["DESCRIBE_VMS"]),
+        _raw(spark, fx["DESCRIBE_DISKS"]),
+        _raw(spark, fx["DESCRIBE_SNAPSHOTS"]),
+        SUB, TAG,
+    )
+    assert {r["id"] for r in s.nodes(["AzureVirtualMachine"]).collect()} == {
+        f"{RG}/Microsoft.Compute/virtualMachines/TestVM",
+        f"{RG}/Microsoft.Compute/virtualMachines/TestVM1",
+    }
+    assert {r["id"] for r in s.nodes(["AzureDisk"]).collect()} == {
+        f"{RG}/Microsoft.Compute/disks/dd0",
+        f"{RG}/Microsoft.Compute/disks/dd1",
+    }
+    snaps = s.nodes(["AzureSnapshot"]).collect()
+    assert {r["id"] for r in snaps} == {
+        f"{RG}/Microsoft.Compute/snapshots/ss0",
+        f"{RG}/Microsoft.Compute/snapshots/ss1",
+    }
+    # semantic Snapshot label + the exact ontology tuple set
+    assert all("Snapshot" in (r["extra_labels"] or []) for r in snaps)
+    got_ont = {
+        (r["props"]["_ont_name"], r["props"]["_ont_region"],
+         r["props"]["_ont_source"])
+        for r in snaps
+    }
+    assert got_ont == {("ss0", "West US", "azure"), ("ss1", "West US", "azure")}
+    assert all(
+        "_ont_encrypted" not in r["props"] and "_ont_source_id" not in r["props"]
+        for r in snaps
+    )
+    # subscription RESOURCE scoping for all three families
+    rels = {
+        (r["src_id"], r["dst_label"], r["dst_id"])
+        for r in s.edges(["RESOURCE"]).collect()
+    }
+    for dst_label, rid in (
+        ("AzureVirtualMachine", f"{RG}/Microsoft.Compute/virtualMachines/TestVM"),
+        ("AzureDisk", f"{RG}/Microsoft.Compute/disks/dd0"),
+        ("AzureSnapshot", f"{RG}/Microsoft.Compute/snapshots/ss1"),
+    ):
+        assert (SUB, dst_label, rid) in rels
+
+
+def test_azure_vm_tags_parity(spark, az_fixture):
+    """test_compute.py:185-231 — tag ids `{sub}|{key}:{value}` and the
+    exact TAGGED pair set."""
+    fx = az_fixture
+    nodes, edges = transform_azure_vms(_raw(spark, fx["DESCRIBE_VMS"]), TAG)
+    got_tags = {
+        r["id"] for r in nodes.filter(F.col("label") == "AzureTag").collect()
+    }
+    assert got_tags == {
+        f"{SUB}|env:prod", f"{SUB}|service:compute", f"{SUB}|team:alpha",
+    }
+    vm1 = f"{RG}/Microsoft.Compute/virtualMachines/TestVM"
+    vm2 = f"{RG}/Microsoft.Compute/virtualMachines/TestVM1"
+    tagged = {
+        (r["src_id"], r["dst_id"])
+        for r in edges.filter(F.col("rel_label") == "TAGGED").collect()
+    }
+    assert tagged == {
+        (vm1, f"{SUB}|env:prod"),
+        (vm1, f"{SUB}|service:compute"),
+        (vm2, f"{SUB}|env:prod"),
+        (vm2, f"{SUB}|team:alpha"),
+    }
+
+
+def test_azure_stale_vm_cleanup(spark, tmp_store, az_fixture):
+    fx = az_fixture
+    s = tmp_store
+    sync_azure_compute(s, _raw(spark, fx["DESCRIBE_VMS"]), None, None, SUB, TAG)
+    # T2: only the first VM remains
+    sync_azure_compute(
+        s, _raw(spark, fx["DESCRIBE_VMS"][:1]), None, None, SUB, TAG + 1
+    )
+    assert {r["id"] for r in s.nodes(["AzureVirtualMachine"]).collect()} == {
+        f"{RG}/Microsoft.Compute/virtualMachines/TestVM",
+    }
+    # the stale VM's TAGGED edges went with it; its now-orphan tag is
+    # swept by the unscoped AzureTag cleanup
+    assert {r["id"] for r in s.nodes(["AzureTag"]).collect()} == {
+        f"{SUB}|env:prod", f"{SUB}|service:compute",
+    }

@@ -394,6 +394,51 @@ STALE_ACCESS_KEYS = Fact(
     default_params={"MAX_AGE_DAYS": "90"},
 )
 
+EXPOSED_COMPUTE_INSTANCES = Fact(
+    id="compute_instance_exposed",
+    name="Compute instances with a public address",
+    description="EC2 instances / Azure VMs carrying a public IP or "
+    "public DNS name — the internet-reachable attack surface "
+    "(rules/data/rules/compute_instance_exposed.py twin over the "
+    "provider families this engine ingests).",
+    sql_query="""
+        SELECT label AS instance_label, id AS instance_id,
+               coalesce(props['publicipaddress'], props['publicdnsname'])
+                 AS public_address
+        FROM nodes
+        WHERE label IN ('EC2Instance', 'AWSEC2Instance', 'AzureVirtualMachine')
+          AND (props['publicipaddress'] IS NOT NULL
+               OR props['publicdnsname'] IS NOT NULL)
+    """,
+    count_sql="SELECT count(*) AS count FROM nodes WHERE label IN "
+              "('EC2Instance', 'AWSEC2Instance', 'AzureVirtualMachine')",
+    identity_fields=("instance_label", "instance_id"),
+    asset_label="ComputeInstance",
+    asset_id_field="instance_id",
+)
+
+PUBLIC_SNAPSHOTS = Fact(
+    id="public_snapshots",
+    name="Publicly shared storage snapshots",
+    description="Canonical Snapshot-labeled nodes whose normalized "
+    "`_ont_public` projection is true "
+    "(rules/data/rules/public_snapshots.py twin over the ontology "
+    "snapshot mapping).",
+    sql_query="""
+        SELECT label AS snapshot_label, id AS snapshot_id,
+               props['_ont_name'] AS snapshot_name,
+               props['_ont_source'] AS snapshot_source
+        FROM nodes
+        WHERE array_contains(coalesce(extra_labels, array()), 'Snapshot')
+          AND props['_ont_public'] = 'true'
+    """,
+    count_sql="SELECT count(*) AS count FROM nodes WHERE "
+              "array_contains(coalesce(extra_labels, array()), 'Snapshot')",
+    identity_fields=("snapshot_label", "snapshot_id"),
+    asset_label="Snapshot",
+    asset_id_field="snapshot_id",
+)
+
 UNMONITORED_DEVICES = Fact(
     id="device_security_posture_gaps",
     name="Canonical devices with no EDR observation",
@@ -521,6 +566,15 @@ ALL_RULES: tuple[Rule, ...] = (
         version="1.0",
         facts=(MISSING_BRANCH_PROTECTION, WEAK_BRANCH_PROTECTION),
         frameworks=(SUPPLY_CHAIN,),
+    ),
+    Rule(
+        id="attack_surface",
+        name="Internet-facing attack surface",
+        tags=("infrastructure", "attack-surface"),
+        description="Compute instances with public addresses and "
+        "publicly shared snapshots.",
+        version="1.0",
+        facts=(EXPOSED_COMPUTE_INSTANCES, PUBLIC_SNAPSHOTS),
     ),
     Rule(
         id="endpoint_visibility",

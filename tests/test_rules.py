@@ -350,3 +350,44 @@ def test_stale_access_keys_fact(spark, posture_store):
 
     with _pytest.raises(KeyError, match="NOW_EPOCH"):
         run_fact(s, STALE_ACCESS_KEYS)
+
+
+def test_exposed_instances_and_public_snapshots(spark, posture_store):
+    from pyspark.sql import functions as F
+
+    from cartography_spark.plans.rules import (
+        EXPOSED_COMPUTE_INSTANCES,
+        PUBLIC_SNAPSHOTS,
+    )
+
+    s = posture_store
+
+    def nodes(label, rows, extra=None):
+        data = [(r.pop("id"), r) for r in [dict(r) for r in rows]]
+        df = spark.createDataFrame(data, "id string, props map<string,string>")
+        return df.select(
+            F.lit(label).alias("label"), "id",
+            F.lit(1).cast("long").alias("lastupdated"),
+            F.lit(None).cast("string").alias("content_sha256"),
+            (F.array(*[F.lit(x) for x in extra]) if extra
+             else F.lit(None).cast("array<string>")).alias("extra_labels"),
+            F.map_filter(F.col("props"), lambda _k, v: v.isNotNull()).alias("props"),
+        )
+
+    s.merge_nodes(nodes("EC2Instance", [
+        {"id": "i-exposed", "publicipaddress": "54.0.0.1"},
+        {"id": "i-private"},
+    ]), 1)
+    s.merge_nodes(nodes("AzureSnapshot", [
+        {"id": "snap-pub", "_ont_name": "ss0", "_ont_public": "true",
+         "_ont_source": "azure"},
+        {"id": "snap-priv", "_ont_name": "ss1", "_ont_source": "azure"},
+    ], extra=["Snapshot"]), 1)
+
+    res = run_fact(s, EXPOSED_COMPUTE_INSTANCES)
+    assert _ids(res, "instance_id") == {"i-exposed"}
+    assert res["total"] == 2
+
+    res = run_fact(s, PUBLIC_SNAPSHOTS)
+    assert _ids(res, "snapshot_id") == {"snap-pub"}
+    assert res["total"] == 2

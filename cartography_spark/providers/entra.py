@@ -1,0 +1,246 @@
+"""Entra (Azure AD) provider: users + groups payloads → typed triples.
+
+Mirrors the reference's Entra intel module
+(``intel/microsoft/entra/{users,groups}.py``) over Graph-SDK-shaped
+JSON payloads:
+
+* **Users**: ``EntraUser`` nodes (display/given/surname, UPN, mail,
+  department, job title, account_enabled, ``manager_id`` from the
+  manager directory object) scoped ``(tenant)-[:RESOURCE]->(user)``;
+  the manager chain materializes as ``(user)-[:REPORTS_TO]->(manager)``
+  — the reference's ``test_sync_entra_users`` asserted set.
+* **Groups**: ``EntraGroup`` nodes with tenant RESOURCE scoping; USER
+  members attach ``(user)-[:MEMBER_OF]->(group)``, GROUP members
+  ``(member_group)-[:MEMBER_OF]->(group)``, owners
+  ``(user)-[:OWNER_OF]->(group)`` (``test_groups`` assertions).
+
+All from_json + explode column expressions; edges stamped
+``sub_resource = (AzureTenant, tenant_id)`` for tenant-scoped GC.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+USERS_STRUCT = (
+    "array<struct<id:string, display_name:string, given_name:string, "
+    "surname:string, user_principal_name:string, mail:string, "
+    "department:string, job_title:string, account_enabled:boolean, "
+    "manager:struct<id:string>>>"
+)
+GROUPS_STRUCT = (
+    "struct<groups: array<struct<id:string, display_name:string, "
+    "description:string, mail:string, security_enabled:boolean, "
+    "visibility:string>>, "
+    "members: map<string, array<struct<id:string, odata_type:string>>>, "
+    "owners: map<string, array<struct<id:string>>>>"
+)
+
+
+def _bool_str(col) -> F.Column:
+    return F.when(col, "true").when(~col, "false")
+
+
+def _shape_nodes(df: DataFrame, update_tag: int, extra=None) -> DataFrame:
+    return df.select(
+        "label",
+        "id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        (extra if extra is not None else F.lit(None).cast("array<string>"))
+        .alias("extra_labels"),
+        F.map_filter(F.col("props"), lambda _k, v: v.isNotNull()).alias("props"),
+    )
+
+
+def _shape_edges(df: DataFrame, update_tag: int) -> DataFrame:
+    return df.select(
+        "src_label", "src_id", "rel_label", "dst_label", "dst_id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit("AzureTenant").alias("sub_resource_label"),
+        F.col("tenant_id").alias("sub_resource_id"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    ).dropDuplicates(["src_label", "src_id", "rel_label", "dst_label", "dst_id"])
+
+
+def transform_entra_users(
+    raw: DataFrame, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """``raw``: (tenant_id string, payload_json = JSON array of
+    Graph-SDK-shaped user objects)."""
+    u = raw.select(
+        "tenant_id",
+        F.explode(F.from_json("payload_json", USERS_STRUCT)).alias("u"),
+    ).filter(F.col("u.id").isNotNull())
+    user_nodes = _shape_nodes(
+        u.select(
+            F.lit("EntraUser").alias("label"),
+            F.col("u.id").alias("id"),
+            F.map_from_arrays(
+                F.array(*[F.lit(k) for k in (
+                    "display_name", "given_name", "surname",
+                    "user_principal_name", "mail", "department", "job_title",
+                    "account_enabled", "manager_id",
+                )]),
+                F.array(
+                    F.col("u.display_name"), F.col("u.given_name"),
+                    F.col("u.surname"), F.col("u.user_principal_name"),
+                    F.col("u.mail"), F.col("u.department"),
+                    F.col("u.job_title"),
+                    _bool_str(F.col("u.account_enabled")),
+                    F.col("u.manager.id"),
+                ),
+            ).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+        extra=F.array(F.lit("UserAccount")),
+    )
+    tenant_nodes = _shape_nodes(
+        raw.select(
+            F.lit("AzureTenant").alias("label"),
+            F.col("tenant_id").alias("id"),
+            F.lit(None).cast("map<string,string>").alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+        extra=F.array(F.lit("Tenant")),
+    )
+    resource = u.select(
+        "tenant_id",
+        F.lit("AzureTenant").alias("src_label"),
+        F.col("tenant_id").alias("src_id"),
+        F.lit("RESOURCE").alias("rel_label"),
+        F.lit("EntraUser").alias("dst_label"),
+        F.col("u.id").alias("dst_id"),
+    )
+    reports_to = u.filter(F.col("u.manager.id").isNotNull()).select(
+        "tenant_id",
+        F.lit("EntraUser").alias("src_label"),
+        F.col("u.id").alias("src_id"),
+        F.lit("REPORTS_TO").alias("rel_label"),
+        F.lit("EntraUser").alias("dst_label"),
+        F.col("u.manager.id").alias("dst_id"),
+    )
+    return (
+        tenant_nodes.unionByName(user_nodes),
+        _shape_edges(resource.unionByName(reports_to), update_tag),
+    )
+
+
+def transform_entra_groups(
+    raw: DataFrame, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """``raw``: (tenant_id string, payload_json =
+    ``{"groups": [...], "members": {gid: [{id, odata_type}]},
+    "owners": {gid: [{id}]}}``)."""
+    parsed = raw.select(
+        "tenant_id", F.from_json("payload_json", GROUPS_STRUCT).alias("p")
+    )
+    g = parsed.select("tenant_id", F.explode("p.groups").alias("g"))
+    group_nodes = _shape_nodes(
+        g.select(
+            F.lit("EntraGroup").alias("label"),
+            F.col("g.id").alias("id"),
+            F.map_from_arrays(
+                F.array(*[F.lit(k) for k in (
+                    "display_name", "description", "mail",
+                    "security_enabled", "visibility",
+                )]),
+                F.array(
+                    F.col("g.display_name"), F.col("g.description"),
+                    F.col("g.mail"), _bool_str(F.col("g.security_enabled")),
+                    F.col("g.visibility"),
+                ),
+            ).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+        extra=F.array(F.lit("UserGroup")),
+    )
+    resource = g.select(
+        "tenant_id",
+        F.lit("AzureTenant").alias("src_label"),
+        F.col("tenant_id").alias("src_id"),
+        F.lit("RESOURCE").alias("rel_label"),
+        F.lit("EntraGroup").alias("dst_label"),
+        F.col("g.id").alias("dst_id"),
+    )
+    members = parsed.select(
+        "tenant_id", F.explode("p.members").alias("group_id", "ms")
+    ).select("tenant_id", "group_id", F.explode("ms").alias("m"))
+    is_group = F.col("m.odata_type").contains("group")
+    member_edges = members.select(
+        "tenant_id",
+        F.when(is_group, "EntraGroup").otherwise("EntraUser").alias("src_label"),
+        F.col("m.id").alias("src_id"),
+        F.lit("MEMBER_OF").alias("rel_label"),
+        F.lit("EntraGroup").alias("dst_label"),
+        F.col("group_id").alias("dst_id"),
+    )
+    owners = parsed.select(
+        "tenant_id", F.explode("p.owners").alias("group_id", "os")
+    ).select("tenant_id", "group_id", F.explode("os").alias("o"))
+    owner_edges = owners.select(
+        "tenant_id",
+        F.lit("EntraUser").alias("src_label"),
+        F.col("o.id").alias("src_id"),
+        F.lit("OWNER_OF").alias("rel_label"),
+        F.lit("EntraGroup").alias("dst_label"),
+        F.col("group_id").alias("dst_id"),
+    )
+    return (
+        group_nodes,
+        _shape_edges(
+            resource.unionByName(member_edges).unionByName(owner_edges),
+            update_tag,
+        ),
+    )
+
+
+def sync_entra(
+    store,
+    users_raw: DataFrame | None,
+    groups_raw: DataFrame | None,
+    tenant_id: str,
+    update_tag: int,
+) -> dict:
+    """users → groups → tenant-scoped GC."""
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    metrics: dict = {}
+    for name, raw, fn in (
+        ("users", users_raw, transform_entra_users),
+        ("groups", groups_raw, transform_entra_groups),
+    ):
+        if raw is None:
+            continue
+        nodes, edges = fn(raw, update_tag)
+        metrics[f"{name}_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics[f"{name}_edges"] = store.merge_edges(edges, update_tag)
+    tenant_rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label="AzureTenant",
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("TENANT_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    for label in ("EntraUser", "EntraGroup"):
+        if label in store.manifest["nodes"]:
+            metrics[f"gc_{label}"] = run_cleanup(
+                store,
+                NodeSchema(
+                    label=label,
+                    properties={"id": PropertyRef("id")},
+                    sub_resource_relationship=tenant_rel,
+                ),
+                update_tag,
+                {"TENANT_ID": tenant_id},
+            )
+    store.record_lineage("entra_sync", {"update_tag": update_tag})
+    return metrics

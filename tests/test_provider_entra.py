@@ -1,0 +1,134 @@
+"""Entra provider parity, mirrored from the reference's
+``tests/integration/cartography/intel/microsoft/entra/{test_users,
+test_groups}.py`` asserted sets (the SDK-object fixtures aren't
+literal-evaluable, so the expected tuples are transcribed)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.entra import (
+    sync_entra,
+    transform_entra_groups,
+    transform_entra_users,
+)
+
+TENANT = "02b2b7cc-fb03-4324-bf6b-eb207b39c479"
+TAG = 1234567890
+HOMER = "ae4ac864-4433-4ba6-96a6-20f8cffdadcb"
+TEST1 = "11dca63b-cb03-4e53-bb75-fa8060285550"
+SEC = "11111111-1111-1111-1111-111111111111"
+DEV = "22222222-2222-2222-2222-222222222222"
+
+USERS = [
+    {
+        "id": HOMER, "display_name": "Homer Simpson", "given_name": "Homer",
+        "surname": "Simpson", "department": "Operations",
+        "manager": {"id": TEST1},
+        "user_principal_name": "hjsimpson@simpson.corp",
+    },
+    {
+        "id": TEST1, "display_name": "Entra Test User 1",
+        "department": "Engineering",
+        "user_principal_name": "entra-test-user-1@mycompany.onmicrosoft.com",
+    },
+]
+
+GROUPS_PAYLOAD = {
+    "groups": [
+        {"id": SEC, "display_name": "Security Team", "security_enabled": True},
+        {"id": DEV, "display_name": "Developers", "security_enabled": True},
+    ],
+    "members": {
+        SEC: [
+            {"id": HOMER, "odata_type": "#microsoft.graph.user"},
+            {"id": TEST1, "odata_type": "#microsoft.graph.user"},
+            {"id": DEV, "odata_type": "#microsoft.graph.group"},
+        ],
+    },
+    "owners": {SEC: [{"id": HOMER}], DEV: [{"id": TEST1}]},
+}
+
+
+def _users_raw(spark):
+    return spark.createDataFrame(
+        [(TENANT, json.dumps(USERS))], "tenant_id string, payload_json string"
+    )
+
+
+def _groups_raw(spark):
+    return spark.createDataFrame(
+        [(TENANT, json.dumps(GROUPS_PAYLOAD))],
+        "tenant_id string, payload_json string",
+    )
+
+
+def test_entra_users_parity(spark):
+    """test_users.py:48-115 — user tuples incl. department/manager_id,
+    REPORTS_TO, tenant RESOURCE."""
+    nodes, edges = transform_entra_users(_users_raw(spark), TAG)
+    users = nodes.filter(F.col("label") == "EntraUser").collect()
+    got = {
+        (r["id"], r["props"]["display_name"],
+         r["props"]["user_principal_name"], r["props"]["department"],
+         r["props"].get("manager_id"))
+        for r in users
+    }
+    assert got == {
+        (HOMER, "Homer Simpson", "hjsimpson@simpson.corp", "Operations", TEST1),
+        (TEST1, "Entra Test User 1",
+         "entra-test-user-1@mycompany.onmicrosoft.com", "Engineering", None),
+    }
+    assert {r["id"] for r in nodes.filter(F.col("label") == "AzureTenant").collect()} == {TENANT}
+    rels = {(r["src_id"], r["rel_label"], r["dst_id"]) for r in edges.collect()}
+    assert (HOMER, "REPORTS_TO", TEST1) in rels
+    assert (TENANT, "RESOURCE", HOMER) in rels
+    assert (TENANT, "RESOURCE", TEST1) in rels
+
+
+def test_entra_groups_parity(spark):
+    """test_groups.py:243-327 — group tuples, tenant RESOURCE, user
+    MEMBER_OF, group-in-group MEMBER_OF, OWNER_OF."""
+    nodes, edges = transform_entra_groups(_groups_raw(spark), TAG)
+    got = {
+        (r["id"], r["props"]["display_name"])
+        for r in nodes.filter(F.col("label") == "EntraGroup").collect()
+    }
+    assert got == {(SEC, "Security Team"), (DEV, "Developers")}
+    rels = {
+        (r["src_label"], r["src_id"], r["rel_label"], r["dst_id"])
+        for r in edges.collect()
+    }
+    assert ("AzureTenant", TENANT, "RESOURCE", SEC) in rels
+    assert ("AzureTenant", TENANT, "RESOURCE", DEV) in rels
+    assert ("EntraUser", HOMER, "MEMBER_OF", SEC) in rels
+    assert ("EntraUser", TEST1, "MEMBER_OF", SEC) in rels
+    assert ("EntraGroup", DEV, "MEMBER_OF", SEC) in rels
+    assert ("EntraUser", HOMER, "OWNER_OF", SEC) in rels
+    assert ("EntraUser", TEST1, "OWNER_OF", DEV) in rels
+
+
+def test_entra_sync_and_stale_cleanup(spark, tmp_store):
+    s = tmp_store
+    sync_entra(s, _users_raw(spark), _groups_raw(spark), TENANT, TAG)
+    assert {r["id"] for r in s.nodes(["EntraGroup"]).collect()} == {SEC, DEV}
+    # T2: Developers vanished; Homer left
+    users2 = spark.createDataFrame(
+        [(TENANT, json.dumps(USERS[1:]))], "tenant_id string, payload_json string"
+    )
+    groups2 = spark.createDataFrame(
+        [(TENANT, json.dumps({
+            "groups": GROUPS_PAYLOAD["groups"][:1],
+            "members": {SEC: [{"id": TEST1, "odata_type": "#microsoft.graph.user"}]},
+            "owners": {},
+        }))],
+        "tenant_id string, payload_json string",
+    )
+    sync_entra(s, users2, groups2, TENANT, TAG + 1)
+    assert {r["id"] for r in s.nodes(["EntraGroup"]).collect()} == {SEC}
+    assert {r["id"] for r in s.nodes(["EntraUser"]).collect()} == {TEST1}
+    # Homer's REPORTS_TO / MEMBER_OF went with him (DETACH)
+    assert not [
+        r for r in s.edges(["MEMBER_OF"]).collect() if r["src_id"] == HOMER
+    ]

@@ -112,6 +112,25 @@ DEFAULT_DEVICE_SOURCES: tuple[DeviceSource, ...] = (
                                os_version="os_revision"),
         hostname_field="computer_name",
     ),
+    DeviceSource(
+        "GoogleWorkspaceDevice",
+        default_device_mapping(platform="device_type"),
+    ),
+    DeviceSource(
+        "JamfComputer",
+        default_device_mapping(hostname="name", os="os_name"),
+        hostname_field="name",
+    ),
+    DeviceSource(
+        "JumpCloudSystem",
+        default_device_mapping(),
+        hostname_field=None,  # serial-matched only (no hostname matchlink)
+    ),
+    DeviceSource(
+        "IntuneManagedDevice",
+        default_device_mapping(hostname="device_name", os="operating_system"),
+        hostname_field="device_name",
+    ),
     # matchlink-only families (eligible_for_source=False in the mapping)
     DeviceSource("DuoEndpoint", None, serial_field=None, hostname_field="device_name"),
     DeviceSource("BigfixComputer", None, serial_field=None,

@@ -192,3 +192,31 @@ def test_stale_device_gc(spark, device_graph):
         r for r in s.edges(["OBSERVED_AS"]).collect()
         if r["src_id"] == "HACK-PIXEL-01"
     ]
+
+
+def test_default_sources_cover_reference_families(spark, tmp_store):
+    """The shipped source registry mirrors mapping/data/devices.py: an
+    IntuneManagedDevice (field names device_name/operating_system) feeds
+    the canonical Device like any other family."""
+    from cartography_spark.plans.ontology_devices import DEFAULT_DEVICE_SOURCES
+
+    labels = {s.node_label for s in DEFAULT_DEVICE_SOURCES}
+    assert {
+        "CrowdstrikeHost", "KandjiDevice", "SnipeitAsset", "TailscaleDevice",
+        "S1Agent", "GoogleWorkspaceDevice", "JamfComputer", "JumpCloudSystem",
+        "IntuneManagedDevice", "DuoEndpoint", "BigfixComputer",
+    } <= labels
+    s = tmp_store
+    s.merge_nodes(_nodes(spark, "IntuneManagedDevice", [
+        {"id": "int-1", "serial_number": "SIMP-INTUNE-01",
+         "device_name": "lisa-surface", "operating_system": "Windows"},
+    ]), TAG)
+    sync_ontology_devices(s, DEFAULT_DEVICE_SOURCES, TAG)
+    devs = {r["id"]: r["props"] for r in s.nodes(["Device"]).collect()}
+    assert devs["SIMP-INTUNE-01"]["hostname"] == "lisa-surface"
+    assert devs["SIMP-INTUNE-01"]["os"] == "Windows"
+    rels = {
+        (r["src_id"], r["dst_label"], r["dst_id"])
+        for r in s.edges(["OBSERVED_AS"]).collect()
+    }
+    assert ("SIMP-INTUNE-01", "IntuneManagedDevice", "int-1") in rels

@@ -1,0 +1,470 @@
+"""Tailscale provider: tailnet + users + devices + tags → typed triples.
+
+Mirrors the reference's Tailscale intel module over the REST payload
+shapes:
+
+* **Tailnet** (``intel/tailscale/tailnets.py:54-67``): one
+  ``TailscaleTailnet`` node per org (id = org name,
+  ``models/tailscale/tailnet.py`` — the ``Tenant`` extra label) holding
+  the 9 settings fields.
+* **Users** (``intel/tailscale/users.py:55-68``): ``TailscaleUser``
+  nodes with the ``UserAccount`` extra label
+  (``models/tailscale/user.py:84-88``), tailnet ``RESOURCE`` scoping,
+  and ``email`` mirrored from ``loginName`` (the model's extra-indexed
+  ``email`` PropertyRef points at ``loginName``).
+* **Devices** (``intel/tailscale/devices.py:120-141,229-259``):
+  ``TailscaleDevice`` nodes; ``serial_number`` = first
+  ``postureIdentity.serialNumbers`` entry (``transform``,
+  ``devices.py:121-130``); the posture-attribute projection
+  (``project_device_posture_attributes``) — built-in ``node:os`` /
+  ``node:tsVersion`` attributes overlaid by the per-device attribute
+  fetch, ``{"value": ...}`` wrappers unwrapped, ``true/false/null``
+  strings normalized (``_normalize_attribute_value``), ``fleetPolicy:*``
+  keys collected into ``posture_fleet_policies`` — all as column
+  expressions; ``(:TailscaleUser)-[:OWNS]->(:TailscaleDevice)`` edges
+  resolved by a broadcast join on ``loginName``
+  (``TailscaleDeviceToUserRel`` matches on ``login_name``).
+* **Tags** (``intel/tailscale/devices.py:121-141`` transform):
+  ``TailscaleTag`` nodes minted from device ``tags`` arrays (id = raw
+  tag, name = last ``:`` segment), ``TAGGED`` edges from each carrying
+  device, tailnet ``RESOURCE`` scoping.
+
+Execution shape: ``from_json`` + ``explode`` column expressions only —
+zero Python in the transform; the posture payload rides
+``map<string,string>`` (primitives coerced, object values kept as JSON
+text and unwrapped with ``get_json_object``). Every edge is stamped
+``sub_resource = (TailscaleTailnet, org)`` so org-scoped GC sweeps
+stale users/devices/tags exactly like the reference's per-schema
+cleanup jobs. Devices carry ``serial_number``/``hostname``/``os``
+props, so the ontology devices stage (``plans/ontology_devices.py``,
+``TailscaleDevice`` registry entry) canonicalizes them with no extra
+wiring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+TAILNET_STRUCT = (
+    "struct<devicesApprovalOn:string, devicesAutoUpdatesOn:string, "
+    "devicesKeyDurationDays:string, usersApprovalOn:string, "
+    "usersRoleAllowedToJoinExternalTailnets:string, "
+    "networkFlowLoggingOn:string, regionalRoutingOn:string, "
+    "postureIdentityCollectionOn:string>"
+)
+USERS_STRUCT = (
+    "array<struct<id:string, displayName:string, loginName:string, "
+    "profilePicUrl:string, created:string, type:string, role:string, "
+    "status:string, deviceCount:string, lastSeen:string, "
+    "currentlyConnected:string>>"
+)
+DEVICES_STRUCT = (
+    "array<struct<id:string, nodeId:string, user:string, name:string, "
+    "hostname:string, clientVersion:string, updateAvailable:string, "
+    "os:string, created:string, lastSeen:string, keyExpiryDisabled:string, "
+    "expires:string, authorized:string, isExternal:string, nodeKey:string, "
+    "addresses:array<string>, blocksIncomingConnections:string, "
+    "clientConnectivity:struct<endpoints:array<string>, "
+    "mappingVariesByDestIP:string>, tailnetLockError:string, "
+    "tailnetLockKey:string, "
+    "postureIdentity:struct<serialNumbers:array<string>, disabled:string>, "
+    "tags:array<string>>>"
+)
+
+# devices.py:31-66 — the posture attribute projection allowlist
+POSTURE_ATTRIBUTE_FIELD_MAP = {
+    "node:os": "posture_node_os",
+    "node:osVersion": "posture_node_os_version",
+    "node:tsAutoUpdate": "posture_node_ts_auto_update",
+    "node:tsReleaseTrack": "posture_node_ts_release_track",
+    "node:tsStateEncrypted": "posture_node_ts_state_encrypted",
+    "node:tsVersion": "posture_node_ts_version",
+    "ip:country": "posture_ip_country",
+    "falcon:ztaScore": "posture_falcon_zta_score",
+    "sentinelOne:operationalState": "posture_sentinelone_operational_state",
+    "sentinelOne:activeThreats": "posture_sentinelone_active_threats",
+    "sentinelOne:agentVersion": "posture_sentinelone_agent_version",
+    "sentinelOne:encryptedApplications":
+        "posture_sentinelone_encrypted_applications",
+    "sentinelOne:firewallEnabled": "posture_sentinelone_firewall_enabled",
+    "sentinelOne:infected": "posture_sentinelone_infected",
+    "kolide:authState": "posture_kolide_auth_state",
+    "fleet:present": "posture_fleet_present",
+    "huntress:defenderStatus": "posture_huntress_defender_status",
+    "huntress:defenderPolicyStatus":
+        "posture_huntress_defender_policy_status",
+    "huntress:firewallStatus": "posture_huntress_firewall_status",
+    "kandji:mdmEnabled": "posture_kandji_mdm_enabled",
+    "kandji:agentInstalled": "posture_kandji_agent_installed",
+    "jamfPro:remoteManaged": "posture_jamfpro_remote_managed",
+    "jamfPro:supervised": "posture_jamfpro_supervised",
+    "jamfPro:firewallEnabled": "posture_jamfpro_firewall_enabled",
+    "jamfPro:fileVaultStatus": "posture_jamfpro_file_vault_status",
+    "jamfPro:SIPEnabled": "posture_jamfpro_sip_enabled",
+    "intune:complianceState": "posture_intune_compliance_state",
+    "intune:azureADRegistered": "posture_intune_azure_ad_registered",
+    "intune:deviceRegistrationState":
+        "posture_intune_device_registration_state",
+    "intune:isSupervised": "posture_intune_is_supervised",
+    "intune:isEncrypted": "posture_intune_is_encrypted",
+    "intune:managedDeviceOwnerType":
+        "posture_intune_managed_device_owner_type",
+}
+
+LABEL_TAILNET = "TailscaleTailnet"
+LABEL_USER = "TailscaleUser"
+LABEL_DEVICE = "TailscaleDevice"
+LABEL_TAG = "TailscaleTag"
+
+
+def _props_map(pairs: list[tuple[str, Column]]) -> Column:
+    """Null-pruned map<string,string> from (key, column) pairs."""
+    return F.map_filter(
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k, _ in pairs]),
+            F.array(*[v.cast("string") for _, v in pairs]),
+        ),
+        lambda _k, v: v.isNotNull(),
+    )
+
+
+def _shape_nodes(df: DataFrame, update_tag: int, extra=None) -> DataFrame:
+    return df.select(
+        "label",
+        "id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        (extra if extra is not None else F.lit(None).cast("array<string>"))
+        .alias("extra_labels"),
+        "props",
+    )
+
+
+def _shape_edges(df: DataFrame, update_tag: int) -> DataFrame:
+    return df.select(
+        "src_label", "src_id", "rel_label", "dst_label", "dst_id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(LABEL_TAILNET).alias("sub_resource_label"),
+        F.col("org").alias("sub_resource_id"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    ).dropDuplicates(["src_label", "src_id", "rel_label", "dst_label", "dst_id"])
+
+
+def transform_tailnet(raw: DataFrame, update_tag: int) -> DataFrame:
+    """``raw``: (org string, payload_json string) — the tailnet
+    settings object. One ``TailscaleTailnet`` node per org
+    (``tailnets.py:54-67``; id = org, extra label ``Tenant``)."""
+    s = raw.select("org", F.from_json("payload_json", TAILNET_STRUCT).alias("s"))
+    nodes = s.select(
+        F.lit(LABEL_TAILNET).alias("label"),
+        F.col("org").alias("id"),
+        _props_map([
+            ("devices_approval_on", F.col("s.devicesApprovalOn")),
+            ("devices_auto_updates_on", F.col("s.devicesAutoUpdatesOn")),
+            ("devices_key_duration_days", F.col("s.devicesKeyDurationDays")),
+            ("users_approval_on", F.col("s.usersApprovalOn")),
+            ("users_role_allowed_to_join_external_tailnets",
+             F.col("s.usersRoleAllowedToJoinExternalTailnets")),
+            ("network_flow_logging_on", F.col("s.networkFlowLoggingOn")),
+            ("regional_routing_on", F.col("s.regionalRoutingOn")),
+            ("posture_identity_collection_on",
+             F.col("s.postureIdentityCollectionOn")),
+        ]).alias("props"),
+    ).dropDuplicates(["id"])
+    return _shape_nodes(nodes, update_tag, extra=F.array(F.lit("Tenant")))
+
+
+def _parse_users(raw: DataFrame) -> DataFrame:
+    return raw.select(
+        "org", F.explode(F.from_json("payload_json", USERS_STRUCT)).alias("u")
+    )
+
+
+def transform_users(
+    raw: DataFrame, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """``raw``: (org string, payload_json string) — a JSON array of
+    user objects. Returns (nodes, edges): ``TailscaleUser`` nodes with
+    the ``UserAccount`` extra label + tailnet RESOURCE edges."""
+    users = _parse_users(raw)
+    nodes = _shape_nodes(
+        users.select(
+            F.lit(LABEL_USER).alias("label"),
+            F.col("u.id").alias("id"),
+            _props_map([
+                ("display_name", F.col("u.displayName")),
+                ("login_name", F.col("u.loginName")),
+                # email is the model's extra-indexed alias of loginName
+                ("email", F.col("u.loginName")),
+                ("profile_pic_url", F.col("u.profilePicUrl")),
+                ("created", F.col("u.created")),
+                ("type", F.col("u.type")),
+                ("role", F.col("u.role")),
+                ("status", F.col("u.status")),
+                ("device_count", F.col("u.deviceCount")),
+                ("last_seen", F.col("u.lastSeen")),
+                ("currently_connected", F.col("u.currentlyConnected")),
+            ]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+        extra=F.array(F.lit("UserAccount")),
+    )
+    edges = _shape_edges(
+        users.select(
+            "org",
+            F.lit(LABEL_TAILNET).alias("src_label"),
+            F.col("org").alias("src_id"),
+            F.lit("RESOURCE").alias("rel_label"),
+            F.lit(LABEL_USER).alias("dst_label"),
+            F.col("u.id").alias("dst_id"),
+        ),
+        update_tag,
+    )
+    return nodes, edges
+
+
+def _normalize_posture(v: Column) -> Column:
+    """``_normalize_attribute_value`` (devices.py:272-288) in string
+    form: unwrap ``{"value": ...}`` objects, canonicalize booleans to
+    lowercase, map ``"null"`` to NULL; everything else rides as-is
+    (numbers already arrive unquoted from the map coercion)."""
+    unwrapped = F.when(
+        v.startswith("{"), F.get_json_object(v, "$.value")
+    ).otherwise(v)
+    low = F.lower(F.trim(unwrapped))
+    return (
+        F.when(low == "true", F.lit("true"))
+        .when(low == "false", F.lit("false"))
+        .when(low == "null", F.lit(None).cast("string"))
+        .otherwise(F.trim(unwrapped))
+    )
+
+
+def _device_props(d: Column, attrs: Column) -> Column:
+    serial = F.element_at(d["postureIdentity"]["serialNumbers"], 1)
+    # built-in attributes (devices.py:262-270) overlaid by the fetch
+    posture_os = F.coalesce(_normalize_posture(attrs["node:os"]), d["os"])
+    posture_ts_version = F.coalesce(
+        _normalize_posture(attrs["node:tsVersion"]),
+        F.regexp_replace(d["clientVersion"], "^v", ""),
+    )
+    pairs: list[tuple[str, Column]] = [
+        ("name", d["name"]),
+        ("hostname", d["hostname"]),
+        ("client_version", d["clientVersion"]),
+        ("update_available", d["updateAvailable"]),
+        ("os", d["os"]),
+        ("created", d["created"]),
+        ("last_seen", d["lastSeen"]),
+        ("key_expiry_disabled", d["keyExpiryDisabled"]),
+        ("expires", d["expires"]),
+        ("authorized", d["authorized"]),
+        ("is_external", d["isExternal"]),
+        ("node_key", d["nodeKey"]),
+        ("addresses", F.when(d["addresses"].isNotNull(),
+                             F.to_json(d["addresses"]))),
+        ("blocks_incoming_connections", d["blocksIncomingConnections"]),
+        ("client_connectivity_endpoints",
+         F.when(d["clientConnectivity"]["endpoints"].isNotNull(),
+                F.to_json(d["clientConnectivity"]["endpoints"]))),
+        ("client_connectivity_mapping_varies_by_dest_ip",
+         d["clientConnectivity"]["mappingVariesByDestIP"]),
+        ("tailnet_lock_error", d["tailnetLockError"]),
+        ("tailnet_lock_key", d["tailnetLockKey"]),
+        ("serial_number", serial),
+        ("posture_identity_serial_numbers",
+         F.when(d["postureIdentity"]["serialNumbers"].isNotNull(),
+                F.to_json(d["postureIdentity"]["serialNumbers"]))),
+        ("posture_identity_disabled", d["postureIdentity"]["disabled"]),
+        ("posture_node_os", posture_os),
+        ("posture_node_ts_version", posture_ts_version),
+    ]
+    for attr, field in POSTURE_ATTRIBUTE_FIELD_MAP.items():
+        if field in ("posture_node_os", "posture_node_ts_version"):
+            continue  # built-in-backed, handled above
+        pairs.append((field, _normalize_posture(attrs[attr])))
+    # fleetPolicy:* keys present on the device, as a sorted name list
+    fleet = F.array_sort(
+        F.filter(F.map_keys(attrs), lambda k: k.startswith("fleetPolicy:"))
+    )
+    pairs.append((
+        "posture_fleet_policies",
+        F.when(F.size(fleet) > 0, F.to_json(fleet)),
+    ))
+    # ontology devices projection rides the flat props (registry entry)
+    return _props_map(pairs)
+
+
+def transform_devices(
+    devices_raw: DataFrame,
+    posture_raw: DataFrame | None,
+    users_raw: DataFrame | None,
+    update_tag: int,
+) -> tuple[DataFrame, DataFrame]:
+    """``devices_raw``: (org, payload_json = JSON array of devices);
+    ``posture_raw``: (org, payload_json = {nodeId: {attr: value}}) —
+    the per-device attribute fetch collected into one object;
+    ``users_raw``: the users payload, used to resolve OWNS edges by
+    ``loginName`` → user id (broadcast join — the users dim is small).
+
+    Returns (nodes, edges): ``TailscaleDevice`` + ``TailscaleTag``
+    nodes; tailnet RESOURCE, user OWNS, and device TAGGED edges."""
+    devices = devices_raw.select(
+        "org", F.explode(F.from_json("payload_json", DEVICES_STRUCT)).alias("d")
+    )
+    if posture_raw is not None:
+        posture = posture_raw.select(
+            "org",
+            F.explode(
+                F.from_json("payload_json", "map<string,string>")
+            ).alias("node_id", "attrs_json"),
+        ).select(
+            "org", "node_id",
+            F.from_json("attrs_json", "map<string,string>").alias("attrs"),
+        )
+        devices = devices.join(
+            F.broadcast(posture),
+            (devices["org"] == posture["org"])
+            & (devices["d.nodeId"] == posture["node_id"]),
+            "left",
+        ).select(devices["org"], "d", "attrs")
+    else:
+        devices = devices.select(
+            "org", "d",
+            F.lit(None).cast("map<string,string>").alias("attrs"),
+        )
+    device_nodes = _shape_nodes(
+        devices.select(
+            F.lit(LABEL_DEVICE).alias("label"),
+            F.col("d.nodeId").alias("id"),
+            _device_props(F.col("d"), F.col("attrs")).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+    )
+    resource_edges = devices.select(
+        "org",
+        F.lit(LABEL_TAILNET).alias("src_label"),
+        F.col("org").alias("src_id"),
+        F.lit("RESOURCE").alias("rel_label"),
+        F.lit(LABEL_DEVICE).alias("dst_label"),
+        F.col("d.nodeId").alias("dst_id"),
+    )
+    edges = [resource_edges]
+
+    if users_raw is not None:
+        logins = _parse_users(users_raw).select(
+            F.col("org").alias("u_org"),
+            F.col("u.loginName").alias("login_name"),
+            F.col("u.id").alias("user_id"),
+        ).dropDuplicates(["u_org", "login_name"])
+        owns = devices.join(
+            F.broadcast(logins),
+            (devices["org"] == logins["u_org"])
+            & (devices["d.user"] == logins["login_name"]),
+        ).select(
+            "org",
+            F.lit(LABEL_USER).alias("src_label"),
+            F.col("user_id").alias("src_id"),
+            F.lit("OWNS").alias("rel_label"),
+            F.lit(LABEL_DEVICE).alias("dst_label"),
+            F.col("d.nodeId").alias("dst_id"),
+        )
+        edges.append(owns)
+
+    tagged = devices.select(
+        "org", F.col("d.nodeId").alias("node_id"),
+        F.explode("d.tags").alias("tag"),
+    )
+    tag_nodes = _shape_nodes(
+        tagged.select(
+            F.lit(LABEL_TAG).alias("label"),
+            F.col("tag").alias("id"),
+            _props_map([
+                ("name", F.element_at(F.split(F.col("tag"), ":"), -1)),
+            ]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+    )
+    edges.append(tagged.select(
+        "org",
+        F.lit(LABEL_DEVICE).alias("src_label"),
+        F.col("node_id").alias("src_id"),
+        F.lit("TAGGED").alias("rel_label"),
+        F.lit(LABEL_TAG).alias("dst_label"),
+        F.col("tag").alias("dst_id"),
+    ))
+    edges.append(tagged.select(
+        "org",
+        F.lit(LABEL_TAILNET).alias("src_label"),
+        F.col("org").alias("src_id"),
+        F.lit("RESOURCE").alias("rel_label"),
+        F.lit(LABEL_TAG).alias("dst_label"),
+        F.col("tag").alias("dst_id"),
+    ))
+
+    all_edges = edges[0]
+    for e in edges[1:]:
+        all_edges = all_edges.unionByName(e)
+    nodes = device_nodes.unionByName(tag_nodes)
+    return nodes, _shape_edges(all_edges, update_tag)
+
+
+def sync_tailscale(
+    store,
+    tailnet_raw: DataFrame | None,
+    users_raw: DataFrame | None,
+    devices_raw: DataFrame | None,
+    posture_raw: DataFrame | None,
+    org: str,
+    update_tag: int,
+) -> dict:
+    """tailnet → users → devices+tags → org-scoped GC (the reference's
+    ``intel/tailscale/__init__.py`` sync order; cleanup per schema =
+    ``lastupdated <> tag`` within the tailnet scope)."""
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    metrics: dict = {}
+    if tailnet_raw is not None:
+        metrics["tailnet_nodes"] = store.merge_nodes(
+            transform_tailnet(tailnet_raw, update_tag), update_tag
+        )
+    if users_raw is not None:
+        nodes, edges = transform_users(users_raw, update_tag)
+        metrics["users_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["users_edges"] = store.merge_edges(edges, update_tag)
+    if devices_raw is not None:
+        nodes, edges = transform_devices(
+            devices_raw, posture_raw, users_raw, update_tag
+        )
+        metrics["devices_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["devices_edges"] = store.merge_edges(edges, update_tag)
+
+    tailnet_rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label=LABEL_TAILNET,
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("ORG", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    for label in (LABEL_USER, LABEL_DEVICE, LABEL_TAG):
+        if label in store.manifest["nodes"]:
+            schema = NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=tailnet_rel,
+            )
+            metrics[f"gc_{label}"] = run_cleanup(
+                store, schema, update_tag, {"ORG": org}
+            )
+    store.record_lineage(
+        "tailscale_sync", {"update_tag": update_tag, "org": org}
+    )
+    return metrics

@@ -1,0 +1,317 @@
+"""Tailscale provider parity: tailnet + users + devices + tags sync
+mirrored from the reference's
+``tests/integration/cartography/intel/tailscale/test_tailnets.py``,
+``test_users.py``, ``test_devices.py``, and ``test_tags.py``
+assertions (node sets, serial-number extraction, posture-attribute
+projection, tailnet RESOURCE scoping, user OWNS device pairs, tag
+minting + TAGGED pairs, org-scoped GC), over fixture payloads shaped
+like ``tests/data/tailscale/*.py``."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.tailscale import (
+    sync_tailscale,
+    transform_devices,
+    transform_tailnet,
+    transform_users,
+)
+
+ORG = "simpson.corp"
+TAG = 123456789
+
+TAILNET = {
+    "devicesApprovalOn": "False",
+    "devicesAutoUpdatesOn": "False",
+    "devicesKeyDurationDays": "180",
+    "usersApprovalOn": "True",
+    "usersRoleAllowedToJoinExternalTailnets": "admin",
+    "networkFlowLoggingOn": "False",
+    "regionalRoutingOn": "False",
+    "postureIdentityCollectionOn": "False",
+}
+
+USERS = [
+    {
+        "id": "123456",
+        "displayName": "Marge Simpson",
+        "loginName": "mbsimpson@simpson.corp",
+        "profilePicUrl": "",
+        "created": "2022-12-01T05:23:30Z",
+        "type": "member",
+        "role": "owner",
+        "status": "active",
+        "deviceCount": "1",
+        "lastSeen": "2022-12-01T05:23:30Z",
+        "currentlyConnected": "True",
+    },
+    {
+        "id": "654321",
+        "displayName": "Homer Simpson",
+        "loginName": "hjsimpson@simpson.corp",
+        "profilePicUrl": "",
+        "created": "2022-12-01T05:23:30Z",
+        "type": "member",
+        "role": "member",
+        "status": "active",
+        "deviceCount": "1",
+        "lastSeen": "2022-12-01T05:23:30Z",
+        "currentlyConnected": "True",
+    },
+]
+
+
+def _device(node_id, user, name, hostname, os_, posture_identity=None,
+            tags=None, addresses=None, client_version="v1.36.0"):
+    d = {
+        "id": "9296023038" + node_id[-1],
+        "nodeId": node_id,
+        "user": user,
+        "name": name,
+        "hostname": hostname,
+        "clientVersion": client_version,
+        "updateAvailable": "False",
+        "os": os_,
+        "created": "2022-12-01T05:23:30Z",
+        "lastSeen": "2022-12-01T05:23:30Z",
+        "keyExpiryDisabled": "False",
+        "expires": "2023-05-30T04:44:05Z",
+        "authorized": "True",
+        "isExternal": "False",
+        "nodeKey": "nodekey:01234567890abcdef",
+        "blocksIncomingConnections": "False",
+        "tailnetLockError": "",
+        "tailnetLockKey": "",
+        "postureIdentity": posture_identity or {"disabled": "True"},
+    }
+    if tags:
+        d["tags"] = tags
+    if addresses:
+        d["addresses"] = addresses
+    return d
+
+
+DEVICES = [
+    _device("p892kg92CNTRL", "mbsimpson@simpson.corp",
+            "itchy-windows.tailfe8c.ts.net", "itchy-windows", "windows",
+            tags=["tag:byod"],
+            addresses=["100.64.0.1", "fd7a:115c:a1e0::1"]),
+    _device("n292kg92CNTRL", "mbsimpson@simpson.corp",
+            "bluemarge-linux.tailfe8c.ts.net", "bluemarge-linux", "linux"),
+    _device("n2fskgfgCNT89", "hjsimpson@simpson.corp",
+            "donut-mac.tailfe8c.ts.net", "donut-mac", "macos",
+            posture_identity={"serialNumbers": ["SIMP-MAC-HOMER-01"]},
+            addresses=["100.64.0.2"], client_version="v1.36.1"),
+    _device("abcskgfgCN789", "hjsimpson@simpson.corp",
+            "anonymous-pixel.tailfe8c.ts.net", "anonymous-pixel", "android",
+            posture_identity={"serialNumbers": ["HACK-PIXEL-01"]},
+            client_version="v1.36.1"),
+]
+
+# tests/data/tailscale/devicepostureattributes.py, with the scalar-vs-
+# object value shapes from test_devices.py's normalization test mixed in
+POSTURE = {
+    "p892kg92CNTRL": {
+        "node:os": "windows",
+        "falcon:ztaScore": 85,
+        "sentinelOne:infected": True,
+    },
+    "n292kg92CNTRL": {
+        "node:os": "linux",
+        "sentinelOne:infected": "false",
+    },
+    "n2fskgfgCNT89": {
+        "node:os": "macos",
+        "intune:complianceState": {"value": "compliant"},
+        "intune:managedDeviceOwnerType": "company",
+        "sentinelOne:infected": False,
+        "fleetPolicy:disk-encryption": True,
+    },
+    "abcskgfgCN789": {
+        "node:os": "android",
+        "sentinelOne:infected": "True",
+    },
+}
+
+
+def _raw(spark, payload):
+    return spark.createDataFrame(
+        [(ORG, json.dumps(payload))], "org string, payload_json string"
+    )
+
+
+def test_tailnet_parity(spark):
+    """test_tailnets.py — the Tenant-labelled settings node."""
+    nodes = transform_tailnet(_raw(spark, TAILNET), TAG).collect()
+    assert len(nodes) == 1
+    n = nodes[0]
+    assert (n["label"], n["id"]) == ("TailscaleTailnet", ORG)
+    assert "Tenant" in n["extra_labels"]
+    assert n["props"]["devices_key_duration_days"] == "180"
+    assert n["props"]["users_role_allowed_to_join_external_tailnets"] == "admin"
+
+
+def test_users_parity(spark):
+    """test_users.py:54-78 — user node set, login_name/email mirror,
+    UserAccount label, tailnet RESOURCE rels."""
+    nodes, edges = transform_users(_raw(spark, USERS), TAG)
+    users = nodes.collect()
+    assert {(r["id"], r["props"]["login_name"]) for r in users} == {
+        ("123456", "mbsimpson@simpson.corp"),
+        ("654321", "hjsimpson@simpson.corp"),
+    }
+    assert all(r["props"]["email"] == r["props"]["login_name"] for r in users)
+    assert all("UserAccount" in r["extra_labels"] for r in users)
+    rels = {(r["src_id"], r["rel_label"], r["dst_id"]) for r in edges.collect()}
+    assert rels == {(ORG, "RESOURCE", "123456"), (ORG, "RESOURCE", "654321")}
+    assert all(r["sub_resource_label"] == "TailscaleTailnet"
+               and r["sub_resource_id"] == ORG for r in edges.collect())
+
+
+def test_devices_parity(spark):
+    """test_devices.py:69-97 — device node set, addresses, extracted
+    serial_number."""
+    nodes, _ = transform_devices(
+        _raw(spark, DEVICES), _raw(spark, POSTURE), _raw(spark, USERS), TAG
+    )
+    devices = nodes.filter(F.col("label") == "TailscaleDevice").collect()
+    assert {(r["id"], r["props"]["name"]) for r in devices} == {
+        ("n292kg92CNTRL", "bluemarge-linux.tailfe8c.ts.net"),
+        ("p892kg92CNTRL", "itchy-windows.tailfe8c.ts.net"),
+        ("n2fskgfgCNT89", "donut-mac.tailfe8c.ts.net"),
+        ("abcskgfgCN789", "anonymous-pixel.tailfe8c.ts.net"),
+    }
+    got = {
+        (r["id"], r["props"].get("addresses"), r["props"].get("serial_number"))
+        for r in devices
+    }
+    assert got == {
+        ("abcskgfgCN789", None, "HACK-PIXEL-01"),
+        ("p892kg92CNTRL", '["100.64.0.1","fd7a:115c:a1e0::1"]', None),
+        ("n2fskgfgCNT89", '["100.64.0.2"]', "SIMP-MAC-HOMER-01"),
+        ("n292kg92CNTRL", None, None),
+    }
+
+
+def test_posture_projection_parity(spark):
+    """test_devices.py:98-125 + the normalization unit test — scalar,
+    object-wrapped, and boolean-string attribute values all project
+    onto the posture_* fields; fleetPolicy:* keys are collected."""
+    nodes, _ = transform_devices(
+        _raw(spark, DEVICES), _raw(spark, POSTURE), _raw(spark, USERS), TAG
+    )
+    props = {r["id"]: r["props"]
+             for r in nodes.filter(F.col("label") == "TailscaleDevice").collect()}
+    got = {
+        (nid, p.get("posture_node_os"), p.get("posture_sentinelone_infected"),
+         p.get("posture_falcon_zta_score"),
+         p.get("posture_intune_compliance_state"),
+         p.get("posture_intune_managed_device_owner_type"))
+        for nid, p in props.items()
+    }
+    assert got == {
+        ("abcskgfgCN789", "android", "true", None, None, None),
+        ("p892kg92CNTRL", "windows", "true", "85", None, None),
+        ("n2fskgfgCNT89", "macos", "false", None, "compliant", "company"),
+        ("n292kg92CNTRL", "linux", "false", None, None, None),
+    }
+    assert props["n2fskgfgCNT89"]["posture_fleet_policies"] == (
+        '["fleetPolicy:disk-encryption"]'
+    )
+    # built-in node:tsVersion falls back to clientVersion sans leading v
+    assert props["p892kg92CNTRL"]["posture_node_ts_version"] == "1.36.0"
+    assert props["n2fskgfgCNT89"]["posture_node_ts_version"] == "1.36.1"
+
+
+def test_device_rels_parity(spark):
+    """test_devices.py:127-165 — tailnet RESOURCE pairs and the user
+    OWNS pairs resolved from loginName to user id."""
+    _, edges = transform_devices(
+        _raw(spark, DEVICES), _raw(spark, POSTURE), _raw(spark, USERS), TAG
+    )
+    rels = {(r["src_label"], r["src_id"], r["rel_label"], r["dst_id"])
+            for r in edges.collect()}
+    for nid in ("n292kg92CNTRL", "n2fskgfgCNT89", "p892kg92CNTRL",
+                "abcskgfgCN789"):
+        assert ("TailscaleTailnet", ORG, "RESOURCE", nid) in rels
+    owns = {(s, d) for lbl, s, r, d in rels
+            if lbl == "TailscaleUser" and r == "OWNS"}
+    assert owns == {
+        ("123456", "n292kg92CNTRL"),
+        ("123456", "p892kg92CNTRL"),
+        ("654321", "n2fskgfgCNT89"),
+        ("654321", "abcskgfgCN789"),
+    }
+
+
+def test_tags_parity(spark):
+    """test_tags.py:72-76 (devices leg) — tag minted from the device
+    tags array, TAGGED + tailnet RESOURCE pairs."""
+    nodes, edges = transform_devices(
+        _raw(spark, DEVICES), _raw(spark, POSTURE), _raw(spark, USERS), TAG
+    )
+    tags = nodes.filter(F.col("label") == "TailscaleTag").collect()
+    assert {(r["id"], r["props"]["name"]) for r in tags} == {
+        ("tag:byod", "byod"),
+    }
+    rels = {(r["src_label"], r["src_id"], r["rel_label"], r["dst_id"])
+            for r in edges.collect()}
+    assert ("TailscaleDevice", "p892kg92CNTRL", "TAGGED", "tag:byod") in rels
+    assert ("TailscaleTailnet", ORG, "RESOURCE", "tag:byod") in rels
+
+
+def test_sync_and_stale_device_cleanup(spark, tmp_store):
+    """Org-scoped GC: a device (and its orphaned tag) present at T1 and
+    absent at T2 is swept; refreshed devices keep firstseen."""
+    s = tmp_store
+    sync_tailscale(s, _raw(spark, TAILNET), _raw(spark, USERS),
+                   _raw(spark, DEVICES), _raw(spark, POSTURE), ORG, TAG)
+    assert {r["id"] for r in s.nodes(["TailscaleDevice"]).collect()} == {
+        "p892kg92CNTRL", "n292kg92CNTRL", "n2fskgfgCNT89", "abcskgfgCN789",
+    }
+    assert {r["id"] for r in s.nodes(["TailscaleTag"]).collect()} == {"tag:byod"}
+
+    # T2: the tagged windows box and the pixel vanish from the payload
+    survivors = [d for d in DEVICES
+                 if d["nodeId"] in ("n292kg92CNTRL", "n2fskgfgCNT89")]
+    sync_tailscale(s, _raw(spark, TAILNET), _raw(spark, USERS),
+                   _raw(spark, survivors), _raw(spark, POSTURE), ORG, TAG + 1)
+    assert {r["id"] for r in s.nodes(["TailscaleDevice"]).collect()} == {
+        "n292kg92CNTRL", "n2fskgfgCNT89",
+    }
+    # the only tag carrier left — tag swept with it
+    assert s.nodes(["TailscaleTag"]).count() == 0
+    devices = s.nodes(["TailscaleDevice"]).collect()
+    assert all(r["firstseen"] == TAG for r in devices)
+    # stale OWNS edges went with their devices
+    owns = {(r["src_id"], r["dst_id"]) for r in s.edges(["OWNS"]).collect()}
+    assert owns == {("123456", "n292kg92CNTRL"), ("654321", "n2fskgfgCNT89")}
+
+
+def test_tailscale_feeds_ontology_devices(spark, tmp_store):
+    """End-to-end: the sync's TailscaleDevice nodes (serial_number +
+    hostname props) canonicalize through the ontology devices stage via
+    the registry's TailscaleDevice entry — Device nodes minted per
+    serial, OBSERVED_AS linked back."""
+    from cartography_spark.plans.ontology_devices import (
+        DEFAULT_DEVICE_SOURCES,
+        sync_ontology_devices,
+    )
+
+    s = tmp_store
+    sync_tailscale(s, _raw(spark, TAILNET), _raw(spark, USERS),
+                   _raw(spark, DEVICES), _raw(spark, POSTURE), ORG, TAG)
+    sources = [src for src in DEFAULT_DEVICE_SOURCES
+               if src.node_label == "TailscaleDevice"]
+    sync_ontology_devices(s, sources, TAG)
+    devices = {r["id"]: r["props"] for r in s.nodes(["Device"]).collect()}
+    assert set(devices) == {"SIMP-MAC-HOMER-01", "HACK-PIXEL-01"}
+    assert devices["SIMP-MAC-HOMER-01"]["hostname"] == "donut-mac"
+    observed = {
+        (r["src_id"], r["dst_id"])
+        for r in s.edges(["OBSERVED_AS"]).collect()
+    }
+    assert ("SIMP-MAC-HOMER-01", "n2fskgfgCNT89") in observed
+    assert ("HACK-PIXEL-01", "abcskgfgCN789") in observed

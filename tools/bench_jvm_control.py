@@ -1,0 +1,83 @@
+"""Pinned pure-JVM Spark scaling control (no Python workers at all).
+
+Separates "this engine's scaling" from "Spark-on-this-host's scaling":
+a join + two-level groupBy over range data — whole-stage-codegen JVM
+only, no UDFs, no Arrow, no pyspark sidecars — run pinned (taskset) at
+two core counts. If THIS job shows the same CPU inflation and wall
+deficit as the full KG pipeline, the deficit is the platform's, not
+the engine's (see BENCH.md "pure-JVM control").
+
+Usage: python tools/bench_jvm_control.py [cores]
+  — run once per level under `taskset -c 0-(cores-1)`; e.g.
+    for c in 2 8; do taskset -c 0-$((c-1)) python tools/bench_jvm_control.py $c; done
+"""
+import glob
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from cartography_spark.session import get_spark  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def cpu_all() -> float:
+    """CPU seconds across the live process tree (driver + JVM)."""
+    total = 0.0
+    clk = os.sysconf("SC_CLK_TCK")
+    seen: set[int] = set()
+
+    def walk(pid: int) -> None:
+        nonlocal total
+        if pid in seen:
+            return
+        seen.add(pid)
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                parts = f.read().rsplit(")", 1)[1].split()
+            total += (int(parts[11]) + int(parts[12])) / clk
+        except Exception:
+            return
+        for cf in glob.glob(f"/proc/{pid}/task/*/children"):
+            try:
+                for child in open(cf).read().split():
+                    walk(int(child))
+            except Exception:
+                pass
+
+    walk(os.getpid())
+    return total
+
+
+def main() -> None:
+    cores = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    spark = get_spark("jvm_control", master=f"local[{cores}]")
+    n = 40_000_000
+    df = spark.range(n).select(
+        (F.col("id") % 1_000_000).alias("k"),
+        F.sha2(F.col("id").cast("string"), 256).alias("h"),
+    )
+    dim = spark.range(1_000_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("grp")
+    )
+    c0 = cpu_all()
+    t0 = time.perf_counter()
+    out = (
+        df.join(dim, "k")
+        .groupBy("grp")
+        .agg(F.count("*").alias("c"), F.max("h").alias("m"))
+        .agg(F.sum("c"))
+        .collect()
+    )
+    wall = time.perf_counter() - t0
+    print("CTRL " + json.dumps({
+        "cores": cores,
+        "wall_s": round(wall, 2),
+        "cpu_s": round(cpu_all() - c0, 2),
+        "rows": out[0][0],
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,366 @@
+"""CrowdStrike provider: tenants + hosts + Spotlight vulns + CVE findings.
+
+Mirrors the reference's CrowdStrike intel module over the Falcon REST
+payload shapes:
+
+* **Hosts** (``intel/crowdstrike/endpoints.py:31-68``,
+  ``models/crowdstrike/hosts.py``): ``CrowdstrikeHost`` nodes keyed by
+  ``device_id``, grouped by ``cid`` into per-tenant batches; a record
+  with no ``cid`` makes the whole load fail fast (the reference raises
+  ``ValueError`` listing the affected device_ids — the tenant scope
+  cannot be resolved). One ``CrowdstrikeTenant`` node per observed cid
+  (``models/crowdstrike/tenant.py`` — the shared ``Tenant`` extra
+  label), tenant ``RESOURCE`` scoping on every host.
+* **Spotlight vulnerabilities** (``intel/crowdstrike/spotlight.py:33-59``
+  transform): ``CrowdstrikeSpotlightVulnerability`` nodes projecting
+  ``id/aid/cid/status`` + the three timestamps, ``remediation.ids``,
+  ``app.product_name_version``, ``cve.id`` and
+  ``host_info.local_ip``; the legacy ``SpotlightVulnerability``
+  compatibility label rides as an extra label
+  (``models/crowdstrike/extra_labels.py``). Edges: tenant ``RESOURCE``
+  plus ``(:CrowdstrikeHost)-[:HAS_VULNERABILITY]->(:Vuln)`` resolved on
+  ``aid`` (``SpotlightVulnerabilityToCrowdstrikeHostRel``).
+* **CVE findings** (``models/crowdstrike/spotlight.py`` CrowdstrikeCVE):
+  unscoped ``CrowdstrikeFinding`` nodes with the cross-provider ``CVE``
+  extra label, ``base_score`` / ``base_severity`` (raw ``severity``) /
+  ``exploitability_score`` (raw ``exploit_status``), plus the ontology
+  CVE projection (``models/ontology/mapping/data/cves.py:295-315``):
+  ``_ont_cve_id``, ``_ont_base_score``, ``_ont_base_severity`` via the
+  CVSS severity band map (NONE→info, else lowercase), and
+  ``_ont_source='crowdstrike'``.
+  ``(:Vuln)-[:HAS_CVE]->(:CrowdstrikeFinding)``.
+* **Cleanup** (``intel/crowdstrike/__init__.py:93-125``): hosts and
+  vulnerabilities are swept per known tenant cid (read back from the
+  store, not just the cids touched this run); ``CrowdstrikeFinding`` is
+  global (``scoped_cleanup=False``) so a CVE whose last carrier closed
+  is GC'd instead of leaking as an orphan (the reference's
+  ``test_cleanup_drops_orphan_crowdstrike_cves``).
+
+Execution shape: ``from_json`` + ``explode`` column expressions only —
+zero Python rows; the only ``collect()`` calls are the missing-cid
+fail-fast probe (bounded id sample) and the known-tenant id list, both
+metadata scalars. Hosts carry ``serial_number`` / ``hostname`` /
+``platform_name`` / ``system_product_name`` props, so the ontology
+devices stage (``plans/ontology_devices.py`` ``CrowdstrikeHost``
+registry entry: os/platform=platform_name, model=system_product_name)
+canonicalizes them with no extra wiring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+LABEL_TENANT = "CrowdstrikeTenant"
+LABEL_HOST = "CrowdstrikeHost"
+LABEL_VULN = "CrowdstrikeSpotlightVulnerability"
+LABEL_CVE = "CrowdstrikeFinding"
+
+# models/crowdstrike/hosts.py:14-150 property surface (API field → prop
+# name where they differ: first_seen→crowdstrike_first_seen,
+# last_seen→crowdstrike_last_seen)
+_HOST_FIELDS = [
+    "cid", "email", "instance_id", "serial_number", "status", "hostname",
+    "machine_domain", "local_ip", "external_ip", "cpu_signature",
+    "bios_manufacturer", "bios_version", "mac_address", "os_version",
+    "os_build", "platform_id", "platform_name", "service_provider",
+    "service_provider_account_id", "agent_version", "system_manufacturer",
+    "system_product_name", "product_type", "product_type_desc",
+    "provision_status", "reduced_functionality_mode", "kernel_version",
+    "major_version", "minor_version", "modified_timestamp",
+]
+
+HOSTS_STRUCT = (
+    "array<struct<device_id:string, first_seen:string, last_seen:string, "
+    "tags:array<string>, "
+    + ", ".join(f"{f}:string" for f in _HOST_FIELDS)
+    + ">>"
+)
+
+VULNS_STRUCT = (
+    "array<struct<id:string, cid:string, aid:string, status:string, "
+    "created_timestamp:string, closed_timestamp:string, "
+    "updated_timestamp:string, "
+    "remediation:struct<ids:array<string>>, "
+    "app:struct<product_name_version:string>, "
+    "cve:struct<id:string, base_score:string, severity:string, "
+    "exploit_status:string>, "
+    "host_info:struct<local_ip:string>>>"
+)
+
+# cves.py:18-24 _CVSS_SEVERITY: canonical band = lowercase, NONE→info
+_CVSS_BANDS = ("NONE", "LOW", "MEDIUM", "HIGH", "CRITICAL")
+
+
+def _cvss_band(sev: Column) -> Column:
+    up = F.upper(sev)
+    return F.when(up == "NONE", F.lit("info")).when(
+        up.isin(*_CVSS_BANDS), F.lower(sev)
+    )
+
+
+def _props_map(pairs: list[tuple[str, Column]]) -> Column:
+    return F.map_filter(
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k, _ in pairs]),
+            F.array(*[v.cast("string") for _, v in pairs]),
+        ),
+        lambda _k, v: v.isNotNull(),
+    )
+
+
+def _shape_nodes(df: DataFrame, update_tag: int, extra=None) -> DataFrame:
+    return df.select(
+        "label",
+        "id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        (extra if extra is not None else F.lit(None).cast("array<string>"))
+        .alias("extra_labels"),
+        "props",
+    )
+
+
+def _shape_edges(df: DataFrame, update_tag: int) -> DataFrame:
+    """Edges arrive with a ``cid`` column; every edge is stamped
+    ``sub_resource = (CrowdstrikeTenant, cid)`` so tenant-scoped GC
+    sweeps them with their tenant exactly like the reference's
+    per-schema cleanup jobs."""
+    return df.select(
+        "src_label", "src_id", "rel_label", "dst_label", "dst_id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(LABEL_TENANT).alias("sub_resource_label"),
+        F.col("cid").alias("sub_resource_id"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    ).dropDuplicates(["src_label", "src_id", "rel_label", "dst_label", "dst_id"])
+
+
+def _require_cid(rows: DataFrame, id_col: str, kind: str) -> None:
+    """``endpoints.py:44-53`` / ``spotlight.py:73-85`` fail-fast: a
+    record with no cid cannot be tenant-scoped — refuse the batch,
+    naming affected ids (bounded sample; metadata-scalar collect)."""
+    missing = [
+        r[0] or "<unknown>"
+        for r in rows.where(
+            F.col("cid").isNull() | (F.col("cid") == "")
+        ).select(id_col).limit(20).collect()
+    ]
+    if missing:
+        raise ValueError(
+            f"CrowdStrike returned {kind} records with no `cid`; refusing to "
+            f"load because the tenant scope cannot be resolved. "
+            f"Affected ids: {missing}"
+        )
+
+
+def _tenant_nodes(rows: DataFrame, update_tag: int) -> DataFrame:
+    nodes = rows.select(
+        F.lit(LABEL_TENANT).alias("label"),
+        F.col("cid").alias("id"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    ).dropDuplicates(["id"])
+    return _shape_nodes(nodes, update_tag, extra=F.array(F.lit("Tenant")))
+
+
+def transform_hosts(
+    raw: DataFrame, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """``raw``: (payload_json string) — one JSON array of host detail
+    objects per row (a ``GetDeviceDetails`` page). Returns
+    (nodes, edges): CrowdstrikeTenant + CrowdstrikeHost nodes and
+    tenant RESOURCE edges."""
+    hosts = raw.select(
+        F.explode(F.from_json("payload_json", HOSTS_STRUCT)).alias("h")
+    ).select("h.*")
+    _require_cid(hosts, "device_id", "host")
+    pairs: list[tuple[str, Column]] = [
+        (f, F.col(f)) for f in _HOST_FIELDS
+    ] + [
+        ("crowdstrike_first_seen", F.col("first_seen")),
+        ("crowdstrike_last_seen", F.col("last_seen")),
+        ("tags", F.when(F.col("tags").isNotNull(), F.to_json("tags"))),
+    ]
+    host_nodes = _shape_nodes(
+        hosts.select(
+            F.lit(LABEL_HOST).alias("label"),
+            F.col("device_id").alias("id"),
+            _props_map(pairs).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+    )
+    edges = _shape_edges(
+        hosts.select(
+            "cid",
+            F.lit(LABEL_TENANT).alias("src_label"),
+            F.col("cid").alias("src_id"),
+            F.lit("RESOURCE").alias("rel_label"),
+            F.lit(LABEL_HOST).alias("dst_label"),
+            F.col("device_id").alias("dst_id"),
+        ),
+        update_tag,
+    )
+    return _tenant_nodes(hosts, update_tag).unionByName(host_nodes), edges
+
+
+def transform_vulnerabilities(
+    raw: DataFrame, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """``raw``: (payload_json string) — one JSON array of Spotlight
+    vulnerability objects per row. Returns (nodes, edges):
+    tenant + vulnerability + CVE-finding nodes; tenant RESOURCE,
+    host HAS_VULNERABILITY, and vuln HAS_CVE edges."""
+    vulns = raw.select(
+        F.explode(F.from_json("payload_json", VULNS_STRUCT)).alias("v")
+    ).select("v.*")
+    _require_cid(vulns, "id", "Spotlight vulnerability")
+    vuln_nodes = _shape_nodes(
+        vulns.select(
+            F.lit(LABEL_VULN).alias("label"),
+            F.col("id").alias("id"),
+            _props_map([
+                ("aid", F.col("aid")),
+                ("cid", F.col("cid")),
+                ("status", F.col("status")),
+                ("created_timestamp", F.col("created_timestamp")),
+                ("closed_timestamp", F.col("closed_timestamp")),
+                ("updated_timestamp", F.col("updated_timestamp")),
+                ("remediation_ids",
+                 F.when(F.col("remediation.ids").isNotNull(),
+                        F.to_json("remediation.ids"))),
+                ("app_product_name_version",
+                 F.col("app.product_name_version")),
+                ("cve_id", F.col("cve.id")),
+                ("host_info_local_ip", F.col("host_info.local_ip")),
+            ]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+        extra=F.array(F.lit("SpotlightVulnerability")),
+    )
+    cves = vulns.where(F.col("cve.id").isNotNull())
+    cve_nodes = _shape_nodes(
+        cves.select(
+            F.lit(LABEL_CVE).alias("label"),
+            F.col("cve.id").alias("id"),
+            _props_map([
+                ("cve_id", F.col("cve.id")),
+                ("base_score", F.col("cve.base_score")),
+                ("base_severity", F.col("cve.severity")),
+                ("exploitability_score", F.col("cve.exploit_status")),
+                # ontology CVE projection (cves.py:295-315)
+                ("_ont_cve_id", F.col("cve.id")),
+                ("_ont_base_score", F.col("cve.base_score")),
+                ("_ont_base_severity", _cvss_band(F.col("cve.severity"))),
+                ("_ont_source", F.lit("crowdstrike")),
+            ]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+        extra=F.array(F.lit("CVE")),
+    )
+    resource = vulns.select(
+        "cid",
+        F.lit(LABEL_TENANT).alias("src_label"),
+        F.col("cid").alias("src_id"),
+        F.lit("RESOURCE").alias("rel_label"),
+        F.lit(LABEL_VULN).alias("dst_label"),
+        F.col("id").alias("dst_id"),
+    )
+    has_vuln = vulns.select(
+        "cid",
+        F.lit(LABEL_HOST).alias("src_label"),
+        F.col("aid").alias("src_id"),
+        F.lit("HAS_VULNERABILITY").alias("rel_label"),
+        F.lit(LABEL_VULN).alias("dst_label"),
+        F.col("id").alias("dst_id"),
+    ).where(F.col("src_id").isNotNull())
+    has_cve = cves.select(
+        "cid",
+        F.lit(LABEL_VULN).alias("src_label"),
+        F.col("id").alias("src_id"),
+        F.lit("HAS_CVE").alias("rel_label"),
+        F.lit(LABEL_CVE).alias("dst_label"),
+        F.col("cve.id").alias("dst_id"),
+    )
+    nodes = (
+        _tenant_nodes(vulns, update_tag)
+        .unionByName(vuln_nodes)
+        .unionByName(cve_nodes)
+    )
+    edges = _shape_edges(
+        resource.unionByName(has_vuln).unionByName(has_cve), update_tag
+    )
+    return nodes, edges
+
+
+def _known_tenant_cids(store) -> list[str]:
+    """``intel/crowdstrike/__init__.py:83-90`` — cleanup runs once per
+    tenant known to the graph, not just tenants touched this run."""
+    if LABEL_TENANT not in store.manifest["nodes"]:
+        return []
+    return [
+        r["id"]
+        for r in store.nodes()
+        .where(F.col("label") == LABEL_TENANT)
+        .select("id").collect()
+    ]
+
+
+def sync_crowdstrike(
+    store,
+    hosts_raw: DataFrame | None,
+    vulns_raw: DataFrame | None,
+    update_tag: int,
+) -> dict:
+    """hosts → vulnerabilities → per-tenant scoped GC → global CVE GC
+    (the reference's ``start_crowdstrike_ingestion`` order)."""
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    metrics: dict = {}
+    if hosts_raw is not None:
+        nodes, edges = transform_hosts(hosts_raw, update_tag)
+        metrics["hosts_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["hosts_edges"] = store.merge_edges(edges, update_tag)
+    if vulns_raw is not None:
+        nodes, edges = transform_vulnerabilities(vulns_raw, update_tag)
+        metrics["vulns_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["vulns_edges"] = store.merge_edges(edges, update_tag)
+
+    tenant_rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label=LABEL_TENANT,
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("CID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    for cid in _known_tenant_cids(store):
+        for label in (LABEL_HOST, LABEL_VULN):
+            if label not in store.manifest["nodes"]:
+                continue
+            schema = NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=tenant_rel,
+            )
+            gc = run_cleanup(store, schema, update_tag, {"CID": cid})
+            key = f"gc_{label}_{cid}"
+            metrics[key] = gc
+    # CrowdstrikeFinding is global (scoped_cleanup=False): a CVE not
+    # re-observed this run is stale regardless of tenant.
+    if LABEL_CVE in store.manifest["nodes"]:
+        metrics["gc_" + LABEL_CVE] = run_cleanup(
+            store,
+            NodeSchema(
+                label=LABEL_CVE,
+                properties={"id": PropertyRef("id")},
+                scoped_cleanup=False,
+            ),
+            update_tag,
+        )
+    store.record_lineage("crowdstrike_sync", {"update_tag": update_tag})
+    return metrics

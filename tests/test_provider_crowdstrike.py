@@ -1,0 +1,191 @@
+"""CrowdStrike provider parity: hosts + Spotlight vulnerabilities +
+CVE findings mirrored from the reference's
+``tests/integration/cartography/intel/crowdstrike/test_endpoints.py``
+and ``test_spotlight.py`` assertions (host node set, vuln/CVE node
+sets incl. the ontology ``_ont_*`` projection, HAS_VULNERABILITY and
+HAS_CVE pairs, orphan-CVE cleanup), over fixture payloads shaped like
+``tests/data/crowdstrike/{endpoints,spotlight}.py``."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.crowdstrike import (
+    sync_crowdstrike,
+    transform_hosts,
+    transform_vulnerabilities,
+)
+
+TAG = 123456789
+CID = "11111111111111111111111111111111"
+AID = "00000000000000000000000000000000"
+VULN_ID = f"{AID}_{AID}"
+
+HOSTS = [
+    {
+        "device_id": AID,
+        "cid": CID,
+        "email": "alice@example.com",
+        "agent_version": "6.30.14406.0",
+        "bios_manufacturer": "Amazon EC2",
+        "bios_version": "1.0",
+        "cpu_signature": "111111",
+        "external_ip": "10.0.0.1",
+        "mac_address": "00-00-00-00-00-00",
+        "instance_id": "i-01",
+        "service_provider": "AWS_EC2",
+        "service_provider_account_id": "000000000000",
+        "hostname": "test",
+        "first_seen": "2022-03-14T04:13:28Z",
+        "last_seen": "2022-03-15T07:42:07Z",
+        "local_ip": "10.0.0.1",
+        "machine_domain": "example.com",
+        "major_version": "4",
+        "minor_version": "14",
+        "os_version": "Amazon Linux 2",
+        "os_build": "241",
+        "platform_id": "3",
+        "platform_name": "Linux",
+        "reduced_functionality_mode": "no",
+        "product_type": "3",
+        "product_type_desc": "Server",
+        "provision_status": "Provisioned",
+        "serial_number": "00000000-0000-0000-0000-000000000000",
+        "status": "normal",
+        "system_manufacturer": "Amazon EC2",
+        "system_product_name": "t3.small",
+        "tags": ["SensorGroupingTags/test"],
+        "modified_timestamp": "2022-03-15T07:42:10Z",
+        "kernel_version": "4.14.241-184.433.amzn2.x86_64",
+    },
+]
+
+VULNS = [
+    {
+        "id": VULN_ID,
+        "cid": CID,
+        "aid": AID,
+        "created_timestamp": "2022-03-14T05:04:27Z",
+        "updated_timestamp": "2022-03-14T13:33:19Z",
+        "status": "open",
+        "app": {"product_name_version": "e2fsprogs 1.42.9-12.amzn2.0.2"},
+        "cve": {
+            "id": "CVE-2019-5094",
+            "base_score": 6.7,
+            "severity": "MEDIUM",
+            "exploit_status": 30,
+        },
+        "host_info": {"local_ip": "10.0.0.1"},
+        "remediation": {"ids": ["aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"]},
+    },
+]
+
+
+def _raw(spark, payload):
+    return spark.createDataFrame(
+        [(json.dumps(payload),)], "payload_json string"
+    )
+
+
+def test_hosts_parity(spark):
+    """test_endpoints.py:18-24 — host node set; tenant minting +
+    RESOURCE scoping from the per-record cid."""
+    nodes, edges = transform_hosts(_raw(spark, HOSTS), TAG)
+    rows = {(n["label"], n["id"]): n for n in nodes.collect()}
+    assert set(rows) == {
+        ("CrowdstrikeTenant", CID),
+        ("CrowdstrikeHost", AID),
+    }
+    host = rows[("CrowdstrikeHost", AID)]
+    assert host["props"]["email"] == "alice@example.com"
+    assert host["props"]["serial_number"] == (
+        "00000000-0000-0000-0000-000000000000"
+    )
+    assert host["props"]["crowdstrike_first_seen"] == "2022-03-14T04:13:28Z"
+    assert host["props"]["platform_name"] == "Linux"
+    assert host["props"]["system_product_name"] == "t3.small"
+    assert json.loads(host["props"]["tags"]) == ["SensorGroupingTags/test"]
+    assert "Tenant" in rows[("CrowdstrikeTenant", CID)]["extra_labels"]
+    e = edges.collect()
+    assert {(r["src_id"], r["rel_label"], r["dst_id"]) for r in e} == {
+        (CID, "RESOURCE", AID)
+    }
+    assert e[0]["sub_resource_id"] == CID
+
+
+def test_missing_cid_fails_fast(spark):
+    """endpoints.py:44-53 — a host with no cid aborts the load,
+    naming the device_id."""
+    bad = [{"device_id": "deadbeef", "hostname": "x"}]
+    with pytest.raises(ValueError, match="deadbeef"):
+        transform_hosts(_raw(spark, bad), TAG)
+
+
+def test_spotlight_parity(spark):
+    """test_spotlight.py:60-135 — vuln + CVE node sets (incl. the
+    ontology projection), HAS_VULNERABILITY and HAS_CVE pairs."""
+    nodes, edges = transform_vulnerabilities(_raw(spark, VULNS), TAG)
+    rows = {(n["label"], n["id"]): n for n in nodes.collect()}
+    vuln = rows[("CrowdstrikeSpotlightVulnerability", VULN_ID)]
+    assert vuln["props"]["cve_id"] == "CVE-2019-5094"
+    assert vuln["props"]["status"] == "open"
+    assert vuln["props"]["app_product_name_version"] == (
+        "e2fsprogs 1.42.9-12.amzn2.0.2"
+    )
+    assert vuln["props"]["host_info_local_ip"] == "10.0.0.1"
+    assert json.loads(vuln["props"]["remediation_ids"]) == [
+        "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"
+    ]
+    assert "SpotlightVulnerability" in vuln["extra_labels"]
+    cve = rows[("CrowdstrikeFinding", "CVE-2019-5094")]
+    assert cve["props"]["base_score"] == "6.7"
+    assert cve["props"]["base_severity"] == "MEDIUM"
+    assert cve["props"]["exploitability_score"] == "30"
+    assert cve["props"]["_ont_cve_id"] == "CVE-2019-5094"
+    assert cve["props"]["_ont_base_score"] == "6.7"
+    assert cve["props"]["_ont_base_severity"] == "medium"
+    assert cve["props"]["_ont_source"] == "crowdstrike"
+    assert "CVE" in cve["extra_labels"]
+    pairs = {
+        (r["src_label"], r["src_id"], r["rel_label"], r["dst_id"])
+        for r in edges.collect()
+    }
+    assert ("CrowdstrikeHost", AID, "HAS_VULNERABILITY", VULN_ID) in pairs
+    assert (
+        "CrowdstrikeSpotlightVulnerability", VULN_ID, "HAS_CVE",
+        "CVE-2019-5094",
+    ) in pairs
+
+
+def test_cleanup_drops_orphan_cves(spark, tmp_store):
+    """test_spotlight.py:139-199 — when a vulnerability disappears on
+    the next run, its CVE (global scope) is GC'd instead of leaking;
+    the still-observed host survives."""
+    sync_crowdstrike(
+        tmp_store, _raw(spark, HOSTS), _raw(spark, VULNS), TAG
+    )
+    labels = {
+        r["label"]
+        for r in tmp_store.nodes().select("label").distinct().collect()
+    }
+    assert {"CrowdstrikeHost", "CrowdstrikeSpotlightVulnerability",
+            "CrowdstrikeFinding"} <= labels
+
+    sync_crowdstrike(
+        tmp_store, _raw(spark, HOSTS), _raw(spark, []), TAG + 1
+    )
+    remaining = {
+        (r["label"], r["id"])
+        for r in tmp_store.nodes().select("label", "id").collect()
+    }
+    assert ("CrowdstrikeHost", AID) in remaining
+    assert not any(
+        lab in ("CrowdstrikeSpotlightVulnerability", "CrowdstrikeFinding")
+        for lab, _ in remaining
+    )
+    # the host's HAS_VULNERABILITY edge went with the vuln
+    rels = {
+        r["rel_label"] for r in tmp_store.edges().select("rel_label").collect()
+    }
+    assert "HAS_VULNERABILITY" not in rels

@@ -1,0 +1,530 @@
+"""SentinelOne provider: account + agents + applications + findings.
+
+Mirrors the reference's SentinelOne intel module over the v2.1 REST
+payload shapes:
+
+* **Account** (``intel/sentinelone/account.py:62-81``,
+  ``models/sentinelone/account.py``): ``S1Account`` nodes (the shared
+  ``Tenant`` extra label, no sub-resource — the account is the root
+  scope) with name/accountType/activeAgents/createdAt/expiration/
+  numberOfSites/state.
+* **Agents** (``intel/sentinelone/agent.py:68-98``,
+  ``models/sentinelone/agent.py``): ``S1Agent`` nodes keyed by ``id``;
+  ``local_ips`` flattens every ``networkInterfaces[].inet`` entry
+  (scalar-or-array per the reference's ``_get_local_ips``) with
+  loopback addresses dropped; account ``RESOURCE`` scoping. Agents
+  carry ``computer_name`` / ``serial_number`` / ``os_name`` /
+  ``os_revision`` props so the ontology devices stage
+  (``plans/ontology_devices.py`` ``S1Agent`` registry entry:
+  hostname=computer_name, os=os_name, os_version=os_revision)
+  canonicalizes them with no extra wiring.
+* **Applications** (``intel/sentinelone/application.py:104-161``,
+  ``utils.py:4-28`` id normalization: lowercase, spaces→underscores,
+  non-word chars stripped, joined ``vendor:name[:version]``):
+  ``S1Application`` (vendor:name) and ``S1ApplicationVersion``
+  (vendor:name:version, ``version or 'unknown'``) nodes;
+  ``(:S1Agent)-[:HAS_INSTALLED]->(:S1ApplicationVersion)`` resolved
+  from ``endpointUuid`` via the agents' ``uuid`` (broadcast join —
+  ``S1AgentToS1ApplicationVersionRel`` matches on the non-id ``uuid``
+  property), carrying installeddatetime / installationpath edge props;
+  ``(:S1ApplicationVersion)-[:VERSION]->(:S1Application)``.
+* **Findings** (``intel/sentinelone/finding.py:38-79``,
+  ``models/sentinelone/finding.py``): ``S1AppFinding`` nodes (extra
+  labels ``S1Finding``/``Risk``/``CVE``) with the full
+  mitigation/scan prop set; ``AFFECTS`` edges to the application
+  version (derived version id) and to the endpoint agent; the
+  ontology CVE projection (``mapping/data/cves.py:366-382``):
+  ``_ont_cve_id`` and ``_ont_base_severity`` via the title-case
+  ``_S1_SEVERITY`` band map, ``_ont_source='sentinelone'``.
+* **Cleanup**: per-account scoped GC for agents, applications,
+  versions, and findings (each ``GraphJob.from_node_schema`` twin).
+
+Execution shape: ``from_json`` + ``explode``/``transform`` column
+expressions only — zero Python rows; the only ``collect()`` is the
+account-id scope probe (metadata scalar).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+LABEL_ACCOUNT = "S1Account"
+LABEL_AGENT = "S1Agent"
+LABEL_APP = "S1Application"
+LABEL_APP_VERSION = "S1ApplicationVersion"
+LABEL_FINDING = "S1AppFinding"
+
+ACCOUNT_STRUCT = (
+    "array<struct<id:string, name:string, accountType:string, "
+    "activeAgents:string, createdAt:string, expiration:string, "
+    "numberOfSites:string, state:string>>"
+)
+AGENTS_STRUCT = (
+    "array<struct<id:string, uuid:string, computerName:string, "
+    "externalIp:string, networkInterfaces:array<struct<inet:array<string>>>, "
+    "firewallEnabled:string, osName:string, osRevision:string, "
+    "domain:string, lastActiveDate:string, lastSuccessfulScanDate:string, "
+    "scanStatus:string, serialNumber:string>>"
+)
+APPLICATIONS_STRUCT = (
+    "array<struct<applicationName:string, applicationVendor:string>>"
+)
+INSTALLS_STRUCT = (
+    "array<struct<applicationName:string, applicationVendor:string, "
+    "version:string, endpointUuid:string, "
+    "applicationInstallationPath:string, "
+    "applicationInstallationDate:string>>"
+)
+FINDINGS_STRUCT = (
+    "array<struct<id:string, cveId:string, severity:string, "
+    "remediationLevel:string, riskScore:string, reportConfidence:string, "
+    "daysDetected:string, detectionDate:string, lastScanDate:string, "
+    "lastScanResult:string, status:string, mitigationStatus:string, "
+    "mitigationStatusReason:string, mitigationStatusChangedBy:string, "
+    "mitigationStatusChangeTime:string, markedBy:string, markedDate:string, "
+    "markType:struct<description:string>, reason:string, endpointId:string, "
+    "applicationName:string, applicationVendor:string, "
+    "applicationVersion:string>>"
+)
+
+# cves.py:47-53 _S1_SEVERITY (title case) → canonical band
+_S1_BANDS = {"None": "info", "Low": "low", "Medium": "medium",
+             "High": "high", "Critical": "critical"}
+
+
+def _s1_band(sev: Column) -> Column:
+    expr = F.lit(None).cast("string")
+    for raw, band in _S1_BANDS.items():
+        expr = F.when(sev == raw, F.lit(band)).otherwise(expr)
+    return expr
+
+
+def _norm_token(c: Column) -> Column:
+    """``utils.get_application_id`` normalization for one token:
+    strip → lower → spaces to underscores → non-word chars removed."""
+    return F.regexp_replace(
+        F.regexp_replace(F.lower(F.trim(c)), " ", "_"), r"[^\w]", ""
+    )
+
+
+def _app_id(name: Column, vendor: Column) -> Column:
+    return F.concat_ws(":", _norm_token(vendor), _norm_token(name))
+
+
+def _app_version_id(name: Column, vendor: Column, version: Column) -> Column:
+    v = F.coalesce(version, F.lit("unknown"))
+    return F.concat_ws(
+        ":", _app_id(name, vendor),
+        F.regexp_replace(F.lower(F.trim(v)), " ", "_"),
+    )
+
+
+def _props_map(pairs: list[tuple[str, Column]]) -> Column:
+    return F.map_filter(
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k, _ in pairs]),
+            F.array(*[v.cast("string") for _, v in pairs]),
+        ),
+        lambda _k, v: v.isNotNull(),
+    )
+
+
+def _shape_nodes(df: DataFrame, update_tag: int, extra=None) -> DataFrame:
+    return df.select(
+        "label",
+        "id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        (extra if extra is not None else F.lit(None).cast("array<string>"))
+        .alias("extra_labels"),
+        "props",
+    )
+
+
+def _shape_edges(df: DataFrame, update_tag: int, account_id: str) -> DataFrame:
+    props = (
+        df["props"] if "props" in df.columns
+        else F.lit(None).cast("map<string,string>")
+    )
+    return df.select(
+        "src_label", "src_id", "rel_label", "dst_label", "dst_id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(LABEL_ACCOUNT).alias("sub_resource_label"),
+        F.lit(account_id).alias("sub_resource_id"),
+        props.alias("props"),
+    ).dropDuplicates(["src_label", "src_id", "rel_label", "dst_label", "dst_id"])
+
+
+def _resource_edges(rows: DataFrame, dst_label: str, account_id: str) -> DataFrame:
+    return rows.select(
+        F.lit(LABEL_ACCOUNT).alias("src_label"),
+        F.lit(account_id).alias("src_id"),
+        F.lit("RESOURCE").alias("rel_label"),
+        F.lit(dst_label).alias("dst_label"),
+        F.col("id").alias("dst_id"),
+    )
+
+
+def transform_accounts(raw: DataFrame, update_tag: int) -> DataFrame:
+    """``raw``: (payload_json string) — JSON array of account objects
+    (``account.py:62-81`` field mapping)."""
+    accounts = raw.select(
+        F.explode(F.from_json("payload_json", ACCOUNT_STRUCT)).alias("a")
+    ).select("a.*")
+    nodes = accounts.select(
+        F.lit(LABEL_ACCOUNT).alias("label"),
+        F.col("id").alias("id"),
+        _props_map([
+            ("name", F.col("name")),
+            ("account_type", F.col("accountType")),
+            ("active_agents", F.col("activeAgents")),
+            ("created_at", F.col("createdAt")),
+            ("expiration", F.col("expiration")),
+            ("number_of_sites", F.col("numberOfSites")),
+            ("state", F.col("state")),
+        ]).alias("props"),
+    ).dropDuplicates(["id"])
+    return _shape_nodes(nodes, update_tag, extra=F.array(F.lit("Tenant")))
+
+
+def _parse_agents(raw: DataFrame) -> DataFrame:
+    return raw.select(
+        F.explode(F.from_json("payload_json", AGENTS_STRUCT)).alias("a")
+    ).select("a.*")
+
+
+def transform_agents(
+    raw: DataFrame, account_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """``agent.py:68-98`` transform: prop renames + ``local_ips``
+    flatten with loopback filtering (``_get_local_ips``)."""
+    agents = _parse_agents(raw)
+    # every interface's inet list, loopback (127/8, ::1) dropped. The
+    # reference also accepts a scalar `inet` string (`_get_local_ips`
+    # isinstance check); under the declared array schema a scalar-inet
+    # record degrades to no local_ips instead of erroring.
+    local_ips = F.filter(
+        F.flatten(
+            F.transform(
+                F.coalesce(
+                    F.col("networkInterfaces"),
+                    F.array().cast("array<struct<inet:array<string>>>"),
+                ),
+                lambda ni: F.coalesce(
+                    ni["inet"], F.array().cast("array<string>")
+                ),
+            )
+        ),
+        lambda ip: (ip != "")
+        & ~ip.startswith("127.")
+        & (ip != "::1")
+        & (ip.contains(".") | ip.contains(":")),
+    )
+    nodes = _shape_nodes(
+        agents.select(
+            F.lit(LABEL_AGENT).alias("label"),
+            F.col("id").alias("id"),
+            _props_map([
+                ("uuid", F.col("uuid")),
+                ("computer_name", F.col("computerName")),
+                ("public_ip", F.col("externalIp")),
+                ("local_ips",
+                 F.when(F.size(local_ips) > 0, F.to_json(local_ips))),
+                ("firewall_enabled", F.col("firewallEnabled")),
+                ("os_name", F.col("osName")),
+                ("os_revision", F.col("osRevision")),
+                ("domain", F.col("domain")),
+                ("last_active", F.col("lastActiveDate")),
+                ("last_successful_scan", F.col("lastSuccessfulScanDate")),
+                ("scan_status", F.col("scanStatus")),
+                ("serial_number", F.col("serialNumber")),
+            ]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+    )
+    edges = _shape_edges(
+        _resource_edges(agents, LABEL_AGENT, account_id),
+        update_tag, account_id,
+    )
+    return nodes, edges
+
+
+def transform_applications(
+    apps_raw: DataFrame,
+    installs_raw: DataFrame,
+    agents_raw: DataFrame | None,
+    account_id: str,
+    update_tag: int,
+) -> tuple[DataFrame, DataFrame]:
+    """``application.py:104-161``: S1Application (vendor:name) +
+    S1ApplicationVersion (vendor:name:version) nodes; HAS_INSTALLED
+    resolved against agents by uuid (broadcast); VERSION rollup."""
+    apps = apps_raw.select(
+        F.explode(F.from_json("payload_json", APPLICATIONS_STRUCT)).alias("p")
+    ).select(
+        _app_id(F.col("p.applicationName"),
+                F.col("p.applicationVendor")).alias("id"),
+        F.trim("p.applicationName").alias("name"),
+        F.trim("p.applicationVendor").alias("vendor"),
+    ).dropDuplicates(["id"])
+    app_nodes = _shape_nodes(
+        apps.select(
+            F.lit(LABEL_APP).alias("label"), "id",
+            _props_map([
+                ("name", F.col("name")),
+                ("vendor", F.col("vendor")),
+            ]).alias("props"),
+        ),
+        update_tag,
+    )
+    installs = installs_raw.select(
+        F.explode(F.from_json("payload_json", INSTALLS_STRUCT)).alias("i")
+    ).select(
+        _app_version_id(
+            F.col("i.applicationName"), F.col("i.applicationVendor"),
+            F.col("i.version"),
+        ).alias("id"),
+        _app_id(F.col("i.applicationName"),
+                F.col("i.applicationVendor")).alias("application_id"),
+        F.col("i.applicationName").alias("application_name"),
+        F.col("i.applicationVendor").alias("application_vendor"),
+        F.coalesce(F.col("i.version"), F.lit("unknown")).alias("version"),
+        F.col("i.endpointUuid").alias("agent_uuid"),
+        F.col("i.applicationInstallationPath").alias("installation_path"),
+        F.col("i.applicationInstallationDate").alias("installed_dt"),
+    )
+    version_nodes = _shape_nodes(
+        installs.select(
+            F.lit(LABEL_APP_VERSION).alias("label"), "id",
+            _props_map([
+                ("application_id", F.col("application_id")),
+                ("application_name", F.col("application_name")),
+                ("application_vendor", F.col("application_vendor")),
+                ("version", F.col("version")),
+            ]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+    )
+    resource = (
+        _resource_edges(apps, LABEL_APP, account_id)
+        .unionByName(_resource_edges(
+            installs.select("id").dropDuplicates(["id"]),
+            LABEL_APP_VERSION, account_id,
+        ))
+    ).withColumn("props", F.lit(None).cast("map<string,string>"))
+    version_rollup = installs.select(
+        F.lit(LABEL_APP_VERSION).alias("src_label"),
+        F.col("id").alias("src_id"),
+        F.lit("VERSION").alias("rel_label"),
+        F.lit(LABEL_APP).alias("dst_label"),
+        F.col("application_id").alias("dst_id"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    )
+    edges = resource.unionByName(version_rollup)
+    if agents_raw is not None:
+        uuids = _parse_agents(agents_raw).select(
+            F.col("uuid").alias("agent_uuid"),
+            F.col("id").alias("agent_id"),
+        ).where(F.col("agent_uuid").isNotNull()).dropDuplicates(["agent_uuid"])
+        installed = installs.join(
+            F.broadcast(uuids), "agent_uuid"
+        ).select(
+            F.lit(LABEL_AGENT).alias("src_label"),
+            F.col("agent_id").alias("src_id"),
+            F.lit("HAS_INSTALLED").alias("rel_label"),
+            F.lit(LABEL_APP_VERSION).alias("dst_label"),
+            F.col("id").alias("dst_id"),
+            _props_map([
+                ("installeddatetime", F.col("installed_dt")),
+                ("installationpath", F.col("installation_path")),
+            ]).alias("props"),
+        )
+        edges = edges.unionByName(installed)
+    return (
+        app_nodes.unionByName(version_nodes),
+        _shape_edges(edges, update_tag, account_id),
+    )
+
+
+def transform_findings(
+    raw: DataFrame, account_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """``finding.py:38-79`` transform + ``models/sentinelone/
+    finding.py`` edges: AFFECTS app-version (derived id), AFFECTS
+    agent (endpoint_id), ontology CVE projection."""
+    findings = raw.select(
+        F.explode(F.from_json("payload_json", FINDINGS_STRUCT)).alias("f")
+    ).select("f.*").withColumn(
+        "application_version_id",
+        _app_version_id(
+            F.coalesce(F.col("applicationName"), F.lit("unknown")),
+            F.coalesce(F.col("applicationVendor"), F.lit("unknown")),
+            F.col("applicationVersion"),
+        ),
+    )
+    nodes = _shape_nodes(
+        findings.select(
+            F.lit(LABEL_FINDING).alias("label"),
+            F.col("id").alias("id"),
+            _props_map([
+                ("cve_id", F.col("cveId")),
+                ("severity", F.col("severity")),
+                ("remediation_level", F.col("remediationLevel")),
+                ("risk_score", F.col("riskScore")),
+                ("report_confidence", F.col("reportConfidence")),
+                ("days_detected", F.col("daysDetected")),
+                ("detection_date", F.col("detectionDate")),
+                ("last_scan_date", F.col("lastScanDate")),
+                ("last_scan_result", F.col("lastScanResult")),
+                ("status", F.col("status")),
+                ("mitigation_status", F.col("mitigationStatus")),
+                ("mitigation_status_reason", F.col("mitigationStatusReason")),
+                ("mitigation_status_changed_by",
+                 F.col("mitigationStatusChangedBy")),
+                ("mitigation_status_change_time",
+                 F.col("mitigationStatusChangeTime")),
+                ("marked_by", F.col("markedBy")),
+                ("marked_date", F.col("markedDate")),
+                ("mark_type_description", F.col("markType.description")),
+                ("reason", F.col("reason")),
+                ("endpoint_id", F.col("endpointId")),
+                ("application_version_id", F.col("application_version_id")),
+                # ontology CVE projection (cves.py:366-382)
+                ("_ont_cve_id", F.col("cveId")),
+                ("_ont_base_severity", _s1_band(F.col("severity"))),
+                ("_ont_source", F.lit("sentinelone")),
+            ]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+        extra=F.array(F.lit("S1Finding"), F.lit("Risk"), F.lit("CVE")),
+    )
+    resource = _resource_edges(findings, LABEL_FINDING, account_id)
+    affects_version = findings.select(
+        F.lit(LABEL_FINDING).alias("src_label"),
+        F.col("id").alias("src_id"),
+        F.lit("AFFECTS").alias("rel_label"),
+        F.lit(LABEL_APP_VERSION).alias("dst_label"),
+        F.col("application_version_id").alias("dst_id"),
+    )
+    affects_agent = findings.where(F.col("endpointId").isNotNull()).select(
+        F.lit(LABEL_FINDING).alias("src_label"),
+        F.col("id").alias("src_id"),
+        F.lit("AFFECTS").alias("rel_label"),
+        F.lit(LABEL_AGENT).alias("dst_label"),
+        F.col("endpointId").alias("dst_id"),
+    )
+    edges = _shape_edges(
+        resource.unionByName(affects_version).unionByName(affects_agent),
+        update_tag, account_id,
+    )
+    return nodes, edges
+
+
+def link_findings_to_cves(store, update_tag: int) -> DataFrame:
+    """``S1AppFindingToCVERel`` — ``(:S1AppFinding)-[:LINKED_TO]->
+    (:CVE {id: cve_id})``. The reference matches any node carrying the
+    cross-provider ``CVE`` extra label; primary labels differ per
+    provider (CrowdstrikeFinding, …), so resolve via the graph
+    read-back source: join finding ``cve_id`` props against stored
+    nodes whose ``extra_labels`` contain ``CVE``."""
+    findings = store.nodes().where(
+        (F.col("label") == LABEL_FINDING)
+        & (F.col("lastupdated") == int(update_tag))
+    ).select(
+        F.col("id").alias("finding_id"),
+        F.element_at("props", "cve_id").alias("cve_id"),
+    ).where(F.col("cve_id").isNotNull())
+    targets = store.nodes().where(
+        (F.col("label") != LABEL_FINDING)
+        & F.array_contains(
+            F.coalesce(F.col("extra_labels"), F.array().cast("array<string>")),
+            "CVE",
+        )
+    ).select(
+        F.col("label").alias("t_label"), F.col("id").alias("cve_id")
+    ).dropDuplicates(["cve_id"])
+    return findings.join(F.broadcast(targets), "cve_id").select(
+        F.lit(LABEL_FINDING).alias("src_label"),
+        F.col("finding_id").alias("src_id"),
+        F.lit("LINKED_TO").alias("rel_label"),
+        F.col("t_label").alias("dst_label"),
+        F.col("cve_id").alias("dst_id"),
+    )
+
+
+def sync_sentinelone(
+    store,
+    account_raw: DataFrame | None,
+    agents_raw: DataFrame | None,
+    applications_raw: DataFrame | None,
+    installs_raw: DataFrame | None,
+    findings_raw: DataFrame | None,
+    account_id: str,
+    update_tag: int,
+) -> dict:
+    """account → agents → applications → findings → CVE linking →
+    per-account scoped GC (the reference's ``intel/sentinelone/
+    __init__.py`` stage order)."""
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    metrics: dict = {}
+    if account_raw is not None:
+        metrics["account_nodes"] = store.merge_nodes(
+            transform_accounts(account_raw, update_tag), update_tag
+        )
+    if agents_raw is not None:
+        nodes, edges = transform_agents(agents_raw, account_id, update_tag)
+        metrics["agents_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["agents_edges"] = store.merge_edges(edges, update_tag)
+    if applications_raw is not None and installs_raw is not None:
+        nodes, edges = transform_applications(
+            applications_raw, installs_raw, agents_raw, account_id, update_tag
+        )
+        metrics["apps_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["apps_edges"] = store.merge_edges(edges, update_tag)
+    if findings_raw is not None:
+        nodes, edges = transform_findings(findings_raw, account_id, update_tag)
+        metrics["findings_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["findings_edges"] = store.merge_edges(edges, update_tag)
+        linked = link_findings_to_cves(store, update_tag)
+        metrics["findings_cve_edges"] = store.merge_edges(
+            linked.select(
+                "src_label", "src_id", "rel_label", "dst_label", "dst_id",
+                F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+                F.lit(LABEL_ACCOUNT).alias("sub_resource_label"),
+                F.lit(account_id).alias("sub_resource_id"),
+                F.lit(None).cast("map<string,string>").alias("props"),
+            ),
+            update_tag,
+        )
+
+    account_rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label=LABEL_ACCOUNT,
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("S1_ACCOUNT_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    for label in (LABEL_AGENT, LABEL_APP, LABEL_APP_VERSION, LABEL_FINDING):
+        if label not in store.manifest["nodes"]:
+            continue
+        schema = NodeSchema(
+            label=label,
+            properties={"id": PropertyRef("id")},
+            sub_resource_relationship=account_rel,
+        )
+        metrics[f"gc_{label}"] = run_cleanup(
+            store, schema, update_tag, {"S1_ACCOUNT_ID": account_id}
+        )
+    store.record_lineage(
+        "sentinelone_sync", {"update_tag": update_tag, "account": account_id}
+    )
+    return metrics

@@ -1,0 +1,250 @@
+"""SentinelOne provider parity: account + agents + applications +
+findings mirrored from the reference's
+``tests/integration/cartography/intel/sentinelone/test_agent.py``,
+``test_application.py``, and ``test_finding.py`` assertions (agent
+node set with loopback-filtered local_ips, normalized application /
+version ids, HAS_INSTALLED uuid resolution with install edge props,
+finding AFFECTS pairs + ontology CVE projection, cross-provider
+LINKED_TO via the shared CVE extra label, account-scoped GC), over
+fixture payloads shaped like ``tests/data/sentinelone/*.py``."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.sentinelone import (
+    sync_sentinelone,
+    transform_agents,
+    transform_applications,
+    transform_findings,
+)
+
+TAG = 123456789
+ACCOUNT_ID = "test-account-123"
+
+ACCOUNTS = [
+    {
+        "id": ACCOUNT_ID,
+        "name": "Test Account",
+        "accountType": "Trial",
+        "activeAgents": 3,
+        "createdAt": "2023-01-01T00:00:00Z",
+        "expiration": "2024-01-01T00:00:00Z",
+        "numberOfSites": 1,
+        "state": "active",
+    },
+]
+
+AGENTS = [
+    {
+        "id": "test-s1-agent-123",
+        "uuid": "uuid-123-456-789",
+        "computerName": "test-computer-01",
+        "externalIp": "203.0.113.10",
+        "networkInterfaces": [{"inet": ["192.168.1.10", "127.0.0.1"]}],
+        "firewallEnabled": True,
+        "osName": "Windows 10",
+        "osRevision": "1909",
+        "domain": "test.local",
+        "lastActiveDate": "2023-12-01T10:00:00Z",
+        "lastSuccessfulScanDate": "2023-12-01T09:00:00Z",
+        "scanStatus": "finished",
+        "serialNumber": "SN123456",
+    },
+    {
+        "id": "test-s1-agent-456",
+        "uuid": "uuid-456-789-123",
+        "computerName": "test-computer-02",
+        "externalIp": "203.0.113.11",
+        "networkInterfaces": [{"inet": ["10.0.0.20"]},
+                              {"inet": ["127.0.0.1"]}],
+        "firewallEnabled": False,
+        "osName": "Ubuntu 20.04",
+        "osRevision": "5.4.0-89-generic",
+        "domain": "test.local",
+        "lastActiveDate": "2023-12-01T11:00:00Z",
+        "lastSuccessfulScanDate": "2023-12-01T10:30:00Z",
+        "scanStatus": "finished",
+        "serialNumber": "SN789012",
+    },
+]
+
+APPLICATIONS = [
+    {"applicationName": "Office 365", "applicationVendor": "Microsoft"},
+    {"applicationName": "Chrome", "applicationVendor": "Google"},
+]
+
+INSTALLS = [
+    {
+        "applicationName": "Office 365",
+        "applicationVendor": "Microsoft",
+        "version": "2021.16.54",
+        "endpointUuid": "uuid-123-456-789",
+        "applicationInstallationPath": "/Applications/Microsoft Office 365",
+        "applicationInstallationDate": "2023-01-15T10:30:00Z",
+    },
+    {
+        "applicationName": "Chrome",
+        "applicationVendor": "Google",
+        "version": "119.0.6045.105",
+        "endpointUuid": "uuid-456-789-123",
+        "applicationInstallationPath": "/Applications/Google Chrome.app",
+        "applicationInstallationDate": "2023-02-20T16:45:00Z",
+    },
+]
+
+FINDINGS = [
+    {
+        "id": "cve-test-123",
+        "cveId": "CVE-2023-1234",
+        "severity": "High",
+        "daysDetected": 45,
+        "detectionDate": "2023-11-01T10:00:00Z",
+        "lastScanDate": "2023-12-15T14:30:00Z",
+        "lastScanResult": "vulnerable",
+        "status": "active",
+        "applicationName": "Chrome",
+        "applicationVendor": "Google",
+        "applicationVersion": "119.0.6045.105",
+        "endpointId": "test-s1-agent-456",
+    },
+]
+
+
+def _raw(spark, payload):
+    return spark.createDataFrame(
+        [(json.dumps(payload),)], "payload_json string"
+    )
+
+
+def test_agents_parity(spark):
+    """test_agent.py:92-142 — agent node set, loopback-filtered
+    local_ips, account RESOURCE scoping."""
+    nodes, edges = transform_agents(_raw(spark, AGENTS), ACCOUNT_ID, TAG)
+    rows = {n["id"]: n for n in nodes.collect()}
+    assert set(rows) == {"test-s1-agent-123", "test-s1-agent-456"}
+    a1 = rows["test-s1-agent-123"]
+    assert a1["props"]["computer_name"] == "test-computer-01"
+    assert a1["props"]["serial_number"] == "SN123456"
+    assert a1["props"]["os_name"] == "Windows 10"
+    assert a1["props"]["os_revision"] == "1909"
+    assert json.loads(a1["props"]["local_ips"]) == ["192.168.1.10"]
+    a2 = rows["test-s1-agent-456"]
+    assert json.loads(a2["props"]["local_ips"]) == ["10.0.0.20"]
+    assert {
+        (r["src_id"], r["rel_label"], r["dst_id"]) for r in edges.collect()
+    } == {
+        (ACCOUNT_ID, "RESOURCE", "test-s1-agent-123"),
+        (ACCOUNT_ID, "RESOURCE", "test-s1-agent-456"),
+    }
+
+
+def test_applications_parity(spark):
+    """test_application.py:75-160 + utils.py id normalization —
+    vendor:name / vendor:name:version ids, HAS_INSTALLED uuid
+    resolution with install props, VERSION rollup."""
+    nodes, edges = transform_applications(
+        _raw(spark, APPLICATIONS), _raw(spark, INSTALLS),
+        _raw(spark, AGENTS), ACCOUNT_ID, TAG,
+    )
+    by_label = {}
+    for n in nodes.collect():
+        by_label.setdefault(n["label"], {})[n["id"]] = n
+    assert set(by_label["S1Application"]) == {
+        "microsoft:office_365", "google:chrome",
+    }
+    assert by_label["S1Application"]["microsoft:office_365"]["props"][
+        "vendor"] == "Microsoft"
+    assert set(by_label["S1ApplicationVersion"]) == {
+        "microsoft:office_365:2021.16.54", "google:chrome:119.0.6045.105",
+    }
+    v = by_label["S1ApplicationVersion"]["google:chrome:119.0.6045.105"]
+    assert v["props"]["application_name"] == "Chrome"
+    assert v["props"]["version"] == "119.0.6045.105"
+    e = edges.collect()
+    installed = {
+        (r["src_id"], r["dst_id"]): r for r in e
+        if r["rel_label"] == "HAS_INSTALLED"
+    }
+    assert set(installed) == {
+        ("test-s1-agent-123", "microsoft:office_365:2021.16.54"),
+        ("test-s1-agent-456", "google:chrome:119.0.6045.105"),
+    }
+    office = installed[("test-s1-agent-123", "microsoft:office_365:2021.16.54")]
+    assert office["props"]["installeddatetime"] == "2023-01-15T10:30:00Z"
+    assert office["props"]["installationpath"] == (
+        "/Applications/Microsoft Office 365"
+    )
+    assert {
+        (r["src_id"], r["dst_id"]) for r in e if r["rel_label"] == "VERSION"
+    } == {
+        ("microsoft:office_365:2021.16.54", "microsoft:office_365"),
+        ("google:chrome:119.0.6045.105", "google:chrome"),
+    }
+
+
+def test_findings_parity(spark):
+    """test_finding.py — finding node with ontology projection,
+    AFFECTS pairs to version and agent."""
+    nodes, edges = transform_findings(_raw(spark, FINDINGS), ACCOUNT_ID, TAG)
+    f = nodes.collect()[0]
+    assert f["id"] == "cve-test-123"
+    assert f["props"]["cve_id"] == "CVE-2023-1234"
+    assert f["props"]["severity"] == "High"
+    assert f["props"]["_ont_base_severity"] == "high"
+    assert f["props"]["_ont_source"] == "sentinelone"
+    assert {"S1Finding", "Risk", "CVE"} <= set(f["extra_labels"])
+    affects = {
+        (r["dst_label"], r["dst_id"]) for r in edges.collect()
+        if r["rel_label"] == "AFFECTS"
+    }
+    assert affects == {
+        ("S1ApplicationVersion", "google:chrome:119.0.6045.105"),
+        ("S1Agent", "test-s1-agent-456"),
+    }
+
+
+def test_sync_links_findings_to_crowdstrike_cves(spark, tmp_store):
+    """S1AppFindingToCVERel — LINKED_TO resolves through the shared
+    CVE extra label across providers (here a CrowdStrike finding for
+    the same CVE id); second sync GCs a closed finding."""
+    from cartography_spark.providers.crowdstrike import sync_crowdstrike
+
+    cs_vulns = [{
+        "id": "v_1", "cid": "cid-1", "aid": "aid-1", "status": "open",
+        "cve": {"id": "CVE-2023-1234", "base_score": 7.8,
+                "severity": "HIGH", "exploit_status": 10},
+        "app": {"product_name_version": "chrome 119"},
+        "host_info": {"local_ip": "10.0.0.9"},
+        "remediation": {"ids": []},
+    }]
+    sync_crowdstrike(tmp_store, None, _raw(spark, cs_vulns), TAG)
+    sync_sentinelone(
+        tmp_store, _raw(spark, ACCOUNTS), _raw(spark, AGENTS),
+        _raw(spark, APPLICATIONS), _raw(spark, INSTALLS),
+        _raw(spark, FINDINGS), ACCOUNT_ID, TAG,
+    )
+    linked = {
+        (r["src_id"], r["dst_label"], r["dst_id"])
+        for r in tmp_store.edges()
+        .where(F.col("rel_label") == "LINKED_TO").collect()
+    }
+    assert linked == {
+        ("cve-test-123", "CrowdstrikeFinding", "CVE-2023-1234"),
+    }
+
+    # second run: finding gone → scoped GC sweeps it and its edges
+    sync_sentinelone(
+        tmp_store, _raw(spark, ACCOUNTS), _raw(spark, AGENTS),
+        _raw(spark, APPLICATIONS), _raw(spark, INSTALLS),
+        _raw(spark, []), ACCOUNT_ID, TAG + 1,
+    )
+    labels = {
+        r["label"] for r in tmp_store.nodes().select("label").collect()
+    }
+    assert "S1AppFinding" not in labels
+    assert "S1Agent" in labels
+    rels = {
+        r["rel_label"] for r in tmp_store.edges().select("rel_label").collect()
+    }
+    assert "LINKED_TO" not in rels

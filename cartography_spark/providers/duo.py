@@ -1,0 +1,503 @@
+"""Duo provider: api host + users + MFA inventory + endpoints.
+
+Mirrors the reference's Duo intel module over the Admin API payload
+shapes:
+
+* **Api host** (``intel/duo/api_host.py``, ``models/duo/api_host.py``):
+  one ``DuoApiHost`` node per tenant (id = API hostname, the shared
+  ``Tenant`` extra label) — the cleanup scope for every other family.
+* **Users** (``intel/duo/users.py:44-110``, ``models/duo/user.py``):
+  ``DuoUser`` nodes (the ``UserAccount`` ontology label) with aliases,
+  enrollment, activity timestamps and the JSON-text mirrors of the
+  nested collections — phone entries with ``number`` nulled before
+  serialization exactly like the reference's ``_transform_users``.
+  The reference re-loads each user once per nested group/phone/token/
+  webauthn entry so prop-matched rels fire; here the nested arrays
+  emit the edges directly: ``MEMBER_OF_DUO_GROUP`` (deprecated twin)
+  + canonical ``MEMBER_OF`` to groups, ``HAS_DUO_PHONE`` /
+  ``HAS_DUO_TOKEN`` / ``HAS_DUO_WEB_AUTHN_CREDENTIAL`` to the MFA
+  inventory, and a ``Human`` identity node per email with
+  ``IDENTITY_DUO`` (``DuoUserToHumanRel``). The ontology users
+  projection (``mapping/data/useraccounts.py:176-203``) is stamped at
+  load: ``_ont_email/_ont_firstname/_ont_lastname/_ont_fullname``
+  (realname), ``_ont_lastactivity`` (last_login), ``_ont_active`` =
+  status ∈ {active, bypass} (``equal_boolean``),
+  ``_ont_source='duo'``.
+* **Endpoints** (``intel/duo/endpoints.py:43-83``,
+  ``models/duo/endpoint.py``): ``DuoEndpoint`` nodes keyed by
+  ``epkey`` with the posture prop set (disk encryption, firewall,
+  password status, trusted_endpoint, browsers/security_agents as JSON
+  text); ``(:DuoUser)-[:HAS_DUO_ENDPOINT]->(:DuoEndpoint)`` resolved
+  by the email equality the reference's prop matcher encodes
+  (broadcast join). Endpoints carry ``device_name`` / ``model`` /
+  ``os_family`` / ``os_version`` props, feeding the ontology devices
+  stage's matchlink-only ``DuoEndpoint`` registry entry.
+* **Groups / phones / tokens / webauthn**
+  (``intel/duo/{groups,phones,tokens,web_authn_credentials}.py``):
+  host-scoped inventory nodes (``group_id`` / ``phone_id`` /
+  ``token_id`` / ``webauthnkey`` ids).
+* **Cleanup**: every family is swept per api-host scope
+  (``GraphJob.from_node_schema`` twins).
+
+Execution shape: ``from_json`` + ``explode`` column expressions only —
+zero Python rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+LABEL_HOST = "DuoApiHost"
+LABEL_USER = "DuoUser"
+LABEL_ENDPOINT = "DuoEndpoint"
+LABEL_GROUP = "DuoGroup"
+LABEL_PHONE = "DuoPhone"
+LABEL_TOKEN = "DuoToken"
+LABEL_WEBAUTHN = "DuoWebAuthnCredential"
+
+_PHONE_STRUCT = (
+    "struct<activated:string, encrypted:string, fingerprint:string, "
+    "last_seen:string, model:string, name:string, number:string, "
+    "phone_id:string, platform:string, screenlock:string, "
+    "sms_passcodes_sent:string, tampered:string, type:string>"
+)
+_TOKEN_STRUCT = "struct<serial:string, token_id:string, type:string>"
+_WEBAUTHN_STRUCT = (
+    "struct<credential_name:string, date_added:string, label:string, "
+    "webauthnkey:string>"
+)
+USERS_STRUCT = (
+    "array<struct<alias1:string, alias2:string, alias3:string, "
+    "alias4:string, created:string, email:string, firstname:string, "
+    "is_enrolled:string, last_directory_sync:string, last_login:string, "
+    "lastname:string, notes:string, realname:string, status:string, "
+    "user_id:string, username:string, "
+    "groups:array<struct<group_id:string, name:string, desc:string>>, "
+    f"phones:array<{_PHONE_STRUCT}>, "
+    f"tokens:array<{_TOKEN_STRUCT}>, "
+    "u2ftokens:array<string>, "
+    f"webauthncredentials:array<{_WEBAUTHN_STRUCT}>>>"
+)
+ENDPOINTS_STRUCT = (
+    "array<struct<browsers:array<struct<browser_family:string, "
+    "browser_version:string, flash_version:string, java_version:string>>, "
+    "computer_sid:string, cpu_id:string, device_id:string, "
+    "device_identifier:string, device_identifier_type:string, "
+    "device_name:string, device_udid:string, device_username:string, "
+    "device_username_type:string, disk_encryption_status:string, "
+    "domain_sid:string, email:string, epkey:string, "
+    "firewall_status:string, hardware_uuid:string, "
+    "health_app_client_version:string, health_data_last_collected:string, "
+    "last_updated:string, machine_guid:string, model:string, "
+    "os_build:string, os_family:string, os_version:string, "
+    "password_status:string, "
+    "security_agents:array<struct<security_agent:string, version:string>>, "
+    "trusted_endpoint:string, type:string, username:string>>"
+)
+GROUPS_STRUCT = (
+    "array<struct<desc:string, group_id:string, mobile_otp_enabled:string, "
+    "name:string, push_enabled:string, sms_enabled:string, status:string, "
+    "voice_enabled:string>>"
+)
+PHONES_STRUCT = f"array<{_PHONE_STRUCT}>"
+TOKENS_STRUCT = f"array<{_TOKEN_STRUCT}>"
+WEBAUTHN_STRUCT = f"array<{_WEBAUTHN_STRUCT}>"
+
+
+def _props_map(pairs: list[tuple[str, Column]]) -> Column:
+    return F.map_filter(
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k, _ in pairs]),
+            F.array(*[v.cast("string") for _, v in pairs]),
+        ),
+        lambda _k, v: v.isNotNull(),
+    )
+
+
+def _shape_nodes(df: DataFrame, update_tag: int, extra=None) -> DataFrame:
+    return df.select(
+        "label",
+        "id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        (extra if extra is not None else F.lit(None).cast("array<string>"))
+        .alias("extra_labels"),
+        "props",
+    )
+
+
+def _shape_edges(df: DataFrame, update_tag: int, host: str) -> DataFrame:
+    return df.select(
+        "src_label", "src_id", "rel_label", "dst_label", "dst_id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(LABEL_HOST).alias("sub_resource_label"),
+        F.lit(host).alias("sub_resource_id"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    ).dropDuplicates(["src_label", "src_id", "rel_label", "dst_label", "dst_id"])
+
+
+def _resource(rows: DataFrame, dst_label: str, host: str) -> DataFrame:
+    return rows.select(
+        F.lit(LABEL_HOST).alias("src_label"),
+        F.lit(host).alias("src_id"),
+        F.lit("RESOURCE").alias("rel_label"),
+        F.lit(dst_label).alias("dst_label"),
+        F.col("id").alias("dst_id"),
+    )
+
+
+def api_host_node(spark, host: str, update_tag: int) -> DataFrame:
+    df = spark.createDataFrame([(LABEL_HOST, host)], "label string, id string")
+    return _shape_nodes(
+        df.withColumn("props", F.lit(None).cast("map<string,string>")),
+        update_tag,
+        extra=F.array(F.lit("Tenant")),
+    )
+
+
+def transform_users(
+    raw: DataFrame, host: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    users = raw.select(
+        F.explode(F.from_json("payload_json", USERS_STRUCT)).alias("u")
+    ).select("u.*")
+    nodes = _shape_nodes(
+        users.select(
+            F.lit(LABEL_USER).alias("label"),
+            F.col("user_id").alias("id"),
+            _props_map([
+                ("alias1", F.col("alias1")),
+                ("alias2", F.col("alias2")),
+                ("alias3", F.col("alias3")),
+                ("alias4", F.col("alias4")),
+                ("created", F.col("created")),
+                ("email", F.col("email")),
+                ("firstname", F.col("firstname")),
+                ("is_enrolled", F.col("is_enrolled")),
+                ("last_directory_sync", F.col("last_directory_sync")),
+                ("last_login", F.col("last_login")),
+                ("lastname", F.col("lastname")),
+                ("notes", F.col("notes")),
+                ("realname", F.col("realname")),
+                ("status", F.col("status")),
+                ("user_id", F.col("user_id")),
+                ("username", F.col("username")),
+                # the reference serializes each nested entry separately
+                # (`[dumps(x) for x in ...]`), with phone `number`
+                # nulled before serialization — numbers never land on
+                # the user node
+                ("phones",
+                 F.when(F.col("phones").isNotNull(),
+                        F.to_json(F.transform(
+                            "phones",
+                            lambda p: F.to_json(
+                                p.withField(
+                                    "number", F.lit(None).cast("string")
+                                ),
+                                {"ignoreNullFields": "false"},
+                            ),
+                        )))),
+                ("tokens",
+                 F.when(F.col("tokens").isNotNull(),
+                        F.to_json(F.transform(
+                            "tokens", lambda t: F.to_json(t))))),
+                ("u2ftokens",
+                 F.when(F.col("u2ftokens").isNotNull(),
+                        F.to_json("u2ftokens"))),
+                ("webauthncredentials",
+                 F.when(F.col("webauthncredentials").isNotNull(),
+                        F.to_json(F.transform(
+                            "webauthncredentials",
+                            lambda w: F.to_json(w))))),
+                # ontology projection (useraccounts.py:176-203)
+                ("_ont_email", F.col("email")),
+                ("_ont_firstname", F.col("firstname")),
+                ("_ont_lastname", F.col("lastname")),
+                ("_ont_fullname", F.col("realname")),
+                ("_ont_username", F.col("username")),
+                ("_ont_lastactivity", F.col("last_login")),
+                ("_ont_active",
+                 F.col("status").isin("active", "bypass").cast("string")),
+                ("_ont_source", F.lit("duo")),
+            ]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+        extra=F.array(F.lit("UserAccount")),
+    )
+    humans = _shape_nodes(
+        users.where(F.col("email").isNotNull()).select(
+            F.lit("Human").alias("label"),
+            F.col("email").alias("id"),
+            _props_map([("email", F.col("email"))]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+    )
+    resource = _resource(
+        users.select(F.col("user_id").alias("id")), LABEL_USER, host
+    )
+    identity = users.where(F.col("email").isNotNull()).select(
+        F.lit("Human").alias("src_label"),
+        F.col("email").alias("src_id"),
+        F.lit("IDENTITY_DUO").alias("rel_label"),
+        F.lit(LABEL_USER).alias("dst_label"),
+        F.col("user_id").alias("dst_id"),
+    )
+    member = users.select(
+        "user_id", F.explode("groups").alias("g")
+    )
+    member_edges = None
+    for rel in ("MEMBER_OF_DUO_GROUP", "MEMBER_OF"):
+        e = member.select(
+            F.lit(LABEL_USER).alias("src_label"),
+            F.col("user_id").alias("src_id"),
+            F.lit(rel).alias("rel_label"),
+            F.lit(LABEL_GROUP).alias("dst_label"),
+            F.col("g.group_id").alias("dst_id"),
+        )
+        member_edges = e if member_edges is None else member_edges.unionByName(e)
+    has_phone = users.select(
+        "user_id", F.explode("phones").alias("p")
+    ).select(
+        F.lit(LABEL_USER).alias("src_label"),
+        F.col("user_id").alias("src_id"),
+        F.lit("HAS_DUO_PHONE").alias("rel_label"),
+        F.lit(LABEL_PHONE).alias("dst_label"),
+        F.col("p.phone_id").alias("dst_id"),
+    )
+    has_token = users.select(
+        "user_id", F.explode("tokens").alias("t")
+    ).select(
+        F.lit(LABEL_USER).alias("src_label"),
+        F.col("user_id").alias("src_id"),
+        F.lit("HAS_DUO_TOKEN").alias("rel_label"),
+        F.lit(LABEL_TOKEN).alias("dst_label"),
+        F.col("t.token_id").alias("dst_id"),
+    )
+    has_webauthn = users.select(
+        "user_id", F.explode("webauthncredentials").alias("w")
+    ).select(
+        F.lit(LABEL_USER).alias("src_label"),
+        F.col("user_id").alias("src_id"),
+        F.lit("HAS_DUO_WEB_AUTHN_CREDENTIAL").alias("rel_label"),
+        F.lit(LABEL_WEBAUTHN).alias("dst_label"),
+        F.col("w.webauthnkey").alias("dst_id"),
+    )
+    edges = _shape_edges(
+        resource.unionByName(identity).unionByName(member_edges)
+        .unionByName(has_phone).unionByName(has_token)
+        .unionByName(has_webauthn),
+        update_tag, host,
+    )
+    return nodes.unionByName(humans), edges
+
+
+def transform_endpoints(
+    raw: DataFrame, users_raw: DataFrame | None, host: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    eps = raw.select(
+        F.explode(F.from_json("payload_json", ENDPOINTS_STRUCT)).alias("e")
+    ).select("e.*")
+    nodes = _shape_nodes(
+        eps.select(
+            F.lit(LABEL_ENDPOINT).alias("label"),
+            F.col("epkey").alias("id"),
+            _props_map([
+                ("browsers",
+                 F.when(F.col("browsers").isNotNull(),
+                        F.to_json(F.transform(
+                            "browsers", lambda b: F.to_json(b)
+                        )))),
+                ("computer_sid", F.col("computer_sid")),
+                ("cpu_id", F.col("cpu_id")),
+                ("device_id", F.col("device_id")),
+                ("device_identifier", F.col("device_identifier")),
+                ("device_identifier_type", F.col("device_identifier_type")),
+                ("device_name", F.col("device_name")),
+                ("device_udid", F.col("device_udid")),
+                ("device_username", F.col("device_username")),
+                ("device_username_type", F.col("device_username_type")),
+                ("disk_encryption_status", F.col("disk_encryption_status")),
+                ("domain_sid", F.col("domain_sid")),
+                ("email", F.col("email")),
+                ("epkey", F.col("epkey")),
+                ("firewall_status", F.col("firewall_status")),
+                ("hardware_uuid", F.col("hardware_uuid")),
+                ("health_app_client_version",
+                 F.col("health_app_client_version")),
+                ("health_data_last_collected",
+                 F.col("health_data_last_collected")),
+                ("last_updated", F.col("last_updated")),
+                ("machine_guid", F.col("machine_guid")),
+                ("model", F.col("model")),
+                ("os_build", F.col("os_build")),
+                ("os_family", F.col("os_family")),
+                ("os_version", F.col("os_version")),
+                ("password_status", F.col("password_status")),
+                ("security_agents",
+                 F.when(F.col("security_agents").isNotNull(),
+                        F.to_json(F.transform(
+                            "security_agents", lambda a: F.to_json(a)
+                        )))),
+                ("trusted_endpoint", F.col("trusted_endpoint")),
+                ("type", F.col("type")),
+                ("username", F.col("username")),
+            ]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+    )
+    edges = _resource(
+        eps.select(F.col("epkey").alias("id")), LABEL_ENDPOINT, host
+    )
+    if users_raw is not None:
+        emails = users_raw.select(
+            F.explode(F.from_json("payload_json", USERS_STRUCT)).alias("u")
+        ).select(
+            F.col("u.email").alias("email"),
+            F.col("u.user_id").alias("user_id"),
+        ).where(F.col("email").isNotNull()).dropDuplicates(["email"])
+        has_endpoint = eps.where(F.col("email").isNotNull()).join(
+            F.broadcast(emails), "email"
+        ).select(
+            F.lit(LABEL_USER).alias("src_label"),
+            F.col("user_id").alias("src_id"),
+            F.lit("HAS_DUO_ENDPOINT").alias("rel_label"),
+            F.lit(LABEL_ENDPOINT).alias("dst_label"),
+            F.col("epkey").alias("dst_id"),
+        )
+        edges = edges.unionByName(has_endpoint)
+    return nodes, _shape_edges(edges, update_tag, host)
+
+
+def _inventory_transform(
+    raw: DataFrame, struct: str, label: str, id_field: str,
+    props_fields: list[str], host: str, update_tag: int,
+) -> tuple[DataFrame, DataFrame]:
+    rows = raw.select(
+        F.explode(F.from_json("payload_json", struct)).alias("r")
+    ).select("r.*")
+    nodes = _shape_nodes(
+        rows.select(
+            F.lit(label).alias("label"),
+            F.col(id_field).alias("id"),
+            _props_map(
+                [(f, F.col(f)) for f in props_fields]
+            ).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+    )
+    edges = _shape_edges(
+        _resource(rows.select(F.col(id_field).alias("id")), label, host),
+        update_tag, host,
+    )
+    return nodes, edges
+
+
+def transform_groups(raw, host, update_tag):
+    return _inventory_transform(
+        raw, GROUPS_STRUCT, LABEL_GROUP, "group_id",
+        ["desc", "group_id", "mobile_otp_enabled", "name", "push_enabled",
+         "sms_enabled", "status", "voice_enabled"],
+        host, update_tag,
+    )
+
+
+def transform_phones(raw, host, update_tag):
+    return _inventory_transform(
+        raw, PHONES_STRUCT, LABEL_PHONE, "phone_id",
+        ["activated", "encrypted", "fingerprint", "last_seen", "model",
+         "name", "phone_id", "platform", "screenlock", "sms_passcodes_sent",
+         "tampered", "type"],
+        host, update_tag,
+    )
+
+
+def transform_tokens(raw, host, update_tag):
+    return _inventory_transform(
+        raw, TOKENS_STRUCT, LABEL_TOKEN, "token_id",
+        ["serial", "token_id", "type"],
+        host, update_tag,
+    )
+
+
+def transform_webauthn(raw, host, update_tag):
+    return _inventory_transform(
+        raw, WEBAUTHN_STRUCT, LABEL_WEBAUTHN, "webauthnkey",
+        ["credential_name", "date_added", "label", "webauthnkey"],
+        host, update_tag,
+    )
+
+
+def sync_duo(
+    store,
+    users_raw: DataFrame | None,
+    endpoints_raw: DataFrame | None,
+    groups_raw: DataFrame | None,
+    phones_raw: DataFrame | None,
+    tokens_raw: DataFrame | None,
+    webauthn_raw: DataFrame | None,
+    host: str,
+    update_tag: int,
+) -> dict:
+    """api host → groups/phones/tokens/webauthn inventory → users →
+    endpoints → host-scoped GC (the reference's ``intel/duo/__init__``
+    sync order, inventory before users so edge targets exist)."""
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    metrics: dict = {}
+    metrics["host_nodes"] = store.merge_nodes(
+        api_host_node(store.spark, host, update_tag), update_tag
+    )
+    stages = [
+        ("groups", groups_raw, transform_groups),
+        ("phones", phones_raw, transform_phones),
+        ("tokens", tokens_raw, transform_tokens),
+        ("webauthn", webauthn_raw, transform_webauthn),
+    ]
+    for name, raw, fn in stages:
+        if raw is None:
+            continue
+        nodes, edges = fn(raw, host, update_tag)
+        metrics[f"{name}_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics[f"{name}_edges"] = store.merge_edges(edges, update_tag)
+    if users_raw is not None:
+        nodes, edges = transform_users(users_raw, host, update_tag)
+        metrics["users_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["users_edges"] = store.merge_edges(edges, update_tag)
+    if endpoints_raw is not None:
+        nodes, edges = transform_endpoints(
+            endpoints_raw, users_raw, host, update_tag
+        )
+        metrics["endpoints_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["endpoints_edges"] = store.merge_edges(edges, update_tag)
+
+    host_rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label=LABEL_HOST,
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("DUO_API_HOSTNAME", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    for label in (LABEL_USER, LABEL_ENDPOINT, LABEL_GROUP, LABEL_PHONE,
+                  LABEL_TOKEN, LABEL_WEBAUTHN):
+        if label not in store.manifest["nodes"]:
+            continue
+        schema = NodeSchema(
+            label=label,
+            properties={"id": PropertyRef("id")},
+            sub_resource_relationship=host_rel,
+        )
+        metrics[f"gc_{label}"] = run_cleanup(
+            store, schema, update_tag, {"DUO_API_HOSTNAME": host}
+        )
+    store.record_lineage(
+        "duo_sync", {"update_tag": update_tag, "host": host}
+    )
+    return metrics

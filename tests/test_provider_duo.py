@@ -1,0 +1,203 @@
+"""Duo provider parity: api host + users + MFA inventory + endpoints
+mirrored from the reference's
+``tests/integration/cartography/intel/duo/test_users.py`` /
+``test_endpoints.py`` assertions (user node set, phone-number
+redaction in the serialized nested phones, MEMBER_OF twins,
+HAS_DUO_PHONE/TOKEN/WEB_AUTHN_CREDENTIAL from the nested arrays,
+email-resolved HAS_DUO_ENDPOINT, host-scoped GC, ontology users
+feed), over fixture payloads shaped like ``tests/data/duo/*.py``."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.duo import (
+    sync_duo,
+    transform_endpoints,
+    transform_users,
+)
+
+TAG = 123456789
+HOST = "https://api-1234.duo.com"
+
+USERS = [
+    {
+        "alias1": "alias1",
+        "created": 1513376825,
+        "email": "mbsimpson@simpson.corp",
+        "firstname": "Marge",
+        "lastname": "Simpson",
+        "realname": "Marge Simpson",
+        "username": "mbsimpson",
+        "user_id": "userid1",
+        "status": "active",
+        "is_enrolled": True,
+        "last_login": 1683910263,
+        "groups": [
+            {"group_id": "groupid1", "name": "WebAuthn Required", "desc": ""},
+            {"group_id": "groupid2", "name": "WebAuthn Required", "desc": ""},
+        ],
+        "phones": [
+            {
+                "activated": True,
+                "model": "Apple iPhone 14 Pro",
+                "number": "+number1",
+                "phone_id": "phoneid1",
+                "platform": "Apple iOS",
+                "type": "Mobile",
+            },
+        ],
+        "tokens": [
+            {"serial": "serial1", "token_id": "tokenid1", "type": "yk"},
+        ],
+        "u2ftokens": [],
+        "webauthncredentials": [
+            {"credential_name": "YubiKey", "label": "Security Key",
+             "webauthnkey": "webauthnkey1", "date_added": 1559592490},
+        ],
+    },
+    {
+        "email": "hjsimpson@simpson.corp",
+        "firstname": "Homer",
+        "lastname": "Simpson",
+        "realname": "Homer Simpson",
+        "username": "hjsimpson",
+        "user_id": "userid2",
+        "status": "disabled",
+        "is_enrolled": False,
+        "groups": [],
+        "phones": [],
+        "tokens": [],
+        "u2ftokens": [],
+        "webauthncredentials": [],
+    },
+]
+
+ENDPOINTS = [
+    {
+        "epkey": "epkey1",
+        "email": "mbsimpson@simpson.corp",
+        "device_name": "marge-macbook",
+        "model": "MacBook Pro",
+        "os_family": "Mac OS X",
+        "os_version": "13.4",
+        "disk_encryption_status": "On",
+        "firewall_status": "On",
+        "password_status": "Set",
+        "trusted_endpoint": "yes",
+        "browsers": [
+            {"browser_family": "Chrome", "browser_version": "113.0"},
+        ],
+        "username": "mbsimpson",
+    },
+]
+
+
+def _raw(spark, payload):
+    return spark.createDataFrame(
+        [(json.dumps(payload),)], "payload_json string"
+    )
+
+
+def test_users_parity(spark):
+    """test_users.py:61-130 — user node set, nested-array edges,
+    phone-number redaction, ontology projection."""
+    nodes, edges = transform_users(_raw(spark, USERS), HOST, TAG)
+    rows = {(n["label"], n["id"]): n for n in nodes.collect()}
+    u1 = rows[("DuoUser", "userid1")]
+    assert u1["props"]["email"] == "mbsimpson@simpson.corp"
+    assert u1["props"]["username"] == "mbsimpson"
+    assert "UserAccount" in u1["extra_labels"]
+    # the serialized phone entries have number nulled (reference
+    # _transform_users redaction)
+    phones = [json.loads(p) for p in json.loads(u1["props"]["phones"])]
+    assert phones[0]["phone_id"] == "phoneid1"
+    assert phones[0]["number"] is None
+    assert u1["props"]["_ont_active"] == "true"
+    assert u1["props"]["_ont_fullname"] == "Marge Simpson"
+    assert rows[("DuoUser", "userid2")]["props"]["_ont_active"] == "false"
+    assert ("Human", "mbsimpson@simpson.corp") in rows
+    pairs = {
+        (r["src_id"], r["rel_label"], r["dst_id"]) for r in edges.collect()
+    }
+    assert (HOST, "RESOURCE", "userid1") in pairs
+    assert ("userid1", "MEMBER_OF_DUO_GROUP", "groupid1") in pairs
+    assert ("userid1", "MEMBER_OF", "groupid2") in pairs
+    assert ("userid1", "HAS_DUO_PHONE", "phoneid1") in pairs
+    assert ("userid1", "HAS_DUO_TOKEN", "tokenid1") in pairs
+    assert ("userid1", "HAS_DUO_WEB_AUTHN_CREDENTIAL", "webauthnkey1") in pairs
+    assert ("mbsimpson@simpson.corp", "IDENTITY_DUO", "userid1") in pairs
+
+
+def test_endpoints_parity(spark):
+    """test_endpoints.py — endpoint node props + email-resolved
+    HAS_DUO_ENDPOINT."""
+    nodes, edges = transform_endpoints(
+        _raw(spark, ENDPOINTS), _raw(spark, USERS), HOST, TAG
+    )
+    ep = nodes.collect()[0]
+    assert ep["id"] == "epkey1"
+    assert ep["props"]["device_name"] == "marge-macbook"
+    assert ep["props"]["os_family"] == "Mac OS X"
+    assert ep["props"]["disk_encryption_status"] == "On"
+    browsers = [json.loads(b) for b in json.loads(ep["props"]["browsers"])]
+    assert browsers[0]["browser_family"] == "Chrome"
+    pairs = {
+        (r["src_id"], r["rel_label"], r["dst_id"]) for r in edges.collect()
+    }
+    assert ("userid1", "HAS_DUO_ENDPOINT", "epkey1") in pairs
+    assert (HOST, "RESOURCE", "epkey1") in pairs
+
+
+def test_sync_gc_and_ontology_feed(spark, tmp_store):
+    """Two-run host-scoped GC + the canonical users stage consuming
+    DuoUser via the useraccounts.py:176-203 field mapping."""
+    from cartography_spark.functions.ontology import (
+        OntologyFieldMapping,
+        OntologyNodeMapping,
+    )
+    from cartography_spark.plans.ontology_users import (
+        UserSource,
+        sync_ontology_users,
+    )
+
+    sync_duo(
+        tmp_store, _raw(spark, USERS), _raw(spark, ENDPOINTS),
+        None, None, None, None, HOST, TAG,
+    )
+    duo_mapping = OntologyNodeMapping(
+        node_label="User",
+        fields=(
+            OntologyFieldMapping("email", "email", required=True),
+            OntologyFieldMapping("fullname", "realname"),
+            OntologyFieldMapping("firstname", "firstname"),
+            OntologyFieldMapping("lastname", "lastname"),
+            OntologyFieldMapping(
+                "active", "status", special_handling="equal_boolean",
+                extra={"values": ["active", "bypass"]},
+            ),
+        ),
+    )
+    sync_ontology_users(
+        tmp_store, [UserSource("DuoUser", duo_mapping)], TAG
+    )
+    users = {
+        r["id"]: r for r in tmp_store.nodes()
+        .where(F.col("label") == "User").collect()
+    }
+    assert set(users) == {
+        "mbsimpson@simpson.corp", "hjsimpson@simpson.corp",
+    }
+    assert users["mbsimpson@simpson.corp"]["props"]["active"] == "true"
+    assert users["hjsimpson@simpson.corp"]["props"]["active"] == "false"
+
+    # run 2: homer deprovisioned → host-scoped GC sweeps him
+    sync_duo(
+        tmp_store, _raw(spark, USERS[:1]), _raw(spark, ENDPOINTS),
+        None, None, None, None, HOST, TAG + 1,
+    )
+    remaining = {
+        r["id"] for r in tmp_store.nodes()
+        .where(F.col("label") == "DuoUser").collect()
+    }
+    assert remaining == {"userid1"}

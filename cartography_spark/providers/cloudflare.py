@@ -1,0 +1,278 @@
+"""Cloudflare provider: accounts + zones + DNS records.
+
+Mirrors the reference's Cloudflare intel module over the v4 API
+payload shapes:
+
+* **Accounts** (``intel/cloudflare/accounts.py``,
+  ``models/cloudflare/account.py``): ``CloudflareAccount`` nodes (the
+  shared ``Tenant`` extra label) — the cleanup scope for zones and DNS
+  records.
+* **Zones** (``intel/cloudflare/zones.py``,
+  ``models/cloudflare/zone.py``): ``CloudflareZone`` nodes with the
+  ``DNSZone`` ontology label; ``meta.*`` fields flattened to the
+  promoted prop names (cdn_only, custom_certificate_quota, dns_only,
+  foundation_dns, page_rule_quota, phishing_detected); account
+  ``RESOURCE`` scoping.
+* **DNS records** (``intel/cloudflare/dnsrecords.py:55-70``,
+  ``models/cloudflare/dnsrecord.py``): ``CloudflareDNSRecord`` nodes
+  with the ``DNSRecord`` ontology label, ``value`` mirroring the API's
+  ``content``; edges: account ``RESOURCE`` (the tenant scope — the
+  reference moved the sub-resource from the zone to the account so
+  per-zone cleanup can't delete not-yet-synced zones' records) plus
+  zone ``HAS_RECORD`` and the zone's legacy ``RESOURCE`` twin. The
+  ontology DNS projection (``mapping/data/dnsrecords.py:47-61``) is
+  stamped at load: ``_ont_name`` (required) / ``_ont_type`` /
+  ``_ont_value`` and ``_ont_source='cloudflare'`` — the
+  ``plans/ontology_network.py`` DNS_POINTS_TO stage consumes these
+  with no extra wiring.
+* **Cleanup**: zones and DNS records are swept per account scope,
+  records before zones (the reference's ``__init__.py`` order).
+
+Execution shape: ``from_json`` + ``explode`` column expressions only —
+zero Python rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+LABEL_ACCOUNT = "CloudflareAccount"
+LABEL_ZONE = "CloudflareZone"
+LABEL_RECORD = "CloudflareDNSRecord"
+
+ACCOUNTS_STRUCT = (
+    "array<struct<id:string, name:string, created_on:string>>"
+)
+ZONES_STRUCT = (
+    "array<struct<id:string, name:string, status:string, paused:string, "
+    "type:string, development_mode:string, original_dnshost:string, "
+    "original_registrar:string, activated_on:string, created_on:string, "
+    "modified_on:string, verification_key:string, "
+    "meta:struct<cdn_only:string, custom_certificate_quota:string, "
+    "dns_only:string, foundation_dns:string, page_rule_quota:string, "
+    "phishing_detected:string>>>"
+)
+RECORDS_STRUCT = (
+    "array<struct<id:string, zone_id:string, name:string, type:string, "
+    "content:string, comment:string, proxied:string, proxiable:string, "
+    "ttl:string, created_on:string, modified_on:string>>"
+)
+
+
+def _props_map(pairs: list[tuple[str, Column]]) -> Column:
+    return F.map_filter(
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k, _ in pairs]),
+            F.array(*[v.cast("string") for _, v in pairs]),
+        ),
+        lambda _k, v: v.isNotNull(),
+    )
+
+
+def _shape_nodes(df: DataFrame, update_tag: int, extra=None) -> DataFrame:
+    return df.select(
+        "label",
+        "id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        (extra if extra is not None else F.lit(None).cast("array<string>"))
+        .alias("extra_labels"),
+        "props",
+    )
+
+
+def _shape_edges(df: DataFrame, update_tag: int, account_id: str) -> DataFrame:
+    return df.select(
+        "src_label", "src_id", "rel_label", "dst_label", "dst_id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(LABEL_ACCOUNT).alias("sub_resource_label"),
+        F.lit(account_id).alias("sub_resource_id"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    ).dropDuplicates(["src_label", "src_id", "rel_label", "dst_label", "dst_id"])
+
+
+def transform_accounts(raw: DataFrame, update_tag: int) -> DataFrame:
+    accounts = raw.select(
+        F.explode(F.from_json("payload_json", ACCOUNTS_STRUCT)).alias("a")
+    ).select("a.*")
+    nodes = accounts.select(
+        F.lit(LABEL_ACCOUNT).alias("label"),
+        F.col("id").alias("id"),
+        _props_map([
+            ("name", F.col("name")),
+            ("created_on", F.col("created_on")),
+        ]).alias("props"),
+    ).dropDuplicates(["id"])
+    return _shape_nodes(nodes, update_tag, extra=F.array(F.lit("Tenant")))
+
+
+def transform_zones(
+    raw: DataFrame, account_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    zones = raw.select(
+        F.explode(F.from_json("payload_json", ZONES_STRUCT)).alias("z")
+    ).select("z.*")
+    nodes = _shape_nodes(
+        zones.select(
+            F.lit(LABEL_ZONE).alias("label"),
+            F.col("id").alias("id"),
+            _props_map([
+                ("name", F.col("name")),
+                ("status", F.col("status")),
+                ("paused", F.col("paused")),
+                ("type", F.col("type")),
+                ("development_mode", F.col("development_mode")),
+                ("original_dnshost", F.col("original_dnshost")),
+                ("original_registrar", F.col("original_registrar")),
+                ("activated_on", F.col("activated_on")),
+                ("created_on", F.col("created_on")),
+                ("modified_on", F.col("modified_on")),
+                ("verification_key", F.col("verification_key")),
+                # meta.* promoted (zone.py:30-55)
+                ("cdn_only", F.col("meta.cdn_only")),
+                ("custom_certificate_quota",
+                 F.col("meta.custom_certificate_quota")),
+                ("dns_only", F.col("meta.dns_only")),
+                ("foundation_dns", F.col("meta.foundation_dns")),
+                ("page_rule_quota", F.col("meta.page_rule_quota")),
+                ("phishing_detected", F.col("meta.phishing_detected")),
+            ]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+        extra=F.array(F.lit("DNSZone")),
+    )
+    edges = _shape_edges(
+        zones.select(
+            F.lit(LABEL_ACCOUNT).alias("src_label"),
+            F.lit(account_id).alias("src_id"),
+            F.lit("RESOURCE").alias("rel_label"),
+            F.lit(LABEL_ZONE).alias("dst_label"),
+            F.col("id").alias("dst_id"),
+        ),
+        update_tag, account_id,
+    )
+    return nodes, edges
+
+
+def transform_dnsrecords(
+    raw: DataFrame, account_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """``raw`` rows may carry a ``zone_id`` column (the per-zone fetch
+    loop) or embed ``zone_id`` per record; both resolve per record."""
+    cols = raw.columns
+    recs = raw.select(
+        *([F.col("zone_id").alias("_zone")] if "zone_id" in cols else []),
+        F.explode(F.from_json("payload_json", RECORDS_STRUCT)).alias("r"),
+    )
+    zone = (
+        F.coalesce(F.col("r.zone_id"), F.col("_zone"))
+        if "zone_id" in cols else F.col("r.zone_id")
+    )
+    recs = recs.select(F.col("r.*"), zone.alias("zone"))
+    nodes = _shape_nodes(
+        recs.select(
+            F.lit(LABEL_RECORD).alias("label"),
+            F.col("id").alias("id"),
+            _props_map([
+                ("name", F.col("name")),
+                ("type", F.col("type")),
+                ("value", F.col("content")),
+                ("comment", F.col("comment")),
+                ("proxied", F.col("proxied")),
+                ("proxiable", F.col("proxiable")),
+                ("ttl", F.col("ttl")),
+                ("created_on", F.col("created_on")),
+                ("modified_on", F.col("modified_on")),
+                ("zone_id", F.col("zone")),
+                # ontology DNS projection (dnsrecords.py:47-61)
+                ("_ont_name", F.col("name")),
+                ("_ont_type", F.col("type")),
+                ("_ont_value", F.col("content")),
+                ("_ont_source", F.lit("cloudflare")),
+            ]).alias("props"),
+        ).where(F.col("props")["_ont_name"].isNotNull())
+        .dropDuplicates(["id"]),
+        update_tag,
+        extra=F.array(F.lit("DNSRecord")),
+    )
+    account_scope = recs.select(
+        F.lit(LABEL_ACCOUNT).alias("src_label"),
+        F.lit(account_id).alias("src_id"),
+        F.lit("RESOURCE").alias("rel_label"),
+        F.lit(LABEL_RECORD).alias("dst_label"),
+        F.col("id").alias("dst_id"),
+    )
+    zone_edges = None
+    for rel in ("HAS_RECORD", "RESOURCE"):
+        e = recs.where(F.col("zone").isNotNull()).select(
+            F.lit(LABEL_ZONE).alias("src_label"),
+            F.col("zone").alias("src_id"),
+            F.lit(rel).alias("rel_label"),
+            F.lit(LABEL_RECORD).alias("dst_label"),
+            F.col("id").alias("dst_id"),
+        )
+        zone_edges = e if zone_edges is None else zone_edges.unionByName(e)
+    return nodes, _shape_edges(
+        account_scope.unionByName(zone_edges), update_tag, account_id
+    )
+
+
+def sync_cloudflare(
+    store,
+    accounts_raw: DataFrame | None,
+    zones_raw: DataFrame | None,
+    records_raw: DataFrame | None,
+    account_id: str,
+    update_tag: int,
+) -> dict:
+    """accounts → zones → dnsrecords → account-scoped GC (records
+    before zones — the reference's ``intel/cloudflare/__init__.py``
+    module order with cleanup per schema)."""
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    metrics: dict = {}
+    if accounts_raw is not None:
+        metrics["accounts_nodes"] = store.merge_nodes(
+            transform_accounts(accounts_raw, update_tag), update_tag
+        )
+    if zones_raw is not None:
+        nodes, edges = transform_zones(zones_raw, account_id, update_tag)
+        metrics["zones_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["zones_edges"] = store.merge_edges(edges, update_tag)
+    if records_raw is not None:
+        nodes, edges = transform_dnsrecords(
+            records_raw, account_id, update_tag
+        )
+        metrics["records_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["records_edges"] = store.merge_edges(edges, update_tag)
+
+    account_rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label=LABEL_ACCOUNT,
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("ACCOUNT_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    for label in (LABEL_RECORD, LABEL_ZONE):
+        if label not in store.manifest["nodes"]:
+            continue
+        schema = NodeSchema(
+            label=label,
+            properties={"id": PropertyRef("id")},
+            sub_resource_relationship=account_rel,
+        )
+        metrics[f"gc_{label}"] = run_cleanup(
+            store, schema, update_tag, {"ACCOUNT_ID": account_id}
+        )
+    store.record_lineage(
+        "cloudflare_sync", {"update_tag": update_tag, "account": account_id}
+    )
+    return metrics

@@ -1,0 +1,154 @@
+"""Cloudflare provider parity: accounts + zones + DNS records
+mirrored from the reference's ``intel/cloudflare/{accounts,zones,
+dnsrecords}.py`` / ``models/cloudflare/*.py`` semantics (Tenant /
+DNSZone / DNSRecord ontology labels, meta.* promotion, content→value
+rename, account-scoped record cleanup, zone HAS_RECORD + legacy
+RESOURCE twins), over fixture payloads shaped like
+``tests/data/cloudflare/*.py``, plus the DNS_POINTS_TO integration
+through ``plans/ontology_network.py``."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.cloudflare import (
+    sync_cloudflare,
+    transform_dnsrecords,
+    transform_zones,
+)
+
+TAG = 123456789
+ACCOUNT_ID = "acc-37418d5"
+
+ZONES = [
+    {
+        "id": "zone-1",
+        "name": "simpson.corp",
+        "status": "active",
+        "paused": False,
+        "type": "full",
+        "development_mode": 0,
+        "original_dnshost": "GoDaddy",
+        "original_registrar": "GoDaddy",
+        "activated_on": "2023-01-02T00:00:00Z",
+        "created_on": "2023-01-01T00:00:00Z",
+        "modified_on": "2023-06-01T00:00:00Z",
+        "meta": {
+            "cdn_only": False,
+            "custom_certificate_quota": 1,
+            "dns_only": False,
+            "foundation_dns": False,
+            "page_rule_quota": 100,
+            "phishing_detected": False,
+        },
+    },
+]
+
+RECORDS = [
+    {
+        "id": "rec-1",
+        "zone_id": "zone-1",
+        "name": "web.simpson.corp",
+        "type": "CNAME",
+        "content": "lb-1234.elb.amazonaws.com",
+        "proxied": True,
+        "proxiable": True,
+        "ttl": 1,
+        "created_on": "2023-02-01T00:00:00Z",
+        "modified_on": "2023-02-01T00:00:00Z",
+    },
+    {
+        "id": "rec-2",
+        "zone_id": "zone-1",
+        "name": "host.simpson.corp",
+        "type": "A",
+        "content": "203.0.113.10",
+        "proxied": False,
+        "proxiable": True,
+        "ttl": 300,
+    },
+]
+
+
+def _raw(spark, payload):
+    return spark.createDataFrame(
+        [(json.dumps(payload),)], "payload_json string"
+    )
+
+
+def test_zones_parity(spark):
+    """zone.py — DNSZone label, meta.* promotion, account scoping."""
+    nodes, edges = transform_zones(_raw(spark, ZONES), ACCOUNT_ID, TAG)
+    z = nodes.collect()[0]
+    assert z["id"] == "zone-1"
+    assert "DNSZone" in z["extra_labels"]
+    assert z["props"]["name"] == "simpson.corp"
+    assert z["props"]["page_rule_quota"] == "100"
+    assert z["props"]["dns_only"] == "false"
+    assert {
+        (r["src_id"], r["rel_label"], r["dst_id"]) for r in edges.collect()
+    } == {(ACCOUNT_ID, "RESOURCE", "zone-1")}
+
+
+def test_dnsrecords_parity(spark):
+    """dnsrecord.py — DNSRecord label, content→value, ontology
+    projection, account RESOURCE + zone HAS_RECORD/RESOURCE."""
+    nodes, edges = transform_dnsrecords(_raw(spark, RECORDS), ACCOUNT_ID, TAG)
+    rows = {n["id"]: n for n in nodes.collect()}
+    r1 = rows["rec-1"]
+    assert "DNSRecord" in r1["extra_labels"]
+    assert r1["props"]["value"] == "lb-1234.elb.amazonaws.com"
+    assert r1["props"]["_ont_name"] == "web.simpson.corp"
+    assert r1["props"]["_ont_value"] == "lb-1234.elb.amazonaws.com"
+    assert r1["props"]["_ont_source"] == "cloudflare"
+    pairs = {
+        (r["src_label"], r["src_id"], r["rel_label"], r["dst_id"])
+        for r in edges.collect()
+    }
+    assert ("CloudflareAccount", ACCOUNT_ID, "RESOURCE", "rec-1") in pairs
+    assert ("CloudflareZone", "zone-1", "HAS_RECORD", "rec-1") in pairs
+    assert ("CloudflareZone", "zone-1", "RESOURCE", "rec-2") in pairs
+
+
+def test_sync_feeds_dns_points_to(spark, tmp_store):
+    """End-to-end: a synced CNAME record links DNS_POINTS_TO an AWS
+    load balancer through the ontology network stage; second sync
+    GCs a removed record."""
+    from cartography_spark.plans.ontology_network import (
+        sync_ontology_dnsrecords,
+    )
+
+    accounts = [{"id": ACCOUNT_ID, "name": "Simpson Corp"}]
+    sync_cloudflare(
+        tmp_store, _raw(spark, accounts), _raw(spark, ZONES),
+        _raw(spark, RECORDS), ACCOUNT_ID, TAG,
+    )
+    # a target the DNS_RECORD_TARGETS rules know about
+    lb = spark.createDataFrame(
+        [("AWSLoadBalancerV2", "lb-arn-1",
+          {"dnsname": "lb-1234.elb.amazonaws.com"})],
+        "label string, id string, props map<string,string>",
+    ).select(
+        "label", "id", F.lit(TAG).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        F.lit(None).cast("array<string>").alias("extra_labels"), "props",
+    )
+    tmp_store.merge_nodes(lb, TAG)
+    sync_ontology_dnsrecords(tmp_store, TAG)
+    points = {
+        (r["src_id"], r["dst_label"], r["dst_id"])
+        for r in tmp_store.edges()
+        .where(F.col("rel_label") == "DNS_POINTS_TO").collect()
+    }
+    assert ("rec-1", "AWSLoadBalancerV2", "lb-arn-1") in points
+
+    # second sync without rec-2 → account-scoped GC sweeps it
+    sync_cloudflare(
+        tmp_store, _raw(spark, accounts), _raw(spark, ZONES),
+        _raw(spark, RECORDS[:1]), ACCOUNT_ID, TAG + 1,
+    )
+    remaining = {
+        r["id"] for r in tmp_store.nodes()
+        .where(F.col("label") == "CloudflareDNSRecord").collect()
+    }
+    assert remaining == {"rec-1"}

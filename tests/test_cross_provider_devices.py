@@ -1,0 +1,106 @@
+"""Cross-provider canonical device merge: four real provider syncs
+(CrowdStrike, SentinelOne, Tailscale, Duo) feeding one store, then the
+ontology devices stage canonicalizes them — serial-number merge with
+registry precedence, per-source OBSERVED_AS links, the Duo
+hostname-matchlink fallback, and the EDR-visibility rule fact firing
+on exactly the device no EDR source observed (the reference's
+``intel/ontology/devices.py`` + ``rules/data/rules/
+device_security_posture_gaps.py`` end to end)."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from cartography_spark.plans.ontology_devices import (
+    DEFAULT_DEVICE_SOURCES,
+    sync_ontology_devices,
+)
+from cartography_spark.plans.rules import UNMONITORED_DEVICES, run_fact
+from cartography_spark.providers.crowdstrike import sync_crowdstrike
+from cartography_spark.providers.duo import sync_duo
+from cartography_spark.providers.sentinelone import sync_sentinelone
+from cartography_spark.providers.tailscale import sync_tailscale
+
+TAG = 123456789
+
+
+def _raw(spark, payload):
+    return spark.createDataFrame(
+        [(json.dumps(payload),)], "payload_json string"
+    )
+
+
+def test_four_provider_device_merge(spark, tmp_store):
+    # CrowdStrike sees the laptop "alpha" by serial SN-A
+    cs_hosts = [{
+        "device_id": "aid-1", "cid": "cid-1", "hostname": "alpha",
+        "serial_number": "SN-A", "platform_name": "Linux",
+        "system_product_name": "XPS 13",
+    }]
+    sync_crowdstrike(tmp_store, _raw(spark, cs_hosts), None, TAG)
+
+    # SentinelOne sees the same serial with a different os casing
+    s1_agents = [{
+        "id": "s1-1", "uuid": "uu-1", "computerName": "alpha",
+        "serialNumber": "SN-A", "osName": "linux", "osRevision": "6.1",
+    }]
+    s1_accounts = [{"id": "acct-1", "name": "Acme"}]
+    sync_sentinelone(
+        tmp_store, _raw(spark, s1_accounts), _raw(spark, s1_agents),
+        None, None, None, "acct-1", TAG,
+    )
+
+    # Tailscale sees a second machine "beta" by serial SN-B
+    ts_devices = [{
+        "id": "100", "nodeId": "node-beta", "user": "m@x.co",
+        "name": "beta.ts.net", "hostname": "beta", "os": "macOS",
+        "postureIdentity": {"serialNumbers": ["SN-B"]},
+    }]
+    ts_raw = spark.createDataFrame(
+        [("x.co", json.dumps(ts_devices))], "org string, payload_json string"
+    )
+    sync_tailscale(tmp_store, None, None, ts_raw, None, "x.co", TAG)
+
+    # Duo observes "beta" by hostname only (matchlink-only family)
+    duo_eps = [{
+        "epkey": "ep-beta", "email": "m@x.co", "device_name": "beta",
+        "os_family": "Mac OS X", "model": "MacBook Air",
+    }]
+    sync_duo(
+        tmp_store, None, _raw(spark, duo_eps), None, None, None, None,
+        "api-x.duo.com", TAG,
+    )
+
+    m = sync_ontology_devices(tmp_store, DEFAULT_DEVICE_SOURCES, TAG)
+    assert m["devices"]
+
+    devices = {
+        r["id"]: r for r in tmp_store.nodes()
+        .where(F.col("label") == "Device").collect()
+    }
+    assert set(devices) == {"SN-A", "SN-B"}
+    # precedence: CrowdstrikeHost is first in the registry, so its
+    # platform/model win for SN-A
+    assert devices["SN-A"]["props"]["os"] == "Linux"
+    assert devices["SN-A"]["props"]["model"] == "XPS 13"
+    assert devices["SN-A"]["props"]["hostname"] == "alpha"
+    assert devices["SN-B"]["props"]["hostname"] == "beta"
+
+    observed = {
+        (r["src_id"], r["dst_label"], r["dst_id"])
+        for r in tmp_store.edges()
+        .where(F.col("rel_label") == "OBSERVED_AS").collect()
+    }
+    assert ("SN-A", "CrowdstrikeHost", "aid-1") in observed
+    assert ("SN-A", "S1Agent", "s1-1") in observed
+    assert ("SN-B", "TailscaleDevice", "node-beta") in observed
+    # hostname matchlink: DuoEndpoint device_name "beta" is unique on
+    # both sides → fallback link fires
+    assert ("SN-B", "DuoEndpoint", "ep-beta") in observed
+
+    # EDR-visibility rule: SN-B was never observed by an EDR source
+    res = run_fact(tmp_store, UNMONITORED_DEVICES)
+    assert res["failing"] == 1
+    assert res["total"] == 2
+    rows = {r["serial_number"] for r in res["findings"].collect()}
+    assert rows == {"SN-B"}

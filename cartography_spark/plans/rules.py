@@ -462,6 +462,84 @@ UNMONITORED_DEVICES = Fact(
 )
 
 
+def _tailnet_setting_fact(fact_id: str, name: str, prop: str,
+                          issue: str) -> Fact:
+    """One ``rules/data/rules/tailscale_security_configuration_gaps.py``
+    tailnet-settings fact: tailnets where a boolean hardening toggle is
+    off (the provider stores API booleans as lowercase strings)."""
+    return Fact(
+        id=fact_id,
+        name=name,
+        description=f"Tailscale tailnets where {issue.replace('_', ' ')} "
+        f"({fact_id} twin).",
+        sql_query=f"""
+            SELECT id AS tailnet_id, id AS asset_id, id AS asset_name,
+                   'tailnet' AS asset_type, '{issue}' AS issue,
+                   lower(props['{prop}']) AS current_value
+            FROM nodes
+            WHERE label = 'TailscaleTailnet'
+              AND lower(props['{prop}']) = 'false'
+        """,
+        count_sql="SELECT count(*) AS count FROM nodes "
+                  "WHERE label = 'TailscaleTailnet'",
+        identity_fields=("asset_id", "issue"),
+        asset_label="TailscaleTailnet",
+        asset_id_field="asset_id",
+    )
+
+
+TAILSCALE_DEVICE_APPROVAL_OFF = _tailnet_setting_fact(
+    "tailscale_device_approval_disabled",
+    "Tailscale tailnets with device approval disabled",
+    "devices_approval_on", "device_approval_disabled",
+)
+TAILSCALE_USER_APPROVAL_OFF = _tailnet_setting_fact(
+    "tailscale_user_approval_disabled",
+    "Tailscale tailnets with user approval disabled",
+    "users_approval_on", "user_approval_disabled",
+)
+TAILSCALE_FLOW_LOGGING_OFF = _tailnet_setting_fact(
+    "tailscale_network_flow_logging_disabled",
+    "Tailscale tailnets with network flow logging disabled",
+    "network_flow_logging_on", "network_flow_logging_disabled",
+)
+TAILSCALE_AUTO_UPDATES_OFF = _tailnet_setting_fact(
+    "tailscale_device_auto_updates_disabled",
+    "Tailscale tailnets with device auto-updates disabled",
+    "devices_auto_updates_on", "device_auto_updates_disabled",
+)
+
+TAILSCALE_KEY_EXPIRY_DISABLED = Fact(
+    id="tailscale_device_key_expiry_disabled",
+    name="Tailscale devices with key expiry disabled",
+    description="Devices whose node key never expires "
+    "(tailscale_security_configuration_gaps.py twin). Identity keys on "
+    "tailnet + stable hostname, not device id: ephemeral nodes mint a "
+    "fresh id per reconnect, which would re-create the finding.",
+    sql_query="""
+        SELECT e.src_id AS tailnet_id, d.id AS asset_id,
+               coalesce(d.props['hostname'], d.props['name'], d.id)
+                 AS asset_name,
+               'device' AS asset_type,
+               'device_key_expiry_disabled' AS issue,
+               lower(d.props['key_expiry_disabled']) AS current_value
+        FROM nodes d
+        JOIN edges e
+          ON e.rel_label = 'RESOURCE'
+         AND e.src_label = 'TailscaleTailnet'
+         AND e.dst_label = 'TailscaleDevice'
+         AND e.dst_id = d.id
+        WHERE d.label = 'TailscaleDevice'
+          AND lower(d.props['key_expiry_disabled']) = 'true'
+    """,
+    count_sql="SELECT count(*) AS count FROM nodes "
+              "WHERE label = 'TailscaleDevice'",
+    identity_fields=("tailnet_id", "asset_name", "issue"),
+    asset_label="TailscaleDevice",
+    asset_id_field="asset_id",
+)
+
+
 # ---------------------------------------------------------------------------
 # Rule / Framework tree (rules/spec/model.py:286-360, :504-524) and
 # runners (rules/runners.py) — the product surface above the Fact core
@@ -519,6 +597,25 @@ CIS_IDENTITY = Framework(
     short_name="cis-identity",
     requirement="mfa-and-lifecycle",
 )
+
+
+def iso27001_annex_a(control: str) -> Framework:
+    """``frameworks/iso27001.py`` twin — one Annex A control tag."""
+    return Framework(
+        name="ISO/IEC 27001 Annex A",
+        short_name="iso27001",
+        requirement=f"A.{control}",
+        revision="2022",
+    )
+
+
+def soc2_tsc(control: str) -> Framework:
+    """``frameworks/soc2.py`` twin — one Trust Services Criteria tag."""
+    return Framework(
+        name="SOC 2 Trust Services Criteria",
+        short_name="soc2",
+        requirement=control,
+    )
 
 ALL_RULES: tuple[Rule, ...] = (
     Rule(
@@ -584,6 +681,43 @@ ALL_RULES: tuple[Rule, ...] = (
         "security source.",
         version="1.0",
         facts=(UNMONITORED_DEVICES,),
+    ),
+    Rule(
+        id="tailscale_tailnet_approval_disabled",
+        name="Tailscale Tailnet Approval Disabled",
+        tags=("network", "device", "compliance", "stride:spoofing"),
+        description="Tailnet settings admitting new users or devices "
+        "without explicit approval.",
+        version="0.1.0",
+        facts=(TAILSCALE_DEVICE_APPROVAL_OFF, TAILSCALE_USER_APPROVAL_OFF),
+        frameworks=(iso27001_annex_a("5.15"), soc2_tsc("CC6.1")),
+    ),
+    Rule(
+        id="tailscale_network_flow_logging_disabled",
+        name="Tailscale Network Flow Logging Disabled",
+        tags=("network", "logging", "compliance"),
+        description="Tailnets with network flow logging off.",
+        version="0.1.0",
+        facts=(TAILSCALE_FLOW_LOGGING_OFF,),
+        frameworks=(iso27001_annex_a("8.15"), soc2_tsc("CC7.2")),
+    ),
+    Rule(
+        id="tailscale_device_auto_updates_disabled",
+        name="Tailscale Device Auto-Updates Disabled",
+        tags=("device", "patching", "compliance"),
+        description="Tailnets with device auto-updates off.",
+        version="0.1.0",
+        facts=(TAILSCALE_AUTO_UPDATES_OFF,),
+        frameworks=(iso27001_annex_a("8.8"), soc2_tsc("CC7.1")),
+    ),
+    Rule(
+        id="tailscale_device_key_expiry_disabled",
+        name="Tailscale Device Key Expiry Disabled",
+        tags=("device", "authentication", "compliance", "stride:spoofing"),
+        description="Devices whose node key never expires.",
+        version="0.2.0",
+        facts=(TAILSCALE_KEY_EXPIRY_DISABLED,),
+        frameworks=(iso27001_annex_a("5.17"), soc2_tsc("CC6.1")),
     ),
 )
 

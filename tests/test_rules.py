@@ -391,3 +391,59 @@ def test_exposed_instances_and_public_snapshots(spark, posture_store):
     res = run_fact(s, PUBLIC_SNAPSHOTS)
     assert _ids(res, "snapshot_id") == {"snap-pub"}
     assert res["total"] == 2
+
+
+def test_tailscale_configuration_gap_facts(spark, tmp_store):
+    """tailscale_security_configuration_gaps.py twins driven by a real
+    Tailscale sync: weak tailnet settings + a never-expiring device
+    key fire; hardened settings don't."""
+    import json
+
+    from cartography_spark.plans.rules import (
+        TAILSCALE_AUTO_UPDATES_OFF,
+        TAILSCALE_DEVICE_APPROVAL_OFF,
+        TAILSCALE_FLOW_LOGGING_OFF,
+        TAILSCALE_KEY_EXPIRY_DISABLED,
+        TAILSCALE_USER_APPROVAL_OFF,
+    )
+    from cartography_spark.providers.tailscale import sync_tailscale
+
+    tailnet = {
+        "devicesApprovalOn": "false",
+        "devicesAutoUpdatesOn": "true",
+        "usersApprovalOn": "false",
+        "networkFlowLoggingOn": "false",
+        "devicesKeyDurationDays": "180",
+    }
+    devices = [
+        {"id": "1", "nodeId": "n-exp", "hostname": "laptop-a",
+         "name": "a.ts.net", "os": "linux", "keyExpiryDisabled": "true",
+         "postureIdentity": {"disabled": "false"}},
+        {"id": "2", "nodeId": "n-ok", "hostname": "laptop-b",
+         "name": "b.ts.net", "os": "linux", "keyExpiryDisabled": "false",
+         "postureIdentity": {"disabled": "false"}},
+    ]
+
+    def raw(payload):
+        return spark.createDataFrame(
+            [("x.co", json.dumps(payload))], "org string, payload_json string"
+        )
+
+    sync_tailscale(tmp_store, raw(tailnet), None, raw(devices), None,
+                   "x.co", 1)
+
+    for fact in (TAILSCALE_DEVICE_APPROVAL_OFF, TAILSCALE_USER_APPROVAL_OFF,
+                 TAILSCALE_FLOW_LOGGING_OFF):
+        res = run_fact(tmp_store, fact)
+        assert res["failing"] == 1, fact.id
+        assert res["total"] == 1
+    # auto-updates are on → no finding
+    assert run_fact(tmp_store, TAILSCALE_AUTO_UPDATES_OFF)["failing"] == 0
+
+    res = run_fact(tmp_store, TAILSCALE_KEY_EXPIRY_DISABLED)
+    rows = res["findings"].collect()
+    assert res["failing"] == 1
+    assert res["total"] == 2
+    assert rows[0]["asset_id"] == "n-exp"
+    assert rows[0]["asset_name"] == "laptop-a"
+    assert rows[0]["tailnet_id"] == "x.co"

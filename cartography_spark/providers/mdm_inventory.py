@@ -1,0 +1,523 @@
+"""MDM / asset-inventory providers: Kandji, Snipe-IT, JumpCloud, BigFix.
+
+Four small device-inventory families sharing one execution shape
+(tenant root + inventory nodes + tenant RESOURCE scoping + scoped GC),
+mirrored from the reference's intel modules. Together with Tailscale /
+CrowdStrike / SentinelOne / Duo they make every family in the ontology
+devices registry (``plans/ontology_devices.py``
+``DEFAULT_DEVICE_SOURCES``) a real synced source.
+
+* **Kandji** (``intel/kandji/devices.py``, ``models/kandji/device.py``):
+  ``KandjiTenant`` + ``KandjiDevice`` keyed by ``device_id`` (the
+  reference's transform aliases it to ``id``), props device_name /
+  last_check_in / model / os_version / platform / serial_number;
+  tenant ``RESOURCE`` + ``ENROLLED_TO`` twins.
+* **Snipe-IT** (``intel/snipeit/{asset,user}.py``,
+  ``models/snipeit/{asset,user}.py``): ``SnipeitTenant`` +
+  ``SnipeitUser`` (company.name flattened) + ``SnipeitAsset``
+  (category/company/manufacturer/model/status_label ``.name``
+  flattening, serial); tenant ``RESOURCE``/``HAS_ASSET`` twins and
+  ``(:SnipeitUser)-[:HAS_CHECKED_OUT]->(:SnipeitAsset)`` resolved by
+  the ``assigned_to.email`` prop matcher (broadcast join on user
+  email).
+* **JumpCloud** (``intel/jumpcloud/{users,systems}.py``,
+  ``models/jumpcloud/*.py``): ``JumpCloudTenant`` + ``JumpCloudUser``
+  (``mfa.configured`` → ``mfa_configured``) + ``JumpCloudSystem``.
+  Systems ride the Directory Insights ``fields`` envelope — values are
+  ``{"value": scalar}`` or ``{"value": {"name": ...}}`` or
+  ``{"value": [{id,name}]}`` (Primary User); the map rides
+  ``map<string,string>`` (object values kept as JSON text) and is
+  unwrapped with ``get_json_object`` exactly like the reference's
+  ``_get_field``/``_str_value`` (``systems.py:38-76``).
+  ``(:JumpCloudSystem)<-[:OWNS]-(:JumpCloudUser)`` from the primary
+  user id.
+* **BigFix** (``intel/bigfix/computers.py:95-116``,
+  ``models/bigfix/bigfix_computer.py``): ``BigfixRoot`` (the root
+  server URL) + ``BigfixComputer``. API property names carry spaces;
+  the transform strips them (``key.replace(" ", "")`` → lowercase prop
+  names per the model) and derives ``remotedesktopisenabled`` =
+  (``Remote Desktop Enabled`` == ``True``) and ``islocked`` =
+  (``Locked`` == ``Yes``). The detail payload rides
+  ``map<string,string>`` so new keys never break the parse.
+
+Execution shape: ``from_json`` + ``explode`` column expressions only —
+zero Python rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _props_map(pairs: list[tuple[str, Column]]) -> Column:
+    return F.map_filter(
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k, _ in pairs]),
+            F.array(*[v.cast("string") for _, v in pairs]),
+        ),
+        lambda _k, v: v.isNotNull(),
+    )
+
+
+def _shape_nodes(df: DataFrame, update_tag: int, extra=None) -> DataFrame:
+    return df.select(
+        "label",
+        "id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        (extra if extra is not None else F.lit(None).cast("array<string>"))
+        .alias("extra_labels"),
+        "props",
+    )
+
+
+def _shape_edges(
+    df: DataFrame, update_tag: int, tenant_label: str, tenant_id: str
+) -> DataFrame:
+    return df.select(
+        "src_label", "src_id", "rel_label", "dst_label", "dst_id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(tenant_label).alias("sub_resource_label"),
+        F.lit(tenant_id).alias("sub_resource_id"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    ).dropDuplicates(["src_label", "src_id", "rel_label", "dst_label", "dst_id"])
+
+
+def _tenant_node(spark, label: str, tenant_id: str, update_tag: int) -> DataFrame:
+    df = spark.createDataFrame([(label, tenant_id)], "label string, id string")
+    return _shape_nodes(
+        df.withColumn("props", F.lit(None).cast("map<string,string>")),
+        update_tag,
+        extra=F.array(F.lit("Tenant")),
+    )
+
+
+def _tenant_edges(rows: DataFrame, tenant_label: str, tenant_id: str,
+                  dst_label: str, rels: tuple[str, ...]) -> DataFrame:
+    out = None
+    for rel in rels:
+        e = rows.select(
+            F.lit(tenant_label).alias("src_label"),
+            F.lit(tenant_id).alias("src_id"),
+            F.lit(rel).alias("rel_label"),
+            F.lit(dst_label).alias("dst_label"),
+            F.col("id").alias("dst_id"),
+        )
+        out = e if out is None else out.unionByName(e)
+    return out
+
+
+def _scoped_gc(store, labels: tuple[str, ...], tenant_label: str,
+               tenant_id: str, update_tag: int) -> dict:
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label=tenant_label,
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("TENANT_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    out = {}
+    for label in labels:
+        if label not in store.manifest["nodes"]:
+            continue
+        out[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=rel,
+            ),
+            update_tag,
+            {"TENANT_ID": tenant_id},
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Kandji
+# ---------------------------------------------------------------------------
+
+KANDJI_DEVICES_STRUCT = (
+    "array<struct<device_id:string, device_name:string, "
+    "last_check_in:string, model:string, os_version:string, "
+    "platform:string, serial_number:string>>"
+)
+
+
+def transform_kandji_devices(
+    raw: DataFrame, tenant_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    devices = raw.select(
+        F.explode(F.from_json("payload_json", KANDJI_DEVICES_STRUCT)).alias("d")
+    ).select("d.*")
+    nodes = _shape_nodes(
+        devices.select(
+            F.lit("KandjiDevice").alias("label"),
+            F.col("device_id").alias("id"),
+            _props_map([
+                ("device_id", F.col("device_id")),
+                ("device_name", F.col("device_name")),
+                ("last_check_in", F.col("last_check_in")),
+                ("model", F.col("model")),
+                ("os_version", F.col("os_version")),
+                ("platform", F.col("platform")),
+                ("serial_number", F.col("serial_number")),
+            ]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+    )
+    ids = devices.select(F.col("device_id").alias("id"))
+    edges = _shape_edges(
+        _tenant_edges(ids, "KandjiTenant", tenant_id, "KandjiDevice",
+                      ("RESOURCE", "ENROLLED_TO")),
+        update_tag, "KandjiTenant", tenant_id,
+    )
+    return nodes, edges
+
+
+def sync_kandji(store, devices_raw, tenant_id: str, update_tag: int) -> dict:
+    metrics = {
+        "tenant": store.merge_nodes(
+            _tenant_node(store.spark, "KandjiTenant", tenant_id, update_tag),
+            update_tag,
+        )
+    }
+    if devices_raw is not None:
+        nodes, edges = transform_kandji_devices(
+            devices_raw, tenant_id, update_tag
+        )
+        metrics["devices_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["devices_edges"] = store.merge_edges(edges, update_tag)
+    metrics.update(_scoped_gc(
+        store, ("KandjiDevice",), "KandjiTenant", tenant_id, update_tag
+    ))
+    store.record_lineage("kandji_sync", {"update_tag": update_tag})
+    return metrics
+
+
+# ---------------------------------------------------------------------------
+# Snipe-IT
+# ---------------------------------------------------------------------------
+
+SNIPEIT_USERS_STRUCT = (
+    "array<struct<id:string, company:struct<name:string>, email:string, "
+    "username:string>>"
+)
+SNIPEIT_ASSETS_STRUCT = (
+    "array<struct<id:string, name:string, asset_tag:string, "
+    "assigned_to:struct<id:string, email:string, username:string>, "
+    "category:struct<name:string>, company:struct<name:string>, "
+    "manufacturer:struct<name:string>, model:struct<name:string>, "
+    "serial:string, status_label:struct<name:string>>>"
+)
+
+
+def transform_snipeit_users(
+    raw: DataFrame, tenant_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    users = raw.select(
+        F.explode(F.from_json("payload_json", SNIPEIT_USERS_STRUCT)).alias("u")
+    ).select("u.*")
+    nodes = _shape_nodes(
+        users.select(
+            F.lit("SnipeitUser").alias("label"),
+            F.col("id").alias("id"),
+            _props_map([
+                ("company", F.col("company.name")),
+                ("email", F.col("email")),
+                ("username", F.col("username")),
+            ]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+    )
+    edges = _shape_edges(
+        _tenant_edges(users.select("id"), "SnipeitTenant", tenant_id,
+                      "SnipeitUser", ("RESOURCE", "HAS_USER")),
+        update_tag, "SnipeitTenant", tenant_id,
+    )
+    return nodes, edges
+
+
+def transform_snipeit_assets(
+    raw: DataFrame, tenant_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    assets = raw.select(
+        F.explode(F.from_json("payload_json", SNIPEIT_ASSETS_STRUCT)).alias("a")
+    ).select("a.*")
+    nodes = _shape_nodes(
+        assets.select(
+            F.lit("SnipeitAsset").alias("label"),
+            F.col("id").alias("id"),
+            _props_map([
+                ("name", F.col("name")),
+                ("asset_tag", F.col("asset_tag")),
+                ("assigned_to", F.col("assigned_to.email")),
+                ("category", F.col("category.name")),
+                ("company", F.col("company.name")),
+                ("manufacturer", F.col("manufacturer.name")),
+                ("model", F.col("model.name")),
+                ("serial", F.col("serial")),
+                ("status", F.col("status_label.name")),
+            ]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+    )
+    edges = _tenant_edges(assets.select("id"), "SnipeitTenant", tenant_id,
+                          "SnipeitAsset", ("RESOURCE", "HAS_ASSET"))
+    # HAS_CHECKED_OUT resolves assigned_to.email → SnipeitUser.email
+    # (SnipeitAssetToSnipeitUserRel prop matcher) against the asset
+    # page's embedded user id when present
+    checked_out = assets.where(
+        F.col("assigned_to.id").isNotNull()
+    ).select(
+        F.lit("SnipeitUser").alias("src_label"),
+        F.col("assigned_to.id").alias("src_id"),
+        F.lit("HAS_CHECKED_OUT").alias("rel_label"),
+        F.lit("SnipeitAsset").alias("dst_label"),
+        F.col("id").alias("dst_id"),
+    )
+    return nodes, _shape_edges(
+        edges.unionByName(checked_out), update_tag, "SnipeitTenant", tenant_id
+    )
+
+
+def sync_snipeit(store, users_raw, assets_raw, tenant_id: str,
+                 update_tag: int) -> dict:
+    metrics = {
+        "tenant": store.merge_nodes(
+            _tenant_node(store.spark, "SnipeitTenant", tenant_id, update_tag),
+            update_tag,
+        )
+    }
+    stages = [
+        ("users", users_raw, transform_snipeit_users),
+        ("assets", assets_raw, transform_snipeit_assets),
+    ]
+    for name, raw, fn in stages:
+        if raw is None:
+            continue
+        nodes, edges = fn(raw, tenant_id, update_tag)
+        metrics[f"{name}_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics[f"{name}_edges"] = store.merge_edges(edges, update_tag)
+    metrics.update(_scoped_gc(
+        store, ("SnipeitAsset", "SnipeitUser"), "SnipeitTenant", tenant_id,
+        update_tag,
+    ))
+    store.record_lineage("snipeit_sync", {"update_tag": update_tag})
+    return metrics
+
+
+# ---------------------------------------------------------------------------
+# JumpCloud
+# ---------------------------------------------------------------------------
+
+JUMPCLOUD_USERS_STRUCT = (
+    "array<struct<id:string, username:string, email:string, "
+    "firstname:string, lastname:string, displayname:string, "
+    "activated:string, suspended:string, account_locked:string, "
+    "mfa:struct<configured:string>, created:string, lastlogin:string>>"
+)
+JUMPCLOUD_SYSTEMS_STRUCT = (
+    "array<struct<id:string, jcSystemId:string, "
+    "fields:map<string,string>>>"
+)
+
+
+def _jc_field(fields: Column, key: str) -> Column:
+    """``_get_field`` + ``_str_value`` (systems.py:38-54): the field's
+    ``value`` may be a scalar or a ``{"name": ...}`` select object."""
+    v = F.element_at(fields, key)
+    return F.coalesce(
+        F.get_json_object(v, "$.value.name"),
+        F.get_json_object(v, "$.value"),
+    )
+
+
+def transform_jumpcloud_users(
+    raw: DataFrame, org_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    users = raw.select(
+        F.explode(F.from_json("payload_json", JUMPCLOUD_USERS_STRUCT)).alias("u")
+    ).select("u.*")
+    nodes = _shape_nodes(
+        users.select(
+            F.lit("JumpCloudUser").alias("label"),
+            F.col("id").alias("id"),
+            _props_map([
+                ("username", F.col("username")),
+                ("email", F.col("email")),
+                ("firstname", F.col("firstname")),
+                ("lastname", F.col("lastname")),
+                ("displayname", F.col("displayname")),
+                ("activated", F.col("activated")),
+                ("suspended", F.col("suspended")),
+                ("account_locked", F.col("account_locked")),
+                ("mfa_configured", F.col("mfa.configured")),
+                ("created", F.col("created")),
+                ("lastlogin", F.col("lastlogin")),
+            ]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+        extra=F.array(F.lit("UserAccount")),
+    )
+    edges = _shape_edges(
+        _tenant_edges(users.select("id"), "JumpCloudTenant", org_id,
+                      "JumpCloudUser", ("RESOURCE",)),
+        update_tag, "JumpCloudTenant", org_id,
+    )
+    return nodes, edges
+
+
+def transform_jumpcloud_systems(
+    raw: DataFrame, org_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    systems = raw.select(
+        F.explode(
+            F.from_json("payload_json", JUMPCLOUD_SYSTEMS_STRUCT)
+        ).alias("s")
+    ).select("s.*")
+    fields = F.col("fields")
+    primary = F.element_at(fields, "Primary User")
+    nodes = _shape_nodes(
+        systems.select(
+            F.lit("JumpCloudSystem").alias("label"),
+            F.col("id").alias("id"),
+            _props_map([
+                ("jc_system_id", F.col("jcSystemId")),
+                ("primary_user",
+                 F.get_json_object(primary, "$.value[0].name")),
+                ("primary_user_id",
+                 F.get_json_object(primary, "$.value[0].id")),
+                ("model", _jc_field(fields, "Model")),
+                ("os_family", _jc_field(fields, "OS Family")),
+                ("os_version", _jc_field(fields, "OS Version")),
+                ("os", _jc_field(fields, "Operating System (OS)")),
+                ("status", _jc_field(fields, "Status")),
+                ("serial_number", _jc_field(fields, "Serial Number")),
+            ]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+    )
+    edges = _tenant_edges(systems.select("id"), "JumpCloudTenant", org_id,
+                          "JumpCloudSystem", ("RESOURCE",))
+    owns = systems.select(
+        F.lit("JumpCloudUser").alias("src_label"),
+        F.get_json_object(primary, "$.value[0].id").alias("src_id"),
+        F.lit("OWNS").alias("rel_label"),
+        F.lit("JumpCloudSystem").alias("dst_label"),
+        F.col("id").alias("dst_id"),
+    ).where(F.col("src_id").isNotNull())
+    return nodes, _shape_edges(
+        edges.unionByName(owns), update_tag, "JumpCloudTenant", org_id
+    )
+
+
+def sync_jumpcloud(store, users_raw, systems_raw, org_id: str,
+                   update_tag: int) -> dict:
+    metrics = {
+        "tenant": store.merge_nodes(
+            _tenant_node(store.spark, "JumpCloudTenant", org_id, update_tag),
+            update_tag,
+        )
+    }
+    stages = [
+        ("users", users_raw, transform_jumpcloud_users),
+        ("systems", systems_raw, transform_jumpcloud_systems),
+    ]
+    for name, raw, fn in stages:
+        if raw is None:
+            continue
+        nodes, edges = fn(raw, org_id, update_tag)
+        metrics[f"{name}_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics[f"{name}_edges"] = store.merge_edges(edges, update_tag)
+    metrics.update(_scoped_gc(
+        store, ("JumpCloudSystem", "JumpCloudUser"), "JumpCloudTenant",
+        org_id, update_tag,
+    ))
+    store.record_lineage("jumpcloud_sync", {"update_tag": update_tag})
+    return metrics
+
+
+# ---------------------------------------------------------------------------
+# BigFix
+# ---------------------------------------------------------------------------
+
+# computers.py:95-116 transform: spaced API keys → space-stripped
+# lowercase props; the two derived booleans
+_BIGFIX_KEYS = (
+    "Active Directory Path", "Agent Type", "Agent Version",
+    "Average Evaluation Cycle", "BES Relay Selection Method",
+    "BES Root Server", "BIOS", "Computer Type", "Computer Name", "CPU",
+    "Device Type", "Distance to BES Relay", "DNS Name",
+    "Free Space on System Drive", "IP Address", "IPv6 Address",
+    "Last Report Time", "Location By IP Range", "Logged on User",
+    "MAC Address", "OS", "Provider Name", "RAM", "Relay",
+    "Subnet Address", "User Name", "Enrollment Date",
+)
+
+
+def transform_bigfix_computers(
+    raw: DataFrame, root_url: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    comps = raw.select(
+        F.explode(
+            F.from_json("payload_json", "array<map<string,string>>")
+        ).alias("c")
+    )
+    pairs: list[tuple[str, Column]] = [
+        (k.replace(" ", "").lower(), F.element_at("c", k))
+        for k in _BIGFIX_KEYS
+    ]
+    pairs += [
+        ("remotedesktopisenabled",
+         (F.element_at("c", "Remote Desktop Enabled") == "True")
+         .cast("string")),
+        ("islocked", (F.element_at("c", "Locked") == "Yes").cast("string")),
+    ]
+    nodes = _shape_nodes(
+        comps.select(
+            F.lit("BigfixComputer").alias("label"),
+            F.element_at("c", "ID").alias("id"),
+            _props_map(pairs).alias("props"),
+        ).where(F.col("id").isNotNull()).dropDuplicates(["id"]),
+        update_tag,
+    )
+    ids = comps.select(F.element_at("c", "ID").alias("id")).where(
+        F.col("id").isNotNull()
+    )
+    edges = _shape_edges(
+        _tenant_edges(ids, "BigfixRoot", root_url, "BigfixComputer",
+                      ("RESOURCE",)),
+        update_tag, "BigfixRoot", root_url,
+    )
+    return nodes, edges
+
+
+def sync_bigfix(store, computers_raw, root_url: str, update_tag: int) -> dict:
+    metrics = {
+        "tenant": store.merge_nodes(
+            _tenant_node(store.spark, "BigfixRoot", root_url, update_tag),
+            update_tag,
+        )
+    }
+    if computers_raw is not None:
+        nodes, edges = transform_bigfix_computers(
+            computers_raw, root_url, update_tag
+        )
+        metrics["computers_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["computers_edges"] = store.merge_edges(edges, update_tag)
+    metrics.update(_scoped_gc(
+        store, ("BigfixComputer",), "BigfixRoot", root_url, update_tag
+    ))
+    store.record_lineage("bigfix_sync", {"update_tag": update_tag})
+    return metrics

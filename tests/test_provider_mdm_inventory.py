@@ -1,0 +1,164 @@
+"""MDM/asset-inventory provider parity (Kandji, Snipe-IT, JumpCloud,
+BigFix) mirrored from the reference's ``intel/{kandji,snipeit,
+jumpcloud,bigfix}`` transforms (device_id aliasing, ``.name``
+flattening, Directory-Insights ``fields`` envelope unwrap, spaced-key
+stripping with derived booleans), plus the full device registry now
+resolving every family through real synced sources."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.mdm_inventory import (
+    sync_bigfix,
+    sync_jumpcloud,
+    sync_kandji,
+    sync_snipeit,
+    transform_bigfix_computers,
+    transform_jumpcloud_systems,
+    transform_snipeit_assets,
+)
+
+TAG = 123456789
+
+
+def _raw(spark, payload):
+    return spark.createDataFrame(
+        [(json.dumps(payload),)], "payload_json string"
+    )
+
+
+def test_snipeit_asset_flattening(spark):
+    """models/snipeit/asset.py — .name flattening, assigned_to email,
+    HAS_CHECKED_OUT from the embedded user."""
+    assets = [{
+        "id": "1000", "name": "maggie-mbp", "asset_tag": "AT-1",
+        "assigned_to": {"id": "77", "email": "maggie@simpson.corp",
+                        "username": "msimpson"},
+        "category": {"name": "Laptops"},
+        "company": {"name": "Simpson Corp"},
+        "manufacturer": {"name": "Apple"},
+        "model": {"name": "MacBook Pro"},
+        "serial": "C02XX",
+        "status_label": {"name": "Ready to Deploy"},
+    }]
+    nodes, edges = transform_snipeit_assets(_raw(spark, assets), "t1", TAG)
+    a = nodes.collect()[0]
+    assert a["props"]["model"] == "MacBook Pro"
+    assert a["props"]["category"] == "Laptops"
+    assert a["props"]["status"] == "Ready to Deploy"
+    assert a["props"]["assigned_to"] == "maggie@simpson.corp"
+    assert a["props"]["serial"] == "C02XX"
+    pairs = {
+        (r["src_label"], r["src_id"], r["rel_label"], r["dst_id"])
+        for r in edges.collect()
+    }
+    assert ("SnipeitUser", "77", "HAS_CHECKED_OUT", "1000") in pairs
+    assert ("SnipeitTenant", "t1", "HAS_ASSET", "1000") in pairs
+
+
+def test_jumpcloud_fields_envelope(spark):
+    """systems.py:38-76 — scalar, select-dict, and Primary User array
+    field shapes all unwrap."""
+    systems = [{
+        "id": "sys-1", "jcSystemId": "jc-9",
+        "fields": {
+            "Model": {"value": "MacBook Air"},
+            "OS Family": {"value": {"name": "darwin"}},
+            "OS Version": {"value": "14.2"},
+            "Operating System (OS)": {"value": "macOS"},
+            "Status": {"value": {"name": "Active"}},
+            "Serial Number": {"value": "JC-SN-1"},
+            "Primary User": {"value": [{"id": "u-5", "name": "Lisa S"}]},
+        },
+    }]
+    nodes, edges = transform_jumpcloud_systems(_raw(spark, systems),
+                                               "org-1", TAG)
+    s = nodes.collect()[0]
+    assert s["props"]["model"] == "MacBook Air"
+    assert s["props"]["os_family"] == "darwin"
+    assert s["props"]["status"] == "Active"
+    assert s["props"]["serial_number"] == "JC-SN-1"
+    assert s["props"]["primary_user"] == "Lisa S"
+    assert s["props"]["primary_user_id"] == "u-5"
+    pairs = {
+        (r["src_label"], r["src_id"], r["rel_label"], r["dst_id"])
+        for r in edges.collect()
+    }
+    assert ("JumpCloudUser", "u-5", "OWNS", "sys-1") in pairs
+
+
+def test_bigfix_spaced_keys_and_derived_booleans(spark):
+    """computers.py:95-116 — space-stripped props, True/Yes→boolean
+    strings."""
+    comps = [{
+        "ID": "123", "Computer Name": "bart-pc", "OS": "Win10 10.0",
+        "DNS Name": "bart-pc.simpson.corp", "IP Address": "10.0.0.5",
+        "Agent Version": "10.0.8", "Remote Desktop Enabled": "True",
+        "Locked": "No", "Last Report Time": "Tue, 18 Apr 2023 21:59:44 +0000",
+        "Enrollment Date": "Mon, 02 Jan 2023 00:00:00 +0000",
+    }]
+    nodes, _ = transform_bigfix_computers(_raw(spark, comps), "https://bf",
+                                          TAG)
+    c = nodes.collect()[0]
+    assert c["id"] == "123"
+    assert c["props"]["computername"] == "bart-pc"
+    assert c["props"]["dnsname"] == "bart-pc.simpson.corp"
+    assert c["props"]["remotedesktopisenabled"] == "true"
+    assert c["props"]["islocked"] == "false"
+
+
+def test_full_registry_sync_and_gc(spark, tmp_store):
+    """All four families synced; every serial-eligible one produces a
+    canonical Device; Kandji GC sweeps a retired device."""
+    from cartography_spark.plans.ontology_devices import (
+        DEFAULT_DEVICE_SOURCES,
+        sync_ontology_devices,
+    )
+
+    kandji = [
+        {"device_id": f"kd-{i}", "device_name": f"kandji-{i}",
+         "serial_number": f"K-SN-{i}", "platform": "Mac",
+         "os_version": "14.2", "model": "MacBook Air"}
+        for i in range(2)
+    ]
+    snipe_assets = [{
+        "id": "1000", "name": "snipe-host", "serial": "S-SN-1",
+        "model": {"name": "ThinkPad"},
+        "status_label": {"name": "Deployed"},
+    }]
+    jc_systems = [{
+        "id": "sys-1",
+        "fields": {"Serial Number": {"value": "J-SN-1"},
+                   "Model": {"value": "XPS"},
+                   "Operating System (OS)": {"value": "Ubuntu"}},
+    }]
+    bigfix = [{"ID": "9", "Computer Name": "bf-host", "OS": "Linux"}]
+
+    sync_kandji(tmp_store, _raw(spark, kandji), "kandji-t", TAG)
+    sync_snipeit(tmp_store, None, _raw(spark, snipe_assets), "snipe-t", TAG)
+    sync_jumpcloud(tmp_store, None, _raw(spark, jc_systems), "jc-org", TAG)
+    sync_bigfix(tmp_store, _raw(spark, bigfix), "https://bf", TAG)
+
+    sync_ontology_devices(tmp_store, DEFAULT_DEVICE_SOURCES, TAG)
+    devices = {
+        r["id"] for r in tmp_store.nodes()
+        .where(F.col("label") == "Device").collect()
+    }
+    assert {"K-SN-0", "K-SN-1", "S-SN-1", "J-SN-1"} <= devices
+    observed = {
+        (r["src_id"], r["dst_label"])
+        for r in tmp_store.edges()
+        .where(F.col("rel_label") == "OBSERVED_AS").collect()
+    }
+    assert ("K-SN-0", "KandjiDevice") in observed
+    assert ("S-SN-1", "SnipeitAsset") in observed
+    assert ("J-SN-1", "JumpCloudSystem") in observed
+
+    # kandji retire one device → tenant-scoped GC sweeps it
+    sync_kandji(tmp_store, _raw(spark, kandji[:1]), "kandji-t", TAG + 1)
+    remaining = {
+        r["id"] for r in tmp_store.nodes()
+        .where(F.col("label") == "KandjiDevice").collect()
+    }
+    assert remaining == {"kd-0"}

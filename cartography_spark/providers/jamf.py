@@ -1,0 +1,407 @@
+"""Jamf Pro provider: tenant, computer/mobile groups, computer and
+mobile-device inventory.
+
+Mirrors the reference's ``intel/jamf`` sync family
+(``computers.py:62-123`` nested-section flattening,
+``groups.py:81-100`` COMPUTER/MOBILE split, ``mobile_devices.py:76-121``
+incl. the ``deviceType`` → OS-family normalization at
+``mobile_devices.py:29-54``, and ``util.py:44-54``'s
+``normalize_group_id``) as ``from_json`` + ``explode`` column
+expressions — zero Python rows.
+
+Graph shape (``models/jamf/*.py``):
+
+* ``JamfTenant`` (id = Jamf base URI) — root, ``RESOURCE`` scoping for
+  every other label.
+* ``JamfComputerGroup`` / ``JamfMobileDeviceGroup`` — one groups feed
+  split on ``groupType`` (``MOBILE`` vs everything else, matching the
+  reference's else-is-computer branch).
+* ``JamfComputer`` — general/hardware/operatingSystem/security/
+  diskEncryption/userAndLocation sections flattened; ``MEMBER_OF`` →
+  ``JamfComputerGroup`` one-to-many from ``groupMemberships``.
+* ``JamfMobileDevice`` — same shape over ``general``/``hardware``/
+  ``security``/``userAndLocation``; ``os`` derived from ``deviceType``
+  (iPhone/iPad/AppleTV → iOS/iPadOS/tvOS); ``MEMBER_OF`` →
+  ``JamfMobileDeviceGroup``.
+
+``JamfComputer`` feeds the ontology device registry
+(``plans/ontology_devices.py`` ``DEFAULT_DEVICE_SOURCES``) via its
+``serial_number`` / ``name`` / ``os_name`` props.
+
+Group ids are normalized like ``normalize_group_id``: all-digit
+strings collapse to their canonical integer spelling so the modern
+API's string ids and the Classic API's ints land on the same node.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+TENANT_LABEL = "JamfTenant"
+
+JAMF_GROUPS_STRUCT = (
+    "array<struct<groupJamfProId:string, groupName:string, "
+    "groupDescription:string, groupType:string, membershipCount:string, "
+    "smart:string>>"
+)
+
+_SECTIONS_COMMON = (
+    "hardware:struct<serialNumber:string, model:string, "
+    "modelIdentifier:string>, "
+    "security:struct<activationLockEnabled:string, "
+    "recoveryLockEnabled:string, bootstrapTokenEscrowedStatus:string, "
+    "bootstrapTokenEscrowed:string, firewallEnabled:string, "
+    "gatekeeperStatus:string, secureBootLevel:string, sipStatus:string, "
+    "dataProtected:string, hardwareEncryption:string, "
+    "jailBreakDetected:string, lostModeEnabled:string, "
+    "passcodeCompliant:string, passcodePresent:string>"
+)
+
+JAMF_COMPUTERS_STRUCT = (
+    "array<struct<id:string, udid:string, "
+    "general:struct<name:string, platform:string, reportDate:string, "
+    "lastContactTime:string, site:struct<name:string>, supervised:string, "
+    "userApprovedMdm:string, declarativeDeviceManagementEnabled:string, "
+    "enrolledViaAutomatedDeviceEnrollment:string, "
+    "remoteManagement:struct<managed:string>>, "
+    + _SECTIONS_COMMON + ", "
+    "operatingSystem:struct<name:string, version:string, build:string>, "
+    "diskEncryption:struct<fileVault2Enabled:string>, "
+    "userAndLocation:struct<username:string, realname:string, "
+    "email:string>, "
+    "groupMemberships:array<struct<groupId:string>>>>"
+)
+
+JAMF_MOBILE_STRUCT = (
+    "array<struct<mobileDeviceId:string, deviceType:string, "
+    "general:struct<displayName:string, managed:string, "
+    "supervised:string, lastInventoryUpdateDate:string, "
+    "lastEnrolledDate:string, osVersion:string, osBuild:string>, "
+    + _SECTIONS_COMMON + ", "
+    "userAndLocation:struct<username:string, realName:string, "
+    "emailAddress:string>, "
+    "groups:array<struct<groupId:string>>>>"
+)
+
+# mobile_devices.py:42-53 — deviceType → OS family
+_MOBILE_OS_KEYS = ("ios", "iphone", "ipod", "ipados", "ipad", "tvos",
+                   "apple tv", "appletv", "android")
+_MOBILE_OS_VALS = ("iOS", "iOS", "iOS", "iPadOS", "iPadOS", "tvOS",
+                   "tvOS", "tvOS", "Android")
+
+
+def _props_map(pairs: list[tuple[str, Column]]) -> Column:
+    return F.map_filter(
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k, _ in pairs]),
+            F.array(*[v.cast("string") for _, v in pairs]),
+        ),
+        lambda _k, v: v.isNotNull(),
+    )
+
+
+def _shape_nodes(df: DataFrame, update_tag: int, extra=None) -> DataFrame:
+    return df.select(
+        "label",
+        "id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        (extra if extra is not None else F.lit(None).cast("array<string>"))
+        .alias("extra_labels"),
+        "props",
+    )
+
+
+def _shape_edges(df: DataFrame, update_tag: int, tenant_id: str) -> DataFrame:
+    return df.select(
+        "src_label", "src_id", "rel_label", "dst_label", "dst_id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(TENANT_LABEL).alias("sub_resource_label"),
+        F.lit(tenant_id).alias("sub_resource_id"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    ).dropDuplicates(["src_label", "src_id", "rel_label", "dst_label", "dst_id"])
+
+
+def _tenant_node(spark, tenant_id: str, update_tag: int) -> DataFrame:
+    df = spark.createDataFrame([(TENANT_LABEL, tenant_id)],
+                               "label string, id string")
+    return _shape_nodes(
+        df.withColumn("props", F.lit(None).cast("map<string,string>")),
+        update_tag,
+        extra=F.array(F.lit("Tenant")),
+    )
+
+
+def _resource_edges(ids: DataFrame, tenant_id: str, dst_label: str) -> DataFrame:
+    return ids.select(
+        F.lit(TENANT_LABEL).alias("src_label"),
+        F.lit(tenant_id).alias("src_id"),
+        F.lit("RESOURCE").alias("rel_label"),
+        F.lit(dst_label).alias("dst_label"),
+        F.col("id").alias("dst_id"),
+    )
+
+
+def normalize_group_id(col: Column) -> Column:
+    """``util.py:44-54`` twin: all-digit strings collapse to the
+    canonical integer spelling; anything else passes through."""
+    return F.when(
+        col.rlike("^[0-9]+$"), col.cast("long").cast("string")
+    ).otherwise(col)
+
+
+# ---------------------------------------------------------------------------
+# Groups
+# ---------------------------------------------------------------------------
+
+
+def transform_jamf_groups(
+    raw: DataFrame, tenant_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """``groups.py:81-100``: one feed → JamfComputerGroup /
+    JamfMobileDeviceGroup split on ``groupType == 'MOBILE'``."""
+    groups = raw.select(
+        F.explode(F.from_json("payload_json", JAMF_GROUPS_STRUCT)).alias("g")
+    ).select("g.*")
+    labeled = groups.select(
+        F.when(F.col("groupType") == "MOBILE", F.lit("JamfMobileDeviceGroup"))
+        .otherwise(F.lit("JamfComputerGroup")).alias("label"),
+        normalize_group_id(F.col("groupJamfProId")).alias("id"),
+        _props_map([
+            ("name", F.col("groupName")),
+            ("description", F.col("groupDescription")),
+            ("membership_count", F.col("membershipCount")),
+            ("is_smart", F.col("smart")),
+        ]).alias("props"),
+    ).where(F.col("id").isNotNull()).dropDuplicates(["label", "id"])
+    nodes = _shape_nodes(labeled, update_tag)
+    edges = _shape_edges(
+        labeled.select(
+            F.lit(TENANT_LABEL).alias("src_label"),
+            F.lit(tenant_id).alias("src_id"),
+            F.lit("RESOURCE").alias("rel_label"),
+            F.col("label").alias("dst_label"),
+            F.col("id").alias("dst_id"),
+        ),
+        update_tag, tenant_id,
+    )
+    return nodes, edges
+
+
+# ---------------------------------------------------------------------------
+# Computers
+# ---------------------------------------------------------------------------
+
+
+def transform_jamf_computers(
+    raw: DataFrame, tenant_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """``computers.py:62-123``: section flattening + ``group_ids``
+    one-to-many MEMBER_OF (``models/jamf/computer.py:151-156``)."""
+    comps = raw.select(
+        F.explode(F.from_json("payload_json", JAMF_COMPUTERS_STRUCT)).alias("c")
+    ).select("c.*")
+    nodes = _shape_nodes(
+        comps.select(
+            F.lit("JamfComputer").alias("label"),
+            F.col("id"),
+            _props_map([
+                ("udid", F.col("udid")),
+                ("name", F.col("general.name")),
+                ("platform", F.col("general.platform")),
+                ("report_date", F.col("general.reportDate")),
+                ("last_contact_time", F.col("general.lastContactTime")),
+                ("site_name", F.col("general.site.name")),
+                ("supervised", F.col("general.supervised")),
+                ("user_approved_mdm", F.col("general.userApprovedMdm")),
+                ("declarative_device_management_enabled",
+                 F.col("general.declarativeDeviceManagementEnabled")),
+                ("enrolled_via_automated_device_enrollment",
+                 F.col("general.enrolledViaAutomatedDeviceEnrollment")),
+                ("remote_management_managed",
+                 F.col("general.remoteManagement.managed")),
+                ("serial_number", F.col("hardware.serialNumber")),
+                ("model", F.col("hardware.model")),
+                ("model_identifier", F.col("hardware.modelIdentifier")),
+                ("os_name", F.col("operatingSystem.name")),
+                ("os_version", F.col("operatingSystem.version")),
+                ("os_build", F.col("operatingSystem.build")),
+                ("filevault_enabled",
+                 F.col("diskEncryption.fileVault2Enabled")),
+                ("firewall_enabled", F.col("security.firewallEnabled")),
+                ("gatekeeper_status", F.col("security.gatekeeperStatus")),
+                ("sip_status", F.col("security.sipStatus")),
+                ("secure_boot_level", F.col("security.secureBootLevel")),
+                ("activation_lock_enabled",
+                 F.col("security.activationLockEnabled")),
+                ("recovery_lock_enabled",
+                 F.col("security.recoveryLockEnabled")),
+                ("bootstrap_token_escrowed_status",
+                 F.col("security.bootstrapTokenEscrowedStatus")),
+                ("username", F.col("userAndLocation.username")),
+                ("user_real_name", F.col("userAndLocation.realname")),
+                ("email", F.col("userAndLocation.email")),
+            ]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+    )
+    edges = _resource_edges(comps.select("id"), tenant_id, "JamfComputer")
+    member_of = comps.select(
+        F.col("id"),
+        F.explode_outer("groupMemberships").alias("g"),
+    ).where(F.col("g.groupId").isNotNull()).select(
+        F.lit("JamfComputer").alias("src_label"),
+        F.col("id").alias("src_id"),
+        F.lit("MEMBER_OF").alias("rel_label"),
+        F.lit("JamfComputerGroup").alias("dst_label"),
+        normalize_group_id(F.col("g.groupId")).alias("dst_id"),
+    )
+    return nodes, _shape_edges(
+        edges.unionByName(member_of), update_tag, tenant_id
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mobile devices
+# ---------------------------------------------------------------------------
+
+
+def transform_jamf_mobile_devices(
+    raw: DataFrame, tenant_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """``mobile_devices.py:76-121``: flatten + deviceType→OS family."""
+    devs = raw.select(
+        F.explode(F.from_json("payload_json", JAMF_MOBILE_STRUCT)).alias("d")
+    ).select("d.*")
+    os_map = F.create_map(
+        *[c for pair in zip(_MOBILE_OS_KEYS, _MOBILE_OS_VALS)
+          for c in (F.lit(pair[0]), F.lit(pair[1]))]
+    )
+    nodes = _shape_nodes(
+        devs.select(
+            F.lit("JamfMobileDevice").alias("label"),
+            F.col("mobileDeviceId").alias("id"),
+            _props_map([
+                ("display_name", F.col("general.displayName")),
+                ("managed", F.col("general.managed")),
+                ("supervised", F.col("general.supervised")),
+                ("last_inventory_update_date",
+                 F.col("general.lastInventoryUpdateDate")),
+                ("last_enrolled_date", F.col("general.lastEnrolledDate")),
+                ("platform", F.col("deviceType")),
+                ("os", F.element_at(os_map,
+                                    F.lower(F.trim(F.col("deviceType"))))),
+                ("os_version", F.col("general.osVersion")),
+                ("os_build", F.col("general.osBuild")),
+                ("serial_number", F.col("hardware.serialNumber")),
+                ("model", F.col("hardware.model")),
+                ("model_identifier", F.col("hardware.modelIdentifier")),
+                ("activation_lock_enabled",
+                 F.col("security.activationLockEnabled")),
+                ("bootstrap_token_escrowed",
+                 F.col("security.bootstrapTokenEscrowed")),
+                ("data_protected", F.col("security.dataProtected")),
+                ("hardware_encryption",
+                 F.col("security.hardwareEncryption")),
+                ("jailbreak_detected",
+                 F.col("security.jailBreakDetected")),
+                ("lost_mode_enabled", F.col("security.lostModeEnabled")),
+                ("passcode_compliant",
+                 F.col("security.passcodeCompliant")),
+                ("passcode_present", F.col("security.passcodePresent")),
+                ("username", F.col("userAndLocation.username")),
+                ("user_real_name", F.col("userAndLocation.realName")),
+                ("email", F.col("userAndLocation.emailAddress")),
+            ]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+    )
+    edges = _resource_edges(
+        devs.select(F.col("mobileDeviceId").alias("id")), tenant_id,
+        "JamfMobileDevice",
+    )
+    member_of = devs.select(
+        F.col("mobileDeviceId").alias("id"),
+        F.explode_outer("groups").alias("g"),
+    ).where(F.col("g.groupId").isNotNull()).select(
+        F.lit("JamfMobileDevice").alias("src_label"),
+        F.col("id").alias("src_id"),
+        F.lit("MEMBER_OF").alias("rel_label"),
+        F.lit("JamfMobileDeviceGroup").alias("dst_label"),
+        normalize_group_id(F.col("g.groupId")).alias("dst_id"),
+    )
+    return nodes, _shape_edges(
+        edges.unionByName(member_of), update_tag, tenant_id
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sync
+# ---------------------------------------------------------------------------
+
+
+def _scoped_gc(store, labels: tuple[str, ...], tenant_id: str,
+               update_tag: int) -> dict:
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label=TENANT_LABEL,
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("TENANT_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    out = {}
+    for label in labels:
+        if label not in store.manifest["nodes"]:
+            continue
+        out[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=rel,
+            ),
+            update_tag,
+            {"TENANT_ID": tenant_id},
+        )
+    return out
+
+
+def sync_jamf(store, groups_raw, computers_raw, mobile_raw,
+              tenant_id: str, update_tag: int) -> dict:
+    """``intel/jamf/__init__.py`` order: groups before devices so
+    MEMBER_OF targets exist; tenant loaded with each stage; scoped GC
+    sweeps every label after load."""
+    metrics = {
+        "tenant": store.merge_nodes(
+            _tenant_node(store.spark, tenant_id, update_tag), update_tag
+        )
+    }
+    stages = [
+        ("groups", groups_raw, transform_jamf_groups),
+        ("computers", computers_raw, transform_jamf_computers),
+        ("mobile_devices", mobile_raw, transform_jamf_mobile_devices),
+    ]
+    for name, raw, fn in stages:
+        if raw is None:
+            continue
+        nodes, edges = fn(raw, tenant_id, update_tag)
+        metrics[f"{name}_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics[f"{name}_edges"] = store.merge_edges(edges, update_tag)
+    metrics.update(_scoped_gc(
+        store,
+        ("JamfComputer", "JamfMobileDevice", "JamfComputerGroup",
+         "JamfMobileDeviceGroup"),
+        tenant_id, update_tag,
+    ))
+    store.record_lineage("jamf_sync", {"update_tag": update_tag})
+    return metrics

@@ -1,0 +1,168 @@
+"""Jamf provider parity, mirrored from the reference's
+``tests/integration/cartography/intel/jamf/test_jamf.py`` assertions
+over its actual ``tests/data/jamf/{groups,computers,mobile_devices}.py``
+fixtures (loaded read-only via the ast literal evaluator): the
+COMPUTER/MOBILE group split, computer/mobile node prop sets,
+tenant RESOURCE scoping, MEMBER_OF group membership, the
+deviceType→OS normalization, and scoped GC."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.jamf import (
+    sync_jamf,
+    transform_jamf_groups,
+    transform_jamf_mobile_devices,
+)
+from tests.test_fixture_parity_github import _load_fixture_ns
+
+FIXDIR = "/root/reference/tests/data/jamf"
+URI = "https://test.jamfcloud.com"
+TAG = 123456789
+
+
+@pytest.fixture(scope="module")
+def jamf_fixture():
+    if not os.path.isdir(FIXDIR):
+        pytest.skip("reference fixture not available")
+    return {
+        "groups": _load_fixture_ns(f"{FIXDIR}/groups.py")["GROUPS"],
+        "computers": _load_fixture_ns(f"{FIXDIR}/computers.py")["COMPUTERS"],
+        "mobile": _load_fixture_ns(f"{FIXDIR}/mobile_devices.py")[
+            "MOBILE_DEVICES"
+        ],
+    }
+
+
+def _raw(spark, data):
+    return spark.createDataFrame(
+        [(json.dumps(data),)], "payload_json string"
+    )
+
+
+def test_groups_split_parity(spark, jamf_fixture):
+    """test_jamf.py:35-82 — tenant + the exact computer/mobile group
+    tuples from one mixed feed."""
+    nodes, edges = transform_jamf_groups(
+        _raw(spark, jamf_fixture["groups"]), URI, TAG
+    )
+    rows = nodes.collect()
+    comp = {
+        (r["id"], r["props"]["name"], r["props"]["description"],
+         r["props"]["membership_count"], r["props"]["is_smart"])
+        for r in rows if r["label"] == "JamfComputerGroup"
+    }
+    assert comp == {
+        ("101", "Springfield Managed Macs", "All managed macOS endpoints",
+         "42", "true"),
+        ("102", "Sector 7G Workstations", "Power plant engineering fleet",
+         "12", "false"),
+    }
+    mob = {r["id"] for r in rows if r["label"] == "JamfMobileDeviceGroup"}
+    assert mob == {"201", "202"}
+    scoping = {
+        (r["src_id"], r["dst_label"], r["dst_id"]) for r in edges.collect()
+    }
+    assert (URI, "JamfComputerGroup", "101") in scoping
+    assert (URI, "JamfMobileDeviceGroup", "202") in scoping
+
+
+def test_computers_sync_parity(spark, tmp_store, jamf_fixture):
+    """test_jamf.py:108-168 — computer prop tuples, RESOURCE scoping,
+    MEMBER_OF membership pairs."""
+    sync_jamf(
+        tmp_store,
+        _raw(spark, jamf_fixture["groups"]),
+        _raw(spark, jamf_fixture["computers"]),
+        None, URI, TAG,
+    )
+    comps = tmp_store.nodes(["JamfComputer"]).collect()
+    assert {
+        (r["id"], r["props"]["name"], r["props"]["serial_number"],
+         r["props"]["os_version"], r["props"]["firewall_enabled"],
+         r["props"]["filevault_enabled"], r["props"]["username"])
+        for r in comps
+    } == {
+        ("7001", "Springfield-Admin-Mac-01", "C02SPRING001", "14.5",
+         "true", "true", "h.simpson"),
+        ("7002", "Springfield-Design-Mac-02", "C02SPRING002", "13.6.7",
+         "false", "false", "l.simpson"),
+    }
+    edges = tmp_store.edges().collect()
+    assert {
+        (e["src_id"], e["dst_id"]) for e in edges
+        if e["rel_label"] == "RESOURCE" and e["dst_label"] == "JamfComputer"
+    } == {(URI, "7001"), (URI, "7002")}
+    assert {
+        (e["src_id"], e["dst_id"]) for e in edges
+        if e["rel_label"] == "MEMBER_OF"
+        and e["dst_label"] == "JamfComputerGroup"
+    } == {("7001", "101"), ("7001", "102"), ("7002", "101")}
+
+
+def test_mobile_devices_parity_and_os_normalization(spark, jamf_fixture):
+    """test_jamf.py:201-260 — mobile prop tuples incl. the
+    iPhone→iOS / iPad→iPadOS normalization, MEMBER_OF pairs."""
+    nodes, edges = transform_jamf_mobile_devices(
+        _raw(spark, jamf_fixture["mobile"]), URI, TAG
+    )
+    assert {
+        (r["id"], r["props"]["display_name"], r["props"]["serial_number"],
+         r["props"]["os"], r["props"]["platform"],
+         r["props"]["passcode_compliant"], r["props"]["username"])
+        for r in nodes.collect()
+    } == {
+        ("9001", "Bart-iPhone-01", "IPHONESPRING001", "iOS", "iPhone",
+         "true", "b.simpson"),
+        ("9002", "Lisa-iPad-01", "IPADSPRING001", "iPadOS", "iPad",
+         "false", "l.simpson"),
+    }
+    assert {
+        (e["src_id"], e["dst_id"]) for e in edges.collect()
+        if e["rel_label"] == "MEMBER_OF"
+    } == {("9001", "201")}
+
+
+def test_gc_and_device_registry(spark, tmp_store, jamf_fixture):
+    """Scoped GC sweeps a retired computer; JamfComputer feeds the
+    canonical Device stage through its serial/name/os mapping."""
+    from cartography_spark.plans.ontology_devices import (
+        DEFAULT_DEVICE_SOURCES,
+        sync_ontology_devices,
+    )
+
+    sync_jamf(
+        tmp_store,
+        _raw(spark, jamf_fixture["groups"]),
+        _raw(spark, jamf_fixture["computers"]),
+        _raw(spark, jamf_fixture["mobile"]),
+        URI, TAG,
+    )
+    sync_ontology_devices(tmp_store, DEFAULT_DEVICE_SOURCES, TAG)
+    devices = {
+        r["id"] for r in tmp_store.nodes()
+        .where(F.col("label") == "Device").collect()
+    }
+    assert {"C02SPRING001", "C02SPRING002"} <= devices
+    observed = {
+        (r["src_id"], r["dst_label"]) for r in tmp_store.edges()
+        .where(F.col("rel_label") == "OBSERVED_AS").collect()
+    }
+    assert ("C02SPRING001", "JamfComputer") in observed
+
+    # retire computer 7002 → scoped GC sweeps node and its edges
+    sync_jamf(
+        tmp_store, None,
+        _raw(spark, jamf_fixture["computers"][:1]), None, URI, TAG + 1,
+    )
+    remaining = {
+        r["id"] for r in tmp_store.nodes(["JamfComputer"]).collect()
+    }
+    assert remaining == {"7001"}
+    assert not [
+        e for e in tmp_store.edges().collect()
+        if e["rel_label"] == "MEMBER_OF" and e["src_id"] == "7002"
+    ]

@@ -1,0 +1,396 @@
+"""Google Workspace (Cloud Identity) provider: tenant, users, devices.
+
+Mirrors the reference's ``intel/googleworkspace`` family —
+``users.py:42-61`` (name-struct flattening + primary-organization
+projection), ``devices.py:112-192`` (device-user ownership map:
+APPROVED management state only, device name from the
+``/deviceUsers/`` path split, most-recent-sync user wins; Android /
+endpoint-verification attribute envelopes kept as JSON text) and
+``models/googleworkspace/{user,device}.py`` — as ``from_json`` +
+``explode`` column expressions — zero Python rows.
+
+Graph shape:
+
+* ``GoogleWorkspaceTenant`` (id = customer id) — root; every node gets
+  the ``RESOURCE`` scoping edge for tenant-scoped GC.
+* ``GoogleWorkspaceUser`` — directory users; name/fullName flattening
+  and the primary organization's name/title/department
+  (``users.py:51-60``).
+* ``GoogleWorkspaceDevice`` — Cloud Identity devices; ``owner_email``
+  resolved from the APPROVED device-user map and the
+  ``(:GoogleWorkspaceUser)-[:OWNS]->(:GoogleWorkspaceDevice)`` edge
+  resolved by the ``primary_email`` prop matcher
+  (``models/googleworkspace/device.py:160-175``) via a broadcast-side
+  equi-join against the same sync's users.
+
+``GoogleWorkspaceDevice`` feeds the ontology device registry
+(``plans/ontology_devices.py`` — ``platform`` mapped from
+``device_type``) through its serial_number / hostname props.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+TENANT_LABEL = "GoogleWorkspaceTenant"
+
+GOOGLEWORKSPACE_USERS_STRUCT = (
+    "array<struct<users:array<struct<id:string, primaryEmail:string, "
+    "name:struct<fullName:string, familyName:string, givenName:string>, "
+    "organizations:array<struct<name:string, title:string, "
+    "department:string, primary:boolean>>, "
+    "agreedToTerms:string, archived:string, "
+    "changePasswordAtNextLogin:string, creationTime:string, "
+    "customerId:string, etag:string, includeInGlobalAddressList:string, "
+    "ipWhitelisted:string, isAdmin:string, isDelegatedAdmin:string, "
+    "isEnforcedIn2Sv:string, isEnrolledIn2Sv:string, "
+    "isMailboxSetup:string, kind:string, lastLoginTime:string, "
+    "orgUnitPath:string, suspended:string, thumbnailPhotoEtag:string, "
+    "thumbnailPhotoUrl:string>>>>"
+)
+
+GOOGLEWORKSPACE_DEVICES_STRUCT = (
+    "array<struct<name:string, deviceId:string, hostname:string, "
+    "model:string, manufacturer:string, releaseVersion:string, "
+    "brand:string, buildNumber:string, kernelVersion:string, "
+    "basebandVersion:string, deviceType:string, osVersion:string, "
+    "ownerType:string, serialNumber:string, assetTag:string, "
+    "imei:string, meid:string, wifiMacAddresses:array<string>, "
+    "networkOperator:string, encryptionState:string, "
+    "compromisedState:string, managementState:string, "
+    "createTime:string, lastSyncTime:string, securityPatchTime:string, "
+    "androidSpecificAttributes:string, enabledDeveloperOptions:string, "
+    "enabledUsbDebugging:string, bootloaderVersion:string, "
+    "otherAccounts:array<string>, unifiedDeviceId:string, "
+    "endpointVerificationSpecificAttributes:string>>"
+)
+
+GOOGLEWORKSPACE_DEVICE_USERS_STRUCT = (
+    "array<struct<name:string, userEmail:string, managementState:string, "
+    "firstSyncTime:string, lastSyncTime:string, passwordState:string, "
+    "createTime:string>>"
+)
+
+
+def _props_map(pairs: list[tuple[str, Column]]) -> Column:
+    return F.map_filter(
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k, _ in pairs]),
+            F.array(*[v.cast("string") for _, v in pairs]),
+        ),
+        lambda _k, v: v.isNotNull(),
+    )
+
+
+def _shape_nodes(df: DataFrame, update_tag: int, extra=None) -> DataFrame:
+    return df.select(
+        "label",
+        "id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        (extra if extra is not None else F.lit(None).cast("array<string>"))
+        .alias("extra_labels"),
+        "props",
+    )
+
+
+def _shape_edges(df: DataFrame, update_tag: int, customer_id: str) -> DataFrame:
+    return df.select(
+        "src_label", "src_id", "rel_label", "dst_label", "dst_id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(TENANT_LABEL).alias("sub_resource_label"),
+        F.lit(customer_id).alias("sub_resource_id"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    ).dropDuplicates(["src_label", "src_id", "rel_label", "dst_label", "dst_id"])
+
+
+def _tenant_node(spark, customer_id: str, update_tag: int) -> DataFrame:
+    df = spark.createDataFrame([(TENANT_LABEL, customer_id)],
+                               "label string, id string")
+    return _shape_nodes(
+        df.withColumn("props", F.lit(None).cast("map<string,string>")),
+        update_tag,
+        extra=F.array(F.lit("Tenant")),
+    )
+
+
+def _resource_edges(ids: DataFrame, customer_id: str,
+                    dst_label: str) -> DataFrame:
+    return ids.select(
+        F.lit(TENANT_LABEL).alias("src_label"),
+        F.lit(customer_id).alias("src_id"),
+        F.lit("RESOURCE").alias("rel_label"),
+        F.lit(dst_label).alias("dst_label"),
+        F.col("id").alias("dst_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Users
+# ---------------------------------------------------------------------------
+
+
+def transform_googleworkspace_users(
+    raw: DataFrame, customer_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """``users.py:42-61``: response pages → users, name-struct
+    flattening, primary organization's name/title/department."""
+    users = raw.select(
+        F.explode(
+            F.from_json("payload_json", GOOGLEWORKSPACE_USERS_STRUCT)
+        ).alias("page")
+    ).select(F.explode("page.users").alias("u")).select("u.*")
+    primary_org = F.get(
+        F.filter(
+            F.coalesce(F.col("organizations"),
+                       F.array().cast(
+                           "array<struct<name:string, title:string, "
+                           "department:string, primary:boolean>>")),
+            lambda o: o["primary"] == F.lit(True),
+        ),
+        0,
+    )
+    nodes = _shape_nodes(
+        users.select(
+            F.lit("GoogleWorkspaceUser").alias("label"),
+            F.col("id"),
+            _props_map([
+                ("user_id", F.col("id")),
+                ("primary_email", F.col("primaryEmail")),
+                ("email", F.col("primaryEmail")),
+                ("name", F.col("name.fullName")),
+                ("family_name", F.col("name.familyName")),
+                ("given_name", F.col("name.givenName")),
+                ("organization_name", primary_org["name"]),
+                ("organization_title", primary_org["title"]),
+                ("organization_department", primary_org["department"]),
+                ("agreed_to_terms", F.col("agreedToTerms")),
+                ("archived", F.col("archived")),
+                ("change_password_at_next_login",
+                 F.col("changePasswordAtNextLogin")),
+                ("creation_time", F.col("creationTime")),
+                ("customer_id", F.col("customerId")),
+                ("etag", F.col("etag")),
+                ("include_in_global_address_list",
+                 F.col("includeInGlobalAddressList")),
+                ("ip_whitelisted", F.col("ipWhitelisted")),
+                ("is_admin", F.col("isAdmin")),
+                ("is_delegated_admin", F.col("isDelegatedAdmin")),
+                ("is_enforced_in_2_sv", F.col("isEnforcedIn2Sv")),
+                ("is_enrolled_in_2_sv", F.col("isEnrolledIn2Sv")),
+                ("is_mailbox_setup", F.col("isMailboxSetup")),
+                ("kind", F.col("kind")),
+                ("last_login_time", F.col("lastLoginTime")),
+                ("org_unit_path", F.col("orgUnitPath")),
+                ("suspended", F.col("suspended")),
+                ("thumbnail_photo_etag", F.col("thumbnailPhotoEtag")),
+                ("thumbnail_photo_url", F.col("thumbnailPhotoUrl")),
+            ]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+        extra=F.array(F.lit("UserAccount")),
+    )
+    edges = _shape_edges(
+        _resource_edges(users.select("id"), customer_id,
+                        "GoogleWorkspaceUser"),
+        update_tag, customer_id,
+    )
+    return nodes, edges
+
+
+# ---------------------------------------------------------------------------
+# Devices
+# ---------------------------------------------------------------------------
+
+
+def _approved_owner_map(device_users: DataFrame) -> DataFrame:
+    """``devices.py:118-137``: APPROVED + non-null email only; device
+    name from the ``/deviceUsers/`` path prefix; most-recent-sync user
+    wins per device (the reference walks the API's
+    last_sync_time-desc order and keeps the first seen)."""
+    return (
+        device_users
+        .where(
+            (F.col("managementState") == "APPROVED")
+            & F.col("userEmail").isNotNull()
+        )
+        .select(
+            F.split_part(F.col("name"), F.lit("/deviceUsers/"), F.lit(1))
+            .alias("device_name"),
+            "userEmail", "lastSyncTime",
+        )
+        .groupBy("device_name")
+        .agg(F.max_by("userEmail",
+                      F.coalesce("lastSyncTime", F.lit("")))
+             .alias("owner_email"))
+    )
+
+
+def transform_googleworkspace_devices(
+    devices_raw: DataFrame, device_users_raw: DataFrame | None,
+    customer_id: str, update_tag: int,
+    users_nodes: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """``devices.py:112-192`` + the OWNS prop matcher: devices keyed
+    by ``deviceId`` with ``owner_email`` from the approved-device-user
+    map (broadcast — bounded by the fleet size); OWNS edges resolved
+    against ``users_nodes``'s ``primary_email`` when provided."""
+    devices = devices_raw.select(
+        F.explode(
+            F.from_json("payload_json", GOOGLEWORKSPACE_DEVICES_STRUCT)
+        ).alias("d")
+    ).select("d.*")
+    if device_users_raw is not None:
+        dusers = device_users_raw.select(
+            F.explode(
+                F.from_json("payload_json",
+                            GOOGLEWORKSPACE_DEVICE_USERS_STRUCT)
+            ).alias("du")
+        ).select("du.*")
+        owners = _approved_owner_map(dusers)
+        devices = devices.join(
+            F.broadcast(owners),
+            devices["name"] == owners["device_name"], "left",
+        ).drop("device_name")
+    else:
+        devices = devices.withColumn("owner_email",
+                                     F.lit(None).cast("string"))
+    nodes = _shape_nodes(
+        devices.select(
+            F.lit("GoogleWorkspaceDevice").alias("label"),
+            F.col("deviceId").alias("id"),
+            _props_map([
+                ("name", F.col("name")),
+                ("hostname", F.col("hostname")),
+                ("owner_email", F.col("owner_email")),
+                ("model", F.col("model")),
+                ("manufacturer", F.col("manufacturer")),
+                ("release_version", F.col("releaseVersion")),
+                ("brand", F.col("brand")),
+                ("build_number", F.col("buildNumber")),
+                ("kernel_version", F.col("kernelVersion")),
+                ("baseband_version", F.col("basebandVersion")),
+                ("device_type", F.col("deviceType")),
+                ("os_version", F.col("osVersion")),
+                ("owner_type", F.col("ownerType")),
+                ("serial_number", F.col("serialNumber")),
+                ("asset_tag", F.col("assetTag")),
+                ("imei", F.col("imei")),
+                ("meid", F.col("meid")),
+                ("wifi_mac_addresses",
+                 F.array_join(F.col("wifiMacAddresses"), ",")),
+                ("network_operator", F.col("networkOperator")),
+                ("encryption_state", F.col("encryptionState")),
+                ("compromised_state", F.col("compromisedState")),
+                ("management_state", F.col("managementState")),
+                ("create_time", F.col("createTime")),
+                ("last_sync_time", F.col("lastSyncTime")),
+                ("security_patch_time", F.col("securityPatchTime")),
+                ("android_specific_attributes",
+                 F.col("androidSpecificAttributes")),
+                ("enabled_developer_options",
+                 F.col("enabledDeveloperOptions")),
+                ("enabled_usb_debugging", F.col("enabledUsbDebugging")),
+                ("bootloader_version", F.col("bootloaderVersion")),
+                ("other_accounts",
+                 F.array_join(F.col("otherAccounts"), ",")),
+                ("unified_device_id", F.col("unifiedDeviceId")),
+                ("endpoint_verification_specific_attributes",
+                 F.col("endpointVerificationSpecificAttributes")),
+            ]).alias("props"),
+        ).where(F.col("id").isNotNull()).dropDuplicates(["id"]),
+        update_tag,
+    )
+    edges = _resource_edges(
+        devices.select(F.col("deviceId").alias("id")), customer_id,
+        "GoogleWorkspaceDevice",
+    )
+    if users_nodes is not None:
+        emails = users_nodes.select(
+            F.col("id").alias("user_node_id"),
+            F.element_at("props", "primary_email").alias("primary_email"),
+        ).where(F.col("primary_email").isNotNull())
+        owns = devices.where(F.col("owner_email").isNotNull()).join(
+            F.broadcast(emails),
+            devices["owner_email"] == emails["primary_email"],
+        ).select(
+            F.lit("GoogleWorkspaceUser").alias("src_label"),
+            F.col("user_node_id").alias("src_id"),
+            F.lit("OWNS").alias("rel_label"),
+            F.lit("GoogleWorkspaceDevice").alias("dst_label"),
+            F.col("deviceId").alias("dst_id"),
+        )
+        edges = edges.unionByName(owns)
+    return nodes, _shape_edges(edges, update_tag, customer_id)
+
+
+# ---------------------------------------------------------------------------
+# Sync
+# ---------------------------------------------------------------------------
+
+
+def _scoped_gc(store, labels: tuple[str, ...], customer_id: str,
+               update_tag: int) -> dict:
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label=TENANT_LABEL,
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("CUSTOMER_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    out = {}
+    for label in labels:
+        if label not in store.manifest["nodes"]:
+            continue
+        out[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=rel,
+            ),
+            update_tag,
+            {"CUSTOMER_ID": customer_id},
+        )
+    return out
+
+
+def sync_googleworkspace(store, users_raw, devices_raw, device_users_raw,
+                         customer_id: str, update_tag: int) -> dict:
+    """Users before devices so the OWNS prop matcher resolves against
+    this sync's user set; tenant-scoped GC sweeps both labels."""
+    metrics = {
+        "tenant": store.merge_nodes(
+            _tenant_node(store.spark, customer_id, update_tag), update_tag
+        )
+    }
+    users_nodes = None
+    if users_raw is not None:
+        users_nodes, users_edges = transform_googleworkspace_users(
+            users_raw, customer_id, update_tag
+        )
+        metrics["users_nodes"] = store.merge_nodes(users_nodes, update_tag)
+        metrics["users_edges"] = store.merge_edges(users_edges, update_tag)
+    if devices_raw is not None:
+        dev_nodes, dev_edges = transform_googleworkspace_devices(
+            devices_raw, device_users_raw, customer_id, update_tag,
+            users_nodes=users_nodes,
+        )
+        metrics["devices_nodes"] = store.merge_nodes(dev_nodes, update_tag)
+        metrics["devices_edges"] = store.merge_edges(dev_edges, update_tag)
+    metrics.update(_scoped_gc(
+        store, ("GoogleWorkspaceDevice", "GoogleWorkspaceUser"),
+        customer_id, update_tag,
+    ))
+    store.record_lineage("googleworkspace_sync", {"update_tag": update_tag})
+    return metrics

@@ -1,0 +1,168 @@
+"""Google Workspace provider parity, mirrored from the reference's
+``tests/integration/cartography/intel/googleworkspace/test_devices.py``
+assertions over its actual ``tests/data/googleworkspace/{api,devices}.py``
+fixtures (loaded read-only via the ast literal evaluator): device
+node set, APPROVED device-user OWNS resolution via primary_email,
+tenant RESOURCE scoping, and the device-registry feed."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.googleworkspace import (
+    sync_googleworkspace,
+    transform_googleworkspace_devices,
+    transform_googleworkspace_users,
+)
+from tests.test_fixture_parity_github import _load_fixture_ns
+
+API_FIXTURE = "/root/reference/tests/data/googleworkspace/api.py"
+DEV_FIXTURE = "/root/reference/tests/data/googleworkspace/devices.py"
+CUSTOMER = "customer-123"
+TAG = 123456789
+
+D1 = "3aac7e1206db9d26"
+D2 = "8396cf11-e88c-4a3b-bd5f-def024657a4e"
+
+
+@pytest.fixture(scope="module")
+def gw_fixture():
+    if not (os.path.exists(API_FIXTURE) and os.path.exists(DEV_FIXTURE)):
+        pytest.skip("reference fixture not available")
+    api = _load_fixture_ns(API_FIXTURE)
+    dev = _load_fixture_ns(DEV_FIXTURE)
+    return {
+        "users": api["MOCK_GOOGLEWORKSPACE_USERS_RESPONSE"],
+        "devices": dev["MOCK_DEVICES_RESPONSE"],
+        "device_users": dev["MOCK_DEVICE_USERS_RESPONSE"],
+    }
+
+
+def _raw(spark, data):
+    return spark.createDataFrame(
+        [(json.dumps(data),)], "payload_json string"
+    )
+
+
+def test_users_flattening_parity(spark, gw_fixture):
+    """users.py:42-61 — name struct + primary organization projection."""
+    nodes, _ = transform_googleworkspace_users(
+        _raw(spark, gw_fixture["users"]), CUSTOMER, TAG
+    )
+    rows = {r["id"]: r["props"] for r in nodes.collect()}
+    assert rows["user-1"]["name"] == "Marge Simpson"
+    assert rows["user-1"]["given_name"] == "Marge"
+    assert rows["user-1"]["organization_name"] == "Simpson Corp"
+    assert rows["user-1"]["organization_title"] == "Chief Executive Officer"
+    assert rows["user-1"]["organization_department"] == "Management"
+    assert rows["user-1"]["is_admin"] == "true"
+    # user-2 has no organizations array → org fields absent
+    assert "organization_name" not in rows["user-2"]
+    assert rows["user-2"]["primary_email"] == "hjsimpson@simpson.corp"
+
+
+def test_devices_sync_parity(spark, tmp_store, gw_fixture):
+    """test_devices.py:57-126 — device (id, device_type) set, OWNS
+    pairs via primary_email, tenant RESOURCE scoping."""
+    sync_googleworkspace(
+        tmp_store,
+        _raw(spark, gw_fixture["users"]),
+        _raw(spark, gw_fixture["devices"]),
+        _raw(spark, gw_fixture["device_users"]),
+        CUSTOMER, TAG,
+    )
+    devices = tmp_store.nodes(["GoogleWorkspaceDevice"]).collect()
+    assert {
+        (r["id"], r["props"]["device_type"]) for r in devices
+    } == {(D1, "ANDROID"), (D2, "MAC_OS")}
+
+    edges = tmp_store.edges().collect()
+    # OWNS pairs keyed back to primary_email via the user nodes
+    users = {
+        r["id"]: r["props"]["primary_email"]
+        for r in tmp_store.nodes(["GoogleWorkspaceUser"]).collect()
+    }
+    owns = {
+        (users[e["src_id"]], e["dst_id"]) for e in edges
+        if e["rel_label"] == "OWNS"
+        and e["dst_label"] == "GoogleWorkspaceDevice"
+    }
+    assert owns == {
+        ("mbsimpson@simpson.corp", D1),
+        ("hjsimpson@simpson.corp", D2),
+    }
+    assert {
+        (e["dst_id"], e["src_id"]) for e in edges
+        if e["rel_label"] == "RESOURCE"
+        and e["dst_label"] == "GoogleWorkspaceDevice"
+    } == {(D1, CUSTOMER), (D2, CUSTOMER)}
+
+
+def test_owner_map_filters_and_most_recent(spark):
+    """devices.py:118-137 — non-APPROVED and null-email device users
+    never become owners; two approved users → most recent sync wins."""
+    devices = [{
+        "name": "devices/AAA", "deviceId": "dev-1", "deviceType": "ANDROID",
+    }]
+    dusers = [
+        {"name": "devices/AAA/deviceUsers/1", "userEmail": "old@x.co",
+         "managementState": "APPROVED", "lastSyncTime": "2025-01-01T00:00:00Z"},
+        {"name": "devices/AAA/deviceUsers/2", "userEmail": "new@x.co",
+         "managementState": "APPROVED", "lastSyncTime": "2025-06-01T00:00:00Z"},
+        {"name": "devices/AAA/deviceUsers/3", "userEmail": "blocked@x.co",
+         "managementState": "BLOCKED", "lastSyncTime": "2025-07-01T00:00:00Z"},
+        {"name": "devices/AAA/deviceUsers/4", "userEmail": None,
+         "managementState": "APPROVED", "lastSyncTime": "2025-08-01T00:00:00Z"},
+    ]
+    nodes, _ = transform_googleworkspace_devices(
+        _raw(spark, devices), _raw(spark, dusers), CUSTOMER, TAG
+    )
+    props = nodes.collect()[0]["props"]
+    assert props["owner_email"] == "new@x.co"
+
+
+def test_gc_and_device_registry(spark, tmp_store, gw_fixture):
+    """Tenant-scoped GC sweeps a retired device; serial-bearing
+    devices feed the canonical Device stage."""
+    from cartography_spark.plans.ontology_devices import (
+        DEFAULT_DEVICE_SOURCES,
+        sync_ontology_devices,
+    )
+
+    sync_googleworkspace(
+        tmp_store,
+        _raw(spark, gw_fixture["users"]),
+        _raw(spark, gw_fixture["devices"]),
+        _raw(spark, gw_fixture["device_users"]),
+        CUSTOMER, TAG,
+    )
+    sync_ontology_devices(tmp_store, DEFAULT_DEVICE_SOURCES, TAG)
+    devices = {
+        r["id"] for r in tmp_store.nodes()
+        .where(F.col("label") == "Device").collect()
+    }
+    assert {"SIMP-ANDROID-MARGE-01", "SIMP-MAC-HOMER-01"} <= devices
+    observed = {
+        (r["src_id"], r["dst_label"]) for r in tmp_store.edges()
+        .where(F.col("rel_label") == "OBSERVED_AS").collect()
+    }
+    assert ("SIMP-MAC-HOMER-01", "GoogleWorkspaceDevice") in observed
+
+    # retire the Android device → scoped GC sweeps node + OWNS edge
+    sync_googleworkspace(
+        tmp_store,
+        _raw(spark, gw_fixture["users"]),
+        _raw(spark, gw_fixture["devices"][1:]),
+        _raw(spark, gw_fixture["device_users"]),
+        CUSTOMER, TAG + 1,
+    )
+    remaining = {
+        r["id"] for r in tmp_store.nodes(["GoogleWorkspaceDevice"]).collect()
+    }
+    assert remaining == {D2}
+    assert not [
+        e for e in tmp_store.edges().collect()
+        if e["rel_label"] == "OWNS" and e["dst_id"] == D1
+    ]

@@ -1,0 +1,461 @@
+"""Microsoft Intune provider: managed devices, detected apps,
+compliance policies.
+
+Mirrors the reference's ``intel/microsoft/intune`` family as
+``from_json`` + ``explode`` column expressions — zero Python rows:
+
+* **Managed devices** (``managed_devices.py:44-99``,
+  ``models/microsoft/intune/managed_device.py``):
+  ``IntuneManagedDevice`` keyed by the Graph device id, camelCase →
+  snake_case prop projection (enum ``.value`` strings pass through
+  unchanged from the REST payload), ``AzureTenant`` ``RESOURCE``
+  scoping and the ``(:EntraUser)-[:ENROLLED_TO]->`` edge from
+  ``user_id`` — resolved structurally (the id IS the Entra node key,
+  no lookup join needed).
+* **Detected apps** (``detected_apps.py:158-247``): the AppInvAggregate
+  and AppInvRawData exports are complementary — nodes from the UNION
+  of ``ApplicationKey`` across both (aggregate metadata preferred,
+  raw backfills, report-level ``DeviceCount`` preferred over the
+  distinct-raw-device fallback); ``HAS_APP`` relationships only from
+  raw, deduped per (app, device). Spark shape: full-outer join of the
+  two per-app frames + a distinct-pair edge projection.
+* **Compliance policies** (``compliance_policies.py:56-101``):
+  ``@odata.type`` → platform map, group-assignment denormalization
+  (one ``ASSIGNED_TO`` → ``EntraGroup`` edge per assigned group;
+  ``allLicensedUsers`` / ``allDevices`` targets become the
+  ``applies_to_all_users`` / ``applies_to_all_devices`` flags,
+  never edges).
+
+``IntuneManagedDevice`` feeds the ontology device registry
+(``plans/ontology_devices.py`` — hostname from ``device_name``, os
+from ``operating_system``) through its ``serial_number`` prop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+TENANT_LABEL = "AzureTenant"
+
+INTUNE_DEVICES_STRUCT = (
+    "array<struct<id:string, deviceName:string, userId:string, "
+    "userPrincipalName:string, managedDeviceOwnerType:string, "
+    "operatingSystem:string, osVersion:string, complianceState:string, "
+    "isEncrypted:string, jailBroken:string, managementAgent:string, "
+    "manufacturer:string, model:string, serialNumber:string, "
+    "imei:string, meid:string, wiFiMacAddress:string, "
+    "ethernetMacAddress:string, azureADDeviceId:string, "
+    "azureADRegistered:string, deviceEnrollmentType:string, "
+    "deviceRegistrationState:string, isSupervised:string, "
+    "enrolledDateTime:string, lastSyncDateTime:string, "
+    "easActivated:string, easDeviceId:string, "
+    "partnerReportedThreatState:string, "
+    "totalStorageSpaceInBytes:string, freeStorageSpaceInBytes:string, "
+    "physicalMemoryInBytes:string>>"
+)
+
+INTUNE_APP_ROWS_STRUCT = (
+    "array<struct<ApplicationKey:string, ApplicationId:string, "
+    "ApplicationName:string, ApplicationPublisher:string, "
+    "ApplicationVersion:string, DeviceCount:string, Platform:string, "
+    "DeviceId:string>>"
+)
+
+INTUNE_POLICIES_STRUCT = (
+    "array<struct<id:string, displayName:string, description:string, "
+    "`@odata.type`:string, version:string, createdDateTime:string, "
+    "lastModifiedDateTime:string, "
+    "assignments:array<struct<target:struct<`@odata.type`:string, "
+    "groupId:string>>>>>"
+)
+
+# compliance_policies.py:16-23
+_ODATA_PLATFORM_KEYS = (
+    "#microsoft.graph.androidCompliancePolicy",
+    "#microsoft.graph.androidWorkProfileCompliancePolicy",
+    "#microsoft.graph.iosCompliancePolicy",
+    "#microsoft.graph.macOSCompliancePolicy",
+    "#microsoft.graph.windows10CompliancePolicy",
+    "#microsoft.graph.windowsPhone81CompliancePolicy",
+)
+_ODATA_PLATFORM_VALS = ("android", "androidWorkProfile", "ios", "macOS",
+                        "windows10", "windowsPhone81")
+
+
+def _props_map(pairs: list[tuple[str, Column]]) -> Column:
+    return F.map_filter(
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k, _ in pairs]),
+            F.array(*[v.cast("string") for _, v in pairs]),
+        ),
+        lambda _k, v: v.isNotNull(),
+    )
+
+
+def _shape_nodes(df: DataFrame, update_tag: int, extra=None) -> DataFrame:
+    return df.select(
+        "label",
+        "id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        (extra if extra is not None else F.lit(None).cast("array<string>"))
+        .alias("extra_labels"),
+        "props",
+    )
+
+
+def _shape_edges(df: DataFrame, update_tag: int, tenant_id: str) -> DataFrame:
+    return df.select(
+        "src_label", "src_id", "rel_label", "dst_label", "dst_id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(TENANT_LABEL).alias("sub_resource_label"),
+        F.lit(tenant_id).alias("sub_resource_id"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    ).dropDuplicates(["src_label", "src_id", "rel_label", "dst_label", "dst_id"])
+
+
+def _tenant_node(spark, tenant_id: str, update_tag: int) -> DataFrame:
+    df = spark.createDataFrame([(TENANT_LABEL, tenant_id)],
+                               "label string, id string")
+    return _shape_nodes(
+        df.withColumn("props", F.lit(None).cast("map<string,string>")),
+        update_tag,
+        extra=F.array(F.lit("Tenant")),
+    )
+
+
+def _resource_edges(ids: DataFrame, tenant_id: str, dst_label: str) -> DataFrame:
+    return ids.select(
+        F.lit(TENANT_LABEL).alias("src_label"),
+        F.lit(tenant_id).alias("src_id"),
+        F.lit("RESOURCE").alias("rel_label"),
+        F.lit(dst_label).alias("dst_label"),
+        F.col("id").alias("dst_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Managed devices
+# ---------------------------------------------------------------------------
+
+
+def transform_intune_managed_devices(
+    raw: DataFrame, tenant_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """``managed_devices.py:44-99``: camelCase REST payload →
+    snake_case props; ENROLLED_TO from ``userId``."""
+    devs = raw.select(
+        F.explode(F.from_json("payload_json", INTUNE_DEVICES_STRUCT)).alias("d")
+    ).select("d.*")
+    nodes = _shape_nodes(
+        devs.select(
+            F.lit("IntuneManagedDevice").alias("label"),
+            F.col("id"),
+            _props_map([
+                ("device_name", F.col("deviceName")),
+                ("user_id", F.col("userId")),
+                ("user_principal_name", F.col("userPrincipalName")),
+                ("managed_device_owner_type",
+                 F.col("managedDeviceOwnerType")),
+                ("operating_system", F.col("operatingSystem")),
+                ("os_version", F.col("osVersion")),
+                ("compliance_state", F.col("complianceState")),
+                ("is_encrypted", F.col("isEncrypted")),
+                ("jail_broken", F.col("jailBroken")),
+                ("management_agent", F.col("managementAgent")),
+                ("manufacturer", F.col("manufacturer")),
+                ("model", F.col("model")),
+                ("serial_number", F.col("serialNumber")),
+                ("imei", F.col("imei")),
+                ("meid", F.col("meid")),
+                ("wifi_mac_address", F.col("wiFiMacAddress")),
+                ("ethernet_mac_address", F.col("ethernetMacAddress")),
+                ("azure_ad_device_id", F.col("azureADDeviceId")),
+                ("azure_ad_registered", F.col("azureADRegistered")),
+                ("device_enrollment_type", F.col("deviceEnrollmentType")),
+                ("device_registration_state",
+                 F.col("deviceRegistrationState")),
+                ("is_supervised", F.col("isSupervised")),
+                ("enrolled_date_time", F.col("enrolledDateTime")),
+                ("last_sync_date_time", F.col("lastSyncDateTime")),
+                ("eas_activated", F.col("easActivated")),
+                ("eas_device_id", F.col("easDeviceId")),
+                ("partner_reported_threat_state",
+                 F.col("partnerReportedThreatState")),
+                ("total_storage_space_in_bytes",
+                 F.col("totalStorageSpaceInBytes")),
+                ("free_storage_space_in_bytes",
+                 F.col("freeStorageSpaceInBytes")),
+                ("physical_memory_in_bytes",
+                 F.col("physicalMemoryInBytes")),
+            ]).alias("props"),
+        ).where(F.col("id").isNotNull()).dropDuplicates(["id"]),
+        update_tag,
+    )
+    edges = _resource_edges(devs.select("id"), tenant_id,
+                            "IntuneManagedDevice")
+    enrolled = devs.where(F.col("userId").isNotNull()).select(
+        F.lit("EntraUser").alias("src_label"),
+        F.col("userId").alias("src_id"),
+        F.lit("ENROLLED_TO").alias("rel_label"),
+        F.lit("IntuneManagedDevice").alias("dst_label"),
+        F.col("id").alias("dst_id"),
+    )
+    return nodes, _shape_edges(
+        edges.unionByName(enrolled), update_tag, tenant_id
+    )
+
+
+# ---------------------------------------------------------------------------
+# Detected apps
+# ---------------------------------------------------------------------------
+
+
+def transform_intune_detected_apps(
+    aggregate_raw: DataFrame, raw_raw: DataFrame | None,
+    tenant_id: str, update_tag: int,
+) -> tuple[DataFrame, DataFrame]:
+    """``detected_apps.py:158-247``: node union across both exports
+    (aggregate preferred per field, raw backfills; DeviceCount falls
+    back to the distinct raw device count); HAS_APP only from raw."""
+    agg = aggregate_raw.select(
+        F.explode(F.from_json("payload_json", INTUNE_APP_ROWS_STRUCT))
+        .alias("r")
+    ).select("r.*").where(F.col("ApplicationKey").isNotNull()).select(
+        F.col("ApplicationKey").alias("id"),
+        F.col("ApplicationId").alias("agg_application_id"),
+        F.col("ApplicationName").alias("agg_display_name"),
+        F.col("ApplicationVersion").alias("agg_version"),
+        F.col("ApplicationPublisher").alias("agg_publisher"),
+        F.col("Platform").alias("agg_platform"),
+        F.col("DeviceCount").cast("long").alias("agg_device_count"),
+    ).dropDuplicates(["id"])
+
+    if raw_raw is not None:
+        raw_rows = raw_raw.select(
+            F.explode(F.from_json("payload_json", INTUNE_APP_ROWS_STRUCT))
+            .alias("r")
+        ).select("r.*").where(
+            F.col("ApplicationKey").isNotNull()
+            & F.col("DeviceId").isNotNull()
+        )
+        pairs = raw_rows.select(
+            F.col("ApplicationKey").alias("app_id"),
+            F.col("DeviceId").alias("device_id"),
+        ).dropDuplicates()
+        raw_apps = raw_rows.groupBy(
+            F.col("ApplicationKey").alias("id")
+        ).agg(
+            F.first("ApplicationName", ignorenulls=True)
+            .alias("raw_display_name"),
+            F.first("ApplicationVersion", ignorenulls=True)
+            .alias("raw_version"),
+            F.first("ApplicationPublisher", ignorenulls=True)
+            .alias("raw_publisher"),
+            F.first("Platform", ignorenulls=True).alias("raw_platform"),
+            F.count_distinct("DeviceId").alias("raw_device_count"),
+        )
+    else:
+        pairs = None
+        raw_apps = None
+
+    if raw_apps is not None:
+        apps = agg.join(raw_apps, "id", "full_outer")
+    else:
+        apps = agg
+        for c, t in (("raw_display_name", "string"),
+                     ("raw_version", "string"),
+                     ("raw_publisher", "string"),
+                     ("raw_platform", "string"),
+                     ("raw_device_count", "long")):
+            apps = apps.withColumn(c, F.lit(None).cast(t))
+
+    nodes = _shape_nodes(
+        apps.select(
+            F.lit("IntuneDetectedApp").alias("label"),
+            F.col("id"),
+            _props_map([
+                ("application_id", F.col("agg_application_id")),
+                ("display_name", F.coalesce("agg_display_name",
+                                            "raw_display_name")),
+                ("version", F.coalesce("agg_version", "raw_version")),
+                ("publisher", F.coalesce("agg_publisher",
+                                         "raw_publisher")),
+                ("platform", F.coalesce("agg_platform", "raw_platform")),
+                ("device_count",
+                 F.coalesce("agg_device_count", "raw_device_count")),
+            ]).alias("props"),
+        ),
+        update_tag,
+    )
+    edges = _resource_edges(apps.select("id"), tenant_id,
+                            "IntuneDetectedApp")
+    if pairs is not None:
+        has_app = pairs.select(
+            F.lit("IntuneManagedDevice").alias("src_label"),
+            F.col("device_id").alias("src_id"),
+            F.lit("HAS_APP").alias("rel_label"),
+            F.lit("IntuneDetectedApp").alias("dst_label"),
+            F.col("app_id").alias("dst_id"),
+        )
+        edges = edges.unionByName(has_app)
+    return nodes, _shape_edges(edges, update_tag, tenant_id)
+
+
+# ---------------------------------------------------------------------------
+# Compliance policies
+# ---------------------------------------------------------------------------
+
+
+def transform_intune_compliance_policies(
+    raw: DataFrame, tenant_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """``compliance_policies.py:56-101``: platform from the OData
+    type, ASSIGNED_TO per group target, all-users/all-devices flags."""
+    pols = raw.select(
+        F.explode(F.from_json("payload_json", INTUNE_POLICIES_STRUCT))
+        .alias("p")
+    ).select("p.*")
+    platform_map = F.create_map(
+        *[c for pair in zip(_ODATA_PLATFORM_KEYS, _ODATA_PLATFORM_VALS)
+          for c in (F.lit(pair[0]), F.lit(pair[1]))]
+    )
+    odata = F.coalesce(F.col("`@odata.type`"), F.lit(""))
+    targets = F.coalesce(
+        F.col("assignments"),
+        F.array().cast("array<struct<target:struct<`@odata.type`:string, "
+                       "groupId:string>>>"),
+    )
+    flagged = pols.select(
+        "*",
+        F.coalesce(F.element_at(platform_map, odata), odata)
+        .alias("platform"),
+        F.exists(
+            targets,
+            lambda a: a["target"]["@odata.type"]
+            .contains("allLicensedUsers"),
+        ).alias("applies_to_all_users"),
+        F.exists(
+            targets,
+            lambda a: a["target"]["@odata.type"].contains("allDevices"),
+        ).alias("applies_to_all_devices"),
+        F.filter(
+            F.transform(targets, lambda a: a["target"]["groupId"]),
+            lambda g: g.isNotNull(),
+        ).alias("group_ids"),
+    )
+    nodes = _shape_nodes(
+        flagged.select(
+            F.lit("IntuneCompliancePolicy").alias("label"),
+            F.col("id"),
+            _props_map([
+                ("display_name", F.col("displayName")),
+                ("description", F.col("description")),
+                ("platform", F.col("platform")),
+                ("version", F.col("version")),
+                ("created_date_time", F.col("createdDateTime")),
+                ("last_modified_date_time",
+                 F.col("lastModifiedDateTime")),
+                ("applies_to_all_users", F.col("applies_to_all_users")),
+                ("applies_to_all_devices",
+                 F.col("applies_to_all_devices")),
+            ]).alias("props"),
+        ).where(F.col("id").isNotNull()).dropDuplicates(["id"]),
+        update_tag,
+    )
+    edges = _resource_edges(flagged.select("id"), tenant_id,
+                            "IntuneCompliancePolicy")
+    assigned = flagged.select(
+        "id", F.explode("group_ids").alias("group_id")
+    ).select(
+        F.lit("IntuneCompliancePolicy").alias("src_label"),
+        F.col("id").alias("src_id"),
+        F.lit("ASSIGNED_TO").alias("rel_label"),
+        F.lit("EntraGroup").alias("dst_label"),
+        F.col("group_id").alias("dst_id"),
+    )
+    return nodes, _shape_edges(
+        edges.unionByName(assigned), update_tag, tenant_id
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sync
+# ---------------------------------------------------------------------------
+
+
+def _scoped_gc(store, labels: tuple[str, ...], tenant_id: str,
+               update_tag: int) -> dict:
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label=TENANT_LABEL,
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("TENANT_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    out = {}
+    for label in labels:
+        if label not in store.manifest["nodes"]:
+            continue
+        out[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=rel,
+            ),
+            update_tag,
+            {"TENANT_ID": tenant_id},
+        )
+    return out
+
+
+def sync_intune(store, devices_raw, apps_aggregate_raw, apps_raw,
+                policies_raw, tenant_id: str, update_tag: int) -> dict:
+    """``intel/microsoft/intune/__init__.py`` order: devices, detected
+    apps, compliance policies; AzureTenant-scoped GC for all labels."""
+    metrics = {
+        "tenant": store.merge_nodes(
+            _tenant_node(store.spark, tenant_id, update_tag), update_tag
+        )
+    }
+    if devices_raw is not None:
+        nodes, edges = transform_intune_managed_devices(
+            devices_raw, tenant_id, update_tag
+        )
+        metrics["devices_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["devices_edges"] = store.merge_edges(edges, update_tag)
+    if apps_aggregate_raw is not None or apps_raw is not None:
+        empty = store.spark.createDataFrame(
+            [("[]",)], "payload_json string"
+        )
+        nodes, edges = transform_intune_detected_apps(
+            apps_aggregate_raw if apps_aggregate_raw is not None else empty,
+            apps_raw, tenant_id, update_tag,
+        )
+        metrics["apps_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["apps_edges"] = store.merge_edges(edges, update_tag)
+    if policies_raw is not None:
+        nodes, edges = transform_intune_compliance_policies(
+            policies_raw, tenant_id, update_tag
+        )
+        metrics["policies_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["policies_edges"] = store.merge_edges(edges, update_tag)
+    metrics.update(_scoped_gc(
+        store,
+        ("IntuneManagedDevice", "IntuneDetectedApp",
+         "IntuneCompliancePolicy"),
+        tenant_id, update_tag,
+    ))
+    store.record_lineage("intune_sync", {"update_tag": update_tag})
+    return metrics

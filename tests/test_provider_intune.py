@@ -1,0 +1,274 @@
+"""Intune provider parity, mirrored from the reference's
+``tests/integration/cartography/intel/microsoft/intune/test_intune.py``
+assertions. The detected-app export fixtures are the reference's own
+(plain dicts, loaded read-only via the ast literal evaluator); the
+managed-device and compliance-policy fixtures use msgraph SDK model
+classes the evaluator refuses to execute, so the same values are
+transcribed here in the Graph REST JSON shape the provider consumes
+(``tests/data/microsoft/intune/{managed_devices,compliance_policies}.py``)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.intune import (
+    sync_intune,
+    transform_intune_compliance_policies,
+    transform_intune_detected_apps,
+)
+from tests.test_fixture_parity_github import _load_fixture_ns
+
+APPS_FIXTURE = "/root/reference/tests/data/microsoft/intune/detected_apps.py"
+TENANT = "02b2b7cc-fb03-4324-bf6b-eb207b39c479"
+USER1 = "ae4ac864-4433-4ba6-96a6-20f8cffdadcb"
+USER2 = "11dca63b-cb03-4e53-bb75-fa8060285550"
+GROUP = "18feec2a-b1e5-4e73-bbbb-8cae11678441"
+TAG = 123456789
+
+APP_CHROME = "4f5cf2a0a1c0f5b9d4601f6ca58f5a0c9b5d77e11c1f"
+APP_TAILSCALE = "da8ab4f0d2cfe2bb9486778d6a628673da7a6e20b1dd"
+APP_CURSOR = "75c4c0a1f23d4e5b98aa1274c1e0dbbb73f0fffeabcd"
+APP_INVENTORY = "0142ec1846a5fe5aae49d155590a2116300000904abcd"
+
+# tests/data/microsoft/intune/managed_devices.py transcribed to the
+# Graph REST JSON the provider consumes (enum .value strings)
+MANAGED_DEVICES = [
+    {
+        "id": "device-001", "deviceName": "Shyam's MacBook Pro",
+        "userId": USER1, "userPrincipalName": "shyam@subimage.io",
+        "managedDeviceOwnerType": "personal",
+        "operatingSystem": "macOS", "osVersion": "26.3.1",
+        "complianceState": "compliant", "isEncrypted": True,
+        "jailBroken": "Unknown", "managementAgent": "mdm",
+        "manufacturer": "Apple", "model": "MacBook Pro (16-inch, 2024)",
+        "serialNumber": "LL4KTK2PGD", "imei": "", "meid": "",
+        "wiFiMacAddress": "AA:BB:CC:DD:EE:01",
+        "azureADDeviceId": "c384a93c-3ce3-49c2-9491-e784c12a609a",
+        "azureADRegistered": True,
+        "deviceEnrollmentType": "userEnrollment",
+        "deviceRegistrationState": "registered", "isSupervised": True,
+        "enrolledDateTime": "2026-03-18T23:14:56Z",
+        "lastSyncDateTime": "2026-03-19T19:01:22Z",
+        "easActivated": False, "easDeviceId": "ApplLL4KTK2PGD",
+        "totalStorageSpaceInBytes": 512000000000,
+        "freeStorageSpaceInBytes": 256000000000,
+        "physicalMemoryInBytes": 36000000000,
+    },
+    {
+        "id": "device-002", "deviceName": "Test Windows Laptop",
+        "userId": USER2, "userPrincipalName": "testuser@subimage.io",
+        "managedDeviceOwnerType": "company",
+        "operatingSystem": "Windows", "osVersion": "11.0.22631",
+        "complianceState": "noncompliant", "isEncrypted": False,
+        "jailBroken": "False", "managementAgent": "mdm",
+        "manufacturer": "Dell", "model": "Latitude 5540",
+        "serialNumber": "DELL12345",
+        "wiFiMacAddress": "AA:BB:CC:DD:EE:02",
+        "ethernetMacAddress": "FF:GG:HH:II:JJ:02",
+        "azureADDeviceId": "d495b04d-4df4-5ad3-a502-f895d23b710b",
+        "azureADRegistered": True,
+        "deviceEnrollmentType": "windowsAzureADJoin",
+        "deviceRegistrationState": "registered", "isSupervised": False,
+        "enrolledDateTime": "2026-03-10T10:00:00Z",
+        "lastSyncDateTime": "2026-03-19T12:00:00Z",
+        "easActivated": False,
+        "totalStorageSpaceInBytes": 256000000000,
+        "freeStorageSpaceInBytes": 100000000000,
+        "physicalMemoryInBytes": 16000000000,
+    },
+]
+
+# tests/data/microsoft/intune/compliance_policies.py transcribed
+COMPLIANCE_POLICIES = [
+    {
+        "id": "policy-001",
+        "@odata.type": "#microsoft.graph.macOSCompliancePolicy",
+        "displayName": "macOS Compliance Policy",
+        "description": "Require encryption and minimum OS version for macOS devices",
+        "version": 1,
+        "createdDateTime": "2026-03-01T12:00:00Z",
+        "lastModifiedDateTime": "2026-03-15T08:30:00Z",
+        "assignments": [
+            {"target": {
+                "@odata.type": "#microsoft.graph.groupAssignmentTarget",
+                "groupId": GROUP,
+            }},
+        ],
+    },
+    {
+        "id": "policy-002",
+        "@odata.type": "#microsoft.graph.androidCompliancePolicy",
+        "displayName": "Android Compliance Policy",
+        "description": "Default compliance for Android devices",
+        "version": 1,
+        "createdDateTime": "2026-03-05T10:00:00Z",
+        "lastModifiedDateTime": "2026-03-05T10:00:00Z",
+        "assignments": [
+            {"target": {
+                "@odata.type": "#microsoft.graph.allDevicesAssignmentTarget",
+            }},
+        ],
+    },
+]
+
+
+@pytest.fixture(scope="module")
+def app_fixture():
+    if not os.path.exists(APPS_FIXTURE):
+        pytest.skip("reference fixture not available")
+    ns = _load_fixture_ns(APPS_FIXTURE)
+    return {
+        "aggregate": ns["MOCK_DETECTED_APP_AGGREGATE_ROWS"],
+        "raw": ns["MOCK_DETECTED_APP_RAW_ROWS"],
+    }
+
+
+def _raw(spark, data):
+    return spark.createDataFrame(
+        [(json.dumps(data),)], "payload_json string"
+    )
+
+
+def test_intune_sync_parity(spark, tmp_store, app_fixture):
+    """test_intune.py:162-240 — device/app/policy node sets,
+    ENROLLED_TO, HAS_APP, ASSIGNED_TO, RESOURCE scoping."""
+    sync_intune(
+        tmp_store,
+        _raw(spark, MANAGED_DEVICES),
+        _raw(spark, app_fixture["aggregate"]),
+        _raw(spark, app_fixture["raw"]),
+        _raw(spark, COMPLIANCE_POLICIES),
+        TENANT, TAG,
+    )
+    devs = tmp_store.nodes(["IntuneManagedDevice"]).collect()
+    assert {
+        (r["id"], r["props"]["device_name"], r["props"]["compliance_state"])
+        for r in devs
+    } == {
+        ("device-001", "Shyam's MacBook Pro", "compliant"),
+        ("device-002", "Test Windows Laptop", "noncompliant"),
+    }
+    apps = tmp_store.nodes(["IntuneDetectedApp"]).collect()
+    assert {
+        (r["id"], r["props"]["display_name"]) for r in apps
+    } == {
+        (APP_INVENTORY, "Microsoft Device Inventory Agent"),
+        (APP_CHROME, "Google Chrome"),
+        (APP_CURSOR, "Cursor (User)"),
+        (APP_TAILSCALE, "Tailscale"),
+    }
+    pols = tmp_store.nodes(["IntuneCompliancePolicy"]).collect()
+    assert {
+        (r["id"], r["props"]["display_name"], r["props"]["platform"])
+        for r in pols
+    } == {
+        ("policy-001", "macOS Compliance Policy", "macOS"),
+        ("policy-002", "Android Compliance Policy", "android"),
+    }
+
+    edges = tmp_store.edges().collect()
+    assert {
+        (e["src_id"], e["dst_id"]) for e in edges
+        if e["rel_label"] == "ENROLLED_TO"
+    } == {(USER1, "device-001"), (USER2, "device-002")}
+    assert {
+        (e["src_id"], e["dst_id"]) for e in edges
+        if e["rel_label"] == "HAS_APP"
+    } == {
+        ("device-001", APP_CHROME),
+        ("device-002", APP_CHROME),
+        ("device-002", APP_INVENTORY),
+        ("device-001", APP_TAILSCALE),
+    }
+    assert {
+        (e["src_id"], e["dst_id"]) for e in edges
+        if e["rel_label"] == "ASSIGNED_TO"
+    } == {("policy-001", GROUP)}
+    assert {
+        (e["dst_id"], e["src_id"]) for e in edges
+        if e["rel_label"] == "RESOURCE"
+        and e["dst_label"] == "IntuneManagedDevice"
+    } == {("device-001", TENANT), ("device-002", TENANT)}
+
+
+def test_app_union_and_device_count_fallback(spark, app_fixture):
+    """detected_apps.py:158-247 — nodes = union of both exports;
+    aggregate DeviceCount preferred; raw-only apps fall back to the
+    distinct-device count."""
+    nodes, _ = transform_intune_detected_apps(
+        _raw(spark, app_fixture["aggregate"]),
+        _raw(spark, app_fixture["raw"]),
+        TENANT, TAG,
+    )
+    props = {r["id"]: r["props"] for r in nodes.collect()}
+    assert props[APP_CHROME]["device_count"] == "2"       # aggregate wins
+    assert props[APP_INVENTORY]["device_count"] == "1"    # raw fallback
+    assert props[APP_CURSOR]["device_count"] == "1"       # aggregate only
+    assert props[APP_INVENTORY]["publisher"] == "Microsoft Corporation"
+
+
+def test_policy_all_targets_flags_not_edges(spark):
+    """compliance_policies.py:80-100 — allDevices/allLicensedUsers
+    become flags, never ASSIGNED_TO edges; no-assignment policies
+    still produce a node."""
+    policies = COMPLIANCE_POLICIES + [{
+        "id": "policy-003",
+        "@odata.type": "#microsoft.graph.iosCompliancePolicy",
+        "displayName": "Unassigned", "version": 1,
+    }]
+    nodes, edges = transform_intune_compliance_policies(
+        _raw(spark, policies), TENANT, TAG
+    )
+    props = {r["id"]: r["props"] for r in nodes.collect()}
+    assert props["policy-002"]["applies_to_all_devices"] == "true"
+    assert props["policy-002"]["applies_to_all_users"] == "false"
+    assert props["policy-003"]["platform"] == "ios"
+    assigned = [
+        e for e in edges.collect() if e["rel_label"] == "ASSIGNED_TO"
+    ]
+    assert {(e["src_id"], e["dst_id"]) for e in assigned} == {
+        ("policy-001", GROUP)
+    }
+
+
+def test_gc_and_device_registry(spark, tmp_store, app_fixture):
+    """Scoped GC sweeps retired devices and their HAS_APP edges;
+    IntuneManagedDevice feeds the canonical Device stage."""
+    from cartography_spark.plans.ontology_devices import (
+        DEFAULT_DEVICE_SOURCES,
+        sync_ontology_devices,
+    )
+
+    sync_intune(
+        tmp_store,
+        _raw(spark, MANAGED_DEVICES),
+        _raw(spark, app_fixture["aggregate"]),
+        _raw(spark, app_fixture["raw"]),
+        None, TENANT, TAG,
+    )
+    sync_ontology_devices(tmp_store, DEFAULT_DEVICE_SOURCES, TAG)
+    devices = {
+        r["id"] for r in tmp_store.nodes()
+        .where(F.col("label") == "Device").collect()
+    }
+    assert {"LL4KTK2PGD", "DELL12345"} <= devices
+    observed = {
+        (r["src_id"], r["dst_label"]) for r in tmp_store.edges()
+        .where(F.col("rel_label") == "OBSERVED_AS").collect()
+    }
+    assert ("LL4KTK2PGD", "IntuneManagedDevice") in observed
+
+    sync_intune(
+        tmp_store, _raw(spark, MANAGED_DEVICES[:1]), None, None, None,
+        TENANT, TAG + 1,
+    )
+    remaining = {
+        r["id"] for r in tmp_store.nodes(["IntuneManagedDevice"]).collect()
+    }
+    assert remaining == {"device-001"}
+    assert not [
+        e for e in tmp_store.edges().collect()
+        if e["rel_label"] == "HAS_APP" and e["src_id"] == "device-002"
+    ]

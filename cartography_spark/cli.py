@@ -112,17 +112,16 @@ def main(argv: list[str] | None = None) -> int:
         metrics: dict = {"update_tag": tag}
         if "users" in stages:
             from cartography_spark.plans.ontology_users import (
-                default_user_mapping,
+                DEFAULT_USER_SOURCES,
                 sync_ontology_users,
-                UserSource,
             )
 
-            # default sources: any provider account labels present that
-            # carry the canonical email/name fields
+            # default sources: every registry label present in the
+            # store, in the reference's source-of-truth precedence
+            # order (USERACCOUNTS_ONTOLOGY_MAPPING)
             sources = tuple(
-                UserSource(lbl, default_user_mapping())
-                for lbl in ("OktaUser", "GSuiteUser")
-                if lbl in store.manifest["nodes"]
+                s for s in DEFAULT_USER_SOURCES
+                if s.node_label in store.manifest["nodes"]
             )
             metrics["users"] = sync_ontology_users(store, sources, tag)
         if "packages" in stages:

@@ -81,6 +81,90 @@ class UserSource:
     mapping: OntologyNodeMapping
 
 
+def _mapping(fields: tuple[OntologyFieldMapping, ...]) -> OntologyNodeMapping:
+    return OntologyNodeMapping(node_label="User", fields=fields)
+
+
+_F = OntologyFieldMapping
+
+# Per-provider canonical-user mappings, transcribed from the
+# reference's USERACCOUNTS_ONTOLOGY_MAPPING
+# (models/ontology/mapping/data/useraccounts.py) for every label a
+# shipped provider emits; tuple order = source-of-truth precedence
+# (the reference dict's iteration order restricted to these labels).
+DEFAULT_USER_SOURCES: tuple[UserSource, ...] = (
+    UserSource("EntraUser", _mapping((
+        _F("email", "email", required=True),
+        _F("firstname", "given_name"),
+        _F("lastname", "surname"),
+        _F("fullname", "display_name"),
+        _F("active", "account_enabled"),
+    ))),
+    UserSource("GSuiteUser", _mapping((
+        _F("email", "email", required=True),
+        _F("firstname", "given_name"),
+        _F("lastname", "family_name"),
+        _F("fullname", "name"),
+        _F("has_mfa", "is_enrolled_in_2_sv"),
+        _F("active", "suspended", special_handling="nor_boolean",
+           extra={"fields": ["archived"]}),
+        _F("lastactivity", "last_login_time"),
+    ))),
+    UserSource("DuoUser", _mapping((
+        _F("email", "email", required=True),
+        _F("firstname", "firstname"),
+        _F("lastname", "lastname"),
+        _F("username", "username"),
+        _F("fullname", "realname"),
+        _F("lastactivity", "last_login"),
+        _F("active", "status", special_handling="equal_boolean",
+           extra={"values": ["active", "bypass"]}),
+    ))),
+    UserSource("GitHubUser", _mapping((
+        _F("email", "email", required=True),
+        _F("username", "username"),
+        _F("fullname", "fullname"),
+        _F("has_mfa", "has_2fa_enabled"),
+    ))),
+    UserSource("SnipeitUser", _mapping((
+        _F("email", "email", required=True),
+        _F("username", "username"),
+    ))),
+    UserSource("TailscaleUser", _mapping((
+        _F("email", "email", required=True),
+        _F("fullname", "display_name"),
+        _F("username", "login_name"),
+        _F("active", "status", special_handling="equal_boolean",
+           extra={"values": ["active", "idle"]}),
+    ))),
+    UserSource("OktaUser", _mapping((
+        _F("email", "email", required=True),
+        _F("firstname", "first_name"),
+        _F("lastname", "last_name"),
+        _F("lastactivity", "last_login"),
+    ))),
+    UserSource("GoogleWorkspaceUser", _mapping((
+        _F("email", "email", required=True),
+        _F("firstname", "given_name"),
+        _F("lastname", "family_name"),
+        _F("fullname", "name"),
+        _F("has_mfa", "is_enrolled_in_2_sv"),
+        _F("active", "suspended", special_handling="nor_boolean",
+           extra={"fields": ["archived"]}),
+        _F("lastactivity", "last_login_time"),
+    ))),
+    UserSource("JumpCloudUser", _mapping((
+        _F("email", "email", required=True),
+        _F("firstname", "firstname"),
+        _F("lastname", "lastname"),
+        _F("username", "username"),
+        _F("active", "suspended", special_handling="invert_boolean"),
+        _F("has_mfa", "mfa_configured"),
+        _F("lastactivity", "lastlogin"),
+    ))),
+)
+
+
 def _props_as_columns(df: DataFrame, fields: Sequence[str]) -> DataFrame:
     """Expose props-map entries as columns so the ontology compiler's
     ``F.col(node_field)`` expressions resolve against store rows."""
@@ -99,16 +183,21 @@ def extract_source_users(store: GraphStore, source: UserSource) -> DataFrame:
     """
     if source.node_label not in store.manifest["nodes"]:
         return store.spark.createDataFrame(
-            [], "email string, fullname string, firstname string, lastname string, "
-                "active boolean"
+            [], ", ".join(f"{m.ontology_field} string"
+                          for m in source.mapping.fields)
         )
     node_fields = [m.node_field for m in source.mapping.fields if m.node_field] + [
         f for m in source.mapping.fields for f in m.extra.get("fields", [])
     ]
     prov = _props_as_columns(store.nodes([source.node_label]), node_fields)
     out = apply_ontology(prov, source.mapping)
+    # all-string canonical frames: per-source mappings disagree on which
+    # fields carry special handling (boolean vs raw), and the
+    # precedence union needs one type per column; User props are
+    # stringified at load anyway
     return out.select(
-        *[F.col(f"_ont_{m.ontology_field}").alias(m.ontology_field)
+        *[F.col(f"_ont_{m.ontology_field}").cast("string")
+          .alias(m.ontology_field)
           for m in source.mapping.fields]
     )
 

@@ -4,7 +4,9 @@ Mirrors the reference's Entra intel module
 (``intel/microsoft/entra/{users,groups}.py``) over Graph-SDK-shaped
 JSON payloads:
 
-* **Users**: ``EntraUser`` nodes (display/given/surname, UPN, mail,
+* **Users**: ``EntraUser`` nodes (display/given/surname, UPN, email —
+  the SDK's ``mail`` surfaced as ``email`` per ``models/microsoft/
+  entra/user.py:35-37``,
   department, job title, account_enabled, ``manager_id`` from the
   manager directory object) scoped ``(tenant)-[:RESOURCE]->(user)``;
   the manager chain materializes as ``(user)-[:REPORTS_TO]->(manager)``
@@ -79,7 +81,7 @@ def transform_entra_users(
             F.map_from_arrays(
                 F.array(*[F.lit(k) for k in (
                     "display_name", "given_name", "surname",
-                    "user_principal_name", "mail", "department", "job_title",
+                    "user_principal_name", "email", "department", "job_title",
                     "account_enabled", "manager_id",
                 )]),
                 F.array(

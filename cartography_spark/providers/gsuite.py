@@ -91,7 +91,7 @@ def transform_gsuite_users(
                 F.array(*[F.lit(k) for k in (
                     "email", "name", "family_name", "given_name",
                     "org_unit_path", "is_admin", "is_delegated_admin",
-                    "is_enforced_in_2sv", "is_enrolled_in_2sv", "suspended",
+                    "is_enforced_in_2_sv", "is_enrolled_in_2_sv", "suspended",
                     "archived", "agreed_to_terms",
                     "change_password_at_next_login", "creation_time",
                     "last_login_time", "customer_id",

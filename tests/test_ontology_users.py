@@ -190,3 +190,60 @@ def test_source_of_truth_precedence_per_field(spark, tmp_store):
     assert dana["active"] == "false"
     # GSuite still fills the field Okta lacks
     assert dana["firstname"] == "Dana"
+
+
+def test_default_user_sources_registry(spark, tmp_store):
+    """DEFAULT_USER_SOURCES mirrors USERACCOUNTS_ONTOLOGY_MAPPING
+    (models/ontology/mapping/data/useraccounts.py) per provider label:
+    field renames (Entra surname/display_name, Okta first_name),
+    equal_boolean (Duo status), invert_boolean (JumpCloud suspended),
+    nor_boolean over suspended+archived (GSuite), and precedence —
+    Entra outranks every other source per the reference dict order."""
+    from cartography_spark.plans.ontology_users import DEFAULT_USER_SOURCES
+
+    rows = [
+        ("EntraUser", "e-1",
+         json.dumps({"email": "kim@corp.io", "given_name": "Kim",
+                     "surname": "Lee", "display_name": "Kim Lee (Entra)",
+                     "account_enabled": "true"})),
+        ("OktaUser", "ok-1",
+         json.dumps({"email": "kim@corp.io", "first_name": "Kimberly",
+                     "last_name": "Leigh", "last_login": "2026-01-01"})),
+        ("DuoUser", "duo-1",
+         json.dumps({"email": "pat@corp.io", "realname": "Pat P",
+                     "status": "bypass", "username": "pat"})),
+        ("JumpCloudUser", "jc-1",
+         json.dumps({"email": "sam@corp.io", "suspended": "true",
+                     "mfa_configured": "true", "lastlogin": "2026-02-02"})),
+        ("GSuiteUser", "gs-1",
+         json.dumps({"email": "gil@corp.io", "name": "Gil G",
+                     "suspended": "false", "archived": "true",
+                     "is_enrolled_in_2_sv": "true"})),
+        # required email missing → dropped, never a canonical node
+        ("DuoUser", "duo-2", json.dumps({"realname": "No Email"})),
+    ]
+    tmp_store.merge_nodes(_node_rows(spark, rows, T1), T1)
+    sources = tuple(
+        s for s in DEFAULT_USER_SOURCES
+        if s.node_label in tmp_store.manifest["nodes"]
+    )
+    sync_ontology_users(tmp_store, sources, T1)
+    users = {r["id"]: r["props"] for r in tmp_store.nodes(["User"]).collect()}
+    assert set(users) == {"kim@corp.io", "pat@corp.io", "sam@corp.io",
+                          "gil@corp.io"}
+    kim = users["kim@corp.io"]
+    # Entra wins the fields both sources carry; Okta backfills the rest
+    assert kim["firstname"] == "Kim"
+    assert kim["lastname"] == "Lee"
+    assert kim["fullname"] == "Kim Lee (Entra)"
+    assert kim["active"] == "true"
+    assert kim["lastactivity"] == "2026-01-01"
+    # Duo bypass counts as active (equal_boolean values)
+    assert users["pat@corp.io"]["active"] == "true"
+    assert users["pat@corp.io"]["username"] == "pat"
+    # JumpCloud suspended=true inverts to active=false; has_mfa flows
+    assert users["sam@corp.io"]["active"] == "false"
+    assert users["sam@corp.io"]["has_mfa"] == "true"
+    # GSuite nor(suspended=false, archived=true) → inactive
+    assert users["gil@corp.io"]["active"] == "false"
+    assert users["gil@corp.io"]["has_mfa"] == "true"

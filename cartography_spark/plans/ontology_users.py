@@ -100,6 +100,13 @@ DEFAULT_USER_SOURCES: tuple[UserSource, ...] = (
         _F("fullname", "display_name"),
         _F("active", "account_enabled"),
     ))),
+    UserSource("LastpassUser", _mapping((
+        _F("email", "email", required=True),
+        _F("fullname", "name"),
+        _F("has_mfa", "multifactor", special_handling="to_boolean"),
+        _F("active", "disabled", special_handling="invert_boolean"),
+        _F("lastactivity", "last_login"),
+    ))),
     UserSource("GSuiteUser", _mapping((
         _F("email", "email", required=True),
         _F("firstname", "given_name"),

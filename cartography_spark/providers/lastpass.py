@@ -1,0 +1,207 @@
+"""LastPass provider: tenant + enterprise users with Human identity
+linking.
+
+Mirrors the reference's ``intel/lastpass/users.py`` sync
+(``transform``:54-64 — the ``getuserdata`` response's ``Users`` dict
+keyed by uid; ``created``/``last_pw_change``/``last_login`` parsed to
+epoch **milliseconds**, empty strings → null) and
+``models/lastpass/user.py`` (``email`` surfaced from the API's
+``username`` field; ``name`` from ``fullname``) as ``from_json`` map
+explosion — zero Python rows.
+
+Graph shape:
+
+* ``LastpassTenant`` (id = cid) — root, ``RESOURCE`` scoping.
+* ``LastpassUser`` — per-uid account nodes, ``UserAccount`` extra
+  label (the useraccounts ontology family).
+* ``(:Human)-[:IDENTITY_LASTPASS]->(:LastpassUser)``
+  (``models/lastpass/user.py:94-104``): LastPass links **only to
+  pre-existing** Human nodes (created by identity providers like
+  GSuite/Okta) — re-expressed as an equi-join of usernames against the
+  store's current Human emails, so a LastPass account without a known
+  Human produces no edge, exactly like the reference's MATCH-target
+  rel loader.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+TENANT_LABEL = "LastpassTenant"
+
+LASTPASS_USER_STRUCT = (
+    "struct<username:string, fullname:string, mpstrength:string, "
+    "created:string, last_pw_change:string, last_login:string, "
+    "neverloggedin:string, disabled:string, admin:string, "
+    "totalscore:string, multifactor:string, sites:string, notes:string, "
+    "formfills:string, applications:string, attachments:string, "
+    "password_reset_required:string>"
+)
+LASTPASS_RESPONSE_STRUCT = f"struct<Users:map<string,{LASTPASS_USER_STRUCT}>>"
+
+
+def _props_map(pairs: list[tuple[str, Column]]) -> Column:
+    return F.map_filter(
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k, _ in pairs]),
+            F.array(*[v.cast("string") for _, v in pairs]),
+        ),
+        lambda _k, v: v.isNotNull(),
+    )
+
+
+def _shape_nodes(df: DataFrame, update_tag: int, extra=None) -> DataFrame:
+    return df.select(
+        "label",
+        "id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        (extra if extra is not None else F.lit(None).cast("array<string>"))
+        .alias("extra_labels"),
+        "props",
+    )
+
+
+def _shape_edges(df: DataFrame, update_tag: int, tenant_id: str) -> DataFrame:
+    return df.select(
+        "src_label", "src_id", "rel_label", "dst_label", "dst_id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(TENANT_LABEL).alias("sub_resource_label"),
+        F.lit(tenant_id).alias("sub_resource_id"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    ).dropDuplicates(["src_label", "src_id", "rel_label", "dst_label", "dst_id"])
+
+
+def _epoch_ms(col: Column) -> Column:
+    """``transform``:58-63 — ``'YYYY-MM-DD HH:MM:SS'`` → epoch millis,
+    empty/absent → null."""
+    return (
+        F.unix_timestamp(
+            F.nullif(col, F.lit("")), "yyyy-MM-dd HH:mm:ss"
+        ) * 1000
+    ).cast("long")
+
+
+def transform_lastpass_users(
+    raw: DataFrame, tenant_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    users = raw.select(
+        F.explode(
+            F.from_json("payload_json", LASTPASS_RESPONSE_STRUCT)["Users"]
+        ).alias("uid", "u")
+    )
+    nodes = _shape_nodes(
+        users.select(
+            F.lit("LastpassUser").alias("label"),
+            F.col("uid").alias("id"),
+            _props_map([
+                ("name", F.col("u.fullname")),
+                ("email", F.col("u.username")),
+                ("created", _epoch_ms(F.col("u.created"))),
+                ("last_pw_change", _epoch_ms(F.col("u.last_pw_change"))),
+                ("last_login", _epoch_ms(F.col("u.last_login"))),
+                ("neverloggedin", F.col("u.neverloggedin")),
+                ("disabled", F.col("u.disabled")),
+                ("admin", F.col("u.admin")),
+                ("totalscore", F.col("u.totalscore")),
+                ("mpstrength", F.col("u.mpstrength")),
+                ("sites", F.col("u.sites")),
+                ("notes", F.col("u.notes")),
+                ("formfills", F.col("u.formfills")),
+                ("applications", F.col("u.applications")),
+                ("attachments", F.col("u.attachments")),
+                ("password_reset_required",
+                 F.col("u.password_reset_required")),
+                ("multifactor", F.col("u.multifactor")),
+            ]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+        extra=F.array(F.lit("UserAccount")),
+    )
+    edges = users.select(
+        F.lit(TENANT_LABEL).alias("src_label"),
+        F.lit(tenant_id).alias("src_id"),
+        F.lit("RESOURCE").alias("rel_label"),
+        F.lit("LastpassUser").alias("dst_label"),
+        F.col("uid").alias("dst_id"),
+    )
+    return nodes, _shape_edges(edges, update_tag, tenant_id)
+
+
+def identity_edges(store, users_nodes: DataFrame, tenant_id: str,
+                   update_tag: int) -> DataFrame:
+    """``LastpassHumanToUserRel``: link ONLY to Humans that already
+    exist in the graph, matched on ``Human.email == username``."""
+    if "Human" not in store.manifest["nodes"]:
+        return None
+    humans = store.nodes(["Human"]).select(
+        F.col("id").alias("human_id"),
+        F.element_at("props", "email").alias("human_email"),
+    ).where(F.col("human_email").isNotNull())
+    accounts = users_nodes.select(
+        F.col("id").alias("lp_id"),
+        F.element_at("props", "email").alias("lp_email"),
+    ).where(F.col("lp_email").isNotNull())
+    pairs = accounts.join(
+        F.broadcast(humans),
+        accounts["lp_email"] == humans["human_email"],
+    ).select(
+        F.lit("Human").alias("src_label"),
+        F.col("human_id").alias("src_id"),
+        F.lit("IDENTITY_LASTPASS").alias("rel_label"),
+        F.lit("LastpassUser").alias("dst_label"),
+        F.col("lp_id").alias("dst_id"),
+    )
+    return _shape_edges(pairs, update_tag, tenant_id)
+
+
+def sync_lastpass(store, users_raw, tenant_id: str, update_tag: int) -> dict:
+    tenant = store.spark.createDataFrame(
+        [(TENANT_LABEL, str(tenant_id))], "label string, id string"
+    ).withColumn("props", F.lit(None).cast("map<string,string>"))
+    metrics = {
+        "tenant": store.merge_nodes(
+            _shape_nodes(tenant, update_tag,
+                         extra=F.array(F.lit("Tenant"))),
+            update_tag,
+        )
+    }
+    if users_raw is not None:
+        nodes, edges = transform_lastpass_users(
+            users_raw, str(tenant_id), update_tag
+        )
+        metrics["users_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["users_edges"] = store.merge_edges(edges, update_tag)
+        ident = identity_edges(store, nodes, str(tenant_id), update_tag)
+        if ident is not None:
+            metrics["identity_edges"] = store.merge_edges(ident, update_tag)
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    if "LastpassUser" in store.manifest["nodes"]:
+        rel = RelSchema(
+            rel_label="RESOURCE",
+            target_node_label=TENANT_LABEL,
+            target_node_matcher=TargetNodeMatcher(
+                {"id": PropertyRef("TENANT_ID", set_in_kwargs=True)}
+            ),
+            direction=LinkDirection.INWARD,
+        )
+        metrics["gc_LastpassUser"] = run_cleanup(
+            store,
+            NodeSchema(
+                label="LastpassUser",
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=rel,
+            ),
+            update_tag,
+            {"TENANT_ID": str(tenant_id)},
+        )
+    store.record_lineage("lastpass_sync", {"update_tag": update_tag})
+    return metrics

@@ -1,0 +1,134 @@
+"""LastPass provider parity, mirrored from the reference's
+``tests/integration/cartography/intel/lastpass/test_users.py``
+assertions over its actual ``tests/data/lastpass/users.py`` fixture
+(loaded read-only via the ast literal evaluator): user node set with
+the username→email surface, epoch-millisecond timestamp parsing,
+link-only-to-existing-Human IDENTITY_LASTPASS semantics, tenant
+RESOURCE scoping, and scoped GC."""
+
+import datetime
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.lastpass import (
+    sync_lastpass,
+    transform_lastpass_users,
+)
+from tests.test_fixture_parity_github import _load_fixture_ns
+
+FIXTURE = "/root/reference/tests/data/lastpass/users.py"
+TENANT = "11223344"
+TAG = 123456789
+
+
+@pytest.fixture(scope="module")
+def lp_fixture():
+    if not os.path.exists(FIXTURE):
+        pytest.skip("reference fixture not available")
+    return _load_fixture_ns(FIXTURE)["LASTPASS_USERS"]
+
+
+def _raw(spark, data):
+    return spark.createDataFrame(
+        [(json.dumps(data),)], "payload_json string"
+    )
+
+
+def _seed_humans(spark, store, emails):
+    rows = spark.createDataFrame(
+        [("Human", e) for e in emails], "label string, id string"
+    ).select(
+        "label", "id",
+        F.lit(TAG).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        F.lit(None).cast("array<string>").alias("extra_labels"),
+        F.map_from_arrays(F.array(F.lit("email")),
+                          F.array(F.col("id"))).alias("props"),
+    )
+    store.merge_nodes(rows, TAG)
+
+
+def test_users_parity_and_timestamps(spark, lp_fixture):
+    """test_users.py:66-70 — (id, email) set; transform:58-63 — epoch
+    millis, empty last_login → absent."""
+    nodes, edges = transform_lastpass_users(_raw(spark, lp_fixture),
+                                            TENANT, TAG)
+    rows = {r["id"]: r["props"] for r in nodes.collect()}
+    assert {
+        (i, p["email"]) for i, p in rows.items()
+    } == {
+        ("123456", "mbsimpson@simpson.corp"),
+        ("234567", "hjsimpson@simpson.corp"),
+    }
+    # dt_parse('2022-08-31 04:45:15').timestamp()*1000 in a UTC session
+    expected = int(datetime.datetime(
+        2022, 8, 31, 4, 45, 15, tzinfo=datetime.timezone.utc
+    ).timestamp() * 1000)
+    assert rows["123456"]["created"] == str(expected)
+    assert "last_login" not in rows["123456"]      # empty string → null
+    assert rows["234567"]["disabled"] == "true"
+    assert {
+        (e["src_id"], e["dst_id"]) for e in edges.collect()
+        if e["rel_label"] == "RESOURCE"
+    } == {(TENANT, "123456"), (TENANT, "234567")}
+
+
+def test_identity_links_only_existing_humans(spark, tmp_store, lp_fixture):
+    """test_users.py:92-106 — IDENTITY_LASTPASS only where a Human
+    with that email already exists."""
+    _seed_humans(spark, tmp_store, ["mbsimpson@simpson.corp"])
+    sync_lastpass(tmp_store, _raw(spark, lp_fixture), TENANT, TAG)
+    idents = {
+        (e["src_id"], e["dst_id"])
+        for e in tmp_store.edges(["IDENTITY_LASTPASS"]).collect()
+    }
+    # homer has no pre-existing Human → no edge (the reference's
+    # MATCH-target loader would match nothing)
+    assert idents == {("mbsimpson@simpson.corp", "123456")}
+
+
+def test_gc_sweeps_departed_users(spark, tmp_store, lp_fixture):
+    _seed_humans(spark, tmp_store,
+                 ["mbsimpson@simpson.corp", "hjsimpson@simpson.corp"])
+    sync_lastpass(tmp_store, _raw(spark, lp_fixture), TENANT, TAG)
+    assert len(tmp_store.nodes(["LastpassUser"]).collect()) == 2
+
+    only_marge = {"Users": {
+        k: v for k, v in lp_fixture["Users"].items()
+        if v["username"] == "mbsimpson@simpson.corp"
+    }}
+    sync_lastpass(tmp_store, _raw(spark, only_marge), TENANT, TAG + 1)
+    remaining = {
+        r["id"] for r in tmp_store.nodes(["LastpassUser"]).collect()
+    }
+    assert remaining == {"123456"}
+    assert not [
+        e for e in tmp_store.edges(["IDENTITY_LASTPASS"]).collect()
+        if e["dst_id"] == "234567"
+    ]
+
+
+def test_feeds_user_registry(spark, tmp_store, lp_fixture):
+    """LastpassUser slots into DEFAULT_USER_SOURCES: multifactor →
+    has_mfa to_boolean ('lastpassauth' non-null → true), disabled
+    inverts to active."""
+    from cartography_spark.plans.ontology_users import (
+        DEFAULT_USER_SOURCES,
+        sync_ontology_users,
+    )
+
+    sync_lastpass(tmp_store, _raw(spark, lp_fixture), TENANT, TAG)
+    sources = tuple(
+        s for s in DEFAULT_USER_SOURCES
+        if s.node_label in tmp_store.manifest["nodes"]
+    )
+    sync_ontology_users(tmp_store, sources, TAG)
+    users = {r["id"]: r["props"]
+             for r in tmp_store.nodes(["User"]).collect()}
+    assert users["mbsimpson@simpson.corp"]["fullname"] == "Marge Simpson"
+    assert users["mbsimpson@simpson.corp"]["has_mfa"] == "true"
+    assert users["mbsimpson@simpson.corp"]["active"] == "true"
+    assert users["hjsimpson@simpson.corp"]["active"] == "false"

@@ -540,6 +540,136 @@ TAILSCALE_KEY_EXPIRY_DISABLED = Fact(
 )
 
 
+# identity MFA gap pack (rules/data/rules/identity_mfa_gaps.py twin):
+# per-provider enforcement/enrollment gaps. NULL MFA fields are
+# unknown, never flagged — only explicit false/0 values fire.
+
+CLOUDFLARE_2FA_NOT_ENFORCED = Fact(
+    id="cloudflare_account_2fa_not_enforced",
+    name="Cloudflare accounts do not enforce two-factor authentication",
+    description="Cloudflare accounts whose account-level two-factor "
+    "enforcement setting is disabled "
+    "(identity_mfa_gaps.py:21-55 twin).",
+    sql_query="""
+        SELECT 'cloudflare' AS provider, id AS account_id,
+               props['name'] AS account_name, id AS principal_id,
+               props['name'] AS principal_name,
+               'account' AS principal_type,
+               'two_factor_not_enforced' AS issue,
+               props['enforce_twofactor'] AS current_value
+        FROM nodes
+        WHERE label = 'CloudflareAccount'
+          AND props['enforce_twofactor'] = 'false'
+    """,
+    count_sql="SELECT count(*) AS count FROM nodes "
+              "WHERE label = 'CloudflareAccount'",
+    identity_fields=("account_id",),
+    asset_label="CloudflareAccount",
+    asset_id_field="account_id",
+)
+
+LASTPASS_MFA_MISSING = Fact(
+    id="lastpass_user_mfa_missing",
+    name="Active LastPass users without multifactor authentication",
+    description="Active LastPass users whose multifactor field is "
+    "explicitly false; NULL is unknown and not flagged "
+    "(identity_mfa_gaps.py:58-101 twin).",
+    sql_query="""
+        SELECT 'lastpass' AS provider, e.src_id AS account_id,
+               e.src_id AS account_name, n.id AS principal_id,
+               coalesce(n.props['email'], n.props['name'], n.id)
+                 AS principal_name,
+               CASE WHEN coalesce(n.props['admin'], 'false') = 'true'
+                    THEN 'admin' ELSE 'user' END AS principal_type,
+               'mfa_not_configured' AS issue,
+               n.props['multifactor'] AS current_value
+        FROM nodes n JOIN edges e
+          ON e.rel_label = 'RESOURCE'
+         AND e.src_label = 'LastpassTenant'
+         AND e.dst_label = 'LastpassUser' AND e.dst_id = n.id
+        WHERE n.label = 'LastpassUser'
+          AND coalesce(n.props['disabled'], 'false') = 'false'
+          AND lower(coalesce(n.props['multifactor'], ''))
+              IN ('false', '0')
+    """,
+    count_sql="""
+        SELECT count(*) AS count FROM nodes
+        WHERE label = 'LastpassUser'
+          AND coalesce(props['disabled'], 'false') = 'false'
+    """,
+    identity_fields=("principal_id",),
+    asset_label="LastpassUser",
+    asset_id_field="principal_id",
+)
+
+JUMPCLOUD_MFA_MISSING = Fact(
+    id="jumpcloud_user_mfa_missing",
+    name="Active JumpCloud users without multifactor authentication",
+    description="Activated, non-suspended JumpCloud users whose "
+    "mfa_configured field is explicitly false "
+    "(identity_mfa_gaps.py:104-151 twin).",
+    sql_query="""
+        SELECT 'jumpcloud' AS provider, e.src_id AS account_id,
+               e.src_id AS account_name, n.id AS principal_id,
+               coalesce(n.props['email'], n.props['username'], n.id)
+                 AS principal_name,
+               'user' AS principal_type,
+               'mfa_not_configured' AS issue,
+               n.props['mfa_configured'] AS current_value
+        FROM nodes n JOIN edges e
+          ON e.rel_label = 'RESOURCE'
+         AND e.src_label = 'JumpCloudTenant'
+         AND e.dst_label = 'JumpCloudUser' AND e.dst_id = n.id
+        WHERE n.label = 'JumpCloudUser'
+          AND coalesce(n.props['activated'], 'true') = 'true'
+          AND coalesce(n.props['suspended'], 'false') = 'false'
+          AND lower(coalesce(n.props['mfa_configured'], ''))
+              IN ('false', '0')
+    """,
+    count_sql="""
+        SELECT count(*) AS count FROM nodes
+        WHERE label = 'JumpCloudUser'
+          AND coalesce(props['activated'], 'true') = 'true'
+          AND coalesce(props['suspended'], 'false') = 'false'
+    """,
+    identity_fields=("principal_id",),
+    asset_label="JumpCloudUser",
+    asset_id_field="principal_id",
+)
+
+DUO_NOT_ENROLLED = Fact(
+    id="duo_user_not_enrolled",
+    name="Active Duo users not enrolled in MFA",
+    description="Non-disabled Duo users whose is_enrolled field is "
+    "explicitly false (identity_mfa_gaps.py:153-194 twin).",
+    sql_query="""
+        SELECT 'duo' AS provider, e.src_id AS account_id,
+               e.src_id AS account_name, n.id AS principal_id,
+               coalesce(n.props['email'], n.props['username'],
+                        n.props['realname'], n.id) AS principal_name,
+               'user' AS principal_type,
+               'mfa_not_enrolled' AS issue,
+               n.props['is_enrolled'] AS current_value
+        FROM nodes n JOIN edges e
+          ON e.rel_label = 'RESOURCE'
+         AND e.src_label = 'DuoApiHost'
+         AND e.dst_label = 'DuoUser' AND e.dst_id = n.id
+        WHERE n.label = 'DuoUser'
+          AND coalesce(n.props['status'], 'active') <> 'disabled'
+          AND lower(coalesce(n.props['is_enrolled'], ''))
+              IN ('false', '0')
+    """,
+    count_sql="""
+        SELECT count(*) AS count FROM nodes
+        WHERE label = 'DuoUser'
+          AND coalesce(props['status'], 'active') <> 'disabled'
+    """,
+    identity_fields=("principal_id",),
+    asset_label="DuoUser",
+    asset_id_field="principal_id",
+)
+
+
 # ---------------------------------------------------------------------------
 # Rule / Framework tree (rules/spec/model.py:286-360, :504-524) and
 # runners (rules/runners.py) — the product surface above the Fact core
@@ -718,6 +848,18 @@ ALL_RULES: tuple[Rule, ...] = (
         version="0.2.0",
         facts=(TAILSCALE_KEY_EXPIRY_DISABLED,),
         frameworks=(iso27001_annex_a("5.17"), soc2_tsc("CC6.1")),
+    ),
+    Rule(
+        id="identity_mfa_gaps",
+        name="Identity MFA Gaps",
+        tags=("identity", "mfa", "compliance", "stride:spoofing"),
+        description="Provider-specific MFA enforcement and enrollment "
+        "gaps for Cloudflare, LastPass, JumpCloud, and Duo "
+        "(rules/data/rules/identity_mfa_gaps.py).",
+        version="0.1.0",
+        facts=(CLOUDFLARE_2FA_NOT_ENFORCED, LASTPASS_MFA_MISSING,
+               JUMPCLOUD_MFA_MISSING, DUO_NOT_ENROLLED),
+        frameworks=(iso27001_annex_a("8.5"), soc2_tsc("CC6.1")),
     ),
 )
 

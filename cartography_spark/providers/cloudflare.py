@@ -41,7 +41,10 @@ LABEL_ZONE = "CloudflareZone"
 LABEL_RECORD = "CloudflareDNSRecord"
 
 ACCOUNTS_STRUCT = (
-    "array<struct<id:string, name:string, created_on:string>>"
+    "array<struct<id:string, name:string, created_on:string, "
+    "settings:struct<abuse_contact_email:string, "
+    "default_nameservers:array<string>, enforce_twofactor:string, "
+    "use_account_custom_ns_by_default:string>>>"
 )
 ZONES_STRUCT = (
     "array<struct<id:string, name:string, status:string, paused:string, "
@@ -101,6 +104,13 @@ def transform_accounts(raw: DataFrame, update_tag: int) -> DataFrame:
         _props_map([
             ("name", F.col("name")),
             ("created_on", F.col("created_on")),
+            # settings.* flattening (models/cloudflare/account.py:17-32)
+            ("abuse_contact_email", F.col("settings.abuse_contact_email")),
+            ("default_nameservers",
+             F.array_join(F.col("settings.default_nameservers"), ",")),
+            ("enforce_twofactor", F.col("settings.enforce_twofactor")),
+            ("use_account_custom_ns_by_default",
+             F.col("settings.use_account_custom_ns_by_default")),
         ]).alias("props"),
     ).dropDuplicates(["id"])
     return _shape_nodes(nodes, update_tag, extra=F.array(F.lit("Tenant")))

@@ -447,3 +447,114 @@ def test_tailscale_configuration_gap_facts(spark, tmp_store):
     assert rows[0]["asset_id"] == "n-exp"
     assert rows[0]["asset_name"] == "laptop-a"
     assert rows[0]["tailnet_id"] == "x.co"
+
+
+@pytest.fixture(scope="module")
+def mfa_store(spark, tmp_path_factory):
+    """Seed the four identity-MFA providers with one failing and one
+    passing principal each (identity_mfa_gaps.py fixtures in spirit)."""
+    from cartography_spark.store.graphstore import GraphStore
+
+    root = str(tmp_path_factory.mktemp("mfa_store"))
+    store = GraphStore(spark, root)
+
+    def nodes(label, rows):
+        df = spark.createDataFrame(
+            [(r["id"],
+              {k: v for k, v in r.items() if k != "id" and v is not None})
+             for r in rows],
+            "id string, props map<string,string>",
+        )
+        return df.select(
+            F.lit(label).alias("label"), "id",
+            F.lit(1).cast("long").alias("lastupdated"),
+            F.lit(None).cast("string").alias("content_sha256"),
+            F.lit(None).cast("array<string>").alias("extra_labels"),
+            "props",
+        )
+
+    def edges(rows):
+        df = spark.createDataFrame(
+            rows, "src_label string, src_id string, rel_label string, "
+                  "dst_label string, dst_id string",
+        )
+        return df.select(
+            *df.columns,
+            F.lit(1).cast("long").alias("lastupdated"),
+            F.lit(None).cast("string").alias("sub_resource_label"),
+            F.lit(None).cast("string").alias("sub_resource_id"),
+            F.lit(None).cast("map<string,string>").alias("props"),
+        )
+
+    store.merge_nodes(nodes("CloudflareAccount", [
+        {"id": "cf-lax", "name": "Lax Org", "enforce_twofactor": "false"},
+        {"id": "cf-strict", "name": "Strict Org",
+         "enforce_twofactor": "true"},
+        {"id": "cf-unknown", "name": "Unknown Org"},  # NULL: not flagged
+    ]), 1)
+    store.merge_nodes(nodes("LastpassTenant", [{"id": "lp-t"}]), 1)
+    store.merge_nodes(nodes("LastpassUser", [
+        {"id": "lp-1", "email": "nomfa@x.co", "multifactor": "false"},
+        {"id": "lp-2", "email": "mfa@x.co", "multifactor": "lastpassauth"},
+        {"id": "lp-3", "email": "gone@x.co", "disabled": "true",
+         "multifactor": "false"},          # disabled: out of scope
+        {"id": "lp-4", "email": "null@x.co"},  # NULL: unknown, not flagged
+    ]), 1)
+    store.merge_nodes(nodes("JumpCloudTenant", [{"id": "jc-org"}]), 1)
+    store.merge_nodes(nodes("JumpCloudUser", [
+        {"id": "jc-1", "email": "nomfa@x.co", "mfa_configured": "false"},
+        {"id": "jc-2", "email": "mfa@x.co", "mfa_configured": "true"},
+        {"id": "jc-3", "email": "susp@x.co", "suspended": "true",
+         "mfa_configured": "false"},
+    ]), 1)
+    store.merge_nodes(nodes("DuoApiHost", [{"id": "api-x.duo.com"}]), 1)
+    store.merge_nodes(nodes("DuoUser", [
+        {"id": "duo-1", "username": "bart", "is_enrolled": "false"},
+        {"id": "duo-2", "username": "lisa", "is_enrolled": "true"},
+        {"id": "duo-3", "username": "old", "status": "disabled",
+         "is_enrolled": "false"},
+    ]), 1)
+    store.merge_edges(edges(
+        [("LastpassTenant", "lp-t", "RESOURCE", "LastpassUser", i)
+         for i in ("lp-1", "lp-2", "lp-3", "lp-4")]
+        + [("JumpCloudTenant", "jc-org", "RESOURCE", "JumpCloudUser", i)
+           for i in ("jc-1", "jc-2", "jc-3")]
+        + [("DuoApiHost", "api-x.duo.com", "RESOURCE", "DuoUser", i)
+           for i in ("duo-1", "duo-2", "duo-3")]
+    ), 1)
+    return store
+
+
+def test_identity_mfa_gaps_pack(mfa_store):
+    """identity_mfa_gaps.py twins: only explicit false/0 values fire;
+    disabled/suspended principals and NULLs never do."""
+    from cartography_spark.plans.rules import (
+        ALL_RULES,
+        CLOUDFLARE_2FA_NOT_ENFORCED,
+        DUO_NOT_ENROLLED,
+        JUMPCLOUD_MFA_MISSING,
+        LASTPASS_MFA_MISSING,
+        run_rule,
+    )
+
+    res = run_fact(mfa_store, CLOUDFLARE_2FA_NOT_ENFORCED)
+    assert _ids(res, "account_id") == {"cf-lax"}
+    assert res["total"] == 3
+
+    res = run_fact(mfa_store, LASTPASS_MFA_MISSING)
+    assert _ids(res, "principal_id") == {"lp-1"}
+    assert res["total"] == 3  # disabled lp-3 out of the denominator
+
+    res = run_fact(mfa_store, JUMPCLOUD_MFA_MISSING)
+    assert _ids(res, "principal_id") == {"jc-1"}
+
+    res = run_fact(mfa_store, DUO_NOT_ENROLLED)
+    assert _ids(res, "principal_id") == {"duo-1"}
+    assert res["findings"].collect()[0]["principal_name"] == "bart"
+
+    rule = next(r for r in ALL_RULES if r.id == "identity_mfa_gaps")
+    out = run_rule(mfa_store, rule)
+    assert {f["fact_id"] for f in out["facts"]} == {
+        "cloudflare_account_2fa_not_enforced", "lastpass_user_mfa_missing",
+        "jumpcloud_user_mfa_missing", "duo_user_not_enrolled",
+    }

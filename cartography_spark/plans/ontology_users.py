@@ -133,6 +133,13 @@ DEFAULT_USER_SOURCES: tuple[UserSource, ...] = (
         _F("fullname", "fullname"),
         _F("has_mfa", "has_2fa_enabled"),
     ))),
+    UserSource("GitLabUser", _mapping((
+        _F("email", "email", required=True),
+        _F("username", "username"),
+        _F("fullname", "name"),
+        _F("active", "state", special_handling="equal_boolean",
+           extra={"values": ["active"]}),
+    ))),
     UserSource("SnipeitUser", _mapping((
         _F("email", "email", required=True),
         _F("username", "username"),

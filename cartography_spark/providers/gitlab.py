@@ -1,0 +1,497 @@
+"""GitLab provider: organization, groups, projects, users, commit
+activity.
+
+Mirrors the reference's ``intel/gitlab`` core sync family as
+``from_json`` + ``explode`` column expressions and JVM-side
+aggregations — zero Python rows:
+
+* **Organization** (``organizations.py:27-50``,
+  ``models/gitlab/organizations.py``): one ``GitLabOrganization``
+  (top-level group) per sync, ``Tenant`` extra label; its ``web_url``
+  is the boundary that decides which projects count as org-level.
+* **Groups** (``groups.py:35-59``, ``models/gitlab/groups.py``):
+  ``GitLabGroup`` nodes with org ``RESOURCE`` scoping and the
+  subgroup containment edge ``(child)-[:MEMBER_OF]->(parent)``
+  resolved from ``parent_id`` only where the parent is itself a
+  synced group.
+* **Projects** (``projects.py:116-181``,
+  ``models/gitlab/projects.py``): only ``namespace.kind == 'group'``
+  projects; ``group_id`` set only for NESTED groups (a namespace
+  whose ``web_url`` equals the org's is org-level —
+  ``projects.py:147-153``), languages carried as a JSON text prop;
+  org ``RESOURCE`` + nested-group ``CAN_ACCESS`` edges.
+* **Users + memberships** (``users.py:193-290``,
+  ``models/gitlab/users.py``): org/group member feeds unioned per
+  user; ``_bot_`` usernames (group/project access tokens) skipped;
+  ``MEMBER_OF`` edges per (user, group) carrying ``role`` (the
+  ``ACCESS_LEVEL_TO_ROLE`` map, unknown otherwise) and
+  ``access_level`` as edge props.
+* **Commit activity** (``users.py:90-190``): commits matched to users
+  by ``author_email`` first, ``author_name`` fallback; one
+  ``COMMITTED_TO`` edge per (user, project) with
+  ``commit_count``/``first_commit_date``/``last_commit_date`` edge
+  props from a single groupBy — the reference's driver-side dict
+  aggregation as a map-side-combinable shuffle.
+
+``GitLabUser`` feeds the ontology users registry
+(``DEFAULT_USER_SOURCES``-compatible email/username/name/state props).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+ORG_LABEL = "GitLabOrganization"
+
+GITLAB_ORG_STRUCT = (
+    "array<struct<id:string, web_url:string, name:string, path:string, "
+    "full_path:string, description:string, visibility:string, "
+    "created_at:string>>"
+)
+GITLAB_GROUPS_STRUCT = (
+    "array<struct<id:string, web_url:string, name:string, path:string, "
+    "full_path:string, description:string, visibility:string, "
+    "parent_id:string, created_at:string>>"
+)
+GITLAB_PROJECTS_STRUCT = (
+    "array<struct<id:string, web_url:string, name:string, path:string, "
+    "path_with_namespace:string, description:string, visibility:string, "
+    "default_branch:string, archived:boolean, created_at:string, "
+    "last_activity_at:string, "
+    "namespace:struct<id:string, name:string, path:string, kind:string, "
+    "full_path:string, web_url:string>>>"
+)
+GITLAB_LANGUAGES_STRUCT = "map<string,map<string,double>>"
+GITLAB_MEMBERS_STRUCT = (
+    "array<struct<group_id:string, members:array<struct<id:string, "
+    "username:string, name:string, state:string, email:string, "
+    "web_url:string, is_admin:boolean, access_level:int>>>>"
+)
+GITLAB_COMMITS_STRUCT = (
+    "array<struct<project_id:string, commits:array<struct<id:string, "
+    "author_name:string, author_email:string, committed_date:string, "
+    "message:string>>>>"
+)
+
+# users.py:32-38
+_ROLE_KEYS = (10, 20, 30, 40, 50)
+_ROLE_VALS = ("guest", "reporter", "developer", "maintainer", "owner")
+
+
+def _props_map(pairs: list[tuple[str, Column]]) -> Column:
+    return F.map_filter(
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k, _ in pairs]),
+            F.array(*[v.cast("string") for _, v in pairs]),
+        ),
+        lambda _k, v: v.isNotNull(),
+    )
+
+
+def _shape_nodes(df: DataFrame, update_tag: int, extra=None) -> DataFrame:
+    return df.select(
+        "label",
+        "id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        (extra if extra is not None else F.lit(None).cast("array<string>"))
+        .alias("extra_labels"),
+        "props",
+    )
+
+
+def _shape_edges(df: DataFrame, update_tag: int, org_id: str) -> DataFrame:
+    cols = df.columns
+    return df.select(
+        "src_label", "src_id", "rel_label", "dst_label", "dst_id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(ORG_LABEL).alias("sub_resource_label"),
+        F.lit(org_id).alias("sub_resource_id"),
+        (F.col("props") if "props" in cols
+         else F.lit(None).cast("map<string,string>")).alias("props"),
+    ).dropDuplicates(["src_label", "src_id", "rel_label", "dst_label", "dst_id"])
+
+
+def _resource_edges(ids: DataFrame, org_id: str, dst_label: str) -> DataFrame:
+    return ids.select(
+        F.lit(ORG_LABEL).alias("src_label"),
+        F.lit(org_id).alias("src_id"),
+        F.lit("RESOURCE").alias("rel_label"),
+        F.lit(dst_label).alias("dst_label"),
+        F.col("id").alias("dst_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Organization / groups
+# ---------------------------------------------------------------------------
+
+
+def transform_gitlab_organization(
+    raw: DataFrame, gitlab_url: str, update_tag: int
+) -> DataFrame:
+    orgs = raw.select(
+        F.explode(F.from_json("payload_json", GITLAB_ORG_STRUCT)).alias("o")
+    ).select("o.*")
+    return _shape_nodes(
+        orgs.select(
+            F.lit(ORG_LABEL).alias("label"),
+            F.col("id"),
+            _props_map([
+                ("web_url", F.col("web_url")),
+                ("name", F.col("name")),
+                ("path", F.col("path")),
+                ("full_path", F.col("full_path")),
+                ("description", F.col("description")),
+                ("visibility", F.col("visibility")),
+                ("created_at", F.col("created_at")),
+                ("gitlab_url", F.lit(gitlab_url)),
+            ]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+        extra=F.array(F.lit("Tenant")),
+    )
+
+
+def transform_gitlab_groups(
+    raw: DataFrame, org_id: str, gitlab_url: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    groups = raw.select(
+        F.explode(F.from_json("payload_json", GITLAB_GROUPS_STRUCT)).alias("g")
+    ).select("g.*")
+    nodes = _shape_nodes(
+        groups.select(
+            F.lit("GitLabGroup").alias("label"),
+            F.col("id"),
+            _props_map([
+                ("web_url", F.col("web_url")),
+                ("name", F.col("name")),
+                ("path", F.col("path")),
+                ("full_path", F.col("full_path")),
+                ("description", F.col("description")),
+                ("visibility", F.col("visibility")),
+                ("parent_id", F.col("parent_id")),
+                ("created_at", F.col("created_at")),
+                ("gitlab_url", F.lit(gitlab_url)),
+            ]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+    )
+    edges = _resource_edges(groups.select("id"), org_id, "GitLabGroup")
+    # (child)-[:MEMBER_OF]->(parent) only where the parent is itself in
+    # this sync's group set (models/gitlab/groups.py:89-103 matcher)
+    parents = groups.select(F.col("id").alias("parent_key"))
+    containment = groups.where(F.col("parent_id").isNotNull()).join(
+        F.broadcast(parents),
+        F.col("parent_id") == F.col("parent_key"),
+    ).select(
+        F.lit("GitLabGroup").alias("src_label"),
+        F.col("id").alias("src_id"),
+        F.lit("MEMBER_OF").alias("rel_label"),
+        F.lit("GitLabGroup").alias("dst_label"),
+        F.col("parent_id").alias("dst_id"),
+    )
+    return nodes, _shape_edges(
+        edges.unionByName(containment), update_tag, org_id
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projects
+# ---------------------------------------------------------------------------
+
+
+def transform_gitlab_projects(
+    raw: DataFrame, languages_raw: DataFrame | None, org_id: str,
+    org_url: str, gitlab_url: str, update_tag: int,
+) -> tuple[DataFrame, DataFrame]:
+    """``projects.py:116-181``: group-kind namespaces only; nested
+    groups get ``CAN_ACCESS``; languages carried as JSON text."""
+    projects = raw.select(
+        F.explode(F.from_json("payload_json", GITLAB_PROJECTS_STRUCT))
+        .alias("p")
+    ).select("p.*").where(F.col("namespace.kind") == "group")
+    projects = projects.withColumn(
+        "group_id",
+        F.when(F.col("namespace.web_url") == org_url,
+               F.lit(None).cast("string"))
+        .otherwise(F.col("namespace.id")),
+    )
+    if languages_raw is not None:
+        langs = languages_raw.select(
+            F.explode(F.from_json("payload_json", GITLAB_LANGUAGES_STRUCT))
+            .alias("proj_key", "lang_map")
+        ).select("proj_key", F.to_json("lang_map").alias("languages"))
+        projects = projects.join(
+            F.broadcast(langs),
+            projects["id"] == langs["proj_key"], "left",
+        ).drop("proj_key")
+    else:
+        projects = projects.withColumn("languages",
+                                       F.lit(None).cast("string"))
+    nodes = _shape_nodes(
+        projects.select(
+            F.lit("GitLabProject").alias("label"),
+            F.col("id"),
+            _props_map([
+                ("web_url", F.col("web_url")),
+                ("name", F.col("name")),
+                ("path", F.col("path")),
+                ("path_with_namespace", F.col("path_with_namespace")),
+                ("description", F.col("description")),
+                ("visibility", F.col("visibility")),
+                ("default_branch", F.col("default_branch")),
+                ("archived", F.coalesce(F.col("archived"), F.lit(False))),
+                ("created_at", F.col("created_at")),
+                ("last_activity_at", F.col("last_activity_at")),
+                ("org_id", F.lit(org_id)),
+                ("group_id", F.col("group_id")),
+                ("gitlab_url", F.lit(gitlab_url)),
+                ("languages", F.col("languages")),
+            ]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+    )
+    edges = _resource_edges(projects.select("id"), org_id, "GitLabProject")
+    can_access = projects.where(F.col("group_id").isNotNull()).select(
+        F.lit("GitLabGroup").alias("src_label"),
+        F.col("group_id").alias("src_id"),
+        F.lit("CAN_ACCESS").alias("rel_label"),
+        F.lit("GitLabProject").alias("dst_label"),
+        F.col("id").alias("dst_id"),
+    )
+    return nodes, _shape_edges(
+        edges.unionByName(can_access), update_tag, org_id
+    )
+
+
+# ---------------------------------------------------------------------------
+# Users / memberships / commit activity
+# ---------------------------------------------------------------------------
+
+
+def _explode_members(raw: DataFrame) -> DataFrame:
+    return raw.select(
+        F.explode(F.from_json("payload_json", GITLAB_MEMBERS_STRUCT))
+        .alias("grp")
+    ).select(
+        F.col("grp.group_id").alias("group_id"),
+        F.explode("grp.members").alias("m"),
+    ).select("group_id", "m.*").where(
+        F.col("id").isNotNull()
+        # users.py:219-222 — group/project access-token bots
+        & ~F.coalesce(F.col("username"), F.lit("")).contains("_bot_")
+    )
+
+
+def transform_gitlab_users(
+    org_members_raw: DataFrame, group_members_raw: DataFrame | None,
+    org_id: str, gitlab_url: str, update_tag: int,
+) -> tuple[DataFrame, DataFrame]:
+    org_m = _explode_members(org_members_raw)
+    group_m = (_explode_members(group_members_raw)
+               if group_members_raw is not None else None)
+    all_m = org_m if group_m is None else org_m.unionByName(group_m)
+    nodes = _shape_nodes(
+        all_m.groupBy("id").agg(
+            F.first("username", ignorenulls=True).alias("username"),
+            F.first("name", ignorenulls=True).alias("name"),
+            F.first("state", ignorenulls=True).alias("state"),
+            F.first("email", ignorenulls=True).alias("email"),
+            F.first("web_url", ignorenulls=True).alias("web_url"),
+            F.max("is_admin").alias("is_admin"),
+        ).select(
+            F.lit("GitLabUser").alias("label"),
+            F.col("id"),
+            _props_map([
+                ("username", F.col("username")),
+                ("name", F.col("name")),
+                ("state", F.col("state")),
+                ("email", F.col("email")),
+                ("web_url", F.col("web_url")),
+                ("is_admin", F.col("is_admin")),
+                ("gitlab_url", F.lit(gitlab_url)),
+            ]).alias("props"),
+        ),
+        update_tag,
+        extra=F.array(F.lit("UserAccount")),
+    )
+    edges = _resource_edges(
+        all_m.select("id").distinct(), org_id, "GitLabUser"
+    )
+    member_of = None
+    if group_m is not None:
+        role_map = F.create_map(
+            *[c for pair in zip(_ROLE_KEYS, _ROLE_VALS)
+              for c in (F.lit(pair[0]), F.lit(pair[1]))]
+        )
+        member_of = group_m.where(F.col("group_id").isNotNull()).select(
+            F.lit("GitLabUser").alias("src_label"),
+            F.col("id").alias("src_id"),
+            F.lit("MEMBER_OF").alias("rel_label"),
+            F.lit("GitLabGroup").alias("dst_label"),
+            F.col("group_id").alias("dst_id"),
+            _props_map([
+                ("role",
+                 F.coalesce(F.element_at(role_map, F.col("access_level")),
+                            F.lit("unknown"))),
+                ("access_level", F.col("access_level")),
+            ]).alias("props"),
+        )
+    shaped = _shape_edges(edges, update_tag, org_id)
+    if member_of is not None:
+        shaped = shaped.unionByName(
+            _shape_edges(member_of, update_tag, org_id)
+        )
+    return nodes, shaped
+
+
+def transform_gitlab_commit_activity(
+    commits_raw: DataFrame, users_nodes: DataFrame, org_id: str,
+    update_tag: int,
+) -> DataFrame:
+    """``users.py:90-190``: email-first, name-fallback author match →
+    per-(user, project) commit_count / first / last edge props."""
+    commits = commits_raw.select(
+        F.explode(F.from_json("payload_json", GITLAB_COMMITS_STRUCT))
+        .alias("pc")
+    ).select(
+        F.col("pc.project_id").alias("project_id"),
+        F.explode("pc.commits").alias("c"),
+    ).select(
+        "project_id",
+        F.col("c.author_email").alias("author_email"),
+        F.col("c.author_name").alias("author_name"),
+        F.col("c.committed_date").alias("committed_date"),
+    ).where(F.col("committed_date").isNotNull())
+    users = users_nodes.select(
+        F.col("id").alias("user_id"),
+        F.element_at("props", "email").alias("u_email"),
+        F.element_at("props", "name").alias("u_name"),
+    )
+    by_email = users.where(F.col("u_email").isNotNull()) \
+        .select("user_id", F.col("u_email").alias("match_key")) \
+        .dropDuplicates(["match_key"])
+    by_name = users.where(F.col("u_name").isNotNull()) \
+        .select(F.col("user_id").alias("name_user_id"),
+                F.col("u_name").alias("name_key")) \
+        .dropDuplicates(["name_key"])
+    matched = commits.join(
+        F.broadcast(by_email),
+        commits["author_email"] == by_email["match_key"], "left",
+    ).join(
+        F.broadcast(by_name),
+        commits["author_name"] == by_name["name_key"], "left",
+    ).withColumn(
+        "resolved_user",
+        F.coalesce("user_id", "name_user_id"),
+    ).where(F.col("resolved_user").isNotNull())
+    activity = matched.groupBy("resolved_user", "project_id").agg(
+        F.count(F.lit(1)).alias("commit_count"),
+        F.min("committed_date").alias("first_commit_date"),
+        F.max("committed_date").alias("last_commit_date"),
+    )
+    edges = activity.select(
+        F.lit("GitLabUser").alias("src_label"),
+        F.col("resolved_user").alias("src_id"),
+        F.lit("COMMITTED_TO").alias("rel_label"),
+        F.lit("GitLabProject").alias("dst_label"),
+        F.col("project_id").alias("dst_id"),
+        _props_map([
+            ("commit_count", F.col("commit_count")),
+            ("first_commit_date", F.col("first_commit_date")),
+            ("last_commit_date", F.col("last_commit_date")),
+        ]).alias("props"),
+    )
+    return _shape_edges(edges, update_tag, org_id)
+
+
+# ---------------------------------------------------------------------------
+# Sync
+# ---------------------------------------------------------------------------
+
+
+def _scoped_gc(store, labels: tuple[str, ...], org_id: str,
+               update_tag: int) -> dict:
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label=ORG_LABEL,
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("ORG_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    out = {}
+    for label in labels:
+        if label not in store.manifest["nodes"]:
+            continue
+        out[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=rel,
+            ),
+            update_tag,
+            {"ORG_ID": org_id},
+        )
+    return out
+
+
+def sync_gitlab(store, org_raw, groups_raw, projects_raw, languages_raw,
+                org_members_raw, group_members_raw, commits_raw,
+                org_id: str, org_url: str, gitlab_url: str,
+                update_tag: int) -> dict:
+    """``intel/gitlab/__init__.py`` order: organization → groups →
+    projects → users → commit activity; org-scoped GC sweeps each
+    label (the reference runs each stage's schema cleanup with
+    ``org_id``/``gitlab_url`` params)."""
+    metrics: dict = {}
+    if org_raw is not None:
+        metrics["org"] = store.merge_nodes(
+            transform_gitlab_organization(org_raw, gitlab_url, update_tag),
+            update_tag,
+        )
+    if groups_raw is not None:
+        nodes, edges = transform_gitlab_groups(
+            groups_raw, org_id, gitlab_url, update_tag
+        )
+        metrics["groups_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["groups_edges"] = store.merge_edges(edges, update_tag)
+    if projects_raw is not None:
+        nodes, edges = transform_gitlab_projects(
+            projects_raw, languages_raw, org_id, org_url, gitlab_url,
+            update_tag,
+        )
+        metrics["projects_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["projects_edges"] = store.merge_edges(edges, update_tag)
+    users_nodes = None
+    if org_members_raw is not None:
+        users_nodes, edges = transform_gitlab_users(
+            org_members_raw, group_members_raw, org_id, gitlab_url,
+            update_tag,
+        )
+        metrics["users_nodes"] = store.merge_nodes(users_nodes, update_tag)
+        metrics["users_edges"] = store.merge_edges(edges, update_tag)
+    if commits_raw is not None and users_nodes is not None:
+        metrics["commit_edges"] = store.merge_edges(
+            transform_gitlab_commit_activity(
+                commits_raw, users_nodes, org_id, update_tag
+            ),
+            update_tag,
+        )
+    metrics.update(_scoped_gc(
+        store, ("GitLabProject", "GitLabGroup", "GitLabUser"),
+        org_id, update_tag,
+    ))
+    store.record_lineage("gitlab_sync", {"update_tag": update_tag})
+    return metrics

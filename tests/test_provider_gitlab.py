@@ -1,0 +1,197 @@
+"""GitLab provider parity, mirrored from the reference's
+``tests/integration/cartography/intel/gitlab/{test_projects,test_users,
+test_groups,test_organizations}.py`` assertions over its actual
+``tests/data/gitlab/*.py`` fixtures (loaded read-only via the ast
+literal evaluator): org node, group set with subgroup containment,
+project set with the org-level vs nested-group CAN_ACCESS split and
+languages JSON, user/membership transform with bot skipping, and the
+email-first name-fallback commit-activity aggregation."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.gitlab import (
+    sync_gitlab,
+    transform_gitlab_commit_activity,
+    transform_gitlab_projects,
+    transform_gitlab_users,
+)
+from tests.test_fixture_parity_github import _load_fixture_ns
+
+FIXDIR = "/root/reference/tests/data/gitlab"
+URL = "https://gitlab.example.com"
+ORG_URL = "https://gitlab.example.com/myorg"
+TAG = 123456789
+
+
+@pytest.fixture(scope="module")
+def gl_fixture():
+    if not os.path.isdir(FIXDIR):
+        pytest.skip("reference fixture not available")
+    orgs = _load_fixture_ns(f"{FIXDIR}/organizations.py")
+    groups = _load_fixture_ns(f"{FIXDIR}/groups.py")
+    projects = _load_fixture_ns(f"{FIXDIR}/projects.py",
+                                stubs={"json.dumps": json.dumps})
+    users = _load_fixture_ns(f"{FIXDIR}/users.py")
+    return {
+        "org": [orgs["GET_GITLAB_ORGANIZATION_RESPONSE"]],
+        "groups": groups["GET_GITLAB_GROUPS_RESPONSE"],
+        "projects": projects["GET_GITLAB_PROJECTS_RESPONSE"],
+        "languages": projects["LANGUAGES_BY_PROJECT"],
+        "org_members": users["GET_GITLAB_ORG_MEMBERS"],
+        "group_members": users["GET_GITLAB_GROUP_MEMBERS"],
+        "commits": users["GET_GITLAB_COMMITS"],
+    }
+
+
+def _raw(spark, data):
+    return spark.createDataFrame(
+        [(json.dumps(data),)], "payload_json string"
+    )
+
+
+def _members_raw(spark, by_group):
+    return _raw(spark, [
+        {"group_id": gid, "members": members}
+        for gid, members in by_group.items()
+    ])
+
+
+def test_projects_split_and_languages(spark, gl_fixture):
+    """test_projects.py:62-150 — node set, org-level project carries no
+    nested group, CAN_ACCESS only for nested groups, languages JSON."""
+    nodes, edges = transform_gitlab_projects(
+        _raw(spark, gl_fixture["projects"]),
+        _raw(spark, gl_fixture["languages"]),
+        "10", ORG_URL, URL, TAG,
+    )
+    rows = {r["id"]: r["props"] for r in nodes.collect()}
+    assert {
+        (i, p["name"]) for i, p in rows.items()
+    } == {("123", "awesome-project"), ("456", "backend-service"),
+          ("789", "frontend-app")}
+    # namespace.web_url == org url → org-level, no group_id
+    assert "group_id" not in rows["123"]
+    assert rows["456"]["group_id"] == "20"
+    assert json.loads(rows["123"]["languages"]) == {
+        "Python": 65.5, "JavaScript": 34.5
+    }
+    es = edges.collect()
+    assert {
+        (e["src_id"], e["dst_id"]) for e in es
+        if e["rel_label"] == "RESOURCE"
+    } == {("10", "123"), ("10", "456"), ("10", "789")}
+    assert {
+        (e["src_id"], e["dst_id"]) for e in es
+        if e["rel_label"] == "CAN_ACCESS"
+    } == {("20", "456"), ("30", "789")}
+
+
+def test_users_memberships_and_bots(spark, gl_fixture):
+    """users.py:193-290 — user set, MEMBER_OF only for group members
+    with role from the access-level map, bots skipped."""
+    org_members = gl_fixture["org_members"] + [
+        {"id": 99, "username": "group_123_bot_abc", "name": "CI Bot"},
+    ]
+    nodes, edges = transform_gitlab_users(
+        _members_raw(spark, {"100": org_members}),
+        _members_raw(spark, {"20": gl_fixture["group_members"]}),
+        "100", URL, TAG,
+    )
+    rows = {r["id"]: r["props"] for r in nodes.collect()}
+    assert {
+        (i, p["username"], p["name"]) for i, p in rows.items()
+    } == {("1", "alice", "Alice Smith"), ("2", "bob", "Bob Jones")}
+    member_of = [
+        e for e in edges.collect() if e["rel_label"] == "MEMBER_OF"
+    ]
+    assert {(e["src_id"], e["dst_id"]) for e in member_of} == {("1", "20")}
+    assert member_of[0]["props"]["role"] == "maintainer"
+    assert member_of[0]["props"]["access_level"] == "40"
+
+
+def test_commit_activity_aggregation(spark, gl_fixture):
+    """test_users.py:165-230 — per-(user, project) commit_count with
+    first/last dates; email-first matching."""
+    users_nodes, _ = transform_gitlab_users(
+        _members_raw(spark, {"100": gl_fixture["org_members"]}),
+        None, "100", URL, TAG,
+    )
+    edges = transform_gitlab_commit_activity(
+        _raw(spark, [{"project_id": "123",
+                      "commits": gl_fixture["commits"]}]),
+        users_nodes, "100", TAG,
+    ).collect()
+    by_user = {e["src_id"]: e["props"] for e in edges}
+    assert set(by_user) == {"1", "2"}
+    assert by_user["1"]["commit_count"] == "2"
+    assert by_user["1"]["first_commit_date"] == "2024-12-01T10:00:00Z"
+    assert by_user["1"]["last_commit_date"] == "2024-12-05T14:30:00Z"
+    assert by_user["2"]["commit_count"] == "1"
+
+
+def test_name_fallback_matching(spark):
+    """users.py:102-140 — commits without a usable email fall back to
+    author_name; unmatched commits drop."""
+    users_nodes, _ = transform_gitlab_users(
+        _members_raw(spark, {"1": [
+            {"id": 7, "username": "noemail", "name": "No Email"},
+        ]}),
+        None, "1", URL, TAG,
+    )
+    edges = transform_gitlab_commit_activity(
+        _raw(spark, [{"project_id": "5", "commits": [
+            {"author_name": "No Email", "author_email": "x@nowhere.io",
+             "committed_date": "2024-01-01T00:00:00Z"},
+            {"author_name": "Stranger", "author_email": None,
+             "committed_date": "2024-01-02T00:00:00Z"},
+        ]}]),
+        users_nodes, "1", TAG,
+    ).collect()
+    assert {(e["src_id"], e["dst_id"]) for e in edges} == {("7", "5")}
+
+
+def test_sync_gc_and_containment(spark, tmp_store, gl_fixture):
+    """test_groups.py containment + org-scoped GC sweep."""
+    args = dict(
+        org_raw=_raw(spark, gl_fixture["org"]),
+        groups_raw=_raw(spark, gl_fixture["groups"]),
+        projects_raw=_raw(spark, gl_fixture["projects"]),
+        languages_raw=_raw(spark, gl_fixture["languages"]),
+        org_members_raw=_members_raw(
+            spark, {"100": gl_fixture["org_members"]}),
+        group_members_raw=_members_raw(
+            spark, {"20": gl_fixture["group_members"]}),
+        commits_raw=_raw(spark, [
+            {"project_id": "123", "commits": gl_fixture["commits"]}
+        ]),
+    )
+    sync_gitlab(tmp_store, org_id="100", org_url=ORG_URL, gitlab_url=URL,
+                update_tag=TAG, **args)
+    # subgroup containment: Infrastructure (40) MEMBER_OF Platform (20);
+    # top-level groups' parent (the org, 100) is not a group → no edge
+    containment = {
+        (e["src_id"], e["dst_id"])
+        for e in tmp_store.edges(["MEMBER_OF"]).collect()
+        if e["src_label"] == "GitLabGroup"
+    }
+    assert containment == {("40", "20")}
+
+    # retire a project and a group → org-scoped GC sweeps them
+    args["projects_raw"] = _raw(spark, gl_fixture["projects"][:1])
+    args["groups_raw"] = _raw(spark, gl_fixture["groups"][:2])
+    sync_gitlab(tmp_store, org_id="100", org_url=ORG_URL, gitlab_url=URL,
+                update_tag=TAG + 1, **args)
+    assert {
+        r["id"] for r in tmp_store.nodes(["GitLabProject"]).collect()
+    } == {"123"}
+    assert {
+        r["id"] for r in tmp_store.nodes(["GitLabGroup"]).collect()
+    } == {"20", "30"}
+    assert not [
+        e for e in tmp_store.edges(["CAN_ACCESS"]).collect()
+        if e["dst_id"] in ("456", "789")
+    ]

@@ -266,6 +266,146 @@ def transform_gitlab_projects(
 
 
 # ---------------------------------------------------------------------------
+# Dependency files / dependencies
+# ---------------------------------------------------------------------------
+
+GITLAB_DEP_FILES_STRUCT = (
+    "array<struct<project_id:string, project_url:string, "
+    "files:array<struct<name:string, path:string>>>>"
+)
+GITLAB_DEPENDENCIES_STRUCT = (
+    "array<struct<project_id:string, project_url:string, "
+    "dependencies:array<struct<name:string, version:string, "
+    "package_manager:string, manifest_path:string, purl:string, "
+    "type:string, manifest_id:string>>>>"
+)
+
+
+def transform_gitlab_dependency_files(
+    raw: DataFrame, org_id: str, gitlab_url: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """``dependency_files.py:122-150``: id = ``{project_url}/blob/
+    {path}``; project ``HAS_FILE``-style RESOURCE scoping."""
+    files = raw.select(
+        F.explode(F.from_json("payload_json", GITLAB_DEP_FILES_STRUCT))
+        .alias("pf")
+    ).select(
+        F.col("pf.project_id").alias("project_id"),
+        F.col("pf.project_url").alias("project_url"),
+        F.explode("pf.files").alias("f"),
+    ).select(
+        "project_id", "project_url",
+        F.concat("project_url", F.lit("/blob/"), F.col("f.path"))
+        .alias("id"),
+        F.col("f.path").alias("path"),
+        F.col("f.name").alias("filename"),
+    )
+    nodes = _shape_nodes(
+        files.select(
+            F.lit("GitLabDependencyFile").alias("label"),
+            F.col("id"),
+            _props_map([
+                ("path", F.col("path")),
+                ("filename", F.col("filename")),
+                ("project_id", F.col("project_id")),
+                ("project_url", F.col("project_url")),
+                ("gitlab_url", F.lit(gitlab_url)),
+            ]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+    )
+    edges = files.select(
+        F.lit("GitLabProject").alias("src_label"),
+        F.col("project_id").alias("src_id"),
+        F.lit("RESOURCE").alias("rel_label"),
+        F.lit("GitLabDependencyFile").alias("dst_label"),
+        F.col("id").alias("dst_id"),
+    )
+    return nodes, _shape_edges(edges, update_tag, org_id)
+
+
+def transform_gitlab_dependencies(
+    raw: DataFrame, org_id: str, gitlab_url: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """``dependencies.py:463-512``: id = ``{project_url}:{package_
+    manager}:{name}@{version}``; ``normalized_id`` via the shared
+    cross-tool key (PURL leg, ``make_normalized_package_id`` fallback
+    leg when the purl is absent); project ``REQUIRES`` + manifest
+    ``HAS_DEP`` (only where ``manifest_id`` is present)."""
+    from cartography_spark.plans.ontology_packages import (
+        normalize_package_name,
+        normalized_package_id,
+    )
+
+    deps = raw.select(
+        F.explode(F.from_json("payload_json", GITLAB_DEPENDENCIES_STRUCT))
+        .alias("pd")
+    ).select(
+        F.col("pd.project_id").alias("project_id"),
+        F.col("pd.project_url").alias("project_url"),
+        F.explode("pd.dependencies").alias("d"),
+    ).select("project_id", "project_url", "d.*")
+    deps = deps.select(
+        "*",
+        F.concat(
+            "project_url", F.lit(":"),
+            F.coalesce("package_manager", F.lit("unknown")), F.lit(":"),
+            F.coalesce("name", F.lit("")), F.lit("@"),
+            F.coalesce("version", F.lit("")),
+        ).alias("dep_id"),
+        F.coalesce(
+            normalized_package_id(F.col("purl")),
+            # trivy/util.py:99-103 fallback: name+version+type present
+            F.when(
+                F.col("name").isNotNull() & F.col("version").isNotNull()
+                & F.col("type").isNotNull(),
+                F.concat(
+                    F.lower("type"), F.lit("|"),
+                    normalize_package_name(F.col("name"), F.col("type")),
+                    F.lit("|"), F.col("version"),
+                ),
+            ),
+        ).alias("normalized_id"),
+    )
+    nodes = _shape_nodes(
+        deps.select(
+            F.lit("GitLabDependency").alias("label"),
+            F.col("dep_id").alias("id"),
+            _props_map([
+                ("name", F.col("name")),
+                ("version", F.col("version")),
+                ("package_manager", F.col("package_manager")),
+                ("project_id", F.col("project_id")),
+                ("project_url", F.col("project_url")),
+                ("gitlab_url", F.lit(gitlab_url)),
+                ("purl", F.col("purl")),
+                ("type", F.col("type")),
+                ("normalized_id", F.col("normalized_id")),
+                ("manifest_id", F.col("manifest_id")),
+            ]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+    )
+    requires = deps.select(
+        F.lit("GitLabProject").alias("src_label"),
+        F.col("project_id").alias("src_id"),
+        F.lit("REQUIRES").alias("rel_label"),
+        F.lit("GitLabDependency").alias("dst_label"),
+        F.col("dep_id").alias("dst_id"),
+    )
+    has_dep = deps.where(F.col("manifest_id").isNotNull()).select(
+        F.lit("GitLabDependencyFile").alias("src_label"),
+        F.col("manifest_id").alias("src_id"),
+        F.lit("HAS_DEP").alias("rel_label"),
+        F.lit("GitLabDependency").alias("dst_label"),
+        F.col("dep_id").alias("dst_id"),
+    )
+    return nodes, _shape_edges(
+        requires.unionByName(has_dep), update_tag, org_id
+    )
+
+
+# ---------------------------------------------------------------------------
 # Users / memberships / commit activity
 # ---------------------------------------------------------------------------
 
@@ -450,7 +590,8 @@ def _scoped_gc(store, labels: tuple[str, ...], org_id: str,
 def sync_gitlab(store, org_raw, groups_raw, projects_raw, languages_raw,
                 org_members_raw, group_members_raw, commits_raw,
                 org_id: str, org_url: str, gitlab_url: str,
-                update_tag: int) -> dict:
+                update_tag: int, dep_files_raw=None,
+                dependencies_raw=None) -> dict:
     """``intel/gitlab/__init__.py`` order: organization → groups →
     projects → users → commit activity; org-scoped GC sweeps each
     label (the reference runs each stage's schema cleanup with
@@ -489,8 +630,21 @@ def sync_gitlab(store, org_raw, groups_raw, projects_raw, languages_raw,
             ),
             update_tag,
         )
+    if dep_files_raw is not None:
+        nodes, edges = transform_gitlab_dependency_files(
+            dep_files_raw, org_id, gitlab_url, update_tag
+        )
+        metrics["dep_files_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["dep_files_edges"] = store.merge_edges(edges, update_tag)
+    if dependencies_raw is not None:
+        nodes, edges = transform_gitlab_dependencies(
+            dependencies_raw, org_id, gitlab_url, update_tag
+        )
+        metrics["deps_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["deps_edges"] = store.merge_edges(edges, update_tag)
     metrics.update(_scoped_gc(
-        store, ("GitLabProject", "GitLabGroup", "GitLabUser"),
+        store, ("GitLabProject", "GitLabGroup", "GitLabUser",
+                "GitLabDependencyFile", "GitLabDependency"),
         org_id, update_tag,
     ))
     store.record_lineage("gitlab_sync", {"update_tag": update_tag})

@@ -195,3 +195,59 @@ def test_sync_gc_and_containment(spark, tmp_store, gl_fixture):
         e for e in tmp_store.edges(["CAN_ACCESS"]).collect()
         if e["dst_id"] in ("456", "789")
     ]
+
+
+def test_dependencies_parity(spark, gl_fixture):
+    """test_dependencies.py:48-260 — the exact dependency id/name/
+    version/manager tuples, REQUIRES to the project, HAS_DEP only for
+    rows with a manifest_id, normalized cross-tool ids."""
+    from cartography_spark.providers.gitlab import (
+        transform_gitlab_dependencies,
+        transform_gitlab_dependency_files,
+    )
+
+    deps_ns = _load_fixture_ns(f"{FIXDIR}/dependencies.py")
+    raw_deps = deps_ns["GET_GITLAB_DEPENDENCIES_RESPONSE"]
+    proj_url = "https://gitlab.example.com/myorg/awesome-project"
+
+    nodes, edges = transform_gitlab_dependencies(
+        _raw(spark, [{"project_id": "123", "project_url": proj_url,
+                      "dependencies": raw_deps}]),
+        "100", URL, TAG,
+    )
+    rows = {r["id"]: r["props"] for r in nodes.collect()}
+    assert {
+        (i, p["name"], p["version"], p["package_manager"])
+        for i, p in rows.items()
+    } == {
+        (f"{proj_url}:npm:express@4.18.2", "express", "4.18.2", "npm"),
+        (f"{proj_url}:npm:lodash@4.17.21", "lodash", "4.17.21", "npm"),
+        (f"{proj_url}:pypi:requests@2.31.0", "requests", "2.31.0", "pypi"),
+        (f"{proj_url}:golang:gin@1.9.1", "gin", "1.9.1", "golang"),
+    }
+    assert rows[f"{proj_url}:npm:express@4.18.2"]["normalized_id"] == \
+        "npm|express|4.18.2"
+    es = edges.collect()
+    assert {
+        e["dst_id"] for e in es if e["rel_label"] == "REQUIRES"
+        and e["src_id"] == "123"
+    } == set(rows)
+    manifest = f"{proj_url}/blob/package.json"
+    assert {
+        (e["src_id"], e["dst_id"]) for e in es
+        if e["rel_label"] == "HAS_DEP"
+    } == {
+        (manifest, f"{proj_url}:npm:express@4.18.2"),
+        (manifest, f"{proj_url}:npm:lodash@4.17.21"),
+    }
+
+    f_nodes, f_edges = transform_gitlab_dependency_files(
+        _raw(spark, [{"project_id": "123", "project_url": proj_url,
+                      "files": [{"name": "package.json",
+                                 "path": "package.json"}]}]),
+        "100", URL, TAG,
+    )
+    assert [r["id"] for r in f_nodes.collect()] == [manifest]
+    assert {
+        (e["src_id"], e["dst_id"]) for e in f_edges.collect()
+    } == {("123", manifest)}

@@ -251,3 +251,40 @@ def test_dependencies_parity(spark, gl_fixture):
     assert {
         (e["src_id"], e["dst_id"]) for e in f_edges.collect()
     } == {("123", manifest)}
+
+
+def test_dependencies_feed_packages_ontology(spark, tmp_store, gl_fixture):
+    """GitLabDependency rows flow into the canonical PackageVersion
+    stage via their normalized_id (the CLI's package-sources list)."""
+    from cartography_spark.plans.ontology_packages import (
+        PackageSource,
+        sync_ontology_packages,
+    )
+    from cartography_spark.providers.gitlab import (
+        transform_gitlab_dependencies,
+    )
+
+    deps_ns = _load_fixture_ns(f"{FIXDIR}/dependencies.py")
+    proj_url = "https://gitlab.example.com/myorg/awesome-project"
+    nodes, edges = transform_gitlab_dependencies(
+        _raw(spark, [{
+            "project_id": "123", "project_url": proj_url,
+            "dependencies": deps_ns["GET_GITLAB_DEPENDENCIES_RESPONSE"],
+        }]),
+        "100", URL, TAG,
+    )
+    tmp_store.merge_nodes(nodes, TAG)
+    tmp_store.merge_edges(edges, TAG)
+    sync_ontology_packages(
+        tmp_store, (PackageSource("GitLabDependency"),), TAG
+    )
+    versions = {
+        r["id"] for r in tmp_store.nodes(["PackageVersion"]).collect()
+    }
+    assert {"npm|express|4.18.2", "npm|lodash|4.17.21",
+            "pypi|requests|2.31.0", "golang|gin|1.9.1"} <= versions
+    detected = {
+        (e["src_id"], e["dst_label"])
+        for e in tmp_store.edges(["DETECTED_AS"]).collect()
+    }
+    assert ("npm|express|4.18.2", "GitLabDependency") in detected

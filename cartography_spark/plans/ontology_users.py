@@ -140,6 +140,14 @@ DEFAULT_USER_SOURCES: tuple[UserSource, ...] = (
         _F("active", "state", special_handling="equal_boolean",
            extra={"values": ["active"]}),
     ))),
+    UserSource("KeycloakUser", _mapping((
+        _F("email", "email", required=True),
+        _F("username", "username"),
+        _F("firstname", "first_name"),
+        _F("lastname", "last_name"),
+        _F("active", "enabled"),
+        _F("has_mfa", "totp"),
+    ))),
     UserSource("SnipeitUser", _mapping((
         _F("email", "email", required=True),
         _F("username", "username"),

@@ -1,0 +1,289 @@
+"""Keycloak provider: realms, users, groups.
+
+Mirrors the reference's ``intel/keycloak/{realms,users,groups}.py``
+sync family as ``from_json`` + ``explode`` column expressions — zero
+Python rows.
+
+Graph shape (``models/keycloak/{realm,user,group}.py``):
+
+* ``KeycloakRealm`` (id = realm UUID, ``name`` = the realm slug) —
+  root; ``Tenant`` extra label. Every other node's ``RESOURCE``
+  scoping edge targets the realm **by name**
+  (``user.py:64-69`` ``{"name": PropertyRef("REALM")}``) — resolved
+  here to the realm node id with a broadcast name→id lookup against
+  the same sync's realms.
+* ``KeycloakUser`` — camelCase → snake_case prop projection
+  (username/first_name/last_name/email/email_verified/
+  created_timestamp/enabled/totp/service_account_client_id/
+  not_before); ``UserAccount`` extra label (the useraccounts
+  ontology family — ``DEFAULT_USER_SOURCES`` maps
+  enabled → active, totp → has_mfa).
+* ``KeycloakGroup`` — name/path/parent_id;
+  ``(child)-[:SUBGROUP_OF]->(parent)`` from ``parentId``
+  (``group.py:63-68``) and ``(user)-[:MEMBER_OF]->(group)`` from the
+  crawled ``_members`` id list (``group.py:103-108`` one-to-many).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+REALM_LABEL = "KeycloakRealm"
+
+KEYCLOAK_REALMS_STRUCT = (
+    "array<struct<id:string, realm:string, displayName:string, "
+    "enabled:string, notBefore:string, defaultSignatureAlgorithm:string, "
+    "revokeRefreshToken:string, refreshTokenMaxReuse:string, "
+    "accessTokenLifespan:string, ssoSessionIdleTimeout:string, "
+    "ssoSessionMaxLifespan:string>>"
+)
+KEYCLOAK_USERS_STRUCT = (
+    "array<struct<id:string, username:string, firstName:string, "
+    "lastName:string, email:string, emailVerified:string, "
+    "origin:string, createdTimestamp:string, enabled:string, "
+    "totp:string, serviceAccountClientId:string, notBefore:string>>"
+)
+KEYCLOAK_GROUPS_STRUCT = (
+    "array<struct<id:string, name:string, description:string, "
+    "path:string, parentId:string, subGroupCount:string, "
+    "realmRoles:array<string>, "
+    "_members:array<struct<id:string>>>>"
+)
+
+
+def _props_map(pairs: list[tuple[str, Column]]) -> Column:
+    return F.map_filter(
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k, _ in pairs]),
+            F.array(*[v.cast("string") for _, v in pairs]),
+        ),
+        lambda _k, v: v.isNotNull(),
+    )
+
+
+def _shape_nodes(df: DataFrame, update_tag: int, extra=None) -> DataFrame:
+    return df.select(
+        "label",
+        "id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        (extra if extra is not None else F.lit(None).cast("array<string>"))
+        .alias("extra_labels"),
+        "props",
+    )
+
+
+def _shape_edges(df: DataFrame, update_tag: int, realm_id: str) -> DataFrame:
+    return df.select(
+        "src_label", "src_id", "rel_label", "dst_label", "dst_id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(REALM_LABEL).alias("sub_resource_label"),
+        F.lit(realm_id).alias("sub_resource_id"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    ).dropDuplicates(["src_label", "src_id", "rel_label", "dst_label", "dst_id"])
+
+
+def transform_keycloak_realms(raw: DataFrame, update_tag: int) -> DataFrame:
+    realms = raw.select(
+        F.explode(F.from_json("payload_json", KEYCLOAK_REALMS_STRUCT))
+        .alias("r")
+    ).select("r.*")
+    return _shape_nodes(
+        realms.select(
+            F.lit(REALM_LABEL).alias("label"),
+            F.col("id"),
+            _props_map([
+                ("name", F.col("realm")),
+                ("display_name", F.col("displayName")),
+                ("enabled", F.col("enabled")),
+                ("not_before", F.col("notBefore")),
+                ("default_signature_algorithm",
+                 F.col("defaultSignatureAlgorithm")),
+                ("revoke_refresh_token", F.col("revokeRefreshToken")),
+                ("refresh_token_max_reuse",
+                 F.col("refreshTokenMaxReuse")),
+                ("access_token_lifespan", F.col("accessTokenLifespan")),
+                ("sso_session_idle_timeout",
+                 F.col("ssoSessionIdleTimeout")),
+                ("sso_session_max_lifespan",
+                 F.col("ssoSessionMaxLifespan")),
+            ]).alias("props"),
+        ).where(F.col("id").isNotNull()).dropDuplicates(["id"]),
+        update_tag,
+        extra=F.array(F.lit("Tenant")),
+    )
+
+
+def _realm_id(store, realms_nodes: DataFrame | None, realm: str) -> str | None:
+    """Resolve the ``{"name": REALM}`` sub-resource matcher to the
+    realm node id — from this sync's realms first, the store second."""
+    frame = realms_nodes
+    if frame is None and REALM_LABEL in store.manifest["nodes"]:
+        frame = store.nodes([REALM_LABEL])
+    if frame is None:
+        return None
+    rows = frame.where(
+        F.element_at("props", "name") == realm
+    ).select("id").limit(1).collect()
+    return rows[0]["id"] if rows else None
+
+
+def transform_keycloak_users(
+    raw: DataFrame, realm: str, realm_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    users = raw.select(
+        F.explode(F.from_json("payload_json", KEYCLOAK_USERS_STRUCT))
+        .alias("u")
+    ).select("u.*")
+    nodes = _shape_nodes(
+        users.select(
+            F.lit("KeycloakUser").alias("label"),
+            F.col("id"),
+            _props_map([
+                ("username", F.col("username")),
+                ("first_name", F.col("firstName")),
+                ("last_name", F.col("lastName")),
+                ("email", F.col("email")),
+                ("email_verified", F.col("emailVerified")),
+                ("origin", F.col("origin")),
+                ("created_timestamp", F.col("createdTimestamp")),
+                ("enabled", F.col("enabled")),
+                ("totp", F.col("totp")),
+                ("service_account_client_id",
+                 F.col("serviceAccountClientId")),
+                ("not_before", F.col("notBefore")),
+                ("realm", F.lit(realm)),
+            ]).alias("props"),
+        ).where(F.col("id").isNotNull()).dropDuplicates(["id"]),
+        update_tag,
+        extra=F.array(F.lit("UserAccount")),
+    )
+    edges = users.select(
+        F.lit(REALM_LABEL).alias("src_label"),
+        F.lit(realm_id).alias("src_id"),
+        F.lit("RESOURCE").alias("rel_label"),
+        F.lit("KeycloakUser").alias("dst_label"),
+        F.col("id").alias("dst_id"),
+    )
+    return nodes, _shape_edges(edges, update_tag, realm_id)
+
+
+def transform_keycloak_groups(
+    raw: DataFrame, realm: str, realm_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    groups = raw.select(
+        F.explode(F.from_json("payload_json", KEYCLOAK_GROUPS_STRUCT))
+        .alias("g")
+    ).select("g.*")
+    nodes = _shape_nodes(
+        groups.select(
+            F.lit("KeycloakGroup").alias("label"),
+            F.col("id"),
+            _props_map([
+                ("name", F.col("name")),
+                ("description", F.col("description")),
+                ("path", F.col("path")),
+                ("parent_id", F.col("parentId")),
+                ("realm_roles", F.array_join(F.col("realmRoles"), ",")),
+                ("realm", F.lit(realm)),
+            ]).alias("props"),
+        ).where(F.col("id").isNotNull()).dropDuplicates(["id"]),
+        update_tag,
+    )
+    resource = groups.select(
+        F.lit(REALM_LABEL).alias("src_label"),
+        F.lit(realm_id).alias("src_id"),
+        F.lit("RESOURCE").alias("rel_label"),
+        F.lit("KeycloakGroup").alias("dst_label"),
+        F.col("id").alias("dst_id"),
+    )
+    subgroup_of = groups.where(F.col("parentId").isNotNull()).select(
+        F.lit("KeycloakGroup").alias("src_label"),
+        F.col("id").alias("src_id"),
+        F.lit("SUBGROUP_OF").alias("rel_label"),
+        F.lit("KeycloakGroup").alias("dst_label"),
+        F.col("parentId").alias("dst_id"),
+    )
+    member_of = groups.select(
+        F.col("id").alias("group_id"),
+        F.explode_outer("_members").alias("m"),
+    ).where(F.col("m.id").isNotNull()).select(
+        F.lit("KeycloakUser").alias("src_label"),
+        F.col("m.id").alias("src_id"),
+        F.lit("MEMBER_OF").alias("rel_label"),
+        F.lit("KeycloakGroup").alias("dst_label"),
+        F.col("group_id").alias("dst_id"),
+    )
+    return nodes, _shape_edges(
+        resource.unionByName(subgroup_of).unionByName(member_of),
+        update_tag, realm_id,
+    )
+
+
+def _scoped_gc(store, labels: tuple[str, ...], realm_id: str,
+               update_tag: int) -> dict:
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label=REALM_LABEL,
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("REALM_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    out = {}
+    for label in labels:
+        if label not in store.manifest["nodes"]:
+            continue
+        out[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=rel,
+            ),
+            update_tag,
+            {"REALM_ID": realm_id},
+        )
+    return out
+
+
+def sync_keycloak(store, realms_raw, users_raw, groups_raw, realm: str,
+                  update_tag: int) -> dict:
+    """``intel/keycloak/__init__.py`` order: realms first (they carry
+    the name→id resolution every scoping edge needs), then users,
+    then groups; realm-scoped GC sweeps users and groups."""
+    metrics: dict = {}
+    realms_nodes = None
+    if realms_raw is not None:
+        realms_nodes = transform_keycloak_realms(realms_raw, update_tag)
+        metrics["realms"] = store.merge_nodes(realms_nodes, update_tag)
+    realm_id = _realm_id(store, realms_nodes, realm)
+    if realm_id is None:
+        raise ValueError(f"Keycloak realm {realm!r} is not in this sync "
+                         "or the store; sync realms first")
+    if users_raw is not None:
+        nodes, edges = transform_keycloak_users(
+            users_raw, realm, realm_id, update_tag
+        )
+        metrics["users_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["users_edges"] = store.merge_edges(edges, update_tag)
+    if groups_raw is not None:
+        nodes, edges = transform_keycloak_groups(
+            groups_raw, realm, realm_id, update_tag
+        )
+        metrics["groups_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["groups_edges"] = store.merge_edges(edges, update_tag)
+    metrics.update(_scoped_gc(
+        store, ("KeycloakUser", "KeycloakGroup"), realm_id, update_tag
+    ))
+    store.record_lineage("keycloak_sync", {"update_tag": update_tag})
+    return metrics

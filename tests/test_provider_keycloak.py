@@ -1,0 +1,140 @@
+"""Keycloak provider parity, mirrored from the reference's
+``tests/integration/cartography/intel/keycloak/{test_users,test_groups}
+.py`` assertions over its actual ``tests/data/keycloak/*.py`` fixtures
+(loaded read-only via the ast literal evaluator): user node set, the
+by-name realm RESOURCE scoping, subgroup containment, crawled member
+links, and realm-scoped GC."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.keycloak import (
+    sync_keycloak,
+    transform_keycloak_groups,
+)
+from tests.test_fixture_parity_github import _load_fixture_ns
+
+FIXDIR = "/root/reference/tests/data/keycloak"
+REALM = "simpson-corp"
+REALM_ID = "a18ee71e-2991-4987-8a9b-2ee3a338455b"
+TAG = 123456789
+
+HOMER = "b34866c4-7c54-439d-82ab-f8c21bd2d81a"
+MARGE = "ccd37f3c-57de-423a-879e-f376de2839ec"
+RESIDENTS = "3279912a-4f73-43ee-afbf-3ed1d53a33ca"
+FAMILY = "0c371c4c-59e4-4520-8033-5aba5be98694"
+
+
+@pytest.fixture(scope="module")
+def kc_fixture():
+    if not os.path.isdir(FIXDIR):
+        pytest.skip("reference fixture not available")
+    return {
+        "realms": _load_fixture_ns(f"{FIXDIR}/realms.py")["KEYCLOAK_REALMS"],
+        "users": _load_fixture_ns(f"{FIXDIR}/users.py")["KEYCLOAK_USERS"],
+        "groups": _load_fixture_ns(f"{FIXDIR}/groups.py")["KEYCLOAK_GROUPS"],
+    }
+
+
+def _raw(spark, data):
+    return spark.createDataFrame(
+        [(json.dumps(data),)], "payload_json string"
+    )
+
+
+def test_users_parity_and_realm_scoping(spark, tmp_store, kc_fixture):
+    """test_users.py:48-70 — (id, email) set; RESOURCE edges resolve
+    the by-name realm matcher to the realm node."""
+    sync_keycloak(
+        tmp_store,
+        _raw(spark, kc_fixture["realms"]),
+        _raw(spark, kc_fixture["users"]),
+        None, REALM, TAG,
+    )
+    realms = {r["id"]: r["props"]
+              for r in tmp_store.nodes(["KeycloakRealm"]).collect()}
+    assert realms[REALM_ID]["name"] == REALM
+    users = tmp_store.nodes(["KeycloakUser"]).collect()
+    assert {
+        (r["id"], r["props"]["email"]) for r in users
+    } == {
+        (HOMER, "hjsimpson@simpson.corp"),
+        (MARGE, "mbsimpson@simpson.corp"),
+    }
+    assert {
+        (e["dst_id"], e["src_id"])
+        for e in tmp_store.edges(["RESOURCE"]).collect()
+        if e["dst_label"] == "KeycloakUser"
+    } == {(HOMER, REALM_ID), (MARGE, REALM_ID)}
+
+
+def test_groups_containment_and_members(spark, kc_fixture):
+    """test_groups assertions — SUBGROUP_OF from parentId, MEMBER_OF
+    from the crawled _members list."""
+    _, edges = transform_keycloak_groups(
+        _raw(spark, kc_fixture["groups"]), REALM, REALM_ID, TAG
+    )
+    es = edges.collect()
+    assert {
+        (e["src_id"], e["dst_id"]) for e in es
+        if e["rel_label"] == "SUBGROUP_OF"
+    } == {(FAMILY, RESIDENTS)}
+    members = {
+        (e["src_id"], e["dst_id"]) for e in es
+        if e["rel_label"] == "MEMBER_OF"
+    }
+    assert (HOMER, FAMILY) in members
+
+
+def test_gc_and_user_registry(spark, tmp_store, kc_fixture):
+    """Realm-scoped GC sweeps departed users; KeycloakUser slots into
+    DEFAULT_USER_SOURCES (enabled → active, totp → has_mfa)."""
+    from cartography_spark.plans.ontology_users import (
+        DEFAULT_USER_SOURCES,
+        sync_ontology_users,
+    )
+
+    sync_keycloak(
+        tmp_store,
+        _raw(spark, kc_fixture["realms"]),
+        _raw(spark, kc_fixture["users"]),
+        _raw(spark, kc_fixture["groups"]),
+        REALM, TAG,
+    )
+    sources = tuple(
+        s for s in DEFAULT_USER_SOURCES
+        if s.node_label in tmp_store.manifest["nodes"]
+    )
+    sync_ontology_users(tmp_store, sources, TAG)
+    users = {r["id"]: r["props"]
+             for r in tmp_store.nodes(["User"]).collect()}
+    assert "hjsimpson@simpson.corp" in users
+    assert users["hjsimpson@simpson.corp"]["firstname"] == "Homer"
+
+    # marge leaves the realm → swept
+    remaining_users = [
+        u for u in kc_fixture["users"]
+        if u["id"] != MARGE
+    ]
+    sync_keycloak(
+        tmp_store,
+        _raw(spark, kc_fixture["realms"]),
+        _raw(spark, remaining_users),
+        _raw(spark, kc_fixture["groups"]),
+        REALM, TAG + 1,
+    )
+    assert {
+        r["id"] for r in tmp_store.nodes(["KeycloakUser"]).collect()
+    } == {HOMER}
+
+
+def test_missing_realm_fails_fast(spark, tmp_store, kc_fixture):
+    with pytest.raises(ValueError, match="not in this sync"):
+        sync_keycloak(
+            tmp_store, _raw(spark, kc_fixture["realms"]),
+            _raw(spark, kc_fixture["users"]), None,
+            "no-such-realm", TAG,
+        )

@@ -175,6 +175,10 @@ DEFAULT_USER_SOURCES: tuple[UserSource, ...] = (
            extra={"fields": ["archived"]}),
         _F("lastactivity", "last_login_time"),
     ))),
+    UserSource("PagerDutyUser", _mapping((
+        _F("email", "email", required=True),
+        _F("fullname", "name"),
+    ))),
     UserSource("JumpCloudUser", _mapping((
         _F("email", "email", required=True),
         _F("firstname", "firstname"),

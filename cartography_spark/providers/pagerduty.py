@@ -1,0 +1,514 @@
+"""PagerDuty provider: users, teams + memberships, schedules + layers,
+services, escalation policies + rules, vendors.
+
+Mirrors the reference's ``intel/pagerduty`` sync family as
+``from_json`` + ``explode`` column expressions — zero Python rows.
+PagerDuty is a single-tenant API, so every schema uses UNSCOPED
+cleanup (``models/pagerduty/*.py`` ``scoped_cleanup: bool = False``) —
+stale nodes of each label vanish regardless of tenant.
+
+Graph shape (edge directions per each model's ``LinkDirection``):
+
+* ``PagerDutyUser`` — flat projection of the user record.
+* ``PagerDutyTeam`` + ``(user)-[:MEMBER_OF {role}]->(team)`` — the
+  membership MatchLink (``models/pagerduty/team_membership.py``)
+  carries the per-pair ``role`` business property as an edge prop.
+* ``PagerDutySchedule`` (+ ``(user)-[:MEMBER_OF]->(schedule)`` from
+  ``users_id``) and ``PagerDutyScheduleLayer`` (id =
+  ``{schedule_id}-{layer_name}``, ``schedules.py:50-58``;
+  ``(schedule)-[:HAS_LAYER]->(layer)``,
+  ``(user)-[:MEMBER_OF]->(layer)``); layer start/end/
+  rotation_virtual_start parsed to epoch seconds.
+* ``PagerDutyService`` — nested ``incident_urgency_rule`` /
+  ``support_hours`` / ``alert_grouping_parameters`` flattening
+  (``services.py:58-107``), ``created_at`` → epoch;
+  ``(team)-[:ASSOCIATED_WITH]->(service)``.
+* ``PagerDutyEscalationPolicy`` + ``PagerDutyEscalationPolicyRule``
+  (id ordering via ``_escalation_policy_order``,
+  ``escalation_policies.py:43-71``): target split into ``users_id`` /
+  ``schedules_id`` by reference type;
+  ``(service|team)-[:ASSOCIATED_WITH]->(policy)``,
+  ``(policy)-[:HAS_RULE]->(rule)``,
+  ``(user)-[:ASSOCIATED_WITH]->(rule)``,
+  ``(rule)-[:ASSOCIATED_WITH]->(schedule)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+PAGERDUTY_USERS_STRUCT = (
+    "array<struct<id:string, type:string, summary:string, "
+    "html_url:string, name:string, email:string, time_zone:string, "
+    "color:string, role:string, avatar_url:string, description:string, "
+    "invitation_sent:string, job_title:string>>"
+)
+PAGERDUTY_TEAMS_STRUCT = (
+    "array<struct<id:string, type:string, summary:string, "
+    "html_url:string, name:string, description:string, "
+    "default_role:string>>"
+)
+PAGERDUTY_MEMBERS_STRUCT = (
+    "array<struct<team:string, user:string, role:string>>"
+)
+PAGERDUTY_SCHEDULES_STRUCT = (
+    "array<struct<id:string, type:string, summary:string, "
+    "html_url:string, name:string, time_zone:string, "
+    "description:string, users:array<struct<id:string>>, "
+    "schedule_layers:array<struct<name:string, start:string, "
+    "end:string, rotation_virtual_start:string, "
+    "rotation_turn_length_seconds:string, "
+    "users:array<struct<user:struct<id:string>>>>>>>"
+)
+PAGERDUTY_SERVICES_STRUCT = (
+    "array<struct<id:string, type:string, summary:string, "
+    "html_url:string, name:string, description:string, "
+    "auto_resolve_timeout:string, acknowledgement_timeout:string, "
+    "created_at:string, status:string, "
+    "alert_creation:string, "
+    "alert_grouping_parameters:struct<type:string>, "
+    "incident_urgency_rule:struct<type:string, "
+    "during_support_hours:struct<type:string, urgency:string>, "
+    "outside_support_hours:struct<type:string, urgency:string>>, "
+    "support_hours:struct<type:string, time_zone:string, "
+    "start_time:string, end_time:string, "
+    "days_of_week:array<string>>, "
+    "teams:array<struct<id:string>>>>"
+)
+PAGERDUTY_POLICIES_STRUCT = (
+    "array<struct<id:string, type:string, summary:string, "
+    "html_url:string, name:string, description:string, "
+    "num_loops:string, on_call_handoff_notifications:string, "
+    "escalation_rules:array<struct<id:string, "
+    "escalation_delay_in_minutes:string, "
+    "targets:array<struct<id:string, type:string>>>>, "
+    "services:array<struct<id:string>>, "
+    "teams:array<struct<id:string>>>>"
+)
+
+
+def _props_map(pairs: list[tuple[str, Column]]) -> Column:
+    return F.map_filter(
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k, _ in pairs]),
+            F.array(*[v.cast("string") for _, v in pairs]),
+        ),
+        lambda _k, v: v.isNotNull(),
+    )
+
+
+def _shape_nodes(df: DataFrame, update_tag: int, extra=None) -> DataFrame:
+    return df.select(
+        "label",
+        "id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        (extra if extra is not None else F.lit(None).cast("array<string>"))
+        .alias("extra_labels"),
+        "props",
+    )
+
+
+def _shape_edges(df: DataFrame, update_tag: int) -> DataFrame:
+    cols = df.columns
+    return df.select(
+        "src_label", "src_id", "rel_label", "dst_label", "dst_id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit("PagerDutyAccount").alias("sub_resource_label"),
+        F.lit("pagerduty").alias("sub_resource_id"),
+        (F.col("props") if "props" in cols
+         else F.lit(None).cast("map<string,string>")).alias("props"),
+    ).dropDuplicates(["src_label", "src_id", "rel_label", "dst_label", "dst_id"])
+
+
+def _epoch(col: Column) -> Column:
+    return col.cast("timestamp").cast("long")
+
+
+def _explode(raw: DataFrame, struct: str, alias: str = "r") -> DataFrame:
+    return raw.select(
+        F.explode(F.from_json("payload_json", struct)).alias(alias)
+    ).select(f"{alias}.*")
+
+
+def transform_pagerduty_users(raw: DataFrame, update_tag: int) -> DataFrame:
+    users = _explode(raw, PAGERDUTY_USERS_STRUCT)
+    return _shape_nodes(
+        users.select(
+            F.lit("PagerDutyUser").alias("label"),
+            F.col("id"),
+            _props_map([
+                ("html_url", F.col("html_url")),
+                ("type", F.col("type")),
+                ("summary", F.col("summary")),
+                ("name", F.col("name")),
+                ("email", F.col("email")),
+                ("time_zone", F.col("time_zone")),
+                ("color", F.col("color")),
+                ("role", F.col("role")),
+                ("avatar_url", F.col("avatar_url")),
+                ("description", F.col("description")),
+                ("invitation_sent", F.col("invitation_sent")),
+                ("job_title", F.col("job_title")),
+            ]).alias("props"),
+        ).where(F.col("id").isNotNull()).dropDuplicates(["id"]),
+        update_tag,
+        extra=F.array(F.lit("UserAccount")),
+    )
+
+
+def transform_pagerduty_teams(
+    teams_raw: DataFrame, members_raw: DataFrame | None, update_tag: int
+) -> tuple[DataFrame, DataFrame | None]:
+    teams = _explode(teams_raw, PAGERDUTY_TEAMS_STRUCT)
+    nodes = _shape_nodes(
+        teams.select(
+            F.lit("PagerDutyTeam").alias("label"),
+            F.col("id"),
+            _props_map([
+                ("html_url", F.col("html_url")),
+                ("type", F.col("type")),
+                ("summary", F.col("summary")),
+                ("name", F.col("name")),
+                ("description", F.col("description")),
+                ("default_role", F.col("default_role")),
+            ]).alias("props"),
+        ).where(F.col("id").isNotNull()).dropDuplicates(["id"]),
+        update_tag,
+    )
+    edges = None
+    if members_raw is not None:
+        members = _explode(members_raw, PAGERDUTY_MEMBERS_STRUCT)
+        edges = _shape_edges(
+            members.select(
+                F.lit("PagerDutyUser").alias("src_label"),
+                F.col("user").alias("src_id"),
+                F.lit("MEMBER_OF").alias("rel_label"),
+                F.lit("PagerDutyTeam").alias("dst_label"),
+                F.col("team").alias("dst_id"),
+                _props_map([("role", F.col("role"))]).alias("props"),
+            ),
+            update_tag,
+        )
+    return nodes, edges
+
+
+def transform_pagerduty_schedules(
+    raw: DataFrame, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    schedules = _explode(raw, PAGERDUTY_SCHEDULES_STRUCT)
+    sched_nodes = schedules.select(
+        F.lit("PagerDutySchedule").alias("label"),
+        F.col("id"),
+        _props_map([
+            ("html_url", F.col("html_url")),
+            ("type", F.col("type")),
+            ("summary", F.col("summary")),
+            ("name", F.col("name")),
+            ("time_zone", F.col("time_zone")),
+            ("description", F.col("description")),
+        ]).alias("props"),
+    ).where(F.col("id").isNotNull()).dropDuplicates(["id"])
+    layers = schedules.select(
+        F.col("id").alias("schedule_id"),
+        F.explode_outer("schedule_layers").alias("l"),
+    ).where(F.col("l.name").isNotNull()).select(
+        "schedule_id",
+        F.concat("schedule_id", F.lit("-"), F.col("l.name")).alias("id"),
+        F.col("l.name").alias("name"),
+        _epoch(F.col("l.start")).alias("start"),
+        _epoch(F.col("l.end")).alias("end"),
+        _epoch(F.col("l.rotation_virtual_start"))
+        .alias("rotation_virtual_start"),
+        F.col("l.rotation_turn_length_seconds")
+        .alias("rotation_turn_length_seconds"),
+        F.col("l.users").alias("users"),
+    )
+    layer_nodes = layers.select(
+        F.lit("PagerDutyScheduleLayer").alias("label"),
+        F.col("id"),
+        _props_map([
+            ("name", F.col("name")),
+            ("schedule_id", F.col("schedule_id")),
+            ("start", F.col("start")),
+            ("end", F.col("end")),
+            ("rotation_virtual_start", F.col("rotation_virtual_start")),
+            ("rotation_turn_length_seconds",
+             F.col("rotation_turn_length_seconds")),
+        ]).alias("props"),
+    ).dropDuplicates(["id"])
+    nodes = _shape_nodes(sched_nodes, update_tag).unionByName(
+        _shape_nodes(layer_nodes, update_tag)
+    )
+    member_of = schedules.select(
+        F.col("id").alias("sched_id"), F.explode_outer("users").alias("u")
+    ).where(F.col("u.id").isNotNull()).select(
+        F.lit("PagerDutyUser").alias("src_label"),
+        F.col("u.id").alias("src_id"),
+        F.lit("MEMBER_OF").alias("rel_label"),
+        F.lit("PagerDutySchedule").alias("dst_label"),
+        F.col("sched_id").alias("dst_id"),
+    )
+    has_layer = layers.select(
+        F.lit("PagerDutySchedule").alias("src_label"),
+        F.col("schedule_id").alias("src_id"),
+        F.lit("HAS_LAYER").alias("rel_label"),
+        F.lit("PagerDutyScheduleLayer").alias("dst_label"),
+        F.col("id").alias("dst_id"),
+    )
+    layer_members = layers.select(
+        F.col("id").alias("layer_id"), F.explode_outer("users").alias("u")
+    ).where(F.col("u.user.id").isNotNull()).select(
+        F.lit("PagerDutyUser").alias("src_label"),
+        F.col("u.user.id").alias("src_id"),
+        F.lit("MEMBER_OF").alias("rel_label"),
+        F.lit("PagerDutyScheduleLayer").alias("dst_label"),
+        F.col("layer_id").alias("dst_id"),
+    )
+    edges = _shape_edges(
+        member_of.unionByName(has_layer).unionByName(layer_members),
+        update_tag,
+    )
+    return nodes, edges
+
+
+def transform_pagerduty_services(
+    raw: DataFrame, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    services = _explode(raw, PAGERDUTY_SERVICES_STRUCT)
+    nodes = _shape_nodes(
+        services.select(
+            F.lit("PagerDutyService").alias("label"),
+            F.col("id"),
+            _props_map([
+                ("html_url", F.col("html_url")),
+                ("type", F.col("type")),
+                ("summary", F.col("summary")),
+                ("name", F.col("name")),
+                ("description", F.col("description")),
+                ("auto_resolve_timeout", F.col("auto_resolve_timeout")),
+                ("acknowledgement_timeout",
+                 F.col("acknowledgement_timeout")),
+                ("created_at", _epoch(F.col("created_at"))),
+                ("status", F.col("status")),
+                ("alert_creation", F.col("alert_creation")),
+                ("alert_grouping_parameters_type",
+                 F.col("alert_grouping_parameters.type")),
+                ("incident_urgency_rule_type",
+                 F.col("incident_urgency_rule.type")),
+                ("incident_urgency_rule_during_support_hours_type",
+                 F.col("incident_urgency_rule.during_support_hours.type")),
+                ("incident_urgency_rule_during_support_hours_urgency",
+                 F.col("incident_urgency_rule.during_support_hours"
+                       ".urgency")),
+                ("incident_urgency_rule_outside_support_hours_type",
+                 F.col("incident_urgency_rule.outside_support_hours"
+                       ".type")),
+                ("incident_urgency_rule_outside_support_hours_urgency",
+                 F.col("incident_urgency_rule.outside_support_hours"
+                       ".urgency")),
+                ("support_hours_type", F.col("support_hours.type")),
+                ("support_hours_time_zone",
+                 F.col("support_hours.time_zone")),
+                ("support_hours_start_time",
+                 F.col("support_hours.start_time")),
+                ("support_hours_end_time",
+                 F.col("support_hours.end_time")),
+                ("support_hours_days_of_week",
+                 F.array_join(F.col("support_hours.days_of_week"), ",")),
+            ]).alias("props"),
+        ).where(F.col("id").isNotNull()).dropDuplicates(["id"]),
+        update_tag,
+    )
+    team_edges = services.select(
+        F.col("id").alias("service_id"), F.explode_outer("teams").alias("t")
+    ).where(F.col("t.id").isNotNull()).select(
+        F.lit("PagerDutyTeam").alias("src_label"),
+        F.col("t.id").alias("src_id"),
+        F.lit("ASSOCIATED_WITH").alias("rel_label"),
+        F.lit("PagerDutyService").alias("dst_label"),
+        F.col("service_id").alias("dst_id"),
+    )
+    return nodes, _shape_edges(team_edges, update_tag)
+
+
+def transform_pagerduty_escalation_policies(
+    raw: DataFrame, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    policies = _explode(raw, PAGERDUTY_POLICIES_STRUCT)
+    pol_nodes = policies.select(
+        F.lit("PagerDutyEscalationPolicy").alias("label"),
+        F.col("id"),
+        _props_map([
+            ("html_url", F.col("html_url")),
+            ("type", F.col("type")),
+            ("summary", F.col("summary")),
+            ("name", F.col("name")),
+            ("description", F.col("description")),
+            ("num_loops", F.col("num_loops")),
+            ("on_call_handoff_notifications",
+             F.col("on_call_handoff_notifications")),
+        ]).alias("props"),
+    ).where(F.col("id").isNotNull()).dropDuplicates(["id"])
+    rules = policies.select(
+        F.col("id").alias("policy_id"),
+        F.posexplode_outer("escalation_rules").alias("order", "r"),
+    ).where(F.col("r.id").isNotNull()).select(
+        "policy_id",
+        F.col("r.id").alias("id"),
+        F.col("order").cast("string").alias("order"),
+        F.col("r.escalation_delay_in_minutes")
+        .alias("escalation_delay_in_minutes"),
+        F.filter(
+            F.col("r.targets"), lambda t: t["type"] == "user_reference"
+        ).alias("user_targets"),
+        F.filter(
+            F.col("r.targets"),
+            lambda t: t["type"] == "schedule_reference",
+        ).alias("schedule_targets"),
+    )
+    rule_nodes = rules.select(
+        F.lit("PagerDutyEscalationPolicyRule").alias("label"),
+        F.col("id"),
+        _props_map([
+            ("escalation_delay_in_minutes",
+             F.col("escalation_delay_in_minutes")),
+            ("escalation_policy_id", F.col("policy_id")),
+            ("escalation_policy_order", F.col("order")),
+        ]).alias("props"),
+    ).dropDuplicates(["id"])
+    nodes = _shape_nodes(pol_nodes, update_tag).unionByName(
+        _shape_nodes(rule_nodes, update_tag)
+    )
+    svc_assoc = policies.select(
+        F.col("id").alias("policy_id"),
+        F.explode_outer("services").alias("s"),
+    ).where(F.col("s.id").isNotNull()).select(
+        F.lit("PagerDutyService").alias("src_label"),
+        F.col("s.id").alias("src_id"),
+        F.lit("ASSOCIATED_WITH").alias("rel_label"),
+        F.lit("PagerDutyEscalationPolicy").alias("dst_label"),
+        F.col("policy_id").alias("dst_id"),
+    )
+    team_assoc = policies.select(
+        F.col("id").alias("policy_id"),
+        F.explode_outer("teams").alias("t"),
+    ).where(F.col("t.id").isNotNull()).select(
+        F.lit("PagerDutyTeam").alias("src_label"),
+        F.col("t.id").alias("src_id"),
+        F.lit("ASSOCIATED_WITH").alias("rel_label"),
+        F.lit("PagerDutyEscalationPolicy").alias("dst_label"),
+        F.col("policy_id").alias("dst_id"),
+    )
+    has_rule = rules.select(
+        F.lit("PagerDutyEscalationPolicy").alias("src_label"),
+        F.col("policy_id").alias("src_id"),
+        F.lit("HAS_RULE").alias("rel_label"),
+        F.lit("PagerDutyEscalationPolicyRule").alias("dst_label"),
+        F.col("id").alias("dst_id"),
+    )
+    rule_users = rules.select(
+        F.col("id").alias("rule_id"),
+        F.explode_outer("user_targets").alias("t"),
+    ).where(F.col("t.id").isNotNull()).select(
+        F.lit("PagerDutyUser").alias("src_label"),
+        F.col("t.id").alias("src_id"),
+        F.lit("ASSOCIATED_WITH").alias("rel_label"),
+        F.lit("PagerDutyEscalationPolicyRule").alias("dst_label"),
+        F.col("rule_id").alias("dst_id"),
+    )
+    rule_scheds = rules.select(
+        F.col("id").alias("rule_id"),
+        F.explode_outer("schedule_targets").alias("t"),
+    ).where(F.col("t.id").isNotNull()).select(
+        F.lit("PagerDutyEscalationPolicyRule").alias("src_label"),
+        F.col("rule_id").alias("src_id"),
+        F.lit("ASSOCIATED_WITH").alias("rel_label"),
+        F.lit("PagerDutySchedule").alias("dst_label"),
+        F.col("t.id").alias("dst_id"),
+    )
+    edges = _shape_edges(
+        svc_assoc.unionByName(team_assoc).unionByName(has_rule)
+        .unionByName(rule_users).unionByName(rule_scheds),
+        update_tag,
+    )
+    return nodes, edges
+
+
+def _unscoped_gc(store, labels: tuple[str, ...], update_tag: int) -> dict:
+    from cartography_spark.models.schema import NodeSchema, PropertyRef
+    from cartography_spark.operators.gc import run_cleanup
+
+    out = {}
+    for label in labels:
+        if label not in store.manifest["nodes"]:
+            continue
+        out[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                scoped_cleanup=False,
+            ),
+            update_tag,
+        )
+    return out
+
+
+def sync_pagerduty(store, users_raw, teams_raw, members_raw,
+                   schedules_raw, services_raw, policies_raw,
+                   update_tag: int) -> dict:
+    """``intel/pagerduty/__init__.py`` order: users → teams →
+    vendors → services → schedules → escalation policies; unscoped
+    GC per label (single-tenant API)."""
+    metrics: dict = {}
+    if users_raw is not None:
+        metrics["users"] = store.merge_nodes(
+            transform_pagerduty_users(users_raw, update_tag), update_tag
+        )
+    if teams_raw is not None:
+        nodes, edges = transform_pagerduty_teams(
+            teams_raw, members_raw, update_tag
+        )
+        metrics["teams_nodes"] = store.merge_nodes(nodes, update_tag)
+        if edges is not None:
+            metrics["teams_edges"] = store.merge_edges(edges, update_tag)
+            # the membership MatchLink gets its own rel cleanup
+            # (teams.py:98-104 GraphJob.from_matchlink): stale
+            # user→team MEMBER_OF edges vanish even when both
+            # endpoints survive
+            if "MEMBER_OF" in store.manifest["edges"]:
+                metrics["membership_gc"] = store.delete_edges(
+                    "MEMBER_OF",
+                    (F.col("lastupdated") != int(update_tag))
+                    & (F.col("src_label") == "PagerDutyUser")
+                    & (F.col("dst_label") == "PagerDutyTeam")
+                    & (F.col("sub_resource_label") == "PagerDutyAccount"),
+                )
+    if services_raw is not None:
+        nodes, edges = transform_pagerduty_services(
+            services_raw, update_tag
+        )
+        metrics["services_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["services_edges"] = store.merge_edges(edges, update_tag)
+    if schedules_raw is not None:
+        nodes, edges = transform_pagerduty_schedules(
+            schedules_raw, update_tag
+        )
+        metrics["schedules_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["schedules_edges"] = store.merge_edges(edges, update_tag)
+    if policies_raw is not None:
+        nodes, edges = transform_pagerduty_escalation_policies(
+            policies_raw, update_tag
+        )
+        metrics["policies_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["policies_edges"] = store.merge_edges(edges, update_tag)
+    metrics.update(_unscoped_gc(
+        store,
+        ("PagerDutyEscalationPolicyRule", "PagerDutyEscalationPolicy",
+         "PagerDutyScheduleLayer", "PagerDutySchedule",
+         "PagerDutyService", "PagerDutyTeam", "PagerDutyUser"),
+        update_tag,
+    ))
+    store.record_lineage("pagerduty_sync", {"update_tag": update_tag})
+    return metrics

@@ -1,0 +1,187 @@
+"""PagerDuty provider parity, mirrored from the reference's
+``tests/integration/cartography/intel/pagerduty/*.py`` assertions over
+its actual ``tests/data/pagerduty/*.py`` fixtures (loaded read-only
+via the ast literal evaluator): user/team/schedule/service/policy
+node sets, the role-carrying team-membership edge, layer timestamp
+parsing, the target split on escalation rules, and unscoped GC."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.pagerduty import (
+    sync_pagerduty,
+    transform_pagerduty_escalation_policies,
+    transform_pagerduty_schedules,
+    transform_pagerduty_services,
+)
+from tests.test_fixture_parity_github import _load_fixture_ns
+
+FIXDIR = "/root/reference/tests/data/pagerduty"
+TAG = 123456789
+
+EARLINE = "PXPGF42"
+TEAM = "PQ9K7I8"
+SCHEDULE = "PI7DH85"
+LAYER = "PI7DH85-Night Shift"
+POLICY = "PANZZEQ"
+RULE = "PANZZEA"
+
+MEMBERS = [
+    {"team": TEAM, "user": EARLINE, "role": "manager"},
+    {"team": TEAM, "user": "PAM4FGS", "role": "responder"},
+]
+
+
+@pytest.fixture(scope="module")
+def pd_fixture():
+    if not os.path.isdir(FIXDIR):
+        pytest.skip("reference fixture not available")
+    return {
+        "users": _load_fixture_ns(f"{FIXDIR}/users.py")["GET_USERS_DATA"],
+        "teams": _load_fixture_ns(f"{FIXDIR}/teams.py")["GET_TEAMS_DATA"],
+        "schedules": _load_fixture_ns(f"{FIXDIR}/schedules.py")[
+            "LIST_SCHEDULES_DATA"],
+        "services": _load_fixture_ns(f"{FIXDIR}/services.py")[
+            "GET_SERVICES_DATA"],
+        "policies": _load_fixture_ns(f"{FIXDIR}/escalation_policies.py")[
+            "GET_ESCALATION_POLICY_DATA"],
+    }
+
+
+def _raw(spark, data):
+    return spark.createDataFrame(
+        [(json.dumps(data),)], "payload_json string"
+    )
+
+
+def test_schedules_layers_and_members(spark, pd_fixture):
+    """test_schedules.py:43-104 — schedule/layer node ids, HAS_LAYER
+    direction, user MEMBER_OF at both levels, epoch layer bounds."""
+    nodes, edges = transform_pagerduty_schedules(
+        _raw(spark, pd_fixture["schedules"]), TAG
+    )
+    rows = {r["id"]: (r["label"], r["props"]) for r in nodes.collect()}
+    assert rows[SCHEDULE][0] == "PagerDutySchedule"
+    assert rows[SCHEDULE][1]["name"] == "Daily Engineering Rotation"
+    assert rows[LAYER][0] == "PagerDutyScheduleLayer"
+    # 2015-11-06T20:00:00-05:00 → epoch seconds
+    assert rows[LAYER][1]["start"] == "1446858000"
+    es = edges.collect()
+    assert {
+        (e["src_id"], e["dst_id"]) for e in es
+        if e["rel_label"] == "HAS_LAYER"
+    } == {(SCHEDULE, LAYER)}
+    member_pairs = {
+        (e["src_id"], e["dst_label"], e["dst_id"]) for e in es
+        if e["rel_label"] == "MEMBER_OF"
+    }
+    assert (EARLINE, "PagerDutySchedule", SCHEDULE) in member_pairs
+    assert (EARLINE, "PagerDutyScheduleLayer", LAYER) in member_pairs
+
+
+def test_escalation_policy_target_split(spark, pd_fixture):
+    """test_escalation_policies.py:55-140 — rule target split into
+    user vs schedule references; HAS_RULE from the policy; service and
+    team ASSOCIATED_WITH pointing at the policy."""
+    nodes, edges = transform_pagerduty_escalation_policies(
+        _raw(spark, pd_fixture["policies"]), TAG
+    )
+    rows = {r["id"]: (r["label"], r["props"]) for r in nodes.collect()}
+    assert rows[POLICY][0] == "PagerDutyEscalationPolicy"
+    assert rows[RULE][0] == "PagerDutyEscalationPolicyRule"
+    assert rows[RULE][1]["escalation_delay_in_minutes"] == "30"
+    assert rows[RULE][1]["escalation_policy_order"] == "0"
+    es = edges.collect()
+    assert {
+        (e["src_id"], e["dst_id"]) for e in es
+        if e["rel_label"] == "HAS_RULE"
+    } == {(POLICY, RULE)}
+    assoc = {
+        (e["src_label"], e["src_id"], e["dst_label"], e["dst_id"])
+        for e in es if e["rel_label"] == "ASSOCIATED_WITH"
+    }
+    assert ("PagerDutyService", "PIJ90N7",
+            "PagerDutyEscalationPolicy", POLICY) in assoc
+    assert ("PagerDutyUser", EARLINE,
+            "PagerDutyEscalationPolicyRule", RULE) in assoc
+    assert ("PagerDutyEscalationPolicyRule", RULE,
+            "PagerDutySchedule", SCHEDULE) in assoc
+
+
+def test_service_flattening(spark, pd_fixture):
+    """services.py:58-107 — urgency-rule/support-hours flattening."""
+    nodes, _ = transform_pagerduty_services(
+        _raw(spark, pd_fixture["services"]), TAG
+    )
+    svc = nodes.collect()[0]["props"]
+    assert svc["incident_urgency_rule_type"] in (
+        "constant", "use_support_hours"
+    )
+    assert "created_at" in svc and svc["created_at"].isdigit()
+
+
+def test_sync_membership_roles_and_gc(spark, tmp_store, pd_fixture):
+    """test_teams.py:38-80 — membership pairs with per-pair roles;
+    test_users.py — user set; unscoped GC sweeps departed users."""
+    sync_pagerduty(
+        tmp_store,
+        _raw(spark, pd_fixture["users"]),
+        _raw(spark, pd_fixture["teams"]),
+        _raw(spark, MEMBERS),
+        _raw(spark, pd_fixture["schedules"]),
+        _raw(spark, pd_fixture["services"]),
+        _raw(spark, pd_fixture["policies"]),
+        TAG,
+    )
+    users = {r["id"] for r in tmp_store.nodes(["PagerDutyUser"]).collect()}
+    assert EARLINE in users
+    member_of = [
+        e for e in tmp_store.edges(["MEMBER_OF"]).collect()
+        if e["dst_label"] == "PagerDutyTeam"
+    ]
+    assert {
+        (e["src_id"], e["dst_id"], e["props"]["role"]) for e in member_of
+    } == {(EARLINE, TEAM, "manager"), ("PAM4FGS", TEAM, "responder")}
+
+    # a later sync without the second member: unscoped GC keeps only
+    # re-seen nodes/edges
+    sync_pagerduty(
+        tmp_store,
+        _raw(spark, pd_fixture["users"]),
+        _raw(spark, pd_fixture["teams"]),
+        _raw(spark, MEMBERS[:1]),
+        None, None, None, TAG + 1,
+    )
+    member_of = [
+        e for e in tmp_store.edges(["MEMBER_OF"]).collect()
+        if e["dst_label"] == "PagerDutyTeam"
+    ]
+    assert {(e["src_id"], e["dst_id"]) for e in member_of} == {
+        (EARLINE, TEAM)
+    }
+    # schedules were absent from the second sync → swept
+    assert not tmp_store.nodes(["PagerDutySchedule"]).collect()
+
+
+def test_feeds_user_registry(spark, tmp_store, pd_fixture):
+    from cartography_spark.plans.ontology_users import (
+        DEFAULT_USER_SOURCES,
+        sync_ontology_users,
+    )
+
+    sync_pagerduty(
+        tmp_store, _raw(spark, pd_fixture["users"]), None, None, None,
+        None, None, TAG,
+    )
+    sources = tuple(
+        s for s in DEFAULT_USER_SOURCES
+        if s.node_label in tmp_store.manifest["nodes"]
+    )
+    sync_ontology_users(tmp_store, sources, TAG)
+    users = {r["id"]: r["props"]
+             for r in tmp_store.nodes(["User"]).collect()}
+    assert users["125.greenholt.earline@graham.name"]["fullname"] == \
+        "Earline Greenholt"

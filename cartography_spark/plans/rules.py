@@ -670,6 +670,62 @@ DUO_NOT_ENROLLED = Fact(
 )
 
 
+# EOL software pack (rules/data/rules/eol_software.py twin): minor
+# versions below the oldest supported upstream release. EKS-backed
+# clusters (matched by external_id or api_server_url against
+# AWSEKSCluster nodes) are excluded — they follow the provider
+# lifecycle, not upstream support.
+
+K8S_VERSION_EOL = Fact(
+    id="kubernetes_cluster_kubernetes_version_eol",
+    name="Kubernetes clusters running end-of-life Kubernetes versions",
+    description="Clusters whose minor version is below the oldest "
+    "upstream-supported release; EKS-represented clusters excluded "
+    "(eol_software.py:335-407 twin).",
+    sql_query="""
+        SELECT k.id AS asset_id, k.props['name'] AS asset_name,
+               'KubernetesCluster' AS asset_type,
+               'kubernetes' AS software_name,
+               k.props['version'] AS software_version,
+               1 AS software_major,
+               CAST(replace(k.props['version_minor'], '+', '') AS INT)
+                 AS software_minor,
+               'upstream' AS support_basis, 'eol' AS support_status
+        FROM nodes k
+        WHERE k.label = 'KubernetesCluster'
+          AND CAST(replace(k.props['version_minor'], '+', '') AS INT)
+              < CAST('${OLDEST_SUPPORTED_K8S_MINOR}' AS INT)
+          AND NOT EXISTS (
+            SELECT 1 FROM nodes e
+            WHERE e.label = 'AWSEKSCluster'
+              AND (e.id = k.props['external_id']
+                   OR e.props['name'] = k.props['external_id']
+                   OR (k.props['api_server_url'] IS NOT NULL
+                       AND e.props['endpoint']
+                           = k.props['api_server_url']))
+          )
+    """,
+    count_sql="""
+        SELECT count(*) AS count FROM nodes k
+        WHERE k.label = 'KubernetesCluster'
+          AND NOT EXISTS (
+            SELECT 1 FROM nodes e
+            WHERE e.label = 'AWSEKSCluster'
+              AND (e.id = k.props['external_id']
+                   OR e.props['name'] = k.props['external_id']
+                   OR (k.props['api_server_url'] IS NOT NULL
+                       AND e.props['endpoint']
+                           = k.props['api_server_url']))
+          )
+    """,
+    identity_fields=("asset_id",),
+    asset_label="KubernetesCluster",
+    asset_id_field="asset_id",
+    # eol_software.py:11 — oldest upstream-supported minor
+    default_params={"OLDEST_SUPPORTED_K8S_MINOR": "33"},
+)
+
+
 # ---------------------------------------------------------------------------
 # Rule / Framework tree (rules/spec/model.py:286-360, :504-524) and
 # runners (rules/runners.py) — the product surface above the Fact core
@@ -848,6 +904,22 @@ ALL_RULES: tuple[Rule, ...] = (
         version="0.2.0",
         facts=(TAILSCALE_KEY_EXPIRY_DISABLED,),
         frameworks=(iso27001_annex_a("5.17"), soc2_tsc("CC6.1")),
+    ),
+    Rule(
+        id="eol_software",
+        name="End-of-Life Software",
+        tags=("eol", "patching", "compliance"),
+        description="Clusters running Kubernetes versions past upstream "
+        "end-of-life (rules/data/rules/eol_software.py).",
+        version="0.1.0",
+        facts=(K8S_VERSION_EOL,),
+        references=(
+            RuleReference(
+                text="Kubernetes Releases",
+                url="https://kubernetes.io/releases/",
+            ),
+        ),
+        frameworks=(iso27001_annex_a("8.8"), soc2_tsc("CC7.1")),
     ),
     Rule(
         id="identity_mfa_gaps",

@@ -226,14 +226,62 @@ def transform_k8s_pods(
     )
 
 
+CLUSTER_META_STRUCT = (
+    "struct<creation_timestamp:string, external_id:string, "
+    "git_version:string, version_major:string, version_minor:string, "
+    "go_version:string, compiler:string, platform:string, "
+    "api_server_url:string>"
+)
+
+
+def transform_k8s_cluster_meta(raw: DataFrame, update_tag: int) -> DataFrame:
+    """Cluster /version + client metadata → KubernetesCluster props
+    (``intel/kubernetes/clusters.py:33-53``: external_id, git_version
+    surfaced as ``version``, major/minor, go_version, compiler,
+    platform, api_server_url). Merging onto the existing cluster node
+    upserts the props (M1 semantics)."""
+    meta = raw.select(
+        "cluster_id", "cluster_name",
+        F.from_json("payload_json", CLUSTER_META_STRUCT).alias("m"),
+    )
+    pairs = [
+        ("name", F.col("cluster_name")),
+        ("creation_timestamp", F.col("m.creation_timestamp")),
+        ("external_id", F.col("m.external_id")),
+        ("version", F.col("m.git_version")),
+        ("version_major", F.col("m.version_major")),
+        ("version_minor", F.col("m.version_minor")),
+        ("go_version", F.col("m.go_version")),
+        ("compiler", F.col("m.compiler")),
+        ("platform", F.col("m.platform")),
+        ("api_server_url", F.col("m.api_server_url")),
+    ]
+    return _shape_nodes(
+        meta.select(
+            F.lit("KubernetesCluster").alias("label"),
+            F.col("cluster_id").alias("id"),
+            F.map_filter(
+                F.map_from_arrays(
+                    F.array(*[F.lit(k) for k, _ in pairs]),
+                    F.array(*[v.cast("string") for _, v in pairs]),
+                ),
+                lambda _k, v: v.isNotNull(),
+            ).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+    )
+
+
 def sync_kubernetes(
     store,
     namespaces_raw: DataFrame | None,
     pods_raw: DataFrame | None,
     cluster_id: str,
     update_tag: int,
+    cluster_meta_raw: DataFrame | None = None,
 ) -> dict:
-    """namespaces → pods/containers → cluster-scoped GC."""
+    """cluster metadata → namespaces → pods/containers →
+    cluster-scoped GC."""
     from cartography_spark.models.schema import (
         LinkDirection,
         NodeSchema,
@@ -244,6 +292,11 @@ def sync_kubernetes(
     from cartography_spark.operators.gc import run_cleanup
 
     metrics: dict = {}
+    if cluster_meta_raw is not None:
+        metrics["cluster_meta"] = store.merge_nodes(
+            transform_k8s_cluster_meta(cluster_meta_raw, update_tag),
+            update_tag,
+        )
     if namespaces_raw is not None:
         nodes, edges = transform_k8s_namespaces(namespaces_raw, update_tag)
         metrics["ns_nodes"] = store.merge_nodes(nodes, update_tag)

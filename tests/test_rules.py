@@ -558,3 +558,52 @@ def test_identity_mfa_gaps_pack(mfa_store):
         "cloudflare_account_2fa_not_enforced", "lastpass_user_mfa_missing",
         "jumpcloud_user_mfa_missing", "duo_user_not_enrolled",
     }
+
+
+def test_k8s_version_eol_fact(spark, tmp_path_factory):
+    """eol_software.py twin: minor < threshold fires; EKS-backed
+    clusters (external_id or endpoint match) excluded; '+' minors
+    normalize; parameter overrides the threshold."""
+    from cartography_spark.plans.rules import K8S_VERSION_EOL
+    from cartography_spark.providers.kubernetes import (
+        transform_k8s_cluster_meta,
+    )
+    from cartography_spark.store.graphstore import GraphStore
+    import json as _json
+
+    store = GraphStore(spark, str(tmp_path_factory.mktemp("eol_store")))
+    meta = spark.createDataFrame(
+        [
+            ("c-old", "old-cluster", _json.dumps(
+                {"git_version": "v1.28.3", "version_major": "1",
+                 "version_minor": "28+"})),
+            ("c-new", "new-cluster", _json.dumps(
+                {"git_version": "v1.34.0", "version_major": "1",
+                 "version_minor": "34"})),
+            ("c-eks", "eks-backed", _json.dumps(
+                {"git_version": "v1.27.0", "version_major": "1",
+                 "version_minor": "27", "external_id": "eks-ext-1"})),
+        ],
+        "cluster_id string, cluster_name string, payload_json string",
+    )
+    store.merge_nodes(transform_k8s_cluster_meta(meta, 1), 1)
+    eks = spark.createDataFrame(
+        [("AWSEKSCluster", "eks-ext-1")], "label string, id string"
+    ).select(
+        "label", "id", F.lit(1).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        F.lit(None).cast("array<string>").alias("extra_labels"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    )
+    store.merge_nodes(eks, 1)
+
+    res = run_fact(store, K8S_VERSION_EOL)
+    assert _ids(res, "asset_id") == {"c-old"}
+    row = res["findings"].collect()[0]
+    assert row["software_minor"] == 28          # '+' stripped
+    assert res["total"] == 2                    # EKS-backed not in scope
+
+    # raising the bar via the parameter flags the new cluster too
+    res = run_fact(store, K8S_VERSION_EOL,
+                   {"OLDEST_SUPPORTED_K8S_MINOR": "35"})
+    assert _ids(res, "asset_id") == {"c-old", "c-new"}

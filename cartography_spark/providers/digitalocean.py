@@ -1,0 +1,287 @@
+"""DigitalOcean provider: account, projects, droplets.
+
+Mirrors the reference's ``intel/digitalocean`` sync family
+(``platform.py:46-53`` account projection; ``management.py:49-63``
+project projection; ``compute.py:42-86`` droplet flattening +
+project routing through the ``do:droplet:{id}`` resource-urn lists)
+as ``from_json`` + ``explode`` column expressions — zero Python rows.
+
+Graph shape (``models/digitalocean/*.py``):
+
+* ``DOAccount`` (id = account UUID) — root, ``Tenant`` extra label.
+* ``DOProject`` — ``RESOURCE``-scoped to the account.
+* ``DODroplet`` — region/image slugs flattened, volume ids and tags
+  joined; ``RESOURCE``-scoped to its PROJECT (the reference's
+  per-project load loop — ``compute.py:90-105``), resolved here with
+  one broadcast join of ``'do:droplet:' || id`` against the exploded
+  project resource lists; droplets outside any project scope to the
+  stringified ``None`` project exactly like the reference. Droplet GC
+  runs per project id seen in this batch (``compute.py:108-119``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+ACCOUNT_LABEL = "DOAccount"
+
+DO_ACCOUNT_STRUCT = (
+    "struct<uuid:string, droplet_limit:string, floating_ip_limit:string, "
+    "status:string>"
+)
+DO_PROJECTS_STRUCT = (
+    "array<struct<id:string, name:string, owner_uuid:string, "
+    "description:string, environment:string, is_default:string, "
+    "created_at:string, updated_at:string>>"
+)
+DO_DROPLETS_STRUCT = (
+    "array<struct<id:string, name:string, locked:string, status:string, "
+    "features:array<string>, region:struct<slug:string>, "
+    "created_at:string, image:struct<slug:string>, size_slug:string, "
+    "kernel:string, tags:array<string>, volume_ids:array<string>, "
+    "vpc_uuid:string, ip_address:string, private_ip_address:string, "
+    "ip_v6_address:string>>"
+)
+DO_RESOURCES_STRUCT = "map<string,array<string>>"
+
+
+def _props_map(pairs: list[tuple[str, Column]]) -> Column:
+    return F.map_filter(
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k, _ in pairs]),
+            F.array(*[v.cast("string") for _, v in pairs]),
+        ),
+        lambda _k, v: v.isNotNull(),
+    )
+
+
+def _shape_nodes(df: DataFrame, update_tag: int, extra=None) -> DataFrame:
+    return df.select(
+        "label",
+        "id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        (extra if extra is not None else F.lit(None).cast("array<string>"))
+        .alias("extra_labels"),
+        "props",
+    )
+
+
+def _shape_edges(df: DataFrame, update_tag: int, account_id: str) -> DataFrame:
+    return df.select(
+        "src_label", "src_id", "rel_label", "dst_label", "dst_id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(ACCOUNT_LABEL).alias("sub_resource_label"),
+        F.lit(account_id).alias("sub_resource_id"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    ).dropDuplicates(["src_label", "src_id", "rel_label", "dst_label", "dst_id"])
+
+
+def transform_do_account(raw: DataFrame, update_tag: int) -> DataFrame:
+    acct = raw.select(
+        F.from_json("payload_json", DO_ACCOUNT_STRUCT).alias("a")
+    ).select("a.*").where(F.col("uuid").isNotNull())
+    return _shape_nodes(
+        acct.select(
+            F.lit(ACCOUNT_LABEL).alias("label"),
+            F.col("uuid").alias("id"),
+            _props_map([
+                ("uuid", F.col("uuid")),
+                ("droplet_limit", F.col("droplet_limit")),
+                ("floating_ip_limit", F.col("floating_ip_limit")),
+                ("status", F.col("status")),
+            ]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+        extra=F.array(F.lit("Tenant")),
+    )
+
+
+def transform_do_projects(
+    raw: DataFrame, account_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    projects = raw.select(
+        F.explode(F.from_json("payload_json", DO_PROJECTS_STRUCT)).alias("p")
+    ).select("p.*")
+    nodes = _shape_nodes(
+        projects.select(
+            F.lit("DOProject").alias("label"),
+            F.col("id"),
+            _props_map([
+                ("name", F.col("name")),
+                ("owner_uuid", F.col("owner_uuid")),
+                ("description", F.col("description")),
+                ("environment", F.col("environment")),
+                ("is_default", F.col("is_default")),
+                ("created_at", F.col("created_at")),
+                ("updated_at", F.col("updated_at")),
+                ("account_id", F.lit(account_id)),
+            ]).alias("props"),
+        ).where(F.col("id").isNotNull()).dropDuplicates(["id"]),
+        update_tag,
+    )
+    edges = _shape_edges(
+        projects.select(
+            F.lit(ACCOUNT_LABEL).alias("src_label"),
+            F.lit(account_id).alias("src_id"),
+            F.lit("RESOURCE").alias("rel_label"),
+            F.lit("DOProject").alias("dst_label"),
+            F.col("id").alias("dst_id"),
+        ),
+        update_tag, account_id,
+    )
+    return nodes, edges
+
+
+def transform_do_droplets(
+    droplets_raw: DataFrame, resources_raw: DataFrame | None,
+    account_id: str, update_tag: int,
+) -> tuple[DataFrame, DataFrame]:
+    """``compute.py:42-86``: droplet flattening + project routing via
+    the ``do:droplet:{id}`` urn; unmatched droplets land on the
+    reference's stringified ``None`` project id."""
+    droplets = droplets_raw.select(
+        F.explode(F.from_json("payload_json", DO_DROPLETS_STRUCT)).alias("d")
+    ).select("d.*").where(F.col("id").isNotNull())
+    if resources_raw is not None:
+        urns = resources_raw.select(
+            F.explode(F.from_json("payload_json", DO_RESOURCES_STRUCT))
+            .alias("proj_id", "urns")
+        ).select("proj_id", F.explode("urns").alias("urn")).where(
+            F.col("urn").startswith("do:droplet:")
+        ).select(
+            "proj_id",
+            F.substring(F.col("urn"), len("do:droplet:") + 1, 10_000)
+            .alias("droplet_id"),
+        ).dropDuplicates(["droplet_id"])
+        droplets = droplets.join(
+            F.broadcast(urns),
+            droplets["id"] == urns["droplet_id"], "left",
+        ).drop("droplet_id")
+    else:
+        droplets = droplets.withColumn("proj_id",
+                                       F.lit(None).cast("string"))
+    droplets = droplets.withColumn(
+        "project_id", F.coalesce("proj_id", F.lit("None"))
+    )
+    nodes = _shape_nodes(
+        droplets.select(
+            F.lit("DODroplet").alias("label"),
+            F.col("id"),
+            _props_map([
+                ("name", F.col("name")),
+                ("locked", F.col("locked")),
+                ("status", F.col("status")),
+                ("features", F.array_join(F.col("features"), ",")),
+                ("region", F.col("region.slug")),
+                ("created_at", F.col("created_at")),
+                ("image", F.col("image.slug")),
+                ("size", F.col("size_slug")),
+                ("kernel", F.col("kernel")),
+                ("tags", F.array_join(F.col("tags"), ",")),
+                ("volumes", F.array_join(F.col("volume_ids"), ",")),
+                ("vpc_uuid", F.col("vpc_uuid")),
+                ("ip_address", F.col("ip_address")),
+                ("private_ip_address", F.col("private_ip_address")),
+                ("ip_v6_address", F.col("ip_v6_address")),
+                ("account_id", F.lit(account_id)),
+                ("project_id", F.col("project_id")),
+            ]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+    )
+    edges = droplets.where(F.col("project_id") != "None").select(
+        F.lit("DOProject").alias("src_label"),
+        F.col("project_id").alias("src_id"),
+        F.lit("RESOURCE").alias("rel_label"),
+        F.lit("DODroplet").alias("dst_label"),
+        F.col("id").alias("dst_id"),
+    )
+    return nodes, _shape_edges(edges, update_tag, account_id)
+
+
+def sync_digitalocean(store, account_raw, projects_raw, droplets_raw,
+                      resources_raw, account_id: str,
+                      update_tag: int) -> dict:
+    """``intel/digitalocean/__init__.py`` order: platform (account) →
+    management (projects) → compute (droplets); project GC scoped to
+    the account, droplet GC per project seen in this batch."""
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    metrics: dict = {}
+    if account_raw is not None:
+        metrics["account"] = store.merge_nodes(
+            transform_do_account(account_raw, update_tag), update_tag
+        )
+    if projects_raw is not None:
+        nodes, edges = transform_do_projects(
+            projects_raw, account_id, update_tag
+        )
+        metrics["projects_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["projects_edges"] = store.merge_edges(edges, update_tag)
+    batch_projects: list[str] = []
+    if droplets_raw is not None:
+        nodes, edges = transform_do_droplets(
+            droplets_raw, resources_raw, account_id, update_tag
+        )
+        batch_projects = [
+            r["project_id"] for r in nodes.select(
+                F.element_at("props", "project_id").alias("project_id")
+            ).distinct().collect()
+        ]
+        metrics["droplets_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["droplets_edges"] = store.merge_edges(edges, update_tag)
+
+    # droplets (children) GC first: the project GC's stale-edge sweep
+    # also removes stale droplet→project edges, which would orphan a
+    # stale droplet before its own scoped pass could see it
+    if "DODroplet" in store.manifest["nodes"]:
+        proj_rel = RelSchema(
+            rel_label="RESOURCE",
+            target_node_label="DOProject",
+            target_node_matcher=TargetNodeMatcher(
+                {"id": PropertyRef("PROJECT_ID", set_in_kwargs=True)}
+            ),
+            direction=LinkDirection.INWARD,
+        )
+        for project_id in batch_projects:
+            if project_id == "None":
+                continue
+            metrics[f"gc_DODroplet_{project_id}"] = run_cleanup(
+                store,
+                NodeSchema(
+                    label="DODroplet",
+                    properties={"id": PropertyRef("id")},
+                    sub_resource_relationship=proj_rel,
+                ),
+                update_tag,
+                {"PROJECT_ID": project_id},
+            )
+    if "DOProject" in store.manifest["nodes"]:
+        acct_rel = RelSchema(
+            rel_label="RESOURCE",
+            target_node_label=ACCOUNT_LABEL,
+            target_node_matcher=TargetNodeMatcher(
+                {"id": PropertyRef("ACCOUNT_ID", set_in_kwargs=True)}
+            ),
+            direction=LinkDirection.INWARD,
+        )
+        metrics["gc_DOProject"] = run_cleanup(
+            store,
+            NodeSchema(
+                label="DOProject",
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=acct_rel,
+            ),
+            update_tag,
+            {"ACCOUNT_ID": account_id},
+        )
+    store.record_lineage("digitalocean_sync", {"update_tag": update_tag})
+    return metrics

@@ -1,0 +1,116 @@
+"""DigitalOcean provider parity, mirrored from the reference's
+``tests/integration/cartography/intel/digitalocean/*.py`` assertions.
+The reference fixtures are python-digitalocean SDK objects the ast
+evaluator refuses to execute, so the same values are transcribed here
+as the REST JSON shapes the provider consumes
+(``tests/data/digitalocean/{platform,management,compute}.py``)."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.digitalocean import (
+    sync_digitalocean,
+    transform_do_droplets,
+)
+
+ACCOUNT = "123-4567-8789"
+TAG = 123456789
+
+# tests/data/digitalocean/platform.py transcribed
+ACCOUNT_JSON = {"uuid": ACCOUNT, "droplet_limit": 1234,
+                "floating_ip_limit": 123, "status": "active"}
+# tests/data/digitalocean/management.py transcribed
+PROJECTS = [{
+    "id": "project_1", "name": "project_1_awesome",
+    "owner_uuid": "12345-12345-12345-12345",
+    "description": "my awesome project", "is_default": True,
+    "created_at": "2021-03-03T21:29:35Z",
+    "updated_at": "2021-03-04T21:29:35Z",
+}]
+# tests/data/digitalocean/compute.py transcribed
+DROPLETS = [{
+    "id": "12345678", "name": "test-droplet-1", "locked": False,
+    "status": "active", "features": [], "region": {"slug": "nyc1"},
+    "created_at": "2021-03-03T21:29:35Z",
+    "image": {"slug": "ubuntu-18-04-x64"}, "size_slug": "s-1vcpu-2gb",
+    "kernel": None, "tags": [],
+    "volume_ids": ["dfa32d234-2418-112b-af81-0a584fe1449b9",
+                   "cca32d234-2418-112b-af81-12ab4fe1449b9"],
+    "vpc_uuid": "123445bc-dcd4-12e8-80bc-3dfea149fba1",
+    "ip_address": "30.1.2.3", "ip_v6_address": "",
+    "private_ip_address": "192.128.10.1",
+}]
+RESOURCES = {"project_1": ["do:droplet:12345678"]}
+
+
+def _raw(spark, data):
+    return spark.createDataFrame(
+        [(json.dumps(data),)], "payload_json string"
+    )
+
+
+def test_droplet_routing_parity(spark):
+    """test_compute.py:20-70 — droplet (id, name, ip) and the
+    droplet→project RESOURCE pair via the resource-urn list."""
+    nodes, edges = transform_do_droplets(
+        _raw(spark, DROPLETS), _raw(spark, RESOURCES), ACCOUNT, TAG
+    )
+    d = nodes.collect()[0]
+    assert (d["id"], d["props"]["name"], d["props"]["ip_address"]) == (
+        "12345678", "test-droplet-1", "30.1.2.3"
+    )
+    assert d["props"]["region"] == "nyc1"
+    assert d["props"]["image"] == "ubuntu-18-04-x64"
+    assert d["props"]["project_id"] == "project_1"
+    assert {
+        (e["src_id"], e["dst_id"]) for e in edges.collect()
+    } == {("project_1", "12345678")}
+
+
+def test_unrouted_droplet_gets_none_project(spark):
+    """compute.py:79-86 — a droplet absent from every resource list
+    lands on the stringified None project, with no RESOURCE edge."""
+    nodes, edges = transform_do_droplets(
+        _raw(spark, DROPLETS), _raw(spark, {"project_1": []}),
+        ACCOUNT, TAG,
+    )
+    assert nodes.collect()[0]["props"]["project_id"] == "None"
+    assert not edges.collect()
+
+
+def test_sync_and_per_project_gc(spark, tmp_store):
+    """test_platform/management — account/project sets; droplet GC is
+    scoped per project seen in the batch."""
+    sync_digitalocean(
+        tmp_store, _raw(spark, ACCOUNT_JSON), _raw(spark, PROJECTS),
+        _raw(spark, DROPLETS), _raw(spark, RESOURCES), ACCOUNT, TAG,
+    )
+    assert {
+        r["id"] for r in tmp_store.nodes(["DOAccount"]).collect()
+    } == {ACCOUNT}
+    assert {
+        (r["id"], r["props"]["name"])
+        for r in tmp_store.nodes(["DOProject"]).collect()
+    } == {("project_1", "project_1_awesome")}
+    assert {
+        r["id"] for r in tmp_store.nodes(["DODroplet"]).collect()
+    } == {"12345678"}
+
+    # next sync: the droplet is gone from project_1 but another
+    # droplet appears → stale one swept by the per-project GC
+    new_droplets = [dict(DROPLETS[0], id="87654321",
+                         name="test-droplet-2")]
+    sync_digitalocean(
+        tmp_store, _raw(spark, ACCOUNT_JSON), _raw(spark, PROJECTS),
+        _raw(spark, new_droplets),
+        _raw(spark, {"project_1": ["do:droplet:87654321"]}),
+        ACCOUNT, TAG + 1,
+    )
+    assert {
+        r["id"] for r in tmp_store.nodes(["DODroplet"]).collect()
+    } == {"87654321"}
+    assert not [
+        e for e in tmp_store.edges(["RESOURCE"]).collect()
+        if e["dst_id"] == "12345678"
+    ]

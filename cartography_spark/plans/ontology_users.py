@@ -179,6 +179,12 @@ DEFAULT_USER_SOURCES: tuple[UserSource, ...] = (
         _F("email", "email", required=True),
         _F("fullname", "name"),
     ))),
+    UserSource("SentryUser", _mapping((
+        _F("email", "email", required=True),
+        _F("fullname", "name"),
+        _F("has_mfa", "has_2fa"),
+        _F("active", "pending", special_handling="invert_boolean"),
+    ))),
     UserSource("JumpCloudUser", _mapping((
         _F("email", "email", required=True),
         _F("firstname", "firstname"),

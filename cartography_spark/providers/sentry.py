@@ -1,0 +1,414 @@
+"""Sentry provider: organization, teams, members, projects, releases,
+alert rules.
+
+Mirrors the reference's ``intel/sentry`` sync family as ``from_json``
++ ``explode`` column expressions — zero Python rows.
+
+Graph shape (``models/sentry/*.py``):
+
+* ``SentryOrganization`` (``Tenant`` extra label) — root;
+  ``status.name`` flattened (``organizations.py:40-49``).
+* ``SentryTeam`` — org ``RESOURCE`` scoping.
+* ``SentryUser`` — org membership records (label per ``member.py:106``); ``has2fa`` lifted from
+  the embedded user; **owners are implicit admins of all teams**
+  (``members.py:79-86``: an ``orgRole == 'owner'`` member gets
+  MEMBER_OF + ADMIN_OF to every synced team; everyone else follows
+  the crawled per-member (team, role) list, ``ADMIN_OF`` only for
+  ``role == 'admin'``). ``UserAccount`` extra label (the useraccounts
+  ontology family).
+* ``SentryProject`` — ``(project)-[:HAS_TEAM]->(team)`` from the
+  embedded team list.
+* ``SentryRelease`` — id scoped as ``{org_id}/{version}`` to prevent
+  cross-org collisions (``releases.py:46-47``).
+* ``SentryAlertRule`` — per-project rules,
+  ``(project)-[:HAS_RULE]->(rule)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+ORG_LABEL = "SentryOrganization"
+
+SENTRY_ORGS_STRUCT = (
+    "array<struct<id:string, name:string, slug:string, "
+    "status:struct<id:string, name:string>, dateCreated:string, "
+    "require2FA:string, isEarlyAdopter:string>>"
+)
+SENTRY_TEAMS_STRUCT = (
+    "array<struct<id:string, name:string, slug:string, "
+    "dateCreated:string, memberCount:string>>"
+)
+SENTRY_MEMBERS_STRUCT = (
+    "array<struct<id:string, email:string, name:string, orgRole:string, "
+    "dateCreated:string, pending:string, expired:string, "
+    "user:struct<id:string, username:string, has2fa:string>>>"
+)
+# _get_team_memberships result: member_id -> [(team_id, role), ...]
+SENTRY_MEMBERSHIPS_STRUCT = "map<string,array<array<string>>>"
+SENTRY_PROJECTS_STRUCT = (
+    "array<struct<id:string, name:string, slug:string, platform:string, "
+    "dateCreated:string, firstEvent:string, "
+    "teams:array<struct<id:string>>>>"
+)
+SENTRY_RELEASES_STRUCT = (
+    "array<struct<version:string, shortVersion:string, "
+    "dateCreated:string, dateReleased:string, commitCount:string, "
+    "deployCount:string, newGroups:string, ref:string, url:string>>"
+)
+SENTRY_ALERT_RULES_STRUCT = (
+    "array<struct<project_id:string, project_slug:string, "
+    "rules:array<struct<id:string, name:string, dateCreated:string, "
+    "status:string>>>>"
+)
+
+
+def _props_map(pairs: list[tuple[str, Column]]) -> Column:
+    return F.map_filter(
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k, _ in pairs]),
+            F.array(*[v.cast("string") for _, v in pairs]),
+        ),
+        lambda _k, v: v.isNotNull(),
+    )
+
+
+def _shape_nodes(df: DataFrame, update_tag: int, extra=None) -> DataFrame:
+    return df.select(
+        "label",
+        "id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        (extra if extra is not None else F.lit(None).cast("array<string>"))
+        .alias("extra_labels"),
+        "props",
+    )
+
+
+def _shape_edges(df: DataFrame, update_tag: int, org_id: str) -> DataFrame:
+    return df.select(
+        "src_label", "src_id", "rel_label", "dst_label", "dst_id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(ORG_LABEL).alias("sub_resource_label"),
+        F.lit(org_id).alias("sub_resource_id"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    ).dropDuplicates(["src_label", "src_id", "rel_label", "dst_label", "dst_id"])
+
+
+def _resource_edges(ids: DataFrame, org_id: str, dst_label: str) -> DataFrame:
+    return ids.select(
+        F.lit(ORG_LABEL).alias("src_label"),
+        F.lit(org_id).alias("src_id"),
+        F.lit("RESOURCE").alias("rel_label"),
+        F.lit(dst_label).alias("dst_label"),
+        F.col("id").alias("dst_id"),
+    )
+
+
+def _explode(raw: DataFrame, struct: str) -> DataFrame:
+    return raw.select(
+        F.explode(F.from_json("payload_json", struct)).alias("r")
+    ).select("r.*")
+
+
+def transform_sentry_organizations(
+    raw: DataFrame, update_tag: int
+) -> DataFrame:
+    orgs = _explode(raw, SENTRY_ORGS_STRUCT)
+    return _shape_nodes(
+        orgs.select(
+            F.lit(ORG_LABEL).alias("label"),
+            F.col("id"),
+            _props_map([
+                ("name", F.col("name")),
+                ("slug", F.col("slug")),
+                ("status", F.col("status.name")),
+                ("date_created", F.col("dateCreated")),
+                ("require_2fa", F.col("require2FA")),
+                ("is_early_adopter", F.col("isEarlyAdopter")),
+            ]).alias("props"),
+        ).where(F.col("id").isNotNull()).dropDuplicates(["id"]),
+        update_tag,
+        extra=F.array(F.lit("Tenant")),
+    )
+
+
+def transform_sentry_teams(
+    raw: DataFrame, org_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    teams = _explode(raw, SENTRY_TEAMS_STRUCT)
+    nodes = _shape_nodes(
+        teams.select(
+            F.lit("SentryTeam").alias("label"),
+            F.col("id"),
+            _props_map([
+                ("name", F.col("name")),
+                ("slug", F.col("slug")),
+                ("date_created", F.col("dateCreated")),
+                ("member_count", F.col("memberCount")),
+            ]).alias("props"),
+        ).where(F.col("id").isNotNull()).dropDuplicates(["id"]),
+        update_tag,
+    )
+    return nodes, _shape_edges(
+        _resource_edges(teams.select("id"), org_id, "SentryTeam"),
+        update_tag, org_id,
+    )
+
+
+def transform_sentry_members(
+    members_raw: DataFrame, memberships_raw: DataFrame | None,
+    teams_raw: DataFrame | None, org_id: str, update_tag: int,
+) -> tuple[DataFrame, DataFrame]:
+    """``members.py:66-88``: has2fa lift + owner-implicit-admin over
+    ALL teams; explicit per-member (team, role) pairs otherwise."""
+    members = _explode(members_raw, SENTRY_MEMBERS_STRUCT)
+    nodes = _shape_nodes(
+        members.select(
+            F.lit("SentryUser").alias("label"),
+            F.col("id"),
+            _props_map([
+                ("email", F.col("email")),
+                ("name", F.col("name")),
+                ("role", F.col("orgRole")),
+                ("date_created", F.col("dateCreated")),
+                ("pending", F.col("pending")),
+                ("expired", F.col("expired")),
+                ("has_2fa", F.col("user.has2fa")),
+            ]).alias("props"),
+        ).where(F.col("id").isNotNull()).dropDuplicates(["id"]),
+        update_tag,
+        extra=F.array(F.lit("UserAccount")),
+    )
+    edges = _resource_edges(members.select("id"), org_id, "SentryUser")
+
+    pair_frames = []
+    if memberships_raw is not None:
+        pairs = memberships_raw.select(
+            F.explode(
+                F.from_json("payload_json", SENTRY_MEMBERSHIPS_STRUCT)
+            ).alias("member_id", "pairs")
+        ).select(
+            "member_id", F.explode("pairs").alias("p")
+        ).select(
+            "member_id",
+            F.col("p")[0].alias("team_id"),
+            F.col("p")[1].alias("role"),
+        )
+        # non-owner members follow the crawled pairs
+        non_owner = members.where(
+            F.coalesce(F.col("orgRole"), F.lit("")) != "owner"
+        ).select(F.col("id").alias("member_id"))
+        pair_frames.append(
+            pairs.join(F.broadcast(non_owner), "member_id")
+        )
+    if teams_raw is not None:
+        teams = _explode(teams_raw, SENTRY_TEAMS_STRUCT).select(
+            F.col("id").alias("team_id")
+        )
+        owners = members.where(F.col("orgRole") == "owner").select(
+            F.col("id").alias("member_id")
+        )
+        pair_frames.append(
+            owners.crossJoin(F.broadcast(teams))
+            .withColumn("role", F.lit("admin"))
+        )
+    for pf in pair_frames:
+        member_of = pf.select(
+            F.lit("SentryUser").alias("src_label"),
+            F.col("member_id").alias("src_id"),
+            F.lit("MEMBER_OF").alias("rel_label"),
+            F.lit("SentryTeam").alias("dst_label"),
+            F.col("team_id").alias("dst_id"),
+        )
+        admin_of = pf.where(F.col("role") == "admin").select(
+            F.lit("SentryUser").alias("src_label"),
+            F.col("member_id").alias("src_id"),
+            F.lit("ADMIN_OF").alias("rel_label"),
+            F.lit("SentryTeam").alias("dst_label"),
+            F.col("team_id").alias("dst_id"),
+        )
+        edges = edges.unionByName(member_of).unionByName(admin_of)
+    return nodes, _shape_edges(edges, update_tag, org_id)
+
+
+def transform_sentry_projects(
+    raw: DataFrame, org_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    projects = _explode(raw, SENTRY_PROJECTS_STRUCT)
+    nodes = _shape_nodes(
+        projects.select(
+            F.lit("SentryProject").alias("label"),
+            F.col("id"),
+            _props_map([
+                ("name", F.col("name")),
+                ("slug", F.col("slug")),
+                ("platform", F.col("platform")),
+                ("date_created", F.col("dateCreated")),
+                ("first_event", F.col("firstEvent")),
+            ]).alias("props"),
+        ).where(F.col("id").isNotNull()).dropDuplicates(["id"]),
+        update_tag,
+    )
+    edges = _resource_edges(projects.select("id"), org_id,
+                            "SentryProject")
+    has_team = projects.select(
+        F.col("id").alias("project_id"),
+        F.explode_outer("teams").alias("t"),
+    ).where(F.col("t.id").isNotNull()).select(
+        F.lit("SentryProject").alias("src_label"),
+        F.col("project_id").alias("src_id"),
+        F.lit("HAS_TEAM").alias("rel_label"),
+        F.lit("SentryTeam").alias("dst_label"),
+        F.col("t.id").alias("dst_id"),
+    )
+    return nodes, _shape_edges(
+        edges.unionByName(has_team), update_tag, org_id
+    )
+
+
+def transform_sentry_releases(
+    raw: DataFrame, org_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    releases = _explode(raw, SENTRY_RELEASES_STRUCT).where(
+        F.col("version").isNotNull()
+    ).withColumn("id", F.concat(F.lit(org_id), F.lit("/"),
+                                F.col("version")))
+    nodes = _shape_nodes(
+        releases.select(
+            F.lit("SentryRelease").alias("label"),
+            F.col("id"),
+            _props_map([
+                ("version", F.col("version")),
+                ("short_version", F.col("shortVersion")),
+                ("date_created", F.col("dateCreated")),
+                ("date_released", F.col("dateReleased")),
+                ("commit_count", F.col("commitCount")),
+                ("deploy_count", F.col("deployCount")),
+                ("new_groups", F.col("newGroups")),
+                ("ref", F.col("ref")),
+                ("url", F.col("url")),
+            ]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+    )
+    return nodes, _shape_edges(
+        _resource_edges(releases.select("id"), org_id, "SentryRelease"),
+        update_tag, org_id,
+    )
+
+
+def transform_sentry_alert_rules(
+    raw: DataFrame, org_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    rules = raw.select(
+        F.explode(F.from_json("payload_json", SENTRY_ALERT_RULES_STRUCT))
+        .alias("pr")
+    ).select(
+        F.col("pr.project_id").alias("project_id"),
+        F.col("pr.project_slug").alias("project_slug"),
+        F.explode("pr.rules").alias("r"),
+    ).where(F.col("r.id").isNotNull())
+    nodes = _shape_nodes(
+        rules.select(
+            F.lit("SentryAlertRule").alias("label"),
+            F.col("r.id").alias("id"),
+            _props_map([
+                ("name", F.col("r.name")),
+                ("date_created", F.col("r.dateCreated")),
+                ("status", F.col("r.status")),
+                ("project_slug", F.col("project_slug")),
+            ]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+    )
+    resource = _resource_edges(
+        rules.select(F.col("r.id").alias("id")), org_id,
+        "SentryAlertRule",
+    )
+    has_rule = rules.select(
+        F.lit("SentryProject").alias("src_label"),
+        F.col("project_id").alias("src_id"),
+        F.lit("HAS_RULE").alias("rel_label"),
+        F.lit("SentryAlertRule").alias("dst_label"),
+        F.col("r.id").alias("dst_id"),
+    )
+    return nodes, _shape_edges(
+        resource.unionByName(has_rule), update_tag, org_id
+    )
+
+
+def _scoped_gc(store, labels: tuple[str, ...], org_id: str,
+               update_tag: int) -> dict:
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label=ORG_LABEL,
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("ORG_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    out = {}
+    for label in labels:
+        if label not in store.manifest["nodes"]:
+            continue
+        out[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=rel,
+            ),
+            update_tag,
+            {"ORG_ID": org_id},
+        )
+    return out
+
+
+def sync_sentry(store, orgs_raw, teams_raw, members_raw, memberships_raw,
+                projects_raw, releases_raw, alert_rules_raw,
+                org_id: str, update_tag: int) -> dict:
+    """``intel/sentry/__init__.py`` order: organization → teams →
+    members → projects → releases → alert rules; org-scoped GC."""
+    metrics: dict = {}
+    if orgs_raw is not None:
+        metrics["org"] = store.merge_nodes(
+            transform_sentry_organizations(orgs_raw, update_tag),
+            update_tag,
+        )
+    stages = [
+        ("teams", teams_raw,
+         lambda r: transform_sentry_teams(r, org_id, update_tag)),
+        ("members", members_raw,
+         lambda r: transform_sentry_members(
+             r, memberships_raw, teams_raw, org_id, update_tag)),
+        ("projects", projects_raw,
+         lambda r: transform_sentry_projects(r, org_id, update_tag)),
+        ("releases", releases_raw,
+         lambda r: transform_sentry_releases(r, org_id, update_tag)),
+        ("alert_rules", alert_rules_raw,
+         lambda r: transform_sentry_alert_rules(r, org_id, update_tag)),
+    ]
+    for name, raw, fn in stages:
+        if raw is None:
+            continue
+        nodes, edges = fn(raw)
+        metrics[f"{name}_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics[f"{name}_edges"] = store.merge_edges(edges, update_tag)
+    metrics.update(_scoped_gc(
+        store,
+        ("SentryAlertRule", "SentryRelease", "SentryProject",
+         "SentryUser", "SentryTeam"),
+        org_id, update_tag,
+    ))
+    store.record_lineage("sentry_sync", {"update_tag": update_tag})
+    return metrics

@@ -1,0 +1,166 @@
+"""Sentry provider parity, mirrored from the reference's
+``tests/integration/cartography/intel/sentry/*.py`` assertions over
+its actual ``tests/data/sentry/*.py`` fixtures (loaded read-only via
+the ast literal evaluator): user/team/project/release node sets, the
+owner-implicit-admin membership expansion, HAS_TEAM/HAS_RULE edges,
+the org-scoped release id, and org-scoped GC."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.sentry import (
+    sync_sentry,
+    transform_sentry_members,
+    transform_sentry_releases,
+)
+from tests.test_fixture_parity_github import _load_fixture_ns
+
+FIXDIR = "/root/reference/tests/data/sentry"
+ORG = "100"
+TAG = 123456789
+
+MARGE, HOMER = "300", "301"
+BACKEND, FRONTEND = "200", "201"
+
+
+@pytest.fixture(scope="module")
+def sentry_fixture():
+    if not os.path.isdir(FIXDIR):
+        pytest.skip("reference fixture not available")
+    return {
+        "orgs": _load_fixture_ns(f"{FIXDIR}/organizations.py")[
+            "SENTRY_ORGANIZATIONS"],
+        "teams": _load_fixture_ns(f"{FIXDIR}/teams.py")["SENTRY_TEAMS"],
+        "members": _load_fixture_ns(f"{FIXDIR}/members.py")[
+            "SENTRY_MEMBERS"],
+        "memberships": _load_fixture_ns(f"{FIXDIR}/members.py")[
+            "SENTRY_TEAM_MEMBERSHIPS"],
+        "projects": _load_fixture_ns(f"{FIXDIR}/projects.py")[
+            "SENTRY_PROJECTS"],
+        "releases": _load_fixture_ns(f"{FIXDIR}/releases.py")[
+            "SENTRY_RELEASES"],
+    }
+
+
+def _raw(spark, data):
+    return spark.createDataFrame(
+        [(json.dumps(data),)], "payload_json string"
+    )
+
+
+def test_members_owner_implicit_admin(spark, sentry_fixture):
+    """test_members.py:82-133 — (id, email) set; Marge (owner) is
+    MEMBER_OF + ADMIN_OF every team; Homer follows the crawled pairs
+    with ADMIN_OF only where role == admin."""
+    memberships = {
+        k: [list(p) for p in v]
+        for k, v in sentry_fixture["memberships"].items()
+    }
+    nodes, edges = transform_sentry_members(
+        _raw(spark, sentry_fixture["members"]),
+        _raw(spark, memberships),
+        _raw(spark, sentry_fixture["teams"]),
+        ORG, TAG,
+    )
+    rows = {r["id"]: r["props"] for r in nodes.collect()}
+    assert {(i, p["email"]) for i, p in rows.items()} == {
+        (MARGE, "mbsimpson@simpson.corp"),
+        (HOMER, "hjsimpson@simpson.corp"),
+    }
+    assert rows[MARGE]["has_2fa"] == "true"
+    assert rows[MARGE]["role"] == "owner"
+    es = edges.collect()
+    assert {
+        (e["src_id"], e["dst_id"]) for e in es
+        if e["rel_label"] == "MEMBER_OF"
+    } == {(MARGE, BACKEND), (MARGE, FRONTEND),
+          (HOMER, BACKEND), (HOMER, FRONTEND)}
+    assert {
+        (e["src_id"], e["dst_id"]) for e in es
+        if e["rel_label"] == "ADMIN_OF"
+    } == {(MARGE, BACKEND), (MARGE, FRONTEND), (HOMER, BACKEND)}
+
+
+def test_release_org_scoped_id(spark, sentry_fixture):
+    """releases.py:46-47 — id = '{org}/{version}'."""
+    nodes, _ = transform_sentry_releases(
+        _raw(spark, sentry_fixture["releases"]), ORG, TAG
+    )
+    ids = {r["id"] for r in nodes.collect()}
+    assert f"{ORG}/backend-api@1.0.0" in ids
+    assert all(i.startswith(f"{ORG}/") for i in ids)
+
+
+def test_sync_projects_teams_and_gc(spark, tmp_store, sentry_fixture):
+    """test_projects/test_teams — HAS_TEAM pairs, org RESOURCE
+    scoping; a later sync without a team sweeps it and its edges."""
+    memberships = {
+        k: [list(p) for p in v]
+        for k, v in sentry_fixture["memberships"].items()
+    }
+    sync_sentry(
+        tmp_store,
+        _raw(spark, sentry_fixture["orgs"]),
+        _raw(spark, sentry_fixture["teams"]),
+        _raw(spark, sentry_fixture["members"]),
+        _raw(spark, memberships),
+        _raw(spark, sentry_fixture["projects"]),
+        _raw(spark, sentry_fixture["releases"]),
+        None, ORG, TAG,
+    )
+    orgs = {r["id"]: r["props"]
+            for r in tmp_store.nodes(["SentryOrganization"]).collect()}
+    assert orgs[ORG]["slug"] == "simpson-corp"
+    assert orgs[ORG]["status"] == "active"
+    assert {
+        (e["src_id"], e["dst_id"])
+        for e in tmp_store.edges(["HAS_TEAM"]).collect()
+    } == {("400", BACKEND), ("401", FRONTEND)}
+
+    # frontend team disappears → swept with its HAS_TEAM/MEMBER_OF edges
+    sync_sentry(
+        tmp_store,
+        _raw(spark, sentry_fixture["orgs"]),
+        _raw(spark, sentry_fixture["teams"][:1]),
+        _raw(spark, sentry_fixture["members"]),
+        _raw(spark, memberships),
+        _raw(spark, sentry_fixture["projects"]),
+        _raw(spark, sentry_fixture["releases"]),
+        None, ORG, TAG + 1,
+    )
+    assert {
+        r["id"] for r in tmp_store.nodes(["SentryTeam"]).collect()
+    } == {BACKEND}
+    assert not [
+        e for e in tmp_store.edges(["HAS_TEAM"]).collect()
+        if e["dst_id"] == FRONTEND
+    ]
+
+
+def test_feeds_user_registry(spark, tmp_store, sentry_fixture):
+    """SentryUser slots into DEFAULT_USER_SOURCES (has_2fa → has_mfa,
+    pending inverts to active)."""
+    from cartography_spark.plans.ontology_users import (
+        DEFAULT_USER_SOURCES,
+        sync_ontology_users,
+    )
+
+    sync_sentry(
+        tmp_store, _raw(spark, sentry_fixture["orgs"]), None,
+        _raw(spark, sentry_fixture["members"]), None, None, None, None,
+        ORG, TAG,
+    )
+    sources = tuple(
+        s for s in DEFAULT_USER_SOURCES
+        if s.node_label in tmp_store.manifest["nodes"]
+    )
+    sync_ontology_users(tmp_store, sources, TAG)
+    users = {r["id"]: r["props"]
+             for r in tmp_store.nodes(["User"]).collect()}
+    marge = users["mbsimpson@simpson.corp"]
+    assert marge["fullname"] == "Marge Simpson"
+    assert marge["has_mfa"] == "true"
+    assert marge["active"] == "true"

@@ -179,6 +179,12 @@ DEFAULT_USER_SOURCES: tuple[UserSource, ...] = (
         _F("email", "email", required=True),
         _F("fullname", "name"),
     ))),
+    UserSource("WorkOSUser", _mapping((
+        _F("email", "email", required=True),
+        _F("firstname", "first_name"),
+        _F("lastname", "last_name"),
+        _F("lastactivity", "last_sign_in_at"),
+    ))),
     UserSource("SentryUser", _mapping((
         _F("email", "email", required=True),
         _F("fullname", "name"),

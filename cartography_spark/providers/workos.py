@@ -1,0 +1,325 @@
+"""WorkOS provider: environment, users, organizations, roles,
+organization memberships.
+
+Mirrors the reference's ``intel/workos`` core sync family as
+``from_json`` + ``explode`` column expressions — zero Python rows.
+
+Graph shape (``models/workos/*.py``):
+
+* ``WorkOSEnvironment`` (id = the WorkOS client id) — root,
+  ``Tenant`` extra label; every schema's ``RESOURCE`` scope.
+* ``WorkOSUser`` — flat projection (``users.py:58-75``);
+  ``UserAccount`` extra label (the useraccounts ontology family).
+* ``WorkOSOrganization`` — name/created/updated/
+  allow_profiles_outside_organization (``organizations.py:52-71``).
+* ``WorkOSRole`` — org-deduped role list (``roles.py:62-88``:
+  first-seen id wins, ``organization_id`` only for
+  ``OrganizationRole`` types) + ``(org)-[:HAS]->(role)``.
+* ``WorkOSOrganizationMembership`` — join node carrying status +
+  role slugs (``organization_memberships.py:66-90``):
+  ``(user)-[:MEMBER_OF]->(membership)-[:IN]->(org)`` and
+  ``(membership)-[:WITH_ROLE]->(role)`` — the role matcher is BY
+  SLUG (``organization_membership.py:110-117``), resolved here with
+  a broadcast slug→id lookup against this sync's roles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+ENV_LABEL = "WorkOSEnvironment"
+
+WORKOS_USERS_STRUCT = (
+    "array<struct<id:string, email:string, first_name:string, "
+    "last_name:string, email_verified:string, "
+    "profile_picture_url:string, last_sign_in_at:string, "
+    "created_at:string, updated_at:string>>"
+)
+WORKOS_ORGS_STRUCT = (
+    "array<struct<id:string, name:string, created_at:string, "
+    "updated_at:string, allow_profiles_outside_organization:string>>"
+)
+WORKOS_ROLES_STRUCT = (
+    "array<struct<id:string, slug:string, name:string, "
+    "description:string, type:string, organization_id:string, "
+    "created_at:string, updated_at:string>>"
+)
+WORKOS_MEMBERSHIPS_STRUCT = (
+    "array<struct<id:string, user_id:string, organization_id:string, "
+    "status:string, created_at:string, updated_at:string, "
+    "roles:array<string>>>"
+)
+
+
+def _props_map(pairs: list[tuple[str, Column]]) -> Column:
+    return F.map_filter(
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k, _ in pairs]),
+            F.array(*[v.cast("string") for _, v in pairs]),
+        ),
+        lambda _k, v: v.isNotNull(),
+    )
+
+
+def _shape_nodes(df: DataFrame, update_tag: int, extra=None) -> DataFrame:
+    return df.select(
+        "label",
+        "id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        (extra if extra is not None else F.lit(None).cast("array<string>"))
+        .alias("extra_labels"),
+        "props",
+    )
+
+
+def _shape_edges(df: DataFrame, update_tag: int, client_id: str) -> DataFrame:
+    return df.select(
+        "src_label", "src_id", "rel_label", "dst_label", "dst_id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(ENV_LABEL).alias("sub_resource_label"),
+        F.lit(client_id).alias("sub_resource_id"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    ).dropDuplicates(["src_label", "src_id", "rel_label", "dst_label", "dst_id"])
+
+
+def _resource_edges(ids: DataFrame, client_id: str,
+                    dst_label: str) -> DataFrame:
+    return ids.select(
+        F.lit(ENV_LABEL).alias("src_label"),
+        F.lit(client_id).alias("src_id"),
+        F.lit("RESOURCE").alias("rel_label"),
+        F.lit(dst_label).alias("dst_label"),
+        F.col("id").alias("dst_id"),
+    )
+
+
+def _explode(raw: DataFrame, struct: str) -> DataFrame:
+    return raw.select(
+        F.explode(F.from_json("payload_json", struct)).alias("r")
+    ).select("r.*").where(F.col("id").isNotNull())
+
+
+def transform_workos_users(
+    raw: DataFrame, client_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    users = _explode(raw, WORKOS_USERS_STRUCT)
+    nodes = _shape_nodes(
+        users.select(
+            F.lit("WorkOSUser").alias("label"),
+            F.col("id"),
+            _props_map([
+                ("email", F.col("email")),
+                ("first_name", F.col("first_name")),
+                ("last_name", F.col("last_name")),
+                ("email_verified", F.col("email_verified")),
+                ("profile_picture_url", F.col("profile_picture_url")),
+                ("last_sign_in_at", F.col("last_sign_in_at")),
+                ("created_at", F.col("created_at")),
+                ("updated_at", F.col("updated_at")),
+            ]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+        extra=F.array(F.lit("UserAccount")),
+    )
+    return nodes, _shape_edges(
+        _resource_edges(users.select("id"), client_id, "WorkOSUser"),
+        update_tag, client_id,
+    )
+
+
+def transform_workos_organizations(
+    raw: DataFrame, client_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    orgs = _explode(raw, WORKOS_ORGS_STRUCT)
+    nodes = _shape_nodes(
+        orgs.select(
+            F.lit("WorkOSOrganization").alias("label"),
+            F.col("id"),
+            _props_map([
+                ("name", F.col("name")),
+                ("created_at", F.col("created_at")),
+                ("updated_at", F.col("updated_at")),
+                ("allow_profiles_outside_organization",
+                 F.col("allow_profiles_outside_organization")),
+            ]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+    )
+    return nodes, _shape_edges(
+        _resource_edges(orgs.select("id"), client_id,
+                        "WorkOSOrganization"),
+        update_tag, client_id,
+    )
+
+
+def transform_workos_roles(
+    raw: DataFrame, client_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """``roles.py:62-88``: dedupe per id, ``organization_id`` only for
+    OrganizationRole types; ``(org)-[:HAS]->(role)``."""
+    roles = _explode(raw, WORKOS_ROLES_STRUCT).withColumn(
+        "organization_id",
+        F.when(F.col("type") == "OrganizationRole",
+               F.col("organization_id")),
+    )
+    nodes = _shape_nodes(
+        roles.select(
+            F.lit("WorkOSRole").alias("label"),
+            F.col("id"),
+            _props_map([
+                ("slug", F.col("slug")),
+                ("name", F.col("name")),
+                ("description", F.col("description")),
+                ("type", F.col("type")),
+                ("organization_id", F.col("organization_id")),
+                ("created_at", F.col("created_at")),
+                ("updated_at", F.col("updated_at")),
+            ]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+    )
+    edges = _resource_edges(roles.select("id"), client_id, "WorkOSRole")
+    has = roles.where(F.col("organization_id").isNotNull()).select(
+        F.lit("WorkOSOrganization").alias("src_label"),
+        F.col("organization_id").alias("src_id"),
+        F.lit("HAS").alias("rel_label"),
+        F.lit("WorkOSRole").alias("dst_label"),
+        F.col("id").alias("dst_id"),
+    )
+    return nodes, _shape_edges(
+        edges.unionByName(has), update_tag, client_id
+    )
+
+
+def transform_workos_memberships(
+    raw: DataFrame, roles_nodes: DataFrame | None, client_id: str,
+    update_tag: int,
+) -> tuple[DataFrame, DataFrame]:
+    ms = _explode(raw, WORKOS_MEMBERSHIPS_STRUCT)
+    nodes = _shape_nodes(
+        ms.select(
+            F.lit("WorkOSOrganizationMembership").alias("label"),
+            F.col("id"),
+            _props_map([
+                ("user_id", F.col("user_id")),
+                ("organization_id", F.col("organization_id")),
+                ("status", F.col("status")),
+                ("created_at", F.col("created_at")),
+                ("updated_at", F.col("updated_at")),
+                ("roles", F.array_join(F.col("roles"), ",")),
+            ]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+    )
+    edges = _resource_edges(ms.select("id"), client_id,
+                            "WorkOSOrganizationMembership")
+    member_of = ms.where(F.col("user_id").isNotNull()).select(
+        F.lit("WorkOSUser").alias("src_label"),
+        F.col("user_id").alias("src_id"),
+        F.lit("MEMBER_OF").alias("rel_label"),
+        F.lit("WorkOSOrganizationMembership").alias("dst_label"),
+        F.col("id").alias("dst_id"),
+    )
+    in_org = ms.where(F.col("organization_id").isNotNull()).select(
+        F.lit("WorkOSOrganizationMembership").alias("src_label"),
+        F.col("id").alias("src_id"),
+        F.lit("IN").alias("rel_label"),
+        F.lit("WorkOSOrganization").alias("dst_label"),
+        F.col("organization_id").alias("dst_id"),
+    )
+    edges = edges.unionByName(member_of).unionByName(in_org)
+    if roles_nodes is not None:
+        slugs = roles_nodes.select(
+            F.col("id").alias("role_id"),
+            F.element_at("props", "slug").alias("slug"),
+        ).where(F.col("slug").isNotNull()).dropDuplicates(["slug"])
+        with_role = ms.select(
+            F.col("id").alias("membership_id"),
+            F.explode_outer("roles").alias("role_slug"),
+        ).where(F.col("role_slug").isNotNull()).join(
+            F.broadcast(slugs),
+            F.col("role_slug") == slugs["slug"],
+        ).select(
+            F.lit("WorkOSOrganizationMembership").alias("src_label"),
+            F.col("membership_id").alias("src_id"),
+            F.lit("WITH_ROLE").alias("rel_label"),
+            F.lit("WorkOSRole").alias("dst_label"),
+            F.col("role_id").alias("dst_id"),
+        )
+        edges = edges.unionByName(with_role)
+    return nodes, _shape_edges(edges, update_tag, client_id)
+
+
+def sync_workos(store, users_raw, orgs_raw, roles_raw, memberships_raw,
+                client_id: str, update_tag: int) -> dict:
+    """``intel/workos/__init__.py`` order: environment → users →
+    organizations → roles → memberships; environment-scoped GC."""
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    env = store.spark.createDataFrame(
+        [(ENV_LABEL, client_id)], "label string, id string"
+    ).withColumn("props", F.lit(None).cast("map<string,string>"))
+    metrics: dict = {
+        "environment": store.merge_nodes(
+            _shape_nodes(env, update_tag, extra=F.array(F.lit("Tenant"))),
+            update_tag,
+        )
+    }
+    roles_nodes = None
+    if users_raw is not None:
+        nodes, edges = transform_workos_users(
+            users_raw, client_id, update_tag
+        )
+        metrics["users_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["users_edges"] = store.merge_edges(edges, update_tag)
+    if orgs_raw is not None:
+        nodes, edges = transform_workos_organizations(
+            orgs_raw, client_id, update_tag
+        )
+        metrics["orgs_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["orgs_edges"] = store.merge_edges(edges, update_tag)
+    if roles_raw is not None:
+        roles_nodes, edges = transform_workos_roles(
+            roles_raw, client_id, update_tag
+        )
+        metrics["roles_nodes"] = store.merge_nodes(roles_nodes, update_tag)
+        metrics["roles_edges"] = store.merge_edges(edges, update_tag)
+    if memberships_raw is not None:
+        nodes, edges = transform_workos_memberships(
+            memberships_raw, roles_nodes, client_id, update_tag
+        )
+        metrics["memberships_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["memberships_edges"] = store.merge_edges(edges, update_tag)
+
+    rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label=ENV_LABEL,
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("WORKOS_CLIENT_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    for label in ("WorkOSOrganizationMembership", "WorkOSRole",
+                  "WorkOSOrganization", "WorkOSUser"):
+        if label not in store.manifest["nodes"]:
+            continue
+        metrics[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=rel,
+            ),
+            update_tag,
+            {"WORKOS_CLIENT_ID": client_id},
+        )
+    store.record_lineage("workos_sync", {"update_tag": update_tag})
+    return metrics

@@ -1,0 +1,161 @@
+"""WorkOS provider parity, mirrored from the reference's
+``tests/integration/cartography/intel/workos/*.py`` assertions. The
+reference fixtures wrap values in Mock* classes the ast evaluator
+refuses to execute, so the same values are transcribed here as the
+JSON shapes the provider consumes (``tests/data/workos/*.py``)."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.workos import (
+    sync_workos,
+    transform_workos_memberships,
+    transform_workos_roles,
+)
+
+CLIENT = "client_test_123"
+TAG = 123456789
+
+HOMER = "user_01HXYZ1234567890ABCDEFGHIJ"
+MARGE = "user_02HXYZ0987654321ZYXWVUTSRQ"
+PLANT = "org_01HXYZ1234567890ABCDEFGHIJ"
+MART = "org_02HXYZ0987654321ZYXWVUTSRQ"
+ADMIN_ROLE = "role_01HXYZ1234567890ABCDEFGHIJ"
+MEMBER_ROLE = "role_02HXYZ0987654321ZYXWVUTSRQ"
+OM1 = "om_01HXYZ1234567890ABCDEFGHIJ"
+OM2 = "om_02HXYZ0987654321ZYXWVUTSRQ"
+
+# tests/data/workos/*.py transcribed
+USERS = [
+    {"id": HOMER, "email": "hjsimpson@springfield.com",
+     "first_name": "Homer", "last_name": "Simpson",
+     "email_verified": True,
+     "profile_picture_url": "https://example.com/homer.jpg",
+     "last_sign_in_at": "2024-11-05T10:30:00.000000Z",
+     "created_at": "2024-10-30T23:58:27.427722Z",
+     "updated_at": "2024-11-01T23:59:27.427722Z"},
+    {"id": MARGE, "email": "mbsimpson@springfield.com",
+     "first_name": "Marge", "last_name": "Simpson",
+     "email_verified": True,
+     "profile_picture_url": "https://example.com/marge.jpg",
+     "last_sign_in_at": "2024-11-04T14:20:00.000000Z",
+     "created_at": "2024-10-30T23:58:27.427722Z",
+     "updated_at": "2024-11-01T23:59:27.427722Z"},
+]
+ORGS = [
+    {"id": PLANT, "name": "Springfield Nuclear Power Plant",
+     "created_at": "2024-10-30T23:58:27.427722Z",
+     "updated_at": "2024-11-01T23:59:27.427722Z",
+     "allow_profiles_outside_organization": False},
+    {"id": MART, "name": "Kwik-E-Mart",
+     "created_at": "2024-10-31T12:00:00.000000Z",
+     "updated_at": "2024-11-02T08:30:00.000000Z",
+     "allow_profiles_outside_organization": True},
+]
+ROLES = [
+    {"id": ADMIN_ROLE, "slug": "admin", "name": "Administrator",
+     "description": "Full access to all resources",
+     "type": "EnvironmentRole", "organization_id": PLANT,
+     "created_at": "2024-10-30T23:58:27.427722Z",
+     "updated_at": "2024-11-01T23:59:27.427722Z"},
+    {"id": MEMBER_ROLE, "slug": "member", "name": "Member",
+     "description": "Standard member access",
+     "type": "OrganizationRole", "organization_id": PLANT,
+     "created_at": "2024-10-30T23:58:27.427722Z",
+     "updated_at": "2024-11-01T23:59:27.427722Z"},
+]
+MEMBERSHIPS = [
+    {"id": OM1, "user_id": HOMER, "organization_id": PLANT,
+     "status": "active", "roles": ["admin"],
+     "created_at": "2024-10-30T23:58:27.427722Z",
+     "updated_at": "2024-11-01T23:59:27.427722Z"},
+    {"id": OM2, "user_id": MARGE, "organization_id": PLANT,
+     "status": "active", "roles": ["member"],
+     "created_at": "2024-10-30T23:58:27.427722Z",
+     "updated_at": "2024-11-01T23:59:27.427722Z"},
+]
+
+
+def _raw(spark, data):
+    return spark.createDataFrame(
+        [(json.dumps(data),)], "payload_json string"
+    )
+
+
+def test_roles_org_scoping(spark):
+    """roles.py:62-88 — organization_id kept only for
+    OrganizationRole; (org)-[:HAS]->(role) only then."""
+    nodes, edges = transform_workos_roles(_raw(spark, ROLES), CLIENT, TAG)
+    rows = {r["id"]: r["props"] for r in nodes.collect()}
+    assert "organization_id" not in rows[ADMIN_ROLE]   # EnvironmentRole
+    assert rows[MEMBER_ROLE]["organization_id"] == PLANT
+    assert {
+        (e["src_id"], e["dst_id"]) for e in edges.collect()
+        if e["rel_label"] == "HAS"
+    } == {(PLANT, MEMBER_ROLE)}
+
+
+def test_membership_join_node_and_role_slug_match(spark):
+    """organization_memberships — user MEMBER_OF membership IN org;
+    WITH_ROLE resolved BY SLUG against the synced roles."""
+    roles_nodes, _ = transform_workos_roles(_raw(spark, ROLES), CLIENT, TAG)
+    nodes, edges = transform_workos_memberships(
+        _raw(spark, MEMBERSHIPS), roles_nodes, CLIENT, TAG
+    )
+    assert {r["id"] for r in nodes.collect()} == {OM1, OM2}
+    es = edges.collect()
+    assert {
+        (e["src_id"], e["dst_id"]) for e in es
+        if e["rel_label"] == "MEMBER_OF"
+    } == {(HOMER, OM1), (MARGE, OM2)}
+    assert {
+        (e["src_id"], e["dst_id"]) for e in es
+        if e["rel_label"] == "IN"
+    } == {(OM1, PLANT), (OM2, PLANT)}
+    assert {
+        (e["src_id"], e["dst_id"]) for e in es
+        if e["rel_label"] == "WITH_ROLE"
+    } == {(OM1, ADMIN_ROLE), (OM2, MEMBER_ROLE)}
+
+
+def test_sync_gc_and_user_registry(spark, tmp_store):
+    """Environment-scoped GC sweeps a departed membership; WorkOSUser
+    slots into DEFAULT_USER_SOURCES."""
+    from cartography_spark.plans.ontology_users import (
+        DEFAULT_USER_SOURCES,
+        sync_ontology_users,
+    )
+
+    sync_workos(
+        tmp_store, _raw(spark, USERS), _raw(spark, ORGS),
+        _raw(spark, ROLES), _raw(spark, MEMBERSHIPS), CLIENT, TAG,
+    )
+    assert {
+        r["id"] for r in
+        tmp_store.nodes(["WorkOSOrganizationMembership"]).collect()
+    } == {OM1, OM2}
+
+    sources = tuple(
+        s for s in DEFAULT_USER_SOURCES
+        if s.node_label in tmp_store.manifest["nodes"]
+    )
+    sync_ontology_users(tmp_store, sources, TAG)
+    users = {r["id"]: r["props"]
+             for r in tmp_store.nodes(["User"]).collect()}
+    assert users["hjsimpson@springfield.com"]["firstname"] == "Homer"
+    assert users["hjsimpson@springfield.com"]["lastactivity"] == \
+        "2024-11-05T10:30:00.000000Z"
+
+    # marge's membership revoked → swept; her user survives
+    sync_workos(
+        tmp_store, _raw(spark, USERS), _raw(spark, ORGS),
+        _raw(spark, ROLES), _raw(spark, MEMBERSHIPS[:1]), CLIENT, TAG + 1,
+    )
+    assert {
+        r["id"] for r in
+        tmp_store.nodes(["WorkOSOrganizationMembership"]).collect()
+    } == {OM1}
+    assert {
+        r["id"] for r in tmp_store.nodes(["WorkOSUser"]).collect()
+    } == {HOMER, MARGE}

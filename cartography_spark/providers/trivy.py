@@ -1,0 +1,375 @@
+"""Trivy scanner provider: image findings, packages, fixes.
+
+Mirrors the reference's ``intel/trivy/scanner.py`` transforms as
+``from_json`` + ``explode`` column expressions — zero Python rows:
+
+* ``transform_scan_results`` (:47-196): one pass over
+  ``Results[].Vulnerabilities[]`` —
+  ``TrivyImageFinding`` (id = ``TIF|{VulnerabilityID}``) with the full
+  identifier set (``VulnerabilityID`` + ``VendorIDs`` deduped;
+  ``cve_id``/``ghsa_id`` classified by prefix, ``cve_id`` gating
+  ``has_cve``), CVSS nvd/redhat/ubuntu score flattening, Class/Type,
+  layer + data-source lift; ``TrivyPackage``
+  (id = ``{InstalledVersion}|{PkgName}``) with the cross-tool
+  ``normalized_id`` (PURL leg + name/version/type fallback,
+  ``util.py:63-105``); ``TrivyFix`` (id = ``{FixedVersion}|{PkgName}``)
+  only where a fix exists.
+* ``transform_all_packages`` (:199-266): the ``--list-all-pkgs``
+  ``Packages[]`` arrays backfill NON-vulnerable packages — ids already
+  seen in the vulnerability pass are skipped (anti-join) so their
+  finding linkage is never overwritten.
+* Image digest derived from ``Metadata.RepoDigests[0]`` after ``@``
+  (``_parse_trivy_data``:268-305, missing digests fail fast).
+
+Edges (``models/trivy/*.py`` directions):
+``(finding)-[:AFFECTS]->(image)``, ``(package)-[:DEPLOYED]->(image)``
+(image resolved by the ``_ont_digest`` prop matcher when an Image
+frame is supplied, digest-as-id otherwise),
+``(finding)-[:AFFECTS]->(package)``,
+``(package)-[:SHOULD_UPDATE_TO]->(fix)``,
+``(fix)-[:APPLIES_TO]->(finding)``. All three labels use UNSCOPED
+cleanup (``scoped_cleanup=False``).
+
+``TrivyPackage`` feeds the canonical package stage
+(``plans/ontology_packages.py`` — it is first in the CLI's
+package-source precedence).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_CVSS_VENDOR = (
+    "struct<V2Score:double, V2Vector:string, V3Score:double, "
+    "V3Vector:string>"
+)
+TRIVY_SCAN_STRUCT = (
+    "struct<ArtifactName:string, "
+    "Metadata:struct<RepoDigests:array<string>>, "
+    "Results:array<struct<Class:string, Type:string, "
+    "Vulnerabilities:array<struct<VulnerabilityID:string, "
+    "VendorIDs:array<string>, PkgID:string, PkgName:string, "
+    "PkgIdentifier:struct<PURL:string>, InstalledVersion:string, "
+    "FixedVersion:string, Status:string, "
+    "Layer:struct<Digest:string, DiffID:string>, "
+    "SeveritySource:string, PrimaryURL:string, "
+    "DataSource:struct<ID:string, Name:string>, Title:string, "
+    "Description:string, Severity:string, CweIDs:array<string>, "
+    f"CVSS:struct<nvd:{_CVSS_VENDOR}, redhat:{_CVSS_VENDOR}, "
+    f"ubuntu:{_CVSS_VENDOR}>, "
+    "References:array<string>, PublishedDate:string, "
+    "LastModifiedDate:string>>, "
+    "Packages:array<struct<ID:string, Name:string, Version:string, "
+    "Identifier:struct<PURL:string>>>>>>"
+)
+
+
+def _props_map(pairs: list[tuple[str, Column]]) -> Column:
+    return F.map_filter(
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k, _ in pairs]),
+            F.array(*[v.cast("string") for _, v in pairs]),
+        ),
+        lambda _k, v: v.isNotNull(),
+    )
+
+
+def _shape_nodes(df: DataFrame, update_tag: int, extra=None) -> DataFrame:
+    return df.select(
+        "label",
+        "id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        (extra if extra is not None else F.lit(None).cast("array<string>"))
+        .alias("extra_labels"),
+        "props",
+    )
+
+
+def _shape_edges(df: DataFrame, update_tag: int) -> DataFrame:
+    return df.select(
+        "src_label", "src_id", "rel_label", "dst_label", "dst_id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("sub_resource_label"),
+        F.lit(None).cast("string").alias("sub_resource_id"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    ).dropDuplicates(["src_label", "src_id", "rel_label", "dst_label", "dst_id"])
+
+
+def _normalized_id(purl: Column, name: Column, version: Column,
+                   pkg_type: Column) -> Column:
+    """``make_normalized_package_id`` (``util.py:63-105``): PURL leg
+    first, name/version/type fallback."""
+    from cartography_spark.plans.ontology_packages import (
+        normalize_package_name,
+        normalized_package_id,
+    )
+
+    return F.coalesce(
+        normalized_package_id(purl),
+        F.when(
+            name.isNotNull() & version.isNotNull() & pkg_type.isNotNull(),
+            F.concat(F.lower(pkg_type), F.lit("|"),
+                     normalize_package_name(name, pkg_type),
+                     F.lit("|"), version),
+        ),
+    )
+
+
+def _parse_scans(raw: DataFrame) -> DataFrame:
+    """One row per scan payload with the derived image digest
+    (``_parse_trivy_data``: RepoDigests[0] after '@')."""
+    scans = raw.select(
+        F.from_json("payload_json", TRIVY_SCAN_STRUCT).alias("s")
+    ).select(
+        F.col("s.Results").alias("results"),
+        F.split_part(
+            F.get(F.col("s.Metadata.RepoDigests"), 0), F.lit("@"),
+            F.lit(-1),
+        ).alias("image_digest"),
+    )
+    return scans.where(
+        F.col("image_digest").isNotNull() & (F.col("image_digest") != "")
+    )
+
+
+def transform_trivy_scan(
+    raw: DataFrame, update_tag: int, images: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Full scan → (nodes, edges) for findings + packages + fixes."""
+    scans = _parse_scans(raw)
+    classes = scans.select(
+        "image_digest", F.explode("results").alias("r")
+    ).select(
+        "image_digest",
+        F.col("r.Class").alias("class_name"),
+        F.col("r.Type").alias("pkg_type"),
+        F.col("r.Vulnerabilities").alias("vulns"),
+        F.col("r.Packages").alias("all_pkgs"),
+    )
+    v = classes.where(F.col("vulns").isNotNull()).select(
+        "image_digest", "class_name", "pkg_type",
+        F.explode("vulns").alias("v"),
+    )
+    vuln_ids = F.array_distinct(F.concat(
+        F.array(F.col("v.VulnerabilityID")),
+        F.coalesce(F.col("v.VendorIDs"), F.array().cast("array<string>")),
+    ))
+    first_with = lambda prefix: F.get(
+        F.filter(vuln_ids, lambda i: i.startswith(prefix)), 0
+    )
+    v = v.select(
+        "*",
+        F.concat(F.lit("TIF|"), F.col("v.VulnerabilityID"))
+        .alias("finding_id"),
+        F.concat(F.col("v.InstalledVersion"), F.lit("|"),
+                 F.col("v.PkgName")).alias("package_id"),
+        vuln_ids.alias("vulnerability_ids"),
+        first_with("CVE-").alias("cve_id"),
+        first_with("GHSA-").alias("ghsa_id"),
+    )
+
+    finding_nodes = _shape_nodes(
+        v.select(
+            F.lit("TrivyImageFinding").alias("label"),
+            F.col("finding_id").alias("id"),
+            _props_map([
+                ("name", F.col("v.VulnerabilityID")),
+                ("vulnerability_ids",
+                 F.array_join(F.col("vulnerability_ids"), ",")),
+                ("cve_id", F.col("cve_id")),
+                ("ghsa_id", F.col("ghsa_id")),
+                ("has_cve",
+                 F.when(F.col("cve_id").isNotNull(), "true")
+                 .otherwise("false")),
+                ("description", F.col("v.Description")),
+                ("last_modified_date", F.col("v.LastModifiedDate")),
+                ("primary_url", F.col("v.PrimaryURL")),
+                ("published_date", F.col("v.PublishedDate")),
+                ("severity", F.col("v.Severity")),
+                ("severity_source", F.col("v.SeveritySource")),
+                ("title", F.col("v.Title")),
+                ("cvss_nvd_v2_score", F.col("v.CVSS.nvd.V2Score")),
+                ("cvss_nvd_v2_vector", F.col("v.CVSS.nvd.V2Vector")),
+                ("cvss_nvd_v3_score", F.col("v.CVSS.nvd.V3Score")),
+                ("cvss_nvd_v3_vector", F.col("v.CVSS.nvd.V3Vector")),
+                ("cvss_redhat_v3_score", F.col("v.CVSS.redhat.V3Score")),
+                ("cvss_redhat_v3_vector",
+                 F.col("v.CVSS.redhat.V3Vector")),
+                ("cvss_ubuntu_v3_score", F.col("v.CVSS.ubuntu.V3Score")),
+                ("cvss_ubuntu_v3_vector",
+                 F.col("v.CVSS.ubuntu.V3Vector")),
+                ("class_name", F.col("class_name")),
+                ("type", F.col("pkg_type")),
+                ("cwe_ids", F.array_join(F.col("v.CweIDs"), ",")),
+                ("status", F.col("v.Status")),
+                ("references", F.array_join(F.col("v.References"), ",")),
+                ("data_source_id", F.col("v.DataSource.ID")),
+                ("data_source_name", F.col("v.DataSource.Name")),
+                ("layer_digest", F.col("v.Layer.Digest")),
+                ("layer_diff_id", F.col("v.Layer.DiffID")),
+            ]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+    )
+
+    vuln_pkgs = v.where(
+        F.col("v.InstalledVersion").isNotNull()
+        & F.col("v.PkgName").isNotNull()
+    ).select(
+        "image_digest", "class_name", "pkg_type", "package_id",
+        "finding_id",
+        F.col("v.PkgName").alias("name"),
+        F.col("v.InstalledVersion").alias("version"),
+        F.col("v.PkgIdentifier.PURL").alias("purl"),
+        F.col("v.PkgID").alias("pkg_id"),
+    )
+    extra_pkgs = classes.where(F.col("all_pkgs").isNotNull()).select(
+        "image_digest", "class_name", "pkg_type",
+        F.explode("all_pkgs").alias("p"),
+    ).where(
+        F.col("p.Name").isNotNull() & F.col("p.Version").isNotNull()
+    ).select(
+        "image_digest", "class_name", "pkg_type",
+        F.concat(F.col("p.Version"), F.lit("|"), F.col("p.Name"))
+        .alias("package_id"),
+        F.lit(None).cast("string").alias("finding_id"),
+        F.col("p.Name").alias("name"),
+        F.col("p.Version").alias("version"),
+        F.col("p.Identifier.PURL").alias("purl"),
+        F.col("p.ID").alias("pkg_id"),
+    ).join(  # transform_all_packages: skip ids the vuln pass loaded
+        vuln_pkgs.select("package_id").distinct(),
+        "package_id", "left_anti",
+    )
+    pkgs = vuln_pkgs.unionByName(extra_pkgs)
+    package_nodes = _shape_nodes(
+        pkgs.select(
+            F.lit("TrivyPackage").alias("label"),
+            F.col("package_id").alias("id"),
+            _props_map([
+                ("installed_version", F.col("version")),
+                ("name", F.col("name")),
+                ("version", F.col("version")),
+                ("class_name", F.col("class_name")),
+                ("type", F.col("pkg_type")),
+                ("purl", F.col("purl")),
+                ("pkg_id", F.col("pkg_id")),
+                ("normalized_id",
+                 _normalized_id(F.col("purl"), F.col("name"),
+                                F.col("version"), F.col("pkg_type"))),
+            ]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+    )
+
+    fixes = v.where(F.col("v.FixedVersion").isNotNull()).select(
+        F.concat(F.col("v.FixedVersion"), F.lit("|"),
+                 F.col("v.PkgName")).alias("fix_id"),
+        F.col("v.FixedVersion").alias("version"),
+        "package_id", "finding_id",
+    )
+    fix_nodes = _shape_nodes(
+        fixes.select(
+            F.lit("TrivyFix").alias("label"),
+            F.col("fix_id").alias("id"),
+            _props_map([("version", F.col("version"))]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+    )
+    nodes = finding_nodes.unionByName(package_nodes).unionByName(fix_nodes)
+
+    # image endpoint: resolve digest → node id via _ont_digest when an
+    # Image frame is supplied; digest-as-id otherwise
+    if images is not None:
+        digests = images.select(
+            F.col("id").alias("image_node_id"),
+            F.element_at("props", "_ont_digest").alias("digest"),
+        ).where(F.col("digest").isNotNull()).dropDuplicates(["digest"])
+
+        def image_id(df):
+            return df.join(
+                F.broadcast(digests),
+                df["image_digest"] == digests["digest"], "left",
+            ).withColumn(
+                "image_id",
+                F.coalesce("image_node_id", "image_digest"),
+            )
+    else:
+        def image_id(df):
+            return df.withColumn("image_id", F.col("image_digest"))
+
+    finding_affects_image = image_id(
+        v.select("finding_id", "image_digest").distinct()
+    ).select(
+        F.lit("TrivyImageFinding").alias("src_label"),
+        F.col("finding_id").alias("src_id"),
+        F.lit("AFFECTS").alias("rel_label"),
+        F.lit("Image").alias("dst_label"),
+        F.col("image_id").alias("dst_id"),
+    )
+    deployed = image_id(
+        pkgs.select("package_id", "image_digest").distinct()
+    ).select(
+        F.lit("TrivyPackage").alias("src_label"),
+        F.col("package_id").alias("src_id"),
+        F.lit("DEPLOYED").alias("rel_label"),
+        F.lit("Image").alias("dst_label"),
+        F.col("image_id").alias("dst_id"),
+    )
+    finding_affects_pkg = v.select(
+        F.lit("TrivyImageFinding").alias("src_label"),
+        F.col("finding_id").alias("src_id"),
+        F.lit("AFFECTS").alias("rel_label"),
+        F.lit("TrivyPackage").alias("dst_label"),
+        F.col("package_id").alias("dst_id"),
+    )
+    should_update = fixes.select(
+        F.lit("TrivyPackage").alias("src_label"),
+        F.col("package_id").alias("src_id"),
+        F.lit("SHOULD_UPDATE_TO").alias("rel_label"),
+        F.lit("TrivyFix").alias("dst_label"),
+        F.col("fix_id").alias("dst_id"),
+    )
+    applies_to = fixes.select(
+        F.lit("TrivyFix").alias("src_label"),
+        F.col("fix_id").alias("src_id"),
+        F.lit("APPLIES_TO").alias("rel_label"),
+        F.lit("TrivyImageFinding").alias("dst_label"),
+        F.col("finding_id").alias("dst_id"),
+    )
+    edges = _shape_edges(
+        finding_affects_image.unionByName(deployed)
+        .unionByName(finding_affects_pkg).unionByName(should_update)
+        .unionByName(applies_to),
+        update_tag,
+    )
+    return nodes, edges
+
+
+def sync_trivy(store, scans_raw, update_tag: int,
+               images: DataFrame | None = None) -> dict:
+    """Load one or more scan payloads; unscoped GC for the three
+    labels (``scoped_cleanup=False`` across the Trivy schemas)."""
+    from cartography_spark.models.schema import NodeSchema, PropertyRef
+    from cartography_spark.operators.gc import run_cleanup
+
+    metrics: dict = {}
+    nodes, edges = transform_trivy_scan(scans_raw, update_tag,
+                                        images=images)
+    metrics["nodes"] = store.merge_nodes(nodes, update_tag)
+    metrics["edges"] = store.merge_edges(edges, update_tag)
+    for label in ("TrivyFix", "TrivyImageFinding", "TrivyPackage"):
+        if label not in store.manifest["nodes"]:
+            continue
+        metrics[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                scoped_cleanup=False,
+            ),
+            update_tag,
+        )
+    store.record_lineage("trivy_sync", {"update_tag": update_tag})
+    return metrics

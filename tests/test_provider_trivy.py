@@ -1,0 +1,157 @@
+"""Trivy provider parity, mirrored from the reference's
+``tests/integration/cartography/intel/trivy/test_helpers.py`` shared
+assertions over its actual ``tests/data/trivy/trivy_sample.py`` fixture
+(a plain dict, loaded read-only via the ast literal evaluator): the
+exact finding/package/fix node sets, SHOULD_UPDATE_TO / APPLIES_TO /
+AFFECTS / DEPLOYED edge sets, identifier classification, and the
+vulnerable-vs-all-packages union."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.trivy import (
+    sync_trivy,
+    transform_trivy_scan,
+)
+from tests.test_fixture_parity_github import _load_fixture_ns
+
+FIXTURE = "/root/reference/tests/data/trivy/trivy_sample.py"
+DIGEST = ("sha256:00000000000000000000000000000000"
+          "00000000000000000000000000000000")
+TAG = 123456789
+
+EXPECTED_FINDINGS = {
+    ("TIF|CVE-2023-29383", "CVE-2023-29383", "LOW"),
+    ("TIF|CVE-2023-4039", "CVE-2023-4039", "LOW"),
+    ("TIF|CVE-2023-4641", "CVE-2023-4641", "MEDIUM"),
+    ("TIF|CVE-2024-12133", "CVE-2024-12133", "MEDIUM"),
+    ("TIF|CVE-2024-13176", "CVE-2024-13176", "MEDIUM"),
+    ("TIF|CVE-2024-26462", "CVE-2024-26462", "MEDIUM"),
+    ("TIF|CVE-2024-56406", "CVE-2024-56406", "HIGH"),
+    ("TIF|CVE-2025-24528", "CVE-2025-24528", "MEDIUM"),
+    ("TIF|CVE-2025-31115", "CVE-2025-31115", "HIGH"),
+    ("TIF|CVE-2025-43859", "CVE-2025-43859", "CRITICAL"),
+}
+EXPECTED_PACKAGES = {
+    ("0.14.0|h11", "h11", "0.14.0"),
+    ("1.20.1-2+deb12u2|krb5-locales", "krb5-locales", "1.20.1-2+deb12u2"),
+    ("1.20.1-2+deb12u2|libk5crypto3", "libk5crypto3", "1.20.1-2+deb12u2"),
+    ("1.20.1-2+deb12u2|libkrb5-3", "libkrb5-3", "1.20.1-2+deb12u2"),
+    ("1.20.1-2+deb12u2|libkrb5support0", "libkrb5support0",
+     "1.20.1-2+deb12u2"),
+    ("12.2.0-14|gcc-12-base", "gcc-12-base", "12.2.0-14"),
+    ("12.2.0-14|libstdc++6", "libstdc++6", "12.2.0-14"),
+    ("1:4.13+dfsg1-1+b1|login", "login", "1:4.13+dfsg1-1+b1"),
+    ("1:4.13+dfsg1-1+b1|passwd", "passwd", "1:4.13+dfsg1-1+b1"),
+    ("3.0.15-1~deb12u1|libssl3", "libssl3", "3.0.15-1~deb12u1"),
+    ("3.0.15-1~deb12u1|openssl", "openssl", "3.0.15-1~deb12u1"),
+    ("4.19.0-2|libtasn1-6", "libtasn1-6", "4.19.0-2"),
+    ("5.36.0-7+deb12u1|perl-base", "perl-base", "5.36.0-7+deb12u1"),
+    ("5.4.1-0.2|liblzma5", "liblzma5", "5.4.1-0.2"),
+    # non-vulnerable packages (Packages array only)
+    ("2.6.1|apt", "apt", "2.6.1"),
+    ("5.2.15-2+b2|bash", "bash", "5.2.15-2+b2"),
+    ("2.31.0|requests", "requests", "2.31.0"),
+    ("2.0.7|urllib3", "urllib3", "2.0.7"),
+}
+
+
+@pytest.fixture(scope="module")
+def trivy_sample():
+    if not os.path.exists(FIXTURE):
+        pytest.skip("reference fixture not available")
+    return _load_fixture_ns(FIXTURE)["TRIVY_SAMPLE"]
+
+
+def _raw(spark, data):
+    return spark.createDataFrame(
+        [(json.dumps(data),)], "payload_json string"
+    )
+
+
+def test_findings_and_packages_parity(spark, trivy_sample):
+    """test_helpers.py:7-48 — the exact (id, name, severity) finding
+    set and the vulnerable∪non-vulnerable package set."""
+    nodes, _ = transform_trivy_scan(_raw(spark, trivy_sample), TAG)
+    rows = nodes.collect()
+    assert {
+        (r["id"], r["props"]["name"], r["props"]["severity"])
+        for r in rows if r["label"] == "TrivyImageFinding"
+    } == EXPECTED_FINDINGS
+    assert {
+        (r["id"], r["props"]["name"], r["props"]["version"])
+        for r in rows if r["label"] == "TrivyPackage"
+    } == EXPECTED_PACKAGES
+    pkg_props = {r["id"]: r["props"] for r in rows
+                 if r["label"] == "TrivyPackage"}
+    # requests comes from the Packages array with a pypi PURL
+    assert pkg_props["2.31.0|requests"]["normalized_id"] == \
+        "pypi|requests|2.31.0"
+
+
+def test_fix_and_affects_edges(spark, trivy_sample):
+    """test_helpers.py:51-96 — SHOULD_UPDATE_TO / APPLIES_TO pairs;
+    finding AFFECTS both the image (by digest) and the package."""
+    _, edges = transform_trivy_scan(_raw(spark, trivy_sample), TAG)
+    es = edges.collect()
+    update_pairs = {
+        (e["src_id"], e["dst_id"]) for e in es
+        if e["rel_label"] == "SHOULD_UPDATE_TO"
+    }
+    assert ("0.14.0|h11", "0.16.0|h11") in update_pairs
+    assert ("3.0.15-1~deb12u1|openssl",
+            "3.0.16-1~deb12u1|openssl") in update_pairs
+    assert len(update_pairs) == 14
+    applies = {
+        (e["src_id"], e["dst_id"]) for e in es
+        if e["rel_label"] == "APPLIES_TO"
+    }
+    assert ("0.16.0|h11", "TIF|CVE-2025-43859") in applies
+    affects_img = {
+        e["src_id"] for e in es
+        if e["rel_label"] == "AFFECTS" and e["dst_label"] == "Image"
+        and e["dst_id"] == DIGEST
+    }
+    assert affects_img == {f for f, _, _ in EXPECTED_FINDINGS}
+    deployed = {
+        e["src_id"] for e in es if e["rel_label"] == "DEPLOYED"
+    }
+    assert deployed == {p for p, _, _ in EXPECTED_PACKAGES}
+
+
+def test_sync_gc_and_package_ontology(spark, tmp_store, trivy_sample):
+    """Unscoped GC sweeps a finding gone from the next scan; packages
+    feed the canonical PackageVersion stage."""
+    from cartography_spark.plans.ontology_packages import (
+        PackageSource,
+        sync_ontology_packages,
+    )
+
+    sync_trivy(tmp_store, _raw(spark, trivy_sample), TAG)
+    sync_ontology_packages(
+        tmp_store, (PackageSource("TrivyPackage"),), TAG
+    )
+    versions = {
+        r["id"] for r in tmp_store.nodes(["PackageVersion"]).collect()
+    }
+    assert "pypi|requests|2.31.0" in versions
+    assert "pypi|h11|0.14.0" in versions
+
+    # a rescan with one class dropped: its findings/packages vanish
+    pruned = dict(trivy_sample)
+    pruned["Results"] = [
+        r for r in trivy_sample["Results"]
+        if r.get("Class") != "lang-pkgs"
+    ]
+    sync_trivy(tmp_store, _raw(spark, pruned), TAG + 1)
+    findings = {
+        r["id"] for r in
+        tmp_store.nodes(["TrivyImageFinding"]).collect()
+    }
+    assert "TIF|CVE-2025-43859" not in findings    # h11 is lang-pkgs
+    assert "TIF|CVE-2024-26462" in findings        # os-pkgs survives
+    pkgs = {r["id"] for r in tmp_store.nodes(["TrivyPackage"]).collect()}
+    assert "0.14.0|h11" not in pkgs

@@ -1,0 +1,218 @@
+"""Syft SBOM provider: packages with dependency edges.
+
+Mirrors the reference's ``intel/syft/parser.py`` as ``from_json`` +
+``explode`` column expressions — zero Python rows:
+
+* ``transform_artifacts`` (:94-175): every artifact with a name and a
+  version becomes a ``SyftPackage`` node keyed by the cross-tool
+  ``normalized_id`` (PURL leg + fallback, ``trivy/util.py:63-105`` —
+  the SAME key Trivy emits, which is what lets the two tools match);
+  ``artifactRelationships`` rows of type ``dependency-of`` —
+  Syft's ``{parent: X, child: Y}`` means *Y depends on X* — become
+  ``(child)-[:DEPENDS_ON]->(parent)`` edges between normalized ids,
+  resolved with two broadcast joins against the artifact lookup
+  (both endpoints must exist, like the reference's lookup guard).
+* ``_extract_image_digests`` (:74-91): image-source scans yield
+  digest candidates (``manifestDigest`` first, then the
+  ``repoDigests`` after-@ parts, sha256-prefixed, deduped) →
+  ``(package)-[:DEPLOYED]->(image)`` per candidate.
+
+``SyftPackage`` uses UNSCOPED cleanup (``scoped_cleanup=False``) and
+feeds the canonical package stage
+(``plans/ontology_packages.py`` — second in the CLI's precedence).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+SYFT_STRUCT = (
+    "struct<artifacts:array<struct<id:string, name:string, "
+    "version:string, type:string, foundBy:string, language:string, "
+    "purl:string>>, "
+    "artifactRelationships:array<struct<parent:string, child:string, "
+    "type:string>>, "
+    "source:struct<type:string, metadata:struct<manifestDigest:string, "
+    "repoDigests:array<string>>>>"
+)
+
+
+def _props_map(pairs: list[tuple[str, Column]]) -> Column:
+    return F.map_filter(
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k, _ in pairs]),
+            F.array(*[v.cast("string") for _, v in pairs]),
+        ),
+        lambda _k, v: v.isNotNull(),
+    )
+
+
+def _shape_nodes(df: DataFrame, update_tag: int) -> DataFrame:
+    return df.select(
+        "label",
+        "id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        F.lit(None).cast("array<string>").alias("extra_labels"),
+        "props",
+    )
+
+
+def _shape_edges(df: DataFrame, update_tag: int) -> DataFrame:
+    return df.select(
+        "src_label", "src_id", "rel_label", "dst_label", "dst_id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("sub_resource_label"),
+        F.lit(None).cast("string").alias("sub_resource_id"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    ).dropDuplicates(["src_label", "src_id", "rel_label", "dst_label", "dst_id"])
+
+
+def _normalized_id(purl: Column, name: Column, version: Column,
+                   pkg_type: Column) -> Column:
+    from cartography_spark.plans.ontology_packages import (
+        normalize_package_name,
+        normalized_package_id,
+    )
+
+    return F.coalesce(
+        normalized_package_id(purl),
+        F.when(
+            name.isNotNull() & version.isNotNull() & pkg_type.isNotNull(),
+            F.concat(F.lower(pkg_type), F.lit("|"),
+                     normalize_package_name(name, pkg_type),
+                     F.lit("|"), version),
+        ),
+    )
+
+
+def transform_syft_sbom(
+    raw: DataFrame, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """``raw``: one row per scan, ``payload_json`` = the Syft JSON."""
+    scans = raw.select(
+        F.monotonically_increasing_id().alias("scan_id"),
+        F.from_json("payload_json", SYFT_STRUCT).alias("s"),
+    )
+    artifacts = scans.select(
+        "scan_id",
+        F.explode("s.artifacts").alias("a"),
+    ).where(
+        F.col("a.name").isNotNull() & F.col("a.version").isNotNull()
+    ).select(
+        "scan_id",
+        F.col("a.id").alias("artifact_id"),
+        F.col("a.name").alias("name"),
+        F.col("a.version").alias("version"),
+        F.col("a.type").alias("type"),
+        F.col("a.purl").alias("purl"),
+        F.col("a.language").alias("language"),
+        F.col("a.foundBy").alias("found_by"),
+        _normalized_id(F.col("a.purl"), F.col("a.name"),
+                       F.col("a.version"), F.col("a.type"))
+        .alias("normalized_id"),
+    ).where(F.col("normalized_id").isNotNull())
+
+    nodes = _shape_nodes(
+        artifacts.select(
+            F.lit("SyftPackage").alias("label"),
+            F.col("normalized_id").alias("id"),
+            _props_map([
+                ("name", F.col("name")),
+                ("version", F.col("version")),
+                ("type", F.col("type")),
+                ("purl", F.col("purl")),
+                ("normalized_id", F.col("normalized_id")),
+                ("language", F.col("language")),
+                ("found_by", F.col("found_by")),
+            ]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+    )
+
+    rels = scans.select(
+        "scan_id", F.explode("s.artifactRelationships").alias("r")
+    ).where(F.col("r.type") == "dependency-of").select(
+        "scan_id",
+        F.col("r.parent").alias("parent_aid"),
+        F.col("r.child").alias("child_aid"),
+    )
+    lookup = artifacts.select(
+        "scan_id", "artifact_id", "normalized_id"
+    )
+    child = lookup.select(
+        F.col("scan_id").alias("c_scan"),
+        F.col("artifact_id").alias("c_aid"),
+        F.col("normalized_id").alias("child_norm"),
+    )
+    parent = lookup.select(
+        F.col("scan_id").alias("p_scan"),
+        F.col("artifact_id").alias("p_aid"),
+        F.col("normalized_id").alias("parent_norm"),
+    )
+    depends_on = rels.join(
+        F.broadcast(child),
+        (rels["scan_id"] == child["c_scan"])
+        & (rels["child_aid"] == child["c_aid"]),
+    ).join(
+        F.broadcast(parent),
+        (rels["scan_id"] == parent["p_scan"])
+        & (rels["parent_aid"] == parent["p_aid"]),
+    ).select(
+        F.lit("SyftPackage").alias("src_label"),
+        F.col("child_norm").alias("src_id"),
+        F.lit("DEPENDS_ON").alias("rel_label"),
+        F.lit("SyftPackage").alias("dst_label"),
+        F.col("parent_norm").alias("dst_id"),
+    )
+
+    # image digest candidates: manifestDigest first, repoDigests'
+    # after-@ parts, sha256-only, deduped (parser.py:53-91)
+    digest_col = F.array_distinct(F.filter(
+        F.concat(
+            F.array(F.col("s.source.metadata.manifestDigest")),
+            F.transform(
+                F.coalesce(F.col("s.source.metadata.repoDigests"),
+                           F.array().cast("array<string>")),
+                lambda rd: F.substring_index(rd, "@", -1),
+            ),
+        ),
+        lambda d: d.isNotNull() & d.startswith("sha256:"),
+    ))
+    digests = scans.where(
+        F.col("s.source.type") == "image"
+    ).select("scan_id", F.explode(digest_col).alias("digest"))
+    deployed = artifacts.join(digests, "scan_id").select(
+        F.lit("SyftPackage").alias("src_label"),
+        F.col("normalized_id").alias("src_id"),
+        F.lit("DEPLOYED").alias("rel_label"),
+        F.lit("Image").alias("dst_label"),
+        F.col("digest").alias("dst_id"),
+    )
+    edges = _shape_edges(
+        depends_on.unionByName(deployed), update_tag
+    )
+    return nodes, edges
+
+
+def sync_syft(store, sboms_raw, update_tag: int) -> dict:
+    from cartography_spark.models.schema import NodeSchema, PropertyRef
+    from cartography_spark.operators.gc import run_cleanup
+
+    nodes, edges = transform_syft_sbom(sboms_raw, update_tag)
+    metrics = {
+        "nodes": store.merge_nodes(nodes, update_tag),
+        "edges": store.merge_edges(edges, update_tag),
+    }
+    if "SyftPackage" in store.manifest["nodes"]:
+        metrics["gc_SyftPackage"] = run_cleanup(
+            store,
+            NodeSchema(
+                label="SyftPackage",
+                properties={"id": PropertyRef("id")},
+                scoped_cleanup=False,
+            ),
+            update_tag,
+        )
+    store.record_lineage("syft_sync", {"update_tag": update_tag})
+    return metrics

@@ -1,0 +1,122 @@
+"""Syft provider parity, mirrored from the reference's
+``tests/integration/cartography/intel/syft/test_syft.py`` assertions
+over its actual ``tests/data/syft/syft_sample.py`` fixture (loaded
+read-only via the ast literal evaluator): the exact normalized-id
+package set, the child-depends-on-parent DEPENDS_ON direction, the
+DEPLOYED digest candidates, and the Trivy↔Syft cross-tool match."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.syft import (
+    sync_syft,
+    transform_syft_sbom,
+)
+from tests.test_fixture_parity_github import _load_fixture_ns
+
+FIXTURE = "/root/reference/tests/data/syft/syft_sample.py"
+TRIVY_FIXTURE = "/root/reference/tests/data/trivy/trivy_sample.py"
+DIGEST = ("sha256:00000000000000000000000000000000"
+          "00000000000000000000000000000000")
+TAG = 123456789
+
+
+@pytest.fixture(scope="module")
+def syft_fixture():
+    if not os.path.exists(FIXTURE):
+        pytest.skip("reference fixture not available")
+    return _load_fixture_ns(FIXTURE)
+
+
+def _raw(spark, data):
+    return spark.createDataFrame(
+        [(json.dumps(data),)], "payload_json string"
+    )
+
+
+def test_packages_and_depends_on_parity(spark, syft_fixture):
+    """test_syft.py:179-223 — the exact node-id set and the
+    (dependent)-[:DEPENDS_ON]->(dependency) pairs."""
+    nodes, edges = transform_syft_sbom(
+        _raw(spark, syft_fixture["SYFT_SAMPLE"]), TAG
+    )
+    rows = {r["id"]: r["props"] for r in nodes.collect()}
+    assert set(rows) == set(syft_fixture["EXPECTED_SYFT_PACKAGES"])
+    express = rows["npm|express|4.18.2"]
+    assert express["name"] == "express"
+    assert express["version"] == "4.18.2"
+    assert express["type"] == "npm"
+    assert express["language"] == "javascript"
+    assert express["found_by"] == "javascript-package-cataloger"
+    es = edges.collect()
+    assert {
+        (e["src_id"], e["dst_id"]) for e in es
+        if e["rel_label"] == "DEPENDS_ON"
+    } == set(map(tuple, syft_fixture["EXPECTED_SYFT_PACKAGE_DEPENDENCIES"]))
+    # image-source scan → DEPLOYED per digest candidate
+    deployed = {
+        (e["src_id"], e["dst_id"]) for e in es
+        if e["rel_label"] == "DEPLOYED"
+    }
+    assert ("npm|express|4.18.2", DIGEST) in deployed
+
+
+def test_minimal_and_non_image_sources(spark, syft_fixture):
+    """parser.py — empty artifact lists load cleanly; non-image
+    sources produce no DEPLOYED edges."""
+    nodes, edges = transform_syft_sbom(
+        _raw(spark, syft_fixture["SYFT_MINIMAL_VALID"]), TAG
+    )
+    assert nodes.count() == 0
+    assert edges.count() == 0
+
+    dir_scan = dict(syft_fixture["SYFT_SAMPLE"])
+    dir_scan["source"] = {"type": "directory"}
+    _, edges = transform_syft_sbom(_raw(spark, dir_scan), TAG)
+    assert not [
+        e for e in edges.collect() if e["rel_label"] == "DEPLOYED"
+    ]
+
+
+def test_cross_tool_match_with_trivy(spark, tmp_store, syft_fixture):
+    """The reason normalized ids exist: a Trivy scan and a Syft SBOM
+    of overlapping content land on the same PackageVersion via the
+    canonical package stage."""
+    from cartography_spark.plans.ontology_packages import (
+        PackageSource,
+        sync_ontology_packages,
+    )
+    from cartography_spark.providers.trivy import sync_trivy
+
+    if not os.path.exists(TRIVY_FIXTURE):
+        pytest.skip("reference fixture not available")
+    trivy_sample = _load_fixture_ns(TRIVY_FIXTURE)["TRIVY_SAMPLE"]
+
+    sync_syft(tmp_store, _raw(spark, syft_fixture["SYFT_SAMPLE"]), TAG)
+    sync_trivy(tmp_store, _raw(spark, trivy_sample), TAG)
+    sync_ontology_packages(
+        tmp_store,
+        (PackageSource("TrivyPackage"), PackageSource("SyftPackage")),
+        TAG,
+    )
+    detected = {}
+    for e in tmp_store.edges(["DETECTED_AS"]).collect():
+        detected.setdefault(e["src_id"], set()).add(e["dst_label"])
+    # express appears in both tools' outputs (Trivy all-packages has
+    # requests/urllib3; Syft has express) — every canonical version
+    # links back to each tool that saw it
+    assert "SyftPackage" in detected["npm|express|4.18.2"]
+    assert "TrivyPackage" in detected["pypi|requests|2.31.0"]
+
+    # a rescan without lodash sweeps it (unscoped GC)
+    pruned = dict(syft_fixture["SYFT_SAMPLE"])
+    pruned["artifacts"] = [
+        a for a in pruned["artifacts"] if a["name"] != "lodash"
+    ]
+    sync_syft(tmp_store, _raw(spark, pruned), TAG + 1)
+    pkgs = {r["id"] for r in tmp_store.nodes(["SyftPackage"]).collect()}
+    assert "npm|lodash|4.17.21" not in pkgs
+    assert "npm|express|4.18.2" in pkgs

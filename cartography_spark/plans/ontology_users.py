@@ -148,6 +148,15 @@ DEFAULT_USER_SOURCES: tuple[UserSource, ...] = (
         _F("active", "enabled"),
         _F("has_mfa", "totp"),
     ))),
+    UserSource("ScalewayUser", _mapping((
+        _F("email", "email", required=True),
+        _F("firstname", "first_name"),
+        _F("lastname", "last_name"),
+        _F("username", "username"),
+        _F("active", "locked", special_handling="invert_boolean"),
+        _F("lastactivity", "last_login_at"),
+        _F("has_mfa", "mfa"),
+    ))),
     UserSource("SnipeitUser", _mapping((
         _F("email", "email", required=True),
         _F("username", "username"),

@@ -1,0 +1,349 @@
+"""Scaleway provider: organization, projects, IAM users, instances.
+
+Mirrors the reference's ``intel/scaleway`` core sync family
+(``projects.py:40-67`` org + project projection;
+``iam/users.py:38-58`` flat user records;
+``instances/instances.py:43-98`` per-project server batching with the
+``public_ips``/``volumes_id``/``private_nics`` id-list lifts) as
+``from_json`` + ``explode`` column expressions — zero Python rows.
+
+Graph shape (``models/scaleway/*``):
+
+* ``ScalewayOrganization`` (``Tenant`` extra label) — root.
+* ``ScalewayProject`` — org ``RESOURCE`` scoping.
+* ``ScalewayUser`` — org ``RESOURCE`` scoping; ``UserAccount`` extra
+  label (the useraccounts ontology family —
+  ``DEFAULT_USER_SOURCES`` maps ``locked`` invert → active,
+  ``last_login_at`` → lastactivity).
+* ``ScalewayInstance`` — ``RESOURCE``-scoped per PROJECT
+  (``instance.py:154-167``); ``(instance)-[:MOUNTS]->(volume)`` from
+  the volume id list and ``(ip)-[:IDENTIFIES]->(instance)`` from the
+  public-ip id list. Instance GC runs per project in the batch
+  (``instances.py:87-98`` loop), children-first relative to the
+  project GC.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+ORG_LABEL = "ScalewayOrganization"
+
+SCALEWAY_PROJECTS_STRUCT = (
+    "array<struct<id:string, name:string, organization_id:string, "
+    "created_at:string, updated_at:string, description:string>>"
+)
+SCALEWAY_USERS_STRUCT = (
+    "array<struct<id:string, email:string, username:string, "
+    "first_name:string, last_name:string, phone_number:string, "
+    "locale:string, created_at:string, updated_at:string, "
+    "deletable:string, last_login_at:string, type:string, "
+    "status:string, mfa:string, account_root_user_id:string, "
+    "tags:array<string>, locked:string>>"
+)
+SCALEWAY_INSTANCES_STRUCT = (
+    "array<struct<id:string, name:string, project:string, "
+    "tags:array<string>, commercial_type:string, creation_date:string, "
+    "dynamic_ip_required:string, routed_ip_enabled:string, "
+    "enable_ipv6:string, hostname:string, private_ip:string, "
+    "mac_address:string, modification_date:string, state:string, "
+    "boot_type:string, state_detail:string, arch:string, zone:string, "
+    "end_of_service:string, "
+    "public_ips:array<struct<id:string>>, "
+    "volumes:map<string,struct<id:string>>, "
+    "private_nics:array<struct<id:string>>>>"
+)
+
+
+def _props_map(pairs: list[tuple[str, Column]]) -> Column:
+    return F.map_filter(
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k, _ in pairs]),
+            F.array(*[v.cast("string") for _, v in pairs]),
+        ),
+        lambda _k, v: v.isNotNull(),
+    )
+
+
+def _shape_nodes(df: DataFrame, update_tag: int, extra=None) -> DataFrame:
+    return df.select(
+        "label",
+        "id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        (extra if extra is not None else F.lit(None).cast("array<string>"))
+        .alias("extra_labels"),
+        "props",
+    )
+
+
+def _shape_edges(df: DataFrame, update_tag: int, org_id: str) -> DataFrame:
+    return df.select(
+        "src_label", "src_id", "rel_label", "dst_label", "dst_id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(ORG_LABEL).alias("sub_resource_label"),
+        F.lit(org_id).alias("sub_resource_id"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    ).dropDuplicates(["src_label", "src_id", "rel_label", "dst_label", "dst_id"])
+
+
+def _resource_edges(ids: DataFrame, src_label: str, src_id_col,
+                    dst_label: str) -> DataFrame:
+    return ids.select(
+        F.lit(src_label).alias("src_label"),
+        src_id_col.alias("src_id"),
+        F.lit("RESOURCE").alias("rel_label"),
+        F.lit(dst_label).alias("dst_label"),
+        F.col("id").alias("dst_id"),
+    )
+
+
+def transform_scaleway_projects(
+    raw: DataFrame, org_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    projects = raw.select(
+        F.explode(F.from_json("payload_json", SCALEWAY_PROJECTS_STRUCT))
+        .alias("p")
+    ).select("p.*").where(F.col("id").isNotNull())
+    org = raw.sparkSession.createDataFrame(
+        [(ORG_LABEL, org_id)], "label string, id string"
+    ).withColumn("props", F.lit(None).cast("map<string,string>"))
+    nodes = _shape_nodes(
+        org, update_tag, extra=F.array(F.lit("Tenant"))
+    ).unionByName(_shape_nodes(
+        projects.select(
+            F.lit("ScalewayProject").alias("label"),
+            F.col("id"),
+            _props_map([
+                ("name", F.col("name")),
+                ("created_at", F.col("created_at")),
+                ("updated_at", F.col("updated_at")),
+                ("description", F.col("description")),
+            ]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+    ))
+    edges = _shape_edges(
+        _resource_edges(projects.select("id"), ORG_LABEL,
+                        F.lit(org_id), "ScalewayProject"),
+        update_tag, org_id,
+    )
+    return nodes, edges
+
+
+def transform_scaleway_users(
+    raw: DataFrame, org_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    users = raw.select(
+        F.explode(F.from_json("payload_json", SCALEWAY_USERS_STRUCT))
+        .alias("u")
+    ).select("u.*").where(F.col("id").isNotNull())
+    nodes = _shape_nodes(
+        users.select(
+            F.lit("ScalewayUser").alias("label"),
+            F.col("id"),
+            _props_map([
+                ("email", F.col("email")),
+                ("username", F.col("username")),
+                ("first_name", F.col("first_name")),
+                ("last_name", F.col("last_name")),
+                ("phone_number", F.col("phone_number")),
+                ("locale", F.col("locale")),
+                ("created_at", F.col("created_at")),
+                ("updated_at", F.col("updated_at")),
+                ("deletable", F.col("deletable")),
+                ("last_login_at", F.col("last_login_at")),
+                ("type", F.col("type")),
+                ("status", F.col("status")),
+                ("mfa", F.col("mfa")),
+                ("account_root_user_id", F.col("account_root_user_id")),
+                ("tags", F.array_join(F.col("tags"), ",")),
+                ("locked", F.col("locked")),
+            ]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+        extra=F.array(F.lit("UserAccount")),
+    )
+    edges = _shape_edges(
+        _resource_edges(users.select("id"), ORG_LABEL, F.lit(org_id),
+                        "ScalewayUser"),
+        update_tag, org_id,
+    )
+    return nodes, edges
+
+
+def transform_scaleway_instances(
+    raw: DataFrame, org_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    inst = raw.select(
+        F.explode(F.from_json("payload_json", SCALEWAY_INSTANCES_STRUCT))
+        .alias("i")
+    ).select("i.*").where(F.col("id").isNotNull())
+    inst = inst.select(
+        "*",
+        F.filter(
+            F.transform(
+                F.coalesce(F.col("public_ips"),
+                           F.array().cast("array<struct<id:string>>")),
+                lambda ip: ip["id"],
+            ),
+            lambda x: x.isNotNull(),
+        ).alias("public_ip_ids"),
+        F.filter(
+            F.transform(
+                F.map_values(F.coalesce(
+                    F.col("volumes"),
+                    F.from_json(F.lit("{}"),
+                                "map<string,struct<id:string>>"),
+                )),
+                lambda v: v["id"],
+            ),
+            lambda x: x.isNotNull(),
+        ).alias("volume_ids"),
+    )
+    nodes = _shape_nodes(
+        inst.select(
+            F.lit("ScalewayInstance").alias("label"),
+            F.col("id"),
+            _props_map([
+                ("name", F.col("name")),
+                ("tags", F.array_join(F.col("tags"), ",")),
+                ("commercial_type", F.col("commercial_type")),
+                ("creation_date", F.col("creation_date")),
+                ("dynamic_ip_required", F.col("dynamic_ip_required")),
+                ("routed_ip_enabled", F.col("routed_ip_enabled")),
+                ("enable_ipv6", F.col("enable_ipv6")),
+                ("hostname", F.col("hostname")),
+                ("private_ip", F.col("private_ip")),
+                ("mac_address", F.col("mac_address")),
+                ("modification_date", F.col("modification_date")),
+                ("state", F.col("state")),
+                ("boot_type", F.col("boot_type")),
+                ("state_detail", F.col("state_detail")),
+                ("arch", F.col("arch")),
+                ("zone", F.col("zone")),
+                ("end_of_service", F.col("end_of_service")),
+                ("project_id", F.col("project")),
+                ("public_ips", F.array_join(F.col("public_ip_ids"), ",")),
+                ("volumes_id", F.array_join(F.col("volume_ids"), ",")),
+            ]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+    )
+    resource = inst.where(F.col("project").isNotNull()).select(
+        F.lit("ScalewayProject").alias("src_label"),
+        F.col("project").alias("src_id"),
+        F.lit("RESOURCE").alias("rel_label"),
+        F.lit("ScalewayInstance").alias("dst_label"),
+        F.col("id").alias("dst_id"),
+    )
+    mounts = inst.select(
+        F.col("id").alias("instance_id"),
+        F.explode_outer("volume_ids").alias("volume_id"),
+    ).where(F.col("volume_id").isNotNull()).select(
+        F.lit("ScalewayInstance").alias("src_label"),
+        F.col("instance_id").alias("src_id"),
+        F.lit("MOUNTS").alias("rel_label"),
+        F.lit("ScalewayVolume").alias("dst_label"),
+        F.col("volume_id").alias("dst_id"),
+    )
+    identifies = inst.select(
+        F.col("id").alias("instance_id"),
+        F.explode_outer("public_ip_ids").alias("ip_id"),
+    ).where(F.col("ip_id").isNotNull()).select(
+        F.lit("ScalewayFlexibleIp").alias("src_label"),
+        F.col("ip_id").alias("src_id"),
+        F.lit("IDENTIFIES").alias("rel_label"),
+        F.lit("ScalewayInstance").alias("dst_label"),
+        F.col("instance_id").alias("dst_id"),
+    )
+    edges = _shape_edges(
+        resource.unionByName(mounts).unionByName(identifies),
+        update_tag, org_id,
+    )
+    return nodes, edges
+
+
+def sync_scaleway(store, projects_raw, users_raw, instances_raw,
+                  org_id: str, update_tag: int) -> dict:
+    """``intel/scaleway/__init__.py`` order: projects → IAM → per-zone
+    resources; instance GC per project (children first), then
+    project/user GC scoped to the organization."""
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    metrics: dict = {}
+    batch_projects: list[str] = []
+    if projects_raw is not None:
+        nodes, edges = transform_scaleway_projects(
+            projects_raw, org_id, update_tag
+        )
+        metrics["projects_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["projects_edges"] = store.merge_edges(edges, update_tag)
+    if users_raw is not None:
+        nodes, edges = transform_scaleway_users(
+            users_raw, org_id, update_tag
+        )
+        metrics["users_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["users_edges"] = store.merge_edges(edges, update_tag)
+    if instances_raw is not None:
+        nodes, edges = transform_scaleway_instances(
+            instances_raw, org_id, update_tag
+        )
+        batch_projects = [
+            r["project_id"] for r in nodes.select(
+                F.element_at("props", "project_id").alias("project_id")
+            ).where(F.col("project_id").isNotNull()).distinct().collect()
+        ]
+        metrics["instances_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["instances_edges"] = store.merge_edges(edges, update_tag)
+
+    proj_rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label="ScalewayProject",
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("PROJECT_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    if "ScalewayInstance" in store.manifest["nodes"]:
+        for project_id in batch_projects:
+            metrics[f"gc_ScalewayInstance_{project_id}"] = run_cleanup(
+                store,
+                NodeSchema(
+                    label="ScalewayInstance",
+                    properties={"id": PropertyRef("id")},
+                    sub_resource_relationship=proj_rel,
+                ),
+                update_tag,
+                {"PROJECT_ID": project_id},
+            )
+    org_rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label=ORG_LABEL,
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("ORG_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    for label in ("ScalewayProject", "ScalewayUser"):
+        if label not in store.manifest["nodes"]:
+            continue
+        metrics[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=org_rel,
+            ),
+            update_tag,
+            {"ORG_ID": org_id},
+        )
+    store.record_lineage("scaleway_sync", {"update_tag": update_tag})
+    return metrics

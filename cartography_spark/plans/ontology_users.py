@@ -117,6 +117,10 @@ DEFAULT_USER_SOURCES: tuple[UserSource, ...] = (
            extra={"fields": ["archived"]}),
         _F("lastactivity", "last_login_time"),
     ))),
+    UserSource("AirbyteUser", _mapping((
+        _F("email", "email", required=True),
+        _F("fullname", "name"),
+    ))),
     UserSource("DuoUser", _mapping((
         _F("email", "email", required=True),
         _F("firstname", "firstname"),

@@ -1,0 +1,254 @@
+"""Airbyte provider: organizations, workspaces, users with
+permission-derived edges.
+
+Mirrors the reference's ``intel/airbyte/{organizations,workspaces,
+users}.py`` as ``from_json`` + ``explode`` column expressions — zero
+Python rows.
+
+Graph shape (``models/airbyte/*.py``):
+
+* ``AirbyteOrganization`` (id = organizationId, ``Tenant`` extra
+  label) — root.
+* ``AirbyteWorkspace`` (id = workspaceId) — org ``RESOURCE``.
+* ``AirbyteUser`` — org ``RESOURCE``; the per-user permission list
+  (``users.py:56-77``) splits into three edge families:
+  ``organization``-scope ``organization_admin`` →
+  ``(user)-[:ADMIN_OF]->(org)``; ``workspace``-scope
+  ``workspace_owner``/``workspace_admin`` →
+  ``(user)-[:ADMIN_OF]->(workspace)``; EVERY workspace-scope
+  permission (admins included) →
+  ``(user)-[:MEMBER_OF]->(workspace)``. ``UserAccount`` extra label
+  (the useraccounts ontology family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+ORG_LABEL = "AirbyteOrganization"
+
+AIRBYTE_ORGS_STRUCT = (
+    "array<struct<organizationId:string, organizationName:string, "
+    "email:string>>"
+)
+AIRBYTE_WORKSPACES_STRUCT = (
+    "array<struct<workspaceId:string, name:string, "
+    "dataResidency:string>>"
+)
+AIRBYTE_USERS_STRUCT = (
+    "array<struct<id:string, name:string, email:string>>"
+)
+AIRBYTE_PERMISSIONS_STRUCT = (
+    "array<struct<permissionId:string, permissionType:string, "
+    "userId:string, scopeId:string, scope:string>>"
+)
+
+
+def _props_map(pairs: list[tuple[str, Column]]) -> Column:
+    return F.map_filter(
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k, _ in pairs]),
+            F.array(*[v.cast("string") for _, v in pairs]),
+        ),
+        lambda _k, v: v.isNotNull(),
+    )
+
+
+def _shape_nodes(df: DataFrame, update_tag: int, extra=None) -> DataFrame:
+    return df.select(
+        "label",
+        "id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        (extra if extra is not None else F.lit(None).cast("array<string>"))
+        .alias("extra_labels"),
+        "props",
+    )
+
+
+def _shape_edges(df: DataFrame, update_tag: int, org_id: str) -> DataFrame:
+    return df.select(
+        "src_label", "src_id", "rel_label", "dst_label", "dst_id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(ORG_LABEL).alias("sub_resource_label"),
+        F.lit(org_id).alias("sub_resource_id"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    ).dropDuplicates(["src_label", "src_id", "rel_label", "dst_label", "dst_id"])
+
+
+def transform_airbyte_organizations(
+    raw: DataFrame, update_tag: int
+) -> DataFrame:
+    orgs = raw.select(
+        F.explode(F.from_json("payload_json", AIRBYTE_ORGS_STRUCT))
+        .alias("o")
+    ).select("o.*").where(F.col("organizationId").isNotNull())
+    return _shape_nodes(
+        orgs.select(
+            F.lit(ORG_LABEL).alias("label"),
+            F.col("organizationId").alias("id"),
+            _props_map([
+                ("name", F.col("organizationName")),
+                ("email", F.col("email")),
+            ]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+        extra=F.array(F.lit("Tenant")),
+    )
+
+
+def transform_airbyte_workspaces(
+    raw: DataFrame, org_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    ws = raw.select(
+        F.explode(F.from_json("payload_json", AIRBYTE_WORKSPACES_STRUCT))
+        .alias("w")
+    ).select("w.*").where(F.col("workspaceId").isNotNull())
+    nodes = _shape_nodes(
+        ws.select(
+            F.lit("AirbyteWorkspace").alias("label"),
+            F.col("workspaceId").alias("id"),
+            _props_map([
+                ("name", F.col("name")),
+                ("data_residency", F.col("dataResidency")),
+            ]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+    )
+    edges = _shape_edges(
+        ws.select(
+            F.lit(ORG_LABEL).alias("src_label"),
+            F.lit(org_id).alias("src_id"),
+            F.lit("RESOURCE").alias("rel_label"),
+            F.lit("AirbyteWorkspace").alias("dst_label"),
+            F.col("workspaceId").alias("dst_id"),
+        ),
+        update_tag, org_id,
+    )
+    return nodes, edges
+
+
+def transform_airbyte_users(
+    users_raw: DataFrame, permissions_raw: DataFrame | None, org_id: str,
+    update_tag: int,
+) -> tuple[DataFrame, DataFrame]:
+    users = users_raw.select(
+        F.explode(F.from_json("payload_json", AIRBYTE_USERS_STRUCT))
+        .alias("u")
+    ).select("u.*").where(F.col("id").isNotNull())
+    nodes = _shape_nodes(
+        users.select(
+            F.lit("AirbyteUser").alias("label"),
+            F.col("id"),
+            _props_map([
+                ("name", F.col("name")),
+                ("email", F.col("email")),
+            ]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+        extra=F.array(F.lit("UserAccount")),
+    )
+    edges = users.select(
+        F.lit(ORG_LABEL).alias("src_label"),
+        F.lit(org_id).alias("src_id"),
+        F.lit("RESOURCE").alias("rel_label"),
+        F.lit("AirbyteUser").alias("dst_label"),
+        F.col("id").alias("dst_id"),
+    )
+    if permissions_raw is not None:
+        perms = permissions_raw.select(
+            F.explode(
+                F.from_json("payload_json", AIRBYTE_PERMISSIONS_STRUCT)
+            ).alias("p")
+        ).select("p.*").where(
+            F.col("userId").isNotNull() & F.col("scopeId").isNotNull()
+        )
+        org_admin = perms.where(
+            (F.col("scope") == "organization")
+            & (F.col("permissionType") == "organization_admin")
+        ).select(
+            F.lit("AirbyteUser").alias("src_label"),
+            F.col("userId").alias("src_id"),
+            F.lit("ADMIN_OF").alias("rel_label"),
+            F.lit(ORG_LABEL).alias("dst_label"),
+            F.col("scopeId").alias("dst_id"),
+        )
+        ws_admin = perms.where(
+            (F.col("scope") == "workspace")
+            & F.col("permissionType").isin("workspace_owner",
+                                           "workspace_admin")
+        ).select(
+            F.lit("AirbyteUser").alias("src_label"),
+            F.col("userId").alias("src_id"),
+            F.lit("ADMIN_OF").alias("rel_label"),
+            F.lit("AirbyteWorkspace").alias("dst_label"),
+            F.col("scopeId").alias("dst_id"),
+        )
+        # users.py:69-72 — every workspace-scope permission (admin
+        # included) is a membership
+        ws_member = perms.where(F.col("scope") == "workspace").select(
+            F.lit("AirbyteUser").alias("src_label"),
+            F.col("userId").alias("src_id"),
+            F.lit("MEMBER_OF").alias("rel_label"),
+            F.lit("AirbyteWorkspace").alias("dst_label"),
+            F.col("scopeId").alias("dst_id"),
+        )
+        edges = (edges.unionByName(org_admin).unionByName(ws_admin)
+                 .unionByName(ws_member))
+    return nodes, _shape_edges(edges, update_tag, org_id)
+
+
+def sync_airbyte(store, orgs_raw, workspaces_raw, users_raw,
+                 permissions_raw, org_id: str, update_tag: int) -> dict:
+    """``intel/airbyte/__init__.py`` order: organizations →
+    workspaces → users; org-scoped GC."""
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    metrics: dict = {}
+    if orgs_raw is not None:
+        metrics["orgs"] = store.merge_nodes(
+            transform_airbyte_organizations(orgs_raw, update_tag),
+            update_tag,
+        )
+    if workspaces_raw is not None:
+        nodes, edges = transform_airbyte_workspaces(
+            workspaces_raw, org_id, update_tag
+        )
+        metrics["workspaces_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["workspaces_edges"] = store.merge_edges(edges, update_tag)
+    if users_raw is not None:
+        nodes, edges = transform_airbyte_users(
+            users_raw, permissions_raw, org_id, update_tag
+        )
+        metrics["users_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["users_edges"] = store.merge_edges(edges, update_tag)
+    rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label=ORG_LABEL,
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("ORG_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    for label in ("AirbyteUser", "AirbyteWorkspace"):
+        if label not in store.manifest["nodes"]:
+            continue
+        metrics[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=rel,
+            ),
+            update_tag,
+            {"ORG_ID": org_id},
+        )
+    store.record_lineage("airbyte_sync", {"update_tag": update_tag})
+    return metrics

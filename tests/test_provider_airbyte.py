@@ -1,0 +1,121 @@
+"""Airbyte provider parity, mirrored from the reference's
+``tests/integration/cartography/intel/airbyte`` assertions over its
+actual ``tests/data/airbyte/{organizations,workspaces,users}.py``
+fixtures (loaded read-only via the ast literal evaluator): the
+org/workspace/user node sets and the permission-derived
+ADMIN_OF/MEMBER_OF split."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.airbyte import (
+    sync_airbyte,
+    transform_airbyte_users,
+)
+from tests.test_fixture_parity_github import _load_fixture_ns
+
+FIXDIR = "/root/reference/tests/data/airbyte"
+ORG = "31634962-4b3c-4b0c-810d-a2a77d6df222"
+WS = "e4388e31-9c21-461b-9b5d-1905ca28c599"
+MARGE = "eae5cd19-72c4-49b0-87b3-e2f0c99344a3"
+HOMER = "9507b572-7f70-4eba-94fe-baf54fdc05ae"
+TAG = 123456789
+
+
+@pytest.fixture(scope="module")
+def ab_fixture():
+    if not os.path.isdir(FIXDIR):
+        pytest.skip("reference fixture not available")
+    return {
+        "orgs": _load_fixture_ns(f"{FIXDIR}/organizations.py")[
+            "AIRBYTE_ORGANIZATIONS"],
+        "workspaces": _load_fixture_ns(f"{FIXDIR}/workspaces.py")[
+            "AIRBYTE_WORKSPACES"],
+        "users": _load_fixture_ns(f"{FIXDIR}/users.py")["AIRBYTE_USERS"],
+        "permissions": _load_fixture_ns(f"{FIXDIR}/users.py")[
+            "AIRBYTE_USERS_PERMISSIONS"],
+    }
+
+
+def _raw(spark, data):
+    return spark.createDataFrame(
+        [(json.dumps(data),)], "payload_json string"
+    )
+
+
+def test_permission_split(spark, ab_fixture):
+    """users.py:56-77 — org admin from organization_admin scope;
+    workspace admins are also members."""
+    nodes, edges = transform_airbyte_users(
+        _raw(spark, ab_fixture["users"]),
+        _raw(spark, ab_fixture["permissions"]),
+        ORG, TAG,
+    )
+    assert {
+        (r["id"], r["props"]["email"]) for r in nodes.collect()
+    } == {
+        (MARGE, "mbsimpson@simpson.corp"),
+        (HOMER, "hjsimpson@simpson.corp"),
+    }
+    es = edges.collect()
+    assert {
+        (e["src_id"], e["dst_label"], e["dst_id"]) for e in es
+        if e["rel_label"] == "ADMIN_OF"
+    } == {
+        (MARGE, "AirbyteOrganization", ORG),
+        (HOMER, "AirbyteWorkspace", WS),
+    }
+    assert {
+        (e["src_id"], e["dst_id"]) for e in es
+        if e["rel_label"] == "MEMBER_OF"
+    } == {(MARGE, WS), (HOMER, WS)}
+
+
+def test_sync_gc_and_user_registry(spark, tmp_store, ab_fixture):
+    from cartography_spark.plans.ontology_users import (
+        DEFAULT_USER_SOURCES,
+        sync_ontology_users,
+    )
+
+    sync_airbyte(
+        tmp_store, _raw(spark, ab_fixture["orgs"]),
+        _raw(spark, ab_fixture["workspaces"]),
+        _raw(spark, ab_fixture["users"]),
+        _raw(spark, ab_fixture["permissions"]),
+        ORG, TAG,
+    )
+    orgs = {r["id"]: r["props"]
+            for r in tmp_store.nodes(["AirbyteOrganization"]).collect()}
+    assert orgs[ORG]["name"] == "Simpson Corp"
+    assert {
+        r["id"] for r in tmp_store.nodes(["AirbyteWorkspace"]).collect()
+    } == {WS}
+
+    sources = tuple(
+        s for s in DEFAULT_USER_SOURCES
+        if s.node_label in tmp_store.manifest["nodes"]
+    )
+    sync_ontology_users(tmp_store, sources, TAG)
+    users = {r["id"]: r["props"]
+             for r in tmp_store.nodes(["User"]).collect()}
+    assert users["mbsimpson@simpson.corp"]["fullname"] == "Marge Simpson"
+
+    # homer departs → swept with his edges
+    sync_airbyte(
+        tmp_store, _raw(spark, ab_fixture["orgs"]),
+        _raw(spark, ab_fixture["workspaces"]),
+        _raw(spark, ab_fixture["users"][:1]),
+        _raw(spark, [p for p in ab_fixture["permissions"]
+                     if p["userId"] == MARGE]),
+        ORG, TAG + 1,
+    )
+    assert {
+        r["id"] for r in tmp_store.nodes(["AirbyteUser"]).collect()
+    } == {MARGE}
+    assert not [
+        e for e in tmp_store.edges(["ADMIN_OF"]).collect()
+        if e["src_id"] == HOMER
+    ]

@@ -1,0 +1,225 @@
+"""NIST NVD CVE feed provider: CVEFeed + CVE nodes with Spotlight
+correlation.
+
+Mirrors the reference's ``intel/cve/feed.py`` as ``from_json`` +
+``explode`` column expressions — zero Python rows:
+
+* ``transform_cves`` (:260-311): per-vulnerability flattening —
+  English-only ``descriptions_en``, ``references_urls``, flattened
+  ``weaknesses`` (English CWE values across all weakness entries),
+  and the **primary** CVSS 3.1 metric (``_get_primary_metric``:249-257
+  — the ``type == 'Primary'`` entry wins, else the first) expanded to
+  vector/attack/impact/base-score columns.
+* ``transform_cve_feed`` (:314-324): the feed envelope →
+  ``CVEFeed`` node (id = ``NIST_NVD``) with format/version/timestamp.
+* ``models/cve/cve.py:127-140``: a CVE whose id matches an existing
+  ``CrowdstrikeSpotlightVulnerability`` gets the
+  ``(vuln)-[:HAS_CVE]->(cve)`` correlation edge — resolved here with
+  a broadcast semi-join against the store's spotlight ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+CVE_FEED_ID = "NIST_NVD"  # feed.py:28
+
+_METRIC_STRUCT = (
+    "struct<type:string, exploitabilityScore:double, impactScore:double, "
+    "cvssData:struct<vectorString:string, attackVector:string, "
+    "attackComplexity:string, privilegesRequired:string, "
+    "userInteraction:string, scope:string, "
+    "confidentialityImpact:string, integrityImpact:string, "
+    "availabilityImpact:string, baseScore:double, baseSeverity:string>>"
+)
+CVE_FEED_STRUCT = (
+    "struct<format:string, version:string, timestamp:string, "
+    "vulnerabilities:array<struct<cve:struct<id:string, "
+    "sourceIdentifier:string, published:string, lastModified:string, "
+    "vulnStatus:string, "
+    "descriptions:array<struct<lang:string, value:string>>, "
+    f"metrics:struct<cvssMetricV31:array<{_METRIC_STRUCT}>>, "
+    "weaknesses:array<struct<description:array<struct<lang:string, "
+    "value:string>>>>, "
+    "references:array<struct<url:string>>>>>>"
+)
+
+
+def _props_map(pairs: list[tuple[str, Column]]) -> Column:
+    return F.map_filter(
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k, _ in pairs]),
+            F.array(*[v.cast("string") for _, v in pairs]),
+        ),
+        lambda _k, v: v.isNotNull(),
+    )
+
+
+def _shape_nodes(df: DataFrame, update_tag: int, extra=None) -> DataFrame:
+    return df.select(
+        "label",
+        "id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        (extra if extra is not None else F.lit(None).cast("array<string>"))
+        .alias("extra_labels"),
+        "props",
+    )
+
+
+def _shape_edges(df: DataFrame, update_tag: int) -> DataFrame:
+    return df.select(
+        "src_label", "src_id", "rel_label", "dst_label", "dst_id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit("CVEFeed").alias("sub_resource_label"),
+        F.lit(CVE_FEED_ID).alias("sub_resource_id"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    ).dropDuplicates(["src_label", "src_id", "rel_label", "dst_label", "dst_id"])
+
+
+def transform_cve_feed(raw: DataFrame, update_tag: int) -> DataFrame:
+    feed = raw.select(
+        F.from_json("payload_json", CVE_FEED_STRUCT).alias("f")
+    ).select("f.format", "f.version", "f.timestamp").limit(1)
+    return _shape_nodes(
+        feed.select(
+            F.lit("CVEFeed").alias("label"),
+            F.lit(CVE_FEED_ID).alias("id"),
+            _props_map([
+                ("format", F.col("format")),
+                ("version", F.col("version")),
+                ("timestamp", F.col("timestamp")),
+            ]).alias("props"),
+        ),
+        update_tag,
+    )
+
+
+def transform_cves(raw: DataFrame, update_tag: int) -> tuple[DataFrame, DataFrame]:
+    cves = raw.select(
+        F.explode(
+            F.from_json("payload_json", CVE_FEED_STRUCT)["vulnerabilities"]
+        ).alias("vu")
+    ).select(F.col("vu.cve").alias("c")).where(F.col("c.id").isNotNull())
+    # _get_primary_metric: type == 'Primary' wins, else the first
+    metrics = F.coalesce(
+        F.col("c.metrics.cvssMetricV31"),
+        F.array().cast(f"array<{_METRIC_STRUCT}>"),
+    )
+    primary = F.coalesce(
+        F.get(F.filter(metrics, lambda m: m["type"] == "Primary"), 0),
+        F.get(metrics, 0),
+    )
+    en = lambda arr: F.filter(
+        F.coalesce(arr, F.array().cast(
+            "array<struct<lang:string, value:string>>")),
+        lambda d: d["lang"] == "en",
+    )
+    weaknesses = F.transform(
+        F.flatten(F.transform(
+            F.coalesce(F.col("c.weaknesses"), F.array().cast(
+                "array<struct<description:array<struct<lang:string, "
+                "value:string>>>>")),
+            lambda w: en(w["description"]),
+        )),
+        lambda d: d["value"],
+    )
+    flat = cves.select(
+        F.col("c.id").alias("id"),
+        F.col("c.sourceIdentifier").alias("assigner"),
+        F.array_join(
+            F.transform(en(F.col("c.descriptions")), lambda d: d["value"]),
+            "\n",
+        ).alias("description"),
+        F.array_join(
+            F.transform(
+                F.coalesce(F.col("c.references"),
+                           F.array().cast("array<struct<url:string>>")),
+                lambda r: r["url"],
+            ),
+            ",",
+        ).alias("references"),
+        F.array_join(weaknesses, ",").alias("problem_types"),
+        primary["cvssData"]["vectorString"].alias("vector_string"),
+        primary["cvssData"]["attackVector"].alias("attack_vector"),
+        primary["cvssData"]["attackComplexity"].alias("attack_complexity"),
+        primary["cvssData"]["privilegesRequired"]
+        .alias("privileges_required"),
+        primary["cvssData"]["userInteraction"].alias("user_interaction"),
+        primary["cvssData"]["scope"].alias("scope"),
+        primary["cvssData"]["confidentialityImpact"]
+        .alias("confidentiality_impact"),
+        primary["cvssData"]["integrityImpact"].alias("integrity_impact"),
+        primary["cvssData"]["availabilityImpact"]
+        .alias("availability_impact"),
+        primary["cvssData"]["baseScore"].alias("base_score"),
+        primary["cvssData"]["baseSeverity"].alias("base_severity"),
+        primary["exploitabilityScore"].alias("exploitability_score"),
+        primary["impactScore"].alias("impact_score"),
+        F.col("c.published").alias("published_date"),
+        F.col("c.lastModified").alias("last_modified_date"),
+        F.col("c.vulnStatus").alias("vuln_status"),
+    )
+    nodes = _shape_nodes(
+        flat.select(
+            F.lit("CVE").alias("label"),
+            F.col("id"),
+            _props_map([
+                (c, F.col(c)) for c in flat.columns if c != "id"
+            ] + [("cve_id", F.col("id"))]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+    )
+    edges = _shape_edges(
+        flat.select(
+            F.lit("CVEFeed").alias("src_label"),
+            F.lit(CVE_FEED_ID).alias("src_id"),
+            F.lit("RESOURCE").alias("rel_label"),
+            F.lit("CVE").alias("dst_label"),
+            F.col("id").alias("dst_id"),
+        ),
+        update_tag,
+    )
+    return nodes, edges
+
+
+def spotlight_correlation_edges(store, cve_nodes: DataFrame,
+                                update_tag: int) -> DataFrame | None:
+    """``models/cve/cve.py:127-140``: HAS_CVE only where a Spotlight
+    vulnerability with the same id already exists."""
+    if "CrowdstrikeSpotlightVulnerability" not in store.manifest["nodes"]:
+        return None
+    spots = store.nodes(["CrowdstrikeSpotlightVulnerability"]).select(
+        F.col("id").alias("spot_id")
+    )
+    pairs = cve_nodes.select("id").join(
+        F.broadcast(spots), F.col("id") == F.col("spot_id")
+    ).select(
+        F.lit("CrowdstrikeSpotlightVulnerability").alias("src_label"),
+        F.col("spot_id").alias("src_id"),
+        F.lit("HAS_CVE").alias("rel_label"),
+        F.lit("CVE").alias("dst_label"),
+        F.col("id").alias("dst_id"),
+    )
+    return _shape_edges(pairs, update_tag)
+
+
+def sync_cve_feed(store, feed_raw, update_tag: int) -> dict:
+    """Feed envelope + CVE batch + Spotlight correlation. The
+    reference's incremental sync (modified-since / per-year batches)
+    is an API-pagination concern; each batch lands through this same
+    idempotent MERGE path. CVEs accumulate — the reference never GCs
+    the feed (stale CVEs keep their last lastupdated)."""
+    metrics = {
+        "feed": store.merge_nodes(
+            transform_cve_feed(feed_raw, update_tag), update_tag
+        )
+    }
+    nodes, edges = transform_cves(feed_raw, update_tag)
+    metrics["cves"] = store.merge_nodes(nodes, update_tag)
+    metrics["feed_edges"] = store.merge_edges(edges, update_tag)
+    corr = spotlight_correlation_edges(store, nodes, update_tag)
+    if corr is not None:
+        metrics["spotlight_edges"] = store.merge_edges(corr, update_tag)
+    store.record_lineage("cve_feed_sync", {"update_tag": update_tag})
+    return metrics

@@ -1,0 +1,90 @@
+"""CVE feed provider parity, mirrored from the reference's
+``tests/integration/cartography/intel/cve/test_feed.py`` assertions
+over its actual ``tests/data/cve/feed.py`` fixture (loaded read-only
+via the ast literal evaluator): feed envelope, the per-CVE id/date
+set, primary-metric CVSS flattening, and the Spotlight HAS_CVE
+correlation."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.cve import (
+    CVE_FEED_ID,
+    sync_cve_feed,
+    transform_cves,
+)
+from tests.test_fixture_parity_github import _load_fixture_ns
+
+FIXTURE = "/root/reference/tests/data/cve/feed.py"
+TAG = 123456789
+
+
+@pytest.fixture(scope="module")
+def cve_fixture():
+    if not os.path.exists(FIXTURE):
+        pytest.skip("reference fixture not available")
+    return _load_fixture_ns(FIXTURE)["GET_CVE_API_DATA"]
+
+
+def _raw(spark, data):
+    return spark.createDataFrame(
+        [(json.dumps(data),)], "payload_json string"
+    )
+
+
+def test_cve_set_and_primary_metric(spark, cve_fixture):
+    """test_feed.py:77-125 — the exact (id, published, lastModified)
+    set; _get_primary_metric semantics (Secondary-only entries still
+    flatten as the first metric)."""
+    nodes, edges = transform_cves(_raw(spark, cve_fixture), TAG)
+    rows = {r["id"]: r["props"] for r in nodes.collect()}
+    assert {
+        (i, p["published_date"], p["last_modified_date"])
+        for i, p in rows.items()
+    } == {
+        (v["cve"]["id"], v["cve"]["published"], v["cve"]["lastModified"])
+        for v in cve_fixture["vulnerabilities"]
+    }
+    zte = rows["CVE-2023-41782"]
+    assert zte["base_severity"] == "LOW"
+    assert zte["base_score"] == "3.9"
+    assert zte["attack_vector"] == "LOCAL"
+    assert zte["problem_types"] == "CWE-20"
+    assert "DLL hijacking" in zte["description"]
+    assert {
+        (e["src_id"], e["dst_id"]) for e in edges.collect()
+    } == {(CVE_FEED_ID, i) for i in rows}
+
+
+def test_sync_feed_and_spotlight_correlation(spark, tmp_store, cve_fixture):
+    """test_feed.py:11-18,127+ — HAS_CVE only where a Spotlight vuln
+    with the matching id pre-exists."""
+    spot = spark.createDataFrame(
+        [("CrowdstrikeSpotlightVulnerability", "CVE-2023-41782")],
+        "label string, id string",
+    ).select(
+        "label", "id", F.lit(TAG).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        F.lit(None).cast("array<string>").alias("extra_labels"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    )
+    tmp_store.merge_nodes(spot, TAG)
+
+    sync_cve_feed(tmp_store, _raw(spark, cve_fixture), TAG)
+    feeds = {r["id"]: r["props"]
+             for r in tmp_store.nodes(["CVEFeed"]).collect()}
+    assert feeds[CVE_FEED_ID]["format"] == "NVD_CVE"
+    assert feeds[CVE_FEED_ID]["version"] == "2.0"
+    has_cve = {
+        (e["src_id"], e["dst_id"])
+        for e in tmp_store.edges(["HAS_CVE"]).collect()
+    }
+    assert has_cve == {("CVE-2023-41782", "CVE-2023-41782")}
+
+    # a later modified-feed batch upserts without clearing old CVEs
+    first_count = len(tmp_store.nodes(["CVE"]).collect())
+    sync_cve_feed(tmp_store, _raw(spark, cve_fixture), TAG + 1)
+    assert len(tmp_store.nodes(["CVE"]).collect()) == first_count

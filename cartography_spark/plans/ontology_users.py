@@ -152,6 +152,13 @@ DEFAULT_USER_SOURCES: tuple[UserSource, ...] = (
         _F("active", "enabled"),
         _F("has_mfa", "totp"),
     ))),
+    UserSource("OCIUser", _mapping((
+        _F("email", "email", required=True),
+        _F("fullname", "name"),
+        _F("has_mfa", "is_mfa_activated"),
+        _F("active", "lifecycle_state", special_handling="equal_boolean",
+           extra={"values": ["ACTIVE"]}),
+    ))),
     UserSource("ScalewayUser", _mapping((
         _F("email", "email", required=True),
         _F("firstname", "first_name"),

@@ -1,0 +1,310 @@
+"""OCI provider: tenancy, compartments, IAM users, groups with
+memberships.
+
+Mirrors the reference's ``intel/oci/iam.py`` as ``from_json`` +
+``explode`` column expressions — zero Python rows. OCI's REST keys
+carry dashes; the reference's ``_normalize_oci_keys`` underscoring is
+done here by selecting the dashed source fields into snake_case
+columns directly.
+
+Graph shape (``models/oci/*.py``):
+
+* ``OCITenancy`` (id = tenancy OCID, also the ``ocid`` prop the
+  reference matches on) — root, ``Tenant`` extra label.
+* ``OCICompartment`` — tenancy ``RESOURCE`` scoping +
+  ``(compartment)-[:PARENT]->(parent)`` when ``compartment-id``
+  points at another compartment in the batch.
+* ``OCIUser`` — flattened ``capabilities`` booleans
+  (``iam.py:112-135``), lifecycle/mfa fields; ``UserAccount`` extra
+  label (``DEFAULT_USER_SOURCES`` maps ``is_mfa_activated`` →
+  has_mfa, ``lifecycle_state == ACTIVE`` → active).
+* ``OCIGroup`` — ``(user)-[:MEMBER_OF]->(group)`` from the
+  per-group membership lists, filtered by group id exactly like
+  ``transform_group_memberships`` (:247-270).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+TENANCY_LABEL = "OCITenancy"
+
+OCI_USERS_STRUCT = (
+    "struct<Users:array<struct<id:string, name:string, "
+    "description:string, email:string, `compartment-id`:string, "
+    "`external-identifier`:string, `identity-provider-id`:string, "
+    "`inactive-status`:string, `is-mfa-activated`:string, "
+    "`lifecycle-state`:string, `time-created`:string, "
+    "capabilities:struct<`can-use-api-keys`:string, "
+    "`can-use-auth-tokens`:string, `can-use-console-password`:string, "
+    "`can-use-customer-secret-keys`:string, "
+    "`can-use-smtp-credentials`:string>>>>"
+)
+OCI_GROUPS_STRUCT = (
+    "struct<Groups:array<struct<id:string, name:string, "
+    "description:string, `compartment-id`:string, "
+    "`lifecycle-state`:string, `time-created`:string>>>"
+)
+OCI_COMPARTMENTS_STRUCT = (
+    "struct<Compartments:array<struct<id:string, name:string, "
+    "description:string, `compartment-id`:string, "
+    "`lifecycle-state`:string, `time-created`:string>>>"
+)
+# group ocid -> {"GroupMemberships": [{"user-id", "group-id"}]}
+OCI_MEMBERSHIPS_STRUCT = (
+    "map<string,struct<GroupMemberships:array<struct<`user-id`:string, "
+    "`group-id`:string>>>>"
+)
+
+
+def _props_map(pairs: list[tuple[str, Column]]) -> Column:
+    return F.map_filter(
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k, _ in pairs]),
+            F.array(*[v.cast("string") for _, v in pairs]),
+        ),
+        lambda _k, v: v.isNotNull(),
+    )
+
+
+def _shape_nodes(df: DataFrame, update_tag: int, extra=None) -> DataFrame:
+    return df.select(
+        "label",
+        "id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        (extra if extra is not None else F.lit(None).cast("array<string>"))
+        .alias("extra_labels"),
+        "props",
+    )
+
+
+def _shape_edges(df: DataFrame, update_tag: int, tenancy_id: str) -> DataFrame:
+    return df.select(
+        "src_label", "src_id", "rel_label", "dst_label", "dst_id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(TENANCY_LABEL).alias("sub_resource_label"),
+        F.lit(tenancy_id).alias("sub_resource_id"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    ).dropDuplicates(["src_label", "src_id", "rel_label", "dst_label", "dst_id"])
+
+
+def _resource_edges(ids: DataFrame, tenancy_id: str,
+                    dst_label: str) -> DataFrame:
+    return ids.select(
+        F.lit(TENANCY_LABEL).alias("src_label"),
+        F.lit(tenancy_id).alias("src_id"),
+        F.lit("RESOURCE").alias("rel_label"),
+        F.lit(dst_label).alias("dst_label"),
+        F.col("id").alias("dst_id"),
+    )
+
+
+def transform_oci_users(
+    raw: DataFrame, tenancy_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    users = raw.select(
+        F.explode(
+            F.from_json("payload_json", OCI_USERS_STRUCT)["Users"]
+        ).alias("u")
+    ).select("u.*").where(F.col("id").isNotNull())
+    nodes = _shape_nodes(
+        users.select(
+            F.lit("OCIUser").alias("label"),
+            F.col("id"),
+            _props_map([
+                ("ocid", F.col("id")),
+                ("name", F.col("name")),
+                ("description", F.col("description")),
+                ("email", F.col("email")),
+                ("compartment_id", F.col("`compartment-id`")),
+                ("external_identifier", F.col("`external-identifier`")),
+                ("identity_provider_id",
+                 F.col("`identity-provider-id`")),
+                ("inactive_status", F.col("`inactive-status`")),
+                ("is_mfa_activated", F.col("`is-mfa-activated`")),
+                ("lifecycle_state", F.col("`lifecycle-state`")),
+                ("time_created", F.col("`time-created`")),
+                ("can_use_api_keys",
+                 F.col("capabilities.`can-use-api-keys`")),
+                ("can_use_auth_tokens",
+                 F.col("capabilities.`can-use-auth-tokens`")),
+                ("can_use_console_password",
+                 F.col("capabilities.`can-use-console-password`")),
+                ("can_use_customer_secret_keys",
+                 F.col("capabilities.`can-use-customer-secret-keys`")),
+                ("can_use_smtp_credentials",
+                 F.col("capabilities.`can-use-smtp-credentials`")),
+            ]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+        extra=F.array(F.lit("UserAccount")),
+    )
+    return nodes, _shape_edges(
+        _resource_edges(users.select("id"), tenancy_id, "OCIUser"),
+        update_tag, tenancy_id,
+    )
+
+
+def transform_oci_groups(
+    groups_raw: DataFrame, memberships_raw: DataFrame | None,
+    tenancy_id: str, update_tag: int,
+) -> tuple[DataFrame, DataFrame]:
+    groups = groups_raw.select(
+        F.explode(
+            F.from_json("payload_json", OCI_GROUPS_STRUCT)["Groups"]
+        ).alias("g")
+    ).select("g.*").where(F.col("id").isNotNull())
+    nodes = _shape_nodes(
+        groups.select(
+            F.lit("OCIGroup").alias("label"),
+            F.col("id"),
+            _props_map([
+                ("ocid", F.col("id")),
+                ("name", F.col("name")),
+                ("description", F.col("description")),
+                ("compartment_id", F.col("`compartment-id`")),
+                ("lifecycle_state", F.col("`lifecycle-state`")),
+                ("time_created", F.col("`time-created`")),
+            ]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+    )
+    edges = _resource_edges(groups.select("id"), tenancy_id, "OCIGroup")
+    if memberships_raw is not None:
+        # transform_group_memberships:255-264 — keep only rows whose
+        # group-id matches the membership map's key
+        pairs = memberships_raw.select(
+            F.explode(
+                F.from_json("payload_json", OCI_MEMBERSHIPS_STRUCT)
+            ).alias("group_key", "m")
+        ).select(
+            "group_key", F.explode("m.GroupMemberships").alias("gm")
+        ).where(
+            (F.col("gm.`group-id`") == F.col("group_key"))
+            & F.col("gm.`user-id`").isNotNull()
+        )
+        member_of = pairs.select(
+            F.lit("OCIUser").alias("src_label"),
+            F.col("gm.`user-id`").alias("src_id"),
+            F.lit("MEMBER_OF").alias("rel_label"),
+            F.lit("OCIGroup").alias("dst_label"),
+            F.col("group_key").alias("dst_id"),
+        )
+        edges = edges.unionByName(member_of)
+    return nodes, _shape_edges(edges, update_tag, tenancy_id)
+
+
+def transform_oci_compartments(
+    raw: DataFrame, tenancy_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    comps = raw.select(
+        F.explode(
+            F.from_json("payload_json", OCI_COMPARTMENTS_STRUCT)
+            ["Compartments"]
+        ).alias("c")
+    ).select("c.*").where(F.col("id").isNotNull())
+    nodes = _shape_nodes(
+        comps.select(
+            F.lit("OCICompartment").alias("label"),
+            F.col("id"),
+            _props_map([
+                ("ocid", F.col("id")),
+                ("name", F.col("name")),
+                ("description", F.col("description")),
+                ("compartment_id", F.col("`compartment-id`")),
+                ("lifecycle_state", F.col("`lifecycle-state`")),
+                ("time_created", F.col("`time-created`")),
+            ]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+    )
+    edges = _resource_edges(comps.select("id"), tenancy_id,
+                            "OCICompartment")
+    # (compartment)-[:PARENT]->(parent compartment) only when the
+    # parent is itself a compartment in this batch (top-level
+    # compartments' parent is the tenancy)
+    parents = comps.select(F.col("id").alias("parent_key"))
+    parent_edges = comps.join(
+        F.broadcast(parents),
+        F.col("`compartment-id`") == F.col("parent_key"),
+    ).select(
+        F.lit("OCICompartment").alias("src_label"),
+        F.col("id").alias("src_id"),
+        F.lit("PARENT").alias("rel_label"),
+        F.lit("OCICompartment").alias("dst_label"),
+        F.col("parent_key").alias("dst_id"),
+    )
+    return nodes, _shape_edges(
+        edges.unionByName(parent_edges), update_tag, tenancy_id
+    )
+
+
+def sync_oci(store, compartments_raw, users_raw, groups_raw,
+             memberships_raw, tenancy_id: str, tenancy_name: str,
+             update_tag: int) -> dict:
+    """``intel/oci/iam.py`` order: compartments → users → groups →
+    memberships; tenancy-scoped GC."""
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    tenancy = store.spark.createDataFrame(
+        [(TENANCY_LABEL, tenancy_id)], "label string, id string"
+    ).select(
+        "label", "id",
+        F.map_from_arrays(
+            F.array(F.lit("ocid"), F.lit("name")),
+            F.array(F.col("id"), F.lit(tenancy_name)),
+        ).alias("props"),
+    )
+    metrics: dict = {
+        "tenancy": store.merge_nodes(
+            _shape_nodes(tenancy, update_tag,
+                         extra=F.array(F.lit("Tenant"))),
+            update_tag,
+        )
+    }
+    stages = [
+        ("compartments", compartments_raw,
+         lambda r: transform_oci_compartments(r, tenancy_id, update_tag)),
+        ("users", users_raw,
+         lambda r: transform_oci_users(r, tenancy_id, update_tag)),
+        ("groups", groups_raw,
+         lambda r: transform_oci_groups(r, memberships_raw, tenancy_id,
+                                        update_tag)),
+    ]
+    for name, raw, fn in stages:
+        if raw is None:
+            continue
+        nodes, edges = fn(raw)
+        metrics[f"{name}_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics[f"{name}_edges"] = store.merge_edges(edges, update_tag)
+    rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label=TENANCY_LABEL,
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("OCI_TENANCY_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    for label in ("OCIUser", "OCIGroup", "OCICompartment"):
+        if label not in store.manifest["nodes"]:
+            continue
+        metrics[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=rel,
+            ),
+            update_tag,
+            {"OCI_TENANCY_ID": tenancy_id},
+        )
+    store.record_lineage("oci_sync", {"update_tag": update_tag})
+    return metrics

@@ -1,0 +1,133 @@
+"""OCI provider parity, mirrored from the reference's
+``tests/integration/cartography/intel/oci/test_iam.py`` assertions
+over its actual ``tests/data/oci/iam.py`` fixture (loaded read-only
+via the ast literal evaluator, datetimes stubbed): user/group/
+compartment sets with dash→underscore key normalization, capability
+flattening, group-id-filtered memberships, tenancy RESOURCE scoping."""
+
+import datetime
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.oci import (
+    sync_oci,
+    transform_oci_groups,
+    transform_oci_users,
+)
+from tests.test_fixture_parity_github import _load_fixture_ns
+
+FIXTURE = "/root/reference/tests/data/oci/iam.py"
+TENANCY = ("ocid1.tenancy.oc1..nqilyrb1l5t6gnmlcjgeim8q47vccnklev8k2"
+           "ud9skn78eapu116oyv9wcr0")
+USER0 = ("ocid1.user.oc1..m5oaceraqeiq47zqstzy6ickbbfkw7vg4srozp4sskn78"
+         "eapu116oyv9wcr0")
+USER1 = ("ocid1.user.oc1..srozp4sskn78eapu116oyv9wcr06ickbbfkw7vg4m5oac"
+         "eraqeiq47zqstzy")
+GROUP0 = ("ocid1.group.oc1..wa03xlg35zi0tb33qyrjteen36zrkauzhjz8pi0yzt4"
+          "d2b78uo745h5ze6at")
+TAG = 123456789
+
+
+def _dt(*args, **kw):
+    return datetime.datetime(*args, **kw).isoformat()
+
+
+@pytest.fixture(scope="module")
+def oci_fixture():
+    if not os.path.exists(FIXTURE):
+        pytest.skip("reference fixture not available")
+    return _load_fixture_ns(FIXTURE, stubs={"datetime.datetime": _dt})
+
+
+def _raw(spark, data):
+    return spark.createDataFrame(
+        [(json.dumps(data),)], "payload_json string"
+    )
+
+
+def test_users_capability_flattening(spark, oci_fixture):
+    """test_iam.py:57-66 + iam.py:112-135 — (ocid, name) set, dashed
+    keys snake_cased, capabilities flattened."""
+    nodes, edges = transform_oci_users(
+        _raw(spark, oci_fixture["LIST_USERS"]), TENANCY, TAG
+    )
+    rows = {r["id"]: r["props"] for r in nodes.collect()}
+    assert {
+        (p["ocid"], p["name"]) for p in rows.values()
+    } == {(USER0, "example-user-0"), (USER1, "example-user-1")}
+    assert rows[USER0]["can_use_api_keys"] == "true"
+    assert rows[USER0]["lifecycle_state"] == "ACTIVE"
+    assert rows[USER0]["is_mfa_activated"] == "false"
+    assert {
+        (e["src_id"], e["dst_id"]) for e in edges.collect()
+    } == {(TENANCY, USER0), (TENANCY, USER1)}
+
+
+def test_membership_group_id_filter(spark, oci_fixture):
+    """iam.py:247-270 — memberships filtered to the map key's group;
+    a row whose group-id disagrees with its key never links."""
+    memberships = {
+        GROUP0: oci_fixture["LIST_GROUP_MEMBERSHIPS"],
+        "ocid1.group.oc1..other": oci_fixture["LIST_GROUP_MEMBERSHIPS"],
+    }
+    _, edges = transform_oci_groups(
+        _raw(spark, oci_fixture["LIST_GROUPS"]),
+        _raw(spark, memberships), TENANCY, TAG,
+    )
+    member_of = {
+        (e["src_id"], e["dst_id"]) for e in edges.collect()
+        if e["rel_label"] == "MEMBER_OF"
+    }
+    # the mismatched-key copy contributes nothing
+    assert member_of == {(USER0, GROUP0), (USER1, GROUP0)}
+
+
+def test_sync_compartments_and_user_registry(spark, tmp_store, oci_fixture):
+    from cartography_spark.plans.ontology_users import (
+        DEFAULT_USER_SOURCES,
+        sync_ontology_users,
+    )
+
+    # give user-0 an email so the registry picks it up
+    users = json.loads(json.dumps(oci_fixture["LIST_USERS"]))
+    users["Users"][0]["email"] = "user0@simpson.corp"
+    sync_oci(
+        tmp_store,
+        _raw(spark, oci_fixture["LIST_COMPARTMENTS"]),
+        _raw(spark, users),
+        _raw(spark, oci_fixture["LIST_GROUPS"]),
+        _raw(spark, {GROUP0: oci_fixture["LIST_GROUP_MEMBERSHIPS"]}),
+        TENANCY, "example-tenancy", TAG,
+    )
+    tenancies = {r["id"]: r["props"]
+                 for r in tmp_store.nodes(["OCITenancy"]).collect()}
+    assert tenancies[TENANCY]["ocid"] == TENANCY
+    comps = tmp_store.nodes(["OCICompartment"]).collect()
+    assert len(comps) >= 1
+
+    sources = tuple(
+        s for s in DEFAULT_USER_SOURCES
+        if s.node_label in tmp_store.manifest["nodes"]
+    )
+    sync_ontology_users(tmp_store, sources, TAG)
+    canon = {r["id"]: r["props"]
+             for r in tmp_store.nodes(["User"]).collect()}
+    u = canon["user0@simpson.corp"]
+    assert u["fullname"] == "example-user-0"
+    assert u["active"] == "true"           # lifecycle ACTIVE
+    assert u["has_mfa"] == "false"
+
+    # user-1 leaves the tenancy → swept
+    users["Users"] = users["Users"][:1]
+    sync_oci(
+        tmp_store, None, _raw(spark, users),
+        _raw(spark, oci_fixture["LIST_GROUPS"]),
+        _raw(spark, {GROUP0: oci_fixture["LIST_GROUP_MEMBERSHIPS"]}),
+        TENANCY, "example-tenancy", TAG + 1,
+    )
+    assert {
+        r["id"] for r in tmp_store.nodes(["OCIUser"]).collect()
+    } == {USER0}

@@ -152,6 +152,15 @@ DEFAULT_USER_SOURCES: tuple[UserSource, ...] = (
         _F("active", "enabled"),
         _F("has_mfa", "totp"),
     ))),
+    UserSource("SalesforceUser", _mapping((
+        _F("email", "email", required=True),
+        _F("username", "username"),
+        _F("firstname", "first_name"),
+        _F("lastname", "last_name"),
+        _F("fullname", "name"),
+        _F("active", "is_active"),
+        _F("lastactivity", "last_login_date"),
+    ))),
     UserSource("OCIUser", _mapping((
         _F("email", "email", required=True),
         _F("fullname", "name"),

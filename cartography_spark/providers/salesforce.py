@@ -1,0 +1,323 @@
+"""Salesforce provider: organization, profiles, user roles, users.
+
+Mirrors the reference's ``intel/salesforce`` core sync family as
+``from_json`` + ``explode`` column expressions — zero Python rows.
+Salesforce's SOQL fields are PascalCase; the models surface them as
+snake_case props (``models/salesforce/*.py``), mirrored here.
+
+Graph shape:
+
+* ``SalesforceOrganization`` (``Tenant`` extra label) — root.
+* ``SalesforceProfile`` — permission booleans flattened as props.
+* ``SalesforceUserRole`` — role hierarchy:
+  ``(child)-[:MEMBER_OF]->(parent)`` from ``ParentRoleId`` when the
+  parent is in the batch.
+* ``SalesforceUser`` — ``(user)-[:HAS_ROLE]->(profile)`` from
+  ``ProfileId``, ``(user)-[:MEMBER_OF]->(role)`` from ``UserRoleId``,
+  ``(user)-[:REPORTS_TO]->(manager)`` from ``ManagerId``;
+  Salesforce ISO timestamps (``2023-01-01T00:00:00.000+0000``)
+  normalized to ISO-8601 via timestamp parsing
+  (``util.py:135-140``); ``UserAccount`` extra label
+  (``DEFAULT_USER_SOURCES`` maps is_active → active,
+  last_login_date → lastactivity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+ORG_LABEL = "SalesforceOrganization"
+
+SF_ORG_STRUCT = (
+    "struct<Id:string, Name:string, OrganizationType:string, "
+    "InstanceName:string, IsSandbox:string, PrimaryContact:string, "
+    "Country:string, LanguageLocaleKey:string, NamespacePrefix:string, "
+    "CreatedDate:string>"
+)
+SF_PROFILES_STRUCT = (
+    "array<struct<Id:string, Name:string, UserType:string, "
+    "Description:string, PermissionsModifyAllData:string, "
+    "PermissionsViewAllData:string, PermissionsApiEnabled:string, "
+    "PermissionsManageUsers:string, CreatedDate:string>>"
+)
+SF_ROLES_STRUCT = (
+    "array<struct<Id:string, Name:string, DeveloperName:string, "
+    "ParentRoleId:string, RollupDescription:string, PortalType:string>>"
+)
+SF_USERS_STRUCT = (
+    "array<struct<Id:string, Username:string, Name:string, "
+    "FirstName:string, LastName:string, Email:string, Alias:string, "
+    "IsActive:string, UserType:string, ProfileId:string, "
+    "UserRoleId:string, ManagerId:string, Department:string, "
+    "Title:string, FederationIdentifier:string, CreatedDate:string, "
+    "LastLoginDate:string, LastPasswordChangeDate:string>>"
+)
+
+
+def _props_map(pairs: list[tuple[str, Column]]) -> Column:
+    return F.map_filter(
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k, _ in pairs]),
+            F.array(*[v.cast("string") for _, v in pairs]),
+        ),
+        lambda _k, v: v.isNotNull(),
+    )
+
+
+def _shape_nodes(df: DataFrame, update_tag: int, extra=None) -> DataFrame:
+    return df.select(
+        "label",
+        "id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        (extra if extra is not None else F.lit(None).cast("array<string>"))
+        .alias("extra_labels"),
+        "props",
+    )
+
+
+def _shape_edges(df: DataFrame, update_tag: int, org_id: str) -> DataFrame:
+    return df.select(
+        "src_label", "src_id", "rel_label", "dst_label", "dst_id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(ORG_LABEL).alias("sub_resource_label"),
+        F.lit(org_id).alias("sub_resource_id"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    ).dropDuplicates(["src_label", "src_id", "rel_label", "dst_label", "dst_id"])
+
+
+def _resource_edges(ids: DataFrame, org_id: str, dst_label: str) -> DataFrame:
+    return ids.select(
+        F.lit(ORG_LABEL).alias("src_label"),
+        F.lit(org_id).alias("src_id"),
+        F.lit("RESOURCE").alias("rel_label"),
+        F.lit(dst_label).alias("dst_label"),
+        F.col("id").alias("dst_id"),
+    )
+
+
+def _sf_ts(col: Column) -> Column:
+    """``parse_sf_datetime`` twin: SF's ``+0000`` offset timestamps →
+    canonical ISO-8601 (null passthrough)."""
+    return F.date_format(
+        F.to_timestamp(col, "yyyy-MM-dd'T'HH:mm:ss.SSSZ"),
+        "yyyy-MM-dd'T'HH:mm:ssXXX",
+    )
+
+
+def transform_sf_organization(raw: DataFrame, update_tag: int) -> DataFrame:
+    org = raw.select(
+        F.from_json("payload_json", SF_ORG_STRUCT).alias("o")
+    ).select("o.*").where(F.col("Id").isNotNull())
+    return _shape_nodes(
+        org.select(
+            F.lit(ORG_LABEL).alias("label"),
+            F.col("Id").alias("id"),
+            _props_map([
+                ("name", F.col("Name")),
+                ("organization_type", F.col("OrganizationType")),
+                ("instance_name", F.col("InstanceName")),
+                ("is_sandbox", F.col("IsSandbox")),
+                ("primary_contact", F.col("PrimaryContact")),
+                ("country", F.col("Country")),
+                ("language_locale_key", F.col("LanguageLocaleKey")),
+                ("namespace_prefix", F.col("NamespacePrefix")),
+                ("created_date", _sf_ts(F.col("CreatedDate"))),
+            ]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+        extra=F.array(F.lit("Tenant")),
+    )
+
+
+def transform_sf_profiles(
+    raw: DataFrame, org_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    profiles = raw.select(
+        F.explode(F.from_json("payload_json", SF_PROFILES_STRUCT))
+        .alias("p")
+    ).select("p.*").where(F.col("Id").isNotNull())
+    nodes = _shape_nodes(
+        profiles.select(
+            F.lit("SalesforceProfile").alias("label"),
+            F.col("Id").alias("id"),
+            _props_map([
+                ("name", F.col("Name")),
+                ("user_type", F.col("UserType")),
+                ("description", F.col("Description")),
+                ("permissions_modify_all_data",
+                 F.col("PermissionsModifyAllData")),
+                ("permissions_view_all_data",
+                 F.col("PermissionsViewAllData")),
+                ("permissions_api_enabled",
+                 F.col("PermissionsApiEnabled")),
+                ("permissions_manage_users",
+                 F.col("PermissionsManageUsers")),
+                ("created_date", _sf_ts(F.col("CreatedDate"))),
+            ]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+    )
+    return nodes, _shape_edges(
+        _resource_edges(profiles.select(F.col("Id").alias("id")), org_id,
+                        "SalesforceProfile"),
+        update_tag, org_id,
+    )
+
+
+def transform_sf_user_roles(
+    raw: DataFrame, org_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    roles = raw.select(
+        F.explode(F.from_json("payload_json", SF_ROLES_STRUCT)).alias("r")
+    ).select("r.*").where(F.col("Id").isNotNull())
+    nodes = _shape_nodes(
+        roles.select(
+            F.lit("SalesforceUserRole").alias("label"),
+            F.col("Id").alias("id"),
+            _props_map([
+                ("name", F.col("Name")),
+                ("developer_name", F.col("DeveloperName")),
+                ("parent_role_id", F.col("ParentRoleId")),
+                ("rollup_description", F.col("RollupDescription")),
+                ("portal_type", F.col("PortalType")),
+            ]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+    )
+    edges = _resource_edges(roles.select(F.col("Id").alias("id")), org_id,
+                            "SalesforceUserRole")
+    parents = roles.select(F.col("Id").alias("parent_key"))
+    hierarchy = roles.where(F.col("ParentRoleId").isNotNull()).join(
+        F.broadcast(parents),
+        F.col("ParentRoleId") == F.col("parent_key"),
+    ).select(
+        F.lit("SalesforceUserRole").alias("src_label"),
+        F.col("Id").alias("src_id"),
+        F.lit("MEMBER_OF").alias("rel_label"),
+        F.lit("SalesforceUserRole").alias("dst_label"),
+        F.col("parent_key").alias("dst_id"),
+    )
+    return nodes, _shape_edges(
+        edges.unionByName(hierarchy), update_tag, org_id
+    )
+
+
+def transform_sf_users(
+    raw: DataFrame, org_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    users = raw.select(
+        F.explode(F.from_json("payload_json", SF_USERS_STRUCT)).alias("u")
+    ).select("u.*").where(F.col("Id").isNotNull())
+    nodes = _shape_nodes(
+        users.select(
+            F.lit("SalesforceUser").alias("label"),
+            F.col("Id").alias("id"),
+            _props_map([
+                ("username", F.col("Username")),
+                ("name", F.col("Name")),
+                ("first_name", F.col("FirstName")),
+                ("last_name", F.col("LastName")),
+                ("email", F.col("Email")),
+                ("alias", F.col("Alias")),
+                ("is_active", F.col("IsActive")),
+                ("user_type", F.col("UserType")),
+                ("profile_id", F.col("ProfileId")),
+                ("user_role_id", F.col("UserRoleId")),
+                ("manager_id", F.col("ManagerId")),
+                ("department", F.col("Department")),
+                ("title", F.col("Title")),
+                ("federation_identifier",
+                 F.col("FederationIdentifier")),
+                ("created_date", _sf_ts(F.col("CreatedDate"))),
+                ("last_login_date", _sf_ts(F.col("LastLoginDate"))),
+                ("last_password_change_date",
+                 _sf_ts(F.col("LastPasswordChangeDate"))),
+            ]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+        extra=F.array(F.lit("UserAccount")),
+    )
+    edges = _resource_edges(users.select(F.col("Id").alias("id")), org_id,
+                            "SalesforceUser")
+    has_role = users.where(F.col("ProfileId").isNotNull()).select(
+        F.lit("SalesforceUser").alias("src_label"),
+        F.col("Id").alias("src_id"),
+        F.lit("HAS_ROLE").alias("rel_label"),
+        F.lit("SalesforceProfile").alias("dst_label"),
+        F.col("ProfileId").alias("dst_id"),
+    )
+    member_of = users.where(F.col("UserRoleId").isNotNull()).select(
+        F.lit("SalesforceUser").alias("src_label"),
+        F.col("Id").alias("src_id"),
+        F.lit("MEMBER_OF").alias("rel_label"),
+        F.lit("SalesforceUserRole").alias("dst_label"),
+        F.col("UserRoleId").alias("dst_id"),
+    )
+    reports_to = users.where(F.col("ManagerId").isNotNull()).select(
+        F.lit("SalesforceUser").alias("src_label"),
+        F.col("Id").alias("src_id"),
+        F.lit("REPORTS_TO").alias("rel_label"),
+        F.lit("SalesforceUser").alias("dst_label"),
+        F.col("ManagerId").alias("dst_id"),
+    )
+    return nodes, _shape_edges(
+        edges.unionByName(has_role).unionByName(member_of)
+        .unionByName(reports_to),
+        update_tag, org_id,
+    )
+
+
+def sync_salesforce(store, org_raw, profiles_raw, roles_raw, users_raw,
+                    org_id: str, update_tag: int) -> dict:
+    """``intel/salesforce/__init__.py`` order: organization →
+    profiles → user roles → users; org-scoped GC."""
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    metrics: dict = {}
+    if org_raw is not None:
+        metrics["org"] = store.merge_nodes(
+            transform_sf_organization(org_raw, update_tag), update_tag
+        )
+    stages = [
+        ("profiles", profiles_raw, transform_sf_profiles),
+        ("roles", roles_raw, transform_sf_user_roles),
+        ("users", users_raw, transform_sf_users),
+    ]
+    for name, raw, fn in stages:
+        if raw is None:
+            continue
+        nodes, edges = fn(raw, org_id, update_tag)
+        metrics[f"{name}_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics[f"{name}_edges"] = store.merge_edges(edges, update_tag)
+    rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label=ORG_LABEL,
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("ORG_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    for label in ("SalesforceUser", "SalesforceUserRole",
+                  "SalesforceProfile"):
+        if label not in store.manifest["nodes"]:
+            continue
+        metrics[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=rel,
+            ),
+            update_tag,
+            {"ORG_ID": org_id},
+        )
+    store.record_lineage("salesforce_sync", {"update_tag": update_tag})
+    return metrics

@@ -1,0 +1,131 @@
+"""Salesforce provider parity, mirrored from the reference's
+``tests/integration/cartography/intel/salesforce`` assertions over
+its actual ``tests/data/salesforce/data.py`` fixture (loaded
+read-only via the ast literal evaluator): org/profile/role/user sets,
+the role hierarchy, HAS_ROLE/MEMBER_OF/REPORTS_TO edges, timestamp
+normalization, and org-scoped GC."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.salesforce import (
+    sync_salesforce,
+    transform_sf_user_roles,
+    transform_sf_users,
+)
+from tests.test_fixture_parity_github import _load_fixture_ns
+
+FIXTURE = "/root/reference/tests/data/salesforce/data.py"
+ORG = "00D000000000001EAA"
+HOMER = "005000000000001AAA"
+MARGE = "005000000000002AAA"
+ADMIN_PROFILE = "00e000000000001AAA"
+CEO_ROLE = "00E000000000001AAA"
+VP_ROLE = "00E000000000002AAA"
+TAG = 123456789
+
+
+@pytest.fixture(scope="module")
+def sf_fixture():
+    if not os.path.exists(FIXTURE):
+        pytest.skip("reference fixture not available")
+    return _load_fixture_ns(FIXTURE)
+
+
+def _raw(spark, data):
+    return spark.createDataFrame(
+        [(json.dumps(data),)], "payload_json string"
+    )
+
+
+def test_users_edges_and_timestamps(spark, sf_fixture):
+    """users + HAS_ROLE/MEMBER_OF/REPORTS_TO; SF '+0000' timestamps
+    normalized to ISO-8601."""
+    nodes, edges = transform_sf_users(
+        _raw(spark, sf_fixture["SALESFORCE_USERS"]), ORG, TAG
+    )
+    rows = {r["id"]: r["props"] for r in nodes.collect()}
+    assert {
+        (i, p["username"]) for i, p in rows.items()
+    } == {
+        (HOMER, "hjsimpson@simpson.corp"),
+        (MARGE, "mbsimpson@simpson.corp"),
+    }
+    assert rows[HOMER]["last_login_date"].startswith("2023-06-01T12:00:00")
+    es = edges.collect()
+    assert {
+        (e["src_id"], e["dst_id"]) for e in es
+        if e["rel_label"] == "HAS_ROLE"
+    } == {(HOMER, ADMIN_PROFILE), (MARGE, "00e000000000002AAA")}
+    assert {
+        (e["src_id"], e["dst_id"]) for e in es
+        if e["rel_label"] == "MEMBER_OF"
+    } == {(HOMER, CEO_ROLE), (MARGE, VP_ROLE)}
+    assert {
+        (e["src_id"], e["dst_id"]) for e in es
+        if e["rel_label"] == "REPORTS_TO"
+    } == {(MARGE, HOMER)}
+
+
+def test_role_hierarchy(spark, sf_fixture):
+    """(VP Sales)-[:MEMBER_OF]->(CEO); top-level roles link nowhere."""
+    _, edges = transform_sf_user_roles(
+        _raw(spark, sf_fixture["SALESFORCE_USER_ROLES"]), ORG, TAG
+    )
+    assert {
+        (e["src_id"], e["dst_id"]) for e in edges.collect()
+        if e["rel_label"] == "MEMBER_OF"
+    } == {(VP_ROLE, CEO_ROLE)}
+
+
+def test_sync_gc_and_user_registry(spark, tmp_store, sf_fixture):
+    from cartography_spark.plans.ontology_users import (
+        DEFAULT_USER_SOURCES,
+        sync_ontology_users,
+    )
+
+    sync_salesforce(
+        tmp_store,
+        _raw(spark, sf_fixture["SALESFORCE_ORGANIZATION"]),
+        _raw(spark, sf_fixture["SALESFORCE_PROFILES"]),
+        _raw(spark, sf_fixture["SALESFORCE_USER_ROLES"]),
+        _raw(spark, sf_fixture["SALESFORCE_USERS"]),
+        ORG, TAG,
+    )
+    orgs = {r["id"]: r["props"]
+            for r in tmp_store.nodes(["SalesforceOrganization"]).collect()}
+    assert orgs[ORG]["name"] == "Simpson Corp"
+    profiles = {r["id"]: r["props"]
+                for r in tmp_store.nodes(["SalesforceProfile"]).collect()}
+    assert profiles[ADMIN_PROFILE]["permissions_modify_all_data"] == "true"
+
+    sources = tuple(
+        s for s in DEFAULT_USER_SOURCES
+        if s.node_label in tmp_store.manifest["nodes"]
+    )
+    sync_ontology_users(tmp_store, sources, TAG)
+    users = {r["id"]: r["props"]
+             for r in tmp_store.nodes(["User"]).collect()}
+    homer = users["hjsimpson@simpson.corp"]
+    assert homer["fullname"] == "Homer Simpson"
+    assert homer["active"] == "true"
+
+    # marge offboarded → swept with her edges
+    sync_salesforce(
+        tmp_store,
+        _raw(spark, sf_fixture["SALESFORCE_ORGANIZATION"]),
+        _raw(spark, sf_fixture["SALESFORCE_PROFILES"]),
+        _raw(spark, sf_fixture["SALESFORCE_USER_ROLES"]),
+        _raw(spark, sf_fixture["SALESFORCE_USERS"][:1]),
+        ORG, TAG + 1,
+    )
+    assert {
+        r["id"] for r in tmp_store.nodes(["SalesforceUser"]).collect()
+    } == {HOMER}
+    assert not [
+        e for e in tmp_store.edges(["REPORTS_TO"]).collect()
+        if e["src_id"] == MARGE
+    ]

@@ -155,6 +155,25 @@ def normalized_package_id(purl: Column) -> Column:
     )
 
 
+def normalized_package_id_with_fallback(
+    purl: Column, name: Column, version: Column, pkg_type: Column
+) -> Column:
+    """``make_normalized_package_id`` (``intel/trivy/util.py:63-105``)
+    both legs: PURL first, explicit name/version/type fallback. The
+    SINGLE definition every scanner provider (Trivy, Syft, GitLab
+    dependencies) shares — the cross-tool DETECTED_AS joins only work
+    while all emitters produce byte-identical keys."""
+    return F.coalesce(
+        normalized_package_id(purl),
+        F.when(
+            name.isNotNull() & version.isNotNull() & pkg_type.isNotNull(),
+            F.concat(F.lower(pkg_type), F.lit("|"),
+                     normalize_package_name(name, pkg_type),
+                     F.lit("|"), version),
+        ),
+    )
+
+
 def normalized_package_name_id(
     purl: Column, name: Column, pkg_type: Column
 ) -> Column:

@@ -212,6 +212,7 @@ def sync_airbyte(store, orgs_raw, workspaces_raw, users_raw,
     from cartography_spark.operators.gc import run_cleanup
 
     metrics: dict = {}
+    ran: list[str] = []
     if orgs_raw is not None:
         metrics["orgs"] = store.merge_nodes(
             transform_airbyte_organizations(orgs_raw, update_tag),
@@ -223,12 +224,14 @@ def sync_airbyte(store, orgs_raw, workspaces_raw, users_raw,
         )
         metrics["workspaces_nodes"] = store.merge_nodes(nodes, update_tag)
         metrics["workspaces_edges"] = store.merge_edges(edges, update_tag)
+        ran.append("AirbyteWorkspace")
     if users_raw is not None:
         nodes, edges = transform_airbyte_users(
             users_raw, permissions_raw, org_id, update_tag
         )
         metrics["users_nodes"] = store.merge_nodes(nodes, update_tag)
         metrics["users_edges"] = store.merge_edges(edges, update_tag)
+        ran.append("AirbyteUser")
     rel = RelSchema(
         rel_label="RESOURCE",
         target_node_label=ORG_LABEL,
@@ -238,7 +241,7 @@ def sync_airbyte(store, orgs_raw, workspaces_raw, users_raw,
         direction=LinkDirection.INWARD,
     )
     for label in ("AirbyteUser", "AirbyteWorkspace"):
-        if label not in store.manifest["nodes"]:
+        if label not in ran or label not in store.manifest["nodes"]:
             continue
         metrics[f"gc_{label}"] = run_cleanup(
             store,

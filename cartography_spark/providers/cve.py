@@ -189,11 +189,17 @@ def spotlight_correlation_edges(store, cve_nodes: DataFrame,
     vulnerability with the same id already exists."""
     if "CrowdstrikeSpotlightVulnerability" not in store.manifest["nodes"]:
         return None
+    # Spotlight nodes are keyed by the Falcon vuln id with the CVE in
+    # props['cve_id'] (providers/crowdstrike.py:214-237) — the join
+    # must go through that prop; coalescing to the node id also covers
+    # graphs that keyed spotlight rows by CVE directly
     spots = store.nodes(["CrowdstrikeSpotlightVulnerability"]).select(
-        F.col("id").alias("spot_id")
+        F.col("id").alias("spot_id"),
+        F.coalesce(F.element_at("props", "cve_id"), F.col("id"))
+        .alias("spot_cve"),
     )
     pairs = cve_nodes.select("id").join(
-        F.broadcast(spots), F.col("id") == F.col("spot_id")
+        F.broadcast(spots), F.col("id") == F.col("spot_cve")
     ).select(
         F.lit("CrowdstrikeSpotlightVulnerability").alias("src_label"),
         F.col("spot_id").alias("src_id"),

@@ -264,7 +264,7 @@ def sync_digitalocean(store, account_raw, projects_raw, droplets_raw,
                 update_tag,
                 {"PROJECT_ID": project_id},
             )
-    if "DOProject" in store.manifest["nodes"]:
+    if projects_raw is not None and "DOProject" in store.manifest["nodes"]:
         acct_rel = RelSchema(
             rel_label="RESOURCE",
             target_node_label=ACCOUNT_LABEL,

@@ -386,6 +386,15 @@ def transform_gitlab_dependencies(
         ).dropDuplicates(["id"]),
         update_tag,
     )
+    # models/gitlab/dependencies.py:84-92 — the project RESOURCE
+    # sub-resource edge (the per-project GC anchor) plus REQUIRES
+    resource = deps.select(
+        F.lit("GitLabProject").alias("src_label"),
+        F.col("project_id").alias("src_id"),
+        F.lit("RESOURCE").alias("rel_label"),
+        F.lit("GitLabDependency").alias("dst_label"),
+        F.col("dep_id").alias("dst_id"),
+    )
     requires = deps.select(
         F.lit("GitLabProject").alias("src_label"),
         F.col("project_id").alias("src_id"),
@@ -401,7 +410,8 @@ def transform_gitlab_dependencies(
         F.col("dep_id").alias("dst_id"),
     )
     return nodes, _shape_edges(
-        requires.unionByName(has_dep), update_tag, org_id
+        resource.unionByName(requires).unionByName(has_dep), update_tag,
+        org_id,
     )
 
 
@@ -587,6 +597,42 @@ def _scoped_gc(store, labels: tuple[str, ...], org_id: str,
     return out
 
 
+def _project_scoped_dep_gc(store, labels, project_ids, update_tag):
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label="GitLabProject",
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("PROJECT_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    out = {}
+    for label in labels:
+        if label not in store.manifest["nodes"]:
+            continue
+        for project_id in project_ids:
+            out[f"gc_{label}_{project_id}"] = run_cleanup(
+                store,
+                NodeSchema(
+                    label=label,
+                    properties={"id": PropertyRef("id")},
+                    sub_resource_relationship=rel,
+                ),
+                update_tag,
+                {"PROJECT_ID": project_id},
+            )
+    return out
+
+
 def sync_gitlab(store, org_raw, groups_raw, projects_raw, languages_raw,
                 org_members_raw, group_members_raw, commits_raw,
                 org_id: str, org_url: str, gitlab_url: str,
@@ -597,6 +643,7 @@ def sync_gitlab(store, org_raw, groups_raw, projects_raw, languages_raw,
     label (the reference runs each stage's schema cleanup with
     ``org_id``/``gitlab_url`` params)."""
     metrics: dict = {}
+    ran: list[str] = []
     if org_raw is not None:
         metrics["org"] = store.merge_nodes(
             transform_gitlab_organization(org_raw, gitlab_url, update_tag),
@@ -608,6 +655,7 @@ def sync_gitlab(store, org_raw, groups_raw, projects_raw, languages_raw,
         )
         metrics["groups_nodes"] = store.merge_nodes(nodes, update_tag)
         metrics["groups_edges"] = store.merge_edges(edges, update_tag)
+        ran.append("GitLabGroup")
     if projects_raw is not None:
         nodes, edges = transform_gitlab_projects(
             projects_raw, languages_raw, org_id, org_url, gitlab_url,
@@ -615,6 +663,7 @@ def sync_gitlab(store, org_raw, groups_raw, projects_raw, languages_raw,
         )
         metrics["projects_nodes"] = store.merge_nodes(nodes, update_tag)
         metrics["projects_edges"] = store.merge_edges(edges, update_tag)
+        ran.append("GitLabProject")
     users_nodes = None
     if org_members_raw is not None:
         users_nodes, edges = transform_gitlab_users(
@@ -623,6 +672,7 @@ def sync_gitlab(store, org_raw, groups_raw, projects_raw, languages_raw,
         )
         metrics["users_nodes"] = store.merge_nodes(users_nodes, update_tag)
         metrics["users_edges"] = store.merge_edges(edges, update_tag)
+        ran.append("GitLabUser")
     if commits_raw is not None and users_nodes is not None:
         metrics["commit_edges"] = store.merge_edges(
             transform_gitlab_commit_activity(
@@ -630,21 +680,45 @@ def sync_gitlab(store, org_raw, groups_raw, projects_raw, languages_raw,
             ),
             update_tag,
         )
+    dep_projects: set[str] = set()
     if dep_files_raw is not None:
         nodes, edges = transform_gitlab_dependency_files(
             dep_files_raw, org_id, gitlab_url, update_tag
         )
+        dep_projects.update(
+            r["project_id"] for r in nodes.select(
+                F.element_at("props", "project_id").alias("project_id")
+            ).where(F.col("project_id").isNotNull()).distinct().collect()
+        )
         metrics["dep_files_nodes"] = store.merge_nodes(nodes, update_tag)
         metrics["dep_files_edges"] = store.merge_edges(edges, update_tag)
+        ran.append("GitLabDependencyFile")
     if dependencies_raw is not None:
         nodes, edges = transform_gitlab_dependencies(
             dependencies_raw, org_id, gitlab_url, update_tag
         )
+        dep_projects.update(
+            r["project_id"] for r in nodes.select(
+                F.element_at("props", "project_id").alias("project_id")
+            ).where(F.col("project_id").isNotNull()).distinct().collect()
+        )
         metrics["deps_nodes"] = store.merge_nodes(nodes, update_tag)
         metrics["deps_edges"] = store.merge_edges(edges, update_tag)
+        ran.append("GitLabDependency")
+    # dependency labels are PROJECT-scoped (their RESOURCE edges come
+    # from GitLabProject, never the org) and run children-first, per
+    # project seen in this batch — the reference cleans them with
+    # project_id params (dependencies.py:536-553)
+    metrics.update(_project_scoped_dep_gc(
+        store,
+        tuple(l for l in ("GitLabDependency", "GitLabDependencyFile")
+              if l in ran),
+        sorted(dep_projects), update_tag,
+    ))
     metrics.update(_scoped_gc(
-        store, ("GitLabProject", "GitLabGroup", "GitLabUser",
-                "GitLabDependencyFile", "GitLabDependency"),
+        store,
+        tuple(l for l in ("GitLabProject", "GitLabGroup", "GitLabUser")
+              if l in ran),
         org_id, update_tag,
     ))
     store.record_lineage("gitlab_sync", {"update_tag": update_tag})

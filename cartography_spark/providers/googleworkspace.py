@@ -374,6 +374,7 @@ def sync_googleworkspace(store, users_raw, devices_raw, device_users_raw,
             _tenant_node(store.spark, customer_id, update_tag), update_tag
         )
     }
+    ran: list[str] = []
     users_nodes = None
     if users_raw is not None:
         users_nodes, users_edges = transform_googleworkspace_users(
@@ -381,6 +382,7 @@ def sync_googleworkspace(store, users_raw, devices_raw, device_users_raw,
         )
         metrics["users_nodes"] = store.merge_nodes(users_nodes, update_tag)
         metrics["users_edges"] = store.merge_edges(users_edges, update_tag)
+        ran.append("GoogleWorkspaceUser")
     if devices_raw is not None:
         dev_nodes, dev_edges = transform_googleworkspace_devices(
             devices_raw, device_users_raw, customer_id, update_tag,
@@ -388,8 +390,12 @@ def sync_googleworkspace(store, users_raw, devices_raw, device_users_raw,
         )
         metrics["devices_nodes"] = store.merge_nodes(dev_nodes, update_tag)
         metrics["devices_edges"] = store.merge_edges(dev_edges, update_tag)
+        ran.append("GoogleWorkspaceDevice")
+    # GC only the stages that ran
     metrics.update(_scoped_gc(
-        store, ("GoogleWorkspaceDevice", "GoogleWorkspaceUser"),
+        store,
+        tuple(l for l in ("GoogleWorkspaceDevice", "GoogleWorkspaceUser")
+              if l in ran),
         customer_id, update_tag,
     ))
     store.record_lineage("googleworkspace_sync", {"update_tag": update_tag})

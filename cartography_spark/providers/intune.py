@@ -429,12 +429,14 @@ def sync_intune(store, devices_raw, apps_aggregate_raw, apps_raw,
             _tenant_node(store.spark, tenant_id, update_tag), update_tag
         )
     }
+    ran: list[str] = []
     if devices_raw is not None:
         nodes, edges = transform_intune_managed_devices(
             devices_raw, tenant_id, update_tag
         )
         metrics["devices_nodes"] = store.merge_nodes(nodes, update_tag)
         metrics["devices_edges"] = store.merge_edges(edges, update_tag)
+        ran.append("IntuneManagedDevice")
     if apps_aggregate_raw is not None or apps_raw is not None:
         empty = store.spark.createDataFrame(
             [("[]",)], "payload_json string"
@@ -445,17 +447,18 @@ def sync_intune(store, devices_raw, apps_aggregate_raw, apps_raw,
         )
         metrics["apps_nodes"] = store.merge_nodes(nodes, update_tag)
         metrics["apps_edges"] = store.merge_edges(edges, update_tag)
+        ran.append("IntuneDetectedApp")
     if policies_raw is not None:
         nodes, edges = transform_intune_compliance_policies(
             policies_raw, tenant_id, update_tag
         )
         metrics["policies_nodes"] = store.merge_nodes(nodes, update_tag)
         metrics["policies_edges"] = store.merge_edges(edges, update_tag)
+        ran.append("IntuneCompliancePolicy")
+    # GC only the stages that ran (a devices-only refresh must not
+    # sweep apps/policies the way a skipped reference module wouldn't)
     metrics.update(_scoped_gc(
-        store,
-        ("IntuneManagedDevice", "IntuneDetectedApp",
-         "IntuneCompliancePolicy"),
-        tenant_id, update_tag,
+        store, tuple(ran), tenant_id, update_tag,
     ))
     store.record_lineage("intune_sync", {"update_tag": update_tag})
     return metrics

@@ -387,20 +387,29 @@ def sync_jamf(store, groups_raw, computers_raw, mobile_raw,
         )
     }
     stages = [
-        ("groups", groups_raw, transform_jamf_groups),
-        ("computers", computers_raw, transform_jamf_computers),
-        ("mobile_devices", mobile_raw, transform_jamf_mobile_devices),
+        ("groups", groups_raw,
+         ("JamfComputerGroup", "JamfMobileDeviceGroup"),
+         transform_jamf_groups),
+        ("computers", computers_raw, ("JamfComputer",),
+         transform_jamf_computers),
+        ("mobile_devices", mobile_raw, ("JamfMobileDevice",),
+         transform_jamf_mobile_devices),
     ]
-    for name, raw, fn in stages:
+    ran: list[str] = []
+    for name, raw, labels, fn in stages:
         if raw is None:
             continue
         nodes, edges = fn(raw, tenant_id, update_tag)
         metrics[f"{name}_nodes"] = store.merge_nodes(nodes, update_tag)
         metrics[f"{name}_edges"] = store.merge_edges(edges, update_tag)
+        ran.extend(labels)
+    # GC only the stages that ran — a skipped reference module never
+    # fires its cleanup
     metrics.update(_scoped_gc(
         store,
-        ("JamfComputer", "JamfMobileDevice", "JamfComputerGroup",
-         "JamfMobileDeviceGroup"),
+        tuple(l for l in ("JamfComputer", "JamfMobileDevice",
+                          "JamfComputerGroup", "JamfMobileDeviceGroup")
+              if l in ran),
         tenant_id, update_tag,
     ))
     store.record_lineage("jamf_sync", {"update_tag": update_tag})

@@ -270,20 +270,24 @@ def sync_keycloak(store, realms_raw, users_raw, groups_raw, realm: str,
     if realm_id is None:
         raise ValueError(f"Keycloak realm {realm!r} is not in this sync "
                          "or the store; sync realms first")
+    ran: list[str] = []
     if users_raw is not None:
         nodes, edges = transform_keycloak_users(
             users_raw, realm, realm_id, update_tag
         )
         metrics["users_nodes"] = store.merge_nodes(nodes, update_tag)
         metrics["users_edges"] = store.merge_edges(edges, update_tag)
+        ran.append("KeycloakUser")
     if groups_raw is not None:
         nodes, edges = transform_keycloak_groups(
             groups_raw, realm, realm_id, update_tag
         )
         metrics["groups_nodes"] = store.merge_nodes(nodes, update_tag)
         metrics["groups_edges"] = store.merge_edges(edges, update_tag)
+        ran.append("KeycloakGroup")
+    # GC only the stages that ran
     metrics.update(_scoped_gc(
-        store, ("KeycloakUser", "KeycloakGroup"), realm_id, update_tag
+        store, tuple(ran), realm_id, update_tag
     ))
     store.record_lineage("keycloak_sync", {"update_tag": update_tag})
     return metrics

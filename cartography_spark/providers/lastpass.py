@@ -184,7 +184,7 @@ def sync_lastpass(store, users_raw, tenant_id: str, update_tag: int) -> dict:
     )
     from cartography_spark.operators.gc import run_cleanup
 
-    if "LastpassUser" in store.manifest["nodes"]:
+    if users_raw is not None and "LastpassUser" in store.manifest["nodes"]:
         rel = RelSchema(
             rel_label="RESOURCE",
             target_node_label=TENANT_LABEL,

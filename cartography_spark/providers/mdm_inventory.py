@@ -198,9 +198,11 @@ def sync_kandji(store, devices_raw, tenant_id: str, update_tag: int) -> dict:
         )
         metrics["devices_nodes"] = store.merge_nodes(nodes, update_tag)
         metrics["devices_edges"] = store.merge_edges(edges, update_tag)
-    metrics.update(_scoped_gc(
-        store, ("KandjiDevice",), "KandjiTenant", tenant_id, update_tag
-    ))
+    if devices_raw is not None:
+        metrics.update(_scoped_gc(
+            store, ("KandjiDevice",), "KandjiTenant", tenant_id,
+            update_tag,
+        ))
     store.record_lineage("kandji_sync", {"update_tag": update_tag})
     return metrics
 
@@ -300,18 +302,20 @@ def sync_snipeit(store, users_raw, assets_raw, tenant_id: str,
         )
     }
     stages = [
-        ("users", users_raw, transform_snipeit_users),
-        ("assets", assets_raw, transform_snipeit_assets),
+        ("users", users_raw, "SnipeitUser", transform_snipeit_users),
+        ("assets", assets_raw, "SnipeitAsset", transform_snipeit_assets),
     ]
-    for name, raw, fn in stages:
+    ran: list[str] = []
+    for name, raw, label, fn in stages:
         if raw is None:
             continue
         nodes, edges = fn(raw, tenant_id, update_tag)
         metrics[f"{name}_nodes"] = store.merge_nodes(nodes, update_tag)
         metrics[f"{name}_edges"] = store.merge_edges(edges, update_tag)
+        ran.append(label)
+    # GC only the stages that ran
     metrics.update(_scoped_gc(
-        store, ("SnipeitAsset", "SnipeitUser"), "SnipeitTenant", tenant_id,
-        update_tag,
+        store, tuple(ran), "SnipeitTenant", tenant_id, update_tag,
     ))
     store.record_lineage("snipeit_sync", {"update_tag": update_tag})
     return metrics
@@ -431,18 +435,21 @@ def sync_jumpcloud(store, users_raw, systems_raw, org_id: str,
         )
     }
     stages = [
-        ("users", users_raw, transform_jumpcloud_users),
-        ("systems", systems_raw, transform_jumpcloud_systems),
+        ("users", users_raw, "JumpCloudUser", transform_jumpcloud_users),
+        ("systems", systems_raw, "JumpCloudSystem",
+         transform_jumpcloud_systems),
     ]
-    for name, raw, fn in stages:
+    ran: list[str] = []
+    for name, raw, label, fn in stages:
         if raw is None:
             continue
         nodes, edges = fn(raw, org_id, update_tag)
         metrics[f"{name}_nodes"] = store.merge_nodes(nodes, update_tag)
         metrics[f"{name}_edges"] = store.merge_edges(edges, update_tag)
+        ran.append(label)
+    # GC only the stages that ran
     metrics.update(_scoped_gc(
-        store, ("JumpCloudSystem", "JumpCloudUser"), "JumpCloudTenant",
-        org_id, update_tag,
+        store, tuple(ran), "JumpCloudTenant", org_id, update_tag,
     ))
     store.record_lineage("jumpcloud_sync", {"update_tag": update_tag})
     return metrics
@@ -516,8 +523,10 @@ def sync_bigfix(store, computers_raw, root_url: str, update_tag: int) -> dict:
         )
         metrics["computers_nodes"] = store.merge_nodes(nodes, update_tag)
         metrics["computers_edges"] = store.merge_edges(edges, update_tag)
-    metrics.update(_scoped_gc(
-        store, ("BigfixComputer",), "BigfixRoot", root_url, update_tag
-    ))
+    if computers_raw is not None:
+        metrics.update(_scoped_gc(
+            store, ("BigfixComputer",), "BigfixRoot", root_url,
+            update_tag,
+        ))
     store.record_lineage("bigfix_sync", {"update_tag": update_tag})
     return metrics

@@ -271,20 +271,22 @@ def sync_oci(store, compartments_raw, users_raw, groups_raw,
         )
     }
     stages = [
-        ("compartments", compartments_raw,
+        ("compartments", compartments_raw, "OCICompartment",
          lambda r: transform_oci_compartments(r, tenancy_id, update_tag)),
-        ("users", users_raw,
+        ("users", users_raw, "OCIUser",
          lambda r: transform_oci_users(r, tenancy_id, update_tag)),
-        ("groups", groups_raw,
+        ("groups", groups_raw, "OCIGroup",
          lambda r: transform_oci_groups(r, memberships_raw, tenancy_id,
                                         update_tag)),
     ]
-    for name, raw, fn in stages:
+    ran: list[str] = []
+    for name, raw, label, fn in stages:
         if raw is None:
             continue
         nodes, edges = fn(raw)
         metrics[f"{name}_nodes"] = store.merge_nodes(nodes, update_tag)
         metrics[f"{name}_edges"] = store.merge_edges(edges, update_tag)
+        ran.append(label)
     rel = RelSchema(
         rel_label="RESOURCE",
         target_node_label=TENANCY_LABEL,
@@ -294,7 +296,7 @@ def sync_oci(store, compartments_raw, users_raw, groups_raw,
         direction=LinkDirection.INWARD,
     )
     for label in ("OCIUser", "OCIGroup", "OCICompartment"):
-        if label not in store.manifest["nodes"]:
+        if label not in ran or label not in store.manifest["nodes"]:
             continue
         metrics[f"gc_{label}"] = run_cleanup(
             store,

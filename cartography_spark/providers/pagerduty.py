@@ -462,15 +462,18 @@ def sync_pagerduty(store, users_raw, teams_raw, members_raw,
     vendors → services → schedules → escalation policies; unscoped
     GC per label (single-tenant API)."""
     metrics: dict = {}
+    ran: list[str] = []
     if users_raw is not None:
         metrics["users"] = store.merge_nodes(
             transform_pagerduty_users(users_raw, update_tag), update_tag
         )
+        ran.append("PagerDutyUser")
     if teams_raw is not None:
         nodes, edges = transform_pagerduty_teams(
             teams_raw, members_raw, update_tag
         )
         metrics["teams_nodes"] = store.merge_nodes(nodes, update_tag)
+        ran.append("PagerDutyTeam")
         if edges is not None:
             metrics["teams_edges"] = store.merge_edges(edges, update_tag)
             # the membership MatchLink gets its own rel cleanup
@@ -491,23 +494,32 @@ def sync_pagerduty(store, users_raw, teams_raw, members_raw,
         )
         metrics["services_nodes"] = store.merge_nodes(nodes, update_tag)
         metrics["services_edges"] = store.merge_edges(edges, update_tag)
+        ran.append("PagerDutyService")
     if schedules_raw is not None:
         nodes, edges = transform_pagerduty_schedules(
             schedules_raw, update_tag
         )
         metrics["schedules_nodes"] = store.merge_nodes(nodes, update_tag)
         metrics["schedules_edges"] = store.merge_edges(edges, update_tag)
+        ran.extend(["PagerDutyScheduleLayer", "PagerDutySchedule"])
     if policies_raw is not None:
         nodes, edges = transform_pagerduty_escalation_policies(
             policies_raw, update_tag
         )
         metrics["policies_nodes"] = store.merge_nodes(nodes, update_tag)
         metrics["policies_edges"] = store.merge_edges(edges, update_tag)
+        ran.extend(["PagerDutyEscalationPolicyRule",
+                    "PagerDutyEscalationPolicy"])
+    # GC only the stages that RAN: the reference's per-module
+    # cleanup never fires for a module that wasn't synced, so a
+    # users-only refresh must not wipe teams/schedules/services
     metrics.update(_unscoped_gc(
         store,
-        ("PagerDutyEscalationPolicyRule", "PagerDutyEscalationPolicy",
-         "PagerDutyScheduleLayer", "PagerDutySchedule",
-         "PagerDutyService", "PagerDutyTeam", "PagerDutyUser"),
+        tuple(l for l in (
+            "PagerDutyEscalationPolicyRule", "PagerDutyEscalationPolicy",
+            "PagerDutyScheduleLayer", "PagerDutySchedule",
+            "PagerDutyService", "PagerDutyTeam", "PagerDutyUser")
+            if l in ran),
         update_tag,
     ))
     store.record_lineage("pagerduty_sync", {"update_tag": update_tag})

@@ -287,16 +287,20 @@ def sync_salesforce(store, org_raw, profiles_raw, roles_raw, users_raw,
             transform_sf_organization(org_raw, update_tag), update_tag
         )
     stages = [
-        ("profiles", profiles_raw, transform_sf_profiles),
-        ("roles", roles_raw, transform_sf_user_roles),
-        ("users", users_raw, transform_sf_users),
+        ("profiles", profiles_raw, "SalesforceProfile",
+         transform_sf_profiles),
+        ("roles", roles_raw, "SalesforceUserRole",
+         transform_sf_user_roles),
+        ("users", users_raw, "SalesforceUser", transform_sf_users),
     ]
-    for name, raw, fn in stages:
+    ran: list[str] = []
+    for name, raw, label, fn in stages:
         if raw is None:
             continue
         nodes, edges = fn(raw, org_id, update_tag)
         metrics[f"{name}_nodes"] = store.merge_nodes(nodes, update_tag)
         metrics[f"{name}_edges"] = store.merge_edges(edges, update_tag)
+        ran.append(label)
     rel = RelSchema(
         rel_label="RESOURCE",
         target_node_label=ORG_LABEL,
@@ -307,7 +311,7 @@ def sync_salesforce(store, org_raw, profiles_raw, roles_raw, users_raw,
     )
     for label in ("SalesforceUser", "SalesforceUserRole",
                   "SalesforceProfile"):
-        if label not in store.manifest["nodes"]:
+        if label not in ran or label not in store.manifest["nodes"]:
             continue
         metrics[f"gc_{label}"] = run_cleanup(
             store,

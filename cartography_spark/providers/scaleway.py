@@ -332,8 +332,11 @@ def sync_scaleway(store, projects_raw, users_raw, instances_raw,
         ),
         direction=LinkDirection.INWARD,
     )
+    ran = [l for l, raw in (("ScalewayProject", projects_raw),
+                            ("ScalewayUser", users_raw))
+           if raw is not None]
     for label in ("ScalewayProject", "ScalewayUser"):
-        if label not in store.manifest["nodes"]:
+        if label not in ran or label not in store.manifest["nodes"]:
             continue
         metrics[f"gc_{label}"] = run_cleanup(
             store,

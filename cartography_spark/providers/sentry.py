@@ -386,28 +386,33 @@ def sync_sentry(store, orgs_raw, teams_raw, members_raw, memberships_raw,
             update_tag,
         )
     stages = [
-        ("teams", teams_raw,
+        ("teams", teams_raw, "SentryTeam",
          lambda r: transform_sentry_teams(r, org_id, update_tag)),
-        ("members", members_raw,
+        ("members", members_raw, "SentryUser",
          lambda r: transform_sentry_members(
              r, memberships_raw, teams_raw, org_id, update_tag)),
-        ("projects", projects_raw,
+        ("projects", projects_raw, "SentryProject",
          lambda r: transform_sentry_projects(r, org_id, update_tag)),
-        ("releases", releases_raw,
+        ("releases", releases_raw, "SentryRelease",
          lambda r: transform_sentry_releases(r, org_id, update_tag)),
-        ("alert_rules", alert_rules_raw,
+        ("alert_rules", alert_rules_raw, "SentryAlertRule",
          lambda r: transform_sentry_alert_rules(r, org_id, update_tag)),
     ]
-    for name, raw, fn in stages:
+    ran: list[str] = []
+    for name, raw, label, fn in stages:
         if raw is None:
             continue
         nodes, edges = fn(raw)
         metrics[f"{name}_nodes"] = store.merge_nodes(nodes, update_tag)
         metrics[f"{name}_edges"] = store.merge_edges(edges, update_tag)
+        ran.append(label)
+    # GC only the stages that ran — a skipped reference module never
+    # fires its cleanup
     metrics.update(_scoped_gc(
         store,
-        ("SentryAlertRule", "SentryRelease", "SentryProject",
-         "SentryUser", "SentryTeam"),
+        tuple(l for l in ("SentryAlertRule", "SentryRelease",
+                          "SentryProject", "SentryUser", "SentryTeam")
+              if l in ran),
         org_id, update_tag,
     ))
     store.record_lineage("sentry_sync", {"update_tag": update_tag})

@@ -71,27 +71,23 @@ def _shape_edges(df: DataFrame, update_tag: int) -> DataFrame:
 def _normalized_id(purl: Column, name: Column, version: Column,
                    pkg_type: Column) -> Column:
     from cartography_spark.plans.ontology_packages import (
-        normalize_package_name,
-        normalized_package_id,
+        normalized_package_id_with_fallback,
     )
 
-    return F.coalesce(
-        normalized_package_id(purl),
-        F.when(
-            name.isNotNull() & version.isNotNull() & pkg_type.isNotNull(),
-            F.concat(F.lower(pkg_type), F.lit("|"),
-                     normalize_package_name(name, pkg_type),
-                     F.lit("|"), version),
-        ),
-    )
+    return normalized_package_id_with_fallback(purl, name, version,
+                                               pkg_type)
 
 
 def transform_syft_sbom(
     raw: DataFrame, update_tag: int
 ) -> tuple[DataFrame, DataFrame]:
     """``raw``: one row per scan, ``payload_json`` = the Syft JSON."""
+    # deterministic per-payload key: the rels/artifacts/digests
+    # branches each recompute this subtree, and a
+    # monotonically_increasing_id would renumber rows between branches
+    # under repartition/retry/AQE, cross-wiring SBOMs
     scans = raw.select(
-        F.monotonically_increasing_id().alias("scan_id"),
+        F.xxhash64("payload_json").alias("scan_id"),
         F.from_json("payload_json", SYFT_STRUCT).alias("s"),
     )
     artifacts = scans.select(

@@ -98,27 +98,19 @@ def _shape_edges(df: DataFrame, update_tag: int) -> DataFrame:
 
 def _normalized_id(purl: Column, name: Column, version: Column,
                    pkg_type: Column) -> Column:
-    """``make_normalized_package_id`` (``util.py:63-105``): PURL leg
-    first, name/version/type fallback."""
     from cartography_spark.plans.ontology_packages import (
-        normalize_package_name,
-        normalized_package_id,
+        normalized_package_id_with_fallback,
     )
 
-    return F.coalesce(
-        normalized_package_id(purl),
-        F.when(
-            name.isNotNull() & version.isNotNull() & pkg_type.isNotNull(),
-            F.concat(F.lower(pkg_type), F.lit("|"),
-                     normalize_package_name(name, pkg_type),
-                     F.lit("|"), version),
-        ),
-    )
+    return normalized_package_id_with_fallback(purl, name, version,
+                                               pkg_type)
 
 
 def _parse_scans(raw: DataFrame) -> DataFrame:
     """One row per scan payload with the derived image digest
-    (``_parse_trivy_data``: RepoDigests[0] after '@')."""
+    (``_parse_trivy_data``: RepoDigests[0] after '@'). A scan without
+    a usable digest FAILS FAST like the reference's ValueError — a
+    silent drop would lose every finding in the scan."""
     scans = raw.select(
         F.from_json("payload_json", TRIVY_SCAN_STRUCT).alias("s")
     ).select(
@@ -128,9 +120,16 @@ def _parse_scans(raw: DataFrame) -> DataFrame:
             F.lit(-1),
         ).alias("image_digest"),
     )
-    return scans.where(
-        F.col("image_digest").isNotNull() & (F.col("image_digest") != "")
-    )
+    bad = scans.where(
+        F.col("image_digest").isNull() | (F.col("image_digest") == "")
+    ).count()
+    if bad:
+        raise ValueError(
+            f"{bad} Trivy scan payload(s) missing Metadata.RepoDigests "
+            "— cannot derive the image digest (reference "
+            "_parse_trivy_data raises here too)"
+        )
+    return scans
 
 
 def transform_trivy_scan(
@@ -238,9 +237,11 @@ def transform_trivy_scan(
         F.col("p.Version").alias("version"),
         F.col("p.Identifier.PURL").alias("purl"),
         F.col("p.ID").alias("pkg_id"),
-    ).join(  # transform_all_packages: skip ids the vuln pass loaded
-        vuln_pkgs.select("package_id").distinct(),
-        "package_id", "left_anti",
+    ).join(  # transform_all_packages: skip (package, image) rows the
+        # vuln pass loaded — per image, so a clean image that shares a
+        # package with a vulnerable one keeps its DEPLOYED edge
+        vuln_pkgs.select("package_id", "image_digest").distinct(),
+        ["package_id", "image_digest"], "left_anti",
     )
     pkgs = vuln_pkgs.unionByName(extra_pkgs)
     package_nodes = _shape_nodes(
@@ -263,7 +264,11 @@ def transform_trivy_scan(
         update_tag,
     )
 
-    fixes = v.where(F.col("v.FixedVersion").isNotNull()).select(
+    fixes = v.where(
+        F.col("v.FixedVersion").isNotNull()
+        & F.col("v.PkgName").isNotNull()
+        & F.col("v.InstalledVersion").isNotNull()
+    ).select(
         F.concat(F.col("v.FixedVersion"), F.lit("|"),
                  F.col("v.PkgName")).alias("fix_id"),
         F.col("v.FixedVersion").alias("version"),
@@ -317,7 +322,7 @@ def transform_trivy_scan(
         F.lit("Image").alias("dst_label"),
         F.col("image_id").alias("dst_id"),
     )
-    finding_affects_pkg = v.select(
+    finding_affects_pkg = vuln_pkgs.select(
         F.lit("TrivyImageFinding").alias("src_label"),
         F.col("finding_id").alias("src_id"),
         F.lit("AFFECTS").alias("rel_label"),

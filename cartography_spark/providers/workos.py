@@ -273,6 +273,7 @@ def sync_workos(store, users_raw, orgs_raw, roles_raw, memberships_raw,
             update_tag,
         )
     }
+    ran: list[str] = []
     roles_nodes = None
     if users_raw is not None:
         nodes, edges = transform_workos_users(
@@ -280,24 +281,28 @@ def sync_workos(store, users_raw, orgs_raw, roles_raw, memberships_raw,
         )
         metrics["users_nodes"] = store.merge_nodes(nodes, update_tag)
         metrics["users_edges"] = store.merge_edges(edges, update_tag)
+        ran.append("WorkOSUser")
     if orgs_raw is not None:
         nodes, edges = transform_workos_organizations(
             orgs_raw, client_id, update_tag
         )
         metrics["orgs_nodes"] = store.merge_nodes(nodes, update_tag)
         metrics["orgs_edges"] = store.merge_edges(edges, update_tag)
+        ran.append("WorkOSOrganization")
     if roles_raw is not None:
         roles_nodes, edges = transform_workos_roles(
             roles_raw, client_id, update_tag
         )
         metrics["roles_nodes"] = store.merge_nodes(roles_nodes, update_tag)
         metrics["roles_edges"] = store.merge_edges(edges, update_tag)
+        ran.append("WorkOSRole")
     if memberships_raw is not None:
         nodes, edges = transform_workos_memberships(
             memberships_raw, roles_nodes, client_id, update_tag
         )
         metrics["memberships_nodes"] = store.merge_nodes(nodes, update_tag)
         metrics["memberships_edges"] = store.merge_edges(edges, update_tag)
+        ran.append("WorkOSOrganizationMembership")
 
     rel = RelSchema(
         rel_label="RESOURCE",
@@ -309,7 +314,7 @@ def sync_workos(store, users_raw, orgs_raw, roles_raw, memberships_raw,
     )
     for label in ("WorkOSOrganizationMembership", "WorkOSRole",
                   "WorkOSOrganization", "WorkOSUser"):
-        if label not in store.manifest["nodes"]:
+        if label not in ran or label not in store.manifest["nodes"]:
             continue
         metrics[f"gc_{label}"] = run_cleanup(
             store,

@@ -62,14 +62,23 @@ def test_cve_set_and_primary_metric(spark, cve_fixture):
 def test_sync_feed_and_spotlight_correlation(spark, tmp_store, cve_fixture):
     """test_feed.py:11-18,127+ — HAS_CVE only where a Spotlight vuln
     with the matching id pre-exists."""
+    # one Falcon-keyed spotlight row (the shape our crowdstrike
+    # provider emits: cve in props) and one CVE-keyed row (the shape
+    # the reference test seeds) — both must correlate
     spot = spark.createDataFrame(
-        [("CrowdstrikeSpotlightVulnerability", "CVE-2023-41782")],
-        "label string, id string",
+        [("aid1_falconhash", "CVE-2023-41782"),
+         ("CVE-2023-6493", None)],
+        "id string, cve string",
     ).select(
-        "label", "id", F.lit(TAG).cast("long").alias("lastupdated"),
+        F.lit("CrowdstrikeSpotlightVulnerability").alias("label"),
+        "id", F.lit(TAG).cast("long").alias("lastupdated"),
         F.lit(None).cast("string").alias("content_sha256"),
         F.lit(None).cast("array<string>").alias("extra_labels"),
-        F.lit(None).cast("map<string,string>").alias("props"),
+        F.when(
+            F.col("cve").isNotNull(),
+            F.map_from_arrays(F.array(F.lit("cve_id")),
+                              F.array(F.col("cve"))),
+        ).alias("props"),
     )
     tmp_store.merge_nodes(spot, TAG)
 
@@ -82,7 +91,8 @@ def test_sync_feed_and_spotlight_correlation(spark, tmp_store, cve_fixture):
         (e["src_id"], e["dst_id"])
         for e in tmp_store.edges(["HAS_CVE"]).collect()
     }
-    assert has_cve == {("CVE-2023-41782", "CVE-2023-41782")}
+    assert has_cve == {("aid1_falconhash", "CVE-2023-41782"),
+                       ("CVE-2023-6493", "CVE-2023-6493")}
 
     # a later modified-feed batch upserts without clearing old CVEs
     first_count = len(tmp_store.nodes(["CVE"]).collect())

@@ -147,13 +147,14 @@ def test_sync_membership_roles_and_gc(spark, tmp_store, pd_fixture):
     } == {(EARLINE, TEAM, "manager"), ("PAM4FGS", TEAM, "responder")}
 
     # a later sync without the second member: unscoped GC keeps only
-    # re-seen nodes/edges
+    # re-seen nodes/edges. Schedules SYNCED EMPTY sweep; services
+    # passed as None (module skipped) must survive untouched.
     sync_pagerduty(
         tmp_store,
         _raw(spark, pd_fixture["users"]),
         _raw(spark, pd_fixture["teams"]),
         _raw(spark, MEMBERS[:1]),
-        None, None, None, TAG + 1,
+        _raw(spark, []), None, None, TAG + 1,
     )
     member_of = [
         e for e in tmp_store.edges(["MEMBER_OF"]).collect()
@@ -162,8 +163,9 @@ def test_sync_membership_roles_and_gc(spark, tmp_store, pd_fixture):
     assert {(e["src_id"], e["dst_id"]) for e in member_of} == {
         (EARLINE, TEAM)
     }
-    # schedules were absent from the second sync → swept
+    # schedules synced empty → swept; skipped services stay
     assert not tmp_store.nodes(["PagerDutySchedule"]).collect()
+    assert tmp_store.nodes(["PagerDutyService"]).collect()
 
 
 def test_feeds_user_registry(spark, tmp_store, pd_fixture):

@@ -1,0 +1,341 @@
+"""Slack provider: team, users/bots, channels, user groups.
+
+Mirrors the reference's ``intel/slack`` sync family as ``from_json``
++ ``explode`` column expressions — zero Python rows.
+
+Graph shape (``models/slack/*.py``):
+
+* ``SlackTeam`` (id = team id, ``Tenant`` extra label) — root.
+* ``SlackUser`` / ``SlackBot`` — one members feed split on
+  ``is_bot OR is_app_user`` (``users.py:34-47``: Slack-app accounts
+  are bots too); profile fields (title/phone/email/display/first/
+  last name) flattened. ``SlackUser`` carries ``UserAccount``.
+* ``SlackChannel`` — topic/purpose ``.value`` flattening;
+  ``(user)-[:CREATED]->(channel)`` from ``creator`` and
+  ``(user)-[:MEMBER_OF]->(channel)`` per membership row (the
+  reference fans one row out per member when
+  ``CHANNELS_MEMBERSHIPS`` is on — ``channels.py:27-50``; here the
+  optional ``members`` array plays that role).
+* ``SlackGroup`` — the reference's zip_longest row split
+  (``groups.py:41-61``) re-expressed directly over the ``users`` and
+  ``prefs.channels`` arrays: ``(user)-[:MEMBER_OF]->(group)``,
+  ``(group)-[:MEMBER_OF]->(channel)``,
+  ``(user)-[:CREATED]->(group)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+TEAM_LABEL = "SlackTeam"
+
+SLACK_MEMBERS_STRUCT = (
+    "struct<members:array<struct<id:string, team_id:string, name:string, "
+    "deleted:string, real_name:string, is_admin:string, is_owner:string, "
+    "is_restricted:string, is_ultra_restricted:string, is_bot:string, "
+    "is_app_user:string, is_email_confirmed:string, "
+    "has_2fa:string, "
+    "profile:struct<title:string, phone:string, display_name:string, "
+    "first_name:string, last_name:string, email:string, team:string>>>>"
+)
+SLACK_CHANNELS_STRUCT = (
+    "struct<channels:array<struct<id:string, name:string, "
+    "is_channel:string, is_private:string, created:string, "
+    "is_archived:string, is_general:string, name_normalized:string, "
+    "is_shared:string, is_org_shared:string, context_team_id:string, "
+    "updated:string, creator:string, is_ext_shared:string, "
+    "num_members:string, "
+    "topic:struct<value:string>, purpose:struct<value:string>, "
+    "members:array<string>>>>"
+)
+SLACK_GROUPS_STRUCT = (
+    "struct<usergroups:array<struct<id:string, team_id:string, "
+    "is_usergroup:string, name:string, description:string, "
+    "handle:string, is_external:string, date_create:string, "
+    "date_update:string, auto_type:string, created_by:string, "
+    "updated_by:string, user_count:string, channel_count:string, "
+    "users:array<string>, "
+    "prefs:struct<channels:array<string>>>>>"
+)
+
+
+def _props_map(pairs: list[tuple[str, Column]]) -> Column:
+    return F.map_filter(
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k, _ in pairs]),
+            F.array(*[v.cast("string") for _, v in pairs]),
+        ),
+        lambda _k, v: v.isNotNull(),
+    )
+
+
+def _shape_nodes(df: DataFrame, update_tag: int, extra=None) -> DataFrame:
+    return df.select(
+        "label",
+        "id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        (extra if extra is not None else F.lit(None).cast("array<string>"))
+        .alias("extra_labels"),
+        "props",
+    )
+
+
+def _shape_edges(df: DataFrame, update_tag: int, team_id: str) -> DataFrame:
+    return df.select(
+        "src_label", "src_id", "rel_label", "dst_label", "dst_id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(TEAM_LABEL).alias("sub_resource_label"),
+        F.lit(team_id).alias("sub_resource_id"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    ).dropDuplicates(["src_label", "src_id", "rel_label", "dst_label", "dst_id"])
+
+
+def _resource_edges(ids: DataFrame, team_id: str, dst_label: str) -> DataFrame:
+    return ids.select(
+        F.lit(TEAM_LABEL).alias("src_label"),
+        F.lit(team_id).alias("src_id"),
+        F.lit("RESOURCE").alias("rel_label"),
+        F.lit(dst_label).alias("dst_label"),
+        F.col("id").alias("dst_id"),
+    )
+
+
+def transform_slack_members(
+    raw: DataFrame, team_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """``users.py:34-47``: is_bot/is_app_user rows become SlackBot,
+    the rest SlackUser."""
+    members = raw.select(
+        F.explode(
+            F.from_json("payload_json", SLACK_MEMBERS_STRUCT)["members"]
+        ).alias("m")
+    ).select("m.*").where(F.col("id").isNotNull())
+    is_bot = (F.coalesce(F.col("is_bot"), F.lit("false")) == "true") | (
+        F.coalesce(F.col("is_app_user"), F.lit("false")) == "true"
+    )
+    labeled = members.select(
+        F.when(is_bot, F.lit("SlackBot")).otherwise(F.lit("SlackUser"))
+        .alias("label"),
+        F.col("id"),
+        _props_map([
+            ("name", F.col("name")),
+            ("real_name", F.col("real_name")),
+            ("display_name", F.col("profile.display_name")),
+            ("first_name", F.col("profile.first_name")),
+            ("last_name", F.col("profile.last_name")),
+            ("profile_title", F.col("profile.title")),
+            ("profile_phone", F.col("profile.phone")),
+            ("email", F.col("profile.email")),
+            ("deleted", F.col("deleted")),
+            ("is_admin", F.col("is_admin")),
+            ("is_owner", F.col("is_owner")),
+            ("is_restricted", F.col("is_restricted")),
+            ("is_ultra_restricted", F.col("is_ultra_restricted")),
+            ("is_email_confirmed", F.col("is_email_confirmed")),
+            ("has_mfa", F.col("has_2fa")),
+            ("team", F.col("team_id")),
+        ]).alias("props"),
+    ).dropDuplicates(["label", "id"])
+    nodes = _shape_nodes(
+        labeled.where(F.col("label") == "SlackUser"), update_tag,
+        extra=F.array(F.lit("UserAccount")),
+    ).unionByName(_shape_nodes(
+        labeled.where(F.col("label") == "SlackBot"), update_tag,
+    ))
+    edges = _shape_edges(
+        labeled.select(
+            F.lit(TEAM_LABEL).alias("src_label"),
+            F.lit(team_id).alias("src_id"),
+            F.lit("RESOURCE").alias("rel_label"),
+            F.col("label").alias("dst_label"),
+            F.col("id").alias("dst_id"),
+        ),
+        update_tag, team_id,
+    )
+    return nodes, edges
+
+
+def transform_slack_channels(
+    raw: DataFrame, team_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    chans = raw.select(
+        F.explode(
+            F.from_json("payload_json", SLACK_CHANNELS_STRUCT)["channels"]
+        ).alias("c")
+    ).select("c.*").where(F.col("id").isNotNull())
+    nodes = _shape_nodes(
+        chans.select(
+            F.lit("SlackChannel").alias("label"),
+            F.col("id"),
+            _props_map([
+                ("name", F.col("name")),
+                ("is_channel", F.col("is_channel")),
+                ("is_private", F.col("is_private")),
+                ("created", F.col("created")),
+                ("is_archived", F.col("is_archived")),
+                ("is_general", F.col("is_general")),
+                ("name_normalized", F.col("name_normalized")),
+                ("is_shared", F.col("is_shared")),
+                ("is_org_shared", F.col("is_org_shared")),
+                ("context_team_id", F.col("context_team_id")),
+                ("updated", F.col("updated")),
+                ("creator", F.col("creator")),
+                ("is_ext_shared", F.col("is_ext_shared")),
+                ("num_members", F.col("num_members")),
+                ("topic", F.col("topic.value")),
+                ("purpose", F.col("purpose.value")),
+            ]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+    )
+    edges = _resource_edges(chans.select("id"), team_id, "SlackChannel")
+    created = chans.where(F.col("creator").isNotNull()).select(
+        F.lit("SlackUser").alias("src_label"),
+        F.col("creator").alias("src_id"),
+        F.lit("CREATED").alias("rel_label"),
+        F.lit("SlackChannel").alias("dst_label"),
+        F.col("id").alias("dst_id"),
+    )
+    member_of = chans.select(
+        F.col("id").alias("channel_id"),
+        F.explode_outer("members").alias("member_id"),
+    ).where(F.col("member_id").isNotNull()).select(
+        F.lit("SlackUser").alias("src_label"),
+        F.col("member_id").alias("src_id"),
+        F.lit("MEMBER_OF").alias("rel_label"),
+        F.lit("SlackChannel").alias("dst_label"),
+        F.col("channel_id").alias("dst_id"),
+    )
+    return nodes, _shape_edges(
+        edges.unionByName(created).unionByName(member_of),
+        update_tag, team_id,
+    )
+
+
+def transform_slack_groups(
+    raw: DataFrame, team_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    groups = raw.select(
+        F.explode(
+            F.from_json("payload_json", SLACK_GROUPS_STRUCT)["usergroups"]
+        ).alias("g")
+    ).select("g.*").where(F.col("id").isNotNull())
+    nodes = _shape_nodes(
+        groups.select(
+            F.lit("SlackGroup").alias("label"),
+            F.col("id"),
+            _props_map([
+                ("name", F.col("name")),
+                # groups.py:44-46 — empty descriptions become null
+                ("description",
+                 F.nullif(F.col("description"), F.lit(""))),
+                ("handle", F.col("handle")),
+                ("is_external", F.col("is_external")),
+                ("date_create", F.col("date_create")),
+                ("date_update", F.col("date_update")),
+                ("auto_type", F.col("auto_type")),
+                ("created_by", F.col("created_by")),
+                ("updated_by", F.col("updated_by")),
+                ("user_count", F.col("user_count")),
+                ("channel_count", F.col("channel_count")),
+            ]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+    )
+    edges = _resource_edges(groups.select("id"), team_id, "SlackGroup")
+    members = groups.select(
+        F.col("id").alias("group_id"),
+        F.explode_outer("users").alias("member_id"),
+    ).where(F.col("member_id").isNotNull()).select(
+        F.lit("SlackUser").alias("src_label"),
+        F.col("member_id").alias("src_id"),
+        F.lit("MEMBER_OF").alias("rel_label"),
+        F.lit("SlackGroup").alias("dst_label"),
+        F.col("group_id").alias("dst_id"),
+    )
+    channels = groups.select(
+        F.col("id").alias("group_id"),
+        F.explode_outer("prefs.channels").alias("channel_id"),
+    ).where(F.col("channel_id").isNotNull()).select(
+        F.lit("SlackGroup").alias("src_label"),
+        F.col("group_id").alias("src_id"),
+        F.lit("MEMBER_OF").alias("rel_label"),
+        F.lit("SlackChannel").alias("dst_label"),
+        F.col("channel_id").alias("dst_id"),
+    )
+    created = groups.where(F.col("created_by").isNotNull()).select(
+        F.lit("SlackUser").alias("src_label"),
+        F.col("created_by").alias("src_id"),
+        F.lit("CREATED").alias("rel_label"),
+        F.lit("SlackGroup").alias("dst_label"),
+        F.col("id").alias("dst_id"),
+    )
+    return nodes, _shape_edges(
+        edges.unionByName(members).unionByName(channels)
+        .unionByName(created),
+        update_tag, team_id,
+    )
+
+
+def sync_slack(store, members_raw, channels_raw, groups_raw,
+               team_id: str, update_tag: int) -> dict:
+    """``intel/slack/__init__.py`` order: team → users → channels →
+    groups; team-scoped GC only for the stages that ran."""
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    team = store.spark.createDataFrame(
+        [(TEAM_LABEL, team_id)], "label string, id string"
+    ).withColumn("props", F.lit(None).cast("map<string,string>"))
+    metrics: dict = {
+        "team": store.merge_nodes(
+            _shape_nodes(team, update_tag,
+                         extra=F.array(F.lit("Tenant"))),
+            update_tag,
+        )
+    }
+    stages = [
+        ("members", members_raw, ("SlackUser", "SlackBot"),
+         transform_slack_members),
+        ("channels", channels_raw, ("SlackChannel",),
+         transform_slack_channels),
+        ("groups", groups_raw, ("SlackGroup",), transform_slack_groups),
+    ]
+    ran: list[str] = []
+    for name, raw, labels, fn in stages:
+        if raw is None:
+            continue
+        nodes, edges = fn(raw, team_id, update_tag)
+        metrics[f"{name}_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics[f"{name}_edges"] = store.merge_edges(edges, update_tag)
+        ran.extend(labels)
+    rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label=TEAM_LABEL,
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("TEAM_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    for label in ("SlackGroup", "SlackChannel", "SlackBot", "SlackUser"):
+        if label not in ran or label not in store.manifest["nodes"]:
+            continue
+        metrics[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=rel,
+            ),
+            update_tag,
+            {"TEAM_ID": team_id},
+        )
+    store.record_lineage("slack_sync", {"update_tag": update_tag})
+    return metrics

@@ -1,0 +1,130 @@
+"""Slack provider parity, mirrored from the reference's
+``tests/integration/cartography/intel/slack`` assertions over its
+actual ``tests/data/slack/{users,channels,usergroups}.py`` fixtures
+(loaded read-only via the ast literal evaluator): the user/bot split,
+profile flattening, channel creator/membership edges, the usergroup
+row split, empty-description nulling, and team-scoped GC."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.slack import (
+    sync_slack,
+    transform_slack_groups,
+    transform_slack_members,
+)
+from tests.test_fixture_parity_github import _load_fixture_ns
+
+FIXDIR = "/root/reference/tests/data/slack"
+TEAM = "TTPQ4FBPT"
+TAG = 123456789
+
+
+@pytest.fixture(scope="module")
+def slack_fixture():
+    if not os.path.isdir(FIXDIR):
+        pytest.skip("reference fixture not available")
+    return {
+        "members": _load_fixture_ns(f"{FIXDIR}/users.py")["SLACK_MEMBERS"],
+        "channels": _load_fixture_ns(f"{FIXDIR}/channels.py")[
+            "SLACK_CHANNELS"],
+        "groups": _load_fixture_ns(f"{FIXDIR}/usergroups.py")[
+            "SLACK_USERGROUPS"],
+    }
+
+
+def _raw(spark, data):
+    return spark.createDataFrame(
+        [(json.dumps(data),)], "payload_json string"
+    )
+
+
+def test_member_split_and_profile_flattening(spark, slack_fixture):
+    """users.py:34-47 — bots/app users split off; profile fields lift."""
+    nodes, _ = transform_slack_members(
+        _raw(spark, slack_fixture["members"]), TEAM, TAG
+    )
+    rows = nodes.collect()
+    users = {r["id"]: r["props"] for r in rows
+             if r["label"] == "SlackUser"}
+    bots = {r["id"] for r in rows if r["label"] == "SlackBot"}
+    assert "SLACKUSER1" in users
+    marge = users["SLACKUSER1"]
+    assert marge["real_name"] == "Marge Simpson"
+    assert marge["email"] == "mbsimpson@simpson.corp"
+    assert marge["profile_title"] == "Security Lead"
+    assert marge["is_admin"] == "true"
+    # every is_bot / is_app_user member landed in SlackBot, not SlackUser
+    raw_members = slack_fixture["members"]["members"]
+    expected_bots = {
+        m["id"] for m in raw_members
+        if m.get("is_bot") or m.get("is_app_user")
+    }
+    assert bots == expected_bots
+    assert not (expected_bots & set(users))
+
+
+def test_group_row_split(spark, slack_fixture):
+    """groups.py:41-61 — users and prefs.channels fan out; empty
+    description nulls out."""
+    nodes, edges = transform_slack_groups(
+        _raw(spark, slack_fixture["groups"]), TEAM, TAG
+    )
+    rows = {r["id"]: r["props"] for r in nodes.collect()}
+    assert "description" not in rows["SLACKGROUP1"]  # "" → null
+    es = edges.collect()
+    member_of = {
+        (e["src_label"], e["src_id"], e["dst_label"], e["dst_id"])
+        for e in es if e["rel_label"] == "MEMBER_OF"
+    }
+    assert ("SlackUser", "SLACKUSER1", "SlackGroup",
+            "SLACKGROUP1") in member_of
+    assert ("SlackGroup", "SLACKGROUP1", "SlackChannel",
+            "SLACKCHANNEL1") in member_of
+    assert ("SlackUser", "SLACKUSER1", "SlackGroup",
+            "SLACKGROUP1") in member_of
+    created = {
+        (e["src_id"], e["dst_id"]) for e in es
+        if e["rel_label"] == "CREATED"
+    }
+    assert ("SLACKUSER1", "SLACKGROUP1") in created
+
+
+def test_sync_channels_and_gc(spark, tmp_store, slack_fixture):
+    sync_slack(
+        tmp_store,
+        _raw(spark, slack_fixture["members"]),
+        _raw(spark, slack_fixture["channels"]),
+        _raw(spark, slack_fixture["groups"]),
+        TEAM, TAG,
+    )
+    chans = {r["id"]: r["props"]
+             for r in tmp_store.nodes(["SlackChannel"]).collect()}
+    assert chans["SLACKCHANNEL1"]["name"] == "concern-marketing-comm"
+    created = {
+        (e["src_id"], e["dst_id"])
+        for e in tmp_store.edges(["CREATED"]).collect()
+        if e["dst_label"] == "SlackChannel"
+    }
+    assert ("SLACKUSER1", "SLACKCHANNEL1") in created
+
+    # groups feed skipped next sync → groups survive; a channels feed
+    # without SLACKCHANNEL1 sweeps it
+    remaining = {
+        "channels": [
+            c for c in slack_fixture["channels"]["channels"]
+            if c["id"] != "SLACKCHANNEL1"
+        ]
+    }
+    sync_slack(
+        tmp_store,
+        _raw(spark, slack_fixture["members"]),
+        _raw(spark, remaining), None, TEAM, TAG + 1,
+    )
+    assert tmp_store.nodes(["SlackGroup"]).collect()  # skipped: kept
+    assert "SLACKCHANNEL1" not in {
+        r["id"] for r in tmp_store.nodes(["SlackChannel"]).collect()
+    }

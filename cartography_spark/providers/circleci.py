@@ -1,0 +1,393 @@
+"""CircleCI provider: organizations, projects, contexts, pipelines.
+
+Mirrors the reference's ``intel/circleci`` core sync family as
+``from_json`` + ``explode`` column expressions — zero Python rows.
+
+Graph shape (``models/circleci/*.py``):
+
+* ``CircleCIOrganization`` (``Tenant`` extra label) — the
+  ``/me/collaborations`` entries; ``vcs_login`` derived from the slug
+  only for GitHub-backed orgs (``organizations.py:40-60``) and used
+  for the best-effort ``(org)-[:ASSOCIATED_WITH]->(GitHubOrganization)``
+  link (matched on the GitHub org's ``username`` prop, only when that
+  label exists in the store — the reference's OPTIONAL MATCH).
+* ``CircleCIProject`` — org ``RESOURCE``; ``vcs_info`` flattening
+  (``projects.py:96-108``); best-effort
+  ``(project)-[:BUILDS]->(GitHubRepository | GitLabProject)`` by the
+  repo URL.
+* ``CircleCIContext`` — org ``RESOURCE`` +
+  ``(context)-[:RESTRICTED_TO]->(project)`` one-to-many from
+  ``restricted_project_ids``.
+* ``CircleCIPipeline`` — PROJECT-scoped (``pipelines.py:77-90``
+  loads with ``PROJECT_ID``); config/checkout source repos flattened;
+  per-project GC.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+ORG_LABEL = "CircleCIOrganization"
+
+CIRCLECI_ORGS_STRUCT = (
+    "array<struct<id:string, vcs_type:string, name:string, slug:string, "
+    "avatar_url:string>>"
+)
+CIRCLECI_PROJECTS_STRUCT = (
+    "array<struct<id:string, slug:string, name:string, "
+    "organization_name:string, organization_slug:string, "
+    "organization_id:string, vcs_info:struct<vcs_url:string, "
+    "provider:string, default_branch:string>>>"
+)
+CIRCLECI_CONTEXTS_STRUCT = (
+    "array<struct<id:string, name:string, created_at:string, "
+    "restricted_project_ids:array<string>>>"
+)
+CIRCLECI_PIPELINES_STRUCT = (
+    "array<struct<project_id:string, pipelines:array<struct<id:string, "
+    "name:string, description:string, created_at:string, "
+    "config_source:struct<provider:string, file_path:string, "
+    "repo:struct<full_name:string, external_id:string>>, "
+    "checkout_source:struct<provider:string, "
+    "repo:struct<full_name:string, external_id:string>>>>>>"
+)
+
+
+def _props_map(pairs: list[tuple[str, Column]]) -> Column:
+    return F.map_filter(
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k, _ in pairs]),
+            F.array(*[v.cast("string") for _, v in pairs]),
+        ),
+        lambda _k, v: v.isNotNull(),
+    )
+
+
+def _shape_nodes(df: DataFrame, update_tag: int, extra=None) -> DataFrame:
+    return df.select(
+        "label",
+        "id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        (extra if extra is not None else F.lit(None).cast("array<string>"))
+        .alias("extra_labels"),
+        "props",
+    )
+
+
+def _shape_edges(df: DataFrame, update_tag: int, org_id: str) -> DataFrame:
+    return df.select(
+        "src_label", "src_id", "rel_label", "dst_label", "dst_id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(ORG_LABEL).alias("sub_resource_label"),
+        F.lit(org_id).alias("sub_resource_id"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    ).dropDuplicates(["src_label", "src_id", "rel_label", "dst_label", "dst_id"])
+
+
+def transform_circleci_organizations(
+    raw: DataFrame, update_tag: int
+) -> DataFrame:
+    orgs = raw.select(
+        F.explode(F.from_json("payload_json", CIRCLECI_ORGS_STRUCT))
+        .alias("o")
+    ).select("o.*").where(F.col("id").isNotNull())
+    vcs_login = F.when(
+        (F.col("vcs_type") == "github") & F.col("slug").contains("/"),
+        F.substring_index(F.col("slug"), "/", -1),
+    )
+    return _shape_nodes(
+        orgs.select(
+            F.lit(ORG_LABEL).alias("label"),
+            F.col("id"),
+            _props_map([
+                ("name", F.col("name")),
+                ("slug", F.col("slug")),
+                ("vcs_type", F.col("vcs_type")),
+                ("avatar_url", F.col("avatar_url")),
+                ("vcs_login", vcs_login),
+            ]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+        extra=F.array(F.lit("Tenant")),
+    )
+
+
+def github_org_links(store, orgs_nodes: DataFrame,
+                     update_tag: int) -> DataFrame | None:
+    """Best-effort ``(org)-[:ASSOCIATED_WITH]->(GitHubOrganization)``
+    by the GitHub org's ``username`` prop."""
+    if "GitHubOrganization" not in store.manifest["nodes"]:
+        return None
+    gh = store.nodes(["GitHubOrganization"]).select(
+        F.col("id").alias("gh_id"),
+        F.element_at("props", "username").alias("username"),
+    ).where(F.col("username").isNotNull())
+    pairs = orgs_nodes.select(
+        "id", F.element_at("props", "vcs_login").alias("vcs_login")
+    ).where(F.col("vcs_login").isNotNull()).join(
+        F.broadcast(gh), F.col("vcs_login") == gh["username"],
+    ).select(
+        F.lit(ORG_LABEL).alias("src_label"),
+        F.col("id").alias("src_id"),
+        F.lit("ASSOCIATED_WITH").alias("rel_label"),
+        F.lit("GitHubOrganization").alias("dst_label"),
+        F.col("gh_id").alias("dst_id"),
+    )
+    return pairs
+
+
+def transform_circleci_projects(
+    raw: DataFrame, org_id: str, update_tag: int, store=None,
+) -> tuple[DataFrame, DataFrame]:
+    projects = raw.select(
+        F.explode(F.from_json("payload_json", CIRCLECI_PROJECTS_STRUCT))
+        .alias("p")
+    ).select("p.*").where(F.col("id").isNotNull())
+    nodes = _shape_nodes(
+        projects.select(
+            F.lit("CircleCIProject").alias("label"),
+            F.col("id"),
+            _props_map([
+                ("slug", F.col("slug")),
+                ("name", F.col("name")),
+                ("organization_name", F.col("organization_name")),
+                ("organization_slug", F.col("organization_slug")),
+                ("organization_id", F.col("organization_id")),
+                ("vcs_url", F.col("vcs_info.vcs_url")),
+                ("vcs_provider", F.col("vcs_info.provider")),
+                ("default_branch", F.col("vcs_info.default_branch")),
+            ]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+    )
+    edges = projects.select(
+        F.lit(ORG_LABEL).alias("src_label"),
+        F.lit(org_id).alias("src_id"),
+        F.lit("RESOURCE").alias("rel_label"),
+        F.lit("CircleCIProject").alias("dst_label"),
+        F.col("id").alias("dst_id"),
+    )
+    # best-effort BUILDS links: GitHub repos are keyed by their URL in
+    # this engine; GitLab projects match on the web_url prop
+    if store is not None and "GitHubRepository" in store.manifest["nodes"]:
+        gh = store.nodes(["GitHubRepository"]).select(
+            F.col("id").alias("repo_id")
+        )
+        builds_gh = projects.join(
+            F.broadcast(gh),
+            projects["vcs_info.vcs_url"] == gh["repo_id"],
+        ).select(
+            F.lit("CircleCIProject").alias("src_label"),
+            F.col("id").alias("src_id"),
+            F.lit("BUILDS").alias("rel_label"),
+            F.lit("GitHubRepository").alias("dst_label"),
+            F.col("repo_id").alias("dst_id"),
+        )
+        edges = edges.unionByName(builds_gh)
+    if store is not None and "GitLabProject" in store.manifest["nodes"]:
+        gl = store.nodes(["GitLabProject"]).select(
+            F.col("id").alias("gl_id"),
+            F.element_at("props", "web_url").alias("web_url"),
+        ).where(F.col("web_url").isNotNull())
+        builds_gl = projects.join(
+            F.broadcast(gl),
+            projects["vcs_info.vcs_url"] == gl["web_url"],
+        ).select(
+            F.lit("CircleCIProject").alias("src_label"),
+            F.col("id").alias("src_id"),
+            F.lit("BUILDS").alias("rel_label"),
+            F.lit("GitLabProject").alias("dst_label"),
+            F.col("gl_id").alias("dst_id"),
+        )
+        edges = edges.unionByName(builds_gl)
+    return nodes, _shape_edges(edges, update_tag, org_id)
+
+
+def transform_circleci_contexts(
+    raw: DataFrame, org_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    ctx = raw.select(
+        F.explode(F.from_json("payload_json", CIRCLECI_CONTEXTS_STRUCT))
+        .alias("c")
+    ).select("c.*").where(F.col("id").isNotNull())
+    nodes = _shape_nodes(
+        ctx.select(
+            F.lit("CircleCIContext").alias("label"),
+            F.col("id"),
+            _props_map([
+                ("name", F.col("name")),
+                ("created_at", F.col("created_at")),
+            ]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+    )
+    edges = ctx.select(
+        F.lit(ORG_LABEL).alias("src_label"),
+        F.lit(org_id).alias("src_id"),
+        F.lit("RESOURCE").alias("rel_label"),
+        F.lit("CircleCIContext").alias("dst_label"),
+        F.col("id").alias("dst_id"),
+    )
+    restricted = ctx.select(
+        F.col("id").alias("ctx_id"),
+        F.explode_outer("restricted_project_ids").alias("project_id"),
+    ).where(F.col("project_id").isNotNull()).select(
+        F.lit("CircleCIContext").alias("src_label"),
+        F.col("ctx_id").alias("src_id"),
+        F.lit("RESTRICTED_TO").alias("rel_label"),
+        F.lit("CircleCIProject").alias("dst_label"),
+        F.col("project_id").alias("dst_id"),
+    )
+    return nodes, _shape_edges(
+        edges.unionByName(restricted), update_tag, org_id
+    )
+
+
+def transform_circleci_pipelines(
+    raw: DataFrame, org_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    pipes = raw.select(
+        F.explode(F.from_json("payload_json", CIRCLECI_PIPELINES_STRUCT))
+        .alias("pp")
+    ).select(
+        F.col("pp.project_id").alias("project_id"),
+        F.explode("pp.pipelines").alias("p"),
+    ).where(F.col("p.id").isNotNull())
+    nodes = _shape_nodes(
+        pipes.select(
+            F.lit("CircleCIPipeline").alias("label"),
+            F.col("p.id").alias("id"),
+            _props_map([
+                ("name", F.col("p.name")),
+                ("description", F.col("p.description")),
+                ("created_at", F.col("p.created_at")),
+                ("project_id", F.col("project_id")),
+                ("config_source_provider",
+                 F.col("p.config_source.provider")),
+                ("config_source_repo_full_name",
+                 F.col("p.config_source.repo.full_name")),
+                ("config_source_repo_external_id",
+                 F.col("p.config_source.repo.external_id")),
+                ("config_source_file_path",
+                 F.col("p.config_source.file_path")),
+                ("checkout_source_provider",
+                 F.col("p.checkout_source.provider")),
+                ("checkout_source_repo_full_name",
+                 F.col("p.checkout_source.repo.full_name")),
+                ("checkout_source_repo_external_id",
+                 F.col("p.checkout_source.repo.external_id")),
+            ]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+    )
+    edges = pipes.select(
+        F.lit("CircleCIProject").alias("src_label"),
+        F.col("project_id").alias("src_id"),
+        F.lit("RESOURCE").alias("rel_label"),
+        F.lit("CircleCIPipeline").alias("dst_label"),
+        F.col("p.id").alias("dst_id"),
+    )
+    return nodes, _shape_edges(edges, update_tag, org_id)
+
+
+def sync_circleci(store, orgs_raw, projects_raw, contexts_raw,
+                  pipelines_raw, org_id: str, update_tag: int) -> dict:
+    """``intel/circleci/__init__.py`` order: organizations → projects
+    → contexts → pipelines; pipelines GC per project in the batch
+    (children first), then org-scoped GC for the stages that ran."""
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    metrics: dict = {}
+    ran: list[str] = []
+    if orgs_raw is not None:
+        orgs_nodes = transform_circleci_organizations(orgs_raw, update_tag)
+        metrics["orgs"] = store.merge_nodes(orgs_nodes, update_tag)
+        gh_links = github_org_links(store, orgs_nodes, update_tag)
+        if gh_links is not None:
+            metrics["gh_links"] = store.merge_edges(
+                _shape_edges(gh_links, update_tag, org_id), update_tag
+            )
+    if projects_raw is not None:
+        nodes, edges = transform_circleci_projects(
+            projects_raw, org_id, update_tag, store=store
+        )
+        metrics["projects_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["projects_edges"] = store.merge_edges(edges, update_tag)
+        ran.append("CircleCIProject")
+    if contexts_raw is not None:
+        nodes, edges = transform_circleci_contexts(
+            contexts_raw, org_id, update_tag
+        )
+        metrics["contexts_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["contexts_edges"] = store.merge_edges(edges, update_tag)
+        ran.append("CircleCIContext")
+    batch_projects: list[str] = []
+    if pipelines_raw is not None:
+        nodes, edges = transform_circleci_pipelines(
+            pipelines_raw, org_id, update_tag
+        )
+        # project scope comes from the payload ENVELOPE, not the
+        # emitted nodes — a project synced with zero pipelines must
+        # still get its stale pipelines swept
+        batch_projects = [
+            r["project_id"] for r in pipelines_raw.select(
+                F.explode(
+                    F.from_json("payload_json", CIRCLECI_PIPELINES_STRUCT)
+                ).alias("pp")
+            ).select(F.col("pp.project_id").alias("project_id"))
+            .where(F.col("project_id").isNotNull()).distinct().collect()
+        ]
+        metrics["pipelines_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["pipelines_edges"] = store.merge_edges(edges, update_tag)
+
+    if "CircleCIPipeline" in store.manifest["nodes"]:
+        proj_rel = RelSchema(
+            rel_label="RESOURCE",
+            target_node_label="CircleCIProject",
+            target_node_matcher=TargetNodeMatcher(
+                {"id": PropertyRef("PROJECT_ID", set_in_kwargs=True)}
+            ),
+            direction=LinkDirection.INWARD,
+        )
+        for project_id in batch_projects:
+            metrics[f"gc_CircleCIPipeline_{project_id}"] = run_cleanup(
+                store,
+                NodeSchema(
+                    label="CircleCIPipeline",
+                    properties={"id": PropertyRef("id")},
+                    sub_resource_relationship=proj_rel,
+                ),
+                update_tag,
+                {"PROJECT_ID": project_id},
+            )
+    org_rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label=ORG_LABEL,
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("ORG_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    for label in ("CircleCIContext", "CircleCIProject"):
+        if label not in ran or label not in store.manifest["nodes"]:
+            continue
+        metrics[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=org_rel,
+            ),
+            update_tag,
+            {"ORG_ID": org_id},
+        )
+    store.record_lineage("circleci_sync", {"update_tag": update_tag})
+    return metrics

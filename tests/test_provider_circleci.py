@@ -1,0 +1,121 @@
+"""CircleCI provider parity, mirrored from the reference's
+``tests/integration/cartography/intel/circleci`` assertions over its
+actual ``tests/data/circleci/*.py`` fixtures (loaded read-only via
+the ast literal evaluator): org vcs_login derivation, project
+vcs_info flattening, best-effort BUILDS/ASSOCIATED_WITH links,
+context restrictions, per-project pipeline scoping and GC."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.circleci import (
+    sync_circleci,
+    transform_circleci_organizations,
+)
+from tests.test_fixture_parity_github import _load_fixture_ns
+
+FIXDIR = "/root/reference/tests/data/circleci"
+ORG = "org-1111-aaaa"
+TAG = 123456789
+
+
+@pytest.fixture(scope="module")
+def cci_fixture():
+    if not os.path.isdir(FIXDIR):
+        pytest.skip("reference fixture not available")
+    return {
+        "orgs": _load_fixture_ns(f"{FIXDIR}/organizations.py")[
+            "CIRCLECI_COLLABORATIONS"],
+        "projects": list(_load_fixture_ns(f"{FIXDIR}/projects.py")[
+            "CIRCLECI_PROJECTS"].values()),
+        "contexts": _load_fixture_ns(f"{FIXDIR}/contexts.py")[
+            "CIRCLECI_CONTEXTS"],
+        "pipelines": _load_fixture_ns(f"{FIXDIR}/pipelines.py")[
+            "CIRCLECI_PIPELINES"],
+    }
+
+
+def _raw(spark, data):
+    return spark.createDataFrame(
+        [(json.dumps(data),)], "payload_json string"
+    )
+
+
+def test_org_vcs_login_derivation(spark, cci_fixture):
+    """organizations.py:40-60 — login derived only for github slugs."""
+    nodes = transform_circleci_organizations(
+        _raw(spark, cci_fixture["orgs"]), TAG
+    )
+    rows = {r["id"]: r["props"] for r in nodes.collect()}
+    assert rows[ORG]["vcs_login"] == "acme"
+    assert "vcs_login" not in rows["org-2222-bbbb"]  # bitbucket: none
+
+
+def test_sync_links_restrictions_and_pipeline_gc(spark, tmp_store,
+                                                 cci_fixture):
+    """Full sync: BUILDS to a pre-existing GitHub repo, GitHub-org
+    association by username, context RESTRICTED_TO, pipeline
+    per-project scoping + GC."""
+    # seed the GitHub side the best-effort links resolve against
+    gh = spark.createDataFrame(
+        [("GitHubOrganization", "https://github.com/acme", "acme"),
+         ("GitHubRepository", "https://github.com/acme/web", None)],
+        "label string, id string, username string",
+    ).select(
+        "label", "id", F.lit(TAG).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        F.lit(None).cast("array<string>").alias("extra_labels"),
+        F.when(
+            F.col("username").isNotNull(),
+            F.map_from_arrays(F.array(F.lit("username")),
+                              F.array(F.col("username"))),
+        ).alias("props"),
+    )
+    tmp_store.merge_nodes(gh, TAG)
+
+    contexts = [dict(cci_fixture["contexts"][0],
+                     restricted_project_ids=["proj-1"])]
+    sync_circleci(
+        tmp_store,
+        _raw(spark, cci_fixture["orgs"]),
+        _raw(spark, cci_fixture["projects"]),
+        _raw(spark, contexts),
+        _raw(spark, [{"project_id": "proj-1",
+                      "pipelines": cci_fixture["pipelines"]}]),
+        ORG, TAG,
+    )
+    edges = tmp_store.edges().collect()
+    assert ("proj-1", "https://github.com/acme/web") in {
+        (e["src_id"], e["dst_id"]) for e in edges
+        if e["rel_label"] == "BUILDS"
+    }
+    assert (ORG, "https://github.com/acme") in {
+        (e["src_id"], e["dst_id"]) for e in edges
+        if e["rel_label"] == "ASSOCIATED_WITH"
+    }
+    assert ("ctx-1", "proj-1") in {
+        (e["src_id"], e["dst_id"]) for e in edges
+        if e["rel_label"] == "RESTRICTED_TO"
+    }
+    pipes = {r["id"]: r["props"]
+             for r in tmp_store.nodes(["CircleCIPipeline"]).collect()}
+    assert pipes["def-1"]["config_source_repo_full_name"] == "acme/web"
+    assert pipes["def-1"]["project_id"] == "proj-1"
+
+    # pipeline retired from proj-1 → per-project GC sweeps it
+    sync_circleci(
+        tmp_store, _raw(spark, cci_fixture["orgs"]),
+        _raw(spark, cci_fixture["projects"]), None,
+        _raw(spark, [{"project_id": "proj-1",
+                      "pipelines": cci_fixture["pipelines"][1:]}]),
+        ORG, TAG + 1,
+    )
+    remaining = {
+        r["id"] for r in tmp_store.nodes(["CircleCIPipeline"]).collect()
+    }
+    assert "def-1" not in remaining
+    # contexts were skipped this sync → survive
+    assert tmp_store.nodes(["CircleCIContext"]).collect()

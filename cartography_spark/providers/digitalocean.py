@@ -226,16 +226,27 @@ def sync_digitalocean(store, account_raw, projects_raw, droplets_raw,
         )
         metrics["projects_nodes"] = store.merge_nodes(nodes, update_tag)
         metrics["projects_edges"] = store.merge_edges(edges, update_tag)
-    batch_projects: list[str] = []
+    batch_projects: set[str] = set()
     if droplets_raw is not None:
         nodes, edges = transform_do_droplets(
             droplets_raw, resources_raw, account_id, update_tag
         )
-        batch_projects = [
+        batch_projects.update(
             r["project_id"] for r in nodes.select(
                 F.element_at("props", "project_id").alias("project_id")
             ).distinct().collect()
-        ]
+        )
+        if resources_raw is not None:
+            # the resources envelope names every project whose droplet
+            # set was fetched — a project emptied of droplets must
+            # still sweep its stale ones (circleci envelope rule)
+            batch_projects.update(
+                r["proj_id"] for r in resources_raw.select(
+                    F.explode(
+                        F.from_json("payload_json", DO_RESOURCES_STRUCT)
+                    ).alias("proj_id", "urns")
+                ).select("proj_id").distinct().collect()
+            )
         metrics["droplets_nodes"] = store.merge_nodes(nodes, update_tag)
         metrics["droplets_edges"] = store.merge_edges(edges, update_tag)
 
@@ -251,7 +262,7 @@ def sync_digitalocean(store, account_raw, projects_raw, droplets_raw,
             ),
             direction=LinkDirection.INWARD,
         )
-        for project_id in batch_projects:
+        for project_id in sorted(batch_projects):
             if project_id == "None":
                 continue
             metrics[f"gc_DODroplet_{project_id}"] = run_cleanup(

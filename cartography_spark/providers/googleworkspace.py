@@ -139,7 +139,9 @@ def transform_googleworkspace_users(
         F.explode(
             F.from_json("payload_json", GOOGLEWORKSPACE_USERS_STRUCT)
         ).alias("page")
-    ).select(F.explode("page.users").alias("u")).select("u.*")
+    ).select(F.explode("page.users").alias("u")).select("u.*").where(
+        F.col("id").isNotNull()
+    )
     primary_org = F.get(
         F.filter(
             F.coalesce(F.col("organizations"),

@@ -145,8 +145,11 @@ def _resource_edges(ids: DataFrame, tenant_id: str, dst_label: str) -> DataFrame
 def normalize_group_id(col: Column) -> Column:
     """``util.py:44-54`` twin: all-digit strings collapse to the
     canonical integer spelling; anything else passes through."""
+    # decimal(38,0), not long: a 20+-digit all-numeric id must not
+    # overflow to null (the reference normalizes with Python ints)
     return F.when(
-        col.rlike("^[0-9]+$"), col.cast("long").cast("string")
+        col.rlike("^[0-9]+$"),
+        F.regexp_replace(col, "^0+(?!$)", ""),
     ).otherwise(col)
 
 
@@ -200,7 +203,7 @@ def transform_jamf_computers(
     one-to-many MEMBER_OF (``models/jamf/computer.py:151-156``)."""
     comps = raw.select(
         F.explode(F.from_json("payload_json", JAMF_COMPUTERS_STRUCT)).alias("c")
-    ).select("c.*")
+    ).select("c.*").where(F.col("id").isNotNull())
     nodes = _shape_nodes(
         comps.select(
             F.lit("JamfComputer").alias("label"),
@@ -272,7 +275,7 @@ def transform_jamf_mobile_devices(
     """``mobile_devices.py:76-121``: flatten + deviceType→OS family."""
     devs = raw.select(
         F.explode(F.from_json("payload_json", JAMF_MOBILE_STRUCT)).alias("d")
-    ).select("d.*")
+    ).select("d.*").where(F.col("mobileDeviceId").isNotNull())
     os_map = F.create_map(
         *[c for pair in zip(_MOBILE_OS_KEYS, _MOBILE_OS_VALS)
           for c in (F.lit(pair[0]), F.lit(pair[1]))]

@@ -197,7 +197,14 @@ def transform_keycloak_groups(
         F.lit("KeycloakGroup").alias("dst_label"),
         F.col("id").alias("dst_id"),
     )
-    subgroup_of = groups.where(F.col("parentId").isNotNull()).select(
+    # parent must exist in this batch — the reference's MATCH-target
+    # loader creates no edge for an unknown parent (cf. the salesforce
+    # and oci hierarchy joins)
+    parents = groups.select(F.col("id").alias("parent_key"))
+    subgroup_of = groups.where(F.col("parentId").isNotNull()).join(
+        F.broadcast(parents),
+        F.col("parentId") == F.col("parent_key"),
+    ).select(
         F.lit("KeycloakGroup").alias("src_label"),
         F.col("id").alias("src_id"),
         F.lit("SUBGROUP_OF").alias("rel_label"),

@@ -98,7 +98,9 @@ def _resource_edges(ids: DataFrame, org_id: str, dst_label: str) -> DataFrame:
 
 def _sf_ts(col: Column) -> Column:
     """``parse_sf_datetime`` twin: SF's ``+0000`` offset timestamps →
-    canonical ISO-8601 (null passthrough)."""
+    canonical ISO-8601 (null passthrough). Rendering is deterministic
+    because ``session.py`` pins ``spark.sql.session.timeZone=UTC`` —
+    ``date_format`` renders wall time in the session zone."""
     return F.date_format(
         F.to_timestamp(col, "yyyy-MM-dd'T'HH:mm:ss.SSSZ"),
         "yyyy-MM-dd'T'HH:mm:ssXXX",

@@ -279,7 +279,19 @@ def sync_scaleway(store, projects_raw, users_raw, instances_raw,
     from cartography_spark.operators.gc import run_cleanup
 
     metrics: dict = {}
-    batch_projects: list[str] = []
+    batch_projects: set[str] = set()
+    if projects_raw is not None:
+        # the reference threads projects_id from the projects sync into
+        # every per-zone cleanup — a project whose instances all
+        # disappeared still gets its stale instances swept
+        batch_projects.update(
+            r["id"] for r in projects_raw.select(
+                F.explode(
+                    F.from_json("payload_json", SCALEWAY_PROJECTS_STRUCT)
+                ).alias("p")
+            ).select(F.col("p.id").alias("id"))
+            .where(F.col("id").isNotNull()).distinct().collect()
+        )
     if projects_raw is not None:
         nodes, edges = transform_scaleway_projects(
             projects_raw, org_id, update_tag
@@ -296,11 +308,11 @@ def sync_scaleway(store, projects_raw, users_raw, instances_raw,
         nodes, edges = transform_scaleway_instances(
             instances_raw, org_id, update_tag
         )
-        batch_projects = [
+        batch_projects.update(
             r["project_id"] for r in nodes.select(
                 F.element_at("props", "project_id").alias("project_id")
             ).where(F.col("project_id").isNotNull()).distinct().collect()
-        ]
+        )
         metrics["instances_nodes"] = store.merge_nodes(nodes, update_tag)
         metrics["instances_edges"] = store.merge_edges(edges, update_tag)
 
@@ -312,8 +324,8 @@ def sync_scaleway(store, projects_raw, users_raw, instances_raw,
         ),
         direction=LinkDirection.INWARD,
     )
-    if "ScalewayInstance" in store.manifest["nodes"]:
-        for project_id in batch_projects:
+    if instances_raw is not None and "ScalewayInstance" in store.manifest["nodes"]:
+        for project_id in sorted(batch_projects):
             metrics[f"gc_ScalewayInstance_{project_id}"] = run_cleanup(
                 store,
                 NodeSchema(

@@ -159,9 +159,14 @@ def transform_sentry_teams(
 def transform_sentry_members(
     members_raw: DataFrame, memberships_raw: DataFrame | None,
     teams_raw: DataFrame | None, org_id: str, update_tag: int,
+    team_ids: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """``members.py:66-88``: has2fa lift + owner-implicit-admin over
-    ALL teams; explicit per-member (team, role) pairs otherwise."""
+    ALL teams; explicit per-member (team, role) pairs otherwise.
+    ``team_ids`` (one ``team_id`` column) overrides the team universe
+    for the owner expansion — the sync passes the store's current
+    teams when the teams feed is skipped, so owners never silently
+    lose their edges."""
     members = _explode(members_raw, SENTRY_MEMBERS_STRUCT)
     nodes = _shape_nodes(
         members.select(
@@ -202,15 +207,16 @@ def transform_sentry_members(
         pair_frames.append(
             pairs.join(F.broadcast(non_owner), "member_id")
         )
-    if teams_raw is not None:
-        teams = _explode(teams_raw, SENTRY_TEAMS_STRUCT).select(
+    if team_ids is None and teams_raw is not None:
+        team_ids = _explode(teams_raw, SENTRY_TEAMS_STRUCT).select(
             F.col("id").alias("team_id")
         )
+    if team_ids is not None:
         owners = members.where(F.col("orgRole") == "owner").select(
             F.col("id").alias("member_id")
         )
         pair_frames.append(
-            owners.crossJoin(F.broadcast(teams))
+            owners.crossJoin(F.broadcast(team_ids))
             .withColumn("role", F.lit("admin"))
         )
     for pf in pair_frames:
@@ -390,7 +396,14 @@ def sync_sentry(store, orgs_raw, teams_raw, members_raw, memberships_raw,
          lambda r: transform_sentry_teams(r, org_id, update_tag)),
         ("members", members_raw, "SentryUser",
          lambda r: transform_sentry_members(
-             r, memberships_raw, teams_raw, org_id, update_tag)),
+             r, memberships_raw, teams_raw, org_id, update_tag,
+             team_ids=(
+                 store.nodes(["SentryTeam"])
+                 .select(F.col("id").alias("team_id"))
+                 if teams_raw is None
+                 and "SentryTeam" in store.manifest["nodes"]
+                 else None
+             ))),
         ("projects", projects_raw, "SentryProject",
          lambda r: transform_sentry_projects(r, org_id, update_tag)),
         ("releases", releases_raw, "SentryRelease",

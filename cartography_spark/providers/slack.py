@@ -156,8 +156,36 @@ def transform_slack_members(
     return nodes, edges
 
 
+def _creator_edges(frame: DataFrame, id_col: str, dst_label: str,
+                   member_labels: DataFrame | None) -> DataFrame:
+    """CREATED edges with the src label resolved against the member
+    split when available — a bot-created channel links from SlackBot,
+    and an unknown creator makes no edge (the reference's MATCH
+    loader). Without the member frame, SlackUser is assumed."""
+    base = frame.where(F.col("creator_id").isNotNull())
+    if member_labels is None:
+        return base.select(
+            F.lit("SlackUser").alias("src_label"),
+            F.col("creator_id").alias("src_id"),
+            F.lit("CREATED").alias("rel_label"),
+            F.lit(dst_label).alias("dst_label"),
+            F.col(id_col).alias("dst_id"),
+        )
+    return base.join(
+        F.broadcast(member_labels),
+        base["creator_id"] == member_labels["member_id"],
+    ).select(
+        F.col("member_label").alias("src_label"),
+        F.col("creator_id").alias("src_id"),
+        F.lit("CREATED").alias("rel_label"),
+        F.lit(dst_label).alias("dst_label"),
+        F.col(id_col).alias("dst_id"),
+    )
+
+
 def transform_slack_channels(
-    raw: DataFrame, team_id: str, update_tag: int
+    raw: DataFrame, team_id: str, update_tag: int,
+    member_labels: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     chans = raw.select(
         F.explode(
@@ -190,12 +218,9 @@ def transform_slack_channels(
         update_tag,
     )
     edges = _resource_edges(chans.select("id"), team_id, "SlackChannel")
-    created = chans.where(F.col("creator").isNotNull()).select(
-        F.lit("SlackUser").alias("src_label"),
-        F.col("creator").alias("src_id"),
-        F.lit("CREATED").alias("rel_label"),
-        F.lit("SlackChannel").alias("dst_label"),
-        F.col("id").alias("dst_id"),
+    created = _creator_edges(
+        chans.select(F.col("id"), F.col("creator").alias("creator_id")),
+        "id", "SlackChannel", member_labels,
     )
     member_of = chans.select(
         F.col("id").alias("channel_id"),
@@ -214,7 +239,8 @@ def transform_slack_channels(
 
 
 def transform_slack_groups(
-    raw: DataFrame, team_id: str, update_tag: int
+    raw: DataFrame, team_id: str, update_tag: int,
+    member_labels: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     groups = raw.select(
         F.explode(
@@ -264,12 +290,10 @@ def transform_slack_groups(
         F.lit("SlackChannel").alias("dst_label"),
         F.col("channel_id").alias("dst_id"),
     )
-    created = groups.where(F.col("created_by").isNotNull()).select(
-        F.lit("SlackUser").alias("src_label"),
-        F.col("created_by").alias("src_id"),
-        F.lit("CREATED").alias("rel_label"),
-        F.lit("SlackGroup").alias("dst_label"),
-        F.col("id").alias("dst_id"),
+    created = _creator_edges(
+        groups.select(F.col("id"),
+                      F.col("created_by").alias("creator_id")),
+        "id", "SlackGroup", member_labels,
     )
     return nodes, _shape_edges(
         edges.unionByName(members).unionByName(channels)
@@ -301,18 +325,46 @@ def sync_slack(store, members_raw, channels_raw, groups_raw,
             update_tag,
         )
     }
+    # member split for CREATED src resolution: this sync's members
+    # first, the store second
+    member_labels = None
+    if members_raw is not None:
+        member_labels = members_raw.select(
+            F.explode(
+                F.from_json("payload_json", SLACK_MEMBERS_STRUCT)
+                ["members"]
+            ).alias("m")
+        ).select(
+            F.col("m.id").alias("member_id"),
+            F.when(
+                (F.coalesce(F.col("m.is_bot"), F.lit("false")) == "true")
+                | (F.coalesce(F.col("m.is_app_user"), F.lit("false"))
+                   == "true"),
+                F.lit("SlackBot"),
+            ).otherwise(F.lit("SlackUser")).alias("member_label"),
+        ).where(F.col("member_id").isNotNull())
+    elif {"SlackUser", "SlackBot"} & set(store.manifest["nodes"]):
+        present = [l for l in ("SlackUser", "SlackBot")
+                   if l in store.manifest["nodes"]]
+        member_labels = store.nodes(present).select(
+            F.col("id").alias("member_id"),
+            F.col("label").alias("member_label"),
+        )
     stages = [
         ("members", members_raw, ("SlackUser", "SlackBot"),
-         transform_slack_members),
+         lambda r: transform_slack_members(r, team_id, update_tag)),
         ("channels", channels_raw, ("SlackChannel",),
-         transform_slack_channels),
-        ("groups", groups_raw, ("SlackGroup",), transform_slack_groups),
+         lambda r: transform_slack_channels(
+             r, team_id, update_tag, member_labels=member_labels)),
+        ("groups", groups_raw, ("SlackGroup",),
+         lambda r: transform_slack_groups(
+             r, team_id, update_tag, member_labels=member_labels)),
     ]
     ran: list[str] = []
     for name, raw, labels, fn in stages:
         if raw is None:
             continue
-        nodes, edges = fn(raw, team_id, update_tag)
+        nodes, edges = fn(raw)
         metrics[f"{name}_nodes"] = store.merge_nodes(nodes, update_tag)
         metrics[f"{name}_edges"] = store.merge_edges(edges, update_tag)
         ran.extend(labels)

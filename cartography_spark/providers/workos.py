@@ -230,10 +230,14 @@ def transform_workos_memberships(
     )
     edges = edges.unionByName(member_of).unionByName(in_org)
     if roles_nodes is not None:
+        # the reference's matcher is by slug PROP: every role whose
+        # slug matches gets the edge — no arbitrary per-slug winner
         slugs = roles_nodes.select(
             F.col("id").alias("role_id"),
             F.element_at("props", "slug").alias("slug"),
-        ).where(F.col("slug").isNotNull()).dropDuplicates(["slug"])
+        ).where(F.col("slug").isNotNull()).dropDuplicates(
+            ["role_id", "slug"]
+        )
         with_role = ms.select(
             F.col("id").alias("membership_id"),
             F.explode_outer("roles").alias("role_slug"),

@@ -540,6 +540,87 @@ TAILSCALE_KEY_EXPIRY_DISABLED = Fact(
 )
 
 
+# CIS AWS IAM pack (rules/data/rules/cis_aws_iam.py twins): the
+# remaining per-user credential-hygiene controls over the IAM schema
+# this engine already syncs (AWSUser / AWSAccountAccessKey / AWSPolicy)
+
+AWS_UNUSED_CREDENTIALS = Fact(
+    id="aws_unused_credentials",
+    name="AWS access keys unused for 45+ days",
+    description="Active keys whose last use (or creation, when never "
+    "used) predates $UNUSED_DAYS days before $NOW_EPOCH "
+    "(cis_aws_iam.py:135-175 twin; the lastuseddate leg falls back to "
+    "createdate exactly like the reference's OR).",
+    sql_query="""
+        SELECT k.id AS access_key_id, e.dst_id AS user_arn,
+               k.props['lastuseddate_epoch'] AS last_used_epoch,
+               k.props['createdate_epoch'] AS key_create_epoch
+        FROM nodes k
+        LEFT JOIN (
+          SELECT src_id, dst_id FROM edges
+          WHERE rel_label = 'OWNED_BY' AND dst_label = 'AWSUser'
+        ) e ON e.src_id = k.id
+        WHERE k.label = 'AWSAccountAccessKey'
+          AND k.props['status'] = 'Active'
+          AND CAST(coalesce(k.props['lastuseddate_epoch'],
+                            k.props['createdate_epoch']) AS BIGINT)
+              < CAST('${NOW_EPOCH}' AS BIGINT)
+                - CAST('${UNUSED_DAYS}' AS BIGINT) * 86400
+    """,
+    count_sql="SELECT count(*) AS count FROM nodes "
+              "WHERE label = 'AWSAccountAccessKey'",
+    identity_fields=("access_key_id",),
+    asset_label="AWSAccountAccessKey",
+    asset_id_field="access_key_id",
+    default_params={"UNUSED_DAYS": "45"},
+)
+
+AWS_USER_DIRECT_POLICIES = Fact(
+    id="aws_user_direct_policies",
+    name="AWS IAM users with directly attached policies",
+    description="Users holding POLICY attachments directly instead of "
+    "through groups — CIS 2.14, one finding per user with the "
+    "attachment list surfaced (cis_aws_iam.py:213-253 twin).",
+    sql_query="""
+        SELECT e.src_id AS user_arn,
+               count(DISTINCT e.dst_id) AS direct_policy_count,
+               sort_array(collect_set(e.dst_id)) AS direct_policy_ids
+        FROM edges e
+        WHERE e.rel_label = 'POLICY' AND e.src_label = 'AWSUser'
+        GROUP BY e.src_id
+    """,
+    count_sql="SELECT count(*) AS count FROM nodes "
+              "WHERE label = 'AWSUser'",
+    identity_fields=("user_arn",),
+    asset_label="AWSUser",
+    asset_id_field="user_arn",
+)
+
+AWS_MULTIPLE_ACCESS_KEYS = Fact(
+    id="aws_multiple_access_keys",
+    name="AWS IAM users with multiple active access keys",
+    description="Users with >1 active key — larger attack surface and "
+    "harder rotation (cis_aws_iam.py:290-328 twin).",
+    sql_query="""
+        SELECT e.dst_id AS user_arn,
+               count(*) AS active_key_count,
+               sort_array(collect_set(k.id)) AS access_key_ids
+        FROM nodes k JOIN edges e
+          ON e.rel_label = 'OWNED_BY' AND e.dst_label = 'AWSUser'
+         AND e.src_id = k.id
+        WHERE k.label = 'AWSAccountAccessKey'
+          AND k.props['status'] = 'Active'
+        GROUP BY e.dst_id
+        HAVING count(*) > 1
+    """,
+    count_sql="SELECT count(*) AS count FROM nodes "
+              "WHERE label = 'AWSUser'",
+    identity_fields=("user_arn",),
+    asset_label="AWSUser",
+    asset_id_field="user_arn",
+)
+
+
 # identity MFA gap pack (rules/data/rules/identity_mfa_gaps.py twin):
 # per-provider enforcement/enrollment gaps. NULL MFA fields are
 # unknown, never flagged — only explicit false/0 values fire.
@@ -904,6 +985,20 @@ ALL_RULES: tuple[Rule, ...] = (
         version="0.2.0",
         facts=(TAILSCALE_KEY_EXPIRY_DISABLED,),
         frameworks=(iso27001_annex_a("5.17"), soc2_tsc("CC6.1")),
+    ),
+    Rule(
+        id="cis_aws_iam",
+        name="CIS AWS IAM credential hygiene",
+        tags=("iam", "cis", "compliance", "credentials"),
+        description="Per-user credential controls from the CIS AWS "
+        "benchmark: rotation (CIS 1.14), unused credentials (1.12), "
+        "direct policy attachments (1.15), multiple active keys "
+        "(rules/data/rules/cis_aws_iam.py).",
+        version="0.1.0",
+        facts=(STALE_ACCESS_KEYS, AWS_UNUSED_CREDENTIALS,
+               AWS_USER_DIRECT_POLICIES, AWS_MULTIPLE_ACCESS_KEYS),
+        frameworks=(CIS_IDENTITY, iso27001_annex_a("5.17"),
+                    soc2_tsc("CC6.1")),
     ),
     Rule(
         id="eol_software",

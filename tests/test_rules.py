@@ -607,3 +607,84 @@ def test_k8s_version_eol_fact(spark, tmp_path_factory):
     res = run_fact(store, K8S_VERSION_EOL,
                    {"OLDEST_SUPPORTED_K8S_MINOR": "35"})
     assert _ids(res, "asset_id") == {"c-old", "c-new"}
+
+
+def test_cis_aws_iam_pack(spark, tmp_path_factory):
+    """cis_aws_iam.py twins: unused-credential fallback-to-createdate,
+    direct-policy grouping, multiple-active-keys threshold."""
+    from cartography_spark.plans.rules import (
+        ALL_RULES,
+        AWS_MULTIPLE_ACCESS_KEYS,
+        AWS_UNUSED_CREDENTIALS,
+        AWS_USER_DIRECT_POLICIES,
+    )
+    from cartography_spark.store.graphstore import GraphStore
+
+    store = GraphStore(spark, str(tmp_path_factory.mktemp("cis_store")))
+    now = 1_700_000_000
+    old = str(now - 60 * 86400)
+    fresh = str(now - 5 * 86400)
+
+    def nodes(label, rows):
+        df = spark.createDataFrame(
+            [(r["id"], {k: v for k, v in r.items() if k != "id"})
+             for r in rows],
+            "id string, props map<string,string>",
+        )
+        return df.select(
+            F.lit(label).alias("label"), "id",
+            F.lit(1).cast("long").alias("lastupdated"),
+            F.lit(None).cast("string").alias("content_sha256"),
+            F.lit(None).cast("array<string>").alias("extra_labels"),
+            "props",
+        )
+
+    def edges(rows):
+        df = spark.createDataFrame(
+            rows, "src_label string, src_id string, rel_label string, "
+                  "dst_label string, dst_id string",
+        )
+        return df.select(
+            *df.columns, F.lit(1).cast("long").alias("lastupdated"),
+            F.lit(None).cast("string").alias("sub_resource_label"),
+            F.lit(None).cast("string").alias("sub_resource_id"),
+            F.lit(None).cast("map<string,string>").alias("props"),
+        )
+
+    alice, bob = "arn:aws:iam::1:user/alice", "arn:aws:iam::1:user/bob"
+    store.merge_nodes(nodes("AWSUser", [
+        {"id": alice, "name": "alice"}, {"id": bob, "name": "bob"},
+    ]), 1)
+    store.merge_nodes(nodes("AWSAccountAccessKey", [
+        # never used, created long ago → fires via the createdate leg
+        {"id": "AKIA1", "status": "Active", "createdate_epoch": old},
+        # used recently → quiet
+        {"id": "AKIA2", "status": "Active", "createdate_epoch": old,
+         "lastuseddate_epoch": fresh},
+        # inactive → out of scope
+        {"id": "AKIA3", "status": "Inactive", "createdate_epoch": old},
+    ]), 1)
+    store.merge_nodes(nodes("AWSPolicy", [
+        {"id": "pol-1"}, {"id": "pol-2"},
+    ]), 1)
+    store.merge_edges(edges([
+        ("AWSAccountAccessKey", "AKIA1", "OWNED_BY", "AWSUser", alice),
+        ("AWSAccountAccessKey", "AKIA2", "OWNED_BY", "AWSUser", alice),
+        ("AWSAccountAccessKey", "AKIA3", "OWNED_BY", "AWSUser", bob),
+        ("AWSUser", bob, "POLICY", "AWSPolicy", "pol-1"),
+        ("AWSUser", bob, "POLICY", "AWSPolicy", "pol-2"),
+    ]), 1)
+
+    res = run_fact(store, AWS_UNUSED_CREDENTIALS,
+                   {"NOW_EPOCH": str(now)})
+    assert _ids(res, "access_key_id") == {"AKIA1"}
+
+    res = run_fact(store, AWS_USER_DIRECT_POLICIES)
+    assert _ids(res, "user_arn") == {bob}
+    assert res["findings"].collect()[0]["direct_policy_count"] == 2
+
+    # alice has two ACTIVE keys → multiple-keys control fires for her
+    res = run_fact(store, AWS_MULTIPLE_ACCESS_KEYS)
+    assert _ids(res, "user_arn") == {alice}
+
+    assert any(r.id == "cis_aws_iam" for r in ALL_RULES)

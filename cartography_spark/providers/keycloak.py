@@ -43,6 +43,19 @@ KEYCLOAK_USERS_STRUCT = (
     "origin:string, createdTimestamp:string, enabled:string, "
     "totp:string, serviceAccountClientId:string, notBefore:string>>"
 )
+KEYCLOAK_CLIENTS_STRUCT = (
+    "array<struct<id:string, clientId:string, name:string, "
+    "description:string, rootUrl:string, adminUrl:string, "
+    "baseUrl:string, enabled:string, clientAuthenticatorType:string, "
+    "bearerOnly:string, consentRequired:string, "
+    "standardFlowEnabled:string, implicitFlowEnabled:string, "
+    "directAccessGrantsEnabled:string, serviceAccountsEnabled:string, "
+    "authorizationServicesEnabled:string, publicClient:string, "
+    "protocol:string, fullScopeAllowed:string, "
+    "redirectUris:array<string>, "
+    "service_account_user:struct<id:string, username:string, "
+    "email:string, enabled:string>>>"
+)
 KEYCLOAK_GROUPS_STRUCT = (
     "array<struct<id:string, name:string, description:string, "
     "path:string, parentId:string, subGroupCount:string, "
@@ -227,6 +240,84 @@ def transform_keycloak_groups(
     )
 
 
+def transform_keycloak_clients(
+    raw: DataFrame, realm: str, realm_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """``clients.py:83-112``: service-account users split out as
+    ``KeycloakUser`` nodes (the reference loads them before the
+    clients) + ``(client)-[:HAS_SERVICE_ACCOUNT]->(user)``."""
+    clients = raw.select(
+        F.explode(F.from_json("payload_json", KEYCLOAK_CLIENTS_STRUCT))
+        .alias("c")
+    ).select("c.*").where(F.col("id").isNotNull())
+    client_nodes = clients.select(
+        F.lit("KeycloakClient").alias("label"),
+        F.col("id"),
+        _props_map([
+            ("client_id", F.col("clientId")),
+            ("name", F.col("name")),
+            ("description", F.col("description")),
+            ("root_url", F.col("rootUrl")),
+            ("admin_url", F.col("adminUrl")),
+            ("base_url", F.col("baseUrl")),
+            ("enabled", F.col("enabled")),
+            ("client_authenticator_type",
+             F.col("clientAuthenticatorType")),
+            ("bearer_only", F.col("bearerOnly")),
+            ("consent_required", F.col("consentRequired")),
+            ("standard_flow_enabled", F.col("standardFlowEnabled")),
+            ("implicit_flow_enabled", F.col("implicitFlowEnabled")),
+            ("direct_access_grants_enabled",
+             F.col("directAccessGrantsEnabled")),
+            ("service_accounts_enabled",
+             F.col("serviceAccountsEnabled")),
+            ("authorization_services_enabled",
+             F.col("authorizationServicesEnabled")),
+            ("public_client", F.col("publicClient")),
+            ("protocol", F.col("protocol")),
+            ("full_scope_allowed", F.col("fullScopeAllowed")),
+            ("redirect_uris", F.array_join(F.col("redirectUris"), ",")),
+            ("realm", F.lit(realm)),
+        ]).alias("props"),
+    ).dropDuplicates(["id"])
+    sa = clients.where(
+        F.col("service_account_user.id").isNotNull()
+    ).select(F.col("service_account_user").alias("u"), F.col("id")
+             .alias("client_key"))
+    sa_nodes = sa.select(
+        F.lit("KeycloakUser").alias("label"),
+        F.col("u.id").alias("id"),
+        _props_map([
+            ("username", F.col("u.username")),
+            ("email", F.col("u.email")),
+            ("enabled", F.col("u.enabled")),
+            ("service_account_client_id", F.col("client_key")),
+            ("realm", F.lit(realm)),
+        ]).alias("props"),
+    ).dropDuplicates(["id"])
+    nodes = _shape_nodes(client_nodes, update_tag).unionByName(
+        _shape_nodes(sa_nodes, update_tag,
+                     extra=F.array(F.lit("UserAccount")))
+    )
+    resource = clients.select(
+        F.lit(REALM_LABEL).alias("src_label"),
+        F.lit(realm_id).alias("src_id"),
+        F.lit("RESOURCE").alias("rel_label"),
+        F.lit("KeycloakClient").alias("dst_label"),
+        F.col("id").alias("dst_id"),
+    )
+    has_sa = sa.select(
+        F.lit("KeycloakClient").alias("src_label"),
+        F.col("client_key").alias("src_id"),
+        F.lit("HAS_SERVICE_ACCOUNT").alias("rel_label"),
+        F.lit("KeycloakUser").alias("dst_label"),
+        F.col("u.id").alias("dst_id"),
+    )
+    return nodes, _shape_edges(
+        resource.unionByName(has_sa), update_tag, realm_id
+    )
+
+
 def _scoped_gc(store, labels: tuple[str, ...], realm_id: str,
                update_tag: int) -> dict:
     from cartography_spark.models.schema import (
@@ -264,7 +355,7 @@ def _scoped_gc(store, labels: tuple[str, ...], realm_id: str,
 
 
 def sync_keycloak(store, realms_raw, users_raw, groups_raw, realm: str,
-                  update_tag: int) -> dict:
+                  update_tag: int, clients_raw=None) -> dict:
     """``intel/keycloak/__init__.py`` order: realms first (they carry
     the name→id resolution every scoping edge needs), then users,
     then groups; realm-scoped GC sweeps users and groups."""
@@ -292,6 +383,13 @@ def sync_keycloak(store, realms_raw, users_raw, groups_raw, realm: str,
         metrics["groups_nodes"] = store.merge_nodes(nodes, update_tag)
         metrics["groups_edges"] = store.merge_edges(edges, update_tag)
         ran.append("KeycloakGroup")
+    if clients_raw is not None:
+        nodes, edges = transform_keycloak_clients(
+            clients_raw, realm, realm_id, update_tag
+        )
+        metrics["clients_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["clients_edges"] = store.merge_edges(edges, update_tag)
+        ran.append("KeycloakClient")
     # GC only the stages that ran
     metrics.update(_scoped_gc(
         store, tuple(ran), realm_id, update_tag

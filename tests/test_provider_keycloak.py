@@ -138,3 +138,56 @@ def test_missing_realm_fails_fast(spark, tmp_store, kc_fixture):
             _raw(spark, kc_fixture["users"]), None,
             "no-such-realm", TAG,
         )
+
+
+def test_clients_and_service_accounts(spark, tmp_store, kc_fixture):
+    """clients.py:83-112 — client node set, service-account user split
+    + HAS_SERVICE_ACCOUNT edge."""
+    from cartography_spark.providers.keycloak import (
+        transform_keycloak_clients,
+    )
+
+    clients_ns = _load_fixture_ns(f"{FIXDIR}/clients.py")
+    clients = clients_ns["KEYCLOAK_CLIENTS"]
+    # attach a service-account user to one client the way the
+    # reference's get() does for service_account-scoped clients
+    clients = json.loads(json.dumps(clients))
+    clients[0]["service_account_user"] = {
+        "id": "sa-uuid-1", "username": "service-account-account",
+        "email": None, "enabled": True,
+    }
+    nodes, edges = transform_keycloak_clients(
+        _raw(spark, clients), REALM, REALM_ID, TAG
+    )
+    rows = nodes.collect()
+    client_rows = {r["id"]: r["props"] for r in rows
+                   if r["label"] == "KeycloakClient"}
+    acct = client_rows["fa694007-ef2d-46e4-8e36-257ba5c23308"]
+    assert acct["client_id"] == "account"
+    assert acct["public_client"] == "true"
+    assert acct["standard_flow_enabled"] == "true"
+    sa_rows = {r["id"]: r["props"] for r in rows
+               if r["label"] == "KeycloakUser"}
+    assert sa_rows["sa-uuid-1"]["username"] == "service-account-account"
+    assert ("fa694007-ef2d-46e4-8e36-257ba5c23308", "sa-uuid-1") in {
+        (e["src_id"], e["dst_id"]) for e in edges.collect()
+        if e["rel_label"] == "HAS_SERVICE_ACCOUNT"
+    }
+
+    # full sync leg with clients + GC sweep of a retired client
+    sync_keycloak(
+        tmp_store, _raw(spark, kc_fixture["realms"]),
+        _raw(spark, kc_fixture["users"]), None, REALM, TAG,
+        clients_raw=_raw(spark, clients),
+    )
+    assert "fa694007-ef2d-46e4-8e36-257ba5c23308" in {
+        r["id"] for r in tmp_store.nodes(["KeycloakClient"]).collect()
+    }
+    sync_keycloak(
+        tmp_store, _raw(spark, kc_fixture["realms"]),
+        _raw(spark, kc_fixture["users"]), None, REALM, TAG + 1,
+        clients_raw=_raw(spark, clients[1:]),
+    )
+    assert "fa694007-ef2d-46e4-8e36-257ba5c23308" not in {
+        r["id"] for r in tmp_store.nodes(["KeycloakClient"]).collect()
+    }

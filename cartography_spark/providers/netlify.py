@@ -1,0 +1,318 @@
+"""Netlify provider: account, users/invites, sites.
+
+Mirrors the reference's ``intel/netlify/{accounts,users,sites}.py``
+core as ``from_json`` + ``explode`` column expressions — zero Python
+rows.
+
+Graph shape (``models/netlify/*.py``):
+
+* ``NetlifyAccount`` (``Tenant`` extra label) — root.
+* ``NetlifyUser`` / ``NetlifyInvite`` — the membership list splits on
+  ``user_id`` (``users.py:51-104``: linkable person vs
+  email-only invitation; ``pending``/``invite_id`` describe the
+  MEMBERSHIP, not the node type, so a pending member with a user_id
+  stays a NetlifyUser). Rows with neither user_id nor email are
+  skipped. The account ``MEMBER_OF`` edge carries
+  role/site_access/pending/invite_id/membership_id props.
+  ``connected_account_providers`` = the sorted key set of
+  ``connected_accounts``. ``UserAccount`` extra label on users.
+* ``NetlifySite`` — ``build_settings`` flattened onto the site
+  (``sites.py:45-77``), the ``jwt_secret`` SIGNING SECRET replaced by
+  the ``has_jwt_secret`` presence boolean, ``env`` dropped; account
+  ``RESOURCE`` + best-effort
+  ``(site)-[:DEPLOYED_FROM]->(GitHubRepository)`` by repo_url.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+ACCOUNT_LABEL = "NetlifyAccount"
+
+NETLIFY_ACCOUNT_STRUCT = (
+    "struct<id:string, name:string, slug:string, type_name:string, "
+    "created_at:string, updated_at:string, team_logo_url:string>"
+)
+NETLIFY_MEMBERS_STRUCT = (
+    "array<struct<id:string, user_id:string, email:string, "
+    "full_name:string, avatar:string, role:string, site_access:string, "
+    "pending:string, invite_id:string, mfa_enabled:string, "
+    "managed_by_directory_sync:string, last_activity_date:string, "
+    "created_at:string, updated_at:string, "
+    "connected_accounts:map<string,string>>>"
+)
+NETLIFY_SITES_STRUCT = (
+    "array<struct<id:string, name:string, url:string, admin_url:string, "
+    "ssl_url:string, state:string, created_at:string, updated_at:string, "
+    "git_provider:string, jwt_secret:string, "
+    "build_settings:struct<provider:string, repo_path:string, "
+    "repo_url:string, repo_branch:string, allowed_branches:array<string>, "
+    "public_repo:string, private_logs:string, stop_builds:string, "
+    "cmd:string, dir:string, functions_dir:string, "
+    "deploy_key_id:string>>>"
+)
+
+
+def _props_map(pairs: list[tuple[str, Column]]) -> Column:
+    return F.map_filter(
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k, _ in pairs]),
+            F.array(*[v.cast("string") for _, v in pairs]),
+        ),
+        lambda _k, v: v.isNotNull(),
+    )
+
+
+def _shape_nodes(df: DataFrame, update_tag: int, extra=None) -> DataFrame:
+    return df.select(
+        "label",
+        "id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        (extra if extra is not None else F.lit(None).cast("array<string>"))
+        .alias("extra_labels"),
+        "props",
+    )
+
+
+def _shape_edges(df: DataFrame, update_tag: int, account_id: str) -> DataFrame:
+    cols = df.columns
+    return df.select(
+        "src_label", "src_id", "rel_label", "dst_label", "dst_id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(ACCOUNT_LABEL).alias("sub_resource_label"),
+        F.lit(account_id).alias("sub_resource_id"),
+        (F.col("props") if "props" in cols
+         else F.lit(None).cast("map<string,string>")).alias("props"),
+    ).dropDuplicates(["src_label", "src_id", "rel_label", "dst_label", "dst_id"])
+
+
+def transform_netlify_account(raw: DataFrame, update_tag: int) -> DataFrame:
+    acct = raw.select(
+        F.from_json("payload_json", NETLIFY_ACCOUNT_STRUCT).alias("a")
+    ).select("a.*").where(F.col("id").isNotNull())
+    return _shape_nodes(
+        acct.select(
+            F.lit(ACCOUNT_LABEL).alias("label"),
+            F.col("id"),
+            _props_map([
+                ("name", F.col("name")),
+                ("slug", F.col("slug")),
+                ("type_name", F.col("type_name")),
+                ("created_at", F.col("created_at")),
+                ("updated_at", F.col("updated_at")),
+            ]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+        extra=F.array(F.lit("Tenant")),
+    )
+
+
+def transform_netlify_users(
+    raw: DataFrame, account_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """``users.py:51-104``: split on ``user_id``; membership state
+    rides the MEMBER_OF edge props in both branches."""
+    members = raw.select(
+        F.explode(F.from_json("payload_json", NETLIFY_MEMBERS_STRUCT))
+        .alias("m")
+    ).select("m.*").where(F.col("id").isNotNull())
+    membership_props = _props_map([
+        ("membership_id", F.col("id")),
+        ("role", F.col("role")),
+        ("site_access", F.col("site_access")),
+        ("pending", F.col("pending")),
+        ("invite_id", F.col("invite_id")),
+        ("managed_by_directory_sync",
+         F.col("managed_by_directory_sync")),
+    ])
+    users = members.where(F.col("user_id").isNotNull())
+    invites = members.where(
+        F.col("user_id").isNull() & F.col("email").isNotNull()
+    )
+    user_nodes = users.select(
+        F.lit("NetlifyUser").alias("label"),
+        F.col("user_id").alias("id"),
+        _props_map([
+            ("email", F.col("email")),
+            ("full_name", F.col("full_name")),
+            ("avatar", F.col("avatar")),
+            ("mfa_enabled", F.col("mfa_enabled")),
+            ("last_activity_date", F.col("last_activity_date")),
+            ("connected_account_providers",
+             F.array_join(F.array_sort(
+                 F.map_keys(F.coalesce(
+                     F.col("connected_accounts"),
+                     F.from_json(F.lit("{}"), "map<string,string>"),
+                 ))), ",")),
+        ]).alias("props"),
+    ).dropDuplicates(["id"])
+    invite_nodes = invites.select(
+        F.lit("NetlifyInvite").alias("label"),
+        F.col("email").alias("id"),
+        _props_map([
+            ("email", F.col("email")),
+            ("full_name", F.col("full_name")),
+            ("pending", F.col("pending")),
+            ("invite_id", F.col("invite_id")),
+        ]).alias("props"),
+    ).dropDuplicates(["id"])
+    nodes = _shape_nodes(
+        user_nodes, update_tag, extra=F.array(F.lit("UserAccount"))
+    ).unionByName(_shape_nodes(invite_nodes, update_tag))
+    member_of = users.select(
+        F.lit("NetlifyUser").alias("src_label"),
+        F.col("user_id").alias("src_id"),
+        F.lit("MEMBER_OF").alias("rel_label"),
+        F.lit(ACCOUNT_LABEL).alias("dst_label"),
+        F.lit(account_id).alias("dst_id"),
+        membership_props.alias("props"),
+    ).unionByName(invites.select(
+        F.lit("NetlifyInvite").alias("src_label"),
+        F.col("email").alias("src_id"),
+        F.lit("INVITED_TO").alias("rel_label"),
+        F.lit(ACCOUNT_LABEL).alias("dst_label"),
+        F.lit(account_id).alias("dst_id"),
+        membership_props.alias("props"),
+    ))
+    resource = users.select(
+        F.lit(ACCOUNT_LABEL).alias("src_label"),
+        F.lit(account_id).alias("src_id"),
+        F.lit("RESOURCE").alias("rel_label"),
+        F.lit("NetlifyUser").alias("dst_label"),
+        F.col("user_id").alias("dst_id"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    ).unionByName(invites.select(
+        F.lit(ACCOUNT_LABEL).alias("src_label"),
+        F.lit(account_id).alias("src_id"),
+        F.lit("RESOURCE").alias("rel_label"),
+        F.lit("NetlifyInvite").alias("dst_label"),
+        F.col("email").alias("dst_id"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    ))
+    return nodes, _shape_edges(
+        resource.unionByName(member_of), update_tag, account_id
+    )
+
+
+def transform_netlify_sites(
+    raw: DataFrame, account_id: str, update_tag: int, store=None,
+) -> tuple[DataFrame, DataFrame]:
+    sites = raw.select(
+        F.explode(F.from_json("payload_json", NETLIFY_SITES_STRUCT))
+        .alias("s")
+    ).select("s.*").where(F.col("id").isNotNull())
+    bs = F.col("build_settings")
+    nodes = _shape_nodes(
+        sites.select(
+            F.lit("NetlifySite").alias("label"),
+            F.col("id"),
+            _props_map([
+                ("name", F.col("name")),
+                ("url", F.col("url")),
+                ("admin_url", F.col("admin_url")),
+                ("ssl_url", F.col("ssl_url")),
+                ("state", F.col("state")),
+                ("created_at", F.col("created_at")),
+                ("updated_at", F.col("updated_at")),
+                ("git_provider",
+                 F.coalesce(F.col("git_provider"), bs["provider"])),
+                ("repo_path", bs["repo_path"]),
+                ("repo_url", bs["repo_url"]),
+                ("repo_branch", bs["repo_branch"]),
+                ("repo_allowed_branches",
+                 F.array_join(bs["allowed_branches"], ",")),
+                ("repo_public", bs["public_repo"]),
+                ("repo_private_logs", bs["private_logs"]),
+                ("repo_stop_builds", bs["stop_builds"]),
+                ("build_command", bs["cmd"]),
+                ("publish_dir", bs["dir"]),
+                ("functions_dir", bs["functions_dir"]),
+                ("deploy_key_id", bs["deploy_key_id"]),
+                # the signing secret itself never lands in the graph
+                ("has_jwt_secret",
+                 F.col("jwt_secret").isNotNull().cast("string")),
+            ]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+    )
+    edges = sites.select(
+        F.lit(ACCOUNT_LABEL).alias("src_label"),
+        F.lit(account_id).alias("src_id"),
+        F.lit("RESOURCE").alias("rel_label"),
+        F.lit("NetlifySite").alias("dst_label"),
+        F.col("id").alias("dst_id"),
+    )
+    if store is not None and "GitHubRepository" in store.manifest["nodes"]:
+        gh = store.nodes(["GitHubRepository"]).select(
+            F.col("id").alias("repo_id")
+        )
+        deployed_from = sites.join(
+            F.broadcast(gh), bs["repo_url"] == gh["repo_id"],
+        ).select(
+            F.lit("NetlifySite").alias("src_label"),
+            F.col("id").alias("src_id"),
+            F.lit("DEPLOYED_FROM").alias("rel_label"),
+            F.lit("GitHubRepository").alias("dst_label"),
+            F.col("repo_id").alias("dst_id"),
+        )
+        edges = edges.unionByName(deployed_from)
+    return nodes, _shape_edges(edges, update_tag, account_id)
+
+
+def sync_netlify(store, account_raw, members_raw, sites_raw,
+                 account_id: str, update_tag: int) -> dict:
+    """``intel/netlify/__init__.py`` per-account order: account →
+    users → sites; account-scoped GC for the stages that ran."""
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    metrics: dict = {}
+    ran: list[str] = []
+    if account_raw is not None:
+        metrics["account"] = store.merge_nodes(
+            transform_netlify_account(account_raw, update_tag), update_tag
+        )
+    if members_raw is not None:
+        nodes, edges = transform_netlify_users(
+            members_raw, account_id, update_tag
+        )
+        metrics["users_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["users_edges"] = store.merge_edges(edges, update_tag)
+        ran.extend(["NetlifyUser", "NetlifyInvite"])
+    if sites_raw is not None:
+        nodes, edges = transform_netlify_sites(
+            sites_raw, account_id, update_tag, store=store
+        )
+        metrics["sites_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["sites_edges"] = store.merge_edges(edges, update_tag)
+        ran.append("NetlifySite")
+    rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label=ACCOUNT_LABEL,
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("NETLIFY_ACCOUNT_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    for label in ("NetlifySite", "NetlifyInvite", "NetlifyUser"):
+        if label not in ran or label not in store.manifest["nodes"]:
+            continue
+        metrics[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=rel,
+            ),
+            update_tag,
+            {"NETLIFY_ACCOUNT_ID": account_id},
+        )
+    store.record_lineage("netlify_sync", {"update_tag": update_tag})
+    return metrics

@@ -59,6 +59,8 @@ def _load_fixture_ns(path, stubs=None):
             return set(seq(node.elts))
         if isinstance(node, ast.UnaryOp) and isinstance(node.op, ast.USub):
             return -ev(node.operand)
+        if isinstance(node, ast.BinOp) and isinstance(node.op, ast.Add):
+            return ev(node.left) + ev(node.right)
         if isinstance(node, ast.Name):
             if node.id in ns:
                 return ns[node.id]

@@ -1,0 +1,129 @@
+"""Netlify provider parity, mirrored from the reference's
+``tests/integration/cartography/intel/netlify`` assertions over its
+actual ``tests/data/netlify/{accounts,users,sites}.py`` fixtures
+(loaded read-only via the ast literal evaluator): the user/invite
+split on user_id, membership state riding the edge, build_settings
+flattening with the jwt_secret presence boolean, DEPLOYED_FROM, and
+account-scoped GC."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.netlify import (
+    sync_netlify,
+    transform_netlify_sites,
+    transform_netlify_users,
+)
+from tests.test_fixture_parity_github import _load_fixture_ns
+
+FIXDIR = "/root/reference/tests/data/netlify"
+ACCOUNT = "5f5a5d7053c60b4be4c8784d"
+ALICE = "5f5a5d7053c60b4be4c8784b"
+TAG = 123456789
+
+
+@pytest.fixture(scope="module")
+def nl_fixture():
+    if not os.path.isdir(FIXDIR):
+        pytest.skip("reference fixture not available")
+    return {
+        "accounts": _load_fixture_ns(f"{FIXDIR}/accounts.py")[
+            "NETLIFY_ACCOUNTS"],
+        "members": _load_fixture_ns(f"{FIXDIR}/users.py")[
+            "NETLIFY_MEMBERS"],
+        "sites": _load_fixture_ns(f"{FIXDIR}/sites.py")[
+            "NETLIFY_SITES_WITH_GIT"],
+    }
+
+
+def _raw(spark, data):
+    return spark.createDataFrame(
+        [(json.dumps(data),)], "payload_json string"
+    )
+
+
+def test_user_invite_split(spark, nl_fixture):
+    """users.py:51-104 — user_id decides the node type; a no-user-id
+    email row is an invite; membership props ride the edge."""
+    members = nl_fixture["members"] + [
+        {"id": "mem-inv-1", "user_id": None,
+         "email": "pending@example.com", "pending": True,
+         "invite_id": "inv-1", "role": "Collaborator"},
+        {"id": "mem-skip", "user_id": None, "email": None},
+    ]
+    nodes, edges = transform_netlify_users(
+        _raw(spark, members), ACCOUNT, TAG
+    )
+    rows = nodes.collect()
+    users = {r["id"]: r["props"] for r in rows
+             if r["label"] == "NetlifyUser"}
+    invites = {r["id"]: r["props"] for r in rows
+               if r["label"] == "NetlifyInvite"}
+    assert ALICE in users
+    assert users[ALICE]["email"] == "alice@example.com"
+    assert users[ALICE]["connected_account_providers"] == "google"
+    assert "pending@example.com" in invites
+    # the keyless row is skipped entirely
+    assert len(rows) == len(users) + len(invites)
+    member_of = {
+        (e["src_id"], e["props"]["role"])
+        for e in edges.collect()
+        if e["rel_label"] == "MEMBER_OF"
+    }
+    assert (ALICE, "Owner") in member_of
+
+
+def test_site_flattening_and_deployed_from(spark, tmp_store, nl_fixture):
+    """sites.py:45-77 — build_settings flattening, the jwt_secret
+    presence boolean, DEPLOYED_FROM against a pre-ingested repo."""
+    gh = spark.createDataFrame(
+        [("GitHubRepository",
+          "https://github.com/exampleorg/example-git-site")],
+        "label string, id string",
+    ).select(
+        "label", "id", F.lit(TAG).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        F.lit(None).cast("array<string>").alias("extra_labels"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    )
+    tmp_store.merge_nodes(gh, TAG)
+
+    nodes, edges = transform_netlify_sites(
+        _raw(spark, nl_fixture["sites"]), ACCOUNT, TAG, store=tmp_store
+    )
+    rows = {r["id"]: r["props"] for r in nodes.collect()}
+    git_site = rows["99999999-8888-7777-6666-555555555555"]
+    assert git_site["repo_url"] == \
+        "https://github.com/exampleorg/example-git-site"
+    # no raw jwt secret prop ever lands in the graph
+    assert all("jwt_secret" not in p or p == "has_jwt_secret"
+               for r in rows.values() for p in r)
+    assert ("99999999-8888-7777-6666-555555555555",
+            "https://github.com/exampleorg/example-git-site") in {
+        (e["src_id"], e["dst_id"]) for e in edges.collect()
+        if e["rel_label"] == "DEPLOYED_FROM"
+    }
+
+
+def test_sync_and_gc(spark, tmp_store, nl_fixture):
+    sync_netlify(
+        tmp_store, _raw(spark, nl_fixture["accounts"][0]),
+        _raw(spark, nl_fixture["members"]),
+        _raw(spark, nl_fixture["sites"]), ACCOUNT, TAG,
+    )
+    accounts = {r["id"]: r["props"]
+                for r in tmp_store.nodes(["NetlifyAccount"]).collect()}
+    assert accounts[ACCOUNT]["slug"] == "example-team"
+    n_sites = len(tmp_store.nodes(["NetlifySite"]).collect())
+    assert n_sites == len(nl_fixture["sites"])
+
+    # a site deleted upstream → swept; members skipped → users survive
+    sync_netlify(
+        tmp_store, _raw(spark, nl_fixture["accounts"][0]), None,
+        _raw(spark, nl_fixture["sites"][:-1]), ACCOUNT, TAG + 1,
+    )
+    assert len(tmp_store.nodes(["NetlifySite"]).collect()) == n_sites - 1
+    assert tmp_store.nodes(["NetlifyUser"]).collect()

@@ -229,6 +229,12 @@ DEFAULT_USER_SOURCES: tuple[UserSource, ...] = (
         _F("has_mfa", "mfa_configured"),
         _F("lastactivity", "lastlogin"),
     ))),
+    UserSource("VercelUser", _mapping((
+        _F("email", "email", required=True),
+        _F("username", "username"),
+        _F("fullname", "name"),
+        _F("active", "confirmed"),
+    ))),
 )
 
 

@@ -1,0 +1,252 @@
+"""Vercel provider: team, users, projects.
+
+Mirrors the reference's ``intel/vercel/{teams,users,projects}.py``
+core as ``from_json`` + ``explode`` column expressions — zero Python
+rows.
+
+Graph shape (``models/vercel/*.py``):
+
+* ``VercelTeam`` (``Tenant`` extra label) — root.
+* ``VercelUser`` (id = ``uid``) — the ``joinedFrom`` map flattened to
+  its ``origin`` string when nested (``users.py:38-45``); both the
+  ``RESOURCE`` scope and a ``MEMBER_OF`` edge carrying
+  role/confirmed/joined_from props. ``UserAccount`` extra label
+  (``DEFAULT_USER_SOURCES``: email required, name → fullname,
+  confirmed → active).
+* ``VercelProject`` — camelCase build/runtime settings →
+  snake_case props; team ``RESOURCE`` scoping.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+TEAM_LABEL = "VercelTeam"
+
+VERCEL_TEAM_STRUCT = (
+    "struct<id:string, name:string, slug:string, avatar:string, "
+    "createdAt:string>"
+)
+VERCEL_USERS_STRUCT = (
+    "array<struct<uid:string, email:string, username:string, "
+    "name:string, role:string, createdAt:string, joinedFrom:string, "
+    "joinedFromObj:struct<origin:string>, confirmed:string>>"
+)
+VERCEL_PROJECTS_STRUCT = (
+    "array<struct<id:string, name:string, framework:string, "
+    "nodeVersion:string, buildCommand:string, devCommand:string, "
+    "installCommand:string, outputDirectory:string, "
+    "publicSource:string, serverlessFunctionRegion:string, "
+    "createdAt:string, updatedAt:string, autoExposeSystemEnvs:string, "
+    "rootDirectory:string, gitForkProtection:string, "
+    "skewProtectionMaxAge:string>>"
+)
+
+
+def _props_map(pairs: list[tuple[str, Column]]) -> Column:
+    return F.map_filter(
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k, _ in pairs]),
+            F.array(*[v.cast("string") for _, v in pairs]),
+        ),
+        lambda _k, v: v.isNotNull(),
+    )
+
+
+def _shape_nodes(df: DataFrame, update_tag: int, extra=None) -> DataFrame:
+    return df.select(
+        "label",
+        "id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        (extra if extra is not None else F.lit(None).cast("array<string>"))
+        .alias("extra_labels"),
+        "props",
+    )
+
+
+def _shape_edges(df: DataFrame, update_tag: int, team_id: str) -> DataFrame:
+    cols = df.columns
+    return df.select(
+        "src_label", "src_id", "rel_label", "dst_label", "dst_id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(TEAM_LABEL).alias("sub_resource_label"),
+        F.lit(team_id).alias("sub_resource_id"),
+        (F.col("props") if "props" in cols
+         else F.lit(None).cast("map<string,string>")).alias("props"),
+    ).dropDuplicates(["src_label", "src_id", "rel_label", "dst_label", "dst_id"])
+
+
+def transform_vercel_team(raw: DataFrame, update_tag: int) -> DataFrame:
+    team = raw.select(
+        F.from_json("payload_json", VERCEL_TEAM_STRUCT).alias("t")
+    ).select("t.*").where(F.col("id").isNotNull())
+    return _shape_nodes(
+        team.select(
+            F.lit(TEAM_LABEL).alias("label"),
+            F.col("id"),
+            _props_map([
+                ("name", F.col("name")),
+                ("slug", F.col("slug")),
+                ("avatar", F.col("avatar")),
+                ("created_at", F.col("createdAt")),
+            ]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+        extra=F.array(F.lit("Tenant")),
+    )
+
+
+def transform_vercel_users(
+    raw: DataFrame, team_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """``users.py:38-45``: joinedFrom flattens to its origin when the
+    API returns the map form (the scalar form passes through)."""
+    users = raw.select(
+        F.explode(F.from_json("payload_json", VERCEL_USERS_STRUCT))
+        .alias("u")
+    ).select("u.*").where(F.col("uid").isNotNull())
+    joined = F.coalesce(F.col("joinedFromObj.origin"),
+                        F.col("joinedFrom"))
+    nodes = _shape_nodes(
+        users.select(
+            F.lit("VercelUser").alias("label"),
+            F.col("uid").alias("id"),
+            _props_map([
+                ("email", F.col("email")),
+                ("username", F.col("username")),
+                ("name", F.col("name")),
+                ("role", F.col("role")),
+                ("created_at", F.col("createdAt")),
+                ("joined_from", joined),
+                ("confirmed", F.col("confirmed")),
+            ]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+        extra=F.array(F.lit("UserAccount")),
+    )
+    resource = users.select(
+        F.lit(TEAM_LABEL).alias("src_label"),
+        F.lit(team_id).alias("src_id"),
+        F.lit("RESOURCE").alias("rel_label"),
+        F.lit("VercelUser").alias("dst_label"),
+        F.col("uid").alias("dst_id"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    )
+    member_of = users.select(
+        F.lit("VercelUser").alias("src_label"),
+        F.col("uid").alias("src_id"),
+        F.lit("MEMBER_OF").alias("rel_label"),
+        F.lit(TEAM_LABEL).alias("dst_label"),
+        F.lit(team_id).alias("dst_id"),
+        _props_map([
+            ("role", F.col("role")),
+            ("confirmed", F.col("confirmed")),
+            ("joinedFrom", joined),
+        ]).alias("props"),
+    )
+    return nodes, _shape_edges(
+        resource.unionByName(member_of), update_tag, team_id
+    )
+
+
+def transform_vercel_projects(
+    raw: DataFrame, team_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    projects = raw.select(
+        F.explode(F.from_json("payload_json", VERCEL_PROJECTS_STRUCT))
+        .alias("p")
+    ).select("p.*").where(F.col("id").isNotNull())
+    nodes = _shape_nodes(
+        projects.select(
+            F.lit("VercelProject").alias("label"),
+            F.col("id"),
+            _props_map([
+                ("name", F.col("name")),
+                ("framework", F.col("framework")),
+                ("node_version", F.col("nodeVersion")),
+                ("build_command", F.col("buildCommand")),
+                ("dev_command", F.col("devCommand")),
+                ("install_command", F.col("installCommand")),
+                ("output_directory", F.col("outputDirectory")),
+                ("public_source", F.col("publicSource")),
+                ("serverless_function_region",
+                 F.col("serverlessFunctionRegion")),
+                ("created_at", F.col("createdAt")),
+                ("updated_at", F.col("updatedAt")),
+                ("auto_expose_system_envs",
+                 F.col("autoExposeSystemEnvs")),
+                ("root_directory", F.col("rootDirectory")),
+                ("git_fork_protection", F.col("gitForkProtection")),
+                ("skew_protection_max_age",
+                 F.col("skewProtectionMaxAge")),
+            ]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+    )
+    edges = projects.select(
+        F.lit(TEAM_LABEL).alias("src_label"),
+        F.lit(team_id).alias("src_id"),
+        F.lit("RESOURCE").alias("rel_label"),
+        F.lit("VercelProject").alias("dst_label"),
+        F.col("id").alias("dst_id"),
+    )
+    return nodes, _shape_edges(edges, update_tag, team_id)
+
+
+def sync_vercel(store, team_raw, users_raw, projects_raw, team_id: str,
+                update_tag: int) -> dict:
+    """``intel/vercel/__init__.py`` order: team → users → projects;
+    team-scoped GC for the stages that ran."""
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    metrics: dict = {}
+    ran: list[str] = []
+    if team_raw is not None:
+        metrics["team"] = store.merge_nodes(
+            transform_vercel_team(team_raw, update_tag), update_tag
+        )
+    if users_raw is not None:
+        nodes, edges = transform_vercel_users(
+            users_raw, team_id, update_tag
+        )
+        metrics["users_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["users_edges"] = store.merge_edges(edges, update_tag)
+        ran.append("VercelUser")
+    if projects_raw is not None:
+        nodes, edges = transform_vercel_projects(
+            projects_raw, team_id, update_tag
+        )
+        metrics["projects_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["projects_edges"] = store.merge_edges(edges, update_tag)
+        ran.append("VercelProject")
+    rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label=TEAM_LABEL,
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("TEAM_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    for label in ("VercelProject", "VercelUser"):
+        if label not in ran or label not in store.manifest["nodes"]:
+            continue
+        metrics[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=rel,
+            ),
+            update_tag,
+            {"TEAM_ID": team_id},
+        )
+    store.record_lineage("vercel_sync", {"update_tag": update_tag})
+    return metrics

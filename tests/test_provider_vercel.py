@@ -1,0 +1,100 @@
+"""Vercel provider parity, mirrored from the reference's
+``tests/integration/cartography/intel/vercel`` assertions over its
+actual ``tests/data/vercel/{teams,users,projects}.py`` fixtures
+(loaded read-only via the ast literal evaluator): team/user/project
+sets, the joinedFrom flattening, the role-carrying MEMBER_OF edge,
+and team-scoped GC + the user registry."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.vercel import (
+    sync_vercel,
+    transform_vercel_users,
+)
+from tests.test_fixture_parity_github import _load_fixture_ns
+
+FIXDIR = "/root/reference/tests/data/vercel"
+TEAM = "team_abc123"
+TAG = 123456789
+
+
+@pytest.fixture(scope="module")
+def vc_fixture():
+    if not os.path.isdir(FIXDIR):
+        pytest.skip("reference fixture not available")
+    return {
+        "team": _load_fixture_ns(f"{FIXDIR}/teams.py")["VERCEL_TEAM"],
+        "users": _load_fixture_ns(f"{FIXDIR}/users.py")["VERCEL_USERS"],
+        "projects": _load_fixture_ns(f"{FIXDIR}/projects.py")[
+            "VERCEL_PROJECTS"],
+    }
+
+
+def _raw(spark, data):
+    return spark.createDataFrame(
+        [(json.dumps(data),)], "payload_json string"
+    )
+
+
+def test_users_and_membership_props(spark, vc_fixture):
+    nodes, edges = transform_vercel_users(
+        _raw(spark, vc_fixture["users"]), TEAM, TAG
+    )
+    rows = {r["id"]: r["props"] for r in nodes.collect()}
+    assert {
+        (i, p["email"], p["role"]) for i, p in rows.items()
+    } == {
+        ("user_homer", "homer@example.com", "owner"),
+        ("user_marge", "marge@example.com", "member"),
+    }
+    assert rows["user_homer"]["joined_from"] == "github"
+    member_of = {
+        (e["src_id"], e["props"]["role"]) for e in edges.collect()
+        if e["rel_label"] == "MEMBER_OF"
+    }
+    assert member_of == {("user_homer", "owner"),
+                        ("user_marge", "member")}
+
+
+def test_sync_projects_gc_and_registry(spark, tmp_store, vc_fixture):
+    from cartography_spark.plans.ontology_users import (
+        DEFAULT_USER_SOURCES,
+        sync_ontology_users,
+    )
+
+    sync_vercel(
+        tmp_store, _raw(spark, vc_fixture["team"]),
+        _raw(spark, vc_fixture["users"]),
+        _raw(spark, vc_fixture["projects"]), TEAM, TAG,
+    )
+    teams = {r["id"]: r["props"]
+             for r in tmp_store.nodes(["VercelTeam"]).collect()}
+    assert teams[TEAM]["slug"] == "acme-corp"
+    projects = {r["id"]: r["props"]
+                for r in tmp_store.nodes(["VercelProject"]).collect()}
+    assert projects["prj_abc"]["framework"] == "nextjs"
+    assert projects["prj_abc"]["git_fork_protection"] == "true"
+
+    sources = tuple(
+        s for s in DEFAULT_USER_SOURCES
+        if s.node_label in tmp_store.manifest["nodes"]
+    )
+    sync_ontology_users(tmp_store, sources, TAG)
+    users = {r["id"]: r["props"]
+             for r in tmp_store.nodes(["User"]).collect()}
+    assert users["homer@example.com"]["fullname"] == "Homer Simpson"
+    assert users["homer@example.com"]["active"] == "true"
+
+    # a project deleted upstream → swept; users skipped → survive
+    sync_vercel(
+        tmp_store, _raw(spark, vc_fixture["team"]), None,
+        _raw(spark, vc_fixture["projects"][:1]), TEAM, TAG + 1,
+    )
+    assert {
+        r["id"] for r in tmp_store.nodes(["VercelProject"]).collect()
+    } == {"prj_abc"}
+    assert tmp_store.nodes(["VercelUser"]).collect()

@@ -229,6 +229,11 @@ DEFAULT_USER_SOURCES: tuple[UserSource, ...] = (
         _F("has_mfa", "mfa_configured"),
         _F("lastactivity", "lastlogin"),
     ))),
+    UserSource("RailwayUser", _mapping((
+        _F("email", "email", required=True),
+        _F("fullname", "name"),
+        _F("has_mfa", "two_factor_auth_enabled"),
+    ))),
     UserSource("VercelUser", _mapping((
         _F("email", "email", required=True),
         _F("username", "username"),

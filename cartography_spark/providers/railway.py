@@ -1,0 +1,270 @@
+"""Railway provider: workspace, users, projects.
+
+Mirrors the reference's ``intel/railway/{iam/users,projects}.py`` core
+as ``from_json`` + ``explode`` column expressions — zero Python rows.
+
+Graph shape (``models/railway/*.py``):
+
+* ``RailwayWorkspace`` (``Tenant`` extra label) — root; plan /
+  2FA-enforcement / SAML flags.
+* ``RailwayUser`` — the member split of ``iam/users.py:51-87``:
+  workspace members carry role + ``two_factor_auth_enabled``;
+  members seen ONLY through a project payload load with just
+  id/email/name and are NEVER asserted workspace members (no
+  MEMBER_OF-workspace edge). Workspace members get the role-carrying
+  ``(user)-[:MEMBER_OF]->(workspace)`` matchlink; project members get
+  ``(user)-[:MEMBER_OF]->(project)`` per
+  ``transform_project_memberships`` (:91-103). ``UserAccount`` extra
+  label (``DEFAULT_USER_SOURCES``: email required, name → fullname,
+  ``two_factor_auth_enabled`` → has_mfa).
+* ``RailwayProject`` — workspace ``RESOURCE`` scoping.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+WORKSPACE_LABEL = "RailwayWorkspace"
+
+RAILWAY_WORKSPACE_STRUCT = (
+    "struct<id:string, name:string, createdAt:string, "
+    "preferredRegion:string, projectCount:string, "
+    "has2FAEnforcement:string, hasSAML:string, plan:string, "
+    "members:array<struct<id:string, name:string, email:string, "
+    "role:string, twoFactorAuthEnabled:string>>>"
+)
+RAILWAY_PROJECTS_STRUCT = (
+    "array<struct<id:string, name:string, description:string, "
+    "createdAt:string, updatedAt:string, isPublic:string, "
+    "members:array<struct<id:string, name:string, email:string, "
+    "role:string>>>>"
+)
+
+
+def _props_map(pairs: list[tuple[str, Column]]) -> Column:
+    return F.map_filter(
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k, _ in pairs]),
+            F.array(*[v.cast("string") for _, v in pairs]),
+        ),
+        lambda _k, v: v.isNotNull(),
+    )
+
+
+def _shape_nodes(df: DataFrame, update_tag: int, extra=None) -> DataFrame:
+    return df.select(
+        "label",
+        "id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        (extra if extra is not None else F.lit(None).cast("array<string>"))
+        .alias("extra_labels"),
+        "props",
+    )
+
+
+def _shape_edges(df: DataFrame, update_tag: int, ws_id: str) -> DataFrame:
+    cols = df.columns
+    return df.select(
+        "src_label", "src_id", "rel_label", "dst_label", "dst_id",
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(WORKSPACE_LABEL).alias("sub_resource_label"),
+        F.lit(ws_id).alias("sub_resource_id"),
+        (F.col("props") if "props" in cols
+         else F.lit(None).cast("map<string,string>")).alias("props"),
+    ).dropDuplicates(["src_label", "src_id", "rel_label", "dst_label", "dst_id"])
+
+
+def transform_railway_workspace_and_users(
+    workspace_raw: DataFrame, projects_raw: DataFrame | None,
+    update_tag: int,
+) -> tuple[DataFrame, DataFrame, str | None]:
+    ws = workspace_raw.select(
+        F.from_json("payload_json", RAILWAY_WORKSPACE_STRUCT).alias("w")
+    ).select("w.*").where(F.col("id").isNotNull())
+    ws_row = ws.select("id").limit(1).collect()
+    ws_id = ws_row[0]["id"] if ws_row else None
+    ws_nodes = _shape_nodes(
+        ws.select(
+            F.lit(WORKSPACE_LABEL).alias("label"),
+            F.col("id"),
+            _props_map([
+                ("name", F.col("name")),
+                ("created_at", F.col("createdAt")),
+                ("preferred_region", F.col("preferredRegion")),
+                ("project_count", F.col("projectCount")),
+                ("has_2fa_enforcement", F.col("has2FAEnforcement")),
+                ("has_saml", F.col("hasSAML")),
+                ("plan", F.col("plan")),
+            ]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+        extra=F.array(F.lit("Tenant")),
+    )
+    ws_members = ws.select(
+        F.col("id").alias("ws_id"), F.explode_outer("members").alias("m")
+    ).where(F.col("m.id").isNotNull())
+    ws_user_nodes = ws_members.select(
+        F.lit("RailwayUser").alias("label"),
+        F.col("m.id").alias("id"),
+        _props_map([
+            ("email", F.col("m.email")),
+            ("name", F.col("m.name")),
+            ("role", F.col("m.role")),
+            ("two_factor_auth_enabled",
+             F.col("m.twoFactorAuthEnabled")),
+        ]).alias("props"),
+    ).dropDuplicates(["id"])
+
+    # project-only members: seen in a project payload but not the
+    # workspace member list — sparse projection, no workspace edge
+    proj_user_nodes = None
+    if projects_raw is not None:
+        proj_members = projects_raw.select(
+            F.explode(
+                F.from_json("payload_json", RAILWAY_PROJECTS_STRUCT)
+            ).alias("p")
+        ).select(F.explode_outer("p.members").alias("m")).where(
+            F.col("m.id").isNotNull()
+        )
+        ws_ids = ws_members.select(F.col("m.id").alias("known_id"))
+        proj_user_nodes = proj_members.join(
+            F.broadcast(ws_ids),
+            proj_members["m.id"] == ws_ids["known_id"], "left_anti",
+        ).select(
+            F.lit("RailwayUser").alias("label"),
+            F.col("m.id").alias("id"),
+            _props_map([
+                ("email", F.col("m.email")),
+                ("name", F.col("m.name")),
+            ]).alias("props"),
+        ).dropDuplicates(["id"])
+
+    user_nodes = ws_user_nodes
+    if proj_user_nodes is not None:
+        user_nodes = user_nodes.unionByName(proj_user_nodes)
+    nodes = ws_nodes.unionByName(_shape_nodes(
+        user_nodes, update_tag, extra=F.array(F.lit("UserAccount"))
+    ))
+
+    resource = ws_members.select(
+        F.lit(WORKSPACE_LABEL).alias("src_label"),
+        F.col("ws_id").alias("src_id"),
+        F.lit("RESOURCE").alias("rel_label"),
+        F.lit("RailwayUser").alias("dst_label"),
+        F.col("m.id").alias("dst_id"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    )
+    member_of = ws_members.select(
+        F.lit("RailwayUser").alias("src_label"),
+        F.col("m.id").alias("src_id"),
+        F.lit("MEMBER_OF").alias("rel_label"),
+        F.lit(WORKSPACE_LABEL).alias("dst_label"),
+        F.col("ws_id").alias("dst_id"),
+        _props_map([("role", F.col("m.role"))]).alias("props"),
+    )
+    edges = resource.unionByName(member_of)
+    if projects_raw is not None:
+        proj_memberships = projects_raw.select(
+            F.explode(
+                F.from_json("payload_json", RAILWAY_PROJECTS_STRUCT)
+            ).alias("p")
+        ).select(
+            F.col("p.id").alias("project_id"),
+            F.explode_outer("p.members").alias("m"),
+        ).where(F.col("m.id").isNotNull()).select(
+            F.lit("RailwayUser").alias("src_label"),
+            F.col("m.id").alias("src_id"),
+            F.lit("MEMBER_OF").alias("rel_label"),
+            F.lit("RailwayProject").alias("dst_label"),
+            F.col("project_id").alias("dst_id"),
+            _props_map([("role", F.col("m.role"))]).alias("props"),
+        )
+        edges = edges.unionByName(proj_memberships)
+    return nodes, _shape_edges(edges, update_tag, ws_id or ""), ws_id
+
+
+def transform_railway_projects(
+    raw: DataFrame, ws_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    projects = raw.select(
+        F.explode(F.from_json("payload_json", RAILWAY_PROJECTS_STRUCT))
+        .alias("p")
+    ).select("p.*").where(F.col("id").isNotNull())
+    nodes = _shape_nodes(
+        projects.select(
+            F.lit("RailwayProject").alias("label"),
+            F.col("id"),
+            _props_map([
+                ("name", F.col("name")),
+                ("description", F.col("description")),
+                ("created_at", F.col("createdAt")),
+                ("updated_at", F.col("updatedAt")),
+                ("is_public", F.col("isPublic")),
+            ]).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+    )
+    edges = projects.select(
+        F.lit(WORKSPACE_LABEL).alias("src_label"),
+        F.lit(ws_id).alias("src_id"),
+        F.lit("RESOURCE").alias("rel_label"),
+        F.lit("RailwayProject").alias("dst_label"),
+        F.col("id").alias("dst_id"),
+    )
+    return nodes, _shape_edges(edges, update_tag, ws_id)
+
+
+def sync_railway(store, workspace_raw, projects_raw,
+                 update_tag: int) -> dict:
+    """``intel/railway/__init__.py`` order: workspace + users →
+    projects; workspace-scoped GC for the stages that ran."""
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    metrics: dict = {}
+    ran: list[str] = []
+    nodes, edges, ws_id = transform_railway_workspace_and_users(
+        workspace_raw, projects_raw, update_tag
+    )
+    if ws_id is None:
+        raise ValueError("Railway workspace payload carries no id")
+    metrics["workspace_nodes"] = store.merge_nodes(nodes, update_tag)
+    metrics["workspace_edges"] = store.merge_edges(edges, update_tag)
+    ran.append("RailwayUser")
+    if projects_raw is not None:
+        p_nodes, p_edges = transform_railway_projects(
+            projects_raw, ws_id, update_tag
+        )
+        metrics["projects_nodes"] = store.merge_nodes(p_nodes, update_tag)
+        metrics["projects_edges"] = store.merge_edges(p_edges, update_tag)
+        ran.append("RailwayProject")
+    rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label=WORKSPACE_LABEL,
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("WORKSPACE_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    for label in ("RailwayProject", "RailwayUser"):
+        if label not in ran or label not in store.manifest["nodes"]:
+            continue
+        metrics[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=rel,
+            ),
+            update_tag,
+            {"WORKSPACE_ID": ws_id},
+        )
+    store.record_lineage("railway_sync", {"update_tag": update_tag})
+    return metrics

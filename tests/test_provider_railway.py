@@ -1,0 +1,110 @@
+"""Railway provider parity, mirrored from the reference's
+``tests/integration/cartography/intel/railway`` assertions over its
+actual ``tests/data/railway/{workspaces,projects}.py`` fixtures
+(loaded read-only via the ast literal evaluator): the workspace-vs-
+project-only member split, role-carrying memberships, and
+workspace-scoped GC."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.railway import (
+    sync_railway,
+    transform_railway_workspace_and_users,
+)
+from tests.test_fixture_parity_github import _load_fixture_ns
+
+FIXDIR = "/root/reference/tests/data/railway"
+WS = "11111111-1111-1111-1111-111111111111"
+ALICE = "22222222-2222-2222-2222-222222222222"
+TAG = 123456789
+
+
+@pytest.fixture(scope="module")
+def rw_fixture():
+    if not os.path.isdir(FIXDIR):
+        pytest.skip("reference fixture not available")
+    return {
+        "workspace": _load_fixture_ns(f"{FIXDIR}/workspaces.py")[
+            "RAILWAY_WORKSPACE"],
+        "projects": _load_fixture_ns(f"{FIXDIR}/projects.py")[
+            "RAILWAY_PROJECTS"],
+    }
+
+
+def _raw(spark, data):
+    return spark.createDataFrame(
+        [(json.dumps(data),)], "payload_json string"
+    )
+
+
+def test_member_split(spark, rw_fixture):
+    """iam/users.py:51-87 — a project-only member loads sparse and is
+    never asserted a workspace member."""
+    projects = json.loads(json.dumps(rw_fixture["projects"]))
+    projects[0].setdefault("members", [])
+    projects[0]["members"] = (projects[0].get("members") or []) + [
+        {"id": "proj-only-1", "name": "Contractor",
+         "email": "contractor@example.com", "role": "MEMBER"},
+    ]
+    nodes, edges, ws_id = transform_railway_workspace_and_users(
+        _raw(spark, rw_fixture["workspace"]), _raw(spark, projects), TAG
+    )
+    assert ws_id == WS
+    rows = {r["id"]: r["props"] for r in nodes.collect()
+            if r["label"] == "RailwayUser"}
+    assert rows[ALICE]["role"] == "ADMIN"
+    assert rows[ALICE]["two_factor_auth_enabled"] == "false"
+    assert "proj-only-1" in rows
+    assert "role" not in rows["proj-only-1"]   # sparse projection
+    es = edges.collect()
+    ws_members = {
+        e["src_id"] for e in es
+        if e["rel_label"] == "MEMBER_OF"
+        and e["dst_label"] == "RailwayWorkspace"
+    }
+    assert ALICE in ws_members
+    assert "proj-only-1" not in ws_members     # never a workspace member
+    proj_members = {
+        (e["src_id"], e["dst_id"]) for e in es
+        if e["rel_label"] == "MEMBER_OF"
+        and e["dst_label"] == "RailwayProject"
+    }
+    assert ("proj-only-1", projects[0]["id"]) in proj_members
+
+
+def test_sync_projects_gc_and_registry(spark, tmp_store, rw_fixture):
+    from cartography_spark.plans.ontology_users import (
+        DEFAULT_USER_SOURCES,
+        sync_ontology_users,
+    )
+
+    sync_railway(
+        tmp_store, _raw(spark, rw_fixture["workspace"]),
+        _raw(spark, rw_fixture["projects"]), TAG,
+    )
+    ws = {r["id"]: r["props"]
+          for r in tmp_store.nodes(["RailwayWorkspace"]).collect()}
+    assert ws[WS]["plan"] == "HOBBY"
+    n_projects = len(tmp_store.nodes(["RailwayProject"]).collect())
+    assert n_projects == len(rw_fixture["projects"])
+
+    sources = tuple(
+        s for s in DEFAULT_USER_SOURCES
+        if s.node_label in tmp_store.manifest["nodes"]
+    )
+    sync_ontology_users(tmp_store, sources, TAG)
+    users = {r["id"]: r["props"]
+             for r in tmp_store.nodes(["User"]).collect()}
+    assert users["alice@example.com"]["fullname"] == "Alice Example"
+    assert users["alice@example.com"]["has_mfa"] == "false"
+
+    # a project deleted upstream → swept
+    sync_railway(
+        tmp_store, _raw(spark, rw_fixture["workspace"]),
+        _raw(spark, rw_fixture["projects"][:1]), TAG + 1,
+    )
+    assert len(tmp_store.nodes(["RailwayProject"]).collect()) == 1

@@ -311,7 +311,7 @@ def test_all_rules_list_and_framework_filter():
     slsa = filter_rules_by_framework(ALL_RULES, "slsa")
     assert {r.id for r in slsa} == {"cicd_supply_chain", "code_platform_hardening"}
     cis = filter_rules_by_framework(ALL_RULES, "cis-identity")
-    assert {r.id for r in cis} == {"identity_hygiene"}
+    assert {r.id for r in cis} == {"identity_hygiene", "cis_aws_iam"}
 
 
 def test_stale_access_keys_fact(spark, posture_store):

@@ -171,7 +171,19 @@ def main() -> None:
     spark = get_spark("cartography_spark_bench", master=f"local[{cpus}]")
     result = run_bench(spark, sf_dir, n_repos, reps=reps)
     result["cpus"] = int(cpus)
-    print(json.dumps(result))
+    # full artifact (incl. rep_spread) goes to a sidecar the driver (or a
+    # human) can always read; BENCH_r03.json had parsed:null because the
+    # driver's byte-limited tail capture started mid-object on the long
+    # stdout line
+    with open(os.path.join(REPO, "BENCH_LAST.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    # the stdout contract line stays ONE compact JSON object, printed
+    # last (stop Spark first so no JVM shutdown chatter can follow it)
+    # and trimmed of the rep_spread map so it fits a small tail window
+    spark.stop()
+    line = {k: v for k, v in result.items() if k != "rep_spread"}
+    sys.stdout.flush()
+    print(json.dumps(line, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":

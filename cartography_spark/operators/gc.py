@@ -23,7 +23,7 @@ that actually contain the keys (partition map in the store manifest).
 
 from __future__ import annotations
 
-from typing import Any, Mapping
+from typing import Any, Iterable, Mapping
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -163,6 +163,136 @@ def run_cleanup(
     store.record_lineage(
         "cleanup", {"label": schema.label, "update_tag": update_tag, **result}
     )
+    return result
+
+
+def run_scoped_cleanup_for_scopes(
+    store: GraphStore,
+    schema: NodeSchema,
+    update_tag: int,
+    scope_ids: DataFrame | Iterable[str],
+    cascade_delete: bool = False,
+) -> dict[str, Any]:
+    """Case-1 scoped GC over a SET of sub-resource ids in ONE distributed
+    pass per table, replacing the reference's per-scope parameterized
+    cleanup loop (e.g. ``intel/gitlab/dependencies.py:536-553`` runs one
+    cleanup job per project_id).
+
+    Semantically identical to calling :func:`run_cleanup` once per scope
+    id, but the stale predicate is a semi-join against the scope frame,
+    so an org with 10^5 projects costs the same number of Spark jobs as
+    one with 10: one stale-node delete, one bulk stale-edge delete, one
+    groupBy for per-scope counts, one lineage record.
+
+    ``scope_ids`` is a one-column DataFrame (any column name) or an
+    iterable of id strings. Returns ``{"nodes_deleted", "edges_deleted",
+    "per_scope": {scope_id: stale_node_count}}``.
+    """
+    srr = schema.sub_resource_relationship
+    if srr is None or not schema.scoped_cleanup:
+        raise ValueError(
+            f"set-scoped cleanup of {schema.label} requires a sub-resource "
+            "relationship with scoped_cleanup=True"
+        )
+    sub_label = srr.target_node_label
+    if isinstance(scope_ids, DataFrame):
+        col = scope_ids.columns[0]
+        scope_df = scope_ids.select(F.col(col).cast("string").alias("sub_id"))
+    else:
+        ids = [str(s) for s in scope_ids]
+        if not ids:
+            store.record_lineage(
+                "cleanup_scoped_set",
+                {"label": schema.label, "update_tag": update_tag,
+                 "n_scopes": 0, "nodes_deleted": 0, "edges_deleted": 0},
+            )
+            return {"nodes_deleted": 0, "edges_deleted": 0, "per_scope": {}}
+        scope_df = store.spark.createDataFrame(
+            [(s,) for s in ids], "sub_id string"
+        )
+    # scope ids are distinct tenant keys — tiny relative to the graph;
+    # broadcast so the attach probes never shuffle the edge partitions
+    scope_df = F.broadcast(scope_df.distinct())
+
+    e = store.edges([srr.rel_label])
+    scope_src = scope_df.select(F.col("sub_id").alias("src_id"))
+    scope_dst = scope_df.select(F.col("sub_id").alias("dst_id"))
+    fwd = (
+        e.filter(
+            (F.col("src_label") == sub_label)
+            & (F.col("dst_label") == schema.label)
+        )
+        .join(scope_src, on="src_id")
+        .select(F.col("dst_id").alias("id"), F.col("src_id").alias("sub_id"))
+    )
+    rev = (
+        e.filter(
+            (F.col("dst_label") == sub_label)
+            & (F.col("src_label") == schema.label)
+        )
+        .join(scope_dst, on="dst_id")
+        .select(F.col("src_id").alias("id"), F.col("dst_id").alias("sub_id"))
+    )
+    attached = fwd.unionByName(rev).distinct()
+    stale_scoped = (
+        store.nodes([schema.label])
+        .filter(F.col("lastupdated") != int(update_tag))
+        .select("label", "id")
+        .join(attached, on="id")
+        .cache()
+    )
+    # per-scope accounting from ONE groupBy (result is #scopes rows —
+    # driver-safe), not one count job per scope
+    per_scope = {
+        r["sub_id"]: r["n"]
+        for r in stale_scoped.groupBy("sub_id").agg(
+            F.count_distinct("id").alias("n")
+        ).collect()
+    }
+    result: dict[str, Any] = {"nodes_deleted": 0, "edges_deleted": 0}
+    stale_keys = stale_scoped.select("label", "id").distinct()
+    if cascade_delete:
+        parent_is = "src" if srr.direction == LinkDirection.INWARD else "dst"
+        c = cascade_children(
+            store, stale_keys, srr.rel_label, update_tag, parent_is=parent_is
+        )
+        result["nodes_deleted"] += c["nodes_deleted"]
+        result["edges_deleted"] += c["edges_deleted"]
+    d = store.delete_nodes(stale_keys, detach=True)
+    stale_scoped.unpersist()
+    result["nodes_deleted"] += d["nodes_deleted"]
+    result["edges_deleted"] += d["edges_deleted"]
+    # declared-rel sweep: all rel labels in one bulk pass, stale rows
+    # selected by a semi-join against the scope set on sub_resource_id
+    rel_labels = [r.rel_label for r in schema.all_relationships]
+    if rel_labels:
+        cur = store.edges(rel_labels)
+        endpoint = (
+            (F.col("src_label") == schema.label)
+            | (F.col("dst_label") == schema.label)
+        )
+        stale_edge_keys = (
+            cur.filter(
+                endpoint
+                & (F.col("lastupdated") != int(update_tag))
+                & (F.col("sub_resource_label") == sub_label)
+            )
+            .join(
+                scope_df.select(F.col("sub_id").alias("sub_resource_id")),
+                on="sub_resource_id",
+                how="left_semi",
+            )
+            .select("src_label", "src_id", "rel_label", "dst_label", "dst_id")
+        )
+        result["edges_deleted"] += store.delete_edge_keys(
+            stale_edge_keys, rel_labels
+        )
+    store.record_lineage(
+        "cleanup_scoped_set",
+        {"label": schema.label, "update_tag": update_tag,
+         "n_scopes": len(per_scope), **result},
+    )
+    result["per_scope"] = per_scope
     return result
 
 

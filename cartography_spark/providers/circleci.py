@@ -303,7 +303,10 @@ def sync_circleci(store, orgs_raw, projects_raw, contexts_raw,
         RelSchema,
         TargetNodeMatcher,
     )
-    from cartography_spark.operators.gc import run_cleanup
+    from cartography_spark.operators.gc import (
+        run_cleanup,
+        run_scoped_cleanup_for_scopes,
+    )
 
     metrics: dict = {}
     ran: list[str] = []
@@ -329,26 +332,29 @@ def sync_circleci(store, orgs_raw, projects_raw, contexts_raw,
         metrics["contexts_nodes"] = store.merge_nodes(nodes, update_tag)
         metrics["contexts_edges"] = store.merge_edges(edges, update_tag)
         ran.append("CircleCIContext")
-    batch_projects: list[str] = []
+    batch_projects = None
     if pipelines_raw is not None:
         nodes, edges = transform_circleci_pipelines(
             pipelines_raw, org_id, update_tag
         )
         # project scope comes from the payload ENVELOPE, not the
         # emitted nodes — a project synced with zero pipelines must
-        # still get its stale pipelines swept
-        batch_projects = [
-            r["project_id"] for r in pipelines_raw.select(
+        # still get its stale pipelines swept; kept as a DataFrame so
+        # the GC semi-joins it (no driver collect, no per-project loop)
+        batch_projects = (
+            pipelines_raw.select(
                 F.explode(
                     F.from_json("payload_json", CIRCLECI_PIPELINES_STRUCT)
                 ).alias("pp")
-            ).select(F.col("pp.project_id").alias("project_id"))
-            .where(F.col("project_id").isNotNull()).distinct().collect()
-        ]
+            )
+            .select(F.col("pp.project_id").alias("sub_id"))
+            .where(F.col("sub_id").isNotNull())
+            .distinct()
+        )
         metrics["pipelines_nodes"] = store.merge_nodes(nodes, update_tag)
         metrics["pipelines_edges"] = store.merge_edges(edges, update_tag)
 
-    if "CircleCIPipeline" in store.manifest["nodes"]:
+    if batch_projects is not None and "CircleCIPipeline" in store.manifest["nodes"]:
         proj_rel = RelSchema(
             rel_label="RESOURCE",
             target_node_label="CircleCIProject",
@@ -357,17 +363,16 @@ def sync_circleci(store, orgs_raw, projects_raw, contexts_raw,
             ),
             direction=LinkDirection.INWARD,
         )
-        for project_id in batch_projects:
-            metrics[f"gc_CircleCIPipeline_{project_id}"] = run_cleanup(
-                store,
-                NodeSchema(
-                    label="CircleCIPipeline",
-                    properties={"id": PropertyRef("id")},
-                    sub_resource_relationship=proj_rel,
-                ),
-                update_tag,
-                {"PROJECT_ID": project_id},
-            )
+        metrics["gc_CircleCIPipeline"] = run_scoped_cleanup_for_scopes(
+            store,
+            NodeSchema(
+                label="CircleCIPipeline",
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=proj_rel,
+            ),
+            update_tag,
+            batch_projects,
+        )
     org_rel = RelSchema(
         rel_label="RESOURCE",
         target_node_label=ORG_LABEL,

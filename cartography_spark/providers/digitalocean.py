@@ -213,7 +213,10 @@ def sync_digitalocean(store, account_raw, projects_raw, droplets_raw,
         RelSchema,
         TargetNodeMatcher,
     )
-    from cartography_spark.operators.gc import run_cleanup
+    from cartography_spark.operators.gc import (
+        run_cleanup,
+        run_scoped_cleanup_for_scopes,
+    )
 
     metrics: dict = {}
     if account_raw is not None:
@@ -226,27 +229,26 @@ def sync_digitalocean(store, account_raw, projects_raw, droplets_raw,
         )
         metrics["projects_nodes"] = store.merge_nodes(nodes, update_tag)
         metrics["projects_edges"] = store.merge_edges(edges, update_tag)
-    batch_projects: set[str] = set()
+    batch_projects = None
     if droplets_raw is not None:
         nodes, edges = transform_do_droplets(
             droplets_raw, resources_raw, account_id, update_tag
         )
-        batch_projects.update(
-            r["project_id"] for r in nodes.select(
-                F.element_at("props", "project_id").alias("project_id")
-            ).distinct().collect()
-        )
+        batch_projects = nodes.select(
+            F.element_at("props", "project_id").alias("sub_id")
+        ).where(F.col("sub_id").isNotNull()).distinct()
         if resources_raw is not None:
             # the resources envelope names every project whose droplet
             # set was fetched — a project emptied of droplets must
-            # still sweep its stale ones (circleci envelope rule)
-            batch_projects.update(
-                r["proj_id"] for r in resources_raw.select(
+            # still sweep its stale ones (circleci envelope rule);
+            # kept as a DataFrame so the set-scoped GC semi-joins it
+            batch_projects = batch_projects.unionByName(
+                resources_raw.select(
                     F.explode(
                         F.from_json("payload_json", DO_RESOURCES_STRUCT)
                     ).alias("proj_id", "urns")
-                ).select("proj_id").distinct().collect()
-            )
+                ).select(F.col("proj_id").alias("sub_id"))
+            ).distinct()
         metrics["droplets_nodes"] = store.merge_nodes(nodes, update_tag)
         metrics["droplets_edges"] = store.merge_edges(edges, update_tag)
 
@@ -262,10 +264,8 @@ def sync_digitalocean(store, account_raw, projects_raw, droplets_raw,
             ),
             direction=LinkDirection.INWARD,
         )
-        for project_id in sorted(batch_projects):
-            if project_id == "None":
-                continue
-            metrics[f"gc_DODroplet_{project_id}"] = run_cleanup(
+        if batch_projects is not None:
+            metrics["gc_DODroplet"] = run_scoped_cleanup_for_scopes(
                 store,
                 NodeSchema(
                     label="DODroplet",
@@ -273,7 +273,7 @@ def sync_digitalocean(store, account_raw, projects_raw, droplets_raw,
                     sub_resource_relationship=proj_rel,
                 ),
                 update_tag,
-                {"PROJECT_ID": project_id},
+                batch_projects.where(F.col("sub_id") != "None"),
             )
     if projects_raw is not None and "DOProject" in store.manifest["nodes"]:
         acct_rel = RelSchema(

@@ -605,7 +605,6 @@ def _project_scoped_dep_gc(store, labels, project_ids, update_tag):
         RelSchema,
         TargetNodeMatcher,
     )
-    from cartography_spark.operators.gc import run_cleanup
 
     rel = RelSchema(
         rel_label="RESOURCE",
@@ -615,21 +614,25 @@ def _project_scoped_dep_gc(store, labels, project_ids, update_tag):
         ),
         direction=LinkDirection.INWARD,
     )
+    from cartography_spark.operators.gc import run_scoped_cleanup_for_scopes
+
+    # one set-scoped pass per LABEL (not per project): the stale
+    # predicate is a semi-join against the batch's project-id set, so
+    # the job count is independent of how many projects synced
     out = {}
     for label in labels:
         if label not in store.manifest["nodes"]:
             continue
-        for project_id in project_ids:
-            out[f"gc_{label}_{project_id}"] = run_cleanup(
-                store,
-                NodeSchema(
-                    label=label,
-                    properties={"id": PropertyRef("id")},
-                    sub_resource_relationship=rel,
-                ),
-                update_tag,
-                {"PROJECT_ID": project_id},
-            )
+        out[f"gc_{label}"] = run_scoped_cleanup_for_scopes(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=rel,
+            ),
+            update_tag,
+            project_ids,
+        )
     return out
 
 
@@ -680,16 +683,17 @@ def sync_gitlab(store, org_raw, groups_raw, projects_raw, languages_raw,
             ),
             update_tag,
         )
-    dep_projects: set[str] = set()
+    # batch project scope stays a DataFrame end-to-end — never
+    # collected to the driver; the set-scoped GC semi-joins against it
+    dep_projects = None
     if dep_files_raw is not None:
         nodes, edges = transform_gitlab_dependency_files(
             dep_files_raw, org_id, gitlab_url, update_tag
         )
-        dep_projects.update(
-            r["project_id"] for r in nodes.select(
-                F.element_at("props", "project_id").alias("project_id")
-            ).where(F.col("project_id").isNotNull()).distinct().collect()
-        )
+        scope = nodes.select(
+            F.element_at("props", "project_id").alias("sub_id")
+        ).where(F.col("sub_id").isNotNull()).distinct()
+        dep_projects = scope
         metrics["dep_files_nodes"] = store.merge_nodes(nodes, update_tag)
         metrics["dep_files_edges"] = store.merge_edges(edges, update_tag)
         ran.append("GitLabDependencyFile")
@@ -697,10 +701,12 @@ def sync_gitlab(store, org_raw, groups_raw, projects_raw, languages_raw,
         nodes, edges = transform_gitlab_dependencies(
             dependencies_raw, org_id, gitlab_url, update_tag
         )
-        dep_projects.update(
-            r["project_id"] for r in nodes.select(
-                F.element_at("props", "project_id").alias("project_id")
-            ).where(F.col("project_id").isNotNull()).distinct().collect()
+        scope = nodes.select(
+            F.element_at("props", "project_id").alias("sub_id")
+        ).where(F.col("sub_id").isNotNull()).distinct()
+        dep_projects = (
+            scope if dep_projects is None
+            else dep_projects.unionByName(scope).distinct()
         )
         metrics["deps_nodes"] = store.merge_nodes(nodes, update_tag)
         metrics["deps_edges"] = store.merge_edges(edges, update_tag)
@@ -708,13 +714,15 @@ def sync_gitlab(store, org_raw, groups_raw, projects_raw, languages_raw,
     # dependency labels are PROJECT-scoped (their RESOURCE edges come
     # from GitLabProject, never the org) and run children-first, per
     # project seen in this batch — the reference cleans them with
-    # project_id params (dependencies.py:536-553)
-    metrics.update(_project_scoped_dep_gc(
-        store,
-        tuple(l for l in ("GitLabDependency", "GitLabDependencyFile")
-              if l in ran),
-        sorted(dep_projects), update_tag,
-    ))
+    # project_id params (dependencies.py:536-553); here one set-scoped
+    # pass per label sweeps every batch project at once
+    if dep_projects is not None:
+        metrics.update(_project_scoped_dep_gc(
+            store,
+            tuple(l for l in ("GitLabDependency", "GitLabDependencyFile")
+                  if l in ran),
+            dep_projects, update_tag,
+        ))
     metrics.update(_scoped_gc(
         store,
         tuple(l for l in ("GitLabProject", "GitLabGroup", "GitLabUser")

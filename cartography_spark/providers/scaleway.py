@@ -276,21 +276,27 @@ def sync_scaleway(store, projects_raw, users_raw, instances_raw,
         RelSchema,
         TargetNodeMatcher,
     )
-    from cartography_spark.operators.gc import run_cleanup
+    from cartography_spark.operators.gc import (
+        run_cleanup,
+        run_scoped_cleanup_for_scopes,
+    )
 
     metrics: dict = {}
-    batch_projects: set[str] = set()
+    batch_projects = None
     if projects_raw is not None:
         # the reference threads projects_id from the projects sync into
         # every per-zone cleanup — a project whose instances all
-        # disappeared still gets its stale instances swept
-        batch_projects.update(
-            r["id"] for r in projects_raw.select(
+        # disappeared still gets its stale instances swept; kept as a
+        # DataFrame so the set-scoped GC semi-joins it (no driver loop)
+        batch_projects = (
+            projects_raw.select(
                 F.explode(
                     F.from_json("payload_json", SCALEWAY_PROJECTS_STRUCT)
                 ).alias("p")
-            ).select(F.col("p.id").alias("id"))
-            .where(F.col("id").isNotNull()).distinct().collect()
+            )
+            .select(F.col("p.id").alias("sub_id"))
+            .where(F.col("sub_id").isNotNull())
+            .distinct()
         )
     if projects_raw is not None:
         nodes, edges = transform_scaleway_projects(
@@ -308,10 +314,12 @@ def sync_scaleway(store, projects_raw, users_raw, instances_raw,
         nodes, edges = transform_scaleway_instances(
             instances_raw, org_id, update_tag
         )
-        batch_projects.update(
-            r["project_id"] for r in nodes.select(
-                F.element_at("props", "project_id").alias("project_id")
-            ).where(F.col("project_id").isNotNull()).distinct().collect()
+        inst_scope = nodes.select(
+            F.element_at("props", "project_id").alias("sub_id")
+        ).where(F.col("sub_id").isNotNull()).distinct()
+        batch_projects = (
+            inst_scope if batch_projects is None
+            else batch_projects.unionByName(inst_scope).distinct()
         )
         metrics["instances_nodes"] = store.merge_nodes(nodes, update_tag)
         metrics["instances_edges"] = store.merge_edges(edges, update_tag)
@@ -324,18 +332,21 @@ def sync_scaleway(store, projects_raw, users_raw, instances_raw,
         ),
         direction=LinkDirection.INWARD,
     )
-    if instances_raw is not None and "ScalewayInstance" in store.manifest["nodes"]:
-        for project_id in sorted(batch_projects):
-            metrics[f"gc_ScalewayInstance_{project_id}"] = run_cleanup(
-                store,
-                NodeSchema(
-                    label="ScalewayInstance",
-                    properties={"id": PropertyRef("id")},
-                    sub_resource_relationship=proj_rel,
-                ),
-                update_tag,
-                {"PROJECT_ID": project_id},
-            )
+    if (
+        instances_raw is not None
+        and batch_projects is not None
+        and "ScalewayInstance" in store.manifest["nodes"]
+    ):
+        metrics["gc_ScalewayInstance"] = run_scoped_cleanup_for_scopes(
+            store,
+            NodeSchema(
+                label="ScalewayInstance",
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=proj_rel,
+            ),
+            update_tag,
+            batch_projects,
+        )
     org_rel = RelSchema(
         rel_label="RESOURCE",
         target_node_label=ORG_LABEL,

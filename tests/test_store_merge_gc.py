@@ -462,3 +462,93 @@ def test_drop_churn_sort_order_sql():
         "ALTER TABLE cat.kg.edges WRITE ORDERED BY (rel_label, src_id)",
     ]
     assert not any("lastupdated" in s for s in sqls)  # never the churn column
+
+
+def test_set_scoped_gc_single_pass_many_scopes(spark, tmp_store):
+    """Set-based scoped GC (the round-3 verdict's one scale-killer):
+    sweeping N projects is ONE distributed pass — equivalent in effect
+    to run_cleanup per scope, but with a single delete_nodes and a
+    single stale-edge sweep recorded in lineage regardless of N."""
+    import json as _json
+
+    from cartography_spark.operators.gc import run_scoped_cleanup_for_scopes
+
+    s = tmp_store
+    # three tenants, two assets each at T1
+    for acct in ("acct1", "acct2", "acct3"):
+        load_assets(spark, s, [(f"{acct}-a", "x"), (f"{acct}-b", "y")], T1, acct)
+    # T2: acct1 keeps only -a, acct2 keeps only -b, acct3 NOT in batch
+    load_assets(spark, s, [("acct1-a", "x")], T2, "acct1")
+    load_assets(spark, s, [("acct2-b", "y")], T2, "acct2")
+
+    if hasattr(s, "_lineage_path"):
+        try:
+            with open(s._lineage_path) as f:
+                before = sum(1 for _ in f)
+        except FileNotFoundError:
+            before = 0
+
+    scope_df = spark.createDataFrame([("acct1",), ("acct2",)], "sub_id string")
+    res = run_scoped_cleanup_for_scopes(s, ASSET, T2, scope_df)
+
+    assert res["nodes_deleted"] == 2
+    assert res["per_scope"] == {"acct1": 1, "acct2": 1}
+    ids = {r[0] for r in s.nodes(["Asset"]).select("id").collect()}
+    # stale in-batch assets gone; acct3 (out of batch) fully preserved
+    assert ids == {"acct1-a", "acct2-b", "acct3-a", "acct3-b"}
+    rels = edges_set(s)
+    assert ("acct1", "RESOURCE", "acct1-b") not in rels
+    assert ("acct2", "RESOURCE", "acct2-a") not in rels
+    assert ("acct3", "RESOURCE", "acct3-a") in rels
+    assert ("acct3", "RESOURCE", "acct3-b") in rels
+
+    # lineage: the multi-scope sweep is ONE GC pass — exactly one
+    # cleanup_scoped_set record and exactly one delete_nodes record,
+    # independent of the number of scopes in the batch
+    if hasattr(s, "_lineage_path"):
+        with open(s._lineage_path) as f:
+            recs = [_json.loads(l) for l in f][before:]
+        stages = [r["stage"] for r in recs]
+        assert stages.count("cleanup_scoped_set") == 1
+        assert stages.count("delete_nodes") == 1
+        scoped = next(r for r in recs if r["stage"] == "cleanup_scoped_set")
+        assert scoped["n_scopes"] == 2
+        assert scoped["nodes_deleted"] == 2
+
+
+def test_set_scoped_gc_matches_per_scope_run_cleanup(spark, tmp_store):
+    """Equivalence: one set-scoped pass leaves the graph in exactly the
+    state N per-scope run_cleanup calls would."""
+    from cartography_spark.operators.gc import run_scoped_cleanup_for_scopes
+
+    s = tmp_store
+    for acct in ("a1", "a2", "a3"):
+        load_assets(spark, s, [(f"{acct}-x", "n"), (f"{acct}-y", "n")], T1, acct)
+    load_assets(spark, s, [("a1-x", "n")], T2, "a1")
+    load_assets(spark, s, [("a2-y", "n")], T2, "a2")
+    load_assets(spark, s, [("a3-x", "n"), ("a3-y", "n")], T2, "a3")
+
+    res = run_scoped_cleanup_for_scopes(s, ASSET, T2, ["a1", "a2", "a3"])
+    set_nodes, set_edges = nodes_set(s), edges_set(s)
+    assert res["nodes_deleted"] == 2
+    assert res["per_scope"] == {"a1": 1, "a2": 1}
+
+    # twin store, per-scope reference path
+    if not hasattr(s, "_lineage_path") or "Iceberg" in type(s).__name__:
+        return
+    from cartography_spark.store.graphstore import GraphStore
+
+    root = tempfile.mkdtemp(prefix="graphstore_twin_")
+    try:
+        t = GraphStore(spark, root)
+        for acct in ("a1", "a2", "a3"):
+            load_assets(spark, t, [(f"{acct}-x", "n"), (f"{acct}-y", "n")], T1, acct)
+        load_assets(spark, t, [("a1-x", "n")], T2, "a1")
+        load_assets(spark, t, [("a2-y", "n")], T2, "a2")
+        load_assets(spark, t, [("a3-x", "n"), ("a3-y", "n")], T2, "a3")
+        for acct in ("a1", "a2", "a3"):
+            run_cleanup(t, ASSET, T2, {"ACCOUNT_ID": acct})
+        assert nodes_set(t) == set_nodes
+        assert edges_set(t) == set_edges
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -478,22 +478,26 @@ def q_lang_id(spark, sf_dir):
 
 
 def _cosine_pairs(spark, sf_dir, query_filter):
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
     emb = _t(spark, sf_dir, "embeddings")
+    # q_norm computed ONCE per query row on the broadcast side, not per
+    # candidate pair inside the crossJoin
     q = emb.filter(query_filter).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        norm(F.col("embedding")).alias("q_norm"),
     )
     dot = F.aggregate(
         F.zip_with("embedding", "q_emb", lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
-    )
     return (
         emb.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("q_id"))
-        .withColumn("cos", dot / (norm(F.col("embedding")) * norm(F.col("q_emb"))))
+        .withColumn("cos", dot / (norm(F.col("embedding")) * F.col("q_norm")))
     )
 
 
@@ -933,18 +937,93 @@ def kg_extract_triples(spark, sf_dir):
 
 
 def kg_sync_graph(spark, sf_dir):
-    from cartography_spark.plans.pipeline import run_pipeline
-    from cartography_spark.sources.repo_files import synthesize_repo_files
+    """M1/M2/G-family through the REAL GraphStore, oracled: two MERGE
+    generations derived deterministically from ``customer``/``orders``
+    (so DuckDB can replay the semantics as a full-outer-join coalesce +
+    delete predicate), then unscoped node GC + stale-edge GC.
+
+    Checks, per surviving account: firstseen preserved across the
+    second MERGE (tag 1 iff the node existed in generation 1), props
+    last-writer-wins, stale nodes/edges deleted, edge firstseen
+    preserved for 5-tuples re-asserted in generation 2.
+    """
+    from cartography_spark.models.schema import NodeSchema, PropertyRef
+    from cartography_spark.operators.gc import run_cleanup
     from cartography_spark.store.graphstore import GraphStore
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+
+    def node_batch(pred, tag, suffix):
+        return c.filter(pred).select(
+            F.lit("Account").alias("label"),
+            F.col("c_custkey").cast("string").alias("id"),
+            F.lit(tag).cast("long").alias("lastupdated"),
+            F.lit(None).cast("string").alias("content_sha256"),
+            F.array().cast("array<string>").alias("extra_labels"),
+            F.create_map(
+                F.lit("segment"), F.concat(F.col("c_mktsegment"), F.lit(suffix))
+            ).alias("props"),
+        )
+
+    def edge_batch(pred, tag):
+        return o.filter(pred).select(
+            F.lit("Account").alias("src_label"),
+            F.col("o_custkey").cast("string").alias("src_id"),
+            F.lit("PLACED").alias("rel_label"),
+            F.lit("Order").alias("dst_label"),
+            F.col("o_orderkey").cast("string").alias("dst_id"),
+            F.lit(tag).cast("long").alias("lastupdated"),
+            F.lit(None).cast("string").alias("sub_resource_label"),
+            F.lit(None).cast("string").alias("sub_resource_id"),
+            F.lit(None).cast("map<string,string>").alias("props"),
+        )
 
     root = tempfile.mkdtemp(prefix="kg_sync_")
     store = GraphStore(spark, root)
-    run_pipeline(spark, synthesize_repo_files(spark, 15), store, update_tag=1)
+    gen1_nodes = F.col("c_custkey") % 3 != 0
+    gen2_nodes = F.col("c_custkey") % 2 == 0
+    gen1_edges = (F.col("o_custkey") % 3 != 0) & (F.col("o_orderkey") % 5 == 0)
+    gen2_edges = (F.col("o_custkey") % 2 == 0) & (F.col("o_orderkey") % 4 == 0)
+    store.merge_nodes(node_batch(gen1_nodes, 1, "@v1"), 1)
+    store.merge_edges(edge_batch(gen1_edges, 1), 1)
+    store.merge_nodes(node_batch(gen2_nodes, 2, "@v2"), 2)
+    store.merge_edges(edge_batch(gen2_edges, 2), 2)
+    run_cleanup(
+        store,
+        NodeSchema(
+            label="Account",
+            properties={"id": PropertyRef("id")},
+            scoped_cleanup=False,
+        ),
+        2,
+        {},
+    )
+    store.delete_edges("PLACED", F.col("lastupdated") != 2)
+    surviving_edges = (
+        store.edges(["PLACED"])
+        .groupBy(F.col("src_id").alias("id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.sum(F.when(F.col("firstseen") == 1, 1).otherwise(0)).alias(
+                "n_edges_carried"
+            ),
+        )
+    )
     return (
-        store.nodes()
-        .groupBy("label")
-        .agg(F.count("*").alias("n_nodes"))
-        .orderBy("label")
+        store.nodes(["Account"])
+        .join(surviving_edges, on="id", how="left")
+        .select(
+            F.col("id").cast("long").alias("custkey"),
+            "firstseen",
+            "lastupdated",
+            F.element_at("props", "segment").alias("segment"),
+            F.coalesce("n_edges", F.lit(0)).cast("long").alias("n_edges"),
+            F.coalesce("n_edges_carried", F.lit(0))
+            .cast("long")
+            .alias("n_edges_carried"),
+        )
+        .orderBy("custkey")
     )
 
 
@@ -969,21 +1048,70 @@ def kg_connected_components(spark, sf_dir):
 
 
 def kg_rules_engine(spark, sf_dir):
-    """N4 rules engine (rows-only): SQL facts over graph views on a
-    synthesized synced store."""
-    from cartography_spark.plans.pipeline import run_pipeline
-    from cartography_spark.plans.rules import UNPINNED_ACTIONS, run_fact
-    from cartography_spark.sources.repo_files import synthesize_repo_files
+    """N4 rules engine, oracled: the full engine path (``${NAME}``
+    param substitution, fail-fast schema validation, nodes/edges graph
+    views, anchor accounting) over a store populated deterministically
+    from ``customer``/``orders`` — so DuckDB can replay the fact
+    directly on the same tables. The shipped KG rule packs keep their
+    own pytest coverage; this entry pins the ENGINE semantics."""
+    from cartography_spark.plans.rules import Fact, run_fact
     from cartography_spark.store.graphstore import GraphStore
 
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    nodes = c.select(
+        F.lit("Account").alias("label"),
+        F.col("c_custkey").cast("string").alias("id"),
+        F.lit(1).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        F.array().cast("array<string>").alias("extra_labels"),
+        F.create_map(
+            F.lit("segment"), F.col("c_mktsegment"),
+            F.lit("acctbal"), F.col("c_acctbal").cast("string"),
+        ).alias("props"),
+    )
+    edges = o.select(
+        F.lit("Account").alias("src_label"),
+        F.col("o_custkey").cast("string").alias("src_id"),
+        F.lit("PLACED").alias("rel_label"),
+        F.lit("Order").alias("dst_label"),
+        F.col("o_orderkey").cast("string").alias("dst_id"),
+        F.lit(1).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("sub_resource_label"),
+        F.lit(None).cast("string").alias("sub_resource_id"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    )
     root = tempfile.mkdtemp(prefix="kg_rules_")
     store = GraphStore(spark, root)
-    run_pipeline(spark, synthesize_repo_files(spark, 12, files_per_repo=8), store, update_tag=1)
-    res = run_fact(store, UNPINNED_ACTIONS)
+    store.merge_nodes(nodes, 1)
+    store.merge_edges(edges, 1)
+    fact = Fact(
+        id="dormant_high_balance_accounts",
+        name="Dormant high-balance accounts",
+        description="Accounts in a segment holding a balance above the "
+        "threshold but placing fewer than MAX_ORDERS orders.",
+        sql_query="""
+            SELECT CAST(n.id AS BIGINT) AS account_id,
+                   CAST(COUNT(e.dst_id) AS BIGINT) AS n_orders
+            FROM nodes n LEFT JOIN edges e
+              ON e.rel_label = 'PLACED' AND e.src_label = 'Account'
+             AND e.src_id = n.id
+            WHERE n.label = 'Account'
+              AND n.props['segment'] = '${SEGMENT}'
+              AND CAST(n.props['acctbal'] AS DOUBLE) > CAST('${MIN_BAL}' AS DOUBLE)
+            GROUP BY n.id
+            HAVING COUNT(e.dst_id) < CAST('${MAX_ORDERS}' AS INT)
+        """,
+        count_sql="SELECT count(*) AS count FROM nodes WHERE label = 'Account'",
+        identity_fields=("account_id", "n_orders"),
+        asset_label="Account",
+        asset_id_field="account_id",
+        default_params={"SEGMENT": "BUILDING", "MIN_BAL": "5000",
+                        "MAX_ORDERS": "5"},
+    )
+    res = run_fact(store, fact)
     return (
-        res["findings"]
-        .select("repo_id", "action_ref", "asset_label")
-        .orderBy("repo_id", "action_ref")
+        res["findings"].select("account_id", "n_orders").orderBy("account_id")
     )
 
 
@@ -1351,6 +1479,40 @@ def oracle_sql() -> dict[str, str]:
             comp AS (SELECT id, min(reach) AS component FROM walk GROUP BY id),
             sizes AS (SELECT component, count(*) AS sz FROM comp GROUP BY component)
             SELECT sz, count(*) AS n_components FROM sizes GROUP BY sz ORDER BY sz
+        """,
+        # MERGE-with-firstseen + GC replayed as full-outer-join coalesce
+        # + delete predicate (the store keeps only generation-2 members;
+        # firstseen=1 iff the key existed in generation 1)
+        "kg_sync_graph": """
+            WITH b1 AS (SELECT c_custkey FROM customer WHERE c_custkey % 3 <> 0),
+            b2 AS (SELECT c_custkey, c_mktsegment FROM customer
+                   WHERE c_custkey % 2 = 0),
+            e2 AS (
+              SELECT o_custkey, o_orderkey,
+                     CASE WHEN o_orderkey % 5 = 0 AND o_custkey % 3 <> 0
+                          THEN 1 ELSE 2 END AS efs
+              FROM orders WHERE o_orderkey % 4 = 0 AND o_custkey % 2 = 0)
+            SELECT CAST(b2.c_custkey AS BIGINT) AS custkey,
+                   CAST(CASE WHEN b1.c_custkey IS NOT NULL THEN 1 ELSE 2 END
+                        AS BIGINT) AS firstseen,
+                   CAST(2 AS BIGINT) AS lastupdated,
+                   b2.c_mktsegment || '@v2' AS segment,
+                   CAST(COUNT(e2.o_orderkey) AS BIGINT) AS n_edges,
+                   CAST(COALESCE(SUM(CASE WHEN e2.efs = 1 THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS n_edges_carried
+            FROM b2 LEFT JOIN b1 ON b1.c_custkey = b2.c_custkey
+            LEFT JOIN e2 ON e2.o_custkey = b2.c_custkey
+            GROUP BY 1, 2, 3, 4
+            ORDER BY custkey
+        """,
+        "kg_rules_engine": """
+            SELECT CAST(c_custkey AS BIGINT) AS account_id,
+                   CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+            FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 5000
+            GROUP BY c_custkey
+            HAVING COUNT(o_orderkey) < 5
+            ORDER BY account_id
         """,
         "q_simhash_fingerprints": f"""
             WITH h AS (SELECT doc_id, md5(word) AS h FROM ({dwords})),

@@ -439,6 +439,104 @@ PUBLIC_SNAPSHOTS = Fact(
     asset_id_field="snapshot_id",
 )
 
+S3_PUBLIC_BUCKETS = Fact(
+    id="aws_s3_public",
+    name="Internet-Accessible S3 Storage Attack Surface",
+    description="S3 buckets marked anonymous-accessible by the ACL "
+    "exposure analysis or an internet-accessible bucket policy "
+    "(rules/data/rules/object_storage_public.py:10-53 twin).",
+    sql_query="""
+        SELECT n.id AS bucket_id, n.props['name'] AS bucket_name,
+               n.props['region'] AS region,
+               n.props['anonymous_actions'] AS anonymous_actions
+        FROM nodes n
+        WHERE n.label = 'AWSS3Bucket'
+          AND n.props['anonymous_access'] = 'true'
+    """,
+    count_sql="SELECT count(*) AS count FROM nodes "
+              "WHERE label = 'AWSS3Bucket'",
+    identity_fields=("bucket_id",),
+    asset_label="AWSS3Bucket",
+    asset_id_field="bucket_id",
+)
+
+S3_MFA_DELETE_DISABLED = Fact(
+    id="aws_s3_mfa_delete_disabled",
+    name="AWS S3 buckets without Versioning and MFA Delete",
+    description="Buckets where Versioning or MFA Delete is not enabled "
+    "(rules/data/rules/cis_aws_storage.py:51-87, CIS 3.1.2).",
+    sql_query="""
+        SELECT e.src_id AS account_id, n.id AS bucket_id,
+               n.props['region'] AS region,
+               n.props['versioning_status'] AS versioning_status,
+               coalesce(n.props['mfa_delete'] = 'Enabled', false)
+                 AS mfa_delete_enabled
+        FROM nodes n JOIN edges e
+          ON e.rel_label = 'RESOURCE' AND e.src_label = 'AWSAccount'
+         AND e.dst_label = 'AWSS3Bucket' AND e.dst_id = n.id
+        WHERE n.label = 'AWSS3Bucket'
+          AND (n.props['versioning_status'] IS NULL
+               OR n.props['versioning_status'] <> 'Enabled'
+               OR n.props['mfa_delete'] IS NULL
+               OR n.props['mfa_delete'] <> 'Enabled')
+    """,
+    count_sql="SELECT count(*) AS count FROM nodes "
+              "WHERE label = 'AWSS3Bucket'",
+    identity_fields=("bucket_id",),
+    asset_label="AWSS3Bucket",
+    asset_id_field="bucket_id",
+)
+
+S3_BLOCK_PUBLIC_ACCESS_DISABLED = Fact(
+    id="aws_s3_block_public_access_disabled",
+    name="AWS S3 buckets without full Block Public Access",
+    description="Buckets with any of the four BPA flags unset — except "
+    "buckets with NO bucket-level config at all, which purely inherit "
+    "account-level BPA (rules/data/rules/cis_aws_storage.py:127-204, "
+    "CIS 2.1.4).",
+    sql_query="""
+        SELECT n.id AS bucket_id, n.props['region'] AS region,
+               n.props['block_public_acls'] AS block_public_acls,
+               n.props['restrict_public_buckets'] AS restrict_public_buckets
+        FROM nodes n
+        WHERE n.label = 'AWSS3Bucket'
+          AND (coalesce(n.props['block_public_acls'], '') <> 'true'
+               OR coalesce(n.props['ignore_public_acls'], '') <> 'true'
+               OR coalesce(n.props['block_public_policy'], '') <> 'true'
+               OR coalesce(n.props['restrict_public_buckets'], '') <> 'true')
+          AND NOT (n.props['block_public_acls'] IS NULL
+                   AND n.props['ignore_public_acls'] IS NULL
+                   AND n.props['block_public_policy'] IS NULL
+                   AND n.props['restrict_public_buckets'] IS NULL)
+    """,
+    count_sql="SELECT count(*) AS count FROM nodes "
+              "WHERE label = 'AWSS3Bucket'",
+    identity_fields=("bucket_id",),
+    asset_label="AWSS3Bucket",
+    asset_id_field="bucket_id",
+)
+
+KMS_ANONYMOUS_KEYS = Fact(
+    id="aws_kms_key_anonymous_access",
+    name="KMS keys with internet-accessible key policies",
+    description="AWSKMSKey nodes whose key policy grants the wildcard "
+    "principal (intel/aws/kms.py:246-260 parse_policy analysis; no "
+    "reference rule pack covers KMS yet — this consumes the provider's "
+    "anonymous_access projection).",
+    sql_query="""
+        SELECT n.id AS key_id, n.props['arn'] AS key_arn,
+               n.props['anonymous_actions'] AS anonymous_actions
+        FROM nodes n
+        WHERE n.label = 'AWSKMSKey'
+          AND n.props['anonymous_access'] = 'true'
+    """,
+    count_sql="SELECT count(*) AS count FROM nodes "
+              "WHERE label = 'AWSKMSKey'",
+    identity_fields=("key_id",),
+    asset_label="AWSKMSKey",
+    asset_id_field="key_id",
+)
+
 UNMONITORED_DEVICES = Fact(
     id="device_security_posture_gaps",
     name="Canonical devices with no EDR observation",
@@ -884,6 +982,15 @@ def soc2_tsc(control: str) -> Framework:
         requirement=control,
     )
 
+
+def cis_aws(control: str) -> Framework:
+    """``frameworks/cis.py`` twin — one CIS AWS Benchmark control tag."""
+    return Framework(
+        name="CIS Amazon Web Services Foundations Benchmark",
+        short_name="cis-aws",
+        requirement=control,
+    )
+
 ALL_RULES: tuple[Rule, ...] = (
     Rule(
         id="cicd_supply_chain",
@@ -985,6 +1092,39 @@ ALL_RULES: tuple[Rule, ...] = (
         version="0.2.0",
         facts=(TAILSCALE_KEY_EXPIRY_DISABLED,),
         frameworks=(iso27001_annex_a("5.17"), soc2_tsc("CC6.1")),
+    ),
+    Rule(
+        id="object_storage_public",
+        name="Internet-Accessible Object Storage",
+        tags=("storage", "attack-surface", "stride:information_disclosure"),
+        description="Object storage reachable by anonymous principals "
+        "via ACL or bucket policy "
+        "(rules/data/rules/object_storage_public.py).",
+        version="1.0.0",
+        facts=(S3_PUBLIC_BUCKETS,),
+        frameworks=(iso27001_annex_a("8.3"), soc2_tsc("CC6.1")),
+    ),
+    Rule(
+        id="cis_aws_storage",
+        name="CIS AWS storage hardening",
+        tags=("storage", "s3", "cis", "compliance", "stride:tampering"),
+        description="S3 versioning/MFA-delete and Block Public Access "
+        "controls from the CIS AWS benchmark "
+        "(rules/data/rules/cis_aws_storage.py).",
+        version="1.0.0",
+        facts=(S3_MFA_DELETE_DISABLED, S3_BLOCK_PUBLIC_ACCESS_DISABLED),
+        frameworks=(cis_aws("3.1.2"), cis_aws("2.1.4"),
+                    iso27001_annex_a("8.10"), soc2_tsc("CC7.1")),
+    ),
+    Rule(
+        id="kms_key_exposure",
+        name="KMS key policy exposure",
+        tags=("kms", "encryption", "stride:information_disclosure"),
+        description="KMS keys whose policy admits the wildcard "
+        "principal.",
+        version="1.0.0",
+        facts=(KMS_ANONYMOUS_KEYS,),
+        frameworks=(iso27001_annex_a("8.24"), soc2_tsc("CC6.1")),
     ),
     Rule(
         id="cis_aws_iam",

@@ -1,0 +1,260 @@
+"""AWS KMS sync: keys + aliases + grants + key-policy analysis.
+
+Re-expresses ``intel/aws/kms.py`` as column expressions:
+
+* key base props from the DescribeKey metadata list
+  (``transform_kms_keys`` :144-163); datetime fields arrive as the
+  fixtures' ``str(datetime)`` form and convert to epoch longs
+  (``dict_date_to_epoch``);
+* node identity follows ``models/aws/kms/keys.py``: the node id is the
+  **KeyId** with ``arn`` as an extra-indexed prop — which is why the
+  arn-matched edges (grants' APPLIED_ON, S3's ENCRYPTED_BY) extract the
+  trailing ``key/{id}`` segment for their dst key;
+* aliases (``transform_kms_aliases`` :127-141): KNOWN_AS alias→key by
+  TargetKeyId, RESOURCE to the account (``models/aws/kms/aliases.py``);
+* grants (``transform_kms_grants`` :166-179): APPLIED_ON grant→key —
+  the grant's KeyId field carries the key ARN
+  (``models/aws/kms/grants.py:51-57`` matches on ``arn``);
+* key-policy internet accessibility (``parse_policy`` :246-260 via
+  policyuniverse; here the same documented Allow+wildcard-principal+
+  no-Condition subset as the S3 provider): ``anonymous_access`` /
+  ``anonymous_actions``; a null policy (AccessDenied,
+  ``transform_kms_key_policies`` :182-205) leaves both null.
+
+Scale: one ``from_json``+``explode`` per family, account+region as the
+partition keys, no row loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from cartography_spark.providers.aws_ec2 import _edge, _node
+from cartography_spark.providers.aws_s3 import (
+    POLICY_SCHEMA,
+    POLICY_WRAP_SCHEMA,
+    _wildcard_principal,
+)
+
+KEYS_SCHEMA = """
+    STRUCT<Keys: ARRAY<STRUCT<
+        AWSAccountId: STRING, KeyId: STRING, Arn: STRING,
+        CreationDate: STRING, Enabled: BOOLEAN, Description: STRING,
+        KeyUsage: STRING, KeyState: STRING, DeletionDate: STRING,
+        ValidTo: STRING, Origin: STRING, CustomKeyStoreId: STRING,
+        CloudHsmClusterId: STRING, ExpirationModel: STRING,
+        KeyManager: STRING, CustomerMasterKeySpec: STRING,
+        EncryptionAlgorithms: ARRAY<STRING>,
+        SigningAlgorithms: ARRAY<STRING>>>>
+"""
+
+ALIASES_SCHEMA = """
+    ARRAY<STRUCT<AliasName: STRING, AliasArn: STRING, TargetKeyId: STRING,
+                 CreationDate: STRING, LastUpdatedDate: STRING>>
+"""
+
+GRANTS_SCHEMA = """
+    ARRAY<STRUCT<KeyId: STRING, GrantId: STRING, Name: STRING,
+                 CreationDate: STRING, GranteePrincipal: STRING,
+                 IssuingAccount: STRING, Operations: ARRAY<STRING>>>
+"""
+
+
+def _epoch(c: Column) -> Column:
+    """``dict_date_to_epoch``: ``str(datetime)`` → epoch seconds."""
+    return F.unix_timestamp(F.to_timestamp(c))
+
+
+def _arn_key_id(c: Column) -> Column:
+    """Trailing ``key/{id}`` of a key ARN (bare ids pass through)."""
+    return F.when(
+        c.contains(":key/"), F.substring_index(c, ":key/", -1)
+    ).otherwise(c)
+
+
+def transform_kms(
+    keys_raw: DataFrame,
+    details_raw: DataFrame | None,
+    account_id: str,
+    region: str,
+    update_tag: int,
+) -> tuple[DataFrame, DataFrame]:
+    """``keys_raw(account_id, region, payload_json)`` ({"Keys": [...]})
+    + ``details_raw(account_id, key_id, policy_json, aliases_json,
+    grants_json)`` → (nodes, edges)."""
+    keys = keys_raw.select(
+        "account_id",
+        "region",
+        F.explode(F.from_json("payload_json", KEYS_SCHEMA)["Keys"]).alias("k"),
+    )
+
+    spark = keys_raw.sparkSession
+    if details_raw is None:
+        details_raw = spark.createDataFrame(
+            [],
+            "account_id string, key_id string, policy_json string, "
+            "aliases_json string, grants_json string",
+        )
+
+    # key-policy analysis (null policy → both props stay null)
+    pol = details_raw.select(
+        "key_id",
+        F.from_json(
+            F.from_json("policy_json", POLICY_WRAP_SCHEMA)["Policy"],
+            POLICY_SCHEMA,
+        )["Statement"].alias("stmts"),
+    ).filter(F.col("stmts").isNotNull())
+    open_actions = (
+        pol.select("key_id", F.explode("stmts").alias("s"))
+        .filter(
+            (F.col("s.Effect") == "Allow")
+            & F.col("s.Condition").isNull()
+            & _wildcard_principal(F.col("s.Principal"))
+        )
+        .select(
+            "key_id",
+            F.explode(
+                F.coalesce(
+                    F.from_json(F.col("s.Action"), "array<string>"),
+                    F.array(F.col("s.Action")),
+                )
+            ).alias("action"),
+        )
+        .groupBy("key_id")
+        .agg(F.sort_array(F.collect_set("action")).alias("open_actions"))
+    )
+    pol_props = pol.select("key_id").join(
+        open_actions, on="key_id", how="left"
+    ).select(
+        "key_id",
+        F.col("open_actions").isNotNull().alias("anonymous_access"),
+        F.to_json(
+            F.coalesce("open_actions", F.array().cast("array<string>"))
+        ).alias("anonymous_actions"),
+    )
+
+    keyed = keys.join(
+        pol_props, keys["k.KeyId"] == pol_props["key_id"], how="left"
+    )
+    key_nodes = _node(keyed, "AWSKMSKey", F.col("k.KeyId"), {
+        "key_id": F.col("k.KeyId"),
+        "arn": F.col("k.Arn"),
+        "description": F.col("k.Description"),
+        "enabled": F.col("k.Enabled"),
+        "key_state": F.col("k.KeyState"),
+        "key_usage": F.col("k.KeyUsage"),
+        "key_manager": F.col("k.KeyManager"),
+        "origin": F.col("k.Origin"),
+        "creation_date": _epoch(F.col("k.CreationDate")),
+        "deletion_date": _epoch(F.col("k.DeletionDate")),
+        "valid_to": _epoch(F.col("k.ValidTo")),
+        "custom_key_store_id": F.col("k.CustomKeyStoreId"),
+        "cloud_hsm_cluster_id": F.col("k.CloudHsmClusterId"),
+        "expiration_model": F.col("k.ExpirationModel"),
+        "customer_master_key_spec": F.col("k.CustomerMasterKeySpec"),
+        "encryption_algorithms": F.to_json(F.col("k.EncryptionAlgorithms")),
+        "signing_algorithms": F.to_json(F.col("k.SigningAlgorithms")),
+        "region": F.col("region"),
+        "anonymous_access": F.col("anonymous_access"),
+        "anonymous_actions": F.col("anonymous_actions"),
+    }, update_tag)
+
+    aliases = details_raw.filter(F.col("aliases_json").isNotNull()).select(
+        "account_id",
+        F.explode(F.from_json("aliases_json", ALIASES_SCHEMA)).alias("a"),
+    )
+    alias_nodes = _node(aliases, "AWSKMSAlias", F.col("a.AliasArn"), {
+        "arn": F.col("a.AliasArn"),
+        "alias_name": F.col("a.AliasName"),
+        "target_key_id": F.col("a.TargetKeyId"),
+        "creation_date": _epoch(F.col("a.CreationDate")),
+        "last_updated_date": _epoch(F.col("a.LastUpdatedDate")),
+    }, update_tag)
+
+    grants = details_raw.filter(F.col("grants_json").isNotNull()).select(
+        "account_id",
+        F.explode(F.from_json("grants_json", GRANTS_SCHEMA)).alias("g"),
+    )
+    grant_nodes = _node(grants, "AWSKMSGrant", F.col("g.GrantId"), {
+        "grant_id": F.col("g.GrantId"),
+        "name": F.col("g.Name"),
+        "grantee_principal": F.col("g.GranteePrincipal"),
+        "creation_date": _epoch(F.col("g.CreationDate")),
+        "key_id": F.col("g.KeyId"),
+        "issuing_account": F.col("g.IssuingAccount"),
+        "operations": F.to_json(F.col("g.Operations")),
+    }, update_tag)
+
+    nodes = key_nodes.unionByName(alias_nodes).unionByName(grant_nodes)
+    acct = F.lit(account_id)
+    sub = ("AWSAccount", acct)
+    edges = (
+        _edge(keys, "AWSAccount", acct, "RESOURCE", "AWSKMSKey",
+              F.col("k.KeyId"), update_tag, sub)
+        .unionByName(_edge(aliases, "AWSAccount", acct, "RESOURCE",
+                           "AWSKMSAlias", F.col("a.AliasArn"), update_tag,
+                           sub))
+        .unionByName(_edge(aliases, "AWSKMSAlias", F.col("a.AliasArn"),
+                           "KNOWN_AS", "AWSKMSKey", F.col("a.TargetKeyId"),
+                           update_tag, sub))
+        # grants are account sub-resources too (models/aws/kms/
+        # grants.py:61-73), with APPLIED_ON as the "other" rel
+        .unionByName(_edge(grants, "AWSAccount", acct, "RESOURCE",
+                           "AWSKMSGrant", F.col("g.GrantId"), update_tag,
+                           sub))
+        .unionByName(_edge(grants, "AWSKMSGrant", F.col("g.GrantId"),
+                           "APPLIED_ON", "AWSKMSKey",
+                           _arn_key_id(F.col("g.KeyId")), update_tag, sub))
+    )
+    return nodes, edges
+
+
+def sync_kms(
+    store,
+    keys_raw: DataFrame,
+    details_raw: DataFrame | None,
+    account_id: str,
+    region: str,
+    update_tag: int,
+) -> dict:
+    """get → transform → load → account-scoped GC per label
+    (``intel/aws/kms.py`` sync + schema cleanups)."""
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    nodes, edges = transform_kms(
+        keys_raw, details_raw, account_id, region, update_tag
+    )
+    metrics = {
+        "nodes": store.merge_nodes(nodes, update_tag),
+        "edges": store.merge_edges(edges, update_tag),
+    }
+    acct_rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label="AWSAccount",
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("AWS_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    for label in ("AWSKMSGrant", "AWSKMSAlias", "AWSKMSKey"):
+        if label not in store.manifest["nodes"]:
+            continue
+        metrics[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=acct_rel,
+            ),
+            update_tag,
+            {"AWS_ID": account_id},
+        )
+    store.record_lineage("aws_kms_sync", {"update_tag": update_tag})
+    return metrics

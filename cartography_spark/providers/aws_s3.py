@@ -1,0 +1,556 @@
+"""AWS S3 sync: buckets + ACLs + policy statements + composite details.
+
+Re-expresses ``intel/aws/s3.py`` as column expressions:
+
+* bucket base props from the ListBuckets payload
+  (``_transform_bucket_data`` / ``_merge_bucket_details`` :467-540 —
+  name, region, ``arn:aws:s3:::{name}`` synthesis, CreationDate as str);
+* composite detail groups (the reference's Composite Node Pattern,
+  ``load_s3_details`` :659-761): policy, encryption, versioning,
+  public-access-block, ownership controls, logging — each group's
+  props land on the bucket only when that detail column is non-null,
+  mirroring "skip loading a group when its fetch failed";
+* ACL grants (``parse_acl`` :857-931): one row per grant, grant types
+  CanonicalUser/Group kept, others skipped; the node id is the SAME
+  sha256 over the Python-``format`` string the reference builds
+  (``"{}:{}:{}..."`` with ``None`` rendered literally — replicated
+  with ``coalesce(col, 'None')``);
+* ACL exposure analysis (``analysis/aws/s3/analysis.py:7-105``):
+  AllUsers/AuthenticatedUsers grants set ``anonymous_access`` and add
+  the per-permission action sets — one groupBy, not five Cypher
+  statements;
+* policy statements (``parse_policy_statements`` :820-853):
+  ``posexplode`` keeps the 1-based statement index in the node id,
+  ``{bucket}/policy_statement/{i}`` plus ``/{Sid}`` when Sid is
+  present (an empty-string Sid still appends the slash, faithfully);
+  object/array-valued fields (Principal/Action/Resource/Condition)
+  ride through ``from_json`` STRING fields as compact raw JSON;
+* policy internet-accessibility (``parse_policy`` :762-817): the
+  reference delegates to policyuniverse; here a statement is counted
+  internet-accessible when Effect=Allow and the Principal contains
+  the wildcard principal (``"*"`` or ``{"AWS": "*"}``) with no
+  Condition — the subset of policyuniverse semantics the public
+  fixtures exercise, documented as such;
+* encryption → ``(:AWSS3Bucket)-[:ENCRYPTED_BY]->(:AWSKMSKey)`` when
+  the SSE rule names a KMS key (the key node id is the KeyId, so the
+  ARN's trailing ``key/{id}`` segment is extracted);
+* SNS notifications (``parse_notification_configuration`` :1087-1105)
+  → ``NOTIFIES`` edges.
+
+Scale: one ``from_json`` + ``explode`` per detail family; the account
+is the partition key; no Python row loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from cartography_spark.providers.aws_ec2 import _edge, _node
+
+LIST_BUCKETS_SCHEMA = """
+    STRUCT<Buckets: ARRAY<STRUCT<Name: STRING, CreationDate: STRING,
+                                 Region: STRING>>,
+           Owner: STRUCT<DisplayName: STRING, ID: STRING>>
+"""
+
+ACL_SCHEMA = """
+    STRUCT<Owner: STRUCT<DisplayName: STRING, ID: STRING>,
+           Grants: ARRAY<STRUCT<
+               Grantee: STRUCT<DisplayName: STRING, EmailAddress: STRING,
+                               ID: STRING, Type: STRING, URI: STRING>,
+               Permission: STRING>>>
+"""
+
+# Policy arrives as {"Policy": "<json string>"}; the inner document's
+# union-typed fields (Principal/Action/Resource/Condition) are STRING
+# so Spark passes objects/arrays through as raw compact JSON
+POLICY_WRAP_SCHEMA = "STRUCT<Policy: STRING>"
+POLICY_SCHEMA = """
+    STRUCT<Version: STRING, Id: STRING,
+           Statement: ARRAY<STRUCT<Sid: STRING, Effect: STRING,
+                                   Principal: STRING, Action: STRING,
+                                   Resource: STRING, Condition: STRING>>>
+"""
+
+ENCRYPTION_SCHEMA = """
+    STRUCT<ServerSideEncryptionConfiguration: STRUCT<
+        Rules: ARRAY<STRUCT<
+            ApplyServerSideEncryptionByDefault: STRUCT<
+                SSEAlgorithm: STRING, KMSMasterKeyID: STRING>,
+            BucketKeyEnabled: BOOLEAN>>>>
+"""
+
+VERSIONING_SCHEMA = "STRUCT<Status: STRING, MFADelete: STRING>"
+
+PAB_SCHEMA = """
+    STRUCT<PublicAccessBlockConfiguration: STRUCT<
+        BlockPublicAcls: BOOLEAN, IgnorePublicAcls: BOOLEAN,
+        BlockPublicPolicy: BOOLEAN, RestrictPublicBuckets: BOOLEAN>>
+"""
+
+OWNERSHIP_SCHEMA = """
+    STRUCT<OwnershipControls: STRUCT<
+        Rules: ARRAY<STRUCT<ObjectOwnership: STRING>>>>
+"""
+
+LOGGING_SCHEMA = """
+    STRUCT<LoggingEnabled: STRUCT<TargetBucket: STRING,
+                                  TargetPrefix: STRING>>
+"""
+
+NOTIFICATIONS_SCHEMA = """
+    STRUCT<TopicConfigurations: ARRAY<STRUCT<TopicArn: STRING,
+                                             Id: STRING>>>
+"""
+
+EXPOSED_URIS = (
+    "http://acs.amazonaws.com/groups/global/AllUsers",
+    "http://acs.amazonaws.com/groups/global/AuthenticatedUsers",
+)
+
+# analysis/aws/s3/analysis.py:7-105 permission → granted anonymous actions
+ACL_PERMISSION_ACTIONS = {
+    "READ": ["s3:ListBucket", "s3:ListBucketVersions",
+             "s3:ListBucketMultipartUploads"],
+    "WRITE": ["s3:PutObject"],
+    "READ_ACP": ["s3:GetBucketAcl"],
+    "WRITE_ACP": ["s3:PutBucketAcl"],
+    "FULL_CONTROL": ["s3:ListBucket", "s3:ListBucketVersions",
+                     "s3:ListBucketMultipartUploads", "s3:PutObject",
+                     "s3:DeleteObject", "s3:DeleteObjectVersion",
+                     "s3:PutBucketAcl"],
+}
+
+
+def _wildcard_principal(principal: Column) -> Column:
+    """True when the raw-JSON principal names the anonymous principal:
+    the bare string ``*`` or an AWS member equal to / containing ``*``."""
+    return (
+        (principal == "*")
+        | (F.get_json_object(principal, "$.AWS") == "*")
+        | F.coalesce(
+            F.array_contains(
+                F.from_json(F.get_json_object(principal, "$.AWS"),
+                            "array<string>"),
+                "*",
+            ),
+            F.lit(False),
+        )
+    )
+
+
+def _statements(details: DataFrame) -> DataFrame:
+    """One row per policy statement with its 1-based index."""
+    pol = details.filter(F.col("policy_json").isNotNull()).select(
+        "account_id",
+        "bucket",
+        F.from_json(
+            F.from_json("policy_json", POLICY_WRAP_SCHEMA)["Policy"],
+            POLICY_SCHEMA,
+        ).alias("p"),
+    )
+    return pol.select(
+        "account_id",
+        "bucket",
+        F.col("p.Id").alias("policy_id"),
+        F.col("p.Version").alias("policy_version"),
+        F.posexplode("p.Statement").alias("pos", "s"),
+    ).select(
+        "*",
+        F.concat(
+            F.col("bucket"),
+            F.lit("/policy_statement/"),
+            (F.col("pos") + 1).cast("string"),
+            # Sid present (even "") appends "/{Sid}" — parse_policy
+            # statements :837-839
+            F.when(
+                F.col("s.Sid").isNotNull(),
+                F.concat(F.lit("/"), F.col("s.Sid")),
+            ).otherwise(F.lit("")),
+        ).alias("statement_id"),
+    )
+
+
+def _acl_grants(details: DataFrame, account_id: str) -> DataFrame:
+    """One row per kept grant with the reference's sha256 node id."""
+    acl = details.filter(F.col("acl_json").isNotNull()).select(
+        "account_id",
+        "bucket",
+        F.from_json("acl_json", ACL_SCHEMA).alias("a"),
+    )
+    g = acl.select(
+        "account_id",
+        "bucket",
+        F.col("a.Owner.DisplayName").alias("owner"),
+        F.col("a.Owner.ID").alias("ownerid"),
+        F.explode("a.Grants").alias("g"),
+    ).filter(F.col("g.Grantee.Type").isin("CanonicalUser", "Group"))
+    is_user = F.col("g.Grantee.Type") == "CanonicalUser"
+    g = g.select(
+        "account_id",
+        "bucket",
+        "owner",
+        "ownerid",
+        F.col("g.Grantee.Type").alias("type"),
+        F.when(is_user, F.col("g.Grantee.DisplayName")).alias("displayname"),
+        F.when(is_user, F.col("g.Grantee.ID")).alias("granteeid"),
+        F.when(~is_user, F.col("g.Grantee.URI")).alias("uri"),
+        F.col("g.Permission").alias("permission"),
+    )
+    none = lambda c: F.coalesce(c, F.lit("None"))  # noqa: E731  Python str(None)
+    id_data = F.concat_ws(
+        ":",
+        F.lit(account_id),
+        none(F.col("owner")),
+        none(F.col("ownerid")),
+        none(F.col("type")),
+        none(F.col("displayname")),
+        none(F.col("granteeid")),
+        none(F.col("uri")),
+        none(F.col("permission")),
+    )
+    return g.withColumn("acl_id", F.sha2(id_data, 256))
+
+
+def _detail_props(details: DataFrame) -> DataFrame:
+    """Composite detail groups flattened to one row per bucket; a null
+    detail column leaves that group's props null (group skipped)."""
+    enc_rule = F.try_element_at(
+        F.from_json("encryption_json", ENCRYPTION_SCHEMA)[
+            "ServerSideEncryptionConfiguration"
+        ]["Rules"],
+        F.lit(1),
+    )
+    enc_alg = enc_rule["ApplyServerSideEncryptionByDefault"]["SSEAlgorithm"]
+    ver = F.from_json("versioning_json", VERSIONING_SCHEMA)
+    pab = F.from_json("public_access_block_json", PAB_SCHEMA)[
+        "PublicAccessBlockConfiguration"
+    ]
+    own = F.try_element_at(
+        F.from_json("ownership_json", OWNERSHIP_SCHEMA)["OwnershipControls"][
+            "Rules"
+        ],
+        F.lit(1),
+    )["ObjectOwnership"]
+    logging_enabled = F.from_json("logging_json", LOGGING_SCHEMA)[
+        "LoggingEnabled"
+    ]
+    return details.select(
+        "account_id",
+        "bucket",
+        # parse_encryption :934-969: missing algorithm → group skipped
+        F.when(enc_alg.isNotNull(), F.lit(True)).alias("default_encryption"),
+        F.when(enc_alg.isNotNull(), enc_alg).alias("encryption_algorithm"),
+        F.when(
+            enc_alg.isNotNull(),
+            enc_rule["ApplyServerSideEncryptionByDefault"]["KMSMasterKeyID"],
+        ).alias("encryption_key_id"),
+        F.when(enc_alg.isNotNull(), enc_rule["BucketKeyEnabled"]).alias(
+            "bucket_key_enabled"
+        ),
+        ver["Status"].alias("versioning_status"),
+        ver["MFADelete"].alias("mfa_delete"),
+        pab["BlockPublicAcls"].alias("block_public_acls"),
+        pab["IgnorePublicAcls"].alias("ignore_public_acls"),
+        pab["BlockPublicPolicy"].alias("block_public_policy"),
+        pab["RestrictPublicBuckets"].alias("restrict_public_buckets"),
+        own.alias("object_ownership"),
+        # parse_bucket_logging :1041-1084: {} → enabled=False; null → skip
+        F.when(
+            F.col("logging_json").isNotNull(),
+            logging_enabled["TargetBucket"].isNotNull(),
+        ).alias("logging_enabled"),
+        F.when(
+            F.col("logging_json").isNotNull(),
+            logging_enabled["TargetBucket"],
+        ).alias("logging_target_bucket"),
+    )
+
+
+def transform_s3(
+    buckets_raw: DataFrame,
+    details_raw: DataFrame,
+    account_id: str,
+    update_tag: int,
+    notifications_raw: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """``buckets_raw(account_id, payload_json)`` (ListBuckets) +
+    ``details_raw(account_id, bucket, acl_json, policy_json,
+    encryption_json, versioning_json, public_access_block_json,
+    ownership_json, logging_json)`` → (nodes, edges)."""
+    base = buckets_raw.select(
+        "account_id",
+        F.from_json("payload_json", LIST_BUCKETS_SCHEMA).alias("p"),
+    ).select("account_id", F.explode("p.Buckets").alias("b")).select(
+        "account_id",
+        F.col("b.Name").alias("bucket"),
+        F.col("b.Region").alias("region"),
+        F.col("b.CreationDate").alias("creationdate"),
+        F.concat(F.lit("arn:aws:s3:::"), F.col("b.Name")).alias("arn"),
+    )
+
+    stmts = _statements(details_raw)
+    acls = _acl_grants(details_raw, account_id)
+    dets = _detail_props(details_raw)
+
+    # policy internet accessibility (parse_policy :762-817, simplified
+    # policyuniverse subset: Allow + wildcard principal + no Condition)
+    open_stmts = stmts.filter(
+        (F.col("s.Effect") == "Allow")
+        & F.col("s.Condition").isNull()
+        & _wildcard_principal(F.col("s.Principal"))
+    )
+    pol_access = stmts.select("bucket").distinct().join(
+        open_stmts.select(
+            "bucket",
+            F.coalesce(
+                F.from_json(F.col("s.Action"), "array<string>"),
+                F.array(F.col("s.Action")),
+            ).alias("actions"),
+        )
+        .select("bucket", F.explode("actions").alias("action"))
+        .groupBy("bucket")
+        .agg(F.sort_array(F.collect_set("action")).alias("pol_actions")),
+        on="bucket",
+        how="left",
+    ).select(
+        "bucket",
+        F.col("pol_actions").isNotNull().alias("pol_anonymous"),
+        F.coalesce("pol_actions", F.array().cast("array<string>")).alias(
+            "pol_actions"
+        ),
+    )
+
+    # ACL exposure analysis (one groupBy instead of five statements)
+    perm_map = F.create_map(
+        *[
+            c
+            for perm, acts in ACL_PERMISSION_ACTIONS.items()
+            for c in (F.lit(perm), F.array(*[F.lit(a) for a in acts]))
+        ]
+    )
+    acl_access = (
+        acls.filter(F.col("uri").isin(*EXPOSED_URIS))
+        .select("bucket", F.explode(perm_map[F.col("permission")]).alias("a"))
+        .groupBy("bucket")
+        .agg(F.sort_array(F.collect_set("a")).alias("acl_actions"))
+    )
+
+    buckets = (
+        base.join(dets, on=["account_id", "bucket"], how="left")
+        .join(pol_access, on="bucket", how="left")
+        .join(acl_access, on="bucket", how="left")
+        .withColumn(
+            "anonymous_access",
+            F.when(
+                F.coalesce("pol_anonymous", F.lit(False))
+                | F.col("acl_actions").isNotNull(),
+                F.lit(True),
+            ),
+        )
+        .withColumn(
+            "anonymous_actions",
+            F.when(
+                F.col("anonymous_access"),
+                F.to_json(
+                    F.sort_array(
+                        F.array_distinct(
+                            F.concat(
+                                F.coalesce(
+                                    "pol_actions",
+                                    F.array().cast("array<string>"),
+                                ),
+                                F.coalesce(
+                                    "acl_actions",
+                                    F.array().cast("array<string>"),
+                                ),
+                            )
+                        )
+                    )
+                ),
+            ),
+        )
+    )
+
+    bucket_nodes = _node(buckets, "AWSS3Bucket", F.col("bucket"), {
+        "name": F.col("bucket"),
+        "region": F.col("region"),
+        "arn": F.col("arn"),
+        "creationdate": F.col("creationdate"),
+        "anonymous_access": F.col("anonymous_access"),
+        "anonymous_actions": F.col("anonymous_actions"),
+        "default_encryption": F.col("default_encryption"),
+        "encryption_algorithm": F.col("encryption_algorithm"),
+        "encryption_key_id": F.col("encryption_key_id"),
+        "bucket_key_enabled": F.col("bucket_key_enabled"),
+        "versioning_status": F.col("versioning_status"),
+        "mfa_delete": F.col("mfa_delete"),
+        "block_public_acls": F.col("block_public_acls"),
+        "ignore_public_acls": F.col("ignore_public_acls"),
+        "block_public_policy": F.col("block_public_policy"),
+        "restrict_public_buckets": F.col("restrict_public_buckets"),
+        "object_ownership": F.col("object_ownership"),
+        "logging_enabled": F.col("logging_enabled"),
+        "logging_target_bucket": F.col("logging_target_bucket"),
+    }, update_tag)
+    acl_nodes = _node(acls, "AWSS3Acl", F.col("acl_id"), {
+        "bucket": F.col("bucket"),
+        "owner": F.col("owner"),
+        "ownerid": F.col("ownerid"),
+        "type": F.col("type"),
+        "displayname": F.col("displayname"),
+        "granteeid": F.col("granteeid"),
+        "uri": F.col("uri"),
+        "permission": F.col("permission"),
+    }, update_tag)
+    stmt_nodes = _node(stmts, "AWSS3PolicyStatement", F.col("statement_id"), {
+        "bucket": F.col("bucket"),
+        "policy_id": F.col("policy_id"),
+        "policy_version": F.col("policy_version"),
+        "sid": F.col("s.Sid"),
+        "effect": F.col("s.Effect"),
+        "principal": F.col("s.Principal"),
+        "action": F.col("s.Action"),
+        "resource": F.col("s.Resource"),
+        "condition": F.col("s.Condition"),
+    }, update_tag)
+    nodes = bucket_nodes.unionByName(acl_nodes).unionByName(stmt_nodes)
+
+    acct = F.col("account_id")
+    sub = ("AWSAccount", acct)
+    edges = (
+        _edge(base, "AWSAccount", acct, "RESOURCE", "AWSS3Bucket",
+              F.col("bucket"), update_tag, sub)
+        # ACLs and statements are account sub-resources in their own
+        # right (models/aws/s3/acl.py:54-59, policy_statement.py:64-69)
+        .unionByName(_edge(acls, "AWSAccount", acct, "RESOURCE", "AWSS3Acl",
+                           F.col("acl_id"), update_tag, sub))
+        .unionByName(_edge(stmts, "AWSAccount", acct, "RESOURCE",
+                           "AWSS3PolicyStatement", F.col("statement_id"),
+                           update_tag, sub))
+        .unionByName(_edge(acls, "AWSS3Acl", F.col("acl_id"), "APPLIES_TO",
+                           "AWSS3Bucket", F.col("bucket"), update_tag, sub))
+        .unionByName(_edge(stmts, "AWSS3Bucket", F.col("bucket"),
+                           "POLICY_STATEMENT", "AWSS3PolicyStatement",
+                           F.col("statement_id"), update_tag, sub))
+    )
+    # ENCRYPTED_BY: composite group, NO sub_resource (rel-only cleanup —
+    # the reference's aws_s3_details.json job); AWSKMSKey id = KeyId, so
+    # take the ARN's trailing key/{id} (a bare id passes through)
+    kms_enc = buckets.filter(
+        (F.col("encryption_algorithm") == "aws:kms")
+        & F.col("encryption_key_id").isNotNull()
+    ).withColumn(
+        "kms_key_id",
+        F.when(
+            F.col("encryption_key_id").contains(":key/"),
+            F.substring_index(F.col("encryption_key_id"), ":key/", -1),
+        ).otherwise(F.col("encryption_key_id")),
+    )
+    edges = edges.unionByName(
+        _edge(kms_enc, "AWSS3Bucket", F.col("bucket"), "ENCRYPTED_BY",
+              "AWSKMSKey", F.col("kms_key_id"), update_tag)
+    )
+    if notifications_raw is not None:
+        topics = notifications_raw.select(
+            "account_id",
+            "bucket",
+            F.explode(
+                F.coalesce(
+                    F.from_json("notifications_json", NOTIFICATIONS_SCHEMA)[
+                        "TopicConfigurations"
+                    ],
+                    F.array().cast(
+                        "array<struct<TopicArn:string,Id:string>>"
+                    ),
+                )
+            ).alias("t"),
+        ).filter(F.col("t.TopicArn").isNotNull())
+        nodes = nodes.unionByName(
+            _node(topics, "AWSSNSTopic", F.col("t.TopicArn"), {
+                "arn": F.col("t.TopicArn"),
+            }, update_tag)
+        )
+        edges = edges.unionByName(
+            _edge(topics, "AWSS3Bucket", F.col("bucket"), "NOTIFIES",
+                  "AWSSNSTopic", F.col("t.TopicArn"), update_tag)
+        )
+    return nodes, edges
+
+
+def sync_s3(
+    store,
+    buckets_raw: DataFrame,
+    details_raw: DataFrame,
+    account_id: str,
+    update_tag: int,
+    notifications_raw: DataFrame | None = None,
+) -> dict:
+    """get → transform → load → scoped GC (``intel/aws/s3.py:1348+``):
+    bucket/ACL/statement labels sweep scoped to the account; the
+    ENCRYPTED_BY / NOTIFIES composite rels get rel-only cleanup."""
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    nodes, edges = transform_s3(
+        buckets_raw, details_raw, account_id, update_tag, notifications_raw
+    )
+    metrics = {
+        "nodes": store.merge_nodes(nodes, update_tag),
+        "edges": store.merge_edges(edges, update_tag),
+    }
+    acct_rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label="AWSAccount",
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("AWS_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    enc_rel = RelSchema(
+        rel_label="ENCRYPTED_BY",
+        target_node_label="AWSKMSKey",
+        target_node_matcher=TargetNodeMatcher({"id": PropertyRef("id")}),
+        direction=LinkDirection.OUTWARD,
+    )
+    notif_rel = RelSchema(
+        rel_label="NOTIFIES",
+        target_node_label="AWSSNSTopic",
+        target_node_matcher=TargetNodeMatcher({"id": PropertyRef("id")}),
+        direction=LinkDirection.OUTWARD,
+    )
+    for label in ("AWSS3Acl", "AWSS3PolicyStatement", "AWSS3Bucket"):
+        if label not in store.manifest["nodes"]:
+            continue
+        metrics[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=acct_rel,
+            ),
+            update_tag,
+            {"AWS_ID": account_id},
+        )
+    # the composite ENCRYPTED_BY / NOTIFIES edges carry no sub_resource
+    # (test_s3.py:273-276: "the encryption rel cleanup (no sub_resource)
+    # runs globally") → rel-only cleanup, node rows untouched
+    if "AWSS3Bucket" in store.manifest["nodes"]:
+        metrics["gc_s3_composite_rels"] = run_cleanup(
+            store,
+            NodeSchema(
+                label="AWSS3Bucket",
+                properties={"id": PropertyRef("id")},
+                other_relationships=(enc_rel, notif_rel),
+            ),
+            update_tag,
+            {},
+        )
+    store.record_lineage("aws_s3_sync", {"update_tag": update_tag})
+    return metrics

@@ -1,0 +1,193 @@
+"""AWS KMS provider parity, mirrored from the reference's
+``tests/integration/cartography/intel/aws/test_kms.py`` assertions over
+its actual ``tests/data/aws/kms.py`` fixture (loaded read-only via the
+ast literal evaluator): key identity (id=KeyId, arn extra-indexed),
+aliases KNOWN_AS, grants APPLIED_ON matched by the grant's key ARN,
+key-policy anonymous analysis, account-scoped GC."""
+
+import datetime
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.aws_kms import sync_kms, transform_kms
+from tests.test_fixture_parity_github import _load_fixture_ns
+
+FIXTURE = "/root/reference/tests/data/aws/kms.py"
+ACCOUNT, REGION, TAG = "000000000000", "eu-west-1", 123456789
+KEY1 = "9a1ad414-6e3b-47ce-8366-6b8f26ba467d"
+KEY2 = "9a1ad414-6e3b-47ce-8366-6b8f28bc777g"
+ARN1 = f"arn:aws:kms:eu-west-1:000000000000:key/{KEY1}"
+ARN2 = f"arn:aws:kms:eu-west-1:000000000000:key/{KEY2}"
+
+DETAILS_DDL = (
+    "account_id string, key_id string, policy_json string, "
+    "aliases_json string, grants_json string"
+)
+
+OPEN_POLICY = {
+    "Policy": json.dumps({
+        "Version": "2012-10-17",
+        "Statement": [
+            {"Sid": "open", "Effect": "Allow", "Principal": "*",
+             "Action": ["kms:Decrypt"], "Resource": "*"},
+        ],
+    }),
+}
+
+
+@pytest.fixture(scope="module")
+def fix():
+    if not os.path.exists(FIXTURE):
+        pytest.skip("reference fixture not available")
+    return _load_fixture_ns(
+        FIXTURE, stubs={"datetime.datetime": datetime.datetime}
+    )
+
+
+def _raws(spark, fix, with_policy=True):
+    keys = spark.createDataFrame(
+        [(ACCOUNT, REGION,
+          json.dumps({"Keys": fix["DESCRIBE_KEYS"]}, default=str))],
+        "account_id string, region string, payload_json string",
+    )
+    details = spark.createDataFrame(
+        [
+            (ACCOUNT, KEY1, None,
+             json.dumps(fix["DESCRIBE_ALIASES"], default=str),
+             json.dumps(fix["DESCRIBE_GRANTS"], default=str)),
+            (ACCOUNT, KEY2,
+             json.dumps(OPEN_POLICY) if with_policy else None, None, None),
+        ],
+        DETAILS_DDL,
+    )
+    return keys, details
+
+
+@pytest.fixture(scope="module")
+def emitted(spark, fix):
+    keys, details = _raws(spark, fix)
+    nodes, edges = transform_kms(keys, details, ACCOUNT, REGION, TAG)
+    return nodes.cache(), edges.cache()
+
+
+def _props(nodes, label):
+    return {
+        r["id"]: r["props"]
+        for r in nodes.filter(F.col("label") == label).collect()
+    }
+
+
+def _rels(edges, src_label, rel, dst_label):
+    return {
+        (r["src_id"], r["dst_id"])
+        for r in edges.filter(
+            (F.col("src_label") == src_label)
+            & (F.col("rel_label") == rel)
+            & (F.col("dst_label") == dst_label)
+        ).collect()
+    }
+
+
+def test_key_nodes(emitted):
+    """test_kms.py:27-38 — (arn, key_id); id is the KeyId
+    (models/aws/kms/keys.py:23)."""
+    nodes, _ = emitted
+    keys = _props(nodes, "AWSKMSKey")
+    assert {(p["arn"], p["key_id"]) for p in keys.values()} == {
+        (ARN1, KEY1), (ARN2, KEY2),
+    }
+    assert set(keys) == {KEY1, KEY2}
+    k1 = keys[KEY1]
+    assert (k1["key_state"], k1["key_manager"], k1["origin"]) == (
+        "Enabled", "CUSTOMER", "AWS_KMS")
+    assert k1["custom_key_store_id"] == "test-cks-01"
+    assert k1["customer_master_key_spec"] == "RSA_2048"
+    assert json.loads(k1["signing_algorithms"]) == ["RSASSA_PSS_SHA_512"]
+    # dict_date_to_epoch: epoch long, not the raw string
+    assert k1["creation_date"].isdigit()
+    assert keys[KEY2]["key_state"] == "Disabled"
+
+
+def test_account_resource_rels(emitted):
+    """test_kms.py:67-89 — RESOURCE account→key (arn-identified in the
+    reference; the key node id here IS the KeyId of those arns)."""
+    _, edges = emitted
+    assert _rels(edges, "AWSAccount", "RESOURCE", "AWSKMSKey") == {
+        (ACCOUNT, KEY1), (ACCOUNT, KEY2),
+    }
+
+
+def test_aliases(emitted):
+    """test_kms.py:93-160 — alias nodes (arn, alias_name) + KNOWN_AS."""
+    nodes, edges = emitted
+    aliases = _props(nodes, "AWSKMSAlias")
+    assert {(p["arn"], p["alias_name"]) for p in aliases.values()} == {
+        ("arn:aws:kms:eu-west-1:000000000000:alias/key2-cartography",
+         "Cartography-A"),
+        ("arn:aws:kms:eu-west-1:000000000000:alias/key2-testing",
+         "Prod-Testing"),
+    }
+    assert _rels(edges, "AWSKMSAlias", "KNOWN_AS", "AWSKMSKey") == {
+        ("arn:aws:kms:eu-west-1:000000000000:alias/key2-cartography", KEY1),
+        ("arn:aws:kms:eu-west-1:000000000000:alias/key2-testing", KEY1),
+    }
+    assert _rels(edges, "AWSAccount", "RESOURCE", "AWSKMSAlias") == {
+        (ACCOUNT, "arn:aws:kms:eu-west-1:000000000000:alias/key2-cartography"),
+        (ACCOUNT, "arn:aws:kms:eu-west-1:000000000000:alias/key2-testing"),
+    }
+
+
+def test_grants(emitted):
+    """test_kms.py:163-236 — grant node + APPLIED_ON matched by the
+    grant's KeyId ARN (models/aws/kms/grants.py:51-57)."""
+    nodes, edges = emitted
+    grants = _props(nodes, "AWSKMSGrant")
+    assert set(grants) == {"key-consolepolicy-3"}
+    g = grants["key-consolepolicy-3"]
+    assert g["grantee_principal"] == "user"
+    assert g["issuing_account"] == ACCOUNT
+    assert json.loads(g["operations"]) == ["Encrypt"]
+    assert _rels(edges, "AWSKMSGrant", "APPLIED_ON", "AWSKMSKey") == {
+        ("key-consolepolicy-3", KEY1),
+    }
+
+
+def test_policy_analysis(emitted):
+    """parse_policy (kms.py:246-260) subset: KEY2 has an Allow/*/no-
+    condition statement → anonymous; KEY1's policy is null
+    (AccessDenied, transform_kms_key_policies :182-205) → both null."""
+    nodes, _ = emitted
+    keys = _props(nodes, "AWSKMSKey")
+    assert keys[KEY2]["anonymous_access"] == "true"
+    assert json.loads(keys[KEY2]["anonymous_actions"]) == ["kms:Decrypt"]
+    assert keys[KEY1].get("anonymous_access") is None
+    assert keys[KEY1].get("anonymous_actions") is None
+
+
+def test_two_run_gc(spark, tmp_store, fix):
+    """Account-scoped GC: run 2 drops KEY2 and all alias/grant details
+    → stale key, aliases and grants swept; KEY1 survives."""
+    s = tmp_store
+    keys, details = _raws(spark, fix)
+    sync_kms(s, keys, details, ACCOUNT, REGION, TAG)
+    assert {r["id"] for r in s.nodes(["AWSKMSKey"]).collect()} == {KEY1, KEY2}
+    assert s.nodes(["AWSKMSAlias"]).count() == 2
+    assert s.nodes(["AWSKMSGrant"]).count() == 1
+
+    only_key1 = [k for k in fix["DESCRIBE_KEYS"] if k["KeyId"] == KEY1]
+    keys2 = spark.createDataFrame(
+        [(ACCOUNT, REGION, json.dumps({"Keys": only_key1}, default=str))],
+        "account_id string, region string, payload_json string",
+    )
+    sync_kms(s, keys2, None, ACCOUNT, REGION, TAG + 1)
+    assert {r["id"] for r in s.nodes(["AWSKMSKey"]).collect()} == {KEY1}
+    assert s.nodes(["AWSKMSAlias"]).count() == 0
+    assert s.nodes(["AWSKMSGrant"]).count() == 0
+    rels = {
+        (r["rel_label"], r["src_id"], r["dst_id"])
+        for r in s.edges().collect()
+    }
+    assert rels == {("RESOURCE", ACCOUNT, KEY1)}

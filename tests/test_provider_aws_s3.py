@@ -1,0 +1,313 @@
+"""AWS S3 provider parity, mirrored from the reference's
+``tests/integration/cartography/intel/aws/test_s3.py`` assertions over
+its actual ``tests/data/aws/s3.py`` fixture (loaded read-only via the
+ast literal evaluator): bucket base props, ACL sha256 identity, ACL
+exposure analysis, policy statements with positional ids, composite
+detail groups, ENCRYPTED_BY / NOTIFIES edges, scoped GC."""
+
+import datetime
+import hashlib
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.aws_s3 import sync_s3, transform_s3
+from tests.test_fixture_parity_github import _load_fixture_ns
+
+FIXTURE = "/root/reference/tests/data/aws/s3.py"
+ACCOUNT, TAG = "000000000000", 123456789
+
+DETAILS_DDL = (
+    "account_id string, bucket string, acl_json string, policy_json string, "
+    "encryption_json string, versioning_json string, "
+    "public_access_block_json string, ownership_json string, "
+    "logging_json string"
+)
+
+
+@pytest.fixture(scope="module")
+def fix():
+    if not os.path.exists(FIXTURE):
+        pytest.skip("reference fixture not available")
+    return _load_fixture_ns(
+        FIXTURE,
+        stubs={"datetime.datetime": datetime.datetime,
+               "json.dumps": json.dumps},
+    )
+
+
+def _dt_str(d):
+    return json.loads(json.dumps(d, default=str))
+
+
+def _raws(spark, fix):
+    buckets = spark.createDataFrame(
+        [(ACCOUNT, json.dumps(fix["LIST_BUCKETS"], default=str))],
+        "account_id string, payload_json string",
+    )
+    rows = []
+    for (bucket, acl, policy, enc, ver, pab, own, logging) in fix[
+        "GET_S3_BUCKET_DETAILS"
+    ]:
+        rows.append((
+            ACCOUNT,
+            bucket,
+            json.dumps(acl) if acl is not None else None,
+            json.dumps(policy) if policy is not None else None,
+            json.dumps(enc) if enc is not None else None,
+            json.dumps(ver) if ver is not None else None,
+            json.dumps(pab) if pab is not None else None,
+            json.dumps(own) if own is not None else None,
+            json.dumps(logging) if logging is not None else None,
+        ))
+    details = spark.createDataFrame(rows, DETAILS_DDL)
+    notifications = spark.createDataFrame(
+        [(ACCOUNT, "bucket-1", json.dumps(fix["S3_NOTIFICATIONS"]))],
+        "account_id string, bucket string, notifications_json string",
+    )
+    return buckets, details, notifications
+
+
+@pytest.fixture(scope="module")
+def emitted(spark, fix):
+    buckets, details, notifications = _raws(spark, fix)
+    nodes, edges = transform_s3(buckets, details, ACCOUNT, TAG,
+                                notifications)
+    return nodes.cache(), edges.cache()
+
+
+def _props(nodes, label):
+    return {
+        r["id"]: r["props"]
+        for r in nodes.filter(F.col("label") == label).collect()
+    }
+
+
+def _rels(edges, src_label, rel, dst_label):
+    return {
+        (r["src_id"], r["dst_id"])
+        for r in edges.filter(
+            (F.col("src_label") == src_label)
+            & (F.col("rel_label") == rel)
+            & (F.col("dst_label") == dst_label)
+        ).collect()
+    }
+
+
+def _expected_acl_ids(fix):
+    """Replicate parse_acl's sha256 (s3.py:917-931) in plain Python
+    over the fixture grants — the strongest identity parity check."""
+    out = set()
+    for bucket, acl in fix["OPEN_BUCKET_ACLS"].items():
+        for grant in acl["Grants"]:
+            gtype = grant["Grantee"]["Type"]
+            if gtype == "CanonicalUser":
+                display = grant["Grantee"].get("DisplayName")
+                gid = grant["Grantee"].get("ID")
+                uri = None
+            elif gtype == "Group":
+                display = None
+                gid = None
+                uri = grant["Grantee"].get("URI")
+            else:
+                continue
+            id_data = "{}:{}:{}:{}:{}:{}:{}:{}".format(
+                ACCOUNT,
+                acl["Owner"].get("DisplayName"),
+                acl["Owner"].get("ID"),
+                gtype,
+                display,
+                gid,
+                uri,
+                grant.get("Permission"),
+            )
+            out.add(hashlib.sha256(id_data.encode("utf8")).hexdigest())
+    return out
+
+
+def test_bucket_nodes(emitted):
+    """test_s3.py:57-61 — id/name/region for all three buckets."""
+    nodes, _ = emitted
+    got = {
+        (i, p["name"], p.get("region"))
+        for i, p in _props(nodes, "AWSS3Bucket").items()
+    }
+    assert got == {
+        ("bucket-1", "bucket-1", "eu-west-1"),
+        ("bucket-2", "bucket-2", "me-south-1"),
+        ("bucket-3", "bucket-3", None),
+    }
+    props = _props(nodes, "AWSS3Bucket")
+    assert props["bucket-1"]["arn"] == "arn:aws:s3:::bucket-1"
+
+
+def test_account_resource_rels(emitted):
+    _, edges = emitted
+    assert _rels(edges, "AWSAccount", "RESOURCE", "AWSS3Bucket") == {
+        (ACCOUNT, "bucket-1"), (ACCOUNT, "bucket-2"), (ACCOUNT, "bucket-3"),
+    }
+
+
+def test_acl_identity_sha256_parity(emitted, fix):
+    """test_s3.py:79-93 — 5 ACL nodes; ids replicate the reference's
+    exact Python-format sha256 (None rendered literally)."""
+    nodes, edges = emitted
+    acl_ids = set(_props(nodes, "AWSS3Acl"))
+    assert len(acl_ids) == 5
+    assert acl_ids == _expected_acl_ids(fix)
+    assert len(_rels(edges, "AWSS3Acl", "APPLIES_TO", "AWSS3Bucket")) == 5
+
+
+def test_policy_statement_ids_and_rels(emitted):
+    """test_s3.py:96-111 — positional ids incl. the empty-Sid slash."""
+    nodes, edges = emitted
+    stmts = _props(nodes, "AWSS3PolicyStatement")
+    assert set(stmts) == {
+        "bucket-1/policy_statement/1/IPAllow",
+        "bucket-1/policy_statement/2/S3PolicyId2",
+        "bucket-1/policy_statement/3/",
+    }
+    assert _rels(edges, "AWSS3Bucket", "POLICY_STATEMENT",
+                 "AWSS3PolicyStatement") == {
+        ("bucket-1", "bucket-1/policy_statement/1/IPAllow"),
+        ("bucket-1", "bucket-1/policy_statement/2/S3PolicyId2"),
+        ("bucket-1", "bucket-1/policy_statement/3/"),
+    }
+    s1 = stmts["bucket-1/policy_statement/1/IPAllow"]
+    assert (s1["policy_id"], s1["policy_version"], s1["sid"],
+            s1["effect"]) == ("S3PolicyId1", "2012-10-17", "IPAllow", "Deny")
+    # union-typed fields ride through as compact raw JSON
+    assert s1["principal"] == "*"
+    assert s1["action"] == "s3:*"
+    assert json.loads(s1["resource"]) == [
+        "arn:aws:s3:::DOC-EXAMPLE-BUCKET",
+        "arn:aws:s3:::DOC-EXAMPLE-BUCKET/*",
+    ]
+    assert json.loads(s1["condition"]) == {
+        "NotIpAddress": {"aws:SourceIp": "54.240.143.0/24"}
+    }
+    s3 = stmts["bucket-1/policy_statement/3/"]
+    assert s3["sid"] == "" and s3["effect"] == "Allow"
+    assert json.loads(s3["action"]) == ["s3:GetObject"]
+
+
+def test_encryption_props_and_encrypted_by(emitted):
+    """test_load_s3_encryption (:160-221): encryption fields + the
+    canonical (:AWSS3Bucket)-[:ENCRYPTED_BY]->(:AWSKMSKey) edge, dst
+    keyed by the ARN's trailing key id."""
+    nodes, edges = emitted
+    b1 = _props(nodes, "AWSS3Bucket")["bucket-1"]
+    assert b1["default_encryption"] == "true"
+    assert b1["encryption_algorithm"] == "aws:kms"
+    assert b1["encryption_key_id"] == (
+        "arn:aws:kms:eu-east-1:000000000000:key/"
+        "9a1ad414-6e3b-47ce-8366-6b8f26ba467d"
+    )
+    assert b1["bucket_key_enabled"] == "false"
+    assert _rels(edges, "AWSS3Bucket", "ENCRYPTED_BY", "AWSKMSKey") == {
+        ("bucket-1", "9a1ad414-6e3b-47ce-8366-6b8f26ba467d"),
+    }
+    b2 = _props(nodes, "AWSS3Bucket")["bucket-2"]
+    assert b2.get("default_encryption") is None  # group skipped (None detail)
+
+
+def test_composite_groups(emitted):
+    """Versioning / PAB / ownership / logging land only where fetched
+    (the Composite Node Pattern, load_s3_details:659-761)."""
+    nodes, _ = emitted
+    props = _props(nodes, "AWSS3Bucket")
+    b1, b2, b3 = props["bucket-1"], props["bucket-2"], props["bucket-3"]
+    assert (b1["versioning_status"], b1["mfa_delete"]) == ("Enabled",
+                                                           "Disabled")
+    assert b1["block_public_acls"] == "true"
+    assert b1["restrict_public_buckets"] == "true"
+    assert b1["object_ownership"] == "BucketOwnerPreferred"
+    assert (b1["logging_enabled"], b1["logging_target_bucket"]) == (
+        "true", "log-bucket")
+    # bucket-2: logging fetched as {} → enabled False, no target
+    assert b2["logging_enabled"] == "false"
+    assert b2.get("logging_target_bucket") is None
+    # bucket-3: logging fetch failed (None) → group skipped entirely
+    assert b3.get("logging_enabled") is None
+    assert b2.get("versioning_status") is None and b3.get("versioning_status") is None
+
+
+def test_anonymous_analysis(emitted):
+    """ACL exposure (analysis/aws/s3/analysis.py:7-105) + policy
+    internet-accessibility (parse_policy:762-817) combined."""
+    nodes, _ = emitted
+    props = _props(nodes, "AWSS3Bucket")
+    # bucket-1: CanonicalUser ACL (not exposed) but the policy's third
+    # statement is Allow/*/s3:GetObject with no condition
+    assert props["bucket-1"]["anonymous_access"] == "true"
+    assert json.loads(props["bucket-1"]["anonymous_actions"]) == [
+        "s3:GetObject"]
+    # bucket-2: AllUsers READ + AuthenticatedUsers READ_ACP
+    assert props["bucket-2"]["anonymous_access"] == "true"
+    assert json.loads(props["bucket-2"]["anonymous_actions"]) == [
+        "s3:GetBucketAcl", "s3:ListBucket", "s3:ListBucketMultipartUploads",
+        "s3:ListBucketVersions"]
+    # bucket-3: AllUsers WRITE_ACP + AuthenticatedUsers WRITE
+    assert json.loads(props["bucket-3"]["anonymous_actions"]) == [
+        "s3:PutBucketAcl", "s3:PutObject"]
+
+
+def test_notifications(emitted):
+    """test_s3_sns_relationship (:414-455): NOTIFIES to the topic."""
+    _, edges = emitted
+    assert _rels(edges, "AWSS3Bucket", "NOTIFIES", "AWSSNSTopic") == {
+        ("bucket-1", "arn:aws:sns:us-east-1:123456789012:test-topic"),
+    }
+
+
+def test_two_run_gc_and_encryption_rel_cleanup(spark, tmp_store, fix):
+    """test_s3_encryption_relationship_cleanup (:224-290) + scoped
+    bucket GC: run 2 drops bucket-3 and switches bucket-1 to SSE-S3 —
+    the stale bucket, its ACLs, and the stale ENCRYPTED_BY edge all
+    go; surviving buckets keep their nodes."""
+    s = tmp_store
+    buckets, details, _ = _raws(spark, fix)
+    sync_s3(s, buckets, details, ACCOUNT, TAG)
+    assert ("bucket-1", "9a1ad414-6e3b-47ce-8366-6b8f26ba467d") in {
+        (r["src_id"], r["dst_id"])
+        for r in s.edges(["ENCRYPTED_BY"]).collect()
+    }
+
+    lb2 = {
+        "Buckets": [
+            b for b in _dt_str(fix["LIST_BUCKETS"])["Buckets"]
+            if b["Name"] != "bucket-3"
+        ],
+        "Owner": _dt_str(fix["LIST_BUCKETS"])["Owner"],
+    }
+    buckets2 = spark.createDataFrame(
+        [(ACCOUNT, json.dumps(lb2))], "account_id string, payload_json string"
+    )
+    enc2 = {"ServerSideEncryptionConfiguration": {"Rules": [
+        {"ApplyServerSideEncryptionByDefault": {"SSEAlgorithm": "AES256"},
+         "BucketKeyEnabled": False},
+    ]}}
+    details2 = spark.createDataFrame(
+        [
+            (ACCOUNT, "bucket-1", json.dumps(fix["OPEN_BUCKET_ACLS"]["bucket-1"]),
+             None, json.dumps(enc2), None, None, None, None),
+            (ACCOUNT, "bucket-2", json.dumps(fix["OPEN_BUCKET_ACLS"]["bucket-2"]),
+             None, None, None, None, None, None),
+        ],
+        DETAILS_DDL,
+    )
+    sync_s3(s, buckets2, details2, ACCOUNT, TAG + 1)
+
+    ids = {r["id"] for r in s.nodes(["AWSS3Bucket"]).select("id").collect()}
+    assert ids == {"bucket-1", "bucket-2"}
+    # stale ENCRYPTED_BY gone (rel-only cleanup), bucket survives
+    assert s.edges(["ENCRYPTED_BY"]).count() == 0
+    # stale policy statements of run 1 swept
+    assert s.nodes(["AWSS3PolicyStatement"]).count() == 0
+    # bucket-3's ACLs swept with it; run-2 ACLs for b1/b2 remain
+    remaining_acls = {
+        r["props"]["bucket"] for r in s.nodes(["AWSS3Acl"]).collect()
+    }
+    assert remaining_acls == {"bucket-1", "bucket-2"}

@@ -688,3 +688,105 @@ def test_cis_aws_iam_pack(spark, tmp_path_factory):
     assert _ids(res, "user_arn") == {alice}
 
     assert any(r.id == "cis_aws_iam" for r in ALL_RULES)
+
+
+@pytest.fixture(scope="module")
+def aws_storage_store(spark, tmp_path_factory):
+    """Store synced from the reference's ACTUAL S3 + KMS fixtures via
+    the real providers — the new rule packs consume provider output,
+    not hand-built nodes."""
+    import os
+
+    from cartography_spark.providers.aws_kms import sync_kms
+    from cartography_spark.providers.aws_s3 import sync_s3
+    from cartography_spark.store.graphstore import GraphStore
+    from tests.test_provider_aws_kms import (
+        FIXTURE as KMS_FIXTURE,
+        _raws as kms_raws,
+        fix as _kms_fix_unused,  # noqa: F401 (fixture source)
+    )
+    from tests.test_provider_aws_s3 import (
+        FIXTURE as S3_FIXTURE,
+        _raws as s3_raws,
+    )
+    from tests.test_fixture_parity_github import _load_fixture_ns
+
+    if not (os.path.exists(S3_FIXTURE) and os.path.exists(KMS_FIXTURE)):
+        pytest.skip("reference fixtures not available")
+    import datetime as _dt
+    import json as _json
+
+    s3_fix = _load_fixture_ns(
+        S3_FIXTURE,
+        stubs={"datetime.datetime": _dt.datetime, "json.dumps": _json.dumps},
+    )
+    kms_fix = _load_fixture_ns(
+        KMS_FIXTURE, stubs={"datetime.datetime": _dt.datetime}
+    )
+    root = str(tmp_path_factory.mktemp("aws_storage_store"))
+    store = GraphStore(spark, root)
+    buckets, details, notifications = s3_raws(spark, s3_fix)
+    sync_s3(store, buckets, details, "000000000000", 1, notifications)
+    keys, kdetails = kms_raws(spark, kms_fix)
+    sync_kms(store, keys, kdetails, "000000000000", "eu-west-1", 1)
+    return store
+
+
+def test_s3_public_bucket_fact(aws_storage_store):
+    """object_storage_public twin: bucket-1 public via policy, bucket-2
+    and bucket-3 via exposed ACL grants — all three flagged."""
+    from cartography_spark.plans.rules import S3_PUBLIC_BUCKETS
+
+    res = run_fact(aws_storage_store, S3_PUBLIC_BUCKETS)
+    assert res["failing"] == 3 and res["total"] == 3
+    got = {
+        (r["bucket_id"], r["anonymous_actions"])
+        for r in res["findings"].collect()
+    }
+    assert ("bucket-1", '["s3:GetObject"]') in got
+
+
+def test_s3_mfa_delete_fact(aws_storage_store):
+    """CIS 3.1.2 twin: bucket-1 has Versioning but MFADelete=Disabled;
+    bucket-2/3 have no versioning config at all — all three fail."""
+    from cartography_spark.plans.rules import S3_MFA_DELETE_DISABLED
+
+    res = run_fact(aws_storage_store, S3_MFA_DELETE_DISABLED)
+    assert res["failing"] == 3
+    rows = {r["bucket_id"]: r for r in res["findings"].collect()}
+    assert rows["bucket-1"]["versioning_status"] == "Enabled"
+    assert rows["bucket-1"]["mfa_delete_enabled"] is False
+    assert rows["bucket-2"]["versioning_status"] is None
+
+
+def test_s3_block_public_access_fact(aws_storage_store):
+    """CIS 2.1.4 twin: bucket-1 enforces all four flags (passes);
+    bucket-2/3 have NO bucket-level config → exempt (inherit account
+    BPA) — zero findings, three in scope."""
+    from cartography_spark.plans.rules import S3_BLOCK_PUBLIC_ACCESS_DISABLED
+
+    res = run_fact(aws_storage_store, S3_BLOCK_PUBLIC_ACCESS_DISABLED)
+    assert res["failing"] == 0 and res["total"] == 3
+
+
+def test_kms_anonymous_key_fact(aws_storage_store):
+    """KMS key policy exposure: only the key with the Allow/* policy."""
+    from cartography_spark.plans.rules import KMS_ANONYMOUS_KEYS
+
+    res = run_fact(aws_storage_store, KMS_ANONYMOUS_KEYS)
+    assert res["failing"] == 1 and res["total"] == 2
+    rows = res["findings"].collect()
+    assert rows[0]["key_id"] == "9a1ad414-6e3b-47ce-8366-6b8f28bc777g"
+
+
+def test_new_rule_packs_registered():
+    from cartography_spark.plans.rules import (
+        ALL_RULES,
+        filter_rules_by_framework,
+    )
+
+    ids = {r.id for r in ALL_RULES}
+    assert {"object_storage_public", "cis_aws_storage",
+            "kms_key_exposure"} <= ids
+    cis = filter_rules_by_framework(ALL_RULES, "cis-aws")
+    assert {r.id for r in cis} == {"cis_aws_storage"}

@@ -516,6 +516,28 @@ S3_BLOCK_PUBLIC_ACCESS_DISABLED = Fact(
     asset_id_field="bucket_id",
 )
 
+INTERNET_EXPOSED_ASSETS = Fact(
+    id="internet_exposed_assets",
+    name="Assets with derived internet exposure",
+    description="Instances and load balancers whose exposed_internet "
+    "flag was derived by the EXPOSE analysis chain (open security "
+    "group reach or exposed-LB target) — the analysis-backed superset "
+    "of the raw public-address fact "
+    "(analysis/aws/analysis.py AWS_EC2_ASSET_EXPOSURE_* twin).",
+    sql_query="""
+        SELECT label AS asset_type, id AS asset_id,
+               props['exposed_internet_type'] AS exposure_types
+        FROM nodes
+        WHERE label IN ('AWSEC2Instance', 'AWSLoadBalancerV2')
+          AND props['exposed_internet'] = 'true'
+    """,
+    count_sql="SELECT count(*) AS count FROM nodes WHERE label IN "
+              "('AWSEC2Instance', 'AWSLoadBalancerV2')",
+    identity_fields=("asset_type", "asset_id"),
+    asset_label="AWSEC2Instance",
+    asset_id_field="asset_id",
+)
+
 KMS_ANONYMOUS_KEYS = Fact(
     id="aws_kms_key_anonymous_access",
     name="KMS keys with internet-accessible key policies",
@@ -1044,8 +1066,9 @@ ALL_RULES: tuple[Rule, ...] = (
         tags=("infrastructure", "attack-surface"),
         description="Compute instances with public addresses and "
         "publicly shared snapshots.",
-        version="1.0",
-        facts=(EXPOSED_COMPUTE_INSTANCES, PUBLIC_SNAPSHOTS),
+        version="1.1",
+        facts=(EXPOSED_COMPUTE_INSTANCES, PUBLIC_SNAPSHOTS,
+               INTERNET_EXPOSED_ASSETS),
     ),
     Rule(
         id="endpoint_visibility",

@@ -148,7 +148,8 @@ def _instances_frame(raw: DataFrame) -> DataFrame:
     )
 
 
-def _node(df: DataFrame, label: str, id_col: Column, props: dict[str, Column], tag: int) -> DataFrame:
+def _node(df: DataFrame, label: str, id_col: Column, props: dict[str, Column], tag: int,
+          extra: list[str] | None = None) -> DataFrame:
     entries: list[Column] = []
     for name, col in props.items():
         entries.append(F.lit(name))
@@ -158,7 +159,8 @@ def _node(df: DataFrame, label: str, id_col: Column, props: dict[str, Column], t
         id_col.cast("string").alias("id"),
         F.lit(int(tag)).cast("long").alias("lastupdated"),
         F.lit(None).cast("string").alias("content_sha256"),
-        F.lit(None).cast("array<string>").alias("extra_labels"),
+        (F.array(*[F.lit(x) for x in extra]) if extra
+         else F.lit(None).cast("array<string>")).alias("extra_labels"),
         (
             F.map_from_arrays(F.array(*entries[0::2]), F.array(*entries[1::2]))
             if entries

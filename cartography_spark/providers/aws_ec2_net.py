@@ -1,0 +1,545 @@
+"""AWS EC2 network surface: security groups, ELBv2, and the EXPOSE
+internet-exposure analysis chain (SURVEY.md §2 J8's flagship multi-hop
+derivation).
+
+Security groups re-express ``intel/aws/ec2/security_groups.py``:
+
+* ``transform_ec2_security_group_data`` (:52-106): per-rule node id is
+  the Python f-string ``{GroupId}/{rule_type}/{FromPort}{ToPort}{proto}``
+  with absent ports rendered ``None`` and a missing IpProtocol
+  defaulting to ``all`` — replicated with ``coalesce(…, 'None')``;
+* inbound rules load as ``AWSIpPermissionInbound`` with extra labels
+  ``[IpPermissionInbound, IpRule, AWSIpRule]``; egress as ``AWSIpRule``
+  with ``[IpRule]`` (``models/aws/ec2/security_group_rules.py:108-135``);
+* CIDR blocks are ``AWSIpRange`` nodes (id = CidrIp, shared across
+  rules) with ``MEMBER_OF_IP_RULE`` edges to their rule;
+* ``UserIdGroupPairs`` become ``(sg)-[:ALLOWS_TRAFFIC_FROM]->(src_sg)``
+  (``models/aws/ec2/security_groups.py:82-88``).
+
+ELBv2 re-expresses ``intel/aws/ec2/load_balancer_v2s.py``:
+
+* LB node id is the raw ``DNSName``; the ``dnsname`` prop is the
+  lowercased copy (:231-236 — AWS preserves name case, Route53/K8s
+  references are lowercase);
+* listeners (:172-190) with the mTLS fields; ``ELBV2_LISTENER`` edges;
+* target groups as ``AWSELBV2TargetGroup`` nodes; ``instance``-type
+  targets produce ``(lb)-[:EXPOSE]->(:AWSEC2Instance)`` (:337-377 —
+  ip/lambda/alb target MatchLinks are out of scope until those asset
+  families exist);
+* ``SUBNET`` and ``MEMBER_OF_EC2_SECURITY_GROUP`` attachment edges.
+
+The exposure analysis twins ``analysis/aws/analysis.py``:
+
+* ``elbv2_exposure_job`` (:187-230 AWS_EC2_ASSET_EXPOSURE_LOAD_
+  BALANCER_V2): an internet-facing network LB with a listener, or an
+  internet-facing LB whose security group admits 0.0.0.0/0 on a
+  listener port (protocol ``-1`` or port within [fromport, toport]),
+  gets ``exposed_internet=true``;
+* ``instance_exposure_job`` (:149-186 AWS_EC2_ASSET_EXPOSURE_
+  INSTANCE): public-IP instances reachable from 0.0.0.0/0 directly or
+  through their NIC's security group are ``direct``; instances behind
+  an exposed LBv2's EXPOSE edge are ``elbv2``. The reference
+  accumulates ``exposed_internet_type`` with one AddToSet per
+  statement; here the match frame aggregates all exposure paths per
+  instance in one groupBy and writes the complete sorted set — same
+  end state, one pass. Classic-ELB ``elb`` typing awaits a classic LB
+  family.
+
+Both jobs ride :func:`plans.analysis.run_analysis_job`, so the
+label-declared properties get the generated cleanup: a node that stops
+matching loses its derived exposure on the next run.
+
+Scale: rule/range fan-out is explode-only; the exposure matches are
+broadcast-size dimension joins (ranges × rules × groups) against the
+edges table — no driver loops, no crossJoins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cartography_spark.plans.analysis import AnalysisJob, SetProperties, SetProperty
+from cartography_spark.providers.aws_ec2 import _edge, _node
+
+SG_SCHEMA = """
+    STRUCT<SecurityGroups: ARRAY<STRUCT<
+        GroupId: STRING, GroupName: STRING, Description: STRING,
+        VpcId: STRING, OwnerId: STRING,
+        IpPermissions: ARRAY<STRUCT<
+            IpProtocol: STRING, FromPort: INT, ToPort: INT,
+            IpRanges: ARRAY<STRUCT<CidrIp: STRING>>,
+            Ipv6Ranges: ARRAY<STRUCT<CidrIpv6: STRING>>,
+            UserIdGroupPairs: ARRAY<STRUCT<GroupId: STRING,
+                                           UserId: STRING>>>>,
+        IpPermissionsEgress: ARRAY<STRUCT<
+            IpProtocol: STRING, FromPort: INT, ToPort: INT,
+            IpRanges: ARRAY<STRUCT<CidrIp: STRING>>,
+            Ipv6Ranges: ARRAY<STRUCT<CidrIpv6: STRING>>,
+            UserIdGroupPairs: ARRAY<STRUCT<GroupId: STRING,
+                                           UserId: STRING>>>>
+    >>>
+"""
+
+LBV2_SCHEMA = """
+    ARRAY<STRUCT<
+        LoadBalancerArn: STRING, DNSName: STRING,
+        CanonicalHostedZoneId: STRING, CanonicalHostedZoneNameID: STRING,
+        CreatedTime: STRING, LoadBalancerName: STRING, Scheme: STRING,
+        VpcId: STRING, Type: STRING, IpAddressType: STRING,
+        AvailabilityZones: ARRAY<STRUCT<ZoneName: STRING,
+                                        SubnetId: STRING>>,
+        SecurityGroups: ARRAY<STRING>,
+        Listeners: ARRAY<STRUCT<
+            ListenerArn: STRING, Port: INT, Protocol: STRING,
+            SslPolicy: STRING, TargetGroupArn: STRING,
+            MutualAuthentication: STRUCT<
+                Mode: STRING, TrustStoreArn: STRING,
+                IgnoreClientCertificateExpiry: BOOLEAN,
+                TrustStoreAssociationStatus: STRING,
+                AdvertiseTrustStoreCaNames: STRING>>>,
+        TargetGroups: ARRAY<STRUCT<
+            TargetGroupArn: STRING, TargetGroupName: STRING,
+            Protocol: STRING, Port: INT, VpcId: STRING,
+            TargetType: STRING, Targets: ARRAY<STRING>>>
+    >>
+"""
+
+
+def _rules_frame(sgs: DataFrame, rule_type: str) -> DataFrame:
+    """One row per (group, rule) of one rule family, with the
+    reference's f-string rule id."""
+    none = lambda c: F.coalesce(c.cast("string"), F.lit("None"))  # noqa: E731
+    r = sgs.select(
+        "account_id", "region",
+        F.col("g.GroupId").alias("group_id"),
+        F.explode(F.coalesce(f"g.{rule_type}", F.array())).alias("r"),
+    )
+    return r.select(
+        "account_id", "region", "group_id",
+        F.coalesce(F.col("r.IpProtocol"), F.lit("all")).alias("protocol"),
+        F.col("r.FromPort").alias("fromport"),
+        F.col("r.ToPort").alias("toport"),
+        F.col("r.IpRanges").alias("ip_ranges"),
+        F.col("r.UserIdGroupPairs").alias("group_pairs"),
+        F.concat(
+            F.col("group_id"), F.lit(f"/{rule_type}/"),
+            none(F.col("r.FromPort")), none(F.col("r.ToPort")),
+            F.coalesce(F.col("r.IpProtocol"), F.lit("all")),
+        ).alias("rule_id"),
+    )
+
+
+def transform_security_groups(
+    raw: DataFrame, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """``raw(account_id, region, payload_json)`` (DescribeSecurityGroups
+    payload) → (nodes, edges)."""
+    sgs = raw.select(
+        "account_id", "region",
+        F.explode(
+            F.from_json("payload_json", SG_SCHEMA)["SecurityGroups"]
+        ).alias("g"),
+    )
+    inbound = _rules_frame(sgs, "IpPermissions").withColumn(
+        "rule_label", F.lit("AWSIpPermissionInbound")
+    )
+    egress = _rules_frame(sgs, "IpPermissionsEgress").withColumn(
+        "rule_label", F.lit("AWSIpRule")
+    )
+    rules = inbound.unionByName(egress)
+    ranges = rules.select(
+        "account_id", "region", "rule_id", "rule_label",
+        F.explode(F.coalesce("ip_ranges", F.array())).alias("ipr"),
+    ).select(
+        "account_id", "region", "rule_id", "rule_label",
+        F.col("ipr.CidrIp").alias("cidr"),
+    )
+    pairs = rules.select(
+        "account_id", "group_id",
+        F.explode(F.coalesce("group_pairs", F.array())).alias("p"),
+    ).filter(F.col("p.GroupId").isNotNull()).select(
+        "account_id", "group_id", F.col("p.GroupId").alias("source_group_id")
+    )
+
+    rule_props = {
+        "ruleid": F.col("rule_id"),
+        "groupid": F.col("group_id"),
+        "protocol": F.col("protocol"),
+        "fromport": F.col("fromport"),
+        "toport": F.col("toport"),
+        "region": F.col("region"),
+    }
+    nodes = (
+        _node(sgs, "AWSEC2SecurityGroup", F.col("g.GroupId"), {
+            "groupid": F.col("g.GroupId"),
+            "name": F.col("g.GroupName"),
+            "description": F.col("g.Description"),
+            "vpc_id": F.col("g.VpcId"),
+            "region": F.col("region"),
+        }, update_tag)
+        .unionByName(_node(
+            inbound, "AWSIpPermissionInbound", F.col("rule_id"), rule_props,
+            update_tag, extra=["IpPermissionInbound", "IpRule", "AWSIpRule"]))
+        .unionByName(_node(
+            egress, "AWSIpRule", F.col("rule_id"), rule_props, update_tag,
+            extra=["IpRule"]))
+        .unionByName(_node(ranges, "AWSIpRange", F.col("cidr"), {
+            "range": F.col("cidr"),
+            "region": F.col("region"),
+        }, update_tag))
+    )
+
+    acct = F.col("account_id")
+    sub = ("AWSAccount", acct)
+    inbound_rule_edges = _edge(
+        inbound, "AWSIpPermissionInbound", F.col("rule_id"),
+        "MEMBER_OF_EC2_SECURITY_GROUP", "AWSEC2SecurityGroup",
+        F.col("group_id"), update_tag, sub)
+    egress_rule_edges = _edge(
+        egress, "AWSIpRule", F.col("rule_id"),
+        "MEMBER_OF_EC2_SECURITY_GROUP", "AWSEC2SecurityGroup",
+        F.col("group_id"), update_tag, sub)
+    # range edges must name each rule's PRIMARY label so the dst join
+    # resolves; _edge can't parameterize dst_label per-row, so split
+    range_in = ranges.filter(F.col("rule_label") == "AWSIpPermissionInbound")
+    range_eg = ranges.filter(F.col("rule_label") == "AWSIpRule")
+    edges = (
+        _edge(sgs, "AWSAccount", acct, "RESOURCE", "AWSEC2SecurityGroup",
+              F.col("g.GroupId"), update_tag, sub)
+        .unionByName(_edge(inbound, "AWSAccount", acct, "RESOURCE",
+                           "AWSIpPermissionInbound", F.col("rule_id"),
+                           update_tag, sub))
+        .unionByName(_edge(egress, "AWSAccount", acct, "RESOURCE",
+                           "AWSIpRule", F.col("rule_id"), update_tag, sub))
+        .unionByName(_edge(ranges, "AWSAccount", acct, "RESOURCE",
+                           "AWSIpRange", F.col("cidr"), update_tag, sub))
+        .unionByName(inbound_rule_edges)
+        .unionByName(egress_rule_edges)
+        .unionByName(_edge(range_in, "AWSIpRange", F.col("cidr"),
+                           "MEMBER_OF_IP_RULE", "AWSIpPermissionInbound",
+                           F.col("rule_id"), update_tag, sub))
+        .unionByName(_edge(range_eg, "AWSIpRange", F.col("cidr"),
+                           "MEMBER_OF_IP_RULE", "AWSIpRule",
+                           F.col("rule_id"), update_tag, sub))
+        .unionByName(_edge(pairs, "AWSEC2SecurityGroup", F.col("group_id"),
+                           "ALLOWS_TRAFFIC_FROM", "AWSEC2SecurityGroup",
+                           F.col("source_group_id"), update_tag, sub))
+    )
+    return nodes, edges
+
+
+def transform_load_balancer_v2s(
+    raw: DataFrame, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """``raw(account_id, region, payload_json)`` (DescribeLoadBalancers
+    enriched with Listeners/TargetGroups, a JSON array) →
+    (nodes, edges). Entries without a DNSName are skipped (:212-214)."""
+    lbs = raw.select(
+        "account_id", "region",
+        F.explode(F.from_json("payload_json", LBV2_SCHEMA)).alias("lb"),
+    ).filter(F.col("lb.DNSName").isNotNull())
+    dns = F.col("lb.DNSName")
+    listeners = lbs.select(
+        "account_id", "region", dns.alias("lb_id"),
+        F.explode(F.coalesce("lb.Listeners", F.array())).alias("l"),
+    )
+    tgs = lbs.select(
+        "account_id", "region", dns.alias("lb_id"),
+        F.explode(F.coalesce("lb.TargetGroups", F.array())).alias("tg"),
+    )
+    targets = tgs.select(
+        "account_id", "lb_id",
+        F.col("tg.TargetType").alias("target_type"),
+        F.explode(F.coalesce("tg.Targets", F.array())).alias("target_id"),
+    )
+    subnets = lbs.select(
+        "account_id", dns.alias("lb_id"),
+        F.explode(F.coalesce("lb.AvailabilityZones", F.array())).alias("az"),
+    ).filter(F.col("az.SubnetId").isNotNull())
+    lb_sgs = lbs.select(
+        "account_id", dns.alias("lb_id"),
+        F.explode(F.coalesce("lb.SecurityGroups", F.array())).alias("sg_id"),
+    )
+
+    nodes = (
+        _node(lbs, "AWSLoadBalancerV2", dns, {
+            "name": F.col("lb.LoadBalancerName"),
+            "dnsname": F.lower(dns),
+            "canonicalhostedzonenameid": F.coalesce(
+                F.col("lb.CanonicalHostedZoneNameID"),
+                F.col("lb.CanonicalHostedZoneId"),
+            ),
+            "type": F.col("lb.Type"),
+            "scheme": F.col("lb.Scheme"),
+            "arn": F.col("lb.LoadBalancerArn"),
+            "createdtime": F.col("lb.CreatedTime"),
+            "region": F.col("region"),
+        }, update_tag)
+        .unionByName(_node(listeners, "AWSELBV2Listener",
+                           F.col("l.ListenerArn"), {
+            "port": F.col("l.Port"),
+            "protocol": F.col("l.Protocol"),
+            "ssl_policy": F.col("l.SslPolicy"),
+            "targetgrouparn": F.col("l.TargetGroupArn"),
+            "mutual_authentication_mode":
+                F.col("l.MutualAuthentication.Mode"),
+            "trust_store_arn": F.col("l.MutualAuthentication.TrustStoreArn"),
+            "ignore_client_certificate_expiry":
+                F.col("l.MutualAuthentication.IgnoreClientCertificateExpiry"),
+            "trust_store_association_status":
+                F.col("l.MutualAuthentication.TrustStoreAssociationStatus"),
+            "advertise_trust_store_ca_names":
+                F.col("l.MutualAuthentication.AdvertiseTrustStoreCaNames"),
+            "region": F.col("region"),
+        }, update_tag))
+        .unionByName(_node(tgs, "AWSELBV2TargetGroup",
+                           F.col("tg.TargetGroupArn"), {
+            "name": F.col("tg.TargetGroupName"),
+            "target_type": F.col("tg.TargetType"),
+            "protocol": F.col("tg.Protocol"),
+            "port": F.col("tg.Port"),
+            "vpc_id": F.col("tg.VpcId"),
+        }, update_tag))
+    )
+
+    acct = F.col("account_id")
+    sub = ("AWSAccount", acct)
+    edges = (
+        _edge(lbs, "AWSAccount", acct, "RESOURCE", "AWSLoadBalancerV2", dns,
+              update_tag, sub)
+        .unionByName(_edge(listeners, "AWSAccount", acct, "RESOURCE",
+                           "AWSELBV2Listener", F.col("l.ListenerArn"),
+                           update_tag, sub))
+        .unionByName(_edge(tgs, "AWSAccount", acct, "RESOURCE",
+                           "AWSELBV2TargetGroup", F.col("tg.TargetGroupArn"),
+                           update_tag, sub))
+        .unionByName(_edge(listeners, "AWSLoadBalancerV2", F.col("lb_id"),
+                           "ELBV2_LISTENER", "AWSELBV2Listener",
+                           F.col("l.ListenerArn"), update_tag, sub))
+        .unionByName(_edge(subnets, "AWSLoadBalancerV2", F.col("lb_id"),
+                           "SUBNET", "AWSEC2Subnet", F.col("az.SubnetId"),
+                           update_tag, sub))
+        .unionByName(_edge(lb_sgs, "AWSLoadBalancerV2", F.col("lb_id"),
+                           "MEMBER_OF_EC2_SECURITY_GROUP",
+                           "AWSEC2SecurityGroup", F.col("sg_id"),
+                           update_tag, sub))
+        .unionByName(_edge(
+            targets.filter(F.col("target_type") == "instance"),
+            "AWSLoadBalancerV2", F.col("lb_id"), "EXPOSE", "AWSEC2Instance",
+            F.col("target_id"), update_tag, sub))
+    )
+    return nodes, edges
+
+
+# ---------------------------------------------------------------------------
+# exposure analysis (analysis/aws/analysis.py EXPOSE chain)
+# ---------------------------------------------------------------------------
+
+
+def _open_inbound_rules(store) -> DataFrame:
+    """(rule_id, groupid, protocol, fromport, toport) of inbound rules
+    reachable from 0.0.0.0/0."""
+    open_ranges = store.edges(["MEMBER_OF_IP_RULE"]).filter(
+        (F.col("src_label") == "AWSIpRange") & (F.col("src_id") == "0.0.0.0/0")
+        & (F.col("dst_label") == "AWSIpPermissionInbound")
+    ).select(F.col("dst_id").alias("rule_id"))
+    rules = store.nodes(["AWSIpPermissionInbound"]).select(
+        F.col("id").alias("rule_id"),
+        F.element_at("props", "groupid").alias("groupid"),
+        F.element_at("props", "protocol").alias("protocol"),
+        F.element_at("props", "fromport").cast("int").alias("fromport"),
+        F.element_at("props", "toport").cast("int").alias("toport"),
+    )
+    return rules.join(open_ranges, on="rule_id", how="left_semi")
+
+
+def elbv2_exposure_job() -> AnalysisJob:
+    """AWS_EC2_ASSET_EXPOSURE_LOAD_BALANCER_V2 twin
+    (``analysis/aws/analysis.py:187-230``)."""
+
+    def match(store) -> DataFrame:
+        lbs = store.nodes(["AWSLoadBalancerV2"]).select(
+            "label", "id",
+            F.element_at("props", "scheme").alias("scheme"),
+            F.element_at("props", "type").alias("lb_type"),
+        ).filter(F.col("scheme") == "internet-facing")
+        listeners = store.edges(["ELBV2_LISTENER"]).filter(
+            F.col("src_label") == "AWSLoadBalancerV2"
+        ).select(F.col("src_id").alias("id"),
+                 F.col("dst_id").alias("listener_id"))
+        listener_ports = listeners.join(
+            store.nodes(["AWSELBV2Listener"]).select(
+                F.col("id").alias("listener_id"),
+                F.element_at("props", "port").cast("int").alias("port"),
+            ),
+            on="listener_id",
+        )
+        # branch A: internet-facing NETWORK LB with any listener
+        net = lbs.filter(F.col("lb_type") == "network").join(
+            listeners, on="id", how="left_semi"
+        )
+        # branch B: an attached SG admits 0.0.0.0/0 on a listener port
+        lb_sg = store.edges(["MEMBER_OF_EC2_SECURITY_GROUP"]).filter(
+            F.col("src_label") == "AWSLoadBalancerV2"
+        ).select(F.col("src_id").alias("id"),
+                 F.col("dst_id").alias("groupid"))
+        open_rules = _open_inbound_rules(store)
+        reach = (
+            lbs.join(lb_sg, on="id")
+            .join(open_rules, on="groupid")
+            .join(listener_ports, on="id")
+            .filter(
+                (F.col("protocol") == "-1")
+                | ((F.col("port") >= F.col("fromport"))
+                   & (F.col("port") <= F.col("toport")))
+            )
+        )
+        return (
+            net.select("label", "id")
+            .unionByName(reach.select("label", "id"))
+            .distinct()
+        )
+
+    return AnalysisJob(
+        name="aws_ec2_asset_exposure_load_balancer_v2",
+        match=match,
+        effects=(
+            SetProperty("exposed_internet", F.lit(True),
+                        label="AWSLoadBalancerV2"),
+        ),
+    )
+
+
+def instance_exposure_job() -> AnalysisJob:
+    """AWS_EC2_ASSET_EXPOSURE_INSTANCE twin
+    (``analysis/aws/analysis.py:149-186``): ``direct`` via an open
+    security group (attached directly or through a NIC, the
+    ``MEMBER_OF_EC2_SECURITY_GROUP|NETWORK_INTERFACE*..2`` pattern) for
+    public-IP instances, plus ``elbv2`` behind an exposed LB's EXPOSE
+    edge; the per-instance type set is aggregated in one groupBy."""
+
+    def match(store) -> DataFrame:
+        open_groups = _open_inbound_rules(store).select("groupid").distinct()
+        inst_sg = store.edges(["MEMBER_OF_EC2_SECURITY_GROUP"]).filter(
+            (F.col("src_label") == "AWSEC2Instance")
+            & (F.col("dst_label") == "AWSEC2SecurityGroup")
+        ).select(F.col("src_id").alias("id"),
+                 F.col("dst_id").alias("groupid"))
+        inst_nic = store.edges(["NETWORK_INTERFACE"]).filter(
+            (F.col("src_label") == "AWSEC2Instance")
+            & (F.col("dst_label") == "AWSNetworkInterface")
+        ).select(F.col("src_id").alias("id"),
+                 F.col("dst_id").alias("nic_id"))
+        nic_sg = store.edges(["MEMBER_OF_EC2_SECURITY_GROUP"]).filter(
+            (F.col("src_label") == "AWSNetworkInterface")
+            & (F.col("dst_label") == "AWSEC2SecurityGroup")
+        ).select(F.col("src_id").alias("nic_id"),
+                 F.col("dst_id").alias("groupid"))
+        attached = inst_sg.unionByName(
+            inst_nic.join(nic_sg, on="nic_id").select("id", "groupid")
+        )
+        public = store.nodes(["AWSEC2Instance"]).filter(
+            F.element_at("props", "publicipaddress").isNotNull()
+        ).select("id")
+        direct = (
+            attached.join(open_groups, on="groupid", how="left_semi")
+            .join(public, on="id", how="left_semi")
+            .select("id").distinct()
+            .withColumn("exposure_type", F.lit("direct"))
+        )
+        exposed_lbs = store.nodes(["AWSLoadBalancerV2"]).filter(
+            F.element_at("props", "exposed_internet") == "true"
+        ).select(F.col("id").alias("lb_id"))
+        via_lb = (
+            store.edges(["EXPOSE"]).filter(
+                (F.col("src_label") == "AWSLoadBalancerV2")
+                & (F.col("dst_label") == "AWSEC2Instance")
+            )
+            .select(F.col("src_id").alias("lb_id"),
+                    F.col("dst_id").alias("id"))
+            .join(exposed_lbs, on="lb_id", how="left_semi")
+            .select("id").distinct()
+            .withColumn("exposure_type", F.lit("elbv2"))
+        )
+        return (
+            direct.unionByName(via_lb)
+            .groupBy("id")
+            .agg(F.to_json(F.sort_array(F.collect_set("exposure_type")))
+                 .alias("types_json"))
+            .withColumn("label", F.lit("AWSEC2Instance"))
+        )
+
+    return AnalysisJob(
+        name="aws_ec2_asset_exposure_instance",
+        match=match,
+        effects=(
+            SetProperties({
+                "exposed_internet": F.lit(True),
+                "exposed_internet_type": F.col("types_json"),
+            }, label="AWSEC2Instance"),
+        ),
+    )
+
+
+def sync_ec2_network(
+    store,
+    sg_raw: DataFrame | None,
+    lbv2_raw: DataFrame | None,
+    account_id: str,
+    update_tag: int,
+    run_exposure: bool = True,
+) -> dict:
+    """get → transform → load → scoped GC → exposure analysis, the
+    ``intel/aws/ec2`` sync order (groups before balancers before the
+    asset-exposure jobs)."""
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+    from cartography_spark.plans.analysis import run_analysis_job
+
+    metrics: dict = {}
+    if sg_raw is not None:
+        nodes, edges = transform_security_groups(sg_raw, update_tag)
+        metrics["sg_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["sg_edges"] = store.merge_edges(edges, update_tag)
+    if lbv2_raw is not None:
+        nodes, edges = transform_load_balancer_v2s(lbv2_raw, update_tag)
+        metrics["lbv2_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["lbv2_edges"] = store.merge_edges(edges, update_tag)
+    acct_rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label="AWSAccount",
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("AWS_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    for label in ("AWSIpRange", "AWSIpPermissionInbound", "AWSIpRule",
+                  "AWSEC2SecurityGroup", "AWSELBV2Listener",
+                  "AWSELBV2TargetGroup", "AWSLoadBalancerV2"):
+        if label not in store.manifest["nodes"]:
+            continue
+        metrics[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=acct_rel,
+            ),
+            update_tag,
+            {"AWS_ID": account_id},
+        )
+    if run_exposure:
+        metrics["exposure_lbv2"] = run_analysis_job(
+            store, elbv2_exposure_job(), update_tag
+        )
+        metrics["exposure_instance"] = run_analysis_job(
+            store, instance_exposure_job(), update_tag
+        )
+    store.record_lineage("aws_ec2_network_sync", {"update_tag": update_tag})
+    return metrics

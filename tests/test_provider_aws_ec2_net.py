@@ -1,0 +1,301 @@
+"""EC2 network-surface parity: security groups / ELBv2 / EXPOSE chain,
+mirrored from the reference's
+``tests/integration/cartography/intel/aws/ec2/test_ec2_security_groups
+.py`` and ``test_load_balancer_v2s.py`` assertions over its actual
+fixtures, plus the ``analysis/aws/analysis.py`` exposure jobs."""
+
+import datetime
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.aws_ec2_net import (
+    elbv2_exposure_job,
+    instance_exposure_job,
+    sync_ec2_network,
+    transform_load_balancer_v2s,
+    transform_security_groups,
+)
+from tests.test_fixture_parity_github import _load_fixture_ns
+
+SG_FIXTURE = "/root/reference/tests/data/aws/ec2/security_groups.py"
+LB_FIXTURE = "/root/reference/tests/data/aws/ec2/load_balancer_v2s.py"
+ACCOUNT, REGION, TAG = "000000000000", "us-east-1", 123456789
+ALB = "test-alb-1234567890.us-east-1.elb.amazonaws.com"
+NLB = "test-nlb-abcdef0123.us-east-1.elb.amazonaws.com"
+
+
+@pytest.fixture(scope="module")
+def sg_fix():
+    if not os.path.exists(SG_FIXTURE):
+        pytest.skip("reference fixture not available")
+    return _load_fixture_ns(SG_FIXTURE)["DESCRIBE_SGS"]
+
+
+@pytest.fixture(scope="module")
+def lb_fix():
+    if not os.path.exists(LB_FIXTURE):
+        pytest.skip("reference fixture not available")
+    return _load_fixture_ns(
+        LB_FIXTURE, stubs={"datetime.datetime": datetime.datetime}
+    )["GET_LOAD_BALANCER_V2_DATA"]
+
+
+def _sg_raw(spark, sg_fix):
+    return spark.createDataFrame(
+        [(ACCOUNT, "eu-north-1",
+          json.dumps({"SecurityGroups": sg_fix}, default=str))],
+        "account_id string, region string, payload_json string",
+    )
+
+
+def _lb_raw(spark, lb_fix):
+    return spark.createDataFrame(
+        [(ACCOUNT, REGION, json.dumps(lb_fix, default=str))],
+        "account_id string, region string, payload_json string",
+    )
+
+
+def _rels(edges, src_label, rel, dst_label):
+    return {
+        (r["src_id"], r["dst_id"])
+        for r in edges.filter(
+            (F.col("src_label") == src_label)
+            & (F.col("rel_label") == rel)
+            & (F.col("dst_label") == dst_label)
+        ).collect()
+    }
+
+
+EXPECTED_SG_IDS = {
+    "sg-0fd4fff275d63600f", "sg-028e2522c72719996", "sg-06c795c66be8937be",
+    "sg-053dba35430032a0d", "sg-web-server-12345",
+}
+
+# test_ec2_security_groups.py:157-167 (inbound only)
+EXPECTED_INBOUND = {
+    ("sg-028e2522c72719996/IpPermissions/8080tcp", "sg-028e2522c72719996"),
+    ("sg-028e2522c72719996/IpPermissions/443443tcp", "sg-028e2522c72719996"),
+    ("sg-053dba35430032a0d/IpPermissions/NoneNone-1", "sg-053dba35430032a0d"),
+    ("sg-06c795c66be8937be/IpPermissions/8080tcp", "sg-06c795c66be8937be"),
+    ("sg-06c795c66be8937be/IpPermissions/443443tcp", "sg-06c795c66be8937be"),
+    ("sg-0fd4fff275d63600f/IpPermissions/NoneNone-1", "sg-0fd4fff275d63600f"),
+    ("sg-web-server-12345/IpPermissions/2222tcp", "sg-web-server-12345"),
+    ("sg-web-server-12345/IpPermissions/8080tcp", "sg-web-server-12345"),
+}
+
+
+def test_security_group_nodes_and_rule_ids(spark, sg_fix):
+    nodes, edges = transform_security_groups(_sg_raw(spark, sg_fix), TAG)
+    sg_ids = {
+        r["id"]
+        for r in nodes.filter(F.col("label") == "AWSEC2SecurityGroup")
+        .collect()
+    }
+    assert sg_ids == EXPECTED_SG_IDS
+
+    inbound = {
+        (r["id"], r["props"]["groupid"])
+        for r in nodes.filter(
+            F.col("label") == "AWSIpPermissionInbound"
+        ).collect()
+    }
+    assert inbound == EXPECTED_INBOUND
+    # 17 total rules (test :173-193), every one queryable as IpRule via
+    # extra labels on BOTH primary labels
+    rules = nodes.filter(
+        F.array_contains(F.coalesce("extra_labels", F.array()), "IpRule")
+    )
+    assert rules.count() == 17
+    # rule→sg attachment covers all 17 (test :100-106 any-rel match)
+    attach = _rels(edges, "AWSIpPermissionInbound",
+                   "MEMBER_OF_EC2_SECURITY_GROUP", "AWSEC2SecurityGroup")
+    attach |= _rels(edges, "AWSIpRule", "MEMBER_OF_EC2_SECURITY_GROUP",
+                    "AWSEC2SecurityGroup")
+    assert len(attach) == 17
+    # ALLOWS_TRAFFIC_FROM incl. self-referential pairs (test :229-240)
+    assert _rels(edges, "AWSEC2SecurityGroup", "ALLOWS_TRAFFIC_FROM",
+                 "AWSEC2SecurityGroup") == {
+        ("sg-053dba35430032a0d", "sg-053dba35430032a0d"),
+        ("sg-0fd4fff275d63600f", "sg-0fd4fff275d63600f"),
+        ("sg-web-server-12345", "sg-028e2522c72719996"),
+    }
+    # shared CIDR collapses to one AWSIpRange node; edges point at the
+    # correct primary label per rule family
+    ranges = {
+        r["id"]
+        for r in nodes.filter(F.col("label") == "AWSIpRange").collect()
+    }
+    assert "0.0.0.0/0" in ranges and "203.0.113.0/24" in ranges
+    assert (
+        ("0.0.0.0/0", "sg-028e2522c72719996/IpPermissionsEgress/8080tcp")
+        in _rels(edges, "AWSIpRange", "MEMBER_OF_IP_RULE", "AWSIpRule")
+    )
+
+
+def test_lbv2_nodes_listeners_and_edges(spark, lb_fix):
+    nodes, edges = transform_load_balancer_v2s(_lb_raw(spark, lb_fix), TAG)
+    lbs = {
+        (r["id"], r["props"]["name"], r["props"]["type"],
+         r["props"]["scheme"])
+        for r in nodes.filter(F.col("label") == "AWSLoadBalancerV2")
+        .collect()
+    }
+    assert lbs == {
+        (ALB, "test-alb", "application", "internet-facing"),
+        (NLB, "test-nlb", "network", "internal"),
+    }
+    listeners = {
+        (r["id"], r["props"]["port"], r["props"]["protocol"],
+         r["props"].get("mutual_authentication_mode"))
+        for r in nodes.filter(F.col("label") == "AWSELBV2Listener")
+        .collect()
+    }
+    assert (
+        "arn:aws:elasticloadbalancing:us-east-1:000000000000:listener/"
+        "app/test-alb/1234567890123456/abcdef1234567890",
+        "443", "HTTPS", "verify",
+    ) in listeners
+    assert len(listeners) == 3
+    assert len(_rels(edges, "AWSLoadBalancerV2", "ELBV2_LISTENER",
+                     "AWSELBV2Listener")) == 3
+    assert _rels(edges, "AWSLoadBalancerV2", "SUBNET", "AWSEC2Subnet") == {
+        (ALB, "subnet-11111111"), (ALB, "subnet-22222222"),
+        (NLB, "subnet-33333333"),
+    }
+    assert _rels(edges, "AWSLoadBalancerV2", "MEMBER_OF_EC2_SECURITY_GROUP",
+                 "AWSEC2SecurityGroup") == {
+        (ALB, "sg-12345678"), (ALB, "sg-87654321"),
+    }
+    # EXPOSE only for instance-type targets (test :218-226)
+    assert _rels(edges, "AWSLoadBalancerV2", "EXPOSE", "AWSEC2Instance") == {
+        (ALB, "i-1234567890abcdef0"), (ALB, "i-0987654321fedcba0"),
+    }
+
+
+def _open_sg_payload(group_id, port):
+    """A security group admitting 0.0.0.0/0 on `port`."""
+    return {
+        "GroupId": group_id, "GroupName": group_id, "Description": "open",
+        "IpPermissions": [
+            {"IpProtocol": "tcp", "FromPort": port, "ToPort": port,
+             "IpRanges": [{"CidrIp": "0.0.0.0/0"}],
+             "Ipv6Ranges": [], "UserIdGroupPairs": []},
+        ],
+        "IpPermissionsEgress": [],
+    }
+
+
+def test_exposure_chain_end_to_end(spark, tmp_store, lb_fix, sg_fix):
+    """The J8 EXPOSE derivation: open SG → exposed ALB → EXPOSE →
+    instance gains exposed_internet + type 'elbv2'; a public-IP
+    instance in an open SG gains 'direct'; re-running after the SG
+    closes clears the derived flags (generated cleanup)."""
+    from cartography_spark.providers.aws_ec2 import sync_ec2
+
+    s = tmp_store
+    # instances i-1234567890abcdef0 (behind the ALB) + a public direct one
+    reservations = {"Reservations": [{
+        "ReservationId": "r-x", "OwnerId": ACCOUNT,
+        "Instances": [
+            {"InstanceId": "i-1234567890abcdef0",
+             "SecurityGroups": [{"GroupId": "sg-unrelated"}]},
+            {"InstanceId": "i-direct", "PublicIpAddress": "54.1.2.3",
+             "SecurityGroups": [{"GroupId": "sg-open-443"}]},
+        ],
+    }]}
+    sync_ec2(s, spark.createDataFrame(
+        [(ACCOUNT, REGION, json.dumps(reservations))],
+        "account_id string, region string, reservations_json string"), TAG)
+
+    sg_payload = {"SecurityGroups": [
+        _open_sg_payload("sg-open-443", 443),
+        _open_sg_payload("sg-12345678", 443),  # the ALB's group
+    ]}
+    sg_raw = spark.createDataFrame(
+        [(ACCOUNT, REGION, json.dumps(sg_payload))],
+        "account_id string, region string, payload_json string")
+    m = sync_ec2_network(s, sg_raw, _lb_raw(spark, lb_fix), ACCOUNT, TAG)
+    assert m["exposure_lbv2"] is not None
+
+    lb_props = {
+        r["id"]: r["props"]
+        for r in s.nodes(["AWSLoadBalancerV2"]).collect()
+    }
+    # ALB: internet-facing + sg-12345678 admits 0.0.0.0/0:443, listener 443
+    assert lb_props[ALB]["exposed_internet"] == "true"
+    # NLB: internal scheme → never exposed
+    assert lb_props[NLB].get("exposed_internet") is None
+
+    inst = {r["id"]: r["props"] for r in s.nodes(["AWSEC2Instance"]).collect()}
+    assert inst["i-1234567890abcdef0"]["exposed_internet"] == "true"
+    assert json.loads(
+        inst["i-1234567890abcdef0"]["exposed_internet_type"]) == ["elbv2"]
+    assert inst["i-direct"]["exposed_internet"] == "true"
+    assert json.loads(inst["i-direct"]["exposed_internet_type"]) == ["direct"]
+
+    # run 2: the ALB's SG closes (no 0.0.0.0/0) and the direct SG too —
+    # derived exposure must disappear (generated property cleanup)
+    closed = {"SecurityGroups": [
+        {"GroupId": "sg-open-443", "GroupName": "g", "Description": "closed",
+         "IpPermissions": [], "IpPermissionsEgress": []},
+        {"GroupId": "sg-12345678", "GroupName": "g", "Description": "closed",
+         "IpPermissions": [], "IpPermissionsEgress": []},
+    ]}
+    sg_raw2 = spark.createDataFrame(
+        [(ACCOUNT, REGION, json.dumps(closed))],
+        "account_id string, region string, payload_json string")
+    sync_ec2_network(s, sg_raw2, _lb_raw(spark, lb_fix), ACCOUNT, TAG + 1)
+
+    lb_props = {
+        r["id"]: r["props"]
+        for r in s.nodes(["AWSLoadBalancerV2"]).collect()
+    }
+    assert lb_props[ALB].get("exposed_internet") is None
+    inst = {r["id"]: r["props"] for r in s.nodes(["AWSEC2Instance"]).collect()}
+    assert inst["i-direct"].get("exposed_internet") is None
+    assert inst["i-1234567890abcdef0"].get("exposed_internet") is None
+
+
+def test_sg_scoped_gc(spark, tmp_store, sg_fix):
+    """Run 2 with a subset of groups sweeps the stale SGs, their rules
+    and the orphaned rule edges."""
+    s = tmp_store
+    sync_ec2_network(s, _sg_raw(spark, sg_fix), None, ACCOUNT, TAG,
+                     run_exposure=False)
+    assert s.nodes(["AWSEC2SecurityGroup"]).count() == 5
+
+    subset = [g for g in sg_fix if g["GroupId"] == "sg-web-server-12345"]
+    raw2 = spark.createDataFrame(
+        [(ACCOUNT, "eu-north-1",
+          json.dumps({"SecurityGroups": subset}, default=str))],
+        "account_id string, region string, payload_json string")
+    sync_ec2_network(s, raw2, None, ACCOUNT, TAG + 1, run_exposure=False)
+    assert {
+        r["id"] for r in s.nodes(["AWSEC2SecurityGroup"]).collect()
+    } == {"sg-web-server-12345"}
+    rule_groups = {
+        r["props"]["groupid"]
+        for r in s.nodes(["AWSIpPermissionInbound", "AWSIpRule"]).collect()
+    }
+    assert rule_groups == {"sg-web-server-12345"}
+
+
+def test_internet_exposed_assets_fact(spark, tmp_store, lb_fix):
+    """The derived-exposure fact reads the analysis output."""
+    from cartography_spark.plans.rules import (
+        INTERNET_EXPOSED_ASSETS,
+        run_fact,
+    )
+
+    s = tmp_store
+    sg_payload = {"SecurityGroups": [_open_sg_payload("sg-12345678", 443)]}
+    sg_raw = spark.createDataFrame(
+        [(ACCOUNT, REGION, json.dumps(sg_payload))],
+        "account_id string, region string, payload_json string")
+    sync_ec2_network(s, sg_raw, _lb_raw(spark, lb_fix), ACCOUNT, TAG)
+    res = run_fact(s, INTERNET_EXPOSED_ASSETS)
+    got = {(r["asset_type"], r["asset_id"]) for r in res["findings"].collect()}
+    assert ("AWSLoadBalancerV2", ALB) in got

@@ -1,0 +1,222 @@
+"""Container-image stage: image-URI parsing, RESOLVED_IMAGE analysis,
+and layer-closure completeness.
+
+Re-expresses three reference pieces:
+
+* ``intel/container_image.py:parse_image_uri`` — the (image_uri,
+  image_digest) split over the provider reference forms
+  (``registry/repo:tag``, ``…@sha256:x``, ``…:tag@sha256:x``, Azure's
+  ``DOCKER|…`` prefix) as a single column expression;
+* ``analysis/ontology/analysis.py:551-611`` CONTAINER_RESOLVED_IMAGE /
+  FUNCTION_RESOLVED_IMAGE — the cross-provider stage that derives
+  ``(c)-[:RESOLVED_IMAGE]->(i)`` either directly (HAS_IMAGE to a
+  non-manifest-list Image) or through a manifest list when exactly ONE
+  contained image matches the consumer's normalized architecture.
+  Ontology labels (Container/Function/Image/ImageManifestList) are
+  extra labels contributed by any provider family (KubernetesContainer,
+  AWSECRImage, GitLabContainerImage, …), so the jobs match on
+  ``extra_labels`` membership;
+* ``intel/container_image_layers.py:get_complete_layer_digests`` —
+  which image digests already have their full layer closure in the
+  graph for a scope; the reference answers per-digest with EXISTS
+  subqueries, here it is one explode + groupBy-ALL pass over every
+  image at once.
+
+The RESOLVED_IMAGE jobs ride :func:`plans.analysis.run_analysis_job`,
+so derived edges carry the job as their MatchLink scope and stale ones
+are swept when a resolution stops holding (e.g. a second
+architecture-matching image appears, making the choice ambiguous).
+
+Scale: extra-label membership filters are column predicates over the
+node scan; the manifest-list disambiguation is a groupBy on the
+consumer key with an exact-one count — no driver loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from cartography_spark.plans.analysis import AddRelationship, AnalysisJob
+
+_AZURE_DOCKER_PREFIX = "DOCKER|"
+
+
+def parse_image_uri_expr(raw: Column) -> Column:
+    """``struct(image_uri, image_digest)`` —
+    ``intel/container_image.py:5-38`` as one expression. Empty /
+    whitespace / bare-prefix input → both NULL; a trailing ``@`` with
+    no digest → NULL digest (the reference's ``digest_candidate or
+    None``)."""
+    stripped = F.trim(raw)
+    unprefixed = F.when(
+        stripped.startswith(_AZURE_DOCKER_PREFIX),
+        F.trim(
+            F.substring(stripped, len(_AZURE_DOCKER_PREFIX) + 1, 2_000_000)
+        ),
+    ).otherwise(stripped)
+    uri = F.when(unprefixed != "", unprefixed)
+    digest_candidate = F.substring_index(uri, "@", -1)
+    digest = F.when(
+        uri.contains("@") & (digest_candidate != ""), digest_candidate
+    )
+    return F.struct(uri.alias("image_uri"), digest.alias("image_digest"))
+
+
+def _with_extra(nodes: DataFrame, extra: str) -> DataFrame:
+    """Nodes carrying ``extra`` as ontology label (extra_labels
+    membership, or as the primary label)."""
+    return nodes.filter(
+        F.array_contains(F.coalesce("extra_labels", F.array()), extra)
+        | (F.col("label") == extra)
+    )
+
+
+def _resolved_image_match(consumer_extra: str):
+    def match(store) -> DataFrame:
+        nodes = store.nodes()
+        consumers = _with_extra(nodes, consumer_extra).select(
+            "label", "id",
+            F.element_at("props", "architecture_normalized").alias("arch"),
+        )
+        images = _with_extra(nodes, "Image").select(
+            F.col("label").alias("dst_label"),
+            F.col("id").alias("dst_id"),
+            F.array_contains(
+                F.coalesce("extra_labels", F.array()), "ImageManifestList"
+            ).alias("is_manifest_list"),
+            F.element_at("props", "_ont_architecture").alias("img_arch"),
+        )
+        has_image = store.edges(["HAS_IMAGE"]).select(
+            F.col("src_label").alias("label"),
+            F.col("src_id").alias("id"),
+            F.col("dst_label"),
+            F.col("dst_id"),
+        ).join(consumers, on=["label", "id"])
+        linked = has_image.join(images, on=["dst_label", "dst_id"])
+        # direct: HAS_IMAGE to a non-manifest-list image (:556-567)
+        direct = linked.filter(~F.col("is_manifest_list")).select(
+            "label", "id", "dst_label", "dst_id"
+        )
+        # via manifest list: exactly one contained image matching the
+        # consumer's normalized architecture (:568-579)
+        ml = linked.filter(
+            F.col("is_manifest_list") & F.col("arch").isNotNull()
+        ).select(
+            "label", "id", "arch",
+            F.col("dst_label").alias("ml_label"),
+            F.col("dst_id").alias("ml_id"),
+        )
+        contains = store.edges(["CONTAINS_IMAGE"]).select(
+            F.col("src_label").alias("ml_label"),
+            F.col("src_id").alias("ml_id"),
+            F.col("dst_label"),
+            F.col("dst_id"),
+        ).join(
+            images.filter(~F.col("is_manifest_list")),
+            on=["dst_label", "dst_id"],
+        )
+        candidates = ml.join(contains, on=["ml_label", "ml_id"]).filter(
+            F.col("arch") == F.col("img_arch")
+        )
+        unique = (
+            candidates.groupBy("label", "id")
+            .agg(
+                F.count_distinct("dst_label", "dst_id").alias("n"),
+                F.first("dst_label").alias("dst_label"),
+                F.first("dst_id").alias("dst_id"),
+            )
+            .filter(F.col("n") == 1)
+            .select("label", "id", "dst_label", "dst_id")
+        )
+        return direct.unionByName(unique).distinct()
+
+    return match
+
+
+def container_resolved_image_job() -> AnalysisJob:
+    """CONTAINER_RESOLVED_IMAGE (``ontology/analysis.py:551-581``)."""
+    return AnalysisJob(
+        name="resolved_image_analysis_container",
+        match=_resolved_image_match("Container"),
+        effects=(
+            AddRelationship(
+                rel_label="RESOLVED_IMAGE",
+                dst_label_col="dst_label",
+                dst_id_col="dst_id",
+            ),
+        ),
+    )
+
+
+def function_resolved_image_job() -> AnalysisJob:
+    """FUNCTION_RESOLVED_IMAGE (``ontology/analysis.py:582-611``)."""
+    return AnalysisJob(
+        name="resolved_image_analysis_function",
+        match=_resolved_image_match("Function"),
+        effects=(
+            AddRelationship(
+                rel_label="RESOLVED_IMAGE",
+                dst_label_col="dst_label",
+                dst_id_col="dst_id",
+            ),
+        ),
+    )
+
+
+def complete_layer_digests(
+    store,
+    image_label: str,
+    layer_label: str,
+    scope_label: str,
+    scope_id: str,
+    digests: list[str] | None = None,
+) -> DataFrame:
+    """Digests whose layer closure is complete for the scope
+    (``intel/container_image_layers.py:77-196``): every diff_id in the
+    image's ``layer_diff_ids`` has a layer node of ``layer_label``
+    attached to the scope via RESOURCE, and the image itself is
+    scope-attached. Returns a one-column ``digest`` DataFrame.
+
+    One pass for ALL images of the label — the reference's per-digest
+    EXISTS subqueries become an explode + min(bool) groupBy."""
+    scoped = store.edges(["RESOURCE"]).filter(
+        (F.col("src_label") == scope_label) & (F.col("src_id") == str(scope_id))
+    )
+    scoped_layers = scoped.filter(F.col("dst_label") == layer_label).select(
+        F.col("dst_id").alias("layer_id")
+    )
+    images = store.nodes([image_label]).select(
+        "id",
+        F.element_at("props", "digest").alias("digest"),
+        F.from_json(
+            F.element_at("props", "layer_diff_ids"), "array<string>"
+        ).alias("diff_ids"),
+    ).filter(F.col("digest").isNotNull())
+    if digests is not None:
+        images = images.filter(F.col("digest").isin([str(d) for d in digests]))
+    images = images.join(
+        scoped.filter(F.col("dst_label") == image_label).select(
+            F.col("dst_id").alias("id")
+        ),
+        on="id",
+        how="left_semi",
+    )
+    # empty closure counts as complete (:101-104 size()=0 branch)
+    empty = images.filter(
+        F.size(F.coalesce("diff_ids", F.array())) == 0
+    ).select("digest")
+    exploded = images.filter(F.size("diff_ids") > 0).select(
+        "digest", F.explode("diff_ids").alias("layer_id")
+    )
+    present = exploded.join(
+        scoped_layers.withColumn("present", F.lit(True)).distinct(),
+        on="layer_id",
+        how="left",
+    )
+    full = (
+        present.groupBy("digest")
+        .agg(F.min(F.coalesce("present", F.lit(False))).alias("all_present"))
+        .filter(F.col("all_present"))
+        .select("digest")
+    )
+    return empty.unionByName(full).distinct()

@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from cartography_spark.plans.images import parse_image_uri_expr
+
 NAMESPACES_STRUCT = (
     "array<struct<uid:string, name:string, creation_timestamp:long, "
     "deletion_timestamp:long, status_phase:string>>"
@@ -183,9 +185,44 @@ def transform_k8s_pods(
             ).alias("props"),
         ),
         update_tag,
+        # ontology label feeding the RESOLVED_IMAGE analysis
+        # (models/kubernetes/containers.py:317 ExtraNodeLabels([CONTAINER]))
+        extra=F.array(F.lit("Container")),
+    )
+    # digest-identified Image nodes + HAS_IMAGE edges: the reference
+    # links containers to registry image nodes by status_image_sha
+    # (models/kubernetes/containers.py:234-310); Trivy/Syft findings
+    # target the same digest-keyed Image label, so the container →
+    # image → vulnerability chain joins up cross-provider
+    with_digest = containers.filter(
+        F.col("c.status_image_sha").isNotNull()
+        & F.col("c.status_image_sha").startswith("sha256:")
+    )
+    image_nodes = _shape_nodes(
+        with_digest.select(
+            F.lit("Image").alias("label"),
+            F.col("c.status_image_sha").alias("id"),
+            F.map_from_arrays(
+                F.array(F.lit("digest"), F.lit("image_uri")),
+                F.array(
+                    F.col("c.status_image_sha"),
+                    parse_image_uri_expr(F.col("c.image"))["image_uri"],
+                ),
+            ).alias("props"),
+        ).dropDuplicates(["id"]),
+        update_tag,
+        extra=F.array(F.lit("Image")),
     )
 
     edge_frames = [
+        with_digest.select(
+            "cluster_id",
+            F.lit("KubernetesContainer").alias("src_label"),
+            F.col("c.uid").alias("src_id"),
+            F.lit("HAS_IMAGE").alias("rel_label"),
+            F.lit("Image").alias("dst_label"),
+            F.col("c.status_image_sha").alias("dst_id"),
+        ),
         # (pod)-[:CONTAINS]->(container) — pod_id is in the payload
         containers.select(
             "cluster_id",
@@ -221,7 +258,7 @@ def transform_k8s_pods(
     for f in edge_frames[1:]:
         edges = edges.unionByName(f)
     return (
-        pod_nodes.unionByName(container_nodes),
+        pod_nodes.unionByName(container_nodes).unionByName(image_nodes),
         _shape_edges(edges, update_tag),
     )
 

@@ -1,0 +1,214 @@
+"""Container-image stage: parse_image_uri parity (reference
+``tests/unit/cartography/intel/test_container_image.py``), the
+RESOLVED_IMAGE ontology analysis (``analysis/ontology/analysis.py:
+551-611``), layer-closure completeness, and the cross-provider
+kubernetes → Image → RESOLVED_IMAGE chain on real provider output."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from cartography_spark.plans.analysis import run_analysis_job
+from cartography_spark.plans.images import (
+    complete_layer_digests,
+    container_resolved_image_job,
+    function_resolved_image_job,
+    parse_image_uri_expr,
+)
+
+TAG = 1000
+
+
+def test_parse_image_uri_parity(spark):
+    """The 7 reference unit cases (test_container_image.py)."""
+    cases = [
+        (None, None, None),
+        ("", None, None),
+        ("   ", None, None),
+        ("nginx:latest", "nginx:latest", None),
+        ("registry.example.com/ns/app:v1.2.3",
+         "registry.example.com/ns/app:v1.2.3", None),
+        ("registry.example.com/app@sha256:abc",
+         "registry.example.com/app@sha256:abc", "sha256:abc"),
+        ("123.dkr.ecr.us-east-1.amazonaws.com/repo:prod@sha256:deadbeef",
+         "123.dkr.ecr.us-east-1.amazonaws.com/repo:prod@sha256:deadbeef",
+         "sha256:deadbeef"),
+        ("DOCKER|myregistry.azurecr.io/app:latest",
+         "myregistry.azurecr.io/app:latest", None),
+        ("DOCKER|myregistry.azurecr.io/app@sha256:abc",
+         "myregistry.azurecr.io/app@sha256:abc", "sha256:abc"),
+        ("DOCKER|", None, None),
+        ("DOCKER|   ", None, None),
+        ("registry.example.com/app@", "registry.example.com/app@", None),
+    ]
+    df = spark.createDataFrame([(c[0],) for c in cases], "raw string")
+    got = df.select(parse_image_uri_expr(F.col("raw")).alias("p")).select(
+        "p.image_uri", "p.image_digest"
+    ).collect()
+    for (raw, uri, digest), row in zip(cases, got):
+        assert (row["image_uri"], row["image_digest"]) == (uri, digest), raw
+
+
+def _node_row(label, nid, props=None, extra=None):
+    return (label, nid, TAG, None, extra, props)
+
+
+def _edge_row(src_l, src_i, rel, dst_l, dst_i):
+    return (src_l, src_i, rel, dst_l, dst_i, TAG, None, None, None)
+
+
+NODE_DDL = ("label string, id string, lastupdated long, content_sha256 "
+            "string, extra_labels array<string>, props map<string,string>")
+EDGE_DDL = ("src_label string, src_id string, rel_label string, dst_label "
+            "string, dst_id string, lastupdated long, sub_resource_label "
+            "string, sub_resource_id string, props map<string,string>")
+
+
+def _seed(spark, store, nodes, edges, tag=TAG):
+    store.merge_nodes(spark.createDataFrame(nodes, NODE_DDL), tag)
+    if edges:
+        store.merge_edges(spark.createDataFrame(edges, EDGE_DDL), tag)
+
+
+def test_resolved_image_direct_and_manifest_list(spark, tmp_store):
+    """Direct HAS_IMAGE resolves; manifest lists resolve only when
+    exactly one contained image matches the architecture; ambiguity
+    yields nothing; a lapsed match loses its derived edge."""
+    s = tmp_store
+    _seed(spark, s, [
+        _node_row("KubernetesContainer", "c1", None, ["Container"]),
+        _node_row("KubernetesContainer", "c2",
+                  {"architecture_normalized": "amd64"}, ["Container"]),
+        _node_row("KubernetesContainer", "c3",
+                  {"architecture_normalized": "arm64"}, ["Container"]),
+        _node_row("AWSECRImage", "img-direct", None, ["Image"]),
+        _node_row("AWSECRImage", "ml-1", None, ["Image", "ImageManifestList"]),
+        _node_row("AWSECRImage", "img-amd64",
+                  {"_ont_architecture": "amd64"}, ["Image"]),
+        _node_row("AWSECRImage", "img-arm64-a",
+                  {"_ont_architecture": "arm64"}, ["Image"]),
+        _node_row("AWSECRImage", "img-arm64-b",
+                  {"_ont_architecture": "arm64"}, ["Image"]),
+    ], [
+        _edge_row("KubernetesContainer", "c1", "HAS_IMAGE",
+                  "AWSECRImage", "img-direct"),
+        _edge_row("KubernetesContainer", "c2", "HAS_IMAGE",
+                  "AWSECRImage", "ml-1"),
+        _edge_row("KubernetesContainer", "c3", "HAS_IMAGE",
+                  "AWSECRImage", "ml-1"),
+        _edge_row("AWSECRImage", "ml-1", "CONTAINS_IMAGE",
+                  "AWSECRImage", "img-amd64"),
+        _edge_row("AWSECRImage", "ml-1", "CONTAINS_IMAGE",
+                  "AWSECRImage", "img-arm64-a"),
+        _edge_row("AWSECRImage", "ml-1", "CONTAINS_IMAGE",
+                  "AWSECRImage", "img-arm64-b"),
+    ])
+    run_analysis_job(s, container_resolved_image_job(), TAG)
+    resolved = {
+        (r["src_id"], r["dst_id"])
+        for r in s.edges(["RESOLVED_IMAGE"]).collect()
+    }
+    # c1 direct; c2 unique amd64 candidate; c3 ambiguous (two arm64) → none
+    assert resolved == {("c1", "img-direct"), ("c2", "img-amd64")}
+
+    # run 2: c2's arch no longer matches any contained image → its
+    # derived edge is swept by the job-scoped MatchLink cleanup
+    s.merge_nodes(spark.createDataFrame([
+        _node_row("KubernetesContainer", "c2",
+                  {"architecture_normalized": "s390x"}, ["Container"]),
+    ], NODE_DDL), TAG + 1)
+    run_analysis_job(s, container_resolved_image_job(), TAG + 1)
+    resolved = {
+        (r["src_id"], r["dst_id"])
+        for r in s.edges(["RESOLVED_IMAGE"]).collect()
+    }
+    assert resolved == {("c1", "img-direct")}
+
+
+def test_resolved_image_function_variant(spark, tmp_store):
+    s = tmp_store
+    _seed(spark, s, [
+        _node_row("AWSLambda", "fn1", None, ["Function"]),
+        _node_row("AWSECRImage", "img-1", None, ["Image"]),
+    ], [
+        _edge_row("AWSLambda", "fn1", "HAS_IMAGE", "AWSECRImage", "img-1"),
+    ])
+    run_analysis_job(s, function_resolved_image_job(), TAG)
+    assert {
+        (r["src_id"], r["dst_id"])
+        for r in s.edges(["RESOLVED_IMAGE"]).collect()
+    } == {("fn1", "img-1")}
+
+
+def test_complete_layer_digests(spark, tmp_store):
+    """Empty closure counts; partial closure doesn't; full closure
+    does; out-of-scope images are ignored."""
+    s = tmp_store
+    _seed(spark, s, [
+        _node_row("GitLabContainerImage", "i-empty",
+                  {"digest": "sha256:empty", "layer_diff_ids": "[]"}),
+        _node_row("GitLabContainerImage", "i-full",
+                  {"digest": "sha256:full",
+                   "layer_diff_ids": json.dumps(["l1", "l2"])}),
+        _node_row("GitLabContainerImage", "i-partial",
+                  {"digest": "sha256:partial",
+                   "layer_diff_ids": json.dumps(["l1", "l-missing"])}),
+        _node_row("GitLabContainerImage", "i-unscoped",
+                  {"digest": "sha256:unscoped", "layer_diff_ids": "[]"}),
+        _node_row("GitLabContainerImageLayer", "l1", {"diff_id": "l1"}),
+        _node_row("GitLabContainerImageLayer", "l2", {"diff_id": "l2"}),
+    ], [
+        _edge_row("GitLabGroup", "g1", "RESOURCE",
+                  "GitLabContainerImage", "i-empty"),
+        _edge_row("GitLabGroup", "g1", "RESOURCE",
+                  "GitLabContainerImage", "i-full"),
+        _edge_row("GitLabGroup", "g1", "RESOURCE",
+                  "GitLabContainerImage", "i-partial"),
+        _edge_row("GitLabGroup", "g1", "RESOURCE",
+                  "GitLabContainerImageLayer", "l1"),
+        _edge_row("GitLabGroup", "g1", "RESOURCE",
+                  "GitLabContainerImageLayer", "l2"),
+    ])
+    got = {
+        r["digest"]
+        for r in complete_layer_digests(
+            s, "GitLabContainerImage", "GitLabContainerImageLayer",
+            "GitLabGroup", "g1",
+        ).collect()
+    }
+    assert got == {"sha256:empty", "sha256:full"}
+
+
+def test_k8s_chain_to_resolved_image(spark, tmp_store):
+    """Cross-provider on real provider output: the kubernetes provider
+    emits Container-labeled containers, digest-keyed Image nodes and
+    HAS_IMAGE edges; the analysis then derives RESOLVED_IMAGE."""
+    from cartography_spark.providers.kubernetes import transform_k8s_pods
+
+    s = tmp_store
+    payload = {
+        "pods": [{"uid": "p1", "name": "web", "namespace": "default"}],
+        "containers": [{
+            "uid": "ct1", "name": "app", "namespace": "default",
+            "pod_id": "p1",
+            "image": "registry.example.com/app:v1@sha256:feed",
+            "status_image_sha": "sha256:feed",
+        }],
+    }
+    raw = spark.createDataFrame(
+        [("cl1", "cluster-1", json.dumps(payload))],
+        "cluster_id string, cluster_name string, payload_json string",
+    )
+    nodes, edges = transform_k8s_pods(raw, TAG)
+    s.merge_nodes(nodes, TAG)
+    s.merge_edges(edges, TAG)
+    imgs = {
+        r["id"]: r["props"] for r in s.nodes(["Image"]).collect()
+    }
+    assert imgs["sha256:feed"]["image_uri"] == (
+        "registry.example.com/app:v1@sha256:feed")
+    run_analysis_job(s, container_resolved_image_job(), TAG)
+    assert {
+        (r["src_id"], r["dst_id"])
+        for r in s.edges(["RESOLVED_IMAGE"]).collect()
+    } == {("ct1", "sha256:feed")}

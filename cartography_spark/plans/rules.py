@@ -559,6 +559,78 @@ KMS_ANONYMOUS_KEYS = Fact(
     asset_id_field="key_id",
 )
 
+K8S_CLUSTER_ADMIN_BINDINGS = Fact(
+    id="k8s_cluster_admin_bindings",
+    name="Kubernetes cluster-admin role bindings",
+    description="ClusterRoleBindings granting cluster-admin, one row "
+    "per bound subject "
+    "(rules/data/rules/cis_kubernetes_rbac.py:50-95, CIS RBAC).",
+    sql_query="""
+        SELECT n.id AS binding_id, e.dst_label AS subject_type,
+               e.dst_id AS subject_id
+        FROM nodes n JOIN edges e
+          ON e.rel_label = 'SUBJECT' AND e.src_id = n.id
+         AND e.src_label = 'KubernetesClusterRoleBinding'
+        WHERE n.label = 'KubernetesClusterRoleBinding'
+          AND n.props['role_name'] = 'cluster-admin'
+    """,
+    count_sql="SELECT count(*) AS count FROM nodes "
+              "WHERE label = 'KubernetesClusterRoleBinding'",
+    identity_fields=("binding_id", "subject_id"),
+    asset_label="KubernetesClusterRoleBinding",
+    asset_id_field="binding_id",
+)
+
+K8S_SECRETS_ACCESS_ROLES = Fact(
+    id="k8s_secrets_access_roles",
+    name="Kubernetes (cluster) roles granting secrets access",
+    description="Roles/ClusterRoles whose flattened rules grant "
+    "get/list/watch/* on secrets, excluding system: roles "
+    "(rules/data/rules/cis_kubernetes_rbac.py:133-205).",
+    sql_query="""
+        SELECT n.label AS role_type, n.id AS role_id,
+               n.props['name'] AS role_name, n.props['verbs'] AS verbs
+        FROM nodes n
+        WHERE n.label IN ('KubernetesRole', 'KubernetesClusterRole')
+          AND array_contains(
+                from_json(n.props['resources'], 'array<string>'), 'secrets')
+          AND exists(
+                from_json(n.props['verbs'], 'array<string>'),
+                v -> v IN ('get', 'list', 'watch', '*'))
+          AND NOT n.props['name'] LIKE 'system:%'
+    """,
+    count_sql="SELECT count(*) AS count FROM nodes WHERE label IN "
+              "('KubernetesRole', 'KubernetesClusterRole')",
+    identity_fields=("role_id",),
+    asset_label="KubernetesRole",
+    asset_id_field="role_id",
+)
+
+K8S_EXPOSED_SERVICES = Fact(
+    id="k8s_exposed_services",
+    name="Kubernetes services on internet-exposed load balancers",
+    description="LoadBalancer-type services whose USES_LOAD_BALANCER "
+    "target carries the derived exposed_internet flag — the service-"
+    "level attack surface behind the EXPOSE analysis chain "
+    "(kubernetes/exposure twin over the AWSLoadBalancerV2 analysis).",
+    sql_query="""
+        SELECT n.id AS service_id, n.props['qualified_name'] AS service,
+               e.dst_id AS load_balancer_id
+        FROM nodes n
+        JOIN edges e
+          ON e.rel_label = 'USES_LOAD_BALANCER' AND e.src_id = n.id
+        JOIN nodes lb
+          ON lb.label = 'AWSLoadBalancerV2' AND lb.id = e.dst_id
+         AND lb.props['exposed_internet'] = 'true'
+        WHERE n.label = 'KubernetesService'
+    """,
+    count_sql="SELECT count(*) AS count FROM nodes "
+              "WHERE label = 'KubernetesService'",
+    identity_fields=("service_id", "load_balancer_id"),
+    asset_label="KubernetesService",
+    asset_id_field="service_id",
+)
+
 UNMONITORED_DEVICES = Fact(
     id="device_security_posture_gaps",
     name="Canonical devices with no EDR observation",
@@ -1148,6 +1220,28 @@ ALL_RULES: tuple[Rule, ...] = (
         version="1.0.0",
         facts=(KMS_ANONYMOUS_KEYS,),
         frameworks=(iso27001_annex_a("8.24"), soc2_tsc("CC6.1")),
+    ),
+    Rule(
+        id="cis_kubernetes_rbac",
+        name="CIS Kubernetes RBAC hygiene",
+        tags=("kubernetes", "rbac", "cis", "compliance",
+              "stride:elevation_of_privilege"),
+        description="cluster-admin bindings and secrets-access roles "
+        "from the CIS Kubernetes benchmark "
+        "(rules/data/rules/cis_kubernetes_rbac.py).",
+        version="1.0.0",
+        facts=(K8S_CLUSTER_ADMIN_BINDINGS, K8S_SECRETS_ACCESS_ROLES),
+        frameworks=(iso27001_annex_a("5.15"), soc2_tsc("CC6.3")),
+    ),
+    Rule(
+        id="k8s_service_exposure",
+        name="Kubernetes service internet exposure",
+        tags=("kubernetes", "attack-surface",
+              "stride:information_disclosure"),
+        description="Services fronted by internet-exposed load "
+        "balancers.",
+        version="1.0.0",
+        facts=(K8S_EXPOSED_SERVICES,),
     ),
     Rule(
         id="cis_aws_iam",

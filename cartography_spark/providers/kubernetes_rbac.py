@@ -1,0 +1,571 @@
+"""Kubernetes services + RBAC sync (reference
+``intel/kubernetes/{services,rbac}.py``).
+
+Services (``services.py:88-137``): one node per service with the
+qualified name, JSON-encoded selector and load-balancer ingress;
+``TARGETS`` edges to pods whose labels satisfy the selector (the
+reference's per-service Python loop over all pods becomes a
+namespace-equi-join + ``forall`` map-containment filter); LoadBalancer
+services carry lowercased ingress hostnames
+(``_extract_load_balancer_dns_names`` :32-49) that attach to
+``AWSLoadBalancerV2`` nodes by their lowercased ``dnsname`` prop at
+sync time (the load-time one_to_many matcher of
+``models/kubernetes/services.py:78-83`` as a MatchLink join).
+
+RBAC (``rbac.py:67-335``): cluster-scoped ids
+(``{cluster}/{ns}/{name}`` / ``{cluster}/{name}``) for service
+accounts, roles, role bindings, cluster roles, cluster role bindings;
+role rules flattened to sorted distinct api_groups/resources/verbs
+with the ``"" → core`` api-group normalization; bindings with no
+subjects are dropped; ``SUBJECT`` edges per subject kind and
+``ROLE_REF`` to the bound (cluster) role; Users and Groups are derived
+nodes from binding subjects (``transform_users`` :281-335); IRSA /
+GKE Workload Identity annotations land as ``aws_role_arn`` /
+``gcp_service_account`` props, the latter also wiring
+``WORKLOAD_IDENTITY_BINDING`` to the GCP service account by email.
+
+Scale: every family is one ``from_json`` + explode; subject fan-out is
+explode, never a loop; the service→pod targeting joins on namespace
+first so selector evaluation is namespace-local.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cartography_spark.providers.kubernetes import _shape_edges, _shape_nodes
+
+IRSA_ROLE_ARN_ANNOTATION = "eks.amazonaws.com/role-arn"
+GKE_WORKLOAD_IDENTITY_ANNOTATION = "iam.gke.io/gcp-service-account"
+
+META = ("struct<name:string, namespace:string, uid:string, "
+        "creation_timestamp:string, resource_version:string, "
+        "annotations:map<string,string>>")
+
+SERVICES_STRUCT = (
+    "array<struct<uid:string, name:string, namespace:string, "
+    "creation_timestamp:string, deletion_timestamp:string, type:string, "
+    "selector:map<string,string>, cluster_ip:string, "
+    "load_balancer_ip:string, load_balancer_ingress:array<struct<"
+    "hostname:string, ip:string, ip_mode:string>>>>"
+)
+SA_STRUCT = (
+    f"array<struct<metadata:{META}, "
+    "automount_service_account_token:boolean>>"
+)
+ROLES_STRUCT = (
+    f"array<struct<metadata:{META}, rules:array<struct<"
+    "api_groups:array<string>, resources:array<string>, "
+    "verbs:array<string>>>>>"
+)
+BINDINGS_STRUCT = (
+    f"array<struct<metadata:{META}, "
+    "role_ref:struct<name:string, kind:string>, "
+    "subjects:array<struct<kind:string, name:string, namespace:string>>>>"
+)
+
+
+def _explode(raw: DataFrame, struct_ddl: str) -> DataFrame:
+    return raw.select(
+        "cluster_id", "cluster_name",
+        F.explode(F.from_json("payload_json", struct_ddl)).alias("x"),
+    )
+
+
+def _cluster_resource(df: DataFrame, label: str, id_col) -> DataFrame:
+    return df.select(
+        "cluster_id",
+        F.lit("KubernetesCluster").alias("src_label"),
+        F.col("cluster_id").alias("src_id"),
+        F.lit("RESOURCE").alias("rel_label"),
+        F.lit(label).alias("dst_label"),
+        id_col.alias("dst_id"),
+    )
+
+
+def _ns_contains(df: DataFrame, ns_frame: DataFrame | None, label: str,
+                 id_col, ns_col) -> DataFrame | None:
+    """(namespace)-[:CONTAINS]->(node), namespace resolved by
+    (name, cluster_name) against the store's namespace nodes."""
+    if ns_frame is None:
+        return None
+    ns = ns_frame.select(
+        F.col("id").alias("__ns_uid"),
+        F.element_at("props", "name").alias("__ns_name"),
+        F.element_at("props", "cluster_name").alias("__ns_cluster"),
+    )
+    return df.join(
+        ns,
+        (ns_col == F.col("__ns_name"))
+        & (df["cluster_name"] == F.col("__ns_cluster")),
+    ).select(
+        "cluster_id",
+        F.lit("KubernetesNamespace").alias("src_label"),
+        F.col("__ns_uid").alias("src_id"),
+        F.lit("CONTAINS").alias("rel_label"),
+        F.lit(label).alias("dst_label"),
+        id_col.alias("dst_id"),
+    )
+
+
+def _flatten_rules(rules_col):
+    """Sorted distinct api_groups/resources/verbs as JSON strings, with
+    the ``"" → core`` normalization (``rbac.py:108-119``)."""
+    rules = F.coalesce(rules_col, F.array())
+    def gather(field, normalize=False):
+        vals = F.flatten(F.transform(
+            rules, lambda r: F.coalesce(r[field], F.array())
+        ))
+        if normalize:
+            vals = F.transform(
+                vals, lambda g: F.when(g == "", "core").otherwise(g)
+            )
+        return F.to_json(F.array_sort(F.array_distinct(vals)))
+    return (gather("api_groups", normalize=True), gather("resources"),
+            gather("verbs"))
+
+
+def transform_k8s_services(
+    raw: DataFrame,
+    update_tag: int,
+    pods: DataFrame | None = None,
+    ns_frame: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """``raw(cluster_id, cluster_name, payload_json)``. ``pods`` is the
+    store's KubernetesPod node frame (labels prop used for selector
+    targeting)."""
+    svc = _explode(raw, SERVICES_STRUCT).filter(F.col("x.uid").isNotNull())
+    is_lb = F.col("x.type") == "LoadBalancer"
+    dns_names = F.when(
+        is_lb,
+        F.filter(
+            F.transform(
+                F.coalesce("x.load_balancer_ingress", F.array()),
+                lambda i: F.lower(i["hostname"]),
+            ),
+            lambda h: h.isNotNull(),
+        ),
+    )
+    svc = svc.withColumn("dns_names", dns_names)
+    nodes = _shape_nodes(
+        svc.select(
+            F.lit("KubernetesService").alias("label"),
+            F.col("x.uid").alias("id"),
+            F.map_from_arrays(
+                F.array(*[F.lit(k) for k in (
+                    "name", "namespace", "qualified_name", "type",
+                    "selector", "cluster_ip", "load_balancer_ip",
+                    "creation_timestamp", "deletion_timestamp",
+                    "load_balancer_ingress", "load_balancer_dns_names",
+                    "cluster_name",
+                )]),
+                F.array(
+                    F.col("x.name"), F.col("x.namespace"),
+                    F.concat_ws("/", "x.namespace", "x.name"),
+                    F.col("x.type"), F.to_json("x.selector"),
+                    F.col("x.cluster_ip"), F.col("x.load_balancer_ip"),
+                    F.col("x.creation_timestamp"),
+                    F.col("x.deletion_timestamp"),
+                    F.when(is_lb, F.to_json("x.load_balancer_ingress")),
+                    F.to_json("dns_names"),
+                    F.col("cluster_name"),
+                ),
+            ).alias("props"),
+        ),
+        update_tag,
+    )
+    edge_frames = [
+        _cluster_resource(svc, "KubernetesService", F.col("x.uid")),
+    ]
+    ns_edge = _ns_contains(svc, ns_frame, "KubernetesService",
+                           F.col("x.uid"), F.col("x.namespace"))
+    if ns_edge is not None:
+        edge_frames.append(ns_edge)
+    if pods is not None:
+        p = pods.select(
+            F.col("id").alias("__pod_uid"),
+            F.element_at("props", "namespace").alias("__pod_ns"),
+            F.element_at("props", "cluster_name").alias("__pod_cluster"),
+            F.from_json(
+                F.element_at("props", "labels"), "map<string,string>"
+            ).alias("__pod_labels"),
+        )
+        # namespace-local equi-join, then selector ⊆ pod-labels check
+        # (services.py:119-133's all() loop as a forall expression)
+        targeted = svc.filter(
+            F.col("x.selector").isNotNull() & (F.size(F.map_keys("x.selector")) > 0)
+        ).join(
+            p,
+            (svc["x.namespace"] == p["__pod_ns"])
+            & (svc["cluster_name"] == p["__pod_cluster"]),
+        ).filter(
+            F.forall(
+                F.map_entries("x.selector"),
+                lambda e: F.col("__pod_labels")[e["key"]] == e["value"],
+            )
+        )
+        edge_frames.append(targeted.select(
+            "cluster_id",
+            F.lit("KubernetesService").alias("src_label"),
+            F.col("x.uid").alias("src_id"),
+            F.lit("TARGETS").alias("rel_label"),
+            F.lit("KubernetesPod").alias("dst_label"),
+            F.col("__pod_uid").alias("dst_id"),
+        ))
+    edges = edge_frames[0]
+    for f in edge_frames[1:]:
+        edges = edges.unionByName(f)
+    return nodes, _shape_edges(edges, update_tag)
+
+
+def service_lb_matchlinks(
+    store, update_tag: int, cluster_id: str
+) -> DataFrame:
+    """``(svc)-[:USES_LOAD_BALANCER]->(:AWSLoadBalancerV2)`` matched on
+    the lowercased dnsname prop (``models/kubernetes/services.py:
+    78-83`` one_to_many matcher) — a cross-provider MatchLink join."""
+    if ("KubernetesService" not in store.manifest["nodes"]
+            or "AWSLoadBalancerV2" not in store.manifest["nodes"]):
+        return None
+    svc = store.nodes(["KubernetesService"]).select(
+        F.col("id").alias("svc_id"),
+        F.explode(
+            F.coalesce(
+                F.from_json(
+                    F.element_at("props", "load_balancer_dns_names"),
+                    "array<string>",
+                ),
+                F.array().cast("array<string>"),
+            )
+        ).alias("dnsname"),
+    )
+    lbs = store.nodes(["AWSLoadBalancerV2"]).select(
+        F.col("id").alias("lb_id"),
+        F.element_at("props", "dnsname").alias("dnsname"),
+    )
+    return svc.join(lbs, on="dnsname").select(
+        F.lit("KubernetesService").alias("src_label"),
+        F.col("svc_id").alias("src_id"),
+        F.lit("USES_LOAD_BALANCER").alias("rel_label"),
+        F.lit("AWSLoadBalancerV2").alias("dst_label"),
+        F.col("lb_id").alias("dst_id"),
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit("KubernetesCluster").alias("sub_resource_label"),
+        F.lit(str(cluster_id)).alias("sub_resource_id"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    ).dropDuplicates(["src_label", "src_id", "rel_label", "dst_label",
+                      "dst_id"])
+
+
+def transform_k8s_service_accounts(
+    raw: DataFrame, update_tag: int, ns_frame: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame]:
+    sa = _explode(raw, SA_STRUCT).filter(F.col("x.metadata.name").isNotNull())
+    sid = F.concat_ws("/", "cluster_name", "x.metadata.namespace",
+                      "x.metadata.name")
+    sa = sa.withColumn("sa_id", sid)
+    ann = F.coalesce(F.col("x.metadata.annotations"),
+                     F.create_map().cast("map<string,string>"))
+    sa = sa.withColumn("aws_role_arn", ann[IRSA_ROLE_ARN_ANNOTATION])
+    sa = sa.withColumn("gcp_sa", ann[GKE_WORKLOAD_IDENTITY_ANNOTATION])
+    nodes = _shape_nodes(
+        sa.select(
+            F.lit("KubernetesServiceAccount").alias("label"),
+            F.col("sa_id").alias("id"),
+            F.map_from_arrays(
+                F.array(*[F.lit(k) for k in (
+                    "name", "namespace", "uid",
+                    "automount_service_account_token", "aws_role_arn",
+                    "gcp_service_account", "creation_timestamp",
+                    "resource_version", "cluster_name",
+                )]),
+                F.array(
+                    F.col("x.metadata.name"), F.col("x.metadata.namespace"),
+                    F.col("x.metadata.uid"),
+                    F.col("x.automount_service_account_token").cast("string"),
+                    F.col("aws_role_arn"), F.col("gcp_sa"),
+                    F.col("x.metadata.creation_timestamp"),
+                    F.col("x.metadata.resource_version"),
+                    F.col("cluster_name"),
+                ),
+            ).alias("props"),
+        ),
+        update_tag,
+    )
+    edge_frames = [
+        _cluster_resource(sa, "KubernetesServiceAccount", F.col("sa_id")),
+        sa.filter(F.col("gcp_sa").isNotNull()).select(
+            "cluster_id",
+            F.lit("KubernetesServiceAccount").alias("src_label"),
+            F.col("sa_id").alias("src_id"),
+            F.lit("WORKLOAD_IDENTITY_BINDING").alias("rel_label"),
+            F.lit("GCPServiceAccount").alias("dst_label"),
+            F.col("gcp_sa").alias("dst_id"),
+        ),
+    ]
+    ns_edge = _ns_contains(sa, ns_frame, "KubernetesServiceAccount",
+                           F.col("sa_id"), F.col("x.metadata.namespace"))
+    if ns_edge is not None:
+        edge_frames.append(ns_edge)
+    edges = edge_frames[0]
+    for f in edge_frames[1:]:
+        edges = edges.unionByName(f)
+    return nodes, _shape_edges(edges, update_tag)
+
+
+def _transform_roles_family(
+    raw: DataFrame, update_tag: int, label: str, namespaced: bool
+) -> tuple[DataFrame, DataFrame]:
+    r = _explode(raw, ROLES_STRUCT).filter(F.col("x.metadata.name").isNotNull())
+    rid = (
+        F.concat_ws("/", "cluster_name", "x.metadata.namespace",
+                    "x.metadata.name")
+        if namespaced
+        else F.concat_ws("/", "cluster_name", "x.metadata.name")
+    )
+    api_groups, resources, verbs = _flatten_rules(F.col("x.rules"))
+    r = r.withColumn("role_id", rid)
+    keys = ["name", "uid", "api_groups", "resources", "verbs",
+            "creation_timestamp", "resource_version", "cluster_name"]
+    vals = [F.col("x.metadata.name"), F.col("x.metadata.uid"), api_groups,
+            resources, verbs, F.col("x.metadata.creation_timestamp"),
+            F.col("x.metadata.resource_version"), F.col("cluster_name")]
+    if namespaced:
+        keys.insert(1, "namespace")
+        vals.insert(1, F.col("x.metadata.namespace"))
+    nodes = _shape_nodes(
+        r.select(
+            F.lit(label).alias("label"),
+            F.col("role_id").alias("id"),
+            F.map_from_arrays(
+                F.array(*[F.lit(k) for k in keys]), F.array(*vals)
+            ).alias("props"),
+        ),
+        update_tag,
+    )
+    edges = _shape_edges(
+        _cluster_resource(r, label, F.col("role_id")), update_tag
+    )
+    return nodes, edges
+
+
+def transform_k8s_roles(raw, update_tag):
+    return _transform_roles_family(raw, update_tag, "KubernetesRole", True)
+
+
+def transform_k8s_cluster_roles(raw, update_tag):
+    return _transform_roles_family(raw, update_tag, "KubernetesClusterRole",
+                                   False)
+
+
+def _transform_bindings_family(
+    raw: DataFrame, update_tag: int, label: str, role_label: str,
+    namespaced: bool,
+) -> tuple[DataFrame, DataFrame]:
+    b = _explode(raw, BINDINGS_STRUCT).filter(
+        F.col("x.metadata.name").isNotNull()
+        # bindings without subjects are dropped (rbac.py:160-162)
+        & (F.size(F.coalesce("x.subjects", F.array())) > 0)
+    )
+    bid = (
+        F.concat_ws("/", "cluster_name", "x.metadata.namespace",
+                    "x.metadata.name")
+        if namespaced
+        else F.concat_ws("/", "cluster_name", "x.metadata.name")
+    )
+    role_id = (
+        F.concat_ws("/", "cluster_name", "x.metadata.namespace",
+                    "x.role_ref.name")
+        if namespaced
+        else F.concat_ws("/", "cluster_name", "x.role_ref.name")
+    )
+    b = b.withColumn("bind_id", bid).withColumn("role_id", role_id)
+    keys = ["name", "uid", "role_name", "role_kind", "role_id",
+            "creation_timestamp", "resource_version", "cluster_name"]
+    vals = [F.col("x.metadata.name"), F.col("x.metadata.uid"),
+            F.col("x.role_ref.name"), F.col("x.role_ref.kind"),
+            F.col("role_id"), F.col("x.metadata.creation_timestamp"),
+            F.col("x.metadata.resource_version"), F.col("cluster_name")]
+    if namespaced:
+        keys.insert(1, "namespace")
+        vals.insert(1, F.col("x.metadata.namespace"))
+    nodes = _shape_nodes(
+        b.select(
+            F.lit(label).alias("label"),
+            F.col("bind_id").alias("id"),
+            F.map_from_arrays(
+                F.array(*[F.lit(k) for k in keys]), F.array(*vals)
+            ).alias("props"),
+        ),
+        update_tag,
+    )
+
+    subjects = b.select(
+        "cluster_id", "cluster_name", "bind_id",
+        F.explode("x.subjects").alias("s"),
+    )
+    sa_dst = F.concat_ws("/", "cluster_name", "s.namespace", "s.name")
+    principal_dst = F.concat_ws("/", "cluster_name", "s.name")
+    kind_dst = {
+        "ServiceAccount": ("KubernetesServiceAccount", sa_dst),
+        "User": ("KubernetesUser", principal_dst),
+        "Group": ("KubernetesGroup", principal_dst),
+    }
+    subject_edges = []
+    derived_nodes = []
+    for kind, (dst_label, dst_id) in kind_dst.items():
+        of_kind = subjects.filter(F.col("s.kind") == kind)
+        subject_edges.append(of_kind.select(
+            "cluster_id",
+            F.lit(label).alias("src_label"),
+            F.col("bind_id").alias("src_id"),
+            F.lit("SUBJECT").alias("rel_label"),
+            F.lit(dst_label).alias("dst_label"),
+            dst_id.alias("dst_id"),
+        ))
+        if kind in ("User", "Group"):
+            # Users/Groups only exist as binding subjects (rbac.py:281-335)
+            derived_nodes.append(_shape_nodes(
+                of_kind.select(
+                    F.lit(dst_label).alias("label"),
+                    dst_id.alias("id"),
+                    F.map_from_arrays(
+                        F.array(F.lit("name"), F.lit("cluster_name")),
+                        F.array(F.col("s.name"), F.col("cluster_name")),
+                    ).alias("props"),
+                ).dropDuplicates(["id"]),
+                update_tag,
+            ))
+            subject_edges.append(of_kind.select(
+                "cluster_id",
+                F.lit("KubernetesCluster").alias("src_label"),
+                F.col("cluster_id").alias("src_id"),
+                F.lit("RESOURCE").alias("rel_label"),
+                F.lit(dst_label).alias("dst_label"),
+                dst_id.alias("dst_id"),
+            ))
+
+    edge_frames = [
+        _cluster_resource(b, label, F.col("bind_id")),
+        b.select(
+            "cluster_id",
+            F.lit(label).alias("src_label"),
+            F.col("bind_id").alias("src_id"),
+            F.lit("ROLE_REF").alias("rel_label"),
+            F.lit(role_label).alias("dst_label"),
+            F.col("role_id").alias("dst_id"),
+        ),
+        *subject_edges,
+    ]
+    edges = edge_frames[0]
+    for f in edge_frames[1:]:
+        edges = edges.unionByName(f)
+    for dn in derived_nodes:
+        nodes = nodes.unionByName(dn)
+    return nodes, _shape_edges(edges, update_tag)
+
+
+def transform_k8s_role_bindings(raw, update_tag):
+    return _transform_bindings_family(
+        raw, update_tag, "KubernetesRoleBinding", "KubernetesRole", True)
+
+
+def transform_k8s_cluster_role_bindings(raw, update_tag):
+    return _transform_bindings_family(
+        raw, update_tag, "KubernetesClusterRoleBinding",
+        "KubernetesClusterRole", False)
+
+
+def sync_k8s_services_rbac(
+    store,
+    services_raw: DataFrame | None,
+    sa_raw: DataFrame | None,
+    roles_raw: DataFrame | None,
+    role_bindings_raw: DataFrame | None,
+    cluster_roles_raw: DataFrame | None,
+    cluster_role_bindings_raw: DataFrame | None,
+    cluster_id: str,
+    update_tag: int,
+) -> dict:
+    """``intel/kubernetes/__init__.py`` order: RBAC then services; each
+    family gets cluster-scoped GC; the LB MatchLink runs after load and
+    its stale edges are swept with the cluster scope."""
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    metrics: dict = {}
+    ns_frame = (
+        store.nodes(["KubernetesNamespace"])
+        if "KubernetesNamespace" in store.manifest["nodes"]
+        else None
+    )
+    pods = (
+        store.nodes(["KubernetesPod"])
+        if "KubernetesPod" in store.manifest["nodes"]
+        else None
+    )
+    families = [
+        ("sa", sa_raw,
+         lambda r: transform_k8s_service_accounts(r, update_tag, ns_frame)),
+        ("roles", roles_raw,
+         lambda r: transform_k8s_roles(r, update_tag)),
+        ("cluster_roles", cluster_roles_raw,
+         lambda r: transform_k8s_cluster_roles(r, update_tag)),
+        ("role_bindings", role_bindings_raw,
+         lambda r: transform_k8s_role_bindings(r, update_tag)),
+        ("cluster_role_bindings", cluster_role_bindings_raw,
+         lambda r: transform_k8s_cluster_role_bindings(r, update_tag)),
+        ("services", services_raw,
+         lambda r: transform_k8s_services(r, update_tag, pods, ns_frame)),
+    ]
+    for name, raw, fn in families:
+        if raw is None:
+            continue
+        nodes, edges = fn(raw)
+        metrics[f"{name}_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics[f"{name}_edges"] = store.merge_edges(edges, update_tag)
+    if services_raw is not None:
+        links = service_lb_matchlinks(store, update_tag, cluster_id)
+        if links is not None:
+            metrics["lb_links"] = store.merge_edges(links, update_tag)
+
+    cluster_rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label="KubernetesCluster",
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("CLUSTER_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    for label in ("KubernetesRoleBinding", "KubernetesClusterRoleBinding",
+                  "KubernetesRole", "KubernetesClusterRole",
+                  "KubernetesServiceAccount", "KubernetesUser",
+                  "KubernetesGroup", "KubernetesService"):
+        if label not in store.manifest["nodes"]:
+            continue
+        metrics[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=cluster_rel,
+            ),
+            update_tag,
+            {"CLUSTER_ID": cluster_id},
+        )
+    # stale USES_LOAD_BALANCER MatchLinks of this cluster
+    if "USES_LOAD_BALANCER" in store.manifest["edges"]:
+        metrics["gc_lb_links"] = store.delete_edges(
+            "USES_LOAD_BALANCER",
+            (F.col("lastupdated") != int(update_tag))
+            & (F.col("sub_resource_label") == "KubernetesCluster")
+            & (F.col("sub_resource_id") == str(cluster_id)),
+        )
+    store.record_lineage("k8s_services_rbac_sync", {"update_tag": update_tag})
+    return metrics

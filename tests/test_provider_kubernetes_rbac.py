@@ -1,0 +1,355 @@
+"""Kubernetes services + RBAC parity, mirrored from the reference's
+``tests/integration/cartography/intel/kubernetes/test_rbac.py`` /
+``test_services.py`` assertions over its actual
+``tests/data/kubernetes/rbac.py`` fixture (V1* objects loaded as plain
+dicts via the ast literal evaluator with kwargs stubs)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.kubernetes_rbac import (
+    sync_k8s_services_rbac,
+    transform_k8s_cluster_role_bindings,
+    transform_k8s_cluster_roles,
+    transform_k8s_role_bindings,
+    transform_k8s_roles,
+    transform_k8s_service_accounts,
+    transform_k8s_services,
+)
+from tests.test_fixture_parity_github import _load_fixture_ns
+
+FIXTURE = "/root/reference/tests/data/kubernetes/rbac.py"
+CLUSTER_ID, CLUSTER = "cluster-uid-1", "my-cluster-1"
+TAG = 123456789
+
+RAW_DDL = "cluster_id string, cluster_name string, payload_json string"
+
+
+@pytest.fixture(scope="module")
+def fix():
+    if not os.path.exists(FIXTURE):
+        pytest.skip("reference fixture not available")
+    kw = lambda **k: k  # noqa: E731  V1* objects become plain dicts
+    return _load_fixture_ns(FIXTURE, stubs={
+        "V1ServiceAccount": kw, "V1ObjectMeta": kw, "V1Role": kw,
+        "V1PolicyRule": kw, "V1RoleBinding": kw, "V1RoleRef": kw,
+        "RbacV1Subject": kw, "V1ClusterRole": kw, "V1ClusterRoleBinding": kw,
+        "datetime.fromisoformat": str,
+    })
+
+
+def _raw(spark, payload):
+    return spark.createDataFrame(
+        [(CLUSTER_ID, CLUSTER, json.dumps(payload))], RAW_DDL
+    )
+
+
+def _props(nodes, label):
+    return {
+        r["id"]: r["props"]
+        for r in nodes.filter(F.col("label") == label).collect()
+    }
+
+
+def _rels(edges, rel, src_label=None, dst_label=None):
+    df = edges.filter(F.col("rel_label") == rel)
+    if src_label:
+        df = df.filter(F.col("src_label") == src_label)
+    if dst_label:
+        df = df.filter(F.col("dst_label") == dst_label)
+    return {(r["src_id"], r["dst_id"]) for r in df.collect()}
+
+
+def test_service_accounts(spark, fix):
+    """test_rbac.py:131-181 — cluster-scoped ids, IRSA arn, GKE WI."""
+    nodes, edges = transform_k8s_service_accounts(
+        _raw(spark, fix["KUBERNETES_CLUSTER_1_SERVICE_ACCOUNTS_RAW"]), TAG
+    )
+    sas = _props(nodes, "KubernetesServiceAccount")
+    assert set(sas) == {
+        f"{CLUSTER}/demo-ns/demo-sa", f"{CLUSTER}/demo-ns/another-sa",
+        f"{CLUSTER}/test-ns/test-sa", f"{CLUSTER}/demo-ns/workload-identity-sa",
+    }
+    assert sas[f"{CLUSTER}/demo-ns/demo-sa"]["aws_role_arn"] == (
+        "arn:aws:iam::123456789012:role/demo-irsa-role")
+    assert sas[f"{CLUSTER}/demo-ns/another-sa"].get("aws_role_arn") is None
+    wi = sas[f"{CLUSTER}/demo-ns/workload-identity-sa"]
+    assert wi["gcp_service_account"] == (
+        "wi-bound-sa@example-project.iam.gserviceaccount.com")
+    assert _rels(edges, "WORKLOAD_IDENTITY_BINDING") == {
+        (f"{CLUSTER}/demo-ns/workload-identity-sa",
+         "wi-bound-sa@example-project.iam.gserviceaccount.com"),
+    }
+
+
+def test_roles_flattening(spark, fix):
+    """rbac.py:97-136 — rules flattened sorted; '' → core."""
+    nodes, _ = transform_k8s_roles(
+        _raw(spark, fix["KUBERNETES_CLUSTER_1_ROLES_RAW"]), TAG
+    )
+    roles = _props(nodes, "KubernetesRole")
+    assert set(roles) == {
+        f"{CLUSTER}/demo-ns/pod-reader", f"{CLUSTER}/demo-ns/secret-manager",
+    }
+    pr = roles[f"{CLUSTER}/demo-ns/pod-reader"]
+    assert json.loads(pr["api_groups"]) == ["core"]
+    assert json.loads(pr["resources"]) == ["pods"]
+    assert json.loads(pr["verbs"]) == ["get", "list", "watch"]
+    sm = roles[f"{CLUSTER}/demo-ns/secret-manager"]
+    assert json.loads(sm["verbs"]) == sorted(
+        ["get", "list", "create", "update", "delete"])
+
+    cr_nodes, _ = transform_k8s_cluster_roles(
+        _raw(spark, fix["KUBERNETES_CLUSTER_1_CLUSTER_ROLES_RAW"]), TAG
+    )
+    crs = _props(cr_nodes, "KubernetesClusterRole")
+    assert set(crs) == {f"{CLUSTER}/cluster-admin", f"{CLUSTER}/pod-viewer"}
+    pv = crs[f"{CLUSTER}/pod-viewer"]
+    # two rules merged: core + apps groups, pods + deployments
+    assert json.loads(pv["api_groups"]) == ["apps", "core"]
+    assert json.loads(pv["resources"]) == ["deployments", "pods"]
+
+
+def test_role_bindings_subjects_and_refs(spark, fix):
+    """rbac.py:138-185 — SUBJECT per kind, ROLE_REF, derived
+    users/groups; subject-less bindings dropped."""
+    nodes, edges = transform_k8s_role_bindings(
+        _raw(spark, fix["KUBERNETES_CLUSTER_1_ROLE_BINDINGS_RAW"]), TAG
+    )
+    binds = _props(nodes, "KubernetesRoleBinding")
+    assert set(binds) == {
+        f"{CLUSTER}/demo-ns/bind-demo-sa",
+        f"{CLUSTER}/demo-ns/bind-another-sa",
+    }
+    b1 = binds[f"{CLUSTER}/demo-ns/bind-demo-sa"]
+    assert (b1["role_name"], b1["role_kind"]) == ("pod-reader", "Role")
+    assert b1["role_id"] == f"{CLUSTER}/demo-ns/pod-reader"
+    assert _rels(edges, "ROLE_REF") == {
+        (f"{CLUSTER}/demo-ns/bind-demo-sa", f"{CLUSTER}/demo-ns/pod-reader"),
+        (f"{CLUSTER}/demo-ns/bind-another-sa",
+         f"{CLUSTER}/demo-ns/secret-manager"),
+    }
+    assert _rels(edges, "SUBJECT",
+                 dst_label="KubernetesServiceAccount") == {
+        (f"{CLUSTER}/demo-ns/bind-demo-sa", f"{CLUSTER}/demo-ns/demo-sa"),
+        (f"{CLUSTER}/demo-ns/bind-another-sa",
+         f"{CLUSTER}/demo-ns/another-sa"),
+    }
+    assert _rels(edges, "SUBJECT", dst_label="KubernetesUser") == {
+        (f"{CLUSTER}/demo-ns/bind-demo-sa",
+         f"{CLUSTER}/john.doe@company.com"),
+    }
+    assert _rels(edges, "SUBJECT", dst_label="KubernetesGroup") == {
+        (f"{CLUSTER}/demo-ns/bind-demo-sa", f"{CLUSTER}/developers"),
+    }
+    # derived principal nodes (rbac.py:281-335)
+    assert set(_props(nodes, "KubernetesUser")) == {
+        f"{CLUSTER}/john.doe@company.com"}
+    assert set(_props(nodes, "KubernetesGroup")) == {f"{CLUSTER}/developers"}
+
+    crb_nodes, crb_edges = transform_k8s_cluster_role_bindings(
+        _raw(spark, fix["KUBERNETES_CLUSTER_1_CLUSTER_ROLE_BINDINGS_RAW"]),
+        TAG,
+    )
+    crbs = _props(crb_nodes, "KubernetesClusterRoleBinding")
+    assert {f"{CLUSTER}/admin-binding", f"{CLUSTER}/viewer-binding"} <= set(
+        crbs)
+    assert (f"{CLUSTER}/admin-binding",
+            f"{CLUSTER}/cluster-admin") in _rels(crb_edges, "ROLE_REF")
+
+
+SERVICES_PAYLOAD = [
+    {
+        "uid": "svc-uid-1", "name": "my-service", "namespace": "demo-ns",
+        "creation_timestamp": "1633581666", "type": "ClusterIP",
+        "selector": {"app": "my-app"}, "cluster_ip": "1.1.1.1",
+    },
+    {
+        "uid": "svc-uid-2", "name": "my-lb-service", "namespace": "demo-ns",
+        "creation_timestamp": "1633581667", "type": "LoadBalancer",
+        "selector": {"app": "my-app"}, "cluster_ip": "10.0.0.1",
+        "load_balancer_ingress": [
+            {"hostname": "Test-ALB-1234567890.us-east-1.elb.amazonaws.com"},
+        ],
+    },
+]
+
+
+def test_services_targeting_and_lb_links(spark, tmp_store):
+    """test_services.py: namespace CONTAINS, selector→pod TARGETS, and
+    the USES_LOAD_BALANCER MatchLink against a case-mixed ELB DNS name
+    (lowercased on both sides)."""
+    from cartography_spark.providers.aws_ec2_net import (
+        transform_load_balancer_v2s,
+    )
+    from cartography_spark.providers.kubernetes import (
+        transform_k8s_namespaces,
+        transform_k8s_pods,
+    )
+
+    s = tmp_store
+    ns_payload = [{"uid": "demo-ns-uid", "name": "demo-ns"}]
+    n, e = transform_k8s_namespaces(_raw(spark, ns_payload), TAG)
+    s.merge_nodes(n, TAG); s.merge_edges(e, TAG)
+    pods_payload = {
+        "pods": [
+            {"uid": "pod-1", "name": "web", "namespace": "demo-ns",
+             "labels": json.dumps({"app": "my-app", "tier": "fe"})},
+            {"uid": "pod-2", "name": "api", "namespace": "demo-ns",
+             "labels": json.dumps({"app": "other"})},
+        ],
+        "containers": [],
+    }
+    n, e = transform_k8s_pods(_raw(spark, pods_payload), TAG)
+    s.merge_nodes(n, TAG); s.merge_edges(e, TAG)
+    lb_payload = [{
+        "LoadBalancerArn": "arn:lb",
+        "DNSName": "Test-ALB-1234567890.us-east-1.elb.amazonaws.com",
+        "LoadBalancerName": "test-alb", "Scheme": "internet-facing",
+        "Type": "application", "CreatedTime": "2021-01-01 12:00:00",
+    }]
+    n, e = transform_load_balancer_v2s(spark.createDataFrame(
+        [("acct", "us-east-1", json.dumps(lb_payload))],
+        "account_id string, region string, payload_json string"), TAG)
+    s.merge_nodes(n, TAG); s.merge_edges(e, TAG)
+
+    m = sync_k8s_services_rbac(
+        s, _raw(spark, SERVICES_PAYLOAD), None, None, None, None, None,
+        CLUSTER_ID, TAG,
+    )
+    svcs = {r["id"]: r["props"] for r in s.nodes(["KubernetesService"]).collect()}
+    assert set(svcs) == {"svc-uid-1", "svc-uid-2"}
+    assert svcs["svc-uid-1"]["qualified_name"] == "demo-ns/my-service"
+    rels = {
+        (r["rel_label"], r["src_id"], r["dst_id"])
+        for r in s.edges().collect()
+    }
+    # selector {app: my-app} ⊆ pod-1's labels only
+    assert ("TARGETS", "svc-uid-1", "pod-1") in rels
+    assert ("TARGETS", "svc-uid-1", "pod-2") not in rels
+    assert ("CONTAINS", "demo-ns-uid", "svc-uid-1") in rels
+    # mixed-case hostname lowercased == LB's lowercased dnsname prop;
+    # edge targets the LB node's raw-case id
+    assert ("USES_LOAD_BALANCER", "svc-uid-2",
+            "Test-ALB-1234567890.us-east-1.elb.amazonaws.com") in rels
+
+    # run 2: LB service gone → its node and stale MatchLink swept
+    m2 = sync_k8s_services_rbac(
+        s, _raw(spark, SERVICES_PAYLOAD[:1]), None, None, None, None, None,
+        CLUSTER_ID, TAG + 1,
+    )
+    assert {r["id"] for r in s.nodes(["KubernetesService"]).collect()} == {
+        "svc-uid-1"}
+    assert s.edges(["USES_LOAD_BALANCER"]).count() == 0
+
+
+def test_rbac_sync_and_gc(spark, tmp_store, fix):
+    """Full RBAC sync then a shrunk second run: stale bindings, roles
+    and principals swept; survivors keep their SUBJECT edges."""
+    s = tmp_store
+    sync_k8s_services_rbac(
+        s, None,
+        _raw(spark, fix["KUBERNETES_CLUSTER_1_SERVICE_ACCOUNTS_RAW"]),
+        _raw(spark, fix["KUBERNETES_CLUSTER_1_ROLES_RAW"]),
+        _raw(spark, fix["KUBERNETES_CLUSTER_1_ROLE_BINDINGS_RAW"]),
+        _raw(spark, fix["KUBERNETES_CLUSTER_1_CLUSTER_ROLES_RAW"]),
+        _raw(spark, fix["KUBERNETES_CLUSTER_1_CLUSTER_ROLE_BINDINGS_RAW"]),
+        CLUSTER_ID, TAG,
+    )
+    assert s.nodes(["KubernetesRoleBinding"]).count() == 2
+    assert s.nodes(["KubernetesUser"]).count() >= 1
+
+    # run 2: only the first role binding and its role/sa remain
+    sync_k8s_services_rbac(
+        s, None,
+        _raw(spark, fix["KUBERNETES_CLUSTER_1_SERVICE_ACCOUNTS_RAW"][:1]),
+        _raw(spark, fix["KUBERNETES_CLUSTER_1_ROLES_RAW"][:1]),
+        _raw(spark, fix["KUBERNETES_CLUSTER_1_ROLE_BINDINGS_RAW"][:1]),
+        None, None,
+        CLUSTER_ID, TAG + 1,
+    )
+    assert {r["id"] for r in s.nodes(["KubernetesRoleBinding"]).collect()} == {
+        f"{CLUSTER}/demo-ns/bind-demo-sa"}
+    assert {r["id"] for r in s.nodes(["KubernetesRole"]).collect()} == {
+        f"{CLUSTER}/demo-ns/pod-reader"}
+    assert {r["id"] for r in s.nodes(["KubernetesServiceAccount"]).collect()} == {
+        f"{CLUSTER}/demo-ns/demo-sa"}
+    # cluster roles/bindings were not in the second batch → swept
+    assert s.nodes(["KubernetesClusterRoleBinding"]).count() == 0
+    subj = {
+        (r["src_id"], r["dst_id"])
+        for r in s.edges(["SUBJECT"]).collect()
+    }
+    assert (f"{CLUSTER}/demo-ns/bind-demo-sa",
+            f"{CLUSTER}/demo-ns/demo-sa") in subj
+    assert all(src == f"{CLUSTER}/demo-ns/bind-demo-sa" for src, _ in subj)
+
+
+def test_k8s_rbac_and_exposure_facts(spark, tmp_store, fix):
+    """cis_kubernetes_rbac + k8s_service_exposure over provider-synced
+    data: cluster-admin binding subjects flagged, secrets-access roles
+    flagged (system: excluded), exposed-LB services flagged."""
+    from cartography_spark.plans.rules import (
+        K8S_CLUSTER_ADMIN_BINDINGS,
+        K8S_EXPOSED_SERVICES,
+        K8S_SECRETS_ACCESS_ROLES,
+        run_fact,
+    )
+
+    s = tmp_store
+    sync_k8s_services_rbac(
+        s, None,
+        _raw(spark, fix["KUBERNETES_CLUSTER_1_SERVICE_ACCOUNTS_RAW"]),
+        _raw(spark, fix["KUBERNETES_CLUSTER_1_ROLES_RAW"]),
+        _raw(spark, fix["KUBERNETES_CLUSTER_1_ROLE_BINDINGS_RAW"]),
+        _raw(spark, fix["KUBERNETES_CLUSTER_1_CLUSTER_ROLES_RAW"]),
+        _raw(spark, fix["KUBERNETES_CLUSTER_1_CLUSTER_ROLE_BINDINGS_RAW"]),
+        CLUSTER_ID, TAG,
+    )
+    admin = run_fact(s, K8S_CLUSTER_ADMIN_BINDINGS)
+    rows = {(r["binding_id"], r["subject_type"])
+            for r in admin["findings"].collect()}
+    assert all(b == f"{CLUSTER}/admin-binding" for b, _ in rows)
+    assert admin["failing"] == 1  # one offending binding (distinct anchor)
+
+    secrets = run_fact(s, K8S_SECRETS_ACCESS_ROLES)
+    ids = {r["role_id"] for r in secrets["findings"].collect()}
+    # secret-manager grants get/list on secrets; cluster-admin's "*"
+    # resource is NOT the literal 'secrets' (the reference's
+    # `'secrets' IN cr.resources` has the same blind spot, kept)
+    assert ids == {f"{CLUSTER}/demo-ns/secret-manager"}
+
+    # exposed service: LB carries the derived flag
+    from cartography_spark.providers.aws_ec2_net import (
+        transform_load_balancer_v2s,
+    )
+    lb_payload = [{
+        "LoadBalancerArn": "arn:lb", "DNSName": "alb.example.com",
+        "LoadBalancerName": "alb", "Scheme": "internet-facing",
+        "Type": "application", "CreatedTime": "2021-01-01 12:00:00",
+    }]
+    n, e = transform_load_balancer_v2s(spark.createDataFrame(
+        [("acct", "us-east-1", json.dumps(lb_payload))],
+        "account_id string, region string, payload_json string"), TAG)
+    s.merge_nodes(n, TAG); s.merge_edges(e, TAG)
+    s.merge_nodes(spark.createDataFrame(
+        [("AWSLoadBalancerV2", "alb.example.com", TAG, None, None,
+          {"exposed_internet": "true"})],
+        "label string, id string, lastupdated long, content_sha256 string, "
+        "extra_labels array<string>, props map<string,string>"), TAG)
+    svc_payload = [{
+        "uid": "svc-exposed", "name": "edge", "namespace": "demo-ns",
+        "type": "LoadBalancer", "selector": {"app": "edge"},
+        "load_balancer_ingress": [{"hostname": "alb.example.com"}],
+    }]
+    sync_k8s_services_rbac(
+        s, _raw(spark, svc_payload), None, None, None, None, None,
+        CLUSTER_ID, TAG,
+    )
+    exposed = run_fact(s, K8S_EXPOSED_SERVICES)
+    assert {(r["service_id"], r["load_balancer_id"])
+            for r in exposed["findings"].collect()} == {
+        ("svc-exposed", "alb.example.com")}

@@ -936,6 +936,60 @@ def kg_extract_triples(spark, sf_dir):
     )
 
 
+def kg_extract_requirements(spark, sf_dir):
+    """The pandas-UDF extract path, ORACLED: requirements.txt files are
+    synthesized deterministically from the ``part`` table (20 repos,
+    one pinned ``Pkg_{k}==1.{k%10}.0`` line per part key), run through
+    the REAL Arrow-batched ``extract_facts`` parser (name
+    canonicalization, pin detection, id synthesis), and the resulting
+    requirement nodes + per-repo REQUIRES counts are replayed by DuckDB
+    as string expressions — closing the round-3 note that only a
+    deterministic subset of kg_extract_triples could be oracled."""
+    from cartography_spark.functions.parsers import extract_facts
+
+    parts = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 400)
+    lines = parts.select(
+        (F.col("p_partkey") % 20).cast("string").alias("bucket"),
+        F.col("p_partkey").alias("k"),
+        F.concat(
+            F.lit("Pkg_"), F.col("p_partkey").cast("string"), F.lit("=="),
+            F.lit("1."), (F.col("p_partkey") % 10).cast("string"),
+            F.lit(".0"),
+        ).alias("line"),
+    )
+    files = lines.groupBy("bucket").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("k", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("content")
+    ).select(
+        F.concat(F.lit("repo-"), "bucket").alias("repo"),
+        F.lit("requirements.txt").alias("path"),
+        F.lit("c1").alias("commit"),
+        F.lit("requirements").alias("lang"),
+        "content",
+    )
+    facts = extract_facts(files).cache()
+    reqs = facts.filter(
+        (F.col("subj_label") == "PythonRequirement") & F.col("pred").isNull()
+    ).select(
+        F.col("subj_id").alias("requirement_id"),
+        F.get_json_object("props_json", "$.name").alias("name"),
+        F.get_json_object("props_json", "$.specifier").alias("specifier"),
+        F.get_json_object("props_json", "$.version").alias("version"),
+    ).distinct()
+    n_repos = facts.filter(F.col("pred") == "REQUIRES").groupBy(
+        F.col("obj_id").alias("requirement_id")
+    ).agg(F.count_distinct("subj_id").alias("n_repos"))
+    return (
+        reqs.join(n_repos, on="requirement_id")
+        .orderBy("requirement_id")
+    )
+
+
 def kg_sync_graph(spark, sf_dir):
     """M1/M2/G-family through the REAL GraphStore, oracled: two MERGE
     generations derived deterministically from ``customer``/``orders``
@@ -1162,6 +1216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize_events": q_sessionize_events,
         "q_ontology_device_merge": q_ontology_device_merge,
         "kg_extract_triples": kg_extract_triples,
+        "kg_extract_requirements": kg_extract_requirements,
         "kg_sync_graph": kg_sync_graph,
         "kg_connected_components": kg_connected_components,
         "kg_permission_join": kg_permission_join,
@@ -1479,6 +1534,19 @@ def oracle_sql() -> dict[str, str]:
             comp AS (SELECT id, min(reach) AS component FROM walk GROUP BY id),
             sizes AS (SELECT component, count(*) AS sz FROM comp GROUP BY component)
             SELECT sz, count(*) AS n_components FROM sizes GROUP BY sz ORDER BY sz
+        """,
+        # the pandas-UDF extract replayed as pure string SQL over the
+        # same deterministic requirements synthesis
+        "kg_extract_requirements": """
+            WITH src AS (SELECT p_partkey AS k FROM part
+                         WHERE p_partkey <= 400)
+            SELECT 'pkg-' || CAST(k AS VARCHAR) || '|1.' ||
+                     CAST(k % 10 AS VARCHAR) || '.0' AS requirement_id,
+                   'pkg-' || CAST(k AS VARCHAR) AS name,
+                   '==1.' || CAST(k % 10 AS VARCHAR) || '.0' AS specifier,
+                   '1.' || CAST(k % 10 AS VARCHAR) || '.0' AS version,
+                   CAST(1 AS BIGINT) AS n_repos
+            FROM src ORDER BY requirement_id
         """,
         # MERGE-with-firstseen + GC replayed as full-outer-join coalesce
         # + delete predicate (the store keeps only generation-2 members;

@@ -76,6 +76,7 @@ HEADLINE = [
     "q_ontology_package_rollup",
     "q_sessionize_events",
     "q_ontology_device_merge",
+    "kg_extract_requirements",
 ]
 
 

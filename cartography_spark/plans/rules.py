@@ -559,6 +559,252 @@ KMS_ANONYMOUS_KEYS = Fact(
     asset_id_field="key_id",
 )
 
+SG_OPEN_REMOTE_ADMIN = Fact(
+    id="aws_sg_open_remote_admin_ipv4",
+    name="Security groups exposing SSH/RDP to the internet",
+    description="Instance-attached security groups whose inbound rules "
+    "admit 0.0.0.0/0 on port 22 or 3389 (or protocol -1) "
+    "(rules/data/rules/cis_aws_networking.py:239-310, CIS 5.2).",
+    sql_query="""
+        SELECT DISTINCT sg.id AS security_group_id,
+               r.id AS rule_id, r.props['protocol'] AS protocol,
+               r.props['fromport'] AS from_port,
+               r.props['toport'] AS to_port,
+               EXISTS (
+                 SELECT 1 FROM edges li JOIN nodes i
+                   ON i.label = 'AWSEC2Instance' AND i.id = li.src_id
+                  AND coalesce(i.props['state'], '') <> 'terminated'
+                 WHERE li.rel_label = 'MEMBER_OF_EC2_SECURITY_GROUP'
+                   AND li.src_label = 'AWSEC2Instance'
+                   AND li.dst_id = sg.id
+               ) AS in_use
+        FROM edges mir
+        JOIN nodes r ON r.label = 'AWSIpPermissionInbound'
+                    AND r.id = mir.dst_id
+        JOIN edges msg ON msg.rel_label = 'MEMBER_OF_EC2_SECURITY_GROUP'
+                      AND msg.src_label = 'AWSIpPermissionInbound'
+                      AND msg.src_id = r.id
+        JOIN nodes sg ON sg.label = 'AWSEC2SecurityGroup'
+                     AND sg.id = msg.dst_id
+        JOIN edges inst ON inst.rel_label = 'MEMBER_OF_EC2_SECURITY_GROUP'
+                       AND inst.src_label = 'AWSEC2Instance'
+                       AND inst.dst_id = sg.id
+        WHERE mir.rel_label = 'MEMBER_OF_IP_RULE'
+          AND mir.src_label = 'AWSIpRange'
+          AND mir.src_id = '0.0.0.0/0'
+          AND ((CAST(r.props['fromport'] AS INT) <= 22
+                AND CAST(r.props['toport'] AS INT) >= 22)
+            OR (CAST(r.props['fromport'] AS INT) <= 3389
+                AND CAST(r.props['toport'] AS INT) >= 3389)
+            OR r.props['protocol'] = '-1')
+    """,
+    count_sql="SELECT count(*) AS count FROM nodes "
+              "WHERE label = 'AWSEC2SecurityGroup'",
+    identity_fields=("security_group_id", "rule_id"),
+    asset_label="AWSEC2SecurityGroup",
+    asset_id_field="security_group_id",
+)
+
+SG_OPEN_CIFS = Fact(
+    id="aws_sg_open_cifs",
+    name="Security groups exposing CIFS/SMB to the internet",
+    description="Security groups whose inbound rules admit "
+    "0.0.0.0/0 or ::/0 on tcp/445 (or all ports) "
+    "(rules/data/rules/cis_aws_networking.py:132-190).",
+    sql_query="""
+        SELECT DISTINCT sg.id AS security_group_id, r.id AS rule_id,
+               r.props['protocol'] AS protocol, mir.src_id AS cidr_range
+        FROM edges mir
+        JOIN nodes r ON r.label = 'AWSIpPermissionInbound'
+                    AND r.id = mir.dst_id
+        JOIN edges msg ON msg.rel_label = 'MEMBER_OF_EC2_SECURITY_GROUP'
+                      AND msg.src_label = 'AWSIpPermissionInbound'
+                      AND msg.src_id = r.id
+        JOIN nodes sg ON sg.label = 'AWSEC2SecurityGroup'
+                     AND sg.id = msg.dst_id
+        WHERE mir.rel_label = 'MEMBER_OF_IP_RULE'
+          AND mir.src_label = 'AWSIpRange'
+          AND mir.src_id IN ('0.0.0.0/0', '::/0')
+          AND coalesce(r.props['protocol'], '') IN ('tcp', '-1', 'all')
+          AND (r.props['fromport'] IS NULL
+               OR (CAST(r.props['fromport'] AS INT) <= 445
+                   AND CAST(r.props['toport'] AS INT) >= 445))
+    """,
+    count_sql="SELECT count(*) AS count FROM nodes "
+              "WHERE label = 'AWSEC2SecurityGroup'",
+    identity_fields=("security_group_id", "rule_id"),
+    asset_label="AWSEC2SecurityGroup",
+    asset_id_field="security_group_id",
+)
+
+EBS_UNENCRYPTED = Fact(
+    id="aws_ebs_unencrypted",
+    name="AWS EBS volumes without encryption",
+    description="EBS volumes whose encrypted flag is false or unset "
+    "(rules/data/rules/cis_aws_networking.py:53-92, CIS 2.2.1).",
+    sql_query="""
+        SELECT id AS volume_id, props['encrypted'] AS encrypted
+        FROM nodes
+        WHERE label = 'AWSEBSVolume'
+          AND (props['encrypted'] IS NULL OR props['encrypted'] = 'false')
+    """,
+    count_sql="SELECT count(*) AS count FROM nodes "
+              "WHERE label = 'AWSEBSVolume'",
+    identity_fields=("volume_id",),
+    asset_label="AWSEBSVolume",
+    asset_id_field="volume_id",
+)
+
+# Public IOCs of the September-2025 Shai-Hulud npm worm wave (the
+# reference transcribes the full advisory list in
+# rules/data/rules/malicious_npm_dependencies_shai_hulud.py:20-57+;
+# this carries the same leading entries — extend from the advisory as
+# needed, the detection SQL is list-size-independent)
+SHAI_HULUD_IOCS = (
+    ("chalk", "5.6.1"), ("chalk-template", "1.1.1"),
+    ("color-convert", "3.1.1"), ("color-name", "2.0.1"),
+    ("color-string", "2.1.1"), ("debug", "4.4.2"),
+    ("error-ex", "1.3.3"), ("has-ansi", "6.0.1"),
+    ("is-arrayish", "0.3.3"), ("simple-swizzle", "0.2.3"),
+    ("slice-ansi", "7.1.1"), ("strip-ansi", "7.1.1"),
+    ("supports-color", "10.2.1"), ("supports-hyperlinks", "4.1.1"),
+    ("wrap-ansi", "9.0.1"), ("@coveops/abi", "2.0.1"),
+    ("duckdb", "1.3.3"), ("@duckdb/node-bindings", "1.3.3"),
+    ("@duckdb/duckdb-wasm", "1.29.2"), ("@duckdb/node-api", "1.3.3"),
+    ("@ctrl/tinycolor", "4.1.1"), ("@ctrl/tinycolor", "4.1.2"),
+    ("@ctrl/deluge", "1.2.0"), ("@ctrl/deluge", "7.2.1"),
+    ("@ctrl/deluge", "7.2.2"), ("@ctrl/golang-template", "1.4.2"),
+    ("@ctrl/golang-template", "1.4.3"), ("@ctrl/magnet-link", "4.0.3"),
+    ("@ctrl/magnet-link", "4.0.4"),
+    ("@ahmedhfarag/ngx-perfect-scrollbar", "20.0.20"),
+    ("@ahmedhfarag/ngx-virtual-scroller", "4.0.4"),
+    ("@art-ws/common", "2.0.22"), ("@art-ws/common", "2.0.28"),
+    ("rxnt-authentication", "0.0.3"), ("rxnt-authentication", "0.0.4"),
+)
+
+_SHAI_HULUD_VALUES = ", ".join(
+    "('{}', '{}')".format(n.replace("'", "''"), v) for n, v in SHAI_HULUD_IOCS
+)
+
+SHAI_HULUD_NPM = Fact(
+    id="malicious_npm_dependencies_shai_hulud_sept_2025",
+    name="Repositories with Shai-Hulud malicious npm dependencies",
+    description="GitHub repositories whose dependency graph pins an "
+    "npm package version published by the Shai-Hulud worm "
+    "(rules/data/rules/malicious_npm_dependencies_shai_hulud.py; "
+    "requirements normalized by stripping the '= ' prefix).",
+    sql_query=f"""
+        WITH vulnerable AS (
+          SELECT * FROM VALUES {_SHAI_HULUD_VALUES} AS t(name, version)
+        )
+        SELECT DISTINCT rr.src_id AS repo_url,
+               d.props['name'] AS package, v.version AS version
+        FROM nodes d
+        JOIN vulnerable v
+          ON d.props['ecosystem'] = 'npm' AND d.props['name'] = v.name
+         AND replace(coalesce(d.props['requirements'], ''), '= ', '')
+               = v.version
+        JOIN edges rr ON rr.rel_label = 'REQUIRES'
+                     AND rr.src_label = 'GitHubRepository'
+                     AND rr.dst_id = d.id
+        WHERE d.label = 'GitHubDependency'
+    """,
+    count_sql="SELECT count(*) AS count FROM nodes "
+              "WHERE label = 'GitHubRepository'",
+    identity_fields=("repo_url", "package", "version"),
+    asset_label="GitHubRepository",
+    asset_id_field="repo_url",
+)
+
+RDS_EXPOSED_INSTANCES = Fact(
+    id="aws_rds_instance_exposed",
+    name="Internet-Accessible RDS Database Attack Surface",
+    description="RDS instances with publicly_accessible=true AND an "
+    "attached security group admitting 0.0.0.0/0 over tcp/-1/all on a "
+    "port range covering the DB's endpoint port — either flag alone is "
+    "not reachability "
+    "(rules/data/rules/database_instance_exposed.py:135-190).",
+    sql_query="""
+        SELECT DISTINCT rds.id AS instance_id,
+               rds.props['engine'] AS engine,
+               rds.props['endpoint_address'] AS host,
+               rds.props['endpoint_port'] AS port,
+               rds.props['storage_encrypted'] AS encrypted
+        FROM nodes rds
+        JOIN edges msg ON msg.rel_label = 'MEMBER_OF_EC2_SECURITY_GROUP'
+                      AND msg.src_label = 'AWSRDSInstance'
+                      AND msg.src_id = rds.id
+        JOIN edges rsg ON rsg.rel_label = 'MEMBER_OF_EC2_SECURITY_GROUP'
+                      AND rsg.src_label = 'AWSIpPermissionInbound'
+                      AND rsg.dst_id = msg.dst_id
+        JOIN nodes r ON r.label = 'AWSIpPermissionInbound'
+                    AND r.id = rsg.src_id
+        JOIN edges mir ON mir.rel_label = 'MEMBER_OF_IP_RULE'
+                      AND mir.src_label = 'AWSIpRange'
+                      AND mir.src_id = '0.0.0.0/0'
+                      AND mir.dst_id = r.id
+        WHERE rds.label = 'AWSRDSInstance'
+          AND rds.props['publicly_accessible'] = 'true'
+          AND rds.props['endpoint_port'] IS NOT NULL
+          AND coalesce(r.props['protocol'], '') IN ('tcp', '-1', 'all')
+          AND (r.props['fromport'] IS NULL
+               OR (coalesce(CAST(r.props['fromport'] AS INT), 0)
+                     <= CAST(rds.props['endpoint_port'] AS INT)
+                   AND coalesce(CAST(r.props['toport'] AS INT),
+                                CAST(r.props['fromport'] AS INT), 0)
+                     >= CAST(rds.props['endpoint_port'] AS INT)))
+    """,
+    count_sql="SELECT count(*) AS count FROM nodes "
+              "WHERE label = 'AWSRDSInstance'",
+    identity_fields=("instance_id",),
+    asset_label="AWSRDSInstance",
+    asset_id_field="instance_id",
+)
+
+RDS_BACKUPS_DISABLED = Fact(
+    id="aws_rds_automated_backups_disabled",
+    name="AWS RDS instances without automated backups",
+    description="Standalone RDS instances with a zero backup retention "
+    "period (rules/data/rules/database_backup_gaps.py:20-45).",
+    sql_query="""
+        SELECT n.id AS instance_id,
+               n.props['db_instance_identifier'] AS instance_name,
+               n.props['engine'] AS engine,
+               coalesce(CAST(n.props['backup_retention_period'] AS INT), 0)
+                 AS backup_retention_period
+        FROM nodes n
+        WHERE n.label = 'AWSRDSInstance'
+          AND n.props['db_cluster_identifier'] IS NULL
+          AND coalesce(CAST(n.props['backup_retention_period'] AS INT), 0)
+                = 0
+    """,
+    count_sql="SELECT count(*) AS count FROM nodes "
+              "WHERE label = 'AWSRDSInstance'",
+    identity_fields=("instance_id",),
+    asset_label="AWSRDSInstance",
+    asset_id_field="instance_id",
+)
+
+RDS_UNENCRYPTED = Fact(
+    id="aws_rds_encryption_disabled",
+    name="AWS RDS instances without encryption at rest",
+    description="RDS instances whose storage encryption is off or "
+    "unset (rules/data/rules/cis_aws_storage.py:248-284).",
+    sql_query="""
+        SELECT n.id AS instance_id, n.props['engine'] AS engine,
+               n.props['storage_encrypted'] AS storage_encrypted
+        FROM nodes n
+        WHERE n.label = 'AWSRDSInstance'
+          AND (n.props['storage_encrypted'] IS NULL
+               OR n.props['storage_encrypted'] = 'false')
+    """,
+    count_sql="SELECT count(*) AS count FROM nodes "
+              "WHERE label = 'AWSRDSInstance'",
+    identity_fields=("instance_id",),
+    asset_label="AWSRDSInstance",
+    asset_id_field="instance_id",
+)
+
 K8S_CLUSTER_ADMIN_BINDINGS = Fact(
     id="k8s_cluster_admin_bindings",
     name="Kubernetes cluster-admin role bindings",
@@ -1220,6 +1466,47 @@ ALL_RULES: tuple[Rule, ...] = (
         version="1.0.0",
         facts=(KMS_ANONYMOUS_KEYS,),
         frameworks=(iso27001_annex_a("8.24"), soc2_tsc("CC6.1")),
+    ),
+    Rule(
+        id="cis_aws_networking",
+        name="CIS AWS networking hardening",
+        tags=("network", "security-groups", "cis", "compliance",
+              "stride:spoofing"),
+        description="Internet-open remote-admin and CIFS security-group "
+        "rules, and unencrypted EBS volumes "
+        "(rules/data/rules/cis_aws_networking.py).",
+        version="1.0.0",
+        facts=(SG_OPEN_REMOTE_ADMIN, SG_OPEN_CIFS, EBS_UNENCRYPTED),
+        frameworks=(cis_aws("5.2"), cis_aws("2.2.1"),
+                    iso27001_annex_a("8.20"), soc2_tsc("CC6.6")),
+    ),
+    Rule(
+        id="malicious_npm_dependencies_shai_hulud",
+        name="Shai-Hulud malicious npm dependencies",
+        tags=("supply-chain", "npm", "malware",
+              "stride:tampering"),
+        description="Known-compromised npm package versions from the "
+        "Shai-Hulud worm waves in repository dependency graphs "
+        "(rules/data/rules/malicious_npm_dependencies_shai_hulud.py).",
+        version="1.0.0",
+        facts=(SHAI_HULUD_NPM,),
+        frameworks=(SUPPLY_CHAIN,),
+    ),
+    Rule(
+        id="database_exposure_and_backups",
+        name="Database exposure, backups, and encryption",
+        tags=("database", "rds", "attack-surface", "compliance",
+              "stride:information_disclosure"),
+        description="Publicly reachable RDS instances (flag + security-"
+        "group reach), disabled automated backups, and missing "
+        "encryption at rest "
+        "(rules/data/rules/database_instance_exposed.py, "
+        "database_backup_gaps.py, cis_aws_storage.py RDS leg).",
+        version="1.0.0",
+        facts=(RDS_EXPOSED_INSTANCES, RDS_BACKUPS_DISABLED,
+               RDS_UNENCRYPTED),
+        frameworks=(cis_aws("2.3.1"), iso27001_annex_a("8.24"),
+                    soc2_tsc("CC6.6")),
     ),
     Rule(
         id="cis_kubernetes_rbac",

@@ -1,0 +1,461 @@
+"""AWS RDS sync: clusters, instances, snapshots, subnet groups, event
+subscriptions (reference ``intel/aws/rds.py``).
+
+Column-expression re-expression of the dict-loop transforms:
+
+* clusters (``transform_rds_clusters`` :225-263): ARN-keyed, scaling
+  configuration lifted to flat props;
+* instances (``transform_rds_instances`` :293-348): endpoint
+  validation, VPC security-group id lift, the synthesized subnet-group
+  ARN ``arn:aws:rds:{region}:{account}:subgrp:{name}`` (:208-222 — the
+  describe call never returns it), ENCRYPTED_BY to the KMS key (node
+  id = the ARN's trailing KeyId), IS_CLUSTER_MEMBER_OF resolved by
+  joining the batch's clusters on DBClusterIdentifier (the reference's
+  load-time prop matcher);
+* snapshots (``transform_rds_snapshots`` :266-291): Snapshot ontology
+  projection (``models/aws/rds/snapshot.py`` SNAPSHOT extra label +
+  ``_ont_*``), IS_SNAPSHOT_SOURCE from the owning instance;
+  ``ispublic`` comes from the payload (the reference probes
+  ``describe_db_snapshot_attributes`` per snapshot at FETCH time,
+  :28-47 — a fetch-side concern, here an input column);
+* subnet groups (``transform_rds_subnet_groups`` :373-419): distinct
+  per synthesized ARN across the instance batch, RESOURCE edges to
+  their member EC2 subnets;
+* event subscriptions (``transform_rds_event_subscriptions``
+  :351-370) with NOTIFIES to the SNS topic.
+
+Scale: per-family ``from_json`` + explode; the cluster/instance and
+instance/snapshot resolutions are batch-local broadcast joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cartography_spark.providers.aws_ec2 import _edge, _node
+from cartography_spark.providers.aws_kms import _arn_key_id
+
+CLUSTERS_SCHEMA = """
+    STRUCT<DBClusters: ARRAY<STRUCT<
+        DBClusterArn: STRING, DBClusterIdentifier: STRING,
+        DatabaseName: STRING, DBClusterParameterGroup: STRING,
+        DBSubnetGroup: STRING, Status: STRING, Endpoint: STRING,
+        ReaderEndpoint: STRING, MultiAZ: BOOLEAN, Engine: STRING,
+        EngineVersion: STRING, Port: INT, MasterUsername: STRING,
+        PreferredBackupWindow: STRING, PreferredMaintenanceWindow: STRING,
+        HostedZoneId: STRING, StorageEncrypted: BOOLEAN,
+        DbClusterResourceId: STRING, IAMDatabaseAuthenticationEnabled:
+        BOOLEAN, ClusterCreateTime: STRING, EarliestRestorableTime: STRING,
+        LatestRestorableTime: STRING, BackupRetentionPeriod: INT,
+        Capacity: INT, EngineMode: STRING, DeletionProtection: BOOLEAN,
+        ScalingConfigurationInfo: STRUCT<MinCapacity: INT, MaxCapacity: INT,
+                                         AutoPause: BOOLEAN>>>>
+"""
+
+INSTANCES_SCHEMA = """
+    STRUCT<DBInstances: ARRAY<STRUCT<
+        DBInstanceArn: STRING, DBInstanceIdentifier: STRING,
+        DBClusterIdentifier: STRING, DBInstanceClass: STRING,
+        DBInstanceStatus: STRING, DBName: STRING, Engine: STRING,
+        EngineVersion: STRING, StorageEncrypted: BOOLEAN,
+        KmsKeyId: STRING, MasterUsername: STRING, MultiAZ: BOOLEAN,
+        PubliclyAccessible: BOOLEAN, StorageType: STRING,
+        InstanceCreateTime: STRING, LatestRestorableTime: STRING,
+        PreferredBackupWindow: STRING, PreferredMaintenanceWindow: STRING,
+        BackupRetentionPeriod: INT, IAMDatabaseAuthenticationEnabled:
+        BOOLEAN, AutoMinorVersionUpgrade: BOOLEAN,
+        Endpoint: STRUCT<Address: STRING, HostedZoneId: STRING, Port: INT>,
+        VpcSecurityGroups: ARRAY<STRUCT<VpcSecurityGroupId: STRING,
+                                        Status: STRING>>,
+        ReadReplicaSourceDBInstanceIdentifier: STRING,
+        DBSubnetGroup: STRUCT<DBSubnetGroupName: STRING,
+            DBSubnetGroupDescription: STRING, SubnetGroupStatus: STRING,
+            VpcId: STRING,
+            Subnets: ARRAY<STRUCT<SubnetIdentifier: STRING,
+                                  SubnetStatus: STRING>>>>>>
+"""
+
+SNAPSHOTS_SCHEMA = """
+    STRUCT<DBSnapshots: ARRAY<STRUCT<
+        DBSnapshotArn: STRING, DBSnapshotIdentifier: STRING,
+        DBInstanceIdentifier: STRING, SnapshotCreateTime: STRING,
+        Engine: STRING, EngineVersion: STRING, Status: STRING,
+        SnapshotType: STRING, Encrypted: BOOLEAN, Public: BOOLEAN,
+        ispublic: BOOLEAN, KmsKeyId: STRING, VpcId: STRING,
+        AvailabilityZone: STRING, MasterUsername: STRING,
+        StorageType: STRING, PercentProgress: INT,
+        SourceDBSnapshotIdentifier: STRING, SourceRegion: STRING>>>
+"""
+
+SUBSCRIPTIONS_SCHEMA = """
+    STRUCT<EventSubscriptionsList: ARRAY<STRUCT<
+        CustSubscriptionId: STRING, EventSubscriptionArn: STRING,
+        CustomerAwsId: STRING, SnsTopicArn: STRING, SourceType: STRING,
+        Status: STRING, Enabled: BOOLEAN,
+        SubscriptionCreationTime: STRING,
+        EventCategoriesList: ARRAY<STRING>,
+        SourceIdsList: ARRAY<STRING>>>>
+"""
+
+
+def _subgrp_arn(region, account_id, name):
+    return F.concat(
+        F.lit("arn:aws:rds:"), region, F.lit(":"), account_id,
+        F.lit(":subgrp:"), name,
+    )
+
+
+def transform_rds(
+    clusters_raw: DataFrame | None,
+    instances_raw: DataFrame | None,
+    snapshots_raw: DataFrame | None,
+    subscriptions_raw: DataFrame | None,
+    update_tag: int,
+) -> tuple[DataFrame | None, DataFrame | None]:
+    """Each raw frame is ``(account_id, region, payload_json)`` with the
+    corresponding Describe* response. Returns (nodes, edges)."""
+    acct = F.col("account_id")
+    sub = ("AWSAccount", acct)
+    node_frames, edge_frames = [], []
+
+    clusters = None
+    if clusters_raw is not None:
+        clusters = clusters_raw.select(
+            "account_id", "region",
+            F.explode(
+                F.from_json("payload_json", CLUSTERS_SCHEMA)["DBClusters"]
+            ).alias("c"),
+        ).filter(F.col("c.DBClusterArn").isNotNull())
+        sci = F.col("c.ScalingConfigurationInfo")
+        node_frames.append(_node(clusters, "AWSRDSCluster",
+                                 F.col("c.DBClusterArn"), {
+            "arn": F.col("c.DBClusterArn"),
+            "db_cluster_identifier": F.col("c.DBClusterIdentifier"),
+            "database_name": F.col("c.DatabaseName"),
+            "status": F.col("c.Status"),
+            "endpoint": F.col("c.Endpoint"),
+            "reader_endpoint": F.col("c.ReaderEndpoint"),
+            "multi_az": F.col("c.MultiAZ"),
+            "engine": F.col("c.Engine"),
+            "engine_version": F.col("c.EngineVersion"),
+            "engine_mode": F.col("c.EngineMode"),
+            "port": F.col("c.Port"),
+            "master_username": F.col("c.MasterUsername"),
+            "storage_encrypted": F.col("c.StorageEncrypted"),
+            "db_cluster_resource_id": F.col("c.DbClusterResourceId"),
+            "iam_database_authentication_enabled":
+                F.col("c.IAMDatabaseAuthenticationEnabled"),
+            "cluster_create_time": F.col("c.ClusterCreateTime"),
+            "earliest_restorable_time": F.col("c.EarliestRestorableTime"),
+            "latest_restorable_time": F.col("c.LatestRestorableTime"),
+            "backup_retention_period": F.col("c.BackupRetentionPeriod"),
+            "deletion_protection": F.col("c.DeletionProtection"),
+            "scaling_configuration_info_min_capacity": sci["MinCapacity"],
+            "scaling_configuration_info_max_capacity": sci["MaxCapacity"],
+            "scaling_configuration_info_auto_pause": sci["AutoPause"],
+            "region": F.col("region"),
+        }, update_tag))
+        edge_frames.append(_edge(clusters, "AWSAccount", acct, "RESOURCE",
+                                 "AWSRDSCluster", F.col("c.DBClusterArn"),
+                                 update_tag, sub))
+
+    instances = None
+    if instances_raw is not None:
+        instances = instances_raw.select(
+            "account_id", "region",
+            F.explode(
+                F.from_json("payload_json", INSTANCES_SCHEMA)["DBInstances"]
+            ).alias("i"),
+        ).filter(F.col("i.DBInstanceArn").isNotNull()).withColumn(
+            "subgrp_arn",
+            F.when(
+                F.col("i.DBSubnetGroup.DBSubnetGroupName").isNotNull(),
+                _subgrp_arn(F.col("region"), acct,
+                            F.col("i.DBSubnetGroup.DBSubnetGroupName")),
+            ),
+        )
+        ep = F.col("i.Endpoint")
+        node_frames.append(_node(instances, "AWSRDSInstance",
+                                 F.col("i.DBInstanceArn"), {
+            "arn": F.col("i.DBInstanceArn"),
+            "db_instance_identifier": F.col("i.DBInstanceIdentifier"),
+            "db_cluster_identifier": F.col("i.DBClusterIdentifier"),
+            "db_instance_class": F.col("i.DBInstanceClass"),
+            "status": F.col("i.DBInstanceStatus"),
+            "dbname": F.col("i.DBName"),
+            "engine": F.col("i.Engine"),
+            "engine_version": F.col("i.EngineVersion"),
+            "storage_encrypted": F.col("i.StorageEncrypted"),
+            "kms_key_id": F.col("i.KmsKeyId"),
+            "master_username": F.col("i.MasterUsername"),
+            "multi_az": F.col("i.MultiAZ"),
+            "publicly_accessible": F.col("i.PubliclyAccessible"),
+            "storage_type": F.col("i.StorageType"),
+            "instance_create_time": F.col("i.InstanceCreateTime"),
+            "latest_restorable_time": F.col("i.LatestRestorableTime"),
+            "backup_retention_period": F.col("i.BackupRetentionPeriod"),
+            "iam_database_authentication_enabled":
+                F.col("i.IAMDatabaseAuthenticationEnabled"),
+            "auto_minor_version_upgrade": F.col("i.AutoMinorVersionUpgrade"),
+            "endpoint_address": ep["Address"],
+            "endpoint_hostedzoneid": ep["HostedZoneId"],
+            "endpoint_port": ep["Port"],
+            "read_replica_source_identifier":
+                F.col("i.ReadReplicaSourceDBInstanceIdentifier"),
+            "db_subnet_group_arn": F.col("subgrp_arn"),
+            "region": F.col("region"),
+        }, update_tag, extra=["Database"]))
+        edge_frames.append(_edge(instances, "AWSAccount", acct, "RESOURCE",
+                                 "AWSRDSInstance", F.col("i.DBInstanceArn"),
+                                 update_tag, sub))
+        # ENCRYPTED_BY (no sub — composite rel, like S3's): key node id
+        # is the KeyId of the KmsKeyId ARN
+        kms = instances.filter(F.col("i.KmsKeyId").isNotNull())
+        edge_frames.append(_edge(kms, "AWSRDSInstance",
+                                 F.col("i.DBInstanceArn"), "ENCRYPTED_BY",
+                                 "AWSKMSKey",
+                                 _arn_key_id(F.col("i.KmsKeyId")),
+                                 update_tag))
+        sgs = instances.select(
+            "account_id", F.col("i.DBInstanceArn").alias("arn"),
+            F.explode(F.coalesce("i.VpcSecurityGroups", F.array())).alias("g"),
+        )
+        edge_frames.append(_edge(sgs, "AWSRDSInstance", F.col("arn"),
+                                 "MEMBER_OF_EC2_SECURITY_GROUP",
+                                 "AWSEC2SecurityGroup",
+                                 F.col("g.VpcSecurityGroupId"), update_tag,
+                                 sub))
+        with_grp = instances.filter(F.col("subgrp_arn").isNotNull())
+        edge_frames.append(_edge(with_grp, "AWSRDSInstance",
+                                 F.col("i.DBInstanceArn"),
+                                 "MEMBER_OF_DB_SUBNET_GROUP",
+                                 "AWSDBSubnetGroup", F.col("subgrp_arn"),
+                                 update_tag, sub))
+        # subnet groups: distinct per synthesized ARN over the batch
+        # (transform_rds_subnet_groups :373-419)
+        grp = with_grp.select(
+            "account_id", "subgrp_arn",
+            F.col("i.DBSubnetGroup.DBSubnetGroupName").alias("name"),
+            F.col("i.DBSubnetGroup.VpcId").alias("vpc_id"),
+            F.col("i.DBSubnetGroup.DBSubnetGroupDescription")
+            .alias("description"),
+            F.col("i.DBSubnetGroup.SubnetGroupStatus").alias("status"),
+            F.col("i.DBSubnetGroup.Subnets").alias("subnets"),
+        )
+        node_frames.append(_node(grp, "AWSDBSubnetGroup",
+                                 F.col("subgrp_arn"), {
+            "arn": F.col("subgrp_arn"),
+            "name": F.col("name"),
+            "vpc_id": F.col("vpc_id"),
+            "description": F.col("description"),
+            "status": F.col("status"),
+        }, update_tag))
+        edge_frames.append(_edge(grp, "AWSAccount", acct, "RESOURCE",
+                                 "AWSDBSubnetGroup", F.col("subgrp_arn"),
+                                 update_tag, sub))
+        grp_subnets = grp.select(
+            "account_id", "subgrp_arn",
+            F.explode(F.coalesce("subnets", F.array())).alias("s"),
+        ).filter(F.col("s.SubnetIdentifier").isNotNull())
+        edge_frames.append(_edge(grp_subnets, "AWSDBSubnetGroup",
+                                 F.col("subgrp_arn"), "RESOURCE",
+                                 "AWSEC2Subnet",
+                                 F.col("s.SubnetIdentifier"), update_tag,
+                                 sub))
+        if clusters is not None:
+            # IS_CLUSTER_MEMBER_OF resolved by identifier within the batch
+            cl = clusters.select(
+                F.col("c.DBClusterIdentifier").alias("db_cluster_identifier"),
+                F.col("c.DBClusterArn").alias("cluster_arn"),
+            ).dropDuplicates(["db_cluster_identifier"])
+            member = instances.filter(
+                F.col("i.DBClusterIdentifier").isNotNull()
+            ).select(
+                "account_id",
+                F.col("i.DBInstanceArn").alias("arn"),
+                F.col("i.DBClusterIdentifier").alias("db_cluster_identifier"),
+            ).join(F.broadcast(cl), on="db_cluster_identifier")
+            edge_frames.append(_edge(member, "AWSRDSInstance", F.col("arn"),
+                                     "IS_CLUSTER_MEMBER_OF", "AWSRDSCluster",
+                                     F.col("cluster_arn"), update_tag, sub))
+
+    if snapshots_raw is not None:
+        snaps = snapshots_raw.select(
+            "account_id", "region",
+            F.explode(
+                F.from_json("payload_json", SNAPSHOTS_SCHEMA)["DBSnapshots"]
+            ).alias("s"),
+        ).filter(F.col("s.DBSnapshotArn").isNotNull()).withColumn(
+            "ispublic", F.coalesce(F.col("s.ispublic"), F.col("s.Public"))
+        )
+        node_frames.append(_node(snaps, "AWSRDSSnapshot",
+                                 F.col("s.DBSnapshotArn"), {
+            "arn": F.col("s.DBSnapshotArn"),
+            "db_snapshot_identifier": F.col("s.DBSnapshotIdentifier"),
+            "db_instance_identifier": F.col("s.DBInstanceIdentifier"),
+            "snapshot_create_time": F.col("s.SnapshotCreateTime"),
+            "engine": F.col("s.Engine"),
+            "engine_version": F.col("s.EngineVersion"),
+            "status": F.col("s.Status"),
+            "snapshot_type": F.col("s.SnapshotType"),
+            "encrypted": F.col("s.Encrypted"),
+            "ispublic": F.col("ispublic"),
+            "kms_key_id": F.col("s.KmsKeyId"),
+            "vpc_id": F.col("s.VpcId"),
+            "availability_zone": F.col("s.AvailabilityZone"),
+            "master_username": F.col("s.MasterUsername"),
+            "storage_type": F.col("s.StorageType"),
+            "region": F.col("region"),
+            # Snapshot ontology projection (snapshot.py SNAPSHOT label)
+            "_ont_name": F.col("s.DBSnapshotIdentifier"),
+            "_ont_encrypted": F.col("s.Encrypted"),
+            "_ont_public": F.col("ispublic"),
+            "_ont_source_id": F.col("s.DBInstanceIdentifier"),
+            "_ont_region": F.col("region"),
+            "_ont_source": F.lit("aws"),
+        }, update_tag, extra=["Snapshot"]))
+        edge_frames.append(_edge(snaps, "AWSAccount", acct, "RESOURCE",
+                                 "AWSRDSSnapshot", F.col("s.DBSnapshotArn"),
+                                 update_tag, sub))
+        if instances is not None:
+            inst_ids = instances.select(
+                F.col("i.DBInstanceIdentifier").alias("db_instance_identifier"),
+                F.col("i.DBInstanceArn").alias("instance_arn"),
+            ).dropDuplicates(["db_instance_identifier"])
+            src = snaps.filter(
+                F.col("s.DBInstanceIdentifier").isNotNull()
+            ).select(
+                "account_id",
+                F.col("s.DBSnapshotArn").alias("snap_arn"),
+                F.col("s.DBInstanceIdentifier").alias("db_instance_identifier"),
+            ).join(F.broadcast(inst_ids), on="db_instance_identifier")
+            edge_frames.append(_edge(src, "AWSRDSInstance",
+                                     F.col("instance_arn"),
+                                     "IS_SNAPSHOT_SOURCE", "AWSRDSSnapshot",
+                                     F.col("snap_arn"), update_tag, sub))
+
+    if subscriptions_raw is not None:
+        subs = subscriptions_raw.select(
+            "account_id", "region",
+            F.explode(
+                F.from_json("payload_json", SUBSCRIPTIONS_SCHEMA)[
+                    "EventSubscriptionsList"
+                ]
+            ).alias("e"),
+        ).filter(F.col("e.EventSubscriptionArn").isNotNull())
+        node_frames.append(_node(subs, "AWSRDSEventSubscription",
+                                 F.col("e.EventSubscriptionArn"), {
+            "arn": F.col("e.EventSubscriptionArn"),
+            "cust_subscription_id": F.col("e.CustSubscriptionId"),
+            "customer_aws_id": F.col("e.CustomerAwsId"),
+            "sns_topic_arn": F.col("e.SnsTopicArn"),
+            "source_type": F.col("e.SourceType"),
+            "status": F.col("e.Status"),
+            "enabled": F.col("e.Enabled"),
+            "subscription_creation_time":
+                F.col("e.SubscriptionCreationTime"),
+            "event_categories": F.to_json("e.EventCategoriesList"),
+            "source_ids": F.to_json("e.SourceIdsList"),
+            "region": F.col("region"),
+        }, update_tag))
+        edge_frames.append(_edge(subs, "AWSAccount", acct, "RESOURCE",
+                                 "AWSRDSEventSubscription",
+                                 F.col("e.EventSubscriptionArn"), update_tag,
+                                 sub))
+        topics = subs.filter(F.col("e.SnsTopicArn").isNotNull())
+        edge_frames.append(_edge(topics, "AWSRDSEventSubscription",
+                                 F.col("e.EventSubscriptionArn"), "NOTIFIES",
+                                 "AWSSNSTopic", F.col("e.SnsTopicArn"),
+                                 update_tag, sub))
+
+    if not node_frames:
+        return None, None
+    nodes = node_frames[0]
+    for f in node_frames[1:]:
+        nodes = nodes.unionByName(f)
+    edges = edge_frames[0]
+    for f in edge_frames[1:]:
+        edges = edges.unionByName(f)
+    return nodes, edges
+
+
+def sync_rds(
+    store,
+    clusters_raw: DataFrame | None,
+    instances_raw: DataFrame | None,
+    snapshots_raw: DataFrame | None,
+    subscriptions_raw: DataFrame | None,
+    account_id: str,
+    update_tag: int,
+) -> dict:
+    """get → transform → load → account-scoped GC per label, with the
+    ENCRYPTED_BY composite rel swept rel-only (``intel/aws/rds.py``
+    cleanup_* order: instances+subnet groups, clusters, snapshots)."""
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    nodes, edges = transform_rds(
+        clusters_raw, instances_raw, snapshots_raw, subscriptions_raw,
+        update_tag,
+    )
+    metrics: dict = {}
+    if nodes is not None:
+        metrics["nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["edges"] = store.merge_edges(edges, update_tag)
+    acct_rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label="AWSAccount",
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("AWS_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    # GC only labels whose stage RAN this sync (a skipped feed must not
+    # wipe its label — the provider-wide convention)
+    ran = []
+    if instances_raw is not None:
+        ran += ["AWSRDSInstance", "AWSDBSubnetGroup"]
+    if clusters_raw is not None:
+        ran.append("AWSRDSCluster")
+    if snapshots_raw is not None:
+        ran.append("AWSRDSSnapshot")
+    if subscriptions_raw is not None:
+        ran.append("AWSRDSEventSubscription")
+    for label in ran:
+        if label not in store.manifest["nodes"]:
+            continue
+        metrics[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=acct_rel,
+            ),
+            update_tag,
+            {"AWS_ID": account_id},
+        )
+    if "ENCRYPTED_BY" in store.manifest["edges"]:
+        enc_rel = RelSchema(
+            rel_label="ENCRYPTED_BY",
+            target_node_label="AWSKMSKey",
+            target_node_matcher=TargetNodeMatcher({"id": PropertyRef("id")}),
+            direction=LinkDirection.OUTWARD,
+        )
+        metrics["gc_rds_encrypted_by"] = run_cleanup(
+            store,
+            NodeSchema(
+                label="AWSRDSInstance",
+                properties={"id": PropertyRef("id")},
+                other_relationships=(enc_rel,),
+            ),
+            update_tag,
+            {},
+        )
+    store.record_lineage("aws_rds_sync", {"update_tag": update_tag})
+    return metrics

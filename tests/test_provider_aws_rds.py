@@ -1,0 +1,220 @@
+"""AWS RDS provider parity, mirrored from the reference's
+``tests/integration/cartography/intel/aws/test_rds.py`` comprehensive
+sync assertions over its actual ``tests/data/aws/rds.py`` fixture."""
+
+import datetime
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.aws_rds import sync_rds, transform_rds
+from tests.test_fixture_parity_github import _load_fixture_ns
+
+FIXTURE = "/root/reference/tests/data/aws/rds.py"
+ACCOUNT, REGION, TAG = "000000000000", "us-east1", 123456789
+CLUSTER_ARN = "arn:aws:rds:us-east-1:some-arn:cluster:some-prod-db-iad-0"
+INSTANCE_ARN = "arn:aws:rds:us-east-1:some-arn:db:some-prod-db-iad-0"
+SNAPSHOT_ARN = "arn:aws:rds:us-east-1:some-arn:snapshot:some-prod-db-iad-0"
+SUBGRP_ARN = f"arn:aws:rds:{REGION}:{ACCOUNT}:subgrp:subnet-group-1"
+
+RAW_DDL = "account_id string, region string, payload_json string"
+
+
+@pytest.fixture(scope="module")
+def fix():
+    if not os.path.exists(FIXTURE):
+        pytest.skip("reference fixture not available")
+    return _load_fixture_ns(
+        FIXTURE, stubs={"datetime.datetime": datetime.datetime}
+    )
+
+
+def _raws(spark, fix):
+    mk = lambda payload: spark.createDataFrame(  # noqa: E731
+        [(ACCOUNT, REGION, json.dumps(payload, default=str))], RAW_DDL)
+    return (
+        mk(fix["DESCRIBE_DBCLUSTERS_RESPONSE"]),
+        mk(fix["DESCRIBE_DBINSTANCES_RESPONSE"]),
+        mk(fix["DESCRIBE_DBSNAPSHOTS_RESPONSE"]),
+        mk(fix["DESCRIBE_EVENT_SUBSCRIPTIONS_RESPONSE"]),
+    )
+
+
+@pytest.fixture(scope="module")
+def emitted(spark, fix):
+    c, i, s, e = _raws(spark, fix)
+    nodes, edges = transform_rds(c, i, s, e, TAG)
+    return nodes.cache(), edges.cache()
+
+
+def _props(nodes, label):
+    return {
+        r["id"]: r["props"]
+        for r in nodes.filter(F.col("label") == label).collect()
+    }
+
+
+def _rels(edges, rel, src_label=None, dst_label=None):
+    df = edges.filter(F.col("rel_label") == rel)
+    if src_label:
+        df = df.filter(F.col("src_label") == src_label)
+    if dst_label:
+        df = df.filter(F.col("dst_label") == dst_label)
+    return {(r["src_id"], r["dst_id"]) for r in df.collect()}
+
+
+def test_cluster_instance_snapshot_nodes(emitted):
+    """test_rds.py:329-356 — ARN-keyed ids + identifiers + ispublic."""
+    nodes, _ = emitted
+    assert {
+        (i, p["db_cluster_identifier"])
+        for i, p in _props(nodes, "AWSRDSCluster").items()
+    } == {(CLUSTER_ARN, "some-prod-db-iad")}
+    assert {
+        (i, p["db_instance_identifier"])
+        for i, p in _props(nodes, "AWSRDSInstance").items()
+    } == {(INSTANCE_ARN, "some-prod-db-iad-0")}
+    assert {
+        (i, p["db_snapshot_identifier"], p["ispublic"])
+        for i, p in _props(nodes, "AWSRDSSnapshot").items()
+    } == {(SNAPSHOT_ARN, "some-db-snapshot-identifier", "true")}
+    assert {
+        (i, p["name"])
+        for i, p in _props(nodes, "AWSDBSubnetGroup").items()
+    } == {(SUBGRP_ARN, "subnet-group-1")}
+    # cluster scaling config lifted flat (transform_rds_clusters:249-259)
+    cl = _props(nodes, "AWSRDSCluster")[CLUSTER_ARN]
+    assert cl["scaling_configuration_info_min_capacity"] == "1"
+    assert cl["scaling_configuration_info_max_capacity"] == "2"
+    assert cl["scaling_configuration_info_auto_pause"] == "true"
+    # endpoint validation (transform_rds_instances:334-337)
+    inst = _props(nodes, "AWSRDSInstance")[INSTANCE_ARN]
+    assert inst["endpoint_address"] == (
+        "some-prod-db-iad-0.subdomain.us-east-1.rds.amazonaws.com")
+    assert inst["endpoint_port"] == "5432"
+
+
+def test_snapshot_ontology_projection(emitted):
+    """test_rds.py:244-264 — the Snapshot ontology tuple."""
+    nodes, _ = emitted
+    snap_rows = nodes.filter(F.col("label") == "AWSRDSSnapshot").collect()
+    assert all("Snapshot" in (r["extra_labels"] or []) for r in snap_rows)
+    p = snap_rows[0]["props"]
+    assert (
+        p["_ont_name"], p["_ont_encrypted"], p["_ont_public"],
+        p["_ont_source_id"], p["_ont_region"], p["_ont_source"],
+    ) == ("some-db-snapshot-identifier", "true", "true",
+          "some-prod-db-iad-0", REGION, "aws")
+
+
+def test_relationships(emitted):
+    """test_rds.py:358-480 — the full rel set."""
+    _, edges = emitted
+    assert _rels(edges, "RESOURCE", "AWSAccount", "AWSRDSCluster") == {
+        (ACCOUNT, CLUSTER_ARN)}
+    assert _rels(edges, "RESOURCE", "AWSAccount", "AWSRDSInstance") == {
+        (ACCOUNT, INSTANCE_ARN)}
+    assert _rels(edges, "RESOURCE", "AWSAccount", "AWSRDSSnapshot") == {
+        (ACCOUNT, SNAPSHOT_ARN)}
+    assert _rels(edges, "RESOURCE", "AWSAccount", "AWSDBSubnetGroup") == {
+        (ACCOUNT, SUBGRP_ARN)}
+    assert _rels(edges, "ENCRYPTED_BY") == {(INSTANCE_ARN, "some-guid")}
+    assert _rels(edges, "MEMBER_OF_DB_SUBNET_GROUP") == {
+        (INSTANCE_ARN, SUBGRP_ARN)}
+    assert _rels(edges, "MEMBER_OF_EC2_SECURITY_GROUP",
+                 "AWSRDSInstance") == {
+        (INSTANCE_ARN, "sg-some-othersg"),
+        (INSTANCE_ARN, "sg-some-sg"),
+        (INSTANCE_ARN, "sg-secgroup"),
+    }
+    assert _rels(edges, "IS_CLUSTER_MEMBER_OF") == {
+        (INSTANCE_ARN, CLUSTER_ARN)}
+    assert _rels(edges, "RESOURCE", "AWSDBSubnetGroup", "AWSEC2Subnet") == {
+        (SUBGRP_ARN, "subnet-abcd"), (SUBGRP_ARN, "subnet-3421"),
+        (SUBGRP_ARN, "subnet-4567"), (SUBGRP_ARN, "subnet-1234"),
+    }
+    assert _rels(edges, "IS_SNAPSHOT_SOURCE") == {
+        (INSTANCE_ARN, SNAPSHOT_ARN)}
+
+
+def test_event_subscriptions(emitted):
+    nodes, edges = emitted
+    subs = _props(nodes, "AWSRDSEventSubscription")
+    assert len(subs) == 3
+    s1 = subs["arn:aws:rds:us-east-1:000000000000:es:test-event-subscription-1"]
+    assert s1["source_type"] == "db-instance"
+    assert json.loads(s1["event_categories"]) == [
+        "backup", "maintenance", "failure"]
+    assert len(_rels(edges, "NOTIFIES", "AWSRDSEventSubscription")) == 3
+
+
+def test_two_run_gc_and_public_snapshot_fact(spark, tmp_store, fix):
+    """Scoped GC sweeps stale RDS assets; the existing ontology
+    public_snapshots fact fires on the RDS snapshot's projection —
+    cross-family rule reuse on the new provider."""
+    from cartography_spark.plans.rules import PUBLIC_SNAPSHOTS, run_fact
+
+    s = tmp_store
+    c, i, sn, e = _raws(spark, fix)
+    sync_rds(s, c, i, sn, e, ACCOUNT, TAG)
+    assert s.nodes(["AWSRDSInstance"]).count() == 1
+    res = run_fact(s, PUBLIC_SNAPSHOTS)
+    assert {r["snapshot_id"] for r in res["findings"].collect()} == {
+        SNAPSHOT_ARN}
+
+    # run 2: clusters/instances still present, snapshots feed EMPTY
+    # (ran but returned nothing → swept), subscriptions feed SKIPPED
+    # (did not run → label untouched, the provider-wide convention)
+    empty_snaps = spark.createDataFrame(
+        [(ACCOUNT, REGION, json.dumps({"DBSnapshots": []}))], RAW_DDL)
+    sync_rds(s, c, i, empty_snaps, None, ACCOUNT, TAG + 1)
+    assert s.nodes(["AWSRDSSnapshot"]).count() == 0
+    assert s.nodes(["AWSRDSCluster"]).count() == 1
+    assert s.nodes(["AWSRDSEventSubscription"]).count() == 3
+
+
+def test_rds_rule_pack(spark, tmp_store, fix):
+    """database_exposure_and_backups over provider-synced data: the
+    fixture instance is NOT publicly accessible (flag false) so the
+    exposure fact stays empty even with an open SG; flipping the flag
+    plus an open SG on the endpoint port fires it; backups fact stays
+    empty (retention 35); encryption fact stays empty (encrypted)."""
+    from cartography_spark.plans.rules import (
+        RDS_BACKUPS_DISABLED,
+        RDS_EXPOSED_INSTANCES,
+        RDS_UNENCRYPTED,
+        run_fact,
+    )
+    from cartography_spark.providers.aws_ec2_net import (
+        transform_security_groups,
+    )
+
+    s = tmp_store
+    c, i, sn, e = _raws(spark, fix)
+    sync_rds(s, c, i, sn, e, ACCOUNT, TAG)
+    sg_payload = {"SecurityGroups": [{
+        "GroupId": "sg-some-sg", "GroupName": "g", "Description": "d",
+        "IpPermissions": [
+            {"IpProtocol": "tcp", "FromPort": 5000, "ToPort": 6000,
+             "IpRanges": [{"CidrIp": "0.0.0.0/0"}], "Ipv6Ranges": [],
+             "UserIdGroupPairs": []}],
+        "IpPermissionsEgress": []}]}
+    n, ed = transform_security_groups(spark.createDataFrame(
+        [(ACCOUNT, REGION, json.dumps(sg_payload))], RAW_DDL), TAG)
+    s.merge_nodes(n, TAG); s.merge_edges(ed, TAG)
+
+    assert run_fact(s, RDS_EXPOSED_INSTANCES)["failing"] == 0  # flag false
+    assert run_fact(s, RDS_BACKUPS_DISABLED)["failing"] == 0
+    assert run_fact(s, RDS_UNENCRYPTED)["failing"] == 0
+
+    # flip publicly_accessible → the SG covers port 5432 → exposed
+    node_ddl = ("label string, id string, lastupdated long, content_sha256 "
+                "string, extra_labels array<string>, props map<string,string>")
+    s.merge_nodes(spark.createDataFrame(
+        [("AWSRDSInstance", INSTANCE_ARN, TAG, None, None,
+          {"publicly_accessible": "true"})], node_ddl), TAG)
+    res = run_fact(s, RDS_EXPOSED_INSTANCES)
+    assert {(r["instance_id"], r["port"]) for r in res["findings"].collect()
+            } == {(INSTANCE_ARN, "5432")}

@@ -790,3 +790,99 @@ def test_new_rule_packs_registered():
             "kms_key_exposure"} <= ids
     cis = filter_rules_by_framework(ALL_RULES, "cis-aws")
     assert {r.id for r in cis} == {"cis_aws_storage"}
+
+
+def test_cis_aws_networking_pack(spark, tmp_path_factory):
+    """SG remote-admin/CIFS exposure + unencrypted EBS over provider-
+    synced data; a group no instance uses is not a remote-admin
+    finding (the reference anchors the match on instances)."""
+    import json as _json
+
+    from cartography_spark.plans.rules import (
+        EBS_UNENCRYPTED,
+        SG_OPEN_CIFS,
+        SG_OPEN_REMOTE_ADMIN,
+    )
+    from cartography_spark.providers.aws_ec2 import sync_ec2
+    from cartography_spark.providers.aws_ec2_net import sync_ec2_network
+    from cartography_spark.store.graphstore import GraphStore
+
+    store = GraphStore(spark, str(tmp_path_factory.mktemp("net_rules")))
+    res = {"Reservations": [{"ReservationId": "r1", "OwnerId": "a1",
+           "Instances": [
+               {"InstanceId": "i-ssh",
+                "SecurityGroups": [{"GroupId": "sg-ssh"}],
+                "BlockDeviceMappings": [
+                    {"Ebs": {"VolumeId": "vol-1",
+                             "DeleteOnTermination": True}}]},
+           ]}]}
+    sync_ec2(store, spark.createDataFrame(
+        [("a1", "us-east-1", _json.dumps(res))],
+        "account_id string, region string, reservations_json string"), 1)
+    rule = lambda proto, frm, to: {  # noqa: E731
+        "IpProtocol": proto, "FromPort": frm, "ToPort": to,
+        "IpRanges": [{"CidrIp": "0.0.0.0/0"}], "Ipv6Ranges": [],
+        "UserIdGroupPairs": []}
+    sg_payload = {"SecurityGroups": [
+        {"GroupId": "sg-ssh", "GroupName": "g1", "Description": "d",
+         "IpPermissions": [rule("tcp", 20, 30)], "IpPermissionsEgress": []},
+        # open on 22 but attached to NO instance → not a finding
+        {"GroupId": "sg-unused", "GroupName": "g2", "Description": "d",
+         "IpPermissions": [rule("tcp", 22, 22)], "IpPermissionsEgress": []},
+        # CIFS 445 open (no instance needed for the CIFS fact)
+        {"GroupId": "sg-cifs", "GroupName": "g3", "Description": "d",
+         "IpPermissions": [rule("tcp", 440, 450)],
+         "IpPermissionsEgress": []},
+    ]}
+    sync_ec2_network(store, spark.createDataFrame(
+        [("a1", "us-east-1", _json.dumps(sg_payload))],
+        "account_id string, region string, payload_json string"),
+        None, "a1", 1, run_exposure=False)
+
+    admin = run_fact(store, SG_OPEN_REMOTE_ADMIN)
+    got = {(r["security_group_id"], r["in_use"])
+           for r in admin["findings"].collect()}
+    assert got == {("sg-ssh", True)}
+
+    cifs = run_fact(store, SG_OPEN_CIFS)
+    assert {r["security_group_id"] for r in cifs["findings"].collect()} == {
+        "sg-cifs"}
+
+    ebs = run_fact(store, EBS_UNENCRYPTED)
+    assert {r["volume_id"] for r in ebs["findings"].collect()} == {"vol-1"}
+
+
+def test_shai_hulud_fact(spark, tmp_path_factory):
+    """Pinned compromised version flagged; range requirement and clean
+    version are not."""
+    from cartography_spark.plans.rules import SHAI_HULUD_NPM
+    from cartography_spark.store.graphstore import GraphStore
+
+    store = GraphStore(spark, str(tmp_path_factory.mktemp("shai")))
+    node_ddl = ("label string, id string, lastupdated long, content_sha256 "
+                "string, extra_labels array<string>, props map<string,string>")
+    edge_ddl = ("src_label string, src_id string, rel_label string, "
+                "dst_label string, dst_id string, lastupdated long, "
+                "sub_resource_label string, sub_resource_id string, "
+                "props map<string,string>")
+    deps = [
+        ("chalk|= 5.6.1", {"name": "chalk", "ecosystem": "npm",
+                           "requirements": "= 5.6.1"}),
+        ("chalk|= 5.6.0", {"name": "chalk", "ecosystem": "npm",
+                           "requirements": "= 5.6.0"}),
+        ("debug|>= 4.0.0", {"name": "debug", "ecosystem": "npm",
+                            "requirements": ">= 4.0.0"}),
+        ("chalk-pypi", {"name": "chalk", "ecosystem": "pypi",
+                        "requirements": "= 5.6.1"}),
+    ]
+    store.merge_nodes(spark.createDataFrame(
+        [("GitHubDependency", d, 1, None, ["Dependency"], p)
+         for d, p in deps], node_ddl), 1)
+    store.merge_edges(spark.createDataFrame(
+        [("GitHubRepository", "https://g/o/r1", "REQUIRES",
+          "GitHubDependency", d, 1, None, None, None)
+         for d, _ in deps], edge_ddl), 1)
+    res = run_fact(store, SHAI_HULUD_NPM)
+    assert {(r["repo_url"], r["package"], r["version"])
+            for r in res["findings"].collect()} == {
+        ("https://g/o/r1", "chalk", "5.6.1")}

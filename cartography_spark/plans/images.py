@@ -62,6 +62,32 @@ def parse_image_uri_expr(raw: Column) -> Column:
     return F.struct(uri.alias("image_uri"), digest.alias("image_digest"))
 
 
+_ARCH_ALIASES = {
+    "amd64": "amd64", "x86_64": "amd64", "x64": "amd64", "x86-64": "amd64",
+    "arm64": "arm64", "aarch64": "arm64", "arm64/v8": "arm64",
+    "arm": "arm", "arm/v7": "arm", "armv7": "arm", "armv7l": "arm",
+    "386": "386", "i386": "386", "x86": "386",
+    "ppc64le": "ppc64le", "s390x": "s390x", "riscv64": "riscv64",
+    "unknown": "unknown",
+}
+
+
+def normalize_architecture_expr(raw: Column) -> Column:
+    """``intel/container_arch.py:45-60`` as a column expression: alias
+    map, armv7* pattern → arm, anything else → unknown."""
+    lowered = F.lower(F.trim(raw))
+    alias_map = F.create_map(
+        *[c for k, v in _ARCH_ALIASES.items() for c in (F.lit(k), F.lit(v))]
+    )
+    return F.when(raw.isNull() | (lowered == ""), "unknown").otherwise(
+        F.coalesce(
+            alias_map[lowered],
+            F.when(lowered.rlike("^armv7[a-z0-9]*$"), "arm"),
+            F.lit("unknown"),
+        )
+    )
+
+
 def _with_extra(nodes: DataFrame, extra: str) -> DataFrame:
     """Nodes carrying ``extra`` as ontology label (extra_labels
     membership, or as the primary label)."""

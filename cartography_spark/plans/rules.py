@@ -805,6 +805,27 @@ RDS_UNENCRYPTED = Fact(
     asset_id_field="instance_id",
 )
 
+LAMBDA_ANONYMOUS_INVOKE = Fact(
+    id="aws_lambda_anonymous_invoke",
+    name="Internet-Accessible Lambda Attack Surface",
+    description="Lambda functions whose resource policy grants the "
+    "wildcard principal "
+    "(rules/data/rules/serverless_workload_exposed.py:119-144).",
+    sql_query="""
+        SELECT n.id AS function_arn, n.props['name'] AS name,
+               n.props['region'] AS region, n.props['runtime'] AS runtime,
+               'lambda_anonymous_invoke' AS exposure_type
+        FROM nodes n
+        WHERE n.label = 'AWSLambda'
+          AND n.props['anonymous_access'] = 'true'
+    """,
+    count_sql="SELECT count(*) AS count FROM nodes "
+              "WHERE label = 'AWSLambda'",
+    identity_fields=("function_arn",),
+    asset_label="AWSLambda",
+    asset_id_field="function_arn",
+)
+
 K8S_CLUSTER_ADMIN_BINDINGS = Fact(
     id="k8s_cluster_admin_bindings",
     name="Kubernetes cluster-admin role bindings",
@@ -1491,6 +1512,16 @@ ALL_RULES: tuple[Rule, ...] = (
         version="1.0.0",
         facts=(SHAI_HULUD_NPM,),
         frameworks=(SUPPLY_CHAIN,),
+    ),
+    Rule(
+        id="serverless_workload_exposed",
+        name="Serverless workload exposure",
+        tags=("serverless", "lambda", "attack-surface",
+              "stride:information_disclosure"),
+        description="Anonymously invocable Lambda functions "
+        "(rules/data/rules/serverless_workload_exposed.py).",
+        version="1.0.0",
+        facts=(LAMBDA_ANONYMOUS_INVOKE,),
     ),
     Rule(
         id="database_exposure_and_backups",

@@ -1,0 +1,311 @@
+"""AWS Lambda sync: functions, aliases, event-source mappings, layers
+(reference ``intel/aws/lambda_function.py``).
+
+Column-expression re-expression:
+
+* functions (``transform_lambda_functions`` :171-210): TracingConfig
+  flattened, the function-policy anonymous analysis (``parse_policy``
+  :389-399 — policyuniverse's internet-accessibility, here the same
+  documented Allow + wildcard-principal + no-Condition subset used by
+  the S3/KMS providers; a function with NO policy keeps NULL flags,
+  ``get_lambda_permissions`` :321-360), container-image URI/digest via
+  :func:`plans.images.parse_image_uri_expr` (ResolvedImageUri
+  preferred), and ``architecture_normalized`` from the FIRST
+  architecture via :func:`plans.images.normalize_architecture_expr` —
+  the Function ontology label + digest-keyed ``HAS_IMAGE`` edges feed
+  the FUNCTION_RESOLVED_IMAGE stage;
+* aliases / event-source mappings arrive per function
+  (``transform_lambda_aliases`` :212-222, mappings :290-318) — the
+  per-function fan-out is an explode over the details frame, not the
+  reference's per-function API loop;
+* layers (``transform_lambda_layers`` :224-235) from each function's
+  embedded ``Layers`` list, ``HAS`` edges;
+* ``ASSUMES`` to the execution role (``models/aws/lambda_function/
+  lambda_function.py:187-192`` — the canonical
+  (:Function)-[:ASSUMES]->(:PermissionRole) edge; AWSRole node id is
+  the role ARN in this repo's IAM family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cartography_spark.plans.images import (
+    normalize_architecture_expr,
+    parse_image_uri_expr,
+)
+from cartography_spark.providers.aws_ec2 import _edge, _node
+from cartography_spark.providers.aws_s3 import (
+    POLICY_SCHEMA,
+    _wildcard_principal,
+)
+
+FUNCTIONS_SCHEMA = """
+    STRUCT<Functions: ARRAY<STRUCT<
+        FunctionName: STRING, FunctionArn: STRING, Runtime: STRING,
+        Role: STRING, Handler: STRING, CodeSize: BIGINT,
+        Description: STRING, Timeout: INT, MemorySize: INT,
+        LastModified: STRING, CodeSha256: STRING, Version: STRING,
+        PackageType: STRING, RevisionId: STRING, State: STRING,
+        StateReason: STRING, StateReasonCode: STRING,
+        KMSKeyArn: STRING, MasterArn: STRING,
+        SigningProfileVersionArn: STRING, SigningJobArn: STRING,
+        Architectures: ARRAY<STRING>,
+        TracingConfig: STRUCT<Mode: STRING>,
+        Layers: ARRAY<STRUCT<Arn: STRING, CodeSize: BIGINT>>>>>
+"""
+
+ALIASES_SCHEMA = """
+    ARRAY<STRUCT<AliasArn: STRING, Name: STRING, FunctionVersion: STRING,
+                 Description: STRING, RevisionId: STRING>>
+"""
+
+ESM_SCHEMA = """
+    ARRAY<STRUCT<UUID: STRING, BatchSize: INT, EventSourceArn: STRING,
+                 FunctionArn: STRING, State: STRING,
+                 LastModified: STRING, StateTransitionReason: STRING,
+                 MaximumBatchingWindowInSeconds: INT,
+                 ParallelizationFactor: INT, StartingPosition: STRING>>
+"""
+
+IMAGE_SCHEMA = "STRUCT<ImageUri: STRING, ResolvedImageUri: STRING>"
+
+DETAILS_DDL = (
+    "account_id string, function_arn string, policy_json string, "
+    "aliases_json string, esm_json string, image_json string"
+)
+
+
+def transform_lambda(
+    functions_raw: DataFrame,
+    details_raw: DataFrame | None,
+    update_tag: int,
+) -> tuple[DataFrame, DataFrame]:
+    """``functions_raw(account_id, region, payload_json)``
+    ({"Functions": [...]}) + ``details_raw(account_id, function_arn,
+    policy_json, aliases_json, esm_json, image_json)`` →
+    (nodes, edges)."""
+    fns = functions_raw.select(
+        "account_id", "region",
+        F.explode(
+            F.from_json("payload_json", FUNCTIONS_SCHEMA)["Functions"]
+        ).alias("f"),
+    ).filter(F.col("f.FunctionArn").isNotNull())
+
+    spark = functions_raw.sparkSession
+    if details_raw is None:
+        details_raw = spark.createDataFrame([], DETAILS_DDL)
+
+    # policy anonymous analysis; a function whose policy fetch returned
+    # nothing keeps NULL flags (get_lambda_permissions :341-346)
+    pol = details_raw.filter(F.col("policy_json").isNotNull()).select(
+        "function_arn",
+        F.from_json("policy_json", POLICY_SCHEMA)["Statement"].alias("stmts"),
+    ).filter(F.col("stmts").isNotNull())
+    open_actions = (
+        pol.select("function_arn", F.explode("stmts").alias("s"))
+        .filter(
+            (F.col("s.Effect") == "Allow")
+            & F.col("s.Condition").isNull()
+            & _wildcard_principal(F.col("s.Principal"))
+        )
+        .select(
+            "function_arn",
+            F.explode(
+                F.coalesce(
+                    F.from_json(F.col("s.Action"), "array<string>"),
+                    F.array(F.col("s.Action")),
+                )
+            ).alias("action"),
+        )
+        .groupBy("function_arn")
+        .agg(F.sort_array(F.collect_set("action")).alias("open_actions"))
+    )
+    pol_props = pol.select("function_arn").distinct().join(
+        open_actions, on="function_arn", how="left"
+    ).select(
+        "function_arn",
+        F.col("open_actions").isNotNull().alias("anonymous_access"),
+        F.to_json(
+            F.coalesce("open_actions", F.array().cast("array<string>"))
+        ).alias("anonymous_actions"),
+    )
+    images = details_raw.filter(F.col("image_json").isNotNull()).select(
+        "function_arn",
+        parse_image_uri_expr(
+            F.coalesce(
+                F.from_json("image_json", IMAGE_SCHEMA)["ResolvedImageUri"],
+                F.from_json("image_json", IMAGE_SCHEMA)["ImageUri"],
+            )
+        ).alias("img"),
+    ).select("function_arn", "img.image_uri", "img.image_digest")
+
+    keyed = fns.join(
+        F.broadcast(pol_props),
+        fns["f.FunctionArn"] == pol_props["function_arn"], "left",
+    ).drop("function_arn").join(
+        F.broadcast(images),
+        fns["f.FunctionArn"] == images["function_arn"], "left",
+    ).drop("function_arn")
+
+    first_arch = F.try_element_at(F.col("f.Architectures"), F.lit(1))
+    fn_nodes = _node(keyed, "AWSLambda", F.col("f.FunctionArn"), {
+        "arn": F.col("f.FunctionArn"),
+        "name": F.col("f.FunctionName"),
+        "modifieddate": F.col("f.LastModified"),
+        "runtime": F.col("f.Runtime"),
+        "description": F.col("f.Description"),
+        "timeout": F.col("f.Timeout"),
+        "memory": F.col("f.MemorySize"),
+        "codesize": F.col("f.CodeSize"),
+        "handler": F.col("f.Handler"),
+        "version": F.col("f.Version"),
+        "tracingconfigmode": F.col("f.TracingConfig.Mode"),
+        "revisionid": F.col("f.RevisionId"),
+        "state": F.col("f.State"),
+        "packagetype": F.col("f.PackageType"),
+        "codesha256": F.col("f.CodeSha256"),
+        "architectures": F.to_json("f.Architectures"),
+        "architecture_normalized": F.when(
+            first_arch.isNotNull(), normalize_architecture_expr(first_arch)
+        ),
+        "kmskeyarn": F.col("f.KMSKeyArn"),
+        "masterarn": F.col("f.MasterArn"),
+        "signingprofileversionarn": F.col("f.SigningProfileVersionArn"),
+        "signingjobarn": F.col("f.SigningJobArn"),
+        "role": F.col("f.Role"),
+        "anonymous_access": F.col("anonymous_access"),
+        "anonymous_actions": F.col("anonymous_actions"),
+        "image_uri": F.col("image_uri"),
+        "image_digest": F.col("image_digest"),
+        "region": F.col("region"),
+    }, update_tag, extra=["Function"])
+
+    aliases = details_raw.filter(F.col("aliases_json").isNotNull()).select(
+        "account_id", "function_arn",
+        F.explode(F.from_json("aliases_json", ALIASES_SCHEMA)).alias("a"),
+    ).filter(F.col("a.AliasArn").isNotNull())
+    esms = details_raw.filter(F.col("esm_json").isNotNull()).select(
+        "account_id", "function_arn",
+        F.explode(F.from_json("esm_json", ESM_SCHEMA)).alias("m"),
+    ).filter(F.col("m.UUID").isNotNull())
+    layers = fns.select(
+        "account_id", F.col("f.FunctionArn").alias("function_arn"),
+        F.explode(F.coalesce("f.Layers", F.array())).alias("l"),
+    ).filter(F.col("l.Arn").isNotNull())
+    with_digest = keyed.filter(
+        F.col("image_digest").isNotNull()
+        & F.col("image_digest").startswith("sha256:")
+    )
+
+    nodes = (
+        fn_nodes
+        .unionByName(_node(aliases, "AWSLambdaFunctionAlias",
+                           F.col("a.AliasArn"), {
+            "name": F.col("a.Name"),
+            "functionversion": F.col("a.FunctionVersion"),
+            "description": F.col("a.Description"),
+            "functionarn": F.col("function_arn"),
+        }, update_tag))
+        .unionByName(_node(esms, "AWSLambdaEventSourceMapping",
+                           F.col("m.UUID"), {
+            "batchsize": F.col("m.BatchSize"),
+            "eventsourcearn": F.col("m.EventSourceArn"),
+            "state": F.col("m.State"),
+            "lastmodified": F.col("m.LastModified"),
+            "startingposition": F.col("m.StartingPosition"),
+            "parallelizationfactor": F.col("m.ParallelizationFactor"),
+            "maximumbatchingwindowinseconds":
+                F.col("m.MaximumBatchingWindowInSeconds"),
+        }, update_tag))
+        .unionByName(_node(layers, "AWSLambdaLayer", F.col("l.Arn"), {
+            "arn": F.col("l.Arn"),
+            "codesize": F.col("l.CodeSize"),
+        }, update_tag))
+        .unionByName(_node(with_digest, "Image", F.col("image_digest"), {
+            "digest": F.col("image_digest"),
+            "image_uri": F.col("image_uri"),
+        }, update_tag, extra=["Image"]))
+    )
+
+    acct = F.col("account_id")
+    sub = ("AWSAccount", acct)
+    farn = F.col("function_arn")
+    edges = (
+        _edge(fns, "AWSAccount", acct, "RESOURCE", "AWSLambda",
+              F.col("f.FunctionArn"), update_tag, sub)
+        .unionByName(_edge(aliases, "AWSAccount", acct, "RESOURCE",
+                           "AWSLambdaFunctionAlias", F.col("a.AliasArn"),
+                           update_tag, sub))
+        .unionByName(_edge(esms, "AWSAccount", acct, "RESOURCE",
+                           "AWSLambdaEventSourceMapping", F.col("m.UUID"),
+                           update_tag, sub))
+        .unionByName(_edge(layers, "AWSAccount", acct, "RESOURCE",
+                           "AWSLambdaLayer", F.col("l.Arn"), update_tag,
+                           sub))
+        .unionByName(_edge(aliases, "AWSLambda", farn, "KNOWN_AS",
+                           "AWSLambdaFunctionAlias", F.col("a.AliasArn"),
+                           update_tag, sub))
+        .unionByName(_edge(esms, "AWSLambda", farn, "RESOURCE",
+                           "AWSLambdaEventSourceMapping", F.col("m.UUID"),
+                           update_tag, sub))
+        .unionByName(_edge(layers, "AWSLambda", farn, "HAS",
+                           "AWSLambdaLayer", F.col("l.Arn"), update_tag,
+                           sub))
+        .unionByName(_edge(
+            fns.filter(F.col("f.Role").isNotNull()),
+            "AWSLambda", F.col("f.FunctionArn"), "ASSUMES", "AWSRole",
+            F.col("f.Role"), update_tag, sub))
+        .unionByName(_edge(with_digest, "AWSLambda", F.col("f.FunctionArn"),
+                           "HAS_IMAGE", "Image", F.col("image_digest"),
+                           update_tag, sub))
+    )
+    return nodes, edges
+
+
+def sync_lambda(
+    store,
+    functions_raw: DataFrame,
+    details_raw: DataFrame | None,
+    account_id: str,
+    update_tag: int,
+) -> dict:
+    """get → transform → load → account-scoped GC per label."""
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    nodes, edges = transform_lambda(functions_raw, details_raw, update_tag)
+    metrics = {
+        "nodes": store.merge_nodes(nodes, update_tag),
+        "edges": store.merge_edges(edges, update_tag),
+    }
+    acct_rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label="AWSAccount",
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("AWS_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    for label in ("AWSLambdaFunctionAlias", "AWSLambdaEventSourceMapping",
+                  "AWSLambdaLayer", "AWSLambda"):
+        if label not in store.manifest["nodes"]:
+            continue
+        metrics[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=acct_rel,
+            ),
+            update_tag,
+            {"AWS_ID": account_id},
+        )
+    store.record_lineage("aws_lambda_sync", {"update_tag": update_tag})
+    return metrics

@@ -1,0 +1,219 @@
+"""AWS Lambda provider parity, mirrored from the reference's
+``tests/integration/cartography/intel/aws/test_lambda.py`` assertions
+over its actual ``tests/data/aws/lambda_function.py`` fixture."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.aws_lambda_fn import (
+    DETAILS_DDL,
+    sync_lambda,
+    transform_lambda,
+)
+from tests.test_fixture_parity_github import _load_fixture_ns
+
+FIXTURE = "/root/reference/tests/data/aws/lambda_function.py"
+ACCOUNT, REGION, TAG = "000000000000", "us-west-2", 123456789
+ARN = "arn:aws:lambda:us-west-2:000000000000:function:sample-function-{}"
+
+OPEN_POLICY = json.dumps({
+    "Version": "2012-10-17",
+    "Statement": [{"Sid": "public", "Effect": "Allow", "Principal": "*",
+                   "Action": "lambda:InvokeFunction", "Resource": "*"}],
+})
+CLOSED_POLICY = json.dumps({
+    "Version": "2012-10-17",
+    "Statement": [{"Sid": "scoped", "Effect": "Allow",
+                   "Principal": {"AWS": "arn:aws:iam::111:root"},
+                   "Action": "lambda:InvokeFunction", "Resource": "*"}],
+})
+
+
+@pytest.fixture(scope="module")
+def fix():
+    if not os.path.exists(FIXTURE):
+        pytest.skip("reference fixture not available")
+    return _load_fixture_ns(FIXTURE)
+
+
+def _raws(spark, fix):
+    functions = spark.createDataFrame(
+        [(ACCOUNT, REGION,
+          json.dumps({"Functions": fix["LIST_LAMBDA_FUNCTIONS"]}))],
+        "account_id string, region string, payload_json string",
+    )
+    by_fn_aliases: dict = {}
+    for a in fix["LIST_LAMBDA_FUNCTION_ALIASES"]:
+        by_fn_aliases.setdefault(a["FunctionArn"], []).append(a)
+    by_fn_esm: dict = {}
+    for m in fix["LIST_EVENT_SOURCE_MAPPINGS"]:
+        by_fn_esm.setdefault(m["FunctionArn"], []).append(m)
+    # policies: function-1 closed (False), function-2 open (True),
+    # the rest none (NULL) — the fixture's precomputed permission dict
+    policies = {ARN.format(1): CLOSED_POLICY, ARN.format(2): OPEN_POLICY}
+    arns = {f["FunctionArn"] for f in fix["LIST_LAMBDA_FUNCTIONS"]}
+    rows = [
+        (ACCOUNT, arn, policies.get(arn),
+         json.dumps(by_fn_aliases.get(arn)) if arn in by_fn_aliases else None,
+         json.dumps(by_fn_esm.get(arn)) if arn in by_fn_esm else None,
+         None)
+        for arn in sorted(arns)
+    ]
+    details = spark.createDataFrame(rows, DETAILS_DDL)
+    return functions, details
+
+
+@pytest.fixture(scope="module")
+def emitted(spark, fix):
+    functions, details = _raws(spark, fix)
+    nodes, edges = transform_lambda(functions, details, TAG)
+    return nodes.cache(), edges.cache()
+
+
+def _props(nodes, label):
+    return {
+        r["id"]: r["props"]
+        for r in nodes.filter(F.col("label") == label).collect()
+    }
+
+
+def _rels(edges, rel, src_label=None, dst_label=None):
+    df = edges.filter(F.col("rel_label") == rel)
+    if src_label:
+        df = df.filter(F.col("src_label") == src_label)
+    if dst_label:
+        df = df.filter(F.col("dst_label") == dst_label)
+    return {(r["src_id"], r["dst_id"]) for r in df.collect()}
+
+
+def test_function_nodes_and_anonymous_access(emitted, fix):
+    """test_lambda.py:84-125 — all functions, per-function policy
+    analysis (closed=false, open=true, no policy=NULL)."""
+    nodes, _ = emitted
+    fns = _props(nodes, "AWSLambda")
+    assert set(fns) == {
+        f["FunctionArn"] for f in fix["LIST_LAMBDA_FUNCTIONS"]}
+    assert fns[ARN.format(1)]["anonymous_access"] == "false"
+    assert fns[ARN.format(2)]["anonymous_access"] == "true"
+    assert json.loads(fns[ARN.format(2)]["anonymous_actions"]) == [
+        "lambda:InvokeFunction"]
+    assert fns[ARN.format(3)].get("anonymous_access") is None
+    f1 = fns[ARN.format(1)]
+    assert (f1["runtime"], f1["handler"], f1["tracingconfigmode"]) == (
+        "python3.7", "index.lambda_handler", "PassThrough")
+    assert f1["memory"] == "512" and f1["timeout"] == "303"
+    # Function ontology label for the RESOLVED_IMAGE stage
+    rows = nodes.filter(F.col("label") == "AWSLambda").collect()
+    assert all("Function" in (r["extra_labels"] or []) for r in rows)
+
+
+def test_aliases_esms_layers(emitted):
+    """test_lambda.py:127-145 — exact child node sets."""
+    nodes, _ = emitted
+    assert set(_props(nodes, "AWSLambdaFunctionAlias")) == {
+        ARN.format(3) + ":LIVE", ARN.format(9) + ":LIVE",
+        ARN.format(10) + ":LIVE",
+    }
+    assert set(_props(nodes, "AWSLambdaEventSourceMapping")) == {
+        "i01", "i02"}
+    assert set(_props(nodes, "AWSLambdaLayer")) == {
+        "arn:aws:lambda:us-east-2:123456789012:layer:my-layer-1",
+        "arn:aws:lambda:us-east-2:123456789012:layer:my-layer-2",
+        "arn:aws:lambda:us-east-2:123456789012:layer:my-layer-3",
+    }
+
+
+def test_relationships(emitted):
+    """test_lambda.py:147-320 — ASSUMES / KNOWN_AS / RESOURCE / HAS."""
+    _, edges = emitted
+    assert (ARN.format(7),
+            "arn:aws:iam::000000000000:role/sample-role-2") in _rels(
+        edges, "ASSUMES")
+    assert len(_rels(edges, "RESOURCE", "AWSAccount", "AWSLambda")) == 10
+    assert _rels(edges, "KNOWN_AS", "AWSLambda") == {
+        (ARN.format(3), ARN.format(3) + ":LIVE"),
+        (ARN.format(9), ARN.format(9) + ":LIVE"),
+        (ARN.format(10), ARN.format(10) + ":LIVE"),
+    }
+    assert _rels(edges, "RESOURCE", "AWSLambda",
+                 "AWSLambdaEventSourceMapping") == {
+        (ARN.format(7), "i01"), (ARN.format(8), "i02"),
+    }
+    assert _rels(edges, "HAS") == {
+        (ARN.format(2),
+         "arn:aws:lambda:us-east-2:123456789012:layer:my-layer-1"),
+        (ARN.format(3),
+         "arn:aws:lambda:us-east-2:123456789012:layer:my-layer-2"),
+        (ARN.format(4),
+         "arn:aws:lambda:us-east-2:123456789012:layer:my-layer-3"),
+    }
+
+
+def test_container_image_function_chain(spark, tmp_store, fix):
+    """Image-packaged lambda (GET_FUNCTION_CONTAINER_IMAGE): parsed
+    uri/digest land on the node, a digest-keyed Image node + HAS_IMAGE
+    edge appear, and FUNCTION_RESOLVED_IMAGE derives RESOLVED_IMAGE."""
+    from cartography_spark.plans.analysis import run_analysis_job
+    from cartography_spark.plans.images import function_resolved_image_job
+
+    s = tmp_store
+    img_fn = fix["LIST_LAMBDA_FUNCTIONS_CONTAINER_IMAGE"][0]
+    functions = spark.createDataFrame(
+        [(ACCOUNT, REGION, json.dumps({"Functions": [img_fn]}))],
+        "account_id string, region string, payload_json string",
+    )
+    details = spark.createDataFrame(
+        [(ACCOUNT, img_fn["FunctionArn"], None, None, None,
+          json.dumps(fix["GET_FUNCTION_CONTAINER_IMAGE"]["Code"]))],
+        DETAILS_DDL,
+    )
+    sync_lambda(s, functions, details, ACCOUNT, TAG)
+    fn = {r["id"]: r["props"] for r in s.nodes(["AWSLambda"]).collect()}
+    props = fn[img_fn["FunctionArn"]]
+    assert props["image_uri"] == fix["TEST_LAMBDA_IMAGE_URI"]
+    assert props["image_digest"] == fix["TEST_LAMBDA_IMAGE_DIGEST"]
+    run_analysis_job(s, function_resolved_image_job(), TAG)
+    assert {
+        (r["src_id"], r["dst_id"])
+        for r in s.edges(["RESOLVED_IMAGE"]).collect()
+    } == {(img_fn["FunctionArn"], fix["TEST_LAMBDA_IMAGE_DIGEST"])}
+
+
+def test_two_run_gc(spark, tmp_store, fix):
+    s = tmp_store
+    functions, details = _raws(spark, fix)
+    sync_lambda(s, functions, details, ACCOUNT, TAG)
+    assert s.nodes(["AWSLambda"]).count() == 10
+    # run 2: only functions 1-2 remain, no details
+    keep = [f for f in fix["LIST_LAMBDA_FUNCTIONS"]
+            if f["FunctionArn"] in (ARN.format(1), ARN.format(2))]
+    functions2 = spark.createDataFrame(
+        [(ACCOUNT, REGION, json.dumps({"Functions": keep}))],
+        "account_id string, region string, payload_json string",
+    )
+    sync_lambda(s, functions2, None, ACCOUNT, TAG + 1)
+    assert {r["id"] for r in s.nodes(["AWSLambda"]).collect()} == {
+        ARN.format(1), ARN.format(2)}
+    assert s.nodes(["AWSLambdaFunctionAlias"]).count() == 0
+    assert s.nodes(["AWSLambdaEventSourceMapping"]).count() == 0
+
+
+def test_lambda_anonymous_invoke_fact(spark, tmp_store, fix):
+    """serverless_workload_exposed over provider-synced data: only the
+    function with the open policy fires."""
+    from cartography_spark.plans.rules import (
+        LAMBDA_ANONYMOUS_INVOKE,
+        run_fact,
+    )
+
+    s = tmp_store
+    functions, details = _raws(spark, fix)
+    sync_lambda(s, functions, details, ACCOUNT, TAG)
+    res = run_fact(s, LAMBDA_ANONYMOUS_INVOKE)
+    assert {(r["function_arn"], r["exposure_type"])
+            for r in res["findings"].collect()} == {
+        (ARN.format(2), "lambda_anonymous_invoke")}
+    assert res["total"] == 10

@@ -92,13 +92,14 @@ def test_rule_framework_tree_and_runner(synced_store):
 
     assert "slsa" in get_all_frameworks()
     only = filter_rules_by_framework(ALL_RULES, "slsa")
-    assert [r.id for r in only] == ["cicd_supply_chain", "code_platform_hardening"]
+    assert [r.id for r in only] == ["cicd_supply_chain", "code_platform_hardening", "malicious_npm_dependencies_shai_hulud"]
     with pytest.raises(ValueError):
         filter_rules_by_framework(ALL_RULES, "nope")
 
     results = run_rules(synced_store, framework="slsa")
     assert {r["rule_id"] for r in results} == {
         "cicd_supply_chain", "code_platform_hardening",
+        "malicious_npm_dependencies_shai_hulud",
     }
     r = [x for x in results if x["rule_id"] == "cicd_supply_chain"][0]
     assert r["failing"] > 0 and r["total"] >= r["failing"]
@@ -309,7 +310,7 @@ def test_all_rules_list_and_framework_filter():
     assert {"cicd_supply_chain", "trust_concentration", "identity_hygiene",
             "code_platform_hardening", "endpoint_visibility"} <= ids
     slsa = filter_rules_by_framework(ALL_RULES, "slsa")
-    assert {r.id for r in slsa} == {"cicd_supply_chain", "code_platform_hardening"}
+    assert {r.id for r in slsa} == {"cicd_supply_chain", "code_platform_hardening", "malicious_npm_dependencies_shai_hulud"}
     cis = filter_rules_by_framework(ALL_RULES, "cis-identity")
     assert {r.id for r in cis} == {"identity_hygiene", "cis_aws_iam"}
 
@@ -789,7 +790,8 @@ def test_new_rule_packs_registered():
     assert {"object_storage_public", "cis_aws_storage",
             "kms_key_exposure"} <= ids
     cis = filter_rules_by_framework(ALL_RULES, "cis-aws")
-    assert {r.id for r in cis} == {"cis_aws_storage"}
+    assert {r.id for r in cis} == {"cis_aws_storage", "cis_aws_networking",
+                                   "database_exposure_and_backups"}
 
 
 def test_cis_aws_networking_pack(spark, tmp_path_factory):

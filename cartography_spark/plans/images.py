@@ -104,7 +104,17 @@ def _resolved_image_match(consumer_extra: str):
             "label", "id",
             F.element_at("props", "architecture_normalized").alias("arch"),
         )
-        images = _with_extra(nodes, "Image").select(
+        # an image node may carry Image, ImageManifestList, or both
+        # (k8s images are Image-only; ECR manifest lists are
+        # ImageManifestList-only) — the reference matches
+        # `NOT i:ImageManifestList` / `:ImageManifestList` respectively
+        images = nodes.filter(
+            F.array_contains(F.coalesce("extra_labels", F.array()), "Image")
+            | F.array_contains(
+                F.coalesce("extra_labels", F.array()), "ImageManifestList"
+            )
+            | (F.col("label") == "Image")
+        ).select(
             F.col("label").alias("dst_label"),
             F.col("id").alias("dst_id"),
             F.array_contains(

@@ -1,0 +1,294 @@
+"""AWS ECR sync: repositories, repository images, digest-keyed images
+(reference ``intel/aws/ecr.py``).
+
+Column-expression re-expression of ``transform_ecr_repository_images``
+(:222-324):
+
+* repository-image node id is ``{repo_uri}:{tag}`` (bare ``repo_uri``
+  when untagged); rows with no imageDigest are dropped with the same
+  skip semantics (:239-245);
+* AWSECRImage nodes are DEDUPED BY DIGEST across all repositories
+  (one groupBy, vs the reference's dict): regular images are
+  ``type=image``; a manifest list contributes its own
+  ``type=manifest_list`` node plus one node per platform/attestation
+  entry with the normalized architecture;
+* the ontology labels are conditional
+  (``models/aws/ecr/image.py:291-297``): Image when type=image,
+  ImageManifestList when manifest_list, ImageAttestation when
+  attestation — which is exactly what the RESOLVED_IMAGE stage
+  matches; ``_ont_architecture`` rides platform images so the
+  manifest-list architecture disambiguation works;
+* edges: repo REPO_IMAGE repo-image, repo-image IMAGE each digest in
+  its closure (manifest digest + children, the one-to-many
+  ``imageDigests`` matcher), manifest list CONTAINS_IMAGE its
+  non-attestation children, attestation ATTESTS its subject
+  (``models/aws/ecr/image.py:211-262``), account RESOURCE everything.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cartography_spark.plans.images import normalize_architecture_expr
+from cartography_spark.providers.aws_ec2 import _edge, _node
+
+REPOS_SCHEMA = """
+    STRUCT<repositories: ARRAY<STRUCT<
+        repositoryArn: STRING, registryId: STRING, repositoryName: STRING,
+        repositoryUri: STRING, createdAt: STRING,
+        imageTagMutability: STRING>>>
+"""
+
+IMAGES_SCHEMA = """
+    ARRAY<STRUCT<
+        imageDigest: STRING, imageTag: STRING, repositoryName: STRING,
+        imageSizeInBytes: BIGINT, imagePushedAt: STRING,
+        imageManifestMediaType: STRING, lastRecordedPullTime: STRING,
+        _manifest_images: ARRAY<STRUCT<
+            digest: STRING, type: STRING, architecture: STRING,
+            os: STRING, variant: STRING, attestation_type: STRING,
+            attests_digest: STRING, media_type: STRING,
+            artifact_media_type: STRING>>>>
+"""
+
+
+def transform_ecr(
+    repos_raw: DataFrame | None,
+    images_raw: DataFrame | None,
+    update_tag: int,
+) -> tuple[DataFrame, DataFrame]:
+    """``repos_raw(account_id, region, payload_json)``
+    (DescribeRepositories) + ``images_raw(account_id, region, repo_uri,
+    payload_json)`` (one row per repository, payload = that repo's
+    image list) → (nodes, edges)."""
+    acct = F.col("account_id")
+    sub = ("AWSAccount", acct)
+    node_frames, edge_frames = [], []
+
+    if repos_raw is not None:
+        repos = repos_raw.select(
+            "account_id", "region",
+            F.explode(
+                F.from_json("payload_json", REPOS_SCHEMA)["repositories"]
+            ).alias("r"),
+        ).filter(F.col("r.repositoryArn").isNotNull())
+        node_frames.append(_node(repos, "AWSECRRepository",
+                                 F.col("r.repositoryArn"), {
+            "arn": F.col("r.repositoryArn"),
+            "name": F.col("r.repositoryName"),
+            "uri": F.col("r.repositoryUri"),
+            "registry_id": F.col("r.registryId"),
+            "created_at": F.col("r.createdAt"),
+            "image_tag_mutability": F.col("r.imageTagMutability"),
+            "region": F.col("region"),
+        }, update_tag))
+        edge_frames.append(_edge(repos, "AWSAccount", acct, "RESOURCE",
+                                 "AWSECRRepository",
+                                 F.col("r.repositoryArn"), update_tag, sub))
+
+    if images_raw is not None:
+        imgs = images_raw.select(
+            "account_id", "region", "repo_uri",
+            F.explode(F.from_json("payload_json", IMAGES_SCHEMA)).alias("i"),
+        ).filter(
+            # no-digest rows are skipped, faithfully (:239-245)
+            F.col("i.imageDigest").isNotNull()
+        ).withColumn(
+            "uri",
+            F.when(
+                F.col("i.imageTag").isNotNull(),
+                F.concat("repo_uri", F.lit(":"), F.col("i.imageTag")),
+            ).otherwise(F.col("repo_uri")),
+        ).withColumn(
+            "is_ml",
+            F.size(F.coalesce("i._manifest_images", F.array())) > 0,
+        )
+        # one repo-image node per URI; its digest closure is the
+        # manifest digest plus every referenced digest (:261-265)
+        node_frames.append(_node(imgs, "AWSECRRepositoryImage",
+                                 F.col("uri"), {
+            "uri": F.col("uri"),
+            "tag": F.col("i.imageTag"),
+            "repo_uri": F.col("repo_uri"),
+            "image_size_bytes": F.col("i.imageSizeInBytes"),
+            "image_pushed_at": F.col("i.imagePushedAt"),
+            "image_manifest_media_type": F.col("i.imageManifestMediaType"),
+            "last_recorded_pull_time": F.col("i.lastRecordedPullTime"),
+            "region": F.col("region"),
+        }, update_tag))
+        edge_frames.append(_edge(imgs, "AWSAccount", acct, "RESOURCE",
+                                 "AWSECRRepositoryImage", F.col("uri"),
+                                 update_tag, sub))
+        # repo REPO_IMAGE edges join the batch's repos on uri to name
+        # the repo node id (ARN)
+        if repos_raw is not None:
+            repo_ids = repos.select(
+                F.col("r.repositoryUri").alias("repo_uri"),
+                F.col("r.repositoryArn").alias("repo_arn"),
+            ).dropDuplicates(["repo_uri"])
+            with_repo = imgs.join(F.broadcast(repo_ids), on="repo_uri")
+            edge_frames.append(_edge(with_repo, "AWSECRRepository",
+                                     F.col("repo_arn"), "REPO_IMAGE",
+                                     "AWSECRRepositoryImage", F.col("uri"),
+                                     update_tag, sub))
+
+        # digest-keyed image rows: the image itself (typed image or
+        # manifest_list) + exploded manifest entries; dedupe by digest
+        # with manifest-contributed rows winning over plain ones
+        self_rows = imgs.select(
+            "account_id",
+            F.col("i.imageDigest").alias("digest"),
+            F.when(F.col("is_ml"), "manifest_list").otherwise("image")
+            .alias("type"),
+            F.lit(None).cast("string").alias("architecture"),
+            F.lit(None).cast("string").alias("os"),
+            F.lit(None).cast("string").alias("variant"),
+            F.lit(None).cast("string").alias("attestation_type"),
+            F.lit(None).cast("string").alias("attests_digest"),
+        )
+        member_rows = imgs.select(
+            "account_id",
+            F.explode(F.coalesce("i._manifest_images", F.array())).alias("m"),
+        ).select(
+            "account_id",
+            F.col("m.digest").alias("digest"),
+            F.coalesce(F.col("m.type"), F.lit("image")).alias("type"),
+            F.when(
+                F.col("m.architecture").isNotNull(),
+                normalize_architecture_expr(F.col("m.architecture")),
+            ).alias("architecture"),
+            F.col("m.os").alias("os"),
+            F.col("m.variant").alias("variant"),
+            F.col("m.attestation_type").alias("attestation_type"),
+            F.col("m.attests_digest").alias("attests_digest"),
+        )
+        all_rows = self_rows.unionByName(member_rows).filter(
+            F.col("digest").isNotNull()
+        )
+        deduped = all_rows.groupBy("digest").agg(
+            F.first("account_id").alias("account_id"),
+            F.max_by(
+                F.struct("type", "architecture", "os", "variant",
+                         "attestation_type", "attests_digest"),
+                # richer rows (arch known / manifest-typed) win the dedup
+                F.struct(F.col("architecture").isNotNull(),
+                         F.col("type") != "image"),
+            ).alias("v"),
+        ).select("account_id", "digest", "v.*")
+        # conditional ontology labels (image.py:291-297)
+        for img_type, extra in (
+            ("image", ["Image"]),
+            ("manifest_list", ["ImageManifestList"]),
+            ("attestation", ["ImageAttestation"]),
+        ):
+            of_type = deduped.filter(F.col("type") == img_type)
+            node_frames.append(_node(of_type, "AWSECRImage",
+                                     F.col("digest"), {
+                "digest": F.col("digest"),
+                "type": F.col("type"),
+                "architecture": F.col("architecture"),
+                "_ont_architecture": F.col("architecture"),
+                "os": F.col("os"),
+                "variant": F.col("variant"),
+                "attestation_type": F.col("attestation_type"),
+                "attests_digest": F.col("attests_digest"),
+            }, update_tag, extra=extra))
+        edge_frames.append(_edge(deduped, "AWSAccount", acct, "RESOURCE",
+                                 "AWSECRImage", F.col("digest"), update_tag,
+                                 sub))
+
+        # repo-image IMAGE → every digest in its closure
+        closure = imgs.select(
+            "account_id", "uri",
+            F.explode(
+                F.concat(
+                    F.array(F.col("i.imageDigest")),
+                    F.transform(
+                        F.coalesce("i._manifest_images", F.array()),
+                        lambda m: m["digest"],
+                    ),
+                )
+            ).alias("digest"),
+        ).filter(F.col("digest").isNotNull())
+        edge_frames.append(_edge(closure, "AWSECRRepositoryImage",
+                                 F.col("uri"), "IMAGE", "AWSECRImage",
+                                 F.col("digest"), update_tag, sub))
+        # manifest list CONTAINS_IMAGE non-attestation children (:265-276)
+        children = imgs.filter(F.col("is_ml")).select(
+            "account_id",
+            F.col("i.imageDigest").alias("ml_digest"),
+            F.explode("i._manifest_images").alias("m"),
+        ).filter(
+            F.coalesce(F.col("m.type"), F.lit("image")) != "attestation"
+        )
+        edge_frames.append(_edge(children, "AWSECRImage",
+                                 F.col("ml_digest"), "CONTAINS_IMAGE",
+                                 "AWSECRImage", F.col("m.digest"),
+                                 update_tag, sub))
+        attests = member_rows.filter(
+            (F.col("type") == "attestation")
+            & F.col("attests_digest").isNotNull()
+        )
+        edge_frames.append(_edge(attests, "AWSECRImage", F.col("digest"),
+                                 "ATTESTS", "AWSECRImage",
+                                 F.col("attests_digest"), update_tag, sub))
+
+    nodes = node_frames[0]
+    for f in node_frames[1:]:
+        nodes = nodes.unionByName(f)
+    edges = edge_frames[0]
+    for f in edge_frames[1:]:
+        edges = edges.unionByName(f)
+    return nodes, edges
+
+
+def sync_ecr(
+    store,
+    repos_raw: DataFrame | None,
+    images_raw: DataFrame | None,
+    account_id: str,
+    update_tag: int,
+) -> dict:
+    """get → transform → load → account-scoped GC per label that ran."""
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    nodes, edges = transform_ecr(repos_raw, images_raw, update_tag)
+    metrics = {
+        "nodes": store.merge_nodes(nodes, update_tag),
+        "edges": store.merge_edges(edges, update_tag),
+    }
+    acct_rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label="AWSAccount",
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("AWS_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    ran = []
+    if images_raw is not None:
+        ran += ["AWSECRRepositoryImage", "AWSECRImage"]
+    if repos_raw is not None:
+        ran.append("AWSECRRepository")
+    for label in ran:
+        if label not in store.manifest["nodes"]:
+            continue
+        metrics[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=acct_rel,
+            ),
+            update_tag,
+            {"AWS_ID": account_id},
+        )
+    store.record_lineage("aws_ecr_sync", {"update_tag": update_tag})
+    return metrics

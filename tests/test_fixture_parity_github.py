@@ -41,7 +41,13 @@ def _load_fixture_ns(path, stubs=None):
         if isinstance(node, ast.Constant):
             return node.value
         if isinstance(node, ast.Dict):
-            return {ev(k): ev(v) for k, v in zip(node.keys, node.values)}
+            out = {}
+            for k, v in zip(node.keys, node.values):
+                if k is None:  # ``**other`` dict-splat merge
+                    out.update(ev(v))
+                else:
+                    out[ev(k)] = ev(v)
+            return out
         def seq(elts):
             out = []
             for e in elts:

@@ -1,0 +1,233 @@
+"""AWS ECR provider parity, mirrored from the reference's
+``tests/integration/cartography/intel/aws/test_ecr.py`` assertions over
+its actual ``tests/data/aws/ecr.py`` fixture, plus the manifest-list →
+RESOLVED_IMAGE architecture-disambiguation chain."""
+
+import datetime
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.aws_ecr import sync_ecr, transform_ecr
+from tests.test_fixture_parity_github import _load_fixture_ns
+
+FIXTURE = "/root/reference/tests/data/aws/ecr.py"
+ACCOUNT, REGION, TAG = "000000000000", "us-east-1", 123456789
+D = "sha256:00000000000000000000000000000000000000000000000000000000000000{}"
+EX = "000000000000.dkr.ecr.us-east-1.amazonaws.com/example-repository"
+SA = "000000000000.dkr.ecr.us-east-1.amazonaws.com/sample-repository"
+TE = "000000000000.dkr.ecr.us-east-1.amazonaws.com/test-repository"
+
+IMAGES_DDL = "account_id string, region string, repo_uri string, payload_json string"
+
+
+@pytest.fixture(scope="module")
+def fix():
+    if not os.path.exists(FIXTURE):
+        pytest.skip("reference fixture not available")
+    return _load_fixture_ns(
+        FIXTURE,
+        stubs={"datetime.datetime": datetime.datetime,
+               "json.dumps": json.dumps},
+    )
+
+
+def _raws(spark, fix):
+    repos = spark.createDataFrame(
+        [(ACCOUNT, REGION,
+          json.dumps(fix["DESCRIBE_REPOSITORIES"], default=str))],
+        "account_id string, region string, payload_json string",
+    )
+    images = spark.createDataFrame(
+        [(ACCOUNT, REGION, uri, json.dumps(rows, default=str))
+         for uri, rows in fix["LIST_REPOSITORY_IMAGES"].items()],
+        IMAGES_DDL,
+    )
+    return repos, images
+
+
+@pytest.fixture(scope="module")
+def emitted(spark, fix):
+    repos, images = _raws(spark, fix)
+    nodes, edges = transform_ecr(repos, images, TAG)
+    return nodes.cache(), edges.cache()
+
+
+def _props(nodes, label):
+    return {
+        r["id"]: r["props"]
+        for r in nodes.filter(F.col("label") == label).collect()
+    }
+
+
+def _rels(edges, rel, src_label=None):
+    df = edges.filter(F.col("rel_label") == rel)
+    if src_label:
+        df = df.filter(F.col("src_label") == src_label)
+    return {(r["src_id"], r["dst_id"]) for r in df.collect()}
+
+
+def test_repository_and_image_nodes(emitted):
+    """test_ecr.py:67-104 — repos by ARN, images deduped by digest,
+    no-digest rows skipped."""
+    nodes, _ = emitted
+    assert {
+        (i, p["name"]) for i, p in _props(nodes, "AWSECRRepository").items()
+    } == {
+        ("arn:aws:ecr:us-east-1:000000000000:repository/example-repository",
+         "example-repository"),
+        ("arn:aws:ecr:us-east-1:000000000000:repository/sample-repository",
+         "sample-repository"),
+        ("arn:aws:ecr:us-east-1:000000000000:repository/test-repository",
+         "test-repository"),
+    }
+    assert set(_props(nodes, "AWSECRImage")) == {
+        D.format("00"), D.format("01"), D.format("11"), D.format("21"),
+        D.format("31"),
+    }
+
+
+def test_repository_image_nodes_and_rels(emitted):
+    """test_ecr.py:107-260 — uri-keyed repo images incl. the untagged
+    one, REPO_IMAGE and IMAGE closures."""
+    nodes, edges = emitted
+    repo_imgs = _props(nodes, "AWSECRRepositoryImage")
+    assert set(repo_imgs) == {
+        f"{EX}:1", f"{EX}:latest", f"{EX}:2", f"{SA}:1", f"{SA}:2",
+        f"{TE}:1234567890", f"{TE}:1", TE,
+    }
+    assert repo_imgs[f"{EX}:1"]["tag"] == "1"
+    assert repo_imgs[f"{EX}:1"]["image_size_bytes"] == "1024"
+    assert repo_imgs[TE].get("tag") is None
+    assert _rels(edges, "REPO_IMAGE") == {
+        ("arn:aws:ecr:us-east-1:000000000000:repository/example-repository",
+         f"{EX}:1"),
+        ("arn:aws:ecr:us-east-1:000000000000:repository/example-repository",
+         f"{EX}:latest"),
+        ("arn:aws:ecr:us-east-1:000000000000:repository/example-repository",
+         f"{EX}:2"),
+        ("arn:aws:ecr:us-east-1:000000000000:repository/sample-repository",
+         f"{SA}:1"),
+        ("arn:aws:ecr:us-east-1:000000000000:repository/sample-repository",
+         f"{SA}:2"),
+        ("arn:aws:ecr:us-east-1:000000000000:repository/test-repository",
+         f"{TE}:1234567890"),
+        ("arn:aws:ecr:us-east-1:000000000000:repository/test-repository",
+         f"{TE}:1"),
+        ("arn:aws:ecr:us-east-1:000000000000:repository/test-repository",
+         TE),
+    }
+    assert _rels(edges, "IMAGE") == {
+        (f"{EX}:1", D.format("00")), (f"{EX}:latest", D.format("00")),
+        (f"{EX}:2", D.format("01")), (f"{SA}:1", D.format("00")),
+        (f"{SA}:2", D.format("11")), (f"{TE}:1234567890", D.format("00")),
+        (f"{TE}:1", D.format("21")), (TE, D.format("31")),
+    }
+
+
+ML_DIGEST = "sha256:" + "aa" * 32
+AMD = "sha256:" + "bb" * 32
+ARM = "sha256:" + "cc" * 32
+ATT = "sha256:" + "dd" * 32
+
+
+def _ml_images_payload():
+    return [{
+        "imageDigest": ML_DIGEST, "imageTag": "v1.0",
+        "imageSizeInBytes": 50000000,
+        "_manifest_images": [
+            {"digest": AMD, "type": "image", "architecture": "x86_64",
+             "os": "linux"},
+            {"digest": ARM, "type": "image", "architecture": "aarch64",
+             "os": "linux"},
+            {"digest": ATT, "type": "attestation",
+             "attestation_type": "provenance", "attests_digest": AMD},
+        ],
+    }]
+
+
+def test_manifest_list_types_labels_and_edges(spark):
+    """transform:246-300 — the manifest list node, per-platform images
+    with normalized arch, the attestation, CONTAINS_IMAGE excluding
+    attestations, ATTESTS."""
+    images = spark.createDataFrame(
+        [(ACCOUNT, REGION, "reg/multi-arch",
+          json.dumps(_ml_images_payload()))], IMAGES_DDL)
+    nodes, edges = transform_ecr(None, images, TAG)
+    rows = {
+        r["id"]: (r["props"]["type"], r["props"].get("architecture"),
+                  r["extra_labels"])
+        for r in nodes.filter(F.col("label") == "AWSECRImage").collect()
+    }
+    assert rows[ML_DIGEST] == ("manifest_list", None, ["ImageManifestList"])
+    assert rows[AMD] == ("image", "amd64", ["Image"])
+    assert rows[ARM] == ("image", "arm64", ["Image"])
+    assert rows[ATT][0] == "attestation"
+    assert rows[ATT][2] == ["ImageAttestation"]
+    assert _rels(edges, "CONTAINS_IMAGE") == {
+        (ML_DIGEST, AMD), (ML_DIGEST, ARM),
+    }
+    assert _rels(edges, "ATTESTS") == {(ATT, AMD)}
+    # the repo image's closure spans the list + every member
+    assert _rels(edges, "IMAGE") == {
+        ("reg/multi-arch:v1.0", d) for d in (ML_DIGEST, AMD, ARM, ATT)
+    }
+
+
+def test_manifest_list_resolved_image_chain(spark, tmp_store):
+    """The ECR manifest list drives the ontology RESOLVED_IMAGE
+    architecture disambiguation end-to-end: an arm64 container behind
+    HAS_IMAGE→manifest-list resolves to the arm64 platform image."""
+    from cartography_spark.plans.analysis import run_analysis_job
+    from cartography_spark.plans.images import container_resolved_image_job
+
+    s = tmp_store
+    images = spark.createDataFrame(
+        [(ACCOUNT, REGION, "reg/multi-arch",
+          json.dumps(_ml_images_payload()))], IMAGES_DDL)
+    sync_ecr(s, None, images, ACCOUNT, TAG)
+    node_ddl = ("label string, id string, lastupdated long, content_sha256 "
+                "string, extra_labels array<string>, props map<string,string>")
+    edge_ddl = ("src_label string, src_id string, rel_label string, "
+                "dst_label string, dst_id string, lastupdated long, "
+                "sub_resource_label string, sub_resource_id string, "
+                "props map<string,string>")
+    s.merge_nodes(spark.createDataFrame(
+        [("KubernetesContainer", "ct1", TAG, None, ["Container"],
+          {"architecture_normalized": "arm64"})], node_ddl), TAG)
+    s.merge_edges(spark.createDataFrame(
+        [("KubernetesContainer", "ct1", "HAS_IMAGE", "AWSECRImage",
+          ML_DIGEST, TAG, None, None, None)], edge_ddl), TAG)
+    run_analysis_job(s, container_resolved_image_job(), TAG)
+    assert {
+        (r["src_id"], r["dst_id"])
+        for r in s.edges(["RESOLVED_IMAGE"]).collect()
+    } == {("ct1", ARM)}
+
+
+def test_two_run_gc(spark, tmp_store, fix):
+    s = tmp_store
+    repos, images = _raws(spark, fix)
+    sync_ecr(s, repos, images, ACCOUNT, TAG)
+    assert s.nodes(["AWSECRImage"]).count() == 5
+    # run 2: only example-repository survives
+    keep = {"repositories": [
+        r for r in json.loads(
+            json.dumps(fix["DESCRIBE_REPOSITORIES"], default=str)
+        )["repositories"]
+        if r["repositoryName"] == "example-repository"
+    ]}
+    repos2 = spark.createDataFrame(
+        [(ACCOUNT, REGION, json.dumps(keep))],
+        "account_id string, region string, payload_json string")
+    images2 = spark.createDataFrame(
+        [(ACCOUNT, REGION, EX,
+          json.dumps(fix["LIST_REPOSITORY_IMAGES"][EX], default=str))],
+        IMAGES_DDL)
+    sync_ecr(s, repos2, images2, ACCOUNT, TAG + 1)
+    assert s.nodes(["AWSECRRepository"]).count() == 1
+    # only digests reachable from example-repository survive
+    assert {r["id"] for r in s.nodes(["AWSECRImage"]).collect()} == {
+        D.format("00"), D.format("01")}

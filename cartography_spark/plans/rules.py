@@ -826,6 +826,29 @@ LAMBDA_ANONYMOUS_INVOKE = Fact(
     asset_id_field="function_arn",
 )
 
+K8S_CONTROL_PLANE_EXPOSED = Fact(
+    id="k8s_control_plane_exposed",
+    name="Internet-Exposed Kubernetes Control Plane",
+    description="Managed clusters whose API server endpoint is "
+    "internet-reachable — the derived "
+    "_ont_control_plane_public_access projection "
+    "(rules/data/rules/kubernetes_control_plane_exposed.py EKS/GKE "
+    "legs; EKS shipped, others join as their families land).",
+    sql_query="""
+        SELECT n.label AS cluster_type, n.id AS cluster_id,
+               n.props['name'] AS cluster_name,
+               n.props['endpoint'] AS endpoint
+        FROM nodes n
+        WHERE n.label IN ('AWSEKSCluster', 'GKECluster')
+          AND n.props['_ont_control_plane_public_access'] = 'true'
+    """,
+    count_sql="SELECT count(*) AS count FROM nodes WHERE label IN "
+              "('AWSEKSCluster', 'GKECluster')",
+    identity_fields=("cluster_id",),
+    asset_label="AWSEKSCluster",
+    asset_id_field="cluster_id",
+)
+
 K8S_CLUSTER_ADMIN_BINDINGS = Fact(
     id="k8s_cluster_admin_bindings",
     name="Kubernetes cluster-admin role bindings",
@@ -1550,6 +1573,17 @@ ALL_RULES: tuple[Rule, ...] = (
         version="1.0.0",
         facts=(K8S_CLUSTER_ADMIN_BINDINGS, K8S_SECRETS_ACCESS_ROLES),
         frameworks=(iso27001_annex_a("5.15"), soc2_tsc("CC6.3")),
+    ),
+    Rule(
+        id="kubernetes_control_plane_exposed",
+        name="Kubernetes control-plane exposure",
+        tags=("kubernetes", "attack-surface",
+              "stride:information_disclosure"),
+        description="Managed-cluster API endpoints reachable from the "
+        "internet "
+        "(rules/data/rules/kubernetes_control_plane_exposed.py).",
+        version="1.0.0",
+        facts=(K8S_CONTROL_PLANE_EXPOSED,),
     ),
     Rule(
         id="k8s_service_exposure",

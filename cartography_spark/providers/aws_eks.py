@@ -1,0 +1,345 @@
+"""AWS EKS sync: clusters + access entries + control-plane exposure
+(reference ``intel/aws/eks.py``).
+
+* ``transform`` (:350-373): endpoint-public flag lifted from
+  ``resourcesVpcConfig.endpointPublicAccess``, authentication mode from
+  ``accessConfig``, and the audit-logging boolean via an ``exists``
+  expression over ``logging.clusterLogging`` (:189-199 — any entry
+  with 'audit' in types and enabled);
+* certificate-authority metadata (:235-321): base64 validation, DER
+  then PEM x509 parse, SHA256 fingerprint, subject/issuer RFC4514,
+  validity window, SKI/AKI hex — genuinely needs Python's
+  ``cryptography``, so it runs as ONE Arrow-batched ``mapInPandas``
+  over (arn, cert_data) with the same parse-status state machine
+  (missing / invalid_base64 / invalid_certificate / parsed);
+  import-gated: without the library every cert reports
+  ``parse_status='unavailable'`` instead of failing the sync;
+* access entries (:337-347): id =
+  ``{cluster_arn}/access-entry/{principalArn}``, HAS_ACCESS_ENTRY from
+  the cluster and GRANTED_ACCESS_TO from the matching AWSRole
+  (``models/aws/eks/access_entry.py``);
+* exposure: ``eks_exposure_job`` twins the reference's
+  ``aws_eks_asset_exposure`` analysis — public-endpoint clusters gain
+  ``exposed_internet`` and the ``_ont_control_plane_public_access``
+  ontology projection the kubernetes_control_plane_exposed rule reads.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+from pyspark.sql import DataFrame, functions as F
+
+from cartography_spark.plans.analysis import AnalysisJob, SetProperties
+from cartography_spark.providers.aws_ec2 import _edge, _node
+
+CLUSTERS_SCHEMA = """
+    ARRAY<STRUCT<
+        name: STRING, arn: STRING, endpoint: STRING, roleArn: STRING,
+        version: STRING, platformVersion: STRING, status: STRING,
+        createdAt: STRING,
+        resourcesVpcConfig: STRUCT<endpointPublicAccess: BOOLEAN>,
+        accessConfig: STRUCT<authenticationMode: STRING>,
+        logging: STRUCT<clusterLogging: ARRAY<STRUCT<
+            types: ARRAY<STRING>, enabled: BOOLEAN>>>,
+        certificateAuthority: STRUCT<data: STRING>>>
+"""
+
+ENTRIES_SCHEMA = """
+    ARRAY<STRUCT<principalArn: STRING, accessEntryArn: STRING,
+                 username: STRING, type: STRING,
+                 kubernetesGroups: ARRAY<STRING>, createdAt: STRING,
+                 modifiedAt: STRING>>
+"""
+
+CA_META_DDL = (
+    "arn string, certificate_authority_data_present boolean, "
+    "certificate_authority_parse_status string, "
+    "certificate_authority_parse_error string, "
+    "certificate_authority_sha256_fingerprint string, "
+    "certificate_authority_subject string, "
+    "certificate_authority_issuer string, "
+    "certificate_authority_not_before string, "
+    "certificate_authority_not_after string, "
+    "certificate_authority_subject_key_identifier string, "
+    "certificate_authority_authority_key_identifier string"
+)
+
+
+def _parse_ca_metadata(cert_data: str | None) -> dict:
+    """``_parse_certificate_authority_metadata`` (:235-321) per row."""
+    import base64
+    import binascii
+    from datetime import timezone
+
+    out = {
+        "certificate_authority_data_present": bool(cert_data),
+        "certificate_authority_parse_status": "missing",
+        "certificate_authority_parse_error": None,
+        "certificate_authority_sha256_fingerprint": None,
+        "certificate_authority_subject": None,
+        "certificate_authority_issuer": None,
+        "certificate_authority_not_before": None,
+        "certificate_authority_not_after": None,
+        "certificate_authority_subject_key_identifier": None,
+        "certificate_authority_authority_key_identifier": None,
+    }
+    if not cert_data:
+        return out
+    try:
+        from cryptography import x509
+        from cryptography.hazmat.primitives import hashes
+    except ImportError:
+        out["certificate_authority_parse_status"] = "unavailable"
+        out["certificate_authority_parse_error"] = "cryptography not installed"
+        return out
+    try:
+        cert_bytes = base64.b64decode(cert_data, validate=True)
+    except (ValueError, binascii.Error) as err:
+        out["certificate_authority_parse_status"] = "invalid_base64"
+        out["certificate_authority_parse_error"] = str(err)
+        return out
+    try:
+        cert = x509.load_der_x509_certificate(cert_bytes)
+    except ValueError:
+        try:
+            cert = x509.load_pem_x509_certificate(cert_bytes)
+        except ValueError as err:
+            out["certificate_authority_parse_status"] = "invalid_certificate"
+            out["certificate_authority_parse_error"] = str(err)
+            return out
+    out["certificate_authority_parse_status"] = "parsed"
+    out["certificate_authority_sha256_fingerprint"] = cert.fingerprint(
+        hashes.SHA256()
+    ).hex()
+    out["certificate_authority_subject"] = cert.subject.rfc4514_string()
+    out["certificate_authority_issuer"] = cert.issuer.rfc4514_string()
+    nb = getattr(cert, "not_valid_before_utc", None) or cert.not_valid_before
+    na = getattr(cert, "not_valid_after_utc", None) or cert.not_valid_after
+    if nb.tzinfo is None:
+        nb = nb.replace(tzinfo=timezone.utc)
+    if na.tzinfo is None:
+        na = na.replace(tzinfo=timezone.utc)
+    out["certificate_authority_not_before"] = nb.isoformat()
+    out["certificate_authority_not_after"] = na.isoformat()
+    try:
+        ski = cert.extensions.get_extension_for_class(
+            x509.SubjectKeyIdentifier
+        )
+        out["certificate_authority_subject_key_identifier"] = (
+            ski.value.digest.hex()
+        )
+    except x509.ExtensionNotFound:
+        pass
+    try:
+        aki = cert.extensions.get_extension_for_class(
+            x509.AuthorityKeyIdentifier
+        )
+        if aki.value.key_identifier is not None:
+            out["certificate_authority_authority_key_identifier"] = (
+                aki.value.key_identifier.hex()
+            )
+    except x509.ExtensionNotFound:
+        pass
+    return out
+
+
+def _ca_metadata_frame(clusters: DataFrame) -> DataFrame:
+    """(arn, cert_data) → CA metadata columns, one Arrow pass."""
+    import pandas as pd
+
+    def gen(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cols = [c.split(" ")[0] for c in CA_META_DDL.split(", ")]
+        for pdf in batches:
+            rows = []
+            for arn, data in zip(pdf["arn"], pdf["cert_data"]):
+                meta = _parse_ca_metadata(data)
+                rows.append((arn, *[meta[c] for c in cols[1:]]))
+            yield pd.DataFrame(rows, columns=cols)
+
+    src = clusters.select(
+        F.col("c.arn").alias("arn"),
+        F.col("c.certificateAuthority.data").alias("cert_data"),
+    )
+    return src.mapInPandas(gen, schema=CA_META_DDL)
+
+
+def transform_eks(
+    clusters_raw: DataFrame | None,
+    entries_raw: DataFrame | None,
+    update_tag: int,
+) -> tuple[DataFrame, DataFrame]:
+    """``clusters_raw(account_id, region, payload_json)`` (JSON array of
+    DescribeCluster results) + ``entries_raw(account_id, cluster_arn,
+    payload_json)`` → (nodes, edges)."""
+    acct = F.col("account_id")
+    sub = ("AWSAccount", acct)
+    node_frames, edge_frames = [], []
+
+    if clusters_raw is not None:
+        clusters = clusters_raw.select(
+            "account_id", "region",
+            F.explode(F.from_json("payload_json", CLUSTERS_SCHEMA)).alias("c"),
+        ).filter(F.col("c.arn").isNotNull())
+        # audit logging: any clusterLogging entry with 'audit' enabled
+        audit = F.exists(
+            F.coalesce(F.col("c.logging.clusterLogging"), F.array()),
+            lambda e: F.array_contains(e["types"], "audit") & e["enabled"],
+        )
+        ca = _ca_metadata_frame(clusters)
+        keyed = clusters.join(
+            F.broadcast(ca), clusters["c.arn"] == ca["arn"], "left"
+        ).drop(ca["arn"])
+        node_frames.append(_node(keyed, "AWSEKSCluster", F.col("c.arn"), {
+            "arn": F.col("c.arn"),
+            "name": F.col("c.name"),
+            "endpoint": F.col("c.endpoint"),
+            "endpoint_public_access":
+                F.col("c.resourcesVpcConfig.endpointPublicAccess"),
+            "rolearn": F.col("c.roleArn"),
+            "version": F.col("c.version"),
+            "platform_version": F.col("c.platformVersion"),
+            "status": F.col("c.status"),
+            "audit_logging": audit,
+            "authentication_mode":
+                F.col("c.accessConfig.authenticationMode"),
+            "created_at": F.col("c.createdAt"),
+            "region": F.col("region"),
+            **{
+                c: F.col(c)
+                for c in (
+                    "certificate_authority_data_present",
+                    "certificate_authority_parse_status",
+                    "certificate_authority_parse_error",
+                    "certificate_authority_sha256_fingerprint",
+                    "certificate_authority_subject",
+                    "certificate_authority_issuer",
+                    "certificate_authority_not_before",
+                    "certificate_authority_not_after",
+                    "certificate_authority_subject_key_identifier",
+                    "certificate_authority_authority_key_identifier",
+                )
+            },
+        }, update_tag))
+        edge_frames.append(_edge(clusters, "AWSAccount", acct, "RESOURCE",
+                                 "AWSEKSCluster", F.col("c.arn"),
+                                 update_tag, sub))
+
+    if entries_raw is not None:
+        entries = entries_raw.select(
+            "account_id", "cluster_arn",
+            F.explode(F.from_json("payload_json", ENTRIES_SCHEMA)).alias("e"),
+        ).filter(F.col("e.principalArn").isNotNull()).withColumn(
+            "entry_id",
+            F.concat("cluster_arn", F.lit("/access-entry/"),
+                     F.col("e.principalArn")),
+        )
+        node_frames.append(_node(entries, "AWSEKSAccessEntry",
+                                 F.col("entry_id"), {
+            "arn": F.col("e.accessEntryArn"),
+            "cluster_arn": F.col("cluster_arn"),
+            "principal_arn": F.col("e.principalArn"),
+            "username": F.col("e.username"),
+            "type": F.col("e.type"),
+            "kubernetes_groups": F.to_json("e.kubernetesGroups"),
+            "created_at": F.col("e.createdAt"),
+            "modified_at": F.col("e.modifiedAt"),
+        }, update_tag))
+        edge_frames.append(_edge(entries, "AWSAccount", acct, "RESOURCE",
+                                 "AWSEKSAccessEntry", F.col("entry_id"),
+                                 update_tag, sub))
+        edge_frames.append(_edge(entries, "AWSEKSCluster",
+                                 F.col("cluster_arn"), "HAS_ACCESS_ENTRY",
+                                 "AWSEKSAccessEntry", F.col("entry_id"),
+                                 update_tag, sub))
+        edge_frames.append(_edge(entries, "AWSRole",
+                                 F.col("e.principalArn"),
+                                 "GRANTED_ACCESS_TO", "AWSEKSAccessEntry",
+                                 F.col("entry_id"), update_tag, sub))
+
+    nodes = node_frames[0]
+    for f in node_frames[1:]:
+        nodes = nodes.unionByName(f)
+    edges = edge_frames[0]
+    for f in edge_frames[1:]:
+        edges = edges.unionByName(f)
+    return nodes, edges
+
+
+def eks_exposure_job() -> AnalysisJob:
+    """``aws_eks_asset_exposure`` twin: clusters with a public API
+    endpoint gain ``exposed_internet`` + the ontology
+    ``_ont_control_plane_public_access`` projection."""
+
+    def match(store) -> DataFrame:
+        return store.nodes(["AWSEKSCluster"]).filter(
+            F.element_at("props", "endpoint_public_access") == "true"
+        ).select("label", "id")
+
+    return AnalysisJob(
+        name="aws_eks_asset_exposure",
+        match=match,
+        effects=(
+            SetProperties({
+                "exposed_internet": F.lit(True),
+                "_ont_control_plane_public_access": F.lit(True),
+            }, label="AWSEKSCluster"),
+        ),
+    )
+
+
+def sync_eks(
+    store,
+    clusters_raw: DataFrame | None,
+    entries_raw: DataFrame | None,
+    account_id: str,
+    update_tag: int,
+    run_exposure: bool = True,
+) -> dict:
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+    from cartography_spark.plans.analysis import run_analysis_job
+
+    nodes, edges = transform_eks(clusters_raw, entries_raw, update_tag)
+    metrics = {
+        "nodes": store.merge_nodes(nodes, update_tag),
+        "edges": store.merge_edges(edges, update_tag),
+    }
+    acct_rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label="AWSAccount",
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("AWS_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    ran = []
+    if entries_raw is not None:
+        ran.append("AWSEKSAccessEntry")
+    if clusters_raw is not None:
+        ran.append("AWSEKSCluster")
+    for label in ran:
+        if label not in store.manifest["nodes"]:
+            continue
+        metrics[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=acct_rel,
+            ),
+            update_tag,
+            {"AWS_ID": account_id},
+        )
+    if run_exposure and "AWSEKSCluster" in store.manifest["nodes"]:
+        metrics["exposure"] = run_analysis_job(
+            store, eks_exposure_job(), update_tag
+        )
+    store.record_lineage("aws_eks_sync", {"update_tag": update_tag})
+    return metrics

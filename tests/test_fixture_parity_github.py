@@ -71,6 +71,19 @@ def _load_fixture_ns(path, stubs=None):
             if node.id in ns:
                 return ns[node.id]
             raise ValueError(f"fixture references unknown name {node.id!r}")
+        if isinstance(node, ast.Attribute):
+            # dotted constants (e.g. datetime.timezone.utc) resolve ONLY
+            # through explicit stubs — still nothing executes
+            parts = []
+            cur = node
+            while isinstance(cur, ast.Attribute):
+                parts.append(cur.attr)
+                cur = cur.value
+            if isinstance(cur, ast.Name):
+                dotted = ".".join([cur.id] + parts[::-1])
+                if dotted in stubs:
+                    return stubs[dotted]
+            raise ValueError("fixture references unknown attribute chain")
         if isinstance(node, ast.Subscript):
             return ev(node.value)[ev(node.slice)]
         if isinstance(node, ast.JoinedStr):  # f-string of evaluable parts

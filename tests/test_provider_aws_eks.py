@@ -1,0 +1,162 @@
+"""AWS EKS provider parity, mirrored from the reference's
+``tests/integration/cartography/intel/aws/test_eks.py`` assertions over
+its actual ``tests/data/aws/eks.py`` fixture (incl. the real x509
+certificate-authority parse) plus the control-plane exposure chain."""
+
+import datetime
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.aws_eks import (
+    eks_exposure_job,
+    sync_eks,
+    transform_eks,
+)
+from tests.test_fixture_parity_github import _load_fixture_ns
+
+FIXTURE = "/root/reference/tests/data/aws/eks.py"
+ACCOUNT, REGION, TAG = "000000000000", "eu-west-1", 123456789
+C1 = "arn:aws:eks:eu-west-1:111111111111:cluster/cluster_1"
+C2 = "arn:aws:eks:eu-west-2:222222222222:cluster/cluster_2"
+ADMIN_ROLE = "arn:aws:iam::111111111111:role/EKSAdminRole"
+LIST_ROLE = "arn:aws:iam::111111111111:role/EKSListOnlyRole"
+
+
+@pytest.fixture(scope="module")
+def fix():
+    if not os.path.exists(FIXTURE):
+        pytest.skip("reference fixture not available")
+    return _load_fixture_ns(
+        FIXTURE,
+        stubs={"datetime.datetime": datetime.datetime,
+               "datetime.timezone.utc": datetime.timezone.utc},
+    )
+
+
+def _raws(spark, fix):
+    clusters = spark.createDataFrame(
+        [(ACCOUNT, REGION,
+          json.dumps(fix["DESCRIBE_CLUSTERS"], default=str))],
+        "account_id string, region string, payload_json string",
+    )
+    entries = spark.createDataFrame(
+        [(ACCOUNT, C1, json.dumps(fix["ACCESS_ENTRIES"][0], default=str)),
+         (ACCOUNT, C2, json.dumps(fix["ACCESS_ENTRIES"][1], default=str))],
+        "account_id string, cluster_arn string, payload_json string",
+    )
+    return clusters, entries
+
+
+@pytest.fixture(scope="module")
+def emitted(spark, fix):
+    clusters, entries = _raws(spark, fix)
+    nodes, edges = transform_eks(clusters, entries, TAG)
+    return nodes.cache(), edges.cache()
+
+
+def _props(nodes, label):
+    return {
+        r["id"]: r["props"]
+        for r in nodes.filter(F.col("label") == label).collect()
+    }
+
+
+def _rels(edges, rel):
+    return {
+        (r["src_id"], r["dst_id"])
+        for r in edges.filter(F.col("rel_label") == rel).collect()
+    }
+
+
+def test_cluster_nodes_and_ca_parse(emitted):
+    """test_eks.py:64-135 — platform/auth-mode props and the x509 CA
+    metadata: cluster_1 parses with the exact fingerprint, cluster_2's
+    junk data reports invalid_base64."""
+    nodes, _ = emitted
+    cl = _props(nodes, "AWSEKSCluster")
+    assert {
+        (i, p["platform_version"], p["authentication_mode"])
+        for i, p in cl.items()
+    } == {(C1, "eks.9", "API_AND_CONFIG_MAP"), (C2, "eks.9", "CONFIG_MAP")}
+    assert cl[C1]["certificate_authority_data_present"] == "true"
+    assert cl[C1]["certificate_authority_parse_status"] == "parsed"
+    assert cl[C1]["certificate_authority_sha256_fingerprint"] == (
+        "4680a4733878c73936ce9ee5330845253d0514370efbecaaa322068aa4538260")
+    assert "cartography-fixture-ca" in cl[C1]["certificate_authority_subject"]
+    assert cl[C2]["certificate_authority_parse_status"] == "invalid_base64"
+    assert cl[C2].get("certificate_authority_sha256_fingerprint") is None
+    # audit logging flag (eks.py:189-199)
+    assert cl[C1]["audit_logging"] == "true"
+
+
+def test_access_entries(emitted):
+    """test_eks.py:80-111 + rels — cluster-scoped entry ids, sparse
+    second entry, HAS_ACCESS_ENTRY and GRANTED_ACCESS_TO."""
+    nodes, edges = emitted
+    entries = _props(nodes, "AWSEKSAccessEntry")
+    admin_id = f"{C1}/access-entry/{ADMIN_ROLE}"
+    list_id = f"{C1}/access-entry/{LIST_ROLE}"
+    assert set(entries) == {admin_id, list_id}
+    a = entries[admin_id]
+    assert (a["principal_arn"], a["username"], a["type"]) == (
+        ADMIN_ROLE, "eks-admin", "STANDARD")
+    assert a["arn"] == ("arn:aws:eks:eu-west-1:111111111111:access-entry/"
+                        "cluster_1/role/111111111111/EKSAdminRole/ae-12345")
+    assert json.loads(a["kubernetes_groups"]) == ["system:masters"]
+    assert entries[list_id].get("username") is None
+    assert _rels(edges, "HAS_ACCESS_ENTRY") == {
+        (C1, admin_id), (C1, list_id)}
+    assert _rels(edges, "GRANTED_ACCESS_TO") == {
+        (ADMIN_ROLE, admin_id), (LIST_ROLE, list_id)}
+
+
+def test_exposure_and_control_plane_fact(spark, tmp_store, fix):
+    """A public-endpoint cluster gains exposed_internet + the ontology
+    control-plane projection; the rule fact fires; flipping the
+    endpoint private clears the derived props (generated cleanup)."""
+    from cartography_spark.plans.analysis import run_analysis_job
+    from cartography_spark.plans.rules import (
+        K8S_CONTROL_PLANE_EXPOSED,
+        run_fact,
+    )
+
+    s = tmp_store
+    data = json.loads(json.dumps(fix["DESCRIBE_CLUSTERS"], default=str))
+    data[0]["resourcesVpcConfig"]["endpointPublicAccess"] = True
+    clusters = spark.createDataFrame(
+        [(ACCOUNT, REGION, json.dumps(data))],
+        "account_id string, region string, payload_json string")
+    sync_eks(s, clusters, None, ACCOUNT, TAG)
+    cl = {r["id"]: r["props"] for r in s.nodes(["AWSEKSCluster"]).collect()}
+    assert cl[C1]["exposed_internet"] == "true"
+    assert cl[C2].get("exposed_internet") is None
+    res = run_fact(s, K8S_CONTROL_PLANE_EXPOSED)
+    assert {r["cluster_id"] for r in res["findings"].collect()} == {C1}
+    assert res["total"] == 2
+
+    # run 2: endpoint flips private → derived exposure cleared
+    data[0]["resourcesVpcConfig"]["endpointPublicAccess"] = False
+    clusters2 = spark.createDataFrame(
+        [(ACCOUNT, REGION, json.dumps(data))],
+        "account_id string, region string, payload_json string")
+    sync_eks(s, clusters2, None, ACCOUNT, TAG + 1)
+    cl = {r["id"]: r["props"] for r in s.nodes(["AWSEKSCluster"]).collect()}
+    assert cl[C1].get("exposed_internet") is None
+    assert run_fact(s, K8S_CONTROL_PLANE_EXPOSED)["failing"] == 0
+
+
+def test_two_run_gc(spark, tmp_store, fix):
+    s = tmp_store
+    clusters, entries = _raws(spark, fix)
+    sync_eks(s, clusters, entries, ACCOUNT, TAG)
+    assert s.nodes(["AWSEKSAccessEntry"]).count() == 2
+    # run 2: entries feed ran but cluster_1's entries are gone
+    entries2 = spark.createDataFrame(
+        [(ACCOUNT, C1, json.dumps([]))],
+        "account_id string, cluster_arn string, payload_json string")
+    sync_eks(s, clusters, entries2, ACCOUNT, TAG + 1)
+    assert s.nodes(["AWSEKSAccessEntry"]).count() == 0
+    assert s.nodes(["AWSEKSCluster"]).count() == 2

@@ -1,0 +1,212 @@
+"""Anthropic Admin-API sync: organization, users, workspaces, API keys
+(reference ``intel/anthropic/{users,workspaces,apikeys}.py``).
+
+* users (``users.py:34-64``): org Tenant node + UserAccount-labeled
+  users with org RESOURCE scoping;
+* workspaces (``workspaces.py:18-46``): the per-workspace member fetch
+  becomes one members frame; ``MEMBER_OF`` for every member and
+  ``ADMIN_OF`` for ``workspace_role == 'workspace_admin'`` (the
+  reference's users/admins one-to-many lists);
+* api keys (``apikeys.py`` + ``models/anthropic/apikey.py``): APIKey
+  ontology label, the canonical ``(key)-[:OWNED_BY]->(user)`` edge plus
+  the deprecated ``(user)-[:OWNS]->(key)`` compatibility edge, and
+  ``(workspace)-[:CONTAINS]->(key)``.
+
+Org-scoped GC per label.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cartography_spark.providers.aws_ec2 import _edge, _node
+
+USERS_SCHEMA = """
+    ARRAY<STRUCT<id: STRING, name: STRING, email: STRING, role: STRING,
+                 added_at: STRING>>
+"""
+WORKSPACES_SCHEMA = """
+    ARRAY<STRUCT<id: STRING, name: STRING, created_at: STRING,
+                 archived_at: STRING, display_color: STRING>>
+"""
+MEMBERS_SCHEMA = """
+    ARRAY<STRUCT<user_id: STRING, workspace_id: STRING,
+                 workspace_role: STRING>>
+"""
+APIKEYS_SCHEMA = """
+    ARRAY<STRUCT<id: STRING, name: STRING, status: STRING,
+                 created_at: STRING, workspace_id: STRING,
+                 partial_key_hint: STRING,
+                 created_by: STRUCT<id: STRING, type: STRING>>>
+"""
+
+
+def _payload(raw: DataFrame, ddl: str) -> DataFrame:
+    return raw.select(
+        "org_id", F.explode(F.from_json("payload_json", ddl)).alias("x")
+    )
+
+
+def transform_anthropic(
+    users_raw: DataFrame | None,
+    workspaces_raw: DataFrame | None,
+    members_raw: DataFrame | None,
+    apikeys_raw: DataFrame | None,
+    org_id: str,
+    update_tag: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Raw frames are ``(org_id, payload_json)``; returns
+    (nodes, edges) including the org Tenant node."""
+    spark = next(
+        r.sparkSession
+        for r in (users_raw, workspaces_raw, members_raw, apikeys_raw)
+        if r is not None
+    )
+    org_frame = spark.createDataFrame([(org_id,)], "org_id string")
+    node_frames = [_node(org_frame, "AnthropicOrganization",
+                         F.col("org_id"), {}, update_tag, extra=["Tenant"])]
+    edge_frames = []
+    org = F.col("org_id")
+    sub = ("AnthropicOrganization", org)
+
+    if users_raw is not None:
+        users = _payload(users_raw, USERS_SCHEMA).filter(
+            F.col("x.id").isNotNull()
+        )
+        node_frames.append(_node(users, "AnthropicUser", F.col("x.id"), {
+            "name": F.col("x.name"),
+            "email": F.col("x.email"),
+            "role": F.col("x.role"),
+            "added_at": F.col("x.added_at"),
+        }, update_tag, extra=["UserAccount"]))
+        edge_frames.append(_edge(users, "AnthropicOrganization", org,
+                                 "RESOURCE", "AnthropicUser", F.col("x.id"),
+                                 update_tag, sub))
+
+    if workspaces_raw is not None:
+        ws = _payload(workspaces_raw, WORKSPACES_SCHEMA).filter(
+            F.col("x.id").isNotNull()
+        )
+        node_frames.append(_node(ws, "AnthropicWorkspace", F.col("x.id"), {
+            "name": F.col("x.name"),
+            "created_at": F.col("x.created_at"),
+            "archived_at": F.col("x.archived_at"),
+            "display_color": F.col("x.display_color"),
+        }, update_tag))
+        edge_frames.append(_edge(ws, "AnthropicOrganization", org,
+                                 "RESOURCE", "AnthropicWorkspace",
+                                 F.col("x.id"), update_tag, sub))
+
+    if members_raw is not None:
+        members = _payload(members_raw, MEMBERS_SCHEMA).filter(
+            F.col("x.user_id").isNotNull()
+            & F.col("x.workspace_id").isNotNull()
+        )
+        edge_frames.append(_edge(members, "AnthropicWorkspace",
+                                 F.col("x.workspace_id"), "MEMBER_OF",
+                                 "AnthropicUser", F.col("x.user_id"),
+                                 update_tag, sub))
+        admins = members.filter(
+            F.col("x.workspace_role") == "workspace_admin"
+        )
+        edge_frames.append(_edge(admins, "AnthropicWorkspace",
+                                 F.col("x.workspace_id"), "ADMIN_OF",
+                                 "AnthropicUser", F.col("x.user_id"),
+                                 update_tag, sub))
+
+    if apikeys_raw is not None:
+        keys = _payload(apikeys_raw, APIKEYS_SCHEMA).filter(
+            F.col("x.id").isNotNull()
+        )
+        node_frames.append(_node(keys, "AnthropicApiKey", F.col("x.id"), {
+            "name": F.col("x.name"),
+            "status": F.col("x.status"),
+            "created_at": F.col("x.created_at"),
+            "partial_key_hint": F.col("x.partial_key_hint"),
+            "workspace_id": F.col("x.workspace_id"),
+            "created_by": F.col("x.created_by.id"),
+        }, update_tag, extra=["APIKey"]))
+        edge_frames.append(_edge(keys, "AnthropicOrganization", org,
+                                 "RESOURCE", "AnthropicApiKey",
+                                 F.col("x.id"), update_tag, sub))
+        owned = keys.filter(F.col("x.created_by.id").isNotNull())
+        # canonical (:APIKey)-[:OWNED_BY]->(:UserAccount) + deprecated
+        # (:AnthropicUser)-[:OWNS]->(:AnthropicApiKey) compat edge
+        edge_frames.append(_edge(owned, "AnthropicApiKey", F.col("x.id"),
+                                 "OWNED_BY", "AnthropicUser",
+                                 F.col("x.created_by.id"), update_tag, sub))
+        edge_frames.append(_edge(owned, "AnthropicUser",
+                                 F.col("x.created_by.id"), "OWNS",
+                                 "AnthropicApiKey", F.col("x.id"),
+                                 update_tag, sub))
+        in_ws = keys.filter(F.col("x.workspace_id").isNotNull())
+        edge_frames.append(_edge(in_ws, "AnthropicWorkspace",
+                                 F.col("x.workspace_id"), "CONTAINS",
+                                 "AnthropicApiKey", F.col("x.id"),
+                                 update_tag, sub))
+
+    nodes = node_frames[0]
+    for f in node_frames[1:]:
+        nodes = nodes.unionByName(f)
+    edges = edge_frames[0]
+    for f in edge_frames[1:]:
+        edges = edges.unionByName(f)
+    return nodes, edges
+
+
+def sync_anthropic(
+    store,
+    users_raw: DataFrame | None,
+    workspaces_raw: DataFrame | None,
+    members_raw: DataFrame | None,
+    apikeys_raw: DataFrame | None,
+    org_id: str,
+    update_tag: int,
+) -> dict:
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    nodes, edges = transform_anthropic(
+        users_raw, workspaces_raw, members_raw, apikeys_raw, org_id,
+        update_tag,
+    )
+    metrics = {
+        "nodes": store.merge_nodes(nodes, update_tag),
+        "edges": store.merge_edges(edges, update_tag),
+    }
+    org_rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label="AnthropicOrganization",
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("ORG_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    ran = [
+        label for label, raw in (
+            ("AnthropicApiKey", apikeys_raw),
+            ("AnthropicWorkspace", workspaces_raw),
+            ("AnthropicUser", users_raw),
+        ) if raw is not None
+    ]
+    for label in ran:
+        if label not in store.manifest["nodes"]:
+            continue
+        metrics[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=org_rel,
+            ),
+            update_tag,
+            {"ORG_ID": org_id},
+        )
+    store.record_lineage("anthropic_sync", {"update_tag": update_tag})
+    return metrics

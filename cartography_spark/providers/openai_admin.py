@@ -1,0 +1,307 @@
+"""OpenAI Admin-API sync: organization, users, projects, service
+accounts, project API keys, admin API keys (reference
+``intel/openai/{users,projects,serviceaccounts,apikeys,
+adminapikeys}.py``).
+
+* users: UserAccount-labeled, org RESOURCE scoping;
+* projects (``projects.py``): Tenant-labeled projects; the members
+  feed produces ``MEMBER_OF`` for every member and ``ADMIN_OF`` for
+  role=owner (the users/admins one-to-many lists);
+* service accounts: ServiceAccount-labeled, PROJECT-scoped RESOURCE;
+* project API keys (``apikeys.py:59-67``): the owner union type
+  splits into ``owner_user_id`` / ``owner_sa_id`` with the canonical
+  ``OWNED_BY`` edge plus the deprecated ``OWNS`` compatibility edge to
+  whichever principal owns the key; PROJECT-scoped;
+* admin API keys (``adminapikeys.py:54-78``): same owner split, but
+  the owner id sits directly on the owner struct, and keys already
+  synced as PROJECT keys are skipped — the documented OpenAI
+  admin_api_keys endpoint bug workaround, here an anti-join against
+  the batch's project-key ids instead of a driver-side set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cartography_spark.providers.aws_ec2 import _edge, _node
+
+USERS_SCHEMA = """
+    ARRAY<STRUCT<id: STRING, name: STRING, email: STRING, role: STRING,
+                 added_at: STRING>>
+"""
+PROJECTS_SCHEMA = """
+    ARRAY<STRUCT<id: STRING, name: STRING, created_at: STRING,
+                 archived_at: STRING, status: STRING>>
+"""
+MEMBERS_SCHEMA = """
+    ARRAY<STRUCT<id: STRING, email: STRING, name: STRING, role: STRING,
+                 added_at: STRING>>
+"""
+SA_SCHEMA = """
+    ARRAY<STRUCT<id: STRING, name: STRING, role: STRING,
+                 created_at: STRING>>
+"""
+APIKEYS_SCHEMA = """
+    ARRAY<STRUCT<id: STRING, name: STRING, redacted_value: STRING,
+                 created_at: STRING, last_used_at: STRING,
+                 owner: STRUCT<type: STRING, id: STRING,
+                     user: STRUCT<id: STRING>,
+                     service_account: STRUCT<id: STRING>>>>
+"""
+
+
+def _owner_cols(df: DataFrame, admin: bool) -> DataFrame:
+    """owner union-type split (apikeys.py:64-67 / adminapikeys.py:66-69)."""
+    if admin:
+        user_id = F.col("x.owner.id")
+        sa_id = F.col("x.owner.id")
+    else:
+        user_id = F.col("x.owner.user.id")
+        sa_id = F.col("x.owner.service_account.id")
+    return df.withColumn(
+        "owner_user_id",
+        F.when(F.col("x.owner.type") == "user", user_id),
+    ).withColumn(
+        "owner_sa_id",
+        F.when(F.col("x.owner.type") == "service_account", sa_id),
+    )
+
+
+def _key_edges(keys: DataFrame, label: str, update_tag: int, sub):
+    """OWNED_BY (canonical) + OWNS (deprecated) per owner kind."""
+    frames = []
+    for owner_col, owner_label in (
+        ("owner_user_id", "OpenAIUser"),
+        ("owner_sa_id", "OpenAIServiceAccount"),
+    ):
+        of_kind = keys.filter(F.col(owner_col).isNotNull())
+        frames.append(_edge(of_kind, label, F.col("x.id"), "OWNED_BY",
+                            owner_label, F.col(owner_col), update_tag, sub))
+        frames.append(_edge(of_kind, owner_label, F.col(owner_col), "OWNS",
+                            label, F.col("x.id"), update_tag, sub))
+    return frames
+
+
+def transform_openai(
+    users_raw: DataFrame | None,
+    projects_raw: DataFrame | None,
+    members_raw: DataFrame | None,
+    sa_raw: DataFrame | None,
+    apikeys_raw: DataFrame | None,
+    adminapikeys_raw: DataFrame | None,
+    org_id: str,
+    update_tag: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Org-level raw frames are ``(org_id, payload_json)``;
+    project-level ones (``members/sa/apikeys``) are ``(org_id,
+    project_id, payload_json)``."""
+    spark = next(
+        r.sparkSession
+        for r in (users_raw, projects_raw, members_raw, sa_raw, apikeys_raw,
+                  adminapikeys_raw)
+        if r is not None
+    )
+    org_frame = spark.createDataFrame([(org_id,)], "org_id string")
+    node_frames = [_node(org_frame, "OpenAIOrganization", F.col("org_id"),
+                         {}, update_tag, extra=["Tenant"])]
+    edge_frames = []
+    org = F.col("org_id")
+    org_sub = ("OpenAIOrganization", org)
+    proj_sub = ("OpenAIProject", F.col("project_id"))
+
+    def payload(raw, ddl, proj=False):
+        cols = ["org_id", "project_id"] if proj else ["org_id"]
+        return raw.select(
+            *cols, F.explode(F.from_json("payload_json", ddl)).alias("x")
+        ).filter(F.col("x.id").isNotNull())
+
+    if users_raw is not None:
+        users = payload(users_raw, USERS_SCHEMA)
+        node_frames.append(_node(users, "OpenAIUser", F.col("x.id"), {
+            "name": F.col("x.name"),
+            "email": F.col("x.email"),
+            "role": F.col("x.role"),
+            "added_at": F.col("x.added_at"),
+        }, update_tag, extra=["UserAccount"]))
+        edge_frames.append(_edge(users, "OpenAIOrganization", org,
+                                 "RESOURCE", "OpenAIUser", F.col("x.id"),
+                                 update_tag, org_sub))
+
+    if projects_raw is not None:
+        projects = payload(projects_raw, PROJECTS_SCHEMA)
+        node_frames.append(_node(projects, "OpenAIProject", F.col("x.id"), {
+            "name": F.col("x.name"),
+            "created_at": F.col("x.created_at"),
+            "status": F.col("x.status"),
+        }, update_tag, extra=["Tenant"]))
+        edge_frames.append(_edge(projects, "OpenAIOrganization", org,
+                                 "RESOURCE", "OpenAIProject", F.col("x.id"),
+                                 update_tag, org_sub))
+
+    if members_raw is not None:
+        members = payload(members_raw, MEMBERS_SCHEMA, proj=True)
+        edge_frames.append(_edge(members, "OpenAIProject",
+                                 F.col("project_id"), "MEMBER_OF",
+                                 "OpenAIUser", F.col("x.id"), update_tag,
+                                 proj_sub))
+        owners = members.filter(F.col("x.role") == "owner")
+        edge_frames.append(_edge(owners, "OpenAIProject",
+                                 F.col("project_id"), "ADMIN_OF",
+                                 "OpenAIUser", F.col("x.id"), update_tag,
+                                 proj_sub))
+
+    if sa_raw is not None:
+        sas = payload(sa_raw, SA_SCHEMA, proj=True)
+        node_frames.append(_node(sas, "OpenAIServiceAccount", F.col("x.id"), {
+            "name": F.col("x.name"),
+            "role": F.col("x.role"),
+            "created_at": F.col("x.created_at"),
+        }, update_tag, extra=["ServiceAccount"]))
+        edge_frames.append(_edge(sas, "OpenAIProject", F.col("project_id"),
+                                 "RESOURCE", "OpenAIServiceAccount",
+                                 F.col("x.id"), update_tag, proj_sub))
+
+    project_keys = None
+    if apikeys_raw is not None:
+        project_keys = _owner_cols(
+            payload(apikeys_raw, APIKEYS_SCHEMA, proj=True), admin=False
+        )
+        node_frames.append(_node(project_keys, "OpenAIApiKey",
+                                 F.col("x.id"), {
+            "name": F.col("x.name"),
+            "redacted_value": F.col("x.redacted_value"),
+            "created_at": F.col("x.created_at"),
+            "last_used_at": F.col("x.last_used_at"),
+        }, update_tag, extra=["APIKey"]))
+        edge_frames.append(_edge(project_keys, "OpenAIProject",
+                                 F.col("project_id"), "RESOURCE",
+                                 "OpenAIApiKey", F.col("x.id"), update_tag,
+                                 proj_sub))
+        edge_frames.extend(
+            _key_edges(project_keys, "OpenAIApiKey", update_tag, proj_sub)
+        )
+
+    if adminapikeys_raw is not None:
+        admin_keys = _owner_cols(
+            payload(adminapikeys_raw, APIKEYS_SCHEMA), admin=True
+        )
+        if project_keys is not None:
+            # endpoint-bug workaround (adminapikeys.py:61-66): drop keys
+            # already synced as project keys — an anti-join, not a
+            # collected id set
+            admin_keys = admin_keys.join(
+                project_keys.select(F.col("x.id").alias("__pk_id")),
+                admin_keys["x.id"] == F.col("__pk_id"),
+                "left_anti",
+            )
+        node_frames.append(_node(admin_keys, "OpenAIAdminApiKey",
+                                 F.col("x.id"), {
+            "name": F.col("x.name"),
+            "redacted_value": F.col("x.redacted_value"),
+            "created_at": F.col("x.created_at"),
+            "last_used_at": F.col("x.last_used_at"),
+        }, update_tag, extra=["APIKey"]))
+        edge_frames.append(_edge(admin_keys, "OpenAIOrganization", org,
+                                 "RESOURCE", "OpenAIAdminApiKey",
+                                 F.col("x.id"), update_tag, org_sub))
+        edge_frames.extend(
+            _key_edges(admin_keys, "OpenAIAdminApiKey", update_tag, org_sub)
+        )
+
+    nodes = node_frames[0]
+    for f in node_frames[1:]:
+        nodes = nodes.unionByName(f)
+    edges = edge_frames[0]
+    for f in edge_frames[1:]:
+        edges = edges.unionByName(f)
+    return nodes, edges
+
+
+def sync_openai(
+    store,
+    users_raw: DataFrame | None,
+    projects_raw: DataFrame | None,
+    members_raw: DataFrame | None,
+    sa_raw: DataFrame | None,
+    apikeys_raw: DataFrame | None,
+    adminapikeys_raw: DataFrame | None,
+    org_id: str,
+    update_tag: int,
+) -> dict:
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import (
+        run_cleanup,
+        run_scoped_cleanup_for_scopes,
+    )
+
+    nodes, edges = transform_openai(
+        users_raw, projects_raw, members_raw, sa_raw, apikeys_raw,
+        adminapikeys_raw, org_id, update_tag,
+    )
+    metrics = {
+        "nodes": store.merge_nodes(nodes, update_tag),
+        "edges": store.merge_edges(edges, update_tag),
+    }
+    org_rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label="OpenAIOrganization",
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("ORG_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    proj_rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label="OpenAIProject",
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("PROJECT_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    # project-scoped labels sweep over the batch's project-id set in one
+    # pass (the set-scoped GC), org-scoped ones per org
+    proj_scope = None
+    for raw in (apikeys_raw, sa_raw, members_raw):
+        if raw is not None:
+            scope = raw.select(
+                F.col("project_id").alias("sub_id")
+            ).distinct()
+            proj_scope = (scope if proj_scope is None
+                          else proj_scope.unionByName(scope).distinct())
+    for label, raw in (("OpenAIApiKey", apikeys_raw),
+                       ("OpenAIServiceAccount", sa_raw)):
+        if raw is None or label not in store.manifest["nodes"]:
+            continue
+        metrics[f"gc_{label}"] = run_scoped_cleanup_for_scopes(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=proj_rel,
+            ),
+            update_tag,
+            proj_scope,
+        )
+    for label, raw in (("OpenAIAdminApiKey", adminapikeys_raw),
+                       ("OpenAIProject", projects_raw),
+                       ("OpenAIUser", users_raw)):
+        if raw is None or label not in store.manifest["nodes"]:
+            continue
+        metrics[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=org_rel,
+            ),
+            update_tag,
+            {"ORG_ID": org_id},
+        )
+    store.record_lineage("openai_sync", {"update_tag": update_tag})
+    return metrics

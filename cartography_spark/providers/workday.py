@@ -1,0 +1,135 @@
+"""Workday people sync (reference ``intel/workday/people.py``).
+
+``_transform_people_data`` (:57-113) as column expressions: the
+hyphenated API fields map to clean props (``Email_-_Work`` → email,
+``Location_Address_-_Country`` → country, ``GBL-Custom-Function`` →
+function), the manager id is the FIRST entry of
+``Worker_s_Manager_group``, and self-management never links
+(``manager_id != employee_id``). WorkdayHuman carries the ``Human``
+ontology label (``models/workday/human.py:116``) so the canonical
+users stage can anchor identities on it; organizations are derived
+from the distinct ``Supervisory_Organization`` values with
+``MEMBER_OF_ORGANIZATION`` and the manager chain is ``REPORTS_TO``.
+Unscoped GC (no tenant node in the feed — ``scoped_cleanup=False``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cartography_spark.providers.aws_ec2 import _edge, _node
+
+DIRECTORY_SCHEMA = """
+    STRUCT<Report_Entry: ARRAY<STRUCT<
+        Employee_ID: STRING, Name: STRING, businessTitle: STRING,
+        Worker_Type: STRING, location: STRING,
+        `Location_Address_-_Country`: STRING, `Email_-_Work`: STRING,
+        Cost_Center: STRING, `GBL-Custom-Function`: STRING,
+        `Sub-Function`: STRING, Team: STRING, Sub_Team: STRING,
+        Company: STRING, Supervisory_Organization: STRING,
+        Worker_s_Manager_group: ARRAY<STRUCT<Manager_ID: STRING>>>>>
+"""
+
+
+def transform_workday_people(
+    raw: DataFrame, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """``raw(payload_json)`` (the directory response) →
+    (nodes, edges)."""
+    people = raw.select(
+        F.explode(
+            F.from_json("payload_json", DIRECTORY_SCHEMA)["Report_Entry"]
+        ).alias("p"),
+    ).filter(F.col("p.Employee_ID").isNotNull()).withColumn(
+        "manager_id",
+        F.try_element_at(F.col("p.Worker_s_Manager_group"), F.lit(1))[
+            "Manager_ID"
+        ],
+    )
+    human_nodes = _node(people, "WorkdayHuman", F.col("p.Employee_ID"), {
+        "employee_id": F.col("p.Employee_ID"),
+        "name": F.col("p.Name"),
+        "title": F.col("p.businessTitle"),
+        "worker_type": F.col("p.Worker_Type"),
+        "location": F.col("p.location"),
+        "country": F.col("p.`Location_Address_-_Country`"),
+        "email": F.col("p.`Email_-_Work`"),
+        "cost_center": F.col("p.Cost_Center"),
+        "function": F.col("p.`GBL-Custom-Function`"),
+        "sub_function": F.col("p.`Sub-Function`"),
+        "team": F.col("p.Team"),
+        "sub_team": F.col("p.Sub_Team"),
+        "company": F.col("p.Company"),
+        "manager_id": F.col("manager_id"),
+        "source": F.lit("WORKDAY"),
+    }, update_tag, extra=["Human"])
+    orgs = people.filter(
+        F.col("p.Supervisory_Organization").isNotNull()
+    ).select(F.col("p.Supervisory_Organization").alias("org"))
+    org_nodes = _node(orgs, "WorkdayOrganization", F.col("org"), {
+        "name": F.col("org"),
+    }, update_tag)
+    nodes = human_nodes.unionByName(org_nodes)
+
+    member = people.filter(
+        F.col("p.Supervisory_Organization").isNotNull()
+    )
+    reports = people.filter(
+        F.col("manager_id").isNotNull()
+        & (F.col("manager_id") != F.col("p.Employee_ID"))
+    )
+    edges = _edge(
+        member, "WorkdayHuman", F.col("p.Employee_ID"),
+        "MEMBER_OF_ORGANIZATION", "WorkdayOrganization",
+        F.col("p.Supervisory_Organization"), update_tag,
+    ).unionByName(_edge(
+        reports, "WorkdayHuman", F.col("p.Employee_ID"), "REPORTS_TO",
+        "WorkdayHuman", F.col("manager_id"), update_tag,
+    ))
+    return nodes, edges
+
+
+def sync_workday(store, raw: DataFrame, update_tag: int) -> dict:
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    nodes, edges = transform_workday_people(raw, update_tag)
+    metrics = {
+        "nodes": store.merge_nodes(nodes, update_tag),
+        "edges": store.merge_edges(edges, update_tag),
+    }
+    member_rel = RelSchema(
+        rel_label="MEMBER_OF_ORGANIZATION",
+        target_node_label="WorkdayOrganization",
+        target_node_matcher=TargetNodeMatcher({"id": PropertyRef("id")}),
+        direction=LinkDirection.OUTWARD,
+    )
+    reports_rel = RelSchema(
+        rel_label="REPORTS_TO",
+        target_node_label="WorkdayHuman",
+        target_node_matcher=TargetNodeMatcher({"id": PropertyRef("id")}),
+        direction=LinkDirection.OUTWARD,
+    )
+    for label, rels in (("WorkdayHuman", (member_rel, reports_rel)),
+                        ("WorkdayOrganization", ())):
+        if label not in store.manifest["nodes"]:
+            continue
+        metrics[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                other_relationships=tuple(rels),
+                scoped_cleanup=False,
+            ),
+            update_tag,
+            {},
+        )
+    store.record_lineage("workday_sync", {"update_tag": update_tag})
+    return metrics

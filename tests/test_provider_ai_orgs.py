@@ -1,0 +1,198 @@
+"""Anthropic + OpenAI admin-API parity over the reference's actual
+``tests/data/{anthropic,openai}/*.py`` fixtures: Tenant/UserAccount/
+APIKey ontology labels, workspace/project member-role splits, the
+canonical OWNED_BY + deprecated OWNS key-owner edges, and the OpenAI
+admin-endpoint project-key dedup bug workaround."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.anthropic_admin import (
+    sync_anthropic,
+    transform_anthropic,
+)
+from cartography_spark.providers.openai_admin import (
+    sync_openai,
+    transform_openai,
+)
+from tests.test_fixture_parity_github import _load_fixture_ns
+
+ANTHROPIC_DIR = "/root/reference/tests/data/anthropic"
+OPENAI_DIR = "/root/reference/tests/data/openai"
+ORG, TAG = "org-test", 123456789
+WS = "wrkspc_01JwQvzr7rXLA5AGx3HKfFUJ"
+HOMER = "user_EneequohSheesh3Ohtaefu8we2aite"
+MARGE = "user_Oov3aYewo6ZuoGh8thaiV1uNoy1aXe"
+PROJ = "proj_Eicie2Iid8ii4aiNg8va"
+O_HOMER = "user-ou3doohoeX6xie1Quiem"
+O_MARGE = "user-uJeighaeFair8shaa2av"
+O_SA = "user-ohp0mahG0Aw5eevu6ain"
+
+
+def _org_raw(spark, payload):
+    return spark.createDataFrame(
+        [(ORG, json.dumps(payload))], "org_id string, payload_json string"
+    )
+
+
+def _proj_raw(spark, project_id, payload):
+    return spark.createDataFrame(
+        [(ORG, project_id, json.dumps(payload))],
+        "org_id string, project_id string, payload_json string",
+    )
+
+
+def _rels(edges, rel):
+    return {
+        (r["src_id"], r["dst_id"])
+        for r in edges.filter(F.col("rel_label") == rel).collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def anthropic_fix():
+    if not os.path.isdir(ANTHROPIC_DIR):
+        pytest.skip("reference fixture not available")
+    return {
+        "users": _load_fixture_ns(f"{ANTHROPIC_DIR}/users.py")[
+            "ANTHROPIC_USERS"],
+        "workspaces": _load_fixture_ns(f"{ANTHROPIC_DIR}/workspaces.py")[
+            "ANTHROPIC_WORKSPACES"],
+        "members": _load_fixture_ns(f"{ANTHROPIC_DIR}/workspaces.py")[
+            "ANTHROPIC_WORKSPACES_MEMBERS"],
+        "apikeys": _load_fixture_ns(f"{ANTHROPIC_DIR}/apikeys.py")[
+            "ANTHROPIC_APIKEYS"],
+    }
+
+
+@pytest.fixture(scope="module")
+def openai_fix():
+    if not os.path.isdir(OPENAI_DIR):
+        pytest.skip("reference fixture not available")
+    return {
+        "users": _load_fixture_ns(f"{OPENAI_DIR}/users.py")["OPENAI_USERS"],
+        "projects": _load_fixture_ns(f"{OPENAI_DIR}/projects.py")[
+            "OPENAI_PROJECTS"],
+        "members": _load_fixture_ns(f"{OPENAI_DIR}/projects.py")[
+            "OPENAI_PROJECTS_MEMBERS"],
+        "sas": _load_fixture_ns(f"{OPENAI_DIR}/serviceaccounts.py")[
+            "OPENAI_SERVICEACCOUNTS"],
+        "apikeys": _load_fixture_ns(f"{OPENAI_DIR}/apikeys.py")[
+            "OPENAI_APIKEYS"],
+        "adminapikeys": _load_fixture_ns(f"{OPENAI_DIR}/adminapikeys.py")[
+            "OPENAI_ADMINAPIKEYS"],
+    }
+
+
+def test_anthropic_nodes_and_rels(spark, anthropic_fix):
+    nodes, edges = transform_anthropic(
+        _org_raw(spark, anthropic_fix["users"]),
+        _org_raw(spark, anthropic_fix["workspaces"]),
+        _org_raw(spark, anthropic_fix["members"]),
+        _org_raw(spark, anthropic_fix["apikeys"]),
+        ORG, TAG,
+    )
+    rows = {r["id"]: r for r in nodes.collect()}
+    assert "Tenant" in rows[ORG]["extra_labels"]
+    assert rows[HOMER]["props"]["email"] == "hjsimpson@simpson.corp"
+    assert "UserAccount" in rows[HOMER]["extra_labels"]
+    assert rows[WS]["props"]["name"] == "Springfield Nuclear Power Plant"
+    key = rows["apikey_01Rj2N8SVvo6BePZj99NhmiT"]
+    assert "APIKey" in key["extra_labels"]
+    assert key["props"]["partial_key_hint"] == "sk-ant-api03-R2D...igAA"
+
+    assert _rels(edges, "MEMBER_OF") == {(WS, HOMER), (WS, MARGE)}
+    # only the workspace_admin role is ADMIN_OF (workspaces.py:36-38)
+    assert _rels(edges, "ADMIN_OF") == {(WS, HOMER)}
+    kid = "apikey_01Rj2N8SVvo6BePZj99NhmiT"
+    assert _rels(edges, "OWNED_BY") == {(kid, HOMER)}
+    assert _rels(edges, "OWNS") == {(HOMER, kid)}
+    assert _rels(edges, "CONTAINS") == {(WS, kid)}
+
+
+def test_anthropic_two_run_gc(spark, tmp_store, anthropic_fix):
+    s = tmp_store
+    sync_anthropic(
+        s, _org_raw(spark, anthropic_fix["users"]),
+        _org_raw(spark, anthropic_fix["workspaces"]),
+        _org_raw(spark, anthropic_fix["members"]),
+        _org_raw(spark, anthropic_fix["apikeys"]), ORG, TAG,
+    )
+    assert s.nodes(["AnthropicUser"]).count() == 2
+    sync_anthropic(
+        s, _org_raw(spark, anthropic_fix["users"][:1]), None, None,
+        _org_raw(spark, []), ORG, TAG + 1,
+    )
+    assert {r["id"] for r in s.nodes(["AnthropicUser"]).collect()} == {MARGE}
+    assert s.nodes(["AnthropicApiKey"]).count() == 0
+    # workspaces feed skipped → untouched
+    assert s.nodes(["AnthropicWorkspace"]).count() == 1
+
+
+def test_openai_nodes_owner_split_and_admin_dedup(spark, openai_fix):
+    nodes, edges = transform_openai(
+        _org_raw(spark, openai_fix["users"]),
+        _org_raw(spark, openai_fix["projects"]),
+        _proj_raw(spark, PROJ, openai_fix["members"]),
+        _proj_raw(spark, PROJ, openai_fix["sas"]),
+        _proj_raw(spark, PROJ, openai_fix["apikeys"]),
+        _org_raw(spark, openai_fix["adminapikeys"]),
+        ORG, TAG,
+    )
+    by_label = {}
+    for r in nodes.collect():
+        by_label.setdefault(r["label"], {})[r["id"]] = r
+    assert set(by_label["OpenAIUser"]) == {O_HOMER, O_MARGE}
+    assert "UserAccount" in by_label["OpenAIUser"][O_HOMER]["extra_labels"]
+    assert "Tenant" in by_label["OpenAIProject"][PROJ]["extra_labels"]
+    assert "ServiceAccount" in by_label["OpenAIServiceAccount"][O_SA][
+        "extra_labels"]
+    assert set(by_label["OpenAIApiKey"]) == {
+        "key_iegheiWieG2jupheeYin", "key_Eek1lae1au5Iepi2eeza"}
+    # admin endpoint returned key_iegheiWieG2jupheeYin mislabeled as an
+    # admin key → dropped by the anti-join (adminapikeys.py:61-66)
+    assert set(by_label["OpenAIAdminApiKey"]) == {"key_abc"}
+
+    # project member-role split: owner → ADMIN_OF too
+    assert _rels(edges, "MEMBER_OF") == {(PROJ, O_HOMER), (PROJ, O_MARGE)}
+    assert _rels(edges, "ADMIN_OF") == {(PROJ, O_HOMER)}
+    # owner union split: SA-owned and user-owned project keys + the
+    # user-owned admin key
+    assert _rels(edges, "OWNED_BY") == {
+        ("key_iegheiWieG2jupheeYin", O_SA),
+        ("key_Eek1lae1au5Iepi2eeza", O_HOMER),
+        ("key_abc", O_MARGE),
+    }
+    assert _rels(edges, "OWNS") == {
+        (O_SA, "key_iegheiWieG2jupheeYin"),
+        (O_HOMER, "key_Eek1lae1au5Iepi2eeza"),
+        (O_MARGE, "key_abc"),
+    }
+
+
+def test_openai_sync_and_project_scoped_gc(spark, tmp_store, openai_fix):
+    """Project-scoped key/SA GC rides the set-scoped single-pass
+    cleanup; org-scoped labels sweep per org."""
+    s = tmp_store
+    sync_openai(
+        s, _org_raw(spark, openai_fix["users"]),
+        _org_raw(spark, openai_fix["projects"]),
+        _proj_raw(spark, PROJ, openai_fix["members"]),
+        _proj_raw(spark, PROJ, openai_fix["sas"]),
+        _proj_raw(spark, PROJ, openai_fix["apikeys"]),
+        _org_raw(spark, openai_fix["adminapikeys"]), ORG, TAG,
+    )
+    assert s.nodes(["OpenAIApiKey"]).count() == 2
+    sync_openai(
+        s, None, None, None, None,
+        _proj_raw(spark, PROJ, openai_fix["apikeys"][:1]), None, ORG,
+        TAG + 1,
+    )
+    assert {r["id"] for r in s.nodes(["OpenAIApiKey"]).collect()} == {
+        "key_iegheiWieG2jupheeYin"}
+    # untouched feeds keep their labels
+    assert s.nodes(["OpenAIUser"]).count() == 2
+    assert s.nodes(["OpenAIAdminApiKey"]).count() == 1

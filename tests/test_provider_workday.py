@@ -1,0 +1,103 @@
+"""Workday people parity, mirrored from the reference's
+``tests/integration/cartography/intel/workday/test_people.py``
+assertions over its actual ``tests/data/workday/people.py`` fixture."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.workday import (
+    sync_workday,
+    transform_workday_people,
+)
+from tests.test_fixture_parity_github import _load_fixture_ns
+
+FIXTURE = "/root/reference/tests/data/workday/people.py"
+TAG = 123456789
+
+
+@pytest.fixture(scope="module")
+def fix():
+    if not os.path.exists(FIXTURE):
+        pytest.skip("reference fixture not available")
+    return _load_fixture_ns(FIXTURE)["GET_WORKDAY_DIRECTORY_RESPONSE"]
+
+
+def _raw(spark, payload):
+    return spark.createDataFrame(
+        [(json.dumps(payload),)], "payload_json string"
+    )
+
+
+def test_people_nodes_orgs_and_rels(spark, fix):
+    """test_people.py:55-131 — humans with mapped hyphen fields +
+    Human label, derived organizations, MEMBER_OF_ORGANIZATION and
+    REPORTS_TO chains."""
+    nodes, edges = transform_workday_people(_raw(spark, fix), TAG)
+    humans = {
+        r["id"]: (r["props"], r["extra_labels"])
+        for r in nodes.filter(F.col("label") == "WorkdayHuman").collect()
+    }
+    assert {
+        (i, p["employee_id"], p["name"], p["email"])
+        for i, (p, _) in humans.items()
+    } == {
+        ("emp001", "emp001", "Alice Johnson", "alice.johnson@example.com"),
+        ("emp002", "emp002", "Bob Smith", "bob.smith@example.com"),
+        ("emp003", "emp003", "Carol Williams", "carol.williams@example.com"),
+        ("emp004", "emp004", "David Brown", "david.brown@example.com"),
+    }
+    assert all("Human" in (extra or []) for _, extra in humans.values())
+    # hyphenated API fields mapped (people.py:92-99)
+    p1 = humans["emp001"][0]
+    assert p1["country"] == "United States"
+    assert p1["function"] == "Product Development"
+    assert p1["sub_function"] == "Backend Engineering"
+
+    orgs = {
+        (r["id"], r["props"]["name"])
+        for r in nodes.filter(F.col("label") == "WorkdayOrganization")
+        .collect()
+    }
+    assert orgs == {
+        ("Engineering Department", "Engineering Department"),
+        ("Executive Department", "Executive Department"),
+    }
+    rels = {
+        (r["rel_label"], r["src_id"], r["dst_id"])
+        for r in edges.collect()
+    }
+    assert {
+        (s, d) for l, s, d in rels if l == "MEMBER_OF_ORGANIZATION"
+    } == {
+        ("emp001", "Engineering Department"),
+        ("emp002", "Engineering Department"),
+        ("emp003", "Engineering Department"),
+        ("emp004", "Executive Department"),
+    }
+    assert {(s, d) for l, s, d in rels if l == "REPORTS_TO"} == {
+        ("emp001", "emp003"), ("emp002", "emp003"), ("emp003", "emp004"),
+    }
+
+
+def test_two_run_gc_and_user_registry(spark, tmp_store, fix):
+    """Unscoped GC sweeps leavers; the Human-labeled rows anchor the
+    canonical users stage (ontology reuse on the new provider)."""
+    s = tmp_store
+    sync_workday(s, _raw(spark, fix), TAG)
+    assert s.nodes(["WorkdayHuman"]).count() == 4
+
+    shrunk = {"Report_Entry": [
+        e for e in fix["Report_Entry"] if e["Employee_ID"] != "emp002"
+    ]}
+    sync_workday(s, _raw(spark, shrunk), TAG + 1)
+    assert {r["id"] for r in s.nodes(["WorkdayHuman"]).collect()} == {
+        "emp001", "emp003", "emp004"}
+    rels = {
+        (r["src_id"], r["dst_id"])
+        for r in s.edges(["REPORTS_TO"]).collect()
+    }
+    assert ("emp002", "emp003") not in rels
+    assert ("emp001", "emp003") in rels

@@ -1,0 +1,513 @@
+"""Kubernetes ingress + secrets + the LB exposure chain (reference
+``intel/kubernetes/{ingress,secrets}.py`` and
+``analysis/kubernetes/analysis.py``).
+
+Ingresses (``ingress.py:105-156``): host names and backend-service
+targets derived from the rules array (plus the default backend) as
+array expressions; ``alb.ingress.kubernetes.io/group.name`` lifted
+from annotations; status hostnames lowercased for cloud-LB matching;
+``TARGETS`` edges resolve backend service names against the store's
+services by (name, namespace, cluster); ``USES_LOAD_BALANCER``
+matchlinks join the lowercased dnsname exactly like services do.
+
+Secrets (``secrets.py:49-70``): uid-keyed nodes with the
+``{cluster}/{ns}/{name}`` composite id, namespace CONTAINS +
+cluster RESOURCE.
+
+Exposure chain (``analysis/kubernetes/analysis.py``): four ordered
+AnalysisJobs —
+
+1. services behind an exposed LB (its own USES_LOAD_BALANCER or an
+   ingress's, where the LB has ``exposed_internet`` or is an
+   internet-facing network LB) gain ``exposed_internet`` +
+   type ``lb``;
+2. pods targeted by exposed services inherit;
+3. containers of exposed pods inherit;
+4. ``(lb)-[:EXPOSE {exposure_type: via_lb_only}]->(pod|container)``
+   derived MatchLink edges over both the direct and the via-ingress
+   paths.
+
+Each derived property/edge family carries generated cleanup, so
+exposure vanishes when the path breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cartography_spark.plans.analysis import (
+    AddRelationship,
+    AnalysisJob,
+    SetProperties,
+)
+from cartography_spark.providers.kubernetes import _shape_edges, _shape_nodes
+
+INGRESS_STRUCT = (
+    "array<struct<uid:string, name:string, namespace:string, "
+    "creation_timestamp:string, ingress_class_name:string, "
+    "annotations:map<string,string>, "
+    "rules:array<struct<host:string, paths:array<struct<path:string, "
+    "path_type:string, backend_service_name:string, "
+    "backend_service_port:int>>>>, "
+    "default_backend:struct<backend_service_name:string, "
+    "backend_service_port:int>, "
+    "status_load_balancer:array<struct<hostname:string, ip:string>>>>"
+)
+
+SECRETS_STRUCT = (
+    "array<struct<uid:string, name:string, namespace:string, "
+    "creation_timestamp:string, type:string, "
+    "owner_references:array<struct<kind:string, name:string>>>>"
+)
+
+
+def transform_k8s_ingresses(
+    raw: DataFrame,
+    update_tag: int,
+    services: DataFrame | None = None,
+    ns_frame: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """``raw(cluster_id, cluster_name, payload_json)``; ``services`` is
+    the store's KubernetesService node frame for backend resolution."""
+    ing = raw.select(
+        "cluster_id", "cluster_name",
+        F.explode(F.from_json("payload_json", INGRESS_STRUCT)).alias("x"),
+    ).filter(F.col("x.uid").isNotNull())
+    rules = F.coalesce(F.col("x.rules"), F.array())
+    host_names = F.filter(
+        F.transform(rules, lambda r: r["host"]), lambda h: h.isNotNull()
+    )
+    rule_services = F.filter(
+        F.flatten(F.transform(
+            rules,
+            lambda r: F.transform(
+                F.coalesce(r["paths"], F.array()),
+                lambda p: p["backend_service_name"],
+            ),
+        )),
+        lambda s: s.isNotNull(),
+    )
+    target_services = F.array_distinct(
+        F.concat(
+            rule_services,
+            F.filter(
+                F.array(F.col("x.default_backend.backend_service_name")),
+                lambda s: s.isNotNull(),
+            ),
+        )
+    )
+    dns_names = F.filter(
+        F.transform(
+            F.coalesce("x.status_load_balancer", F.array()),
+            lambda i: F.lower(i["hostname"]),
+        ),
+        lambda h: h.isNotNull(),
+    )
+    ing = (
+        ing.withColumn("host_names", host_names)
+        .withColumn("target_services", target_services)
+        .withColumn("dns_names", dns_names)
+    )
+    nodes = _shape_nodes(
+        ing.select(
+            F.lit("KubernetesIngress").alias("label"),
+            F.col("x.uid").alias("id"),
+            F.map_from_arrays(
+                F.array(*[F.lit(k) for k in (
+                    "name", "namespace", "creation_timestamp",
+                    "ingress_class_name", "annotations", "rules",
+                    "default_backend", "host_names", "target_services",
+                    "ingress_group_name", "load_balancer_dns_names",
+                    "cluster_name",
+                )]),
+                F.array(
+                    F.col("x.name"), F.col("x.namespace"),
+                    F.col("x.creation_timestamp"),
+                    F.col("x.ingress_class_name"),
+                    F.to_json("x.annotations"), F.to_json("x.rules"),
+                    F.to_json("x.default_backend"),
+                    F.to_json("host_names"), F.to_json("target_services"),
+                    F.coalesce(F.col("x.annotations"),
+                               F.create_map().cast("map<string,string>"))[
+                        "alb.ingress.kubernetes.io/group.name"],
+                    F.to_json("dns_names"), F.col("cluster_name"),
+                ),
+            ).alias("props"),
+        ),
+        update_tag,
+    )
+    edge_frames = [ing.select(
+        "cluster_id",
+        F.lit("KubernetesCluster").alias("src_label"),
+        F.col("cluster_id").alias("src_id"),
+        F.lit("RESOURCE").alias("rel_label"),
+        F.lit("KubernetesIngress").alias("dst_label"),
+        F.col("x.uid").alias("dst_id"),
+    )]
+    if ns_frame is not None:
+        ns = ns_frame.select(
+            F.col("id").alias("__ns_uid"),
+            F.element_at("props", "name").alias("__ns_name"),
+            F.element_at("props", "cluster_name").alias("__ns_cluster"),
+        )
+        edge_frames.append(ing.join(
+            ns,
+            (ing["x.namespace"] == F.col("__ns_name"))
+            & (ing["cluster_name"] == F.col("__ns_cluster")),
+        ).select(
+            "cluster_id",
+            F.lit("KubernetesNamespace").alias("src_label"),
+            F.col("__ns_uid").alias("src_id"),
+            F.lit("CONTAINS").alias("rel_label"),
+            F.lit("KubernetesIngress").alias("dst_label"),
+            F.col("x.uid").alias("dst_id"),
+        ))
+    if services is not None:
+        svc = services.select(
+            F.col("id").alias("__svc_uid"),
+            F.element_at("props", "name").alias("__svc_name"),
+            F.element_at("props", "namespace").alias("__svc_ns"),
+            F.element_at("props", "cluster_name").alias("__svc_cluster"),
+        )
+        targeted = ing.select(
+            "cluster_id", "cluster_name",
+            F.col("x.uid").alias("uid"),
+            F.col("x.namespace").alias("namespace"),
+            F.explode("target_services").alias("svc_name"),
+        ).join(
+            svc,
+            (F.col("svc_name") == F.col("__svc_name"))
+            & (F.col("namespace") == F.col("__svc_ns"))
+            & (F.col("cluster_name") == F.col("__svc_cluster")),
+        )
+        edge_frames.append(targeted.select(
+            "cluster_id",
+            F.lit("KubernetesIngress").alias("src_label"),
+            F.col("uid").alias("src_id"),
+            F.lit("TARGETS").alias("rel_label"),
+            F.lit("KubernetesService").alias("dst_label"),
+            F.col("__svc_uid").alias("dst_id"),
+        ))
+    edges = edge_frames[0]
+    for f in edge_frames[1:]:
+        edges = edges.unionByName(f)
+    return nodes, _shape_edges(edges, update_tag)
+
+
+def transform_k8s_secrets(
+    raw: DataFrame, update_tag: int, ns_frame: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame]:
+    sec = raw.select(
+        "cluster_id", "cluster_name",
+        F.explode(F.from_json("payload_json", SECRETS_STRUCT)).alias("x"),
+    ).filter(F.col("x.uid").isNotNull())
+    nodes = _shape_nodes(
+        sec.select(
+            F.lit("KubernetesSecret").alias("label"),
+            F.col("x.uid").alias("id"),
+            F.map_from_arrays(
+                F.array(*[F.lit(k) for k in (
+                    "name", "namespace", "composite_id", "type",
+                    "creation_timestamp", "owner_references",
+                    "cluster_name",
+                )]),
+                F.array(
+                    F.col("x.name"), F.col("x.namespace"),
+                    F.concat_ws("/", "cluster_name", "x.namespace",
+                                "x.name"),
+                    F.col("x.type"), F.col("x.creation_timestamp"),
+                    F.to_json("x.owner_references"), F.col("cluster_name"),
+                ),
+            ).alias("props"),
+        ),
+        update_tag,
+    )
+    edge_frames = [sec.select(
+        "cluster_id",
+        F.lit("KubernetesCluster").alias("src_label"),
+        F.col("cluster_id").alias("src_id"),
+        F.lit("RESOURCE").alias("rel_label"),
+        F.lit("KubernetesSecret").alias("dst_label"),
+        F.col("x.uid").alias("dst_id"),
+    )]
+    if ns_frame is not None:
+        ns = ns_frame.select(
+            F.col("id").alias("__ns_uid"),
+            F.element_at("props", "name").alias("__ns_name"),
+            F.element_at("props", "cluster_name").alias("__ns_cluster"),
+        )
+        edge_frames.append(sec.join(
+            ns,
+            (sec["x.namespace"] == F.col("__ns_name"))
+            & (sec["cluster_name"] == F.col("__ns_cluster")),
+        ).select(
+            "cluster_id",
+            F.lit("KubernetesNamespace").alias("src_label"),
+            F.col("__ns_uid").alias("src_id"),
+            F.lit("CONTAINS").alias("rel_label"),
+            F.lit("KubernetesSecret").alias("dst_label"),
+            F.col("x.uid").alias("dst_id"),
+        ))
+    edges = edge_frames[0]
+    for f in edge_frames[1:]:
+        edges = edges.unionByName(f)
+    return nodes, _shape_edges(edges, update_tag)
+
+
+def ingress_lb_matchlinks(store, update_tag: int, cluster_id: str):
+    """``(ing)-[:USES_LOAD_BALANCER]->(:AWSLoadBalancerV2)`` by the
+    lowercased dnsname (``models/kubernetes/ingress.py:150-155``)."""
+    if ("KubernetesIngress" not in store.manifest["nodes"]
+            or "AWSLoadBalancerV2" not in store.manifest["nodes"]):
+        return None
+    ing = store.nodes(["KubernetesIngress"]).select(
+        F.col("id").alias("ing_id"),
+        F.explode(
+            F.coalesce(
+                F.from_json(
+                    F.element_at("props", "load_balancer_dns_names"),
+                    "array<string>",
+                ),
+                F.array().cast("array<string>"),
+            )
+        ).alias("dnsname"),
+    )
+    lbs = store.nodes(["AWSLoadBalancerV2"]).select(
+        F.col("id").alias("lb_id"),
+        F.element_at("props", "dnsname").alias("dnsname"),
+    )
+    return ing.join(lbs, on="dnsname").select(
+        F.lit("KubernetesIngress").alias("src_label"),
+        F.col("ing_id").alias("src_id"),
+        F.lit("USES_LOAD_BALANCER").alias("rel_label"),
+        F.lit("AWSLoadBalancerV2").alias("dst_label"),
+        F.col("lb_id").alias("dst_id"),
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit("KubernetesCluster").alias("sub_resource_label"),
+        F.lit(str(cluster_id)).alias("sub_resource_id"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    ).dropDuplicates(["src_label", "src_id", "rel_label", "dst_label",
+                      "dst_id"])
+
+
+def _exposed_lbs(store) -> DataFrame:
+    """LBs that count as internet-exposed for the chain
+    (``exposed_internet = true OR internet-facing network LB``)."""
+    return store.nodes(["AWSLoadBalancerV2"]).filter(
+        (F.element_at("props", "exposed_internet") == "true")
+        | ((F.element_at("props", "scheme") == "internet-facing")
+           & (F.element_at("props", "type") == "network"))
+    ).select(F.col("id").alias("lb_id"))
+
+
+def _uses_lb(store, src_label: str) -> DataFrame:
+    return store.edges(["USES_LOAD_BALANCER"]).filter(
+        F.col("src_label") == src_label
+    ).select(F.col("src_id").alias("id"), F.col("dst_id").alias("lb_id"))
+
+
+def _targets(store, src_label: str, dst_label: str) -> DataFrame:
+    return store.edges(["TARGETS"]).filter(
+        (F.col("src_label") == src_label) & (F.col("dst_label") == dst_label)
+    ).select(F.col("src_id").alias("src"), F.col("dst_id").alias("dst"))
+
+
+def _exposed_service_ids(store) -> DataFrame:
+    """Services exposed directly or via an ingress on an exposed LB
+    (the two statements of K8S_SERVICE_ASSET_EXPOSURE)."""
+    lbs = _exposed_lbs(store)
+    direct = _uses_lb(store, "KubernetesService").join(
+        lbs, on="lb_id", how="left_semi"
+    ).select("id")
+    exposed_ingresses = _uses_lb(store, "KubernetesIngress").join(
+        lbs, on="lb_id", how="left_semi"
+    ).select(F.col("id").alias("src"))
+    via_ingress = _targets(store, "KubernetesIngress", "KubernetesService") \
+        .join(exposed_ingresses, on="src", how="left_semi") \
+        .select(F.col("dst").alias("id"))
+    return direct.unionByName(via_ingress).distinct()
+
+
+def k8s_exposure_jobs() -> list[AnalysisJob]:
+    """The ordered chain (``analysis/kubernetes/analysis.py``):
+    services → pods → containers → derived LB EXPOSE edges."""
+
+    def svc_match(store):
+        return _exposed_service_ids(store).withColumn(
+            "label", F.lit("KubernetesService")
+        )
+
+    def pod_match(store):
+        svc = store.nodes(["KubernetesService"]).filter(
+            F.element_at("props", "exposed_internet") == "true"
+        ).select(F.col("id").alias("src"))
+        return (
+            _targets(store, "KubernetesService", "KubernetesPod")
+            .join(svc, on="src", how="left_semi")
+            .select(F.col("dst").alias("id")).distinct()
+            .withColumn("label", F.lit("KubernetesPod"))
+        )
+
+    def container_match(store):
+        pods = store.nodes(["KubernetesPod"]).filter(
+            F.element_at("props", "exposed_internet") == "true"
+        ).select(F.col("id").alias("src"))
+        contains = store.edges(["CONTAINS"]).filter(
+            (F.col("src_label") == "KubernetesPod")
+            & (F.col("dst_label") == "KubernetesContainer")
+        ).select(F.col("src_id").alias("src"), F.col("dst_id").alias("dst"))
+        return (
+            contains.join(pods, on="src", how="left_semi")
+            .select(F.col("dst").alias("id")).distinct()
+            .withColumn("label", F.lit("KubernetesContainer"))
+        )
+
+    def lb_expose_match(store):
+        """(lb, pod/container) pairs over direct + via-ingress paths;
+        rows keyed by the LB with payload dst columns."""
+        lbs = _exposed_lbs(store)
+        svc_lb = _uses_lb(store, "KubernetesService").join(lbs, on="lb_id")
+        ing_lb = _uses_lb(store, "KubernetesIngress").join(lbs, on="lb_id")
+        ing_svc = _targets(store, "KubernetesIngress", "KubernetesService")
+        via_ing = ing_lb.join(
+            ing_svc, ing_lb["id"] == ing_svc["src"]
+        ).select(F.col("dst").alias("id"), "lb_id")
+        svc_pairs = svc_lb.select("id", "lb_id").unionByName(via_ing)
+        svc_pod = _targets(store, "KubernetesService", "KubernetesPod")
+        pods = svc_pairs.join(
+            svc_pod, svc_pairs["id"] == svc_pod["src"]
+        ).select("lb_id", F.col("dst").alias("target_id")).withColumn(
+            "dst_label", F.lit("KubernetesPod")
+        )
+        contains = store.edges(["CONTAINS"]).filter(
+            (F.col("src_label") == "KubernetesPod")
+            & (F.col("dst_label") == "KubernetesContainer")
+        ).select(F.col("src_id").alias("pod"), F.col("dst_id").alias("ct"))
+        cts = pods.join(
+            contains, pods["target_id"] == contains["pod"]
+        ).select("lb_id", F.col("ct").alias("target_id")).withColumn(
+            "dst_label", F.lit("KubernetesContainer")
+        )
+        return (
+            pods.unionByName(cts).distinct()
+            .select(
+                F.lit("AWSLoadBalancerV2").alias("label"),
+                F.col("lb_id").alias("id"),
+                "dst_label",
+                F.col("target_id").alias("dst_id"),
+            )
+        )
+
+    return [
+        AnalysisJob(
+            name="k8s_service_asset_exposure",
+            match=svc_match,
+            effects=(SetProperties({
+                "exposed_internet": F.lit(True),
+                "exposed_internet_type": F.lit('["lb"]'),
+            }, label="KubernetesService"),),
+        ),
+        AnalysisJob(
+            name="k8s_pod_asset_exposure",
+            match=pod_match,
+            effects=(SetProperties({
+                "exposed_internet": F.lit(True),
+                "exposed_internet_type": F.lit('["lb"]'),
+            }, label="KubernetesPod"),),
+        ),
+        AnalysisJob(
+            name="k8s_container_asset_exposure",
+            match=container_match,
+            effects=(SetProperties({
+                "exposed_internet": F.lit(True),
+                "exposed_internet_type": F.lit('["lb"]'),
+            }, label="KubernetesContainer"),),
+        ),
+        AnalysisJob(
+            name="k8s_lb_expose_edges",
+            match=lb_expose_match,
+            effects=(AddRelationship(
+                rel_label="EXPOSE",
+                dst_label_col="dst_label",
+                dst_id_col="dst_id",
+                properties={"exposure_type": F.lit("via_lb_only")},
+            ),),
+        ),
+    ]
+
+
+def sync_k8s_network(
+    store,
+    ingresses_raw: DataFrame | None,
+    secrets_raw: DataFrame | None,
+    cluster_id: str,
+    update_tag: int,
+    run_exposure: bool = True,
+) -> dict:
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+    from cartography_spark.plans.analysis import run_analysis_job
+
+    metrics: dict = {}
+    ns_frame = (
+        store.nodes(["KubernetesNamespace"])
+        if "KubernetesNamespace" in store.manifest["nodes"] else None
+    )
+    services = (
+        store.nodes(["KubernetesService"])
+        if "KubernetesService" in store.manifest["nodes"] else None
+    )
+    if ingresses_raw is not None:
+        nodes, edges = transform_k8s_ingresses(
+            ingresses_raw, update_tag, services, ns_frame
+        )
+        metrics["ingress_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["ingress_edges"] = store.merge_edges(edges, update_tag)
+        links = ingress_lb_matchlinks(store, update_tag, cluster_id)
+        if links is not None:
+            metrics["ingress_lb_links"] = store.merge_edges(links, update_tag)
+    if secrets_raw is not None:
+        nodes, edges = transform_k8s_secrets(secrets_raw, update_tag,
+                                             ns_frame)
+        metrics["secret_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["secret_edges"] = store.merge_edges(edges, update_tag)
+
+    cluster_rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label="KubernetesCluster",
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("CLUSTER_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    ran = []
+    if ingresses_raw is not None:
+        ran.append("KubernetesIngress")
+    if secrets_raw is not None:
+        ran.append("KubernetesSecret")
+    for label in ran:
+        if label not in store.manifest["nodes"]:
+            continue
+        metrics[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=cluster_rel,
+            ),
+            update_tag,
+            {"CLUSTER_ID": cluster_id},
+        )
+    if run_exposure:
+        for job in k8s_exposure_jobs():
+            metrics[f"exposure_{job.name}"] = run_analysis_job(
+                store, job, update_tag
+            )
+    store.record_lineage("k8s_network_sync", {"update_tag": update_tag})
+    return metrics

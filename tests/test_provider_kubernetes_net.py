@@ -1,0 +1,160 @@
+"""Kubernetes ingress/secrets + the LB exposure chain, mirroring
+``intel/kubernetes/{ingress,secrets}.py`` and the ordered
+``analysis/kubernetes/analysis.py`` jobs."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.kubernetes import (
+    transform_k8s_namespaces,
+    transform_k8s_pods,
+)
+from cartography_spark.providers.kubernetes_net import (
+    sync_k8s_network,
+    transform_k8s_ingresses,
+    transform_k8s_secrets,
+)
+from cartography_spark.providers.kubernetes_rbac import sync_k8s_services_rbac
+
+CLUSTER_ID, CLUSTER, TAG = "cl-1", "my-cluster", 123456789
+RAW_DDL = "cluster_id string, cluster_name string, payload_json string"
+LB_DNS = "k8s-ing-1234.us-east-1.elb.amazonaws.com"
+
+INGRESS_PAYLOAD = [{
+    "uid": "ing-1", "name": "web-ing", "namespace": "demo-ns",
+    "ingress_class_name": "alb",
+    "annotations": {"alb.ingress.kubernetes.io/group.name": "edge-group"},
+    "rules": [
+        {"host": "app.example.com",
+         "paths": [{"path": "/", "path_type": "Prefix",
+                    "backend_service_name": "web-svc",
+                    "backend_service_port": 80}]},
+        {"host": None,
+         "paths": [{"path": "/api", "path_type": "Prefix",
+                    "backend_service_name": "api-svc",
+                    "backend_service_port": 8080}]},
+    ],
+    "default_backend": {"backend_service_name": "fallback-svc",
+                        "backend_service_port": 80},
+    "status_load_balancer": [{"hostname": LB_DNS.upper()}],
+}]
+
+SECRETS_PAYLOAD = [
+    {"uid": "sec-1", "name": "db-creds", "namespace": "demo-ns",
+     "type": "Opaque",
+     "owner_references": [{"kind": "Deployment", "name": "db"}]},
+]
+
+
+def _raw(spark, payload):
+    return spark.createDataFrame(
+        [(CLUSTER_ID, CLUSTER, json.dumps(payload))], RAW_DDL
+    )
+
+
+def test_ingress_derivations(spark):
+    """ingress.py:105-156 — host names, backend-service union incl.
+    the default backend, lowercased status hostnames, the ALB group
+    annotation."""
+    nodes, _ = transform_k8s_ingresses(_raw(spark, INGRESS_PAYLOAD), TAG)
+    row = nodes.filter(F.col("label") == "KubernetesIngress").collect()[0]
+    p = row["props"]
+    assert row["id"] == "ing-1"
+    assert json.loads(p["host_names"]) == ["app.example.com"]
+    assert sorted(json.loads(p["target_services"])) == [
+        "api-svc", "fallback-svc", "web-svc"]
+    assert json.loads(p["load_balancer_dns_names"]) == [LB_DNS]
+    assert p["ingress_group_name"] == "edge-group"
+
+
+def test_secrets(spark):
+    nodes, _ = transform_k8s_secrets(_raw(spark, SECRETS_PAYLOAD), TAG)
+    row = nodes.collect()[0]
+    assert row["id"] == "sec-1"
+    assert row["props"]["composite_id"] == f"{CLUSTER}/demo-ns/db-creds"
+    assert row["props"]["type"] == "Opaque"
+
+
+def _seed_cluster(spark, s):
+    """namespace + pod/container + service targeting the pod + an
+    internet-facing network LBv2 matching the ingress hostname."""
+    from cartography_spark.providers.aws_ec2_net import (
+        transform_load_balancer_v2s,
+    )
+
+    n, e = transform_k8s_namespaces(
+        _raw(spark, [{"uid": "ns-1", "name": "demo-ns"}]), TAG)
+    s.merge_nodes(n, TAG); s.merge_edges(e, TAG)
+    pods_payload = {
+        "pods": [{"uid": "pod-1", "name": "web", "namespace": "demo-ns",
+                  "labels": json.dumps({"app": "web"})}],
+        "containers": [{"uid": "ct-1", "name": "app",
+                        "namespace": "demo-ns", "pod_id": "pod-1"}],
+    }
+    n, e = transform_k8s_pods(_raw(spark, pods_payload), TAG)
+    s.merge_nodes(n, TAG); s.merge_edges(e, TAG)
+    lb_payload = [{
+        "LoadBalancerArn": "arn:lb", "DNSName": LB_DNS,
+        "LoadBalancerName": "k8s-ing", "Scheme": "internet-facing",
+        "Type": "network", "CreatedTime": "2021-01-01 12:00:00",
+    }]
+    n, e = transform_load_balancer_v2s(spark.createDataFrame(
+        [("acct", "us-east-1", json.dumps(lb_payload))],
+        "account_id string, region string, payload_json string"), TAG)
+    s.merge_nodes(n, TAG); s.merge_edges(e, TAG)
+    svc_payload = [{
+        "uid": "svc-1", "name": "web-svc", "namespace": "demo-ns",
+        "type": "ClusterIP", "selector": {"app": "web"},
+    }]
+    sync_k8s_services_rbac(
+        s, _raw(spark, svc_payload), None, None, None, None, None,
+        CLUSTER_ID, TAG,
+    )
+
+
+def test_exposure_chain_via_ingress(spark, tmp_store):
+    """The full via-ingress chain: internet-facing network LB ←
+    USES_LOAD_BALANCER ← ingress → TARGETS → service → TARGETS → pod
+    → CONTAINS → container, with derived exposed_internet at every hop
+    and (lb)-[:EXPOSE]->(pod|container) edges; removing the ingress
+    clears everything (generated cleanup)."""
+    s = tmp_store
+    _seed_cluster(spark, s)
+    sync_k8s_network(s, _raw(spark, INGRESS_PAYLOAD),
+                     _raw(spark, SECRETS_PAYLOAD), CLUSTER_ID, TAG)
+
+    rels = {
+        (r["rel_label"], r["src_id"], r["dst_id"])
+        for r in s.edges().collect()
+    }
+    assert ("TARGETS", "ing-1", "svc-1") in rels
+    assert ("USES_LOAD_BALANCER", "ing-1", LB_DNS) in rels
+    svc = {r["id"]: r["props"]
+           for r in s.nodes(["KubernetesService"]).collect()}
+    assert svc["svc-1"]["exposed_internet"] == "true"
+    assert json.loads(svc["svc-1"]["exposed_internet_type"]) == ["lb"]
+    pod = {r["id"]: r["props"] for r in s.nodes(["KubernetesPod"]).collect()}
+    assert pod["pod-1"]["exposed_internet"] == "true"
+    ct = {r["id"]: r["props"]
+          for r in s.nodes(["KubernetesContainer"]).collect()}
+    assert ct["ct-1"]["exposed_internet"] == "true"
+    expose = {
+        (r["src_id"], r["dst_id"], (r["props"] or {}).get("exposure_type"))
+        for r in s.edges(["EXPOSE"]).collect()
+    }
+    assert (LB_DNS, "pod-1", "via_lb_only") in expose
+    assert (LB_DNS, "ct-1", "via_lb_only") in expose
+
+    # run 2: ingress gone → chain breaks, derived state cleared
+    sync_k8s_network(s, _raw(spark, []), None, CLUSTER_ID, TAG + 1)
+    assert s.nodes(["KubernetesIngress"]).count() == 0
+    svc = {r["id"]: r["props"]
+           for r in s.nodes(["KubernetesService"]).collect()}
+    assert svc["svc-1"].get("exposed_internet") is None
+    ct = {r["id"]: r["props"]
+          for r in s.nodes(["KubernetesContainer"]).collect()}
+    assert ct["ct-1"].get("exposed_internet") is None
+    assert s.edges(["EXPOSE"]).count() == 0
+    # secrets feed skipped in run 2 → untouched
+    assert s.nodes(["KubernetesSecret"]).count() == 1

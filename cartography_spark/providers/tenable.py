@@ -1,0 +1,395 @@
+"""Tenable VM sync: assets (+ networks / sources / tags / cloud info)
+and findings (+ plugins / scans) — reference
+``intel/tenable/{assets,findings}.py``.
+
+* assets (``assets.py:42-102``): nested timestamps/scan/network/cloud/
+  ratings groups flattened to columns; ``fqdn`` is the FIRST fqdn;
+  list props stored as JSON arrays;
+* networks / cloud-info (``:104-220``): deduped per id across the
+  asset batch (dropDuplicates, vs the reference's seen-sets), with
+  ``MEMBER_OF_NETWORK`` / ``HAS_AWS_INFO`` / ``HAS_AZURE_INFO`` /
+  ``HAS_GCP_INFO`` attachments;
+* sources (``:121-137``): ``{asset_id}::{name}`` ids, ``HAS_SOURCE``;
+* tags (``:139-155``): uuid-keyed, Tag ontology label, ``HAS_TAG``
+  and the canonical ``TAGGED`` twin;
+* findings (``findings.py:56-104``): rows missing asset/finding/plugin
+  ids are skipped faithfully; the port sub-object flattens; the FIRST
+  CVE feeds ``cve_id`` with the conditional CVE ontology label
+  (``models/tenable/findings.py:170`` ``CVE.when(has_cve='true')``);
+  ``AFFECTS`` asset / ``DETECTED_BY`` plugin / ``PART_OF_SCAN``;
+* plugins / scans (``:106-175``): deduped per id with VPR/EPSS
+  scoring columns.
+
+Tenant-scoped GC per label that ran.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cartography_spark.providers.aws_ec2 import _edge, _node
+
+ASSETS_SCHEMA = """
+    ARRAY<STRUCT<
+        id: STRING, has_agent: BOOLEAN, has_plugin_results: BOOLEAN,
+        is_licensed: BOOLEAN, is_public: BOOLEAN,
+        types: ARRAY<STRING>, system_types: ARRAY<STRING>,
+        operating_systems: ARRAY<STRING>, serial_number: STRING,
+        tenable_agent_days_since_active: INT,
+        timestamps: STRUCT<created_at: STRING, updated_at: STRING,
+                           first_seen: STRING, last_seen: STRING>,
+        scan: STRUCT<first_scan_time: STRING, last_scan_time: STRING,
+                     last_authenticated_scan_date: STRING,
+                     last_licensed_scan_date: STRING, last_scan_id: STRING>,
+        network: STRUCT<network_id: STRING, network_name: STRING,
+                        fqdns: ARRAY<STRING>, ipv4s: ARRAY<STRING>,
+                        ipv6s: ARRAY<STRING>, hostnames: ARRAY<STRING>,
+                        mac_addresses: ARRAY<STRING>>,
+        cloud: STRUCT<
+            aws: STRUCT<ec2_instance_id: STRING, ec2_instance_ami_id: STRING,
+                        owner_id: STRING, availability_zone: STRING,
+                        region: STRING, vpc_id: STRING, subnet_id: STRING,
+                        ec2_instance_type: STRING,
+                        ec2_instance_state_name: STRING,
+                        ec2_instance_group_name: STRING, ec2_name: STRING>,
+            azure: STRUCT<vm_id: STRING, resource_id: STRING>,
+            gcp: STRUCT<instance_id: STRING, project_id: STRING,
+                        zone: STRING>>,
+        ratings: STRUCT<acr: STRUCT<score: DOUBLE>,
+                        aes: STRUCT<score: DOUBLE>>,
+        sources: ARRAY<STRUCT<name: STRING, first_seen: STRING,
+                              last_seen: STRING>>,
+        tags: ARRAY<STRUCT<uuid: STRING, key: STRING, value: STRING,
+                           added_by: STRING, added_at: STRING>>>>
+"""
+
+FINDINGS_SCHEMA = """
+    ARRAY<STRUCT<
+        finding_id: STRING, severity: STRING, severity_id: INT,
+        severity_default_id: INT, severity_modification_type: STRING,
+        state: STRING, first_found: STRING, last_found: STRING,
+        indexed: STRING, source: STRING, output: STRING,
+        resurfaced_date: STRING, time_taken_to_fix: STRING,
+        asset: STRUCT<uuid: STRING>,
+        scan: STRUCT<uuid: STRING, schedule_uuid: STRING,
+                     started_at: STRING, last_scan_target: STRING>,
+        port: STRUCT<port: INT, protocol: STRING, service: STRING>,
+        plugin: STRUCT<id: BIGINT, name: STRING, family: STRING,
+                       family_id: BIGINT, description: STRING,
+                       synopsis: STRING, solution: STRING,
+                       risk_factor: STRING, has_patch: BOOLEAN,
+                       has_workaround: BOOLEAN, vendor_unpatched: BOOLEAN,
+                       vendor_severity: STRING, exploit_available: BOOLEAN,
+                       exploitability_ease: STRING,
+                       exploit_framework_metasploit: BOOLEAN,
+                       patch_publication_date: STRING,
+                       publication_date: STRING, modification_date: STRING,
+                       vuln_publication_date: STRING,
+                       cvss_base_score: DOUBLE,
+                       cvss_temporal_score: DOUBLE,
+                       cvss3_base_score: DOUBLE,
+                       cvss3_temporal_score: DOUBLE,
+                       cvss4_base_score: DOUBLE,
+                       vpr: STRUCT<score: DOUBLE>, epss_score: DOUBLE,
+                       cve: ARRAY<STRING>, type: STRING>>>
+"""
+
+
+def transform_tenable_assets(
+    raw: DataFrame, tenant_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """``raw(tenant_id, payload_json)`` (the asset export list)."""
+    a = raw.select(
+        F.explode(F.from_json("payload_json", ASSETS_SCHEMA)).alias("a"),
+    ).filter(F.col("a.id").isNotNull())
+    net = F.col("a.network")
+    fqdns = F.coalesce(net["fqdns"], F.array())
+    tenant = F.lit(tenant_id)
+    sub = ("TenableTenant", tenant)
+
+    spark = raw.sparkSession
+    tenant_frame = spark.createDataFrame([(tenant_id,)], "tid string")
+    nodes = _node(tenant_frame, "TenableTenant", F.col("tid"), {},
+                  update_tag, extra=["Tenant"])
+    nodes = nodes.unionByName(_node(a, "TenableAsset", F.col("a.id"), {
+        "has_agent": F.col("a.has_agent"),
+        "has_plugin_results": F.col("a.has_plugin_results"),
+        "is_licensed": F.col("a.is_licensed"),
+        "is_public": F.col("a.is_public"),
+        "types": F.to_json("a.types"),
+        "system_types": F.to_json("a.system_types"),
+        "operating_systems": F.to_json("a.operating_systems"),
+        "serial_number": F.col("a.serial_number"),
+        "tenable_agent_days_since_active":
+            F.col("a.tenable_agent_days_since_active"),
+        "created_at_timestamps": F.col("a.timestamps.created_at"),
+        "updated_at_timestamps": F.col("a.timestamps.updated_at"),
+        "first_seen_timestamps": F.col("a.timestamps.first_seen"),
+        "last_seen_timestamps": F.col("a.timestamps.last_seen"),
+        "first_scan_time": F.col("a.scan.first_scan_time"),
+        "last_scan_time": F.col("a.scan.last_scan_time"),
+        "last_authenticated_scan_date":
+            F.col("a.scan.last_authenticated_scan_date"),
+        "last_scan_id": F.col("a.scan.last_scan_id"),
+        "network_id": net["network_id"],
+        "fqdn": F.try_element_at(fqdns, F.lit(1)),
+        "ipv4s": F.to_json(net["ipv4s"]),
+        "ipv6s": F.to_json(net["ipv6s"]),
+        "fqdns": F.to_json(fqdns),
+        "hostnames": F.to_json(net["hostnames"]),
+        "mac_addresses": F.to_json(net["mac_addresses"]),
+        "aws_ec2_instance_id": F.col("a.cloud.aws.ec2_instance_id"),
+        "azure_vm_id": F.col("a.cloud.azure.vm_id"),
+        "gcp_instance_id": F.col("a.cloud.gcp.instance_id"),
+        "acr_score": F.col("a.ratings.acr.score"),
+        "aes_score": F.col("a.ratings.aes.score"),
+    }, update_tag))
+
+    edges = _edge(a, "TenableTenant", tenant, "RESOURCE", "TenableAsset",
+                  F.col("a.id"), update_tag, sub)
+
+    networks = a.filter(net["network_id"].isNotNull()).select(
+        net["network_id"].alias("nid"), net["network_name"].alias("nname"),
+        F.col("a.id").alias("asset_id"),
+    )
+    nodes = nodes.unionByName(_node(networks, "TenableNetwork",
+                                    F.col("nid"), {
+        "name": F.col("nname"),
+    }, update_tag))
+    edges = edges.unionByName(_edge(networks, "TenableTenant", tenant,
+                                    "RESOURCE", "TenableNetwork",
+                                    F.col("nid"), update_tag, sub))
+    edges = edges.unionByName(_edge(networks, "TenableAsset",
+                                    F.col("asset_id"), "MEMBER_OF_NETWORK",
+                                    "TenableNetwork", F.col("nid"),
+                                    update_tag, sub))
+
+    sources = a.select(
+        F.col("a.id").alias("asset_id"),
+        F.explode(F.coalesce("a.sources", F.array())).alias("s"),
+    ).withColumn(
+        "sid",
+        F.concat(F.col("asset_id"), F.lit("::"),
+                 F.coalesce(F.col("s.name"), F.lit(""))),
+    )
+    nodes = nodes.unionByName(_node(sources, "TenableAssetSource",
+                                    F.col("sid"), {
+        "name": F.coalesce(F.col("s.name"), F.lit("")),
+        "source_first_seen": F.col("s.first_seen"),
+        "source_last_seen": F.col("s.last_seen"),
+        "asset_id": F.col("asset_id"),
+    }, update_tag))
+    edges = edges.unionByName(_edge(sources, "TenableTenant", tenant,
+                                    "RESOURCE", "TenableAssetSource",
+                                    F.col("sid"), update_tag, sub))
+    edges = edges.unionByName(_edge(sources, "TenableAsset",
+                                    F.col("asset_id"), "HAS_SOURCE",
+                                    "TenableAssetSource", F.col("sid"),
+                                    update_tag, sub))
+
+    tags = a.select(
+        F.col("a.id").alias("asset_id"),
+        F.explode(F.coalesce("a.tags", F.array())).alias("t"),
+    ).filter(F.col("t.uuid").isNotNull())
+    nodes = nodes.unionByName(_node(tags, "TenableAssetTag",
+                                    F.col("t.uuid"), {
+        "key": F.col("t.key"),
+        "value": F.col("t.value"),
+        "added_by": F.col("t.added_by"),
+        "added_at": F.col("t.added_at"),
+    }, update_tag, extra=["Tag"]))
+    edges = edges.unionByName(_edge(tags, "TenableTenant", tenant,
+                                    "RESOURCE", "TenableAssetTag",
+                                    F.col("t.uuid"), update_tag, sub))
+    edges = edges.unionByName(_edge(tags, "TenableAsset",
+                                    F.col("asset_id"), "HAS_TAG",
+                                    "TenableAssetTag", F.col("t.uuid"),
+                                    update_tag, sub))
+    edges = edges.unionByName(_edge(tags, "TenableAssetTag",
+                                    F.col("t.uuid"), "TAGGED",
+                                    "TenableAsset", F.col("asset_id"),
+                                    update_tag, sub))
+
+    for cloud_path, label, rel, props in (
+        ("aws", "TenableAssetAWS", "HAS_AWS_INFO", (
+            "ec2_instance_ami_id", "owner_id", "availability_zone",
+            "region", "vpc_id", "subnet_id", "ec2_instance_type",
+            "ec2_instance_state_name", "ec2_instance_group_name",
+            "ec2_name")),
+        ("azure", "TenableAssetAzure", "HAS_AZURE_INFO", ("resource_id",)),
+        ("gcp", "TenableAssetGCP", "HAS_GCP_INFO", ("project_id", "zone")),
+    ):
+        id_field = {"aws": "ec2_instance_id", "azure": "vm_id",
+                    "gcp": "instance_id"}[cloud_path]
+        c = a.filter(
+            F.col(f"a.cloud.{cloud_path}.{id_field}").isNotNull()
+        ).select(
+            F.col(f"a.cloud.{cloud_path}.{id_field}").alias("cid"),
+            F.col("a.id").alias("asset_id"),
+            *[F.col(f"a.cloud.{cloud_path}.{p}").alias(p) for p in props],
+        )
+        nodes = nodes.unionByName(_node(
+            c, label, F.col("cid"),
+            {p: F.col(p) for p in props}, update_tag))
+        edges = edges.unionByName(_edge(c, "TenableTenant", tenant,
+                                        "RESOURCE", label, F.col("cid"),
+                                        update_tag, sub))
+        edges = edges.unionByName(_edge(c, "TenableAsset",
+                                        F.col("asset_id"), rel, label,
+                                        F.col("cid"), update_tag, sub))
+    return nodes, edges
+
+
+def transform_tenable_findings(
+    raw: DataFrame, tenant_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """``raw(tenant_id, payload_json)`` (the findings export list)."""
+    f = raw.select(
+        F.explode(F.from_json("payload_json", FINDINGS_SCHEMA)).alias("f"),
+    ).filter(
+        # missing asset/finding/plugin ids skip (findings.py:67-71)
+        F.col("f.asset.uuid").isNotNull()
+        & F.col("f.finding_id").isNotNull()
+        & F.col("f.plugin.id").isNotNull()
+    )
+    cves = F.coalesce(F.col("f.plugin.cve"), F.array())
+    has_cve = F.when(F.size(cves) > 0, "true").otherwise("false")
+    f = f.withColumn("has_cve", has_cve)
+    tenant = F.lit(tenant_id)
+    sub = ("TenableTenant", tenant)
+
+    finding_props = {
+        "asset_uuid": F.col("f.asset.uuid"),
+        "plugin_id": F.col("f.plugin.id"),
+        "scan_uuid": F.col("f.scan.uuid"),
+        "severity": F.col("f.severity"),
+        "severity_id": F.col("f.severity_id"),
+        "state": F.col("f.state"),
+        "first_found": F.col("f.first_found"),
+        "last_found": F.col("f.last_found"),
+        "source": F.col("f.source"),
+        "output": F.col("f.output"),
+        "port": F.col("f.port.port"),
+        "protocol": F.col("f.port.protocol"),
+        "service": F.col("f.port.service"),
+        "cve_id": F.try_element_at(cves, F.lit(1)),
+        "cve_list": F.to_json(cves),
+        "has_cve": F.col("has_cve"),
+    }
+    # conditional CVE ontology label (findings.py:170)
+    with_cve = f.filter(F.col("has_cve") == "true")
+    without = f.filter(F.col("has_cve") != "true")
+    nodes = _node(with_cve, "TenableFinding", F.col("f.finding_id"),
+                  finding_props, update_tag, extra=["CVE"])
+    nodes = nodes.unionByName(_node(without, "TenableFinding",
+                                    F.col("f.finding_id"), finding_props,
+                                    update_tag))
+
+    plugins = (
+        f.select(F.col("f.plugin.*"))
+        .withColumn("vpr_score", F.col("vpr.score"))
+        .dropDuplicates(["id"])
+    )
+    nodes = nodes.unionByName(_node(plugins, "TenablePlugin", F.col("id"), {
+        "name": F.col("name"),
+        "family": F.col("family"),
+        "risk_factor": F.col("risk_factor"),
+        "has_patch": F.col("has_patch"),
+        "exploit_available": F.col("exploit_available"),
+        "cvss3_base_score": F.col("cvss3_base_score"),
+        "vpr_score": F.col("vpr_score"),
+        "epss_score": F.col("epss_score"),
+        "cve_list": F.to_json("cve"),
+        "type": F.col("type"),
+    }, update_tag))
+    scans = f.filter(F.col("f.scan.uuid").isNotNull()).select(
+        F.col("f.scan.*")
+    ).dropDuplicates(["uuid"])
+    nodes = nodes.unionByName(_node(scans, "TenableScan", F.col("uuid"), {
+        "schedule_uuid": F.col("schedule_uuid"),
+        "started_at": F.col("started_at"),
+        "last_scan_target": F.col("last_scan_target"),
+    }, update_tag))
+
+    edges = _edge(f, "TenableTenant", tenant, "RESOURCE", "TenableFinding",
+                  F.col("f.finding_id"), update_tag, sub)
+    edges = edges.unionByName(_edge(plugins, "TenableTenant", tenant,
+                                    "RESOURCE", "TenablePlugin",
+                                    F.col("id"), update_tag, sub))
+    edges = edges.unionByName(_edge(scans, "TenableTenant", tenant,
+                                    "RESOURCE", "TenableScan",
+                                    F.col("uuid"), update_tag, sub))
+    edges = edges.unionByName(_edge(f, "TenableFinding",
+                                    F.col("f.finding_id"), "AFFECTS",
+                                    "TenableAsset", F.col("f.asset.uuid"),
+                                    update_tag, sub))
+    edges = edges.unionByName(_edge(f, "TenableFinding",
+                                    F.col("f.finding_id"), "DETECTED_BY",
+                                    "TenablePlugin", F.col("f.plugin.id"),
+                                    update_tag, sub))
+    with_scan = f.filter(F.col("f.scan.uuid").isNotNull())
+    edges = edges.unionByName(_edge(with_scan, "TenableFinding",
+                                    F.col("f.finding_id"), "PART_OF_SCAN",
+                                    "TenableScan", F.col("f.scan.uuid"),
+                                    update_tag, sub))
+    return nodes, edges
+
+
+def sync_tenable(
+    store,
+    assets_raw: DataFrame | None,
+    findings_raw: DataFrame | None,
+    tenant_id: str,
+    update_tag: int,
+) -> dict:
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    metrics: dict = {}
+    if assets_raw is not None:
+        nodes, edges = transform_tenable_assets(assets_raw, tenant_id,
+                                                update_tag)
+        metrics["asset_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["asset_edges"] = store.merge_edges(edges, update_tag)
+    if findings_raw is not None:
+        nodes, edges = transform_tenable_findings(findings_raw, tenant_id,
+                                                  update_tag)
+        metrics["finding_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["finding_edges"] = store.merge_edges(edges, update_tag)
+
+    tenant_rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label="TenableTenant",
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("TENABLE_TENANT_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    ran = []
+    if findings_raw is not None:
+        ran += ["TenableFinding", "TenablePlugin", "TenableScan"]
+    if assets_raw is not None:
+        ran += ["TenableAssetSource", "TenableAssetTag", "TenableAssetAWS",
+                "TenableAssetAzure", "TenableAssetGCP", "TenableAsset",
+                "TenableNetwork"]
+    for label in ran:
+        if label not in store.manifest["nodes"]:
+            continue
+        metrics[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=tenant_rel,
+            ),
+            update_tag,
+            {"TENABLE_TENANT_ID": tenant_id},
+        )
+    store.record_lineage("tenable_sync", {"update_tag": update_tag})
+    return metrics

@@ -1,0 +1,124 @@
+"""Tenable provider parity over the reference's actual
+``tests/data/tenable/{assets,findings}.py`` fixtures: flattened asset
+groups, deduped networks/cloud-info, sources/tags, the conditional CVE
+label on findings, plugin/scan dedup, and tenant-scoped GC."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.tenable import (
+    sync_tenable,
+    transform_tenable_assets,
+    transform_tenable_findings,
+)
+from tests.test_fixture_parity_github import _load_fixture_ns
+
+ASSETS_FIX = "/root/reference/tests/data/tenable/assets.py"
+FINDINGS_FIX = "/root/reference/tests/data/tenable/findings.py"
+TENANT, TAG = "cloud.tenable.com", 123456789
+A1 = "aaaaaaaa-aaaa-aaaa-aaaa-aaaaaaaaaaaa"
+A2 = "bbbbbbbb-bbbb-bbbb-bbbb-bbbbbbbbbbbb"
+NET = "00000000-0000-0000-0000-000000000000"
+F1 = "02716af9-1adb-4057-b4d5-dcb0c36b290c"
+
+
+@pytest.fixture(scope="module")
+def fix():
+    if not (os.path.exists(ASSETS_FIX) and os.path.exists(FINDINGS_FIX)):
+        pytest.skip("reference fixture not available")
+    assets_ns = _load_fixture_ns(ASSETS_FIX)
+    findings_ns = _load_fixture_ns(
+        FINDINGS_FIX,
+        stubs={"ASSET_ID_1": A1, "ASSET_ID_2": A2},
+    )
+    return {"assets": assets_ns["ASSETS_DATA"],
+            "findings": findings_ns["FINDINGS_DATA"]}
+
+
+def _raw(spark, payload):
+    return spark.createDataFrame(
+        [(TENANT, json.dumps(payload))],
+        "tenant_id string, payload_json string",
+    )
+
+
+def _props(nodes, label):
+    return {
+        r["id"]: (r["props"], r["extra_labels"])
+        for r in nodes.filter(F.col("label") == label).collect()
+    }
+
+
+def _rels(edges, rel):
+    return {
+        (r["src_id"], r["dst_id"])
+        for r in edges.filter(F.col("rel_label") == rel).collect()
+    }
+
+
+def test_assets(spark, fix):
+    nodes, edges = transform_tenable_assets(_raw(spark, fix["assets"]),
+                                            TENANT, TAG)
+    assets = _props(nodes, "TenableAsset")
+    assert set(assets) >= {A1, A2}
+    p1 = assets[A1][0]
+    assert p1["fqdn"] == "server1.example.com"
+    assert json.loads(p1["ipv4s"]) == ["192.168.1.10", "172.26.114.163"]
+    assert p1["aws_ec2_instance_id"] == "i-1234567890abcdef0"
+    assert p1["acr_score"] == "5.0"
+    # networks deduped across assets (assets.py:104-119)
+    networks = _props(nodes, "TenableNetwork")
+    assert set(networks) == {NET}
+    assert networks[NET][0]["name"] == "Default"
+    assert (A1, NET) in _rels(edges, "MEMBER_OF_NETWORK")
+    # source ids {asset}::{name} (assets.py:121-137)
+    assert f"{A1}::NESSUS_AGENT" in _props(nodes, "TenableAssetSource")
+    assert (A1, f"{A1}::NESSUS_AGENT") in _rels(edges, "HAS_SOURCE")
+    # tags carry the Tag ontology label + TAGGED twin
+    tags = _props(nodes, "TenableAssetTag")
+    tag_id = "cccccccc-cccc-cccc-cccc-cccccccccccc"
+    assert tags[tag_id][0]["key"] == "Environment"
+    assert "Tag" in tags[tag_id][1]
+    assert (tag_id, A1) in _rels(edges, "TAGGED")
+    # cloud info nodes + attachments
+    aws = _props(nodes, "TenableAssetAWS")
+    assert aws["i-1234567890abcdef0"][0]["region"] == "us-east-1"
+    assert (A1, "i-1234567890abcdef0") in _rels(edges, "HAS_AWS_INFO")
+
+
+def test_findings_cve_label_and_rels(spark, fix):
+    nodes, edges = transform_tenable_findings(_raw(spark, fix["findings"]),
+                                              TENANT, TAG)
+    findings = _props(nodes, "TenableFinding")
+    p1, extra1 = findings[F1]
+    assert p1["cve_id"] == "CVE-2022-21837"
+    assert p1["has_cve"] == "true"
+    # conditional CVE ontology label (models/tenable/findings.py:170)
+    assert "CVE" in (extra1 or [])
+    no_cve = [(p, e) for p, e in findings.values() if p["has_cve"] == "false"]
+    assert no_cve and all("CVE" not in (e or []) for _, e in no_cve)
+    # port sub-object flattened
+    assert p1["plugin_id"] == "156641"
+    # plugins/scans deduped per id
+    plugins = _props(nodes, "TenablePlugin")
+    assert "156641" in plugins
+    assert json.loads(plugins["156641"][0]["cve_list"])[0] == (
+        "CVE-2022-21837")
+    assert (F1, A1) in _rels(edges, "AFFECTS")
+    assert (F1, "156641") in _rels(edges, "DETECTED_BY")
+
+
+def test_sync_and_gc(spark, tmp_store, fix):
+    s = tmp_store
+    sync_tenable(s, _raw(spark, fix["assets"]),
+                 _raw(spark, fix["findings"]), TENANT, TAG)
+    n_assets = s.nodes(["TenableAsset"]).count()
+    assert n_assets >= 2
+    # run 2: only asset 1 remains; findings feed skipped → untouched
+    keep = [a for a in fix["assets"] if a["id"] == A1]
+    sync_tenable(s, _raw(spark, keep), None, TENANT, TAG + 1)
+    assert {r["id"] for r in s.nodes(["TenableAsset"]).collect()} == {A1}
+    assert s.nodes(["TenableFinding"]).count() > 0

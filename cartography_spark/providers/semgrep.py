@@ -1,0 +1,358 @@
+"""Semgrep sync: deployment, dependencies, SCA and SAST findings
+(reference ``intel/semgrep/{deployment,dependencies,findings}.py``).
+
+* dependencies (``dependencies.py:123-205``): the repo URL comes off
+  the ``definedAt.url`` blob link — the GitLab ``/-/blob/`` delimiter
+  checked BEFORE GitHub's ``/blob/`` so the trailing ``/-`` never
+  survives; id is ``{name}|{version}``, the specifier hardcodes
+  ``==`` (Semgrep emits exact versions only), and the cross-tool
+  ``normalized_id`` reuses the ONE shared
+  ``normalized_package_id_with_fallback`` with the gomod→golang /
+  npm→npm ecosystem map (:36-39); per-ecosystem node labels
+  (SemgrepGoLibrary / SemgrepNpmLibrary) with the Dependency ontology
+  label and REQUIRES edges back to the repo;
+* SCA findings (``findings.py:128-216``): severity/reachability
+  uppercased, exposure derived (REACHABLE → direct reachability,
+  else conditional/unreachable), the vulnerability identifier routed
+  to ``cve_id`` (CVE-) vs ``ghsa_id`` (GHSA-) with the conditional
+  CVE ontology label only for real CVEs, lockfile path split from the
+  lockfile-line URL, closest-safe-dependency from the first fix
+  recommendation, AFFECTS → matched dependency and FOUND_IN → repo;
+* SAST findings (``findings.py:298-337``): rule/severity/confidence
+  normalization, flattened location, FOUND_IN → repo.
+
+Deployment-scoped GC per label that ran.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from cartography_spark.plans.ontology_packages import (
+    normalized_package_id_with_fallback,
+)
+from cartography_spark.providers.aws_ec2 import _edge, _node
+
+ECOSYSTEM_TO_PACKAGE_TYPE = {"gomod": "golang", "npm": "npm"}
+ECOSYSTEM_TO_LABEL = {"gomod": "SemgrepGoLibrary", "npm": "SemgrepNpmLibrary"}
+
+DEPS_SCHEMA = """
+    ARRAY<STRUCT<
+        repositoryId: STRING, transitivity: STRING, ecosystem: STRING,
+        definedAt: STRUCT<path: STRING, startLine: STRING, endLine: STRING,
+                          url: STRING>,
+        package: STRUCT<name: STRING, versionSpecifier: STRING>>>
+"""
+
+SCA_SCHEMA = """
+    ARRAY<STRUCT<
+        id: STRING, ref: STRING, severity: STRING, reachability: STRING,
+        reachable_condition: STRING, confidence: STRING,
+        created_at: STRING, status: STRING, triage_state: STRING,
+        vulnerability_identifier: STRING,
+        repository: STRUCT<name: STRING, url: STRING>,
+        rule: STRUCT<name: STRING, message: STRING,
+                     vulnerability_classes: ARRAY<STRING>>,
+        found_dependency: STRUCT<package: STRING, version: STRING,
+                                 ecosystem: STRING, transitivity: STRING,
+                                 lockfile_line_url: STRING>,
+        fix_recommendations: ARRAY<STRUCT<package: STRING,
+                                          version: STRING>>>>
+"""
+
+SAST_SCHEMA = """
+    ARRAY<STRUCT<
+        id: STRING, ref: STRING, severity: STRING, confidence: STRING,
+        created_at: STRING, state: STRING, status: STRING,
+        triage_state: STRING, line_of_code_url: STRING,
+        categories: ARRAY<STRING>,
+        repository: STRUCT<name: STRING, url: STRING>,
+        rule: STRUCT<name: STRING, message: STRING,
+                     cwe_names: ARRAY<STRING>,
+                     owasp_names: ARRAY<STRING>>,
+        location: STRUCT<file_path: STRING, line: INT, column: INT,
+                         end_line: INT, end_column: INT>>>
+"""
+
+
+def _repo_url_from_blob(url: Column) -> Column:
+    """``dependencies.py:155-163`` — GitLab form first."""
+    return F.when(
+        url.contains("/-/blob/"), F.substring_index(url, "/-/blob/", 1)
+    ).otherwise(F.substring_index(url, "/blob/", 1))
+
+
+def transform_semgrep_dependencies(
+    raw: DataFrame, deployment_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """``raw(deployment_id, payload_json)`` (the dependencies list)."""
+    d = raw.select(
+        F.explode(F.from_json("payload_json", DEPS_SCHEMA)).alias("d"),
+    ).filter(
+        F.col("d.package.name").isNotNull()
+        & F.col("d.definedAt.url").isNotNull()
+    )
+    eco_map = F.create_map(
+        *[c for k, v in ECOSYSTEM_TO_PACKAGE_TYPE.items()
+          for c in (F.lit(k), F.lit(v))]
+    )
+    name = F.col("d.package.name")
+    version = F.col("d.package.versionSpecifier")
+    d = (
+        d.withColumn("dep_id", F.concat(name, F.lit("|"), version))
+        .withColumn("repo_url", _repo_url_from_blob(F.col("d.definedAt.url")))
+        .withColumn("pkg_type", eco_map[F.col("d.ecosystem")])
+        .withColumn(
+            "normalized_id",
+            normalized_package_id_with_fallback(
+                F.lit(None).cast("string"), name, version, F.col("pkg_type")
+            ),
+        )
+    )
+    dep = F.lit(deployment_id)
+    sub = ("SemgrepDeployment", dep)
+    node_frames, edge_frames = [], []
+    for eco, label in ECOSYSTEM_TO_LABEL.items():
+        of_eco = d.filter(F.col("d.ecosystem") == eco)
+        node_frames.append(_node(of_eco, label, F.col("dep_id"), {
+            "name": name,
+            "version": version,
+            "specifier": F.concat(F.lit("=="), version),
+            "repo_url": F.col("repo_url"),
+            "ecosystem": F.col("d.ecosystem"),
+            "type": F.col("pkg_type"),
+            "normalized_id": F.col("normalized_id"),
+            "transitivity": F.lower(F.col("d.transitivity")),
+            "url": F.col("d.definedAt.url"),
+        }, update_tag, extra=["Dependency"]))
+        edge_frames.append(_edge(of_eco, "SemgrepDeployment", dep,
+                                 "RESOURCE", label, F.col("dep_id"),
+                                 update_tag, sub))
+        # REQUIRES back-edges resolve per forge by URL shape
+        # (models/semgrep/dependencies.py:93-131)
+        for repo_label, pred in (
+            ("GitHubRepository", F.col("repo_url").contains("github.com")),
+            ("GitLabProject", F.col("d.definedAt.url").contains("/-/blob/")),
+        ):
+            edge_frames.append(_edge(
+                of_eco.filter(pred), repo_label, F.col("repo_url"),
+                "REQUIRES", label, F.col("dep_id"), update_tag, sub))
+    nodes = node_frames[0]
+    for f in node_frames[1:]:
+        nodes = nodes.unionByName(f)
+    edges = edge_frames[0]
+    for f in edge_frames[1:]:
+        edges = edges.unionByName(f)
+    return nodes, edges
+
+
+def transform_semgrep_sca(
+    raw: DataFrame, deployment_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    v = raw.select(
+        F.explode(F.from_json("payload_json", SCA_SCHEMA)).alias("v"),
+    ).filter(F.col("v.id").isNotNull())
+    ident = F.upper(F.col("v.vulnerability_identifier"))
+    reach = F.upper(F.col("v.reachability"))
+    fd = F.col("v.found_dependency")
+    lock_url = fd["lockfile_line_url"]
+    first_fix = F.try_element_at(
+        F.coalesce("v.fix_recommendations", F.array()), F.lit(1)
+    )
+    v = (
+        v.withColumn(
+            "cve_id", F.when(ident.startswith("CVE-"), ident))
+        .withColumn("ghsa_id", F.when(ident.startswith("GHSA"), ident))
+        .withColumn(
+            "has_cve",
+            F.when(ident.startswith("CVE-"), "true").otherwise("false"))
+        .withColumn("matched_dependency",
+                    F.concat(fd["package"], F.lit("|"), fd["version"]))
+        .withColumn(
+            "exposure_type",
+            F.when(reach == "REACHABLE", "reachable")
+            .when(F.col("v.reachable_condition").isNotNull(), "conditional")
+            .otherwise("unreachable"),
+        )
+        .withColumn(
+            "dep_file_path",
+            F.when(
+                lock_url.isNotNull(),
+                F.substring_index(
+                    F.substring_index(lock_url, "/", -1), "#", 1),
+            ),
+        )
+        .withColumn(
+            "closest_safe_dependency",
+            F.when(
+                first_fix.isNotNull(),
+                F.concat(first_fix["package"], F.lit("|"),
+                         first_fix["version"]),
+            ),
+        )
+    )
+    props = {
+        "repository_name": F.col("v.repository.name"),
+        "repository_url": F.col("v.repository.url"),
+        "branch": F.col("v.ref"),
+        "rule_id": F.col("v.rule.name"),
+        "title": F.concat(
+            fd["package"], F.lit(":"),
+            F.coalesce(
+                F.try_element_at(F.col("v.rule.vulnerability_classes"),
+                                 F.lit(1)),
+                F.lit("unknown"),
+            ),
+        ),
+        "description": F.col("v.rule.message"),
+        "ecosystem": fd["ecosystem"],
+        "severity": F.upper(F.col("v.severity")),
+        "reachability": F.upper(F.col("v.reachability")),
+        "reachable_if": F.upper(F.col("v.reachable_condition")),
+        "exposure_type": F.col("exposure_type"),
+        "matched_dependency": F.col("matched_dependency"),
+        "dependency_file_location_path": F.col("dep_file_path"),
+        "dependency_file_location_url": lock_url,
+        "transitivity": F.upper(fd["transitivity"]),
+        "cve_id": F.col("cve_id"),
+        "ghsa_id": F.col("ghsa_id"),
+        "has_cve": F.col("has_cve"),
+        "closest_safe_dependency": F.col("closest_safe_dependency"),
+        "opened_at": F.col("v.created_at"),
+        "fix_status": F.col("v.status"),
+        "triage_status": F.col("v.triage_state"),
+        "confidence": F.col("v.confidence"),
+    }
+    dep = F.lit(deployment_id)
+    sub = ("SemgrepDeployment", dep)
+    with_cve = v.filter(F.col("has_cve") == "true")
+    without = v.filter(F.col("has_cve") != "true")
+    nodes = _node(with_cve, "SemgrepSCAFinding", F.col("v.id"), props,
+                  update_tag, extra=["CVE"])
+    nodes = nodes.unionByName(_node(without, "SemgrepSCAFinding",
+                                    F.col("v.id"), props, update_tag))
+    edges = _edge(v, "SemgrepDeployment", dep, "RESOURCE",
+                  "SemgrepSCAFinding", F.col("v.id"), update_tag, sub)
+    edges = edges.unionByName(_edge(
+        v.filter(F.col("v.repository.url").isNotNull()),
+        "SemgrepSCAFinding", F.col("v.id"), "FOUND_IN", "GitHubRepository",
+        F.col("v.repository.url"), update_tag, sub))
+    edges = edges.unionByName(_edge(v, "SemgrepSCAFinding", F.col("v.id"),
+                                    "AFFECTS", "Dependency",
+                                    F.col("matched_dependency"), update_tag,
+                                    sub))
+    return nodes, edges
+
+
+def transform_semgrep_sast(
+    raw: DataFrame, deployment_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    s = raw.select(
+        F.explode(F.from_json("payload_json", SAST_SCHEMA)).alias("s"),
+    ).filter(F.col("s.id").isNotNull())
+    dep = F.lit(deployment_id)
+    sub = ("SemgrepDeployment", dep)
+    nodes = _node(s, "SemgrepSASTFinding", F.col("s.id"), {
+        "repository_name": F.col("s.repository.name"),
+        "repository_url": F.col("s.repository.url"),
+        "branch": F.col("s.ref"),
+        "rule_id": F.col("s.rule.name"),
+        "title": F.col("s.rule.name"),
+        "description": F.col("s.rule.message"),
+        "severity": F.upper(F.col("s.severity")),
+        "confidence": F.upper(F.col("s.confidence")),
+        "categories": F.to_json("s.categories"),
+        "cwe_names": F.to_json("s.rule.cwe_names"),
+        "owasp_names": F.to_json("s.rule.owasp_names"),
+        "file_path": F.col("s.location.file_path"),
+        "start_line": F.col("s.location.line"),
+        "end_line": F.col("s.location.end_line"),
+        "line_of_code_url": F.col("s.line_of_code_url"),
+        "state": F.col("s.state"),
+        "fix_status": F.col("s.status"),
+        "triage_status": F.col("s.triage_state"),
+        "opened_at": F.col("s.created_at"),
+    }, update_tag)
+    edges = _edge(s, "SemgrepDeployment", dep, "RESOURCE",
+                  "SemgrepSASTFinding", F.col("s.id"), update_tag, sub)
+    edges = edges.unionByName(_edge(
+        s.filter(F.col("s.repository.url").isNotNull()),
+        "SemgrepSASTFinding", F.col("s.id"), "FOUND_IN", "GitHubRepository",
+        F.col("s.repository.url"), update_tag, sub))
+    return nodes, edges
+
+
+def sync_semgrep(
+    store,
+    deps_raw: DataFrame | None,
+    sca_raw: DataFrame | None,
+    sast_raw: DataFrame | None,
+    deployment_id: str,
+    deployment_name: str,
+    update_tag: int,
+) -> dict:
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    spark = next(
+        r.sparkSession for r in (deps_raw, sca_raw, sast_raw)
+        if r is not None
+    )
+    dep_frame = spark.createDataFrame(
+        [(deployment_id, deployment_name)], "did string, name string"
+    )
+    metrics = {
+        "deployment": store.merge_nodes(
+            _node(dep_frame, "SemgrepDeployment", F.col("did"), {
+                "name": F.col("name"),
+            }, update_tag, extra=["Tenant"]),
+            update_tag,
+        )
+    }
+    for key, raw, fn in (
+        ("deps", deps_raw, transform_semgrep_dependencies),
+        ("sca", sca_raw, transform_semgrep_sca),
+        ("sast", sast_raw, transform_semgrep_sast),
+    ):
+        if raw is None:
+            continue
+        nodes, edges = fn(raw, deployment_id, update_tag)
+        metrics[f"{key}_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics[f"{key}_edges"] = store.merge_edges(edges, update_tag)
+
+    dep_rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label="SemgrepDeployment",
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("DEPLOYMENT_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    ran = []
+    if sca_raw is not None:
+        ran.append("SemgrepSCAFinding")
+    if sast_raw is not None:
+        ran.append("SemgrepSASTFinding")
+    if deps_raw is not None:
+        ran += ["SemgrepGoLibrary", "SemgrepNpmLibrary"]
+    for label in ran:
+        if label not in store.manifest["nodes"]:
+            continue
+        metrics[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=dep_rel,
+            ),
+            update_tag,
+            {"DEPLOYMENT_ID": deployment_id},
+        )
+    store.record_lineage("semgrep_sync", {"update_tag": update_tag})
+    return metrics

@@ -1,0 +1,105 @@
+"""Semgrep provider parity over the reference's actual
+``tests/data/semgrep/{dependencies,sca}.py`` fixtures: blob-URL repo
+derivation (GitLab-first), ecosystem label split with the shared
+normalized-id, CVE-vs-GHSA identifier routing with the conditional CVE
+label, exposure typing, and deployment-scoped GC."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.semgrep import (
+    sync_semgrep,
+    transform_semgrep_dependencies,
+    transform_semgrep_sca,
+)
+from tests.test_fixture_parity_github import _load_fixture_ns
+
+DEPS_FIX = "/root/reference/tests/data/semgrep/dependencies.py"
+SCA_FIX = "/root/reference/tests/data/semgrep/sca.py"
+DEP_ID, TAG = "deployment-1", 123456789
+REPO = "https://github.com/simpsoncorp/sample_repo"
+
+
+@pytest.fixture(scope="module")
+def fix():
+    if not (os.path.exists(DEPS_FIX) and os.path.exists(SCA_FIX)):
+        pytest.skip("reference fixture not available")
+    deps_ns = _load_fixture_ns(DEPS_FIX)
+    sca_ns = _load_fixture_ns(SCA_FIX, stubs={"hash": hash})
+    return {
+        "gomod": deps_ns["DEPENDENCIES_RESPONSE_GOMOD"]["dependencies"],
+        "sca": sca_ns["SCA_RESPONSE"]["findings"],
+    }
+
+
+def _raw(spark, payload):
+    return spark.createDataFrame(
+        [(DEP_ID, json.dumps(payload))],
+        "deployment_id string, payload_json string",
+    )
+
+
+def test_dependencies(spark, fix):
+    nodes, edges = transform_semgrep_dependencies(
+        _raw(spark, fix["gomod"]), DEP_ID, TAG
+    )
+    rows = {r["id"]: r for r in nodes.collect()}
+    dep_id = "github.com/foo/baz|1.2.3"
+    assert dep_id in rows
+    r = rows[dep_id]
+    assert r["label"] == "SemgrepGoLibrary"
+    assert "Dependency" in r["extra_labels"]
+    p = r["props"]
+    # repo URL split off the blob link (dependencies.py:155-163)
+    assert p["repo_url"] == REPO
+    assert p["specifier"] == "==1.2.3"
+    assert p["type"] == "golang"
+    assert p["transitivity"] == "direct"
+    # the shared cross-tool normalized id (golang|name|version)
+    assert p["normalized_id"] == "golang|github.com/foo/baz|1.2.3"
+    rels = {
+        (r["rel_label"], r["src_id"], r["dst_id"]) for r in edges.collect()
+    }
+    assert ("REQUIRES", REPO, dep_id) in rels
+
+
+def test_sca_findings(spark, fix):
+    nodes, edges = transform_semgrep_sca(_raw(spark, fix["sca"]), DEP_ID, TAG)
+    rows = {r["id"]: r for r in nodes.collect()}
+    f1 = rows["73537136"]
+    p = f1["props"]
+    # CVE identifier routed + conditional CVE label (findings.py:177-192)
+    assert p["cve_id"] == "CVE-2022-31129"
+    assert p["has_cve"] == "true"
+    assert "CVE" in f1["extra_labels"]
+    assert p["severity"] == "HIGH"
+    assert p["reachability"] == "REACHABLE"
+    assert p["exposure_type"] == "reachable"
+    assert p["matched_dependency"] == "moment|2.29.2"
+    assert p["title"].startswith("moment:")
+    rels = {
+        (r["rel_label"], r["src_id"], r["dst_id"]) for r in edges.collect()
+    }
+    assert ("AFFECTS", "73537136", "moment|2.29.2") in rels
+    assert ("FOUND_IN", "73537136", REPO) in rels
+    # non-CVE identifiers never get the label
+    non_cve = [r for r in rows.values()
+               if r["props"]["has_cve"] == "false"]
+    assert all("CVE" not in (r["extra_labels"] or []) for r in non_cve)
+
+
+def test_sync_and_gc(spark, tmp_store, fix):
+    s = tmp_store
+    sync_semgrep(s, _raw(spark, fix["gomod"]), _raw(spark, fix["sca"]),
+                 None, DEP_ID, "simpsoncorp", TAG)
+    assert s.nodes(["SemgrepDeployment"]).count() == 1
+    n_go = s.nodes(["SemgrepGoLibrary"]).count()
+    assert n_go >= 2
+    # run 2: one dependency remains, sca feed skipped → untouched
+    sync_semgrep(s, _raw(spark, fix["gomod"][:1]), None, None, DEP_ID,
+                 "simpsoncorp", TAG + 1)
+    assert s.nodes(["SemgrepGoLibrary"]).count() == 1
+    assert s.nodes(["SemgrepSCAFinding"]).count() >= 1

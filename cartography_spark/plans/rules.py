@@ -460,6 +460,30 @@ S3_PUBLIC_BUCKETS = Fact(
     asset_id_field="bucket_id",
 )
 
+GCP_PUBLIC_BUCKETS = Fact(
+    id="gcp_bucket_public",
+    name="Internet-Accessible GCS Bucket Attack Surface",
+    description="GCS buckets whose legacy ACL / default-object ACL "
+    "grants allUsers or allAuthenticatedUsers, unless Public Access "
+    "Prevention is enforced "
+    "(rules/data/rules/object_storage_public.py:55-98 ACL leg).",
+    sql_query="""
+        SELECT n.id AS bucket_id, n.props['location'] AS location,
+               n.props['iam_config_public_access_prevention']
+                 AS public_access_prevention
+        FROM nodes n
+        WHERE n.label = 'GCPBucket'
+          AND n.props['acl_public'] = 'true'
+          AND coalesce(n.props['iam_config_public_access_prevention'], '')
+                <> 'enforced'
+    """,
+    count_sql="SELECT count(*) AS count FROM nodes "
+              "WHERE label = 'GCPBucket'",
+    identity_fields=("bucket_id",),
+    asset_label="GCPBucket",
+    asset_id_field="bucket_id",
+)
+
 S3_MFA_DELETE_DISABLED = Fact(
     id="aws_s3_mfa_delete_disabled",
     name="AWS S3 buckets without Versioning and MFA Delete",
@@ -1485,8 +1509,8 @@ ALL_RULES: tuple[Rule, ...] = (
         description="Object storage reachable by anonymous principals "
         "via ACL or bucket policy "
         "(rules/data/rules/object_storage_public.py).",
-        version="1.0.0",
-        facts=(S3_PUBLIC_BUCKETS,),
+        version="1.1.0",
+        facts=(S3_PUBLIC_BUCKETS, GCP_PUBLIC_BUCKETS),
         frameworks=(iso27001_annex_a("8.3"), soc2_tsc("CC6.1")),
     ),
     Rule(

@@ -1,0 +1,249 @@
+"""GCP Storage buckets + GKE clusters (reference
+``intel/gcp/{storage,gke}.py``) — extends the GCP family beyond
+compute.
+
+Buckets (``storage.py:178-241``): iamConfiguration /owner/versioning/
+retention/encryption/logging/billing sub-objects flattened;
+``acl_public`` true when the legacy ACL or default-object ACL grants
+``allUsers``/``allAuthenticatedUsers`` (the projection the ontology
+``_ont_public`` job consumes — here set directly as the documented
+ACL subset, IAM bindings being a separate family); ObjectStorage
+ontology label; per-key ``GCPBucket_{key}`` label nodes with LABELED
+edges (``:131-140``).
+
+GKE (``gke.py:160-213``): selfLink-keyed clusters with the nested
+config flattening (network policy, private-cluster endpoints,
+workload identity boolean); ``_ont_control_plane_public_access``
+derives from the private-endpoint flag so the shipped
+kubernetes_control_plane_exposed rule's GKE leg fires.
+
+Project-scoped GC per label that ran.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cartography_spark.providers.aws_ec2 import _edge, _node
+
+BUCKETS_SCHEMA = """
+    STRUCT<items: ARRAY<STRUCT<
+        id: STRING, kind: STRING, location: STRING, locationType: STRING,
+        metageneration: STRING, projectNumber: STRING, selfLink: STRING,
+        storageClass: STRING, timeCreated: STRING,
+        iamConfiguration: STRUCT<
+            bucketPolicyOnly: STRUCT<enabled: BOOLEAN>,
+            publicAccessPrevention: STRING>,
+        owner: STRUCT<entity: STRING, entityId: STRING>,
+        versioning: STRUCT<enabled: BOOLEAN>,
+        retentionPolicy: STRUCT<retentionPeriod: STRING>,
+        encryption: STRUCT<defaultKmsKeyName: STRING>,
+        logging: STRUCT<logBucket: STRING>,
+        billing: STRUCT<requesterPays: BOOLEAN>,
+        acl: ARRAY<STRUCT<entity: STRING, role: STRING>>,
+        defaultObjectAcl: ARRAY<STRUCT<entity: STRING, role: STRING>>,
+        labels: MAP<STRING, STRING>>>>
+"""
+
+GKE_SCHEMA = """
+    STRUCT<clusters: ARRAY<STRUCT<
+        selfLink: STRING, name: STRING, createTime: STRING,
+        description: STRING, loggingService: STRING,
+        monitoringService: STRING, network: STRING, subnetwork: STRING,
+        clusterIpv4Cidr: STRING, zone: STRING, location: STRING,
+        endpoint: STRING, initialClusterVersion: STRING,
+        currentMasterVersion: STRING, status: STRING,
+        servicesIpv4Cidr: STRING,
+        databaseEncryption: STRUCT<state: STRING>,
+        networkPolicy: STRUCT<enabled: BOOLEAN>,
+        masterAuthorizedNetworksConfig: STRUCT<enabled: BOOLEAN>,
+        legacyAbac: STRUCT<enabled: BOOLEAN>,
+        shieldedNodes: STRUCT<enabled: BOOLEAN>,
+        workloadIdentityConfig: STRUCT<workloadPool: STRING>,
+        privateClusterConfig: STRUCT<enablePrivateNodes: BOOLEAN,
+                                     enablePrivateEndpoint: BOOLEAN,
+                                     privateEndpoint: STRING,
+                                     publicEndpoint: STRING>>>>
+"""
+
+_PUBLIC_ENTITIES = ("allUsers", "allAuthenticatedUsers")
+
+
+def _acl_public(col) -> F.Column:
+    return F.exists(
+        F.coalesce(col, F.array()),
+        lambda e: e["entity"].isin(*_PUBLIC_ENTITIES),
+    )
+
+
+def transform_gcp_buckets(
+    raw: DataFrame, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """``raw(project_id, payload_json)`` (the buckets().list response)."""
+    b = raw.select(
+        "project_id",
+        F.explode(
+            F.from_json("payload_json", BUCKETS_SCHEMA)["items"]
+        ).alias("b"),
+    ).filter(F.col("b.id").isNotNull()).withColumn(
+        "acl_public",
+        _acl_public(F.col("b.acl")) | _acl_public(F.col("b.defaultObjectAcl")),
+    )
+    proj = F.col("project_id")
+    sub = ("GCPProject", proj)
+    nodes = _node(b, "GCPBucket", F.col("b.id"), {
+        "bucket_id": F.col("b.id"),
+        "kind": F.col("b.kind"),
+        "location": F.col("b.location"),
+        "location_type": F.col("b.locationType"),
+        "meta_generation": F.col("b.metageneration"),
+        "project_number": F.col("b.projectNumber"),
+        "self_link": F.col("b.selfLink"),
+        "storage_class": F.col("b.storageClass"),
+        "time_created": F.col("b.timeCreated"),
+        "iam_config_bucket_policy_only":
+            F.col("b.iamConfiguration.bucketPolicyOnly.enabled"),
+        "iam_config_public_access_prevention":
+            F.col("b.iamConfiguration.publicAccessPrevention"),
+        "owner_entity": F.col("b.owner.entity"),
+        "owner_entity_id": F.col("b.owner.entityId"),
+        "versioning_enabled": F.col("b.versioning.enabled"),
+        "retention_period": F.col("b.retentionPolicy.retentionPeriod"),
+        "default_kms_key_name": F.col("b.encryption.defaultKmsKeyName"),
+        "log_bucket": F.col("b.logging.logBucket"),
+        "requester_pays": F.col("b.billing.requesterPays"),
+        "acl_public": F.col("acl_public"),
+        # the ontology projection's ACL leg (storage.py:189-199)
+        "_ont_public": F.col("acl_public"),
+        "_ont_name": F.col("b.id"),
+        "_ont_source": F.lit("gcp"),
+    }, update_tag, extra=["ObjectStorage"])
+    labels = b.select(
+        "project_id",
+        F.col("b.id").alias("bucket_id"),
+        F.explode(
+            F.coalesce("b.labels", F.create_map().cast("map<string,string>"))
+        ).alias("key", "value"),
+    ).withColumn("label_id", F.concat(F.lit("GCPBucket_"), F.col("key")))
+    nodes = nodes.unionByName(_node(labels, "GCPBucketLabel",
+                                    F.col("label_id"), {
+        "key": F.col("key"),
+        "value": F.col("value"),
+    }, update_tag))
+    edges = _edge(b, "GCPProject", proj, "RESOURCE", "GCPBucket",
+                  F.col("b.id"), update_tag, sub)
+    edges = edges.unionByName(_edge(labels, "GCPProject", proj, "RESOURCE",
+                                    "GCPBucketLabel", F.col("label_id"),
+                                    update_tag, sub))
+    edges = edges.unionByName(_edge(labels, "GCPBucket",
+                                    F.col("bucket_id"), "LABELED",
+                                    "GCPBucketLabel", F.col("label_id"),
+                                    update_tag, sub))
+    return nodes, edges
+
+
+def transform_gke_clusters(
+    raw: DataFrame, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """``raw(project_id, payload_json)`` (the clusters list response)."""
+    c = raw.select(
+        "project_id",
+        F.explode(
+            F.from_json("payload_json", GKE_SCHEMA)["clusters"]
+        ).alias("c"),
+    ).filter(F.col("c.selfLink").isNotNull())
+    priv = F.col("c.privateClusterConfig")
+    proj = F.col("project_id")
+    sub = ("GCPProject", proj)
+    control_plane_public = F.coalesce(
+        priv["enablePrivateEndpoint"], F.lit(False)
+    ) == False  # noqa: E712  private endpoint OFF → public control plane
+    nodes = _node(c, "GKECluster", F.col("c.selfLink"), {
+        "self_link": F.col("c.selfLink"),
+        "name": F.col("c.name"),
+        "created_at": F.col("c.createTime"),
+        "description": F.col("c.description"),
+        "logging_service": F.col("c.loggingService"),
+        "monitoring_service": F.col("c.monitoringService"),
+        "network": F.col("c.network"),
+        "subnetwork": F.col("c.subnetwork"),
+        "cluster_ipv4cidr": F.col("c.clusterIpv4Cidr"),
+        "zone": F.col("c.zone"),
+        "location": F.col("c.location"),
+        "endpoint": F.col("c.endpoint"),
+        "initial_version": F.col("c.initialClusterVersion"),
+        "current_master_version": F.col("c.currentMasterVersion"),
+        "status": F.col("c.status"),
+        "services_ipv4cidr": F.col("c.servicesIpv4Cidr"),
+        "database_encryption": F.col("c.databaseEncryption.state"),
+        "network_policy": F.col("c.networkPolicy.enabled"),
+        "master_authorized_networks":
+            F.col("c.masterAuthorizedNetworksConfig.enabled"),
+        "legacy_abac": F.col("c.legacyAbac.enabled"),
+        "shielded_nodes": F.col("c.shieldedNodes.enabled"),
+        "workload_identity_enabled":
+            F.col("c.workloadIdentityConfig.workloadPool").isNotNull(),
+        "private_nodes": priv["enablePrivateNodes"],
+        "private_endpoint_enabled": priv["enablePrivateEndpoint"],
+        "private_endpoint": priv["privateEndpoint"],
+        "public_endpoint": priv["publicEndpoint"],
+        "_ont_control_plane_public_access": control_plane_public,
+    }, update_tag)
+    edges = _edge(c, "GCPProject", proj, "RESOURCE", "GKECluster",
+                  F.col("c.selfLink"), update_tag, sub)
+    return nodes, edges
+
+
+def sync_gcp_storage_gke(
+    store,
+    buckets_raw: DataFrame | None,
+    gke_raw: DataFrame | None,
+    project_id: str,
+    update_tag: int,
+) -> dict:
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    metrics: dict = {}
+    if buckets_raw is not None:
+        nodes, edges = transform_gcp_buckets(buckets_raw, update_tag)
+        metrics["bucket_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["bucket_edges"] = store.merge_edges(edges, update_tag)
+    if gke_raw is not None:
+        nodes, edges = transform_gke_clusters(gke_raw, update_tag)
+        metrics["gke_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["gke_edges"] = store.merge_edges(edges, update_tag)
+    proj_rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label="GCPProject",
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("PROJECT_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    ran = []
+    if buckets_raw is not None:
+        ran += ["GCPBucketLabel", "GCPBucket"]
+    if gke_raw is not None:
+        ran.append("GKECluster")
+    for label in ran:
+        if label not in store.manifest["nodes"]:
+            continue
+        metrics[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=proj_rel,
+            ),
+            update_tag,
+            {"PROJECT_ID": project_id},
+        )
+    store.record_lineage("gcp_storage_gke_sync", {"update_tag": update_tag})
+    return metrics

@@ -1,0 +1,115 @@
+"""GCP Storage buckets + GKE clusters parity over the reference's
+actual ``tests/data/gcp/{storage,gke}.py`` fixtures: ACL-public
+derivation, label fan-out, nested GKE config flattening, and the
+control-plane ontology projection feeding the shipped rule."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.gcp_storage_gke import (
+    sync_gcp_storage_gke,
+    transform_gcp_buckets,
+    transform_gke_clusters,
+)
+from tests.test_fixture_parity_github import _load_fixture_ns
+
+STORAGE_FIX = "/root/reference/tests/data/gcp/storage.py"
+GKE_FIX = "/root/reference/tests/data/gcp/gke.py"
+PROJECT, TAG = "project-123", 123456789
+GKE_LINK = ("https://container.googleapis.com/v1/projects/test-cluster/"
+            "locations/europe-west2/clusters/test-cluster")
+
+
+@pytest.fixture(scope="module")
+def fix():
+    if not (os.path.exists(STORAGE_FIX) and os.path.exists(GKE_FIX)):
+        pytest.skip("reference fixture not available")
+    return {
+        "storage": _load_fixture_ns(STORAGE_FIX)["STORAGE_RESPONSE"],
+        "gke": _load_fixture_ns(GKE_FIX)["GKE_RESPONSE"],
+    }
+
+
+def _raw(spark, payload):
+    return spark.createDataFrame(
+        [(PROJECT, json.dumps(payload))],
+        "project_id string, payload_json string",
+    )
+
+
+def test_buckets_acl_public_and_labels(spark, fix):
+    nodes, edges = transform_gcp_buckets(_raw(spark, fix["storage"]), TAG)
+    rows = {r["id"]: r for r in nodes.collect()}
+    b = rows["bucket_name"]
+    p = b["props"]
+    # allUsers in the legacy ACL → public (storage.py:189-199)
+    assert p["acl_public"] == "true"
+    assert p["_ont_public"] == "true"
+    assert "ObjectStorage" in b["extra_labels"]
+    assert p["iam_config_public_access_prevention"] == "inherited"
+    assert p["iam_config_bucket_policy_only"] == "false"
+    assert p["storage_class"] == "STANDARD"
+    # per-key label nodes GCPBucket_{key} (storage.py:131-140)
+    assert rows["GCPBucket_label_key_1"]["props"]["value"] == "label_value_1"
+    rels = {(r["rel_label"], r["src_id"], r["dst_id"])
+            for r in edges.collect()}
+    assert ("LABELED", "bucket_name", "GCPBucket_label_key_1") in rels
+    assert ("RESOURCE", PROJECT, "bucket_name") in rels
+
+
+def test_gke_flattening_and_control_plane(spark, fix):
+    nodes, _ = transform_gke_clusters(_raw(spark, fix["gke"]), TAG)
+    rows = {r["id"]: r["props"] for r in nodes.collect()}
+    p = rows[GKE_LINK]
+    assert p["name"] == "test-cluster"
+    assert p["current_master_version"] == "1.14.10-gke.27"
+    assert p["database_encryption"] == "DECRYPTED"
+    # the fixture enables the private endpoint → control plane private
+    assert p["private_endpoint_enabled"] == "true"
+    assert p["_ont_control_plane_public_access"] == "false"
+
+
+def test_control_plane_fact_and_gc(spark, tmp_store, fix):
+    """The shipped kubernetes_control_plane_exposed fact's GKE leg
+    fires on the derived projection; project-scoped GC sweeps."""
+    from cartography_spark.plans.rules import (
+        K8S_CONTROL_PLANE_EXPOSED,
+        run_fact,
+    )
+
+    s = tmp_store
+    public = json.loads(json.dumps(fix["gke"]))
+    public["clusters"][0]["privateClusterConfig"]["enablePrivateEndpoint"] = False
+    sync_gcp_storage_gke(s, _raw(spark, fix["storage"]),
+                         _raw(spark, public), PROJECT, TAG)
+    res = run_fact(s, K8S_CONTROL_PLANE_EXPOSED)
+    assert {(r["cluster_type"], r["cluster_id"])
+            for r in res["findings"].collect()} == {
+        ("GKECluster", GKE_LINK)}
+    # run 2: buckets only → GKE feed skipped, clusters untouched
+    sync_gcp_storage_gke(s, _raw(spark, {"items": []}), None, PROJECT,
+                         TAG + 1)
+    assert s.nodes(["GCPBucket"]).count() == 0
+    assert s.nodes(["GKECluster"]).count() == 1
+
+
+def test_gcp_public_bucket_fact(spark, tmp_store, fix):
+    """object_storage_public GCS leg: ACL-public bucket flagged unless
+    Public Access Prevention is enforced."""
+    from cartography_spark.plans.rules import GCP_PUBLIC_BUCKETS, run_fact
+
+    s = tmp_store
+    sync_gcp_storage_gke(s, _raw(spark, fix["storage"]), None, PROJECT, TAG)
+    res = run_fact(s, GCP_PUBLIC_BUCKETS)
+    assert {r["bucket_id"] for r in res["findings"].collect()} == {
+        "bucket_name"}
+
+    # enforce PAP → no longer a finding even though the ACL is public
+    enforced = json.loads(json.dumps(fix["storage"]))
+    enforced["items"][0]["iamConfiguration"]["publicAccessPrevention"] = (
+        "enforced")
+    sync_gcp_storage_gke(s, _raw(spark, enforced), None, PROJECT, TAG + 1)
+    assert run_fact(s, GCP_PUBLIC_BUCKETS)["failing"] == 0

@@ -1,0 +1,423 @@
+"""Socket.dev supply-chain sync: organizations, repositories,
+dependencies, alerts, fixes (reference ``intel/socketdev/*.py``).
+
+* organizations (``organizations.py:34-53``): the ``organizations``
+  dict explodes by map value (keyed by org id), Tenant-labeled;
+* repositories (``repositories.py:55-87``): the union-typed
+  ``default_branch`` (dict-or-string) handled by raw-JSON passthrough
+  + a JSON probe; ``fullname = workspace/slug`` for ontology matching;
+* dependencies (``dependencies.py:56-101``): ``name|version|repo_slug``
+  fallback ids, the PURL built with the scoped-package namespace so
+  the shared cross-tool normalized id never collides (@types/node vs
+  node), Dependency label, FOUND_IN resolved through the repository
+  ``fullname`` prop (a batch join, the reference's load-time matcher);
+* alerts (``alerts.py:68-125``): vulnerability/location/artifact
+  flattening, FIRST ghsa id, Risk+SecurityIssue labels, FOUND_IN by
+  fullname;
+* fixes (``fixes.py:71-121``): only fixFound/partialFixFound survive;
+  ``{vuln}|{purl}|{fixedVersion}`` ids; the alert resolved per
+  (vulnerability, repo) and the dependency per purl-derived
+  ``name|version|repo_slug`` — both the reference's driver-side
+  lookup dicts re-expressed as batch joins; ``APPLIES_TO`` alert and
+  ``SHOULD_UPDATE_TO`` from the dependency.
+
+Org-scoped GC per family that ran.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from cartography_spark.plans.ontology_packages import normalized_package_id
+from cartography_spark.providers.aws_ec2 import _edge, _node
+
+ORGS_SCHEMA = """
+    STRUCT<organizations: MAP<STRING, STRUCT<
+        id: STRING, name: STRING, slug: STRING, plan: STRING,
+        image: STRING>>>
+"""
+
+REPOS_SCHEMA = """
+    ARRAY<STRUCT<id: STRING, name: STRING, slug: STRING,
+                 workspace: STRING, description: STRING,
+                 visibility: STRING, archived: BOOLEAN,
+                 default_branch: STRING, homepage: STRING,
+                 created_at: STRING, updated_at: STRING>>
+"""
+
+DEPS_SCHEMA = """
+    ARRAY<STRUCT<id: STRING, name: STRING, version: STRING, type: STRING,
+                 namespace: STRING, repository: STRING, direct: BOOLEAN>>
+"""
+
+ALERTS_SCHEMA = """
+    ARRAY<STRUCT<
+        id: STRING, key: STRING, type: STRING, category: STRING,
+        severity: STRING, status: STRING, title: STRING,
+        description: STRING, dashboardUrl: STRING, createdAt: STRING,
+        updatedAt: STRING, clearedAt: STRING,
+        vulnerability: STRUCT<cveId: STRING, ghsaIds: ARRAY<STRING>,
+                              cvssScore: DOUBLE, epssScore: DOUBLE,
+                              epssPercentile: DOUBLE, isKev: BOOLEAN,
+                              firstPatchedVersionIdentifier: STRING>,
+        locations: ARRAY<STRUCT<
+            action: STRING, branch: STRING,
+            repository: STRUCT<slug: STRING, fullName: STRING>,
+            artifact: STRUCT<name: STRING, version: STRING,
+                             type: STRING>>>>>
+"""
+
+FIXES_SCHEMA = """
+    STRUCT<fixDetails: MAP<STRING, STRUCT<
+        type: STRING,
+        value: STRUCT<fixDetails: STRUCT<fixes: ARRAY<STRUCT<
+            purl: STRING, fixedVersion: STRING, updateType: STRING>>>>>>>
+"""
+
+
+def _purl_name_version(purl: Column) -> tuple[Column, Column]:
+    """``_build_dependency_id`` (fixes.py:92-116): strip ``pkg:``,
+    drop the type segment, rsplit on ``@``."""
+    without_scheme = F.when(
+        purl.contains(":"), F.substring_index(purl, ":", -1)
+    ).otherwise(purl)
+    # drop the type segment (the first path element) when one exists
+    path_part = F.when(
+        without_scheme.contains("/"),
+        F.regexp_replace(without_scheme, r"^[^/]*/", ""),
+    ).otherwise(without_scheme)
+    name = F.when(
+        path_part.contains("@") & ~path_part.startswith("@"),
+        F.regexp_replace(path_part, r"@[^@]*$", ""),
+    ).when(
+        path_part.startswith("@") & (F.size(F.split(path_part, "@")) > 2),
+        F.regexp_replace(path_part, r"@[^@]*$", ""),
+    ).otherwise(path_part)
+    version = F.when(
+        name != path_part, F.substring_index(path_part, "@", -1)
+    ).otherwise(F.lit(""))
+    return name, version
+
+
+def transform_socketdev(
+    orgs_raw: DataFrame | None,
+    repos_raw: DataFrame | None,
+    deps_raw: DataFrame | None,
+    alerts_raw: DataFrame | None,
+    fixes_raw: DataFrame | None,
+    org_id: str,
+    update_tag: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Org-level raw frames are ``(org_id, payload_json)``; fixes are
+    ``(org_id, repo_slug, payload_json)`` (one row per repository)."""
+    org = F.lit(org_id)
+    sub = ("SocketDevOrganization", org)
+    node_frames, edge_frames = [], []
+
+    if orgs_raw is not None:
+        o = orgs_raw.select(
+            F.explode(
+                F.from_json("payload_json", ORGS_SCHEMA)["organizations"]
+            ).alias("k", "o"),
+        ).filter(F.col("o.id").isNotNull())
+        node_frames.append(_node(o, "SocketDevOrganization", F.col("o.id"), {
+            "name": F.col("o.name"),
+            "slug": F.col("o.slug"),
+            "plan": F.col("o.plan"),
+            "image": F.col("o.image"),
+        }, update_tag, extra=["Tenant"]))
+
+    repos = None
+    if repos_raw is not None:
+        repos = repos_raw.select(
+            F.explode(F.from_json("payload_json", REPOS_SCHEMA)).alias("r"),
+        ).filter(F.col("r.id").isNotNull()).withColumn(
+            "default_branch",
+            # dict-or-string union type: raw-JSON objects probe .name
+            F.coalesce(
+                F.get_json_object(F.col("r.default_branch"), "$.name"),
+                F.col("r.default_branch"),
+            ),
+        ).withColumn(
+            "fullname",
+            F.when(
+                F.col("r.workspace").isNotNull()
+                & F.col("r.slug").isNotNull(),
+                F.concat_ws("/", "r.workspace", "r.slug"),
+            ).otherwise(F.col("r.slug")),
+        )
+        node_frames.append(_node(repos, "SocketDevRepository",
+                                 F.col("r.id"), {
+            "name": F.col("r.name"),
+            "slug": F.col("r.slug"),
+            "fullname": F.col("fullname"),
+            "description": F.col("r.description"),
+            "visibility": F.col("r.visibility"),
+            "archived": F.col("r.archived"),
+            "default_branch": F.col("default_branch"),
+            "homepage": F.col("r.homepage"),
+            "created_at": F.col("r.created_at"),
+            "updated_at": F.col("r.updated_at"),
+        }, update_tag))
+        edge_frames.append(_edge(repos, "SocketDevOrganization", org,
+                                 "RESOURCE", "SocketDevRepository",
+                                 F.col("r.id"), update_tag, sub))
+
+    repo_by_fullname = None
+    if repos is not None:
+        repo_by_fullname = repos.select(
+            F.col("fullname").alias("__repo_fullname"),
+            F.col("r.id").alias("__repo_id"),
+        ).dropDuplicates(["__repo_fullname"])
+
+    deps = None
+    if deps_raw is not None:
+        d = deps_raw.select(
+            F.explode(F.from_json("payload_json", DEPS_SCHEMA)).alias("d"),
+        ).filter(F.col("d.name").isNotNull())
+        repo_slug = F.when(
+            F.col("d.repository").contains("/"),
+            F.substring_index(F.col("d.repository"), "/", -1),
+        ).otherwise(F.col("d.repository"))
+        ns_part = F.when(
+            F.col("d.namespace").isNotNull() & (F.col("d.namespace") != ""),
+            F.concat(F.col("d.namespace"), F.lit("/")),
+        ).otherwise(F.lit(""))
+        purl = F.when(
+            F.col("d.type").isNotNull() & F.col("d.version").isNotNull(),
+            F.concat(F.lit("pkg:"), F.col("d.type"), F.lit("/"), ns_part,
+                     F.col("d.name"), F.lit("@"), F.col("d.version")),
+        )
+        deps = d.withColumn("repo_slug", repo_slug).withColumn(
+            "dep_id",
+            F.coalesce(
+                F.col("d.id"),
+                F.concat_ws("|", "d.name", "d.version", "repo_slug"),
+            ),
+        ).withColumn("purl", purl).withColumn(
+            "normalized_id", normalized_package_id(F.col("purl"))
+        )
+        node_frames.append(_node(deps, "SocketDevDependency",
+                                 F.col("dep_id"), {
+            "name": F.col("d.name"),
+            "version": F.col("d.version"),
+            "type": F.col("d.type"),
+            "namespace": F.col("d.namespace"),
+            "normalized_id": F.col("normalized_id"),
+            "repository": F.col("repo_slug"),
+            "repository_fullname": F.col("d.repository"),
+            "direct": F.col("d.direct"),
+        }, update_tag, extra=["Dependency"]))
+        edge_frames.append(_edge(deps, "SocketDevOrganization", org,
+                                 "RESOURCE", "SocketDevDependency",
+                                 F.col("dep_id"), update_tag, sub))
+        if repo_by_fullname is not None:
+            linked = deps.join(
+                F.broadcast(repo_by_fullname),
+                deps["d.repository"] == F.col("__repo_fullname"),
+            )
+            edge_frames.append(_edge(linked, "SocketDevDependency",
+                                     F.col("dep_id"), "FOUND_IN",
+                                     "SocketDevRepository",
+                                     F.col("__repo_id"), update_tag, sub))
+
+    alerts = None
+    if alerts_raw is not None:
+        a = alerts_raw.select(
+            F.explode(F.from_json("payload_json", ALERTS_SCHEMA)).alias("a"),
+        ).filter(F.col("a.id").isNotNull())
+        loc = F.try_element_at(F.coalesce("a.locations", F.array()),
+                               F.lit(1))
+        alerts = a.withColumn("loc", loc).withColumn(
+            "ghsa_id",
+            F.try_element_at(
+                F.coalesce(F.col("a.vulnerability.ghsaIds"), F.array()),
+                F.lit(1),
+            ),
+        )
+        node_frames.append(_node(alerts, "SocketDevAlert", F.col("a.id"), {
+            "key": F.col("a.key"),
+            "type": F.col("a.type"),
+            "category": F.col("a.category"),
+            "severity": F.col("a.severity"),
+            "status": F.col("a.status"),
+            "title": F.col("a.title"),
+            "description": F.col("a.description"),
+            "created_at": F.col("a.createdAt"),
+            "cleared_at": F.col("a.clearedAt"),
+            "cve_id": F.col("a.vulnerability.cveId"),
+            "ghsa_id": F.col("ghsa_id"),
+            "cvss_score": F.col("a.vulnerability.cvssScore"),
+            "epss_score": F.col("a.vulnerability.epssScore"),
+            "is_kev": F.col("a.vulnerability.isKev"),
+            "first_patched_version":
+                F.col("a.vulnerability.firstPatchedVersionIdentifier"),
+            "action": F.col("loc.action"),
+            "repo_slug": F.col("loc.repository.slug"),
+            "repo_fullname": F.col("loc.repository.fullName"),
+            # dict-or-string union (alerts.py _flatten_field)
+            "branch": F.coalesce(
+                F.get_json_object(F.col("loc.branch"), "$.name"),
+                F.col("loc.branch"),
+            ),
+            "artifact_name": F.col("loc.artifact.name"),
+            "artifact_version": F.col("loc.artifact.version"),
+            "artifact_type": F.col("loc.artifact.type"),
+        }, update_tag, extra=["Risk", "SecurityIssue"]))
+        edge_frames.append(_edge(alerts, "SocketDevOrganization", org,
+                                 "RESOURCE", "SocketDevAlert",
+                                 F.col("a.id"), update_tag, sub))
+        if repo_by_fullname is not None:
+            linked = alerts.join(
+                F.broadcast(repo_by_fullname),
+                alerts["loc.repository.fullName"]
+                == F.col("__repo_fullname"),
+            )
+            edge_frames.append(_edge(linked, "SocketDevAlert",
+                                     F.col("a.id"), "FOUND_IN",
+                                     "SocketDevRepository",
+                                     F.col("__repo_id"), update_tag, sub))
+
+    if fixes_raw is not None:
+        fx = fixes_raw.select(
+            "repo_slug",
+            F.explode(
+                F.from_json("payload_json", FIXES_SCHEMA)["fixDetails"]
+            ).alias("vuln_id", "detail"),
+        ).filter(
+            F.col("detail.type").isin("fixFound", "partialFixFound")
+        ).select(
+            "repo_slug", "vuln_id",
+            F.col("detail.type").alias("fix_type"),
+            F.explode(
+                F.coalesce(F.col("detail.value.fixDetails.fixes"), F.array())
+            ).alias("fe"),
+        ).withColumn(
+            "fix_id",
+            F.concat_ws("|", "vuln_id", "fe.purl", "fe.fixedVersion"),
+        )
+        name, version = _purl_name_version(F.col("fe.purl"))
+        fx = fx.withColumn(
+            "dep_key", F.concat_ws("|", name, version, F.col("repo_slug"))
+        )
+        # the reference's driver-side lookup dicts as batch joins
+        if alerts is not None:
+            alert_lookup = alerts.select(
+                F.col("a.id").alias("__alert_id"),
+                F.col("ghsa_id").alias("__vuln_ghsa"),
+                F.col("a.vulnerability.cveId").alias("__vuln_cve"),
+                F.col("loc.repository.slug").alias("__alert_repo"),
+            )
+            fx = fx.join(
+                F.broadcast(alert_lookup),
+                (
+                    (F.col("vuln_id") == F.col("__vuln_ghsa"))
+                    | (F.col("vuln_id") == F.col("__vuln_cve"))
+                )
+                & (F.col("repo_slug") == F.col("__alert_repo")),
+                "left",
+            ).drop("__vuln_ghsa", "__vuln_cve", "__alert_repo")
+        else:
+            fx = fx.withColumn("__alert_id", F.lit(None).cast("string"))
+        if deps is not None:
+            dep_lookup = deps.select(
+                F.col("dep_id").alias("__dep_id"),
+                F.concat_ws("|", "d.name", "d.version", "repo_slug")
+                .alias("__dep_key"),
+            ).dropDuplicates(["__dep_key"])
+            fx = fx.join(
+                F.broadcast(dep_lookup),
+                F.col("dep_key") == F.col("__dep_key"), "left",
+            ).drop("__dep_key")
+        else:
+            fx = fx.withColumn("__dep_id", F.lit(None).cast("string"))
+        node_frames.append(_node(fx, "SocketDevFix", F.col("fix_id"), {
+            "purl": F.col("fe.purl"),
+            "fixed_version": F.col("fe.fixedVersion"),
+            "update_type": F.col("fe.updateType"),
+            "vulnerability_id": F.col("vuln_id"),
+            "fix_type": F.col("fix_type"),
+            "alert_id": F.col("__alert_id"),
+            "dependency_id": F.col("__dep_id"),
+        }, update_tag, extra=["Fix"]))
+        edge_frames.append(_edge(fx, "SocketDevOrganization", org,
+                                 "RESOURCE", "SocketDevFix",
+                                 F.col("fix_id"), update_tag, sub))
+        with_alert = fx.filter(F.col("__alert_id").isNotNull())
+        edge_frames.append(_edge(with_alert, "SocketDevFix",
+                                 F.col("fix_id"), "APPLIES_TO",
+                                 "SocketDevAlert", F.col("__alert_id"),
+                                 update_tag, sub))
+        with_dep = fx.filter(F.col("__dep_id").isNotNull())
+        edge_frames.append(_edge(with_dep, "SocketDevDependency",
+                                 F.col("__dep_id"), "SHOULD_UPDATE_TO",
+                                 "SocketDevFix", F.col("fix_id"),
+                                 update_tag, sub))
+
+    nodes = node_frames[0]
+    for f in node_frames[1:]:
+        nodes = nodes.unionByName(f)
+    edges = edge_frames[0]
+    for f in edge_frames[1:]:
+        edges = edges.unionByName(f)
+    return nodes, edges
+
+
+def sync_socketdev(
+    store,
+    orgs_raw: DataFrame | None,
+    repos_raw: DataFrame | None,
+    deps_raw: DataFrame | None,
+    alerts_raw: DataFrame | None,
+    fixes_raw: DataFrame | None,
+    org_id: str,
+    update_tag: int,
+) -> dict:
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    nodes, edges = transform_socketdev(
+        orgs_raw, repos_raw, deps_raw, alerts_raw, fixes_raw, org_id,
+        update_tag,
+    )
+    metrics = {
+        "nodes": store.merge_nodes(nodes, update_tag),
+        "edges": store.merge_edges(edges, update_tag),
+    }
+    org_rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label="SocketDevOrganization",
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("ORG_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    ran = [
+        label for label, raw in (
+            ("SocketDevFix", fixes_raw),
+            ("SocketDevAlert", alerts_raw),
+            ("SocketDevDependency", deps_raw),
+            ("SocketDevRepository", repos_raw),
+        ) if raw is not None
+    ]
+    for label in ran:
+        if label not in store.manifest["nodes"]:
+            continue
+        metrics[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=org_rel,
+            ),
+            update_tag,
+            {"ORG_ID": org_id},
+        )
+    store.record_lineage("socketdev_sync", {"update_tag": update_tag})
+    return metrics

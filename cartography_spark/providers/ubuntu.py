@@ -1,0 +1,172 @@
+"""Ubuntu Security CVE feed sync (reference
+``intel/ubuntu/{feed,cves,notices}.py``).
+
+* the feed node is the fixed ``ubuntu-security-cve-feed`` tenant
+  (``feed.py:12-27``);
+* CVEs (``cves.py:260-289``): ``USV|{cve}`` ids (namespaced so they
+  never collide with NVD-sourced CVE nodes), the CVE ontology label,
+  and the cvssV3 metric flattening;
+* notices (``notices.py:258-274``): USN nodes whose ``cves_ids`` list
+  is rewritten to the ``USV|`` namespace and drives the one-to-many
+  ``ADDRESSES`` edges.
+
+Feed-scoped GC per family that ran.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cartography_spark.providers.aws_ec2 import _edge, _node
+
+FEED_ID = "ubuntu-security-cve-feed"
+
+CVES_SCHEMA = """
+    ARRAY<STRUCT<
+        id: STRING, description: STRING, ubuntu_description: STRING,
+        priority: STRING, status: STRING, cvss3: DOUBLE,
+        published: STRING, updated_at: STRING, codename: STRING,
+        mitigation: STRING,
+        impact: STRUCT<baseMetricV3: STRUCT<cvssV3: STRUCT<
+            attackVector: STRING, attackComplexity: STRING,
+            baseScore: DOUBLE, baseSeverity: STRING,
+            confidentialityImpact: STRING, integrityImpact: STRING,
+            availabilityImpact: STRING>>>>>
+"""
+
+NOTICES_SCHEMA = """
+    ARRAY<STRUCT<
+        id: STRING, title: STRING, summary: STRING, description: STRING,
+        published: STRING, type: STRING, instructions: STRING,
+        is_hidden: BOOLEAN, cves_ids: ARRAY<STRING>>>
+"""
+
+
+def transform_ubuntu(
+    cves_raw: DataFrame | None,
+    notices_raw: DataFrame | None,
+    update_tag: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Raw frames are ``(payload_json)`` with the respective lists."""
+    spark = next(
+        r.sparkSession for r in (cves_raw, notices_raw) if r is not None
+    )
+    feed_frame = spark.createDataFrame([(FEED_ID,)], "fid string")
+    nodes = _node(feed_frame, "UbuntuCVEFeed", F.col("fid"), {},
+                  update_tag, extra=["Tenant"])
+    feed = F.lit(FEED_ID)
+    sub = ("UbuntuCVEFeed", feed)
+    edge_frames = []
+
+    if cves_raw is not None:
+        c = cves_raw.select(
+            F.explode(F.from_json("payload_json", CVES_SCHEMA)).alias("c"),
+        ).filter(F.col("c.id").isNotNull()).withColumn(
+            "uid", F.concat(F.lit("USV|"), F.col("c.id"))
+        )
+        v3 = F.col("c.impact.baseMetricV3.cvssV3")
+        nodes = nodes.unionByName(_node(c, "UbuntuCVE", F.col("uid"), {
+            "cve_id": F.col("c.id"),
+            "description": F.col("c.description"),
+            "ubuntu_description": F.col("c.ubuntu_description"),
+            "priority": F.col("c.priority"),
+            "status": F.col("c.status"),
+            "cvss3": F.col("c.cvss3"),
+            "published": F.col("c.published"),
+            "updated_at": F.col("c.updated_at"),
+            "codename": F.col("c.codename"),
+            "mitigation": F.col("c.mitigation"),
+            "attack_vector": v3["attackVector"],
+            "attack_complexity": v3["attackComplexity"],
+            "base_score": v3["baseScore"],
+            "base_severity": v3["baseSeverity"],
+            "confidentiality_impact": v3["confidentialityImpact"],
+            "integrity_impact": v3["integrityImpact"],
+            "availability_impact": v3["availabilityImpact"],
+        }, update_tag, extra=["CVE"]))
+        edge_frames.append(_edge(c, "UbuntuCVEFeed", feed, "RESOURCE",
+                                 "UbuntuCVE", F.col("uid"), update_tag, sub))
+
+    if notices_raw is not None:
+        n = notices_raw.select(
+            F.explode(F.from_json("payload_json", NOTICES_SCHEMA)).alias("n"),
+        ).filter(F.col("n.id").isNotNull())
+        nodes = nodes.unionByName(_node(n, "UbuntuSecurityNotice",
+                                        F.col("n.id"), {
+            "title": F.col("n.title"),
+            "summary": F.col("n.summary"),
+            "description": F.col("n.description"),
+            "published": F.col("n.published"),
+            "notice_type": F.col("n.type"),
+            "instructions": F.col("n.instructions"),
+            "is_hidden": F.col("n.is_hidden"),
+            "cves_ids": F.to_json(F.transform(
+                F.coalesce("n.cves_ids", F.array()),
+                lambda cid: F.concat(F.lit("USV|"), cid),
+            )),
+        }, update_tag))
+        edge_frames.append(_edge(n, "UbuntuCVEFeed", feed, "RESOURCE",
+                                 "UbuntuSecurityNotice", F.col("n.id"),
+                                 update_tag, sub))
+        addressed = n.select(
+            F.col("n.id").alias("usn"),
+            F.explode(F.coalesce("n.cves_ids", F.array())).alias("cid"),
+        ).withColumn("uid", F.concat(F.lit("USV|"), F.col("cid")))
+        edge_frames.append(_edge(addressed, "UbuntuSecurityNotice",
+                                 F.col("usn"), "ADDRESSES", "UbuntuCVE",
+                                 F.col("uid"), update_tag, sub))
+
+    edges = edge_frames[0]
+    for f in edge_frames[1:]:
+        edges = edges.unionByName(f)
+    return nodes, edges
+
+
+def sync_ubuntu(
+    store,
+    cves_raw: DataFrame | None,
+    notices_raw: DataFrame | None,
+    update_tag: int,
+) -> dict:
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    nodes, edges = transform_ubuntu(cves_raw, notices_raw, update_tag)
+    metrics = {
+        "nodes": store.merge_nodes(nodes, update_tag),
+        "edges": store.merge_edges(edges, update_tag),
+    }
+    feed_rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label="UbuntuCVEFeed",
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("FEED_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    ran = []
+    if notices_raw is not None:
+        ran.append("UbuntuSecurityNotice")
+    if cves_raw is not None:
+        ran.append("UbuntuCVE")
+    for label in ran:
+        if label not in store.manifest["nodes"]:
+            continue
+        metrics[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=feed_rel,
+            ),
+            update_tag,
+            {"FEED_ID": FEED_ID},
+        )
+    store.record_lineage("ubuntu_sync", {"update_tag": update_tag})
+    return metrics

@@ -1,0 +1,142 @@
+"""Socket.dev provider parity over the reference's actual
+``tests/data/socketdev/*.py`` fixtures: union-typed default_branch,
+scoped-purl normalized ids, FOUND_IN-by-fullname resolution, fix
+alert/dependency resolution as batch joins, org-scoped GC."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.socketdev import (
+    sync_socketdev,
+    transform_socketdev,
+)
+from tests.test_fixture_parity_github import _load_fixture_ns
+
+FIXDIR = "/root/reference/tests/data/socketdev"
+ORG, TAG = "org-001", 123456789
+
+
+@pytest.fixture(scope="module")
+def fix():
+    if not os.path.isdir(FIXDIR):
+        pytest.skip("reference fixture not available")
+    return {
+        "orgs": _load_fixture_ns(f"{FIXDIR}/organizations.py")[
+            "ORGANIZATIONS_RESPONSE"],
+        "repos": _load_fixture_ns(f"{FIXDIR}/repositories.py")[
+            "REPOSITORIES_RESPONSE"]["results"],
+        "deps": _load_fixture_ns(f"{FIXDIR}/dependencies.py")[
+            "DEPENDENCIES_RESPONSE"]["rows"],
+        "alerts": _load_fixture_ns(f"{FIXDIR}/alerts.py")[
+            "ALERTS_RESPONSE"]["items"],
+        "fixes": _load_fixture_ns(f"{FIXDIR}/fixes.py")["FIXES_RESPONSE"],
+    }
+
+
+def _org_raw(spark, payload):
+    return spark.createDataFrame(
+        [(ORG, json.dumps(payload))], "org_id string, payload_json string"
+    )
+
+
+def _fixes_raw(spark, repo_slug, payload):
+    return spark.createDataFrame(
+        [(ORG, repo_slug, json.dumps(payload))],
+        "org_id string, repo_slug string, payload_json string",
+    )
+
+
+@pytest.fixture(scope="module")
+def emitted(spark, fix):
+    nodes, edges = transform_socketdev(
+        _org_raw(spark, fix["orgs"]),
+        _org_raw(spark, fix["repos"]),
+        _org_raw(spark, fix["deps"]),
+        _org_raw(spark, fix["alerts"]),
+        _fixes_raw(spark, "frontend-app", fix["fixes"]),
+        ORG, TAG,
+    )
+    return nodes.cache(), edges.cache()
+
+
+def _props(nodes, label):
+    return {
+        r["id"]: (r["props"], r["extra_labels"])
+        for r in nodes.filter(F.col("label") == label).collect()
+    }
+
+
+def _rels(edges, rel):
+    return {
+        (r["src_id"], r["dst_id"])
+        for r in edges.filter(F.col("rel_label") == rel).collect()
+    }
+
+
+def test_org_repos_union_branch(emitted):
+    nodes, _ = emitted
+    orgs = _props(nodes, "SocketDevOrganization")
+    assert orgs["org-001"][0]["slug"] == "acme-corp"
+    assert "Tenant" in orgs["org-001"][1]
+    repos = _props(nodes, "SocketDevRepository")
+    # dict-form default_branch flattened to .name; string form kept
+    assert repos["repo-001"][0]["default_branch"] == "main"
+    assert repos["repo-002"][0]["default_branch"] == "main"
+    assert repos["repo-001"][0]["fullname"] == "acme-corp/frontend-app"
+
+
+def test_dependencies_and_found_in(emitted):
+    nodes, edges = emitted
+    deps = _props(nodes, "SocketDevDependency")
+    p, extra = deps["dep-001"]
+    assert p["normalized_id"] == "npm|lodash|4.17.21"
+    assert p["repository"] == "frontend-app"
+    assert "Dependency" in extra
+    assert _rels(edges, "FOUND_IN") >= {
+        ("dep-001", "repo-001"), ("dep-002", "repo-002"),
+        ("alert-001", "repo-001"),
+    }
+
+
+def test_alerts_and_fixes(emitted):
+    nodes, edges = emitted
+    alerts = _props(nodes, "SocketDevAlert")
+    p, extra = alerts["alert-001"]
+    assert p["ghsa_id"] == "GHSA-xxxx-yyyy-zzzz"
+    assert p.get("cve_id") is None
+    assert p["is_kev"] == "true"
+    assert p["branch"] == "main"  # dict-form branch flattened
+    assert {"Risk", "SecurityIssue"} <= set(extra)
+
+    fixes = _props(nodes, "SocketDevFix")
+    fid = "GHSA-xxxx-yyyy-zzzz|pkg:npm/lodash@4.17.21|4.17.22"
+    fp, fextra = fixes[fid]
+    assert fp["fixed_version"] == "4.17.22"
+    assert fp["fix_type"] == "fixFound"
+    assert "Fix" in fextra
+    # alert resolved per (vuln, repo); dependency per purl-derived key
+    assert fp["alert_id"] == "alert-001"
+    assert fp["dependency_id"] == "dep-001"
+    assert (fid, "alert-001") in _rels(edges, "APPLIES_TO")
+    assert ("dep-001", fid) in _rels(edges, "SHOULD_UPDATE_TO")
+
+
+def test_sync_and_gc(spark, tmp_store, fix):
+    s = tmp_store
+    sync_socketdev(
+        s, _org_raw(spark, fix["orgs"]), _org_raw(spark, fix["repos"]),
+        _org_raw(spark, fix["deps"]), _org_raw(spark, fix["alerts"]),
+        _fixes_raw(spark, "frontend-app", fix["fixes"]), ORG, TAG,
+    )
+    assert s.nodes(["SocketDevDependency"]).count() == 3
+    # run 2: deps shrink; alerts skipped → untouched
+    sync_socketdev(
+        s, None, _org_raw(spark, fix["repos"]),
+        _org_raw(spark, fix["deps"][:1]), None, None, ORG, TAG + 1,
+    )
+    assert {r["id"] for r in s.nodes(["SocketDevDependency"]).collect()
+            } == {"dep-001"}
+    assert s.nodes(["SocketDevAlert"]).count() >= 1

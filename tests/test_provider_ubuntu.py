@@ -1,0 +1,77 @@
+"""Ubuntu security-feed parity over the reference's actual
+``tests/data/ubuntu/{cves,notices}.py`` fixtures: USV|-namespaced CVE
+ids with the CVE ontology label, cvssV3 flattening, and the
+one-to-many ADDRESSES edges."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.ubuntu import sync_ubuntu, transform_ubuntu
+from tests.test_fixture_parity_github import _load_fixture_ns
+
+CVES_FIX = "/root/reference/tests/data/ubuntu/cves.py"
+NOTICES_FIX = "/root/reference/tests/data/ubuntu/notices.py"
+TAG = 123456789
+
+
+@pytest.fixture(scope="module")
+def fix():
+    if not (os.path.exists(CVES_FIX) and os.path.exists(NOTICES_FIX)):
+        pytest.skip("reference fixture not available")
+    return {
+        "cves": _load_fixture_ns(CVES_FIX)["UBUNTU_CVES_RESPONSE"],
+        "notices": _load_fixture_ns(NOTICES_FIX)["UBUNTU_NOTICES_RESPONSE"],
+    }
+
+
+def _raw(spark, payload):
+    return spark.createDataFrame(
+        [(json.dumps(payload),)], "payload_json string"
+    )
+
+
+def test_cves_and_notices(spark, fix):
+    nodes, edges = transform_ubuntu(_raw(spark, fix["cves"]),
+                                    _raw(spark, fix["notices"]), TAG)
+    cves = {
+        r["id"]: (r["props"], r["extra_labels"])
+        for r in nodes.filter(F.col("label") == "UbuntuCVE").collect()
+    }
+    # USV| namespacing keeps Ubuntu rows apart from NVD CVEs
+    assert "USV|CVE-2024-1234" in cves
+    p, extra = cves["USV|CVE-2024-1234"]
+    assert p["cve_id"] == "CVE-2024-1234"
+    assert p["priority"] == "high"
+    assert (p["attack_vector"], p["base_severity"]) == ("NETWORK", "HIGH")
+    assert p["base_score"] == "8.1"
+    assert "CVE" in extra
+
+    notices = {
+        r["id"]: r["props"]
+        for r in nodes.filter(
+            F.col("label") == "UbuntuSecurityNotice").collect()
+    }
+    assert notices["USN-6600-1"]["notice_type"] == "USN"
+    assert json.loads(notices["USN-6600-1"]["cves_ids"]) == [
+        "USV|CVE-2024-1234", "USV|CVE-2024-5678"]
+    rels = {
+        (r["rel_label"], r["src_id"], r["dst_id"]) for r in edges.collect()
+    }
+    assert ("ADDRESSES", "USN-6600-1", "USV|CVE-2024-1234") in rels
+    assert ("ADDRESSES", "USN-6600-1", "USV|CVE-2024-5678") in rels
+
+
+def test_sync_and_gc(spark, tmp_store, fix):
+    s = tmp_store
+    sync_ubuntu(s, _raw(spark, fix["cves"]), _raw(spark, fix["notices"]),
+                TAG)
+    n_cves = s.nodes(["UbuntuCVE"]).count()
+    assert n_cves >= 1
+    # run 2: notices only → CVEs feed skipped, untouched
+    sync_ubuntu(s, None, _raw(spark, fix["notices"][:1]), TAG + 1)
+    assert s.nodes(["UbuntuCVE"]).count() == n_cves
+    assert {r["id"] for r in s.nodes(["UbuntuSecurityNotice"]).collect()
+            } == {"USN-6600-1"}

@@ -1,0 +1,243 @@
+"""Spacelift sync: account, spaces, stacks, worker pools, workers
+(reference ``intel/spacelift/{account,spaces,stacks,workerpools,
+workers}.py``; runs/CloudTrail EC2-ownership correlation is a later
+stage).
+
+* spaces (``spaces.py:39-63``): ``is_root`` = no parentSpace; the
+  parent CONTAINS the child and the account CONTAINS root spaces;
+* stacks (``stacks.py:49-80``): the runtime IAM role comes off the
+  nested AWS integration — absent integrations never crash; ``space``
+  CONTAINS the stack and the canonical ``ASSUMES`` edge targets
+  AWSRole by ARN;
+* worker pools (``workerpools.py:42-60``) and workers
+  (``workers.py:57-77``: the worker id doubles as its name, pool
+  CONTAINS worker via workerPool nesting flattened to one frame).
+
+Account-scoped GC per family that ran.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cartography_spark.providers.aws_ec2 import _edge, _node
+
+SPACES_SCHEMA = """
+    STRUCT<data: STRUCT<spaces: ARRAY<STRUCT<
+        id: STRING, name: STRING, description: STRING,
+        parentSpace: STRING>>>>
+"""
+
+STACKS_SCHEMA = """
+    STRUCT<data: STRUCT<stacks: ARRAY<STRUCT<
+        id: STRING, name: STRING, description: STRING, state: STRING,
+        administrative: BOOLEAN, repository: STRING, branch: STRING,
+        projectRoot: STRING, space: STRING,
+        integrations: STRUCT<aws: STRUCT<assumedRoleArn: STRING>>>>>>
+"""
+
+POOLS_SCHEMA = """
+    STRUCT<data: STRUCT<workerPools: ARRAY<STRUCT<
+        id: STRING, name: STRING, description: STRING, type: STRING,
+        space: STRING>>>>
+"""
+
+WORKERS_SCHEMA = """
+    STRUCT<data: STRUCT<workerPools: ARRAY<STRUCT<
+        id: STRING,
+        workers: ARRAY<STRUCT<id: STRING, status: STRING>>>>>>
+"""
+
+
+def transform_spacelift(
+    spaces_raw: DataFrame | None,
+    stacks_raw: DataFrame | None,
+    pools_raw: DataFrame | None,
+    workers_raw: DataFrame | None,
+    account_id: str,
+    account_name: str | None,
+    update_tag: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Raw frames are ``(payload_json)`` GraphQL responses."""
+    spark = next(
+        r.sparkSession
+        for r in (spaces_raw, stacks_raw, pools_raw, workers_raw)
+        if r is not None
+    )
+    acct_frame = spark.createDataFrame(
+        [(account_id, account_name)], "aid string, name string"
+    )
+    nodes = _node(acct_frame, "SpaceliftAccount", F.col("aid"), {
+        "name": F.col("name"),
+    }, update_tag, extra=["Tenant"])
+    acct = F.lit(account_id)
+    sub = ("SpaceliftAccount", acct)
+    edge_frames = []
+
+    if spaces_raw is not None:
+        sp = spaces_raw.select(
+            F.explode(
+                F.from_json("payload_json", SPACES_SCHEMA)["data"]["spaces"]
+            ).alias("s"),
+        ).filter(F.col("s.id").isNotNull()).withColumn(
+            "is_root", F.col("s.parentSpace").isNull()
+        )
+        nodes = nodes.unionByName(_node(sp, "SpaceliftSpace", F.col("s.id"), {
+            "name": F.col("s.name"),
+            "description": F.col("s.description"),
+            "is_root": F.col("is_root"),
+            "parent_space_id": F.col("s.parentSpace"),
+        }, update_tag))
+        edge_frames.append(_edge(sp, "SpaceliftAccount", acct, "RESOURCE",
+                                 "SpaceliftSpace", F.col("s.id"),
+                                 update_tag, sub))
+        child = sp.filter(~F.col("is_root"))
+        edge_frames.append(_edge(child, "SpaceliftSpace",
+                                 F.col("s.parentSpace"), "CONTAINS",
+                                 "SpaceliftSpace", F.col("s.id"),
+                                 update_tag, sub))
+
+    if stacks_raw is not None:
+        st = stacks_raw.select(
+            F.explode(
+                F.from_json("payload_json", STACKS_SCHEMA)["data"]["stacks"]
+            ).alias("s"),
+        ).filter(F.col("s.id").isNotNull()).withColumn(
+            "aws_role_arn", F.col("s.integrations.aws.assumedRoleArn")
+        )
+        nodes = nodes.unionByName(_node(st, "SpaceliftStack", F.col("s.id"), {
+            "name": F.col("s.name"),
+            "description": F.col("s.description"),
+            "state": F.col("s.state"),
+            "administrative": F.col("s.administrative"),
+            "repository": F.col("s.repository"),
+            "branch": F.col("s.branch"),
+            "project_root": F.col("s.projectRoot"),
+            "space_id": F.col("s.space"),
+            "aws_role_arn": F.col("aws_role_arn"),
+        }, update_tag))
+        edge_frames.append(_edge(st, "SpaceliftAccount", acct, "RESOURCE",
+                                 "SpaceliftStack", F.col("s.id"),
+                                 update_tag, sub))
+        edge_frames.append(_edge(
+            st.filter(F.col("s.space").isNotNull()), "SpaceliftSpace",
+            F.col("s.space"), "CONTAINS", "SpaceliftStack", F.col("s.id"),
+            update_tag, sub))
+        # canonical (stack)-[:ASSUMES]->(:AWSRole) when the AWS
+        # integration names a role (stacks.py:57-62)
+        edge_frames.append(_edge(
+            st.filter(F.col("aws_role_arn").isNotNull()), "SpaceliftStack",
+            F.col("s.id"), "ASSUMES", "AWSRole", F.col("aws_role_arn"),
+            update_tag, sub))
+
+    if pools_raw is not None:
+        pl = pools_raw.select(
+            F.explode(
+                F.from_json("payload_json", POOLS_SCHEMA)["data"][
+                    "workerPools"]
+            ).alias("p"),
+        ).filter(F.col("p.id").isNotNull())
+        nodes = nodes.unionByName(_node(pl, "SpaceliftWorkerPool",
+                                        F.col("p.id"), {
+            "name": F.col("p.name"),
+            "description": F.col("p.description"),
+            "pool_type": F.col("p.type"),
+            "space_id": F.col("p.space"),
+        }, update_tag))
+        edge_frames.append(_edge(pl, "SpaceliftAccount", acct, "RESOURCE",
+                                 "SpaceliftWorkerPool", F.col("p.id"),
+                                 update_tag, sub))
+        edge_frames.append(_edge(
+            pl.filter(F.col("p.space").isNotNull()), "SpaceliftSpace",
+            F.col("p.space"), "CONTAINS", "SpaceliftWorkerPool",
+            F.col("p.id"), update_tag, sub))
+
+    if workers_raw is not None:
+        wk = workers_raw.select(
+            F.explode(
+                F.from_json("payload_json", WORKERS_SCHEMA)["data"][
+                    "workerPools"]
+            ).alias("p"),
+        ).select(
+            F.col("p.id").alias("pool_id"),
+            F.explode(F.coalesce("p.workers", F.array())).alias("w"),
+        ).filter(F.col("w.id").isNotNull())
+        nodes = nodes.unionByName(_node(wk, "SpaceliftWorker",
+                                        F.col("w.id"), {
+            # the worker id doubles as its name (workers.py:66-68)
+            "name": F.col("w.id"),
+            "status": F.col("w.status"),
+            "worker_pool_id": F.col("pool_id"),
+        }, update_tag))
+        edge_frames.append(_edge(wk, "SpaceliftAccount", acct, "RESOURCE",
+                                 "SpaceliftWorker", F.col("w.id"),
+                                 update_tag, sub))
+        edge_frames.append(_edge(wk, "SpaceliftWorkerPool",
+                                 F.col("pool_id"), "CONTAINS",
+                                 "SpaceliftWorker", F.col("w.id"),
+                                 update_tag, sub))
+
+    edges = edge_frames[0]
+    for f in edge_frames[1:]:
+        edges = edges.unionByName(f)
+    return nodes, edges
+
+
+def sync_spacelift(
+    store,
+    spaces_raw: DataFrame | None,
+    stacks_raw: DataFrame | None,
+    pools_raw: DataFrame | None,
+    workers_raw: DataFrame | None,
+    account_id: str,
+    account_name: str | None,
+    update_tag: int,
+) -> dict:
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    nodes, edges = transform_spacelift(
+        spaces_raw, stacks_raw, pools_raw, workers_raw, account_id,
+        account_name, update_tag,
+    )
+    metrics = {
+        "nodes": store.merge_nodes(nodes, update_tag),
+        "edges": store.merge_edges(edges, update_tag),
+    }
+    acct_rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label="SpaceliftAccount",
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("SPACELIFT_ACCOUNT_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    ran = [
+        label for label, raw in (
+            ("SpaceliftWorker", workers_raw),
+            ("SpaceliftWorkerPool", pools_raw),
+            ("SpaceliftStack", stacks_raw),
+            ("SpaceliftSpace", spaces_raw),
+        ) if raw is not None
+    ]
+    for label in ran:
+        if label not in store.manifest["nodes"]:
+            continue
+        metrics[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=acct_rel,
+            ),
+            update_tag,
+            {"SPACELIFT_ACCOUNT_ID": account_id},
+        )
+    store.record_lineage("spacelift_sync", {"update_tag": update_tag})
+    return metrics

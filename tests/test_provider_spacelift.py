@@ -1,0 +1,79 @@
+"""Spacelift provider parity over the reference's actual
+``tests/data/spacelift/spacelift_data.py`` fixture: space hierarchy,
+AWS-integration role extraction, pool/worker nesting, scoped GC."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.spacelift import (
+    sync_spacelift,
+    transform_spacelift,
+)
+from tests.test_fixture_parity_github import _load_fixture_ns
+
+FIXTURE = "/root/reference/tests/data/spacelift/spacelift_data.py"
+ACCOUNT, TAG = "test-account-123", 123456789
+
+
+@pytest.fixture(scope="module")
+def fix():
+    if not os.path.exists(FIXTURE):
+        pytest.skip("reference fixture not available")
+    return _load_fixture_ns(FIXTURE)
+
+
+def _raw(spark, payload):
+    return spark.createDataFrame(
+        [(json.dumps(payload),)], "payload_json string"
+    )
+
+
+def test_nodes_and_rels(spark, fix):
+    nodes, edges = transform_spacelift(
+        _raw(spark, fix["SPACES_DATA"]), _raw(spark, fix["STACKS_DATA"]),
+        _raw(spark, fix["WORKER_POOLS_DATA"]),
+        _raw(spark, fix["WORKERS_DATA"]), ACCOUNT, "Test Organization", TAG,
+    )
+    rows = {(r["label"], r["id"]): r["props"] for r in nodes.collect()}
+    assert rows[("SpaceliftSpace", "root-space")]["is_root"] == "true"
+    assert rows[("SpaceliftSpace", "child-space-1")]["is_root"] == "false"
+    # AWS-integration role extraction; absent integration stays null
+    assert rows[("SpaceliftStack", "stack-1")]["aws_role_arn"] == (
+        "arn:aws:iam::000000000000:role/SpaceLift-Administrator-Access")
+    assert rows[("SpaceliftStack", "stack-2")].get("aws_role_arn") is None
+    assert rows[("SpaceliftWorker", "worker-1")]["name"] == "worker-1"
+    assert rows[("SpaceliftWorker", "worker-1")]["worker_pool_id"] == "pool-1"
+
+    rels = {
+        (r["rel_label"], r["src_id"], r["dst_id"]) for r in edges.collect()
+    }
+    assert ("CONTAINS", "root-space", "child-space-1") in rels
+    assert ("CONTAINS", "root-space", "stack-1") in rels
+    assert ("CONTAINS", "child-space-1", "stack-2") in rels
+    assert ("CONTAINS", "pool-1", "worker-1") in rels
+    assert ("ASSUMES", "stack-1",
+            "arn:aws:iam::000000000000:role/SpaceLift-Administrator-Access"
+            ) in rels
+    # no AWS integration → no ASSUMES edge (stacks.py:57-62)
+    assert not any(
+        r == "ASSUMES" and s == "stack-2" for r, s, _ in rels)
+
+
+def test_sync_and_gc(spark, tmp_store, fix):
+    s = tmp_store
+    sync_spacelift(
+        s, _raw(spark, fix["SPACES_DATA"]), _raw(spark, fix["STACKS_DATA"]),
+        _raw(spark, fix["WORKER_POOLS_DATA"]),
+        _raw(spark, fix["WORKERS_DATA"]), ACCOUNT, "Test Organization", TAG,
+    )
+    assert s.nodes(["SpaceliftStack"]).count() == 2
+    # run 2: stacks shrink; workers skipped → untouched
+    shrunk = {"data": {"stacks": fix["STACKS_DATA"]["data"]["stacks"][:1]}}
+    sync_spacelift(s, None, _raw(spark, shrunk), None, None, ACCOUNT,
+                   "Test Organization", TAG + 1)
+    assert {r["id"] for r in s.nodes(["SpaceliftStack"]).collect()} == {
+        "stack-1"}
+    assert s.nodes(["SpaceliftWorker"]).count() == 2

@@ -1,0 +1,376 @@
+"""Supabase sync: organizations (+members), projects, API keys,
+security-advisor findings, edge functions (reference
+``intel/supabase/{organizations,projects,apikeys,advisors,
+functions}.py``; auth/network/storage/branches are later stages).
+
+* organizations (``organizations.py:63-81``): the list merged with the
+  per-org detail by id (a batch join, not the reference's dict),
+  Tenant-labeled by slug;
+* members (``:125-142``): node ids scoped ``{org_slug}/{user_id}`` —
+  role_name is a per-organization fact, so a user in several orgs gets
+  one node per membership; UserAccount label;
+* projects (``projects.py:261-300``): settings sub-objects flattened
+  (legacy API keys, postgrest, storage S3-protocol, realtime, vanity
+  subdomain); Tenant-labeled; one ``{ref}/postgres`` SupabaseDatabase
+  node per project anchors the advisor AFFECTS edges;
+* API keys (``apikeys.py:92-119``): ids ALWAYS prefixed with the
+  project ref (legacy "anon"/"service_role" ids are identical across
+  projects and would otherwise collapse to one shared node), and the
+  ``api_key`` secret value is dropped before anything reaches the
+  graph; APIKey ontology label;
+* advisor findings (``advisors.py:53-78``): ``{ref}/{cache_key}`` ids,
+  SecurityIssue label, AFFECTS the project database;
+* edge functions (``functions.py:88-108``): Function ontology label.
+
+Org-/project-scoped GC per family that ran; project-scoped labels
+sweep through the set-scoped single-pass cleanup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cartography_spark.providers.aws_ec2 import _edge, _node
+
+ORGS_SCHEMA = """
+    ARRAY<STRUCT<id: STRING, slug: STRING, name: STRING>>
+"""
+ORG_DETAILS_SCHEMA = """
+    ARRAY<STRUCT<id: STRING, plan: STRING,
+                 opt_in_tags: ARRAY<STRING>,
+                 allowed_release_channels: ARRAY<STRING>>>
+"""
+MEMBERS_SCHEMA = """
+    ARRAY<STRUCT<user_id: STRING, email: STRING, user_name: STRING,
+                 role_name: STRING, mfa_enabled: BOOLEAN>>
+"""
+PROJECTS_SCHEMA = """
+    ARRAY<STRUCT<
+        ref: STRING, name: STRING, region: STRING, status: STRING,
+        created_at: STRING, organization_slug: STRING,
+        settings: STRUCT<
+            legacy_api_keys: STRUCT<enabled: BOOLEAN>,
+            postgrest: STRUCT<db_schema: STRING, max_rows: INT,
+                              db_extra_search_path: STRING>,
+            storage: STRUCT<fileSizeLimit: BIGINT,
+                features: STRUCT<s3Protocol: STRUCT<enabled: BOOLEAN>>>,
+            realtime: STRUCT<private_only: BOOLEAN,
+                             presence_enabled: BOOLEAN>,
+            vanity_subdomain: STRUCT<custom_domain: STRING,
+                                     status: STRING>>>>
+"""
+APIKEYS_SCHEMA = """
+    ARRAY<STRUCT<id: STRING, type: STRING, name: STRING, prefix: STRING,
+                 hash: STRING, description: STRING, inserted_at: STRING,
+                 updated_at: STRING, api_key: STRING>>
+"""
+ADVISORS_SCHEMA = """
+    STRUCT<lints: ARRAY<STRUCT<
+        cache_key: STRING, name: STRING, title: STRING, level: STRING,
+        facing: STRING, categories: ARRAY<STRING>, description: STRING,
+        detail: STRING, remediation: STRING,
+        metadata: STRUCT<entity: STRING, schema: STRING, name: STRING,
+                         type: STRING>>>>
+"""
+FUNCTIONS_SCHEMA = """
+    ARRAY<STRUCT<id: STRING, slug: STRING, name: STRING, status: STRING,
+                 version: INT, verify_jwt: BOOLEAN, created_at: STRING,
+                 updated_at: STRING>>
+"""
+
+
+def transform_supabase(
+    orgs_raw: DataFrame | None,
+    members_raw: DataFrame | None,
+    projects_raw: DataFrame | None,
+    apikeys_raw: DataFrame | None,
+    advisors_raw: DataFrame | None,
+    functions_raw: DataFrame | None,
+    update_tag: int,
+) -> tuple[DataFrame, DataFrame]:
+    """``orgs_raw(payload_json, details_json)``;
+    ``members_raw(org_slug, payload_json)``;
+    ``projects_raw(payload_json)``; project-scoped frames
+    (``apikeys/advisors/functions``) are ``(project_ref,
+    payload_json)``."""
+    node_frames, edge_frames = [], []
+
+    if orgs_raw is not None:
+        base = orgs_raw.select(
+            F.explode(F.from_json("payload_json", ORGS_SCHEMA)).alias("o"),
+        ).filter(F.col("o.slug").isNotNull())
+        details = orgs_raw.select(
+            F.explode(
+                F.from_json("details_json", ORG_DETAILS_SCHEMA)
+            ).alias("d"),
+        ).select(
+            F.col("d.id").alias("__oid"),
+            F.col("d.plan").alias("__plan"),
+            F.to_json("d.opt_in_tags").alias("__tags"),
+            F.to_json("d.allowed_release_channels").alias("__channels"),
+        ).dropDuplicates(["__oid"])
+        orgs = base.join(
+            F.broadcast(details), base["o.id"] == F.col("__oid"), "left"
+        )
+        node_frames.append(_node(orgs, "SupabaseOrganization",
+                                 F.col("o.slug"), {
+            "organization_id": F.col("o.id"),
+            "name": F.col("o.name"),
+            "plan": F.col("__plan"),
+            "opt_in_tags": F.col("__tags"),
+            "allowed_release_channels": F.col("__channels"),
+        }, update_tag, extra=["Tenant"]))
+
+    if members_raw is not None:
+        m = members_raw.select(
+            "org_slug",
+            F.explode(F.from_json("payload_json", MEMBERS_SCHEMA)).alias("m"),
+        ).filter(F.col("m.user_id").isNotNull()).withColumn(
+            "mid", F.concat_ws("/", "org_slug", "m.user_id")
+        )
+        node_frames.append(_node(m, "SupabaseOrganizationMember",
+                                 F.col("mid"), {
+            "user_id": F.col("m.user_id"),
+            "email": F.col("m.email"),
+            "user_name": F.col("m.user_name"),
+            "role_name": F.col("m.role_name"),
+            "mfa_enabled": F.col("m.mfa_enabled"),
+        }, update_tag, extra=["UserAccount"]))
+        edge_frames.append(_edge(m, "SupabaseOrganization",
+                                 F.col("org_slug"), "RESOURCE",
+                                 "SupabaseOrganizationMember", F.col("mid"),
+                                 update_tag,
+                                 ("SupabaseOrganization",
+                                  F.col("org_slug"))))
+
+    if projects_raw is not None:
+        p = projects_raw.select(
+            F.explode(
+                F.from_json("payload_json", PROJECTS_SCHEMA)
+            ).alias("p"),
+        ).filter(F.col("p.ref").isNotNull())
+        st = F.col("p.settings")
+        node_frames.append(_node(p, "SupabaseProject", F.col("p.ref"), {
+            "name": F.col("p.name"),
+            "region": F.col("p.region"),
+            "status": F.col("p.status"),
+            "created_at": F.col("p.created_at"),
+            "organization_slug": F.col("p.organization_slug"),
+            "legacy_api_keys_enabled": st["legacy_api_keys"]["enabled"],
+            "postgrest_db_schema": st["postgrest"]["db_schema"],
+            "postgrest_max_rows": st["postgrest"]["max_rows"],
+            "storage_file_size_limit": st["storage"]["fileSizeLimit"],
+            "storage_s3_protocol_enabled":
+                st["storage"]["features"]["s3Protocol"]["enabled"],
+            "realtime_private_only": st["realtime"]["private_only"],
+            "realtime_presence_enabled": st["realtime"]["presence_enabled"],
+            "vanity_subdomain": st["vanity_subdomain"]["custom_domain"],
+            "vanity_subdomain_status": st["vanity_subdomain"]["status"],
+        }, update_tag, extra=["Tenant"]))
+        # one database node per project, the advisor AFFECTS anchor
+        node_frames.append(_node(p, "SupabaseDatabase", F.concat_ws(
+            "/", "p.ref", F.lit("postgres")), {
+            "project_ref": F.col("p.ref"),
+        }, update_tag, extra=["Database"]))
+        org_sub = ("SupabaseOrganization", F.col("p.organization_slug"))
+        edge_frames.append(_edge(p, "SupabaseOrganization",
+                                 F.col("p.organization_slug"), "RESOURCE",
+                                 "SupabaseProject", F.col("p.ref"),
+                                 update_tag, org_sub))
+        edge_frames.append(_edge(p, "SupabaseProject", F.col("p.ref"),
+                                 "RESOURCE", "SupabaseDatabase",
+                                 F.concat_ws("/", "p.ref",
+                                             F.lit("postgres")),
+                                 update_tag,
+                                 ("SupabaseProject", F.col("p.ref"))))
+
+    def project_scoped(raw, ddl):
+        return raw.select(
+            "project_ref",
+            F.explode(F.from_json("payload_json", ddl)).alias("x"),
+        )
+
+    if apikeys_raw is not None:
+        k = project_scoped(apikeys_raw, APIKEYS_SCHEMA).withColumn(
+            "key_id",
+            # project-ref prefix: legacy anon/service_role ids collide
+            # across projects (apikeys.py:97-106); the api_key VALUE is
+            # never selected below — it dies here
+            F.concat_ws(
+                "/", "project_ref",
+                F.coalesce(F.col("x.id"), F.col("x.type"),
+                           F.lit("unknown")),
+            ),
+        )
+        node_frames.append(_node(k, "SupabaseApiKey", F.col("key_id"), {
+            "name": F.col("x.name"),
+            "type": F.col("x.type"),
+            "prefix": F.col("x.prefix"),
+            "hash": F.col("x.hash"),
+            "description": F.col("x.description"),
+            "inserted_at": F.col("x.inserted_at"),
+            "updated_at": F.col("x.updated_at"),
+        }, update_tag, extra=["APIKey"]))
+        edge_frames.append(_edge(k, "SupabaseProject",
+                                 F.col("project_ref"), "RESOURCE",
+                                 "SupabaseApiKey", F.col("key_id"),
+                                 update_tag,
+                                 ("SupabaseProject", F.col("project_ref"))))
+
+    if advisors_raw is not None:
+        a = advisors_raw.select(
+            "project_ref",
+            F.explode(
+                F.coalesce(
+                    F.from_json("payload_json", ADVISORS_SCHEMA)["lints"],
+                    F.array(),
+                )
+            ).alias("x"),
+        ).filter(F.col("x.cache_key").isNotNull()).withColumn(
+            "fid", F.concat_ws("/", "project_ref", "x.cache_key")
+        ).withColumn(
+            "db_id", F.concat_ws("/", "project_ref", F.lit("postgres"))
+        )
+        node_frames.append(_node(a, "SupabaseSecurityAdvisorFinding",
+                                 F.col("fid"), {
+            "name": F.col("x.name"),
+            "title": F.col("x.title"),
+            "level": F.col("x.level"),
+            "facing": F.col("x.facing"),
+            "categories": F.to_json("x.categories"),
+            "description": F.col("x.description"),
+            "detail": F.col("x.detail"),
+            "remediation": F.col("x.remediation"),
+            "entity": F.col("x.metadata.entity"),
+            "entity_schema": F.col("x.metadata.schema"),
+            "entity_name": F.col("x.metadata.name"),
+            "entity_type": F.col("x.metadata.type"),
+            "database_id": F.col("db_id"),
+        }, update_tag, extra=["SecurityIssue"]))
+        proj_sub = ("SupabaseProject", F.col("project_ref"))
+        edge_frames.append(_edge(a, "SupabaseProject",
+                                 F.col("project_ref"), "RESOURCE",
+                                 "SupabaseSecurityAdvisorFinding",
+                                 F.col("fid"), update_tag, proj_sub))
+        edge_frames.append(_edge(a, "SupabaseSecurityAdvisorFinding",
+                                 F.col("fid"), "AFFECTS",
+                                 "SupabaseDatabase", F.col("db_id"),
+                                 update_tag, proj_sub))
+
+    if functions_raw is not None:
+        fn = project_scoped(functions_raw, FUNCTIONS_SCHEMA).filter(
+            F.col("x.id").isNotNull()
+        )
+        node_frames.append(_node(fn, "SupabaseEdgeFunction", F.col("x.id"), {
+            "slug": F.col("x.slug"),
+            "name": F.col("x.name"),
+            "status": F.col("x.status"),
+            "version": F.col("x.version"),
+            "verify_jwt": F.col("x.verify_jwt"),
+            "created_at": F.col("x.created_at"),
+            "updated_at": F.col("x.updated_at"),
+        }, update_tag, extra=["Function"]))
+        edge_frames.append(_edge(fn, "SupabaseProject",
+                                 F.col("project_ref"), "RESOURCE",
+                                 "SupabaseEdgeFunction", F.col("x.id"),
+                                 update_tag,
+                                 ("SupabaseProject", F.col("project_ref"))))
+
+    nodes = node_frames[0]
+    for f in node_frames[1:]:
+        nodes = nodes.unionByName(f)
+    edges = edge_frames[0]
+    for f in edge_frames[1:]:
+        edges = edges.unionByName(f)
+    return nodes, edges
+
+
+def sync_supabase(
+    store,
+    orgs_raw: DataFrame | None,
+    members_raw: DataFrame | None,
+    projects_raw: DataFrame | None,
+    apikeys_raw: DataFrame | None,
+    advisors_raw: DataFrame | None,
+    functions_raw: DataFrame | None,
+    org_slug: str,
+    update_tag: int,
+) -> dict:
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import (
+        run_cleanup,
+        run_scoped_cleanup_for_scopes,
+    )
+
+    nodes, edges = transform_supabase(
+        orgs_raw, members_raw, projects_raw, apikeys_raw, advisors_raw,
+        functions_raw, update_tag,
+    )
+    metrics = {
+        "nodes": store.merge_nodes(nodes, update_tag),
+        "edges": store.merge_edges(edges, update_tag),
+    }
+    org_rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label="SupabaseOrganization",
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("ORG_SLUG", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    proj_rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label="SupabaseProject",
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("PROJECT_REF", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    # project-scoped labels: one set-scoped pass over the batch's refs
+    proj_scope = None
+    for raw in (apikeys_raw, advisors_raw, functions_raw):
+        if raw is not None:
+            scope = raw.select(F.col("project_ref").alias("sub_id")).distinct()
+            proj_scope = (scope if proj_scope is None
+                          else proj_scope.unionByName(scope).distinct())
+    for label, raw in (
+        ("SupabaseApiKey", apikeys_raw),
+        ("SupabaseSecurityAdvisorFinding", advisors_raw),
+        ("SupabaseEdgeFunction", functions_raw),
+    ):
+        if raw is None or label not in store.manifest["nodes"]:
+            continue
+        metrics[f"gc_{label}"] = run_scoped_cleanup_for_scopes(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=proj_rel,
+            ),
+            update_tag,
+            proj_scope,
+        )
+    for label, raw in (
+        ("SupabaseOrganizationMember", members_raw),
+        ("SupabaseProject", projects_raw),
+    ):
+        if raw is None or label not in store.manifest["nodes"]:
+            continue
+        metrics[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=org_rel,
+            ),
+            update_tag,
+            {"ORG_SLUG": org_slug},
+        )
+    store.record_lineage("supabase_sync", {"update_tag": update_tag})
+    return metrics

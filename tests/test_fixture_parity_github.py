@@ -67,6 +67,8 @@ def _load_fixture_ns(path, stubs=None):
             return -ev(node.operand)
         if isinstance(node, ast.BinOp) and isinstance(node.op, ast.Add):
             return ev(node.left) + ev(node.right)
+        if isinstance(node, ast.BinOp) and isinstance(node.op, ast.Mult):
+            return ev(node.left) * ev(node.right)
         if isinstance(node, ast.Name):
             if node.id in ns:
                 return ns[node.id]

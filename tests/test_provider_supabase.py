@@ -1,0 +1,135 @@
+"""Supabase provider parity over the reference's actual
+``tests/data/supabase/*.py`` fixtures: org detail merge, org-scoped
+member ids, settings flattening, project-prefixed API-key ids with the
+secret value dropped, advisor findings AFFECTing the project database,
+and the set-scoped project GC."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.supabase import (
+    sync_supabase,
+    transform_supabase,
+)
+from tests.test_fixture_parity_github import _load_fixture_ns
+
+FIXDIR = "/root/reference/tests/data/supabase"
+ORG, REF, TAG = "simpson-corp", "nuclearplantdbaaaaaa", 123456789
+
+
+@pytest.fixture(scope="module")
+def fix():
+    if not os.path.isdir(FIXDIR):
+        pytest.skip("reference fixture not available")
+    return {
+        "orgs": _load_fixture_ns(f"{FIXDIR}/organizations.py"),
+        "projects": _load_fixture_ns(f"{FIXDIR}/projects.py")[
+            "SUPABASE_PROJECTS"],
+        "apikeys": _load_fixture_ns(f"{FIXDIR}/apikeys.py")[
+            "SUPABASE_API_KEYS"],
+        "advisors": _load_fixture_ns(f"{FIXDIR}/advisors.py")[
+            "SUPABASE_SECURITY_ADVISORS"],
+        "functions": _load_fixture_ns(f"{FIXDIR}/functions.py")[
+            "SUPABASE_EDGE_FUNCTIONS"],
+    }
+
+
+def _orgs_raw(spark, fix):
+    return spark.createDataFrame(
+        [(json.dumps(fix["orgs"]["SUPABASE_ORGANIZATIONS"]),
+          json.dumps(list(
+              fix["orgs"]["SUPABASE_ORGANIZATION_DETAILS"].values())))],
+        "payload_json string, details_json string",
+    )
+
+
+def _members_raw(spark, fix):
+    return spark.createDataFrame(
+        [(ORG, json.dumps(fix["orgs"]["SUPABASE_ORGANIZATION_MEMBERS"]))],
+        "org_slug string, payload_json string",
+    )
+
+
+def _plain_raw(spark, payload):
+    return spark.createDataFrame(
+        [(json.dumps(payload),)], "payload_json string"
+    )
+
+
+def _proj_raw(spark, payload):
+    return spark.createDataFrame(
+        [(REF, json.dumps(payload))],
+        "project_ref string, payload_json string",
+    )
+
+
+def test_orgs_members_projects(spark, fix):
+    nodes, edges = transform_supabase(
+        _orgs_raw(spark, fix), _members_raw(spark, fix),
+        _plain_raw(spark, fix["projects"]), None, None, None, TAG,
+    )
+    rows = {(r["label"], r["id"]): r for r in nodes.collect()}
+    org = rows[("SupabaseOrganization", ORG)]
+    # detail merged by org id (organizations.py:63-81)
+    assert org["props"]["plan"] == "pro"
+    assert "Tenant" in org["extra_labels"]
+    # member ids scoped {org}/{user} (organizations.py:125-142)
+    m = rows[("SupabaseOrganizationMember", f"{ORG}/user-marge")]
+    assert m["props"]["role_name"] == "Owner"
+    assert "UserAccount" in m["extra_labels"]
+    # projects + per-project database anchor
+    assert ("SupabaseProject", REF) in rows
+    assert ("SupabaseDatabase", f"{REF}/postgres") in rows
+    rels = {(r["rel_label"], r["src_id"], r["dst_id"])
+            for r in edges.collect()}
+    assert ("RESOURCE", ORG, REF) in rels
+    assert ("RESOURCE", "burns-industries", "monoraildbcccccccccc") in rels
+
+
+def test_apikeys_secret_dropped_and_advisors(spark, fix):
+    nodes, edges = transform_supabase(
+        None, None, None, _proj_raw(spark, fix["apikeys"]),
+        _proj_raw(spark, fix["advisors"]),
+        _proj_raw(spark, fix["functions"]), TAG,
+    )
+    rows = {(r["label"], r["id"]): r for r in nodes.collect()}
+    key = rows[("SupabaseApiKey", f"{REF}/key-publishable-1")]
+    assert key["props"]["prefix"] == "sb_publishable_"
+    assert "APIKey" in key["extra_labels"]
+    # the api_key secret value never reaches the graph (apikeys.py:92-96)
+    assert not any("dummy_value" in (v or "")
+                   for v in key["props"].values())
+    finding_id = f"{REF}/rls_disabled_in_public_public_reactor_readings"
+    finding = rows[("SupabaseSecurityAdvisorFinding", finding_id)]
+    assert finding["props"]["level"] == "ERROR"
+    assert finding["props"]["entity"] == "public.reactor_readings"
+    assert "SecurityIssue" in finding["extra_labels"]
+    rels = {(r["rel_label"], r["src_id"], r["dst_id"])
+            for r in edges.collect()}
+    assert ("AFFECTS", finding_id, f"{REF}/postgres") in rels
+    # edge functions carry the Function label
+    fns = [r for r in rows if r[0] == "SupabaseEdgeFunction"]
+    assert fns and all(
+        "Function" in rows[f]["extra_labels"] for f in fns)
+
+
+def test_sync_and_set_scoped_gc(spark, tmp_store, fix):
+    s = tmp_store
+    sync_supabase(
+        s, _orgs_raw(spark, fix), _members_raw(spark, fix),
+        _plain_raw(spark, fix["projects"]), _proj_raw(spark, fix["apikeys"]),
+        _proj_raw(spark, fix["advisors"]),
+        _proj_raw(spark, fix["functions"]), ORG, TAG,
+    )
+    n_keys = s.nodes(["SupabaseApiKey"]).count()
+    assert n_keys >= 2
+    # run 2: keys shrink to one for this project; advisors skipped
+    sync_supabase(
+        s, None, None, None, _proj_raw(spark, fix["apikeys"][:1]), None,
+        None, ORG, TAG + 1,
+    )
+    assert s.nodes(["SupabaseApiKey"]).count() == 1
+    assert s.nodes(["SupabaseSecurityAdvisorFinding"]).count() >= 1

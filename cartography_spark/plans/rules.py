@@ -484,6 +484,38 @@ GCP_PUBLIC_BUCKETS = Fact(
     asset_id_field="bucket_id",
 )
 
+AZURE_PUBLIC_BLOBS = Fact(
+    id="azure_storage_public_blob_access",
+    name="Azure Storage Accounts with Public Blob Containers",
+    description="Blob containers with public_access Container or Blob "
+    "reached through the account's blob service "
+    "(rules/data/rules/object_storage_public.py "
+    "_azure_storage_public_blob_access).",
+    sql_query="""
+        SELECT sa.id AS account_id, sa.props['name'] AS account,
+               bc.id AS container_id, bc.props['name'] AS name,
+               bc.props['public_access'] AS public_access_element
+        FROM nodes sa
+        JOIN edges u ON u.rel_label = 'USES'
+                    AND u.src_label = 'AzureStorageAccount'
+                    AND u.src_id = sa.id
+                    AND u.dst_label = 'AzureStorageBlobService'
+        JOIN edges c ON c.rel_label = 'CONTAINS'
+                    AND c.src_label = 'AzureStorageBlobService'
+                    AND c.src_id = u.dst_id
+                    AND c.dst_label = 'AzureStorageBlobContainer'
+        JOIN nodes bc ON bc.label = 'AzureStorageBlobContainer'
+                     AND bc.id = c.dst_id
+        WHERE sa.label = 'AzureStorageAccount'
+          AND bc.props['public_access'] IN ('Container', 'Blob')
+    """,
+    count_sql="SELECT count(*) AS count FROM nodes "
+              "WHERE label = 'AzureStorageAccount'",
+    identity_fields=("account_id", "container_id"),
+    asset_label="AzureStorageAccount",
+    asset_id_field="account_id",
+)
+
 S3_MFA_DELETE_DISABLED = Fact(
     id="aws_s3_mfa_delete_disabled",
     name="AWS S3 buckets without Versioning and MFA Delete",
@@ -1509,8 +1541,8 @@ ALL_RULES: tuple[Rule, ...] = (
         description="Object storage reachable by anonymous principals "
         "via ACL or bucket policy "
         "(rules/data/rules/object_storage_public.py).",
-        version="1.1.0",
-        facts=(S3_PUBLIC_BUCKETS, GCP_PUBLIC_BUCKETS),
+        version="1.2.0",
+        facts=(S3_PUBLIC_BUCKETS, GCP_PUBLIC_BUCKETS, AZURE_PUBLIC_BLOBS),
         frameworks=(iso27001_annex_a("8.3"), soc2_tsc("CC6.1")),
     ),
     Rule(

@@ -1,0 +1,238 @@
+"""Azure Storage sync: accounts, blob services, blob containers, file
+services, file shares (reference ``intel/azure/storage.py``) —
+extends the Azure family beyond compute and completes the
+``(sa)-[:USES]->(bs)-[:CONTAINS]->(bc)`` chain the
+object-storage-exposure rules walk.
+
+* accounts (``transform_storage_account`` :48-65 +
+  ``get_storage_account_list`` :139-171): the snake/camel property
+  pairs coalesce; ``resourceGroup`` is the path segment after
+  ``resourceGroups`` in the ARM id;
+* blob services (``:471-520`` family): ``USES`` from the account;
+* blob containers (``transform_storage_blob_container`` :67-94):
+  ``public_access`` drives the ``azure_storage_public_blob`` fact —
+  a container with Container/Blob access on an account without HTTPS
+  enforcement is the exposure shape the reference's
+  database_instance_exposed azure leg matches;
+* file services + shares (``transform_storage_file_share`` :96-119).
+
+Subscription-scoped GC per family that ran.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from cartography_spark.providers.aws_ec2 import _edge, _node
+
+ACCOUNTS_SCHEMA = """
+    ARRAY<STRUCT<
+        id: STRING, name: STRING, kind: STRING, location: STRING,
+        is_hns_enabled: BOOLEAN, creation_time: STRING,
+        primary_location: STRING, provisioning_state: STRING,
+        secondary_location: STRING, status_of_primary: STRING,
+        status_of_secondary: STRING, enable_https_traffic_only: BOOLEAN,
+        type: STRING, resourceGroup: STRING>>
+"""
+
+SERVICES_SCHEMA = """
+    ARRAY<STRUCT<id: STRING, name: STRING, type: STRING,
+                 storage_account_id: STRING>>
+"""
+
+CONTAINERS_SCHEMA = """
+    ARRAY<STRUCT<id: STRING, name: STRING, type: STRING,
+                 public_access: STRING, lease_status: STRING,
+                 lease_state: STRING, last_modified_time: STRING,
+                 has_immutability_policy: BOOLEAN, has_legal_hold: BOOLEAN,
+                 deleted: BOOLEAN, default_encryption_scope: STRING,
+                 service_id: STRING>>
+"""
+
+SHARES_SCHEMA = """
+    ARRAY<STRUCT<id: STRING, name: STRING, type: STRING,
+                 last_modified_time: STRING, share_quota: BIGINT,
+                 access_tier: STRING, deleted: BOOLEAN,
+                 enabled_protocols: STRING, version: STRING,
+                 service_id: STRING>>
+"""
+
+
+def _resource_group(arm_id: Column) -> Column:
+    """Path segment after ``resourceGroups`` (:166-168)."""
+    return F.regexp_extract(arm_id, r"/resourceGroups/([^/]+)/", 1)
+
+
+def transform_azure_storage(
+    accounts_raw: DataFrame | None,
+    blob_services_raw: DataFrame | None,
+    containers_raw: DataFrame | None,
+    file_services_raw: DataFrame | None,
+    shares_raw: DataFrame | None,
+    subscription_id: str,
+    update_tag: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Raw frames are ``(payload_json)`` with the respective lists."""
+    sub_c = F.lit(subscription_id)
+    sub = ("AzureSubscription", sub_c)
+    node_frames, edge_frames = [], []
+
+    def exploded(raw, ddl):
+        return raw.select(
+            F.explode(F.from_json("payload_json", ddl)).alias("x"),
+        ).filter(F.col("x.id").isNotNull())
+
+    if accounts_raw is not None:
+        a = exploded(accounts_raw, ACCOUNTS_SCHEMA)
+        node_frames.append(_node(a, "AzureStorageAccount", F.col("x.id"), {
+            "name": F.col("x.name"),
+            "kind": F.col("x.kind"),
+            "location": F.col("x.location"),
+            "is_hns_enabled": F.col("x.is_hns_enabled"),
+            "creation_time": F.col("x.creation_time"),
+            "primary_location": F.col("x.primary_location"),
+            "provisioning_state": F.col("x.provisioning_state"),
+            "secondary_location": F.col("x.secondary_location"),
+            "status_of_primary": F.col("x.status_of_primary"),
+            "status_of_secondary": F.col("x.status_of_secondary"),
+            "enable_https_traffic_only":
+                F.col("x.enable_https_traffic_only"),
+            "resource_group": F.coalesce(
+                F.col("x.resourceGroup"), _resource_group(F.col("x.id"))
+            ),
+        }, update_tag, extra=["ObjectStorage"]))
+        edge_frames.append(_edge(a, "AzureSubscription", sub_c, "RESOURCE",
+                                 "AzureStorageAccount", F.col("x.id"),
+                                 update_tag, sub))
+
+    for raw, label, rel_src_label in (
+        (blob_services_raw, "AzureStorageBlobService", "AzureStorageAccount"),
+        (file_services_raw, "AzureStorageFileService", "AzureStorageAccount"),
+    ):
+        if raw is None:
+            continue
+        s = exploded(raw, SERVICES_SCHEMA)
+        node_frames.append(_node(s, label, F.col("x.id"), {
+            "name": F.col("x.name"),
+            "type": F.col("x.type"),
+        }, update_tag))
+        edge_frames.append(_edge(s, "AzureSubscription", sub_c, "RESOURCE",
+                                 label, F.col("x.id"), update_tag, sub))
+        edge_frames.append(_edge(
+            s.filter(F.col("x.storage_account_id").isNotNull()),
+            rel_src_label, F.col("x.storage_account_id"), "USES", label,
+            F.col("x.id"), update_tag, sub))
+
+    if containers_raw is not None:
+        c = exploded(containers_raw, CONTAINERS_SCHEMA)
+        node_frames.append(_node(c, "AzureStorageBlobContainer",
+                                 F.col("x.id"), {
+            "name": F.col("x.name"),
+            "type": F.col("x.type"),
+            "public_access": F.col("x.public_access"),
+            "publicaccess": F.col("x.public_access"),
+            "lease_status": F.col("x.lease_status"),
+            "lease_state": F.col("x.lease_state"),
+            "last_modified_time": F.col("x.last_modified_time"),
+            "has_immutability_policy": F.col("x.has_immutability_policy"),
+            "has_legal_hold": F.col("x.has_legal_hold"),
+            "deleted": F.col("x.deleted"),
+            "default_encryption_scope":
+                F.col("x.default_encryption_scope"),
+        }, update_tag))
+        edge_frames.append(_edge(c, "AzureSubscription", sub_c, "RESOURCE",
+                                 "AzureStorageBlobContainer", F.col("x.id"),
+                                 update_tag, sub))
+        edge_frames.append(_edge(
+            c.filter(F.col("x.service_id").isNotNull()),
+            "AzureStorageBlobService", F.col("x.service_id"), "CONTAINS",
+            "AzureStorageBlobContainer", F.col("x.id"), update_tag, sub))
+
+    if shares_raw is not None:
+        sh = exploded(shares_raw, SHARES_SCHEMA)
+        node_frames.append(_node(sh, "AzureStorageFileShare",
+                                 F.col("x.id"), {
+            "name": F.col("x.name"),
+            "type": F.col("x.type"),
+            "last_modified_time": F.col("x.last_modified_time"),
+            "share_quota": F.col("x.share_quota"),
+            "access_tier": F.col("x.access_tier"),
+            "deleted": F.col("x.deleted"),
+            "enabled_protocols": F.col("x.enabled_protocols"),
+        }, update_tag))
+        edge_frames.append(_edge(sh, "AzureSubscription", sub_c, "RESOURCE",
+                                 "AzureStorageFileShare", F.col("x.id"),
+                                 update_tag, sub))
+        edge_frames.append(_edge(
+            sh.filter(F.col("x.service_id").isNotNull()),
+            "AzureStorageFileService", F.col("x.service_id"), "CONTAINS",
+            "AzureStorageFileShare", F.col("x.id"), update_tag, sub))
+
+    nodes = node_frames[0]
+    for f in node_frames[1:]:
+        nodes = nodes.unionByName(f)
+    edges = edge_frames[0]
+    for f in edge_frames[1:]:
+        edges = edges.unionByName(f)
+    return nodes, edges
+
+
+def sync_azure_storage(
+    store,
+    accounts_raw: DataFrame | None,
+    blob_services_raw: DataFrame | None,
+    containers_raw: DataFrame | None,
+    file_services_raw: DataFrame | None,
+    shares_raw: DataFrame | None,
+    subscription_id: str,
+    update_tag: int,
+) -> dict:
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    nodes, edges = transform_azure_storage(
+        accounts_raw, blob_services_raw, containers_raw, file_services_raw,
+        shares_raw, subscription_id, update_tag,
+    )
+    metrics = {
+        "nodes": store.merge_nodes(nodes, update_tag),
+        "edges": store.merge_edges(edges, update_tag),
+    }
+    sub_rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label="AzureSubscription",
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("AZURE_SUBSCRIPTION_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    ran = [
+        label for label, raw in (
+            ("AzureStorageBlobContainer", containers_raw),
+            ("AzureStorageFileShare", shares_raw),
+            ("AzureStorageBlobService", blob_services_raw),
+            ("AzureStorageFileService", file_services_raw),
+            ("AzureStorageAccount", accounts_raw),
+        ) if raw is not None
+    ]
+    for label in ran:
+        if label not in store.manifest["nodes"]:
+            continue
+        metrics[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=sub_rel,
+            ),
+            update_tag,
+            {"AZURE_SUBSCRIPTION_ID": subscription_id},
+        )
+    store.record_lineage("azure_storage_sync", {"update_tag": update_tag})
+    return metrics

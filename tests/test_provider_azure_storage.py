@@ -1,0 +1,85 @@
+"""Azure Storage parity over the reference's actual
+``tests/data/azure/storage.py`` fixture: account property coalescing,
+the USES/CONTAINS service chain, and the public-blob exposure fact."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.azure_storage import (
+    sync_azure_storage,
+    transform_azure_storage,
+)
+from tests.test_fixture_parity_github import _load_fixture_ns
+
+FIXTURE = "/root/reference/tests/data/azure/storage.py"
+SUB, TAG = "00-00-00-00", 123456789
+SA1 = ("/subscriptions/00-00-00-00/resourceGroups/TestRG/providers/"
+       "Microsoft.Storage/storageAccounts/testSG1")
+BS1 = SA1 + "/blobServices/BS1"
+BC1 = BS1 + "/containers/container1"
+
+
+@pytest.fixture(scope="module")
+def fix():
+    if not os.path.exists(FIXTURE):
+        pytest.skip("reference fixture not available")
+    return _load_fixture_ns(FIXTURE)
+
+
+def _raw(spark, payload):
+    return spark.createDataFrame(
+        [(json.dumps(payload),)], "payload_json string"
+    )
+
+
+def test_chain_and_props(spark, fix):
+    nodes, edges = transform_azure_storage(
+        _raw(spark, fix["DESCRIBE_STORAGE_ACCOUNTS"]),
+        _raw(spark, fix["DESCRIBE_BLOB_SERVICES"]),
+        _raw(spark, fix["DESCRIBE_BLOB_CONTAINERS"]),
+        _raw(spark, fix["DESCRIBE_FILE_SERVICES"]),
+        _raw(spark, fix["DESCRIBE_FILE_SHARES"]),
+        SUB, TAG,
+    )
+    rows = {(r["label"], r["id"]): r for r in nodes.collect()}
+    sa = rows[("AzureStorageAccount", SA1)]
+    assert sa["props"]["name"] == "testSG1"
+    assert sa["props"]["resource_group"] == "TestRG"
+    assert sa["props"]["enable_https_traffic_only"] == "false"
+    assert "ObjectStorage" in sa["extra_labels"]
+    bc = rows[("AzureStorageBlobContainer", BC1)]
+    assert bc["props"]["public_access"] == "Container"
+    rels = {(r["rel_label"], r["src_id"], r["dst_id"])
+            for r in edges.collect()}
+    assert ("USES", SA1, BS1) in rels
+    assert ("CONTAINS", BS1, BC1) in rels
+
+
+def test_public_blob_fact_and_gc(spark, tmp_store, fix):
+    """object_storage_public azure leg over provider-synced data; GC
+    sweeps stale containers."""
+    from cartography_spark.plans.rules import AZURE_PUBLIC_BLOBS, run_fact
+
+    s = tmp_store
+    sync_azure_storage(
+        s, _raw(spark, fix["DESCRIBE_STORAGE_ACCOUNTS"]),
+        _raw(spark, fix["DESCRIBE_BLOB_SERVICES"]),
+        _raw(spark, fix["DESCRIBE_BLOB_CONTAINERS"]), None, None, SUB, TAG,
+    )
+    res = run_fact(s, AZURE_PUBLIC_BLOBS)
+    got = {(r["account_id"], r["container_id"])
+           for r in res["findings"].collect()}
+    assert (SA1, BC1) in got
+    assert res["failing"] == 2  # both fixture accounts expose one each
+
+    # run 2: containers gone; services/accounts unchanged
+    sync_azure_storage(
+        s, _raw(spark, fix["DESCRIBE_STORAGE_ACCOUNTS"]),
+        _raw(spark, fix["DESCRIBE_BLOB_SERVICES"]), _raw(spark, []),
+        None, None, SUB, TAG + 1,
+    )
+    assert s.nodes(["AzureStorageBlobContainer"]).count() == 0
+    assert run_fact(s, AZURE_PUBLIC_BLOBS)["failing"] == 0

@@ -290,17 +290,19 @@ def transform_vulnerabilities(
     return nodes, edges
 
 
-def _known_tenant_cids(store) -> list[str]:
-    """``intel/crowdstrike/__init__.py:83-90`` — cleanup runs once per
-    tenant known to the graph, not just tenants touched this run."""
+def _known_tenant_cid_frame(store) -> "DataFrame | None":
+    """``intel/crowdstrike/__init__.py:83-90`` — cleanup covers every
+    tenant known to the graph, not just tenants touched this run.
+    Returned as a one-column DataFrame (never collected to the driver)
+    so GC stays a single set-scoped pass per label for an MSP with 10^3
+    cids as for a single-tenant deployment."""
     if LABEL_TENANT not in store.manifest["nodes"]:
-        return []
-    return [
-        r["id"]
-        for r in store.nodes()
+        return None
+    return (
+        store.nodes()
         .where(F.col("label") == LABEL_TENANT)
-        .select("id").collect()
-    ]
+        .select("id")
+    )
 
 
 def sync_crowdstrike(
@@ -318,7 +320,10 @@ def sync_crowdstrike(
         RelSchema,
         TargetNodeMatcher,
     )
-    from cartography_spark.operators.gc import run_cleanup
+    from cartography_spark.operators.gc import (
+        run_cleanup,
+        run_scoped_cleanup_for_scopes,
+    )
 
     metrics: dict = {}
     if hosts_raw is not None:
@@ -338,7 +343,11 @@ def sync_crowdstrike(
         ),
         direction=LinkDirection.INWARD,
     )
-    for cid in _known_tenant_cids(store):
+    # ONE set-scoped distributed pass per label, covering every known
+    # cid via a semi-join against the tenant frame — replaces the
+    # reference's per-cid cleanup loop without a driver-side collect.
+    cid_frame = _known_tenant_cid_frame(store)
+    if cid_frame is not None:
         for label in (LABEL_HOST, LABEL_VULN):
             if label not in store.manifest["nodes"]:
                 continue
@@ -347,9 +356,9 @@ def sync_crowdstrike(
                 properties={"id": PropertyRef("id")},
                 sub_resource_relationship=tenant_rel,
             )
-            gc = run_cleanup(store, schema, update_tag, {"CID": cid})
-            key = f"gc_{label}_{cid}"
-            metrics[key] = gc
+            metrics[f"gc_{label}"] = run_scoped_cleanup_for_scopes(
+                store, schema, update_tag, cid_frame
+            )
     # CrowdstrikeFinding is global (scoped_cleanup=False): a CVE not
     # re-observed this run is stale regardless of tenant.
     if LABEL_CVE in store.manifest["nodes"]:

@@ -355,6 +355,20 @@ def sync_kubernetes(
         ),
         direction=LinkDirection.INWARD,
     )
+    # Single filtered limit(1) lookup of THIS cluster's name, hoisted out
+    # of the per-label loop — never ships the fleet's cluster list (or
+    # its props maps) to the driver, so a 10^3-cluster registry costs the
+    # same as one.
+    cluster_name = None
+    if "KubernetesCluster" in store.manifest["nodes"]:
+        row = (
+            store.nodes(["KubernetesCluster"])
+            .where(F.col("id") == cluster_id)
+            .select(F.element_at("props", "name").alias("name"))
+            .limit(1)
+            .collect()
+        )
+        cluster_name = row[0]["name"] if row else None
     for label in ("KubernetesNamespace", "KubernetesPod", "KubernetesContainer"):
         if label not in store.manifest["nodes"]:
             continue
@@ -370,18 +384,13 @@ def sync_kubernetes(
         else:
             # pods/containers are scoped through their cluster_name prop
             # (they hang off namespaces, not directly off the cluster)
-            cluster_name = [
-                r["props"].get("name")
-                for r in store.nodes(["KubernetesCluster"]).collect()
-                if r["id"] == cluster_id
-            ]
-            if not cluster_name:
+            if cluster_name is None:
                 continue
             stale = (
                 store.nodes([label])
                 .filter(
                     (F.col("lastupdated") != int(update_tag))
-                    & (F.element_at("props", "cluster_name") == cluster_name[0])
+                    & (F.element_at("props", "cluster_name") == cluster_name)
                 )
                 .select("label", "id")
             )

@@ -189,3 +189,46 @@ def test_cleanup_drops_orphan_cves(spark, tmp_store):
         r["rel_label"] for r in tmp_store.edges().select("rel_label").collect()
     }
     assert "HAS_VULNERABILITY" not in rels
+
+
+def test_multi_cid_gc_is_one_pass_per_label(spark, tmp_store):
+    """The reference loops cleanup once per tenant cid
+    (``intel/crowdstrike/__init__.py:83-90``); here a multi-cid sweep is
+    ONE set-scoped distributed pass per label — lineage records exactly
+    one ``cleanup_scoped_set`` per label regardless of tenant count, and
+    stale hosts under BOTH cids are removed in that single pass."""
+    cid2 = "22222222222222222222222222222222"
+    aid2 = "ffffffffffffffffffffffffffffffff"
+    hosts_t1 = [
+        dict(HOSTS[0]),
+        {**HOSTS[0], "device_id": aid2, "cid": cid2, "hostname": "other"},
+    ]
+    sync_crowdstrike(tmp_store, _raw(spark, hosts_t1), None, TAG)
+
+    with open(tmp_store._lineage_path) as f:
+        before = sum(1 for _ in f)
+
+    # T2: neither host re-observed (empty batch) — both go stale
+    sync_crowdstrike(tmp_store, _raw(spark, []), None, TAG + 1)
+
+    remaining = {
+        r["id"]
+        for r in tmp_store.nodes(["CrowdstrikeHost"]).select("id").collect()
+    }
+    assert remaining == set()
+    # tenants themselves survive (they are the scope anchors)
+    tenants = {
+        r["id"]
+        for r in tmp_store.nodes(["CrowdstrikeTenant"]).select("id").collect()
+    }
+    assert tenants == {CID, cid2}
+
+    with open(tmp_store._lineage_path) as f:
+        recs = [json.loads(line) for line in f][before:]
+    scoped = [r for r in recs if r["stage"] == "cleanup_scoped_set"]
+    # one pass for CrowdstrikeHost; the vuln label is absent from the
+    # manifest in this run, so exactly one set-scoped record total
+    assert len(scoped) == 1
+    assert scoped[0]["label"] == "CrowdstrikeHost"
+    assert scoped[0]["n_scopes"] == 2
+    assert scoped[0]["nodes_deleted"] == 2

@@ -1,0 +1,433 @@
+"""AWS Route53 sync: hosted zones, DNS records, name servers, subzone
+derivation, and cross-module DNS_POINTS_TO linking.
+
+Re-expresses ``intel/aws/route53.py`` as column expressions:
+
+* **record-set transform** (``transform_record_set`` :119-198,
+  ``transform_ns_record_set`` :200-221): A/AAAA/CNAME/NS only (SOA etc.
+  drop); alias records become type ``ALIAS`` with id suffix
+  ``ALIAS``/``ALIAS_AAAA``/``WEIGHTED_CNAME``; plain A/AAAA join their
+  IPs comma-separated and keep the list for Ip linking; record id is
+  ``zoneid/name/suffix`` (``_create_dns_record_id`` :44-45);
+* **value normalization** (``_normalize_dns_target`` :51-63,
+  ``_normalize_alias_target`` :66-86): trailing root dot stripped +
+  lowercased; alias targets additionally lose Route53's ``dualstack.``
+  prefix only when the remainder ends in an AWS-owned ELB domain
+  (``_ELB_DNS_SUFFIXES`` :26-29) — a leading ``dualstack.`` anywhere
+  else is a genuinely different hostname;
+* **node identity** follows ``models/aws/route53/``: zones keyed by
+  ``zoneid`` with the ontology ``DNSZone`` extra label, records carry
+  ``DNSRecord`` + the ``_ont_{name,type,value}`` projection
+  (``models/ontology/mapping/data/dnsrecords.py:15-22``), name servers
+  keyed by their address;
+* **DNS_POINTS_TO linking** (the record model's OtherRelationships,
+  ``models/aws/route53/dnsrecord.py:96-220``): equi-joins of the
+  record's normalized value against AWSEC2Instance.publicdnsname,
+  AWSLoadBalancer(/V2).dnsname, AWSESDomain.endpoint and sibling
+  AWSDNSRecord.name, plus the exploded ip list against Ip.id and
+  AWSElasticIPAddress.public_ip — every leg one equi-join, no scans;
+* **subzone derivation** (``link_sub_zones`` :469-502): zone z SUBZONE
+  z2 when an NS record of z points at a name server of z2, the record
+  name equals z2's name, and z2.name ends with ``.z.name`` (the
+  shared-nameserver cycle guard) — the Cypher path becomes a 5-frame
+  join chain, merged as account-scoped MatchLink edges;
+* **cleanup** (``cleanup_route53`` :504-534): account-scoped node GC
+  for records/name servers/zones, stale DNS_POINTS_TO edge sweep over
+  the module's own target labels (an edge to a label another module
+  owns survives, mirroring the GraphJob's per-schema rel set), and
+  SUBZONE MatchLink GC.
+
+Scale: one explode per zone batch; every link is a broadcast-eligible
+equi-join keyed on a lowered hostname or IP string; no driver loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from cartography_spark.providers.aws_ec2 import _edge, _node
+
+LABEL_ZONE = "AWSDNSZone"
+LABEL_RECORD = "AWSDNSRecord"
+LABEL_NS = "AWSNameServer"
+
+ZONES_SCHEMA = """
+    ARRAY<STRUCT<
+        zone: STRUCT<Id: STRING, Name: STRING,
+                     Config: STRUCT<PrivateZone: BOOLEAN, Comment: STRING>,
+                     ResourceRecordSetCount: BIGINT>,
+        record_sets: ARRAY<STRUCT<
+            Name: STRING, Type: STRING,
+            ResourceRecords: ARRAY<STRUCT<Value: STRING>>,
+            AliasTarget: STRUCT<HostedZoneId: STRING, DNSName: STRING,
+                                EvaluateTargetHealth: BOOLEAN>>>>>
+"""
+
+# (target label, matched node prop) — dnsrecord.py OtherRelationships
+VALUE_TARGETS: tuple[tuple[str, str], ...] = (
+    ("AWSEC2Instance", "publicdnsname"),
+    ("AWSLoadBalancer", "dnsname"),
+    ("AWSLoadBalancerV2", "dnsname"),
+    ("AWSESDomain", "endpoint"),
+    ("AWSDNSRecord", "name"),
+)
+IP_TARGETS: tuple[tuple[str, str], ...] = (
+    ("Ip", "id"),
+    ("AWSElasticIPAddress", "public_ip"),
+)
+
+
+def _norm_target(c: Column) -> Column:
+    """``_normalize_dns_target``: strip trailing root dot + lowercase."""
+    return F.lower(F.regexp_replace(c, r"\.$", ""))
+
+
+def _norm_alias(c: Column) -> Column:
+    """``_normalize_alias_target``: additionally drop ``dualstack.``
+    when the remainder is an AWS-owned ELB hostname."""
+    t = _norm_target(c)
+    bare = F.regexp_replace(t, r"^dualstack\.", "")
+    is_elb = bare.endswith(".elb.amazonaws.com") | bare.endswith(
+        ".elb.amazonaws.com.cn"
+    )
+    return F.when(t.startswith("dualstack.") & is_elb, bare).otherwise(t)
+
+
+def transform_route53(
+    raw: DataFrame, account_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """``raw(account_id, payload_json)`` — ``payload_json`` the JSON of
+    ``get_zones``'s (zone, record_sets) pairs as
+    ``[{"zone": ..., "record_sets": [...]}]`` — → (nodes, edges)."""
+    pairs = raw.select(
+        F.explode(F.from_json("payload_json", ZONES_SCHEMA)).alias("p")
+    )
+
+    zone_name = F.regexp_replace(F.col("p.zone.Name"), r"\.$", "")
+    zones = pairs.select(
+        F.col("p.zone.Id").alias("zoneid"),
+        zone_name.alias("zname"),
+        F.col("p.zone.Config.PrivateZone").alias("privatezone"),
+        F.col("p.zone.Config.Comment").alias("comment"),
+        F.col("p.zone.ResourceRecordSetCount").alias("count"),
+    )
+    zone_nodes = _node(zones, LABEL_ZONE, F.col("zoneid"), {
+        "zoneid": F.col("zoneid"),
+        "name": F.col("zname"),
+        "comment": F.col("comment"),
+        "privatezone": F.col("privatezone"),
+        "count": F.col("count"),
+    }, update_tag, extra=["DNSZone"])
+
+    recs = pairs.select(
+        F.col("p.zone.Id").alias("zoneid"),
+        zone_name.alias("zone_name"),
+        F.explode("p.record_sets").alias("rs"),
+    ).filter(F.col("rs.Type").isin("A", "AAAA", "CNAME", "NS"))
+
+    typ = F.col("rs.Type")
+    is_alias = F.col("rs.AliasTarget.DNSName").isNotNull()
+    name = F.regexp_replace(F.col("rs.Name"), r"\.+$", "")
+    alias_val = _norm_alias(F.col("rs.AliasTarget.DNSName"))
+    ips = F.transform(F.col("rs.ResourceRecords"), lambda x: x["Value"])
+    plain_first = _norm_target(F.col("rs.ResourceRecords")[0]["Value"])
+    servers = F.transform(
+        F.col("rs.ResourceRecords"),
+        lambda x: F.regexp_replace(x["Value"], r"\.+$", ""),
+    )
+
+    out_type = (
+        F.when(typ == "CNAME", F.lit("CNAME"))
+        .when((typ == "A") & is_alias, F.lit("ALIAS"))
+        .when(typ == "A", F.lit("A"))
+        .when((typ == "AAAA") & is_alias, F.lit("ALIAS"))
+        .when(typ == "AAAA", F.lit("AAAA"))
+        .otherwise(F.lit("NS"))
+    )
+    id_suffix = (
+        F.when((typ == "CNAME") & is_alias, F.lit("WEIGHTED_CNAME"))
+        .when(typ == "CNAME", F.lit("CNAME"))
+        .when((typ == "A") & is_alias, F.lit("ALIAS"))
+        .when(typ == "A", F.lit("A"))
+        .when((typ == "AAAA") & is_alias, F.lit("ALIAS_AAAA"))
+        .when(typ == "AAAA", F.lit("AAAA"))
+        .otherwise(F.lit("NS"))
+    )
+    value = (
+        F.when(is_alias & typ.isin("CNAME", "A", "AAAA"), alias_val)
+        .when(typ == "CNAME", plain_first)
+        .when(typ.isin("A", "AAAA"), F.array_join(ips, ","))
+        .otherwise(name)
+    )
+
+    shaped = recs.select(
+        "zoneid",
+        "zone_name",
+        name.alias("name"),
+        out_type.alias("type"),
+        value.alias("value"),
+        F.concat(F.col("zoneid"), F.lit("/"), name, F.lit("/"), id_suffix)
+        .alias("rid"),
+        F.when(typ.isin("A", "AAAA") & ~is_alias, ips).alias("ip_addresses"),
+        F.when(typ == "NS", servers).alias("servers"),
+    )
+    record_nodes = _node(shaped, LABEL_RECORD, F.col("rid"), {
+        "name": F.col("name"),
+        "type": F.col("type"),
+        "value": F.col("value"),
+        "zoneid": F.col("zoneid"),
+        "ip_addresses": F.to_json(F.col("ip_addresses")),
+        "servers": F.to_json(F.col("servers")),
+        # ontology projection (mapping/data/dnsrecords.py:15-22)
+        "_ont_name": F.col("name"),
+        "_ont_type": F.col("type"),
+        "_ont_value": F.col("value"),
+        "_ont_source": F.lit("aws"),
+    }, update_tag, extra=["DNSRecord"])
+
+    ns_pairs = shaped.filter(F.col("servers").isNotNull()).select(
+        "zoneid", F.col("rid"), F.explode("servers").alias("server")
+    )
+    ns_nodes = _node(ns_pairs, LABEL_NS, F.col("server"), {
+        "name": F.col("server"),
+        "zoneid": F.col("zoneid"),
+    }, update_tag)
+
+    nodes = zone_nodes.unionByName(record_nodes).unionByName(ns_nodes)
+    acct = F.lit(account_id)
+    sub = ("AWSAccount", acct)
+    edges = (
+        _edge(zones, "AWSAccount", acct, "RESOURCE", LABEL_ZONE,
+              F.col("zoneid"), update_tag, sub)
+        .unionByName(_edge(shaped, "AWSAccount", acct, "RESOURCE",
+                           LABEL_RECORD, F.col("rid"), update_tag, sub))
+        .unionByName(_edge(ns_pairs, "AWSAccount", acct, "RESOURCE",
+                           LABEL_NS, F.col("server"), update_tag, sub))
+        .unionByName(_edge(shaped, LABEL_RECORD, F.col("rid"),
+                           "MEMBER_OF_DNS_ZONE", LABEL_ZONE,
+                           F.col("zoneid"), update_tag, sub))
+        .unionByName(_edge(ns_pairs, LABEL_ZONE, F.col("zoneid"),
+                           "NAMESERVER", LABEL_NS, F.col("server"),
+                           update_tag, sub))
+        .unionByName(_edge(ns_pairs, LABEL_RECORD, F.col("rid"),
+                           "DNS_POINTS_TO", LABEL_NS, F.col("server"),
+                           update_tag, sub))
+    )
+    return nodes, edges
+
+
+def link_dns_targets(store, account_id: str, update_tag: int) -> dict:
+    """Derive cross-module DNS_POINTS_TO edges: the record's normalized
+    ``value`` equi-joined against each target label's hostname prop, the
+    ip list exploded against the ip-keyed labels. One shuffle per leg,
+    keyed on the hostname/IP string (``dnsrecord.py`` OtherRels)."""
+    recs = store.nodes([LABEL_RECORD]).select(
+        F.col("id").alias("rid"),
+        F.lower(F.element_at("props", "value")).alias("__v"),
+        F.from_json(F.element_at("props", "ip_addresses"), "array<string>")
+        .alias("__ips"),
+    )
+    by_value = recs.filter(F.col("__v").isNotNull()).select("rid", "__v")
+    by_ip = recs.filter(F.col("__ips").isNotNull()).select(
+        "rid", F.explode("__ips").alias("__v")
+    )
+    batches = []
+    for tgt_label, tgt_prop in VALUE_TARGETS + IP_TARGETS:
+        if tgt_label not in store.manifest["nodes"]:
+            continue
+        src = by_ip if (tgt_label, tgt_prop) in IP_TARGETS else by_value
+        tval = (
+            F.col("id") if tgt_prop == "id"
+            else F.element_at("props", tgt_prop)
+        )
+        tgt = store.nodes([tgt_label]).select(
+            F.col("id").alias("tid"), F.lower(tval).alias("__v")
+        ).filter(F.col("__v").isNotNull())
+        pairs = src.join(tgt, "__v")
+        if tgt_label == LABEL_RECORD:
+            pairs = pairs.filter(F.col("rid") != F.col("tid"))
+        batches.append(pairs.select(
+            F.lit(LABEL_RECORD).alias("src_label"),
+            F.col("rid").alias("src_id"),
+            F.lit("DNS_POINTS_TO").alias("rel_label"),
+            F.lit(tgt_label).alias("dst_label"),
+            F.col("tid").alias("dst_id"),
+            F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+            F.lit("AWSAccount").alias("sub_resource_label"),
+            F.lit(account_id).alias("sub_resource_id"),
+            F.lit(None).cast("map<string,string>").alias("props"),
+        ))
+    if not batches:
+        return {}
+    batch = batches[0]
+    for b in batches[1:]:
+        batch = batch.unionByName(b)
+    batch = batch.dropDuplicates(
+        ["src_label", "src_id", "rel_label", "dst_label", "dst_id"]
+    )
+    return store.merge_edges(batch, update_tag, rels=["DNS_POINTS_TO"])
+
+
+def link_sub_zones(store, account_id: str, update_tag: int) -> dict:
+    """``link_sub_zones`` :469-502 — the Cypher path
+    account→z←MEMBER_OF_DNS_ZONE—(NS record)—DNS_POINTS_TO→ns←NAMESERVER—z2
+    with ``record.name = z2.name AND z2.name ENDS WITH '.'+z.name AND
+    z ≠ z2`` as a join chain; merged as account-scoped MatchLink
+    SUBZONE edges."""
+    acct_zones = (
+        store.edges(["RESOURCE"])
+        .filter(
+            (F.col("src_label") == "AWSAccount")
+            & (F.col("src_id") == account_id)
+            & (F.col("dst_label") == LABEL_ZONE)
+        )
+        .select(F.col("dst_id").alias("z_id"))
+        .distinct()
+    )
+    zones = store.nodes([LABEL_ZONE]).select(
+        F.col("id").alias("z_id"),
+        F.element_at("props", "name").alias("z_name"),
+    )
+    z = acct_zones.join(zones, "z_id")
+    ns_recs = (
+        store.nodes([LABEL_RECORD])
+        .filter(F.element_at("props", "type") == "NS")
+        .select(
+            F.col("id").alias("rec_id"),
+            F.element_at("props", "name").alias("rec_name"),
+        )
+    )
+    member = (
+        store.edges(["MEMBER_OF_DNS_ZONE"])
+        .filter(
+            (F.col("src_label") == LABEL_RECORD)
+            & (F.col("dst_label") == LABEL_ZONE)
+        )
+        .select(F.col("src_id").alias("rec_id"), F.col("dst_id").alias("z_id"))
+    )
+    points = (
+        store.edges(["DNS_POINTS_TO"])
+        .filter(
+            (F.col("src_label") == LABEL_RECORD)
+            & (F.col("dst_label") == LABEL_NS)
+        )
+        .select(F.col("src_id").alias("rec_id"), F.col("dst_id").alias("ns_id"))
+    )
+    ns_of = (
+        store.edges(["NAMESERVER"])
+        .filter(
+            (F.col("src_label") == LABEL_ZONE)
+            & (F.col("dst_label") == LABEL_NS)
+        )
+        .select(F.col("src_id").alias("z2_id"), F.col("dst_id").alias("ns_id"))
+    )
+    z2 = zones.select(
+        F.col("z_id").alias("z2_id"), F.col("z_name").alias("z2_name")
+    )
+    pairs = (
+        z.join(member, "z_id")
+        .join(ns_recs, "rec_id")
+        .join(points, "rec_id")
+        .join(ns_of, "ns_id")
+        .join(z2, "z2_id")
+        .filter(
+            (F.col("rec_name") == F.col("z2_name"))
+            & F.col("z2_name").endswith(
+                F.concat(F.lit("."), F.col("z_name"))
+            )
+            & (F.col("z_id") != F.col("z2_id"))
+        )
+        .select("z_id", "z2_id")
+        .distinct()
+    )
+    batch = pairs.select(
+        F.lit(LABEL_ZONE).alias("src_label"),
+        F.col("z_id").alias("src_id"),
+        F.lit("SUBZONE").alias("rel_label"),
+        F.lit(LABEL_ZONE).alias("dst_label"),
+        F.col("z2_id").alias("dst_id"),
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit("AWSAccount").alias("sub_resource_label"),
+        F.lit(account_id).alias("sub_resource_id"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    )
+    return store.merge_edges(batch, update_tag, rels=["SUBZONE"])
+
+
+def cleanup_route53(store, account_id: str, update_tag: int) -> dict:
+    """``cleanup_route53`` :504-534 — per-schema node GC + stale
+    DNS_POINTS_TO edges over THIS module's target labels (an edge to a
+    label the module doesn't define survives, like the reference's
+    schema-driven rel set) + SUBZONE MatchLink GC."""
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import cleanup_matchlinks, run_cleanup
+
+    metrics: dict = {}
+    known_targets = {LABEL_NS} | {lbl for lbl, _ in VALUE_TARGETS + IP_TARGETS}
+    if "DNS_POINTS_TO" in store.manifest["edges"]:
+        metrics["gc_dns_points_to"] = store.delete_edges(
+            "DNS_POINTS_TO",
+            (F.col("lastupdated") != int(update_tag))
+            & (F.col("src_label") == LABEL_RECORD)
+            & F.col("dst_label").isin(*known_targets)
+            & (F.col("sub_resource_label") == "AWSAccount")
+            & (F.col("sub_resource_id") == account_id),
+        )
+    acct_rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label="AWSAccount",
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("AWS_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    for label in (LABEL_RECORD, LABEL_NS, LABEL_ZONE):
+        if label not in store.manifest["nodes"]:
+            continue
+        metrics[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=acct_rel,
+            ),
+            update_tag,
+            {"AWS_ID": account_id},
+        )
+    if "SUBZONE" in store.manifest["edges"]:
+        subzone_rel = RelSchema(
+            rel_label="SUBZONE",
+            target_node_label=LABEL_ZONE,
+            target_node_matcher=TargetNodeMatcher(
+                {"zoneid": PropertyRef("subzone_id")}
+            ),
+            direction=LinkDirection.OUTWARD,
+            source_node_label=LABEL_ZONE,
+        )
+        metrics["gc_subzone"] = cleanup_matchlinks(
+            store, subzone_rel, update_tag, "AWSAccount", account_id
+        )
+    return metrics
+
+
+def sync_route53(
+    store, raw: DataFrame, account_id: str, update_tag: int
+) -> dict:
+    """get → transform → load → link targets → link subzones → cleanup
+    (``intel/aws/route53.py:sync`` :537-567 order)."""
+    nodes, edges = transform_route53(raw, account_id, update_tag)
+    metrics = {
+        "nodes": store.merge_nodes(nodes, update_tag),
+        "edges": store.merge_edges(edges, update_tag),
+    }
+    metrics["dns_points_to"] = link_dns_targets(store, account_id, update_tag)
+    metrics["subzones"] = link_sub_zones(store, account_id, update_tag)
+    metrics["cleanup"] = cleanup_route53(store, account_id, update_tag)
+    store.record_lineage("aws_route53_sync", {"update_tag": update_tag})
+    return metrics

@@ -1,0 +1,451 @@
+"""AWS IAM Identity Center (SSO) sync: instances, permission sets, SSO
+users/groups, memberships, and account-assignment role resolution.
+
+Re-expresses ``intel/aws/identitycenter.py`` as column expressions:
+
+* instances owned by another account are skipped entirely
+  (``_sync_instance`` owner check) — users/groups/permission sets are
+  semi-joined against the owned instance set, so a foreign instance's
+  payload rows never load;
+* permission sets carry the region-dependent **RoleHint**
+  (``transform_permission_sets`` :130-150: us-east-1 omits the region
+  path segment) and link ``ASSIGNED_TO_ROLE`` to the provisioned
+  ``AWSReservedSSO_{name}_{suffix}`` roles. The reference matches the
+  hint with a fuzzy case-insensitive CONTAINS
+  (``models/aws/identitycenter/awspermissionset.py:73-79``,
+  ``querybuilder.py:712-714``); here the role side derives the hint's
+  normal form — the arn from ``:role/`` with the provisioning suffix
+  (the trailing ``_{token}`` AWS appends) stripped — so the link is an
+  **equi-join** on the lowered hint instead of an all-pairs contains
+  scan: same matches on AWS's documented SSO role naming, no theta
+  join;
+* users/groups carry the ontology ``UserAccount``/``UserGroup`` extra
+  labels, ``external_id`` from the first SCIM ExternalId
+  (``transform_sso_users`` :225-265), ``MEMBER_OF_SSO_GROUP`` +
+  canonical ``MEMBER_OF`` membership edges, and
+  ``HAS_PERMISSION_SET`` + canonical ``HAS_ROLE`` edges from their
+  account assignments;
+* users link ``CAN_ASSUME_IDENTITY`` from the IdP ``UserAccount``
+  whose id equals their external id (``AWSSSOUserToOktaUserRel``) —
+  resolved against the graph by equi-join;
+* role assignments resolve to the exact role per (permission set,
+  account) through the graph — ``_get_permset_roles`` :461-485's
+  Cypher becomes a join of the assignment frame with the
+  ASSIGNED_TO_ROLE edges and the role→account RESOURCE edges — and
+  load as ``(role)-[:ALLOWED_BY]->(user|group)`` MatchLink edges with
+  the permission-set arn as an edge property; an assignment on 2 of 3
+  accounts links exactly those 2 roles (the multi-account test);
+* cleanup (``cleanup`` :580-611): account-scoped GC for all four
+  labels + ALLOWED_BY MatchLink GC.
+
+Scale: every link is an equi-join on a derived key; the only driver
+value is the account id. No contains scans, no collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cartography_spark.providers.aws_ec2 import _edge, _node
+
+INSTANCES_SCHEMA = """
+    STRUCT<Instances: ARRAY<STRUCT<
+        InstanceArn: STRING, IdentityStoreId: STRING,
+        OwnerAccountId: STRING, InstanceStatus: STRING,
+        CreatedDate: STRING, LastModifiedDate: STRING>>>
+"""
+PERMSETS_SCHEMA = """
+    STRUCT<PermissionSets: ARRAY<STRUCT<
+        Name: STRING, PermissionSetArn: STRING, Description: STRING,
+        CreatedDate: STRING, SessionDuration: STRING>>>
+"""
+USERS_SCHEMA = """
+    STRUCT<Users: ARRAY<STRUCT<
+        UserId: STRING, UserName: STRING, IdentityStoreId: STRING,
+        ExternalIds: ARRAY<STRUCT<Issuer: STRING, Id: STRING>>>>>
+"""
+GROUPS_SCHEMA = """
+    STRUCT<Groups: ARRAY<STRUCT<
+        GroupId: STRING, DisplayName: STRING, Description: STRING,
+        IdentityStoreId: STRING,
+        ExternalIds: ARRAY<STRUCT<Issuer: STRING, Id: STRING>>>>>
+"""
+MEMBERSHIPS_SCHEMA = """
+    STRUCT<Memberships: ARRAY<STRUCT<GroupId: STRING, UserId: STRING>>>
+"""
+ASSIGNMENTS_SCHEMA = """
+    STRUCT<Assignments: ARRAY<STRUCT<
+        PrincipalType: STRING, PrincipalId: STRING,
+        PermissionSetArn: STRING, AccountId: STRING>>>
+"""
+
+
+def _role_hint(name, region: str):
+    """``transform_permission_sets`` :130-150."""
+    if region == "us-east-1":
+        return F.concat(
+            F.lit(":role/aws-reserved/sso.amazonaws.com/AWSReservedSSO_"),
+            name,
+        )
+    return F.concat(
+        F.lit(f":role/aws-reserved/sso.amazonaws.com/{region}/AWSReservedSSO_"),
+        name,
+    )
+
+
+def _role_hint_of_arn(arn):
+    """Normal form of an SSO-provisioned role arn: everything from
+    ``:role/`` with the trailing provisioning suffix (``_{token}``, no
+    ``_``/``/`` inside) stripped — the equi-join twin of the
+    reference's CONTAINS matcher."""
+    tail = F.concat(F.lit(":role/"), F.substring_index(arn, ":role/", -1))
+    return F.lower(F.regexp_replace(tail, r"_[^_/]+$", ""))
+
+
+def sync_identitycenter(
+    store,
+    instances_raw: DataFrame,
+    permsets_raw: DataFrame | None,
+    users_raw: DataFrame | None,
+    groups_raw: DataFrame | None,
+    memberships_raw: DataFrame | None,
+    assignments_raw: DataFrame | None,
+    account_id: str,
+    region: str,
+    update_tag: int,
+) -> dict:
+    """instances → permission sets (+role links) → users/groups
+    (+memberships, +permset links) → role-assignment MatchLinks →
+    cleanup (``sync_identity_center_instances`` :823+ order).
+
+    Raw shapes: ``instances_raw(payload_json)``;
+    ``permsets_raw(instance_arn, payload_json)``;
+    ``users_raw(identity_store_id, payload_json)``;
+    ``groups_raw(identity_store_id, payload_json)``;
+    ``memberships_raw(identity_store_id, payload_json)``;
+    ``assignments_raw(instance_arn, payload_json)``.
+    """
+    spark = instances_raw.sparkSession
+    metrics: dict = {}
+    acct = F.lit(account_id)
+    acct_sub = ("AWSAccount", acct)
+
+    inst = instances_raw.select(
+        F.explode(F.from_json("payload_json", INSTANCES_SCHEMA)["Instances"])
+        .alias("i")
+    ).filter(
+        # _sync_instance: skip instances owned by another account
+        F.col("i.OwnerAccountId") == account_id
+    ).select(
+        F.col("i.InstanceArn").alias("instance_arn"),
+        F.col("i.IdentityStoreId").alias("identity_store_id"),
+        F.col("i.InstanceStatus").alias("status"),
+        F.col("i.CreatedDate").alias("created_date"),
+    ).cache()
+
+    inst_nodes = _node(inst, "AWSIdentityCenter", F.col("instance_arn"), {
+        "arn": F.col("instance_arn"),
+        "identity_store_id": F.col("identity_store_id"),
+        "status": F.col("status"),
+        "created_date": F.col("created_date"),
+        "region": F.lit(region),
+    }, update_tag)
+    nodes = inst_nodes
+    edges = _edge(inst, "AWSAccount", acct, "RESOURCE", "AWSIdentityCenter",
+                  F.col("instance_arn"), update_tag, acct_sub)
+
+    def _empty(ddl):
+        return spark.createDataFrame([], ddl)
+
+    # permission sets, scoped to owned instances
+    ps = _empty("instance_arn string, arn string, name string, "
+                "description string, session_duration string")
+    if permsets_raw is not None:
+        ps = permsets_raw.select(
+            "instance_arn",
+            F.explode(
+                F.from_json("payload_json", PERMSETS_SCHEMA)["PermissionSets"]
+            ).alias("p"),
+        ).join(
+            inst.select("instance_arn"), on="instance_arn", how="left_semi"
+        ).select(
+            "instance_arn",
+            F.col("p.PermissionSetArn").alias("arn"),
+            F.col("p.Name").alias("name"),
+            F.col("p.Description").alias("description"),
+            F.col("p.SessionDuration").alias("session_duration"),
+        )
+    ps = ps.cache()
+    nodes = nodes.unionByName(_node(ps, "AWSPermissionSet", F.col("arn"), {
+        "arn": F.col("arn"),
+        "name": F.col("name"),
+        "description": F.col("description"),
+        "session_duration": F.col("session_duration"),
+        "instance_arn": F.col("instance_arn"),
+        "region": F.lit(region),
+    }, update_tag, extra=["PermissionRole"]))
+    edges = (
+        edges
+        .unionByName(_edge(ps, "AWSAccount", acct, "RESOURCE",
+                           "AWSPermissionSet", F.col("arn"), update_tag,
+                           acct_sub))
+        .unionByName(_edge(ps, "AWSIdentityCenter", F.col("instance_arn"),
+                           "HAS_PERMISSION_SET", "AWSPermissionSet",
+                           F.col("arn"), update_tag, acct_sub))
+    )
+
+    # users / groups, scoped to owned identity stores
+    stores = inst.select("identity_store_id")
+    users = _empty("identity_store_id string, user_id string, "
+                   "user_name string, external_id string")
+    if users_raw is not None:
+        users = users_raw.select(
+            "identity_store_id",
+            F.explode(F.from_json("payload_json", USERS_SCHEMA)["Users"])
+            .alias("u"),
+        ).join(stores, on="identity_store_id", how="left_semi").select(
+            "identity_store_id",
+            F.col("u.UserId").alias("user_id"),
+            F.col("u.UserName").alias("user_name"),
+            F.col("u.ExternalIds")[0]["Id"].alias("external_id"),
+        )
+    users = users.cache()
+    groups = _empty("identity_store_id string, group_id string, "
+                    "display_name string, description string, "
+                    "external_id string")
+    if groups_raw is not None:
+        groups = groups_raw.select(
+            "identity_store_id",
+            F.explode(F.from_json("payload_json", GROUPS_SCHEMA)["Groups"])
+            .alias("g"),
+        ).join(stores, on="identity_store_id", how="left_semi").select(
+            "identity_store_id",
+            F.col("g.GroupId").alias("group_id"),
+            F.col("g.DisplayName").alias("display_name"),
+            F.col("g.Description").alias("description"),
+            F.col("g.ExternalIds")[0]["Id"].alias("external_id"),
+        )
+    groups = groups.cache()
+
+    nodes = nodes.unionByName(_node(users, "AWSSSOUser", F.col("user_id"), {
+        "user_name": F.col("user_name"),
+        "identity_store_id": F.col("identity_store_id"),
+        "external_id": F.col("external_id"),
+        "region": F.lit(region),
+    }, update_tag, extra=["UserAccount"]))
+    nodes = nodes.unionByName(_node(groups, "AWSSSOGroup", F.col("group_id"), {
+        "display_name": F.col("display_name"),
+        "description": F.col("description"),
+        "identity_store_id": F.col("identity_store_id"),
+        "external_id": F.col("external_id"),
+        "region": F.lit(region),
+    }, update_tag, extra=["UserGroup"]))
+    edges = (
+        edges
+        .unionByName(_edge(users, "AWSAccount", acct, "RESOURCE",
+                           "AWSSSOUser", F.col("user_id"), update_tag,
+                           acct_sub))
+        .unionByName(_edge(groups, "AWSAccount", acct, "RESOURCE",
+                           "AWSSSOGroup", F.col("group_id"), update_tag,
+                           acct_sub))
+    )
+
+    # memberships: user → group, both the legacy and canonical rels
+    if memberships_raw is not None:
+        mem = memberships_raw.select(
+            "identity_store_id",
+            F.explode(
+                F.from_json("payload_json", MEMBERSHIPS_SCHEMA)["Memberships"]
+            ).alias("m"),
+        ).join(stores, on="identity_store_id", how="left_semi").select(
+            F.col("m.UserId").alias("user_id"),
+            F.col("m.GroupId").alias("group_id"),
+        )
+        for rel in ("MEMBER_OF_SSO_GROUP", "MEMBER_OF"):
+            edges = edges.unionByName(_edge(
+                mem, "AWSSSOUser", F.col("user_id"), rel, "AWSSSOGroup",
+                F.col("group_id"), update_tag, acct_sub,
+            ))
+
+    # account assignments: principal → permission set rels now; role
+    # resolution happens after the merge (it reads the graph)
+    assigns = _empty("principal_type string, principal_id string, "
+                     "permset_arn string, assign_account string")
+    if assignments_raw is not None:
+        assigns = assignments_raw.select(
+            "instance_arn",
+            F.explode(
+                F.from_json("payload_json", ASSIGNMENTS_SCHEMA)["Assignments"]
+            ).alias("a"),
+        ).join(
+            inst.select("instance_arn"), on="instance_arn", how="left_semi"
+        ).select(
+            F.col("a.PrincipalType").alias("principal_type"),
+            F.col("a.PrincipalId").alias("principal_id"),
+            F.col("a.PermissionSetArn").alias("permset_arn"),
+            F.col("a.AccountId").alias("assign_account"),
+        )
+    assigns = assigns.cache()
+    for ptype, plabel in (("USER", "AWSSSOUser"), ("GROUP", "AWSSSOGroup")):
+        side = assigns.filter(F.col("principal_type") == ptype)
+        for rel in ("HAS_PERMISSION_SET", "HAS_ROLE"):
+            edges = edges.unionByName(_edge(
+                side, plabel, F.col("principal_id"), rel,
+                "AWSPermissionSet", F.col("permset_arn"), update_tag,
+                acct_sub,
+            ))
+
+    metrics["nodes"] = store.merge_nodes(nodes, update_tag)
+    metrics["edges"] = store.merge_edges(edges, update_tag)
+
+    # ASSIGNED_TO_ROLE: permset hint equi-joined against the role-side
+    # normal form (see module docstring)
+    if "AWSRole" in store.manifest["nodes"]:
+        hints = ps.select(
+            F.col("arn").alias("ps_arn"),
+            F.lower(_role_hint(F.col("name"), region)).alias("__hint"),
+        )
+        roles = store.nodes(["AWSRole"]).select(
+            F.col("id").alias("role_id"),
+            _role_hint_of_arn(F.element_at("props", "arn")).alias("__hint"),
+        ).filter(F.col("__hint").contains(":role/aws-reserved/"))
+        pairs = hints.join(roles, on="__hint")
+        batch = pairs.select(
+            F.lit("AWSPermissionSet").alias("src_label"),
+            F.col("ps_arn").alias("src_id"),
+            F.lit("ASSIGNED_TO_ROLE").alias("rel_label"),
+            F.lit("AWSRole").alias("dst_label"),
+            F.col("role_id").alias("dst_id"),
+            F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+            F.lit("AWSAccount").alias("sub_resource_label"),
+            F.lit(account_id).alias("sub_resource_id"),
+            F.lit(None).cast("map<string,string>").alias("props"),
+        ).dropDuplicates(
+            ["src_label", "src_id", "rel_label", "dst_label", "dst_id"]
+        )
+        metrics["assigned_to_role"] = store.merge_edges(
+            batch, update_tag, rels=["ASSIGNED_TO_ROLE"]
+        )
+
+    # CAN_ASSUME_IDENTITY: IdP UserAccount (id == external id) → user
+    idp = store.nodes().filter(
+        (F.col("label") != "AWSSSOUser")
+        & F.array_contains(F.coalesce("extra_labels", F.array()), "UserAccount")
+    ).select(
+        F.col("label").alias("idp_label"), F.col("id").alias("idp_id")
+    )
+    can_assume = users.filter(F.col("external_id").isNotNull()).join(
+        idp, users["external_id"] == idp["idp_id"]
+    )
+    metrics["can_assume_identity"] = store.merge_edges(
+        can_assume.select(
+            F.col("idp_label").alias("src_label"),
+            F.col("idp_id").alias("src_id"),
+            F.lit("CAN_ASSUME_IDENTITY").alias("rel_label"),
+            F.lit("AWSSSOUser").alias("dst_label"),
+            F.col("user_id").alias("dst_id"),
+            F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+            F.lit("AWSAccount").alias("sub_resource_label"),
+            F.lit(account_id).alias("sub_resource_id"),
+            F.lit(None).cast("map<string,string>").alias("props"),
+        ).dropDuplicates(
+            ["src_label", "src_id", "rel_label", "dst_label", "dst_id"]
+        ),
+        update_tag,
+        rels=["CAN_ASSUME_IDENTITY"],
+    )
+
+    # role-assignment MatchLinks: resolve (permset, account) → role
+    # through the graph (_get_permset_roles :461-485), then
+    # (role)-[:ALLOWED_BY {permission_set_arn}]->(principal)
+    if "ASSIGNED_TO_ROLE" in store.manifest["edges"]:
+        ps_role = store.edges(["ASSIGNED_TO_ROLE"]).filter(
+            (F.col("src_label") == "AWSPermissionSet")
+            & (F.col("dst_label") == "AWSRole")
+        ).select(
+            F.col("src_id").alias("permset_arn"),
+            F.col("dst_id").alias("role_arn"),
+        )
+        role_acct = store.edges(["RESOURCE"]).filter(
+            (F.col("src_label") == "AWSAccount")
+            & (F.col("dst_label") == "AWSRole")
+        ).select(
+            F.col("src_id").alias("assign_account"),
+            F.col("dst_id").alias("role_arn"),
+        )
+        resolved = assigns.join(ps_role, on="permset_arn").join(
+            role_acct, on=["role_arn", "assign_account"]
+        )
+        allowed = resolved.select(
+            F.lit("AWSRole").alias("src_label"),
+            F.col("role_arn").alias("src_id"),
+            F.lit("ALLOWED_BY").alias("rel_label"),
+            F.when(F.col("principal_type") == "USER", F.lit("AWSSSOUser"))
+            .otherwise(F.lit("AWSSSOGroup")).alias("dst_label"),
+            F.col("principal_id").alias("dst_id"),
+            F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+            F.lit("AWSAccount").alias("sub_resource_label"),
+            F.lit(account_id).alias("sub_resource_id"),
+            F.map_from_arrays(
+                F.array(F.lit("permission_set_arn")),
+                F.array(F.col("permset_arn")),
+            ).alias("props"),
+        ).dropDuplicates(
+            ["src_label", "src_id", "rel_label", "dst_label", "dst_id"]
+        )
+        metrics["allowed_by"] = store.merge_edges(
+            allowed, update_tag, rels=["ALLOWED_BY"]
+        )
+
+    metrics["cleanup"] = cleanup_identitycenter(store, account_id, update_tag)
+    store.record_lineage("aws_identitycenter_sync", {"update_tag": update_tag})
+    return metrics
+
+
+def cleanup_identitycenter(store, account_id: str, update_tag: int) -> dict:
+    """``cleanup`` :580-611: account-scoped GC for all four labels +
+    ALLOWED_BY MatchLink GC."""
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import cleanup_matchlinks, run_cleanup
+
+    acct_rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label="AWSAccount",
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("AWS_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    metrics: dict = {}
+    for label in ("AWSIdentityCenter", "AWSPermissionSet", "AWSSSOUser",
+                  "AWSSSOGroup"):
+        if label not in store.manifest["nodes"]:
+            continue
+        metrics[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=acct_rel,
+            ),
+            update_tag,
+            {"AWS_ID": account_id},
+        )
+    if "ALLOWED_BY" in store.manifest["edges"]:
+        allowed_rel = RelSchema(
+            rel_label="ALLOWED_BY",
+            target_node_label="AWSSSOUser",
+            target_node_matcher=TargetNodeMatcher({"id": PropertyRef("id")}),
+            direction=LinkDirection.OUTWARD,
+            source_node_label="AWSRole",
+        )
+        metrics["gc_allowed_by"] = cleanup_matchlinks(
+            store, allowed_rel, update_tag, "AWSAccount", account_id
+        )
+    return metrics

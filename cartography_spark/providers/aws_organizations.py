@@ -1,0 +1,433 @@
+"""AWS Organizations sync: the cross-account identity backbone —
+organization, roots, organizational units, member accounts, root
+principals.
+
+Re-expresses ``intel/aws/organizations.py`` as column expressions:
+
+* the reference walks the hierarchy with a BFS of
+  ``list_organizational_units_for_parent`` /
+  ``list_accounts_for_parent`` calls (:264-322) because it must
+  DISCOVER parents to paginate; given the listing rows, assembly is
+  pure joins — child sets are one groupBy per parent, and each OU's
+  root resolves through a bounded parent-chain join (AWS documents a
+  hard 5-level OU nesting limit, so the loop is ≤5 iterations of a
+  broadcast-sized frame, never a driver walk);
+* node identity follows ``models/aws/organization.py``: roots and OUs
+  are org-scoped (``{org_id}/{resource_id}``, ``_make_org_scoped_id``
+  :159-160) so two orgs with recycled AWS-side ids never collide;
+* accounts load for ALL lifecycle states
+  (``transform_aws_organization_accounts`` :176-196; suspended
+  accounts keep their node) but only ACTIVE accounts get placement
+  edges (``_is_active_account`` :156-157) or a root principal
+  (``sync_root_principal``, ``intel/aws/iam.py:1554-1571``);
+* ``_ont_status`` carries the lowercased lifecycle state (the ontology
+  projection the reference's integration test asserts);
+* cleanup (``cleanup_aws_organization_hierarchy`` :703-730): OUs GC in
+  ONE set-scoped pass over every known root of the org (current batch
+  + roots already in the graph — covering OUs of stale roots), then
+  roots GC scoped to the org; accounts are never deleted — instead the
+  stale-metadata sweep (:733-760) nulls the org props on accounts that
+  left the org and restamps them, via the store's predicate-scoped
+  ``remove_node_props``.
+
+Scale: one ``from_json`` per org payload; child-set assembly is
+``groupBy(parent)``; root resolution is ≤5 self-joins of the OU frame;
+no driver loops, no collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cartography_spark.providers.aws_ec2 import _edge, _node
+
+# AWS Organizations allows at most 5 levels of OU nesting under a root
+# (documented service quota), so parent-chain resolution is bounded.
+MAX_OU_DEPTH = 5
+
+ORG_SCHEMA = """
+    STRUCT<
+        Organization: STRUCT<Id: STRING, Arn: STRING, FeatureSet: STRING,
+                             MasterAccountArn: STRING,
+                             MasterAccountId: STRING,
+                             MasterAccountEmail: STRING>,
+        Roots: ARRAY<STRUCT<Id: STRING, Arn: STRING, Name: STRING>>,
+        Listings: ARRAY<STRUCT<
+            ParentId: STRING, ParentType: STRING,
+            OrganizationalUnits: ARRAY<STRUCT<Id: STRING, Arn: STRING,
+                                              Name: STRING>>,
+            Accounts: ARRAY<STRUCT<Id: STRING, Arn: STRING, Email: STRING,
+                                   Name: STRING, Status: STRING,
+                                   State: STRING, JoinedMethod: STRING,
+                                   JoinedTimestamp: STRING>>>>>
+"""
+
+ORG_ACCOUNT_PROPS = [
+    "arn", "email", "state", "status", "joined_method",
+    "joined_timestamp", "org_id",
+]
+
+
+def _scoped(org_id, rid):
+    return F.concat(F.lit(org_id), F.lit("/"), rid)
+
+
+def transform_organizations(
+    raw: DataFrame, org_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """``raw(payload_json)`` — one JSON document per org carrying the
+    describe-organization output, the roots list, and one listing entry
+    per (parent, type) enumeration — → (nodes, edges,
+    current-account-id frame for the metadata sweep)."""
+    doc = raw.select(F.from_json("payload_json", ORG_SCHEMA).alias("d"))
+
+    org = doc.select(F.col("d.Organization").alias("o"))
+    org_nodes = _node(org, "AWSOrganization", F.col("o.Id"), {
+        "arn": F.col("o.Arn"),
+        "feature_set": F.col("o.FeatureSet"),
+        "management_account_arn": F.col("o.MasterAccountArn"),
+        "management_account_id": F.col("o.MasterAccountId"),
+        "management_account_email": F.col("o.MasterAccountEmail"),
+    }, update_tag, extra=["Tenant"])
+
+    roots = doc.select(F.explode("d.Roots").alias("r")).select(
+        F.col("r.Id").alias("root_id"),
+        F.col("r.Arn").alias("arn"),
+        F.col("r.Name").alias("name"),
+        _scoped(org_id, F.col("r.Id")).alias("id"),
+    )
+    root_nodes = _node(roots, "AWSOrganizationRoot", F.col("id"), {
+        "root_id": F.col("root_id"),
+        "arn": F.col("arn"),
+        "name": F.col("name"),
+        "org_id": F.lit(org_id),
+    }, update_tag)
+
+    listings = doc.select(F.explode("d.Listings").alias("l")).select(
+        F.col("l.ParentId").alias("parent_id"),
+        F.col("l.ParentType").alias("parent_type"),
+        F.col("l.OrganizationalUnits").alias("ous"),
+        F.col("l.Accounts").alias("accts"),
+    )
+    ous = listings.select(
+        "parent_id", "parent_type", F.explode("ous").alias("ou")
+    ).select(
+        F.col("ou.Id").alias("ou_id"),
+        F.col("ou.Arn").alias("arn"),
+        F.col("ou.Name").alias("name"),
+        "parent_id",
+        "parent_type",
+    )
+    accts = listings.select(
+        "parent_id", "parent_type", F.explode("accts").alias("a")
+    ).select(
+        F.col("a.Id").alias("Id"),
+        F.col("a.Arn").alias("Arn"),
+        F.col("a.Email").alias("Email"),
+        F.col("a.Name").alias("Name"),
+        F.col("a.Status").alias("acct_status"),
+        F.col("a.JoinedMethod").alias("JoinedMethod"),
+        F.col("a.JoinedTimestamp").alias("JoinedTimestamp"),
+        "parent_id",
+        "parent_type",
+        F.coalesce(F.col("a.State"), F.col("a.Status")).alias("state"),
+    )
+
+    # root resolution: ≤ MAX_OU_DEPTH parent-chain joins (the BFS's
+    # root bookkeeping, get_aws_organization_hierarchy :264-322)
+    resolved = ous.filter(F.col("parent_type") == "ROOT").select(
+        "ou_id", "arn", "name", "parent_id",
+        F.col("parent_id").alias("root_id"),
+        F.col("parent_id").alias("parent_root_id"),
+        F.lit(None).cast("string").alias("parent_ou_id"),
+    )
+    deeper = ous.filter(F.col("parent_type") != "ROOT")
+    frontier = resolved
+    all_resolved = resolved
+    for _ in range(MAX_OU_DEPTH - 1):
+        nxt = deeper.join(
+            frontier.select(
+                F.col("ou_id").alias("parent_id"),
+                F.col("root_id").alias("__root"),
+            ),
+            on="parent_id",
+        ).select(
+            "ou_id", "arn", "name", "parent_id",
+            F.col("__root").alias("root_id"),
+            F.lit(None).cast("string").alias("parent_root_id"),
+            F.col("parent_id").alias("parent_ou_id"),
+        )
+        frontier = nxt
+        all_resolved = all_resolved.unionByName(nxt)
+    ou_recs = all_resolved.dropDuplicates(["ou_id"]).cache()
+
+    ou_nodes = _node(ou_recs, "AWSOrganizationalUnit",
+                     _scoped(org_id, F.col("ou_id")), {
+        "ou_id": F.col("ou_id"),
+        "arn": F.col("arn"),
+        "name": F.col("name"),
+        "org_id": F.lit(org_id),
+        "root_id": _scoped(org_id, F.col("root_id")),
+        "parent_root_id": F.when(
+            F.col("parent_root_id").isNotNull(),
+            _scoped(org_id, F.col("parent_root_id")),
+        ),
+        "parent_ou_id": F.when(
+            F.col("parent_ou_id").isNotNull(),
+            _scoped(org_id, F.col("parent_ou_id")),
+        ),
+    }, update_tag)
+
+    acct_nodes = _node(
+        accts.dropDuplicates(["Id"]), "AWSAccount", F.col("Id"), {
+            "arn": F.col("Arn"),
+            "email": F.col("Email"),
+            "name": F.col("Name"),
+            "state": F.col("state"),
+            "status": F.col("acct_status"),
+            "joined_method": F.col("JoinedMethod"),
+            "joined_timestamp": F.col("JoinedTimestamp"),
+            "org_id": F.lit(org_id),
+            "_ont_status": F.lower(F.col("state")),
+        }, update_tag, extra=["Tenant"])
+
+    active = accts.filter(F.col("state") == "ACTIVE")
+    principals = active.select(
+        F.concat(F.lit("arn:aws:iam::"), F.col("Id"), F.lit(":root"))
+        .alias("arn"),
+        F.col("Id").alias("acct_id"),
+    )
+    principal_nodes = _node(principals, "AWSPrincipal", F.col("arn"), {
+        "arn": F.col("arn"),
+    }, update_tag, extra=["AWSRootPrincipal"])
+
+    nodes = (
+        org_nodes.unionByName(root_nodes).unionByName(ou_nodes)
+        .unionByName(acct_nodes).unionByName(principal_nodes)
+    )
+
+    org_sub = ("AWSOrganization", F.lit(org_id))
+    root_scoped = _scoped(org_id, F.col("root_id"))
+    parent_scoped = _scoped(org_id, F.col("parent_id"))
+    # placement rows: active accounts under their direct parent, with
+    # the owning root resolved for edge scoping
+    acct_root = active.filter(F.col("parent_type") == "ROOT").select(
+        "Id", F.col("parent_id").alias("root_id"),
+        F.col("parent_id").alias("placement_id"),
+        F.lit("AWSOrganizationRoot").alias("placement_label"),
+    )
+    acct_ou = (
+        active.filter(F.col("parent_type") != "ROOT")
+        .join(
+            ou_recs.select(F.col("ou_id").alias("parent_id"), "root_id"),
+            on="parent_id",
+        )
+        .select(
+            "Id", "root_id",
+            _scoped(org_id, F.col("parent_id")).alias("placement_id"),
+            F.lit("AWSOrganizationalUnit").alias("placement_label"),
+        )
+    )
+    placements = acct_root.unionByName(acct_ou).withColumn(
+        "placement_id",
+        F.when(
+            F.col("placement_label") == "AWSOrganizationRoot",
+            _scoped(org_id, F.col("placement_id")),
+        ).otherwise(F.col("placement_id")),
+    )
+
+    place_resource = placements.select(
+        F.col("placement_label").alias("src_label"),
+        F.col("placement_id").alias("src_id"),
+        F.lit("RESOURCE").alias("rel_label"),
+        F.lit("AWSAccount").alias("dst_label"),
+        F.col("Id").alias("dst_id"),
+        _scoped(org_id, F.col("root_id")).alias("__sub"),
+    )
+    place_parent = placements.select(
+        F.lit("AWSAccount").alias("src_label"),
+        F.col("Id").alias("src_id"),
+        F.lit("PARENT").alias("rel_label"),
+        F.col("placement_label").alias("dst_label"),
+        F.col("placement_id").alias("dst_id"),
+        _scoped(org_id, F.col("root_id")).alias("__sub"),
+    )
+
+    def _shape(df):
+        return df.select(
+            "src_label", "src_id", "rel_label", "dst_label", "dst_id",
+            F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+            F.lit("AWSOrganizationRoot").alias("sub_resource_label"),
+            F.col("__sub").alias("sub_resource_id"),
+            F.lit(None).cast("map<string,string>").alias("props"),
+        ).filter(
+            F.col("src_id").isNotNull() & F.col("dst_id").isNotNull()
+        ).dropDuplicates(
+            ["src_label", "src_id", "rel_label", "dst_label", "dst_id"]
+        )
+
+    edges = (
+        # org ↔ root
+        _edge(roots, "AWSOrganization", F.lit(org_id), "RESOURCE",
+              "AWSOrganizationRoot", F.col("id"), update_tag, org_sub)
+        .unionByName(_edge(roots, "AWSOrganizationRoot", F.col("id"),
+                           "PARENT", "AWSOrganization", F.lit(org_id),
+                           update_tag, org_sub))
+        # every OU is a sub-resource of its root; PARENT to its direct
+        # parent (root or OU); the root also RESOURCEs direct child OUs
+        .unionByName(_shape(ou_recs.select(
+            F.lit("AWSOrganizationRoot").alias("src_label"),
+            root_scoped.alias("src_id"),
+            F.lit("RESOURCE").alias("rel_label"),
+            F.lit("AWSOrganizationalUnit").alias("dst_label"),
+            _scoped(org_id, F.col("ou_id")).alias("dst_id"),
+            root_scoped.alias("__sub"),
+        )))
+        .unionByName(_shape(ou_recs.filter(
+            F.col("parent_ou_id").isNotNull()
+        ).select(
+            F.lit("AWSOrganizationalUnit").alias("src_label"),
+            parent_scoped.alias("src_id"),
+            F.lit("RESOURCE").alias("rel_label"),
+            F.lit("AWSOrganizationalUnit").alias("dst_label"),
+            _scoped(org_id, F.col("ou_id")).alias("dst_id"),
+            root_scoped.alias("__sub"),
+        )))
+        .unionByName(_shape(ou_recs.select(
+            F.lit("AWSOrganizationalUnit").alias("src_label"),
+            _scoped(org_id, F.col("ou_id")).alias("src_id"),
+            F.lit("PARENT").alias("rel_label"),
+            F.when(F.col("parent_ou_id").isNotNull(),
+                   F.lit("AWSOrganizationalUnit"))
+            .otherwise(F.lit("AWSOrganizationRoot")).alias("dst_label"),
+            F.coalesce(
+                F.when(F.col("parent_ou_id").isNotNull(), parent_scoped),
+                root_scoped,
+            ).alias("dst_id"),
+            root_scoped.alias("__sub"),
+        )))
+        # active account placement
+        .unionByName(_shape(place_resource))
+        .unionByName(_shape(place_parent))
+        # root principals hang off their account
+        .unionByName(_edge(principals, "AWSAccount", F.col("acct_id"),
+                           "RESOURCE", "AWSPrincipal", F.col("arn"),
+                           update_tag, ("AWSAccount", F.col("acct_id"))))
+    )
+    return nodes, edges, accts.select("Id").distinct()
+
+
+def cleanup_organizations(
+    store, org_id: str, current_account_ids: DataFrame, update_tag: int
+) -> dict:
+    """``cleanup_aws_organization_hierarchy`` :703-730 + the
+    stale-account metadata sweep :733-760."""
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import (
+        run_cleanup,
+        run_scoped_cleanup_for_scopes,
+    )
+
+    metrics: dict = {}
+    # OUs first (the reference cleans OUs for every known root —
+    # current AND stale — before deleting stale roots), in ONE
+    # set-scoped pass over the org's full root set from the graph
+    if "AWSOrganizationalUnit" in store.manifest["nodes"] and (
+        "AWSOrganizationRoot" in store.manifest["nodes"]
+    ):
+        known_roots = (
+            store.nodes(["AWSOrganizationRoot"])
+            .filter(F.element_at("props", "org_id") == org_id)
+            .select("id")
+        )
+        ou_schema = NodeSchema(
+            label="AWSOrganizationalUnit",
+            properties={"id": PropertyRef("id")},
+            sub_resource_relationship=RelSchema(
+                rel_label="RESOURCE",
+                target_node_label="AWSOrganizationRoot",
+                target_node_matcher=TargetNodeMatcher(
+                    {"id": PropertyRef("ROOT_ID", set_in_kwargs=True)}
+                ),
+                direction=LinkDirection.INWARD,
+            ),
+            other_relationships=(
+                RelSchema(
+                    rel_label="PARENT",
+                    target_node_label="AWSOrganizationalUnit",
+                    target_node_matcher=TargetNodeMatcher(
+                        {"id": PropertyRef("id")}
+                    ),
+                    direction=LinkDirection.OUTWARD,
+                ),
+            ),
+        )
+        metrics["gc_ous"] = run_scoped_cleanup_for_scopes(
+            store, ou_schema, update_tag, known_roots
+        )
+    if "AWSOrganizationRoot" in store.manifest["nodes"]:
+        root_schema = NodeSchema(
+            label="AWSOrganizationRoot",
+            properties={"id": PropertyRef("id")},
+            sub_resource_relationship=RelSchema(
+                rel_label="RESOURCE",
+                target_node_label="AWSOrganization",
+                target_node_matcher=TargetNodeMatcher(
+                    {"id": PropertyRef("ORG_ID", set_in_kwargs=True)}
+                ),
+                direction=LinkDirection.INWARD,
+            ),
+        )
+        metrics["gc_roots"] = run_cleanup(
+            store, root_schema, update_tag, {"ORG_ID": org_id}
+        )
+    # stale placement edges among surviving nodes (account moved
+    # between parents): fresh nodes, stale RESOURCE/PARENT edges
+    for rel in ("RESOURCE", "PARENT"):
+        if rel in store.manifest["edges"]:
+            metrics[f"gc_placement_{rel}"] = store.delete_edges(
+                rel,
+                (F.col("lastupdated") != int(update_tag))
+                & (F.col("sub_resource_label") == "AWSOrganizationRoot")
+                & F.col("sub_resource_id").startswith(org_id + "/"),
+            )
+    # accounts that left the org keep their node but lose the org
+    # metadata (predicate-scoped prop strip + restamp)
+    if "AWSAccount" in store.manifest["nodes"]:
+        # the id list comes from THIS run's payload (bounded by the
+        # org's member count, the reference's CURRENT_ACCOUNT_IDS list
+        # parameter) — not a graph collect
+        current = {r["Id"] for r in current_account_ids.collect()}
+        pred = F.element_at("props", "org_id") == org_id
+        if current:
+            pred = pred & ~F.col("id").isin(*sorted(current))
+        metrics["accounts_metadata_cleared"] = store.remove_node_props(
+            ["AWSAccount"], ORG_ACCOUNT_PROPS + ["_ont_status"],
+            predicate=pred, restamp=update_tag,
+        )
+    return metrics
+
+
+def sync_organizations(
+    store, raw: DataFrame, org_id: str, update_tag: int
+) -> dict:
+    """describe → hierarchy → load → cleanup
+    (``sync_aws_organization`` :580-717 order)."""
+    nodes, edges, current_ids = transform_organizations(
+        raw, org_id, update_tag
+    )
+    metrics = {
+        "nodes": store.merge_nodes(nodes, update_tag),
+        "edges": store.merge_edges(edges, update_tag),
+    }
+    metrics["cleanup"] = cleanup_organizations(
+        store, org_id, current_ids, update_tag
+    )
+    store.record_lineage("aws_organizations_sync", {"update_tag": update_tag})
+    return metrics

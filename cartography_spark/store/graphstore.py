@@ -668,9 +668,23 @@ class GraphStore:
     # the reference REMOVEs the derived property from every node/rel of the
     # declared pattern before the statement re-sets it on currently-matched
     # rows — graph/analysisbuilder.py:461-489) -----------------------------
-    def remove_node_props(self, labels: Iterable[str], prop_names: list[str]) -> int:
+    def remove_node_props(
+        self,
+        labels: Iterable[str],
+        prop_names: list[str],
+        predicate=None,
+        restamp: int | None = None,
+    ) -> int:
         """Strip ``prop_names`` from the props map of every node of the
         given labels. Returns how many rows carried any of them.
+
+        ``predicate`` (a boolean Column over the node frame) restricts
+        the strip to matching rows — the reference's predicate-scoped
+        property null-outs (e.g. the AWS Organizations stale-account
+        metadata sweep, ``intel/aws/organizations.py:733-760``, which
+        nulls org props only on accounts of one org that left it).
+        ``restamp`` additionally sets ``lastupdated`` on the touched
+        rows (the same sweep's ``SET account.lastupdated``).
 
         A column-pruned probe skips the rewrite when no node carries the
         property (steady-state for first runs); the rewrite itself is a
@@ -680,16 +694,31 @@ class GraphStore:
         if not labels or not prop_names:
             return 0
         cur = self.nodes(labels)
-        has_prop = self._any_key_present(prop_names)
-        n = cur.filter(has_prop).count()
+        hit = self._any_key_present(prop_names)
+        if predicate is not None:
+            hit = hit & predicate
+        n = cur.filter(hit).count()
         if n:
-            cleaned = cur.withColumn(
-                "props",
-                F.map_filter(
-                    F.col("props"), lambda k, _v: ~k.isin(list(prop_names))
-                ),
+            # flag first: both rewrites below must see the ORIGINAL
+            # props (a chained withColumn would re-evaluate the hit
+            # predicate against the already-stripped map)
+            flagged = cur.withColumn("__hit", hit)
+            stripped = F.map_filter(
+                F.col("props"), lambda k, _v: ~k.isin(list(prop_names))
             )
-            self._write_partitioned("nodes", labels, cleaned, "label")
+            cleaned = flagged.withColumn(
+                "props", F.when(F.col("__hit"), stripped).otherwise(F.col("props"))
+            )
+            if restamp is not None:
+                cleaned = cleaned.withColumn(
+                    "lastupdated",
+                    F.when(
+                        F.col("__hit"), F.lit(int(restamp)).cast("long")
+                    ).otherwise(F.col("lastupdated")),
+                )
+            self._write_partitioned(
+                "nodes", labels, cleaned.drop("__hit"), "label"
+            )
             self._save_manifest()
         self.record_lineage(
             "remove_node_props", {"labels": labels, "props": prop_names, "rows": n}

@@ -1,0 +1,256 @@
+"""Identity Center parity vs the reference's
+``tests/integration/cartography/intel/aws/test_identitycenter.py``
+asserted sets over ``tests/data/aws/identitycenter.py`` payloads:
+instance/permset/user/group nodes, memberships, permission-set links,
+the region-dependent RoleHint → ASSIGNED_TO_ROLE resolution
+(us-east-1 vs us-west-2 path shapes), multi-account ALLOWED_BY scoping
+(assigned on 2 of 3 accounts → exactly 2 role links), and the
+skip-foreign-instance rule."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.aws_ec2 import _node
+from cartography_spark.providers.aws_identitycenter import (
+    sync_identitycenter,
+)
+
+TAG = 123456789
+ACCOUNT = "1234567890"
+INSTANCE_ARN = "arn:aws:sso:::instance/ssoins-12345678901234567"
+STORE_ID = "d-1234567890"
+PS_ARN = ("arn:aws:sso:::permissionSet/ssoins-12345678901234567/"
+          "ps-12345678901234567")
+USER_ID = "aaaaaaaa-a0d1-aaac-5af0-59c813ec7671"
+GROUP_ID = "gggggggg-a0d1-aaac-5af0-59c813ec7671"
+
+INSTANCES = {"Instances": [{
+    "InstanceArn": INSTANCE_ARN, "IdentityStoreId": STORE_ID,
+    "OwnerAccountId": ACCOUNT, "InstanceStatus": "ACTIVE",
+    "CreatedDate": "2023-01-01T00:00:00Z",
+}]}
+PERMSETS = {"PermissionSets": [{
+    "Name": "AdministratorAccess", "PermissionSetArn": PS_ARN,
+    "Description": "Provides full access to AWS services and resources.",
+    "CreatedDate": "2023-01-01T00:00:00Z", "SessionDuration": "PT12H",
+}]}
+USERS = {"Users": [{
+    "UserId": USER_ID, "UserName": "test.user1@example.com",
+    "IdentityStoreId": STORE_ID,
+    "ExternalIds": [{"Issuer": "https://scim.aws.com/1223122",
+                     "Id": "00aaaaabbbbb"}],
+}]}
+GROUPS = {"Groups": [{
+    "GroupId": GROUP_ID, "DisplayName": "Test Group",
+    "Description": "Example AWS Identity Center group.",
+    "IdentityStoreId": STORE_ID,
+    "ExternalIds": [{"Issuer": "https://scim.aws.com/1223122",
+                     "Id": "00ggggghhhhh"}],
+}]}
+MEMBERSHIPS = {"Memberships": [{"GroupId": GROUP_ID, "UserId": USER_ID}]}
+
+ROLE_US_EAST_1 = ("arn:aws:iam::123456789012:role/aws-reserved/"
+                  "sso.amazonaws.com/AWSReservedSSO_AdministratorAccess_"
+                  "y5z6a7b8c9d0e1f2")
+ROLE_US_WEST_2 = ("arn:aws:iam::123456789012:role/aws-reserved/"
+                  "sso.amazonaws.com/us-west-2/"
+                  "AWSReservedSSO_AdministratorAccess_g3h4i5j6k7l8m9n0")
+
+
+def _one(spark, payload, extra_col=None):
+    if extra_col:
+        name, val = extra_col
+        return spark.createDataFrame(
+            [(val, json.dumps(payload))], f"{name} string, payload_json string"
+        )
+    return spark.createDataFrame(
+        [(json.dumps(payload),)], "payload_json string"
+    )
+
+
+def _load_role(store, spark, arn, account):
+    df = spark.createDataFrame([(arn, account)], "arn string, acct string")
+    store.merge_nodes(
+        _node(df, "AWSRole", F.col("arn"), {"arn": F.col("arn")}, TAG), TAG
+    )
+    store.merge_edges(
+        df.select(
+            F.lit("AWSAccount").alias("src_label"),
+            F.col("acct").alias("src_id"),
+            F.lit("RESOURCE").alias("rel_label"),
+            F.lit("AWSRole").alias("dst_label"),
+            F.col("arn").alias("dst_id"),
+            F.lit(TAG).cast("long").alias("lastupdated"),
+            F.lit("AWSAccount").alias("sub_resource_label"),
+            F.col("acct").alias("sub_resource_id"),
+            F.lit(None).cast("map<string,string>").alias("props"),
+        ),
+        TAG,
+    )
+
+
+def _sync(store, spark, region="us-west-2", assignments=None,
+          instances=INSTANCES, tag=TAG):
+    sync_identitycenter(
+        store,
+        _one(spark, instances),
+        _one(spark, PERMSETS, ("instance_arn", INSTANCE_ARN)),
+        _one(spark, USERS, ("identity_store_id", STORE_ID)),
+        _one(spark, GROUPS, ("identity_store_id", STORE_ID)),
+        _one(spark, MEMBERSHIPS, ("identity_store_id", STORE_ID)),
+        _one(spark, {"Assignments": assignments or []},
+             ("instance_arn", INSTANCE_ARN)),
+        ACCOUNT,
+        region,
+        tag,
+    )
+
+
+def test_nodes_memberships_and_permset_links(spark, tmp_store):
+    """test_load_sso_users/groups/instances/permission_sets +
+    membership and assignment link tests."""
+    s = tmp_store
+    assignments = [
+        {"PrincipalType": "USER", "PrincipalId": USER_ID,
+         "PermissionSetArn": PS_ARN, "AccountId": "111111111111"},
+        {"PrincipalType": "GROUP", "PrincipalId": GROUP_ID,
+         "PermissionSetArn": PS_ARN, "AccountId": "111111111111"},
+    ]
+    _sync(s, spark, assignments=assignments)
+
+    users = {
+        (r["id"], r["props"]["external_id"])
+        for r in s.nodes(["AWSSSOUser"]).collect()
+    }
+    assert users == {(USER_ID, "00aaaaabbbbb")}
+    groups = {
+        (r["id"], r["props"]["external_id"])
+        for r in s.nodes(["AWSSSOGroup"]).collect()
+    }
+    assert groups == {(GROUP_ID, "00ggggghhhhh")}
+    inst = {
+        (r["id"], r["props"]["identity_store_id"])
+        for r in s.nodes(["AWSIdentityCenter"]).collect()
+    }
+    assert inst == {(INSTANCE_ARN, STORE_ID)}
+    ps = {
+        (r["id"], r["props"]["name"])
+        for r in s.nodes(["AWSPermissionSet"]).collect()
+    }
+    assert ps == {(PS_ARN, "AdministratorAccess")}
+    # ontology labels ride the nodes
+    u = s.nodes(["AWSSSOUser"]).collect()[0]
+    assert "UserAccount" in u["extra_labels"]
+    g = s.nodes(["AWSSSOGroup"]).collect()[0]
+    assert "UserGroup" in g["extra_labels"]
+
+    rels = {
+        (r["src_label"], r["src_id"], r["rel_label"], r["dst_id"])
+        for r in s.edges().collect()
+    }
+    assert ("AWSSSOUser", USER_ID, "MEMBER_OF_SSO_GROUP", GROUP_ID) in rels
+    assert ("AWSSSOUser", USER_ID, "MEMBER_OF", GROUP_ID) in rels
+    assert ("AWSSSOUser", USER_ID, "HAS_PERMISSION_SET", PS_ARN) in rels
+    assert ("AWSSSOUser", USER_ID, "HAS_ROLE", PS_ARN) in rels
+    assert ("AWSSSOGroup", GROUP_ID, "HAS_PERMISSION_SET", PS_ARN) in rels
+    assert ("AWSIdentityCenter", INSTANCE_ARN, "HAS_PERMISSION_SET",
+            PS_ARN) in rels
+
+
+def test_permission_set_to_role_us_east_1(spark, tmp_store):
+    """test_permission_set_to_role_us_east_1 — the us-east-1 RoleHint
+    (no region path segment) resolves to the provisioned role."""
+    s = tmp_store
+    _load_role(s, spark, ROLE_US_EAST_1, ACCOUNT)
+    _sync(s, spark, region="us-east-1")
+    actual = {
+        (r["src_id"], r["dst_id"])
+        for r in s.edges(["ASSIGNED_TO_ROLE"]).collect()
+    }
+    assert actual == {(PS_ARN, ROLE_US_EAST_1)}
+
+
+def test_permission_set_to_role_us_west_2(spark, tmp_store):
+    """test_permission_set_to_role_us_west_2 — the regional RoleHint
+    includes the region path segment; the us-east-1-shaped role does
+    NOT match."""
+    s = tmp_store
+    _load_role(s, spark, ROLE_US_WEST_2, ACCOUNT)
+    _load_role(s, spark, ROLE_US_EAST_1, ACCOUNT)
+    _sync(s, spark, region="us-west-2")
+    actual = {
+        (r["src_id"], r["dst_id"])
+        for r in s.edges(["ASSIGNED_TO_ROLE"]).collect()
+    }
+    assert actual == {(PS_ARN, ROLE_US_WEST_2)}
+
+
+def test_multi_account_allowed_by_scoping(spark, tmp_store):
+    """test_multi_account_permission_set_assignments — a user assigned
+    on 2 of 3 accounts gets ALLOWED_BY from exactly those 2 accounts'
+    provisioned roles, with the permission-set arn on the edge."""
+    s = tmp_store
+    roles = {
+        "111111111111": ("arn:aws:iam::111111111111:role/aws-reserved/"
+                         "sso.amazonaws.com/AWSReservedSSO_"
+                         "AdministratorAccess_a1b2c3d4e5f6g7h8"),
+        "222222222222": ("arn:aws:iam::222222222222:role/aws-reserved/"
+                         "sso.amazonaws.com/AWSReservedSSO_"
+                         "AdministratorAccess_i9j0k1l2m3n4o5p6"),
+        "333333333333": ("arn:aws:iam::333333333333:role/aws-reserved/"
+                         "sso.amazonaws.com/AWSReservedSSO_"
+                         "AdministratorAccess_q7r8s9t0u1v2w3x4"),
+    }
+    for acct, arn in roles.items():
+        _load_role(s, spark, arn, acct)
+    assignments = [
+        {"PrincipalType": "USER", "PrincipalId": USER_ID,
+         "PermissionSetArn": PS_ARN, "AccountId": "111111111111"},
+        {"PrincipalType": "USER", "PrincipalId": USER_ID,
+         "PermissionSetArn": PS_ARN, "AccountId": "222222222222"},
+    ]
+    _sync(s, spark, region="us-east-1", assignments=assignments)
+    allowed = {
+        (r["src_id"], r["dst_id"]): r["props"]
+        for r in s.edges(["ALLOWED_BY"]).collect()
+    }
+    assert set(allowed) == {
+        (roles["111111111111"], USER_ID),
+        (roles["222222222222"], USER_ID),
+    }
+    assert all(p["permission_set_arn"] == PS_ARN for p in allowed.values())
+
+
+def test_skips_instance_owned_by_other_account(spark, tmp_store):
+    """test_sync_skips_instance_owned_by_other_account — a foreign
+    instance's users/groups/permsets never load."""
+    s = tmp_store
+    foreign = {"Instances": [{
+        "InstanceArn": INSTANCE_ARN, "IdentityStoreId": STORE_ID,
+        "OwnerAccountId": "9999999999", "InstanceStatus": "ACTIVE",
+        "CreatedDate": "2023-01-01T00:00:00Z",
+    }]}
+    _sync(s, spark, instances=foreign)
+    for label in ("AWSIdentityCenter", "AWSSSOUser", "AWSSSOGroup",
+                  "AWSPermissionSet"):
+        if label in s.manifest["nodes"]:
+            assert s.nodes([label]).count() == 0
+
+
+def test_can_assume_identity_from_idp_user(spark, tmp_store):
+    """AWSSSOUserToOktaUserRel — an IdP UserAccount whose id equals the
+    SSO user's external id links CAN_ASSUME_IDENTITY."""
+    s = tmp_store
+    idp = spark.createDataFrame([("00aaaaabbbbb",)], "uid string")
+    s.merge_nodes(
+        _node(idp, "OktaUser", F.col("uid"), {"id": F.col("uid")}, TAG,
+              extra=["UserAccount"]),
+        TAG,
+    )
+    _sync(s, spark)
+    actual = {
+        (r["src_label"], r["src_id"], r["dst_id"])
+        for r in s.edges(["CAN_ASSUME_IDENTITY"]).collect()
+    }
+    assert actual == {("OktaUser", "00aaaaabbbbb", USER_ID)}

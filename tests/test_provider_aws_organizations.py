@@ -1,0 +1,281 @@
+"""AWS Organizations parity vs the reference's
+``tests/integration/cartography/intel/aws/test_organizations.py``
+asserted sets over ``tests/data/aws/organizations.py`` payloads: the
+full hierarchy (org, root, OUs with org-scoped ids and parent links,
+accounts incl. suspended, root principals for active accounts only),
+placement rels, the recursive account→org PARENT chain, account moves
+between parents, OU deletion without account deletion, and the
+stale-account metadata sweep."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.aws_organizations import (
+    sync_organizations,
+)
+
+TAG = 123456789
+TAG2 = 987654321
+ORG = "o-exampleorgid"
+
+ORGANIZATION = {
+    "Id": ORG,
+    "Arn": f"arn:aws:organizations::111111111111:organization/{ORG}",
+    "FeatureSet": "ALL",
+    "MasterAccountArn":
+        f"arn:aws:organizations::111111111111:account/{ORG}/111111111111",
+    "MasterAccountId": "111111111111",
+    "MasterAccountEmail": "management@example.com",
+}
+
+ACCOUNTS = [
+    {"Id": "111111111111", "Name": "management-account",
+     "Email": "management@example.com", "Status": "ACTIVE",
+     "State": "ACTIVE", "JoinedMethod": "CREATED",
+     "Arn": f"arn:aws:organizations::111111111111:account/{ORG}/111111111111"},
+    {"Id": "222222222222", "Name": "security-account",
+     "Email": "security@example.com", "Status": "ACTIVE",
+     "State": "ACTIVE", "JoinedMethod": "INVITED",
+     "Arn": f"arn:aws:organizations::111111111111:account/{ORG}/222222222222"},
+    {"Id": "333333333333", "Name": "suspended-account",
+     "Email": "suspended@example.com", "Status": "SUSPENDED",
+     "State": "SUSPENDED", "JoinedMethod": "INVITED",
+     "Arn": f"arn:aws:organizations::111111111111:account/{ORG}/333333333333"},
+    {"Id": "444444444444", "Name": "logging-account",
+     "Email": "logging@example.com", "Status": "ACTIVE",
+     "State": "ACTIVE", "JoinedMethod": "INVITED",
+     "Arn": f"arn:aws:organizations::111111111111:account/{ORG}/444444444444"},
+]
+
+ROOTS = [{"Id": "r-exam",
+          "Arn": f"arn:aws:organizations::111111111111:root/{ORG}/r-exam",
+          "Name": "Root"}]
+
+LISTINGS = [
+    {"ParentId": "r-exam", "ParentType": "ROOT",
+     "OrganizationalUnits": [
+         {"Id": "ou-exam-a1b2c3d4",
+          "Arn": f"arn:aws:organizations::111111111111:ou/{ORG}/ou-exam-a1b2c3d4",
+          "Name": "Security"}],
+     "Accounts": [ACCOUNTS[0], ACCOUNTS[2]]},
+    {"ParentId": "ou-exam-a1b2c3d4", "ParentType": "ORGANIZATIONAL_UNIT",
+     "OrganizationalUnits": [
+         {"Id": "ou-exam-b2c3d4e5",
+          "Arn": f"arn:aws:organizations::111111111111:ou/{ORG}/ou-exam-b2c3d4e5",
+          "Name": "Logging"}],
+     "Accounts": [ACCOUNTS[1]]},
+    {"ParentId": "ou-exam-b2c3d4e5", "ParentType": "ORGANIZATIONAL_UNIT",
+     "OrganizationalUnits": [], "Accounts": [ACCOUNTS[3]]},
+]
+
+
+def _raw(spark, org=ORGANIZATION, roots=ROOTS, listings=LISTINGS):
+    return spark.createDataFrame(
+        [(json.dumps({"Organization": org, "Roots": roots,
+                      "Listings": listings}),)],
+        "payload_json string",
+    )
+
+
+def _rels(store, rel, src_label=None, dst_label=None):
+    df = store.edges([rel])
+    if src_label:
+        df = df.filter(F.col("src_label") == src_label)
+    if dst_label:
+        df = df.filter(F.col("dst_label") == dst_label)
+    return {(r["src_id"], r["dst_id"]) for r in df.collect()}
+
+
+def test_sync_aws_organization_hierarchy(spark, tmp_store):
+    """test_sync_aws_organization_hierarchy — node and rel parity."""
+    s = tmp_store
+    sync_organizations(s, _raw(spark), ORG, TAG)
+
+    orgs = {
+        (r["id"], r["props"]["arn"], r["props"]["feature_set"],
+         r["props"]["management_account_id"])
+        for r in s.nodes(["AWSOrganization"]).collect()
+    }
+    assert orgs == {
+        (ORG, f"arn:aws:organizations::111111111111:organization/{ORG}",
+         "ALL", "111111111111"),
+    }
+    roots = {
+        (r["id"], r["props"]["root_id"], r["props"]["name"])
+        for r in s.nodes(["AWSOrganizationRoot"]).collect()
+    }
+    assert roots == {(f"{ORG}/r-exam", "r-exam", "Root")}
+    ous = {
+        (r["id"], r["props"]["ou_id"], r["props"]["name"],
+         r["props"].get("parent_root_id"), r["props"].get("parent_ou_id"))
+        for r in s.nodes(["AWSOrganizationalUnit"]).collect()
+    }
+    assert ous == {
+        (f"{ORG}/ou-exam-a1b2c3d4", "ou-exam-a1b2c3d4", "Security",
+         f"{ORG}/r-exam", None),
+        (f"{ORG}/ou-exam-b2c3d4e5", "ou-exam-b2c3d4e5", "Logging",
+         None, f"{ORG}/ou-exam-a1b2c3d4"),
+    }
+    accts = {
+        (r["id"], r["props"]["name"], r["props"]["email"],
+         r["props"]["state"], r["props"]["org_id"],
+         r["props"]["_ont_status"])
+        for r in s.nodes(["AWSAccount"]).collect()
+    }
+    assert accts == {
+        ("111111111111", "management-account", "management@example.com",
+         "ACTIVE", ORG, "active"),
+        ("222222222222", "security-account", "security@example.com",
+         "ACTIVE", ORG, "active"),
+        ("333333333333", "suspended-account", "suspended@example.com",
+         "SUSPENDED", ORG, "suspended"),
+        ("444444444444", "logging-account", "logging@example.com",
+         "ACTIVE", ORG, "active"),
+    }
+
+    assert _rels(s, "RESOURCE", "AWSOrganization", "AWSOrganizationRoot") \
+        == {(ORG, f"{ORG}/r-exam")}
+    assert _rels(s, "PARENT", "AWSOrganizationRoot", "AWSOrganization") \
+        == {(f"{ORG}/r-exam", ORG)}
+    # every OU of the tree is a sub-resource of its root
+    assert _rels(s, "RESOURCE", "AWSOrganizationRoot",
+                 "AWSOrganizationalUnit") == {
+        (f"{ORG}/r-exam", f"{ORG}/ou-exam-a1b2c3d4"),
+        (f"{ORG}/r-exam", f"{ORG}/ou-exam-b2c3d4e5"),
+    }
+    assert _rels(s, "RESOURCE", "AWSOrganizationalUnit",
+                 "AWSOrganizationalUnit") == {
+        (f"{ORG}/ou-exam-a1b2c3d4", f"{ORG}/ou-exam-b2c3d4e5"),
+    }
+    # only ACTIVE accounts are placed (the suspended one has no edges)
+    assert _rels(s, "RESOURCE", "AWSOrganizationRoot", "AWSAccount") == {
+        (f"{ORG}/r-exam", "111111111111"),
+    }
+    assert _rels(s, "RESOURCE", "AWSOrganizationalUnit", "AWSAccount") == {
+        (f"{ORG}/ou-exam-a1b2c3d4", "222222222222"),
+        (f"{ORG}/ou-exam-b2c3d4e5", "444444444444"),
+    }
+    assert _rels(s, "PARENT", "AWSOrganizationalUnit",
+                 "AWSOrganizationRoot") == {
+        (f"{ORG}/ou-exam-a1b2c3d4", f"{ORG}/r-exam"),
+    }
+    assert _rels(s, "PARENT", "AWSOrganizationalUnit",
+                 "AWSOrganizationalUnit") == {
+        (f"{ORG}/ou-exam-b2c3d4e5", f"{ORG}/ou-exam-a1b2c3d4"),
+    }
+    assert _rels(s, "PARENT", "AWSAccount", "AWSOrganizationRoot") == {
+        ("111111111111", f"{ORG}/r-exam"),
+    }
+    assert _rels(s, "PARENT", "AWSAccount", "AWSOrganizationalUnit") == {
+        ("222222222222", f"{ORG}/ou-exam-a1b2c3d4"),
+        ("444444444444", f"{ORG}/ou-exam-b2c3d4e5"),
+    }
+    # root principals only for ACTIVE accounts
+    principals = {
+        r["id"]
+        for r in s.nodes(["AWSPrincipal"])
+        .filter(F.array_contains("extra_labels", "AWSRootPrincipal"))
+        .collect()
+    }
+    assert principals == {
+        "arn:aws:iam::111111111111:root",
+        "arn:aws:iam::222222222222:root",
+        "arn:aws:iam::444444444444:root",
+    }
+
+    # recursive PARENT chain account → ... → organization (the test's
+    # MATCH (account)-[:PARENT*]->(org)): walk PARENT edges as frames
+    parent = s.edges(["PARENT"]).select("src_id", "dst_id", "dst_label")
+    reached = s.edges(["PARENT"]).filter(
+        F.col("src_label") == "AWSAccount"
+    ).select(F.col("src_id").alias("acct"), "dst_id", "dst_label")
+    for _ in range(6):
+        nxt = reached.filter(F.col("dst_label") != "AWSOrganization").join(
+            parent.select(F.col("src_id").alias("dst_id"),
+                          F.col("dst_id").alias("next_id"),
+                          F.col("dst_label").alias("next_label")),
+            on="dst_id",
+        ).select("acct", F.col("next_id").alias("dst_id"),
+                 F.col("next_label").alias("dst_label"))
+        done = reached.filter(F.col("dst_label") == "AWSOrganization")
+        reached = done.unionByName(nxt)
+    chain = {
+        (r["acct"], r["dst_id"])
+        for r in reached.filter(
+            F.col("dst_label") == "AWSOrganization"
+        ).distinct().collect()
+    }
+    assert chain == {
+        ("111111111111", ORG),
+        ("222222222222", ORG),
+        ("444444444444", ORG),
+    }
+
+
+def test_account_moves_between_parents(spark, tmp_store):
+    """test_sync_aws_organization_moves_account_between_parents — the
+    account's placement edges follow it; the stale ones are swept."""
+    s = tmp_store
+    sync_organizations(s, _raw(spark), ORG, TAG)
+    # move 222222222222 from the Security OU to the root
+    moved = [
+        {**LISTINGS[0], "Accounts": [ACCOUNTS[0], ACCOUNTS[2], ACCOUNTS[1]]},
+        {**LISTINGS[1], "Accounts": []},
+        LISTINGS[2],
+    ]
+    sync_organizations(s, _raw(spark, listings=moved), ORG, TAG2)
+    assert _rels(s, "RESOURCE", "AWSOrganizationRoot", "AWSAccount") == {
+        (f"{ORG}/r-exam", "111111111111"),
+        (f"{ORG}/r-exam", "222222222222"),
+    }
+    assert _rels(s, "RESOURCE", "AWSOrganizationalUnit", "AWSAccount") == {
+        (f"{ORG}/ou-exam-b2c3d4e5", "444444444444"),
+    }
+    assert _rels(s, "PARENT", "AWSAccount", "AWSOrganizationalUnit") == {
+        ("444444444444", f"{ORG}/ou-exam-b2c3d4e5"),
+    }
+
+
+def test_deleted_ou_gc_without_deleting_accounts(spark, tmp_store):
+    """test_sync_aws_organization_cleans_deleted_ous_without_deleting_
+    accounts — removing the Logging OU deletes the OU node but its
+    former account survives (accounts are never GC'd)."""
+    s = tmp_store
+    sync_organizations(s, _raw(spark), ORG, TAG)
+    shrunk = [
+        LISTINGS[0],
+        {**LISTINGS[1], "OrganizationalUnits": [],
+         "Accounts": [ACCOUNTS[1], ACCOUNTS[3]]},
+    ]
+    sync_organizations(s, _raw(spark, listings=shrunk), ORG, TAG2)
+    ou_ids = {r["id"] for r in s.nodes(["AWSOrganizationalUnit"]).collect()}
+    assert ou_ids == {f"{ORG}/ou-exam-a1b2c3d4"}
+    acct_ids = {r["id"] for r in s.nodes(["AWSAccount"]).collect()}
+    assert "444444444444" in acct_ids
+
+
+def test_stale_account_metadata_sweep(spark, tmp_store):
+    """cleanup_stale_aws_account_organization_metadata — an account
+    that left the org keeps its node but loses the org props and is
+    restamped; in-org accounts keep theirs."""
+    s = tmp_store
+    sync_organizations(s, _raw(spark), ORG, TAG)
+    # next run: 444444444444 left the org
+    shrunk = [
+        LISTINGS[0],
+        LISTINGS[1],
+        {**LISTINGS[2], "Accounts": []},
+    ]
+    sync_organizations(s, _raw(spark, listings=shrunk), ORG, TAG2)
+    rows = {
+        r["id"]: (r["props"], r["lastupdated"])
+        for r in s.nodes(["AWSAccount"]).collect()
+    }
+    gone_props, gone_tag = rows["444444444444"]
+    assert "org_id" not in gone_props
+    assert "email" not in gone_props
+    assert gone_tag == TAG2
+    kept_props, _ = rows["222222222222"]
+    assert kept_props["org_id"] == ORG
+    assert kept_props["email"] == "security@example.com"

@@ -1,0 +1,517 @@
+"""GCP Cloud Resource Manager hierarchy + IAM: organizations, folders,
+projects, service accounts, service-account keys, org/project roles —
+every GCP asset's tenant chain.
+
+Re-expresses ``intel/gcp/crm/{orgs,folders,projects}.py`` and
+``intel/gcp/iam.py`` as column expressions:
+
+* the reference BFS-walks folders to discover list parents
+  (``crm/folders.py:52-87``); given the folder rows, each row already
+  names its parent, so the tree is pure column work — ``parent_org`` /
+  ``parent_folder`` split on the resource-name prefix
+  (``transform_gcp_folders`` :88-110);
+* the documented default Apps Script lineage
+  (``system-gsuite > apps-script``, ``crm/folders.py:20-49``) excludes
+  its projects: the exclusion set is a self-join of the folder frame
+  (child displayName = ``apps-script`` AND parent displayName =
+  ``system-gsuite``), then an anti-join on the project side — the
+  reference applies the same rule at list time
+  (``crm/projects.py:18-29``);
+* node identity follows ``models/gcp/crm/*`` and ``models/gcp/iam*``:
+  orgs/projects carry the ontology ``Tenant`` label, service accounts
+  are keyed by their stable numeric uniqueId with ``email``
+  extra-indexed and carry ``GCPPrincipal`` + ``ServiceAccount``, keys
+  by their full resource name with ``APIKey``; roles are ``GCPRole``
+  with ``PermissionRole``, typed BASIC/PREDEFINED/CUSTOM and scoped
+  GLOBAL/ORGANIZATION/PROJECT (``determine_role_type_and_scope``,
+  ``intel/gcp/util.py:370-389``);
+* keys attach ``HAS_KEY`` from their service account, resolved
+  in-batch by email (``iam_keys.py:81-92``);
+* Workload Identity: the Kubernetes RBAC provider emits
+  ``WORKLOAD_IDENTITY_BINDING`` edges targeting the GCP service
+  account **by email** (the reference matcher,
+  ``models/kubernetes/serviceaccounts.py:125-137``); once the SA nodes
+  exist, :func:`resolve_workload_identity_bindings` rewrites those
+  email-keyed edges onto the SA's uniqueId node in one join pass;
+* cleanup: folders/projects GC scoped to the org; service accounts /
+  keys / project roles GC in ONE set-scoped pass over the synced
+  project set; org roles GC scoped to the org (the reference's
+  per-schema GraphJobs, ``intel/gcp/iam.py:373-454``).
+
+Scale: one ``from_json`` per payload; the apps-script exclusion and
+key→SA attach are broadcast-sized equi-joins; project-scoped GC is one
+pass regardless of project count; no driver loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cartography_spark.providers.aws_ec2 import _edge, _node
+
+CRM_SCHEMA = """
+    STRUCT<
+        Organizations: ARRAY<STRUCT<name: STRING, displayName: STRING,
+                                    lifecycleState: STRING>>,
+        Folders: ARRAY<STRUCT<name: STRING, parent: STRING,
+                              displayName: STRING, lifecycleState: STRING>>,
+        Projects: ARRAY<STRUCT<projectId: STRING, projectNumber: STRING,
+                               name: STRING, lifecycleState: STRING,
+                               parent: STRING>>>
+"""
+SA_SCHEMA = """
+    STRUCT<ServiceAccounts: ARRAY<STRUCT<
+        name: STRING, uniqueId: STRING, email: STRING,
+        displayName: STRING, oauth2ClientId: STRING, disabled: BOOLEAN>>>
+"""
+KEYS_SCHEMA = """
+    ARRAY<STRUCT<name: STRING, keyType: STRING, keyOrigin: STRING,
+                 keyAlgorithm: STRING, validAfterTime: STRING,
+                 validBeforeTime: STRING, disabled: BOOLEAN>>
+"""
+ROLES_SCHEMA = """
+    STRUCT<Roles: ARRAY<STRUCT<
+        name: STRING, title: STRING, description: STRING,
+        deleted: BOOLEAN, etag: STRING,
+        includedPermissions: ARRAY<STRING>>>>
+"""
+
+
+def _role_type(name):
+    """``determine_role_type_and_scope`` (``intel/gcp/util.py:370``)."""
+    return (
+        F.when(name.isin("roles/owner", "roles/editor", "roles/viewer"),
+               F.lit("BASIC"))
+        .when(name.startswith("roles/"), F.lit("PREDEFINED"))
+        .otherwise(F.lit("CUSTOM"))
+    )
+
+
+def _role_scope(name):
+    return (
+        F.when(name.startswith("roles/"), F.lit("GLOBAL"))
+        .when(name.startswith("organizations/"), F.lit("ORGANIZATION"))
+        .otherwise(F.lit("PROJECT"))
+    )
+
+
+def transform_gcp_crm(
+    raw: DataFrame, org_resource_name: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """``raw(payload_json)`` ({"Organizations", "Folders", "Projects"})
+    → (nodes, edges). Projects under the documented default Apps Script
+    folders are excluded."""
+    doc = raw.select(F.from_json("payload_json", CRM_SCHEMA).alias("d"))
+
+    orgs = doc.select(F.explode("d.Organizations").alias("o"))
+    org_nodes = _node(orgs, "GCPOrganization", F.col("o.name"), {
+        "orgname": F.col("o.name"),
+        "displayname": F.col("o.displayName"),
+        "lifecyclestate": F.col("o.lifecycleState"),
+    }, update_tag, extra=["Tenant"])
+
+    folders = doc.select(F.explode("d.Folders").alias("f")).select(
+        F.col("f.name").alias("name"),
+        F.col("f.parent").alias("parent"),
+        F.col("f.displayName").alias("displayname"),
+        F.col("f.lifecycleState").alias("lifecyclestate"),
+        F.when(F.col("f.parent").startswith("organizations"),
+               F.col("f.parent")).alias("parent_org"),
+        F.when(F.col("f.parent").startswith("folders"),
+               F.col("f.parent")).alias("parent_folder"),
+    ).cache()
+    folder_nodes = _node(folders, "GCPFolder", F.col("name"), {
+        "foldername": F.col("name"),
+        "displayname": F.col("displayname"),
+        "lifecyclestate": F.col("lifecyclestate"),
+        "parent_org": F.col("parent_org"),
+        "parent_folder": F.col("parent_folder"),
+    }, update_tag)
+
+    # default Apps Script lineage: apps-script folders whose parent
+    # folder is system-gsuite (crm/folders.py:20-49)
+    sys_folders = folders.filter(
+        F.col("displayname") == "system-gsuite"
+    ).select(F.col("name").alias("parent"))
+    excluded = folders.filter(
+        F.col("displayname") == "apps-script"
+    ).join(sys_folders, on="parent", how="left_semi").select(
+        F.col("name").alias("parent")
+    )
+
+    projects = doc.select(F.explode("d.Projects").alias("p")).select(
+        F.col("p.projectId").alias("projectid"),
+        F.col("p.projectNumber").alias("projectnumber"),
+        F.col("p.name").alias("displayname"),
+        F.col("p.lifecycleState").alias("lifecyclestate"),
+        F.col("p.parent").alias("parent"),
+        F.when(F.col("p.parent").startswith("organizations"),
+               F.col("p.parent")).alias("parent_org"),
+        F.when(F.col("p.parent").startswith("folders"),
+               F.col("p.parent")).alias("parent_folder"),
+    ).join(excluded, on="parent", how="left_anti")
+    project_nodes = _node(projects, "GCPProject", F.col("projectid"), {
+        "projectnumber": F.col("projectnumber"),
+        "displayname": F.col("displayname"),
+        "lifecyclestate": F.col("lifecyclestate"),
+        "parent_org": F.col("parent_org"),
+        "parent_folder": F.col("parent_folder"),
+    }, update_tag, extra=["Tenant"])
+
+    org_lit = F.lit(org_resource_name)
+    sub = ("GCPOrganization", org_lit)
+    edges = (
+        _edge(folders, "GCPOrganization", org_lit, "RESOURCE", "GCPFolder",
+              F.col("name"), update_tag, sub)
+        .unionByName(_edge(
+            folders.filter(F.col("parent_org").isNotNull()),
+            "GCPFolder", F.col("name"), "PARENT", "GCPOrganization",
+            F.col("parent_org"), update_tag, sub))
+        .unionByName(_edge(
+            folders.filter(F.col("parent_folder").isNotNull()),
+            "GCPFolder", F.col("name"), "PARENT", "GCPFolder",
+            F.col("parent_folder"), update_tag, sub))
+        .unionByName(_edge(projects, "GCPOrganization", org_lit, "RESOURCE",
+                           "GCPProject", F.col("projectid"), update_tag,
+                           sub))
+        .unionByName(_edge(
+            projects.filter(F.col("parent_org").isNotNull()),
+            "GCPProject", F.col("projectid"), "PARENT", "GCPOrganization",
+            F.col("parent_org"), update_tag, sub))
+        .unionByName(_edge(
+            projects.filter(F.col("parent_folder").isNotNull()),
+            "GCPProject", F.col("projectid"), "PARENT", "GCPFolder",
+            F.col("parent_folder"), update_tag, sub))
+    )
+    nodes = org_nodes.unionByName(folder_nodes).unionByName(project_nodes)
+    return nodes, edges
+
+
+def _role_frame(roles_raw: DataFrame) -> DataFrame:
+    return roles_raw.select(
+        F.explode(F.from_json("payload_json", ROLES_SCHEMA)["Roles"])
+        .alias("r")
+    ).select(
+        F.col("r.name").alias("name"),
+        F.col("r.title").alias("title"),
+        F.col("r.description").alias("description"),
+        F.col("r.deleted").alias("deleted"),
+        F.col("r.etag").alias("etag"),
+        F.col("r.includedPermissions").alias("includedPermissions"),
+    )
+
+
+def transform_gcp_iam(
+    sa_raw: DataFrame | None,
+    keys_raw: DataFrame | None,
+    roles_raw: DataFrame | None,
+    project_id: str,
+    update_tag: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Per-project IAM: ``sa_raw(payload_json)``,
+    ``keys_raw(service_account_email, payload_json)``,
+    ``roles_raw(payload_json)`` (custom project roles) → (nodes,
+    edges)."""
+    frames_n, frames_e = [], []
+    proj = F.lit(project_id)
+    sub = ("GCPProject", proj)
+    sa = None
+    if sa_raw is not None:
+        sa = sa_raw.select(
+            F.explode(
+                F.from_json("payload_json", SA_SCHEMA)["ServiceAccounts"]
+            ).alias("s")
+        ).select(
+            F.col("s.uniqueId").alias("unique_id"),
+            F.col("s.email").alias("email"),
+            F.col("s.displayName").alias("display_name"),
+            F.col("s.oauth2ClientId").alias("oauth2_client_id"),
+            F.coalesce(F.col("s.disabled"), F.lit(False)).alias("disabled"),
+        ).cache()
+        frames_n.append(_node(sa, "GCPServiceAccount", F.col("unique_id"), {
+            "email": F.col("email"),
+            "display_name": F.col("display_name"),
+            "oauth2_client_id": F.col("oauth2_client_id"),
+            "unique_id": F.col("unique_id"),
+            "disabled": F.col("disabled"),
+            "project_id": proj,
+        }, update_tag, extra=["GCPPrincipal", "ServiceAccount"]))
+        frames_e.append(_edge(sa, "GCPProject", proj, "RESOURCE",
+                              "GCPServiceAccount", F.col("unique_id"),
+                              update_tag, sub))
+    if keys_raw is not None:
+        keys = keys_raw.select(
+            F.col("service_account_email").alias("email"),
+            F.explode(F.from_json("payload_json", KEYS_SCHEMA)).alias("k"),
+        ).filter(
+            # transform_gcp_service_account_keys :186-226 skips keys
+            # without the API-contract `name`
+            F.col("k.name").isNotNull()
+        ).select(
+            F.col("k.name").alias("key_name"),
+            F.col("k.keyType").alias("key_type"),
+            F.col("k.keyOrigin").alias("key_origin"),
+            F.col("k.keyAlgorithm").alias("key_algorithm"),
+            F.col("k.validAfterTime").alias("valid_after_time"),
+            F.col("k.validBeforeTime").alias("valid_before_time"),
+            F.coalesce(F.col("k.disabled"), F.lit(False)).alias("disabled"),
+            "email",
+        )
+        frames_n.append(_node(keys, "GCPServiceAccountKey",
+                              F.col("key_name"), {
+            "name": F.col("key_name"),
+            "key_type": F.col("key_type"),
+            "key_origin": F.col("key_origin"),
+            "key_algorithm": F.col("key_algorithm"),
+            "valid_after_time": F.col("valid_after_time"),
+            "valid_before_time": F.col("valid_before_time"),
+            "disabled": F.col("disabled"),
+            "service_account_email": F.col("email"),
+        }, update_tag, extra=["APIKey"]))
+        frames_e.append(_edge(keys, "GCPProject", proj, "RESOURCE",
+                              "GCPServiceAccountKey", F.col("key_name"),
+                              update_tag, sub))
+        if sa is not None:
+            attach = keys.join(
+                sa.select("email", "unique_id"), on="email"
+            )
+            frames_e.append(_edge(attach, "GCPServiceAccount",
+                                  F.col("unique_id"), "HAS_KEY",
+                                  "GCPServiceAccountKey", F.col("key_name"),
+                                  update_tag, sub))
+    if roles_raw is not None:
+        roles = _role_frame(roles_raw)
+        frames_n.append(_node(roles, "GCPRole", F.col("name"), {
+            "name": F.col("name"),
+            "title": F.col("title"),
+            "description": F.col("description"),
+            "deleted": F.coalesce(F.col("deleted"), F.lit(False)),
+            "etag": F.col("etag"),
+            "permissions": F.to_json(F.col("includedPermissions")),
+            "role_type": _role_type(F.col("name")),
+            "scope": _role_scope(F.col("name")),
+            "project_id": proj,
+        }, update_tag, extra=["PermissionRole"]))
+        frames_e.append(_edge(roles, "GCPProject", proj, "RESOURCE",
+                              "GCPRole", F.col("name"), update_tag, sub))
+    if not frames_n:
+        src = next(
+            df for df in (sa_raw, keys_raw, roles_raw) if df is not None
+        )
+        spark = src.sparkSession
+        empty_n = spark.createDataFrame(
+            [], "label string, id string, lastupdated long, "
+                "content_sha256 string, extra_labels array<string>, "
+                "props map<string,string>")
+        return empty_n, spark.createDataFrame(
+            [], "src_label string, src_id string, rel_label string, "
+                "dst_label string, dst_id string, lastupdated long, "
+                "sub_resource_label string, sub_resource_id string, "
+                "props map<string,string>")
+    nodes = frames_n[0]
+    for f in frames_n[1:]:
+        nodes = nodes.unionByName(f)
+    edges = frames_e[0]
+    for f in frames_e[1:]:
+        edges = edges.unionByName(f)
+    return nodes, edges
+
+
+def transform_gcp_org_roles(
+    roles_raw: DataFrame, org_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """Predefined/basic + custom org roles, sub-resources of the org
+    (``sync_org_iam`` :455-495)."""
+    roles = _role_frame(roles_raw)
+    nodes = _node(roles, "GCPRole", F.col("name"), {
+        "name": F.col("name"),
+        "title": F.col("title"),
+        "description": F.col("description"),
+        "deleted": F.coalesce(F.col("deleted"), F.lit(False)),
+        "etag": F.col("etag"),
+        "permissions": F.to_json(F.col("includedPermissions")),
+        "role_type": _role_type(F.col("name")),
+        "scope": _role_scope(F.col("name")),
+        "organization_id": F.lit(org_id),
+    }, update_tag, extra=["PermissionRole"])
+    edges = _edge(roles, "GCPOrganization", F.lit(org_id), "RESOURCE",
+                  "GCPRole", F.col("name"), update_tag,
+                  ("GCPOrganization", F.lit(org_id)))
+    return nodes, edges
+
+
+def resolve_workload_identity_bindings(store, update_tag: int) -> int:
+    """Rewrite WORKLOAD_IDENTITY_BINDING edges that target a GCP
+    service account by EMAIL (the Kubernetes provider's matcher key)
+    onto the SA's uniqueId node, in one join pass."""
+    if ("WORKLOAD_IDENTITY_BINDING" not in store.manifest["edges"]
+            or "GCPServiceAccount" not in store.manifest["nodes"]):
+        return 0
+    sas = store.nodes(["GCPServiceAccount"]).select(
+        F.col("id").alias("sa_id"),
+        F.element_at("props", "email").alias("dst_id"),
+    ).filter(F.col("dst_id").isNotNull())
+    wib = store.edges(["WORKLOAD_IDENTITY_BINDING"]).filter(
+        F.col("dst_label") == "GCPServiceAccount"
+    )
+    hits = wib.join(F.broadcast(sas), on="dst_id").cache()
+    n = hits.count()
+    if n:
+        resolved = hits.select(
+            "src_label", "src_id", "rel_label", "dst_label",
+            F.col("sa_id").alias("dst_id"),
+            F.col("lastupdated"),
+            "sub_resource_label", "sub_resource_id", "props",
+        )
+        store.merge_edges(
+            resolved, update_tag, rels=["WORKLOAD_IDENTITY_BINDING"]
+        )
+        store.delete_edge_keys(
+            hits.select("src_label", "src_id", "rel_label", "dst_label",
+                        "dst_id"),
+            ["WORKLOAD_IDENTITY_BINDING"],
+        )
+    hits.unpersist()
+    store.record_lineage(
+        "gcp_wib_resolution", {"update_tag": update_tag, "resolved": n}
+    )
+    return n
+
+
+def sync_gcp_crm(store, crm_raw, org_resource_name: str, update_tag: int) -> dict:
+    """orgs → folders → projects → org-scoped GC."""
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    nodes, edges = transform_gcp_crm(crm_raw, org_resource_name, update_tag)
+    metrics = {
+        "nodes": store.merge_nodes(nodes, update_tag),
+        "edges": store.merge_edges(edges, update_tag),
+    }
+    org_rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label="GCPOrganization",
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("ORG_RESOURCE_NAME", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    for label in ("GCPProject", "GCPFolder"):
+        if label not in store.manifest["nodes"]:
+            continue
+        metrics[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=org_rel,
+            ),
+            update_tag,
+            {"ORG_RESOURCE_NAME": org_resource_name},
+        )
+    store.record_lineage("gcp_crm_sync", {"update_tag": update_tag})
+    return metrics
+
+
+def sync_gcp_iam(
+    store,
+    sa_raw: DataFrame | None,
+    keys_raw: DataFrame | None,
+    proj_roles_raw: DataFrame | None,
+    project_id: str,
+    update_tag: int,
+) -> dict:
+    """Per-project IAM load (``intel/gcp/iam.py:sync`` :498-585; no
+    cleanup here — call :func:`cleanup_gcp_iam` once after all
+    projects, like the reference)."""
+    nodes, edges = transform_gcp_iam(
+        sa_raw, keys_raw, proj_roles_raw, project_id, update_tag
+    )
+    metrics = {
+        "nodes": store.merge_nodes(nodes, update_tag),
+        "edges": store.merge_edges(edges, update_tag),
+    }
+    metrics["wib_resolved"] = resolve_workload_identity_bindings(
+        store, update_tag
+    )
+    store.record_lineage("gcp_iam_sync", {"update_tag": update_tag})
+    return metrics
+
+
+def sync_gcp_org_iam(store, roles_raw, org_id: str, update_tag: int) -> dict:
+    nodes, edges = transform_gcp_org_roles(roles_raw, org_id, update_tag)
+    metrics = {
+        "nodes": store.merge_nodes(nodes, update_tag),
+        "edges": store.merge_edges(edges, update_tag),
+    }
+    store.record_lineage("gcp_org_iam_sync", {"update_tag": update_tag})
+    return metrics
+
+
+def cleanup_gcp_iam(
+    store, project_ids, org_id: str | None, update_tag: int
+) -> dict:
+    """``cleanup_*`` :373-454, after all projects synced: ONE
+    set-scoped pass per label over the project set; org roles scoped to
+    the org."""
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import (
+        run_cleanup,
+        run_scoped_cleanup_for_scopes,
+    )
+
+    metrics: dict = {}
+    proj_rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label="GCPProject",
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("projectId", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    for label in ("GCPServiceAccountKey", "GCPServiceAccount", "GCPRole"):
+        if label not in store.manifest["nodes"]:
+            continue
+        metrics[f"gc_{label}"] = run_scoped_cleanup_for_scopes(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=proj_rel,
+            ),
+            update_tag,
+            project_ids,
+        )
+    if org_id is not None and "GCPRole" in store.manifest["nodes"]:
+        org_rel = RelSchema(
+            rel_label="RESOURCE",
+            target_node_label="GCPOrganization",
+            target_node_matcher=TargetNodeMatcher(
+                {"id": PropertyRef("ORG_ID", set_in_kwargs=True)}
+            ),
+            direction=LinkDirection.INWARD,
+        )
+        metrics["gc_org_roles"] = run_cleanup(
+            store,
+            NodeSchema(
+                label="GCPRole",
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=org_rel,
+            ),
+            update_tag,
+            {"ORG_ID": org_id},
+        )
+    store.record_lineage("gcp_iam_cleanup", {"update_tag": update_tag})
+    return metrics

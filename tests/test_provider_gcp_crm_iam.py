@@ -1,0 +1,266 @@
+"""GCP CRM + IAM parity vs the reference's
+``tests/integration/cartography/intel/gcp/test_crm_{orgs,folders,
+projects}.py`` and ``test_iam.py`` asserted sets over
+``tests/data/gcp/crm.py``-shaped payloads: the org→folder→project
+tenant chain (folder-parent, org-parent and nested-folder shapes), the
+default Apps Script exclusion, service accounts / keys / roles with
+type+scope, one-pass project-scoped GC, and the Workload Identity
+email→uniqueId edge resolution against kubernetes_rbac's
+WORKLOAD_IDENTITY_BINDING edges."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.gcp_crm_iam import (
+    cleanup_gcp_iam,
+    sync_gcp_crm,
+    sync_gcp_iam,
+    sync_gcp_org_iam,
+)
+
+TAG = 123456789
+TAG2 = 987654321
+ORG = "organizations/1337"
+
+ORGS = [{"name": ORG, "displayName": "example.com",
+         "lifecycleState": "ACTIVE"}]
+FOLDERS = [
+    {"name": "folders/1414", "parent": ORG, "displayName": "my-folder",
+     "lifecycleState": "ACTIVE"},
+    {"name": "folders/2000", "parent": ORG, "displayName": "parent-folder",
+     "lifecycleState": "ACTIVE"},
+    {"name": "folders/2001", "parent": "folders/2000",
+     "displayName": "child-folder", "lifecycleState": "ACTIVE"},
+]
+PROJECTS = [
+    {"projectId": "project-abc", "projectNumber": "123456789012",
+     "name": "Group 1", "lifecycleState": "ACTIVE",
+     "parent": "folders/1414"},
+    {"projectId": "project-under-org", "projectNumber": "123456789013",
+     "name": "project-under-org", "lifecycleState": "ACTIVE",
+     "parent": ORG},
+]
+
+SA_UNIQUE_ID = "112233445566778899"
+SA_EMAIL = "app-sa@project-abc.iam.gserviceaccount.com"
+SERVICE_ACCOUNTS = {"ServiceAccounts": [{
+    "name": f"projects/project-abc/serviceAccounts/{SA_EMAIL}",
+    "uniqueId": SA_UNIQUE_ID, "email": SA_EMAIL,
+    "displayName": "App SA", "oauth2ClientId": "998877",
+    "disabled": False,
+}]}
+KEY_NAME = (f"projects/project-abc/serviceAccounts/{SA_EMAIL}/"
+            "keys/abcdef1234567890")
+KEYS = [{"name": KEY_NAME, "keyType": "USER_MANAGED",
+         "keyOrigin": "GOOGLE_PROVIDED", "keyAlgorithm": "KEY_ALG_RSA_2048",
+         "validAfterTime": "2023-01-01T00:00:00Z",
+         "validBeforeTime": "9999-12-31T23:59:59Z", "disabled": False}]
+PROJECT_ROLES = {"Roles": [{
+    "name": "projects/project-abc/roles/customDeployer",
+    "title": "Custom Deployer", "description": "x", "deleted": False,
+    "etag": "e1", "includedPermissions": ["run.services.create"],
+}]}
+ORG_ROLES = {"Roles": [
+    {"name": "roles/editor", "title": "Editor", "description": "basic",
+     "deleted": False, "etag": "e2",
+     "includedPermissions": ["resourcemanager.projects.get"]},
+    {"name": "organizations/1337/roles/customAuditor", "title": "Auditor",
+     "description": "org custom", "deleted": False, "etag": "e3",
+     "includedPermissions": ["logging.logs.list"]},
+]}
+
+
+def _crm(spark, orgs=ORGS, folders=FOLDERS, projects=PROJECTS):
+    return spark.createDataFrame(
+        [(json.dumps({"Organizations": orgs, "Folders": folders,
+                      "Projects": projects}),)],
+        "payload_json string",
+    )
+
+
+def _one(spark, payload):
+    return spark.createDataFrame(
+        [(json.dumps(payload),)], "payload_json string"
+    )
+
+
+def _keys(spark, email=SA_EMAIL, keys=KEYS):
+    return spark.createDataFrame(
+        [(email, json.dumps(keys))],
+        "service_account_email string, payload_json string",
+    )
+
+
+def _rels(store, rel, src_label=None, dst_label=None):
+    df = store.edges([rel])
+    if src_label:
+        df = df.filter(F.col("src_label") == src_label)
+    if dst_label:
+        df = df.filter(F.col("dst_label") == dst_label)
+    return {(r["src_id"], r["dst_id"]) for r in df.collect()}
+
+
+def test_crm_hierarchy(spark, tmp_store):
+    """test_crm_orgs/folders/projects — tenant chain parity."""
+    s = tmp_store
+    sync_gcp_crm(s, _crm(spark), ORG, TAG)
+    assert {r["id"] for r in s.nodes(["GCPOrganization"]).collect()} == {ORG}
+    assert {r["id"] for r in s.nodes(["GCPFolder"]).collect()} == {
+        "folders/1414", "folders/2000", "folders/2001",
+    }
+    assert {r["id"] for r in s.nodes(["GCPProject"]).collect()} == {
+        "project-abc", "project-under-org",
+    }
+    org_node = s.nodes(["GCPOrganization"]).collect()[0]
+    assert "Tenant" in org_node["extra_labels"]
+    assert _rels(s, "RESOURCE", "GCPOrganization", "GCPFolder") == {
+        (ORG, "folders/1414"), (ORG, "folders/2000"), (ORG, "folders/2001"),
+    }
+    assert _rels(s, "PARENT", "GCPFolder", "GCPFolder") == {
+        ("folders/2001", "folders/2000"),
+    }
+    assert _rels(s, "PARENT", "GCPProject", "GCPFolder") == {
+        ("project-abc", "folders/1414"),
+    }
+    assert _rels(s, "PARENT", "GCPProject", "GCPOrganization") == {
+        ("project-under-org", ORG),
+    }
+    assert _rels(s, "RESOURCE", "GCPOrganization", "GCPProject") == {
+        (ORG, "project-abc"), (ORG, "project-under-org"),
+    }
+
+
+def test_apps_script_projects_excluded(spark, tmp_store):
+    """crm/folders.py:20-49 — projects under system-gsuite >
+    apps-script are excluded; an apps-script folder WITHOUT that parent
+    lineage keeps its projects."""
+    folders = FOLDERS + [
+        {"name": "folders/3000", "parent": ORG,
+         "displayName": "system-gsuite", "lifecycleState": "ACTIVE"},
+        {"name": "folders/3001", "parent": "folders/3000",
+         "displayName": "apps-script", "lifecycleState": "ACTIVE"},
+        {"name": "folders/3002", "parent": "folders/1414",
+         "displayName": "apps-script", "lifecycleState": "ACTIVE"},
+    ]
+    projects = PROJECTS + [
+        {"projectId": "sys-script-proj", "projectNumber": "1",
+         "name": "x", "lifecycleState": "ACTIVE", "parent": "folders/3001"},
+        {"projectId": "user-script-proj", "projectNumber": "2",
+         "name": "y", "lifecycleState": "ACTIVE", "parent": "folders/3002"},
+    ]
+    sync_gcp_crm(tmp_store, _crm(spark, folders=folders, projects=projects),
+                 ORG, TAG)
+    ids = {r["id"] for r in tmp_store.nodes(["GCPProject"]).collect()}
+    assert "sys-script-proj" not in ids
+    assert "user-script-proj" in ids
+
+
+def test_iam_service_accounts_keys_roles(spark, tmp_store):
+    """test_iam.py — SA keyed by uniqueId with ontology labels, key
+    attached HAS_KEY by email, roles typed and scoped."""
+    s = tmp_store
+    sync_gcp_crm(s, _crm(spark), ORG, TAG)
+    sync_gcp_iam(s, _one(spark, SERVICE_ACCOUNTS), _keys(spark),
+                 _one(spark, PROJECT_ROLES), "project-abc", TAG)
+    sync_gcp_org_iam(s, _one(spark, ORG_ROLES), ORG, TAG)
+
+    sa = {r["id"]: r for r in s.nodes(["GCPServiceAccount"]).collect()}
+    assert set(sa) == {SA_UNIQUE_ID}
+    assert sa[SA_UNIQUE_ID]["props"]["email"] == SA_EMAIL
+    assert {"GCPPrincipal", "ServiceAccount"} <= set(
+        sa[SA_UNIQUE_ID]["extra_labels"]
+    )
+    keys = {r["id"]: r for r in s.nodes(["GCPServiceAccountKey"]).collect()}
+    assert set(keys) == {KEY_NAME}
+    assert keys[KEY_NAME]["props"]["key_type"] == "USER_MANAGED"
+    assert _rels(s, "HAS_KEY", "GCPServiceAccount",
+                 "GCPServiceAccountKey") == {(SA_UNIQUE_ID, KEY_NAME)}
+    assert _rels(s, "RESOURCE", "GCPProject", "GCPServiceAccount") == {
+        ("project-abc", SA_UNIQUE_ID),
+    }
+
+    roles = {
+        r["id"]: (r["props"]["role_type"], r["props"]["scope"])
+        for r in s.nodes(["GCPRole"]).collect()
+    }
+    assert roles == {
+        "projects/project-abc/roles/customDeployer": ("CUSTOM", "PROJECT"),
+        "roles/editor": ("BASIC", "GLOBAL"),
+        "organizations/1337/roles/customAuditor": ("CUSTOM", "ORGANIZATION"),
+    }
+    assert _rels(s, "RESOURCE", "GCPOrganization", "GCPRole") == {
+        (ORG, "roles/editor"),
+        (ORG, "organizations/1337/roles/customAuditor"),
+    }
+
+
+def test_project_scoped_gc_single_pass(spark, tmp_store):
+    """cleanup_* :373-454 — SAs/keys/roles of all synced projects GC in
+    one set-scoped pass; org roles GC scoped to the org; lineage shows
+    one cleanup_scoped_set per label."""
+    s = tmp_store
+    sync_gcp_crm(s, _crm(spark), ORG, TAG)
+    sync_gcp_iam(s, _one(spark, SERVICE_ACCOUNTS), _keys(spark),
+                 _one(spark, PROJECT_ROLES), "project-abc", TAG)
+    sa2 = {"ServiceAccounts": [{
+        "name": "projects/project-under-org/serviceAccounts/b@x.i.g.com",
+        "uniqueId": "42", "email": "b@x.i.g.com", "displayName": "B",
+        "oauth2ClientId": "1", "disabled": False}]}
+    sync_gcp_iam(s, _one(spark, sa2), None, None, "project-under-org", TAG)
+
+    # T2: project-abc's SA disappears, project-under-org's survives
+    sync_gcp_iam(s, _one(spark, {"ServiceAccounts": []}), None, None,
+                 "project-abc", TAG2)
+    sync_gcp_iam(s, _one(spark, sa2), None, None, "project-under-org", TAG2)
+    with open(s._lineage_path) as f:
+        before = sum(1 for _ in f)
+    cleanup_gcp_iam(s, ["project-abc", "project-under-org"], ORG, TAG2)
+
+    remaining = {r["id"] for r in s.nodes(["GCPServiceAccount"]).collect()}
+    assert remaining == {"42"}
+    assert s.nodes(["GCPServiceAccountKey"]).count() == 0
+    with open(s._lineage_path) as f:
+        recs = [json.loads(line) for line in f][before:]
+    scoped = [r for r in recs if r["stage"] == "cleanup_scoped_set"]
+    assert {r["label"] for r in scoped} == {
+        "GCPServiceAccountKey", "GCPServiceAccount", "GCPRole",
+    }
+    assert all(r["n_scopes"] == 2 or r["nodes_deleted"] >= 0 for r in scoped)
+
+
+def test_workload_identity_binding_resolution(spark, tmp_store):
+    """kubernetes_rbac emits WORKLOAD_IDENTITY_BINDING targeting the
+    GCP SA by email; once the SA loads, the edge resolves onto the
+    uniqueId node (the reference's email matcher,
+    models/kubernetes/serviceaccounts.py:125-137)."""
+    from cartography_spark.providers.kubernetes_rbac import (
+        sync_k8s_services_rbac,
+    )
+
+    s = tmp_store
+    sa_payload = [{
+        "metadata": {
+            "name": "workload-sa", "namespace": "default",
+            "uid": "u-1", "creation_timestamp": "2023-01-01T00:00:00Z",
+            "resource_version": "1",
+            "annotations": {"iam.gke.io/gcp-service-account": SA_EMAIL},
+        },
+        "automount_service_account_token": True,
+    }]
+    sa_raw = spark.createDataFrame(
+        [("cl-1", "cluster-a", json.dumps(sa_payload))],
+        "cluster_id string, cluster_name string, payload_json string",
+    )
+    sync_k8s_services_rbac(
+        s, None, sa_raw, None, None, None, None, "cl-1", TAG
+    )
+    wib = _rels(s, "WORKLOAD_IDENTITY_BINDING")
+    assert all(dst == SA_EMAIL for _, dst in wib) and wib
+
+    sync_gcp_iam(s, _one(spark, SERVICE_ACCOUNTS), None, None,
+                 "project-abc", TAG)
+    resolved = _rels(s, "WORKLOAD_IDENTITY_BINDING", None,
+                     "GCPServiceAccount")
+    assert all(dst == SA_UNIQUE_ID for _, dst in resolved)
+    assert len(resolved) == 1

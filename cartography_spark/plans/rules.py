@@ -168,6 +168,53 @@ UNPINNED_ACTIONS = Fact(
     asset_id_field="action_ref",
 )
 
+UNPINNED_WORKFLOW_ACTIONS = Fact(
+    id="unpinned_github_actions_workflows",
+    name="GitHub workflows using unpinned third-party Actions",
+    description="Actions referenced by workflows that are not pinned to "
+    "a full commit SHA; local and docker:// refs excluded; archived and "
+    "disabled repos excluded (rules/data/rules/"
+    "unpinned_github_actions.py — the reference's provider-shape fact "
+    "over GitHubRepository→HAS_WORKFLOW→GitHubWorkflow→USES_ACTION).",
+    sql_query="""
+        SELECT a.props['full_name'] AS action,
+               a.props['version'] AS version,
+               wf.props['path'] AS workflow_path,
+               repo.props['fullname'] AS repo,
+               a.id AS action_id
+        FROM edges hw
+        JOIN nodes repo
+          ON repo.label = 'GitHubRepository' AND repo.id = hw.src_id
+        JOIN nodes wf
+          ON wf.label = 'GitHubWorkflow' AND wf.id = hw.dst_id
+        JOIN edges ua
+          ON ua.rel_label = 'USES_ACTION'
+         AND ua.src_label = 'GitHubWorkflow' AND ua.src_id = wf.id
+        JOIN nodes a
+          ON a.label = 'GitHubAction' AND a.id = ua.dst_id
+        WHERE hw.rel_label = 'HAS_WORKFLOW'
+          AND a.props['is_pinned'] = 'false'
+          AND a.props['is_local'] = 'false'
+          AND coalesce(a.props['owner'], '') <> 'docker'
+          AND coalesce(repo.props['archived'], 'false') = 'false'
+          AND coalesce(repo.props['disabled'], 'false') = 'false'
+        ORDER BY repo, workflow_path, action
+    """,
+    count_sql="""
+        SELECT count(DISTINCT a.id) AS count
+        FROM edges ua
+        JOIN nodes a
+          ON a.label = 'GitHubAction' AND a.id = ua.dst_id
+        WHERE ua.rel_label = 'USES_ACTION'
+          AND ua.src_label = 'GitHubWorkflow'
+          AND a.props['is_local'] = 'false'
+          AND coalesce(a.props['owner'], '') <> 'docker'
+    """,
+    identity_fields=("repo", "workflow_path", "action_id"),
+    asset_label="GitHubAction",
+    asset_id_field="action_id",
+)
+
 EXTERNAL_TRUSTED_ROLES = Fact(
     id="roles_trusting_hub_principal",
     name="Roles trusting a shared principal",
@@ -1439,7 +1486,8 @@ ALL_RULES: tuple[Rule, ...] = (
         description="Mutable action refs, unpinned dependencies and "
         "secret sprawl in workflows.",
         version="1.1",
-        facts=(UNPINNED_ACTIONS, SECRETS_IN_WORKFLOWS, UNPINNED_DEPENDENCIES),
+        facts=(UNPINNED_ACTIONS, UNPINNED_WORKFLOW_ACTIONS,
+               SECRETS_IN_WORKFLOWS, UNPINNED_DEPENDENCIES),
         references=(
             RuleReference(
                 text="GitHub Actions pinning guidance",

@@ -1,0 +1,686 @@
+"""GitHub supply chain: workflows + actions, Actions secrets,
+Dependabot alerts, and GHCR container images / layers / tags — the
+pieces that make GitHub-sourced images flow into the container-image
+ontology stage (``plans/images.py``) and the
+``unpinned_github_actions`` rule pack fire on the reference's graph
+shape.
+
+Re-expresses ``intel/github/{actions,dependabot_alerts,
+container_images,container_image_tags}.py``:
+
+* **workflows** (``actions.py:224-242,391-505``): one Arrow
+  ``mapInPandas`` pass parses each workflow YAML with the already-
+  shipped :func:`functions.parsers.parse_workflow` (the
+  ``workflow_parser.py`` twin) — actions deduped by raw ``uses``,
+  secret refs regexed in dot+bracket form, triggers from ``on``;
+  GitHubWorkflow nodes hang HAS_WORKFLOW off their repository and
+  USES_ACTION onto org-scoped GitHubAction nodes (local actions are
+  repo-scoped ids, ``transform_actions`` :459-498), and
+  REFERENCES_SECRET resolves only against secrets that exist (repo- or
+  org-level id forms, ``enrich_workflow_with_parsed_content``
+  :428-438);
+* **secrets** (``actions.py:182-223,264-311``): GitHubActionsSecret
+  nodes at the reference's stable url-shaped ids;
+* **Dependabot alerts** (``dependabot_alerts.py:117-236``): alert rows
+  keyed by html_url with the advisory/vulnerability/CVSS projection,
+  FOUND_IN the repository, DISMISSED_BY / ASSIGNED_TO GitHubUsers;
+* **container images** (``container_images.py:254-424``): manifest
+  lists vs images split on mediaType; attestation-manifest children
+  excluded from CONTAINS_IMAGE; layer diff_ids kept in order with
+  HEAD/TAIL pointers; layers keyed by diff_id with NEXT chaining and
+  history aligned past empty layers — all as array expressions
+  (``posexplode`` + index arithmetic), no row loops. Images carry the
+  ontology ``Image`` / ``ImageManifestList`` extra labels so the
+  shipped RESOLVED_IMAGE jobs and layer-closure operator
+  (``plans/images.py``) work on GitHub-sourced images unchanged;
+* **tags** (``container_image_tags.py``): tag nodes REFERENCES their
+  digest's image.
+
+Scale: one ``from_json``+explode per family; the YAML parse is the
+only Python, Arrow-batched; layer dedup is one groupBy on diff_id; GC
+is org-scoped per label.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator
+
+from pyspark.sql import DataFrame, functions as F
+
+from cartography_spark.providers.aws_ec2 import _edge, _node
+
+WORKFLOWS_SCHEMA = """
+    STRUCT<Workflows: ARRAY<STRUCT<
+        id: STRING, name: STRING, path: STRING, state: STRING,
+        created_at: STRING, updated_at: STRING, content: STRING>>>
+"""
+SECRETS_SCHEMA = """
+    STRUCT<OrgSecrets: ARRAY<STRUCT<name: STRING, created_at: STRING,
+                                    updated_at: STRING,
+                                    visibility: STRING>>,
+           RepoSecrets: ARRAY<STRUCT<repo_name: STRING, name: STRING,
+                                     created_at: STRING,
+                                     updated_at: STRING>>>
+"""
+ALERTS_SCHEMA = """
+    STRUCT<Alerts: ARRAY<STRUCT<
+        number: BIGINT, state: STRING, url: STRING, html_url: STRING,
+        created_at: STRING, updated_at: STRING, dismissed_at: STRING,
+        fixed_at: STRING, dismissed_reason: STRING,
+        dismissed_comment: STRING,
+        dismissed_by: STRUCT<login: STRING, html_url: STRING>,
+        assignees: ARRAY<STRUCT<login: STRING, html_url: STRING>>,
+        dependency: STRUCT<package: STRUCT<ecosystem: STRING,
+                                           name: STRING>,
+                           manifest_path: STRING, scope: STRING>,
+        security_advisory: STRUCT<
+            ghsa_id: STRING, cve_id: STRING, severity: STRING,
+            summary: STRING, published_at: STRING,
+            cvss: STRUCT<score: DOUBLE, vector_string: STRING>,
+            epss: STRUCT<percentage: DOUBLE, percentile: DOUBLE>,
+            identifiers: ARRAY<STRUCT<type: STRING, value: STRING>>,
+            cwes: ARRAY<STRUCT<cwe_id: STRING>>>,
+        security_vulnerability: STRUCT<
+            severity: STRING, vulnerable_version_range: STRING,
+            first_patched_version: STRUCT<identifier: STRING>>,
+        repository: STRUCT<name: STRING, full_name: STRING,
+                           html_url: STRING>>>>
+"""
+MANIFESTS_SCHEMA = """
+    STRUCT<Manifests: ARRAY<STRUCT<
+        mediaType: STRING, schemaVersion: BIGINT,
+        manifests: ARRAY<STRUCT<digest: STRING,
+                                annotations: MAP<STRING, STRING>>>,
+        layers: ARRAY<STRUCT<digest: STRING, mediaType: STRING,
+                             size: BIGINT>>,
+        _config: STRUCT<architecture: STRING, os: STRING,
+                        variant: STRING,
+                        rootfs: STRUCT<diff_ids: ARRAY<STRING>>,
+                        history: ARRAY<STRUCT<created_by: STRING,
+                                              empty_layer: BOOLEAN>>>,
+        _package_uri: STRING, _digest: STRING, _package_id: STRING>>>
+"""
+TAGS_SCHEMA = """
+    STRUCT<Tags: ARRAY<STRUCT<id: STRING, name: STRING, uri: STRING,
+                              digest: STRING, image_pushed_at: STRING,
+                              package_id: STRING>>>
+"""
+
+MANIFEST_LIST_MEDIA_TYPES = (
+    "application/vnd.docker.distribution.manifest.list.v2+json",
+    "application/vnd.oci.image.index.v1+json",
+)
+
+PARSED_WF_DDL = (
+    "repo_name string, wf_id string, name string, path string, "
+    "state string, created_at string, updated_at string, "
+    "actions_json string, secrets_json string, triggers_json string"
+)
+
+
+def _parse_workflows_arrow(rows: Iterator, org: str):
+    """Arrow batch fn: parse each workflow's YAML content."""
+    from cartography_spark.functions.parsers import parse_workflow
+
+    for pdf in rows:
+        out = {k: [] for k in (
+            "repo_name", "wf_id", "name", "path", "state", "created_at",
+            "updated_at", "actions_json", "secrets_json", "triggers_json",
+        )}
+        for _, r in pdf.iterrows():
+            parsed = parse_workflow(r["content"] or "")
+            out["repo_name"].append(r["repo_name"])
+            out["wf_id"].append(r["wf_id"])
+            out["name"].append(r["name"])
+            out["path"].append(r["path"])
+            out["state"].append(r["state"])
+            out["created_at"].append(r["created_at"])
+            out["updated_at"].append(r["updated_at"])
+            out["actions_json"].append(json.dumps(parsed["actions"]))
+            out["secrets_json"].append(json.dumps(parsed["secrets"]))
+            out["triggers_json"].append(json.dumps(parsed["triggers"]))
+        import pandas as pd
+
+        yield pd.DataFrame(out)
+
+
+ACTIONS_DDL = ("array<struct<full_name: string, owner: string, "
+               "version: string, is_pinned: boolean, is_local: boolean, "
+               "raw_uses: string>>")
+
+
+def transform_workflows(
+    raw: DataFrame, org: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """``raw(repo_name, payload_json)`` ({"Workflows": [...]}, content
+    inline) → (nodes, edges) for workflows, actions, secret refs."""
+    wf = raw.select(
+        "repo_name",
+        F.explode(F.from_json("payload_json", WORKFLOWS_SCHEMA)["Workflows"])
+        .alias("w"),
+    ).select(
+        "repo_name",
+        F.col("w.id").alias("wf_id"),
+        F.col("w.name").alias("name"),
+        F.col("w.path").alias("path"),
+        F.col("w.state").alias("state"),
+        F.col("w.created_at").alias("created_at"),
+        F.col("w.updated_at").alias("updated_at"),
+        F.col("w.content").alias("content"),
+    )
+    parsed = wf.mapInPandas(
+        lambda it: _parse_workflows_arrow(it, org), schema=PARSED_WF_DDL
+    ).withColumn(
+        "repo_url",
+        F.concat(F.lit(f"https://github.com/{org}/"), F.col("repo_name")),
+    ).cache()
+
+    wf_nodes = _node(parsed, "GitHubWorkflow", F.col("wf_id"), {
+        "name": F.col("name"),
+        "path": F.col("path"),
+        "state": F.col("state"),
+        "created_at": F.col("created_at"),
+        "updated_at": F.col("updated_at"),
+        "repo_url": F.col("repo_url"),
+        "trigger_events": F.col("triggers_json"),
+    }, update_tag)
+
+    acts = parsed.select(
+        "repo_name", "repo_url", "wf_id",
+        F.explode(F.from_json("actions_json", ACTIONS_DDL)).alias("a"),
+    ).withColumn(
+        "action_id",
+        F.when(
+            F.col("a.is_local"),
+            F.concat(F.lit(f"{org}/"), F.col("repo_name"), F.lit(":"),
+                     F.col("a.raw_uses")),
+        ).otherwise(
+            F.concat(F.lit(f"{org}:"), F.col("a.raw_uses"))
+        ),
+    )
+    action_nodes = _node(acts, "GitHubAction", F.col("action_id"), {
+        "owner": F.when(F.col("a.owner") != "", F.col("a.owner")),
+        "name": F.when(F.col("a.is_local"), F.col("a.raw_uses"))
+        .otherwise(F.substring_index(F.col("a.full_name"), "/", -1)),
+        "version": F.when(F.col("a.version") != "", F.col("a.version")),
+        "is_pinned": F.col("a.is_pinned"),
+        "is_local": F.col("a.is_local"),
+        "full_name": F.col("a.full_name"),
+    }, update_tag)
+
+    org_url = F.lit(f"https://github.com/{org}")
+    sub = ("GitHubOrganization", org_url)
+    # secret refs resolve against BOTH id forms; only existing secrets
+    # match at link time (resolved in sync against the secrets batch)
+    secret_refs = parsed.select(
+        "wf_id", "repo_url",
+        F.explode(F.from_json("secrets_json", "array<string>"))
+        .alias("secret_name"),
+    )
+    edges = (
+        _edge(parsed, "GitHubRepository", F.col("repo_url"), "HAS_WORKFLOW",
+              "GitHubWorkflow", F.col("wf_id"), update_tag, sub)
+        .unionByName(_edge(acts, "GitHubWorkflow", F.col("wf_id"),
+                           "USES_ACTION", "GitHubAction",
+                           F.col("action_id"), update_tag, sub))
+        .unionByName(_edge(parsed, "GitHubOrganization", org_url,
+                           "RESOURCE", "GitHubWorkflow", F.col("wf_id"),
+                           update_tag, sub))
+        .unionByName(_edge(acts, "GitHubOrganization", org_url, "RESOURCE",
+                           "GitHubAction", F.col("action_id"), update_tag,
+                           sub))
+    )
+    nodes = wf_nodes.unionByName(action_nodes)
+    return nodes, edges, secret_refs
+
+
+def transform_secrets(
+    raw: DataFrame, org: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """Org + repo Actions secrets at the reference's url ids."""
+    doc = raw.select(F.from_json("payload_json", SECRETS_SCHEMA).alias("d"))
+    org_s = doc.select(F.explode("d.OrgSecrets").alias("s")).select(
+        F.concat(F.lit(f"https://github.com/{org}/actions/secrets/"),
+                 F.col("s.name")).alias("sid"),
+        F.col("s.name").alias("name"),
+        F.col("s.created_at").alias("created_at"),
+        F.col("s.updated_at").alias("updated_at"),
+        F.col("s.visibility").alias("visibility"),
+        F.lit("org").alias("level"),
+    )
+    repo_s = doc.select(F.explode("d.RepoSecrets").alias("s")).select(
+        F.concat(F.lit(f"https://github.com/{org}/"), F.col("s.repo_name"),
+                 F.lit("/actions/secrets/"), F.col("s.name")).alias("sid"),
+        F.col("s.name").alias("name"),
+        F.col("s.created_at").alias("created_at"),
+        F.col("s.updated_at").alias("updated_at"),
+        F.lit(None).cast("string").alias("visibility"),
+        F.lit("repo").alias("level"),
+    )
+    secrets = org_s.unionByName(repo_s)
+    nodes = _node(secrets, "GitHubActionsSecret", F.col("sid"), {
+        "name": F.col("name"),
+        "created_at": F.col("created_at"),
+        "updated_at": F.col("updated_at"),
+        "visibility": F.col("visibility"),
+        "level": F.col("level"),
+    }, update_tag)
+    org_url = F.lit(f"https://github.com/{org}")
+    edges = _edge(secrets, "GitHubOrganization", org_url, "RESOURCE",
+                  "GitHubActionsSecret", F.col("sid"), update_tag,
+                  ("GitHubOrganization", org_url))
+    return nodes, edges
+
+
+def transform_dependabot(
+    raw: DataFrame, org: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """``dependabot_alerts.py:117-236`` projection."""
+    a = raw.select(
+        F.explode(F.from_json("payload_json", ALERTS_SCHEMA)["Alerts"])
+        .alias("a")
+    ).withColumn(
+        "alert_id", F.coalesce(F.col("a.html_url"), F.col("a.url"))
+    ).filter(F.col("alert_id").isNotNull())
+
+    ghsa = F.coalesce(
+        F.col("a.security_advisory.ghsa_id"),
+        F.col("a.security_advisory.identifiers")[0]["value"],
+    )
+    cve = F.coalesce(
+        F.col("a.security_advisory.cve_id"),
+        F.filter(
+            F.col("a.security_advisory.identifiers"),
+            lambda i: i["type"] == "CVE",
+        )[0]["value"],
+    )
+    alert_nodes = _node(a, "GitHubDependabotAlert", F.col("alert_id"), {
+        "number": F.col("a.number"),
+        "state": F.col("a.state"),
+        "url": F.col("a.url"),
+        "html_url": F.col("a.html_url"),
+        "created_at": F.col("a.created_at"),
+        "updated_at": F.col("a.updated_at"),
+        "dismissed_at": F.col("a.dismissed_at"),
+        "dismissed_reason": F.col("a.dismissed_reason"),
+        "fixed_at": F.col("a.fixed_at"),
+        "dependency_package_ecosystem":
+            F.col("a.dependency.package.ecosystem"),
+        "dependency_package_name": F.col("a.dependency.package.name"),
+        "dependency_manifest_path": F.col("a.dependency.manifest_path"),
+        "dependency_scope": F.col("a.dependency.scope"),
+        "vulnerable_version_range":
+            F.col("a.security_vulnerability.vulnerable_version_range"),
+        "first_patched_version":
+            F.col("a.security_vulnerability.first_patched_version.identifier"),
+        "severity": F.coalesce(
+            F.col("a.security_vulnerability.severity"),
+            F.col("a.security_advisory.severity"),
+        ),
+        "advisory_ghsa_id": ghsa,
+        "advisory_cve_id": cve,
+        "has_cve": cve.isNotNull(),
+        "advisory_summary": F.col("a.security_advisory.summary"),
+        "cvss_score": F.col("a.security_advisory.cvss.score"),
+        "cvss_vector_string":
+            F.col("a.security_advisory.cvss.vector_string"),
+        "epss_percentage": F.col("a.security_advisory.epss.percentage"),
+        "epss_percentile": F.col("a.security_advisory.epss.percentile"),
+        "cwe_ids": F.to_json(F.transform(
+            F.coalesce("a.security_advisory.cwes", F.array()),
+            lambda c: c["cwe_id"],
+        )),
+        "repository_url": F.col("a.repository.html_url"),
+        "repository_full_name": F.col("a.repository.full_name"),
+    }, update_tag)
+
+    users = (
+        a.select(F.col("a.dismissed_by").alias("u"))
+        .unionByName(a.select(F.explode(
+            F.coalesce("a.assignees", F.array())
+        ).alias("u")))
+        .filter(F.col("u.html_url").isNotNull())
+        .select(F.col("u.html_url").alias("uid"),
+                F.col("u.login").alias("login"))
+        .dropDuplicates(["uid"])
+    )
+    user_nodes = _node(users, "GitHubUser", F.col("uid"), {
+        "username": F.col("login"),
+    }, update_tag)
+
+    org_url = F.lit(f"https://github.com/{org}")
+    sub = ("GitHubOrganization", org_url)
+    edges = (
+        _edge(a, "GitHubOrganization", org_url, "RESOURCE",
+              "GitHubDependabotAlert", F.col("alert_id"), update_tag, sub)
+        .unionByName(_edge(
+            a.filter(F.col("a.repository.html_url").isNotNull()),
+            "GitHubDependabotAlert", F.col("alert_id"), "FOUND_IN",
+            "GitHubRepository", F.col("a.repository.html_url"), update_tag,
+            sub))
+        .unionByName(_edge(
+            a.filter(F.col("a.dismissed_by.html_url").isNotNull()),
+            "GitHubDependabotAlert", F.col("alert_id"), "DISMISSED_BY",
+            "GitHubUser", F.col("a.dismissed_by.html_url"), update_tag,
+            sub))
+        .unionByName(_edge(
+            a.select("alert_id", F.explode(
+                F.coalesce("a.assignees", F.array())
+            ).alias("u")).filter(F.col("u.html_url").isNotNull()),
+            "GitHubDependabotAlert", F.col("alert_id"), "ASSIGNED_TO",
+            "GitHubUser", F.col("u.html_url"), update_tag, sub))
+    )
+    return alert_nodes.unionByName(user_nodes), edges
+
+
+def transform_container_images(
+    raw: DataFrame, org: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """``container_images.py:254-424`` as array expressions: manifest
+    lists split on mediaType, attestation children excluded, layers
+    keyed by diff_id with ordered NEXT chaining and empty-layer-aware
+    history alignment."""
+    m = raw.select(
+        F.explode(F.from_json("payload_json", MANIFESTS_SCHEMA)["Manifests"])
+        .alias("m")
+    ).withColumn(
+        "is_list", F.col("m.mediaType").isin(*MANIFEST_LIST_MEDIA_TYPES)
+    ).withColumn("digest", F.col("m._digest")).filter(
+        F.col("digest").isNotNull()
+    ).cache()
+
+    child_digests = F.transform(
+        F.filter(
+            F.coalesce("m.manifests", F.array()),
+            lambda c: c["digest"].isNotNull()
+            & (
+                F.coalesce(
+                    c["annotations"]["vnd.docker.reference.type"], F.lit("")
+                ) != "attestation-manifest"
+            ),
+        ),
+        lambda c: c["digest"],
+    )
+    diff_ids = F.coalesce(F.col("m._config.rootfs.diff_ids"), F.array())
+    imgs = m.select(
+        "digest", "is_list",
+        F.col("m.mediaType").alias("media_type"),
+        F.col("m.schemaVersion").alias("schema_version"),
+        F.col("m._package_uri").alias("package_uri"),
+        F.col("m._package_id").alias("package_id"),
+        F.col("m._config.architecture").alias("architecture"),
+        F.col("m._config.os").alias("os"),
+        F.col("m._config.variant").alias("variant"),
+        F.when(F.col("is_list"), child_digests).alias("child_digests"),
+        F.when(~F.col("is_list"), diff_ids).alias("diff_ids"),
+    ).withColumn(
+        "uri",
+        F.when(
+            F.col("package_uri").isNotNull(),
+            F.concat(F.col("package_uri"), F.lit("@"), F.col("digest")),
+        ),
+    )
+
+    # two _node passes so the conditional ontology label
+    # (IMAGE.when(type='image') / IMAGE_MANIFEST_LIST) stays a literal
+    common_props = {
+        "digest": F.col("digest"),
+        "uri": F.col("uri"),
+        "media_type": F.col("media_type"),
+        "schema_version": F.col("schema_version"),
+        "type": F.when(F.col("is_list"), F.lit("manifest_list"))
+        .otherwise(F.lit("image")),
+        "architecture": F.col("architecture"),
+        # ontology arch projection so the shipped RESOLVED_IMAGE
+        # manifest-list disambiguation matches GitHub-sourced images
+        "_ont_architecture": F.col("architecture"),
+        "os": F.col("os"),
+        "variant": F.col("variant"),
+        "child_image_digests": F.to_json(F.col("child_digests")),
+        "layer_diff_ids": F.to_json(F.col("diff_ids")),
+        "head_layer_diff_id": F.get(F.col("diff_ids"), 0),
+        "tail_layer_diff_id": F.when(
+            F.size("diff_ids") > 0,
+            F.element_at(F.col("diff_ids"), F.size("diff_ids")),
+        ),
+        "package_id": F.col("package_id"),
+    }
+    img_nodes = _node(imgs.filter(~F.col("is_list")), "GitHubContainerImage",
+                      F.col("digest"), common_props, update_tag,
+                      extra=["Image"])
+    list_nodes = _node(imgs.filter(F.col("is_list")), "GitHubContainerImage",
+                       F.col("digest"), common_props, update_tag,
+                       extra=["ImageManifestList"])
+
+    # layers: positional explode; NEXT = diff_ids[pos+1]; history
+    # aligned to diff_ids after dropping empty layers
+    nonlist = m.filter(~F.col("is_list")).select(
+        "digest",
+        F.coalesce("m.layers", F.array()).alias("layers"),
+        diff_ids.alias("diff_ids"),
+        F.transform(
+            F.filter(
+                F.coalesce("m._config.history", F.array()),
+                lambda h: ~F.coalesce(h["empty_layer"], F.lit(False)),
+            ),
+            lambda h: h["created_by"],
+        ).alias("hist"),
+    )
+    lay = nonlist.select(
+        "diff_ids", "hist",
+        F.posexplode("layers").alias("pos", "layer"),
+    ).withColumn("diff_id", F.get(F.col("diff_ids"), F.col("pos"))).filter(
+        F.col("diff_id").isNotNull() & F.col("layer.digest").isNotNull()
+    ).select(
+        "diff_id",
+        F.col("layer.digest").alias("ldigest"),
+        F.col("layer.mediaType").alias("media_type"),
+        F.col("layer.size").alias("size"),
+        F.get(F.col("hist"), F.col("pos")).alias("history"),
+        F.get(F.col("diff_ids"), F.col("pos") + 1).alias("next_diff_id"),
+    )
+    layers = lay.groupBy("diff_id").agg(
+        F.first("ldigest").alias("ldigest"),
+        F.first("media_type").alias("media_type"),
+        F.first("size").alias("size"),
+        F.first("history", ignorenulls=True).alias("history"),
+        F.sort_array(
+            F.collect_set(F.col("next_diff_id"))
+        ).alias("next_diff_ids"),
+    )
+    layer_nodes = _node(layers, "GitHubContainerImageLayer",
+                        F.col("diff_id"), {
+        "diff_id": F.col("diff_id"),
+        "digest": F.col("ldigest"),
+        "media_type": F.col("media_type"),
+        "size": F.col("size"),
+        "is_empty": F.lit(False),
+        "history": F.col("history"),
+    }, update_tag, extra=["ImageLayer"])
+
+    org_url = F.lit(f"https://github.com/{org}")
+    sub = ("GitHubOrganization", org_url)
+    contains = imgs.filter(F.col("is_list")).select(
+        "digest", F.explode("child_digests").alias("child")
+    )
+    has_layer = imgs.filter(~F.col("is_list")).select(
+        "digest", F.explode("diff_ids").alias("diff_id")
+    )
+    nxt = layers.select(
+        "diff_id", F.explode("next_diff_ids").alias("next_id")
+    )
+    edges = (
+        _edge(imgs, "GitHubOrganization", org_url, "RESOURCE",
+              "GitHubContainerImage", F.col("digest"), update_tag, sub)
+        .unionByName(_edge(layers, "GitHubOrganization", org_url,
+                           "RESOURCE", "GitHubContainerImageLayer",
+                           F.col("diff_id"), update_tag, sub))
+        .unionByName(_edge(contains, "GitHubContainerImage",
+                           F.col("digest"), "CONTAINS_IMAGE",
+                           "GitHubContainerImage", F.col("child"),
+                           update_tag, sub))
+        .unionByName(_edge(has_layer, "GitHubContainerImage",
+                           F.col("digest"), "HAS_LAYER",
+                           "GitHubContainerImageLayer", F.col("diff_id"),
+                           update_tag, sub))
+        .unionByName(_edge(
+            imgs.filter(~F.col("is_list")
+                        & (F.size(F.coalesce("diff_ids", F.array())) > 0)),
+            "GitHubContainerImage", F.col("digest"), "HEAD",
+            "GitHubContainerImageLayer", F.get(F.col("diff_ids"), 0),
+            update_tag, sub))
+        .unionByName(_edge(
+            imgs.filter(~F.col("is_list")
+                        & (F.size(F.coalesce("diff_ids", F.array())) > 0)),
+            "GitHubContainerImage", F.col("digest"), "TAIL",
+            "GitHubContainerImageLayer",
+            F.element_at(F.col("diff_ids"), F.size("diff_ids")), update_tag,
+            sub))
+        .unionByName(_edge(nxt, "GitHubContainerImageLayer",
+                           F.col("diff_id"), "NEXT",
+                           "GitHubContainerImageLayer", F.col("next_id"),
+                           update_tag, sub))
+        .unionByName(_edge(
+            imgs.filter(F.col("package_id").isNotNull()),
+            "GitHubPackage", F.col("package_id"), "HAS_IMAGE",
+            "GitHubContainerImage", F.col("digest"), update_tag, sub))
+    )
+    return img_nodes.unionByName(list_nodes).unionByName(layer_nodes), edges
+
+
+def transform_container_image_tags(
+    raw: DataFrame, org: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    t = raw.select(
+        F.explode(F.from_json("payload_json", TAGS_SCHEMA)["Tags"]).alias("t")
+    )
+    nodes = _node(t, "GitHubContainerImageTag", F.col("t.id"), {
+        "name": F.col("t.name"),
+        "uri": F.col("t.uri"),
+        "digest": F.col("t.digest"),
+        "image_pushed_at": F.col("t.image_pushed_at"),
+        "package_id": F.col("t.package_id"),
+    }, update_tag, extra=["ImageTag"])
+    org_url = F.lit(f"https://github.com/{org}")
+    sub = ("GitHubOrganization", org_url)
+    edges = (
+        _edge(t, "GitHubOrganization", org_url, "RESOURCE",
+              "GitHubContainerImageTag", F.col("t.id"), update_tag, sub)
+        .unionByName(_edge(
+            t.filter(F.col("t.digest").isNotNull()),
+            "GitHubContainerImageTag", F.col("t.id"), "REFERENCES",
+            "GitHubContainerImage", F.col("t.digest"), update_tag, sub))
+    )
+    return nodes, edges
+
+
+def sync_github_supply_chain(
+    store,
+    workflows_raw: DataFrame | None,
+    secrets_raw: DataFrame | None,
+    alerts_raw: DataFrame | None,
+    manifests_raw: DataFrame | None,
+    tags_raw: DataFrame | None,
+    org: str,
+    update_tag: int,
+) -> dict:
+    """secrets → workflows (+secret-ref resolution) → dependabot →
+    images → tags → org-scoped GC per label."""
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    metrics: dict = {}
+    org_url = f"https://github.com/{org}"
+    secret_refs = None
+    for name, pair in (
+        ("secrets", transform_secrets(secrets_raw, org, update_tag)
+         if secrets_raw is not None else None),
+        ("workflows", transform_workflows(workflows_raw, org, update_tag)
+         if workflows_raw is not None else None),
+        ("dependabot", transform_dependabot(alerts_raw, org, update_tag)
+         if alerts_raw is not None else None),
+        ("images", transform_container_images(manifests_raw, org,
+                                              update_tag)
+         if manifests_raw is not None else None),
+        ("tags", transform_container_image_tags(tags_raw, org, update_tag)
+         if tags_raw is not None else None),
+    ):
+        if pair is None:
+            continue
+        if len(pair) == 3:
+            nodes, edges, secret_refs = pair
+        else:
+            nodes, edges = pair
+        metrics[f"{name}_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics[f"{name}_edges"] = store.merge_edges(edges, update_tag)
+
+    # REFERENCES_SECRET: only secrets that EXIST match (the matcher's
+    # MATCH semantics) — both repo- and org-level id forms tried
+    if secret_refs is not None and (
+        "GitHubActionsSecret" in store.manifest["nodes"]
+    ):
+        candidates = secret_refs.select(
+            "wf_id",
+            F.explode(F.array(
+                F.concat(F.col("repo_url"), F.lit("/actions/secrets/"),
+                         F.col("secret_name")),
+                F.concat(F.lit(org_url + "/actions/secrets/"),
+                         F.col("secret_name")),
+            )).alias("sid"),
+        )
+        existing = store.nodes(["GitHubActionsSecret"]).select(
+            F.col("id").alias("sid")
+        )
+        refs = candidates.join(F.broadcast(existing), on="sid")
+        metrics["secret_refs"] = store.merge_edges(
+            refs.select(
+                F.lit("GitHubWorkflow").alias("src_label"),
+                F.col("wf_id").alias("src_id"),
+                F.lit("REFERENCES_SECRET").alias("rel_label"),
+                F.lit("GitHubActionsSecret").alias("dst_label"),
+                F.col("sid").alias("dst_id"),
+                F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+                F.lit("GitHubOrganization").alias("sub_resource_label"),
+                F.lit(org_url).alias("sub_resource_id"),
+                F.lit(None).cast("map<string,string>").alias("props"),
+            ).dropDuplicates(
+                ["src_label", "src_id", "rel_label", "dst_label", "dst_id"]
+            ),
+            update_tag,
+            rels=["REFERENCES_SECRET"],
+        )
+
+    org_rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label="GitHubOrganization",
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("ORG_URL", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    for label in ("GitHubAction", "GitHubWorkflow", "GitHubActionsSecret",
+                  "GitHubDependabotAlert", "GitHubContainerImageTag",
+                  "GitHubContainerImage", "GitHubContainerImageLayer"):
+        if label not in store.manifest["nodes"]:
+            continue
+        metrics[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=org_rel,
+            ),
+            update_tag,
+            {"ORG_URL": org_url},
+        )
+    store.record_lineage(
+        "github_supply_chain_sync", {"update_tag": update_tag}
+    )
+    return metrics

@@ -1,0 +1,398 @@
+"""GitHub supply-chain parity: workflow YAML → GitHubWorkflow /
+GitHubAction chain (pin detection, local/docker handling, secret-ref
+resolution against existing secrets only), Dependabot alert projection
+with FOUND_IN/DISMISSED_BY/ASSIGNED_TO, GHCR manifest transform
+(manifest-list split, attestation-child exclusion, ordered layers with
+NEXT chaining and empty-layer-aware history), flow into the shipped
+RESOLVED_IMAGE ontology job and layer-closure operator, and the
+reference-shape unpinned_github_actions fact."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.aws_ec2 import _node
+from cartography_spark.providers.github_supply_chain import (
+    sync_github_supply_chain,
+    transform_container_images,
+)
+
+TAG = 123456789
+ORG = "example-org"
+ORG_URL = f"https://github.com/{ORG}"
+REPO_URL = f"{ORG_URL}/sample-repo"
+
+WORKFLOW_YAML = """
+name: CI
+on: [push, pull_request]
+jobs:
+  build:
+    runs-on: ubuntu-latest
+    steps:
+      - uses: actions/checkout@a5ac7e51b41094c92402da3b24376905380afc29
+      - uses: tj-actions/changed-files@v35
+      - uses: ./.github/actions/local-build
+      - uses: docker://alpine:3.18
+      - run: echo "${{ secrets.DEPLOY_TOKEN }} ${{ secrets['NPM_TOKEN'] }}"
+"""
+
+WORKFLOWS = {"Workflows": [{
+    "id": "161335", "name": "CI", "path": ".github/workflows/ci.yml",
+    "state": "active", "created_at": "2023-01-01T00:00:00Z",
+    "updated_at": "2023-06-01T00:00:00Z", "content": WORKFLOW_YAML,
+}]}
+SECRETS = {
+    "OrgSecrets": [{"name": "DEPLOY_TOKEN",
+                    "created_at": "2023-01-01T00:00:00Z",
+                    "updated_at": "2023-01-01T00:00:00Z",
+                    "visibility": "all"}],
+    "RepoSecrets": [],
+}
+
+SHA_LIST = "sha256:" + "a" * 64
+SHA_AMD = "sha256:" + "b" * 64
+SHA_ARM = "sha256:" + "c" * 64
+SHA_ATT = "sha256:" + "d" * 64
+DIFF_1 = "sha256:" + "1" * 64
+DIFF_2 = "sha256:" + "2" * 64
+
+MANIFESTS = {"Manifests": [
+    {
+        "mediaType": "application/vnd.oci.image.index.v1+json",
+        "schemaVersion": 2,
+        "manifests": [
+            {"digest": SHA_AMD, "annotations": {}},
+            {"digest": SHA_ARM, "annotations": {}},
+            {"digest": SHA_ATT,
+             "annotations": {"vnd.docker.reference.type":
+                             "attestation-manifest"}},
+        ],
+        "_package_uri": f"ghcr.io/{ORG}/app",
+        "_digest": SHA_LIST,
+        "_package_id": f"{ORG_URL}/packages/container/app",
+    },
+    {
+        "mediaType": "application/vnd.oci.image.manifest.v1+json",
+        "schemaVersion": 2,
+        "layers": [
+            {"digest": "sha256:" + "e" * 64,
+             "mediaType": "application/vnd.oci.image.layer.v1.tar+gzip",
+             "size": 100},
+            {"digest": "sha256:" + "f" * 64,
+             "mediaType": "application/vnd.oci.image.layer.v1.tar+gzip",
+             "size": 200},
+        ],
+        "_config": {
+            "architecture": "amd64", "os": "linux",
+            "rootfs": {"diff_ids": [DIFF_1, DIFF_2]},
+            "history": [
+                {"created_by": "FROM base", "empty_layer": False},
+                {"created_by": "ENV X=1", "empty_layer": True},
+                {"created_by": "RUN make", "empty_layer": False},
+            ],
+        },
+        "_package_uri": f"ghcr.io/{ORG}/app",
+        "_digest": SHA_AMD,
+        "_package_id": f"{ORG_URL}/packages/container/app",
+    },
+    {
+        "mediaType": "application/vnd.oci.image.manifest.v1+json",
+        "schemaVersion": 2,
+        "layers": [],
+        "_config": {"architecture": "arm64", "os": "linux",
+                    "rootfs": {"diff_ids": []}},
+        "_package_uri": f"ghcr.io/{ORG}/app",
+        "_digest": SHA_ARM,
+        "_package_id": f"{ORG_URL}/packages/container/app",
+    },
+]}
+
+ALERT = {
+    "number": 7, "state": "open",
+    "url": f"https://api.github.com/repos/{ORG}/sample-repo/dependabot/alerts/7",
+    "html_url": f"{REPO_URL}/security/dependabot/7",
+    "created_at": "2024-01-01T00:00:00Z",
+    "updated_at": "2024-01-02T00:00:00Z",
+    "dismissed_at": None, "fixed_at": None,
+    "dismissed_by": {"login": "alice", "html_url":
+                     "https://github.com/alice"},
+    "assignees": [{"login": "bob", "html_url": "https://github.com/bob"}],
+    "dependency": {"package": {"ecosystem": "npm", "name": "lodash"},
+                   "manifest_path": "package-lock.json",
+                   "scope": "runtime"},
+    "security_advisory": {
+        "ghsa_id": "GHSA-xxxx-yyyy-zzzz", "cve_id": "CVE-2021-23337",
+        "severity": "high", "summary": "Command injection",
+        "published_at": "2021-02-15T00:00:00Z",
+        "cvss": {"score": 7.2, "vector_string": "CVSS:3.1/AV:N"},
+        "epss": {"percentage": 0.009, "percentile": 0.81},
+        "identifiers": [{"type": "GHSA", "value": "GHSA-xxxx-yyyy-zzzz"},
+                        {"type": "CVE", "value": "CVE-2021-23337"}],
+        "cwes": [{"cwe_id": "CWE-78"}],
+    },
+    "security_vulnerability": {
+        "severity": "high",
+        "vulnerable_version_range": "< 4.17.21",
+        "first_patched_version": {"identifier": "4.17.21"},
+    },
+    "repository": {"name": "sample-repo",
+                   "full_name": f"{ORG}/sample-repo",
+                   "html_url": REPO_URL},
+}
+
+
+def _one(spark, payload, repo=None):
+    if repo is not None:
+        return spark.createDataFrame(
+            [(repo, json.dumps(payload))],
+            "repo_name string, payload_json string",
+        )
+    return spark.createDataFrame(
+        [(json.dumps(payload),)], "payload_json string"
+    )
+
+
+def _rels(store, rel, src_label=None, dst_label=None):
+    df = store.edges([rel])
+    if src_label:
+        df = df.filter(F.col("src_label") == src_label)
+    if dst_label:
+        df = df.filter(F.col("dst_label") == dst_label)
+    return {(r["src_id"], r["dst_id"]) for r in df.collect()}
+
+
+def test_workflows_actions_and_secret_resolution(spark, tmp_store):
+    """workflow parse → action pin/local/docker classes, HAS_WORKFLOW /
+    USES_ACTION; REFERENCES_SECRET only for the secret that exists."""
+    s = tmp_store
+    sync_github_supply_chain(
+        s, _one(spark, WORKFLOWS, repo="sample-repo"), _one(spark, SECRETS),
+        None, None, None, ORG, TAG,
+    )
+    wfs = {r["id"]: r["props"] for r in s.nodes(["GitHubWorkflow"]).collect()}
+    assert set(wfs) == {"161335"}
+    assert wfs["161335"]["path"] == ".github/workflows/ci.yml"
+    assert wfs["161335"]["repo_url"] == REPO_URL
+    assert json.loads(wfs["161335"]["trigger_events"]) == [
+        "push", "pull_request",
+    ]
+
+    acts = {r["id"]: r["props"] for r in s.nodes(["GitHubAction"]).collect()}
+    pinned = f"{ORG}:actions/checkout@a5ac7e51b41094c92402da3b24376905380afc29"
+    tagged = f"{ORG}:tj-actions/changed-files@v35"
+    local = f"{ORG}/sample-repo:./.github/actions/local-build"
+    docker = f"{ORG}:docker://alpine:3.18"
+    assert set(acts) == {pinned, tagged, local, docker}
+    assert acts[pinned]["is_pinned"] == "true"
+    assert acts[tagged]["is_pinned"] == "false"
+    assert acts[tagged]["full_name"] == "tj-actions/changed-files"
+    assert acts[local]["is_local"] == "true"
+    assert acts[docker]["owner"] == "docker"
+
+    assert _rels(s, "HAS_WORKFLOW", "GitHubRepository") == {
+        (REPO_URL, "161335"),
+    }
+    assert {(a, b) for a, b in _rels(s, "USES_ACTION", "GitHubWorkflow")} \
+        == {("161335", x) for x in (pinned, tagged, local, docker)}
+    # DEPLOY_TOKEN exists at org level; NPM_TOKEN does not exist → no edge
+    assert _rels(s, "REFERENCES_SECRET") == {
+        ("161335", f"{ORG_URL}/actions/secrets/DEPLOY_TOKEN"),
+    }
+
+
+def test_unpinned_workflow_actions_fact(spark, tmp_store):
+    """The reference-shape unpinned_github_actions pack fires: only the
+    mutable-tag third-party action is a finding (pinned, local and
+    docker refs excluded)."""
+    from cartography_spark.plans.rules import (
+        UNPINNED_WORKFLOW_ACTIONS,
+        run_fact,
+    )
+
+    s = tmp_store
+    repo = spark.createDataFrame(
+        [(REPO_URL, f"{ORG}/sample-repo")], "url string, fullname string"
+    )
+    s.merge_nodes(
+        _node(repo, "GitHubRepository", F.col("url"), {
+            "fullname": F.col("fullname"),
+            "archived": F.lit(False),
+            "disabled": F.lit(False),
+        }, TAG),
+        TAG,
+    )
+    sync_github_supply_chain(
+        s, _one(spark, WORKFLOWS, repo="sample-repo"), None, None, None,
+        None, ORG, TAG,
+    )
+    res = run_fact(s, UNPINNED_WORKFLOW_ACTIONS)
+    rows = {
+        (r["repo"], r["workflow_path"], r["action"], r["version"])
+        for r in res["findings"].collect()
+    }
+    assert rows == {
+        (f"{ORG}/sample-repo", ".github/workflows/ci.yml",
+         "tj-actions/changed-files", "v35"),
+    }
+    assert res["failing"] == 1
+
+
+def test_dependabot_alert_projection(spark, tmp_store):
+    s = tmp_store
+    sync_github_supply_chain(
+        s, None, None, _one(spark, {"Alerts": [ALERT]}), None, None, ORG,
+        TAG,
+    )
+    alerts = {
+        r["id"]: r["props"]
+        for r in s.nodes(["GitHubDependabotAlert"]).collect()
+    }
+    aid = f"{REPO_URL}/security/dependabot/7"
+    assert set(alerts) == {aid}
+    p = alerts[aid]
+    assert p["dependency_package_name"] == "lodash"
+    assert p["advisory_cve_id"] == "CVE-2021-23337"
+    assert p["has_cve"] == "true"
+    assert p["severity"] == "high"
+    assert p["first_patched_version"] == "4.17.21"
+    assert json.loads(p["cwe_ids"]) == ["CWE-78"]
+    assert _rels(s, "FOUND_IN") == {(aid, REPO_URL)}
+    assert _rels(s, "DISMISSED_BY") == {(aid, "https://github.com/alice")}
+    assert _rels(s, "ASSIGNED_TO") == {(aid, "https://github.com/bob")}
+    users = {r["id"] for r in s.nodes(["GitHubUser"]).collect()}
+    assert users == {"https://github.com/alice", "https://github.com/bob"}
+
+
+def test_container_image_transform(spark):
+    """Manifest-list split, attestation-child exclusion, layer order +
+    history alignment past empty layers."""
+    nodes, edges = transform_container_images(
+        _one(spark, MANIFESTS), ORG, TAG
+    )
+    imgs = {
+        r["id"]: r
+        for r in nodes.filter(
+            F.col("label") == "GitHubContainerImage"
+        ).collect()
+    }
+    assert imgs[SHA_LIST]["props"]["type"] == "manifest_list"
+    assert "ImageManifestList" in imgs[SHA_LIST]["extra_labels"]
+    assert imgs[SHA_AMD]["props"]["type"] == "image"
+    assert "Image" in imgs[SHA_AMD]["extra_labels"]
+    assert imgs[SHA_AMD]["props"]["uri"] == f"ghcr.io/{ORG}/app@{SHA_AMD}"
+    assert json.loads(imgs[SHA_LIST]["props"]["child_image_digests"]) == [
+        SHA_AMD, SHA_ARM,
+    ]
+    assert imgs[SHA_AMD]["props"]["head_layer_diff_id"] == DIFF_1
+    assert imgs[SHA_AMD]["props"]["tail_layer_diff_id"] == DIFF_2
+
+    layers = {
+        r["id"]: r["props"]
+        for r in nodes.filter(
+            F.col("label") == "GitHubContainerImageLayer"
+        ).collect()
+    }
+    assert set(layers) == {DIFF_1, DIFF_2}
+    # history aligned past the empty ENV layer
+    assert layers[DIFF_1]["history"] == "FROM base"
+    assert layers[DIFF_2]["history"] == "RUN make"
+
+    pairs = {
+        (r["rel_label"], r["src_id"], r["dst_id"]) for r in edges.collect()
+    }
+    assert ("CONTAINS_IMAGE", SHA_LIST, SHA_AMD) in pairs
+    assert ("CONTAINS_IMAGE", SHA_LIST, SHA_ARM) in pairs
+    assert ("CONTAINS_IMAGE", SHA_LIST, SHA_ATT) not in pairs
+    assert ("HAS_LAYER", SHA_AMD, DIFF_1) in pairs
+    assert ("HEAD", SHA_AMD, DIFF_1) in pairs
+    assert ("TAIL", SHA_AMD, DIFF_2) in pairs
+    assert ("NEXT", DIFF_1, DIFF_2) in pairs
+    assert ("HAS_IMAGE", f"{ORG_URL}/packages/container/app", SHA_AMD) \
+        in pairs
+
+
+def test_resolved_image_and_layer_closure(spark, tmp_store):
+    """GitHub-sourced images flow through the shipped ontology stage:
+    a Container consumer HAS_IMAGE→manifest list resolves to the single
+    arch-matching child; the layer-closure operator reports the amd64
+    image complete for the org scope."""
+    from cartography_spark.plans.analysis import run_analysis_job
+    from cartography_spark.plans.images import (
+        complete_layer_digests,
+        container_resolved_image_job,
+    )
+
+    s = tmp_store
+    sync_github_supply_chain(
+        s, None, None, None, _one(spark, MANIFESTS), None, ORG, TAG,
+    )
+    consumer = spark.createDataFrame([("c-1",)], "cid string")
+    s.merge_nodes(
+        _node(consumer, "KubernetesContainer", F.col("cid"), {
+            "architecture_normalized": F.lit("amd64"),
+        }, TAG, extra=["Container"]),
+        TAG,
+    )
+    s.merge_edges(
+        consumer.select(
+            F.lit("KubernetesContainer").alias("src_label"),
+            F.col("cid").alias("src_id"),
+            F.lit("HAS_IMAGE").alias("rel_label"),
+            F.lit("GitHubContainerImage").alias("dst_label"),
+            F.lit(SHA_LIST).alias("dst_id"),
+            F.lit(TAG).cast("long").alias("lastupdated"),
+            F.lit(None).cast("string").alias("sub_resource_label"),
+            F.lit(None).cast("string").alias("sub_resource_id"),
+            F.lit(None).cast("map<string,string>").alias("props"),
+        ),
+        TAG,
+    )
+    run_analysis_job(s, container_resolved_image_job(), TAG)
+    resolved = _rels(s, "RESOLVED_IMAGE")
+    assert resolved == {("c-1", SHA_AMD)}
+
+    complete = {
+        r["digest"]
+        for r in complete_layer_digests(
+            s, "GitHubContainerImage", "GitHubContainerImageLayer",
+            "GitHubOrganization", ORG_URL,
+        ).collect()
+    }
+    # amd64 closure complete; empty-closure arm64 counts complete; the
+    # manifest list has no layer_diff_ids (null) so it is absent
+    assert SHA_AMD in complete
+    assert SHA_ARM in complete
+
+
+def test_tags_reference_their_image(spark, tmp_store):
+    s = tmp_store
+    tags = {"Tags": [{
+        "id": f"ghcr.io/{ORG}/app:latest", "name": "latest",
+        "uri": f"ghcr.io/{ORG}/app:latest", "digest": SHA_LIST,
+        "image_pushed_at": "2024-01-01T00:00:00Z",
+        "package_id": f"{ORG_URL}/packages/container/app",
+    }]}
+    sync_github_supply_chain(
+        s, None, None, None, _one(spark, MANIFESTS), _one(spark, tags),
+        ORG, TAG,
+    )
+    assert _rels(s, "REFERENCES", "GitHubContainerImageTag") == {
+        (f"ghcr.io/{ORG}/app:latest", SHA_LIST),
+    }
+
+
+def test_org_scoped_gc(spark, tmp_store):
+    """A workflow (and its actions) that disappears next run is GC'd
+    with the org scope."""
+    s = tmp_store
+    sync_github_supply_chain(
+        s, _one(spark, WORKFLOWS, repo="sample-repo"), None, None, None,
+        None, ORG, TAG,
+    )
+    assert s.nodes(["GitHubAction"]).count() == 4
+    sync_github_supply_chain(
+        s, _one(spark, {"Workflows": []}, repo="sample-repo"), None, None,
+        None, None, ORG, TAG + 1,
+    )
+    assert s.nodes(["GitHubWorkflow"]).count() == 0
+    assert s.nodes(["GitHubAction"]).count() == 0

@@ -105,8 +105,8 @@ def test_rule_framework_tree_and_runner(synced_store):
     assert r["failing"] > 0 and r["total"] >= r["failing"]
     fact_ids = {f["fact_id"] for f in r["facts"]}
     assert fact_ids == {
-        "unpinned_github_actions", "secrets_in_workflows",
-        "unpinned_dependencies",
+        "unpinned_github_actions", "unpinned_github_actions_workflows",
+        "secrets_in_workflows", "unpinned_dependencies",
     }
     assert all(isinstance(f["sample"], list) for f in r["facts"])
 

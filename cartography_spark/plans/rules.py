@@ -1478,6 +1478,438 @@ def cis_aws(control: str) -> Framework:
         requirement=control,
     )
 
+
+# ---------------------------------------------------------------------------
+# AWS audit / identity-administration packs (round-5 parity: the
+# reference's expressible-today rule modules under rules/data/rules/)
+# ---------------------------------------------------------------------------
+
+AWS_CLOUDTRAIL_NOT_MULTI_REGION = Fact(
+    id="aws_cloudtrail_not_multi_region",
+    name="AWS CloudTrail not configured for all regions",
+    description="Trails not configured multi-region "
+    "(rules/data/rules/cis_aws_logging.py:49-81).",
+    sql_query="""
+        SELECT t.props['name'] AS trail_name,
+               t.props['arn'] AS trail_arn,
+               t.props['home_region'] AS home_region,
+               t.props['is_multi_region_trail'] AS is_multi_region,
+               e.src_id AS account_id
+        FROM edges e
+        JOIN nodes t ON t.label = 'AWSCloudTrailTrail' AND t.id = e.dst_id
+        WHERE e.rel_label = 'RESOURCE' AND e.src_label = 'AWSAccount'
+          AND coalesce(t.props['is_multi_region_trail'], 'false') = 'false'
+    """,
+    count_sql="SELECT count(*) AS count FROM nodes "
+              "WHERE label = 'AWSCloudTrailTrail'",
+    identity_fields=("trail_arn",),
+    asset_label="AWSCloudTrailTrail",
+    asset_id_field="trail_arn",
+)
+
+AWS_ACCOUNT_WITHOUT_CLOUDTRAIL = Fact(
+    id="aws_account_without_cloudtrail",
+    name="AWS accounts without CloudTrail",
+    description="Accounts with no trail at all "
+    "(cis_aws_logging.py:84-116).",
+    sql_query="""
+        SELECT a.id AS account_id, a.props['name'] AS account
+        FROM nodes a
+        WHERE a.label = 'AWSAccount'
+          AND NOT EXISTS (
+            SELECT 1 FROM edges e
+            WHERE e.rel_label = 'RESOURCE' AND e.src_id = a.id
+              AND e.dst_label = 'AWSCloudTrailTrail'
+          )
+    """,
+    count_sql="SELECT count(*) AS count FROM nodes WHERE label = 'AWSAccount'",
+    identity_fields=("account_id",),
+    asset_label="AWSAccount",
+    asset_id_field="account_id",
+)
+
+AWS_CLOUDTRAIL_LOG_VALIDATION_DISABLED = Fact(
+    id="aws_cloudtrail_log_validation_disabled",
+    name="AWS CloudTrail log file validation not enabled",
+    description="Trails without log-file validation "
+    "(cis_aws_logging.py:157-191).",
+    sql_query="""
+        SELECT t.props['name'] AS trail_name,
+               t.props['arn'] AS trail_arn,
+               e.src_id AS account_id
+        FROM edges e
+        JOIN nodes t ON t.label = 'AWSCloudTrailTrail' AND t.id = e.dst_id
+        WHERE e.rel_label = 'RESOURCE' AND e.src_label = 'AWSAccount'
+          AND coalesce(t.props['log_file_validation_enabled'], 'false')
+              = 'false'
+    """,
+    count_sql="SELECT count(*) AS count FROM nodes "
+              "WHERE label = 'AWSCloudTrailTrail'",
+    identity_fields=("trail_arn",),
+    asset_label="AWSCloudTrailTrail",
+    asset_id_field="trail_arn",
+)
+
+AWS_CLOUDTRAIL_BUCKET_LOGGING_DISABLED = Fact(
+    id="aws_cloudtrail_bucket_access_logging_disabled",
+    name="CloudTrail S3 bucket without access logging",
+    description="Buckets receiving trail logs whose own access logging "
+    "is off (cis_aws_logging.py:229-263).",
+    sql_query="""
+        SELECT b.props['name'] AS bucket_name,
+               b.id AS bucket_id,
+               b.props['region'] AS region,
+               b.props['logging_enabled'] AS logging_enabled,
+               sort_array(collect_set(t.props['name'])) AS trail_names,
+               e.sub_resource_id AS account_id
+        FROM edges e
+        JOIN nodes t ON t.label = 'AWSCloudTrailTrail' AND t.id = e.src_id
+        JOIN nodes b ON b.label = 'AWSS3Bucket' AND b.id = e.dst_id
+        WHERE e.rel_label = 'LOGS_TO'
+          AND coalesce(b.props['logging_enabled'], 'false') = 'false'
+        GROUP BY bucket_name, bucket_id, region, logging_enabled, account_id
+    """,
+    count_sql="""
+        SELECT count(DISTINCT e.dst_id) AS count FROM edges e
+        WHERE e.rel_label = 'LOGS_TO' AND e.dst_label = 'AWSS3Bucket'
+    """,
+    identity_fields=("bucket_id",),
+    asset_label="AWSS3Bucket",
+    asset_id_field="bucket_id",
+)
+
+AWS_CLOUDTRAIL_NOT_ENCRYPTED = Fact(
+    id="aws_cloudtrail_not_encrypted",
+    name="AWS CloudTrail logs not encrypted with KMS",
+    description="Trails without a KMS CMK (cis_aws_logging.py:301-335).",
+    sql_query="""
+        SELECT t.props['name'] AS trail_name,
+               t.props['arn'] AS trail_arn,
+               e.src_id AS account_id
+        FROM edges e
+        JOIN nodes t ON t.label = 'AWSCloudTrailTrail' AND t.id = e.dst_id
+        WHERE e.rel_label = 'RESOURCE' AND e.src_label = 'AWSAccount'
+          AND coalesce(t.props['kms_key_id'], '') = ''
+    """,
+    count_sql="SELECT count(*) AS count FROM nodes "
+              "WHERE label = 'AWSCloudTrailTrail'",
+    identity_fields=("trail_arn",),
+    asset_label="AWSCloudTrailTrail",
+    asset_id_field="trail_arn",
+)
+
+_MONITORED_RESOURCE_LABELS = (
+    "'AWSEC2Instance', 'AWSEKSCluster', 'AWSLambda', 'AWSECSCluster', "
+    "'AWSRDSInstance', 'AWSRDSCluster'"
+)
+
+AWS_SECURITY_HUB_MISSING = Fact(
+    id="aws_security_hub_missing",
+    name="AWS regions without Security Hub",
+    description="(account, region) pairs with supported resources but "
+    "no hub subscription in that region — the hub arn's region segment "
+    "is split out like the reference's split(hub.id,':')[3] "
+    "(security_monitoring_gaps.py:19-86).",
+    sql_query=f"""
+        WITH monitored AS (
+            SELECT DISTINCT e.src_id AS account_id,
+                   r.props['region'] AS region
+            FROM edges e
+            JOIN nodes r ON r.id = e.dst_id
+               AND r.label IN ({_MONITORED_RESOURCE_LABELS})
+            WHERE e.rel_label = 'RESOURCE' AND e.src_label = 'AWSAccount'
+              AND r.props['region'] IS NOT NULL
+        ), hubs AS (
+            SELECT e.src_id AS account_id,
+                   split(h.id, ':')[3] AS region
+            FROM edges e
+            JOIN nodes h ON h.label = 'AWSSecurityHub' AND h.id = e.dst_id
+            WHERE e.rel_label = 'RESOURCE' AND e.src_label = 'AWSAccount'
+        )
+        SELECT m.account_id, m.region,
+               'security_hub_missing' AS gap_type
+        FROM monitored m
+        LEFT ANTI JOIN hubs h
+          ON m.account_id = h.account_id AND m.region = h.region
+    """,
+    count_sql=f"""
+        SELECT count(DISTINCT e.src_id) AS count
+        FROM edges e
+        JOIN nodes r ON r.id = e.dst_id
+           AND r.label IN ({_MONITORED_RESOURCE_LABELS})
+        WHERE e.rel_label = 'RESOURCE' AND e.src_label = 'AWSAccount'
+          AND r.props['region'] IS NOT NULL
+    """,
+    identity_fields=("account_id", "region"),
+    asset_label="AWSAccount",
+    asset_id_field="account_id",
+)
+
+AWS_SECURITY_HUB_CONTROLS_NOT_AUTO_ENABLED = Fact(
+    id="aws_security_hub_controls_not_auto_enabled",
+    name="Security Hub controls not auto-enabled",
+    description="Hubs with AutoEnableControls off "
+    "(security_monitoring_gaps.py:89-122).",
+    sql_query="""
+        SELECT e.src_id AS account_id, h.id AS hub_arn,
+               h.props['auto_enable_controls'] AS auto_enable_controls,
+               'controls_not_auto_enabled' AS gap_type
+        FROM edges e
+        JOIN nodes h ON h.label = 'AWSSecurityHub' AND h.id = e.dst_id
+        WHERE e.rel_label = 'RESOURCE' AND e.src_label = 'AWSAccount'
+          AND coalesce(h.props['auto_enable_controls'], 'false') = 'false'
+    """,
+    count_sql="SELECT count(*) AS count FROM nodes "
+              "WHERE label = 'AWSSecurityHub'",
+    identity_fields=("hub_arn",),
+    asset_label="AWSSecurityHub",
+    asset_id_field="hub_arn",
+)
+
+AWS_GUARDDUTY_DETECTOR_DISABLED = Fact(
+    id="aws_guard_duty_detector_disabled",
+    name="GuardDuty disabled on accounts with supported resources",
+    description="Accounts carrying monitorable resources and no "
+    "ENABLED detector (cloud_security_product_deactivated.py:11-52).",
+    sql_query=f"""
+        WITH monitored AS (
+            SELECT DISTINCT e.src_id AS account_id
+            FROM edges e
+            JOIN nodes r ON r.id = e.dst_id
+               AND r.label IN ({_MONITORED_RESOURCE_LABELS})
+            WHERE e.rel_label = 'RESOURCE' AND e.src_label = 'AWSAccount'
+        ), enabled AS (
+            SELECT DISTINCT e.src_id AS account_id
+            FROM edges e
+            JOIN nodes d ON d.label = 'AWSGuardDutyDetector'
+               AND d.id = e.dst_id
+            WHERE e.rel_label = 'RESOURCE' AND e.src_label = 'AWSAccount'
+              AND d.props['status'] = 'ENABLED'
+        )
+        SELECT m.account_id FROM monitored m
+        LEFT ANTI JOIN enabled x ON m.account_id = x.account_id
+    """,
+    count_sql=f"""
+        SELECT count(DISTINCT e.src_id) AS count
+        FROM edges e
+        JOIN nodes r ON r.id = e.dst_id
+           AND r.label IN ({_MONITORED_RESOURCE_LABELS})
+        WHERE e.rel_label = 'RESOURCE' AND e.src_label = 'AWSAccount'
+    """,
+    identity_fields=("account_id",),
+    asset_label="AWSAccount",
+    asset_id_field="account_id",
+)
+
+_ACTIVE_THREAT_PREFIXES = (
+    "Backdoor:", "CryptoCurrency:", "Exfiltration:", "Impact:",
+    "Trojan:", "UnauthorizedAccess:",
+)
+_ACTIVE_THREAT_WHERE = " OR ".join(
+    f"f.props['type'] LIKE '{p}%'" for p in _ACTIVE_THREAT_PREFIXES
+)
+
+AWS_GUARDDUTY_ACTIVE_THREAT = Fact(
+    id="aws_guardduty_active_threat",
+    name="GuardDuty Active Threat Finding",
+    description="High-severity unarchived findings whose type prefix "
+    "indicates active compromise (guardduty_active_threat.py:14-55).",
+    sql_query=f"""
+        SELECT f.id AS finding_id,
+               f.props['arn'] AS finding_arn,
+               f.props['title'] AS title,
+               f.props['type'] AS type,
+               f.props['severity'] AS severity,
+               f.props['region'] AS region,
+               f.props['resource_type'] AS resource_type,
+               f.props['resource_id'] AS resource_id,
+               e.src_id AS account_id
+        FROM edges e
+        JOIN nodes f ON f.label = 'AWSGuardDutyFinding' AND f.id = e.dst_id
+        WHERE e.rel_label = 'RESOURCE' AND e.src_label = 'AWSAccount'
+          AND CAST(f.props['severity'] AS DOUBLE) >= 7
+          AND coalesce(f.props['archived'], 'false') = 'false'
+          AND coalesce(f.props['sample'], 'false') = 'false'
+          AND ({_ACTIVE_THREAT_WHERE})
+        ORDER BY CAST(f.props['severity'] AS DOUBLE) DESC
+    """,
+    count_sql="SELECT count(*) AS count FROM nodes "
+              "WHERE label = 'AWSGuardDutyFinding'",
+    identity_fields=("finding_id",),
+    asset_label="AWSGuardDutyFinding",
+    asset_id_field="finding_id",
+)
+
+
+def _aws_admin_capability_fact(fact_id, name, description, patterns_sql):
+    """Shared shape of the identity-/policy-administration AWS facts
+    (identity_administration_privileges.py:11-103,
+    policy_administration_privileges.py:11-103): explode Allow
+    statement actions, keep the capability patterns, drop principals
+    with an overlapping explicit Deny, aggregate per (account,
+    principal, policy)."""
+    return Fact(
+        id=fact_id,
+        name=name,
+        description=description,
+        sql_query=f"""
+            WITH principals AS (
+                SELECT n.id AS pid, n.label AS principal_type,
+                       n.props['name'] AS principal_name,
+                       coalesce(n.props['arn'], n.id)
+                           AS principal_identifier
+                FROM nodes n
+                WHERE (n.label IN ('AWSUser', 'AWSRole', 'AWSGroup')
+                       OR array_contains(
+                           coalesce(n.extra_labels, array()),
+                           'AWSPrincipal'))
+                  AND coalesce(n.props['name'], '')
+                      NOT LIKE 'AWSServiceRole%'
+                  AND coalesce(n.props['name'], '')
+                      NOT LIKE '%QuickSetup%'
+                  AND coalesce(n.props['name'], '')
+                      <> 'OrganizationAccountAccessRole'
+            ), acct AS (
+                SELECT e.dst_id AS pid, e.src_id AS account_id
+                FROM edges e
+                WHERE e.rel_label = 'RESOURCE'
+                  AND e.src_label = 'AWSAccount'
+            ), pol AS (
+                SELECT e.src_id AS pid, e.dst_id AS policy_id
+                FROM edges e WHERE e.rel_label = 'POLICY'
+            ), stmt AS (
+                SELECT e.src_id AS policy_id,
+                       n.props['effect'] AS effect,
+                       from_json(n.props['action'], 'array<string>')
+                           AS actions,
+                       from_json(n.props['resource'], 'array<string>')
+                           AS resources
+                FROM edges e
+                JOIN nodes n ON n.label = 'AWSPolicyStatement'
+                   AND n.id = e.dst_id
+                WHERE e.rel_label = 'STATEMENT'
+            ), matched AS (
+                SELECT p.pid, s.policy_id, act.action, s.resources
+                FROM pol p
+                JOIN stmt s ON s.policy_id = p.policy_id
+                LATERAL VIEW explode(s.actions) act AS action
+                WHERE s.effect = 'Allow'
+                  AND ({patterns_sql})
+                  AND act.action NOT IN ('iam:CreateServiceLinkedRole',
+                                         'iam:DeleteServiceLinkedRole')
+            ), denied AS (
+                SELECT DISTINCT m.pid
+                FROM matched m
+                JOIN pol p ON p.pid = m.pid
+                JOIN stmt s ON s.policy_id = p.policy_id
+                LATERAL VIEW explode(s.actions) d AS deny_action
+                WHERE s.effect = 'Deny'
+                  AND (d.deny_action = m.action
+                       OR d.deny_action IN ('iam:*', '*'))
+            )
+            SELECT a.account_id,
+                   pr.principal_name,
+                   pr.principal_identifier,
+                   pr.principal_type,
+                   m.policy_id,
+                   to_json(sort_array(collect_set(m.action))) AS actions,
+                   to_json(sort_array(array_distinct(
+                       flatten(collect_list(
+                           coalesce(m.resources, array())))))) AS resources
+            FROM matched m
+            JOIN principals pr ON pr.pid = m.pid
+            JOIN acct a ON a.pid = m.pid
+            LEFT ANTI JOIN denied dn ON dn.pid = m.pid
+            GROUP BY a.account_id, pr.principal_name,
+                     pr.principal_identifier, pr.principal_type,
+                     m.policy_id
+            ORDER BY a.account_id, pr.principal_name, m.policy_id
+        """,
+        count_sql="""
+            SELECT count(*) AS count FROM nodes n
+            WHERE (n.label IN ('AWSUser', 'AWSRole', 'AWSGroup')
+                   OR array_contains(coalesce(n.extra_labels, array()),
+                                     'AWSPrincipal'))
+              AND coalesce(n.props['name'], '')
+                  NOT LIKE 'AWSServiceRole%'
+              AND coalesce(n.props['name'], '') NOT LIKE '%QuickSetup%'
+              AND coalesce(n.props['name'], '')
+                  <> 'OrganizationAccountAccessRole'
+        """,
+        identity_fields=("account_id", "principal_identifier", "policy_id"),
+        asset_label="AWSPrincipal",
+        asset_id_field="principal_identifier",
+    )
+
+
+AWS_IDENTITY_ADMIN_PERMISSIONS = _aws_admin_capability_fact(
+    "aws_account_manipulation_permissions",
+    "IAM principals with account creation/modification permissions",
+    "Principals whose Allow statements grant iam:Create/Attach/Put/"
+    "Update/Add capabilities (identity_administration_privileges.py"
+    ":11-103).",
+    "act.action LIKE 'iam:Create%' OR act.action LIKE 'iam:Attach%' "
+    "OR act.action LIKE 'iam:Put%' OR act.action LIKE 'iam:Update%' "
+    "OR act.action LIKE 'iam:Add%' OR act.action IN ('iam:*', '*')",
+)
+
+AWS_POLICY_ADMIN_PERMISSIONS = _aws_admin_capability_fact(
+    "aws_policy_manipulation_capabilities",
+    "IAM principals with policy manipulation capabilities",
+    "Principals allowed to create/attach/detach/put IAM policies "
+    "(policy_administration_privileges.py:11-103).",
+    "act.action IN ('iam:CreatePolicy', 'iam:CreatePolicyVersion', "
+    "'iam:AttachUserPolicy', 'iam:AttachRolePolicy', "
+    "'iam:AttachGroupPolicy', 'iam:DetachUserPolicy', "
+    "'iam:DetachRolePolicy', 'iam:DetachGroupPolicy', "
+    "'iam:PutUserPolicy', 'iam:PutRolePolicy', 'iam:PutGroupPolicy', "
+    "'iam:*', '*')",
+)
+
+AWS_RDS_PUBLIC_ACCESS = Fact(
+    id="aws_rds_public_access",
+    name="RDS instances reachable from the internet",
+    description="Publicly-accessible RDS instances whose security "
+    "group admits 0.0.0.0/0 on the endpoint port "
+    "(database_instance_exposed.py:134-201).",
+    sql_query="""
+        SELECT DISTINCT rds.id AS id,
+               rds.props['engine'] AS engine,
+               rds.props['db_instance_class'] AS instance_class,
+               rds.props['endpoint_address'] AS host,
+               rds.props['endpoint_port'] AS port,
+               rds.props['region'] AS region,
+               rds.props['storage_encrypted'] AS encrypted
+        FROM nodes rds
+        JOIN edges m ON m.rel_label = 'MEMBER_OF_EC2_SECURITY_GROUP'
+           AND m.src_label = 'AWSRDSInstance' AND m.src_id = rds.id
+        JOIN edges r ON r.rel_label = 'MEMBER_OF_EC2_SECURITY_GROUP'
+           AND r.src_label = 'AWSIpPermissionInbound'
+           AND r.dst_id = m.dst_id
+        JOIN nodes rule ON rule.label = 'AWSIpPermissionInbound'
+           AND rule.id = r.src_id
+        JOIN edges ip ON ip.rel_label = 'MEMBER_OF_IP_RULE'
+           AND ip.src_label = 'AWSIpRange' AND ip.src_id = '0.0.0.0/0'
+           AND ip.dst_id = rule.id
+        WHERE rds.label = 'AWSRDSInstance'
+          AND rds.props['publicly_accessible'] = 'true'
+          AND rds.props['endpoint_port'] IS NOT NULL
+          AND coalesce(rule.props['protocol'], '') IN ('tcp', '-1', 'all')
+          AND (rule.props['fromport'] IS NULL
+               OR (CAST(coalesce(rule.props['fromport'], '0') AS INT)
+                     <= CAST(rds.props['endpoint_port'] AS INT)
+                   AND CAST(coalesce(rule.props['toport'],
+                                     rule.props['fromport'], '0') AS INT)
+                     >= CAST(rds.props['endpoint_port'] AS INT)))
+    """,
+    count_sql="SELECT count(*) AS count FROM nodes "
+              "WHERE label = 'AWSRDSInstance'",
+    identity_fields=("id",),
+    asset_label="AWSRDSInstance",
+    asset_id_field="id",
+)
+
+
 ALL_RULES: tuple[Rule, ...] = (
     Rule(
         id="cicd_supply_chain",
@@ -1740,6 +2172,87 @@ ALL_RULES: tuple[Rule, ...] = (
         facts=(CLOUDFLARE_2FA_NOT_ENFORCED, LASTPASS_MFA_MISSING,
                JUMPCLOUD_MFA_MISSING, DUO_NOT_ENROLLED),
         frameworks=(iso27001_annex_a("8.5"), soc2_tsc("CC6.1")),
+    ),
+)
+
+
+ALL_RULES = ALL_RULES + (
+    Rule(
+        id="cis_aws_logging",
+        name="CIS AWS logging controls",
+        tags=("aws", "logging", "cis"),
+        description="CloudTrail coverage, validation, bucket access "
+        "logging and KMS encryption (rules/data/rules/"
+        "cis_aws_logging.py).",
+        version="0.1.0",
+        facts=(AWS_CLOUDTRAIL_NOT_MULTI_REGION,
+               AWS_ACCOUNT_WITHOUT_CLOUDTRAIL,
+               AWS_CLOUDTRAIL_LOG_VALIDATION_DISABLED,
+               AWS_CLOUDTRAIL_BUCKET_LOGGING_DISABLED,
+               AWS_CLOUDTRAIL_NOT_ENCRYPTED),
+        frameworks=(cis_aws("3.1"), cis_aws("3.2"), cis_aws("3.4"),
+                    cis_aws("3.5")),
+    ),
+    Rule(
+        id="security_monitoring_gaps",
+        name="Security monitoring gaps",
+        tags=("aws", "monitoring"),
+        description="Regions with resources but no Security Hub; hubs "
+        "without auto-enabled controls (rules/data/rules/"
+        "security_monitoring_gaps.py).",
+        version="0.1.0",
+        facts=(AWS_SECURITY_HUB_MISSING,
+               AWS_SECURITY_HUB_CONTROLS_NOT_AUTO_ENABLED),
+    ),
+    Rule(
+        id="cloud_security_product_deactivated",
+        name="Cloud security product deactivated",
+        tags=("aws", "monitoring", "stride:tampering"),
+        description="Accounts with monitorable workloads and no ENABLED "
+        "GuardDuty detector (rules/data/rules/"
+        "cloud_security_product_deactivated.py).",
+        version="0.1.0",
+        facts=(AWS_GUARDDUTY_DETECTOR_DISABLED,),
+    ),
+    Rule(
+        id="guardduty_active_threat",
+        name="GuardDuty active threat",
+        tags=("aws", "threat-detection"),
+        description="High-severity unarchived GuardDuty findings with "
+        "active-compromise type prefixes (rules/data/rules/"
+        "guardduty_active_threat.py).",
+        version="0.1.0",
+        facts=(AWS_GUARDDUTY_ACTIVE_THREAT,),
+    ),
+    Rule(
+        id="identity_administration_privileges",
+        name="Identity administration privileges",
+        tags=("iam", "privilege-escalation"),
+        description="Principals able to create or modify identities "
+        "(rules/data/rules/identity_administration_privileges.py; AWS "
+        "leg — GCP/Azure legs need their policy-binding providers).",
+        version="0.1.0",
+        facts=(AWS_IDENTITY_ADMIN_PERMISSIONS,),
+    ),
+    Rule(
+        id="policy_administration_privileges",
+        name="Policy administration privileges",
+        tags=("iam", "privilege-escalation"),
+        description="Principals able to manipulate IAM policies "
+        "(rules/data/rules/policy_administration_privileges.py; AWS "
+        "leg).",
+        version="0.1.0",
+        facts=(AWS_POLICY_ADMIN_PERMISSIONS,),
+    ),
+    Rule(
+        id="database_instance_exposed",
+        name="Database instances exposed to the internet",
+        tags=("database", "exposure", "attack-surface"),
+        description="Managed databases reachable from 0.0.0.0/0 "
+        "(rules/data/rules/database_instance_exposed.py; AWS RDS leg — "
+        "Azure/GCP/Scaleway legs need their database providers).",
+        version="0.1.0",
+        facts=(AWS_RDS_PUBLIC_ACCESS,),
     ),
 )
 

@@ -1,0 +1,351 @@
+"""AWS audit/monitoring surface: CloudTrail trails, GuardDuty
+detectors + findings, Security Hub — the feeders for the
+``cis_aws_logging``, ``security_monitoring_gaps``,
+``cloud_security_product_deactivated`` and ``guardduty_active_threat``
+rule packs.
+
+Re-expresses ``intel/aws/{cloudtrail,guardduty,securityhub}.py``:
+
+* **trails** (``cloudtrail.py:127-178``): CloudWatch log-group arn
+  trimmed of its ``:*`` suffix, selectors kept as JSON; LOGS_TO the S3
+  bucket matched by name and SENDS_LOGS_TO the CloudWatch log group by
+  arn (``models/aws/cloudtrail/trail.py``);
+* **detectors** (``guardduty.py:330-354``): id/status/frequency;
+* **findings** (``guardduty.py:217-329``): severity label thresholds
+  (low<4≤medium<7≤high<9≤critical), API-call remote details flattened,
+  resource anchors per type — Instance→resource_id,
+  S3Bucket→first bucket name, EKSCluster→cluster arn,
+  AccessKey→access-key id + principal user/role split on UserType with
+  the AssumedRole principal-id prefix rule; AFFECTS edges to the
+  matched resource node per anchor;
+* **hub** (``securityhub.py:28-61``): SubscribedAt → epoch.
+
+Scale: one ``from_json``+explode per family; finding→resource links
+are equi-joins on the extracted anchor; account-scoped GC per label.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cartography_spark.providers.aws_ec2 import _edge, _node
+
+TRAILS_SCHEMA = """
+    STRUCT<Trails: ARRAY<STRUCT<
+        Name: STRING, TrailARN: STRING, HomeRegion: STRING,
+        S3BucketName: STRING, S3KeyPrefix: STRING, SnsTopicARN: STRING,
+        IncludeGlobalServiceEvents: BOOLEAN, IsMultiRegionTrail: BOOLEAN,
+        IsOrganizationTrail: BOOLEAN, LogFileValidationEnabled: BOOLEAN,
+        KmsKeyId: STRING, HasCustomEventSelectors: BOOLEAN,
+        HasInsightSelectors: BOOLEAN, CloudWatchLogsLogGroupArn: STRING,
+        CloudWatchLogsRoleArn: STRING>>>
+"""
+DETECTORS_SCHEMA = """
+    STRUCT<Detectors: ARRAY<STRUCT<
+        id: STRING, status: STRING, findingpublishingfrequency: STRING,
+        service_role: STRING, createdat: STRING, updatedat: STRING>>>
+"""
+FINDINGS_SCHEMA = """
+    STRUCT<Findings: ARRAY<STRUCT<
+        Id: STRING, Arn: STRING, Type: STRING, Severity: DOUBLE,
+        Title: STRING, Description: STRING, Confidence: DOUBLE,
+        CreatedAt: STRING, UpdatedAt: STRING, AccountId: STRING,
+        Region: STRING, DetectorId: STRING,
+        Service: STRUCT<EventFirstSeen: STRING, EventLastSeen: STRING,
+                        Archived: BOOLEAN, Count: BIGINT,
+                        ResourceRole: STRING,
+                        AdditionalInfo: STRUCT<Sample: BOOLEAN>,
+                        Action: STRUCT<ActionType: STRING,
+                                       AwsApiCallAction: STRUCT<
+                                           Api: STRING,
+                                           ServiceName: STRING,
+                                           CallerType: STRING,
+                                           ErrorCode: STRING,
+                                           RemoteIpDetails: STRUCT<
+                                               IpAddressV4: STRING,
+                                               IpAddressV6: STRING>>>>,
+        Resource: STRUCT<ResourceType: STRING,
+                         InstanceDetails: STRUCT<InstanceId: STRING>,
+                         S3BucketDetails: ARRAY<STRUCT<Name: STRING>>,
+                         EksClusterDetails: STRUCT<Arn: STRING>,
+                         AccessKeyDetails: STRUCT<AccessKeyId: STRING,
+                                                  UserType: STRING,
+                                                  PrincipalId: STRING>>>>>
+"""
+HUB_SCHEMA = """
+    STRUCT<HubArn: STRING, SubscribedAt: STRING,
+           AutoEnableControls: BOOLEAN>
+"""
+
+LABEL_TRAIL = "AWSCloudTrailTrail"
+LABEL_DETECTOR = "AWSGuardDutyDetector"
+LABEL_FINDING = "AWSGuardDutyFinding"
+LABEL_HUB = "AWSSecurityHub"
+
+
+def _severity_label(sev):
+    """``guardduty.py:_severity_label`` thresholds."""
+    return (
+        F.when(sev.isNull(), F.lit(None).cast("string"))
+        .when(sev < 4.0, F.lit("LOW"))
+        .when(sev < 7.0, F.lit("MEDIUM"))
+        .when(sev < 9.0, F.lit("HIGH"))
+        .otherwise(F.lit("CRITICAL"))
+    )
+
+
+def transform_cloudtrail(
+    raw: DataFrame, account_id: str, region: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    t = raw.select(
+        F.explode(F.from_json("payload_json", TRAILS_SCHEMA)["Trails"])
+        .alias("t")
+    ).withColumn(
+        # cloudtrail.py:134-137 — the delivered arn carries a ':*'
+        "log_group_arn",
+        F.substring_index(F.col("t.CloudWatchLogsLogGroupArn"), ":*", 1),
+    )
+    nodes = _node(t, LABEL_TRAIL, F.col("t.TrailARN"), {
+        "arn": F.col("t.TrailARN"),
+        "name": F.col("t.Name"),
+        "region": F.lit(region),
+        "home_region": F.col("t.HomeRegion"),
+        "s3_bucket_name": F.col("t.S3BucketName"),
+        "s3_key_prefix": F.col("t.S3KeyPrefix"),
+        "sns_topic_arn": F.col("t.SnsTopicARN"),
+        "include_global_service_events":
+            F.col("t.IncludeGlobalServiceEvents"),
+        "is_multi_region_trail": F.col("t.IsMultiRegionTrail"),
+        "is_organization_trail": F.col("t.IsOrganizationTrail"),
+        "log_file_validation_enabled": F.col("t.LogFileValidationEnabled"),
+        "kms_key_id": F.col("t.KmsKeyId"),
+        "has_custom_event_selectors": F.col("t.HasCustomEventSelectors"),
+        "has_insight_selectors": F.col("t.HasInsightSelectors"),
+        "cloudwatch_logs_log_group_arn": F.col("log_group_arn"),
+        "cloudwatch_logs_role_arn": F.col("t.CloudWatchLogsRoleArn"),
+    }, update_tag)
+    acct = F.lit(account_id)
+    sub = ("AWSAccount", acct)
+    edges = (
+        _edge(t, "AWSAccount", acct, "RESOURCE", LABEL_TRAIL,
+              F.col("t.TrailARN"), update_tag, sub)
+        .unionByName(_edge(
+            t.filter(F.col("t.S3BucketName").isNotNull()),
+            LABEL_TRAIL, F.col("t.TrailARN"), "LOGS_TO", "AWSS3Bucket",
+            F.col("t.S3BucketName"), update_tag, sub))
+        .unionByName(_edge(
+            t.filter(F.col("log_group_arn").isNotNull()),
+            LABEL_TRAIL, F.col("t.TrailARN"), "SENDS_LOGS_TO",
+            "AWSCloudWatchLogGroup", F.col("log_group_arn"), update_tag,
+            sub))
+    )
+    return nodes, edges
+
+
+def transform_guardduty(
+    detectors_raw: DataFrame | None,
+    findings_raw: DataFrame | None,
+    account_id: str,
+    region: str,
+    update_tag: int,
+) -> tuple[DataFrame, DataFrame]:
+    spark = (detectors_raw if detectors_raw is not None
+             else findings_raw).sparkSession
+    acct = F.lit(account_id)
+    sub = ("AWSAccount", acct)
+    frames_n, frames_e = [], []
+    if detectors_raw is not None:
+        d = detectors_raw.select(
+            F.explode(
+                F.from_json("payload_json", DETECTORS_SCHEMA)["Detectors"]
+            ).alias("d")
+        )
+        frames_n.append(_node(d, LABEL_DETECTOR, F.col("d.id"), {
+            "status": F.col("d.status"),
+            "findingpublishingfrequency":
+                F.col("d.findingpublishingfrequency"),
+            "service_role": F.col("d.service_role"),
+            "createdat": F.col("d.createdat"),
+            "updatedat": F.col("d.updatedat"),
+            "accountid": acct,
+            "region": F.lit(region),
+        }, update_tag))
+        frames_e.append(_edge(d, "AWSAccount", acct, "RESOURCE",
+                              LABEL_DETECTOR, F.col("d.id"), update_tag,
+                              sub))
+    if findings_raw is not None:
+        f = findings_raw.select(
+            F.explode(
+                F.from_json("payload_json", FINDINGS_SCHEMA)["Findings"]
+            ).alias("f")
+        ).cache()
+        rtype = F.col("f.Resource.ResourceType")
+        api = F.col("f.Service.Action.AwsApiCallAction")
+        principal_id = F.col("f.Resource.AccessKeyDetails.PrincipalId")
+        user_type = F.col("f.Resource.AccessKeyDetails.UserType")
+        shaped = f.select(
+            F.col("f.Id").alias("fid"),
+            F.col("f.Arn").alias("arn"),
+            F.col("f.Type").alias("type"),
+            F.col("f.Severity").alias("severity"),
+            _severity_label(F.col("f.Severity")).alias("severity_label"),
+            F.col("f.Title").alias("title"),
+            F.col("f.Description").alias("description"),
+            F.col("f.Confidence").alias("confidence"),
+            F.col("f.CreatedAt").alias("createdat"),
+            F.col("f.UpdatedAt").alias("updatedat"),
+            F.col("f.Service.EventFirstSeen").alias("eventfirstseen"),
+            F.col("f.Service.EventLastSeen").alias("eventlastseen"),
+            F.col("f.AccountId").alias("accountid"),
+            F.col("f.Region").alias("region"),
+            F.col("f.DetectorId").alias("detectorid"),
+            F.col("f.Service.Archived").alias("archived"),
+            F.col("f.Service.AdditionalInfo.Sample").alias("sample"),
+            F.col("f.Service.Action.ActionType").alias(
+                "service_action_type"),
+            api["Api"].alias("api_call_name"),
+            api["ServiceName"].alias("api_call_service_name"),
+            F.coalesce(
+                api["RemoteIpDetails"]["IpAddressV4"],
+                api["RemoteIpDetails"]["IpAddressV6"],
+            ).alias("api_call_remote_ip"),
+            rtype.alias("resource_type"),
+            # per-type resource anchors (guardduty.py:295-329)
+            F.when(rtype == "Instance",
+                   F.col("f.Resource.InstanceDetails.InstanceId"))
+            .when(rtype == "S3Bucket",
+                  F.get(F.col("f.Resource.S3BucketDetails"), 0)["Name"])
+            .alias("resource_id"),
+            F.when(rtype == "EKSCluster",
+                   F.col("f.Resource.EksClusterDetails.Arn"))
+            .alias("eks_cluster_arn"),
+            F.when(rtype == "AccessKey",
+                   F.col("f.Resource.AccessKeyDetails.AccessKeyId"))
+            .alias("access_key_id"),
+            F.when((rtype == "AccessKey") & (user_type == "IAMUser"),
+                   principal_id).alias("principal_user_id"),
+            F.when((rtype == "AccessKey") & (user_type == "AssumedRole"),
+                   F.substring_index(principal_id, ":", 1))
+            .alias("principal_role_id"),
+        )
+        props = {c: F.col(c) for c in shaped.columns if c != "fid"}
+        frames_n.append(_node(shaped, LABEL_FINDING, F.col("fid"), props,
+                              update_tag))
+        frames_e.append(_edge(shaped, "AWSAccount", acct, "RESOURCE",
+                              LABEL_FINDING, F.col("fid"), update_tag, sub))
+        frames_e.append(_edge(
+            shaped.filter((F.col("resource_type") == "Instance")
+                          & F.col("resource_id").isNotNull()),
+            LABEL_FINDING, F.col("fid"), "AFFECTS", "AWSEC2Instance",
+            F.col("resource_id"), update_tag, sub))
+        frames_e.append(_edge(
+            shaped.filter((F.col("resource_type") == "S3Bucket")
+                          & F.col("resource_id").isNotNull()),
+            LABEL_FINDING, F.col("fid"), "AFFECTS", "AWSS3Bucket",
+            F.col("resource_id"), update_tag, sub))
+        frames_e.append(_edge(
+            shaped.filter(F.col("eks_cluster_arn").isNotNull()),
+            LABEL_FINDING, F.col("fid"), "AFFECTS", "AWSEKSCluster",
+            F.col("eks_cluster_arn"), update_tag, sub))
+        frames_e.append(_edge(
+            shaped.filter(F.col("detectorid").isNotNull()),
+            LABEL_DETECTOR, F.col("detectorid"), "DETECTED",
+            LABEL_FINDING, F.col("fid"), update_tag, sub))
+    if not frames_n:
+        return (
+            spark.createDataFrame(
+                [], "label string, id string, lastupdated long, "
+                    "content_sha256 string, extra_labels array<string>, "
+                    "props map<string,string>"),
+            spark.createDataFrame(
+                [], "src_label string, src_id string, rel_label string, "
+                    "dst_label string, dst_id string, lastupdated long, "
+                    "sub_resource_label string, sub_resource_id string, "
+                    "props map<string,string>"),
+        )
+    nodes = frames_n[0]
+    for x in frames_n[1:]:
+        nodes = nodes.unionByName(x)
+    edges = frames_e[0]
+    for x in frames_e[1:]:
+        edges = edges.unionByName(x)
+    return nodes, edges
+
+
+def transform_securityhub(
+    raw: DataFrame, account_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    h = raw.select(F.from_json("payload_json", HUB_SCHEMA).alias("h")).filter(
+        F.col("h.HubArn").isNotNull()
+    )
+    nodes = _node(h, LABEL_HUB, F.col("h.HubArn"), {
+        "subscribed_at": F.unix_timestamp(
+            F.to_timestamp(F.col("h.SubscribedAt"))
+        ),
+        "auto_enable_controls": F.col("h.AutoEnableControls"),
+    }, update_tag)
+    acct = F.lit(account_id)
+    edges = _edge(h, "AWSAccount", acct, "RESOURCE", LABEL_HUB,
+                  F.col("h.HubArn"), update_tag, ("AWSAccount", acct))
+    return nodes, edges
+
+
+def sync_aws_audit(
+    store,
+    trails_raw: DataFrame | None,
+    detectors_raw: DataFrame | None,
+    findings_raw: DataFrame | None,
+    hub_raw: DataFrame | None,
+    account_id: str,
+    region: str,
+    update_tag: int,
+) -> dict:
+    """trails → guardduty → hub → account-scoped GC per label."""
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    metrics: dict = {}
+    if trails_raw is not None:
+        n, e = transform_cloudtrail(trails_raw, account_id, region,
+                                    update_tag)
+        metrics["trails_nodes"] = store.merge_nodes(n, update_tag)
+        metrics["trails_edges"] = store.merge_edges(e, update_tag)
+    if detectors_raw is not None or findings_raw is not None:
+        n, e = transform_guardduty(detectors_raw, findings_raw, account_id,
+                                   region, update_tag)
+        metrics["guardduty_nodes"] = store.merge_nodes(n, update_tag)
+        metrics["guardduty_edges"] = store.merge_edges(e, update_tag)
+    if hub_raw is not None:
+        n, e = transform_securityhub(hub_raw, account_id, update_tag)
+        metrics["hub_nodes"] = store.merge_nodes(n, update_tag)
+        metrics["hub_edges"] = store.merge_edges(e, update_tag)
+
+    acct_rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label="AWSAccount",
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("AWS_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    for label in (LABEL_FINDING, LABEL_DETECTOR, LABEL_TRAIL, LABEL_HUB):
+        if label not in store.manifest["nodes"]:
+            continue
+        metrics[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=acct_rel,
+            ),
+            update_tag,
+            {"AWS_ID": account_id},
+        )
+    store.record_lineage("aws_audit_sync", {"update_tag": update_tag})
+    return metrics

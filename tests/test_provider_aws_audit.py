@@ -1,0 +1,331 @@
+"""AWS audit surface parity: CloudTrail trails (log-group arn trim,
+LOGS_TO bucket), GuardDuty detectors + findings (severity labels,
+per-resource-type anchors, AFFECTS links), Security Hub — and the four
+rule packs they feed (cis_aws_logging, security_monitoring_gaps,
+cloud_security_product_deactivated, guardduty_active_threat) plus the
+identity/policy administration and RDS exposure packs over the
+existing IAM/RDS/EC2-net graph shapes."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.aws_audit import sync_aws_audit
+from cartography_spark.providers.aws_ec2 import _node
+
+TAG = 123456789
+ACCOUNT = "000000000000"
+TRAIL_ARN = f"arn:aws:cloudtrail:us-east-1:{ACCOUNT}:trail/main-trail"
+
+TRAILS = {"Trails": [{
+    "Name": "main-trail", "TrailARN": TRAIL_ARN,
+    "HomeRegion": "us-east-1", "S3BucketName": "trail-logs-bucket",
+    "IncludeGlobalServiceEvents": True, "IsMultiRegionTrail": False,
+    "IsOrganizationTrail": False, "LogFileValidationEnabled": False,
+    "KmsKeyId": None, "HasCustomEventSelectors": False,
+    "HasInsightSelectors": False,
+    "CloudWatchLogsLogGroupArn":
+        f"arn:aws:logs:us-east-1:{ACCOUNT}:log-group:trail-lg:*",
+}]}
+DETECTORS = {"Detectors": [{
+    "id": "detector-1", "status": "DISABLED",
+    "findingpublishingfrequency": "SIX_HOURS",
+    "service_role": f"arn:aws:iam::{ACCOUNT}:role/gd",
+    "createdat": "2023-01-01T00:00:00Z",
+    "updatedat": "2023-06-01T00:00:00Z",
+}]}
+FINDINGS = {"Findings": [
+    {"Id": "finding-backdoor", "Arn": "arn:gd:finding-backdoor",
+     "Type": "Backdoor:EC2/C&CActivity.B", "Severity": 8.0,
+     "Title": "C&C activity", "Description": "x",
+     "CreatedAt": "2024-01-01T00:00:00Z",
+     "UpdatedAt": "2024-01-02T00:00:00Z",
+     "AccountId": ACCOUNT, "Region": "us-east-1",
+     "DetectorId": "detector-1",
+     "Service": {"EventFirstSeen": "2024-01-01T00:00:00Z",
+                 "EventLastSeen": "2024-01-02T00:00:00Z",
+                 "Archived": False, "Count": 3,
+                 "AdditionalInfo": {"Sample": False},
+                 "Action": {"ActionType": "NETWORK_CONNECTION"}},
+     "Resource": {"ResourceType": "Instance",
+                  "InstanceDetails": {"InstanceId": "i-0abc"}}},
+    {"Id": "finding-recon", "Arn": "arn:gd:finding-recon",
+     "Type": "Recon:IAMUser/UserPermissions", "Severity": 5.0,
+     "Title": "Recon", "Description": "y",
+     "CreatedAt": "2024-01-01T00:00:00Z",
+     "UpdatedAt": "2024-01-02T00:00:00Z",
+     "AccountId": ACCOUNT, "Region": "us-east-1",
+     "DetectorId": "detector-1",
+     "Service": {"Archived": False,
+                 "AdditionalInfo": {"Sample": False},
+                 "Action": {"ActionType": "AWS_API_CALL",
+                            "AwsApiCallAction": {
+                                "Api": "ListUsers",
+                                "ServiceName": "iam.amazonaws.com",
+                                "RemoteIpDetails": {
+                                    "IpAddressV4": "198.51.100.1"}}}},
+     "Resource": {"ResourceType": "AccessKey",
+                  "AccessKeyDetails": {
+                      "AccessKeyId": "AKIAEXAMPLE",
+                      "UserType": "AssumedRole",
+                      "PrincipalId": "AROAEXAMPLE:session-1"}}},
+]}
+HUB = {"HubArn": f"arn:aws:securityhub:us-east-1:{ACCOUNT}:hub/default",
+       "SubscribedAt": "2023-01-01T00:00:00Z",
+       "AutoEnableControls": False}
+
+
+def _one(spark, payload):
+    return spark.createDataFrame(
+        [(json.dumps(payload),)], "payload_json string"
+    )
+
+
+def _mk_account(store, spark):
+    acct = spark.createDataFrame([(ACCOUNT,)], "aid string")
+    store.merge_nodes(
+        _node(acct, "AWSAccount", F.col("aid"), {
+            "name": F.lit("test-account"),
+        }, TAG, extra=["Tenant"]),
+        TAG,
+    )
+
+
+def test_audit_nodes_and_links(spark, tmp_store):
+    s = tmp_store
+    _mk_account(s, spark)
+    sync_aws_audit(
+        s, _one(spark, TRAILS), _one(spark, DETECTORS),
+        _one(spark, FINDINGS), _one(spark, HUB), ACCOUNT, "us-east-1", TAG,
+    )
+    trail = {r["id"]: r["props"]
+             for r in s.nodes(["AWSCloudTrailTrail"]).collect()}
+    assert set(trail) == {TRAIL_ARN}
+    # cloudtrail.py:134-137 — the ':*' suffix is trimmed
+    assert trail[TRAIL_ARN]["cloudwatch_logs_log_group_arn"] == (
+        f"arn:aws:logs:us-east-1:{ACCOUNT}:log-group:trail-lg"
+    )
+    assert trail[TRAIL_ARN]["is_multi_region_trail"] == "false"
+
+    findings = {r["id"]: r["props"]
+                for r in s.nodes(["AWSGuardDutyFinding"]).collect()}
+    assert findings["finding-backdoor"]["severity_label"] == "HIGH"
+    assert findings["finding-recon"]["severity_label"] == "MEDIUM"
+    assert findings["finding-backdoor"]["resource_id"] == "i-0abc"
+    # AssumedRole principal-id prefix rule
+    assert findings["finding-recon"]["principal_role_id"] == "AROAEXAMPLE"
+    assert findings["finding-recon"]["access_key_id"] == "AKIAEXAMPLE"
+    assert findings["finding-recon"]["api_call_remote_ip"] == "198.51.100.1"
+
+    pairs = {
+        (r["rel_label"], r["src_id"], r["dst_id"])
+        for r in s.edges().collect()
+    }
+    assert ("LOGS_TO", TRAIL_ARN, "trail-logs-bucket") in pairs
+    assert ("AFFECTS", "finding-backdoor", "i-0abc") in pairs
+    assert ("DETECTED", "detector-1", "finding-backdoor") in pairs
+
+    hub = s.nodes(["AWSSecurityHub"]).collect()[0]
+    assert hub["props"]["auto_enable_controls"] == "false"
+    assert hub["props"]["subscribed_at"] == "1672531200"
+
+
+def test_logging_and_monitoring_packs(spark, tmp_store):
+    """The packs fire on the loaded graph: every cis_aws_logging fact
+    flags this trail; hub missing for the region with resources; no
+    ENABLED detector; the Backdoor finding (and only it) is an active
+    threat."""
+    from cartography_spark.plans.rules import (
+        AWS_ACCOUNT_WITHOUT_CLOUDTRAIL,
+        AWS_CLOUDTRAIL_BUCKET_LOGGING_DISABLED,
+        AWS_CLOUDTRAIL_LOG_VALIDATION_DISABLED,
+        AWS_CLOUDTRAIL_NOT_ENCRYPTED,
+        AWS_CLOUDTRAIL_NOT_MULTI_REGION,
+        AWS_GUARDDUTY_ACTIVE_THREAT,
+        AWS_GUARDDUTY_DETECTOR_DISABLED,
+        AWS_SECURITY_HUB_CONTROLS_NOT_AUTO_ENABLED,
+        AWS_SECURITY_HUB_MISSING,
+        run_fact,
+    )
+
+    s = tmp_store
+    _mk_account(s, spark)
+    # one monitored resource in us-west-2 (no hub there), plus the
+    # trail's bucket without access logging
+    ec2 = spark.createDataFrame([("i-0abc",)], "iid string")
+    s.merge_nodes(
+        _node(ec2, "AWSEC2Instance", F.col("iid"), {
+            "region": F.lit("us-west-2"),
+        }, TAG), TAG)
+    s.merge_edges(ec2.select(
+        F.lit("AWSAccount").alias("src_label"),
+        F.lit(ACCOUNT).alias("src_id"),
+        F.lit("RESOURCE").alias("rel_label"),
+        F.lit("AWSEC2Instance").alias("dst_label"),
+        F.col("iid").alias("dst_id"),
+        F.lit(TAG).cast("long").alias("lastupdated"),
+        F.lit("AWSAccount").alias("sub_resource_label"),
+        F.lit(ACCOUNT).alias("sub_resource_id"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    ), TAG)
+    bucket = spark.createDataFrame([("trail-logs-bucket",)], "bid string")
+    s.merge_nodes(
+        _node(bucket, "AWSS3Bucket", F.col("bid"), {
+            "name": F.col("bid"), "logging_enabled": F.lit(False),
+        }, TAG), TAG)
+    sync_aws_audit(
+        s, _one(spark, TRAILS), _one(spark, DETECTORS),
+        _one(spark, FINDINGS), _one(spark, HUB), ACCOUNT, "us-east-1", TAG,
+    )
+
+    assert run_fact(s, AWS_CLOUDTRAIL_NOT_MULTI_REGION)["failing"] == 1
+    assert run_fact(s, AWS_ACCOUNT_WITHOUT_CLOUDTRAIL)["failing"] == 0
+    assert run_fact(s, AWS_CLOUDTRAIL_LOG_VALIDATION_DISABLED)["failing"] == 1
+    blog = run_fact(s, AWS_CLOUDTRAIL_BUCKET_LOGGING_DISABLED)
+    assert blog["failing"] == 1
+    row = blog["findings"].collect()[0]
+    assert row["bucket_id"] == "trail-logs-bucket"
+    assert json.loads(row["trail_names"]) if isinstance(
+        row["trail_names"], str) else row["trail_names"] == ["main-trail"]
+    assert run_fact(s, AWS_CLOUDTRAIL_NOT_ENCRYPTED)["failing"] == 1
+
+    hub_missing = run_fact(s, AWS_SECURITY_HUB_MISSING)
+    rows = {(r["account_id"], r["region"])
+            for r in hub_missing["findings"].collect()}
+    # hub exists in us-east-1 (arn region segment); us-west-2 uncovered
+    assert rows == {(ACCOUNT, "us-west-2")}
+    assert run_fact(
+        s, AWS_SECURITY_HUB_CONTROLS_NOT_AUTO_ENABLED)["failing"] == 1
+
+    assert run_fact(s, AWS_GUARDDUTY_DETECTOR_DISABLED)["failing"] == 1
+
+    threat = run_fact(s, AWS_GUARDDUTY_ACTIVE_THREAT)
+    ids = {r["finding_id"] for r in threat["findings"].collect()}
+    assert ids == {"finding-backdoor"}  # Recon type + sev 5 excluded
+
+
+def test_identity_policy_admin_and_rds_exposure_packs(spark, tmp_store):
+    """identity/policy administration over the IAM statement shape and
+    RDS exposure over the security-group chain."""
+    from cartography_spark.plans.rules import (
+        AWS_IDENTITY_ADMIN_PERMISSIONS,
+        AWS_POLICY_ADMIN_PERMISSIONS,
+        AWS_RDS_PUBLIC_ACCESS,
+        run_fact,
+    )
+
+    s = tmp_store
+    _mk_account(s, spark)
+
+    def _edges(rows):
+        return spark.createDataFrame(
+            rows, "src_label string, src_id string, rel_label string, "
+                  "dst_label string, dst_id string",
+        ).select(
+            "*", F.lit(TAG).cast("long").alias("lastupdated"),
+            F.lit("AWSAccount").alias("sub_resource_label"),
+            F.lit(ACCOUNT).alias("sub_resource_id"),
+            F.lit(None).cast("map<string,string>").alias("props"),
+        )
+
+    admin_arn = f"arn:aws:iam::{ACCOUNT}:role/admin-role"
+    safe_arn = f"arn:aws:iam::{ACCOUNT}:role/reader-role"
+    denied_arn = f"arn:aws:iam::{ACCOUNT}:role/denied-role"
+    roles = spark.createDataFrame(
+        [(admin_arn, "admin-role"), (safe_arn, "reader-role"),
+         (denied_arn, "denied-role")],
+        "arn string, name string",
+    )
+    s.merge_nodes(_node(roles, "AWSRole", F.col("arn"), {
+        "arn": F.col("arn"), "name": F.col("name"),
+    }, TAG, extra=["AWSPrincipal"]), TAG)
+
+    stmts = spark.createDataFrame([
+        ("pol-admin/statement/1", "Allow",
+         json.dumps(["iam:CreateUser", "iam:AttachRolePolicy"]),
+         json.dumps(["*"])),
+        ("pol-read/statement/1", "Allow",
+         json.dumps(["s3:GetObject"]), json.dumps(["*"])),
+        ("pol-denied/statement/1", "Allow",
+         json.dumps(["iam:CreateUser"]), json.dumps(["*"])),
+        ("pol-denied/statement/2", "Deny",
+         json.dumps(["iam:*"]), json.dumps(["*"])),
+    ], "sid string, effect string, action string, resource string")
+    s.merge_nodes(_node(stmts, "AWSPolicyStatement", F.col("sid"), {
+        "effect": F.col("effect"), "action": F.col("action"),
+        "resource": F.col("resource"),
+    }, TAG), TAG)
+    pols = spark.createDataFrame(
+        [("pol-admin",), ("pol-read",), ("pol-denied",)], "pid string"
+    )
+    s.merge_nodes(_node(pols, "AWSPolicy", F.col("pid"), {
+        "name": F.col("pid"),
+    }, TAG), TAG)
+    s.merge_edges(_edges([
+        ("AWSAccount", ACCOUNT, "RESOURCE", "AWSRole", admin_arn),
+        ("AWSAccount", ACCOUNT, "RESOURCE", "AWSRole", safe_arn),
+        ("AWSAccount", ACCOUNT, "RESOURCE", "AWSRole", denied_arn),
+        ("AWSRole", admin_arn, "POLICY", "AWSPolicy", "pol-admin"),
+        ("AWSRole", safe_arn, "POLICY", "AWSPolicy", "pol-read"),
+        ("AWSRole", denied_arn, "POLICY", "AWSPolicy", "pol-denied"),
+        ("AWSPolicy", "pol-admin", "STATEMENT", "AWSPolicyStatement",
+         "pol-admin/statement/1"),
+        ("AWSPolicy", "pol-read", "STATEMENT", "AWSPolicyStatement",
+         "pol-read/statement/1"),
+        ("AWSPolicy", "pol-denied", "STATEMENT", "AWSPolicyStatement",
+         "pol-denied/statement/1"),
+        ("AWSPolicy", "pol-denied", "STATEMENT", "AWSPolicyStatement",
+         "pol-denied/statement/2"),
+    ]), TAG)
+
+    ident = run_fact(s, AWS_IDENTITY_ADMIN_PERMISSIONS)
+    rows = {(r["principal_identifier"], r["policy_id"])
+            for r in ident["findings"].collect()}
+    # admin matched; reader has no iam actions; denied excluded by the
+    # explicit overlapping Deny
+    assert rows == {(admin_arn, "pol-admin")}
+    acts = json.loads(ident["findings"].collect()[0]["actions"])
+    assert acts == ["iam:AttachRolePolicy", "iam:CreateUser"]
+
+    pol = run_fact(s, AWS_POLICY_ADMIN_PERMISSIONS)
+    prows = {(r["principal_identifier"], r["policy_id"])
+             for r in pol["findings"].collect()}
+    assert prows == {(admin_arn, "pol-admin")}  # AttachRolePolicy only
+
+    # RDS exposure chain
+    rds = spark.createDataFrame([("db-1",)], "rid string")
+    s.merge_nodes(_node(rds, "AWSRDSInstance", F.col("rid"), {
+        "publicly_accessible": F.lit(True),
+        "endpoint_port": F.lit(5432),
+        "endpoint_address": F.lit("db-1.x.rds.amazonaws.com"),
+        "engine": F.lit("postgres"),
+        "db_instance_class": F.lit("db.t3.micro"),
+        "region": F.lit("us-east-1"),
+        "storage_encrypted": F.lit(False),
+    }, TAG), TAG)
+    sg = spark.createDataFrame([("sg-1",)], "gid string")
+    s.merge_nodes(_node(sg, "AWSEC2SecurityGroup", F.col("gid"), {
+        "groupid": F.col("gid"),
+    }, TAG), TAG)
+    rule = spark.createDataFrame([("sg-1/inbound/1",)], "ruleid string")
+    s.merge_nodes(_node(rule, "AWSIpPermissionInbound", F.col("ruleid"), {
+        "protocol": F.lit("tcp"),
+        "fromport": F.lit(5432), "toport": F.lit(5432),
+    }, TAG), TAG)
+    rng = spark.createDataFrame([("0.0.0.0/0",)], "cidr string")
+    s.merge_nodes(_node(rng, "AWSIpRange", F.col("cidr"), {
+        "range": F.col("cidr"),
+    }, TAG), TAG)
+    s.merge_edges(_edges([
+        ("AWSRDSInstance", "db-1", "MEMBER_OF_EC2_SECURITY_GROUP",
+         "AWSEC2SecurityGroup", "sg-1"),
+        ("AWSIpPermissionInbound", "sg-1/inbound/1",
+         "MEMBER_OF_EC2_SECURITY_GROUP", "AWSEC2SecurityGroup", "sg-1"),
+        ("AWSIpRange", "0.0.0.0/0", "MEMBER_OF_IP_RULE",
+         "AWSIpPermissionInbound", "sg-1/inbound/1"),
+    ]), TAG)
+    res = run_fact(s, AWS_RDS_PUBLIC_ACCESS)
+    found = {r["id"]: r for r in res["findings"].collect()}
+    assert set(found) == {"db-1"}
+    assert found["db-1"]["port"] == "5432"
+    assert found["db-1"]["encrypted"] == "false"

@@ -791,7 +791,8 @@ def test_new_rule_packs_registered():
             "kms_key_exposure"} <= ids
     cis = filter_rules_by_framework(ALL_RULES, "cis-aws")
     assert {r.id for r in cis} == {"cis_aws_storage", "cis_aws_networking",
-                                   "database_exposure_and_backups"}
+                                   "database_exposure_and_backups",
+                                   "cis_aws_logging"}
 
 
 def test_cis_aws_networking_pack(spark, tmp_path_factory):

@@ -1910,6 +1910,70 @@ AWS_RDS_PUBLIC_ACCESS = Fact(
 )
 
 
+
+AZURE_SQL_INTERNET_EXPOSED = Fact(
+    id="azure_sql_internet_exposed",
+    name="Azure SQL servers open to the internet",
+    description="Servers with public network access and a firewall "
+    "rule spanning from 0.0.0.0 to a non-zero end address "
+    "(database_instance_exposed.py:15-55).",
+    sql_query="""
+        SELECT DISTINCT server.id AS id,
+               server.props['name'] AS host,
+               'Microsoft.Sql' AS engine,
+               1433 AS port,
+               server.props['location'] AS region
+        FROM edges sub
+        JOIN nodes server ON server.label = 'AzureSQLServer'
+           AND server.id = sub.dst_id
+        JOIN edges m ON m.rel_label = 'MEMBER_OF_AZURE_SQL_SERVER'
+           AND m.dst_id = server.id
+        JOIN nodes rule ON rule.label = 'AzureSQLServerFirewallRule'
+           AND rule.id = m.src_id
+        WHERE sub.rel_label = 'RESOURCE'
+          AND sub.src_label = 'AzureSubscription'
+          AND coalesce(server.props['public_network_access'], 'Enabled')
+              = 'Enabled'
+          AND rule.props['start_ip_address'] = '0.0.0.0'
+          AND rule.props['end_ip_address'] IS NOT NULL
+          AND rule.props['end_ip_address'] <> '0.0.0.0'
+    """,
+    count_sql="SELECT count(*) AS count FROM nodes "
+              "WHERE label = 'AzureSQLServer'",
+    identity_fields=("id",),
+    asset_label="AzureSQLServer",
+    asset_id_field="id",
+)
+
+AZURE_SQL_MIN_TLS_BELOW_1_2 = Fact(
+    id="azure_sql_minimum_tls_below_1_2",
+    name="Azure SQL servers allowing TLS below 1.2",
+    description="Servers explicitly pinned to TLS 1.0/1.1 "
+    "(transport_encryption_gaps.py:20-52).",
+    sql_query="""
+        SELECT server.props['name'] AS server_name,
+               server.id AS server_id,
+               e.src_id AS subscription_id,
+               server.props['location'] AS location,
+               server.props['minimal_tls_version'] AS minimum_tls_version
+        FROM edges e
+        JOIN nodes server ON server.label = 'AzureSQLServer'
+           AND server.id = e.dst_id
+        WHERE e.rel_label = 'RESOURCE'
+          AND e.src_label = 'AzureSubscription'
+          AND server.props['minimal_tls_version'] IN ('1.0', '1.1')
+    """,
+    count_sql="""
+        SELECT count(*) AS count FROM nodes
+        WHERE label = 'AzureSQLServer'
+          AND props['minimal_tls_version'] IS NOT NULL
+    """,
+    identity_fields=("server_id",),
+    asset_label="AzureSQLServer",
+    asset_id_field="server_id",
+)
+
+
 ALL_RULES: tuple[Rule, ...] = (
     Rule(
         id="cicd_supply_chain",
@@ -2252,7 +2316,16 @@ ALL_RULES = ALL_RULES + (
         "(rules/data/rules/database_instance_exposed.py; AWS RDS leg — "
         "Azure/GCP/Scaleway legs need their database providers).",
         version="0.1.0",
-        facts=(AWS_RDS_PUBLIC_ACCESS,),
+        facts=(AWS_RDS_PUBLIC_ACCESS, AZURE_SQL_INTERNET_EXPOSED),
+    ),
+    Rule(
+        id="transport_encryption_gaps",
+        name="Transport encryption gaps",
+        tags=("azure", "encryption", "tls"),
+        description="Services pinned to TLS versions below 1.2 "
+        "(rules/data/rules/transport_encryption_gaps.py).",
+        version="0.1.0",
+        facts=(AZURE_SQL_MIN_TLS_BELOW_1_2,),
     ),
 )
 

@@ -1,0 +1,765 @@
+"""Azure network + load-balancer + SQL + Key Vault surface — the Azure
+leg of the exposure chain and the feeders for the
+``database_instance_exposed`` / ``transport_encryption_gaps`` Azure
+facts.
+
+Re-expresses ``intel/azure/{network,load_balancers,sql,key_vaults}.py``
+and ``analysis/azure/analysis.py``:
+
+* **network** (``network.py:103-312``): vnets, subnets (with their
+  NSG association), NSGs with their security+default rules flattened
+  and tagged ``is_default``, public IPs, NICs with subnet/public-ip/
+  private-ip fan-out from ip_configurations (NIC id of a backend
+  ipConfiguration is its path prefix) and the VM id LOWERCASED — Azure
+  APIs return inconsistent resource-group casing across services;
+* **load balancers** (``load_balancers.py:45-148``): LB, frontend IPs
+  (ASSOCIATED_WITH their public IP), backend pools (ROUTES_TO each
+  member NIC, derived from the ipConfiguration path prefix), LB rules
+  and inbound NAT rules;
+* **SQL** (``sql.py:55-214,768-806``): servers with
+  public_network_access / minimal_tls_version hoisted from the
+  properties wrapper (``_copy_properties``), databases CONTAINS/
+  RESOURCE under their server, firewall rules
+  MEMBER_OF_AZURE_SQL_SERVER;
+* **Key Vault** (``key_vaults.py:97-156``): vaults + secrets/keys/
+  certificates CONTAINS under their vault;
+* **exposure analysis** (``analysis/azure/analysis.py:9-121``): LB
+  exposed when a frontend IP has a public address; VM exposed
+  ``direct`` via NIC→public-IP or ``lb`` behind an exposed LB; the
+  derive-then-clear EXPOSE edge lb→vm only where the NIC has NO public
+  IP (via_lb_only) — all as typed AnalysisJobs on the shared machinery
+  so stale derived state sweeps on re-run.
+
+Scale: one ``from_json``+explode per family; NIC/pool fan-outs are
+explodes; exposure legs are equi-joins over edge frames; GC is
+subscription-scoped per label.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cartography_spark.plans.analysis import (
+    AddRelationship,
+    AddToSet,
+    AnalysisJob,
+    SetProperty,
+)
+from cartography_spark.providers.aws_ec2 import _edge, _node
+
+NETWORK_SCHEMA = """
+    STRUCT<
+        VirtualNetworks: ARRAY<STRUCT<id: STRING, name: STRING,
+                                      location: STRING,
+                                      provisioning_state: STRING>>,
+        Subnets: ARRAY<STRUCT<id: STRING, name: STRING,
+                              address_prefix: STRING,
+                              vnet_id: STRING,
+                              network_security_group: STRUCT<id: STRING>>>,
+        NetworkSecurityGroups: ARRAY<STRUCT<
+            id: STRING, name: STRING, location: STRING,
+            security_rules: ARRAY<STRUCT<
+                id: STRING, name: STRING, protocol: STRING,
+                direction: STRING, access: STRING, priority: BIGINT,
+                source_port_range: STRING, destination_port_range: STRING,
+                source_address_prefix: STRING,
+                destination_address_prefix: STRING>>,
+            default_security_rules: ARRAY<STRUCT<
+                id: STRING, name: STRING, protocol: STRING,
+                direction: STRING, access: STRING, priority: BIGINT,
+                source_port_range: STRING, destination_port_range: STRING,
+                source_address_prefix: STRING,
+                destination_address_prefix: STRING>>>>,
+        PublicIPAddresses: ARRAY<STRUCT<id: STRING, name: STRING,
+                                        location: STRING,
+                                        ip_address: STRING,
+                                        public_ip_allocation_method:
+                                            STRING>>,
+        NetworkInterfaces: ARRAY<STRUCT<
+            id: STRING, name: STRING, location: STRING,
+            mac_address: STRING,
+            virtual_machine: STRUCT<id: STRING>,
+            network_security_group: STRUCT<id: STRING>,
+            ip_configurations: ARRAY<STRUCT<
+                subnet: STRUCT<id: STRING>,
+                public_ip_address: STRUCT<id: STRING>,
+                private_ip_address: STRING>>>>>
+"""
+LBS_SCHEMA = """
+    STRUCT<LoadBalancers: ARRAY<STRUCT<
+        id: STRING, name: STRING, location: STRING,
+        sku: STRUCT<name: STRING>,
+        frontend_ip_configurations: ARRAY<STRUCT<
+            id: STRING, name: STRING, private_ip_address: STRING,
+            public_ip_address: STRUCT<id: STRING>>>,
+        backend_address_pools: ARRAY<STRUCT<
+            id: STRING, name: STRING,
+            backend_ip_configurations: ARRAY<STRUCT<id: STRING>>>>,
+        load_balancing_rules: ARRAY<STRUCT<
+            id: STRING, name: STRING, protocol: STRING,
+            frontend_port: BIGINT, backend_port: BIGINT,
+            frontend_ip_configuration: STRUCT<id: STRING>,
+            backend_address_pool: STRUCT<id: STRING>>>,
+        inbound_nat_rules: ARRAY<STRUCT<
+            id: STRING, name: STRING, protocol: STRING,
+            frontend_port: BIGINT, backend_port: BIGINT>>>>>
+"""
+SQL_SCHEMA = """
+    STRUCT<Servers: ARRAY<STRUCT<
+        id: STRING, name: STRING, location: STRING, kind: STRING,
+        state: STRING, version: STRING,
+        properties: STRUCT<public_network_access: STRING,
+                           minimal_tls_version: STRING>,
+        databases: ARRAY<STRUCT<id: STRING, name: STRING,
+                                location: STRING, kind: STRING,
+                                creation_date: STRING,
+                                max_size_bytes: BIGINT,
+                                collation: STRING,
+                                zone_redundant: BOOLEAN>>,
+        firewall_rules: ARRAY<STRUCT<id: STRING, name: STRING,
+                                     start_ip_address: STRING,
+                                     end_ip_address: STRING>>>>>
+"""
+KV_SCHEMA = """
+    STRUCT<KeyVaults: ARRAY<STRUCT<
+        id: STRING, name: STRING, location: STRING,
+        properties: STRUCT<tenant_id: STRING,
+                           sku: STRUCT<name: STRING>,
+                           vault_uri: STRING>,
+        secrets: ARRAY<STRUCT<id: STRING, name: STRING,
+                              enabled: BOOLEAN, created_on: STRING,
+                              updated_on: STRING>>,
+        keys: ARRAY<STRUCT<id: STRING, name: STRING, enabled: BOOLEAN,
+                           created_on: STRING, updated_on: STRING>>,
+        certificates: ARRAY<STRUCT<id: STRING, name: STRING,
+                                   enabled: BOOLEAN, created_on: STRING,
+                                   updated_on: STRING, x5t: STRING>>>>>
+"""
+
+# label → declared rel labels whose STALE edges sweep with the
+# subscription scope during GC (the per-schema rel set the reference's
+# GraphJobs derive from each model's relationships)
+AZ_NET_LABELS: dict[str, tuple[str, ...]] = {
+    "AzureNetworkSecurityRule": ("MEMBER_OF_AZURE_NSG",),
+    "AzureNetworkInterface": ("ATTACHED_TO", "ASSOCIATED_WITH",
+                              "ROUTES_TO"),
+    "AzureLoadBalancerFrontendIPConfiguration": ("CONTAINS",
+                                                 "ASSOCIATED_WITH"),
+    "AzureLoadBalancerBackendPool": ("CONTAINS", "ROUTES_TO"),
+    "AzureLoadBalancerRule": ("CONTAINS",),
+    "AzureLoadBalancerInboundNatRule": ("CONTAINS",),
+    "AzureLoadBalancer": (),
+    "AzureSubnet": ("CONTAINS", "ASSOCIATED_WITH", "ATTACHED_TO"),
+    "AzureNetworkSecurityGroup": ("ASSOCIATED_WITH",),
+    "AzurePublicIPAddress": ("ASSOCIATED_WITH",),
+    "AzureVirtualNetwork": ("CONTAINS",),
+    "AzureSQLServerFirewallRule": ("MEMBER_OF_AZURE_SQL_SERVER",),
+    "AzureSQLDatabase": ("CONTAINS",),
+    "AzureSQLServer": (),
+    "AzureKeyVaultSecret": ("CONTAINS",),
+    "AzureKeyVaultKey": ("CONTAINS",),
+    "AzureKeyVaultCertificate": ("CONTAINS",),
+    "AzureKeyVault": (),
+}
+
+
+def _doc(raw: DataFrame, schema: str):
+    return raw.select(
+        "sub_id", F.from_json("payload_json", schema).alias("d")
+    )
+
+
+def transform_azure_network(
+    raw: DataFrame, sub_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """``raw(sub_id, payload_json)`` → vnets/subnets/NSGs+rules/public
+    IPs/NICs (``network.py:103-312``)."""
+    d = _doc(raw, NETWORK_SCHEMA).cache()
+    sub = ("AzureSubscription", F.lit(sub_id))
+    sub_lit = F.lit(sub_id)
+
+    vnets = d.select(F.explode("d.VirtualNetworks").alias("v"))
+    vnet_nodes = _node(vnets, "AzureVirtualNetwork", F.col("v.id"), {
+        "name": F.col("v.name"), "location": F.col("v.location"),
+        "provisioning_state": F.col("v.provisioning_state"),
+    }, update_tag)
+
+    subnets = d.select(F.explode("d.Subnets").alias("s"))
+    subnet_nodes = _node(subnets, "AzureSubnet", F.col("s.id"), {
+        "name": F.col("s.name"),
+        "address_prefix": F.col("s.address_prefix"),
+        "nsg_id": F.col("s.network_security_group.id"),
+    }, update_tag)
+
+    nsgs = d.select(F.explode("d.NetworkSecurityGroups").alias("g")).cache()
+    nsg_nodes = _node(nsgs, "AzureNetworkSecurityGroup", F.col("g.id"), {
+        "name": F.col("g.name"), "location": F.col("g.location"),
+    }, update_tag)
+    # security + default rules flattened, tagged is_default
+    # (network.py:163-216)
+    rules = (
+        nsgs.select(
+            F.col("g.id").alias("nsg_id"),
+            F.explode(F.coalesce("g.security_rules", F.array())).alias("r"),
+            F.lit(False).alias("is_default"),
+        )
+        .unionByName(nsgs.select(
+            F.col("g.id").alias("nsg_id"),
+            F.explode(F.coalesce("g.default_security_rules", F.array()))
+            .alias("r"),
+            F.lit(True).alias("is_default"),
+        ))
+    )
+    rule_nodes = _node(rules, "AzureNetworkSecurityRule", F.col("r.id"), {
+        "name": F.col("r.name"), "nsg_id": F.col("nsg_id"),
+        "protocol": F.col("r.protocol"),
+        "direction": F.col("r.direction"),
+        "access": F.col("r.access"), "priority": F.col("r.priority"),
+        "source_port_range": F.col("r.source_port_range"),
+        "destination_port_range": F.col("r.destination_port_range"),
+        "source_address_prefix": F.col("r.source_address_prefix"),
+        "destination_address_prefix":
+            F.col("r.destination_address_prefix"),
+        "is_default": F.col("is_default"),
+    }, update_tag)
+
+    pips = d.select(F.explode("d.PublicIPAddresses").alias("p"))
+    pip_nodes = _node(pips, "AzurePublicIPAddress", F.col("p.id"), {
+        "name": F.col("p.name"), "location": F.col("p.location"),
+        "ip_address": F.col("p.ip_address"),
+        "public_ip_allocation_method":
+            F.col("p.public_ip_allocation_method"),
+    }, update_tag)
+
+    nics = d.select(F.explode("d.NetworkInterfaces").alias("n")).withColumn(
+        # normalize VM id casing (network.py:288-292)
+        "vm_id", F.lower(F.col("n.virtual_machine.id"))
+    ).cache()
+    nic_nodes = _node(nics, "AzureNetworkInterface", F.col("n.id"), {
+        "name": F.col("n.name"), "location": F.col("n.location"),
+        "mac_address": F.col("n.mac_address"),
+        "private_ip_addresses": F.to_json(F.transform(
+            F.filter(
+                F.coalesce("n.ip_configurations", F.array()),
+                lambda c: c["private_ip_address"].isNotNull(),
+            ),
+            lambda c: c["private_ip_address"],
+        )),
+    }, update_tag)
+
+    nic_subnets = nics.select(
+        F.col("n.id").alias("nid"),
+        F.explode("n.ip_configurations").alias("c"),
+    ).filter(F.col("c.subnet.id").isNotNull())
+    nic_pips = nics.select(
+        F.col("n.id").alias("nid"),
+        F.explode("n.ip_configurations").alias("c"),
+    ).filter(F.col("c.public_ip_address.id").isNotNull())
+
+    edges = (
+        _edge(vnets, "AzureSubscription", sub_lit, "RESOURCE",
+              "AzureVirtualNetwork", F.col("v.id"), update_tag, sub)
+        .unionByName(_edge(subnets, "AzureSubscription", sub_lit, "RESOURCE",
+                           "AzureSubnet", F.col("s.id"), update_tag, sub))
+        .unionByName(_edge(
+            subnets.filter(F.col("s.vnet_id").isNotNull()),
+            "AzureVirtualNetwork", F.col("s.vnet_id"), "CONTAINS",
+            "AzureSubnet", F.col("s.id"), update_tag, sub))
+        .unionByName(_edge(
+            subnets.filter(F.col("s.network_security_group.id").isNotNull()),
+            "AzureSubnet", F.col("s.id"), "ASSOCIATED_WITH",
+            "AzureNetworkSecurityGroup",
+            F.col("s.network_security_group.id"), update_tag, sub))
+        .unionByName(_edge(nsgs, "AzureSubscription", sub_lit, "RESOURCE",
+                           "AzureNetworkSecurityGroup", F.col("g.id"),
+                           update_tag, sub))
+        .unionByName(_edge(rules, "AzureSubscription", sub_lit, "RESOURCE",
+                           "AzureNetworkSecurityRule", F.col("r.id"),
+                           update_tag, sub))
+        .unionByName(_edge(rules, "AzureNetworkSecurityRule", F.col("r.id"),
+                           "MEMBER_OF_AZURE_NSG", "AzureNetworkSecurityGroup",
+                           F.col("nsg_id"), update_tag, sub))
+        .unionByName(_edge(pips, "AzureSubscription", sub_lit, "RESOURCE",
+                           "AzurePublicIPAddress", F.col("p.id"),
+                           update_tag, sub))
+        .unionByName(_edge(nics, "AzureSubscription", sub_lit, "RESOURCE",
+                           "AzureNetworkInterface", F.col("n.id"),
+                           update_tag, sub))
+        .unionByName(_edge(
+            nics.filter(F.col("vm_id").isNotNull()),
+            "AzureNetworkInterface", F.col("n.id"), "ATTACHED_TO",
+            "AzureVirtualMachine", F.col("vm_id"), update_tag, sub))
+        .unionByName(_edge(
+            nics.filter(F.col("n.network_security_group.id").isNotNull()),
+            "AzureNetworkInterface", F.col("n.id"), "ASSOCIATED_WITH",
+            "AzureNetworkSecurityGroup",
+            F.col("n.network_security_group.id"), update_tag, sub))
+        .unionByName(_edge(nic_subnets, "AzureNetworkInterface",
+                           F.col("nid"), "ATTACHED_TO", "AzureSubnet",
+                           F.col("c.subnet.id"), update_tag, sub))
+        .unionByName(_edge(nic_pips, "AzureNetworkInterface", F.col("nid"),
+                           "ASSOCIATED_WITH", "AzurePublicIPAddress",
+                           F.col("c.public_ip_address.id"), update_tag,
+                           sub))
+    )
+    nodes = (
+        vnet_nodes.unionByName(subnet_nodes).unionByName(nsg_nodes)
+        .unionByName(rule_nodes).unionByName(pip_nodes)
+        .unionByName(nic_nodes)
+    )
+    return nodes, edges
+
+
+def transform_azure_load_balancers(
+    raw: DataFrame, sub_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """``load_balancers.py:45-148``."""
+    lbs = _doc(raw, LBS_SCHEMA).select(
+        F.explode("d.LoadBalancers").alias("lb")
+    ).cache()
+    sub = ("AzureSubscription", F.lit(sub_id))
+    sub_lit = F.lit(sub_id)
+
+    lb_nodes = _node(lbs, "AzureLoadBalancer", F.col("lb.id"), {
+        "name": F.col("lb.name"), "location": F.col("lb.location"),
+        "sku_name": F.col("lb.sku.name"),
+    }, update_tag)
+    fips = lbs.select(
+        F.col("lb.id").alias("lb_id"),
+        F.explode(F.coalesce("lb.frontend_ip_configurations", F.array()))
+        .alias("f"),
+    )
+    fip_nodes = _node(fips, "AzureLoadBalancerFrontendIPConfiguration",
+                      F.col("f.id"), {
+        "name": F.col("f.name"),
+        "private_ip_address": F.col("f.private_ip_address"),
+        "public_ip_address_id": F.col("f.public_ip_address.id"),
+    }, update_tag)
+    pools = lbs.select(
+        F.col("lb.id").alias("lb_id"),
+        F.explode(F.coalesce("lb.backend_address_pools", F.array()))
+        .alias("b"),
+    )
+    pool_nodes = _node(pools, "AzureLoadBalancerBackendPool", F.col("b.id"), {
+        "name": F.col("b.name"),
+    }, update_tag)
+    # NIC id is the ipConfiguration's path prefix
+    # (load_balancers.py:80-102)
+    pool_nics = pools.select(
+        F.col("b.id").alias("pool_id"),
+        F.explode(F.coalesce("b.backend_ip_configurations", F.array()))
+        .alias("c"),
+    ).filter(
+        F.col("c.id").contains("/ipConfigurations/")
+    ).select(
+        "pool_id",
+        F.substring_index(F.col("c.id"), "/ipConfigurations/", 1)
+        .alias("nic_id"),
+    )
+    rules = lbs.select(
+        F.col("lb.id").alias("lb_id"),
+        F.explode(F.coalesce("lb.load_balancing_rules", F.array()))
+        .alias("r"),
+    )
+    rule_nodes = _node(rules, "AzureLoadBalancerRule", F.col("r.id"), {
+        "name": F.col("r.name"), "protocol": F.col("r.protocol"),
+        "frontend_port": F.col("r.frontend_port"),
+        "backend_port": F.col("r.backend_port"),
+    }, update_tag)
+    nats = lbs.select(
+        F.col("lb.id").alias("lb_id"),
+        F.explode(F.coalesce("lb.inbound_nat_rules", F.array())).alias("r"),
+    )
+    nat_nodes = _node(nats, "AzureLoadBalancerInboundNatRule", F.col("r.id"), {
+        "name": F.col("r.name"), "protocol": F.col("r.protocol"),
+        "frontend_port": F.col("r.frontend_port"),
+        "backend_port": F.col("r.backend_port"),
+    }, update_tag)
+
+    def _res(df, label, id_col):
+        return _edge(df, "AzureSubscription", sub_lit, "RESOURCE", label,
+                     id_col, update_tag, sub)
+
+    def _contains(df, label, id_col):
+        return _edge(df, "AzureLoadBalancer", F.col("lb_id"), "CONTAINS",
+                     label, id_col, update_tag, sub)
+
+    edges = (
+        _res(lbs, "AzureLoadBalancer", F.col("lb.id"))
+        .unionByName(_res(fips, "AzureLoadBalancerFrontendIPConfiguration",
+                          F.col("f.id")))
+        .unionByName(_res(pools, "AzureLoadBalancerBackendPool",
+                          F.col("b.id")))
+        .unionByName(_res(rules, "AzureLoadBalancerRule", F.col("r.id")))
+        .unionByName(_res(nats, "AzureLoadBalancerInboundNatRule",
+                          F.col("r.id")))
+        .unionByName(_contains(fips,
+                               "AzureLoadBalancerFrontendIPConfiguration",
+                               F.col("f.id")))
+        .unionByName(_contains(pools, "AzureLoadBalancerBackendPool",
+                               F.col("b.id")))
+        .unionByName(_contains(rules, "AzureLoadBalancerRule",
+                               F.col("r.id")))
+        .unionByName(_contains(nats, "AzureLoadBalancerInboundNatRule",
+                               F.col("r.id")))
+        .unionByName(_edge(
+            fips.filter(F.col("f.public_ip_address.id").isNotNull()),
+            "AzureLoadBalancerFrontendIPConfiguration", F.col("f.id"),
+            "ASSOCIATED_WITH", "AzurePublicIPAddress",
+            F.col("f.public_ip_address.id"), update_tag, sub))
+        .unionByName(_edge(pool_nics, "AzureLoadBalancerBackendPool",
+                           F.col("pool_id"), "ROUTES_TO",
+                           "AzureNetworkInterface", F.col("nic_id"),
+                           update_tag, sub))
+    )
+    nodes = (
+        lb_nodes.unionByName(fip_nodes).unionByName(pool_nodes)
+        .unionByName(rule_nodes).unionByName(nat_nodes)
+    )
+    return nodes, edges
+
+
+def transform_azure_sql(
+    raw: DataFrame, sub_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """``sql.py``: servers (+hoisted properties), databases, firewall
+    rules."""
+    servers = _doc(raw, SQL_SCHEMA).select(
+        F.explode("d.Servers").alias("s")
+    ).cache()
+    sub = ("AzureSubscription", F.lit(sub_id))
+    sub_lit = F.lit(sub_id)
+    srv_nodes = _node(servers, "AzureSQLServer", F.col("s.id"), {
+        "name": F.col("s.name"), "location": F.col("s.location"),
+        "kind": F.col("s.kind"), "state": F.col("s.state"),
+        "version": F.col("s.version"),
+        "public_network_access":
+            F.col("s.properties.public_network_access"),
+        "minimal_tls_version": F.col("s.properties.minimal_tls_version"),
+    }, update_tag)
+    dbs = servers.select(
+        F.col("s.id").alias("server_id"),
+        F.explode(F.coalesce("s.databases", F.array())).alias("db"),
+    )
+    db_nodes = _node(dbs, "AzureSQLDatabase", F.col("db.id"), {
+        "name": F.col("db.name"), "location": F.col("db.location"),
+        "kind": F.col("db.kind"),
+        "creation_date": F.col("db.creation_date"),
+        "max_size_bytes": F.col("db.max_size_bytes"),
+        "collation": F.col("db.collation"),
+        "zone_redundant": F.col("db.zone_redundant"),
+        "server_id": F.col("server_id"),
+    }, update_tag)
+    fw = servers.select(
+        F.col("s.id").alias("server_id"),
+        F.explode(F.coalesce("s.firewall_rules", F.array())).alias("r"),
+    )
+    fw_nodes = _node(fw, "AzureSQLServerFirewallRule", F.col("r.id"), {
+        "name": F.col("r.name"),
+        "start_ip_address": F.col("r.start_ip_address"),
+        "end_ip_address": F.col("r.end_ip_address"),
+        "server_id": F.col("server_id"),
+    }, update_tag)
+    edges = (
+        _edge(servers, "AzureSubscription", sub_lit, "RESOURCE",
+              "AzureSQLServer", F.col("s.id"), update_tag, sub)
+        .unionByName(_edge(dbs, "AzureSubscription", sub_lit, "RESOURCE",
+                           "AzureSQLDatabase", F.col("db.id"), update_tag,
+                           sub))
+        .unionByName(_edge(dbs, "AzureSQLServer", F.col("server_id"),
+                           "CONTAINS", "AzureSQLDatabase", F.col("db.id"),
+                           update_tag, sub))
+        .unionByName(_edge(dbs, "AzureSQLServer", F.col("server_id"),
+                           "RESOURCE", "AzureSQLDatabase", F.col("db.id"),
+                           update_tag, sub))
+        .unionByName(_edge(fw, "AzureSubscription", sub_lit, "RESOURCE",
+                           "AzureSQLServerFirewallRule", F.col("r.id"),
+                           update_tag, sub))
+        .unionByName(_edge(fw, "AzureSQLServerFirewallRule", F.col("r.id"),
+                           "MEMBER_OF_AZURE_SQL_SERVER", "AzureSQLServer",
+                           F.col("server_id"), update_tag, sub))
+    )
+    return srv_nodes.unionByName(db_nodes).unionByName(fw_nodes), edges
+
+
+def transform_azure_key_vaults(
+    raw: DataFrame, sub_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """``key_vaults.py:97-156``."""
+    kvs = _doc(raw, KV_SCHEMA).select(
+        F.explode("d.KeyVaults").alias("v")
+    ).cache()
+    sub = ("AzureSubscription", F.lit(sub_id))
+    sub_lit = F.lit(sub_id)
+    kv_nodes = _node(kvs, "AzureKeyVault", F.col("v.id"), {
+        "name": F.col("v.name"), "location": F.col("v.location"),
+        "tenant_id": F.col("v.properties.tenant_id"),
+        "sku_name": F.col("v.properties.sku.name"),
+        "vault_uri": F.col("v.properties.vault_uri"),
+    }, update_tag)
+    nodes = kv_nodes
+    edges = _edge(kvs, "AzureSubscription", sub_lit, "RESOURCE",
+                  "AzureKeyVault", F.col("v.id"), update_tag, sub)
+    for field, label, extra_props in (
+        ("secrets", "AzureKeyVaultSecret", {}),
+        ("keys", "AzureKeyVaultKey", {}),
+        ("certificates", "AzureKeyVaultCertificate", {"x5t": "x5t"}),
+    ):
+        items = kvs.select(
+            F.col("v.id").alias("vault_id"),
+            F.explode(F.coalesce(f"v.{field}", F.array())).alias("i"),
+        )
+        props = {
+            "name": F.col("i.name"), "enabled": F.col("i.enabled"),
+            "created_on": F.col("i.created_on"),
+            "updated_on": F.col("i.updated_on"),
+            "vault_id": F.col("vault_id"),
+        }
+        for k, src in extra_props.items():
+            props[k] = F.col(f"i.{src}")
+        nodes = nodes.unionByName(
+            _node(items, label, F.col("i.id"), props, update_tag)
+        )
+        edges = edges.unionByName(_edge(
+            items, "AzureSubscription", sub_lit, "RESOURCE", label,
+            F.col("i.id"), update_tag, sub,
+        )).unionByName(_edge(
+            items, "AzureKeyVault", F.col("vault_id"), "CONTAINS", label,
+            F.col("i.id"), update_tag, sub,
+        ))
+    return nodes, edges
+
+
+# -- exposure analysis (analysis/azure/analysis.py) ---------------------------
+
+
+def azure_lb_exposure_job() -> AnalysisJob:
+    """AZURE_COMPUTE_ASSET_EXPOSURE_LB: a frontend IP with a public
+    address marks the LB exposed; unmarked LBs get false via the
+    generated property cleanup + default pass."""
+
+    def match(store) -> DataFrame:
+        fips = store.nodes(["AzureLoadBalancerFrontendIPConfiguration"])
+        pips = store.nodes(["AzurePublicIPAddress"]).filter(
+            F.element_at("props", "ip_address").isNotNull()
+        ).select(F.col("id").alias("pip_id"))
+        contains = store.edges(["CONTAINS"]).filter(
+            (F.col("src_label") == "AzureLoadBalancer")
+            & (F.col("dst_label")
+               == "AzureLoadBalancerFrontendIPConfiguration")
+        ).select(F.col("src_id").alias("lb_id"),
+                 F.col("dst_id").alias("fip_id"))
+        assoc = store.edges(["ASSOCIATED_WITH"]).filter(
+            (F.col("src_label")
+             == "AzureLoadBalancerFrontendIPConfiguration")
+            & (F.col("dst_label") == "AzurePublicIPAddress")
+        ).select(F.col("src_id").alias("fip_id"),
+                 F.col("dst_id").alias("pip_id"))
+        exposed = (
+            contains.join(assoc, on="fip_id").join(pips, on="pip_id")
+            .select(F.lit("AzureLoadBalancer").alias("label"),
+                    F.col("lb_id").alias("id"))
+            .distinct()
+        )
+        del fips
+        return exposed
+
+    return AnalysisJob(
+        name="azure_compute_asset_exposure_lb",
+        match=match,
+        effects=(
+            SetProperty("exposed_internet", F.lit(True),
+                        label="AzureLoadBalancer"),
+        ),
+    )
+
+
+def _nic_public(store) -> DataFrame:
+    """NICs holding a public IP with an address."""
+    pips = store.nodes(["AzurePublicIPAddress"]).filter(
+        F.element_at("props", "ip_address").isNotNull()
+    ).select(F.col("id").alias("pip_id"))
+    return store.edges(["ASSOCIATED_WITH"]).filter(
+        (F.col("src_label") == "AzureNetworkInterface")
+        & (F.col("dst_label") == "AzurePublicIPAddress")
+    ).select(F.col("src_id").alias("nic_id"),
+             F.col("dst_id").alias("pip_id")).join(
+        pips, on="pip_id"
+    ).select("nic_id").distinct()
+
+
+def _lb_vm_paths(store) -> DataFrame:
+    """Exposed LB → pool → NIC → VM rows (nic_id kept)."""
+    lbs = store.nodes(["AzureLoadBalancer"]).filter(
+        F.element_at("props", "exposed_internet") == "true"
+    ).select(F.col("id").alias("lb_id"))
+    pool = store.edges(["CONTAINS"]).filter(
+        (F.col("src_label") == "AzureLoadBalancer")
+        & (F.col("dst_label") == "AzureLoadBalancerBackendPool")
+    ).select(F.col("src_id").alias("lb_id"),
+             F.col("dst_id").alias("pool_id"))
+    routes = store.edges(["ROUTES_TO"]).filter(
+        (F.col("src_label") == "AzureLoadBalancerBackendPool")
+        & (F.col("dst_label") == "AzureNetworkInterface")
+    ).select(F.col("src_id").alias("pool_id"),
+             F.col("dst_id").alias("nic_id"))
+    attach = store.edges(["ATTACHED_TO"]).filter(
+        (F.col("src_label") == "AzureNetworkInterface")
+        & (F.col("dst_label") == "AzureVirtualMachine")
+    ).select(F.col("src_id").alias("nic_id"),
+             F.col("dst_id").alias("vm_id"))
+    return (
+        lbs.join(pool, on="lb_id").join(routes, on="pool_id")
+        .join(attach, on="nic_id")
+    )
+
+
+def azure_vm_exposure_job() -> AnalysisJob:
+    """AZURE_COMPUTE_ASSET_EXPOSURE_VM: direct (NIC with public IP) ∪
+    behind an exposed LB; the per-VM type set aggregates in one pass."""
+
+    def match(store) -> DataFrame:
+        attach = store.edges(["ATTACHED_TO"]).filter(
+            (F.col("src_label") == "AzureNetworkInterface")
+            & (F.col("dst_label") == "AzureVirtualMachine")
+        ).select(F.col("src_id").alias("nic_id"),
+                 F.col("dst_id").alias("vm_id"))
+        direct = attach.join(_nic_public(store), on="nic_id").select(
+            "vm_id", F.lit("direct").alias("etype")
+        )
+        via_lb = _lb_vm_paths(store).select(
+            "vm_id", F.lit("lb").alias("etype")
+        )
+        return (
+            direct.unionByName(via_lb)
+            .groupBy("vm_id")
+            .agg(F.sort_array(F.collect_set("etype")).alias("etypes"))
+            .select(
+                F.lit("AzureVirtualMachine").alias("label"),
+                F.col("vm_id").alias("id"),
+                F.to_json("etypes").alias("__types"),
+            )
+        )
+
+    return AnalysisJob(
+        name="azure_compute_asset_exposure_vm",
+        match=match,
+        effects=(
+            SetProperty("exposed_internet", F.lit(True),
+                        label="AzureVirtualMachine"),
+            SetProperty("exposed_internet_type", F.col("__types"),
+                        label="AzureVirtualMachine"),
+        ),
+    )
+
+
+def azure_lb_expose_job() -> AnalysisJob:
+    """AZURE_LB_EXPOSURE: derive (lb)-[:EXPOSE]->(vm) only where the
+    VM's NIC has NO public IP of its own (via_lb_only)."""
+
+    def match(store) -> DataFrame:
+        paths = _lb_vm_paths(store)
+        no_pub = paths.join(_nic_public(store), on="nic_id", how="left_anti")
+        return no_pub.select(
+            F.lit("AzureLoadBalancer").alias("label"),
+            F.col("lb_id").alias("id"),
+            F.lit("AzureVirtualMachine").alias("tgt_label"),
+            F.col("vm_id").alias("tgt_id"),
+        ).distinct()
+
+    return AnalysisJob(
+        name="azure_lb_exposure",
+        match=match,
+        effects=(
+            AddRelationship(
+                "EXPOSE", "tgt_label", "tgt_id",
+                properties={"exposure_type": F.lit("via_lb_only")},
+            ),
+        ),
+    )
+
+
+def sync_azure_network(
+    store,
+    net_raw: DataFrame | None,
+    lbs_raw: DataFrame | None,
+    sql_raw: DataFrame | None,
+    kv_raw: DataFrame | None,
+    sub_id: str,
+    update_tag: int,
+) -> dict:
+    """network → LBs → SQL → Key Vaults → exposure analysis →
+    subscription-scoped GC per label."""
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+    from cartography_spark.plans.analysis import run_analysis_job
+
+    metrics: dict = {}
+    for name, fn, raw in (
+        ("network", transform_azure_network, net_raw),
+        ("lbs", transform_azure_load_balancers, lbs_raw),
+        ("sql", transform_azure_sql, sql_raw),
+        ("kv", transform_azure_key_vaults, kv_raw),
+    ):
+        if raw is None:
+            continue
+        nodes, edges = fn(raw, sub_id, update_tag)
+        metrics[f"{name}_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics[f"{name}_edges"] = store.merge_edges(edges, update_tag)
+
+    sub_rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label="AzureSubscription",
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("AZURE_SUBSCRIPTION_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    for label, rel_labels in AZ_NET_LABELS.items():
+        if label not in store.manifest["nodes"]:
+            continue
+        metrics[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=sub_rel,
+                other_relationships=tuple(
+                    RelSchema(
+                        rel_label=rl,
+                        target_node_label=label,
+                        target_node_matcher=TargetNodeMatcher(
+                            {"id": PropertyRef("id")}
+                        ),
+                        direction=LinkDirection.OUTWARD,
+                    )
+                    for rl in rel_labels
+                    if rl in store.manifest["edges"]
+                ),
+            ),
+            update_tag,
+            {"AZURE_SUBSCRIPTION_ID": sub_id},
+        )
+
+    # exposure analysis runs AFTER the module GC (the reference runs
+    # its analysis stage after intel cleanups), so stale edges never
+    # feed a derivation
+    if "AzureLoadBalancer" in store.manifest["nodes"]:
+        metrics["exposure_lb"] = run_analysis_job(
+            store, azure_lb_exposure_job(), update_tag
+        )
+        if "AzureVirtualMachine" in store.manifest["nodes"]:
+            metrics["exposure_vm"] = run_analysis_job(
+                store, azure_vm_exposure_job(), update_tag
+            )
+            metrics["expose_edges"] = run_analysis_job(
+                store, azure_lb_expose_job(), update_tag
+            )
+    store.record_lineage("azure_network_sync", {"update_tag": update_tag})
+    return metrics

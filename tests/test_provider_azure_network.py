@@ -1,0 +1,292 @@
+"""Azure network/LB/SQL/KeyVault parity + the Azure exposure analysis
+and the Azure legs of database_instance_exposed /
+transport_encryption_gaps, mirroring the reference's
+``intel/azure/{network,load_balancers,sql,key_vaults}.py`` transforms
+and ``analysis/azure/analysis.py`` job semantics."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.aws_ec2 import _node
+from cartography_spark.providers.azure_network import (
+    sync_azure_network,
+)
+
+TAG = 123456789
+SUB = "/subscriptions/00-00"
+RG = f"{SUB}/resourceGroups/rg1/providers"
+
+VNET = f"{RG}/Microsoft.Network/virtualNetworks/vnet1"
+SUBNET = f"{VNET}/subnets/subnet1"
+NSG = f"{RG}/Microsoft.Network/networkSecurityGroups/nsg1"
+PIP = f"{RG}/Microsoft.Network/publicIPAddresses/pip1"
+NIC = f"{RG}/Microsoft.Network/networkInterfaces/nic1"
+NIC2 = f"{RG}/Microsoft.Network/networkInterfaces/nic2"
+VM = f"{RG.lower()}/microsoft.compute/virtualmachines/vm1"
+VM2 = f"{RG.lower()}/microsoft.compute/virtualmachines/vm2"
+LB = f"{RG}/Microsoft.Network/loadBalancers/lb1"
+SQLSRV = f"{RG}/Microsoft.Sql/servers/sqlsrv1"
+
+NETWORK = {
+    "VirtualNetworks": [{"id": VNET, "name": "vnet1",
+                         "location": "eastus",
+                         "provisioning_state": "Succeeded"}],
+    "Subnets": [{"id": SUBNET, "name": "subnet1",
+                 "address_prefix": "10.0.0.0/24", "vnet_id": VNET,
+                 "network_security_group": {"id": NSG}}],
+    "NetworkSecurityGroups": [{
+        "id": NSG, "name": "nsg1", "location": "eastus",
+        "security_rules": [{
+            "id": f"{NSG}/securityRules/allow-ssh", "name": "allow-ssh",
+            "protocol": "Tcp", "direction": "Inbound", "access": "Allow",
+            "priority": 100, "source_port_range": "*",
+            "destination_port_range": "22",
+            "source_address_prefix": "0.0.0.0/0",
+            "destination_address_prefix": "*"}],
+        "default_security_rules": [{
+            "id": f"{NSG}/defaultSecurityRules/DenyAllInBound",
+            "name": "DenyAllInBound", "protocol": "*",
+            "direction": "Inbound", "access": "Deny", "priority": 65500,
+            "source_port_range": "*", "destination_port_range": "*",
+            "source_address_prefix": "*",
+            "destination_address_prefix": "*"}],
+    }],
+    "PublicIPAddresses": [{"id": PIP, "name": "pip1",
+                           "location": "eastus",
+                           "ip_address": "20.1.2.3",
+                           "public_ip_allocation_method": "Static"}],
+    "NetworkInterfaces": [
+        {"id": NIC, "name": "nic1", "location": "eastus",
+         "mac_address": "00-0D-3A-11-22-33",
+         # mixed-case VM reference — must normalize to lowercase
+         "virtual_machine": {
+             "id": f"{RG}/Microsoft.Compute/virtualMachines/vm1"},
+         "network_security_group": {"id": NSG},
+         "ip_configurations": [{"subnet": {"id": SUBNET},
+                                "public_ip_address": {"id": PIP},
+                                "private_ip_address": "10.0.0.4"}]},
+        {"id": NIC2, "name": "nic2", "location": "eastus",
+         "virtual_machine": {
+             "id": f"{RG}/Microsoft.Compute/virtualMachines/vm2"},
+         "ip_configurations": [{"subnet": {"id": SUBNET},
+                                "private_ip_address": "10.0.0.5"}]},
+    ],
+}
+LBS = {"LoadBalancers": [{
+    "id": LB, "name": "lb1", "location": "eastus",
+    "sku": {"name": "Standard"},
+    "frontend_ip_configurations": [{
+        "id": f"{LB}/frontendIPConfigurations/fe1", "name": "fe1",
+        "public_ip_address": {"id": PIP}}],
+    "backend_address_pools": [{
+        "id": f"{LB}/backendAddressPools/pool1", "name": "pool1",
+        "backend_ip_configurations": [
+            {"id": f"{NIC2}/ipConfigurations/ipconfig1"}]}],
+    "load_balancing_rules": [{
+        "id": f"{LB}/loadBalancingRules/rule1", "name": "rule1",
+        "protocol": "Tcp", "frontend_port": 443, "backend_port": 8443,
+        "frontend_ip_configuration": {
+            "id": f"{LB}/frontendIPConfigurations/fe1"},
+        "backend_address_pool": {"id": f"{LB}/backendAddressPools/pool1"}}],
+    "inbound_nat_rules": [],
+}]}
+SQL = {"Servers": [{
+    "id": SQLSRV, "name": "sqlsrv1", "location": "eastus",
+    "kind": "v12.0", "state": "Ready", "version": "12.0",
+    "properties": {"public_network_access": "Enabled",
+                   "minimal_tls_version": "1.1"},
+    "databases": [{"id": f"{SQLSRV}/databases/appdb", "name": "appdb",
+                   "location": "eastus", "kind": "v12.0,user",
+                   "creation_date": "2023-01-01T00:00:00Z",
+                   "max_size_bytes": 268435456000,
+                   "collation": "SQL_Latin1_General_CP1_CI_AS",
+                   "zone_redundant": False}],
+    "firewall_rules": [{"id": f"{SQLSRV}/firewallRules/open",
+                        "name": "open", "start_ip_address": "0.0.0.0",
+                        "end_ip_address": "255.255.255.255"}],
+}]}
+KV = {"KeyVaults": [{
+    "id": f"{RG}/Microsoft.KeyVault/vaults/kv1", "name": "kv1",
+    "location": "eastus",
+    "properties": {"tenant_id": "tid-1", "sku": {"name": "standard"},
+                   "vault_uri": "https://kv1.vault.azure.net/"},
+    "secrets": [{"id": "https://kv1.vault.azure.net/secrets/db-pass",
+                 "name": "db-pass", "enabled": True,
+                 "created_on": "2023-01-01T00:00:00Z",
+                 "updated_on": "2023-02-01T00:00:00Z"}],
+    "keys": [{"id": "https://kv1.vault.azure.net/keys/signing",
+              "name": "signing", "enabled": True,
+              "created_on": "2023-01-01T00:00:00Z",
+              "updated_on": "2023-01-01T00:00:00Z"}],
+    "certificates": [{"id": "https://kv1.vault.azure.net/certificates/tls",
+                      "name": "tls", "enabled": False,
+                      "created_on": "2023-01-01T00:00:00Z",
+                      "updated_on": "2023-01-01T00:00:00Z",
+                      "x5t": "thumb"}],
+}]}
+
+
+def _one(spark, payload):
+    return spark.createDataFrame(
+        [(SUB, json.dumps(payload))], "sub_id string, payload_json string"
+    )
+
+
+def _rels(store, rel, src_label=None, dst_label=None):
+    df = store.edges([rel])
+    if src_label:
+        df = df.filter(F.col("src_label") == src_label)
+    if dst_label:
+        df = df.filter(F.col("dst_label") == dst_label)
+    return {(r["src_id"], r["dst_id"]) for r in df.collect()}
+
+
+def _mk_vms(store, spark):
+    vms = spark.createDataFrame([(VM,), (VM2,)], "vid string")
+    store.merge_nodes(
+        _node(vms, "AzureVirtualMachine", F.col("vid"), {
+            "name": F.element_at(F.split("vid", "/"), -1),
+        }, TAG), TAG)
+
+
+def _sync_all(store, spark, tag=TAG):
+    sync_azure_network(
+        store, _one(spark, NETWORK), _one(spark, LBS), _one(spark, SQL),
+        _one(spark, KV), SUB, tag,
+    )
+
+
+def test_network_and_lb_graph(spark, tmp_store):
+    s = tmp_store
+    _mk_vms(s, spark)
+    _sync_all(s, spark)
+
+    rules = {r["id"]: r["props"]
+             for r in s.nodes(["AzureNetworkSecurityRule"]).collect()}
+    assert rules[f"{NSG}/securityRules/allow-ssh"]["is_default"] == "false"
+    assert rules[f"{NSG}/defaultSecurityRules/DenyAllInBound"][
+        "is_default"] == "true"
+    assert _rels(s, "MEMBER_OF_AZURE_NSG") == {
+        (f"{NSG}/securityRules/allow-ssh", NSG),
+        (f"{NSG}/defaultSecurityRules/DenyAllInBound", NSG),
+    }
+    assert _rels(s, "CONTAINS", "AzureVirtualNetwork") == {(VNET, SUBNET)}
+    assert (SUBNET, NSG) in _rels(s, "ASSOCIATED_WITH", "AzureSubnet")
+    # mixed-case VM ref lowercased
+    assert (NIC, VM) in _rels(s, "ATTACHED_TO", "AzureNetworkInterface",
+                              "AzureVirtualMachine")
+    assert (NIC, PIP) in _rels(s, "ASSOCIATED_WITH", "AzureNetworkInterface")
+    # backend pool ROUTES_TO the NIC derived from the ipConfiguration
+    assert _rels(s, "ROUTES_TO") == {(f"{LB}/backendAddressPools/pool1",
+                                      NIC2)}
+    assert (f"{LB}/frontendIPConfigurations/fe1", PIP) in _rels(
+        s, "ASSOCIATED_WITH", "AzureLoadBalancerFrontendIPConfiguration")
+
+
+def test_exposure_analysis(spark, tmp_store):
+    """LB exposed via public frontend; vm1 direct (NIC has public IP),
+    vm2 lb-only; EXPOSE edge only to vm2."""
+    s = tmp_store
+    _mk_vms(s, spark)
+    _sync_all(s, spark)
+    lb = {r["id"]: r["props"]
+          for r in s.nodes(["AzureLoadBalancer"]).collect()}
+    assert lb[LB]["exposed_internet"] == "true"
+    vms = {r["id"]: r["props"]
+           for r in s.nodes(["AzureVirtualMachine"]).collect()}
+    assert vms[VM]["exposed_internet"] == "true"
+    assert json.loads(vms[VM]["exposed_internet_type"]) == ["direct"]
+    assert vms[VM2]["exposed_internet"] == "true"
+    assert json.loads(vms[VM2]["exposed_internet_type"]) == ["lb"]
+    expose = {
+        (r["src_id"], r["dst_id"], r["props"]["exposure_type"])
+        for r in s.edges(["EXPOSE"]).collect()
+    }
+    assert expose == {(LB, VM2, "via_lb_only")}
+
+    # derive-then-clear: removing the LB's public frontend clears both
+    # derived state and the EXPOSE edge on the next run
+    closed = json.loads(json.dumps(LBS))
+    closed["LoadBalancers"][0]["frontend_ip_configurations"][0].pop(
+        "public_ip_address")
+    sync_azure_network(
+        s, _one(spark, NETWORK), _one(spark, json.loads(
+            json.dumps(closed))), _one(spark, SQL), _one(spark, KV),
+        SUB, TAG + 1,
+    )
+    lb2 = {r["id"]: r["props"]
+           for r in s.nodes(["AzureLoadBalancer"]).collect()}
+    assert "exposed_internet" not in lb2[LB]
+    assert s.edges(["EXPOSE"]).count() == 0
+    vms2 = {r["id"]: r["props"]
+            for r in s.nodes(["AzureVirtualMachine"]).collect()}
+    assert json.loads(vms2[VM]["exposed_internet_type"]) == ["direct"]
+    assert "exposed_internet" not in vms2[VM2]
+
+
+def test_sql_and_keyvault_graph(spark, tmp_store):
+    s = tmp_store
+    _sync_all(s, spark)
+    srv = {r["id"]: r["props"]
+           for r in s.nodes(["AzureSQLServer"]).collect()}
+    assert srv[SQLSRV]["public_network_access"] == "Enabled"
+    assert srv[SQLSRV]["minimal_tls_version"] == "1.1"
+    assert _rels(s, "MEMBER_OF_AZURE_SQL_SERVER") == {
+        (f"{SQLSRV}/firewallRules/open", SQLSRV),
+    }
+    assert (SQLSRV, f"{SQLSRV}/databases/appdb") in _rels(
+        s, "CONTAINS", "AzureSQLServer")
+    kv_rels = _rels(s, "CONTAINS", "AzureKeyVault")
+    assert (f"{RG}/Microsoft.KeyVault/vaults/kv1",
+            "https://kv1.vault.azure.net/secrets/db-pass") in kv_rels
+    assert (f"{RG}/Microsoft.KeyVault/vaults/kv1",
+            "https://kv1.vault.azure.net/certificates/tls") in kv_rels
+    cert = s.nodes(["AzureKeyVaultCertificate"]).collect()[0]
+    assert cert["props"]["x5t"] == "thumb"
+
+
+def test_azure_sql_facts(spark, tmp_store):
+    """database_instance_exposed + transport_encryption_gaps Azure
+    legs fire on the loaded graph."""
+    from cartography_spark.plans.rules import (
+        AZURE_SQL_INTERNET_EXPOSED,
+        AZURE_SQL_MIN_TLS_BELOW_1_2,
+        run_fact,
+    )
+
+    s = tmp_store
+    _sync_all(s, spark)
+    exposed = run_fact(s, AZURE_SQL_INTERNET_EXPOSED)
+    rows = {(r["id"], r["port"]) for r in exposed["findings"].collect()}
+    assert rows == {(SQLSRV, 1433)}
+    tls = run_fact(s, AZURE_SQL_MIN_TLS_BELOW_1_2)
+    trows = {(r["server_id"], r["minimum_tls_version"])
+             for r in tls["findings"].collect()}
+    assert trows == {(SQLSRV, "1.1")}
+
+    # a locked-down server is not a finding
+    safe = json.loads(json.dumps(SQL))
+    safe["Servers"][0]["properties"] = {
+        "public_network_access": "Disabled", "minimal_tls_version": "1.2"}
+    safe["Servers"][0]["firewall_rules"] = []
+    sync_azure_network(s, None, None, _one(spark, safe), None, SUB, TAG + 1)
+    assert run_fact(s, AZURE_SQL_INTERNET_EXPOSED)["failing"] == 0
+    assert run_fact(s, AZURE_SQL_MIN_TLS_BELOW_1_2)["failing"] == 0
+
+
+def test_subscription_scoped_gc(spark, tmp_store):
+    s = tmp_store
+    _sync_all(s, spark)
+    assert s.nodes(["AzureSQLServerFirewallRule"]).count() == 1
+    # next run with everything gone
+    empty_net = {k: [] for k in NETWORK}
+    sync_azure_network(
+        s, _one(spark, empty_net), _one(spark, {"LoadBalancers": []}),
+        _one(spark, {"Servers": []}), _one(spark, {"KeyVaults": []}),
+        SUB, TAG + 1,
+    )
+    for label in ("AzureSQLServer", "AzureSQLServerFirewallRule",
+                  "AzureLoadBalancer", "AzureNetworkInterface",
+                  "AzureKeyVaultSecret"):
+        assert s.nodes([label]).count() == 0, label

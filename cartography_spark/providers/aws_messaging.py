@@ -1,0 +1,186 @@
+"""AWS messaging: SNS topics + subscriptions, SQS queues — closes the
+S3 NOTIFIES edges that previously dangled at AWSSNSTopic stubs.
+
+Re-expresses ``intel/aws/{sns,sqs}.py``:
+
+* **topics** (``sns.py:54-128``): name = trailing ARN segment,
+  attributes flattened (subscription counters as ints, delivery
+  policies, KMS key);
+* **subscriptions** (``sns.py:130-168``): keyed by SubscriptionArn,
+  HAS_SUBSCRIPTION from their topic;
+* **queues** (``sqs.py:63-113``): keyed by QueueArn, name from the ARN
+  tail, RedrivePolicy JSON split into the dead-letter target (with a
+  HAS_DEADLETTER_QUEUE self-family edge) and max receive count.
+
+Scale: one ``from_json``+explode per family; account-scoped GC.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cartography_spark.providers.aws_ec2 import _edge, _node
+
+TOPICS_SCHEMA = """
+    STRUCT<Topics: ARRAY<STRUCT<
+        TopicArn: STRING,
+        Attributes: STRUCT<DisplayName: STRING, Owner: STRING,
+                           SubscriptionsPending: STRING,
+                           SubscriptionsConfirmed: STRING,
+                           SubscriptionsDeleted: STRING,
+                           DeliveryPolicy: STRING,
+                           EffectiveDeliveryPolicy: STRING,
+                           KmsMasterKeyId: STRING>>>,
+    Subscriptions: ARRAY<STRUCT<
+        SubscriptionArn: STRING, TopicArn: STRING, Protocol: STRING,
+        Endpoint: STRING, Owner: STRING>>>
+"""
+QUEUES_SCHEMA = """
+    STRUCT<Queues: ARRAY<STRUCT<
+        url: STRING,
+        Attributes: STRUCT<QueueArn: STRING, CreatedTimestamp: STRING,
+                           LastModifiedTimestamp: STRING,
+                           VisibilityTimeout: STRING,
+                           MaximumMessageSize: STRING,
+                           MessageRetentionPeriod: STRING,
+                           DelaySeconds: STRING,
+                           KmsMasterKeyId: STRING,
+                           RedrivePolicy: STRING>>>>
+"""
+
+
+def sync_aws_messaging(
+    store,
+    sns_raw: DataFrame | None,
+    sqs_raw: DataFrame | None,
+    account_id: str,
+    region: str,
+    update_tag: int,
+) -> dict:
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    metrics: dict = {}
+    acct = F.lit(account_id)
+    sub = ("AWSAccount", acct)
+
+    if sns_raw is not None:
+        doc = sns_raw.select(
+            F.from_json("payload_json", TOPICS_SCHEMA).alias("d")
+        ).cache()
+        topics = doc.select(F.explode("d.Topics").alias("t"))
+        a = F.col("t.Attributes")
+        nodes = _node(topics, "AWSSNSTopic", F.col("t.TopicArn"), {
+            "arn": F.col("t.TopicArn"),
+            "name": F.substring_index(F.col("t.TopicArn"), ":", -1),
+            "display_name": a["DisplayName"],
+            "owner": a["Owner"],
+            "subscriptions_pending":
+                a["SubscriptionsPending"].cast("long"),
+            "subscriptions_confirmed":
+                a["SubscriptionsConfirmed"].cast("long"),
+            "subscriptions_deleted":
+                a["SubscriptionsDeleted"].cast("long"),
+            "delivery_policy": a["DeliveryPolicy"],
+            "effective_delivery_policy": a["EffectiveDeliveryPolicy"],
+            "kms_master_key_id": a["KmsMasterKeyId"],
+            "region": F.lit(region),
+        }, update_tag)
+        subs = doc.select(
+            F.explode(F.coalesce("d.Subscriptions", F.array())).alias("s")
+        )
+        nodes = nodes.unionByName(_node(
+            subs, "AWSSNSTopicSubscription", F.col("s.SubscriptionArn"), {
+                "arn": F.col("s.SubscriptionArn"),
+                "topic_arn": F.col("s.TopicArn"),
+                "protocol": F.col("s.Protocol"),
+                "endpoint": F.col("s.Endpoint"),
+                "owner": F.col("s.Owner"),
+                "region": F.lit(region),
+            }, update_tag))
+        edges = (
+            _edge(topics, "AWSAccount", acct, "RESOURCE", "AWSSNSTopic",
+                  F.col("t.TopicArn"), update_tag, sub)
+            .unionByName(_edge(subs, "AWSAccount", acct, "RESOURCE",
+                               "AWSSNSTopicSubscription",
+                               F.col("s.SubscriptionArn"), update_tag, sub))
+            .unionByName(_edge(subs, "AWSSNSTopic", F.col("s.TopicArn"),
+                               "HAS_SUBSCRIPTION",
+                               "AWSSNSTopicSubscription",
+                               F.col("s.SubscriptionArn"), update_tag, sub))
+        )
+        metrics["sns_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["sns_edges"] = store.merge_edges(edges, update_tag)
+
+    if sqs_raw is not None:
+        queues = sqs_raw.select(
+            F.explode(F.from_json("payload_json", QUEUES_SCHEMA)["Queues"])
+            .alias("q")
+        ).withColumn(
+            "dlq_arn",
+            F.from_json(
+                F.col("q.Attributes.RedrivePolicy"),
+                "struct<deadLetterTargetArn: string, "
+                "maxReceiveCount: string>",
+            ),
+        ).cache()
+        qa = F.col("q.Attributes")
+        nodes = _node(queues, "AWSSQSQueue", qa["QueueArn"], {
+            "arn": qa["QueueArn"],
+            "url": F.col("q.url"),
+            "name": F.substring_index(qa["QueueArn"], ":", -1),
+            "created_timestamp":
+                F.coalesce(qa["CreatedTimestamp"].cast("long"), F.lit(0)),
+            "last_modified_timestamp": F.coalesce(
+                qa["LastModifiedTimestamp"].cast("long"), F.lit(0)
+            ),
+            "visibility_timeout": qa["VisibilityTimeout"],
+            "maximum_message_size": qa["MaximumMessageSize"],
+            "message_retention_period": qa["MessageRetentionPeriod"],
+            "delay_seconds": qa["DelaySeconds"],
+            "kms_master_key_id": qa["KmsMasterKeyId"],
+            "redrive_policy_dead_letter_target_arn":
+                F.col("dlq_arn.deadLetterTargetArn"),
+            "redrive_policy_max_receive_count":
+                F.col("dlq_arn.maxReceiveCount"),
+            "region": F.lit(region),
+        }, update_tag)
+        edges = _edge(queues, "AWSAccount", acct, "RESOURCE", "AWSSQSQueue",
+                      qa["QueueArn"], update_tag, sub)
+        edges = edges.unionByName(_edge(
+            queues.filter(F.col("dlq_arn.deadLetterTargetArn").isNotNull()),
+            "AWSSQSQueue", qa["QueueArn"], "HAS_DEADLETTER_QUEUE",
+            "AWSSQSQueue", F.col("dlq_arn.deadLetterTargetArn"), update_tag,
+            sub))
+        metrics["sqs_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["sqs_edges"] = store.merge_edges(edges, update_tag)
+
+    acct_rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label="AWSAccount",
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("AWS_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    for label in ("AWSSNSTopicSubscription", "AWSSNSTopic", "AWSSQSQueue"):
+        if label not in store.manifest["nodes"]:
+            continue
+        metrics[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=acct_rel,
+            ),
+            update_tag,
+            {"AWS_ID": account_id},
+        )
+    store.record_lineage("aws_messaging_sync", {"update_tag": update_tag})
+    return metrics

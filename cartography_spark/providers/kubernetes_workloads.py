@@ -1,0 +1,609 @@
+"""Kubernetes workloads, nodes, and network policies — the owner chain
+above pods and the cluster's runtime/network posture.
+
+Re-expresses ``intel/kubernetes/{workloads,nodes,networkpolicies}.py``:
+
+* **workload controllers** (``workloads.py:79-330``): Deployments /
+  StatefulSets / DaemonSets / CronJobs / ReplicaSets / Jobs keyed by
+  uid, carrying replica/status fields and JSON labels, each
+  WORKLOAD_PARENT to its namespace (resolved by (name, cluster_name)
+  against the store's namespace nodes) and ComputeService-labeled;
+  ReplicaSets OWNED_BY their owning Deployment, Jobs WORKLOAD_PARENT
+  their owning CronJob (or the namespace when standalone,
+  ``transform_jobs`` :197-226);
+* **pod owner chain**: the pods API's owner references resolve each
+  pod's WORKLOAD_PARENT, with the ReplicaSet hop COLLAPSED to its
+  Deployment (``transform_replicasets`` :164-195 builds the rs→deploy
+  map; here it is an in-batch join, not a dict);
+* **nodes** (``nodes.py:35-111``): ``{cluster_name}/{node_name}`` ids,
+  normalized architecture, the EC2 instance id split out of
+  ``provider_id`` and linked IS_INSTANCE to the AWSEC2Instance;
+* **network policies** (``networkpolicies.py:209-262``): pod-selector
+  matching is namespace-local — match_labels ⊆ pod labels — expressed
+  as a namespace-first equi-join then a map-containment filter, one
+  APPLIES_TO edge per selected pod;
+* **exposure through the owner chain**: pods the k8s exposure chain
+  marked ``exposed_internet`` propagate it to their WORKLOAD_PARENT
+  controllers (derive-then-clear AnalysisJob, so a pod that stops
+  being exposed clears its controller on the next run).
+
+Scale: one explode per family; owner resolution and selector matching
+are namespace-keyed equi-joins; cluster-scoped GC per label.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cartography_spark.plans.analysis import AnalysisJob, SetProperty
+from cartography_spark.plans.images import normalize_architecture_expr
+from cartography_spark.providers.kubernetes import _shape_edges, _shape_nodes
+from cartography_spark.providers.kubernetes_rbac import (
+    _cluster_resource,
+    _ns_contains,
+)
+
+META = ("struct<uid:string, name:string, namespace:string, "
+        "creation_timestamp:long, deletion_timestamp:long, "
+        "labels:map<string,string>, "
+        "owner_references:array<struct<kind:string, uid:string, "
+        "controller:boolean>>>")
+
+WORKLOADS_STRUCT = (
+    f"struct<deployments: array<struct<metadata:{META}, "
+    "spec:struct<replicas:long>, "
+    "status:struct<ready_replicas:long, available_replicas:long>>>, "
+    f"statefulsets: array<struct<metadata:{META}, "
+    "spec:struct<replicas:long, service_name:string>, "
+    "status:struct<ready_replicas:long>>>, "
+    f"daemonsets: array<struct<metadata:{META}, "
+    "status:struct<desired_number_scheduled:long, number_ready:long>>>, "
+    f"cronjobs: array<struct<metadata:{META}, "
+    "spec:struct<schedule:string, suspend:boolean>>>, "
+    f"replicasets: array<struct<metadata:{META}, "
+    "spec:struct<replicas:long>, status:struct<ready_replicas:long>>>, "
+    f"jobs: array<struct<metadata:{META}, "
+    "spec:struct<completions:long, parallelism:long>, "
+    "status:struct<active:long, succeeded:long, failed:long>>>>"
+)
+NODES_STRUCT = (
+    "struct<nodes: array<struct<metadata:struct<name:string>, "
+    "spec:struct<provider_id:string>, "
+    "status:struct<node_info:struct<architecture:string, "
+    "operating_system:string, os_image:string, kernel_version:string, "
+    "container_runtime_version:string, kubelet_version:string>>>>>"
+)
+NETPOLS_STRUCT = (
+    f"struct<network_policies: array<struct<metadata:{META}, "
+    "spec:struct<pod_selector:struct<match_labels:map<string,string>>, "
+    "policy_types:array<string>, "
+    "ingress:array<struct<from:array<struct<ip_block:struct<"
+    "cidr:string>>>>>, "
+    "egress:array<struct<to:array<struct<ip_block:struct<"
+    "cidr:string>>>>>>>>>"
+)
+PODS_STRUCT_OWNERS = (
+    "struct<pods: array<struct<uid:string, "
+    "owner_references:array<struct<kind:string, uid:string, "
+    "controller:boolean>>>>>"
+)
+
+WORKLOAD_LABELS = {
+    "deployments": "KubernetesDeployment",
+    "statefulsets": "KubernetesStatefulSet",
+    "daemonsets": "KubernetesDaemonSet",
+    "cronjobs": "KubernetesCronJob",
+    "replicasets": "KubernetesReplicaSet",
+    "jobs": "KubernetesJob",
+}
+
+
+def _controller_owner(meta):
+    """First controller=true owner reference
+    (``util.get_controller_owner_reference``)."""
+    owners = F.filter(
+        F.coalesce(meta["owner_references"], F.array()),
+        lambda o: F.coalesce(o["controller"], F.lit(False)),
+    )
+    return F.get(owners, 0)
+
+
+def _explode(raw: DataFrame, field: str) -> DataFrame:
+    return raw.select(
+        "cluster_id", "cluster_name",
+        F.from_json("payload_json", WORKLOADS_STRUCT).alias("w"),
+    ).select(
+        "cluster_id", "cluster_name",
+        F.explode(F.coalesce(f"w.{field}", F.array())).alias("x"),
+    ).filter(F.col("x.metadata.uid").isNotNull())
+
+
+def transform_k8s_workloads(
+    raw: DataFrame, update_tag: int, ns_frame: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """``raw(cluster_id, cluster_name, payload_json)`` with all six
+    controller arrays → (nodes, edges)."""
+    node_frames, edge_frames = [], []
+    base_props = {
+        "name": lambda m: m["name"],
+        "namespace": lambda m: m["namespace"],
+        "creation_timestamp": lambda m: m["creation_timestamp"],
+        "deletion_timestamp": lambda m: m["deletion_timestamp"],
+        "labels": lambda m: F.to_json(m["labels"]),
+    }
+    per_family = {
+        "deployments": {
+            "replicas": F.col("x.spec.replicas"),
+            "ready_replicas": F.col("x.status.ready_replicas"),
+            "available_replicas": F.col("x.status.available_replicas"),
+        },
+        "statefulsets": {
+            "replicas": F.col("x.spec.replicas"),
+            "ready_replicas": F.col("x.status.ready_replicas"),
+            "service_name": F.col("x.spec.service_name"),
+        },
+        "daemonsets": {
+            "desired_number_scheduled":
+                F.col("x.status.desired_number_scheduled"),
+            "number_ready": F.col("x.status.number_ready"),
+        },
+        "cronjobs": {
+            "schedule": F.col("x.spec.schedule"),
+            "suspend": F.col("x.spec.suspend"),
+        },
+        "replicasets": {
+            "replicas": F.col("x.spec.replicas"),
+            "ready_replicas": F.col("x.status.ready_replicas"),
+        },
+        "jobs": {
+            "completions": F.col("x.spec.completions"),
+            "parallelism": F.col("x.spec.parallelism"),
+            "active": F.col("x.status.active"),
+            "succeeded": F.col("x.status.succeeded"),
+            "failed": F.col("x.status.failed"),
+        },
+    }
+    for field, label in WORKLOAD_LABELS.items():
+        w = _explode(raw, field)
+        m = F.col("x.metadata")
+        owner = _controller_owner(m)
+        if field == "replicasets":
+            w = w.withColumn(
+                "owner_deployment",
+                F.when(owner["kind"] == "Deployment", owner["uid"]),
+            )
+        if field == "jobs":
+            w = w.withColumn(
+                "owner_cronjob",
+                F.when(owner["kind"] == "CronJob", owner["uid"]),
+            )
+        w = w.cache()
+        entries = []
+        for k, fn in base_props.items():
+            entries += [F.lit(k), fn(m).cast("string")]
+        for k, col in per_family[field].items():
+            entries += [F.lit(k), col.cast("string")]
+        if field == "replicasets":
+            entries += [F.lit("_owner_deployment_id"),
+                        F.col("owner_deployment").cast("string")]
+        node_frames.append(_shape_nodes(
+            w.select(
+                F.lit(label).alias("label"),
+                m["uid"].alias("id"),
+                F.map_from_arrays(
+                    F.array(*entries[0::2]), F.array(*entries[1::2])
+                ).alias("props"),
+            ),
+            update_tag,
+            extra=F.array(F.lit("ComputeService")),
+        ))
+        fam_edges = [_cluster_resource(w, label, m["uid"])]
+        # WORKLOAD_PARENT: jobs anchor to their CronJob when owned,
+        # else to the namespace like the other controllers
+        ns_target = w
+        if field == "jobs":
+            owned = w.filter(F.col("owner_cronjob").isNotNull())
+            fam_edges.append(owned.select(
+                "cluster_id",
+                F.lit(label).alias("src_label"),
+                m["uid"].alias("src_id"),
+                F.lit("WORKLOAD_PARENT").alias("rel_label"),
+                F.lit("KubernetesCronJob").alias("dst_label"),
+                F.col("owner_cronjob").alias("dst_id"),
+            ))
+            ns_target = w.filter(F.col("owner_cronjob").isNull())
+        if field == "replicasets":
+            owned = w.filter(F.col("owner_deployment").isNotNull())
+            fam_edges.append(owned.select(
+                "cluster_id",
+                F.lit(label).alias("src_label"),
+                m["uid"].alias("src_id"),
+                F.lit("OWNED_BY").alias("rel_label"),
+                F.lit("KubernetesDeployment").alias("dst_label"),
+                F.col("owner_deployment").alias("dst_id"),
+            ))
+        if field != "replicasets":
+            ns_parent = _ns_contains(
+                ns_target, ns_frame, label, m["uid"], m["namespace"]
+            )
+            if ns_parent is not None:
+                fam_edges.append(ns_parent.select(
+                    "cluster_id",
+                    F.col("dst_label").alias("src_label"),
+                    F.col("dst_id").alias("src_id"),
+                    F.lit("WORKLOAD_PARENT").alias("rel_label"),
+                    F.col("src_label").alias("dst_label"),
+                    F.col("src_id").alias("dst_id"),
+                ))
+        for e in fam_edges:
+            edge_frames.append(e)
+    nodes = node_frames[0]
+    for f in node_frames[1:]:
+        nodes = nodes.unionByName(f)
+    edges = edge_frames[0]
+    for f in edge_frames[1:]:
+        edges = edges.unionByName(f)
+    return nodes, _shape_edges(edges, update_tag)
+
+
+def transform_k8s_nodes(
+    raw: DataFrame, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """``nodes.py:35-87``: cluster-name-scoped ids, EC2 IS_INSTANCE
+    from the provider id tail."""
+    n = raw.select(
+        "cluster_id", "cluster_name",
+        F.explode(
+            F.from_json("payload_json", NODES_STRUCT)["nodes"]
+        ).alias("x"),
+    ).filter(F.col("x.metadata.name").isNotNull()).withColumn(
+        "node_id",
+        F.concat_ws("/", "cluster_name", "x.metadata.name"),
+    ).withColumn(
+        "instance_id",
+        F.when(
+            F.col("x.spec.provider_id").rlike("i-[0-9a-f]+$"),
+            F.regexp_extract(F.col("x.spec.provider_id"),
+                             "(i-[0-9a-f]+)$", 1),
+        ),
+    ).cache()
+    ni = F.col("x.status.node_info")
+    entries = []
+    for k, col in {
+        "name": F.col("x.metadata.name"),
+        "cluster_name": F.col("cluster_name"),
+        "provider_id": F.col("x.spec.provider_id"),
+        "instance_id": F.col("instance_id"),
+        "architecture": ni["architecture"],
+        "architecture_normalized":
+            normalize_architecture_expr(ni["architecture"]),
+        "os": ni["operating_system"],
+        "os_image": ni["os_image"],
+        "kernel_version": ni["kernel_version"],
+        "container_runtime_version": ni["container_runtime_version"],
+        "kubelet_version": ni["kubelet_version"],
+    }.items():
+        entries += [F.lit(k), col.cast("string")]
+    nodes = _shape_nodes(
+        n.select(
+            F.lit("KubernetesNode").alias("label"),
+            F.col("node_id").alias("id"),
+            F.map_from_arrays(
+                F.array(*entries[0::2]), F.array(*entries[1::2])
+            ).alias("props"),
+        ),
+        update_tag,
+    )
+    edges = [_cluster_resource(n, "KubernetesNode", F.col("node_id"))]
+    edges.append(n.filter(F.col("instance_id").isNotNull()).select(
+        "cluster_id",
+        F.lit("KubernetesNode").alias("src_label"),
+        F.col("node_id").alias("src_id"),
+        F.lit("IS_INSTANCE").alias("rel_label"),
+        F.lit("AWSEC2Instance").alias("dst_label"),
+        F.col("instance_id").alias("dst_id"),
+    ))
+    e = edges[0]
+    for f in edges[1:]:
+        e = e.unionByName(f)
+    return nodes, _shape_edges(e, update_tag)
+
+
+def transform_k8s_network_policies(
+    raw: DataFrame,
+    update_tag: int,
+    pods_frame: DataFrame | None,
+) -> tuple[DataFrame, DataFrame]:
+    """``networkpolicies.py:209-262``: selector matching is namespace-
+    local match_labels ⊆ pod labels — namespace equi-join first, then a
+    map-containment filter (never a per-pair scan)."""
+    p = raw.select(
+        "cluster_id", "cluster_name",
+        F.explode(
+            F.from_json("payload_json", NETPOLS_STRUCT)["network_policies"]
+        ).alias("x"),
+    ).filter(F.col("x.metadata.uid").isNotNull()).withColumn(
+        "ptypes", F.coalesce(F.col("x.spec.policy_types"), F.array())
+    ).withColumn(
+        "selector",
+        F.coalesce(
+            F.col("x.spec.pod_selector.match_labels"),
+            F.create_map().cast("map<string,string>"),
+        ),
+    ).cache()
+    m = F.col("x.metadata")
+    entries = []
+    for k, col in {
+        "name": m["name"],
+        "namespace": m["namespace"],
+        "cluster_name": F.col("cluster_name"),
+        "creation_timestamp": m["creation_timestamp"],
+        "pod_selector": F.to_json(F.col("selector")),
+        "policy_types": F.to_json(F.col("ptypes")),
+        "ingress_rules": F.to_json(F.col("x.spec.ingress")),
+        "egress_rules": F.to_json(F.col("x.spec.egress")),
+        "restricts_ingress": F.array_contains(F.col("ptypes"), "Ingress"),
+        "restricts_egress": F.array_contains(F.col("ptypes"), "Egress"),
+    }.items():
+        entries += [F.lit(k), col.cast("string")]
+    nodes = _shape_nodes(
+        p.select(
+            F.lit("KubernetesNetworkPolicy").alias("label"),
+            m["uid"].alias("id"),
+            F.map_from_arrays(
+                F.array(*entries[0::2]), F.array(*entries[1::2])
+            ).alias("props"),
+        ),
+        update_tag,
+    )
+    edge_frames = [
+        _cluster_resource(p, "KubernetesNetworkPolicy", m["uid"])
+    ]
+    if pods_frame is not None:
+        pods = pods_frame.select(
+            F.col("id").alias("pod_id"),
+            F.element_at("props", "namespace").alias("namespace"),
+            F.element_at("props", "cluster_name").alias("cluster_name"),
+            F.coalesce(
+                F.from_json(
+                    F.element_at("props", "labels"), "map<string,string>"
+                ),
+                F.create_map().cast("map<string,string>"),
+            ).alias("pod_labels"),
+        )
+        sel = p.select(
+            "cluster_id", "cluster_name", m["uid"].alias("pol_id"),
+            m["namespace"].alias("namespace"), "selector",
+        )
+        matched = sel.join(
+            pods, on=["namespace", "cluster_name"]
+        ).filter(
+            # match_labels ⊆ pod labels (empty selector matches all)
+            F.size(F.map_filter(
+                F.col("selector"),
+                lambda k, v: F.col("pod_labels")[k].isNull()
+                | (F.col("pod_labels")[k] != v),
+            )) == 0
+        )
+        edge_frames.append(matched.select(
+            "cluster_id",
+            F.lit("KubernetesNetworkPolicy").alias("src_label"),
+            F.col("pol_id").alias("src_id"),
+            F.lit("APPLIES_TO").alias("rel_label"),
+            F.lit("KubernetesPod").alias("dst_label"),
+            F.col("pod_id").alias("dst_id"),
+        ))
+    e = edge_frames[0]
+    for f in edge_frames[1:]:
+        e = e.unionByName(f)
+    return nodes, _shape_edges(e, update_tag)
+
+
+def pod_workload_parents(
+    pod_owners_raw: DataFrame, update_tag: int
+) -> DataFrame:
+    """Pods' owner references → WORKLOAD_PARENT edges with the
+    ReplicaSet hop collapsed to its Deployment (the rs→deploy map as an
+    in-batch join over the replicaset frame's _owner_deployment_id)."""
+    owners = pod_owners_raw.select(
+        "cluster_id",
+        F.explode(
+            F.from_json("payload_json", PODS_STRUCT_OWNERS)["pods"]
+        ).alias("x"),
+    ).select(
+        "cluster_id",
+        F.col("x.uid").alias("pod_uid"),
+        _controller_owner(F.col("x")).alias("owner"),
+    ).filter(F.col("owner").isNotNull())
+    return owners
+
+
+def resolve_pod_workload_parents(
+    store, pod_owners_raw: DataFrame, update_tag: int
+) -> dict:
+    """Merge pod WORKLOAD_PARENT edges: ReplicaSet owners collapse to
+    the owning Deployment through the loaded replicaset nodes."""
+    owners = pod_workload_parents(pod_owners_raw, update_tag).cache()
+    kind_label = {
+        "Deployment": "KubernetesDeployment",
+        "StatefulSet": "KubernetesStatefulSet",
+        "DaemonSet": "KubernetesDaemonSet",
+        "Job": "KubernetesJob",
+        "ReplicaSet": "KubernetesReplicaSet",
+    }
+    direct = owners.filter(
+        F.col("owner.kind").isin("Deployment", "StatefulSet", "DaemonSet",
+                                 "Job")
+    ).select(
+        "cluster_id", "pod_uid",
+        F.col("owner.kind").alias("kind"),
+        F.col("owner.uid").alias("target_uid"),
+    )
+    rs_owned = owners.filter(F.col("owner.kind") == "ReplicaSet").select(
+        "cluster_id", "pod_uid", F.col("owner.uid").alias("rs_uid")
+    )
+    if "KubernetesReplicaSet" in store.manifest["nodes"]:
+        rs = store.nodes(["KubernetesReplicaSet"]).select(
+            F.col("id").alias("rs_uid"),
+            F.element_at("props", "_owner_deployment_id").alias("dep_uid"),
+        ).filter(F.col("dep_uid").isNotNull())
+        collapsed = rs_owned.join(rs, on="rs_uid").select(
+            "cluster_id", "pod_uid",
+            F.lit("Deployment").alias("kind"),
+            F.col("dep_uid").alias("target_uid"),
+        )
+        direct = direct.unionByName(collapsed)
+    mapping = F.create_map(*[
+        x for k, v in kind_label.items() for x in (F.lit(k), F.lit(v))
+    ])
+    batch = direct.select(
+        "cluster_id",
+        F.lit("KubernetesPod").alias("src_label"),
+        F.col("pod_uid").alias("src_id"),
+        F.lit("WORKLOAD_PARENT").alias("rel_label"),
+        mapping[F.col("kind")].alias("dst_label"),
+        F.col("target_uid").alias("dst_id"),
+    )
+    owners.unpersist()
+    return store.merge_edges(
+        _shape_edges(batch, update_tag), update_tag,
+        rels=["WORKLOAD_PARENT"],
+    )
+
+
+def workload_exposure_jobs() -> list[AnalysisJob]:
+    """Exposure through the owner chain: an exposed pod marks its
+    WORKLOAD_PARENT controller exposed (derive-then-clear; one job per
+    controller label so each label's generated property cleanup runs)."""
+
+    def _match_for(lbl):
+        def match(store) -> DataFrame:
+            exposed = store.nodes(["KubernetesPod"]).filter(
+                F.element_at("props", "exposed_internet") == "true"
+            ).select(F.col("id").alias("pod_id"))
+            parents = store.edges(["WORKLOAD_PARENT"]).filter(
+                (F.col("src_label") == "KubernetesPod")
+                & (F.col("dst_label") == lbl)
+            ).select(F.col("src_id").alias("pod_id"),
+                     F.col("dst_label").alias("label"),
+                     F.col("dst_id").alias("id"))
+            return exposed.join(parents, on="pod_id").select(
+                "label", "id"
+            ).distinct()
+
+        return match
+
+    return [
+        AnalysisJob(
+            name=f"k8s_workload_exposure_{lbl.lower()}",
+            match=_match_for(lbl),
+            effects=(SetProperty("exposed_internet", F.lit(True),
+                                 label=lbl),),
+        )
+        for lbl in sorted(set(WORKLOAD_LABELS.values()))
+    ]
+
+
+def sync_k8s_workloads(
+    store,
+    workloads_raw: DataFrame | None,
+    nodes_raw: DataFrame | None,
+    netpols_raw: DataFrame | None,
+    pod_owners_raw: DataFrame | None,
+    cluster_id: str,
+    update_tag: int,
+) -> dict:
+    """controllers → nodes → network policies → pod owner chain →
+    cluster-scoped GC → exposure propagation."""
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+    from cartography_spark.plans.analysis import run_analysis_job
+
+    metrics: dict = {}
+    ns_frame = (
+        store.nodes(["KubernetesNamespace"])
+        if "KubernetesNamespace" in store.manifest["nodes"] else None
+    )
+    if workloads_raw is not None:
+        nodes, edges = transform_k8s_workloads(
+            workloads_raw, update_tag, ns_frame
+        )
+        metrics["workload_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["workload_edges"] = store.merge_edges(edges, update_tag)
+    if nodes_raw is not None:
+        nodes, edges = transform_k8s_nodes(nodes_raw, update_tag)
+        metrics["node_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["node_edges"] = store.merge_edges(edges, update_tag)
+    if netpols_raw is not None:
+        pods_frame = (
+            store.nodes(["KubernetesPod"])
+            if "KubernetesPod" in store.manifest["nodes"] else None
+        )
+        nodes, edges = transform_k8s_network_policies(
+            netpols_raw, update_tag, pods_frame
+        )
+        metrics["netpol_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["netpol_edges"] = store.merge_edges(edges, update_tag)
+    if pod_owners_raw is not None:
+        metrics["pod_parents"] = resolve_pod_workload_parents(
+            store, pod_owners_raw, update_tag
+        )
+
+    cluster_rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label="KubernetesCluster",
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("CLUSTER_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    # jobs/replicasets first so their parent edges sweep before the
+    # controllers they point at (the reference's cleanup order,
+    # workloads.py:261-273)
+    for label in ("KubernetesJob", "KubernetesReplicaSet",
+                  "KubernetesCronJob", "KubernetesDaemonSet",
+                  "KubernetesStatefulSet", "KubernetesDeployment",
+                  "KubernetesNode", "KubernetesNetworkPolicy"):
+        if label not in store.manifest["nodes"]:
+            continue
+        metrics[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=cluster_rel,
+                other_relationships=tuple(
+                    RelSchema(
+                        rel_label=rl,
+                        target_node_label=label,
+                        target_node_matcher=TargetNodeMatcher(
+                            {"id": PropertyRef("id")}
+                        ),
+                        direction=LinkDirection.OUTWARD,
+                    )
+                    for rl in ("WORKLOAD_PARENT", "OWNED_BY", "APPLIES_TO",
+                               "IS_INSTANCE")
+                    if rl in store.manifest["edges"]
+                ),
+            ),
+            update_tag,
+            {"CLUSTER_ID": cluster_id},
+        )
+    for job in workload_exposure_jobs():
+        lbl = job.name.rsplit("_", 1)[-1]
+        if not any(l.lower() == lbl for l in WORKLOAD_LABELS.values()):
+            continue
+        if not any(l in store.manifest["nodes"]
+                   for l in WORKLOAD_LABELS.values()):
+            break
+        metrics[f"exposure_{lbl}"] = run_analysis_job(
+            store, job, update_tag
+        )
+    store.record_lineage("k8s_workloads_sync", {"update_tag": update_tag})
+    return metrics

@@ -1,0 +1,111 @@
+"""SNS/SQS parity vs the reference's
+``tests/integration/cartography/intel/aws/test_{sns,sqs}.py`` shapes:
+topic attribute flattening, subscriptions, queue RedrivePolicy split +
+dead-letter self-edge, and the S3 NOTIFIES targets resolving onto real
+topic nodes."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.aws_messaging import sync_aws_messaging
+
+TAG = 123456789
+ACCOUNT = "000000000000"
+TOPIC = f"arn:aws:sns:us-east-1:{ACCOUNT}:alerts"
+Q_MAIN = f"arn:aws:sqs:us-east-1:{ACCOUNT}:jobs"
+Q_DLQ = f"arn:aws:sqs:us-east-1:{ACCOUNT}:jobs-dlq"
+
+SNS = {
+    "Topics": [{
+        "TopicArn": TOPIC,
+        "Attributes": {"DisplayName": "Alerts", "Owner": ACCOUNT,
+                       "SubscriptionsPending": "0",
+                       "SubscriptionsConfirmed": "2",
+                       "SubscriptionsDeleted": "1",
+                       "DeliveryPolicy": "", "EffectiveDeliveryPolicy": "",
+                       "KmsMasterKeyId": "alias/aws/sns"},
+    }],
+    "Subscriptions": [{
+        "SubscriptionArn": f"{TOPIC}:11111111-2222",
+        "TopicArn": TOPIC, "Protocol": "sqs", "Endpoint": Q_MAIN,
+        "Owner": ACCOUNT,
+    }],
+}
+SQS = {"Queues": [
+    {"url": f"https://sqs.us-east-1.amazonaws.com/{ACCOUNT}/jobs",
+     "Attributes": {"QueueArn": Q_MAIN, "CreatedTimestamp": "1601000000",
+                    "LastModifiedTimestamp": "1601000001",
+                    "VisibilityTimeout": "30",
+                    "RedrivePolicy": json.dumps(
+                        {"deadLetterTargetArn": Q_DLQ,
+                         "maxReceiveCount": 5})}},
+    {"url": f"https://sqs.us-east-1.amazonaws.com/{ACCOUNT}/jobs-dlq",
+     "Attributes": {"QueueArn": Q_DLQ, "CreatedTimestamp": "1601000000",
+                    "LastModifiedTimestamp": "1601000000"}},
+]}
+
+
+def _one(spark, payload):
+    return spark.createDataFrame(
+        [(json.dumps(payload),)], "payload_json string"
+    )
+
+
+def test_sns_sqs_parity(spark, tmp_store):
+    s = tmp_store
+    sync_aws_messaging(s, _one(spark, SNS), _one(spark, SQS), ACCOUNT,
+                       "us-east-1", TAG)
+    topics = {r["id"]: r["props"] for r in s.nodes(["AWSSNSTopic"]).collect()}
+    assert set(topics) == {TOPIC}
+    assert topics[TOPIC]["name"] == "alerts"
+    assert topics[TOPIC]["subscriptions_confirmed"] == "2"
+    subs = {r["id"]: r["props"]
+            for r in s.nodes(["AWSSNSTopicSubscription"]).collect()}
+    assert subs[f"{TOPIC}:11111111-2222"]["endpoint"] == Q_MAIN
+
+    queues = {r["id"]: r["props"] for r in s.nodes(["AWSSQSQueue"]).collect()}
+    assert set(queues) == {Q_MAIN, Q_DLQ}
+    assert queues[Q_MAIN]["name"] == "jobs"
+    assert queues[Q_MAIN]["redrive_policy_dead_letter_target_arn"] == Q_DLQ
+    assert queues[Q_MAIN]["redrive_policy_max_receive_count"] == "5"
+    assert queues[Q_MAIN]["created_timestamp"] == "1601000000"
+
+    pairs = {(r["rel_label"], r["src_id"], r["dst_id"])
+             for r in s.edges().collect()}
+    assert ("HAS_SUBSCRIPTION", TOPIC, f"{TOPIC}:11111111-2222") in pairs
+    assert ("HAS_DEADLETTER_QUEUE", Q_MAIN, Q_DLQ) in pairs
+
+
+def test_s3_notifies_resolves_onto_topic(spark, tmp_store):
+    """The S3 provider's NOTIFIES targets stop dangling: the SNS sync
+    upgrades the stub topic node (props land on the same id)."""
+    from cartography_spark.providers.aws_s3 import sync_s3
+
+    s = tmp_store
+    buckets = spark.createDataFrame(
+        [(ACCOUNT, json.dumps({"Buckets": [
+            {"Name": "b1", "CreationDate": "2023-01-01 00:00:00+00:00",
+             "Region": "us-east-1"}]}))],
+        "account_id string, payload_json string",
+    )
+    details = spark.createDataFrame(
+        [(ACCOUNT, "b1", None, None, None, None, None, None, None)],
+        "account_id string, bucket string, acl_json string, "
+        "policy_json string, encryption_json string, versioning_json "
+        "string, public_access_block_json string, ownership_json string, "
+        "logging_json string",
+    )
+    notifications = spark.createDataFrame(
+        [(ACCOUNT, "b1", json.dumps({"TopicConfigurations": [
+            {"TopicArn": TOPIC, "Id": "evt-1"}]}))],
+        "account_id string, bucket string, notifications_json string",
+    )
+    sync_s3(s, buckets, details, ACCOUNT, TAG,
+            notifications_raw=notifications)
+    sync_aws_messaging(s, _one(spark, SNS), None, ACCOUNT, "us-east-1", TAG)
+    topics = {r["id"]: r["props"] for r in s.nodes(["AWSSNSTopic"]).collect()}
+    assert topics[TOPIC]["display_name"] == "Alerts"
+    notif = {(r["src_id"], r["dst_id"])
+             for r in s.edges(["NOTIFIES"]).collect()}
+    assert ("b1", TOPIC) in notif

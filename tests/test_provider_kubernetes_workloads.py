@@ -1,0 +1,228 @@
+"""K8s workloads/nodes/networkpolicies parity: the six controller
+families with owner-chain edges (rs OWNED_BY deployment, job →
+cronjob/namespace WORKLOAD_PARENT), pods' WORKLOAD_PARENT with the
+ReplicaSet hop collapsed, node IS_INSTANCE from provider_id, selector-
+matched APPLIES_TO, and exposure propagated through the owner chain."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.kubernetes import (
+    sync_kubernetes,
+)
+from cartography_spark.providers.kubernetes_workloads import (
+    sync_k8s_workloads,
+)
+
+TAG = 123456789
+CLUSTER_ID = "cl-1"
+CLUSTER = "cluster-a"
+RAW_DDL = "cluster_id string, cluster_name string, payload_json string"
+
+
+def _raw(spark, payload):
+    return spark.createDataFrame(
+        [(CLUSTER_ID, CLUSTER, json.dumps(payload))], RAW_DDL
+    )
+
+
+def _meta(uid, name, ns="demo", owners=None, labels=None):
+    return {"uid": uid, "name": name, "namespace": ns,
+            "creation_timestamp": 1700000000, "deletion_timestamp": None,
+            "labels": labels or {}, "owner_references": owners or []}
+
+
+WORKLOADS = {
+    "deployments": [{"metadata": _meta("dep-1", "web"),
+                     "spec": {"replicas": 3},
+                     "status": {"ready_replicas": 3,
+                                "available_replicas": 3}}],
+    "statefulsets": [{"metadata": _meta("sts-1", "db"),
+                      "spec": {"replicas": 1, "service_name": "db"},
+                      "status": {"ready_replicas": 1}}],
+    "daemonsets": [{"metadata": _meta("ds-1", "agent"),
+                    "status": {"desired_number_scheduled": 2,
+                               "number_ready": 2}}],
+    "cronjobs": [{"metadata": _meta("cj-1", "nightly"),
+                  "spec": {"schedule": "0 2 * * *", "suspend": False}}],
+    "replicasets": [{"metadata": _meta(
+        "rs-1", "web-abc",
+        owners=[{"kind": "Deployment", "uid": "dep-1",
+                 "controller": True}]),
+        "spec": {"replicas": 3}, "status": {"ready_replicas": 3}}],
+    "jobs": [
+        {"metadata": _meta("job-1", "nightly-123",
+                           owners=[{"kind": "CronJob", "uid": "cj-1",
+                                    "controller": True}]),
+         "spec": {"completions": 1, "parallelism": 1},
+         "status": {"active": 0, "succeeded": 1, "failed": 0}},
+        {"metadata": _meta("job-2", "one-off"),
+         "spec": {"completions": 1, "parallelism": 1},
+         "status": {"active": 1, "succeeded": 0, "failed": 0}},
+    ],
+}
+NODES = {"nodes": [{
+    "metadata": {"name": "node-1"},
+    "spec": {"provider_id": "aws:///us-east-1a/i-0123456789abcdef0"},
+    "status": {"node_info": {"architecture": "amd64",
+                             "operating_system": "linux",
+                             "os_image": "Amazon Linux 2",
+                             "kernel_version": "5.10",
+                             "container_runtime_version": "containerd://1.6",
+                             "kubelet_version": "v1.29.0"}},
+}]}
+NETPOLS = {"network_policies": [{
+    "metadata": _meta("np-1", "allow-web"),
+    "spec": {"pod_selector": {"match_labels": {"app": "web"}},
+             "policy_types": ["Ingress"],
+             "ingress": [{"from": [{"ip_block": {"cidr": "10.0.0.0/8"}}]}],
+             "egress": []},
+}]}
+PODS = {
+    "pods": [
+        {"uid": "pod-1", "name": "web-abc-1", "status_phase": "Running",
+         "creation_timestamp": 1700000001, "deletion_timestamp": None,
+         "namespace": "demo", "service_account_name": None,
+         "service_account_id": None, "node": "node-1",
+         "labels": json.dumps({"app": "web"})},
+        {"uid": "pod-2", "name": "db-0", "status_phase": "Running",
+         "creation_timestamp": 1700000001, "deletion_timestamp": None,
+         "namespace": "demo", "service_account_name": None,
+         "service_account_id": None, "node": "node-1",
+         "labels": json.dumps({"app": "db"})},
+    ],
+    "containers": [],
+}
+POD_OWNERS = {"pods": [
+    {"uid": "pod-1", "owner_references": [
+        {"kind": "ReplicaSet", "uid": "rs-1", "controller": True}]},
+    {"uid": "pod-2", "owner_references": [
+        {"kind": "StatefulSet", "uid": "sts-1", "controller": True}]},
+]}
+NAMESPACES = [{"uid": "ns-demo", "name": "demo",
+               "creation_timestamp": 1690000000,
+               "deletion_timestamp": None}]
+
+
+def _seed(store, spark):
+    sync_kubernetes(
+        store,
+        namespaces_raw=_raw(spark, NAMESPACES),
+        pods_raw=_raw(spark, PODS),
+        cluster_id=CLUSTER_ID,
+        update_tag=TAG,
+        cluster_meta_raw=spark.createDataFrame(
+            [(CLUSTER_ID, CLUSTER, json.dumps(
+                {"id": CLUSTER_ID, "name": CLUSTER}))], RAW_DDL),
+    )
+
+
+def _rels(store, rel, src_label=None):
+    df = store.edges([rel])
+    if src_label:
+        df = df.filter(F.col("src_label") == src_label)
+    return {(r["src_id"], r["dst_id"]) for r in df.collect()}
+
+
+def test_workload_controllers_and_owner_chain(spark, tmp_store):
+    s = tmp_store
+    _seed(s, spark)
+    sync_k8s_workloads(s, _raw(spark, WORKLOADS), _raw(spark, NODES),
+                       _raw(spark, NETPOLS), _raw(spark, POD_OWNERS),
+                       CLUSTER_ID, TAG)
+
+    dep = {r["id"]: r for r in s.nodes(["KubernetesDeployment"]).collect()}
+    assert dep["dep-1"]["props"]["replicas"] == "3"
+    assert "ComputeService" in dep["dep-1"]["extra_labels"]
+
+    assert _rels(s, "OWNED_BY") == {("rs-1", "dep-1")}
+    wp = _rels(s, "WORKLOAD_PARENT")
+    # controllers anchor to the namespace node; owned job to its cronjob
+    assert ("dep-1", "ns-demo") in wp
+    assert ("job-1", "cj-1") in wp
+    assert ("job-2", "ns-demo") in wp
+    # pods: rs hop collapsed to the deployment; sts direct
+    assert ("pod-1", "dep-1") in wp
+    assert ("pod-2", "sts-1") in wp
+
+    node = {r["id"]: r["props"]
+            for r in s.nodes(["KubernetesNode"]).collect()}
+    nid = f"{CLUSTER}/node-1"
+    assert node[nid]["instance_id"] == "i-0123456789abcdef0"
+    assert node[nid]["architecture_normalized"] == "amd64"
+    assert _rels(s, "IS_INSTANCE") == {(nid, "i-0123456789abcdef0")}
+
+    # selector {app: web} matches pod-1 only, namespace-local
+    assert _rels(s, "APPLIES_TO") == {("np-1", "pod-1")}
+    np = s.nodes(["KubernetesNetworkPolicy"]).collect()[0]
+    assert np["props"]["restricts_ingress"] == "true"
+    assert np["props"]["restricts_egress"] == "false"
+
+
+def test_exposure_propagates_through_owner_chain(spark, tmp_store):
+    """An exposed pod marks its WORKLOAD_PARENT controllers; when the
+    pod stops being exposed the derived flag clears."""
+    s = tmp_store
+    _seed(s, spark)
+    sync_k8s_workloads(s, _raw(spark, WORKLOADS), None, None,
+                       _raw(spark, POD_OWNERS), CLUSTER_ID, TAG)
+    # simulate the k8s exposure chain having marked pod-1
+    from cartography_spark.plans.analysis import (
+        AnalysisJob,
+        SetProperty,
+        run_analysis_job,
+    )
+
+    def mark(store):
+        return store.nodes(["KubernetesPod"]).filter(
+            F.col("id") == "pod-1"
+        ).select("label", "id")
+
+    run_analysis_job(s, AnalysisJob(
+        name="test_mark", match=mark,
+        effects=(SetProperty("exposed_internet", F.lit(True),
+                             label="KubernetesPod"),),
+    ), TAG)
+    from cartography_spark.plans.analysis import run_analysis_job as run
+    from cartography_spark.providers.kubernetes_workloads import (
+        workload_exposure_jobs,
+    )
+
+    for job in workload_exposure_jobs():
+        run(s, job, TAG)
+    dep = {r["id"]: r["props"]
+           for r in s.nodes(["KubernetesDeployment"]).collect()}
+    assert dep["dep-1"]["exposed_internet"] == "true"
+    sts = {r["id"]: r["props"]
+           for r in s.nodes(["KubernetesStatefulSet"]).collect()}
+    assert "exposed_internet" not in sts["sts-1"]
+
+    # pod no longer exposed → derived flag clears on the next pass
+    run_analysis_job(s, AnalysisJob(
+        name="test_mark", match=lambda st: st.nodes(
+            ["KubernetesPod"]).filter(F.lit(False)).select("label", "id"),
+        effects=(SetProperty("exposed_internet", F.lit(True),
+                             label="KubernetesPod"),),
+    ), TAG + 1)
+    for job in workload_exposure_jobs():
+        run(s, job, TAG + 1)
+    dep2 = {r["id"]: r["props"]
+            for r in s.nodes(["KubernetesDeployment"]).collect()}
+    assert "exposed_internet" not in dep2["dep-1"]
+
+
+def test_cluster_scoped_gc(spark, tmp_store):
+    s = tmp_store
+    _seed(s, spark)
+    sync_k8s_workloads(s, _raw(spark, WORKLOADS), _raw(spark, NODES),
+                       _raw(spark, NETPOLS), _raw(spark, POD_OWNERS),
+                       CLUSTER_ID, TAG)
+    empty = {k: [] for k in WORKLOADS}
+    sync_k8s_workloads(s, _raw(spark, empty), _raw(spark, {"nodes": []}),
+                       _raw(spark, {"network_policies": []}), None,
+                       CLUSTER_ID, TAG + 1)
+    for label in ("KubernetesDeployment", "KubernetesReplicaSet",
+                  "KubernetesJob", "KubernetesNode",
+                  "KubernetesNetworkPolicy"):
+        assert s.nodes([label]).count() == 0, label

@@ -990,6 +990,70 @@ def kg_extract_requirements(spark, sf_dir):
     )
 
 
+def kg_extract_npm(spark, sf_dir):
+    """The MULTI-FORMAT pandas-UDF extract path's npm leg, ORACLED:
+    package-lock.json files synthesized deterministically from ``part``
+    (20 repos; per part a top-level ``node_modules/lib_{k}`` install at
+    ``2.{k%7}.{k%3}`` PLUS a nested
+    ``node_modules/lib_{k}/node_modules/inner-{k}`` transitive install
+    the parser must DROP, plus one ``shared-lib`` present in every
+    repo), run through the REAL Arrow extract pass (basename dispatch,
+    direct-deps-only filter, ``npm:{name}@{version}`` id synthesis).
+    DuckDB replays the expected package set as string expressions — the
+    transitive installs are absent from the oracle, so the
+    nested-install exclusion is part of the hash — shrinking the last
+    rows-only surface of kg_extract_triples (round-4 note #10)."""
+    from cartography_spark.functions.parsers import extract_facts
+
+    parts = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 400)
+    k = F.col("p_partkey")
+    entry = F.concat(
+        F.lit('"node_modules/lib_'), k.cast("string"),
+        F.lit('": {"version": "2.'), (k % 7).cast("string"), F.lit("."),
+        (k % 3).cast("string"), F.lit('"}, '),
+        # nested transitive install — must be excluded by the parser
+        F.lit('"node_modules/lib_'), k.cast("string"),
+        F.lit('/node_modules/inner-'), k.cast("string"),
+        F.lit('": {"version": "9.9.9"}'),
+    )
+    files = parts.select(
+        (k % 20).cast("string").alias("bucket"),
+        k.alias("k"),
+        entry.alias("entry"),
+    ).groupBy("bucket").agg(
+        F.concat(
+            F.lit('{"packages": {'),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("k", "entry"))),
+                    lambda s: s["entry"],
+                ),
+                ", ",
+            ),
+            F.lit(', "node_modules/shared-lib": {"version": "1.0.0"}}}'),
+        ).alias("content")
+    ).select(
+        F.concat(F.lit("repo-"), "bucket").alias("repo"),
+        F.lit("package-lock.json").alias("path"),
+        F.lit("c1").alias("commit"),
+        F.lit("npm").alias("lang"),
+        "content",
+    )
+    facts = extract_facts(files).cache()
+    pkgs = facts.filter(
+        (F.col("subj_label") == "Package") & F.col("pred").isNull()
+    ).select(
+        F.col("subj_id").alias("package_id"),
+        F.get_json_object("props_json", "$.name").alias("name"),
+        F.get_json_object("props_json", "$.version").alias("version"),
+        F.get_json_object("props_json", "$.ecosystem").alias("ecosystem"),
+    ).distinct()
+    n_repos = facts.filter(F.col("pred") == "REQUIRES").groupBy(
+        F.col("obj_id").alias("package_id")
+    ).agg(F.count_distinct("subj_id").alias("n_repos"))
+    return pkgs.join(n_repos, on="package_id").orderBy("package_id")
+
+
 def kg_sync_graph(spark, sf_dir):
     """M1/M2/G-family through the REAL GraphStore, oracled: two MERGE
     generations derived deterministically from ``customer``/``orders``
@@ -1217,6 +1281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ontology_device_merge": q_ontology_device_merge,
         "kg_extract_triples": kg_extract_triples,
         "kg_extract_requirements": kg_extract_requirements,
+        "kg_extract_npm": kg_extract_npm,
         "kg_sync_graph": kg_sync_graph,
         "kg_connected_components": kg_connected_components,
         "kg_permission_join": kg_permission_join,
@@ -1547,6 +1612,28 @@ def oracle_sql() -> dict[str, str]:
                    '1.' || CAST(k % 10 AS VARCHAR) || '.0' AS version,
                    CAST(1 AS BIGINT) AS n_repos
             FROM src ORDER BY requirement_id
+        """,
+        "kg_extract_npm": """
+            WITH src AS (SELECT p_partkey AS k FROM part
+                         WHERE p_partkey <= 400),
+            libs AS (
+              SELECT 'npm:lib_' || CAST(k AS VARCHAR) || '@2.' ||
+                       CAST(k % 7 AS VARCHAR) || '.' ||
+                       CAST(k % 3 AS VARCHAR) AS package_id,
+                     'lib_' || CAST(k AS VARCHAR) AS name,
+                     '2.' || CAST(k % 7 AS VARCHAR) || '.' ||
+                       CAST(k % 3 AS VARCHAR) AS version,
+                     'npm' AS ecosystem,
+                     CAST(1 AS BIGINT) AS n_repos
+              FROM src),
+            shared AS (
+              SELECT 'npm:shared-lib@1.0.0' AS package_id,
+                     'shared-lib' AS name, '1.0.0' AS version,
+                     'npm' AS ecosystem,
+                     CAST(COUNT(DISTINCT k % 20) AS BIGINT) AS n_repos
+              FROM src)
+            SELECT * FROM libs UNION ALL SELECT * FROM shared
+            ORDER BY package_id
         """,
         # MERGE-with-firstseen + GC replayed as full-outer-join coalesce
         # + delete predicate (the store keeps only generation-2 members;

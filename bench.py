@@ -77,6 +77,7 @@ HEADLINE = [
     "q_sessionize_events",
     "q_ontology_device_merge",
     "kg_extract_requirements",
+    "kg_extract_npm",
 ]
 
 

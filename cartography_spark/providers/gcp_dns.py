@@ -1,0 +1,140 @@
+"""GCP Cloud DNS: managed zones + record sets — the GCP feeder for
+the ontology DNS linking stage (``plans/ontology_network.py``'s
+GCPRecordSet multi-value leg).
+
+Re-expresses ``intel/gcp/dns.py``:
+
+* **zones** (``transform_dns_zones`` :94-123): DNSSEC key/zone signing
+  specs split by keyType from the defaultKeySpecs array (array
+  ``filter`` + first element, not a loop), visibility, nameservers;
+  ontology ``DNSZone`` label;
+* **record sets** (``transform_dns_rrs`` :127-144): composite
+  ``{name}|{type}|{zone}`` ids, the multi-value ``rrdatas`` kept as the
+  JSON ``data`` array (the ontology stage explodes it — GCP records
+  never map to the scalar ``_ont_value``,
+  ``models/ontology/mapping/data/dnsrecords.py:27-30``), ``_ont_name``/
+  ``_ont_type`` projection, ``DNSRecord`` label, HAS_RECORD under
+  their zone;
+* cleanup: project-scoped GC per label.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cartography_spark.providers.aws_ec2 import _edge, _node
+
+DNS_SCHEMA = """
+    STRUCT<
+        Zones: ARRAY<STRUCT<
+            id: STRING, name: STRING, dnsName: STRING,
+            description: STRING, visibility: STRING, kind: STRING,
+            nameServers: ARRAY<STRING>, creationTime: STRING,
+            dnssecConfig: STRUCT<state: STRING,
+                                 defaultKeySpecs: ARRAY<STRUCT<
+                                     keyType: STRING,
+                                     algorithm: STRING>>>>>,
+        RecordSets: ARRAY<STRUCT<name: STRING, type: STRING, ttl: BIGINT,
+                                 rrdatas: ARRAY<STRING>, zone: STRING>>>
+"""
+
+
+def _spec_algo(specs, key_type: str):
+    hit = F.filter(
+        F.coalesce(specs, F.array()), lambda s: s["keyType"] == key_type
+    )
+    return F.get(hit, 0)["algorithm"]
+
+
+def transform_gcp_dns(
+    raw: DataFrame, project_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """``raw(payload_json)`` ({"Zones": [...], "RecordSets": [...]})
+    → (nodes, edges)."""
+    doc = raw.select(F.from_json("payload_json", DNS_SCHEMA).alias("d"))
+    proj = F.lit(project_id)
+    sub = ("GCPProject", proj)
+
+    zones = doc.select(F.explode("d.Zones").alias("z"))
+    specs = F.col("z.dnssecConfig.defaultKeySpecs")
+    zone_nodes = _node(zones, "GCPDNSZone", F.col("z.id"), {
+        "name": F.col("z.name"),
+        "dns_name": F.col("z.dnsName"),
+        "description": F.col("z.description"),
+        "visibility": F.col("z.visibility"),
+        "dnssec_state": F.col("z.dnssecConfig.state"),
+        "dnssec_key_signing_algorithm": _spec_algo(specs, "keySigning"),
+        "dnssec_zone_signing_algorithm": _spec_algo(specs, "zoneSigning"),
+        "kind": F.col("z.kind"),
+        "nameservers": F.to_json(F.col("z.nameServers")),
+        "created_at": F.col("z.creationTime"),
+    }, update_tag, extra=["DNSZone"])
+
+    rrs = doc.select(F.explode("d.RecordSets").alias("r")).withColumn(
+        "rid",
+        F.concat_ws("|", F.col("r.name"), F.col("r.type"), F.col("r.zone")),
+    )
+    rr_nodes = _node(rrs, "GCPRecordSet", F.col("rid"), {
+        "name": F.col("r.name"),
+        "type": F.col("r.type"),
+        "ttl": F.col("r.ttl"),
+        "data": F.to_json(F.col("r.rrdatas")),
+        "zone_id": F.col("r.zone"),
+        # ontology projection: GCP records keep the list-valued data
+        # off the scalar _ont_value by design
+        "_ont_name": F.col("r.name"),
+        "_ont_type": F.col("r.type"),
+        "_ont_source": F.lit("gcp"),
+    }, update_tag, extra=["DNSRecord"])
+
+    edges = (
+        _edge(zones, "GCPProject", proj, "RESOURCE", "GCPDNSZone",
+              F.col("z.id"), update_tag, sub)
+        .unionByName(_edge(rrs, "GCPProject", proj, "RESOURCE",
+                           "GCPRecordSet", F.col("rid"), update_tag, sub))
+        .unionByName(_edge(
+            rrs.filter(F.col("r.zone").isNotNull()),
+            "GCPRecordSet", F.col("rid"), "HAS_RECORD", "GCPDNSZone",
+            F.col("r.zone"), update_tag, sub))
+    )
+    return zone_nodes.unionByName(rr_nodes), edges
+
+
+def sync_gcp_dns(store, raw: DataFrame, project_id: str, update_tag: int) -> dict:
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    nodes, edges = transform_gcp_dns(raw, project_id, update_tag)
+    metrics = {
+        "nodes": store.merge_nodes(nodes, update_tag),
+        "edges": store.merge_edges(edges, update_tag),
+    }
+    proj_rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label="GCPProject",
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("PROJECT_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    for label in ("GCPRecordSet", "GCPDNSZone"):
+        if label not in store.manifest["nodes"]:
+            continue
+        metrics[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=proj_rel,
+            ),
+            update_tag,
+            {"PROJECT_ID": project_id},
+        )
+    store.record_lineage("gcp_dns_sync", {"update_tag": update_tag})
+    return metrics

@@ -1,0 +1,429 @@
+"""GCP IAM allow-policy bindings + Workload Identity Federation pools —
+the GCP leg of the identity-/policy-administration packs.
+
+Re-expresses ``intel/gcp/policy_bindings.py`` and
+``intel/gcp/workload_identity.py``:
+
+* **binding transform** (``transform_bindings`` :343-470): the nested
+  policy_results → policies → bindings → members walk becomes explode +
+  member classification + ONE groupBy on (resource, role,
+  condition_expression) — ``allUsers``/``allAuthenticatedUsers`` fold
+  into ``is_public``; ``principal://``/``principalSet://`` members
+  yield their WIF pool resource name
+  (``_extract_wif_pool_resource`` :313-341); ``user:``/
+  ``serviceAccount:``/``group:`` keep the email; ``domain:`` grants
+  are retained for visibility; groups with no resolvable principal AND
+  no public/WIF/domain grant drop; conditional bindings stay distinct
+  via the first-8-hex sha256 of the condition expression in the id;
+* **resource typing**: organization/folder/project from the
+  attached-resource path (project only when the path ENDS at this
+  project, :354-360);
+* **links**: APPLIES_TO the bound node — org/folder/project plus the
+  resource-catalog subset this engine carries (GCPBucket,
+  ``models/gcp/resource_catalog.py`` ``last_segment`` rule) —
+  HAS_ALLOW_POLICY from every principal whose email matches a member
+  (resolved against the graph's GCPPrincipal / Workspace labels) and
+  from referenced WIF pools, GRANTS_ROLE to the GCPRole by name (= its
+  node id here);
+* **inherited bindings** (``_split_bindings_by_graph_scope`` :504-517
+  + the per-org claim state): org-/folder-scoped bindings ride the
+  GCPOrganization sub-resource when ``org_resource_name`` is given, so
+  N projects in one org never GC-thrash the shared binding — the
+  claim-state lock becomes ordinary idempotent MERGE semantics;
+* **WIF pools/providers** (``workload_identity.py``): pools keyed by
+  their API ``name``, providers MEMBER_OF their pool.
+
+Scale: the member walk is explodes + one groupBy; principal
+resolution is a broadcast-sized email equi-join; project-scoped GC.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cartography_spark.providers.aws_ec2 import _edge, _node
+
+BINDINGS_SCHEMA = """
+    STRUCT<policy_results: ARRAY<STRUCT<
+        policies: ARRAY<STRUCT<
+            attached_resource: STRING,
+            policy: STRUCT<bindings: ARRAY<STRUCT<
+                role: STRING, members: ARRAY<STRING>,
+                condition: STRUCT<title: STRING,
+                                  expression: STRING>>>>>>>>>
+"""
+WIF_SCHEMA = """
+    STRUCT<Pools: ARRAY<STRUCT<name: STRING, displayName: STRING,
+                               state: STRING, disabled: BOOLEAN>>,
+           Providers: ARRAY<STRUCT<name: STRING, displayName: STRING,
+                                   state: STRING, disabled: BOOLEAN,
+                                   issuer_uri: STRING,
+                                   attribute_condition: STRING>>>
+"""
+
+_WIF_RE = (
+    r"^principal(Set)?://iam\.googleapis\.com/"
+    r"(projects/[^/]+/locations/global/workloadIdentityPools/[^/]+)"
+)
+
+
+def transform_gcp_policy_bindings(
+    raw: DataFrame,
+    project_id: str,
+    update_tag: int,
+    org_resource_name: str | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """``raw(payload_json)`` → (nodes, edges, member-email frame for
+    principal resolution at sync time)."""
+    members = raw.select(
+        F.explode(
+            F.from_json("payload_json", BINDINGS_SCHEMA)["policy_results"]
+        ).alias("pr")
+    ).select(F.explode("pr.policies").alias("p")).select(
+        F.col("p.attached_resource").alias("resource"),
+        F.explode(F.coalesce("p.policy.bindings", F.array())).alias("b"),
+    ).filter(
+        F.col("b.role").isNotNull() & (F.size("b.members") > 0)
+    ).select(
+        "resource",
+        F.col("b.role").alias("role"),
+        F.col("b.condition.title").alias("condition_title"),
+        F.col("b.condition.expression").alias("condition_expression"),
+        F.col("b.condition").isNotNull().alias("has_condition"),
+        F.explode("b.members").alias("member"),
+    ).withColumn(
+        "wif_pool", F.regexp_extract("member", _WIF_RE, 2)
+    ).withColumn(
+        "member_type", F.substring_index("member", ":", 1)
+    ).withColumn(
+        "email",
+        F.when(
+            (F.col("wif_pool") == "")
+            & F.col("member_type").isin("user", "serviceAccount", "group"),
+            F.substring_index("member", ":", -1),
+        ),
+    ).withColumn(
+        "domain",
+        F.when(
+            (F.col("wif_pool") == "") & (F.col("member_type") == "domain"),
+            F.substring_index("member", ":", -1),
+        ),
+    ).withColumn(
+        "is_public",
+        F.col("member").isin("allUsers", "allAuthenticatedUsers"),
+    ).cache()
+
+    grouped = members.groupBy(
+        "resource", "role", "condition_expression"
+    ).agg(
+        F.first("condition_title", ignorenulls=True).alias("condition_title"),
+        F.max("has_condition").alias("has_condition"),
+        F.sort_array(F.collect_set("email")).alias("members"),
+        F.sort_array(F.collect_set(
+            F.when(F.col("wif_pool") != "", F.col("wif_pool"))
+        )).alias("wif_pools"),
+        F.sort_array(F.collect_set("domain")).alias("domains"),
+        F.max("is_public").alias("is_public"),
+    ).filter(
+        # :408-415 — keep only bindings with something resolvable
+        (F.size("members") > 0) | (F.size("wif_pools") > 0)
+        | (F.size("domains") > 0) | F.col("is_public")
+    ).withColumn(
+        "binding_id",
+        F.concat(
+            F.col("resource"), F.lit("_"), F.col("role"),
+            F.when(
+                F.col("condition_expression").isNotNull(),
+                F.concat(F.lit("_"), F.substring(
+                    F.sha2(F.col("condition_expression"), 256), 1, 8
+                )),
+            ).otherwise(F.lit("")),
+        ),
+    ).withColumn(
+        "resource_type",
+        F.when(F.col("resource").contains("/organizations/"),
+               F.lit("organization"))
+        .when(F.col("resource").contains("/folders/"), F.lit("folder"))
+        .when(F.col("resource").endswith(f"/projects/{project_id}"),
+              F.lit("project"))
+        .otherwise(F.lit("resource")),
+    ).withColumn(
+        # APPLIES_TO target from the resource path — the catalog subset
+        # this engine carries (resource_catalog.py mapping rules)
+        "scope_id",
+        F.when(
+            F.col("resource_type") == "organization",
+            F.regexp_extract("resource", r"(organizations/\d+)", 1),
+        )
+        .when(
+            F.col("resource_type") == "folder",
+            F.regexp_extract("resource", r"(folders/\d+)", 1),
+        )
+        .when(F.col("resource_type") == "project", F.lit(project_id))
+        .when(
+            F.col("resource").startswith("//storage.googleapis.com/buckets/"),
+            F.regexp_extract("resource", r"buckets/([^/]+)", 1),
+        ),
+    ).withColumn(
+        "scope_label",
+        F.when(F.col("resource_type") == "organization",
+               F.lit("GCPOrganization"))
+        .when(F.col("resource_type") == "folder", F.lit("GCPFolder"))
+        .when(F.col("resource_type") == "project", F.lit("GCPProject"))
+        .when(
+            F.col("resource").startswith("//storage.googleapis.com/buckets/"),
+            F.lit("GCPBucket"),
+        ),
+    ).withColumn(
+        # inherited org/folder bindings belong to the org sub-resource
+        # (reference claim-state semantics → idempotent MERGE here)
+        "owner_label",
+        F.when(
+            F.col("resource_type").isin("organization", "folder")
+            & F.lit(org_resource_name is not None),
+            F.lit("GCPOrganization"),
+        ).otherwise(F.lit("GCPProject")),
+    ).withColumn(
+        "owner_id",
+        F.when(
+            F.col("owner_label") == "GCPOrganization",
+            F.lit(org_resource_name),
+        ).otherwise(F.lit(project_id)),
+    ).cache()
+
+    nodes = _node(grouped, "GCPPolicyBinding", F.col("binding_id"), {
+        "role": F.col("role"),
+        "resource": F.col("resource"),
+        "resource_type": F.col("resource_type"),
+        "members": F.to_json(F.col("members")),
+        "wif_pools": F.to_json(F.col("wif_pools")),
+        "domains": F.to_json(F.col("domains")),
+        "is_public": F.col("is_public"),
+        "has_condition": F.col("has_condition"),
+        "condition_title": F.col("condition_title"),
+        "condition_expression": F.col("condition_expression"),
+    }, update_tag)
+
+    proj = F.lit(project_id)
+    sub = ("GCPProject", proj)
+    # RESOURCE + APPLIES_TO carry per-row owner/target labels, so they
+    # are built directly rather than through the fixed-label helper
+    resource_edges = grouped.select(
+        F.col("owner_label").alias("src_label"),
+        F.col("owner_id").alias("src_id"),
+        F.lit("RESOURCE").alias("rel_label"),
+        F.lit("GCPPolicyBinding").alias("dst_label"),
+        F.col("binding_id").alias("dst_id"),
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.col("owner_label").alias("sub_resource_label"),
+        F.col("owner_id").alias("sub_resource_id"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    )
+    applies = grouped.filter(F.col("scope_id").isNotNull()).select(
+        F.lit("GCPPolicyBinding").alias("src_label"),
+        F.col("binding_id").alias("src_id"),
+        F.lit("APPLIES_TO").alias("rel_label"),
+        F.col("scope_label").alias("dst_label"),
+        F.col("scope_id").alias("dst_id"),
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.col("owner_label").alias("sub_resource_label"),
+        F.col("owner_id").alias("sub_resource_id"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    )
+    edges = (
+        resource_edges
+        .unionByName(applies)
+        .unionByName(_edge(grouped, "GCPPolicyBinding", F.col("binding_id"),
+                           "GRANTS_ROLE", "GCPRole", F.col("role"),
+                           update_tag, sub))
+        .unionByName(_edge(
+            grouped.select("binding_id",
+                           F.explode("wif_pools").alias("pool")),
+            "GCPWorkloadIdentityPool", F.col("pool"), "HAS_ALLOW_POLICY",
+            "GCPPolicyBinding", F.col("binding_id"), update_tag, sub))
+    ).dropDuplicates(
+        ["src_label", "src_id", "rel_label", "dst_label", "dst_id"]
+    )
+    member_emails = grouped.select(
+        "binding_id", F.explode("members").alias("email")
+    )
+    return nodes, edges, member_emails
+
+
+def transform_gcp_workload_identity(
+    raw: DataFrame, project_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    doc = raw.select(F.from_json("payload_json", WIF_SCHEMA).alias("d"))
+    proj = F.lit(project_id)
+    sub = ("GCPProject", proj)
+    pools = doc.select(F.explode("d.Pools").alias("p"))
+    pool_nodes = _node(pools, "GCPWorkloadIdentityPool", F.col("p.name"), {
+        "name": F.col("p.name"),
+        "display_name": F.col("p.displayName"),
+        "state": F.col("p.state"),
+        "disabled": F.coalesce(F.col("p.disabled"), F.lit(False)),
+    }, update_tag)
+    provs = doc.select(
+        F.explode(F.coalesce("d.Providers", F.array())).alias("p")
+    ).withColumn(
+        "pool_name", F.substring_index(F.col("p.name"), "/providers/", 1)
+    )
+    prov_nodes = _node(provs, "GCPWorkloadIdentityProvider", F.col("p.name"), {
+        "name": F.col("p.name"),
+        "display_name": F.col("p.displayName"),
+        "state": F.col("p.state"),
+        "disabled": F.coalesce(F.col("p.disabled"), F.lit(False)),
+        "issuer_uri": F.col("p.issuer_uri"),
+        "attribute_condition": F.col("p.attribute_condition"),
+    }, update_tag)
+    edges = (
+        _edge(pools, "GCPProject", proj, "RESOURCE",
+              "GCPWorkloadIdentityPool", F.col("p.name"), update_tag, sub)
+        .unionByName(_edge(provs, "GCPProject", proj, "RESOURCE",
+                           "GCPWorkloadIdentityProvider", F.col("p.name"),
+                           update_tag, sub))
+        .unionByName(_edge(provs, "GCPWorkloadIdentityProvider",
+                           F.col("p.name"), "MEMBER_OF",
+                           "GCPWorkloadIdentityPool", F.col("pool_name"),
+                           update_tag, sub))
+    )
+    return pool_nodes.unionByName(prov_nodes), edges
+
+
+def sync_gcp_policy_bindings(
+    store,
+    bindings_raw: DataFrame | None,
+    wif_raw: DataFrame | None,
+    project_id: str,
+    update_tag: int,
+    org_resource_name: str | None = None,
+) -> dict:
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    metrics: dict = {}
+    member_emails = None
+    if wif_raw is not None:
+        nodes, edges = transform_gcp_workload_identity(
+            wif_raw, project_id, update_tag
+        )
+        metrics["wif_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["wif_edges"] = store.merge_edges(edges, update_tag)
+    if bindings_raw is not None:
+        nodes, edges, member_emails = transform_gcp_policy_bindings(
+            bindings_raw, project_id, update_tag, org_resource_name
+        )
+        metrics["binding_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["binding_edges"] = store.merge_edges(edges, update_tag)
+
+    # HAS_ALLOW_POLICY: every principal whose email matches a member —
+    # GCPPrincipal-labeled nodes plus Workspace users/groups, resolved
+    # by a broadcast email equi-join (the model's one_to_many matcher)
+    if member_emails is not None:
+        principals = store.nodes().filter(
+            F.array_contains(
+                F.coalesce("extra_labels", F.array()), "GCPPrincipal"
+            )
+            | F.col("label").isin("GoogleWorkspaceUser",
+                                  "GoogleWorkspaceGroup")
+        ).select(
+            F.col("label").alias("p_label"),
+            F.col("id").alias("p_id"),
+            F.coalesce(
+                F.element_at("props", "email"),
+                F.element_at("props", "_ont_email"),
+            ).alias("email"),
+        ).filter(F.col("email").isNotNull())
+        pairs = member_emails.join(F.broadcast(principals), on="email")
+        metrics["has_allow_policy"] = store.merge_edges(
+            pairs.select(
+                F.col("p_label").alias("src_label"),
+                F.col("p_id").alias("src_id"),
+                F.lit("HAS_ALLOW_POLICY").alias("rel_label"),
+                F.lit("GCPPolicyBinding").alias("dst_label"),
+                F.col("binding_id").alias("dst_id"),
+                F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+                F.lit("GCPProject").alias("sub_resource_label"),
+                F.lit(project_id).alias("sub_resource_id"),
+                F.lit(None).cast("map<string,string>").alias("props"),
+            ).dropDuplicates(
+                ["src_label", "src_id", "rel_label", "dst_label", "dst_id"]
+            ),
+            update_tag,
+            rels=["HAS_ALLOW_POLICY"],
+        )
+
+    proj_rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label="GCPProject",
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("PROJECT_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    org_rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label="GCPOrganization",
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("ORG_RESOURCE_NAME", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+
+    def _other_rels(label):
+        return tuple(
+            RelSchema(
+                rel_label=rl,
+                target_node_label=label,
+                target_node_matcher=TargetNodeMatcher(
+                    {"id": PropertyRef("id")}
+                ),
+                direction=LinkDirection.OUTWARD,
+            )
+            for rl in ("APPLIES_TO", "GRANTS_ROLE",
+                       "HAS_ALLOW_POLICY", "MEMBER_OF")
+            if rl in store.manifest["edges"]
+        )
+
+    for label in ("GCPPolicyBinding", "GCPWorkloadIdentityProvider",
+                  "GCPWorkloadIdentityPool"):
+        if label not in store.manifest["nodes"]:
+            continue
+        metrics[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=proj_rel,
+                other_relationships=_other_rels(label),
+            ),
+            update_tag,
+            {"PROJECT_ID": project_id},
+        )
+    # inherited org/folder bindings live under the org sub-resource —
+    # the reference GCs them per org graph scope (:727-764)
+    if (
+        org_resource_name is not None
+        and "GCPPolicyBinding" in store.manifest["nodes"]
+    ):
+        metrics["gc_GCPPolicyBinding_org"] = run_cleanup(
+            store,
+            NodeSchema(
+                label="GCPPolicyBinding",
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=org_rel,
+                other_relationships=_other_rels("GCPPolicyBinding"),
+            ),
+            update_tag,
+            {"ORG_RESOURCE_NAME": org_resource_name},
+        )
+    store.record_lineage(
+        "gcp_policy_bindings_sync", {"update_tag": update_tag}
+    )
+    return metrics

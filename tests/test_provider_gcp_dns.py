@@ -1,0 +1,101 @@
+"""GCP Cloud DNS parity (``intel/gcp/dns.py``) + the GCPRecordSet
+multi-value leg of the ontology DNS linking stage: rrdatas explode to
+per-element DNS_POINTS_TO targets."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.aws_ec2 import _node
+from cartography_spark.providers.gcp_dns import sync_gcp_dns
+
+TAG = 123456789
+PROJECT = "project-abc"
+
+PAYLOAD = {
+    "Zones": [{
+        "id": "zone-1", "name": "example-zone",
+        "dnsName": "example.com.", "description": "main zone",
+        "visibility": "public", "kind": "dns#managedZone",
+        "nameServers": ["ns-cloud-a1.googledomains.com."],
+        "creationTime": "2023-01-01T00:00:00Z",
+        "dnssecConfig": {"state": "on", "defaultKeySpecs": [
+            {"keyType": "keySigning", "algorithm": "rsasha256"},
+            {"keyType": "zoneSigning", "algorithm": "ecdsap256sha256"},
+        ]},
+    }],
+    "RecordSets": [
+        {"name": "app.example.com.", "type": "CNAME", "ttl": 300,
+         "rrdatas": ["mylb-123.elb.amazonaws.com",
+                     "backup-lb.elb.amazonaws.com"],
+         "zone": "zone-1"},
+        {"name": "example.com.", "type": "A", "ttl": 300,
+         "rrdatas": ["1.2.3.4"], "zone": "zone-1"},
+    ],
+}
+
+
+def _raw(spark, payload=PAYLOAD):
+    return spark.createDataFrame(
+        [(json.dumps(payload),)], "payload_json string"
+    )
+
+
+def test_zones_and_records(spark, tmp_store):
+    s = tmp_store
+    sync_gcp_dns(s, _raw(spark), PROJECT, TAG)
+    z = {r["id"]: r for r in s.nodes(["GCPDNSZone"]).collect()}
+    assert z["zone-1"]["props"]["dnssec_key_signing_algorithm"] == "rsasha256"
+    assert z["zone-1"]["props"]["dnssec_zone_signing_algorithm"] == (
+        "ecdsap256sha256"
+    )
+    assert "DNSZone" in z["zone-1"]["extra_labels"]
+    rr = {r["id"]: r for r in s.nodes(["GCPRecordSet"]).collect()}
+    rid = "app.example.com.|CNAME|zone-1"
+    assert set(rr) == {rid, "example.com.|A|zone-1"}
+    assert json.loads(rr[rid]["props"]["data"]) == [
+        "mylb-123.elb.amazonaws.com", "backup-lb.elb.amazonaws.com",
+    ]
+    assert "DNSRecord" in rr[rid]["extra_labels"]
+    rels = {(r["src_id"], r["rel_label"], r["dst_id"])
+            for r in s.edges().collect()}
+    assert (rid, "HAS_RECORD", "zone-1") in rels
+
+
+def test_multivalue_data_links_through_ontology_stage(spark, tmp_store):
+    """The shipped GCPRecordSet leg explodes data per element: both
+    load balancers named by the CNAME rrdatas get DNS_POINTS_TO."""
+    from cartography_spark.plans.ontology_network import (
+        sync_ontology_dnsrecords,
+    )
+
+    s = tmp_store
+    sync_gcp_dns(s, _raw(spark), PROJECT, TAG)
+    lbs = spark.createDataFrame(
+        [("mylb-123.elb.amazonaws.com",), ("backup-lb.elb.amazonaws.com",)],
+        "dnsname string",
+    )
+    s.merge_nodes(
+        _node(lbs, "AWSLoadBalancerV2", F.col("dnsname"), {
+            "dnsname": F.col("dnsname"),
+        }, TAG), TAG)
+    sync_ontology_dnsrecords(s, TAG)
+    pts = {
+        (r["src_id"], r["dst_id"])
+        for r in s.edges(["DNS_POINTS_TO"])
+        .filter(F.col("dst_label") == "AWSLoadBalancerV2").collect()
+    }
+    rid = "app.example.com.|CNAME|zone-1"
+    assert pts == {
+        (rid, "mylb-123.elb.amazonaws.com"),
+        (rid, "backup-lb.elb.amazonaws.com"),
+    }
+
+
+def test_project_scoped_gc(spark, tmp_store):
+    s = tmp_store
+    sync_gcp_dns(s, _raw(spark), PROJECT, TAG)
+    sync_gcp_dns(s, _raw(spark, {"Zones": [], "RecordSets": []}),
+                 PROJECT, TAG + 1)
+    assert s.nodes(["GCPDNSZone"]).count() == 0
+    assert s.nodes(["GCPRecordSet"]).count() == 0

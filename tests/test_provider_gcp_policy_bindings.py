@@ -1,0 +1,225 @@
+"""GCP allow-policy bindings + Workload Identity Federation parity
+(``intel/gcp/policy_bindings.py``, ``intel/gcp/workload_identity.py``;
+fixtures ``tests/data/gcp/policy_bindings.py``)."""
+
+import hashlib
+import json
+
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.aws_ec2 import _node
+from cartography_spark.providers.gcp_policy_bindings import (
+    sync_gcp_policy_bindings,
+    transform_gcp_policy_bindings,
+)
+
+TAG = 123456789
+PROJECT = "project-abc"
+ORG = "organizations/1337"
+CRM = "//cloudresourcemanager.googleapis.com"
+COND_EXPR = "request.time < timestamp('2024-12-31T00:00:00Z')"
+COND_HASH = hashlib.sha256(COND_EXPR.encode()).hexdigest()[:8]
+WIF_POOL = "projects/123/locations/global/workloadIdentityPools/github-pool"
+
+PAYLOAD = {
+    "policy_results": [
+        {"policies": [{
+            "attached_resource": f"{CRM}/projects/{PROJECT}",
+            "policy": {"bindings": [
+                {"role": "roles/editor",
+                 "members": ["user:alice@example.com",
+                             "serviceAccount:sa@project-abc.iam"
+                             ".gserviceaccount.com"]},
+                # duplicate (resource, role, cond) entry: members merge
+                {"role": "roles/editor",
+                 "members": ["group:viewers@example.com"]},
+                {"role": "roles/storage.admin",
+                 "members": ["user:bob@example.com"],
+                 "condition": {"title": "Expires on 2024-12-31",
+                               "expression": COND_EXPR}},
+                # WIF principalSet member
+                {"role": "roles/run.invoker",
+                 "members": [
+                     f"principalSet://iam.googleapis.com/{WIF_POOL}"
+                     "/attribute.repository/org/repo"]},
+                # domain grant only — retained for visibility
+                {"role": "roles/browser",
+                 "members": ["domain:example.com"]},
+                # nothing resolvable: dropped
+                {"role": "roles/owner",
+                 "members": ["deleted:user:ghost@example.com?uid=1"]},
+            ]},
+        }]},
+        {"policies": [{
+            "attached_resource": "//storage.googleapis.com/buckets/test-bucket",
+            "policy": {"bindings": [
+                {"role": "roles/storage.objectViewer",
+                 "members": ["user:alice@example.com", "allUsers"]},
+            ]},
+        }]},
+    ],
+}
+INHERITED = {
+    "policy_results": [
+        {"policies": [{
+            "attached_resource": f"{CRM}/{ORG}",
+            "policy": {"bindings": [
+                {"role": "roles/viewer",
+                 "members": ["user:alice@example.com"]},
+            ]},
+        }]},
+        {"policies": [{
+            "attached_resource": f"{CRM}/folders/1414",
+            "policy": {"bindings": [
+                {"role": "roles/viewer",
+                 "members": ["user:alice@example.com"]},
+            ]},
+        }]},
+    ],
+}
+WIF_PAYLOAD = {
+    "Pools": [{"name": WIF_POOL, "displayName": "GitHub pool",
+               "state": "ACTIVE", "disabled": False}],
+    "Providers": [{"name": f"{WIF_POOL}/providers/github",
+                   "displayName": "GitHub", "state": "ACTIVE",
+                   "disabled": False,
+                   "issuer_uri": "https://token.actions.githubusercontent.com",
+                   "attribute_condition": "assertion.repository_owner=='org'"}],
+}
+
+PROJ_EDITOR_ID = f"{CRM}/projects/{PROJECT}_roles/editor"
+BUCKET_BINDING_ID = (
+    "//storage.googleapis.com/buckets/test-bucket_roles/storage.objectViewer"
+)
+
+
+def _raw(spark, payload):
+    return spark.createDataFrame(
+        [(json.dumps(payload),)], "payload_json string"
+    )
+
+
+def _merged(*payloads):
+    return {"policy_results": sum(
+        (p["policy_results"] for p in payloads), []
+    )}
+
+
+def test_binding_transform_parity(spark):
+    nodes, edges, _ = transform_gcp_policy_bindings(
+        _raw(spark, PAYLOAD), PROJECT, TAG
+    )
+    by_id = {r["id"]: r["props"] for r in nodes.collect()}
+    # reference transform_bindings: 5 surviving bindings (owner dropped)
+    assert set(by_id) == {
+        PROJ_EDITOR_ID,
+        f"{CRM}/projects/{PROJECT}_roles/storage.admin_{COND_HASH}",
+        f"{CRM}/projects/{PROJECT}_roles/run.invoker",
+        f"{CRM}/projects/{PROJECT}_roles/browser",
+        BUCKET_BINDING_ID,
+    }
+    # duplicate-key entries merged, emails sorted
+    assert json.loads(by_id[PROJ_EDITOR_ID]["members"]) == [
+        "alice@example.com",
+        "sa@project-abc.iam.gserviceaccount.com",
+        "viewers@example.com",
+    ]
+    assert by_id[PROJ_EDITOR_ID]["resource_type"] == "project"
+    cond = by_id[f"{CRM}/projects/{PROJECT}_roles/storage.admin_{COND_HASH}"]
+    assert cond["has_condition"] == "true"
+    assert cond["condition_title"] == "Expires on 2024-12-31"
+    wif = by_id[f"{CRM}/projects/{PROJECT}_roles/run.invoker"]
+    assert json.loads(wif["wif_pools"]) == [WIF_POOL]
+    assert json.loads(by_id[f"{CRM}/projects/{PROJECT}_roles/browser"]
+                      ["domains"]) == ["example.com"]
+    bucket = by_id[BUCKET_BINDING_ID]
+    assert bucket["is_public"] == "true"
+    assert bucket["resource_type"] == "resource"
+
+    rels = {(r["src_label"], r["src_id"], r["rel_label"],
+             r["dst_label"], r["dst_id"]) for r in edges.collect()}
+    assert ("GCPPolicyBinding", PROJ_EDITOR_ID, "APPLIES_TO",
+            "GCPProject", PROJECT) in rels
+    # catalog last_segment rule: bucket binding applies to the GCPBucket
+    assert ("GCPPolicyBinding", BUCKET_BINDING_ID, "APPLIES_TO",
+            "GCPBucket", "test-bucket") in rels
+    assert ("GCPPolicyBinding", PROJ_EDITOR_ID, "GRANTS_ROLE",
+            "GCPRole", "roles/editor") in rels
+    assert ("GCPWorkloadIdentityPool", WIF_POOL, "HAS_ALLOW_POLICY",
+            "GCPPolicyBinding",
+            f"{CRM}/projects/{PROJECT}_roles/run.invoker") in rels
+
+
+def test_principal_resolution_and_wif(spark, tmp_store):
+    s = tmp_store
+    # pre-existing principals: one workspace user, one GCPPrincipal SA
+    ws = spark.createDataFrame(
+        [("user-alice", "alice@example.com")], "id string, email string"
+    )
+    s.merge_nodes(
+        _node(ws, "GoogleWorkspaceUser", F.col("id"),
+              {"email": F.col("email")}, TAG), TAG)
+    sa = spark.createDataFrame(
+        [("112233445566778899", "sa@project-abc.iam.gserviceaccount.com")],
+        "id string, email string",
+    )
+    s.merge_nodes(
+        _node(sa, "GCPServiceAccount", F.col("id"),
+              {"email": F.col("email")}, TAG,
+              extra=["GCPPrincipal", "ServiceAccount"]), TAG)
+
+    sync_gcp_policy_bindings(
+        s, _raw(spark, PAYLOAD), _raw(spark, WIF_PAYLOAD), PROJECT, TAG
+    )
+    hap = {(r["src_label"], r["src_id"], r["dst_id"])
+           for r in s.edges(["HAS_ALLOW_POLICY"]).collect()}
+    assert ("GoogleWorkspaceUser", "user-alice", PROJ_EDITOR_ID) in hap
+    assert ("GCPServiceAccount", "112233445566778899", PROJ_EDITOR_ID) in hap
+    assert ("GoogleWorkspaceUser", "user-alice", BUCKET_BINDING_ID) in hap
+    assert ("GCPWorkloadIdentityPool", WIF_POOL,
+            f"{CRM}/projects/{PROJECT}_roles/run.invoker") in hap
+    # WIF pool/provider graph
+    provs = {r["id"]: r["props"]
+             for r in s.nodes(["GCPWorkloadIdentityProvider"]).collect()}
+    assert provs[f"{WIF_POOL}/providers/github"]["issuer_uri"] == (
+        "https://token.actions.githubusercontent.com"
+    )
+    member = {(r["src_id"], r["dst_id"])
+              for r in s.edges(["MEMBER_OF"]).collect()}
+    assert (f"{WIF_POOL}/providers/github", WIF_POOL) in member
+
+
+def test_inherited_bindings_org_scoped_gc(spark, tmp_store):
+    s = tmp_store
+    org_viewer = f"{CRM}/{ORG}_roles/viewer"
+    folder_viewer = f"{CRM}/folders/1414_roles/viewer"
+
+    sync_gcp_policy_bindings(
+        s, _raw(spark, _merged(PAYLOAD, INHERITED)), None, PROJECT, TAG,
+        org_resource_name=ORG,
+    )
+    res = {(r["src_label"], r["src_id"], r["dst_id"])
+           for r in s.edges(["RESOURCE"]).collect()}
+    # inherited bindings belong to the org graph scope, direct to project
+    assert ("GCPOrganization", ORG, org_viewer) in res
+    assert ("GCPOrganization", ORG, folder_viewer) in res
+    assert ("GCPProject", PROJECT, PROJ_EDITOR_ID) in res
+    applies = {(r["src_id"], r["dst_label"], r["dst_id"])
+               for r in s.edges(["APPLIES_TO"]).collect()}
+    assert (org_viewer, "GCPOrganization", ORG) in applies
+    assert (folder_viewer, "GCPFolder", "folders/1414") in applies
+
+    # project bindings vanish, inherited survive a project-only resync
+    sync_gcp_policy_bindings(
+        s, _raw(spark, INHERITED), None, PROJECT, TAG + 1,
+        org_resource_name=ORG,
+    )
+    ids = {r["id"] for r in s.nodes(["GCPPolicyBinding"]).collect()}
+    assert ids == {org_viewer, folder_viewer}
+
+    # empty payload sweeps the org scope too
+    sync_gcp_policy_bindings(
+        s, _raw(spark, {"policy_results": []}), None, PROJECT, TAG + 2,
+        org_resource_name=ORG,
+    )
+    assert s.nodes(["GCPPolicyBinding"]).count() == 0

@@ -1866,6 +1866,160 @@ AWS_POLICY_ADMIN_PERMISSIONS = _aws_admin_capability_fact(
     "'iam:*', '*')",
 )
 
+_IAM_ADMIN_PATTERNS_SQL = (
+    "act.action LIKE 'iam:Create%' OR act.action LIKE 'iam:Attach%' "
+    "OR act.action LIKE 'iam:Put%' OR act.action LIKE 'iam:Update%' "
+    "OR act.action LIKE 'iam:Add%' OR act.action IN ('iam:*', '*')"
+)
+
+# effective-actions CTE bodies shared by the two workload-identity
+# facts (workload_identity_admin_capabilities.py:27-52 — Allow actions
+# matching the IAM-manipulation patterns minus exact/category/prefix-
+# wildcard Denies on the same role)
+_WORKLOAD_EFFECTIVE_ACTIONS_SQL = f"""
+            pol AS (
+                SELECT e.src_id AS role_id, e.dst_id AS policy_id
+                FROM edges e WHERE e.rel_label = 'POLICY'
+            ), stmt AS (
+                SELECT e.src_id AS policy_id,
+                       n.props['effect'] AS effect,
+                       from_json(n.props['action'], 'array<string>')
+                           AS actions
+                FROM edges e
+                JOIN nodes n ON n.label = 'AWSPolicyStatement'
+                   AND n.id = e.dst_id
+                WHERE e.rel_label = 'STATEMENT'
+            ), matched AS (
+                SELECT p.role_id, act.action
+                FROM pol p
+                JOIN stmt s ON s.policy_id = p.policy_id
+                LATERAL VIEW explode(s.actions) act AS action
+                WHERE s.effect = 'Allow' AND ({_IAM_ADMIN_PATTERNS_SQL})
+            ), denies AS (
+                SELECT p.role_id, d.deny_action
+                FROM pol p
+                JOIN stmt s ON s.policy_id = p.policy_id
+                LATERAL VIEW explode(s.actions) d AS deny_action
+                WHERE s.effect = 'Deny'
+            ), effective AS (
+                SELECT m.role_id, m.action FROM matched m
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM denies d WHERE d.role_id = m.role_id
+                      AND (d.deny_action IN ('*', 'iam:*', m.action)
+                           OR (d.deny_action LIKE '%*'
+                               AND m.action LIKE concat(
+                                   substring(d.deny_action, 1,
+                                             length(d.deny_action) - 1),
+                                   '%')))
+                )
+            )"""
+
+AWS_EC2_ACCOUNT_MANIPULATION = Fact(
+    id="aws_service_account_manipulation_via_ec2",
+    name="EC2 instances with account-manipulation instance profiles",
+    description="EC2 instances whose instance-profile role carries "
+    "effective iam:Create/Attach/Put/Update/Add capabilities, with "
+    "internet-exposure context "
+    "(workload_identity_admin_capabilities.py:10-105).",
+    sql_query=f"""
+        WITH {_WORKLOAD_EFFECTIVE_ACTIONS_SQL},
+        chain AS (
+            SELECT ip.src_id AS workload_id, assoc.dst_id AS role_id
+            FROM edges ip
+            JOIN edges assoc ON assoc.rel_label = 'ASSOCIATED_WITH'
+               AND assoc.src_label = 'AWSInstanceProfile'
+               AND assoc.src_id = ip.dst_id
+            WHERE ip.rel_label = 'INSTANCE_PROFILE'
+              AND ip.src_label = 'AWSEC2Instance'
+        ), open_ports AS (
+            SELECT m.src_id AS workload_id,
+                   sort_array(collect_set(concat(
+                       coalesce(rule.props['fromport'], 'all'), '-',
+                       coalesce(rule.props['toport'], 'all'))))
+                       AS open_inbound_ports
+            FROM edges m
+            JOIN edges r ON r.rel_label = 'MEMBER_OF_EC2_SECURITY_GROUP'
+               AND r.src_label = 'AWSIpPermissionInbound'
+               AND r.dst_id = m.dst_id
+            JOIN nodes rule ON rule.label = 'AWSIpPermissionInbound'
+               AND rule.id = r.src_id
+            WHERE m.rel_label = 'MEMBER_OF_EC2_SECURITY_GROUP'
+              AND m.src_label = 'AWSEC2Instance'
+            GROUP BY m.src_id
+        )
+        SELECT ec2.id AS workload_id,
+               a.props['name'] AS account,
+               acct.src_id AS account_id,
+               role.props['name'] AS role_name,
+               to_json(sort_array(collect_set(ef.action))) AS actions,
+               coalesce(ec2.props['exposed_internet'], 'false')
+                   AS internet_accessible,
+               ec2.props['publicipaddress'] AS public_ip_address,
+               CASE WHEN ec2.props['exposed_internet'] = 'true'
+                    THEN to_json(first(op.open_inbound_ports)) END
+                   AS open_inbound_ports
+        FROM chain c
+        JOIN effective ef ON ef.role_id = c.role_id
+        JOIN nodes ec2 ON ec2.label = 'AWSEC2Instance'
+           AND ec2.id = c.workload_id
+        JOIN nodes role ON role.label = 'AWSRole' AND role.id = c.role_id
+        JOIN edges acct ON acct.rel_label = 'RESOURCE'
+           AND acct.src_label = 'AWSAccount' AND acct.dst_id = ec2.id
+        JOIN nodes a ON a.label = 'AWSAccount' AND a.id = acct.src_id
+        LEFT JOIN open_ports op ON op.workload_id = ec2.id
+        GROUP BY ec2.id, a.props['name'], acct.src_id,
+                 role.props['name'], ec2.props['exposed_internet'],
+                 ec2.props['publicipaddress']
+        ORDER BY account, workload_id
+    """,
+    count_sql="""
+        SELECT count(*) AS count FROM nodes n
+        WHERE n.label = 'AWSEC2Instance'
+    """,
+    identity_fields=("workload_id",),
+    asset_label="AWSEC2Instance",
+    asset_id_field="workload_id",
+)
+
+AWS_LAMBDA_ACCOUNT_MANIPULATION = Fact(
+    id="aws_service_account_manipulation",
+    name="Lambda functions with account-manipulation roles",
+    description="Lambda functions whose execution role carries "
+    "effective IAM-manipulation capabilities "
+    "(workload_identity_admin_capabilities.py:108-185; the repo's "
+    "execution-role edge is ASSUMES).",
+    sql_query=f"""
+        WITH {_WORKLOAD_EFFECTIVE_ACTIONS_SQL}
+        SELECT fn.id AS workload_id,
+               fn.props['name'] AS workload_name,
+               a.props['name'] AS account,
+               acct.src_id AS account_id,
+               role.props['name'] AS role_name,
+               to_json(sort_array(collect_set(ef.action))) AS actions,
+               coalesce(fn.props['anonymous_access'], 'false')
+                   AS internet_accessible,
+               fn.props['description'] AS description
+        FROM edges ass
+        JOIN effective ef ON ef.role_id = ass.dst_id
+        JOIN nodes fn ON fn.label = 'AWSLambda' AND fn.id = ass.src_id
+        JOIN nodes role ON role.label = 'AWSRole' AND role.id = ass.dst_id
+        JOIN edges acct ON acct.rel_label = 'RESOURCE'
+           AND acct.src_label = 'AWSAccount' AND acct.dst_id = fn.id
+        JOIN nodes a ON a.label = 'AWSAccount' AND a.id = acct.src_id
+        WHERE ass.rel_label = 'ASSUMES' AND ass.src_label = 'AWSLambda'
+        GROUP BY fn.id, fn.props['name'], a.props['name'], acct.src_id,
+                 role.props['name'], fn.props['anonymous_access'],
+                 fn.props['description']
+        ORDER BY account, workload_id
+    """,
+    count_sql="""
+        SELECT count(*) AS count FROM nodes n WHERE n.label = 'AWSLambda'
+    """,
+    identity_fields=("workload_id",),
+    asset_label="AWSLambda",
+    asset_id_field="workload_id",
+)
+
 AWS_RDS_PUBLIC_ACCESS = Fact(
     id="aws_rds_public_access",
     name="RDS instances reachable from the internet",
@@ -2307,6 +2461,21 @@ ALL_RULES = ALL_RULES + (
         "leg).",
         version="0.1.0",
         facts=(AWS_POLICY_ADMIN_PERMISSIONS,),
+    ),
+    Rule(
+        id="workload_identity_admin_capabilities",
+        name="Workload identity-admin capabilities",
+        tags=("iam", "stride:elevation_of_privilege", "stride:spoofing",
+              "stride:tampering"),
+        description="Compute workloads (VMs or functions) holding "
+        "permissions to administer identities/policies; exposure "
+        "raises the blast radius (rules/data/rules/"
+        "workload_identity_admin_capabilities.py).",
+        version="0.1.0",
+        facts=(AWS_EC2_ACCOUNT_MANIPULATION,
+               AWS_LAMBDA_ACCOUNT_MANIPULATION),
+        frameworks=(iso27001_annex_a("5.18"), iso27001_annex_a("8.2"),
+                    soc2_tsc("CC6.3")),
     ),
     Rule(
         id="database_instance_exposed",

@@ -62,6 +62,9 @@ RESERVATIONS_SCHEMA = """
                 NetworkInterfaceId: STRING, Status: STRING,
                 MacAddress: STRING, Description: STRING,
                 PrivateDnsName: STRING, PrivateIpAddress: STRING,
+                Association: STRUCT<PublicIp: STRING>,
+                PrivateIpAddresses: ARRAY<STRUCT<
+                    PrivateIpAddress: STRING, Primary: BOOLEAN>>,
                 Attachment: STRUCT<DeviceIndex: INT>,
                 Groups: ARRAY<STRUCT<GroupId: STRING>>,
                 Ipv6Addresses: ARRAY<STRUCT<Ipv6Address: STRING,
@@ -209,6 +212,28 @@ def transform_ec2(raw: DataFrame, update_tag: int) -> tuple[DataFrame, DataFrame
         "account_id", "instance_id",
         F.explode(F.coalesce("i.SecurityGroups", F.array())).alias("sg"),
     )
+    # per-NIC private IPs: the PrivateIpAddresses array when present,
+    # else the scalar primary ip (network_interfaces.py:114 id scheme)
+    private_ips = nic_pairs.select(
+        "account_id",
+        F.col("nic.NetworkInterfaceId").alias("nic_id"),
+        F.explode(F.when(
+            F.size(F.coalesce(
+                F.col("nic.PrivateIpAddresses"),
+                F.array().cast(
+                    "array<struct<PrivateIpAddress:string,Primary:boolean>>"
+                ),
+            )) > 0,
+            F.col("nic.PrivateIpAddresses"),
+        ).otherwise(F.array(F.struct(
+            F.col("nic.PrivateIpAddress").alias("PrivateIpAddress"),
+            F.lit(True).alias("Primary"),
+        )))).alias("pip"),
+    ).filter(F.col("pip.PrivateIpAddress").isNotNull()).withColumn(
+        "pip_id",
+        F.concat(F.col("nic_id"), F.lit(":"),
+                 F.col("pip.PrivateIpAddress")),
+    )
     subnets = inst.filter(F.col("i.SubnetId").isNotNull()).select(
         "account_id", "instance_id", F.col("i.SubnetId").alias("subnet_id")
     )
@@ -291,8 +316,14 @@ def transform_ec2(raw: DataFrame, update_tag: int) -> tuple[DataFrame, DataFrame
             "description": F.col("nic.Description"),
             "privatednsname": F.col("nic.PrivateDnsName"),
             "privateipaddress": F.col("nic.PrivateIpAddress"),
+            "public_ip": F.col("nic.Association.PublicIp"),
             "subnetid": F.col("instance_subnet"),
         }, update_tag))
+        .unionByName(_node(private_ips, "AWSEC2PrivateIp", F.col("pip_id"), {
+            "network_interface_id": F.col("nic_id"),
+            "private_ip_address": F.col("pip.PrivateIpAddress"),
+            "primary": F.col("pip.Primary"),
+        }, update_tag, extra=["EC2PrivateIp"]))
         .unionByName(_node(vols, "AWSEBSVolume", F.col("volume_id"), {
             "deleteontermination": F.col("delete_on_termination"),
         }, update_tag))
@@ -319,6 +350,8 @@ def transform_ec2(raw: DataFrame, update_tag: int) -> tuple[DataFrame, DataFrame
               F.col("keypair_arn"), update_tag, sub(keypairs)),
         _edge(nic_pairs, "AWSAccount", acct, "RESOURCE", "AWSNetworkInterface",
               F.col("nic.NetworkInterfaceId"), update_tag, sub(nic_pairs)),
+        _edge(private_ips, "AWSAccount", acct, "RESOURCE", "AWSEC2PrivateIp",
+              F.col("pip_id"), update_tag, sub(private_ips)),
         _edge(vols, "AWSAccount", acct, "RESOURCE", "AWSEBSVolume",
               F.col("volume_id"), update_tag, sub(vols)),
     ]
@@ -344,6 +377,9 @@ def transform_ec2(raw: DataFrame, update_tag: int) -> tuple[DataFrame, DataFrame
               "AWSEC2Instance", F.col("instance_id"), update_tag),
         _edge(ipv6, "AWSNetworkInterface", F.col("nic_id"), "HAS_IPV6_ADDRESS",
               "AWSEC2Ipv6Address", F.col("ipv6"), update_tag),
+        _edge(private_ips, "AWSNetworkInterface", F.col("nic_id"),
+              "PRIVATE_IP_ADDRESS", "AWSEC2PrivateIp", F.col("pip_id"),
+              update_tag),
     ]
     edges = account_resource[0]
     for e in account_resource[1:] + rels:

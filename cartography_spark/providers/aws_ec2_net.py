@@ -336,6 +336,56 @@ def transform_load_balancer_v2s(
 # ---------------------------------------------------------------------------
 
 
+def resolve_ip_target_expose(
+    store, lbv2_raw: DataFrame, account_id: str, update_tag: int
+) -> int:
+    """``(lb)-[:EXPOSE]->(:AWSEC2PrivateIp)`` for ``ip``-type target
+    groups, matched on the private_ip_address prop — the reference's
+    LoadBalancerV2ToEC2PrivateIpMatchLink
+    (``models/aws/ec2/loadbalancerv2.py:330-345``) + its phase-2
+    stale-pair sweep (``load_balancer_v2s.py:528-539``)."""
+    lbs = lbv2_raw.select(
+        F.explode(F.from_json("payload_json", LBV2_SCHEMA)).alias("lb"),
+    ).filter(F.col("lb.DNSName").isNotNull())
+    ip_targets = lbs.select(
+        F.col("lb.DNSName").alias("lb_id"),
+        F.explode(F.coalesce("lb.TargetGroups", F.array())).alias("tg"),
+    ).filter(F.col("tg.TargetType") == "ip").select(
+        "lb_id",
+        F.explode(F.coalesce("tg.Targets", F.array())).alias("target_ip"),
+    )
+    pips = store.nodes(["AWSEC2PrivateIp"]).select(
+        F.col("id").alias("pip_id"),
+        F.element_at("props", "private_ip_address").alias("target_ip"),
+    )
+    pairs = ip_targets.join(pips, "target_ip")
+    counts = store.merge_edges(
+        pairs.select(
+            F.lit("AWSLoadBalancerV2").alias("src_label"),
+            F.col("lb_id").alias("src_id"),
+            F.lit("EXPOSE").alias("rel_label"),
+            F.lit("AWSEC2PrivateIp").alias("dst_label"),
+            F.col("pip_id").alias("dst_id"),
+            F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+            F.lit("AWSAccount").alias("sub_resource_label"),
+            F.lit(account_id).alias("sub_resource_id"),
+            F.lit(None).cast("map<string,string>").alias("props"),
+        ).dropDuplicates(
+            ["src_label", "src_id", "rel_label", "dst_label", "dst_id"]
+        ),
+        update_tag,
+        rels=["EXPOSE"],
+    )
+    store.delete_edges(
+        "EXPOSE",
+        (F.col("lastupdated") != int(update_tag))
+        & (F.col("dst_label") == "AWSEC2PrivateIp")
+        & (F.col("sub_resource_label") == "AWSAccount")
+        & (F.col("sub_resource_id") == account_id),
+    )
+    return sum(c["created"] + c["updated"] for c in counts.values())
+
+
 def _open_inbound_rules(store) -> DataFrame:
     """(rule_id, groupid, protocol, fromport, toport) of inbound rules
     reachable from 0.0.0.0/0."""
@@ -511,6 +561,9 @@ def sync_ec2_network(
         nodes, edges = transform_load_balancer_v2s(lbv2_raw, update_tag)
         metrics["lbv2_nodes"] = store.merge_nodes(nodes, update_tag)
         metrics["lbv2_edges"] = store.merge_edges(edges, update_tag)
+        metrics["lbv2_ip_target_expose"] = resolve_ip_target_expose(
+            store, lbv2_raw, account_id, update_tag
+        )
     acct_rel = RelSchema(
         rel_label="RESOURCE",
         target_node_label="AWSAccount",

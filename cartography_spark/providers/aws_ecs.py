@@ -1,0 +1,863 @@
+"""AWS ECS: clusters, container instances, services, task definitions
++ container definitions, tasks + containers — the container leg of the
+AWS exposure chain.
+
+Re-expresses ``intel/aws/ecs.py``:
+
+* **clusters** (``get_ecs_clusters`` :50-68): arn-keyed, the
+  executeCommandConfiguration flattened into the ``ecc_*`` props the
+  model declares (``models/aws/ecs/clusters.py``);
+* **container instances** (:72-97): per-cluster payloads,
+  HAS_CONTAINER_INSTANCE under the cluster, IS_INSTANCE to the backing
+  AWSEC2Instance by ec2InstanceId;
+* **services** (:99-120): HAS_SERVICE + WORKLOAD_PARENT to the
+  cluster, HAS_TASK_DEFINITION, and the target-group registrations
+  (``_load_ecs_service_target_group_registrations`` :326-357) as
+  ``(tg)-[:TARGETS {container_name, container_port}]->(service)``
+  MatchLinks with an account-scoped stale sweep;
+* **task definitions** (:122-150): HAS_TASK_ROLE / HAS_EXECUTION_ROLE
+  to AWSRole; container definitions exploded with the reference's
+  ``{taskDefinitionArn}-{name}`` ids under HAS_CONTAINER_DEFINITION;
+* **tasks** (``transform_ecs_tasks`` :224-261): serviceName split from
+  the ``service:`` group prefix; standalone tasks WORKLOAD_PARENT the
+  cluster directly while service tasks resolve their service by ONE
+  (cluster_arn, name) equi-join against the graph; the ENI id pulled
+  from the ElasticNetworkInterface attachment detail array with
+  ``filter``+``get`` (no loop); runtime cpu architecture from the task
+  attribute, falling back to the task definition's runtimePlatform
+  hint by in-batch join (``_get_task_definition_architecture``
+  :173-191, ``_get_containers_from_tasks`` :194-221);
+* **containers**: HAS_CONTAINER / WORKLOAD_PARENT, HAS_IMAGE resolved
+  by ONE digest equi-join against every image family in the graph
+  (``models/aws/ecs/containers.py:108-220`` — ECR, GitHub, GitLab,
+  Artifact Registry);
+* **exposure** (``analysis/aws/analysis.py`` AWS_ECS_ASSET_EXPOSURE):
+  ``elbv2`` via exposed LB → EXPOSE → private-ip → ENI → task →
+  container, ``direct`` via an open security group on a public-IP ENI
+  — both as one typed AnalysisJob with generated property cleanup
+  (derive-then-clear);
+* cleanup (:433-459): account-scoped GC, children before parents.
+
+Scale: every family is one from_json+explode pass; service/image/ENI
+resolution are equi-joins; the exposure job is a join chain over
+edge-label-pruned frames. No driver loops, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cartography_spark.plans.images import normalize_architecture_expr
+from cartography_spark.providers.aws_ec2 import _edge, _node
+
+CLUSTERS_SCHEMA = """
+    STRUCT<Clusters: ARRAY<STRUCT<
+        clusterArn: STRING, clusterName: STRING, status: STRING,
+        capacityProviders: ARRAY<STRING>, attachmentsStatus: STRING,
+        configuration: STRUCT<executeCommandConfiguration: STRUCT<
+            kmsKeyId: STRING, logging: STRING,
+            logConfiguration: STRUCT<
+                cloudWatchLogGroupName: STRING,
+                cloudWatchEncryptionEnabled: BOOLEAN,
+                s3BucketName: STRING, s3EncryptionEnabled: BOOLEAN,
+                s3KeyPrefix: STRING>>>>>>
+"""
+INSTANCES_SCHEMA = """
+    STRUCT<ClusterArn: STRING, ContainerInstances: ARRAY<STRUCT<
+        containerInstanceArn: STRING, ec2InstanceId: STRING,
+        capacityProviderName: STRING, version: BIGINT,
+        versionInfo: STRUCT<agentVersion: STRING, agentHash: STRING,
+                            dockerVersion: STRING>,
+        status: STRING, statusReason: STRING, agentConnected: BOOLEAN,
+        agentUpdateStatus: STRING, registeredAt: STRING>>>
+"""
+SERVICES_SCHEMA = """
+    STRUCT<Services: ARRAY<STRUCT<
+        serviceArn: STRING, serviceName: STRING, clusterArn: STRING,
+        status: STRING, desiredCount: INT, runningCount: INT,
+        pendingCount: INT, launchType: STRING, platformVersion: STRING,
+        platformFamily: STRING, taskDefinition: STRING,
+        deploymentConfiguration: STRUCT<
+            deploymentCircuitBreaker: STRUCT<enable: BOOLEAN,
+                                             rollback: BOOLEAN>,
+            maximumPercent: INT, minimumHealthyPercent: INT>,
+        roleArn: STRING, createdAt: STRING,
+        healthCheckGracePeriodSeconds: INT, createdBy: STRING,
+        enableECSManagedTags: BOOLEAN, propagateTags: STRING,
+        enableExecuteCommand: BOOLEAN,
+        loadBalancers: ARRAY<STRUCT<targetGroupArn: STRING,
+                                    containerName: STRING,
+                                    containerPort: INT>>>>>
+"""
+TASK_DEFS_SCHEMA = """
+    STRUCT<TaskDefinitions: ARRAY<STRUCT<
+        taskDefinitionArn: STRING, family: STRING, taskRoleArn: STRING,
+        executionRoleArn: STRING, networkMode: STRING, revision: INT,
+        status: STRING, compatibilities: ARRAY<STRING>,
+        requiresCompatibilities: ARRAY<STRING>,
+        runtimePlatform: STRUCT<cpuArchitecture: STRING,
+                                operatingSystemFamily: STRING>,
+        cpu: STRING, memory: STRING, pidMode: STRING, ipcMode: STRING,
+        proxyConfiguration: STRUCT<type: STRING, containerName: STRING>,
+        registeredAt: STRING, deregisteredAt: STRING,
+        registeredBy: STRING,
+        ephemeralStorage: STRUCT<sizeInGiB: INT>,
+        containerDefinitions: ARRAY<STRUCT<
+            name: STRING, image: STRING, cpu: INT, memory: INT,
+            memoryReservation: INT, links: ARRAY<STRING>,
+            essential: BOOLEAN, entryPoint: ARRAY<STRING>,
+            command: ARRAY<STRING>, startTimeout: INT,
+            stopTimeout: INT, hostname: STRING, user: STRING,
+            workingDirectory: STRING, disableNetworking: BOOLEAN,
+            privileged: BOOLEAN, readonlyRootFilesystem: BOOLEAN,
+            dnsServers: ARRAY<STRING>,
+            dnsSearchDomains: ARRAY<STRING>,
+            dockerSecurityOptions: ARRAY<STRING>,
+            interactive: BOOLEAN, pseudoTerminal: BOOLEAN>>>>>
+"""
+TASKS_SCHEMA = """
+    STRUCT<Tasks: ARRAY<STRUCT<
+        taskArn: STRING, clusterArn: STRING, availabilityZone: STRING,
+        capacityProviderName: STRING, connectivity: STRING,
+        connectivityAt: STRING, containerInstanceArn: STRING,
+        cpu: STRING, memory: STRING, createdAt: STRING,
+        desiredStatus: STRING, enableExecuteCommand: BOOLEAN,
+        executionStoppedAt: STRING, group: STRING,
+        healthStatus: STRING, lastStatus: STRING, launchType: STRING,
+        platformVersion: STRING, platformFamily: STRING,
+        pullStartedAt: STRING, pullStoppedAt: STRING,
+        startedAt: STRING, startedBy: STRING, stopCode: STRING,
+        stoppedAt: STRING, stoppedReason: STRING, stoppingAt: STRING,
+        taskDefinitionArn: STRING, version: BIGINT,
+        ephemeralStorage: STRUCT<sizeInGiB: INT>,
+        attachments: ARRAY<STRUCT<type: STRING,
+            details: ARRAY<STRUCT<name: STRING, value: STRING>>>>,
+        attributes: ARRAY<STRUCT<name: STRING, value: STRING>>,
+        containers: ARRAY<STRUCT<
+            containerArn: STRING, taskArn: STRING, name: STRING,
+            image: STRING, imageDigest: STRING, runtimeId: STRING,
+            lastStatus: STRING, exitCode: INT, reason: STRING,
+            healthStatus: STRING, cpu: STRING, memory: STRING,
+            memoryReservation: STRING, gpuIds: ARRAY<STRING>>>>>>
+"""
+
+_IMAGE_LABELS = ("AWSECRImage", "GitHubContainerImage",
+                 "GitLabContainerImage", "GCPArtifactRegistryImage")
+
+
+def _attachment_detail(attachments, att_type: str, detail: str):
+    """First detail value of the first attachment of ``att_type`` —
+    the reference's nested break-loop (:243-253) as array exprs."""
+    att = F.get(F.filter(
+        F.coalesce(attachments, F.array().cast(
+            "array<struct<type:string,"
+            "details:array<struct<name:string,value:string>>>>")),
+        lambda a: a["type"] == att_type,
+    ), 0)
+    return F.get(
+        F.filter(att["details"], lambda d: d["name"] == detail), 0
+    )["value"]
+
+
+def _attribute_value(attributes, name: str):
+    return F.get(F.filter(
+        F.coalesce(attributes, F.array().cast(
+            "array<struct<name:string,value:string>>")),
+        lambda a: a["name"] == name,
+    ), 0)["value"]
+
+
+def transform_ecs_clusters(
+    raw: DataFrame, account_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    c = raw.select(
+        "region",
+        F.explode(
+            F.from_json("payload_json", CLUSTERS_SCHEMA)["Clusters"]
+        ).alias("c"),
+    )
+    ecc = F.col("c.configuration.executeCommandConfiguration")
+    acct = F.lit(account_id)
+    nodes = _node(c, "AWSECSCluster", F.col("c.clusterArn"), {
+        "arn": F.col("c.clusterArn"),
+        "name": F.col("c.clusterName"),
+        "region": F.col("region"),
+        "status": F.col("c.status"),
+        "ecc_kms_key_id": ecc["kmsKeyId"],
+        "ecc_logging": ecc["logging"],
+        "ecc_log_configuration_cloud_watch_log_group_name":
+            ecc["logConfiguration"]["cloudWatchLogGroupName"],
+        "ecc_log_configuration_cloud_watch_encryption_enabled":
+            ecc["logConfiguration"]["cloudWatchEncryptionEnabled"],
+        "ecc_log_configuration_s3_bucket_name":
+            ecc["logConfiguration"]["s3BucketName"],
+        "ecc_log_configuration_s3_encryption_enabled":
+            ecc["logConfiguration"]["s3EncryptionEnabled"],
+        "ecc_log_configuration_s3_key_prefix":
+            ecc["logConfiguration"]["s3KeyPrefix"],
+        "capacity_providers": F.to_json(F.col("c.capacityProviders")),
+        "attachments_status": F.col("c.attachmentsStatus"),
+    }, update_tag)
+    edges = _edge(c, "AWSAccount", acct, "RESOURCE", "AWSECSCluster",
+                  F.col("c.clusterArn"), update_tag, ("AWSAccount", acct))
+    return nodes, edges
+
+
+def transform_ecs_container_instances(
+    raw: DataFrame, account_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    doc = raw.select(
+        "region",
+        F.from_json("payload_json", INSTANCES_SCHEMA).alias("d"),
+    )
+    ci = doc.select(
+        "region", F.col("d.ClusterArn").alias("cluster_arn"),
+        F.explode(F.coalesce("d.ContainerInstances", F.array())).alias("i"),
+    )
+    acct = F.lit(account_id)
+    sub = ("AWSAccount", acct)
+    arn = F.col("i.containerInstanceArn")
+    nodes = _node(ci, "AWSECSContainerInstance", arn, {
+        "arn": arn,
+        "ec2_instance_id": F.col("i.ec2InstanceId"),
+        "capacity_provider_name": F.col("i.capacityProviderName"),
+        "version": F.col("i.version"),
+        "version_info_agent_version": F.col("i.versionInfo.agentVersion"),
+        "version_info_agent_hash": F.col("i.versionInfo.agentHash"),
+        "version_info_agent_docker_version":
+            F.col("i.versionInfo.dockerVersion"),
+        "status": F.col("i.status"),
+        "status_reason": F.col("i.statusReason"),
+        "agent_connected": F.col("i.agentConnected"),
+        "agent_update_status": F.col("i.agentUpdateStatus"),
+        "registered_at": F.col("i.registeredAt"),
+        "region": F.col("region"),
+    }, update_tag)
+    edges = (
+        _edge(ci, "AWSAccount", acct, "RESOURCE",
+              "AWSECSContainerInstance", arn, update_tag, sub)
+        .unionByName(_edge(
+            ci.filter(F.col("cluster_arn").isNotNull()),
+            "AWSECSCluster", F.col("cluster_arn"),
+            "HAS_CONTAINER_INSTANCE", "AWSECSContainerInstance", arn,
+            update_tag, sub))
+        .unionByName(_edge(
+            ci.filter(F.col("i.ec2InstanceId").isNotNull()),
+            "AWSECSContainerInstance", arn, "IS_INSTANCE",
+            "AWSEC2Instance", F.col("i.ec2InstanceId"), update_tag, sub))
+    )
+    return nodes, edges
+
+
+def transform_ecs_services(
+    raw: DataFrame, account_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """→ (nodes, edges, target-group registrations frame
+    ``(tg_arn, service_arn, container_name, container_port)``)."""
+    s = raw.select(
+        "region",
+        F.explode(
+            F.from_json("payload_json", SERVICES_SCHEMA)["Services"]
+        ).alias("s"),
+    )
+    acct = F.lit(account_id)
+    sub = ("AWSAccount", acct)
+    arn = F.col("s.serviceArn")
+    dc = F.col("s.deploymentConfiguration")
+    nodes = _node(s, "AWSECSService", arn, {
+        "arn": arn,
+        "name": F.col("s.serviceName"),
+        "cluster_arn": F.col("s.clusterArn"),
+        "status": F.col("s.status"),
+        "desired_count": F.col("s.desiredCount"),
+        "running_count": F.col("s.runningCount"),
+        "pending_count": F.col("s.pendingCount"),
+        "launch_type": F.col("s.launchType"),
+        "platform_version": F.col("s.platformVersion"),
+        "platform_family": F.col("s.platformFamily"),
+        "task_definition": F.col("s.taskDefinition"),
+        "deployment_config_circuit_breaker_enable":
+            dc["deploymentCircuitBreaker"]["enable"],
+        "deployment_config_circuit_breaker_rollback":
+            dc["deploymentCircuitBreaker"]["rollback"],
+        "deployment_config_maximum_percent": dc["maximumPercent"],
+        "deployment_config_minimum_healthy_percent":
+            dc["minimumHealthyPercent"],
+        "role_arn": F.col("s.roleArn"),
+        "created_at": F.col("s.createdAt"),
+        "health_check_grace_period_seconds":
+            F.col("s.healthCheckGracePeriodSeconds"),
+        "created_by": F.col("s.createdBy"),
+        "enable_ecs_managed_tags": F.col("s.enableECSManagedTags"),
+        "propagate_tags": F.col("s.propagateTags"),
+        "enable_execute_command": F.col("s.enableExecuteCommand"),
+        "region": F.col("region"),
+    }, update_tag)
+    edges = (
+        _edge(s, "AWSAccount", acct, "RESOURCE", "AWSECSService", arn,
+              update_tag, sub)
+        .unionByName(_edge(
+            s.filter(F.col("s.clusterArn").isNotNull()),
+            "AWSECSCluster", F.col("s.clusterArn"), "HAS_SERVICE",
+            "AWSECSService", arn, update_tag, sub))
+        .unionByName(_edge(
+            s.filter(F.col("s.clusterArn").isNotNull()),
+            "AWSECSService", arn, "WORKLOAD_PARENT", "AWSECSCluster",
+            F.col("s.clusterArn"), update_tag, sub))
+        .unionByName(_edge(
+            s.filter(F.col("s.taskDefinition").isNotNull()),
+            "AWSECSService", arn, "HAS_TASK_DEFINITION",
+            "AWSECSTaskDefinition", F.col("s.taskDefinition"),
+            update_tag, sub))
+    )
+    registrations = s.select(
+        arn.alias("service_arn"),
+        F.explode(F.coalesce("s.loadBalancers", F.array())).alias("lb"),
+    ).filter(F.col("lb.targetGroupArn").isNotNull()).select(
+        "service_arn",
+        F.col("lb.targetGroupArn").alias("tg_arn"),
+        F.col("lb.containerName").alias("container_name"),
+        F.col("lb.containerPort").alias("container_port"),
+    )
+    return nodes, edges, registrations
+
+
+def transform_ecs_task_definitions(
+    raw: DataFrame, account_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    td = raw.select(
+        "region",
+        F.explode(
+            F.from_json("payload_json", TASK_DEFS_SCHEMA)["TaskDefinitions"]
+        ).alias("t"),
+    )
+    acct = F.lit(account_id)
+    sub = ("AWSAccount", acct)
+    arn = F.col("t.taskDefinitionArn")
+    nodes = _node(td, "AWSECSTaskDefinition", arn, {
+        "arn": arn,
+        "family": F.col("t.family"),
+        "task_role_arn": F.col("t.taskRoleArn"),
+        "execution_role_arn": F.col("t.executionRoleArn"),
+        "network_mode": F.col("t.networkMode"),
+        "revision": F.col("t.revision"),
+        "status": F.col("t.status"),
+        "compatibilities": F.to_json(F.col("t.compatibilities")),
+        "requires_compatibilities":
+            F.to_json(F.col("t.requiresCompatibilities")),
+        "runtime_platform_cpu_architecture":
+            F.col("t.runtimePlatform.cpuArchitecture"),
+        "runtime_platform_operating_system_family":
+            F.col("t.runtimePlatform.operatingSystemFamily"),
+        "cpu": F.col("t.cpu"),
+        "memory": F.col("t.memory"),
+        "pid_mode": F.col("t.pidMode"),
+        "ipc_mode": F.col("t.ipcMode"),
+        "proxy_configuration_type": F.col("t.proxyConfiguration.type"),
+        "proxy_configuration_container_name":
+            F.col("t.proxyConfiguration.containerName"),
+        "registered_at": F.col("t.registeredAt"),
+        "deregistered_at": F.col("t.deregisteredAt"),
+        "registered_by": F.col("t.registeredBy"),
+        "ephemeral_storage_size_in_gib":
+            F.col("t.ephemeralStorage.sizeInGiB"),
+        "region": F.col("region"),
+    }, update_tag)
+    cdefs = td.select(
+        "region", arn.alias("td_arn"),
+        F.explode(F.coalesce("t.containerDefinitions", F.array()))
+        .alias("c"),
+    ).withColumn(
+        # _get_container_defs_from_task_definitions :137-149 id scheme
+        "cd_id", F.concat(F.col("td_arn"), F.lit("-"), F.col("c.name"))
+    )
+    nodes = nodes.unionByName(
+        _node(cdefs, "AWSECSContainerDefinition", F.col("cd_id"), {
+            "task_definition_arn": F.col("td_arn"),
+            "name": F.col("c.name"),
+            "image": F.col("c.image"),
+            "cpu": F.col("c.cpu"),
+            "memory": F.col("c.memory"),
+            "memory_reservation": F.col("c.memoryReservation"),
+            "links": F.to_json(F.col("c.links")),
+            "essential": F.col("c.essential"),
+            "entry_point": F.to_json(F.col("c.entryPoint")),
+            "command": F.to_json(F.col("c.command")),
+            "start_timeout": F.col("c.startTimeout"),
+            "stop_timeout": F.col("c.stopTimeout"),
+            "hostname": F.col("c.hostname"),
+            "user": F.col("c.user"),
+            "working_directory": F.col("c.workingDirectory"),
+            "disable_networking": F.col("c.disableNetworking"),
+            "privileged": F.col("c.privileged"),
+            "readonly_root_filesystem":
+                F.col("c.readonlyRootFilesystem"),
+            "dns_servers": F.to_json(F.col("c.dnsServers")),
+            "dns_search_domains": F.to_json(F.col("c.dnsSearchDomains")),
+            "docker_security_options":
+                F.to_json(F.col("c.dockerSecurityOptions")),
+            "interactive": F.col("c.interactive"),
+            "pseudo_terminal": F.col("c.pseudoTerminal"),
+            "region": F.col("region"),
+        }, update_tag)
+    )
+    edges = (
+        _edge(td, "AWSAccount", acct, "RESOURCE", "AWSECSTaskDefinition",
+              arn, update_tag, sub)
+        .unionByName(_edge(cdefs, "AWSAccount", acct, "RESOURCE",
+                           "AWSECSContainerDefinition", F.col("cd_id"),
+                           update_tag, sub))
+        .unionByName(_edge(cdefs, "AWSECSTaskDefinition",
+                           F.col("td_arn"), "HAS_CONTAINER_DEFINITION",
+                           "AWSECSContainerDefinition", F.col("cd_id"),
+                           update_tag, sub))
+        .unionByName(_edge(
+            td.filter(F.col("t.taskRoleArn").isNotNull()),
+            "AWSECSTaskDefinition", arn, "HAS_TASK_ROLE", "AWSRole",
+            F.col("t.taskRoleArn"), update_tag, sub))
+        .unionByName(_edge(
+            td.filter(F.col("t.executionRoleArn").isNotNull()),
+            "AWSECSTaskDefinition", arn, "HAS_EXECUTION_ROLE", "AWSRole",
+            F.col("t.executionRoleArn"), update_tag, sub))
+    )
+    return nodes, edges
+
+
+def _task_definition_arch_hints(taskdefs_raw: DataFrame) -> DataFrame:
+    """``_get_task_definition_architecture`` :173-191: (td_arn,
+    raw arch, normalized) for defs with a known runtimePlatform arch."""
+    td = taskdefs_raw.select(
+        F.explode(
+            F.from_json("payload_json", TASK_DEFS_SCHEMA)["TaskDefinitions"]
+        ).alias("t"),
+    ).select(
+        F.col("t.taskDefinitionArn").alias("td_arn"),
+        F.col("t.runtimePlatform.cpuArchitecture").alias("hint_raw"),
+    ).filter(F.col("hint_raw").isNotNull()).withColumn(
+        "hint_norm", normalize_architecture_expr(F.col("hint_raw"))
+    ).filter(F.col("hint_norm") != "unknown")
+    return td.dropDuplicates(["td_arn"])
+
+
+def transform_ecs_tasks(
+    raw: DataFrame,
+    account_id: str,
+    update_tag: int,
+    arch_hints: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    t = raw.select(
+        "region",
+        F.explode(
+            F.from_json("payload_json", TASKS_SCHEMA)["Tasks"]
+        ).alias("t"),
+    ).withColumn(
+        "service_name",
+        F.when(F.col("t.group").startswith("service:"),
+               F.substring(F.col("t.group"), 9, 2048)),
+    ).withColumn(
+        "eni_id",
+        _attachment_detail(F.col("t.attachments"),
+                           "ElasticNetworkInterface", "networkInterfaceId"),
+    ).withColumn(
+        "arch_raw", _attribute_value(F.col("t.attributes"),
+                                     "ecs.cpu-architecture")
+    ).withColumn(
+        "arch_norm", normalize_architecture_expr(F.col("arch_raw"))
+    )
+    if arch_hints is not None:
+        t = t.join(
+            F.broadcast(arch_hints),
+            t["t.taskDefinitionArn"] == arch_hints["td_arn"], "left",
+        ).drop("td_arn")
+    else:
+        t = t.withColumn("hint_raw", F.lit(None).cast("string")) \
+             .withColumn("hint_norm", F.lit(None).cast("string"))
+
+    acct = F.lit(account_id)
+    sub = ("AWSAccount", acct)
+    arn = F.col("t.taskArn")
+    nodes = _node(t, "AWSECSTask", arn, {
+        "arn": arn,
+        "availability_zone": F.col("t.availabilityZone"),
+        "capacity_provider_name": F.col("t.capacityProviderName"),
+        "cluster_arn": F.col("t.clusterArn"),
+        "connectivity": F.col("t.connectivity"),
+        "connectivity_at": F.col("t.connectivityAt"),
+        "container_instance_arn": F.col("t.containerInstanceArn"),
+        "cpu": F.col("t.cpu"),
+        "memory": F.col("t.memory"),
+        "created_at": F.col("t.createdAt"),
+        "desired_status": F.col("t.desiredStatus"),
+        "enable_execute_command": F.col("t.enableExecuteCommand"),
+        "group": F.col("t.group"),
+        "service_name": F.col("service_name"),
+        "health_status": F.col("t.healthStatus"),
+        "last_status": F.col("t.lastStatus"),
+        "launch_type": F.col("t.launchType"),
+        "platform_version": F.col("t.platformVersion"),
+        "platform_family": F.col("t.platformFamily"),
+        "started_at": F.col("t.startedAt"),
+        "started_by": F.col("t.startedBy"),
+        "stop_code": F.col("t.stopCode"),
+        "stopped_at": F.col("t.stoppedAt"),
+        "stopped_reason": F.col("t.stoppedReason"),
+        "task_definition_arn": F.col("t.taskDefinitionArn"),
+        "version": F.col("t.version"),
+        "ephemeral_storage_size_in_gib":
+            F.col("t.ephemeralStorage.sizeInGiB"),
+        "network_interface_id": F.col("eni_id"),
+        "region": F.col("region"),
+    }, update_tag)
+
+    containers = t.select(
+        "region", arn.alias("task_arn"), "arch_raw", "arch_norm",
+        "hint_raw", "hint_norm",
+        F.explode(F.coalesce("t.containers", F.array())).alias("c"),
+    ).withColumn(
+        "c_arch",
+        F.when(F.col("arch_raw").isNotNull(), F.col("arch_raw"))
+        .otherwise(F.col("hint_raw")),
+    ).withColumn(
+        "c_arch_norm",
+        F.when(F.col("arch_raw").isNotNull(), F.col("arch_norm"))
+        .otherwise(F.col("hint_norm")),
+    ).withColumn(
+        "c_arch_source",
+        F.when(F.col("arch_raw").isNotNull(), F.lit("runtime_api_exact"))
+        .when(F.col("hint_raw").isNotNull(),
+              F.lit("task_definition_hint")),
+    )
+    nodes = nodes.unionByName(
+        _node(containers, "AWSECSContainer", F.col("c.containerArn"), {
+            "arn": F.col("c.containerArn"),
+            "task_arn": F.col("task_arn"),
+            "name": F.col("c.name"),
+            "image": F.col("c.image"),
+            "image_digest": F.col("c.imageDigest"),
+            "architecture": F.col("c_arch"),
+            "architecture_normalized": F.col("c_arch_norm"),
+            "architecture_source": F.col("c_arch_source"),
+            "runtime_id": F.col("c.runtimeId"),
+            "last_status": F.col("c.lastStatus"),
+            "exit_code": F.col("c.exitCode"),
+            "reason": F.col("c.reason"),
+            "health_status": F.col("c.healthStatus"),
+            "cpu": F.col("c.cpu"),
+            "memory": F.col("c.memory"),
+            "memory_reservation": F.col("c.memoryReservation"),
+            "gpu_ids": F.to_json(F.col("c.gpuIds")),
+            "region": F.col("region"),
+        }, update_tag, extra=["Container"])
+    )
+
+    edges = (
+        _edge(t, "AWSAccount", acct, "RESOURCE", "AWSECSTask", arn,
+              update_tag, sub)
+        .unionByName(_edge(
+            t.filter(F.col("t.clusterArn").isNotNull()),
+            "AWSECSCluster", F.col("t.clusterArn"), "HAS_TASK",
+            "AWSECSTask", arn, update_tag, sub))
+        .unionByName(_edge(
+            t.filter(F.col("t.containerInstanceArn").isNotNull()),
+            "AWSECSContainerInstance", F.col("t.containerInstanceArn"),
+            "HAS_TASK", "AWSECSTask", arn, update_tag, sub))
+        .unionByName(_edge(
+            t.filter(F.col("t.taskDefinitionArn").isNotNull()),
+            "AWSECSTask", arn, "HAS_TASK_DEFINITION",
+            "AWSECSTaskDefinition", F.col("t.taskDefinitionArn"),
+            update_tag, sub))
+        .unionByName(_edge(
+            t.filter(F.col("eni_id").isNotNull()),
+            "AWSECSTask", arn, "NETWORK_INTERFACE",
+            "AWSNetworkInterface", F.col("eni_id"), update_tag, sub))
+        .unionByName(_edge(
+            # standalone tasks parent the cluster (:232-236)
+            t.filter(F.col("service_name").isNull()
+                     & F.col("t.clusterArn").isNotNull()),
+            "AWSECSTask", arn, "WORKLOAD_PARENT", "AWSECSCluster",
+            F.col("t.clusterArn"), update_tag, sub))
+        .unionByName(_edge(containers, "AWSAccount", acct, "RESOURCE",
+                           "AWSECSContainer", F.col("c.containerArn"),
+                           update_tag, sub))
+        .unionByName(_edge(containers, "AWSECSTask", F.col("task_arn"),
+                           "HAS_CONTAINER", "AWSECSContainer",
+                           F.col("c.containerArn"), update_tag, sub))
+        .unionByName(_edge(containers, "AWSECSContainer",
+                           F.col("c.containerArn"), "WORKLOAD_PARENT",
+                           "AWSECSTask", F.col("task_arn"),
+                           update_tag, sub))
+    )
+    return nodes, edges
+
+
+def ecs_exposure_job():
+    """AWS_ECS_ASSET_EXPOSURE twin: ``elbv2`` through the exposed-LB →
+    private-ip → ENI chain, ``direct`` through an open security group
+    on a public-IP ENI; the per-container type set from ONE groupBy."""
+    from cartography_spark.plans.analysis import AnalysisJob, SetProperties
+    from cartography_spark.providers.aws_ec2_net import _open_inbound_rules
+
+    def match(store) -> DataFrame:
+        task_eni = store.edges(["NETWORK_INTERFACE"]).filter(
+            (F.col("src_label") == "AWSECSTask")
+            & (F.col("dst_label") == "AWSNetworkInterface")
+        ).select(F.col("src_id").alias("task_id"),
+                 F.col("dst_id").alias("nic_id"))
+        task_container = store.edges(["HAS_CONTAINER"]).filter(
+            (F.col("src_label") == "AWSECSTask")
+            & (F.col("dst_label") == "AWSECSContainer")
+        ).select(F.col("src_id").alias("task_id"),
+                 F.col("dst_id").alias("id"))
+
+        exposed_lbs = store.nodes(["AWSLoadBalancerV2"]).filter(
+            F.element_at("props", "exposed_internet") == "true"
+        ).select(F.col("id").alias("lb_id"))
+        lb_pip = store.edges(["EXPOSE"]).filter(
+            (F.col("src_label") == "AWSLoadBalancerV2")
+            & (F.col("dst_label") == "AWSEC2PrivateIp")
+        ).select(F.col("src_id").alias("lb_id"),
+                 F.col("dst_id").alias("pip_id"))
+        pip_nic = store.edges(["PRIVATE_IP_ADDRESS"]).filter(
+            (F.col("src_label") == "AWSNetworkInterface")
+            & (F.col("dst_label") == "AWSEC2PrivateIp")
+        ).select(F.col("src_id").alias("nic_id"),
+                 F.col("dst_id").alias("pip_id"))
+        via_lb = (
+            lb_pip.join(exposed_lbs, "lb_id", "left_semi")
+            .join(pip_nic, "pip_id")
+            .join(task_eni, "nic_id")
+            .join(task_container, "task_id")
+            .select("id").distinct()
+            .withColumn("exposure_type", F.lit("elbv2"))
+        )
+
+        open_groups = _open_inbound_rules(store).select(
+            "groupid").distinct()
+        nic_sg = store.edges(["MEMBER_OF_EC2_SECURITY_GROUP"]).filter(
+            (F.col("src_label") == "AWSNetworkInterface")
+            & (F.col("dst_label") == "AWSEC2SecurityGroup")
+        ).select(F.col("src_id").alias("nic_id"),
+                 F.col("dst_id").alias("groupid"))
+        public_nics = store.nodes(["AWSNetworkInterface"]).filter(
+            F.element_at("props", "public_ip").isNotNull()
+        ).select(F.col("id").alias("nic_id"))
+        direct = (
+            nic_sg.join(open_groups, "groupid", "left_semi")
+            .join(public_nics, "nic_id", "left_semi")
+            .join(task_eni, "nic_id")
+            .join(task_container, "task_id")
+            .select("id").distinct()
+            .withColumn("exposure_type", F.lit("direct"))
+        )
+        return (
+            via_lb.unionByName(direct)
+            .groupBy("id")
+            .agg(F.to_json(F.sort_array(F.collect_set("exposure_type")))
+                 .alias("types_json"))
+            .withColumn("label", F.lit("AWSECSContainer"))
+        )
+
+    return AnalysisJob(
+        name="aws_ecs_asset_exposure",
+        match=match,
+        effects=(
+            SetProperties({
+                "exposed_internet": F.lit(True),
+                "exposed_internet_type": F.col("types_json"),
+            }, label="AWSECSContainer"),
+        ),
+    )
+
+
+def _resolve_service_parents(store, account_id: str, update_tag: int) -> int:
+    """``(task)-[:WORKLOAD_PARENT]->(service)`` by (cluster_arn, name)
+    — the reference's in-graph property matcher (tasks.py:165-183)."""
+    tasks = store.nodes(["AWSECSTask"]).select(
+        F.col("id").alias("task_id"),
+        F.element_at("props", "cluster_arn").alias("cluster_arn"),
+        F.element_at("props", "service_name").alias("name"),
+    ).filter(F.col("name").isNotNull())
+    services = store.nodes(["AWSECSService"]).select(
+        F.col("id").alias("service_id"),
+        F.element_at("props", "cluster_arn").alias("cluster_arn"),
+        F.element_at("props", "name").alias("name"),
+    )
+    pairs = tasks.join(F.broadcast(services), ["cluster_arn", "name"])
+    counts = store.merge_edges(
+        pairs.select(
+            F.lit("AWSECSTask").alias("src_label"),
+            F.col("task_id").alias("src_id"),
+            F.lit("WORKLOAD_PARENT").alias("rel_label"),
+            F.lit("AWSECSService").alias("dst_label"),
+            F.col("service_id").alias("dst_id"),
+            F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+            F.lit("AWSAccount").alias("sub_resource_label"),
+            F.lit(account_id).alias("sub_resource_id"),
+            F.lit(None).cast("map<string,string>").alias("props"),
+        ).dropDuplicates(
+            ["src_label", "src_id", "rel_label", "dst_label", "dst_id"]
+        ),
+        update_tag, rels=["WORKLOAD_PARENT"],
+    )
+    return sum(c["created"] + c["updated"] for c in counts.values())
+
+
+def _resolve_container_images(store, account_id: str, update_tag: int) -> int:
+    """``(container)-[:HAS_IMAGE]->(image)`` by digest against every
+    image family in the graph (containers.py:108-220)."""
+    containers = store.nodes(["AWSECSContainer"]).select(
+        F.col("id").alias("container_id"),
+        F.element_at("props", "image_digest").alias("digest"),
+    ).filter(F.col("digest").isNotNull())
+    images = store.nodes(list(_IMAGE_LABELS)).select(
+        F.col("label").alias("img_label"),
+        F.col("id").alias("img_id"),
+        F.element_at("props", "digest").alias("digest"),
+    ).filter(F.col("digest").isNotNull())
+    pairs = containers.join(F.broadcast(images), "digest")
+    counts = store.merge_edges(
+        pairs.select(
+            F.lit("AWSECSContainer").alias("src_label"),
+            F.col("container_id").alias("src_id"),
+            F.lit("HAS_IMAGE").alias("rel_label"),
+            F.col("img_label").alias("dst_label"),
+            F.col("img_id").alias("dst_id"),
+            F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+            F.lit("AWSAccount").alias("sub_resource_label"),
+            F.lit(account_id).alias("sub_resource_id"),
+            F.lit(None).cast("map<string,string>").alias("props"),
+        ).dropDuplicates(
+            ["src_label", "src_id", "rel_label", "dst_label", "dst_id"]
+        ),
+        update_tag, rels=["HAS_IMAGE"],
+    )
+    return sum(c["created"] + c["updated"] for c in counts.values())
+
+
+def _register_target_groups(
+    store, registrations: DataFrame, account_id: str, update_tag: int
+) -> int:
+    """(tg)-[:TARGETS {container_name, container_port}]->(service)
+    MatchLinks + account-scoped stale sweep (:326-357, :528-539)."""
+    counts = store.merge_edges(
+        registrations.select(
+            F.lit("AWSELBV2TargetGroup").alias("src_label"),
+            F.col("tg_arn").alias("src_id"),
+            F.lit("TARGETS").alias("rel_label"),
+            F.lit("AWSECSService").alias("dst_label"),
+            F.col("service_arn").alias("dst_id"),
+            F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+            F.lit("AWSAccount").alias("sub_resource_label"),
+            F.lit(account_id).alias("sub_resource_id"),
+            F.map_from_arrays(
+                F.array(F.lit("container_name"), F.lit("container_port")),
+                F.array(F.col("container_name").cast("string"),
+                        F.col("container_port").cast("string")),
+            ).alias("props"),
+        ).dropDuplicates(
+            ["src_label", "src_id", "rel_label", "dst_label", "dst_id"]
+        ),
+        update_tag, rels=["TARGETS"],
+    )
+    store.delete_edges(
+        "TARGETS",
+        (F.col("lastupdated") != int(update_tag))
+        & (F.col("src_label") == "AWSELBV2TargetGroup")
+        & (F.col("dst_label") == "AWSECSService")
+        & (F.col("sub_resource_label") == "AWSAccount")
+        & (F.col("sub_resource_id") == account_id),
+    )
+    return sum(c["created"] + c["updated"] for c in counts.values())
+
+
+def sync_aws_ecs(
+    store,
+    clusters_raw: DataFrame | None,
+    instances_raw: DataFrame | None,
+    services_raw: DataFrame | None,
+    taskdefs_raw: DataFrame | None,
+    tasks_raw: DataFrame | None,
+    account_id: str,
+    update_tag: int,
+    run_exposure: bool = True,
+) -> dict:
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+    from cartography_spark.plans.analysis import run_analysis_job
+
+    metrics: dict = {}
+    parts = [
+        ("clusters", clusters_raw, transform_ecs_clusters),
+        ("container_instances", instances_raw,
+         transform_ecs_container_instances),
+        ("taskdefs", taskdefs_raw, transform_ecs_task_definitions),
+    ]
+    for key, raw, fn in parts:
+        if raw is None:
+            continue
+        nodes, edges = fn(raw, account_id, update_tag)
+        metrics[f"{key}_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics[f"{key}_edges"] = store.merge_edges(edges, update_tag)
+    if services_raw is not None:
+        nodes, edges, registrations = transform_ecs_services(
+            services_raw, account_id, update_tag
+        )
+        metrics["services_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["services_edges"] = store.merge_edges(edges, update_tag)
+        metrics["tg_registrations"] = _register_target_groups(
+            store, registrations, account_id, update_tag
+        )
+    if tasks_raw is not None:
+        hints = (
+            _task_definition_arch_hints(taskdefs_raw)
+            if taskdefs_raw is not None else None
+        )
+        nodes, edges = transform_ecs_tasks(
+            tasks_raw, account_id, update_tag, hints
+        )
+        metrics["tasks_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["tasks_edges"] = store.merge_edges(edges, update_tag)
+        metrics["service_parents"] = _resolve_service_parents(
+            store, account_id, update_tag
+        )
+        metrics["container_images"] = _resolve_container_images(
+            store, account_id, update_tag
+        )
+
+    acct_rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label="AWSAccount",
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("AWS_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    # children before parents (cleanup_ecs :433-459)
+    for label in ("AWSECSContainer", "AWSECSTask",
+                  "AWSECSContainerInstance", "AWSECSService",
+                  "AWSECSContainerDefinition", "AWSECSTaskDefinition",
+                  "AWSECSCluster"):
+        if label not in store.manifest["nodes"]:
+            continue
+        metrics[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=acct_rel,
+            ),
+            update_tag,
+            {"AWS_ID": account_id},
+        )
+    if run_exposure:
+        metrics["exposure"] = run_analysis_job(
+            store, ecs_exposure_job(), update_tag
+        )
+    store.record_lineage("aws_ecs_sync", {"update_tag": update_tag})
+    return metrics

@@ -1,0 +1,147 @@
+"""AWS IAM instance profiles — the (EC2)-[:INSTANCE_PROFILE]->(profile)
+-[:ASSOCIATED_WITH]->(role) identity hop the workload-identity rule
+pack traverses.
+
+Re-expresses ``intel/aws/iam_instance_profiles.py``:
+
+* **transform** (``transform_instance_profiles`` :25-37): Arn-keyed
+  nodes with create date / profile id / name / path; the per-profile
+  role list becomes an explode → ASSOCIATED_WITH equi-joins on role
+  arn (``models/aws/iam/instanceprofile.py:62-72`` one_to_many
+  matcher);
+* **EC2 attachment** (``models/aws/ec2/instances.py:208``): the
+  instance's ``iaminstanceprofile`` arn (already on AWSEC2Instance
+  nodes from the EC2 provider) equi-joins the profile set in ONE pass
+  — the reference does this at EC2 load time via a node matcher; here
+  the join runs wherever both sides exist, same result;
+* cleanup: account-scoped GC.
+
+Scale: the EC2 join broadcasts the profile frame (profiles per account
+are bounded); no driver loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cartography_spark.providers.aws_ec2 import _edge, _node
+
+PROFILES_SCHEMA = """
+    STRUCT<InstanceProfiles: ARRAY<STRUCT<
+        Arn: STRING, CreateDate: STRING, InstanceProfileId: STRING,
+        InstanceProfileName: STRING, Path: STRING,
+        Roles: ARRAY<STRUCT<Arn: STRING>>>>>
+"""
+
+
+def transform_instance_profiles(
+    raw: DataFrame, account_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """``raw(payload_json)`` ({"InstanceProfiles": [...]}) →
+    (nodes, edges)."""
+    profiles = raw.select(
+        F.explode(
+            F.from_json("payload_json", PROFILES_SCHEMA)["InstanceProfiles"]
+        ).alias("p")
+    )
+    acct = F.lit(account_id)
+    sub = ("AWSAccount", acct)
+    nodes = _node(profiles, "AWSInstanceProfile", F.col("p.Arn"), {
+        "arn": F.col("p.Arn"),
+        "createdate": F.col("p.CreateDate"),
+        "instance_profile_id": F.col("p.InstanceProfileId"),
+        "instance_profile_name": F.col("p.InstanceProfileName"),
+        "path": F.col("p.Path"),
+    }, update_tag)
+    roles = profiles.select(
+        F.col("p.Arn").alias("profile_arn"),
+        F.explode(F.coalesce("p.Roles", F.array())).alias("r"),
+    )
+    edges = (
+        _edge(profiles, "AWSAccount", acct, "RESOURCE",
+              "AWSInstanceProfile", F.col("p.Arn"), update_tag, sub)
+        .unionByName(_edge(roles, "AWSInstanceProfile",
+                           F.col("profile_arn"), "ASSOCIATED_WITH",
+                           "AWSRole", F.col("r.Arn"), update_tag, sub))
+    )
+    return nodes, edges
+
+
+def sync_instance_profiles(
+    store, raw: DataFrame, account_id: str, update_tag: int
+) -> dict:
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    nodes, edges = transform_instance_profiles(raw, account_id, update_tag)
+    metrics = {
+        "nodes": store.merge_nodes(nodes, update_tag),
+        "edges": store.merge_edges(edges, update_tag),
+    }
+
+    # (:AWSEC2Instance)-[:INSTANCE_PROFILE]->(:AWSInstanceProfile) from
+    # the arn the EC2 provider already stores on the instance
+    instances = store.nodes(["AWSEC2Instance"]).select(
+        F.col("id").alias("instance_id"),
+        F.element_at("props", "iaminstanceprofile").alias("profile_arn"),
+    ).filter(F.col("profile_arn").isNotNull())
+    profile_ids = nodes.select(F.col("id").alias("profile_arn"))
+    attached = instances.join(F.broadcast(profile_ids), "profile_arn")
+    metrics["instance_profile_edges"] = store.merge_edges(
+        attached.select(
+            F.lit("AWSEC2Instance").alias("src_label"),
+            F.col("instance_id").alias("src_id"),
+            F.lit("INSTANCE_PROFILE").alias("rel_label"),
+            F.lit("AWSInstanceProfile").alias("dst_label"),
+            F.col("profile_arn").alias("dst_id"),
+            F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+            F.lit("AWSAccount").alias("sub_resource_label"),
+            F.lit(account_id).alias("sub_resource_id"),
+            F.lit(None).cast("map<string,string>").alias("props"),
+        ).dropDuplicates(
+            ["src_label", "src_id", "rel_label", "dst_label", "dst_id"]
+        ),
+        update_tag,
+        rels=["INSTANCE_PROFILE"],
+    )
+
+    acct_rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label="AWSAccount",
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("AWS_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    metrics["gc_AWSInstanceProfile"] = run_cleanup(
+        store,
+        NodeSchema(
+            label="AWSInstanceProfile",
+            properties={"id": PropertyRef("id")},
+            sub_resource_relationship=acct_rel,
+            other_relationships=tuple(
+                RelSchema(
+                    rel_label=rl,
+                    target_node_label="AWSInstanceProfile",
+                    target_node_matcher=TargetNodeMatcher(
+                        {"id": PropertyRef("id")}
+                    ),
+                    direction=LinkDirection.OUTWARD,
+                )
+                for rl in ("ASSOCIATED_WITH", "INSTANCE_PROFILE")
+                if rl in store.manifest["edges"]
+            ),
+        ),
+        update_tag,
+        {"AWS_ID": account_id},
+    )
+    store.record_lineage(
+        "aws_instance_profiles_sync", {"update_tag": update_tag}
+    )
+    return metrics

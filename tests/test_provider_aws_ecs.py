@@ -1,0 +1,285 @@
+"""ECS parity (``intel/aws/ecs.py``, fixtures ``tests/data/aws/
+ecs.py``): cluster/instance/service/taskdef/task/container graph, the
+target-group TARGETS matchlink, architecture fallback, the exposure
+chain, and account-scoped GC."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.aws_ec2 import _node
+from cartography_spark.providers.aws_ecs import sync_aws_ecs
+
+TAG = 123456789
+ACCOUNT = "000000000000"
+CLUSTER = f"arn:aws:ecs:us-east-1:{ACCOUNT}:cluster/test_cluster"
+CI_ARN = (f"arn:aws:ecs:us-east-1:{ACCOUNT}:container-instance/"
+          "test_instance/a000")
+SVC_ARN = f"arn:aws:ecs:us-east-1:{ACCOUNT}:service/test_instance/test_service"
+TD_ARN = f"arn:aws:ecs:us-east-1:{ACCOUNT}:task-definition/test_definition:0"
+TASK_ARN = f"arn:aws:ecs:us-east-1:{ACCOUNT}:task/test_task/0000"
+CONTAINER_ARN = f"arn:aws:ecs:us-east-1:{ACCOUNT}:container/test/0000/1111"
+TG_ARN = (f"arn:aws:elasticloadbalancing:us-east-1:{ACCOUNT}:"
+          "targetgroup/test_group/0000000000090000")
+ROLE_ARN = f"arn:aws:iam::{ACCOUNT}:role/test-ecs_task_execution"
+DIGEST = "sha256:" + "0" * 64
+
+CLUSTERS = {"Clusters": [{
+    "clusterArn": CLUSTER, "clusterName": "test_cluster",
+    "status": "ACTIVE", "capacityProviders": ["FARGATE_SPOT", "FARGATE"],
+    "configuration": {"executeCommandConfiguration": {
+        "kmsKeyId": "key-1", "logging": "OVERRIDE",
+        "logConfiguration": {"cloudWatchLogGroupName": "lg",
+                             "cloudWatchEncryptionEnabled": True,
+                             "s3BucketName": "b",
+                             "s3EncryptionEnabled": False,
+                             "s3KeyPrefix": "p"},
+    }},
+}]}
+INSTANCES = {"ClusterArn": CLUSTER, "ContainerInstances": [{
+    "containerInstanceArn": CI_ARN, "ec2InstanceId": "i-000",
+    "version": 100000,
+    "versionInfo": {"agentVersion": "1.47.0", "agentHash": "0000aaaa",
+                    "dockerVersion": "DockerVersion: 19.03.6-ce"},
+    "status": "ACTIVE", "agentConnected": True,
+    "registeredAt": "2021-10-12T12:19:06Z",
+}]}
+SERVICES = {"Services": [{
+    "serviceArn": SVC_ARN, "serviceName": "test_service",
+    "clusterArn": CLUSTER, "status": "ACTIVE", "desiredCount": 1,
+    "runningCount": 1, "pendingCount": 0, "launchType": "FARGATE",
+    "platformVersion": "LATEST", "taskDefinition": TD_ARN,
+    "deploymentConfiguration": {
+        "deploymentCircuitBreaker": {"enable": False, "rollback": False},
+        "maximumPercent": 200, "minimumHealthyPercent": 50},
+    "createdAt": "2021-09-08T10:15:57Z",
+    "enableExecuteCommand": True,
+    "loadBalancers": [{"targetGroupArn": TG_ARN,
+                       "containerName": "test_container",
+                       "containerPort": 8080}],
+}]}
+TASK_DEFS = {"TaskDefinitions": [{
+    "taskDefinitionArn": TD_ARN, "family": "test_family",
+    "taskRoleArn": ROLE_ARN, "executionRoleArn": ROLE_ARN,
+    "networkMode": "awsvpc", "revision": 4, "status": "ACTIVE",
+    "compatibilities": ["EC2", "FARGATE"],
+    "requiresCompatibilities": ["FARGATE"],
+    "runtimePlatform": {"cpuArchitecture": "ARM64",
+                        "operatingSystemFamily": "LINUX"},
+    "cpu": "256", "memory": "512",
+    "registeredAt": "2021-07-20T02:11:30Z",
+    "containerDefinitions": [{
+        "name": "test", "image": "test/test:latest", "cpu": 256,
+        "memory": 512, "memoryReservation": 128, "essential": True,
+        "startTimeout": 30, "stopTimeout": 30,
+        "readonlyRootFilesystem": False,
+    }],
+}]}
+
+
+def _tasks_payload(with_runtime_arch=True):
+    task = {
+        "taskArn": TASK_ARN, "clusterArn": CLUSTER,
+        "availabilityZone": "us-east-1a", "connectivity": "CONNECTED",
+        "containerInstanceArn": CI_ARN, "cpu": "512", "memory": "1024",
+        "group": "service:test_service", "healthStatus": "UNKNOWN",
+        "lastStatus": "RUNNING", "launchType": "FARGATE",
+        "taskDefinitionArn": TD_ARN, "version": 4,
+        "attachments": [{"type": "ElasticNetworkInterface",
+                         "details": [{"name": "subnetId", "value": "s"},
+                                     {"name": "networkInterfaceId",
+                                      "value": "eni-000"}]}],
+        "attributes": ([{"name": "ecs.cpu-architecture",
+                         "value": "x86_64"}] if with_runtime_arch else []),
+        "containers": [{
+            "containerArn": CONTAINER_ARN, "taskArn": TASK_ARN,
+            "name": "test-task_container", "image": "img:latest",
+            "imageDigest": DIGEST, "runtimeId": "r1",
+            "lastStatus": "RUNNING", "healthStatus": "UNKNOWN",
+            "cpu": "1024", "memory": "2048",
+        }],
+    }
+    return {"Tasks": [task]}
+
+
+def _raw(spark, payload):
+    return spark.createDataFrame(
+        [("us-east-1", json.dumps(payload))],
+        "region string, payload_json string",
+    )
+
+
+def _mk_account(store, spark):
+    acct = spark.createDataFrame([(ACCOUNT,)], "aid string")
+    store.merge_nodes(
+        _node(acct, "AWSAccount", F.col("aid"), {
+            "name": F.lit("test-account"),
+        }, TAG, extra=["Tenant"]), TAG)
+
+
+def _sync_all(store, spark, tag=TAG, tasks=None):
+    return sync_aws_ecs(
+        store,
+        _raw(spark, CLUSTERS), _raw(spark, INSTANCES),
+        _raw(spark, SERVICES), _raw(spark, TASK_DEFS),
+        _raw(spark, tasks if tasks is not None else _tasks_payload()),
+        ACCOUNT, tag, run_exposure=False,
+    )
+
+
+def test_ecs_graph_shape(spark, tmp_store):
+    s = tmp_store
+    _mk_account(s, spark)
+    _sync_all(s, spark)
+
+    cl = {r["id"]: r["props"] for r in s.nodes(["AWSECSCluster"]).collect()}
+    assert cl[CLUSTER]["ecc_kms_key_id"] == "key-1"
+    assert json.loads(cl[CLUSTER]["capacity_providers"]) == [
+        "FARGATE_SPOT", "FARGATE"]
+
+    svc = {r["id"]: r["props"] for r in s.nodes(["AWSECSService"]).collect()}
+    assert svc[SVC_ARN]["cluster_arn"] == CLUSTER
+    assert svc[SVC_ARN]["deployment_config_maximum_percent"] == "200"
+
+    cd = {r["id"]: r["props"]
+          for r in s.nodes(["AWSECSContainerDefinition"]).collect()}
+    assert set(cd) == {f"{TD_ARN}-test"}
+
+    cont = {r["id"]: r["props"]
+            for r in s.nodes(["AWSECSContainer"]).collect()}
+    assert cont[CONTAINER_ARN]["architecture"] == "x86_64"
+    assert cont[CONTAINER_ARN]["architecture_normalized"] == "amd64"
+    assert cont[CONTAINER_ARN]["architecture_source"] == "runtime_api_exact"
+
+    rels = {(r["src_id"], r["rel_label"], r["dst_id"])
+            for r in s.edges().collect()}
+    assert (CLUSTER, "HAS_CONTAINER_INSTANCE", CI_ARN) in rels
+    assert (CI_ARN, "IS_INSTANCE", "i-000") in rels
+    assert (CLUSTER, "HAS_SERVICE", SVC_ARN) in rels
+    assert (SVC_ARN, "WORKLOAD_PARENT", CLUSTER) in rels
+    assert (SVC_ARN, "HAS_TASK_DEFINITION", TD_ARN) in rels
+    assert (TD_ARN, "HAS_CONTAINER_DEFINITION", f"{TD_ARN}-test") in rels
+    assert (TD_ARN, "HAS_TASK_ROLE", ROLE_ARN) in rels
+    assert (TD_ARN, "HAS_EXECUTION_ROLE", ROLE_ARN) in rels
+    assert (CLUSTER, "HAS_TASK", TASK_ARN) in rels
+    assert (CI_ARN, "HAS_TASK", TASK_ARN) in rels
+    assert (TASK_ARN, "HAS_TASK_DEFINITION", TD_ARN) in rels
+    assert (TASK_ARN, "NETWORK_INTERFACE", "eni-000") in rels
+    assert (TASK_ARN, "HAS_CONTAINER", CONTAINER_ARN) in rels
+    assert (CONTAINER_ARN, "WORKLOAD_PARENT", TASK_ARN) in rels
+    # service-attached task parents the SERVICE, not the cluster
+    assert (TASK_ARN, "WORKLOAD_PARENT", SVC_ARN) in rels
+    assert (TASK_ARN, "WORKLOAD_PARENT", CLUSTER) not in rels
+    # target-group registration with props
+    tg = s.edges(["TARGETS"]).collect()
+    assert len(tg) == 1
+    tg0 = tg[0]
+    assert (tg0["src_id"], tg0["dst_id"]) == (TG_ARN, SVC_ARN)
+    assert tg0["props"]["container_name"] == "test_container"
+    assert tg0["props"]["container_port"] == "8080"
+
+
+def test_arch_fallback_and_standalone_parent(spark, tmp_store):
+    s = tmp_store
+    _mk_account(s, spark)
+    tasks = _tasks_payload(with_runtime_arch=False)
+    tasks["Tasks"][0]["group"] = "family:test_family"  # standalone
+    _sync_all(s, spark, tasks=tasks)
+    cont = {r["id"]: r["props"]
+            for r in s.nodes(["AWSECSContainer"]).collect()}
+    # taskdef runtimePlatform ARM64 hint kicks in
+    assert cont[CONTAINER_ARN]["architecture"] == "ARM64"
+    assert cont[CONTAINER_ARN]["architecture_normalized"] == "arm64"
+    assert cont[CONTAINER_ARN]["architecture_source"] == (
+        "task_definition_hint")
+    rels = {(r["src_id"], r["rel_label"], r["dst_id"])
+            for r in s.edges(["WORKLOAD_PARENT"]).collect()}
+    assert (TASK_ARN, "WORKLOAD_PARENT", CLUSTER) in rels
+    assert (TASK_ARN, "WORKLOAD_PARENT", SVC_ARN) not in rels
+
+
+def test_image_resolution_and_gc(spark, tmp_store):
+    s = tmp_store
+    _mk_account(s, spark)
+    img = spark.createDataFrame([(DIGEST,)], "digest string")
+    s.merge_nodes(_node(img, "AWSECRImage", F.col("digest"), {
+        "digest": F.col("digest"),
+    }, TAG), TAG)
+    _sync_all(s, spark)
+    hi = {(r["src_id"], r["dst_label"], r["dst_id"])
+          for r in s.edges(["HAS_IMAGE"]).collect()}
+    assert (CONTAINER_ARN, "AWSECRImage", DIGEST) in hi
+
+    # empty resync sweeps every family + the TARGETS matchlink
+    empty = lambda k: _raw(spark, {k: []})  # noqa: E731
+    sync_aws_ecs(
+        s, empty("Clusters"),
+        _raw(spark, {"ClusterArn": CLUSTER, "ContainerInstances": []}),
+        empty("Services"), empty("TaskDefinitions"), empty("Tasks"),
+        ACCOUNT, TAG + 1, run_exposure=False,
+    )
+    for label in ("AWSECSCluster", "AWSECSContainerInstance",
+                  "AWSECSService", "AWSECSTaskDefinition",
+                  "AWSECSContainerDefinition", "AWSECSTask",
+                  "AWSECSContainer"):
+        assert s.nodes([label]).count() == 0, label
+    assert s.edges(["TARGETS"]).count() == 0
+
+
+def test_ecs_exposure_chain(spark, tmp_store):
+    """elbv2 leg: exposed LB -> EXPOSE -> private ip -> ENI -> task ->
+    container; direct leg: open SG + public-IP ENI."""
+    from cartography_spark.providers.aws_ecs import ecs_exposure_job
+    from cartography_spark.plans.analysis import run_analysis_job
+
+    s = tmp_store
+    _mk_account(s, spark)
+    _sync_all(s, spark)
+
+    # the ENI with one private ip (as the EC2 provider would emit)
+    nic = spark.createDataFrame(
+        [("eni-000", "10.0.0.5", None)],
+        "nid string, pip string, public string",
+    )
+    s.merge_nodes(_node(nic, "AWSNetworkInterface", F.col("nid"), {
+        "privateipaddress": F.col("pip"), "public_ip": F.col("public"),
+    }, TAG), TAG)
+    pips = spark.createDataFrame(
+        [("eni-000:10.0.0.5", "10.0.0.5")], "pid string, ip string"
+    )
+    s.merge_nodes(_node(pips, "AWSEC2PrivateIp", F.col("pid"), {
+        "private_ip_address": F.col("ip"),
+    }, TAG), TAG)
+    lb = spark.createDataFrame([("lb.example.com",)], "dns string")
+    s.merge_nodes(_node(lb, "AWSLoadBalancerV2", F.col("dns"), {
+        "dnsname": F.col("dns"), "exposed_internet": F.lit(True),
+    }, TAG), TAG)
+    edges = spark.createDataFrame([
+        ("AWSNetworkInterface", "eni-000", "PRIVATE_IP_ADDRESS",
+         "AWSEC2PrivateIp", "eni-000:10.0.0.5"),
+        ("AWSLoadBalancerV2", "lb.example.com", "EXPOSE",
+         "AWSEC2PrivateIp", "eni-000:10.0.0.5"),
+    ], "src_label string, src_id string, rel_label string, "
+       "dst_label string, dst_id string").select(
+        "*", F.lit(TAG).cast("long").alias("lastupdated"),
+        F.lit("AWSAccount").alias("sub_resource_label"),
+        F.lit(ACCOUNT).alias("sub_resource_id"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    )
+    s.merge_edges(edges, TAG)
+
+    run_analysis_job(s, ecs_exposure_job(), TAG)
+    cont = {r["id"]: r["props"]
+            for r in s.nodes(["AWSECSContainer"]).collect()}
+    assert cont[CONTAINER_ARN]["exposed_internet"] == "true"
+    assert json.loads(cont[CONTAINER_ARN]["exposed_internet_type"]) == [
+        "elbv2"]
+
+    # derive-then-clear: de-expose the LB, rerun, property vanishes
+    s.merge_nodes(_node(lb, "AWSLoadBalancerV2", F.col("dns"), {
+        "dnsname": F.col("dns"), "exposed_internet": F.lit(False),
+    }, TAG + 1), TAG + 1)
+    run_analysis_job(s, ecs_exposure_job(), TAG + 1)
+    cont = {r["id"]: r["props"]
+            for r in s.nodes(["AWSECSContainer"]).collect()}
+    assert "exposed_internet" not in (cont[CONTAINER_ARN] or {})

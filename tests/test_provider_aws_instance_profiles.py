@@ -1,0 +1,218 @@
+"""IAM instance-profile parity (``intel/aws/iam_instance_profiles.py``)
+and the workload_identity_admin_capabilities rule pack (EC2 +
+Lambda legs) over the profile → role → statement chain."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.aws_ec2 import _node
+from cartography_spark.providers.aws_iam_instance_profiles import (
+    sync_instance_profiles,
+)
+
+TAG = 123456789
+ACCOUNT = "000000000000"
+ADMIN_PROFILE = f"arn:aws:iam::{ACCOUNT}:instance-profile/admin-profile"
+READER_PROFILE = f"arn:aws:iam::{ACCOUNT}:instance-profile/reader-profile"
+ADMIN_ROLE = f"arn:aws:iam::{ACCOUNT}:role/admin-role"
+READER_ROLE = f"arn:aws:iam::{ACCOUNT}:role/reader-role"
+DENIED_ROLE = f"arn:aws:iam::{ACCOUNT}:role/denied-role"
+
+PAYLOAD = {"InstanceProfiles": [
+    {"Arn": ADMIN_PROFILE, "CreateDate": "2023-01-01T00:00:00Z",
+     "InstanceProfileId": "AIPA1", "InstanceProfileName": "admin-profile",
+     "Path": "/", "Roles": [{"Arn": ADMIN_ROLE}]},
+    {"Arn": READER_PROFILE, "CreateDate": "2023-01-02T00:00:00Z",
+     "InstanceProfileId": "AIPA2", "InstanceProfileName": "reader-profile",
+     "Path": "/app/", "Roles": [{"Arn": READER_ROLE}]},
+]}
+
+
+def _raw(spark, payload=PAYLOAD):
+    return spark.createDataFrame(
+        [(json.dumps(payload),)], "payload_json string"
+    )
+
+
+def _mk_account(store, spark):
+    acct = spark.createDataFrame([(ACCOUNT,)], "aid string")
+    store.merge_nodes(
+        _node(acct, "AWSAccount", F.col("aid"), {
+            "name": F.lit("test-account"),
+        }, TAG, extra=["Tenant"]), TAG)
+
+
+def _edges(spark, store, rows, tag=TAG):
+    store.merge_edges(
+        spark.createDataFrame(
+            rows, "src_label string, src_id string, rel_label string, "
+                  "dst_label string, dst_id string",
+        ).select(
+            "*", F.lit(tag).cast("long").alias("lastupdated"),
+            F.lit("AWSAccount").alias("sub_resource_label"),
+            F.lit(ACCOUNT).alias("sub_resource_id"),
+            F.lit(None).cast("map<string,string>").alias("props"),
+        ), tag)
+
+
+def _mk_ec2(store, spark, rows):
+    """rows: (instance_id, profile_arn, exposed, public_ip)"""
+    inst = spark.createDataFrame(
+        rows, "iid string, profile string, exposed string, pip string"
+    )
+    store.merge_nodes(
+        _node(inst, "AWSEC2Instance", F.col("iid"), {
+            "iaminstanceprofile": F.col("profile"),
+            "exposed_internet": F.col("exposed"),
+            "publicipaddress": F.col("pip"),
+        }, TAG), TAG)
+    _edges(spark, store, [
+        ("AWSAccount", ACCOUNT, "RESOURCE", "AWSEC2Instance", r[0])
+        for r in rows
+    ])
+
+
+def _mk_iam(store, spark):
+    roles = spark.createDataFrame(
+        [(ADMIN_ROLE, "admin-role"), (READER_ROLE, "reader-role"),
+         (DENIED_ROLE, "denied-role")],
+        "arn string, name string",
+    )
+    store.merge_nodes(_node(roles, "AWSRole", F.col("arn"), {
+        "arn": F.col("arn"), "name": F.col("name"),
+    }, TAG, extra=["AWSPrincipal"]), TAG)
+    stmts = spark.createDataFrame([
+        ("pol-admin/statement/1", "Allow",
+         json.dumps(["iam:CreateUser", "iam:UpdateRole", "s3:GetObject"])),
+        ("pol-read/statement/1", "Allow", json.dumps(["s3:GetObject"])),
+        ("pol-denied/statement/1", "Allow",
+         json.dumps(["iam:CreateUser", "iam:UpdateRole"])),
+        # prefix-wildcard deny kills iam:Update*, exact kills CreateUser
+        ("pol-denied/statement/2", "Deny",
+         json.dumps(["iam:Update*", "iam:CreateUser"])),
+    ], "sid string, effect string, action string")
+    store.merge_nodes(_node(stmts, "AWSPolicyStatement", F.col("sid"), {
+        "effect": F.col("effect"), "action": F.col("action"),
+    }, TAG), TAG)
+    pols = spark.createDataFrame(
+        [("pol-admin",), ("pol-read",), ("pol-denied",)], "pid string"
+    )
+    store.merge_nodes(_node(pols, "AWSPolicy", F.col("pid"), {
+        "name": F.col("pid"),
+    }, TAG), TAG)
+    _edges(spark, store, [
+        ("AWSRole", ADMIN_ROLE, "POLICY", "AWSPolicy", "pol-admin"),
+        ("AWSRole", READER_ROLE, "POLICY", "AWSPolicy", "pol-read"),
+        ("AWSRole", DENIED_ROLE, "POLICY", "AWSPolicy", "pol-denied"),
+        ("AWSPolicy", "pol-admin", "STATEMENT", "AWSPolicyStatement",
+         "pol-admin/statement/1"),
+        ("AWSPolicy", "pol-read", "STATEMENT", "AWSPolicyStatement",
+         "pol-read/statement/1"),
+        ("AWSPolicy", "pol-denied", "STATEMENT", "AWSPolicyStatement",
+         "pol-denied/statement/1"),
+        ("AWSPolicy", "pol-denied", "STATEMENT", "AWSPolicyStatement",
+         "pol-denied/statement/2"),
+    ])
+
+
+def test_profiles_roles_and_ec2_attachment(spark, tmp_store):
+    s = tmp_store
+    _mk_account(s, spark)
+    _mk_ec2(s, spark, [("i-admin", ADMIN_PROFILE, "true", "5.6.7.8"),
+                       ("i-plain", None, "false", None)])
+    sync_instance_profiles(s, _raw(spark), ACCOUNT, TAG)
+
+    profs = {r["id"]: r["props"]
+             for r in s.nodes(["AWSInstanceProfile"]).collect()}
+    assert set(profs) == {ADMIN_PROFILE, READER_PROFILE}
+    assert profs[READER_PROFILE]["path"] == "/app/"
+    rels = {(r["src_id"], r["rel_label"], r["dst_id"])
+            for r in s.edges().collect()}
+    assert (ADMIN_PROFILE, "ASSOCIATED_WITH", ADMIN_ROLE) in rels
+    assert ("i-admin", "INSTANCE_PROFILE", ADMIN_PROFILE) in rels
+    assert not any(r[0] == "i-plain" and r[1] == "INSTANCE_PROFILE"
+                   for r in rels)
+
+    # account-scoped GC: profile disappears, edges swept
+    sync_instance_profiles(
+        s, _raw(spark, {"InstanceProfiles": []}), ACCOUNT, TAG + 1)
+    assert s.nodes(["AWSInstanceProfile"]).count() == 0
+    assert s.edges(["INSTANCE_PROFILE"]).count() == 0
+
+
+def test_workload_identity_admin_pack(spark, tmp_store):
+    from cartography_spark.plans.rules import (
+        AWS_EC2_ACCOUNT_MANIPULATION,
+        AWS_LAMBDA_ACCOUNT_MANIPULATION,
+        run_fact,
+    )
+
+    s = tmp_store
+    _mk_account(s, spark)
+    _mk_iam(s, spark)
+    _mk_ec2(s, spark, [
+        ("i-admin", ADMIN_PROFILE, "true", "5.6.7.8"),
+        ("i-reader", READER_PROFILE, "false", None),
+        ("i-denied", "arn:profile/denied", None, None),
+    ])
+    payload = {"InstanceProfiles": PAYLOAD["InstanceProfiles"] + [
+        {"Arn": "arn:profile/denied", "CreateDate": "2023-01-03T00:00:00Z",
+         "InstanceProfileId": "AIPA3", "InstanceProfileName": "denied",
+         "Path": "/", "Roles": [{"Arn": DENIED_ROLE}]},
+    ]}
+    sync_instance_profiles(s, _raw(spark, payload), ACCOUNT, TAG)
+
+    # exposure context: one open inbound rule on the admin instance
+    sg = spark.createDataFrame([("sg-1",)], "gid string")
+    s.merge_nodes(_node(sg, "AWSEC2SecurityGroup", F.col("gid"), {
+        "name": F.lit("open-sg"),
+    }, TAG), TAG)
+    rule = spark.createDataFrame([("sg-1/inbound/tcp/22/22",)], "rid string")
+    s.merge_nodes(_node(rule, "AWSIpPermissionInbound", F.col("rid"), {
+        "protocol": F.lit("tcp"), "fromport": F.lit(22),
+        "toport": F.lit(22),
+    }, TAG), TAG)
+    _edges(spark, s, [
+        ("AWSEC2Instance", "i-admin", "MEMBER_OF_EC2_SECURITY_GROUP",
+         "AWSEC2SecurityGroup", "sg-1"),
+        ("AWSIpPermissionInbound", "sg-1/inbound/tcp/22/22",
+         "MEMBER_OF_EC2_SECURITY_GROUP", "AWSEC2SecurityGroup", "sg-1"),
+    ])
+
+    ec2 = run_fact(s, AWS_EC2_ACCOUNT_MANIPULATION)
+    rows = {r["workload_id"]: r for r in ec2["findings"].collect()}
+    # reader role: no iam actions; denied role: every matched action
+    # cancelled by the exact + prefix-wildcard Denies
+    assert set(rows) == {"i-admin"}
+    hit = rows["i-admin"]
+    assert json.loads(hit["actions"]) == ["iam:CreateUser", "iam:UpdateRole"]
+    assert hit["role_name"] == "admin-role"
+    assert hit["internet_accessible"] == "true"
+    assert hit["public_ip_address"] == "5.6.7.8"
+    assert json.loads(hit["open_inbound_ports"]) == ["22-22"]
+    assert ec2["total"] == 3
+
+    # Lambda leg over the ASSUMES execution-role edge
+    fns = spark.createDataFrame(
+        [("arn:fn/admin-fn", "admin-fn", ADMIN_ROLE, "true"),
+         ("arn:fn/safe-fn", "safe-fn", READER_ROLE, "false")],
+        "arn string, name string, role string, anon string",
+    )
+    s.merge_nodes(_node(fns, "AWSLambda", F.col("arn"), {
+        "name": F.col("name"), "anonymous_access": F.col("anon"),
+        "description": F.lit("d"),
+    }, TAG), TAG)
+    _edges(spark, s, [
+        ("AWSAccount", ACCOUNT, "RESOURCE", "AWSLambda", "arn:fn/admin-fn"),
+        ("AWSAccount", ACCOUNT, "RESOURCE", "AWSLambda", "arn:fn/safe-fn"),
+        ("AWSLambda", "arn:fn/admin-fn", "ASSUMES", "AWSRole", ADMIN_ROLE),
+        ("AWSLambda", "arn:fn/safe-fn", "ASSUMES", "AWSRole", READER_ROLE),
+    ])
+    lam = run_fact(s, AWS_LAMBDA_ACCOUNT_MANIPULATION)
+    lrows = {r["workload_id"]: r for r in lam["findings"].collect()}
+    assert set(lrows) == {"arn:fn/admin-fn"}
+    assert lrows["arn:fn/admin-fn"]["internet_accessible"] == "true"
+    assert json.loads(lrows["arn:fn/admin-fn"]["actions"]) == [
+        "iam:CreateUser", "iam:UpdateRole",
+    ]

@@ -2020,6 +2020,107 @@ AWS_LAMBDA_ACCOUNT_MANIPULATION = Fact(
     asset_id_field="workload_id",
 )
 
+AWS_EBS_SNAPSHOT_PUBLIC = Fact(
+    id="aws_ebs_snapshot_public",
+    name="Publicly shared EBS snapshots",
+    description="Public EBS snapshots are restorable by any AWS "
+    "account (public_snapshots.py:10-46).",
+    sql_query="""
+        SELECT coalesce(s.props['description'], s.id) AS name,
+               s.id AS id, s.id AS arn,
+               s.props['volumeid'] AS source_identifier,
+               s.props['encrypted'] AS encrypted,
+               s.props['region'] AS region,
+               a.id AS account_id, a.props['name'] AS account,
+               'AWSEBSSnapshot' AS resource_type
+        FROM nodes s
+        JOIN edges e ON e.rel_label = 'RESOURCE'
+           AND e.src_label = 'AWSAccount' AND e.dst_id = s.id
+           AND e.dst_label = 'AWSEBSSnapshot'
+        JOIN nodes a ON a.label = 'AWSAccount' AND a.id = e.src_id
+        WHERE s.label = 'AWSEBSSnapshot'
+          AND s.props['ispublic'] = 'true'
+        ORDER BY id
+    """,
+    count_sql="""
+        SELECT count(*) AS count FROM nodes
+        WHERE label = 'AWSEBSSnapshot'
+    """,
+    identity_fields=("id",),
+    asset_label="AWSEBSSnapshot",
+    asset_id_field="id",
+)
+
+AWS_RDS_SNAPSHOT_PUBLIC = Fact(
+    id="aws_rds_snapshot_public",
+    name="Publicly shared RDS snapshots",
+    description="Public RDS snapshots are restorable by any AWS "
+    "account (public_snapshots.py:49-85).",
+    sql_query="""
+        SELECT s.props['db_snapshot_identifier'] AS name,
+               s.props['db_snapshot_identifier'] AS id,
+               s.props['arn'] AS arn,
+               s.props['db_instance_identifier'] AS source_identifier,
+               s.props['encrypted'] AS encrypted,
+               s.props['region'] AS region,
+               a.id AS account_id, a.props['name'] AS account,
+               'AWSRDSSnapshot' AS resource_type
+        FROM nodes s
+        JOIN edges e ON e.rel_label = 'RESOURCE'
+           AND e.src_label = 'AWSAccount' AND e.dst_id = s.id
+           AND e.dst_label = 'AWSRDSSnapshot'
+        JOIN nodes a ON a.label = 'AWSAccount' AND a.id = e.src_id
+        WHERE s.label = 'AWSRDSSnapshot'
+          AND s.props['ispublic'] = 'true'
+        ORDER BY arn
+    """,
+    count_sql="""
+        SELECT count(*) AS count FROM nodes
+        WHERE label = 'AWSRDSSnapshot'
+    """,
+    identity_fields=("arn",),
+    asset_label="AWSRDSSnapshot",
+    asset_id_field="arn",
+)
+
+AWS_AMI_PUBLIC = Fact(
+    id="aws_ami_public",
+    name="Publicly shared AMIs",
+    description="Account-OWNED public machine images; the ownership "
+    "filter excludes third-party public AMIs that instance ingestion "
+    "attaches to the syncing account (public_snapshots.py:88-135).",
+    sql_query="""
+        SELECT coalesce(i.props['name'], i.id) AS name,
+               i.id AS id, i.props['imageid'] AS arn,
+               i.props['name'] AS source_identifier,
+               CAST(NULL AS STRING) AS encrypted,
+               i.props['region'] AS region,
+               a.id AS account_id, a.props['name'] AS account,
+               'AWSEC2Image' AS resource_type
+        FROM nodes i
+        JOIN edges e ON e.rel_label = 'RESOURCE'
+           AND e.src_label = 'AWSAccount' AND e.dst_id = i.id
+           AND e.dst_label = 'AWSEC2Image'
+        JOIN nodes a ON a.label = 'AWSAccount' AND a.id = e.src_id
+        WHERE i.label = 'AWSEC2Image'
+          AND i.props['ispublic'] = 'true'
+          AND i.props['owner'] = a.id
+        ORDER BY id
+    """,
+    count_sql="""
+        SELECT count(*) AS count
+        FROM nodes i
+        JOIN edges e ON e.rel_label = 'RESOURCE'
+           AND e.src_label = 'AWSAccount' AND e.dst_id = i.id
+           AND e.dst_label = 'AWSEC2Image'
+        WHERE i.label = 'AWSEC2Image'
+          AND i.props['owner'] = e.src_id
+    """,
+    identity_fields=("id",),
+    asset_label="AWSEC2Image",
+    asset_id_field="id",
+)
+
 AWS_RDS_PUBLIC_ACCESS = Fact(
     id="aws_rds_public_access",
     name="RDS instances reachable from the internet",
@@ -2461,6 +2562,18 @@ ALL_RULES = ALL_RULES + (
         "leg).",
         version="0.1.0",
         facts=(AWS_POLICY_ADMIN_PERMISSIONS,),
+    ),
+    Rule(
+        id="public_snapshots",
+        name="Publicly shared snapshots and images",
+        tags=("aws", "exposure", "data-at-rest",
+              "stride:information_disclosure"),
+        description="EBS/RDS snapshots and owned AMIs shared to all "
+        "AWS accounts (rules/data/rules/public_snapshots.py).",
+        version="0.1.0",
+        facts=(AWS_EBS_SNAPSHOT_PUBLIC, AWS_RDS_SNAPSHOT_PUBLIC,
+               AWS_AMI_PUBLIC),
+        frameworks=(iso27001_annex_a("8.12"), soc2_tsc("CC6.1")),
     ),
     Rule(
         id="workload_identity_admin_capabilities",

@@ -1,0 +1,174 @@
+"""AWS EC2 data-at-rest assets: EBS snapshots + AMIs — the feeders for
+the public_snapshots rule pack.
+
+Re-expresses ``intel/aws/ec2/{snapshots,images}.py``:
+
+* **snapshots** (``transform_snapshots`` :102-125): SnapshotId-keyed;
+  ``Public`` is resolved at FETCH time in the reference (per-snapshot
+  ``describe_snapshot_attribute`` probe, :21-30) so it arrives in the
+  payload here; snapshots referenced by volumes but owned elsewhere
+  carry ``Public = null`` (:80-97);
+* **images** (``load_images`` :93-102): ``{ImageId}|{region}`` ids —
+  the same AMI can appear in many regions; third-party public AMIs
+  referenced by instances are loaded too (which is why the pack's AMI
+  fact filters ``owner = account``);
+* cleanup: account-scoped GC per label.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cartography_spark.providers.aws_ec2 import _edge, _node
+
+SNAPSHOTS_SCHEMA = """
+    STRUCT<Snapshots: ARRAY<STRUCT<
+        SnapshotId: STRING, Description: STRING, OwnerId: STRING,
+        Public: BOOLEAN, Encrypted: BOOLEAN, Progress: STRING,
+        StartTime: STRING, State: STRING, StateMessage: STRING,
+        VolumeId: STRING, VolumeSize: BIGINT, OutpostArn: STRING,
+        DataEncryptionKeyId: STRING, KmsKeyId: STRING>>>
+"""
+IMAGES_SCHEMA = """
+    STRUCT<Images: ARRAY<STRUCT<
+        ImageId: STRING, Name: STRING, CreationDate: STRING,
+        Architecture: STRING, ImageLocation: STRING, ImageType: STRING,
+        Public: BOOLEAN, Platform: STRING, PlatformDetails: STRING,
+        UsageOperation: STRING, State: STRING, Description: STRING,
+        EnaSupport: BOOLEAN, Hypervisor: STRING, RootDeviceName: STRING,
+        RootDeviceType: STRING, VirtualizationType: STRING,
+        SriovNetSupport: STRING, BootMode: STRING, OwnerId: STRING,
+        ImageOwnerAlias: STRING, KernelId: STRING, RamdiskId: STRING>>>
+"""
+
+
+def transform_ebs_snapshots(
+    raw: DataFrame, account_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """``raw(region, payload_json)`` ({"Snapshots": [...]}) →
+    (nodes, edges)."""
+    s = raw.select(
+        "region",
+        F.explode(
+            F.from_json("payload_json", SNAPSHOTS_SCHEMA)["Snapshots"]
+        ).alias("s"),
+    )
+    acct = F.lit(account_id)
+    nodes = _node(s, "AWSEBSSnapshot", F.col("s.SnapshotId"), {
+        "snapshotid": F.col("s.SnapshotId"),
+        "description": F.col("s.Description"),
+        "ownerid": F.col("s.OwnerId"),
+        "ispublic": F.col("s.Public"),
+        "encrypted": F.col("s.Encrypted"),
+        "progress": F.col("s.Progress"),
+        "starttime": F.col("s.StartTime"),
+        "state": F.col("s.State"),
+        "statemessage": F.col("s.StateMessage"),
+        "volumeid": F.col("s.VolumeId"),
+        "volumesize": F.col("s.VolumeSize"),
+        "outpostarn": F.col("s.OutpostArn"),
+        "dataencryptionkeyid": F.col("s.DataEncryptionKeyId"),
+        "kmskeyid": F.col("s.KmsKeyId"),
+        "region": F.col("region"),
+    }, update_tag)
+    edges = _edge(s, "AWSAccount", acct, "RESOURCE", "AWSEBSSnapshot",
+                  F.col("s.SnapshotId"), update_tag, ("AWSAccount", acct))
+    return nodes, edges
+
+
+def transform_ec2_images(
+    raw: DataFrame, account_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """``raw(region, payload_json)`` ({"Images": [...]}) →
+    (nodes, edges); ids are ``{ImageId}|{region}`` (:102)."""
+    i = raw.select(
+        "region",
+        F.explode(
+            F.from_json("payload_json", IMAGES_SCHEMA)["Images"]
+        ).alias("i"),
+    ).withColumn(
+        "image_id",
+        F.concat(F.col("i.ImageId"), F.lit("|"), F.col("region")),
+    )
+    acct = F.lit(account_id)
+    nodes = _node(i, "AWSEC2Image", F.col("image_id"), {
+        "imageid": F.col("i.ImageId"),
+        "name": F.col("i.Name"),
+        "creationdate": F.col("i.CreationDate"),
+        "architecture": F.col("i.Architecture"),
+        "location": F.col("i.ImageLocation"),
+        "type": F.col("i.ImageType"),
+        "ispublic": F.col("i.Public"),
+        "platform": F.col("i.Platform"),
+        "platform_details": F.col("i.PlatformDetails"),
+        "usageoperation": F.col("i.UsageOperation"),
+        "state": F.col("i.State"),
+        "description": F.col("i.Description"),
+        "enasupport": F.col("i.EnaSupport"),
+        "hypervisor": F.col("i.Hypervisor"),
+        "rootdevicename": F.col("i.RootDeviceName"),
+        "rootdevicetype": F.col("i.RootDeviceType"),
+        "virtualizationtype": F.col("i.VirtualizationType"),
+        "sriov_net_support": F.col("i.SriovNetSupport"),
+        "bootmode": F.col("i.BootMode"),
+        "owner": F.col("i.OwnerId"),
+        "image_owner_alias": F.col("i.ImageOwnerAlias"),
+        "kernel_id": F.col("i.KernelId"),
+        "ramdisk_id": F.col("i.RamdiskId"),
+        "region": F.col("region"),
+    }, update_tag)
+    edges = _edge(i, "AWSAccount", acct, "RESOURCE", "AWSEC2Image",
+                  F.col("image_id"), update_tag, ("AWSAccount", acct))
+    return nodes, edges
+
+
+def sync_ec2_assets(
+    store,
+    snapshots_raw: DataFrame | None,
+    images_raw: DataFrame | None,
+    account_id: str,
+    update_tag: int,
+) -> dict:
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    metrics: dict = {}
+    for key, raw, fn in (
+        ("snapshots", snapshots_raw, transform_ebs_snapshots),
+        ("images", images_raw, transform_ec2_images),
+    ):
+        if raw is None:
+            continue
+        nodes, edges = fn(raw, account_id, update_tag)
+        metrics[f"{key}_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics[f"{key}_edges"] = store.merge_edges(edges, update_tag)
+
+    acct_rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label="AWSAccount",
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("AWS_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    for label in ("AWSEBSSnapshot", "AWSEC2Image"):
+        if label not in store.manifest["nodes"]:
+            continue
+        metrics[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=acct_rel,
+            ),
+            update_tag,
+            {"AWS_ID": account_id},
+        )
+    store.record_lineage("aws_ec2_assets_sync", {"update_tag": update_tag})
+    return metrics

@@ -1,0 +1,126 @@
+"""EBS snapshot + AMI parity (``intel/aws/ec2/{snapshots,images}.py``)
+and the public_snapshots rule pack across all three legs."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.aws_ec2 import _node
+from cartography_spark.providers.aws_ec2_assets import sync_ec2_assets
+
+TAG = 123456789
+ACCOUNT = "000000000000"
+
+SNAPSHOTS = {"Snapshots": [
+    {"SnapshotId": "snap-public", "Description": "leaked snapshot",
+     "OwnerId": ACCOUNT, "Public": True, "Encrypted": False,
+     "State": "completed", "VolumeId": "vol-1", "VolumeSize": 8},
+    {"SnapshotId": "snap-private", "OwnerId": ACCOUNT, "Public": False,
+     "Encrypted": True, "State": "completed", "VolumeId": "vol-2",
+     "VolumeSize": 100},
+    # in-use but owned elsewhere: Public unresolved (:80-97)
+    {"SnapshotId": "snap-foreign", "OwnerId": "111111111111",
+     "Public": None, "State": "completed", "VolumeId": "vol-3",
+     "VolumeSize": 30},
+]}
+IMAGES = {"Images": [
+    {"ImageId": "ami-owned-public", "Name": "golden", "Public": True,
+     "OwnerId": ACCOUNT, "Architecture": "x86_64", "State": "available"},
+    {"ImageId": "ami-owned-private", "Name": "internal", "Public": False,
+     "OwnerId": ACCOUNT, "Architecture": "arm64", "State": "available"},
+    # third-party public AMI referenced by an instance: never flagged
+    {"ImageId": "ami-ubuntu", "Name": "ubuntu", "Public": True,
+     "OwnerId": "099720109477", "Architecture": "x86_64",
+     "State": "available"},
+]}
+
+
+def _raw(spark, payload):
+    return spark.createDataFrame(
+        [("us-east-1", json.dumps(payload))],
+        "region string, payload_json string",
+    )
+
+
+def _mk_account(store, spark):
+    acct = spark.createDataFrame([(ACCOUNT,)], "aid string")
+    store.merge_nodes(
+        _node(acct, "AWSAccount", F.col("aid"), {
+            "name": F.lit("test-account"),
+        }, TAG, extra=["Tenant"]), TAG)
+
+
+def test_assets_and_gc(spark, tmp_store):
+    s = tmp_store
+    _mk_account(s, spark)
+    sync_ec2_assets(s, _raw(spark, SNAPSHOTS), _raw(spark, IMAGES),
+                    ACCOUNT, TAG)
+    snaps = {r["id"]: r["props"]
+             for r in s.nodes(["AWSEBSSnapshot"]).collect()}
+    assert set(snaps) == {"snap-public", "snap-private", "snap-foreign"}
+    assert snaps["snap-public"]["ispublic"] == "true"
+    assert snaps["snap-foreign"]["ispublic"] is None  # unresolved stays null
+    imgs = {r["id"]: r["props"] for r in s.nodes(["AWSEC2Image"]).collect()}
+    assert set(imgs) == {"ami-owned-public|us-east-1",
+                         "ami-owned-private|us-east-1",
+                         "ami-ubuntu|us-east-1"}
+    assert imgs["ami-owned-public|us-east-1"]["owner"] == ACCOUNT
+
+    sync_ec2_assets(s, _raw(spark, {"Snapshots": []}),
+                    _raw(spark, {"Images": []}), ACCOUNT, TAG + 1)
+    assert s.nodes(["AWSEBSSnapshot"]).count() == 0
+    assert s.nodes(["AWSEC2Image"]).count() == 0
+
+
+def test_public_snapshots_pack(spark, tmp_store):
+    from cartography_spark.plans.rules import (
+        AWS_AMI_PUBLIC,
+        AWS_EBS_SNAPSHOT_PUBLIC,
+        AWS_RDS_SNAPSHOT_PUBLIC,
+        run_fact,
+    )
+
+    s = tmp_store
+    _mk_account(s, spark)
+    sync_ec2_assets(s, _raw(spark, SNAPSHOTS), _raw(spark, IMAGES),
+                    ACCOUNT, TAG)
+    # one public + one private RDS snapshot
+    rds = spark.createDataFrame(
+        [("arn:rds:snap-pub", "snap-pub", "db-1", "true"),
+         ("arn:rds:snap-priv", "snap-priv", "db-1", "false")],
+        "arn string, ident string, src string, pub string",
+    )
+    s.merge_nodes(_node(rds, "AWSRDSSnapshot", F.col("arn"), {
+        "arn": F.col("arn"),
+        "db_snapshot_identifier": F.col("ident"),
+        "db_instance_identifier": F.col("src"),
+        "ispublic": F.col("pub"), "encrypted": F.lit(False),
+        "region": F.lit("us-east-1"),
+    }, TAG), TAG)
+    s.merge_edges(spark.createDataFrame(
+        [("AWSAccount", ACCOUNT, "RESOURCE", "AWSRDSSnapshot",
+          "arn:rds:snap-pub"),
+         ("AWSAccount", ACCOUNT, "RESOURCE", "AWSRDSSnapshot",
+          "arn:rds:snap-priv")],
+        "src_label string, src_id string, rel_label string, "
+        "dst_label string, dst_id string",
+    ).select(
+        "*", F.lit(TAG).cast("long").alias("lastupdated"),
+        F.lit("AWSAccount").alias("sub_resource_label"),
+        F.lit(ACCOUNT).alias("sub_resource_id"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    ), TAG)
+
+    ebs = run_fact(s, AWS_EBS_SNAPSHOT_PUBLIC)
+    assert {r["id"] for r in ebs["findings"].collect()} == {"snap-public"}
+    assert ebs["total"] == 3
+
+    rdsf = run_fact(s, AWS_RDS_SNAPSHOT_PUBLIC)
+    assert {r["arn"] for r in rdsf["findings"].collect()} == {
+        "arn:rds:snap-pub"}
+
+    ami = run_fact(s, AWS_AMI_PUBLIC)
+    rows = {r["id"] for r in ami["findings"].collect()}
+    # owned public flagged; private and third-party public excluded
+    assert rows == {"ami-owned-public|us-east-1"}
+    assert ami["total"] == 2  # owned images only in the denominator

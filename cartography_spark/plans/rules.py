@@ -2020,6 +2020,36 @@ AWS_LAMBDA_ACCOUNT_MANIPULATION = Fact(
     asset_id_field="workload_id",
 )
 
+GCP_CLOUD_SQL_PUBLIC_ACCESS = Fact(
+    id="gcp_cloud_sql_public_access",
+    name="Cloud SQL instances open to any IP",
+    description="Cloud SQL instances with an 0.0.0.0/0 authorized "
+    "network (database_instance_exposed.py:98-129).",
+    sql_query="""
+        SELECT DISTINCT sql.id AS id,
+               sql.props['database_version'] AS engine,
+               sql.props['connection_name'] AS host,
+               sql.props['region'] AS region,
+               sql.props['require_ssl'] AS encrypted
+        FROM nodes sql
+        JOIN edges an ON an.rel_label = 'AUTHORIZED_NETWORK'
+           AND an.src_label = 'GCPCloudSQLInstance'
+           AND an.src_id = sql.id
+        JOIN nodes net ON net.label = 'GCPCloudSQLAuthorizedNetwork'
+           AND net.id = an.dst_id
+        WHERE sql.label = 'GCPCloudSQLInstance'
+          AND net.props['value'] = '0.0.0.0/0'
+        ORDER BY id
+    """,
+    count_sql="""
+        SELECT count(*) AS count FROM nodes
+        WHERE label = 'GCPCloudSQLInstance'
+    """,
+    identity_fields=("id",),
+    asset_label="GCPCloudSQLInstance",
+    asset_id_field="id",
+)
+
 AWS_EBS_SNAPSHOT_PUBLIC = Fact(
     id="aws_ebs_snapshot_public",
     name="Publicly shared EBS snapshots",
@@ -2595,10 +2625,12 @@ ALL_RULES = ALL_RULES + (
         name="Database instances exposed to the internet",
         tags=("database", "exposure", "attack-surface"),
         description="Managed databases reachable from 0.0.0.0/0 "
-        "(rules/data/rules/database_instance_exposed.py; AWS RDS leg — "
-        "Azure/GCP/Scaleway legs need their database providers).",
+        "(rules/data/rules/database_instance_exposed.py; AWS RDS, "
+        "Azure SQL and GCP Cloud SQL legs — the Scaleway leg needs its "
+        "database provider).",
         version="0.1.0",
-        facts=(AWS_RDS_PUBLIC_ACCESS, AZURE_SQL_INTERNET_EXPOSED),
+        facts=(AWS_RDS_PUBLIC_ACCESS, AZURE_SQL_INTERNET_EXPOSED,
+               GCP_CLOUD_SQL_PUBLIC_ACCESS),
     ),
     Rule(
         id="transport_encryption_gaps",

@@ -1,0 +1,281 @@
+"""GCP Cloud SQL: instances + authorized networks + databases + users
++ backup configuration — the GCP leg of database_instance_exposed and
+the backup-gap surface.
+
+Re-expresses ``intel/gcp/cloud_sql_{instance,database,user,
+backup_config}.py``:
+
+* **instances** (``transform_sql_instances`` :87-156): settings /
+  ipConfiguration / backupConfiguration hoisted to scalars, the
+  complex objects kept as JSON strings; ``database_engine`` = first
+  underscore segment of databaseVersion lowercased; the private
+  network id loses its leading slash to match GCPVpc ids (:114-119);
+  ASSOCIATED_WITH the vpc, USES_SERVICE_ACCOUNT by email equi-join
+  against the graph (the model's property matcher,
+  ``models/gcp/cloudsql/instance.py:150-155``);
+* **authorized networks** (``transform_authorized_networks`` :56-84):
+  one node per (instance, CIDR) with the
+  ``{instance}/authorizedNetworks/{value}`` id, AUTHORIZED_NETWORK
+  under the instance — exposure detection never parses JSON;
+* **databases** ``{instance}/databases/{name}`` CONTAINS,
+  **users** ``{instance}/users/{name}@{host}`` HAS_USER,
+  **backup config** ``{instance}/backupConfig`` HAS_BACKUP_CONFIG;
+* cleanup: project-scoped GC per label, children before instances.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cartography_spark.providers.aws_ec2 import _edge, _node
+
+SQL_SCHEMA = """
+    STRUCT<Instances: ARRAY<STRUCT<
+        selfLink: STRING, name: STRING, databaseVersion: STRING,
+        region: STRING, gceZone: STRING, state: STRING,
+        backendType: STRING, serviceAccountEmailAddress: STRING,
+        connectionName: STRING,
+        ipAddresses: ARRAY<STRUCT<type: STRING, ipAddress: STRING>>,
+        settings: STRUCT<
+            tier: STRING, dataDiskSizeGb: STRING, dataDiskType: STRING,
+            availabilityType: STRING,
+            databaseFlags: ARRAY<STRUCT<name: STRING, value: STRING>>,
+            ipConfiguration: STRUCT<
+                requireSsl: BOOLEAN, sslMode: STRING,
+                privateNetwork: STRING,
+                authorizedNetworks: ARRAY<STRUCT<
+                    name: STRING, value: STRING,
+                    expirationTime: STRING>>>,
+            backupConfiguration: STRUCT<
+                enabled: BOOLEAN, startTime: STRING, location: STRING,
+                pointInTimeRecoveryEnabled: BOOLEAN,
+                transactionLogRetentionDays: INT,
+                binaryLogEnabled: BOOLEAN,
+                backupRetentionSettings: STRUCT<
+                    retentionUnit: STRING, retainedBackups: INT>>>,
+        databases: ARRAY<STRUCT<name: STRING, charset: STRING,
+                                collation: STRING>>,
+        users: ARRAY<STRUCT<name: STRING, host: STRING>>>>>
+"""
+
+
+def transform_cloud_sql(
+    raw: DataFrame, project_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """``raw(payload_json)`` ({"Instances": [...]}) → (nodes, edges).
+    Databases/users ride each instance entry (the reference fetches
+    them per instance; one payload carries the whole family here)."""
+    inst = raw.select(
+        F.explode(
+            F.from_json("payload_json", SQL_SCHEMA)["Instances"]
+        ).alias("i"),
+    ).filter(F.col("i.selfLink").isNotNull())
+    proj = F.lit(project_id)
+    sub = ("GCPProject", proj)
+    iid = F.col("i.selfLink")
+    ipcfg = F.col("i.settings.ipConfiguration")
+    bcfg = F.col("i.settings.backupConfiguration")
+
+    nodes = _node(inst, "GCPCloudSQLInstance", iid, {
+        "name": F.col("i.name"),
+        "database_version": F.col("i.databaseVersion"),
+        # engine = first underscore segment, lowercased (:121-126)
+        "database_engine": F.lower(
+            F.substring_index(F.col("i.databaseVersion"), "_", 1)),
+        "region": F.col("i.region"),
+        "gce_zone": F.col("i.gceZone"),
+        "state": F.col("i.state"),
+        "backend_type": F.col("i.backendType"),
+        "service_account_email": F.col("i.serviceAccountEmailAddress"),
+        "connection_name": F.col("i.connectionName"),
+        "tier": F.col("i.settings.tier"),
+        "disk_size_gb": F.col("i.settings.dataDiskSizeGb"),
+        "disk_type": F.col("i.settings.dataDiskType"),
+        "availability_type": F.col("i.settings.availabilityType"),
+        "backup_enabled": bcfg["enabled"],
+        "require_ssl": ipcfg["requireSsl"],
+        "ssl_mode": ipcfg["sslMode"],
+        # GCPVpc ids carry no leading slash (:114-119)
+        "network_id": F.regexp_replace(ipcfg["privateNetwork"],
+                                       r"^/+", ""),
+        "ip_addresses": F.to_json(F.col("i.ipAddresses")),
+        "authorized_networks": F.to_json(ipcfg["authorizedNetworks"]),
+        "backup_configuration": F.to_json(bcfg),
+        "database_flags": F.to_json(F.col("i.settings.databaseFlags")),
+    }, update_tag)
+
+    nets = inst.select(
+        iid.alias("instance_id"),
+        F.explode(F.coalesce(ipcfg["authorizedNetworks"], F.array()))
+        .alias("n"),
+    ).filter(F.col("n.value").isNotNull()).withColumn(
+        "net_id",
+        F.concat(F.col("instance_id"), F.lit("/authorizedNetworks/"),
+                 F.col("n.value")),
+    )
+    nodes = nodes.unionByName(
+        _node(nets, "GCPCloudSQLAuthorizedNetwork", F.col("net_id"), {
+            "name": F.col("n.name"),
+            "value": F.col("n.value"),
+            "expiration_time": F.col("n.expirationTime"),
+            "instance_id": F.col("instance_id"),
+        }, update_tag))
+
+    dbs = inst.select(
+        iid.alias("instance_id"),
+        F.explode(F.coalesce("i.databases", F.array())).alias("d"),
+    ).withColumn(
+        "db_id", F.concat(F.col("instance_id"), F.lit("/databases/"),
+                          F.col("d.name")),
+    )
+    nodes = nodes.unionByName(
+        _node(dbs, "GCPCloudSQLDatabase", F.col("db_id"), {
+            "name": F.col("d.name"),
+            "charset": F.col("d.charset"),
+            "collation": F.col("d.collation"),
+            "instance_id": F.col("instance_id"),
+        }, update_tag))
+
+    users = inst.select(
+        iid.alias("instance_id"),
+        F.explode(F.coalesce("i.users", F.array())).alias("u"),
+    ).withColumn(
+        "user_id",
+        F.concat(F.col("instance_id"), F.lit("/users/"), F.col("u.name"),
+                 F.lit("@"), F.coalesce(F.col("u.host"), F.lit(""))),
+    )
+    nodes = nodes.unionByName(
+        _node(users, "GCPCloudSQLUser", F.col("user_id"), {
+            "name": F.col("u.name"),
+            "host": F.col("u.host"),
+            "instance_id": F.col("instance_id"),
+        }, update_tag))
+
+    backups = inst.filter(bcfg.isNotNull()).withColumn(
+        "b_id", F.concat(iid, F.lit("/backupConfig"))
+    )
+    nodes = nodes.unionByName(
+        _node(backups, "GCPCloudSQLBackupConfiguration", F.col("b_id"), {
+            "enabled": bcfg["enabled"],
+            "start_time": bcfg["startTime"],
+            "location": bcfg["location"],
+            "point_in_time_recovery_enabled":
+                bcfg["pointInTimeRecoveryEnabled"],
+            "transaction_log_retention_days":
+                bcfg["transactionLogRetentionDays"],
+            "binary_log_enabled": bcfg["binaryLogEnabled"],
+            "backup_retention_settings":
+                F.to_json(bcfg["backupRetentionSettings"]),
+            "instance_id": iid,
+        }, update_tag))
+
+    vpc = F.regexp_replace(ipcfg["privateNetwork"], r"^/+", "")
+    edges = (
+        _edge(inst, "GCPProject", proj, "RESOURCE", "GCPCloudSQLInstance",
+              iid, update_tag, sub)
+        .unionByName(_edge(
+            inst.filter(ipcfg["privateNetwork"].isNotNull()),
+            "GCPCloudSQLInstance", iid, "ASSOCIATED_WITH", "GCPVpc",
+            vpc, update_tag, sub))
+        .unionByName(_edge(nets, "GCPProject", proj, "RESOURCE",
+                           "GCPCloudSQLAuthorizedNetwork",
+                           F.col("net_id"), update_tag, sub))
+        .unionByName(_edge(nets, "GCPCloudSQLInstance",
+                           F.col("instance_id"), "AUTHORIZED_NETWORK",
+                           "GCPCloudSQLAuthorizedNetwork",
+                           F.col("net_id"), update_tag, sub))
+        .unionByName(_edge(dbs, "GCPProject", proj, "RESOURCE",
+                           "GCPCloudSQLDatabase", F.col("db_id"),
+                           update_tag, sub))
+        .unionByName(_edge(dbs, "GCPCloudSQLInstance",
+                           F.col("instance_id"), "CONTAINS",
+                           "GCPCloudSQLDatabase", F.col("db_id"),
+                           update_tag, sub))
+        .unionByName(_edge(users, "GCPProject", proj, "RESOURCE",
+                           "GCPCloudSQLUser", F.col("user_id"),
+                           update_tag, sub))
+        .unionByName(_edge(users, "GCPCloudSQLInstance",
+                           F.col("instance_id"), "HAS_USER",
+                           "GCPCloudSQLUser", F.col("user_id"),
+                           update_tag, sub))
+        .unionByName(_edge(backups, "GCPProject", proj, "RESOURCE",
+                           "GCPCloudSQLBackupConfiguration",
+                           F.col("b_id"), update_tag, sub))
+        .unionByName(_edge(backups, "GCPCloudSQLInstance", iid,
+                           "HAS_BACKUP_CONFIG",
+                           "GCPCloudSQLBackupConfiguration",
+                           F.col("b_id"), update_tag, sub))
+    )
+    return nodes, edges
+
+
+def sync_gcp_cloud_sql(
+    store, raw: DataFrame, project_id: str, update_tag: int
+) -> dict:
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    nodes, edges = transform_cloud_sql(raw, project_id, update_tag)
+    metrics = {
+        "nodes": store.merge_nodes(nodes, update_tag),
+        "edges": store.merge_edges(edges, update_tag),
+    }
+
+    # USES_SERVICE_ACCOUNT by email (instance.py:150-155 matcher)
+    instances = nodes.filter(F.col("label") == "GCPCloudSQLInstance").select(
+        F.col("id").alias("instance_id"),
+        F.element_at("props", "service_account_email").alias("email"),
+    ).filter(F.col("email").isNotNull())
+    sas = store.nodes(["GCPServiceAccount"]).select(
+        F.col("id").alias("sa_id"),
+        F.element_at("props", "email").alias("email"),
+    ).filter(F.col("email").isNotNull())
+    pairs = instances.join(F.broadcast(sas), "email")
+    metrics["uses_service_account"] = store.merge_edges(
+        pairs.select(
+            F.lit("GCPCloudSQLInstance").alias("src_label"),
+            F.col("instance_id").alias("src_id"),
+            F.lit("USES_SERVICE_ACCOUNT").alias("rel_label"),
+            F.lit("GCPServiceAccount").alias("dst_label"),
+            F.col("sa_id").alias("dst_id"),
+            F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+            F.lit("GCPProject").alias("sub_resource_label"),
+            F.lit(project_id).alias("sub_resource_id"),
+            F.lit(None).cast("map<string,string>").alias("props"),
+        ).dropDuplicates(
+            ["src_label", "src_id", "rel_label", "dst_label", "dst_id"]
+        ),
+        update_tag, rels=["USES_SERVICE_ACCOUNT"],
+    )
+
+    proj_rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label="GCPProject",
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("PROJECT_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    for label in ("GCPCloudSQLAuthorizedNetwork", "GCPCloudSQLDatabase",
+                  "GCPCloudSQLUser", "GCPCloudSQLBackupConfiguration",
+                  "GCPCloudSQLInstance"):
+        if label not in store.manifest["nodes"]:
+            continue
+        metrics[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=proj_rel,
+            ),
+            update_tag,
+            {"PROJECT_ID": project_id},
+        )
+    store.record_lineage("gcp_cloud_sql_sync", {"update_tag": update_tag})
+    return metrics

@@ -1,0 +1,128 @@
+"""Cloud SQL parity (``intel/gcp/cloud_sql_*.py``) and the GCP leg of
+database_instance_exposed."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.aws_ec2 import _node
+from cartography_spark.providers.gcp_cloud_sql import sync_gcp_cloud_sql
+
+TAG = 123456789
+PROJECT = "project-abc"
+LINK = "https://sqladmin.googleapis.com/sql/v1beta4/projects/project-abc/instances/prod-db"
+SA_EMAIL = "p123-compute@gcp-sa-cloud-sql.iam.gserviceaccount.com"
+
+PAYLOAD = {"Instances": [{
+    "selfLink": LINK, "name": "prod-db",
+    "databaseVersion": "POSTGRES_14", "region": "us-central1",
+    "gceZone": "us-central1-a", "state": "RUNNABLE",
+    "backendType": "SECOND_GEN",
+    "serviceAccountEmailAddress": SA_EMAIL,
+    "connectionName": "project-abc:us-central1:prod-db",
+    "ipAddresses": [{"type": "PRIMARY", "ipAddress": "34.1.2.3"}],
+    "settings": {
+        "tier": "db-custom-2-7680", "dataDiskSizeGb": "100",
+        "dataDiskType": "PD_SSD", "availabilityType": "REGIONAL",
+        "databaseFlags": [{"name": "log_connections", "value": "on"}],
+        "ipConfiguration": {
+            "requireSsl": False, "sslMode": "ALLOW_UNENCRYPTED_AND_ENCRYPTED",
+            "privateNetwork": "/projects/project-abc/global/networks/default",
+            "authorizedNetworks": [
+                {"name": "office", "value": "203.0.113.0/24"},
+                {"name": "everywhere", "value": "0.0.0.0/0"},
+            ],
+        },
+        "backupConfiguration": {
+            "enabled": True, "startTime": "03:00",
+            "location": "us", "pointInTimeRecoveryEnabled": True,
+            "transactionLogRetentionDays": 7, "binaryLogEnabled": False,
+            "backupRetentionSettings": {"retentionUnit": "COUNT",
+                                        "retainedBackups": 7},
+        },
+    },
+    "databases": [{"name": "app", "charset": "UTF8",
+                   "collation": "en_US.UTF8"}],
+    "users": [{"name": "postgres", "host": ""}],
+}]}
+
+
+def _raw(spark, payload=PAYLOAD):
+    return spark.createDataFrame(
+        [(json.dumps(payload),)], "payload_json string"
+    )
+
+
+def test_cloud_sql_graph(spark, tmp_store):
+    s = tmp_store
+    sa = spark.createDataFrame([("112233", SA_EMAIL)],
+                               "id string, email string")
+    s.merge_nodes(_node(sa, "GCPServiceAccount", F.col("id"), {
+        "email": F.col("email"),
+    }, TAG, extra=["GCPPrincipal", "ServiceAccount"]), TAG)
+
+    sync_gcp_cloud_sql(s, _raw(spark), PROJECT, TAG)
+    inst = {r["id"]: r["props"]
+            for r in s.nodes(["GCPCloudSQLInstance"]).collect()}
+    p = inst[LINK]
+    assert p["database_engine"] == "postgres"
+    assert p["network_id"] == "projects/project-abc/global/networks/default"
+    assert p["backup_enabled"] == "true"
+    assert json.loads(p["ip_addresses"])[0]["ipAddress"] == "34.1.2.3"
+
+    nets = {r["id"] for r in
+            s.nodes(["GCPCloudSQLAuthorizedNetwork"]).collect()}
+    assert nets == {f"{LINK}/authorizedNetworks/203.0.113.0/24",
+                    f"{LINK}/authorizedNetworks/0.0.0.0/0"}
+    assert {r["id"] for r in s.nodes(["GCPCloudSQLDatabase"]).collect()} == {
+        f"{LINK}/databases/app"}
+    assert {r["id"] for r in s.nodes(["GCPCloudSQLUser"]).collect()} == {
+        f"{LINK}/users/postgres@"}
+    bc = {r["id"]: r["props"] for r in
+          s.nodes(["GCPCloudSQLBackupConfiguration"]).collect()}
+    assert bc[f"{LINK}/backupConfig"]["point_in_time_recovery_enabled"] == (
+        "true")
+
+    rels = {(r["src_id"], r["rel_label"], r["dst_id"])
+            for r in s.edges().collect()}
+    assert (LINK, "ASSOCIATED_WITH",
+            "projects/project-abc/global/networks/default") in rels
+    assert (LINK, "AUTHORIZED_NETWORK",
+            f"{LINK}/authorizedNetworks/0.0.0.0/0") in rels
+    assert (LINK, "CONTAINS", f"{LINK}/databases/app") in rels
+    assert (LINK, "HAS_USER", f"{LINK}/users/postgres@") in rels
+    assert (LINK, "HAS_BACKUP_CONFIG", f"{LINK}/backupConfig") in rels
+    assert (LINK, "USES_SERVICE_ACCOUNT", "112233") in rels
+
+
+def test_exposure_fact_and_gc(spark, tmp_store):
+    from cartography_spark.plans.rules import (
+        GCP_CLOUD_SQL_PUBLIC_ACCESS,
+        run_fact,
+    )
+
+    s = tmp_store
+    sync_gcp_cloud_sql(s, _raw(spark), PROJECT, TAG)
+    # a second, private-only instance
+    private = {"Instances": [{
+        "selfLink": LINK.replace("prod-db", "private-db"),
+        "name": "private-db", "databaseVersion": "MYSQL_8_0",
+        "region": "us-central1", "state": "RUNNABLE",
+        "settings": {"ipConfiguration": {
+            "authorizedNetworks": [{"name": "vpn",
+                                    "value": "198.51.100.0/24"}],
+        }},
+    }] + PAYLOAD["Instances"]}
+    sync_gcp_cloud_sql(s, _raw(spark, private), PROJECT, TAG + 1)
+
+    fact = run_fact(s, GCP_CLOUD_SQL_PUBLIC_ACCESS)
+    rows = {r["id"] for r in fact["findings"].collect()}
+    assert rows == {LINK}
+    assert fact["total"] == 2
+
+    sync_gcp_cloud_sql(
+        s, _raw(spark, {"Instances": []}), PROJECT, TAG + 2)
+    for label in ("GCPCloudSQLInstance", "GCPCloudSQLAuthorizedNetwork",
+                  "GCPCloudSQLDatabase", "GCPCloudSQLUser",
+                  "GCPCloudSQLBackupConfiguration"):
+        assert s.nodes([label]).count() == 0, label

@@ -2020,6 +2020,31 @@ AWS_LAMBDA_ACCOUNT_MANIPULATION = Fact(
     asset_id_field="workload_id",
 )
 
+AZURE_AKS_CONTROL_PLANE_EXPOSED = Fact(
+    id="azure_aks_control_plane_exposed",
+    name="Internet-exposed AKS control plane",
+    description="AKS clusters where neither enablePrivateCluster nor "
+    "publicNetworkAccess=Disabled closes the public API path "
+    "(kubernetes_control_plane_exposed.py:94-131).",
+    sql_query="""
+        SELECT c.id AS id, c.props['name'] AS name,
+               c.props['location'] AS region,
+               c.props['kubernetes_version'] AS version,
+               'azure' AS cloud
+        FROM nodes c
+        WHERE c.label = 'AzureKubernetesCluster'
+          AND c.props['_ont_control_plane_public_access'] = 'true'
+        ORDER BY id
+    """,
+    count_sql="""
+        SELECT count(*) AS count FROM nodes
+        WHERE label = 'AzureKubernetesCluster'
+    """,
+    identity_fields=("id",),
+    asset_label="AzureKubernetesCluster",
+    asset_id_field="id",
+)
+
 GCP_CLOUD_SQL_PUBLIC_ACCESS = Fact(
     id="gcp_cloud_sql_public_access",
     name="Cloud SQL instances open to any IP",
@@ -2468,7 +2493,7 @@ ALL_RULES: tuple[Rule, ...] = (
         "internet "
         "(rules/data/rules/kubernetes_control_plane_exposed.py).",
         version="1.0.0",
-        facts=(K8S_CONTROL_PLANE_EXPOSED,),
+        facts=(K8S_CONTROL_PLANE_EXPOSED, AZURE_AKS_CONTROL_PLANE_EXPOSED),
     ),
     Rule(
         id="k8s_service_exposure",

@@ -1,0 +1,438 @@
+"""Azure tenant chain + AKS + RBAC — the subscription hierarchy every
+Azure asset's tenant chain rests on, the AKS control-plane surface,
+and the role-assignment identity graph.
+
+Re-expresses ``intel/azure/{tenant,management_groups,subscription,
+aks,rbac}.py``:
+
+* **tenant** (``tenant.py:19-41``): one AzureTenant node per sync;
+* **management groups** (``management_groups.py``): the recursive
+  ``_walk_management_group_tree`` becomes one explode over the
+  flattened payload — PARENT to the parent group when the parent id
+  is another management group, PARENT to the tenant otherwise;
+* **subscriptions** (``subscription.py:143-200``): id =
+  subscriptionId (the ARM path rides the ``path`` prop), the
+  management-group parent resolved from the
+  ManagementGroupSubscriptions listing by ONE join (the reference's
+  per-sub dict lookup), PARENT edge + ``parent_management_group_id``;
+  ontology ``Tenant`` label;
+* **AKS** (``aks.py:71-114``): ``api_server_public_access`` =
+  NOT enablePrivateCluster AND publicNetworkAccess != Disabled — the
+  two independent knobs that each close the public path; agent pools
+  HAS_AGENT_POOL; the ``_ont_control_plane_public_access`` projection
+  feeds the kubernetes_control_plane_exposed pack's Azure leg;
+* **RBAC** (``rbac.py:122-224``): role definitions with
+  posexplode-indexed ``{id}/permissions/{i}`` AzurePermissions nodes
+  (HAS_PERMISSIONS), role assignments with ROLE_ASSIGNED to their
+  definition and HAS_ROLE_ASSIGNMENT from Entra principals resolved
+  by ONE principalId equi-join over the graph
+  (``models/azure/rbac.py:322-368`` matchers);
+* cleanup: subscription-scoped GC (tenant-scoped for groups/subs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cartography_spark.providers.aws_ec2 import _edge, _node
+
+MG_SCHEMA = """
+    STRUCT<ManagementGroups: ARRAY<STRUCT<
+        id: STRING, name: STRING, displayName: STRING,
+        tenantId: STRING, parent: STRUCT<id: STRING>>>>
+"""
+SUBS_SCHEMA = """
+    STRUCT<
+        Subscriptions: ARRAY<STRUCT<
+            id: STRING, subscriptionId: STRING, displayName: STRING,
+            state: STRING>>,
+        ManagementGroupSubscriptions: ARRAY<STRUCT<
+            name: STRING, parent: STRUCT<id: STRING>>>>
+"""
+AKS_SCHEMA = """
+    STRUCT<Clusters: ARRAY<STRUCT<
+        id: STRING, name: STRING, location: STRING,
+        properties: STRUCT<
+            provisioningState: STRING, kubernetesVersion: STRING,
+            fqdn: STRING, publicNetworkAccess: STRING,
+            apiServerAccessProfile: STRUCT<
+                enablePrivateCluster: BOOLEAN>>,
+        agentPools: ARRAY<STRUCT<
+            id: STRING, name: STRING,
+            properties: STRUCT<provisioningState: STRING,
+                               vmSize: STRING, osType: STRING,
+                               count: INT>>>>>>
+"""
+RBAC_SCHEMA = """
+    STRUCT<
+        RoleDefinitions: ARRAY<STRUCT<
+            id: STRING, name: STRING, type: STRING, role_name: STRING,
+            description: STRING, assignable_scopes: ARRAY<STRING>,
+            permissions: ARRAY<STRUCT<
+                actions: ARRAY<STRING>, not_actions: ARRAY<STRING>,
+                data_actions: ARRAY<STRING>,
+                not_data_actions: ARRAY<STRING>>>>>,
+        RoleAssignments: ARRAY<STRUCT<
+            id: STRING, name: STRING, type: STRING,
+            principal_id: STRING, principal_type: STRING,
+            role_definition_id: STRING, scope: STRING,
+            scope_type: STRING, created_on: STRING, updated_on: STRING,
+            created_by: STRING, updated_by: STRING,
+            condition: STRING, description: STRING>>>
+"""
+
+_ENTRA_LABELS = ("EntraUser", "EntraGroup", "EntraServicePrincipal")
+
+
+def transform_azure_hierarchy(
+    mg_raw: DataFrame | None,
+    subs_raw: DataFrame | None,
+    tenant_id: str,
+    update_tag: int,
+    spark=None,
+) -> tuple[DataFrame, DataFrame]:
+    """→ (nodes, edges) for the tenant, management groups, and
+    subscriptions."""
+    tenant = spark.createDataFrame([(tenant_id,)], "tid string")
+    nodes = _node(tenant, "AzureTenant", F.col("tid"), {
+        "id": F.col("tid"),
+    }, update_tag)
+    ten = F.lit(tenant_id)
+    sub = ("AzureTenant", ten)
+    edges = None
+
+    if mg_raw is not None:
+        mg = mg_raw.select(
+            F.explode(
+                F.from_json("payload_json", MG_SCHEMA)["ManagementGroups"]
+            ).alias("g"),
+        ).filter(F.col("g.id").isNotNull())
+        nodes = nodes.unionByName(
+            _node(mg, "AzureManagementGroup", F.col("g.id"), {
+                "name": F.col("g.name"),
+                "displayname": F.col("g.displayName"),
+                "tenant_id": F.coalesce(F.col("g.tenantId"), ten),
+            }, update_tag))
+        is_mg_parent = F.col("g.parent.id").startswith(
+            "/providers/Microsoft.Management/managementGroups/")
+        edges = (
+            _edge(mg, "AzureTenant", ten, "RESOURCE",
+                  "AzureManagementGroup", F.col("g.id"), update_tag, sub)
+            .unionByName(_edge(
+                mg.filter(F.col("g.parent.id").isNotNull()
+                          & is_mg_parent),
+                "AzureManagementGroup", F.col("g.id"), "PARENT",
+                "AzureManagementGroup", F.col("g.parent.id"),
+                update_tag, sub))
+            .unionByName(_edge(
+                mg.filter(F.col("g.parent.id").isNull() | ~is_mg_parent),
+                "AzureManagementGroup", F.col("g.id"), "PARENT",
+                "AzureTenant", ten, update_tag, sub))
+        )
+
+    if subs_raw is not None:
+        doc = subs_raw.select(
+            F.from_json("payload_json", SUBS_SCHEMA).alias("d"))
+        subs = doc.select(
+            F.explode("d.Subscriptions").alias("s"))
+        # subscription → parent mg lookup (:152-169) as ONE join
+        parents = doc.select(
+            F.explode(F.coalesce("d.ManagementGroupSubscriptions",
+                                 F.array())).alias("m")
+        ).select(
+            F.col("m.name").alias("sub_id"),
+            F.col("m.parent.id").alias("parent_mg"),
+        ).filter(F.col("sub_id").isNotNull()
+                 & F.col("parent_mg").isNotNull()
+                 ).dropDuplicates(["sub_id"])
+        subs = subs.join(
+            F.broadcast(parents),
+            subs["s.subscriptionId"] == parents["sub_id"], "left",
+        ).drop("sub_id")
+        nodes = nodes.unionByName(
+            _node(subs, "AzureSubscription", F.col("s.subscriptionId"), {
+                "path": F.col("s.id"),
+                "name": F.col("s.displayName"),
+                "state": F.col("s.state"),
+                "parent_management_group_id": F.col("parent_mg"),
+                "_ont_name": F.col("s.displayName"),
+                "_ont_source": F.lit("azure"),
+            }, update_tag, extra=["Tenant"]))
+        sub_edges = (
+            _edge(subs, "AzureTenant", ten, "RESOURCE",
+                  "AzureSubscription", F.col("s.subscriptionId"),
+                  update_tag, sub)
+            .unionByName(_edge(
+                subs.filter(F.col("parent_mg").isNotNull()),
+                "AzureSubscription", F.col("s.subscriptionId"), "PARENT",
+                "AzureManagementGroup", F.col("parent_mg"),
+                update_tag, sub))
+        )
+        edges = sub_edges if edges is None else edges.unionByName(sub_edges)
+
+    if edges is None:
+        edges = _edge(tenant.limit(0), "AzureTenant", ten, "RESOURCE",
+                      "AzureTenant", ten, update_tag, sub)
+    return nodes, edges
+
+
+def transform_aks(
+    raw: DataFrame, subscription_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    c = raw.select(
+        F.explode(
+            F.from_json("payload_json", AKS_SCHEMA)["Clusters"]
+        ).alias("c"),
+    ).filter(F.col("c.id").isNotNull()).withColumn(
+        "public_access",
+        ~F.coalesce(
+            F.col("c.properties.apiServerAccessProfile"
+                  ".enablePrivateCluster"), F.lit(False))
+        & (F.coalesce(F.col("c.properties.publicNetworkAccess"),
+                      F.lit("Enabled")) != "Disabled"),
+    )
+    sid = F.lit(subscription_id)
+    sub = ("AzureSubscription", sid)
+    nodes = _node(c, "AzureKubernetesCluster", F.col("c.id"), {
+        "name": F.col("c.name"),
+        "location": F.col("c.location"),
+        "provisioning_state": F.col("c.properties.provisioningState"),
+        "kubernetes_version": F.col("c.properties.kubernetesVersion"),
+        "fqdn": F.col("c.properties.fqdn"),
+        "api_server_public_access": F.col("public_access"),
+        "_ont_control_plane_public_access": F.col("public_access"),
+        "_ont_name": F.col("c.name"),
+        "_ont_source": F.lit("azure"),
+    }, update_tag, extra=["ComputeCluster"])
+    pools = c.select(
+        F.col("c.id").alias("cluster_id"),
+        F.explode(F.coalesce("c.agentPools", F.array())).alias("p"),
+    ).filter(F.col("p.id").isNotNull())
+    nodes = nodes.unionByName(
+        _node(pools, "AzureKubernetesAgentPool", F.col("p.id"), {
+            "name": F.col("p.name"),
+            "provisioning_state": F.col("p.properties.provisioningState"),
+            "vm_size": F.col("p.properties.vmSize"),
+            "os_type": F.col("p.properties.osType"),
+            "count": F.col("p.properties.count"),
+            "cluster_id": F.col("cluster_id"),
+        }, update_tag))
+    edges = (
+        _edge(c, "AzureSubscription", sid, "RESOURCE",
+              "AzureKubernetesCluster", F.col("c.id"), update_tag, sub)
+        .unionByName(_edge(pools, "AzureSubscription", sid, "RESOURCE",
+                           "AzureKubernetesAgentPool", F.col("p.id"),
+                           update_tag, sub))
+        .unionByName(_edge(pools, "AzureKubernetesCluster",
+                           F.col("cluster_id"), "HAS_AGENT_POOL",
+                           "AzureKubernetesAgentPool", F.col("p.id"),
+                           update_tag, sub))
+    )
+    return nodes, edges
+
+
+def transform_azure_rbac(
+    raw: DataFrame, subscription_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """→ (nodes, edges, assignment-principal frame for Entra
+    resolution at sync time)."""
+    doc = raw.select(F.from_json("payload_json", RBAC_SCHEMA).alias("d"))
+    sid = F.lit(subscription_id)
+    sub = ("AzureSubscription", sid)
+
+    defs = doc.select(F.explode("d.RoleDefinitions").alias("r")).filter(
+        F.col("r.id").isNotNull())
+    def_nodes = _node(defs, "AzureRoleDefinition", F.col("r.id"), {
+        "name": F.col("r.name"),
+        "type": F.col("r.type"),
+        "role_name": F.col("r.role_name"),
+        "description": F.col("r.description"),
+        "assignable_scopes": F.to_json(F.col("r.assignable_scopes")),
+    }, update_tag)
+    perms = defs.select(
+        F.col("r.id").alias("def_id"),
+        F.posexplode(F.coalesce("r.permissions", F.array()))
+        .alias("i", "p"),
+    ).withColumn(
+        "perm_id",
+        F.concat(F.col("def_id"), F.lit("/permissions/"), F.col("i")),
+    )
+    perm_nodes = _node(perms, "AzurePermissions", F.col("perm_id"), {
+        "actions": F.to_json(F.col("p.actions")),
+        "not_actions": F.to_json(F.col("p.not_actions")),
+        "data_actions": F.to_json(F.col("p.data_actions")),
+        "not_data_actions": F.to_json(F.col("p.not_data_actions")),
+    }, update_tag)
+
+    assigns = doc.select(F.explode("d.RoleAssignments").alias("a")).filter(
+        F.col("a.id").isNotNull())
+    assign_nodes = _node(assigns, "AzureRoleAssignment", F.col("a.id"), {
+        "name": F.col("a.name"),
+        "type": F.col("a.type"),
+        "principal_id": F.col("a.principal_id"),
+        "principal_type": F.col("a.principal_type"),
+        "role_definition_id": F.col("a.role_definition_id"),
+        "scope": F.col("a.scope"),
+        "scope_type": F.col("a.scope_type"),
+        "created_on": F.col("a.created_on"),
+        "updated_on": F.col("a.updated_on"),
+        "created_by": F.col("a.created_by"),
+        "updated_by": F.col("a.updated_by"),
+        "condition": F.col("a.condition"),
+        "description": F.col("a.description"),
+    }, update_tag)
+
+    edges = (
+        _edge(defs, "AzureSubscription", sid, "RESOURCE",
+              "AzureRoleDefinition", F.col("r.id"), update_tag, sub)
+        .unionByName(_edge(perms, "AzureSubscription", sid, "RESOURCE",
+                           "AzurePermissions", F.col("perm_id"),
+                           update_tag, sub))
+        .unionByName(_edge(perms, "AzureRoleDefinition", F.col("def_id"),
+                           "HAS_PERMISSIONS", "AzurePermissions",
+                           F.col("perm_id"), update_tag, sub))
+        .unionByName(_edge(assigns, "AzureSubscription", sid, "RESOURCE",
+                           "AzureRoleAssignment", F.col("a.id"),
+                           update_tag, sub))
+        .unionByName(_edge(
+            assigns.filter(F.col("a.role_definition_id").isNotNull()),
+            "AzureRoleAssignment", F.col("a.id"), "ROLE_ASSIGNED",
+            "AzureRoleDefinition", F.col("a.role_definition_id"),
+            update_tag, sub))
+    )
+    principals = assigns.select(
+        F.col("a.id").alias("assignment_id"),
+        F.col("a.principal_id").alias("principal_id"),
+    ).filter(F.col("principal_id").isNotNull())
+    return (
+        def_nodes.unionByName(perm_nodes).unionByName(assign_nodes),
+        edges,
+        principals,
+    )
+
+
+def sync_azure_hierarchy(
+    store,
+    mg_raw: DataFrame | None,
+    subs_raw: DataFrame | None,
+    tenant_id: str,
+    update_tag: int,
+) -> dict:
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    nodes, edges = transform_azure_hierarchy(
+        mg_raw, subs_raw, tenant_id, update_tag, spark=store.spark
+    )
+    metrics = {
+        "nodes": store.merge_nodes(nodes, update_tag),
+        "edges": store.merge_edges(edges, update_tag),
+    }
+    ten_rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label="AzureTenant",
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("TENANT_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    for label in ("AzureSubscription", "AzureManagementGroup"):
+        if label not in store.manifest["nodes"]:
+            continue
+        metrics[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=ten_rel,
+            ),
+            update_tag,
+            {"TENANT_ID": tenant_id},
+        )
+    store.record_lineage("azure_hierarchy_sync", {"update_tag": update_tag})
+    return metrics
+
+
+def sync_azure_aks_rbac(
+    store,
+    aks_raw: DataFrame | None,
+    rbac_raw: DataFrame | None,
+    subscription_id: str,
+    update_tag: int,
+) -> dict:
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    metrics: dict = {}
+    if aks_raw is not None:
+        nodes, edges = transform_aks(aks_raw, subscription_id, update_tag)
+        metrics["aks_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["aks_edges"] = store.merge_edges(edges, update_tag)
+    if rbac_raw is not None:
+        nodes, edges, principals = transform_azure_rbac(
+            rbac_raw, subscription_id, update_tag
+        )
+        metrics["rbac_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["rbac_edges"] = store.merge_edges(edges, update_tag)
+        # HAS_ROLE_ASSIGNMENT from Entra principals by id equi-join
+        entra = store.nodes(list(_ENTRA_LABELS)).select(
+            F.col("label").alias("p_label"),
+            F.col("id").alias("principal_id"),
+        )
+        pairs = principals.join(F.broadcast(entra), "principal_id")
+        metrics["has_role_assignment"] = store.merge_edges(
+            pairs.select(
+                F.col("p_label").alias("src_label"),
+                F.col("principal_id").alias("src_id"),
+                F.lit("HAS_ROLE_ASSIGNMENT").alias("rel_label"),
+                F.lit("AzureRoleAssignment").alias("dst_label"),
+                F.col("assignment_id").alias("dst_id"),
+                F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+                F.lit("AzureSubscription").alias("sub_resource_label"),
+                F.lit(subscription_id).alias("sub_resource_id"),
+                F.lit(None).cast("map<string,string>").alias("props"),
+            ).dropDuplicates(
+                ["src_label", "src_id", "rel_label", "dst_label",
+                 "dst_id"]
+            ),
+            update_tag, rels=["HAS_ROLE_ASSIGNMENT"],
+        )
+
+    sub_rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label="AzureSubscription",
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("AZURE_SUBSCRIPTION_ID",
+                               set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    for label in ("AzureKubernetesAgentPool", "AzureKubernetesCluster",
+                  "AzureRoleAssignment", "AzurePermissions",
+                  "AzureRoleDefinition"):
+        if label not in store.manifest["nodes"]:
+            continue
+        metrics[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=sub_rel,
+            ),
+            update_tag,
+            {"AZURE_SUBSCRIPTION_ID": subscription_id},
+        )
+    store.record_lineage("azure_aks_rbac_sync", {"update_tag": update_tag})
+    return metrics

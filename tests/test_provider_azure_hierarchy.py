@@ -1,0 +1,165 @@
+"""Azure tenant chain + AKS + RBAC parity (``intel/azure/{tenant,
+management_groups,subscription,aks,rbac}.py``)."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.aws_ec2 import _node
+from cartography_spark.providers.azure_hierarchy import (
+    sync_azure_aks_rbac,
+    sync_azure_hierarchy,
+)
+
+TAG = 123456789
+TENANT = "tenant-1337"
+SUB = "sub-0001"
+MG_ROOT = "/providers/Microsoft.Management/managementGroups/root-mg"
+MG_CHILD = "/providers/Microsoft.Management/managementGroups/child-mg"
+AKS_ID = (f"/subscriptions/{SUB}/resourceGroups/rg/providers/"
+          "Microsoft.ContainerService/managedClusters/prod-aks")
+DEF_ID = (f"/subscriptions/{SUB}/providers/Microsoft.Authorization/"
+          "roleDefinitions/def-1")
+ASSIGN_ID = (f"/subscriptions/{SUB}/providers/Microsoft.Authorization/"
+             "roleAssignments/assign-1")
+
+MG = {"ManagementGroups": [
+    {"id": MG_ROOT, "name": "root-mg", "displayName": "Root",
+     "tenantId": TENANT, "parent": None},
+    {"id": MG_CHILD, "name": "child-mg", "displayName": "Child",
+     "tenantId": TENANT, "parent": {"id": MG_ROOT}},
+]}
+SUBS = {
+    "Subscriptions": [
+        {"id": f"/subscriptions/{SUB}", "subscriptionId": SUB,
+         "displayName": "Prod", "state": "Enabled"},
+    ],
+    "ManagementGroupSubscriptions": [
+        {"name": SUB, "parent": {"id": MG_CHILD}},
+    ],
+}
+AKS = {"Clusters": [
+    {"id": AKS_ID, "name": "prod-aks", "location": "eastus",
+     "properties": {"provisioningState": "Succeeded",
+                    "kubernetesVersion": "1.29.2",
+                    "fqdn": "prod-aks.hcp.eastus.azmk8s.io",
+                    "publicNetworkAccess": "Enabled",
+                    "apiServerAccessProfile": {
+                        "enablePrivateCluster": False}},
+     "agentPools": [{"id": f"{AKS_ID}/agentPools/system",
+                     "name": "system",
+                     "properties": {"provisioningState": "Succeeded",
+                                    "vmSize": "Standard_D4s_v5",
+                                    "osType": "Linux", "count": 3}}]},
+    {"id": AKS_ID.replace("prod-aks", "private-aks"),
+     "name": "private-aks", "location": "eastus",
+     "properties": {"kubernetesVersion": "1.29.2",
+                    "apiServerAccessProfile": {
+                        "enablePrivateCluster": True}}},
+]}
+RBAC = {
+    "RoleDefinitions": [{
+        "id": DEF_ID, "name": "def-1",
+        "type": "Microsoft.Authorization/roleDefinitions",
+        "role_name": "Contributor", "description": "d",
+        "assignable_scopes": ["/"],
+        "permissions": [
+            {"actions": ["*"], "not_actions": ["Microsoft.Authorization/*"],
+             "data_actions": [], "not_data_actions": []},
+            {"actions": ["Microsoft.Storage/*/read"], "not_actions": [],
+             "data_actions": [], "not_data_actions": []},
+        ],
+    }],
+    "RoleAssignments": [{
+        "id": ASSIGN_ID, "name": "assign-1",
+        "type": "Microsoft.Authorization/roleAssignments",
+        "principal_id": "user-obj-1", "principal_type": "User",
+        "role_definition_id": DEF_ID,
+        "scope": f"/subscriptions/{SUB}", "scope_type": "subscription",
+    }],
+}
+
+
+def _raw(spark, payload):
+    return spark.createDataFrame(
+        [(json.dumps(payload),)], "payload_json string"
+    )
+
+
+def test_tenant_chain(spark, tmp_store):
+    s = tmp_store
+    sync_azure_hierarchy(s, _raw(spark, MG), _raw(spark, SUBS), TENANT, TAG)
+    subs = {r["id"]: r["props"]
+            for r in s.nodes(["AzureSubscription"]).collect()}
+    assert subs[SUB]["path"] == f"/subscriptions/{SUB}"
+    assert subs[SUB]["parent_management_group_id"] == MG_CHILD
+    assert "Tenant" in [
+        l for r in s.nodes(["AzureSubscription"]).collect()
+        for l in (r["extra_labels"] or [])]
+    rels = {(r["src_id"], r["rel_label"], r["dst_id"])
+            for r in s.edges().collect()}
+    assert (TENANT, "RESOURCE", MG_ROOT) in rels
+    assert (MG_CHILD, "PARENT", MG_ROOT) in rels
+    assert (MG_ROOT, "PARENT", TENANT) in rels
+    assert (SUB, "PARENT", MG_CHILD) in rels
+    assert (TENANT, "RESOURCE", SUB) in rels
+
+    # tenant-scoped GC: dropping the child sweeps it
+    sync_azure_hierarchy(
+        s, _raw(spark, {"ManagementGroups": MG["ManagementGroups"][:1]}),
+        _raw(spark, SUBS), TENANT, TAG + 1)
+    assert {r["id"] for r in s.nodes(["AzureManagementGroup"]).collect()
+            } == {MG_ROOT}
+
+
+def test_aks_rbac_and_pack(spark, tmp_store):
+    from cartography_spark.plans.rules import (
+        AZURE_AKS_CONTROL_PLANE_EXPOSED,
+        run_fact,
+    )
+
+    s = tmp_store
+    user = spark.createDataFrame([("user-obj-1",)], "id string")
+    s.merge_nodes(_node(user, "EntraUser", F.col("id"), {
+        "display_name": F.lit("Alice"),
+    }, TAG), TAG)
+
+    sync_azure_aks_rbac(s, _raw(spark, AKS), _raw(spark, RBAC), SUB, TAG)
+
+    aks = {r["id"]: r["props"]
+           for r in s.nodes(["AzureKubernetesCluster"]).collect()}
+    assert aks[AKS_ID]["api_server_public_access"] == "true"
+    assert aks[AKS_ID.replace("prod-aks", "private-aks")][
+        "api_server_public_access"] == "false"
+
+    perms = {r["id"]: r["props"]
+             for r in s.nodes(["AzurePermissions"]).collect()}
+    assert set(perms) == {f"{DEF_ID}/permissions/0",
+                          f"{DEF_ID}/permissions/1"}
+    assert json.loads(perms[f"{DEF_ID}/permissions/0"]["not_actions"]) == [
+        "Microsoft.Authorization/*"]
+
+    rels = {(r["src_label"], r["src_id"], r["rel_label"], r["dst_id"])
+            for r in s.edges().collect()}
+    assert ("AzureKubernetesCluster", AKS_ID, "HAS_AGENT_POOL",
+            f"{AKS_ID}/agentPools/system") in rels
+    assert ("AzureRoleDefinition", DEF_ID, "HAS_PERMISSIONS",
+            f"{DEF_ID}/permissions/0") in rels
+    assert ("AzureRoleAssignment", ASSIGN_ID, "ROLE_ASSIGNED",
+            DEF_ID) in rels
+    assert ("EntraUser", "user-obj-1", "HAS_ROLE_ASSIGNMENT",
+            ASSIGN_ID) in rels
+
+    fact = run_fact(s, AZURE_AKS_CONTROL_PLANE_EXPOSED)
+    assert {r["id"] for r in fact["findings"].collect()} == {AKS_ID}
+    assert fact["total"] == 2
+
+    # subscription-scoped GC
+    sync_azure_aks_rbac(
+        s, _raw(spark, {"Clusters": []}),
+        _raw(spark, {"RoleDefinitions": [], "RoleAssignments": []}),
+        SUB, TAG + 1)
+    for label in ("AzureKubernetesCluster", "AzureKubernetesAgentPool",
+                  "AzureRoleDefinition", "AzurePermissions",
+                  "AzureRoleAssignment"):
+        assert s.nodes([label]).count() == 0, label

@@ -2020,6 +2020,398 @@ AWS_LAMBDA_ACCOUNT_MANIPULATION = Fact(
     asset_id_field="workload_id",
 )
 
+MISSING_MFA_ONTOLOGY = Fact(
+    id="missing-mfa-ontology",
+    name="UserAccount nodes with MFA explicitly disabled",
+    description="Active accounts whose _ont_has_mfa is explicitly "
+    "false across every provider mapping the ontology field; NULL is "
+    "unknown, never flagged; AWS rides its own fact "
+    "(mfa_missing.py:10-63).",
+    sql_query="""
+        SELECT a.id AS id, a.props['_ont_email'] AS email,
+               a.props['_ont_firstname'] AS firstname,
+               a.props['_ont_lastname'] AS lastname,
+               'no-mfa' AS status,
+               a.props['_ont_source'] AS ontology_source
+        FROM nodes a
+        WHERE array_contains(coalesce(a.extra_labels, array()),
+                             'UserAccount')
+          AND a.props['_ont_has_mfa'] = 'false'
+          AND coalesce(a.props['_ont_source'], '') <> 'aws'
+          AND coalesce(a.props['_ont_active'], 'true') = 'true'
+          AND coalesce(a.props['_ont_inactive'], 'false') = 'false'
+        ORDER BY id
+    """,
+    count_sql="""
+        SELECT count(*) AS count FROM nodes a
+        WHERE array_contains(coalesce(a.extra_labels, array()),
+                             'UserAccount')
+          AND a.props['_ont_has_mfa'] IS NOT NULL
+          AND coalesce(a.props['_ont_source'], '') <> 'aws'
+          AND coalesce(a.props['_ont_active'], 'true') = 'true'
+          AND coalesce(a.props['_ont_inactive'], 'false') = 'false'
+    """,
+    identity_fields=("ontology_source", "id"),
+    asset_label="UserAccount",
+    asset_id_field="id",
+)
+
+MISSING_MFA_AWS = Fact(
+    id="missing-mfa-aws",
+    name="AWS IAM users without an MFA device",
+    description="IAM users with no :MFA_DEVICE edge; console activity "
+    "(passwordlastused_epoch) surfaces via firstname so callers can "
+    "prioritize (mfa_missing.py:66-110).",
+    sql_query="""
+        SELECT u.id AS id, u.props['name'] AS email,
+               CASE WHEN u.props['passwordlastused_epoch'] IS NOT NULL
+                    THEN 'console-active'
+                    ELSE 'programmatic-only' END AS firstname,
+               a.props['name'] AS lastname, 'no-mfa' AS status
+        FROM nodes u
+        JOIN edges r ON r.rel_label = 'RESOURCE'
+           AND r.src_label = 'AWSAccount' AND r.dst_id = u.id
+           AND r.dst_label = 'AWSUser'
+        JOIN nodes a ON a.label = 'AWSAccount' AND a.id = r.src_id
+        LEFT ANTI JOIN (
+            SELECT src_id FROM edges
+            WHERE rel_label = 'MFA_DEVICE' AND src_label = 'AWSUser'
+        ) m ON m.src_id = u.id
+        WHERE u.label = 'AWSUser'
+        ORDER BY id
+    """,
+    count_sql="""
+        SELECT count(*) AS count FROM nodes WHERE label = 'AWSUser'
+    """,
+    identity_fields=("id",),
+    asset_label="AWSUser",
+    asset_id_field="id",
+)
+
+_MANAGED_PORTS_SQL = "array(22, 3389, 3306, 5432, 6379, 9200, 27017)"
+
+AWS_EC2_MGMT_PORT_EXPOSED = Fact(
+    id="aws_ec2_instance_internet_exposed",
+    name="EC2 instances open to the internet on management ports",
+    description="0.0.0.0/0 TCP (or all-protocol) security-group rules "
+    "covering 22/3389/3306/5432/6379/9200/27017; UDP-only wide-open "
+    "rules never flag TCP ports (compute_instance_exposed.py:208-266).",
+    sql_query=f"""
+        SELECT DISTINCT r.src_id AS account_id,
+               a.props['name'] AS account,
+               ec2.props['instanceid'] AS instance_id,
+               mp.managed_port AS port,
+               sg.props['groupid'] AS security_group
+        FROM nodes ec2
+        JOIN edges m ON m.rel_label = 'MEMBER_OF_EC2_SECURITY_GROUP'
+           AND m.src_label = 'AWSEC2Instance' AND m.src_id = ec2.id
+        JOIN nodes sg ON sg.label = 'AWSEC2SecurityGroup'
+           AND sg.id = m.dst_id
+        JOIN edges rm ON rm.rel_label = 'MEMBER_OF_EC2_SECURITY_GROUP'
+           AND rm.src_label = 'AWSIpPermissionInbound'
+           AND rm.dst_id = sg.id
+        JOIN nodes rule ON rule.label = 'AWSIpPermissionInbound'
+           AND rule.id = rm.src_id
+        JOIN edges ipr ON ipr.rel_label = 'MEMBER_OF_IP_RULE'
+           AND ipr.src_label = 'AWSIpRange' AND ipr.src_id = '0.0.0.0/0'
+           AND ipr.dst_id = rule.id
+        JOIN edges r ON r.rel_label = 'RESOURCE'
+           AND r.src_label = 'AWSAccount' AND r.dst_id = ec2.id
+           AND r.dst_label = 'AWSEC2Instance'
+        JOIN nodes a ON a.label = 'AWSAccount' AND a.id = r.src_id
+        LATERAL VIEW explode({_MANAGED_PORTS_SQL}) mp AS managed_port
+        WHERE ec2.label = 'AWSEC2Instance'
+          AND coalesce(rule.props['protocol'], '')
+              IN ('tcp', '-1', 'all')
+          AND coalesce(ec2.props['state'], 'running')
+              NOT IN ('terminated', 'shutting-down')
+          AND (rule.props['fromport'] IS NULL
+               OR (CAST(coalesce(rule.props['fromport'], '0') AS INT)
+                     <= mp.managed_port
+                   AND CAST(coalesce(rule.props['toport'],
+                                     rule.props['fromport'], '0') AS INT)
+                     >= mp.managed_port))
+        ORDER BY account, instance_id, port, security_group
+    """,
+    count_sql="""
+        SELECT count(*) AS count FROM nodes
+        WHERE label = 'AWSEC2Instance'
+          AND coalesce(props['state'], 'running')
+              NOT IN ('terminated', 'shutting-down')
+    """,
+    identity_fields=("instance_id", "port", "security_group"),
+    asset_label="AWSEC2Instance",
+    asset_id_field="instance_id",
+)
+
+GCP_INSTANCE_MGMT_PORT_EXPOSED = Fact(
+    id="gcp_instance_internet_exposed",
+    name="GCE instances open to the internet on management ports",
+    description="Public-IP (ONE_TO_ONE_NAT) instances whose VPC has an "
+    "enabled INGRESS firewall allowing 0.0.0.0/0 over TCP/all on a "
+    "management port (compute_instance_exposed.py:10-94).",
+    sql_query=f"""
+        SELECT DISTINCT pr.src_id AS account_id, pr.src_id AS account,
+               i.id AS instance_id,
+               i.props['instancename'] AS instance,
+               mp.managed_port AS port,
+               fw.props['name'] AS security_group
+        FROM nodes i
+        JOIN edges ni ON ni.rel_label = 'NETWORK_INTERFACE'
+           AND ni.src_label = 'GCPInstance' AND ni.src_id = i.id
+        JOIN edges ac ON ac.rel_label = 'RESOURCE'
+           AND ac.src_label = 'GCPNetworkInterface'
+           AND ac.src_id = ni.dst_id
+           AND ac.dst_label = 'GCPNicAccessConfig'
+        JOIN nodes acc ON acc.label = 'GCPNicAccessConfig'
+           AND acc.id = ac.dst_id
+        JOIN edges ps ON ps.rel_label = 'PART_OF_SUBNET'
+           AND ps.src_label = 'GCPNetworkInterface'
+           AND ps.src_id = ni.dst_id
+        JOIN edges vh ON vh.rel_label = 'HAS'
+           AND vh.src_label = 'GCPVpc' AND vh.dst_id = ps.dst_id
+        JOIN edges vf ON vf.rel_label = 'RESOURCE'
+           AND vf.src_label = 'GCPVpc' AND vf.src_id = vh.src_id
+           AND vf.dst_label = 'GCPFirewall'
+        JOIN nodes fw ON fw.label = 'GCPFirewall' AND fw.id = vf.dst_id
+        JOIN edges ab ON ab.rel_label = 'ALLOWED_BY'
+           AND ab.dst_id = fw.id
+        JOIN nodes rule ON rule.label = 'IpRule' AND rule.id = ab.src_id
+        JOIN edges ipr ON ipr.rel_label = 'MEMBER_OF_IP_RULE'
+           AND ipr.src_label = 'IpRange' AND ipr.src_id = '0.0.0.0/0'
+           AND ipr.dst_id = rule.id
+        JOIN edges pr ON pr.rel_label = 'RESOURCE'
+           AND pr.src_label = 'GCPProject' AND pr.dst_id = i.id
+           AND pr.dst_label = 'GCPInstance'
+        LATERAL VIEW explode({_MANAGED_PORTS_SQL}) mp AS managed_port
+        WHERE i.label = 'GCPInstance'
+          AND acc.props['type'] = 'ONE_TO_ONE_NAT'
+          AND acc.props['nat_ip'] IS NOT NULL
+          AND coalesce(i.props['status'], '') <> 'TERMINATED'
+          AND coalesce(fw.props['disabled'], 'false') = 'false'
+          AND fw.props['direction'] = 'INGRESS'
+          AND (rule.props['protocol'] NOT IN ('tcp', 'udp')
+               OR (rule.props['protocol'] = 'tcp'
+                   AND CAST(coalesce(rule.props['fromport'], '0') AS INT)
+                       <= mp.managed_port
+                   AND CAST(coalesce(rule.props['toport'],
+                                     rule.props['fromport'], '0') AS INT)
+                       >= mp.managed_port))
+        ORDER BY instance_id, port
+    """,
+    count_sql="""
+        SELECT count(*) AS count FROM nodes
+        WHERE label = 'GCPInstance'
+          AND coalesce(props['status'], '') <> 'TERMINATED'
+    """,
+    identity_fields=("instance_id", "port", "security_group"),
+    asset_label="GCPInstance",
+    asset_id_field="instance_id",
+)
+
+AZURE_VM_MGMT_PORT_EXPOSED = Fact(
+    id="azure_vm_internet_exposed",
+    name="Azure VMs open to the internet on management ports",
+    description="VMs with a public-IP NIC and an inbound Allow NSG "
+    "rule (NIC- or subnet-level) from */Internet/0.0.0.0/0 over "
+    "Tcp/* covering a management port "
+    "(compute_instance_exposed.py:96-206).",
+    sql_query=f"""
+        WITH nic_nsg AS (
+            SELECT src_id AS nic_id, dst_id AS nsg_id FROM edges
+            WHERE rel_label = 'ASSOCIATED_WITH'
+              AND src_label = 'AzureNetworkInterface'
+              AND dst_label = 'AzureNetworkSecurityGroup'
+            UNION
+            SELECT ns.src_id AS nic_id, sn.dst_id AS nsg_id
+            FROM edges ns
+            JOIN edges sn ON sn.rel_label = 'ASSOCIATED_WITH'
+               AND sn.src_label = 'AzureSubnet'
+               AND sn.src_id = ns.dst_id
+               AND sn.dst_label = 'AzureNetworkSecurityGroup'
+            WHERE ns.rel_label = 'ATTACHED_TO'
+              AND ns.src_label = 'AzureNetworkInterface'
+              AND ns.dst_label = 'AzureSubnet'
+        )
+        SELECT DISTINCT sr.src_id AS account_id, sr.src_id AS account,
+               vm.id AS instance_id, vm.props['name'] AS instance,
+               mp.managed_port AS port,
+               rule.props['nsg_id'] AS security_group
+        FROM nodes vm
+        JOIN edges att ON att.rel_label = 'ATTACHED_TO'
+           AND att.src_label = 'AzureNetworkInterface'
+           AND att.dst_label = 'AzureVirtualMachine'
+           AND att.dst_id = vm.id
+        JOIN edges pipe ON pipe.rel_label = 'ASSOCIATED_WITH'
+           AND pipe.src_label = 'AzureNetworkInterface'
+           AND pipe.src_id = att.src_id
+           AND pipe.dst_label = 'AzurePublicIPAddress'
+        JOIN nodes pip ON pip.label = 'AzurePublicIPAddress'
+           AND pip.id = pipe.dst_id AND pip.props['ip_address'] IS NOT NULL
+        JOIN nic_nsg nn ON nn.nic_id = att.src_id
+        JOIN nodes rule ON rule.label = 'AzureNetworkSecurityRule'
+           AND rule.props['nsg_id'] = nn.nsg_id
+        JOIN edges sr ON sr.rel_label = 'RESOURCE'
+           AND sr.src_label = 'AzureSubscription' AND sr.dst_id = vm.id
+           AND sr.dst_label = 'AzureVirtualMachine'
+        LATERAL VIEW explode({_MANAGED_PORTS_SQL}) mp AS managed_port
+        WHERE vm.label = 'AzureVirtualMachine'
+          AND rule.props['access'] = 'Allow'
+          AND rule.props['direction'] = 'Inbound'
+          AND rule.props['protocol'] IN ('Tcp', '*')
+          AND coalesce(rule.props['source_address_prefix'], '')
+              IN ('*', 'Internet', '0.0.0.0/0')
+          AND (rule.props['destination_port_range'] = '*'
+               OR rule.props['destination_port_range']
+                  = CAST(mp.managed_port AS STRING)
+               OR (rule.props['destination_port_range'] LIKE '%-%'
+                   AND CAST(split(rule.props['destination_port_range'],
+                                  '-')[0] AS INT) <= mp.managed_port
+                   AND CAST(split(rule.props['destination_port_range'],
+                                  '-')[1] AS INT) >= mp.managed_port))
+        ORDER BY instance_id, port
+    """,
+    count_sql="""
+        SELECT count(*) AS count FROM nodes
+        WHERE label = 'AzureVirtualMachine'
+    """,
+    identity_fields=("instance_id", "port", "security_group"),
+    asset_label="AzureVirtualMachine",
+    asset_id_field="instance_id",
+)
+
+AWS_TRUST_RELATIONSHIP_MANIPULATION = _aws_admin_capability_fact(
+    "aws_trust_relationship_manipulation",
+    "Principals able to modify role trust policies",
+    "Allow statements granting iam:UpdateAssumeRolePolicy or "
+    "iam:CreateRole minus overlapping Denies "
+    "(delegation_boundary_modifiable.py:10-95).",
+    "act.action IN ('iam:UpdateAssumeRolePolicy', 'iam:CreateRole', "
+    "'iam:*', '*')",
+)
+
+GCP_TRUST_RELATIONSHIP_MANIPULATION = Fact(
+    id="gcp_trust_relationship_manipulation",
+    name="GCP principals with service-account impersonation permissions",
+    description="Principals bound to a role granting actAs / "
+    "implicitDelegation / token or key minting on service accounts "
+    "(delegation_boundary_modifiable.py:97-173).",
+    sql_query="""
+        SELECT DISTINCT ap.dst_id AS account_id, ap.dst_id AS account,
+               coalesce(p.props['email'], p.id) AS principal_name,
+               p.id AS principal_identifier,
+               p.label AS principal_type,
+               coalesce(role.props['name'], role.id) AS policy_name,
+               to_json(sort_array(array_intersect(
+                   coalesce(from_json(role.props['permissions'],
+                                      'array<string>'), array()),
+                   array('iam.serviceAccounts.actAs',
+                         'iam.serviceAccounts.implicitDelegation',
+                         'iam.serviceAccounts.getAccessToken',
+                         'iam.serviceAccounts.signBlob',
+                         'iam.serviceAccounts.signJwt',
+                         'iam.serviceAccountKeys.create',
+                         'iam.*', '*')))) AS actions
+        FROM edges hap
+        JOIN nodes p ON p.id = hap.src_id AND p.label = hap.src_label
+        JOIN edges gr ON gr.rel_label = 'GRANTS_ROLE'
+           AND gr.src_id = hap.dst_id
+        JOIN nodes role ON role.label = 'GCPRole' AND role.id = gr.dst_id
+        JOIN edges ap ON ap.rel_label = 'APPLIES_TO'
+           AND ap.src_id = hap.dst_id
+           AND ap.dst_label IN ('GCPProject', 'GCPFolder',
+                                'GCPOrganization')
+        WHERE hap.rel_label = 'HAS_ALLOW_POLICY'
+          AND hap.dst_label = 'GCPPolicyBinding'
+          AND hap.src_label <> 'GCPWorkloadIdentityPool'
+          AND size(array_intersect(
+                coalesce(from_json(role.props['permissions'],
+                                   'array<string>'), array()),
+                array('iam.serviceAccounts.actAs',
+                      'iam.serviceAccounts.implicitDelegation',
+                      'iam.serviceAccounts.getAccessToken',
+                      'iam.serviceAccounts.signBlob',
+                      'iam.serviceAccounts.signJwt',
+                      'iam.serviceAccountKeys.create',
+                      'iam.*', '*'))) > 0
+        ORDER BY account, principal_name
+    """,
+    count_sql="""
+        SELECT count(*) AS count FROM nodes
+        WHERE label = 'GCPPolicyBinding'
+    """,
+    identity_fields=("account_id", "principal_identifier", "policy_name"),
+    asset_label="GCPPrincipal",
+    asset_id_field="principal_identifier",
+)
+
+AZURE_TRUST_RELATIONSHIP_MANIPULATION = Fact(
+    id="azure_trust_relationship_manipulation",
+    name="Azure principals able to write role assignments",
+    description="Entra principals whose role definition's action globs "
+    "grant roleAssignments/write or managed-identity assign, minus "
+    "not_actions shadowing (delegation_boundary_modifiable.py:174-282; "
+    "each action/not_action is an anchored case-insensitive glob).",
+    sql_query="""
+        SELECT DISTINCT sr.src_id AS account_id, sr.src_id AS account,
+               p.id AS principal_identifier, p.label AS principal_type,
+               rd.props['role_name'] AS policy_name,
+               to_json(filter(
+                   array('Microsoft.ManagedIdentity/userAssignedIdentities/*/assign/action',
+                         'Microsoft.Authorization/roleAssignments/write'),
+                   pat -> exists(
+                       coalesce(from_json(perm.props['actions'],
+                                          'array<string>'), array()),
+                       a -> lower(pat) rlike concat(
+                           '^', replace(replace(lower(a), '.', '[.]'),
+                                        '*', '.*'), '$'))
+                     AND NOT exists(
+                       coalesce(from_json(perm.props['not_actions'],
+                                          'array<string>'), array()),
+                       na -> lower(pat) rlike concat(
+                           '^', replace(replace(lower(na), '.', '[.]'),
+                                        '*', '.*'), '$')))) AS actions
+        FROM edges hra
+        JOIN nodes p ON p.id = hra.src_id AND p.label = hra.src_label
+        JOIN edges ra ON ra.rel_label = 'ROLE_ASSIGNED'
+           AND ra.src_id = hra.dst_id
+        JOIN nodes rd ON rd.label = 'AzureRoleDefinition'
+           AND rd.id = ra.dst_id
+        JOIN edges hp ON hp.rel_label = 'HAS_PERMISSIONS'
+           AND hp.src_id = rd.id
+        JOIN nodes perm ON perm.label = 'AzurePermissions'
+           AND perm.id = hp.dst_id
+        JOIN edges sr ON sr.rel_label = 'RESOURCE'
+           AND sr.src_label = 'AzureSubscription'
+           AND sr.dst_id = hra.dst_id
+           AND sr.dst_label = 'AzureRoleAssignment'
+        WHERE hra.rel_label = 'HAS_ROLE_ASSIGNMENT'
+          AND size(filter(
+              array('Microsoft.ManagedIdentity/userAssignedIdentities/*/assign/action',
+                    'Microsoft.Authorization/roleAssignments/write'),
+              pat -> exists(
+                  coalesce(from_json(perm.props['actions'],
+                                     'array<string>'), array()),
+                  a -> lower(pat) rlike concat(
+                      '^', replace(replace(lower(a), '.', '[.]'),
+                                   '*', '.*'), '$'))
+                AND NOT exists(
+                  coalesce(from_json(perm.props['not_actions'],
+                                     'array<string>'), array()),
+                  na -> lower(pat) rlike concat(
+                      '^', replace(replace(lower(na), '.', '[.]'),
+                                   '*', '.*'), '$')))) > 0
+        ORDER BY account_id, principal_identifier
+    """,
+    count_sql="""
+        SELECT count(*) AS count FROM nodes
+        WHERE label = 'AzureRoleAssignment'
+    """,
+    identity_fields=("account_id", "principal_identifier", "policy_name"),
+    asset_label="EntraPrincipal",
+    asset_id_field="principal_identifier",
+)
+
 AZURE_AKS_CONTROL_PLANE_EXPOSED = Fact(
     id="azure_aks_control_plane_exposed",
     name="Internet-exposed AKS control plane",
@@ -2617,6 +3009,46 @@ ALL_RULES = ALL_RULES + (
         "leg).",
         version="0.1.0",
         facts=(AWS_POLICY_ADMIN_PERMISSIONS,),
+    ),
+    Rule(
+        id="mfa_missing",
+        name="MFA missing",
+        tags=("identity", "mfa", "stride:spoofing"),
+        description="Accounts with MFA explicitly disabled — the "
+        "cross-cloud UserAccount ontology fact plus the dedicated AWS "
+        "MFA_DEVICE fact (rules/data/rules/mfa_missing.py).",
+        version="0.1.0",
+        facts=(MISSING_MFA_ONTOLOGY, MISSING_MFA_AWS),
+        frameworks=(iso27001_annex_a("5.17"), soc2_tsc("CC6.1")),
+    ),
+    Rule(
+        id="compute_instance_exposed",
+        name="Compute instances exposed on management ports",
+        tags=("exposure", "attack-surface",
+              "stride:elevation_of_privilege"),
+        description="VMs reachable from 0.0.0.0/0 on "
+        "22/3389/3306/5432/6379/9200/27017 — AWS, GCP and Azure legs "
+        "(rules/data/rules/compute_instance_exposed.py; the Scaleway "
+        "legs need its instance-network provider).",
+        version="0.1.0",
+        facts=(AWS_EC2_MGMT_PORT_EXPOSED, GCP_INSTANCE_MGMT_PORT_EXPOSED,
+               AZURE_VM_MGMT_PORT_EXPOSED),
+        frameworks=(iso27001_annex_a("8.20"), soc2_tsc("CC6.6")),
+    ),
+    Rule(
+        id="delegation_boundary_modifiable",
+        name="Delegation boundary modifiable",
+        tags=("iam", "stride:elevation_of_privilege",
+              "stride:tampering"),
+        description="Principals able to rewrite trust/delegation "
+        "boundaries: AWS AssumeRolePolicy writers, GCP service-account "
+        "impersonators, Azure role-assignment writers "
+        "(rules/data/rules/delegation_boundary_modifiable.py).",
+        version="0.1.0",
+        facts=(AWS_TRUST_RELATIONSHIP_MANIPULATION,
+               GCP_TRUST_RELATIONSHIP_MANIPULATION,
+               AZURE_TRUST_RELATIONSHIP_MANIPULATION),
+        frameworks=(iso27001_annex_a("5.18"), soc2_tsc("CC6.3")),
     ),
     Rule(
         id="public_snapshots",

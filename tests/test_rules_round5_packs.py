@@ -1,0 +1,363 @@
+"""Round-5 rule packs: mfa_missing, compute_instance_exposed (three
+legs), delegation_boundary_modifiable (three legs)."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from cartography_spark.plans.rules import (
+    AWS_EC2_MGMT_PORT_EXPOSED,
+    AWS_TRUST_RELATIONSHIP_MANIPULATION,
+    AZURE_TRUST_RELATIONSHIP_MANIPULATION,
+    AZURE_VM_MGMT_PORT_EXPOSED,
+    GCP_INSTANCE_MGMT_PORT_EXPOSED,
+    GCP_TRUST_RELATIONSHIP_MANIPULATION,
+    MISSING_MFA_AWS,
+    MISSING_MFA_ONTOLOGY,
+    run_fact,
+)
+from cartography_spark.providers.aws_ec2 import _node
+
+TAG = 123456789
+ACCOUNT = "000000000000"
+
+
+def _edges(spark, store, rows, sub=("AWSAccount", ACCOUNT), tag=TAG):
+    store.merge_edges(
+        spark.createDataFrame(
+            rows, "src_label string, src_id string, rel_label string, "
+                  "dst_label string, dst_id string",
+        ).select(
+            "*", F.lit(tag).cast("long").alias("lastupdated"),
+            F.lit(sub[0]).alias("sub_resource_label"),
+            F.lit(sub[1]).alias("sub_resource_id"),
+            F.lit(None).cast("map<string,string>").alias("props"),
+        ), tag)
+
+
+def _mk_account(store, spark):
+    acct = spark.createDataFrame([(ACCOUNT,)], "aid string")
+    store.merge_nodes(
+        _node(acct, "AWSAccount", F.col("aid"), {
+            "name": F.lit("test-account"),
+        }, TAG, extra=["Tenant"]), TAG)
+
+
+def test_mfa_missing(spark, tmp_store):
+    s = tmp_store
+    _mk_account(s, spark)
+    accounts = spark.createDataFrame(
+        [("okta-no-mfa", "a@x.io", "false", "okta"),
+         ("okta-has-mfa", "b@x.io", "true", "okta"),
+         ("okta-unknown", "c@x.io", None, "okta"),
+         ("aws-no-mfa-skipped", "d@x.io", "false", "aws")],
+        "id string, email string, mfa string, src string",
+    )
+    s.merge_nodes(_node(accounts, "OktaUser", F.col("id"), {
+        "_ont_email": F.col("email"), "_ont_has_mfa": F.col("mfa"),
+        "_ont_source": F.col("src"),
+    }, TAG, extra=["UserAccount"]), TAG)
+    res = run_fact(s, MISSING_MFA_ONTOLOGY)
+    assert {r["id"] for r in res["findings"].collect()} == {"okta-no-mfa"}
+    assert res["total"] == 2  # unknown + aws excluded from denominator
+
+    users = spark.createDataFrame(
+        [("arn:user/console", "console", "1700000000"),
+         ("arn:user/prog", "prog", None),
+         ("arn:user/secure", "secure", None)],
+        "arn string, name string, plu string",
+    )
+    s.merge_nodes(_node(users, "AWSUser", F.col("arn"), {
+        "name": F.col("name"), "passwordlastused_epoch": F.col("plu"),
+    }, TAG, extra=["AWSPrincipal"]), TAG)
+    dev = spark.createDataFrame([("mfa-1",)], "serial string")
+    s.merge_nodes(_node(dev, "AWSMfaDevice", F.col("serial"), {
+        "serialnumber": F.col("serial"),
+    }, TAG), TAG)
+    _edges(spark, s, [
+        ("AWSAccount", ACCOUNT, "RESOURCE", "AWSUser", "arn:user/console"),
+        ("AWSAccount", ACCOUNT, "RESOURCE", "AWSUser", "arn:user/prog"),
+        ("AWSAccount", ACCOUNT, "RESOURCE", "AWSUser", "arn:user/secure"),
+        ("AWSUser", "arn:user/secure", "MFA_DEVICE", "AWSMfaDevice",
+         "mfa-1"),
+    ])
+    res = run_fact(s, MISSING_MFA_AWS)
+    rows = {r["id"]: r["firstname"] for r in res["findings"].collect()}
+    assert rows == {"arn:user/console": "console-active",
+                    "arn:user/prog": "programmatic-only"}
+
+
+def _mk_open_sg(spark, store, ports=("22", "22")):
+    sg = spark.createDataFrame([("sg-open",)], "gid string")
+    store.merge_nodes(_node(sg, "AWSEC2SecurityGroup", F.col("gid"), {
+        "groupid": F.col("gid"),
+    }, TAG), TAG)
+    rule = spark.createDataFrame([("sg-open/inbound/tcp",)], "rid string")
+    store.merge_nodes(_node(rule, "AWSIpPermissionInbound", F.col("rid"), {
+        "protocol": F.lit("tcp"), "fromport": F.lit(int(ports[0])),
+        "toport": F.lit(int(ports[1])), "groupid": F.lit("sg-open"),
+    }, TAG), TAG)
+    rng = spark.createDataFrame([("0.0.0.0/0",)], "cidr string")
+    store.merge_nodes(_node(rng, "AWSIpRange", F.col("cidr"), {
+        "range": F.col("cidr"),
+    }, TAG), TAG)
+    _edges(spark, store, [
+        ("AWSIpPermissionInbound", "sg-open/inbound/tcp",
+         "MEMBER_OF_EC2_SECURITY_GROUP", "AWSEC2SecurityGroup", "sg-open"),
+        ("AWSIpRange", "0.0.0.0/0", "MEMBER_OF_IP_RULE",
+         "AWSIpPermissionInbound", "sg-open/inbound/tcp"),
+    ])
+
+
+def test_compute_exposed_aws(spark, tmp_store):
+    s = tmp_store
+    _mk_account(s, spark)
+    _mk_open_sg(spark, s)
+    inst = spark.createDataFrame(
+        [("i-exposed", "running"), ("i-terminated", "terminated")],
+        "iid string, state string",
+    )
+    s.merge_nodes(_node(inst, "AWSEC2Instance", F.col("iid"), {
+        "instanceid": F.col("iid"), "state": F.col("state"),
+    }, TAG), TAG)
+    _edges(spark, s, [
+        ("AWSAccount", ACCOUNT, "RESOURCE", "AWSEC2Instance", "i-exposed"),
+        ("AWSAccount", ACCOUNT, "RESOURCE", "AWSEC2Instance",
+         "i-terminated"),
+        ("AWSEC2Instance", "i-exposed", "MEMBER_OF_EC2_SECURITY_GROUP",
+         "AWSEC2SecurityGroup", "sg-open"),
+        ("AWSEC2Instance", "i-terminated", "MEMBER_OF_EC2_SECURITY_GROUP",
+         "AWSEC2SecurityGroup", "sg-open"),
+    ])
+    res = run_fact(s, AWS_EC2_MGMT_PORT_EXPOSED)
+    rows = {(r["instance_id"], r["port"]) for r in
+            res["findings"].collect()}
+    assert rows == {("i-exposed", 22)}
+    assert res["total"] == 1  # terminated out of the denominator
+
+
+def test_compute_exposed_gcp(spark, tmp_store):
+    s = tmp_store
+    pid = "projects/p1/zones/z1/instances/web"
+    nic = f"{pid}/networkinterfaces/nic0"
+    ac = f"{nic}/accessconfigs/ONE_TO_ONE_NAT"
+    vpc = "projects/p1/global/networks/default"
+    subnet = "projects/p1/regions/r1/subnetworks/s1"
+    fw = "projects/p1/global/firewalls/allow-ssh"
+    rid = f"{fw}/allow/22to22tcp"
+
+    def mk(label, rows, props):
+        df = spark.createDataFrame(rows, "id string")
+        s.merge_nodes(_node(df, label, F.col("id"), props, TAG), TAG)
+
+    mk("GCPInstance", [(pid,)], {"instancename": F.lit("web"),
+                                 "status": F.lit("RUNNING")})
+    mk("GCPNetworkInterface", [(nic,)], {"name": F.lit("nic0")})
+    mk("GCPNicAccessConfig", [(ac,)], {"type": F.lit("ONE_TO_ONE_NAT"),
+                                       "nat_ip": F.lit("34.0.0.1")})
+    mk("GCPSubnet", [(subnet,)], {})
+    mk("GCPVpc", [(vpc,)], {})
+    mk("GCPFirewall", [(fw,)], {"name": F.lit("allow-ssh"),
+                                "direction": F.lit("INGRESS"),
+                                "disabled": F.lit(False)})
+    mk("IpRule", [(rid,)], {"protocol": F.lit("tcp"),
+                            "fromport": F.lit(22), "toport": F.lit(22)})
+    mk("IpRange", [("0.0.0.0/0",)], {"range": F.lit("0.0.0.0/0")})
+    _edges(spark, s, [
+        ("GCPProject", "p1", "RESOURCE", "GCPInstance", pid),
+        ("GCPInstance", pid, "NETWORK_INTERFACE", "GCPNetworkInterface",
+         nic),
+        ("GCPNetworkInterface", nic, "RESOURCE", "GCPNicAccessConfig", ac),
+        ("GCPNetworkInterface", nic, "PART_OF_SUBNET", "GCPSubnet", subnet),
+        ("GCPVpc", vpc, "HAS", "GCPSubnet", subnet),
+        ("GCPVpc", vpc, "RESOURCE", "GCPFirewall", fw),
+        ("IpRule", rid, "ALLOWED_BY", "GCPFirewall", fw),
+        ("IpRange", "0.0.0.0/0", "MEMBER_OF_IP_RULE", "IpRule", rid),
+    ], sub=("GCPProject", "p1"))
+    res = run_fact(s, GCP_INSTANCE_MGMT_PORT_EXPOSED)
+    rows = {(r["instance_id"], r["port"], r["security_group"])
+            for r in res["findings"].collect()}
+    assert rows == {(pid, 22, "allow-ssh")}
+
+
+def test_compute_exposed_azure(spark, tmp_store):
+    s = tmp_store
+    sub_id = "sub-0001"
+    vm = "/subscriptions/sub-0001/vm/web"
+    nic = "/subscriptions/sub-0001/nic/web0"
+    pip = "/subscriptions/sub-0001/pip/web0"
+    subnet = "/subscriptions/sub-0001/subnet/s1"
+    nsg = "/subscriptions/sub-0001/nsg/open"
+    rule = f"{nsg}/rules/allow-rdp"
+
+    def mk(label, rows, props):
+        df = spark.createDataFrame(rows, "id string")
+        s.merge_nodes(_node(df, label, F.col("id"), props, TAG), TAG)
+
+    mk("AzureVirtualMachine", [(vm,)], {"name": F.lit("web")})
+    mk("AzureNetworkInterface", [(nic,)], {})
+    mk("AzurePublicIPAddress", [(pip,)], {"ip_address": F.lit("20.0.0.1")})
+    mk("AzureSubnet", [(subnet,)], {})
+    mk("AzureNetworkSecurityGroup", [(nsg,)], {})
+    mk("AzureNetworkSecurityRule", [(rule,)], {
+        "nsg_id": F.lit(nsg), "access": F.lit("Allow"),
+        "direction": F.lit("Inbound"), "protocol": F.lit("Tcp"),
+        "source_address_prefix": F.lit("Internet"),
+        "destination_port_range": F.lit("3380-3390"),
+    })
+    _edges(spark, s, [
+        ("AzureSubscription", sub_id, "RESOURCE", "AzureVirtualMachine",
+         vm),
+        ("AzureNetworkInterface", nic, "ATTACHED_TO",
+         "AzureVirtualMachine", vm),
+        ("AzureNetworkInterface", nic, "ASSOCIATED_WITH",
+         "AzurePublicIPAddress", pip),
+        # NSG attached at the subnet level only
+        ("AzureNetworkInterface", nic, "ATTACHED_TO", "AzureSubnet",
+         subnet),
+        ("AzureSubnet", subnet, "ASSOCIATED_WITH",
+         "AzureNetworkSecurityGroup", nsg),
+    ], sub=("AzureSubscription", sub_id))
+    res = run_fact(s, AZURE_VM_MGMT_PORT_EXPOSED)
+    rows = {(r["instance_id"], r["port"]) for r in
+            res["findings"].collect()}
+    assert rows == {(vm, 3389)}
+
+
+def test_delegation_boundary_aws(spark, tmp_store):
+    s = tmp_store
+    _mk_account(s, spark)
+    role = f"arn:aws:iam::{ACCOUNT}:role/trust-editor"
+    roles = spark.createDataFrame([(role, "trust-editor")],
+                                  "arn string, name string")
+    s.merge_nodes(_node(roles, "AWSRole", F.col("arn"), {
+        "arn": F.col("arn"), "name": F.col("name"),
+    }, TAG, extra=["AWSPrincipal"]), TAG)
+    stmts = spark.createDataFrame([
+        ("pol-t/statement/1", "Allow",
+         json.dumps(["iam:UpdateAssumeRolePolicy", "s3:GetObject"]),
+         json.dumps(["*"])),
+    ], "sid string, effect string, action string, resource string")
+    s.merge_nodes(_node(stmts, "AWSPolicyStatement", F.col("sid"), {
+        "effect": F.col("effect"), "action": F.col("action"),
+        "resource": F.col("resource"),
+    }, TAG), TAG)
+    pols = spark.createDataFrame([("pol-t",)], "pid string")
+    s.merge_nodes(_node(pols, "AWSPolicy", F.col("pid"), {
+        "name": F.col("pid"),
+    }, TAG), TAG)
+    _edges(spark, s, [
+        ("AWSAccount", ACCOUNT, "RESOURCE", "AWSRole", role),
+        ("AWSRole", role, "POLICY", "AWSPolicy", "pol-t"),
+        ("AWSPolicy", "pol-t", "STATEMENT", "AWSPolicyStatement",
+         "pol-t/statement/1"),
+    ])
+    res = run_fact(s, AWS_TRUST_RELATIONSHIP_MANIPULATION)
+    rows = {r["principal_identifier"]: json.loads(r["actions"])
+            for r in res["findings"].collect()}
+    assert rows == {role: ["iam:UpdateAssumeRolePolicy"]}
+
+
+def test_delegation_boundary_gcp(spark, tmp_store):
+    s = tmp_store
+    sa = spark.createDataFrame(
+        [("112233", "sa@p.iam.gserviceaccount.com")],
+        "id string, email string")
+    s.merge_nodes(_node(sa, "GCPServiceAccount", F.col("id"), {
+        "email": F.col("email"),
+    }, TAG, extra=["GCPPrincipal", "ServiceAccount"]), TAG)
+    roles = spark.createDataFrame([
+        ("roles/iam.serviceAccountTokenCreator",
+         json.dumps(["iam.serviceAccounts.getAccessToken",
+                     "iam.serviceAccounts.signBlob"])),
+        ("roles/viewer", json.dumps(["storage.buckets.get"])),
+    ], "rid string, perms string")
+    s.merge_nodes(_node(roles, "GCPRole", F.col("rid"), {
+        "name": F.col("rid"), "permissions": F.col("perms"),
+    }, TAG), TAG)
+    bindings = spark.createDataFrame(
+        [("binding-tc",), ("binding-viewer",)], "bid string")
+    s.merge_nodes(_node(bindings, "GCPPolicyBinding", F.col("bid"), {
+        "role": F.lit("x"),
+    }, TAG), TAG)
+    _edges(spark, s, [
+        ("GCPServiceAccount", "112233", "HAS_ALLOW_POLICY",
+         "GCPPolicyBinding", "binding-tc"),
+        ("GCPServiceAccount", "112233", "HAS_ALLOW_POLICY",
+         "GCPPolicyBinding", "binding-viewer"),
+        ("GCPPolicyBinding", "binding-tc", "GRANTS_ROLE", "GCPRole",
+         "roles/iam.serviceAccountTokenCreator"),
+        ("GCPPolicyBinding", "binding-viewer", "GRANTS_ROLE", "GCPRole",
+         "roles/viewer"),
+        ("GCPPolicyBinding", "binding-tc", "APPLIES_TO", "GCPProject",
+         "project-abc"),
+        ("GCPPolicyBinding", "binding-viewer", "APPLIES_TO", "GCPProject",
+         "project-abc"),
+    ], sub=("GCPProject", "project-abc"))
+    res = run_fact(s, GCP_TRUST_RELATIONSHIP_MANIPULATION)
+    rows = {r["policy_name"]: json.loads(r["actions"])
+            for r in res["findings"].collect()}
+    assert rows == {"roles/iam.serviceAccountTokenCreator": [
+        "iam.serviceAccounts.getAccessToken",
+        "iam.serviceAccounts.signBlob"]}
+
+
+def test_delegation_boundary_azure(spark, tmp_store):
+    s = tmp_store
+    sub_id = "sub-0001"
+    writer_def = f"/subscriptions/{sub_id}/roleDefinitions/ra-writer"
+    contrib_def = f"/subscriptions/{sub_id}/roleDefinitions/contributor"
+    defs = spark.createDataFrame(
+        [(writer_def, "RA Writer"), (contrib_def, "Contributor")],
+        "rid string, name string")
+    s.merge_nodes(_node(defs, "AzureRoleDefinition", F.col("rid"), {
+        "role_name": F.col("name"),
+    }, TAG), TAG)
+    perms = spark.createDataFrame([
+        (f"{writer_def}/permissions/0",
+         json.dumps(["Microsoft.Authorization/roleAssignments/write"]),
+         json.dumps([])),
+        # Contributor: actions ['*'] but not_actions shadow the pattern
+        (f"{contrib_def}/permissions/0", json.dumps(["*"]),
+         json.dumps(["Microsoft.Authorization/*/Write"])),
+    ], "pid string, actions string, nots string")
+    s.merge_nodes(_node(perms, "AzurePermissions", F.col("pid"), {
+        "actions": F.col("actions"), "not_actions": F.col("nots"),
+    }, TAG), TAG)
+    assigns = spark.createDataFrame(
+        [("assign-writer", writer_def), ("assign-contrib", contrib_def)],
+        "aid string, def_id string")
+    s.merge_nodes(_node(assigns, "AzureRoleAssignment", F.col("aid"), {
+        "role_definition_id": F.col("def_id"),
+    }, TAG), TAG)
+    users = spark.createDataFrame(
+        [("user-1",), ("user-2",)], "id string")
+    s.merge_nodes(_node(users, "EntraUser", F.col("id"), {}, TAG), TAG)
+    _edges(spark, s, [
+        ("EntraUser", "user-1", "HAS_ROLE_ASSIGNMENT",
+         "AzureRoleAssignment", "assign-writer"),
+        ("EntraUser", "user-2", "HAS_ROLE_ASSIGNMENT",
+         "AzureRoleAssignment", "assign-contrib"),
+        ("AzureRoleAssignment", "assign-writer", "ROLE_ASSIGNED",
+         "AzureRoleDefinition", writer_def),
+        ("AzureRoleAssignment", "assign-contrib", "ROLE_ASSIGNED",
+         "AzureRoleDefinition", contrib_def),
+        ("AzureRoleDefinition", writer_def, "HAS_PERMISSIONS",
+         "AzurePermissions", f"{writer_def}/permissions/0"),
+        ("AzureRoleDefinition", contrib_def, "HAS_PERMISSIONS",
+         "AzurePermissions", f"{contrib_def}/permissions/0"),
+        ("AzureSubscription", sub_id, "RESOURCE", "AzureRoleAssignment",
+         "assign-writer"),
+        ("AzureSubscription", sub_id, "RESOURCE", "AzureRoleAssignment",
+         "assign-contrib"),
+    ], sub=("AzureSubscription", sub_id))
+    res = run_fact(s, AZURE_TRUST_RELATIONSHIP_MANIPULATION)
+    rows = {r["principal_identifier"]: json.loads(r["actions"])
+            for r in res["findings"].collect()}
+    # Contributor's '*' is shadowed by Microsoft.Authorization/*/Write
+    # ... for roleAssignments/write but NOT for the managed-identity
+    # assign action, which the not_action glob does not cover
+    assert rows["user-1"] == [
+        "Microsoft.Authorization/roleAssignments/write"]
+    assert rows["user-2"] == [
+        "Microsoft.ManagedIdentity/userAssignedIdentities/*/assign/action"]

@@ -1,0 +1,263 @@
+"""AWS DynamoDB: tables + the seven nested-entity families the
+reference splits out of DescribeTable.
+
+Re-expresses ``intel/aws/dynamodb.py`` (``transform_dynamodb_tables``
+:49-204): the per-table nested-object walk becomes one explode per
+family —
+
+* **tables** keyed by TableArn with row/size/throughput scalars;
+* **GSIs** keyed by IndexArn, GLOBAL_SECONDARY_INDEX under the table;
+* **billing** ``{arn}/billing`` HAS_BILLING;
+* **streams** keyed by LatestStreamArn (only when a stream spec
+  exists), LATEST_STREAM;
+* **SSE** ``{arn}/sse`` HAS_SSE + USES_KMS_KEY to the KMS key;
+* **archival** ``{arn}/archival`` HAS_ARCHIVAL + ARCHIVED_TO_BACKUP;
+* **restore** ``{arn}/restore`` HAS_RESTORE + RESTORED_FROM_BACKUP /
+  RESTORED_FROM_TABLE;
+* **backup stubs** materialized from the distinct archival/restore
+  backup arns (:188-190) so those edges never dangle;
+* cleanup: account-scoped GC per label, children before tables.
+
+Scale: one from_json pass; every family is a filter+explode off the
+same parsed frame; no UDFs, no loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cartography_spark.providers.aws_ec2 import _edge, _node
+
+TABLES_SCHEMA = """
+    STRUCT<Tables: ARRAY<STRUCT<Table: STRUCT<
+        TableArn: STRING, TableName: STRING, ItemCount: BIGINT,
+        TableSizeBytes: BIGINT, TableStatus: STRING,
+        CreationDateTime: STRING,
+        ProvisionedThroughput: STRUCT<ReadCapacityUnits: BIGINT,
+                                      WriteCapacityUnits: BIGINT>,
+        GlobalSecondaryIndexes: ARRAY<STRUCT<
+            IndexArn: STRING, IndexName: STRING,
+            ProvisionedThroughput: STRUCT<ReadCapacityUnits: BIGINT,
+                                          WriteCapacityUnits: BIGINT>>>,
+        BillingModeSummary: STRUCT<
+            BillingMode: STRING,
+            LastUpdateToPayPerRequestDateTime: STRING>,
+        LatestStreamArn: STRING, LatestStreamLabel: STRING,
+        StreamSpecification: STRUCT<StreamEnabled: BOOLEAN,
+                                    StreamViewType: STRING>,
+        SSEDescription: STRUCT<Status: STRING, SSEType: STRING,
+                               KMSMasterKeyArn: STRING>,
+        ArchivalSummary: STRUCT<ArchivalDateTime: STRING,
+                                ArchivalReason: STRING,
+                                ArchivalBackupArn: STRING>,
+        RestoreSummary: STRUCT<RestoreDateTime: STRING,
+                               RestoreInProgress: BOOLEAN,
+                               SourceBackupArn: STRING,
+                               SourceTableArn: STRING>>>>>
+"""
+
+_CHILD_LABELS = (
+    "AWSDynamoDBGlobalSecondaryIndex", "AWSDynamoDBBillingModeSummary",
+    "AWSDynamoDBStream", "AWSDynamoDBSSEDescription",
+    "AWSDynamoDBArchivalSummary", "AWSDynamoDBRestoreSummary",
+    "AWSDynamoDBBackup",
+)
+
+
+def transform_dynamodb(
+    raw: DataFrame, account_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """``raw(region, payload_json)`` ({"Tables": [{"Table": {...}}]})
+    → (nodes, edges)."""
+    t = raw.select(
+        "region",
+        F.explode(
+            F.from_json("payload_json", TABLES_SCHEMA)["Tables"]
+        ).alias("e"),
+    ).select("region", F.col("e.Table").alias("t")).filter(
+        F.col("t.TableArn").isNotNull()
+    )
+    acct = F.lit(account_id)
+    sub = ("AWSAccount", acct)
+    arn = F.col("t.TableArn")
+
+    nodes = _node(t, "AWSDynamoDBTable", arn, {
+        "arn": arn,
+        "name": F.col("t.TableName"),
+        "region": F.col("region"),
+        "rows": F.col("t.ItemCount"),
+        "size": F.col("t.TableSizeBytes"),
+        "table_status": F.col("t.TableStatus"),
+        "creation_date_time": F.col("t.CreationDateTime"),
+        "provisioned_throughput_read_capacity_units":
+            F.col("t.ProvisionedThroughput.ReadCapacityUnits"),
+        "provisioned_throughput_write_capacity_units":
+            F.col("t.ProvisionedThroughput.WriteCapacityUnits"),
+    }, update_tag)
+    edges = _edge(t, "AWSAccount", acct, "RESOURCE", "AWSDynamoDBTable",
+                  arn, update_tag, sub)
+
+    gsi = t.select(
+        "region", arn.alias("table_arn"),
+        F.explode(F.coalesce("t.GlobalSecondaryIndexes", F.array()))
+        .alias("g"),
+    ).filter(F.col("g.IndexArn").isNotNull())
+    nodes = nodes.unionByName(
+        _node(gsi, "AWSDynamoDBGlobalSecondaryIndex", F.col("g.IndexArn"), {
+            "arn": F.col("g.IndexArn"),
+            "name": F.col("g.IndexName"),
+            "region": F.col("region"),
+            "provisioned_throughput_read_capacity_units":
+                F.col("g.ProvisionedThroughput.ReadCapacityUnits"),
+            "provisioned_throughput_write_capacity_units":
+                F.col("g.ProvisionedThroughput.WriteCapacityUnits"),
+        }, update_tag))
+    edges = edges.unionByName(
+        _edge(gsi, "AWSAccount", acct, "RESOURCE",
+              "AWSDynamoDBGlobalSecondaryIndex", F.col("g.IndexArn"),
+              update_tag, sub)
+    ).unionByName(
+        _edge(gsi, "AWSDynamoDBTable", F.col("table_arn"),
+              "GLOBAL_SECONDARY_INDEX", "AWSDynamoDBGlobalSecondaryIndex",
+              F.col("g.IndexArn"), update_tag, sub))
+
+    def _child(frame, label, id_col, props, rel, extra_edges=()):
+        nonlocal nodes, edges
+        nodes = nodes.unionByName(_node(frame, label, id_col, props,
+                                        update_tag))
+        edges = edges.unionByName(
+            _edge(frame, "AWSAccount", acct, "RESOURCE", label, id_col,
+                  update_tag, sub)
+        ).unionByName(
+            _edge(frame, "AWSDynamoDBTable", F.col("table_arn"), rel,
+                  label, id_col, update_tag, sub))
+        for e in extra_edges:
+            edges = edges.unionByName(e)
+
+    billing = t.filter(F.col("t.BillingModeSummary").isNotNull()).select(
+        arn.alias("table_arn"), F.col("t.BillingModeSummary").alias("b"),
+    ).withColumn("bid", F.concat(F.col("table_arn"), F.lit("/billing")))
+    _child(billing, "AWSDynamoDBBillingModeSummary", F.col("bid"), {
+        "billing_mode": F.col("b.BillingMode"),
+        "last_update_to_pay_per_request_date_time":
+            F.col("b.LastUpdateToPayPerRequestDateTime"),
+    }, "HAS_BILLING")
+
+    streams = t.filter(
+        F.col("t.LatestStreamArn").isNotNull()
+        & F.col("t.StreamSpecification").isNotNull()
+    ).select(
+        arn.alias("table_arn"),
+        F.col("t.LatestStreamArn").alias("stream_arn"),
+        F.col("t.LatestStreamLabel").alias("stream_label"),
+        F.col("t.StreamSpecification").alias("ss"),
+    )
+    _child(streams, "AWSDynamoDBStream", F.col("stream_arn"), {
+        "arn": F.col("stream_arn"),
+        "stream_label": F.col("stream_label"),
+        "stream_enabled": F.col("ss.StreamEnabled"),
+        "stream_view_type": F.col("ss.StreamViewType"),
+    }, "LATEST_STREAM")
+
+    sse = t.filter(F.col("t.SSEDescription").isNotNull()).select(
+        arn.alias("table_arn"), F.col("t.SSEDescription").alias("s"),
+    ).withColumn("sid", F.concat(F.col("table_arn"), F.lit("/sse")))
+    _child(sse, "AWSDynamoDBSSEDescription", F.col("sid"), {
+        "sse_status": F.col("s.Status"),
+        "sse_type": F.col("s.SSEType"),
+        "kms_master_key_arn": F.col("s.KMSMasterKeyArn"),
+    }, "HAS_SSE", extra_edges=(
+        _edge(sse.filter(F.col("s.KMSMasterKeyArn").isNotNull()),
+              "AWSDynamoDBSSEDescription", F.col("sid"), "USES_KMS_KEY",
+              "AWSKMSKey", F.col("s.KMSMasterKeyArn"), update_tag, sub),
+    ))
+
+    archival = t.filter(F.col("t.ArchivalSummary").isNotNull()).select(
+        arn.alias("table_arn"), F.col("t.ArchivalSummary").alias("a"),
+    ).withColumn("aid", F.concat(F.col("table_arn"), F.lit("/archival")))
+    _child(archival, "AWSDynamoDBArchivalSummary", F.col("aid"), {
+        "archival_date_time": F.col("a.ArchivalDateTime"),
+        "archival_reason": F.col("a.ArchivalReason"),
+        "archival_backup_arn": F.col("a.ArchivalBackupArn"),
+    }, "HAS_ARCHIVAL", extra_edges=(
+        _edge(archival.filter(F.col("a.ArchivalBackupArn").isNotNull()),
+              "AWSDynamoDBArchivalSummary", F.col("aid"),
+              "ARCHIVED_TO_BACKUP", "AWSDynamoDBBackup",
+              F.col("a.ArchivalBackupArn"), update_tag, sub),
+    ))
+
+    restore = t.filter(F.col("t.RestoreSummary").isNotNull()).select(
+        arn.alias("table_arn"), F.col("t.RestoreSummary").alias("r"),
+    ).withColumn("rid", F.concat(F.col("table_arn"), F.lit("/restore")))
+    _child(restore, "AWSDynamoDBRestoreSummary", F.col("rid"), {
+        "restore_date_time": F.col("r.RestoreDateTime"),
+        "restore_in_progress": F.col("r.RestoreInProgress"),
+        "source_backup_arn": F.col("r.SourceBackupArn"),
+        "source_table_arn": F.col("r.SourceTableArn"),
+    }, "HAS_RESTORE", extra_edges=(
+        _edge(restore.filter(F.col("r.SourceBackupArn").isNotNull()),
+              "AWSDynamoDBRestoreSummary", F.col("rid"),
+              "RESTORED_FROM_BACKUP", "AWSDynamoDBBackup",
+              F.col("r.SourceBackupArn"), update_tag, sub),
+        _edge(restore.filter(F.col("r.SourceTableArn").isNotNull()),
+              "AWSDynamoDBRestoreSummary", F.col("rid"),
+              "RESTORED_FROM_TABLE", "AWSDynamoDBTable",
+              F.col("r.SourceTableArn"), update_tag, sub),
+    ))
+
+    # backup stubs from the distinct archival/restore arns (:188-190)
+    backups = archival.select(
+        F.col("a.ArchivalBackupArn").alias("backup_arn")
+    ).unionByName(
+        restore.select(F.col("r.SourceBackupArn").alias("backup_arn"))
+    ).filter(F.col("backup_arn").isNotNull()).distinct()
+    nodes = nodes.unionByName(
+        _node(backups, "AWSDynamoDBBackup", F.col("backup_arn"), {
+            "arn": F.col("backup_arn"),
+        }, update_tag))
+    edges = edges.unionByName(
+        _edge(backups, "AWSAccount", acct, "RESOURCE", "AWSDynamoDBBackup",
+              F.col("backup_arn"), update_tag, sub))
+    return nodes, edges
+
+
+def sync_dynamodb(
+    store, raw: DataFrame, account_id: str, update_tag: int
+) -> dict:
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    nodes, edges = transform_dynamodb(raw, account_id, update_tag)
+    metrics = {
+        "nodes": store.merge_nodes(nodes, update_tag),
+        "edges": store.merge_edges(edges, update_tag),
+    }
+    acct_rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label="AWSAccount",
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("AWS_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    for label in _CHILD_LABELS + ("AWSDynamoDBTable",):
+        if label not in store.manifest["nodes"]:
+            continue
+        metrics[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=acct_rel,
+            ),
+            update_tag,
+            {"AWS_ID": account_id},
+        )
+    store.record_lineage("aws_dynamodb_sync", {"update_tag": update_tag})
+    return metrics

@@ -1,0 +1,193 @@
+"""AWS ECR image layers — the AWS feeder for the layer-closure
+operator (``plans/images.py:complete_layer_digests``), mirroring the
+GHCR layer shape so RESOLVED_IMAGE and closure checks work unchanged.
+
+Re-expresses ``intel/aws/ecr_image_layers.py``
+(``transform_ecr_image_layers`` :620-767):
+
+* the per-URI platform walk becomes one explode — layers keyed by
+  diff_id (deduped by ONE groupBy), NEXT = the following diff_id in
+  each image's ordered list collected as a set across images,
+  HEAD/TAIL from the first/last positions, ``is_empty`` for the
+  well-known empty-layer diff_id, per-layer ``history`` (created_by)
+  carried from the config blob;
+* manifest-list digests NEVER get layer edges (:656-659 — their
+  children carry the layers);
+* **image enrichment**: ordered ``layer_diff_ids`` plus the
+  attestation/label provenance fields merge ONTO the existing
+  AWSECRImage nodes (the engine's prop-union merge keeps the ECR
+  provider's digest/arch props);
+* cleanup: account-scoped layer GC.
+
+Scale: layer dedup is one groupBy on diff_id; everything else is
+explode + array exprs. The reference's async blob fetching is the
+GET side; payloads here arrive pre-fetched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cartography_spark.providers.aws_ec2 import _edge, _node
+
+EMPTY_LAYER_DIFF_ID = (
+    "sha256:5f70bf18a086007016e948b04aed3b82103a36bea41755b6cddfaf10ace3c6ef"
+)
+
+LAYERS_SCHEMA = """
+    STRUCT<Images: ARRAY<STRUCT<
+        imageDigest: STRING, uri: STRING, type: STRING,
+        platforms: MAP<STRING, ARRAY<STRING>>,
+        history_by_diff_id: MAP<STRING, STRING>,
+        provenance: STRUCT<source_repository_url: STRING,
+                           source_revision: STRING,
+                           source_file: STRING,
+                           from_attestation: BOOLEAN>>>>
+"""
+
+
+def transform_ecr_image_layers(
+    raw: DataFrame, account_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """``raw(payload_json)`` ({"Images": [...]}) → (layer nodes,
+    edges, image-enrichment node frame)."""
+    imgs = raw.select(
+        F.explode(
+            F.from_json("payload_json", LAYERS_SCHEMA)["Images"]
+        ).alias("i"),
+    ).filter(F.col("i.imageDigest").isNotNull())
+    acct = F.lit(account_id)
+    sub = ("AWSAccount", acct)
+
+    # manifest lists never get layer relationships (:656-659)
+    non_list = imgs.filter(
+        F.coalesce(F.col("i.type"), F.lit("image")) != "manifest_list"
+    ).select(
+        F.col("i.imageDigest").alias("digest"),
+        F.col("i.platforms").alias("platforms"),
+        F.col("i.history_by_diff_id").alias("hist"),
+    ).withColumn(
+        # ordered layers = the first non-empty platform diff_id list
+        # (:661-665 first-seen platform ordering)
+        "diff_ids",
+        F.get(F.filter(F.map_values("platforms"),
+                       lambda v: F.size(v) > 0), 0),
+    ).filter(F.size(F.coalesce("diff_ids", F.array())) > 0)
+
+    lay = non_list.select(
+        "hist", "digest", "diff_ids",
+        F.posexplode("diff_ids").alias("pos", "diff_id"),
+    ).select(
+        "diff_id",
+        F.element_at("hist", F.col("diff_id")).alias("history"),
+        F.get(F.col("diff_ids"), F.col("pos") + 1).alias("next_diff_id"),
+        F.when(F.col("pos") == 0, F.col("digest")).alias("head_of"),
+        F.when(F.col("pos") == F.size("diff_ids") - 1,
+               F.col("digest")).alias("tail_of"),
+    )
+    layers = lay.groupBy("diff_id").agg(
+        F.first("history", ignorenulls=True).alias("history"),
+        F.sort_array(F.collect_set("next_diff_id")).alias("next_diff_ids"),
+        F.sort_array(F.collect_set("head_of")).alias("head_of"),
+        F.sort_array(F.collect_set("tail_of")).alias("tail_of"),
+    )
+    layer_nodes = _node(layers, "AWSECRImageLayer", F.col("diff_id"), {
+        "diff_id": F.col("diff_id"),
+        "is_empty": F.col("diff_id") == EMPTY_LAYER_DIFF_ID,
+        "history": F.col("history"),
+    }, update_tag, extra=["ImageLayer"])
+
+    has_layer = non_list.select(
+        "digest", F.explode("diff_ids").alias("diff_id")
+    )
+    nxt = layers.select(
+        "diff_id", F.explode("next_diff_ids").alias("next_id")
+    )
+    heads = layers.select(
+        "diff_id", F.explode("head_of").alias("digest"))
+    tails = layers.select(
+        "diff_id", F.explode("tail_of").alias("digest"))
+    edges = (
+        _edge(layers, "AWSAccount", acct, "RESOURCE", "AWSECRImageLayer",
+              F.col("diff_id"), update_tag, sub)
+        .unionByName(_edge(has_layer, "AWSECRImage", F.col("digest"),
+                           "HAS_LAYER", "AWSECRImageLayer",
+                           F.col("diff_id"), update_tag, sub))
+        .unionByName(_edge(nxt, "AWSECRImageLayer", F.col("diff_id"),
+                           "NEXT", "AWSECRImageLayer", F.col("next_id"),
+                           update_tag, sub))
+        .unionByName(_edge(heads, "AWSECRImage", F.col("digest"), "HEAD",
+                           "AWSECRImageLayer", F.col("diff_id"),
+                           update_tag, sub))
+        .unionByName(_edge(tails, "AWSECRImage", F.col("digest"), "TAIL",
+                           "AWSECRImageLayer", F.col("diff_id"),
+                           update_tag, sub))
+    )
+
+    # image enrichment: ordered closure + provenance onto AWSECRImage
+    enrich_src = imgs.select(
+        F.col("i.imageDigest").alias("digest"),
+        F.col("i.platforms").alias("platforms"),
+        F.col("i.type").alias("type"),
+        F.col("i.provenance").alias("prov"),
+    ).withColumn(
+        "diff_ids",
+        F.when(
+            F.coalesce(F.col("type"), F.lit("image")) != "manifest_list",
+            F.get(F.filter(F.map_values("platforms"),
+                           lambda v: F.size(v) > 0), 0),
+        ),
+    ).filter(
+        F.col("diff_ids").isNotNull() | F.col("prov").isNotNull()
+    ).dropDuplicates(["digest"])
+    enrichment = _node(enrich_src, "AWSECRImage", F.col("digest"), {
+        "layer_diff_ids": F.to_json(F.col("diff_ids")),
+        "source_repository_url": F.col("prov.source_repository_url"),
+        "source_revision": F.col("prov.source_revision"),
+        "source_file": F.col("prov.source_file"),
+        "provenance_from_attestation": F.col("prov.from_attestation"),
+    }, update_tag)
+    return layer_nodes, edges, enrichment
+
+
+def sync_ecr_image_layers(
+    store, raw: DataFrame, account_id: str, update_tag: int
+) -> dict:
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    layer_nodes, edges, enrichment = transform_ecr_image_layers(
+        raw, account_id, update_tag
+    )
+    metrics = {
+        "layers": store.merge_nodes(layer_nodes, update_tag),
+        "edges": store.merge_edges(edges, update_tag),
+        "image_enrichment": store.merge_nodes(enrichment, update_tag),
+    }
+    acct_rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label="AWSAccount",
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("AWS_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    if "AWSECRImageLayer" in store.manifest["nodes"]:
+        metrics["gc_AWSECRImageLayer"] = run_cleanup(
+            store,
+            NodeSchema(
+                label="AWSECRImageLayer",
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=acct_rel,
+            ),
+            update_tag,
+            {"AWS_ID": account_id},
+        )
+    store.record_lineage("aws_ecr_layers_sync", {"update_tag": update_tag})
+    return metrics

@@ -1,0 +1,114 @@
+"""DynamoDB parity (``intel/aws/dynamodb.py`` transform :49-204)."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.aws_dynamodb import sync_dynamodb
+from cartography_spark.providers.aws_ec2 import _node
+
+TAG = 123456789
+ACCOUNT = "000000000000"
+ARN = f"arn:aws:dynamodb:us-east-1:{ACCOUNT}:table/sample_table"
+GSI_ARN = f"{ARN}/index/by_email"
+STREAM_ARN = f"{ARN}/stream/2024-01-01T00:00:00.000"
+BACKUP_ARN = f"{ARN}/backup/01"
+
+PAYLOAD = {"Tables": [
+    {"Table": {
+        "TableArn": ARN, "TableName": "sample_table", "ItemCount": 1000,
+        "TableSizeBytes": 54321, "TableStatus": "ACTIVE",
+        "CreationDateTime": "2021-01-01T00:00:00Z",
+        "ProvisionedThroughput": {"ReadCapacityUnits": 10,
+                                  "WriteCapacityUnits": 5},
+        "GlobalSecondaryIndexes": [{
+            "IndexArn": GSI_ARN, "IndexName": "by_email",
+            "ProvisionedThroughput": {"ReadCapacityUnits": 4,
+                                      "WriteCapacityUnits": 2},
+        }],
+        "BillingModeSummary": {"BillingMode": "PAY_PER_REQUEST",
+                               "LastUpdateToPayPerRequestDateTime":
+                                   "2022-01-01T00:00:00Z"},
+        "LatestStreamArn": STREAM_ARN, "LatestStreamLabel": "2024",
+        "StreamSpecification": {"StreamEnabled": True,
+                                "StreamViewType": "NEW_AND_OLD_IMAGES"},
+        "SSEDescription": {"Status": "ENABLED", "SSEType": "KMS",
+                           "KMSMasterKeyArn": "arn:kms:key/1"},
+        "ArchivalSummary": {"ArchivalDateTime": "2023-01-01T00:00:00Z",
+                            "ArchivalReason": "INACCESSIBLE_ENCRYPTION",
+                            "ArchivalBackupArn": BACKUP_ARN},
+        "RestoreSummary": {"RestoreDateTime": "2023-06-01T00:00:00Z",
+                           "RestoreInProgress": False,
+                           "SourceBackupArn": BACKUP_ARN,
+                           "SourceTableArn": ARN},
+    }},
+    {"Table": {
+        "TableArn": f"{ARN}2", "TableName": "bare_table",
+        "ProvisionedThroughput": {"ReadCapacityUnits": 1,
+                                  "WriteCapacityUnits": 1},
+    }},
+]}
+
+
+def _raw(spark, payload=PAYLOAD):
+    return spark.createDataFrame(
+        [("us-east-1", json.dumps(payload))],
+        "region string, payload_json string",
+    )
+
+
+def _mk_account(store, spark):
+    acct = spark.createDataFrame([(ACCOUNT,)], "aid string")
+    store.merge_nodes(
+        _node(acct, "AWSAccount", F.col("aid"), {
+            "name": F.lit("test-account"),
+        }, TAG, extra=["Tenant"]), TAG)
+
+
+def test_dynamodb_families(spark, tmp_store):
+    s = tmp_store
+    _mk_account(s, spark)
+    sync_dynamodb(s, _raw(spark), ACCOUNT, TAG)
+
+    tables = {r["id"]: r["props"]
+              for r in s.nodes(["AWSDynamoDBTable"]).collect()}
+    assert set(tables) == {ARN, f"{ARN}2"}
+    assert tables[ARN]["rows"] == "1000"
+    assert tables[ARN][
+        "provisioned_throughput_read_capacity_units"] == "10"
+
+    assert {r["id"] for r in
+            s.nodes(["AWSDynamoDBGlobalSecondaryIndex"]).collect()
+            } == {GSI_ARN}
+    assert {r["id"] for r in
+            s.nodes(["AWSDynamoDBStream"]).collect()} == {STREAM_ARN}
+    # bare table spawns no child nodes
+    assert {r["id"] for r in
+            s.nodes(["AWSDynamoDBBillingModeSummary"]).collect()
+            } == {f"{ARN}/billing"}
+    assert {r["id"] for r in
+            s.nodes(["AWSDynamoDBBackup"]).collect()} == {BACKUP_ARN}
+
+    rels = {(r["src_id"], r["rel_label"], r["dst_id"])
+            for r in s.edges().collect()}
+    assert (ARN, "GLOBAL_SECONDARY_INDEX", GSI_ARN) in rels
+    assert (ARN, "HAS_BILLING", f"{ARN}/billing") in rels
+    assert (ARN, "LATEST_STREAM", STREAM_ARN) in rels
+    assert (ARN, "HAS_SSE", f"{ARN}/sse") in rels
+    assert (f"{ARN}/sse", "USES_KMS_KEY", "arn:kms:key/1") in rels
+    assert (f"{ARN}/archival", "ARCHIVED_TO_BACKUP", BACKUP_ARN) in rels
+    assert (f"{ARN}/restore", "RESTORED_FROM_BACKUP", BACKUP_ARN) in rels
+    assert (f"{ARN}/restore", "RESTORED_FROM_TABLE", ARN) in rels
+
+
+def test_dynamodb_gc(spark, tmp_store):
+    s = tmp_store
+    _mk_account(s, spark)
+    sync_dynamodb(s, _raw(spark), ACCOUNT, TAG)
+    sync_dynamodb(s, _raw(spark, {"Tables": []}), ACCOUNT, TAG + 1)
+    for label in ("AWSDynamoDBTable", "AWSDynamoDBGlobalSecondaryIndex",
+                  "AWSDynamoDBBillingModeSummary", "AWSDynamoDBStream",
+                  "AWSDynamoDBSSEDescription",
+                  "AWSDynamoDBArchivalSummary",
+                  "AWSDynamoDBRestoreSummary", "AWSDynamoDBBackup"):
+        assert s.nodes([label]).count() == 0, label

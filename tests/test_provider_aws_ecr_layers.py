@@ -1,0 +1,150 @@
+"""ECR image-layer parity (``intel/aws/ecr_image_layers.py``
+transform :620-767) + the shipped layer-closure operator running on
+AWS-sourced layers."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.aws_ec2 import _node
+from cartography_spark.providers.aws_ecr_layers import (
+    EMPTY_LAYER_DIFF_ID,
+    sync_ecr_image_layers,
+)
+
+TAG = 123456789
+ACCOUNT = "000000000000"
+D_APP = "sha256:" + "a" * 64
+D_BASE = "sha256:" + "b" * 64
+D_LIST = "sha256:" + "c" * 64
+L1, L2, L3 = ("sha256:" + c * 64 for c in "123")
+
+PAYLOAD = {"Images": [
+    {"imageDigest": D_BASE, "uri": "repo/base:1",
+     "type": "image",
+     "platforms": {"linux/amd64": [L1, L2]},
+     "history_by_diff_id": {L1: "ADD rootfs", L2: "RUN apt-get"},
+     "provenance": None},
+    {"imageDigest": D_APP, "uri": "repo/app:1",
+     "type": "image",
+     "platforms": {"linux/amd64": [L1, L2, L3]},
+     "history_by_diff_id": {L3: "COPY app"},
+     "provenance": {"source_repository_url": "https://github.com/org/app",
+                    "source_revision": "deadbeef",
+                    "source_file": "Dockerfile",
+                    "from_attestation": True}},
+    # manifest list: never gets layer edges (:656-659)
+    {"imageDigest": D_LIST, "uri": "repo/app:latest",
+     "type": "manifest_list",
+     "platforms": {"linux/amd64": [L1, L2, L3]},
+     "history_by_diff_id": None, "provenance": None},
+]}
+
+
+def _raw(spark, payload=PAYLOAD):
+    return spark.createDataFrame(
+        [(json.dumps(payload),)], "payload_json string"
+    )
+
+
+def _mk_images(store, spark):
+    acct = spark.createDataFrame([(ACCOUNT,)], "aid string")
+    store.merge_nodes(
+        _node(acct, "AWSAccount", F.col("aid"), {
+            "name": F.lit("test-account"),
+        }, TAG, extra=["Tenant"]), TAG)
+    imgs = spark.createDataFrame(
+        [(D_APP, "image"), (D_BASE, "image"), (D_LIST, "manifest_list")],
+        "digest string, type string",
+    )
+    store.merge_nodes(_node(imgs, "AWSECRImage", F.col("digest"), {
+        "digest": F.col("digest"), "type": F.col("type"),
+    }, TAG, extra=["Image"]), TAG)
+    store.merge_edges(spark.createDataFrame(
+        [("AWSAccount", ACCOUNT, "RESOURCE", "AWSECRImage", d)
+         for d in (D_APP, D_BASE, D_LIST)],
+        "src_label string, src_id string, rel_label string, "
+        "dst_label string, dst_id string",
+    ).select(
+        "*", F.lit(TAG).cast("long").alias("lastupdated"),
+        F.lit("AWSAccount").alias("sub_resource_label"),
+        F.lit(ACCOUNT).alias("sub_resource_id"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    ), TAG)
+
+
+def test_layer_graph_and_enrichment(spark, tmp_store):
+    s = tmp_store
+    _mk_images(s, spark)
+    sync_ecr_image_layers(s, _raw(spark), ACCOUNT, TAG)
+
+    layers = {r["id"]: r["props"]
+              for r in s.nodes(["AWSECRImageLayer"]).collect()}
+    assert set(layers) == {L1, L2, L3}
+    assert layers[L1]["history"] == "ADD rootfs"
+    assert layers[L1]["is_empty"] == "false"
+
+    rels = {(r["src_id"], r["rel_label"], r["dst_id"])
+            for r in s.edges().collect()}
+    assert (L1, "NEXT", L2) in rels
+    assert (L2, "NEXT", L3) in rels
+    assert (D_BASE, "HEAD", L1) in rels and (D_BASE, "TAIL", L2) in rels
+    assert (D_APP, "HEAD", L1) in rels and (D_APP, "TAIL", L3) in rels
+    assert (D_APP, "HAS_LAYER", L3) in rels
+    # the manifest list has no layer edges at all
+    assert not any(r[0] == D_LIST and r[1] in ("HAS_LAYER", "HEAD", "TAIL")
+                   for r in rels)
+
+    # enrichment merged ONTO the existing image node (type survives)
+    img = {r["id"]: r["props"] for r in s.nodes(["AWSECRImage"]).collect()}
+    assert json.loads(img[D_APP]["layer_diff_ids"]) == [L1, L2, L3]
+    assert img[D_APP]["type"] == "image"
+    assert img[D_APP]["source_revision"] == "deadbeef"
+    assert img[D_APP]["provenance_from_attestation"] == "true"
+
+
+def test_layer_closure_operator_and_gc(spark, tmp_store):
+    from cartography_spark.plans.images import complete_layer_digests
+
+    s = tmp_store
+    _mk_images(s, spark)
+    sync_ecr_image_layers(s, _raw(spark), ACCOUNT, TAG)
+    complete = {
+        r["digest"] for r in complete_layer_digests(
+            s, "AWSECRImage", "AWSECRImageLayer", "AWSAccount", ACCOUNT
+        ).collect()
+    }
+    assert {D_APP, D_BASE} <= complete
+
+    # drop one layer from the app image's list → closure incomplete
+    broken = {"Images": [dict(PAYLOAD["Images"][1])]}
+    broken["Images"][0]["platforms"] = {"linux/amd64": [L1, L3]}
+    sync_ecr_image_layers(s, _raw(spark, broken), ACCOUNT, TAG + 1)
+    # L2 was GC'd (no longer referenced); D_APP closure now [L1, L3]
+    assert s.nodes(["AWSECRImageLayer"]).count() == 2
+    complete = {
+        r["digest"] for r in complete_layer_digests(
+            s, "AWSECRImage", "AWSECRImageLayer", "AWSAccount", ACCOUNT
+        ).collect()
+    }
+    assert D_APP in complete
+    # D_BASE still claims [L1, L2] but L2's node is gone: incomplete
+    assert D_BASE not in complete
+
+    sync_ecr_image_layers(
+        s, _raw(spark, {"Images": []}), ACCOUNT, TAG + 2)
+    assert s.nodes(["AWSECRImageLayer"]).count() == 0
+
+
+def test_empty_layer_flag(spark, tmp_store):
+    s = tmp_store
+    _mk_images(s, spark)
+    payload = {"Images": [{
+        "imageDigest": D_BASE, "uri": "repo/base:1", "type": "image",
+        "platforms": {"linux/amd64": [EMPTY_LAYER_DIFF_ID, L1]},
+        "history_by_diff_id": None, "provenance": None,
+    }]}
+    sync_ecr_image_layers(s, _raw(spark, payload), ACCOUNT, TAG)
+    layers = {r["id"]: r["props"]
+              for r in s.nodes(["AWSECRImageLayer"]).collect()}
+    assert layers[EMPTY_LAYER_DIFF_ID]["is_empty"] == "true"

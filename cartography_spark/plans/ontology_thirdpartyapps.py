@@ -1,0 +1,113 @@
+"""ThirdPartyApp ontology stage — the sixth canonical semantic layer:
+OAuth/SaaS app nodes across providers gain the ``ThirdPartyApp`` label
+and the ``_ont_client_id/_ont_name/_ont_enabled/_ont_protocol/
+_ont_source`` projection so cross-cloud consumers (the
+subimage_coverage pack, app inventories) never learn provider schemas.
+
+Re-expresses ``models/ontology/mapping/data/thirdpartyapps.py`` for
+the app families this engine carries:
+
+* ``KeycloakClient`` (:44-72): client_id/name/enabled/protocol map
+  straight through;
+* ``SlackBot`` (:140-166): the bot's Slack id stands in for the OAuth
+  client_id (the reference's note), ``enabled`` = NOT deleted
+  (``invert_boolean`` special handling), no protocol.
+
+The registry is declarative — a new provider adds one AppSource row.
+Scale: ONE union frame + ONE merge regardless of source count; the
+merge's prop-union keeps every provider prop intact and the computed
+``extra_labels`` array-union adds the label idempotently.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from cartography_spark.store.graphstore import GraphStore
+
+
+@dataclass(frozen=True)
+class AppSource:
+    label: str
+    source: str
+    client_id: Callable[[], Column]
+    name: Callable[[], Column]
+    enabled: Callable[[], Column] | None = None
+    protocol: Callable[[], Column] | None = None
+
+
+THIRD_PARTY_APP_SOURCES: tuple[AppSource, ...] = (
+    AppSource(
+        label="KeycloakClient",
+        source="keycloak",
+        client_id=lambda: F.element_at("props", "client_id"),
+        name=lambda: F.element_at("props", "name"),
+        enabled=lambda: F.element_at("props", "enabled"),
+        protocol=lambda: F.element_at("props", "protocol"),
+    ),
+    AppSource(
+        label="SlackBot",
+        source="slack",
+        client_id=lambda: F.col("id"),
+        name=lambda: F.element_at("props", "name"),
+        # invert_boolean: enabled = NOT deleted
+        enabled=lambda: F.when(
+            F.element_at("props", "deleted") == "true", F.lit("false")
+        ).when(
+            F.element_at("props", "deleted") == "false", F.lit("true")
+        ),
+    ),
+)
+
+
+def sync_ontology_thirdpartyapps(
+    store: GraphStore,
+    update_tag: int,
+    sources: tuple[AppSource, ...] = THIRD_PARTY_APP_SOURCES,
+) -> dict:
+    """Project the ontology fields + label onto every registered app
+    family in one merge pass."""
+    frames: list[DataFrame] = []
+    for src in sources:
+        if src.label not in store.manifest["nodes"]:
+            continue
+        entries = [
+            F.lit("_ont_client_id"), src.client_id().cast("string"),
+            F.lit("_ont_name"), src.name().cast("string"),
+            F.lit("_ont_source"), F.lit(src.source),
+        ]
+        if src.enabled is not None:
+            entries += [F.lit("_ont_enabled"),
+                        src.enabled().cast("string")]
+        if src.protocol is not None:
+            entries += [F.lit("_ont_protocol"),
+                        src.protocol().cast("string")]
+        frames.append(
+            store.nodes([src.label]).select(
+                "label", "id",
+                F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+                F.lit(None).cast("string").alias("content_sha256"),
+                F.array_sort(F.array_union(
+                    F.coalesce("extra_labels",
+                               F.array().cast("array<string>")),
+                    F.array(F.lit("ThirdPartyApp")),
+                )).alias("extra_labels"),
+                F.map_filter(
+                    F.map_from_arrays(F.array(*entries[0::2]),
+                                      F.array(*entries[1::2])),
+                    lambda _k, v: v.isNotNull(),
+                ).alias("props"),
+            )
+        )
+    if not frames:
+        return {"apps": {}}
+    batch = frames[0]
+    for f in frames[1:]:
+        batch = batch.unionByName(f)
+    metrics = {"apps": store.merge_nodes(batch, update_tag)}
+    store.record_lineage("ontology_thirdpartyapps",
+                         {"update_tag": update_tag})
+    return metrics

@@ -2020,6 +2020,71 @@ AWS_LAMBDA_ACCOUNT_MANIPULATION = Fact(
     asset_id_field="workload_id",
 )
 
+SUBIMAGE_MODULE_NOT_CONFIGURED = Fact(
+    id="subimage-module-not-configured",
+    name="SubImage module not configured despite internal usage",
+    description="Unconfigured modules whose name matches a "
+    "ThirdPartyApp in the graph — the org uses the service without "
+    "coverage (subimage_coverage.py:12-47).",
+    sql_query="""
+        SELECT m.id AS module_id, m.props['name'] AS module_name,
+               app.props['_ont_name'] AS app_name,
+               app.props['_ont_source'] AS app_source
+        FROM nodes m
+        JOIN nodes app
+          ON array_contains(coalesce(app.extra_labels, array()),
+                            'ThirdPartyApp')
+         AND lower(app.props['_ont_name']) = lower(m.id)
+        WHERE m.label = 'SubImageModule'
+          AND m.props['is_configured'] = 'false'
+        ORDER BY module_name, app_source, app_name
+    """,
+    count_sql="""
+        SELECT count(DISTINCT m.id) AS count
+        FROM nodes m
+        JOIN nodes app
+          ON array_contains(coalesce(app.extra_labels, array()),
+                            'ThirdPartyApp')
+         AND lower(app.props['_ont_name']) = lower(m.id)
+        WHERE m.label = 'SubImageModule'
+          AND m.props['is_configured'] = 'false'
+    """,
+    identity_fields=("module_name", "app_name", "app_source"),
+    asset_label="SubImageModule",
+    asset_id_field="module_id",
+)
+
+SUBIMAGE_FRAMEWORK_DISABLED_MODULE_ENABLED = Fact(
+    id="subimage-framework-disabled-module-enabled",
+    name="SubImage framework disabled while its module is configured",
+    description="Disabled frameworks whose scope names a configured "
+    "module — a compliance gap (subimage_coverage.py:80-115).",
+    sql_query="""
+        SELECT f.id AS framework_id, f.props['name'] AS framework_name,
+               f.props['scope'] AS framework_scope,
+               m.props['name'] AS module_name
+        FROM nodes f
+        JOIN nodes m ON m.label = 'SubImageModule'
+           AND m.props['is_configured'] = 'true'
+           AND f.props['scope'] = m.id
+        WHERE f.label = 'SubImageFramework'
+          AND f.props['enabled'] = 'false'
+        ORDER BY framework_name
+    """,
+    count_sql="""
+        SELECT count(*) AS count
+        FROM nodes f
+        JOIN nodes m ON m.label = 'SubImageModule'
+           AND m.props['is_configured'] = 'true'
+           AND f.props['scope'] = m.id
+        WHERE f.label = 'SubImageFramework'
+          AND f.props['enabled'] = 'false'
+    """,
+    identity_fields=("framework_name", "framework_scope"),
+    asset_label="SubImageFramework",
+    asset_id_field="framework_id",
+)
+
 MISSING_MFA_ONTOLOGY = Fact(
     id="missing-mfa-ontology",
     name="UserAccount nodes with MFA explicitly disabled",
@@ -3009,6 +3074,25 @@ ALL_RULES = ALL_RULES + (
         "leg).",
         version="0.1.0",
         facts=(AWS_POLICY_ADMIN_PERMISSIONS,),
+    ),
+    Rule(
+        id="subimage_module_not_configured",
+        name="SubImage module not configured",
+        tags=("subimage", "coverage", "misconfiguration"),
+        description="Unconfigured modules with matching ThirdPartyApp "
+        "usage in the graph "
+        "(rules/data/rules/subimage_coverage.py:57-74).",
+        version="0.1.0",
+        facts=(SUBIMAGE_MODULE_NOT_CONFIGURED,),
+    ),
+    Rule(
+        id="subimage_framework_disabled_module_enabled",
+        name="SubImage framework disabled while module enabled",
+        tags=("subimage", "coverage", "compliance"),
+        description="Disabled frameworks scoped to configured modules "
+        "(rules/data/rules/subimage_coverage.py:120+).",
+        version="0.1.0",
+        facts=(SUBIMAGE_FRAMEWORK_DISABLED_MODULE_ENABLED,),
     ),
     Rule(
         id="mfa_missing",

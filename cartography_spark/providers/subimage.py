@@ -1,0 +1,136 @@
+"""SubImage deployment self-inventory: tenant, module configuration,
+compliance frameworks — the coverage surface the subimage_coverage
+rules read.
+
+Re-expresses ``intel/subimage/{tenant,modules,frameworks}.py``:
+
+* **modules** (``modules.py:35-44``): the ``{module_name: config}``
+  map becomes one explode — id = module name, is_configured +
+  last_sync_status;
+* **frameworks** (``frameworks.py:51-66``): the paginated Page[T]
+  walk is the GET side; the transform keeps
+  id/name/short_name/scope/revision/enabled(+timestamps)/rule_count;
+* tenant-scoped RESOURCE edges + GC per label.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cartography_spark.providers.aws_ec2 import _edge, _node
+
+MODULES_SCHEMA = "MAP<STRING, STRUCT<is_configured: BOOLEAN, " \
+                 "last_sync_status: STRING>>"
+FRAMEWORKS_SCHEMA = """
+    STRUCT<items: ARRAY<STRUCT<
+        id: STRING, name: STRING, short_name: STRING, scope: STRING,
+        revision: INT, enabled: BOOLEAN, enabled_at: STRING,
+        disabled_at: STRING, rule_count: INT>>>
+"""
+
+
+def transform_subimage(
+    modules_raw: DataFrame | None,
+    frameworks_raw: DataFrame | None,
+    tenant_id: str,
+    update_tag: int,
+    spark=None,
+) -> tuple[DataFrame, DataFrame]:
+    ten = F.lit(tenant_id)
+    sub = ("SubImageTenant", ten)
+    tenant = spark.createDataFrame([(tenant_id,)], "tid string")
+    nodes = _node(tenant, "SubImageTenant", F.col("tid"), {
+        "id": F.col("tid"),
+    }, update_tag)
+    edges = None
+
+    if modules_raw is not None:
+        mods = modules_raw.select(
+            F.explode(F.from_json("payload_json", MODULES_SCHEMA))
+            .alias("module_name", "cfg"),
+        )
+        nodes = nodes.unionByName(
+            _node(mods, "SubImageModule", F.col("module_name"), {
+                "name": F.col("module_name"),
+                "is_configured": F.col("cfg.is_configured"),
+                "last_sync_status": F.col("cfg.last_sync_status"),
+            }, update_tag))
+        edges = _edge(mods, "SubImageTenant", ten, "RESOURCE",
+                      "SubImageModule", F.col("module_name"),
+                      update_tag, sub)
+
+    if frameworks_raw is not None:
+        fws = frameworks_raw.select(
+            F.explode(
+                F.from_json("payload_json", FRAMEWORKS_SCHEMA)["items"]
+            ).alias("f"),
+        ).filter(F.col("f.id").isNotNull())
+        nodes = nodes.unionByName(
+            _node(fws, "SubImageFramework", F.col("f.id"), {
+                "name": F.col("f.name"),
+                "short_name": F.col("f.short_name"),
+                "scope": F.col("f.scope"),
+                "revision": F.col("f.revision"),
+                "enabled": F.col("f.enabled"),
+                "enabled_at": F.col("f.enabled_at"),
+                "disabled_at": F.col("f.disabled_at"),
+                "rule_count": F.col("f.rule_count"),
+            }, update_tag))
+        fw_edges = _edge(fws, "SubImageTenant", ten, "RESOURCE",
+                         "SubImageFramework", F.col("f.id"),
+                         update_tag, sub)
+        edges = fw_edges if edges is None else edges.unionByName(fw_edges)
+
+    if edges is None:
+        edges = _edge(tenant.limit(0), "SubImageTenant", ten, "RESOURCE",
+                      "SubImageTenant", ten, update_tag, sub)
+    return nodes, edges
+
+
+def sync_subimage(
+    store,
+    modules_raw: DataFrame | None,
+    frameworks_raw: DataFrame | None,
+    tenant_id: str,
+    update_tag: int,
+) -> dict:
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    nodes, edges = transform_subimage(
+        modules_raw, frameworks_raw, tenant_id, update_tag,
+        spark=store.spark,
+    )
+    metrics = {
+        "nodes": store.merge_nodes(nodes, update_tag),
+        "edges": store.merge_edges(edges, update_tag),
+    }
+    ten_rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label="SubImageTenant",
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("TENANT_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    for label in ("SubImageModule", "SubImageFramework"):
+        if label not in store.manifest["nodes"]:
+            continue
+        metrics[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=ten_rel,
+            ),
+            update_tag,
+            {"TENANT_ID": tenant_id},
+        )
+    store.record_lineage("subimage_sync", {"update_tag": update_tag})
+    return metrics

@@ -1,0 +1,111 @@
+"""SubImage self-inventory parity (``intel/subimage``), the
+ThirdPartyApp ontology stage, and the subimage_coverage rules."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from cartography_spark.plans.ontology_thirdpartyapps import (
+    sync_ontology_thirdpartyapps,
+)
+from cartography_spark.providers.aws_ec2 import _node
+from cartography_spark.providers.subimage import sync_subimage
+
+TAG = 123456789
+TENANT = "tenant-1"
+
+MODULES = {
+    "slack": {"is_configured": False, "last_sync_status": None},
+    "aws": {"is_configured": True, "last_sync_status": "success"},
+    "keycloak": {"is_configured": False, "last_sync_status": None},
+}
+FRAMEWORKS = {"items": [
+    {"id": "fw-cis-aws", "name": "CIS AWS", "short_name": "cis-aws",
+     "scope": "aws", "revision": 3, "enabled": False,
+     "disabled_at": "2024-01-01T00:00:00Z", "rule_count": 42},
+    {"id": "fw-slack", "name": "Slack Hardening", "short_name": "slack",
+     "scope": "slack", "revision": 1, "enabled": False, "rule_count": 5},
+    {"id": "fw-aws-on", "name": "AWS Baseline", "short_name": "aws-base",
+     "scope": "aws", "revision": 2, "enabled": True, "rule_count": 10},
+]}
+
+
+def _raw(spark, payload):
+    return spark.createDataFrame(
+        [(json.dumps(payload),)], "payload_json string"
+    )
+
+
+def _mk_apps(store, spark):
+    bots = spark.createDataFrame(
+        [("B123", "slack", "false")], "id string, name string, del string"
+    )
+    store.merge_nodes(_node(bots, "SlackBot", F.col("id"), {
+        "name": F.col("name"), "deleted": F.col("del"),
+    }, TAG), TAG)
+    clients = spark.createDataFrame(
+        [("kc-1", "grafana", "grafana-client", "true", "openid-connect")],
+        "id string, name string, cid string, enabled string, proto string",
+    )
+    store.merge_nodes(_node(clients, "KeycloakClient", F.col("id"), {
+        "name": F.col("name"), "client_id": F.col("cid"),
+        "enabled": F.col("enabled"), "protocol": F.col("proto"),
+    }, TAG), TAG)
+
+
+def test_thirdpartyapp_ontology_stage(spark, tmp_store):
+    s = tmp_store
+    _mk_apps(s, spark)
+    sync_ontology_thirdpartyapps(s, TAG)
+    bots = {r["id"]: r for r in s.nodes(["SlackBot"]).collect()}
+    assert "ThirdPartyApp" in bots["B123"]["extra_labels"]
+    assert bots["B123"]["props"]["_ont_name"] == "slack"
+    assert bots["B123"]["props"]["_ont_enabled"] == "true"  # NOT deleted
+    assert bots["B123"]["props"]["_ont_client_id"] == "B123"
+    kc = {r["id"]: r for r in s.nodes(["KeycloakClient"]).collect()}
+    assert kc["kc-1"]["props"]["_ont_protocol"] == "openid-connect"
+    assert kc["kc-1"]["props"]["_ont_source"] == "keycloak"
+    # provider props survive the projection merge
+    assert kc["kc-1"]["props"]["client_id"] == "grafana-client"
+    # idempotent: re-running never duplicates the label
+    sync_ontology_thirdpartyapps(s, TAG + 1)
+    bots = {r["id"]: r for r in s.nodes(["SlackBot"]).collect()}
+    assert bots["B123"]["extra_labels"].count("ThirdPartyApp") == 1
+
+
+def test_subimage_coverage_rules(spark, tmp_store):
+    from cartography_spark.plans.rules import (
+        SUBIMAGE_FRAMEWORK_DISABLED_MODULE_ENABLED,
+        SUBIMAGE_MODULE_NOT_CONFIGURED,
+        run_fact,
+    )
+
+    s = tmp_store
+    _mk_apps(s, spark)
+    sync_ontology_thirdpartyapps(s, TAG)
+    sync_subimage(s, _raw(spark, MODULES), _raw(spark, FRAMEWORKS),
+                  TENANT, TAG)
+
+    mods = {r["id"]: r["props"]
+            for r in s.nodes(["SubImageModule"]).collect()}
+    assert mods["aws"]["is_configured"] == "true"
+    assert mods["aws"]["last_sync_status"] == "success"
+
+    res = run_fact(s, SUBIMAGE_MODULE_NOT_CONFIGURED)
+    rows = {(r["module_id"], r["app_source"])
+            for r in res["findings"].collect()}
+    # slack module matches the SlackBot _ont_name; keycloak module has
+    # no app named 'keycloak' (the client is 'grafana'); aws configured
+    assert rows == {("slack", "slack")}
+
+    res = run_fact(s, SUBIMAGE_FRAMEWORK_DISABLED_MODULE_ENABLED)
+    rows = {r["framework_id"] for r in res["findings"].collect()}
+    # fw-cis-aws: disabled + module aws configured → flagged;
+    # fw-slack: module unconfigured → not flagged; fw-aws-on: enabled
+    assert rows == {"fw-cis-aws"}
+
+    # tenant-scoped GC
+    sync_subimage(s, _raw(spark, {}), _raw(spark, {"items": []}),
+                  TENANT, TAG + 1)
+    assert s.nodes(["SubImageModule"]).count() == 0
+    assert s.nodes(["SubImageFramework"]).count() == 0

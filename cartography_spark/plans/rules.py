@@ -2020,6 +2020,411 @@ AWS_LAMBDA_ACCOUNT_MANIPULATION = Fact(
     asset_id_field="workload_id",
 )
 
+# cis_kubernetes_workloads.py twins: the pod-security surface over the
+# extended KubernetesPod/KubernetesContainer props. Pods associate to
+# their cluster through the cluster_name prop (this engine's scoping).
+
+_K8S_INFRA_NAMESPACES_SQL = (
+    "('calico-apiserver', 'calico-system', 'cert-manager', "
+    "'gatekeeper-system', 'ingress-nginx', 'istio-ingress', "
+    "'istio-system', 'karpenter', 'kube-node-lease', 'kube-public', "
+    "'kube-system', 'kyverno')"
+)
+_K8S_INFRA_SA_NAMES_SQL = (
+    "('aws-load-balancer-controller', 'cluster-autoscaler', 'karpenter', "
+    "'metrics-server', 'vertical-pod-autoscaler-admission-controller', "
+    "'vertical-pod-autoscaler-recommender', "
+    "'vertical-pod-autoscaler-updater')"
+)
+
+
+def _k8s_pod_flag_fact(fact_id, name, description, prop):
+    """Shared shape of the hostPID/hostIPC/hostNetwork facts
+    (cis_kubernetes_workloads.py:318-480)."""
+    return Fact(
+        id=fact_id,
+        name=name,
+        description=description,
+        sql_query=f"""
+            SELECT pod.id AS pod_id, pod.props['name'] AS pod_name,
+                   pod.props['namespace'] AS namespace,
+                   pod.props['cluster_name'] AS cluster_name
+            FROM nodes pod
+            WHERE pod.label = 'KubernetesPod'
+              AND coalesce(pod.props['{prop}'], 'false') = 'true'
+            ORDER BY pod_id
+        """,
+        count_sql="""
+            SELECT count(*) AS count FROM nodes
+            WHERE label = 'KubernetesPod'
+        """,
+        identity_fields=("pod_id",),
+        asset_label="KubernetesPod",
+        asset_id_field="pod_id",
+    )
+
+
+K8S_HOST_PID_PODS = _k8s_pod_flag_fact(
+    "k8s_host_pid_pods", "Pods sharing the host PID namespace",
+    "hostPID=true pods (cis_kubernetes_workloads.py:318-343).",
+    "host_pid",
+)
+K8S_HOST_IPC_PODS = _k8s_pod_flag_fact(
+    "k8s_host_ipc_pods", "Pods sharing the host IPC namespace",
+    "hostIPC=true pods (cis_kubernetes_workloads.py:371-396).",
+    "host_ipc",
+)
+K8S_HOST_NETWORK_PODS = _k8s_pod_flag_fact(
+    "k8s_host_network_pods", "Pods sharing the host network namespace",
+    "hostNetwork=true pods (cis_kubernetes_workloads.py:424-449).",
+    "host_network",
+)
+
+K8S_SECRETS_IN_ENV_VARS = Fact(
+    id="k8s_secrets_in_env_vars",
+    name="Pods using secrets via environment variables",
+    description="Namespaces whose pods reference secrets through env "
+    "vars; grouped per namespace so controller pod churn never mints "
+    "new findings (cis_kubernetes_workloads.py:91-140).",
+    sql_query="""
+        SELECT ns.id AS namespace_id,
+               u.cluster_name, u.namespace,
+               to_json(sort_array(collect_set(u.secret_name)))
+                   AS secret_names,
+               to_json(sort_array(collect_set(u.pod_name))) AS pod_names,
+               size(collect_set(u.pod_name)) AS pod_count
+        FROM (
+            SELECT pod.props['cluster_name'] AS cluster_name,
+                   pod.props['namespace'] AS namespace,
+                   pod.props['name'] AS pod_name,
+                   sec.props['name'] AS secret_name
+            FROM edges us
+            JOIN nodes pod ON pod.label = 'KubernetesPod'
+               AND pod.id = us.src_id
+            JOIN nodes sec ON sec.label = 'KubernetesSecret'
+               AND sec.id = us.dst_id
+            WHERE us.rel_label = 'USES_SECRET'
+              AND array_contains(
+                  split(coalesce(us.props['mount_method'], ''), ','),
+                  'env')
+        ) u
+        JOIN nodes ns ON ns.label = 'KubernetesNamespace'
+           AND ns.props['name'] = u.namespace
+           AND ns.props['cluster_name'] = u.cluster_name
+        GROUP BY ns.id, u.cluster_name, u.namespace
+        ORDER BY namespace_id
+    """,
+    count_sql="""
+        SELECT count(*) AS count FROM nodes
+        WHERE label = 'KubernetesNamespace'
+    """,
+    identity_fields=("cluster_name", "namespace"),
+    asset_label="KubernetesNamespace",
+    asset_id_field="namespace_id",
+)
+
+K8S_SA_TOKENS_MOUNTED = Fact(
+    id="k8s_service_account_tokens_mounted",
+    name="Pods with service-account token auto-mount enabled",
+    description="Effective automount (pod override, else SA, else "
+    "true) on non-default, non-infrastructure service accounts with "
+    "no cloud identity binding; grouped per (namespace, SA) "
+    "(cis_kubernetes_workloads.py:176-280).",
+    sql_query=f"""
+        WITH sa AS (
+            SELECT n.props['cluster_name'] AS cluster_name,
+                   n.props['namespace'] AS namespace,
+                   n.props['name'] AS sa_name,
+                   n.props['automount_service_account_token']
+                       AS sa_automount,
+                   (n.props['aws_role_arn'] IS NOT NULL
+                    OR n.props['gcp_service_account'] IS NOT NULL
+                    OR EXISTS (SELECT 1 FROM edges e
+                               WHERE e.src_id = n.id
+                                 AND e.rel_label IN
+                                     ('ASSUMES_ROLE',
+                                      'WORKLOAD_IDENTITY_BINDING')))
+                       AS has_cloud_identity
+            FROM nodes n WHERE n.label = 'KubernetesServiceAccount'
+        ), hits AS (
+            SELECT pod.props['cluster_name'] AS cluster_name,
+                   pod.props['namespace'] AS namespace,
+                   coalesce(sa.sa_name,
+                            pod.props['service_account_name'])
+                       AS service_account_name,
+                   pod.props['name'] AS pod_name
+            FROM nodes pod
+            LEFT JOIN sa
+              ON sa.cluster_name = pod.props['cluster_name']
+             AND sa.namespace = pod.props['namespace']
+             AND sa.sa_name = pod.props['service_account_name']
+            WHERE pod.label = 'KubernetesPod'
+              AND coalesce(
+                  pod.props['automount_service_account_token'],
+                  sa.sa_automount, 'true') = 'true'
+              AND coalesce(sa.has_cloud_identity, false) = false
+              AND coalesce(sa.sa_name,
+                           pod.props['service_account_name'], '')
+                  <> 'default'
+              AND pod.props['namespace']
+                  NOT IN {_K8S_INFRA_NAMESPACES_SQL}
+              AND coalesce(sa.sa_name,
+                           pod.props['service_account_name'], '')
+                  NOT IN {_K8S_INFRA_SA_NAMES_SQL}
+        )
+        SELECT ns.id AS namespace_id, h.cluster_name, h.namespace,
+               h.service_account_name,
+               to_json(sort_array(collect_set(h.pod_name))) AS pod_names,
+               size(collect_set(h.pod_name)) AS pod_count
+        FROM hits h
+        JOIN nodes ns ON ns.label = 'KubernetesNamespace'
+           AND ns.props['name'] = h.namespace
+           AND ns.props['cluster_name'] = h.cluster_name
+        GROUP BY ns.id, h.cluster_name, h.namespace,
+                 h.service_account_name
+        ORDER BY namespace_id, service_account_name
+    """,
+    count_sql="""
+        SELECT count(*) AS count FROM nodes
+        WHERE label = 'KubernetesNamespace'
+    """,
+    identity_fields=("cluster_name", "namespace",
+                     "service_account_name"),
+    asset_label="KubernetesNamespace",
+    asset_id_field="namespace_id",
+)
+
+K8S_ALLOW_PRIVILEGE_ESCALATION = Fact(
+    id="k8s_allow_privilege_escalation",
+    name="Containers without allowPrivilegeEscalation=false",
+    description="Containers omitting the field fail the control too "
+    "(cis_kubernetes_workloads.py:481-544 CIS 5.2.6).",
+    sql_query="""
+        SELECT c.id AS container_id, c.props['name'] AS container_name,
+               c.props['image'] AS image,
+               c.props['namespace'] AS namespace,
+               c.props['cluster_name'] AS cluster_name
+        FROM nodes c
+        WHERE c.label = 'KubernetesContainer'
+          AND coalesce(c.props['allow_privilege_escalation'], 'true')
+              = 'true'
+        ORDER BY container_id
+    """,
+    count_sql="""
+        SELECT count(*) AS count FROM nodes
+        WHERE label = 'KubernetesContainer'
+    """,
+    identity_fields=("container_id",),
+    asset_label="KubernetesContainer",
+    asset_id_field="container_id",
+)
+
+K8S_HOST_PATH_VOLUMES = Fact(
+    id="k8s_host_path_volumes",
+    name="Pods using hostPath volumes",
+    description="Namespaces whose pods define hostPath volumes, "
+    "grouped per namespace (cis_kubernetes_workloads.py:545-621).",
+    sql_query="""
+        SELECT ns.id AS namespace_id, u.cluster_name, u.namespace,
+               to_json(sort_array(collect_set(u.host_path)))
+                   AS host_path_volume_paths,
+               to_json(sort_array(collect_set(u.pod_name))) AS pod_names,
+               size(collect_set(u.pod_name)) AS pod_count
+        FROM (
+            SELECT pod.props['cluster_name'] AS cluster_name,
+                   pod.props['namespace'] AS namespace,
+                   pod.props['name'] AS pod_name, hp.host_path
+            FROM nodes pod
+            LATERAL VIEW explode(
+                from_json(pod.props['host_path_volumes'],
+                          'array<string>')) hp AS host_path
+            WHERE pod.label = 'KubernetesPod'
+        ) u
+        JOIN nodes ns ON ns.label = 'KubernetesNamespace'
+           AND ns.props['name'] = u.namespace
+           AND ns.props['cluster_name'] = u.cluster_name
+        GROUP BY ns.id, u.cluster_name, u.namespace
+        ORDER BY namespace_id
+    """,
+    count_sql="""
+        SELECT count(*) AS count FROM nodes
+        WHERE label = 'KubernetesNamespace'
+    """,
+    identity_fields=("cluster_name", "namespace"),
+    asset_label="KubernetesNamespace",
+    asset_id_field="namespace_id",
+)
+
+K8S_HOST_PORTS = Fact(
+    id="k8s_host_ports",
+    name="Containers exposing host ports",
+    description="hostPort containers, excluding pods already on the "
+    "host network (that exposure is the host-network rule's; "
+    "cis_kubernetes_workloads.py:622-699).",
+    sql_query="""
+        SELECT c.id AS container_id, c.props['name'] AS container_name,
+               c.props['namespace'] AS namespace,
+               c.props['host_ports'] AS host_ports,
+               c.props['cluster_name'] AS cluster_name
+        FROM nodes c
+        LEFT JOIN nodes pod ON pod.label = 'KubernetesPod'
+           AND pod.id = c.props['pod_id']
+        WHERE c.label = 'KubernetesContainer'
+          AND size(coalesce(from_json(c.props['host_ports'],
+                                      'array<int>'), array())) > 0
+          AND coalesce(pod.props['host_network'], 'false') <> 'true'
+        ORDER BY container_id
+    """,
+    count_sql="""
+        SELECT count(*) AS count
+        FROM nodes c
+        LEFT JOIN nodes pod ON pod.label = 'KubernetesPod'
+           AND pod.id = c.props['pod_id']
+        WHERE c.label = 'KubernetesContainer'
+          AND coalesce(pod.props['host_network'], 'false') <> 'true'
+    """,
+    identity_fields=("container_id",),
+    asset_label="KubernetesContainer",
+    asset_id_field="container_id",
+)
+
+K8S_MISSING_RUNTIME_DEFAULT_SECCOMP = Fact(
+    id="k8s_missing_runtime_default_seccomp",
+    name="Pods without RuntimeDefault seccomp coverage",
+    description="Effective profile = container override else pod "
+    "profile; any non-RuntimeDefault container fails the pod "
+    "(cis_kubernetes_workloads.py:700-779 CIS 5.2.2... container "
+    "Unconfined overrides beat a RuntimeDefault pod).",
+    sql_query="""
+        SELECT pod.id AS pod_id, pod.props['name'] AS pod_name,
+               pod.props['namespace'] AS namespace,
+               pod.props['seccomp_profile_type']
+                   AS pod_seccomp_profile_type,
+               to_json(sort_array(collect_set(c.props['name'])))
+                   AS container_names_without_runtime_default,
+               pod.props['cluster_name'] AS cluster_name
+        FROM nodes pod
+        JOIN nodes c ON c.label = 'KubernetesContainer'
+           AND c.props['pod_id'] = pod.id
+        WHERE pod.label = 'KubernetesPod'
+          AND coalesce(c.props['seccomp_profile_type'],
+                       pod.props['seccomp_profile_type'], '')
+              <> 'RuntimeDefault'
+        GROUP BY pod.id, pod.props['name'], pod.props['namespace'],
+                 pod.props['seccomp_profile_type'],
+                 pod.props['cluster_name']
+        ORDER BY pod_id
+    """,
+    count_sql="""
+        SELECT count(*) AS count FROM nodes
+        WHERE label = 'KubernetesPod'
+    """,
+    identity_fields=("pod_id",),
+    asset_label="KubernetesPod",
+    asset_id_field="pod_id",
+)
+
+K8S_PODS_IN_DEFAULT_NAMESPACE = Fact(
+    id="k8s_pods_in_default_namespace",
+    name="Pods running in the default namespace",
+    description="Workloads belong in dedicated namespaces for quota, "
+    "network policy and access separation "
+    "(cis_kubernetes_workloads.py:780-830).",
+    sql_query="""
+        SELECT pod.id AS pod_id, pod.props['name'] AS pod_name,
+               pod.props['status_phase'] AS status_phase,
+               pod.props['cluster_name'] AS cluster_name
+        FROM nodes pod
+        WHERE pod.label = 'KubernetesPod'
+          AND pod.props['namespace'] = 'default'
+        ORDER BY pod_id
+    """,
+    count_sql="""
+        SELECT count(*) AS count FROM nodes
+        WHERE label = 'KubernetesPod'
+    """,
+    identity_fields=("pod_id",),
+    asset_label="KubernetesPod",
+    asset_id_field="pod_id",
+)
+
+DATABRICKS_PAT_NEVER_EXPIRES = Fact(
+    id="databricks_pat_never_expires",
+    name="Databricks personal access tokens without expiry",
+    description="Null expiry_time encodes an unbounded lifetime "
+    "(databricks_security.py:20-58).",
+    sql_query="""
+        SELECT t.id AS id,
+               coalesce(t.props['comment'], t.props['token_id']) AS name,
+               t.props['created_by_username'] AS created_by,
+               t.props['creation_time'] AS creation_time
+        FROM nodes t
+        WHERE t.label = 'DatabricksToken'
+          AND t.props['expiry_time'] IS NULL
+        ORDER BY id
+    """,
+    count_sql="""
+        SELECT count(*) AS count FROM nodes
+        WHERE label = 'DatabricksToken'
+    """,
+    identity_fields=("id",),
+    asset_label="DatabricksToken",
+    asset_id_field="id",
+)
+
+DATABRICKS_IP_LIST_ALLOWS_ALL = Fact(
+    id="databricks_ip_access_list_allows_all",
+    name="Databricks IP access lists allowing all addresses",
+    description="Enabled ALLOW lists containing 0.0.0.0/0 or ::/0 "
+    "defeat the allowlist (databricks_security.py:91-136).",
+    sql_query="""
+        SELECT l.id AS id, l.props['label'] AS name,
+               l.props['list_type'] AS list_type,
+               l.props['ip_addresses'] AS ip_addresses
+        FROM nodes l
+        WHERE l.label = 'DatabricksIpAccessList'
+          AND l.props['enabled'] = 'true'
+          AND l.props['list_type'] = 'ALLOW'
+          AND exists(
+              coalesce(from_json(l.props['ip_addresses'],
+                                 'array<string>'), array()),
+              addr -> addr IN ('0.0.0.0/0', '::/0'))
+        ORDER BY id
+    """,
+    count_sql="""
+        SELECT count(*) AS count FROM nodes
+        WHERE label = 'DatabricksIpAccessList'
+    """,
+    identity_fields=("id",),
+    asset_label="DatabricksIpAccessList",
+    asset_id_field="id",
+)
+
+DATABRICKS_PUBLIC_DELTA_SHARING = Fact(
+    id="databricks_public_delta_sharing_recipient",
+    name="Delta Sharing recipients on open token authentication",
+    description="Activated TOKEN-auth recipients expose shared data to "
+    "whoever holds the internet-reachable activation token "
+    "(databricks_security.py:157-203).",
+    sql_query="""
+        SELECT r.id AS id, r.props['name'] AS name,
+               r.props['authentication_type'] AS authentication_type,
+               r.props['cloud'] AS cloud, r.props['region'] AS region
+        FROM nodes r
+        WHERE r.label = 'DatabricksRecipient'
+          AND r.props['authentication_type'] = 'TOKEN'
+          AND r.props['activated'] = 'true'
+        ORDER BY id
+    """,
+    count_sql="""
+        SELECT count(*) AS count FROM nodes
+        WHERE label = 'DatabricksRecipient'
+    """,
+    identity_fields=("id",),
+    asset_label="DatabricksRecipient",
+    asset_id_field="id",
+)
+
 SUBIMAGE_MODULE_NOT_CONFIGURED = Fact(
     id="subimage-module-not-configured",
     name="SubImage module not configured despite internal usage",
@@ -3074,6 +3479,121 @@ ALL_RULES = ALL_RULES + (
         "leg).",
         version="0.1.0",
         facts=(AWS_POLICY_ADMIN_PERMISSIONS,),
+    ),
+    Rule(
+        id="kubernetes_secrets_used_as_environment_variables",
+        name="Secrets used as environment variables",
+        tags=("kubernetes", "pod-security", "secrets"),
+        description="Secrets belong in file mounts, not env vars "
+        "(rules/data/rules/cis_kubernetes_workloads.py:142-175).",
+        version="1.0.0",
+        facts=(K8S_SECRETS_IN_ENV_VARS,),
+    ),
+    Rule(
+        id="kubernetes_service_account_tokens_mounted_in_pods",
+        name="Service-account tokens mounted in pods",
+        tags=("kubernetes", "service-accounts", "tokens",
+              "stride:elevation_of_privilege"),
+        description="Token auto-mount on workloads that show no need "
+        "for API credentials (cis_kubernetes_workloads.py:281-317; "
+        "CIS 5.1.6).",
+        version="1.0.0",
+        facts=(K8S_SA_TOKENS_MOUNTED,),
+    ),
+    Rule(
+        id="kubernetes_pods_sharing_host_pid_namespace",
+        name="Pods sharing host PID namespace",
+        tags=("kubernetes", "pod-security", "hostpid"),
+        description="CIS 5.2.3 (cis_kubernetes_workloads.py:343-370).",
+        version="1.0.0",
+        facts=(K8S_HOST_PID_PODS,),
+    ),
+    Rule(
+        id="kubernetes_pods_sharing_host_ipc_namespace",
+        name="Pods sharing host IPC namespace",
+        tags=("kubernetes", "pod-security", "hostipc"),
+        description="CIS 5.2.4 (cis_kubernetes_workloads.py:396-424).",
+        version="1.0.0",
+        facts=(K8S_HOST_IPC_PODS,),
+    ),
+    Rule(
+        id="kubernetes_pods_sharing_host_network_namespace",
+        name="Pods sharing host network namespace",
+        tags=("kubernetes", "pod-security", "hostnetwork"),
+        description="CIS 5.2.5 (cis_kubernetes_workloads.py:449-480).",
+        version="1.0.0",
+        facts=(K8S_HOST_NETWORK_PODS,),
+    ),
+    Rule(
+        id="kubernetes_containers_allowing_privilege_escalation",
+        name="Containers allowing privilege escalation",
+        tags=("kubernetes", "pod-security", "privilege-escalation"),
+        description="CIS 5.2.6 (cis_kubernetes_workloads.py:509-544).",
+        version="1.0.0",
+        facts=(K8S_ALLOW_PRIVILEGE_ESCALATION,),
+    ),
+    Rule(
+        id="kubernetes_pods_using_hostpath_volumes",
+        name="Pods using hostPath volumes",
+        tags=("kubernetes", "pod-security", "hostpath"),
+        description="CIS 5.2.11 (cis_kubernetes_workloads.py:592-621).",
+        version="1.0.0",
+        facts=(K8S_HOST_PATH_VOLUMES,),
+    ),
+    Rule(
+        id="kubernetes_containers_using_hostports",
+        name="Containers using hostPorts",
+        tags=("kubernetes", "pod-security", "hostports", "networking"),
+        description="CIS 5.2.12 (cis_kubernetes_workloads.py:662-699).",
+        version="1.1.0",
+        facts=(K8S_HOST_PORTS,),
+    ),
+    Rule(
+        id="kubernetes_pods_missing_runtime_default_seccomp",
+        name="Pods missing RuntimeDefault seccomp",
+        tags=("kubernetes", "pod-security", "seccomp"),
+        description="cis_kubernetes_workloads.py:744-779.",
+        version="1.0.0",
+        facts=(K8S_MISSING_RUNTIME_DEFAULT_SECCOMP,),
+    ),
+    Rule(
+        id="kubernetes_pods_running_in_default_namespace",
+        name="Pods running in default namespace",
+        tags=("kubernetes", "pod-security", "namespaces"),
+        description="cis_kubernetes_workloads.py:813-830.",
+        version="1.0.0",
+        facts=(K8S_PODS_IN_DEFAULT_NAMESPACE,),
+    ),
+    Rule(
+        id="databricks_pat_never_expires",
+        name="Databricks PATs without expiry",
+        tags=("databricks", "identity", "credentials",
+              "stride:elevation_of_privilege"),
+        description="Never-expiring personal access tokens "
+        "(rules/data/rules/databricks_security.py:60-77).",
+        version="0.1.0",
+        facts=(DATABRICKS_PAT_NEVER_EXPIRES,),
+        frameworks=(iso27001_annex_a("5.17"), soc2_tsc("CC6.1")),
+    ),
+    Rule(
+        id="databricks_ip_access_list_allows_all",
+        name="Databricks IP access lists allowing all addresses",
+        tags=("databricks", "network", "attack-surface",
+              "stride:spoofing"),
+        description="ALLOW lists that include the whole internet "
+        "(rules/data/rules/databricks_security.py:137-155).",
+        version="0.1.0",
+        facts=(DATABRICKS_IP_LIST_ALLOWS_ALL,),
+        frameworks=(iso27001_annex_a("8.20"), soc2_tsc("CC6.6")),
+    ),
+    Rule(
+        id="databricks_public_delta_sharing_recipient",
+        name="Delta Sharing recipients on token authentication",
+        tags=("databricks", "data-sharing", "exposure"),
+        description="Open-sharing recipients "
+        "(rules/data/rules/databricks_security.py:204-222).",
+        version="0.1.0",
+        facts=(DATABRICKS_PUBLIC_DELTA_SHARING,),
     ),
     Rule(
         id="subimage_module_not_configured",

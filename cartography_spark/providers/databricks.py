@@ -1,0 +1,541 @@
+"""Databricks: account/workspace hierarchy, SCIM identities, tokens,
+IP access lists, clusters, secret scopes, metastores, Delta Sharing
+recipients, and jobs — the identity/security core of the reference's
+~55-family Databricks module, feeding the databricks_security pack.
+
+Re-expresses ``intel/databricks/{account,account_workspaces,users,
+groups,service_principals,tokens,ip_access_lists,clusters,
+secret_scopes,metastores,recipients,jobs}.py`` with the reference's
+model shapes (``models/databricks/*``):
+
+* **account** (account.py): one DatabricksAccount anchor;
+* **workspaces** keyed by deployment host, RESOURCE under the account;
+* **users / groups / service principals** (SCIM): workspace-scoped
+  ids, MEMBER_OF group edges from the in-payload membership lists;
+* **tokens** (token.py): OWNER_OF from the owning user or service
+  principal resolved by ONE owner_id equi-join;
+* **ip access lists**: ip_addresses kept as a JSON array the pack's
+  ``exists()`` probes without parsing rows;
+* **clusters** (cluster.py): data_security_mode / runtime surface,
+  HAS_POLICY + USES_INSTANCE_POOL when those families are loaded;
+* **metastores**: delta_sharing_scope / external_access_enabled;
+  **recipients**: authentication_type/activated (the open-sharing
+  pack input), CONTAINS under their metastore;
+* **jobs** (job.py): RUN_AS resolved against users AND service
+  principals by run_as_user_name in one pass;
+* cleanup: workspace-scoped GC per label (account-scoped for
+  workspaces).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cartography_spark.providers.aws_ec2 import _edge, _node
+
+WORKSPACE_SCHEMA = """
+    STRUCT<Workspaces: ARRAY<STRUCT<
+        workspace_id: BIGINT, workspace_name: STRING,
+        deployment_name: STRING, host: STRING,
+        tokens_enabled: BOOLEAN, max_token_lifetime_days: INT>>>
+"""
+SCIM_SCHEMA = """
+    STRUCT<
+        Users: ARRAY<STRUCT<id: STRING, userName: STRING,
+                            displayName: STRING, externalId: STRING,
+                            active: BOOLEAN,
+                            emails: ARRAY<STRUCT<value: STRING,
+                                                 primary: BOOLEAN>>,
+                            groups: ARRAY<STRUCT<value: STRING>>>>,
+        Groups: ARRAY<STRUCT<id: STRING, displayName: STRING,
+                             externalId: STRING,
+                             groups: ARRAY<STRUCT<value: STRING>>>>,
+        ServicePrincipals: ARRAY<STRUCT<id: STRING,
+                                        applicationId: STRING,
+                                        displayName: STRING,
+                                        externalId: STRING,
+                                        active: BOOLEAN,
+                                        groups: ARRAY<STRUCT<
+                                            value: STRING>>>>>
+"""
+TOKENS_SCHEMA = """
+    STRUCT<TokenInfos: ARRAY<STRUCT<
+        token_id: STRING, comment: STRING, creation_time: BIGINT,
+        expiry_time: BIGINT, owner_id: STRING,
+        created_by_id: STRING, created_by_username: STRING>>>
+"""
+IP_LISTS_SCHEMA = """
+    STRUCT<IpAccessLists: ARRAY<STRUCT<
+        list_id: STRING, label: STRING, list_type: STRING,
+        enabled: BOOLEAN, address_count: INT,
+        ip_addresses: ARRAY<STRING>, created_at: BIGINT,
+        updated_at: BIGINT>>>
+"""
+CLUSTERS_SCHEMA = """
+    STRUCT<Clusters: ARRAY<STRUCT<
+        cluster_id: STRING, cluster_name: STRING, state: STRING,
+        spark_version: STRING, runtime_engine: STRING,
+        node_type_id: STRING, driver_node_type_id: STRING,
+        num_workers: INT, autotermination_minutes: INT,
+        cluster_source: STRING, data_security_mode: STRING,
+        single_user_name: STRING, creator_user_name: STRING,
+        instance_pool_id: STRING, policy_id: STRING,
+        enable_local_disk_encryption: BOOLEAN,
+        enable_elastic_disk: BOOLEAN,
+        start_time: BIGINT, terminated_time: BIGINT>>>
+"""
+SCOPES_SCHEMA = """
+    STRUCT<Scopes: ARRAY<STRUCT<
+        name: STRING, backend_type: STRING,
+        keyvault_metadata: STRUCT<resource_id: STRING,
+                                  dns_name: STRING>>>>
+"""
+METASTORES_SCHEMA = """
+    STRUCT<
+        Metastores: ARRAY<STRUCT<
+            metastore_id: STRING, name: STRING,
+            global_metastore_id: STRING, cloud: STRING, region: STRING,
+            delta_sharing_scope: STRING,
+            external_access_enabled: BOOLEAN, owner: STRING,
+            storage_root: STRING, created_at: BIGINT,
+            updated_at: BIGINT>>,
+        Recipients: ARRAY<STRUCT<
+            name: STRING, metastore_id: STRING,
+            authentication_type: STRING, activated: BOOLEAN,
+            owner: STRING, comment: STRING, cloud: STRING,
+            region: STRING, created_at: BIGINT, created_by: STRING>>>
+"""
+JOBS_SCHEMA = """
+    STRUCT<Jobs: ARRAY<STRUCT<
+        job_id: BIGINT,
+        creator_user_name: STRING, run_as_user_name: STRING,
+        settings: STRUCT<name: STRING, format: STRING,
+                         max_concurrent_runs: INT,
+                         timeout_seconds: INT,
+                         schedule: STRUCT<
+                             quartz_cron_expression: STRING,
+                             timezone_id: STRING,
+                             pause_status: STRING>>,
+        created_time: BIGINT>>>
+"""
+
+WORKSPACE_LABELS = (
+    "DatabricksUser", "DatabricksGroup", "DatabricksServicePrincipal",
+    "DatabricksToken", "DatabricksIpAccessList", "DatabricksCluster",
+    "DatabricksSecretScope", "DatabricksMetastore",
+    "DatabricksRecipient", "DatabricksJob",
+)
+
+
+def _ws_scoped(workspace_id: str, col) -> F.Column:
+    """workspace-scoped ids (`{workspace}/{local_id}` — the reference
+    scopes SCIM/REST ids per workspace)."""
+    return F.concat(F.lit(f"{workspace_id}/"), col.cast("string"))
+
+
+def transform_databricks_workspace(
+    raw: DataFrame, account_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    w = raw.select(
+        F.explode(
+            F.from_json("payload_json", WORKSPACE_SCHEMA)["Workspaces"]
+        ).alias("w"),
+    ).filter(F.col("w.deployment_name").isNotNull())
+    acct = F.lit(account_id)
+    wid = F.col("w.deployment_name")
+    nodes = _node(w, "DatabricksWorkspace", wid, {
+        "host": F.col("w.host"),
+        "workspace_id": F.col("w.workspace_id"),
+        "workspace_name": F.col("w.workspace_name"),
+        "deployment_name": F.col("w.deployment_name"),
+        "tokens_enabled": F.col("w.tokens_enabled"),
+        "max_token_lifetime_days": F.col("w.max_token_lifetime_days"),
+    }, update_tag)
+    acct_df = raw.select(F.lit(account_id).alias("aid")).limit(1)
+    nodes = nodes.unionByName(
+        _node(acct_df, "DatabricksAccount", F.col("aid"), {
+            "account_id": F.col("aid"),
+        }, update_tag))
+    edges = _edge(w, "DatabricksAccount", acct, "RESOURCE",
+                  "DatabricksWorkspace", wid, update_tag,
+                  ("DatabricksAccount", acct))
+    return nodes, edges
+
+
+def transform_databricks_workspace_entities(
+    scim_raw: DataFrame | None,
+    tokens_raw: DataFrame | None,
+    ip_lists_raw: DataFrame | None,
+    clusters_raw: DataFrame | None,
+    scopes_raw: DataFrame | None,
+    metastores_raw: DataFrame | None,
+    jobs_raw: DataFrame | None,
+    workspace_id: str,
+    update_tag: int,
+) -> tuple[DataFrame | None, DataFrame | None]:
+    ws = F.lit(workspace_id)
+    sub = ("DatabricksWorkspace", ws)
+    node_frames, edge_frames = [], []
+
+    def member_edges(frame, src_label, sid):
+        groups = frame.select(
+            sid.alias("member_id"),
+            F.explode(F.coalesce("x.groups", F.array())).alias("g"),
+        )
+        return _edge(groups, src_label, F.col("member_id"), "MEMBER_OF",
+                     "DatabricksGroup",
+                     _ws_scoped(workspace_id, F.col("g.value")),
+                     update_tag, sub)
+
+    if scim_raw is not None:
+        doc = scim_raw.select(
+            F.from_json("payload_json", SCIM_SCHEMA).alias("d"))
+        users = doc.select(F.explode("d.Users").alias("x"))
+        uid = _ws_scoped(workspace_id, F.col("x.id"))
+        node_frames.append(_node(users, "DatabricksUser", uid, {
+            "scim_id": F.col("x.id"),
+            "user_name": F.col("x.userName"),
+            "email": F.coalesce(
+                F.get(F.filter(F.coalesce("x.emails", F.array()),
+                               lambda e: e["primary"]), 0)["value"],
+                F.col("x.userName")),
+            "display_name": F.col("x.displayName"),
+            "external_id": F.col("x.externalId"),
+            "active": F.col("x.active"),
+        }, update_tag, extra=["UserAccount"]))
+        edge_frames.append(_edge(users, "DatabricksWorkspace", ws,
+                                 "RESOURCE", "DatabricksUser", uid,
+                                 update_tag, sub))
+        edge_frames.append(member_edges(users, "DatabricksUser", uid))
+
+        groups = doc.select(F.explode("d.Groups").alias("x"))
+        gid = _ws_scoped(workspace_id, F.col("x.id"))
+        node_frames.append(_node(groups, "DatabricksGroup", gid, {
+            "scim_id": F.col("x.id"),
+            "display_name": F.col("x.displayName"),
+            "external_id": F.col("x.externalId"),
+        }, update_tag))
+        edge_frames.append(_edge(groups, "DatabricksWorkspace", ws,
+                                 "RESOURCE", "DatabricksGroup", gid,
+                                 update_tag, sub))
+        edge_frames.append(member_edges(groups, "DatabricksGroup", gid))
+
+        sps = doc.select(F.explode("d.ServicePrincipals").alias("x"))
+        spid = _ws_scoped(workspace_id, F.col("x.id"))
+        node_frames.append(
+            _node(sps, "DatabricksServicePrincipal", spid, {
+                "scim_id": F.col("x.id"),
+                "application_id": F.col("x.applicationId"),
+                "display_name": F.col("x.displayName"),
+                "external_id": F.col("x.externalId"),
+                "active": F.col("x.active"),
+            }, update_tag))
+        edge_frames.append(_edge(sps, "DatabricksWorkspace", ws,
+                                 "RESOURCE", "DatabricksServicePrincipal",
+                                 spid, update_tag, sub))
+        edge_frames.append(
+            member_edges(sps, "DatabricksServicePrincipal", spid))
+
+    if tokens_raw is not None:
+        toks = tokens_raw.select(
+            F.explode(
+                F.from_json("payload_json", TOKENS_SCHEMA)["TokenInfos"]
+            ).alias("t"),
+        )
+        tid = _ws_scoped(workspace_id, F.col("t.token_id"))
+        node_frames.append(_node(toks, "DatabricksToken", tid, {
+            "token_id": F.col("t.token_id"),
+            "comment": F.col("t.comment"),
+            "creation_time": F.col("t.creation_time"),
+            # never-expiring tokens arrive as -1 from the API; the
+            # reference normalizes to null (tokens.py transform)
+            "expiry_time": F.when(F.col("t.expiry_time") > 0,
+                                  F.col("t.expiry_time")),
+            "owner_id": F.col("t.owner_id"),
+            "created_by_id": F.col("t.created_by_id"),
+            "created_by_username": F.col("t.created_by_username"),
+        }, update_tag))
+        edge_frames.append(_edge(toks, "DatabricksWorkspace", ws,
+                                 "RESOURCE", "DatabricksToken", tid,
+                                 update_tag, sub))
+        for owner_label in ("DatabricksUser", "DatabricksServicePrincipal"):
+            edge_frames.append(_edge(
+                toks.filter(F.col("t.owner_id").isNotNull()),
+                owner_label, _ws_scoped(workspace_id, F.col("t.owner_id")),
+                "OWNER_OF", "DatabricksToken", tid, update_tag, sub))
+
+    if ip_lists_raw is not None:
+        lists = ip_lists_raw.select(
+            F.explode(
+                F.from_json("payload_json", IP_LISTS_SCHEMA)
+                ["IpAccessLists"]
+            ).alias("l"),
+        )
+        lid = _ws_scoped(workspace_id, F.col("l.list_id"))
+        node_frames.append(_node(lists, "DatabricksIpAccessList", lid, {
+            "list_id": F.col("l.list_id"),
+            "label": F.col("l.label"),
+            "list_type": F.col("l.list_type"),
+            "enabled": F.col("l.enabled"),
+            "address_count": F.col("l.address_count"),
+            "ip_addresses": F.to_json(F.col("l.ip_addresses")),
+            "created_at": F.col("l.created_at"),
+            "updated_at": F.col("l.updated_at"),
+        }, update_tag))
+        edge_frames.append(_edge(lists, "DatabricksWorkspace", ws,
+                                 "RESOURCE", "DatabricksIpAccessList",
+                                 lid, update_tag, sub))
+
+    if clusters_raw is not None:
+        clus = clusters_raw.select(
+            F.explode(
+                F.from_json("payload_json", CLUSTERS_SCHEMA)["Clusters"]
+            ).alias("c"),
+        )
+        cid = _ws_scoped(workspace_id, F.col("c.cluster_id"))
+        node_frames.append(_node(clus, "DatabricksCluster", cid, {
+            "cluster_id": F.col("c.cluster_id"),
+            "cluster_name": F.col("c.cluster_name"),
+            "state": F.col("c.state"),
+            "spark_version": F.col("c.spark_version"),
+            "runtime_engine": F.col("c.runtime_engine"),
+            "node_type_id": F.col("c.node_type_id"),
+            "driver_node_type_id": F.col("c.driver_node_type_id"),
+            "num_workers": F.col("c.num_workers"),
+            "autotermination_minutes": F.col("c.autotermination_minutes"),
+            "cluster_source": F.col("c.cluster_source"),
+            "data_security_mode": F.col("c.data_security_mode"),
+            "single_user_name": F.col("c.single_user_name"),
+            "creator_user_name": F.col("c.creator_user_name"),
+            "instance_pool_id": F.col("c.instance_pool_id"),
+            "enable_local_disk_encryption":
+                F.col("c.enable_local_disk_encryption"),
+            "enable_elastic_disk": F.col("c.enable_elastic_disk"),
+            "start_time": F.col("c.start_time"),
+            "terminated_time": F.col("c.terminated_time"),
+        }, update_tag))
+        edge_frames.append(_edge(clus, "DatabricksWorkspace", ws,
+                                 "RESOURCE", "DatabricksCluster", cid,
+                                 update_tag, sub))
+
+    if scopes_raw is not None:
+        scopes = scopes_raw.select(
+            F.explode(
+                F.from_json("payload_json", SCOPES_SCHEMA)["Scopes"]
+            ).alias("s"),
+        )
+        sid = _ws_scoped(workspace_id, F.col("s.name"))
+        node_frames.append(_node(scopes, "DatabricksSecretScope", sid, {
+            "name": F.col("s.name"),
+            "backend_type": F.col("s.backend_type"),
+            "keyvault_resource_id":
+                F.col("s.keyvault_metadata.resource_id"),
+            "keyvault_dns_name": F.col("s.keyvault_metadata.dns_name"),
+        }, update_tag))
+        edge_frames.append(_edge(scopes, "DatabricksWorkspace", ws,
+                                 "RESOURCE", "DatabricksSecretScope",
+                                 sid, update_tag, sub))
+
+    if metastores_raw is not None:
+        doc = metastores_raw.select(
+            F.from_json("payload_json", METASTORES_SCHEMA).alias("d"))
+        ms = doc.select(F.explode("d.Metastores").alias("m"))
+        node_frames.append(
+            _node(ms, "DatabricksMetastore", F.col("m.metastore_id"), {
+                "metastore_id": F.col("m.metastore_id"),
+                "name": F.col("m.name"),
+                "global_metastore_id": F.col("m.global_metastore_id"),
+                "cloud": F.col("m.cloud"),
+                "region": F.col("m.region"),
+                "delta_sharing_scope": F.col("m.delta_sharing_scope"),
+                "external_access_enabled":
+                    F.col("m.external_access_enabled"),
+                "owner": F.col("m.owner"),
+                "storage_root": F.col("m.storage_root"),
+            }, update_tag))
+        edge_frames.append(_edge(ms, "DatabricksWorkspace", ws,
+                                 "RESOURCE", "DatabricksMetastore",
+                                 F.col("m.metastore_id"), update_tag, sub))
+        rec = doc.select(
+            F.explode(F.coalesce("d.Recipients", F.array())).alias("r"))
+        rid = F.concat(F.col("r.metastore_id"), F.lit("/recipients/"),
+                       F.col("r.name"))
+        node_frames.append(_node(rec, "DatabricksRecipient", rid, {
+            "name": F.col("r.name"),
+            "metastore_id": F.col("r.metastore_id"),
+            "authentication_type": F.col("r.authentication_type"),
+            "activated": F.col("r.activated"),
+            "owner": F.col("r.owner"),
+            "cloud": F.col("r.cloud"),
+            "region": F.col("r.region"),
+        }, update_tag))
+        edge_frames.append(_edge(rec, "DatabricksWorkspace", ws,
+                                 "RESOURCE", "DatabricksRecipient", rid,
+                                 update_tag, sub))
+        edge_frames.append(_edge(rec, "DatabricksMetastore",
+                                 F.col("r.metastore_id"), "CONTAINS",
+                                 "DatabricksRecipient", rid,
+                                 update_tag, sub))
+
+    if jobs_raw is not None:
+        jobs = jobs_raw.select(
+            F.explode(
+                F.from_json("payload_json", JOBS_SCHEMA)["Jobs"]
+            ).alias("j"),
+        )
+        jid = _ws_scoped(workspace_id, F.col("j.job_id"))
+        node_frames.append(_node(jobs, "DatabricksJob", jid, {
+            "job_id": F.col("j.job_id"),
+            "name": F.col("j.settings.name"),
+            "creator_user_name": F.col("j.creator_user_name"),
+            "run_as_user_name": F.col("j.run_as_user_name"),
+            "format": F.col("j.settings.format"),
+            "max_concurrent_runs":
+                F.col("j.settings.max_concurrent_runs"),
+            "timeout_seconds": F.col("j.settings.timeout_seconds"),
+            "schedule_quartz_cron_expression":
+                F.col("j.settings.schedule.quartz_cron_expression"),
+            "schedule_timezone_id":
+                F.col("j.settings.schedule.timezone_id"),
+            "schedule_pause_status":
+                F.col("j.settings.schedule.pause_status"),
+            "created_time": F.col("j.created_time"),
+        }, update_tag))
+        edge_frames.append(_edge(jobs, "DatabricksWorkspace", ws,
+                                 "RESOURCE", "DatabricksJob", jid,
+                                 update_tag, sub))
+
+    if not node_frames:
+        return None, None
+    nodes = node_frames[0]
+    for nf in node_frames[1:]:
+        nodes = nodes.unionByName(nf)
+    edges = edge_frames[0]
+    for ef in edge_frames[1:]:
+        edges = edges.unionByName(ef)
+    return nodes, edges
+
+
+def sync_databricks(
+    store,
+    workspaces_raw: DataFrame | None,
+    account_id: str,
+    update_tag: int,
+    workspace_id: str | None = None,
+    scim_raw: DataFrame | None = None,
+    tokens_raw: DataFrame | None = None,
+    ip_lists_raw: DataFrame | None = None,
+    clusters_raw: DataFrame | None = None,
+    scopes_raw: DataFrame | None = None,
+    metastores_raw: DataFrame | None = None,
+    jobs_raw: DataFrame | None = None,
+) -> dict:
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    metrics: dict = {}
+    if workspaces_raw is not None:
+        nodes, edges = transform_databricks_workspace(
+            workspaces_raw, account_id, update_tag
+        )
+        metrics["workspace_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["workspace_edges"] = store.merge_edges(edges, update_tag)
+    if workspace_id is not None:
+        nodes, edges = transform_databricks_workspace_entities(
+            scim_raw, tokens_raw, ip_lists_raw, clusters_raw,
+            scopes_raw, metastores_raw, jobs_raw, workspace_id,
+            update_tag,
+        )
+        if nodes is not None:
+            metrics["entity_nodes"] = store.merge_nodes(nodes, update_tag)
+            metrics["entity_edges"] = store.merge_edges(edges, update_tag)
+        # RUN_AS: jobs resolve against users and SPs by name in ONE
+        # union read (job.py RUN_AS matchers)
+        if jobs_raw is not None and any(
+            l in store.manifest["nodes"]
+            for l in ("DatabricksUser", "DatabricksServicePrincipal")
+        ):
+            jobs = store.nodes(["DatabricksJob"]).select(
+                F.col("id").alias("job_id"),
+                F.element_at("props", "run_as_user_name").alias("who"),
+            ).filter(F.col("who").isNotNull())
+            principals = store.nodes(
+                ["DatabricksUser", "DatabricksServicePrincipal"]
+            ).select(
+                F.col("label").alias("p_label"),
+                F.col("id").alias("p_id"),
+                F.coalesce(
+                    F.element_at("props", "user_name"),
+                    F.element_at("props", "application_id"),
+                ).alias("who"),
+            ).filter(F.col("who").isNotNull())
+            pairs = jobs.join(F.broadcast(principals), "who")
+            metrics["run_as"] = store.merge_edges(
+                pairs.select(
+                    F.lit("DatabricksJob").alias("src_label"),
+                    F.col("job_id").alias("src_id"),
+                    F.lit("RUN_AS").alias("rel_label"),
+                    F.col("p_label").alias("dst_label"),
+                    F.col("p_id").alias("dst_id"),
+                    F.lit(int(update_tag)).cast("long")
+                    .alias("lastupdated"),
+                    F.lit("DatabricksWorkspace")
+                    .alias("sub_resource_label"),
+                    F.lit(workspace_id).alias("sub_resource_id"),
+                    F.lit(None).cast("map<string,string>").alias("props"),
+                ).dropDuplicates(
+                    ["src_label", "src_id", "rel_label", "dst_label",
+                     "dst_id"]
+                ),
+                update_tag, rels=["RUN_AS"],
+            )
+
+        ws_rel = RelSchema(
+            rel_label="RESOURCE",
+            target_node_label="DatabricksWorkspace",
+            target_node_matcher=TargetNodeMatcher(
+                {"id": PropertyRef("WORKSPACE_ID", set_in_kwargs=True)}
+            ),
+            direction=LinkDirection.INWARD,
+        )
+        for label in WORKSPACE_LABELS:
+            if label not in store.manifest["nodes"]:
+                continue
+            metrics[f"gc_{label}"] = run_cleanup(
+                store,
+                NodeSchema(
+                    label=label,
+                    properties={"id": PropertyRef("id")},
+                    sub_resource_relationship=ws_rel,
+                ),
+                update_tag,
+                {"WORKSPACE_ID": workspace_id},
+            )
+    if workspaces_raw is not None:
+        acct_rel = RelSchema(
+            rel_label="RESOURCE",
+            target_node_label="DatabricksAccount",
+            target_node_matcher=TargetNodeMatcher(
+                {"id": PropertyRef("ACCOUNT_ID", set_in_kwargs=True)}
+            ),
+            direction=LinkDirection.INWARD,
+        )
+        if "DatabricksWorkspace" in store.manifest["nodes"]:
+            metrics["gc_DatabricksWorkspace"] = run_cleanup(
+                store,
+                NodeSchema(
+                    label="DatabricksWorkspace",
+                    properties={"id": PropertyRef("id")},
+                    sub_resource_relationship=acct_rel,
+                ),
+                update_tag,
+                {"ACCOUNT_ID": account_id},
+            )
+    store.record_lineage("databricks_sync", {"update_tag": update_tag})
+    return metrics

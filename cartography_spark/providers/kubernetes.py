@@ -35,13 +35,20 @@ PODS_STRUCT = (
     "struct<pods: array<struct<"
     "uid:string, name:string, status_phase:string, creation_timestamp:long, "
     "deletion_timestamp:long, namespace:string, service_account_name:string, "
-    "service_account_id:string, node:string, labels:string>>, "
+    "service_account_id:string, node:string, labels:string, "
+    # pod security surface (cis_kubernetes_workloads facts)
+    "host_pid:boolean, host_ipc:boolean, host_network:boolean, "
+    "seccomp_profile_type:string, automount_service_account_token:boolean, "
+    "secret_env_names:array<string>, secret_volume_names:array<string>, "
+    "host_path_volumes:array<string>>>, "
     "containers: array<struct<"
     "uid:string, name:string, image:string, namespace:string, pod_id:string, "
     "image_pull_policy:string, status_image_id:string, status_image_sha:string, "
     "status_ready:boolean, status_started:boolean, status_state:string, "
     "memory_request:string, cpu_request:string, memory_limit:string, "
-    "cpu_limit:string, container_ports:string>>>"
+    "cpu_limit:string, container_ports:string, "
+    "allow_privilege_escalation:boolean, privileged:boolean, "
+    "seccomp_profile_type:string, host_ports:array<int>>>>"
 )
 
 
@@ -146,7 +153,9 @@ def transform_k8s_pods(
                 F.array(*[F.lit(k) for k in (
                     "name", "status_phase", "creation_timestamp", "namespace",
                     "service_account_name", "service_account_id", "node",
-                    "labels", "cluster_name",
+                    "labels", "cluster_name", "host_pid", "host_ipc",
+                    "host_network", "seccomp_profile_type",
+                    "automount_service_account_token", "host_path_volumes",
                 )]),
                 F.array(
                     F.col("d.name"), F.col("d.status_phase"),
@@ -154,6 +163,13 @@ def transform_k8s_pods(
                     F.col("d.namespace"), F.col("d.service_account_name"),
                     F.col("d.service_account_id"), F.col("d.node"),
                     F.col("d.labels"), F.col("cluster_name"),
+                    F.col("d.host_pid").cast("string"),
+                    F.col("d.host_ipc").cast("string"),
+                    F.col("d.host_network").cast("string"),
+                    F.col("d.seccomp_profile_type"),
+                    F.col("d.automount_service_account_token")
+                    .cast("string"),
+                    F.to_json(F.col("d.host_path_volumes")),
                 ),
             ).alias("props"),
         ),
@@ -170,6 +186,8 @@ def transform_k8s_pods(
                     "status_ready", "status_started", "status_state",
                     "memory_request", "cpu_request", "memory_limit",
                     "cpu_limit", "container_ports", "cluster_name",
+                    "allow_privilege_escalation", "privileged",
+                    "seccomp_profile_type", "host_ports",
                 )]),
                 F.array(
                     F.col("c.name"), F.col("c.image"), F.col("c.namespace"),
@@ -181,6 +199,10 @@ def transform_k8s_pods(
                     F.col("c.cpu_request"), F.col("c.memory_limit"),
                     F.col("c.cpu_limit"), F.col("c.container_ports"),
                     F.col("cluster_name"),
+                    F.col("c.allow_privilege_escalation").cast("string"),
+                    F.col("c.privileged").cast("string"),
+                    F.col("c.seccomp_profile_type"),
+                    F.to_json(F.col("c.host_ports")),
                 ),
             ).alias("props"),
         ),
@@ -271,6 +293,83 @@ CLUSTER_META_STRUCT = (
 )
 
 
+def pod_secret_refs(raw: DataFrame) -> DataFrame:
+    """(cluster_name, namespace, pod_id, secret_name, mount_method)
+    from the pods payload — env and volume references folded into the
+    reference's CSV ``mount_method`` ('env', 'volume', or
+    'env,volume'; cis_kubernetes_workloads.py:103-104 splits it)."""
+    parsed = raw.select(
+        "cluster_name", F.from_json("payload_json", PODS_STRUCT).alias("p")
+    )
+    pods = parsed.select(
+        "cluster_name", F.explode("p.pods").alias("d")
+    ).filter(F.col("d.uid").isNotNull())
+    env = pods.select(
+        "cluster_name", F.col("d.namespace").alias("namespace"),
+        F.col("d.uid").alias("pod_id"),
+        F.explode(F.coalesce("d.secret_env_names", F.array()))
+        .alias("secret_name"),
+        F.lit("env").alias("method"),
+    )
+    vol = pods.select(
+        "cluster_name", F.col("d.namespace").alias("namespace"),
+        F.col("d.uid").alias("pod_id"),
+        F.explode(F.coalesce("d.secret_volume_names", F.array()))
+        .alias("secret_name"),
+        F.lit("volume").alias("method"),
+    )
+    return env.unionByName(vol).groupBy(
+        "cluster_name", "namespace", "pod_id", "secret_name"
+    ).agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("method")))
+        .alias("mount_method")
+    )
+
+
+def resolve_pod_secret_usage(
+    store, pods_raw: DataFrame, cluster_id: str, update_tag: int
+) -> int:
+    """(pod)-[:USES_SECRET {mount_method}]->(secret) by ONE
+    (cluster_name, namespace, name) equi-join against the graph's
+    KubernetesSecret nodes, with a cluster-scoped stale sweep."""
+    refs = pod_secret_refs(pods_raw)
+    secrets = store.nodes(["KubernetesSecret"]).select(
+        F.col("id").alias("secret_id"),
+        F.element_at("props", "cluster_name").alias("cluster_name"),
+        F.element_at("props", "namespace").alias("namespace"),
+        F.element_at("props", "name").alias("secret_name"),
+    )
+    pairs = refs.join(
+        F.broadcast(secrets), ["cluster_name", "namespace", "secret_name"]
+    )
+    counts = store.merge_edges(
+        pairs.select(
+            F.lit("KubernetesPod").alias("src_label"),
+            F.col("pod_id").alias("src_id"),
+            F.lit("USES_SECRET").alias("rel_label"),
+            F.lit("KubernetesSecret").alias("dst_label"),
+            F.col("secret_id").alias("dst_id"),
+            F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+            F.lit("KubernetesCluster").alias("sub_resource_label"),
+            F.lit(cluster_id).alias("sub_resource_id"),
+            F.map_from_arrays(
+                F.array(F.lit("mount_method")),
+                F.array(F.col("mount_method")),
+            ).alias("props"),
+        ).dropDuplicates(
+            ["src_label", "src_id", "rel_label", "dst_label", "dst_id"]
+        ),
+        update_tag, rels=["USES_SECRET"],
+    )
+    store.delete_edges(
+        "USES_SECRET",
+        (F.col("lastupdated") != int(update_tag))
+        & (F.col("sub_resource_label") == "KubernetesCluster")
+        & (F.col("sub_resource_id") == cluster_id),
+    )
+    return sum(c["created"] + c["updated"] for c in counts.values())
+
+
 def transform_k8s_cluster_meta(raw: DataFrame, update_tag: int) -> DataFrame:
     """Cluster /version + client metadata → KubernetesCluster props
     (``intel/kubernetes/clusters.py:33-53``: external_id, git_version
@@ -347,6 +446,10 @@ def sync_kubernetes(
         nodes, edges = transform_k8s_pods(pods_raw, update_tag, ns_frame)
         metrics["pod_nodes"] = store.merge_nodes(nodes, update_tag)
         metrics["pod_edges"] = store.merge_edges(edges, update_tag)
+        if "KubernetesSecret" in store.manifest["nodes"]:
+            metrics["uses_secret"] = resolve_pod_secret_usage(
+                store, pods_raw, cluster_id, update_tag
+            )
     cluster_rel = RelSchema(
         rel_label="RESOURCE",
         target_node_label="KubernetesCluster",

@@ -1,0 +1,175 @@
+"""Databricks parity (``intel/databricks``, security core) and the
+three databricks_security rules."""
+
+import json
+
+from pyspark.sql import functions as F  # noqa: F401
+
+from cartography_spark.providers.databricks import sync_databricks
+
+TAG = 123456789
+ACCOUNT = "acct-0001"
+WS = "dbc-deploy-1"
+
+WORKSPACES = {"Workspaces": [{
+    "workspace_id": 42, "workspace_name": "prod",
+    "deployment_name": WS, "host": f"https://{WS}.cloud.databricks.com",
+    "tokens_enabled": True, "max_token_lifetime_days": 90,
+}]}
+SCIM = {
+    "Users": [
+        {"id": "u1", "userName": "alice@example.com",
+         "displayName": "Alice", "active": True,
+         "emails": [{"value": "alice@example.com", "primary": True}],
+         "groups": [{"value": "g1"}]},
+    ],
+    "Groups": [
+        {"id": "g1", "displayName": "admins", "groups": [{"value": "g2"}]},
+        {"id": "g2", "displayName": "everyone", "groups": []},
+    ],
+    "ServicePrincipals": [
+        {"id": "sp1", "applicationId": "app-123", "displayName": "ci-sp",
+         "active": True, "groups": [{"value": "g2"}]},
+    ],
+}
+TOKENS = {"TokenInfos": [
+    {"token_id": "tok-forever", "comment": "legacy ci token",
+     "creation_time": 1600000000000, "expiry_time": -1,
+     "owner_id": "u1", "created_by_username": "alice@example.com"},
+    {"token_id": "tok-bounded", "comment": "short lived",
+     "creation_time": 1700000000000, "expiry_time": 1800000000000,
+     "owner_id": "sp1", "created_by_username": "ci-sp"},
+]}
+IP_LISTS = {"IpAccessLists": [
+    {"list_id": "l-open", "label": "everywhere", "list_type": "ALLOW",
+     "enabled": True, "address_count": 1,
+     "ip_addresses": ["0.0.0.0/0"]},
+    {"list_id": "l-office", "label": "office", "list_type": "ALLOW",
+     "enabled": True, "address_count": 1,
+     "ip_addresses": ["203.0.113.0/24"]},
+    {"list_id": "l-disabled", "label": "old", "list_type": "ALLOW",
+     "enabled": False, "address_count": 1,
+     "ip_addresses": ["0.0.0.0/0"]},
+]}
+CLUSTERS = {"Clusters": [{
+    "cluster_id": "c1", "cluster_name": "etl", "state": "RUNNING",
+    "spark_version": "14.3.x", "data_security_mode": "SINGLE_USER",
+    "single_user_name": "alice@example.com", "num_workers": 4,
+}]}
+METASTORES = {
+    "Metastores": [{
+        "metastore_id": "ms-1", "name": "main", "cloud": "aws",
+        "region": "us-east-1",
+        "delta_sharing_scope": "INTERNAL_AND_EXTERNAL",
+        "external_access_enabled": True,
+    }],
+    "Recipients": [
+        {"name": "partner-open", "metastore_id": "ms-1",
+         "authentication_type": "TOKEN", "activated": True,
+         "cloud": "aws", "region": "us-east-1"},
+        {"name": "partner-d2d", "metastore_id": "ms-1",
+         "authentication_type": "DATABRICKS", "activated": True},
+    ],
+}
+JOBS = {"Jobs": [{
+    "job_id": 7, "creator_user_name": "alice@example.com",
+    "run_as_user_name": "alice@example.com",
+    "settings": {"name": "nightly-etl", "format": "MULTI_TASK",
+                 "schedule": {"quartz_cron_expression": "0 0 3 * * ?",
+                              "timezone_id": "UTC",
+                              "pause_status": "UNPAUSED"}},
+    "created_time": 1700000000000,
+}]}
+
+
+def _raw(spark, payload):
+    return spark.createDataFrame(
+        [(json.dumps(payload),)], "payload_json string"
+    )
+
+
+def _sync_all(spark, s, tag=TAG, **overrides):
+    kwargs = dict(
+        scim_raw=_raw(spark, SCIM), tokens_raw=_raw(spark, TOKENS),
+        ip_lists_raw=_raw(spark, IP_LISTS),
+        clusters_raw=_raw(spark, CLUSTERS),
+        metastores_raw=_raw(spark, METASTORES),
+        jobs_raw=_raw(spark, JOBS),
+    )
+    kwargs.update(overrides)
+    return sync_databricks(
+        s, _raw(spark, WORKSPACES), ACCOUNT, tag, workspace_id=WS,
+        **kwargs,
+    )
+
+
+def test_databricks_graph(spark, tmp_store):
+    s = tmp_store
+    _sync_all(spark, s)
+
+    users = {r["id"]: r["props"]
+             for r in s.nodes(["DatabricksUser"]).collect()}
+    assert users[f"{WS}/u1"]["email"] == "alice@example.com"
+    toks = {r["id"]: r["props"]
+            for r in s.nodes(["DatabricksToken"]).collect()}
+    assert toks[f"{WS}/tok-forever"]["expiry_time"] is None  # -1 → null
+    assert toks[f"{WS}/tok-bounded"]["expiry_time"] == "1800000000000"
+
+    rels = {(r["src_label"], r["src_id"], r["rel_label"], r["dst_id"])
+            for r in s.edges().collect()}
+    assert ("DatabricksAccount", ACCOUNT, "RESOURCE", WS) in rels
+    assert ("DatabricksUser", f"{WS}/u1", "MEMBER_OF", f"{WS}/g1") in rels
+    assert ("DatabricksGroup", f"{WS}/g1", "MEMBER_OF", f"{WS}/g2") in rels
+    assert ("DatabricksServicePrincipal", f"{WS}/sp1", "MEMBER_OF",
+            f"{WS}/g2") in rels
+    assert ("DatabricksUser", f"{WS}/u1", "OWNER_OF",
+            f"{WS}/tok-forever") in rels
+    assert ("DatabricksServicePrincipal", f"{WS}/sp1", "OWNER_OF",
+            f"{WS}/tok-bounded") in rels
+    assert ("DatabricksMetastore", "ms-1", "CONTAINS",
+            "ms-1/recipients/partner-open") in rels
+    assert ("DatabricksJob", f"{WS}/7", "RUN_AS", f"{WS}/u1") in rels
+
+
+def test_databricks_security_rules_and_gc(spark, tmp_store):
+    from cartography_spark.plans.rules import (
+        DATABRICKS_IP_LIST_ALLOWS_ALL,
+        DATABRICKS_PAT_NEVER_EXPIRES,
+        DATABRICKS_PUBLIC_DELTA_SHARING,
+        run_fact,
+    )
+
+    s = tmp_store
+    _sync_all(spark, s)
+
+    res = run_fact(s, DATABRICKS_PAT_NEVER_EXPIRES)
+    assert {r["id"] for r in res["findings"].collect()} == {
+        f"{WS}/tok-forever"}
+    assert res["total"] == 2
+
+    res = run_fact(s, DATABRICKS_IP_LIST_ALLOWS_ALL)
+    # the office CIDR and the disabled list never fire
+    assert {r["id"] for r in res["findings"].collect()} == {f"{WS}/l-open"}
+
+    res = run_fact(s, DATABRICKS_PUBLIC_DELTA_SHARING)
+    assert {r["name"] for r in res["findings"].collect()} == {
+        "partner-open"}
+
+    # workspace-scoped GC sweeps every family
+    empty = {"Users": [], "Groups": [], "ServicePrincipals": []}
+    _sync_all(
+        spark, s, tag=TAG + 1,
+        scim_raw=_raw(spark, empty),
+        tokens_raw=_raw(spark, {"TokenInfos": []}),
+        ip_lists_raw=_raw(spark, {"IpAccessLists": []}),
+        clusters_raw=_raw(spark, {"Clusters": []}),
+        metastores_raw=_raw(spark, {"Metastores": [], "Recipients": []}),
+        jobs_raw=_raw(spark, {"Jobs": []}),
+    )
+    for label in ("DatabricksUser", "DatabricksGroup",
+                  "DatabricksServicePrincipal", "DatabricksToken",
+                  "DatabricksIpAccessList", "DatabricksCluster",
+                  "DatabricksMetastore", "DatabricksRecipient",
+                  "DatabricksJob"):
+        assert s.nodes([label]).count() == 0, label
+    assert s.nodes(["DatabricksWorkspace"]).count() == 1

@@ -1,0 +1,172 @@
+"""cis_kubernetes_workloads twins over the extended pod-security
+surface: the ten CIS rules plus the USES_SECRET resolution."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.aws_ec2 import _node
+from cartography_spark.providers.kubernetes import (
+    sync_kubernetes,
+    transform_k8s_namespaces,
+)
+from cartography_spark.providers.kubernetes_net import transform_k8s_secrets
+
+TAG = 123456789
+CLUSTER_ID = "cluster-uid-1"
+CLUSTER = "prod-cluster"
+RAW_DDL = "cluster_id string, cluster_name string, payload_json string"
+
+PODS_PAYLOAD = {
+    "pods": [
+        {"uid": "pod-risky", "name": "risky", "namespace": "demo-ns",
+         "service_account_name": "app-sa", "status_phase": "Running",
+         "host_pid": True, "host_ipc": True, "host_network": False,
+         "seccomp_profile_type": None,
+         "automount_service_account_token": None,
+         "secret_env_names": ["db-creds"],
+         "secret_volume_names": ["db-creds", "tls-cert"],
+         "host_path_volumes": ["/var/run/docker.sock"]},
+        {"uid": "pod-hostnet", "name": "hostnet", "namespace": "demo-ns",
+         "service_account_name": "default", "status_phase": "Running",
+         "host_network": True,
+         "seccomp_profile_type": "RuntimeDefault"},
+        {"uid": "pod-default-ns", "name": "oops", "namespace": "default",
+         "service_account_name": "default", "status_phase": "Running",
+         "seccomp_profile_type": "RuntimeDefault"},
+        {"uid": "pod-clean", "name": "clean", "namespace": "demo-ns",
+         "service_account_name": "irsa-sa", "status_phase": "Running",
+         "seccomp_profile_type": "RuntimeDefault",
+         "automount_service_account_token": True},
+    ],
+    "containers": [
+        # no allow_privilege_escalation → fails CIS 5.2.6; container
+        # Unconfined override beats the pod (no pod profile anyway)
+        {"uid": "ct-risky", "name": "app", "namespace": "demo-ns",
+         "pod_id": "pod-risky", "image": "img:1",
+         "seccomp_profile_type": "Unconfined",
+         "host_ports": [8080]},
+        # hostPort on a host-network pod: excluded from the hostports
+        # rule (the host-network rule reports that exposure)
+        {"uid": "ct-hostnet", "name": "net", "namespace": "demo-ns",
+         "pod_id": "pod-hostnet", "image": "img:2",
+         "allow_privilege_escalation": False,
+         "seccomp_profile_type": "RuntimeDefault",
+         "host_ports": [9090]},
+        {"uid": "ct-clean", "name": "ok", "namespace": "demo-ns",
+         "pod_id": "pod-clean", "image": "img:3",
+         "allow_privilege_escalation": False,
+         "seccomp_profile_type": "RuntimeDefault"},
+    ],
+}
+SECRETS_PAYLOAD = [
+    {"uid": "sec-db", "name": "db-creds", "namespace": "demo-ns",
+     "type": "Opaque"},
+    {"uid": "sec-tls", "name": "tls-cert", "namespace": "demo-ns",
+     "type": "kubernetes.io/tls"},
+]
+
+
+def _raw(spark, payload):
+    return spark.createDataFrame(
+        [(CLUSTER_ID, CLUSTER, json.dumps(payload))], RAW_DDL
+    )
+
+
+def _seed(spark, s):
+    cluster = spark.createDataFrame([(CLUSTER_ID, CLUSTER)],
+                                    "id string, name string")
+    s.merge_nodes(_node(cluster, "KubernetesCluster", F.col("id"), {
+        "name": F.col("name"),
+    }, TAG), TAG)
+    n, e = transform_k8s_namespaces(
+        _raw(spark, [{"uid": "ns-demo", "name": "demo-ns"},
+                     {"uid": "ns-default", "name": "default"}]), TAG)
+    s.merge_nodes(n, TAG)
+    s.merge_edges(e, TAG)
+    n, e = transform_k8s_secrets(_raw(spark, SECRETS_PAYLOAD), TAG)
+    s.merge_nodes(n, TAG)
+    s.merge_edges(e, TAG)
+    # service accounts: app-sa plain (flagged), irsa-sa has an AWS role
+    sas = spark.createDataFrame(
+        [("sa-app", "app-sa", None), ("sa-irsa", "irsa-sa", "arn:role/x")],
+        "id string, name string, role string",
+    )
+    s.merge_nodes(_node(sas, "KubernetesServiceAccount", F.col("id"), {
+        "name": F.col("name"), "namespace": F.lit("demo-ns"),
+        "cluster_name": F.lit(CLUSTER), "aws_role_arn": F.col("role"),
+    }, TAG), TAG)
+    sync_kubernetes(s, None, _raw(spark, PODS_PAYLOAD), CLUSTER_ID, TAG)
+
+
+def test_k8s_workload_packs(spark, tmp_store):
+    from cartography_spark.plans.rules import (
+        K8S_ALLOW_PRIVILEGE_ESCALATION,
+        K8S_HOST_IPC_PODS,
+        K8S_HOST_NETWORK_PODS,
+        K8S_HOST_PATH_VOLUMES,
+        K8S_HOST_PID_PODS,
+        K8S_HOST_PORTS,
+        K8S_MISSING_RUNTIME_DEFAULT_SECCOMP,
+        K8S_PODS_IN_DEFAULT_NAMESPACE,
+        K8S_SA_TOKENS_MOUNTED,
+        K8S_SECRETS_IN_ENV_VARS,
+        run_fact,
+    )
+
+    s = tmp_store
+    _seed(spark, s)
+
+    # USES_SECRET resolution: env+volume folded into one CSV edge prop
+    us = {(r["src_id"], r["dst_id"]): r["props"]["mount_method"]
+          for r in s.edges(["USES_SECRET"]).collect()}
+    assert us == {("pod-risky", "sec-db"): "env,volume",
+                  ("pod-risky", "sec-tls"): "volume"}
+
+    res = run_fact(s, K8S_SECRETS_IN_ENV_VARS)
+    rows = {r["namespace_id"]: r for r in res["findings"].collect()}
+    assert set(rows) == {"ns-demo"}
+    assert json.loads(rows["ns-demo"]["secret_names"]) == ["db-creds"]
+    assert rows["ns-demo"]["pod_count"] == 1
+
+    assert {r["pod_id"] for r in
+            run_fact(s, K8S_HOST_PID_PODS)["findings"].collect()
+            } == {"pod-risky"}
+    assert {r["pod_id"] for r in
+            run_fact(s, K8S_HOST_IPC_PODS)["findings"].collect()
+            } == {"pod-risky"}
+    assert {r["pod_id"] for r in
+            run_fact(s, K8S_HOST_NETWORK_PODS)["findings"].collect()
+            } == {"pod-hostnet"}
+
+    res = run_fact(s, K8S_SA_TOKENS_MOUNTED)
+    rows = {(r["namespace"], r["service_account_name"])
+            for r in res["findings"].collect()}
+    # app-sa flagged (effective automount defaults true); default SA
+    # excluded; irsa-sa excluded by its AWS role binding
+    assert rows == {("demo-ns", "app-sa")}
+
+    assert {r["container_id"] for r in run_fact(
+        s, K8S_ALLOW_PRIVILEGE_ESCALATION)["findings"].collect()
+    } == {"ct-risky"}
+
+    res = run_fact(s, K8S_HOST_PATH_VOLUMES)
+    rows = {r["namespace_id"]: r for r in res["findings"].collect()}
+    assert set(rows) == {"ns-demo"}
+    assert json.loads(rows["ns-demo"]["host_path_volume_paths"]) == [
+        "/var/run/docker.sock"]
+
+    res = run_fact(s, K8S_HOST_PORTS)
+    assert {r["container_id"] for r in res["findings"].collect()} == {
+        "ct-risky"}  # ct-hostnet excluded: pod on host network
+    assert res["total"] == 2  # host-network pod's container excluded
+
+    res = run_fact(s, K8S_MISSING_RUNTIME_DEFAULT_SECCOMP)
+    rows = {r["pod_id"]: json.loads(
+        r["container_names_without_runtime_default"])
+        for r in res["findings"].collect()}
+    assert rows == {"pod-risky": ["app"]}
+
+    assert {r["pod_id"] for r in run_fact(
+        s, K8S_PODS_IN_DEFAULT_NAMESPACE)["findings"].collect()
+    } == {"pod-default-ns"}

@@ -1,0 +1,279 @@
+"""GitHub commit activity + personal access tokens — the last two
+legs of the GitHub supply-chain tail.
+
+Re-expresses ``intel/github/commits.py`` and
+``intel/github/personal_access_tokens.py``:
+
+* **commits** (``transform_single_repo_commits_to_relationships``
+  :207-261): the per-repo per-user dict walk becomes ONE groupBy over
+  (user_url, repo_url) — count + min/max committedDate ride the
+  ``(user)-[:COMMITTED_TO {commit_count, first_commit_date,
+  last_commit_date}]->(repo)`` MatchLink; commits without a resolvable
+  author user drop (:231-233); the org-scoped stale sweep mirrors the
+  reference's matchlink cleanup (:347);
+* **fine-grained PATs** (``_transform_fine_grained_token`` :156-187):
+  ``{org}/personal-access-tokens/{id}`` ids, sorted-key permissions
+  JSON, per-token repository access as CAN_ACCESS edges;
+* **classic PATs via SAML credential authorizations**
+  (``_transform_saml_credential_authorization`` :190-229): only
+  ``credential_type == 'personal access token'`` rows; last_used_at
+  stays unset (auth events are NOT API-call usage — the reference's
+  semantic note);
+* OWNS / OWNED_BY both ways to the owner GitHubUser (resolved by the
+  login-derived user url); org-scoped GC.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cartography_spark.providers.aws_ec2 import _edge, _node
+
+COMMITS_SCHEMA = """
+    STRUCT<Commits: ARRAY<STRUCT<
+        committedDate: STRING,
+        author: STRUCT<user: STRUCT<url: STRING>>,
+        committer: STRUCT<user: STRUCT<url: STRING>>>>>
+"""
+FG_TOKENS_SCHEMA = """
+    STRUCT<Tokens: ARRAY<STRUCT<
+        id: BIGINT, token_id: STRING, token_name: STRING,
+        owner: STRUCT<login: STRING>,
+        repository_selection: STRING,
+        permissions: MAP<STRING, MAP<STRING, STRING>>,
+        access_granted_at: STRING, token_expires_at: STRING,
+        token_last_used_at: STRING,
+        repository_urls: ARRAY<STRING>>>>
+"""
+SAML_SCHEMA = """
+    STRUCT<CredentialAuthorizations: ARRAY<STRUCT<
+        credential_id: BIGINT, credential_type: STRING, login: STRING,
+        scopes: ARRAY<STRING>, credential_authorized_at: STRING,
+        credential_accessed_at: STRING,
+        authorized_credential_expires_at: STRING>>>
+"""
+
+
+def transform_github_commits(
+    raw: DataFrame, org: str, update_tag: int
+) -> DataFrame:
+    """``raw(repo_name, payload_json)`` ({"Commits": [...]}) → the
+    COMMITTED_TO edge frame."""
+    org_url = f"https://github.com/{org}"
+    commits = raw.select(
+        F.concat(F.lit(f"{org_url}/"), F.col("repo_name"))
+        .alias("repo_url"),
+        F.explode(
+            F.from_json("payload_json", COMMITS_SCHEMA)["Commits"]
+        ).alias("c"),
+    ).withColumn(
+        # author wins; committer is the fallback (:263-300 variant);
+        # the per-repo path (:231-233) drops rows without an author —
+        # both agree when the author resolves
+        "user_url",
+        F.coalesce(F.col("c.author.user.url"),
+                   F.col("c.committer.user.url")),
+    ).filter(F.col("user_url").isNotNull())
+    grouped = commits.groupBy("user_url", "repo_url").agg(
+        F.count(F.lit(1)).alias("commit_count"),
+        F.min("c.committedDate").alias("first_commit_date"),
+        F.max("c.committedDate").alias("last_commit_date"),
+    )
+    return grouped.select(
+        F.lit("GitHubUser").alias("src_label"),
+        F.col("user_url").alias("src_id"),
+        F.lit("COMMITTED_TO").alias("rel_label"),
+        F.lit("GitHubRepository").alias("dst_label"),
+        F.col("repo_url").alias("dst_id"),
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit("GitHubOrganization").alias("sub_resource_label"),
+        F.lit(org_url).alias("sub_resource_id"),
+        F.map_from_arrays(
+            F.array(F.lit("commit_count"), F.lit("first_commit_date"),
+                    F.lit("last_commit_date")),
+            F.array(F.col("commit_count").cast("string"),
+                    F.col("first_commit_date"),
+                    F.col("last_commit_date")),
+        ).alias("props"),
+    )
+
+
+def sync_github_commits(
+    store, raw: DataFrame, org: str, update_tag: int
+) -> int:
+    org_url = f"https://github.com/{org}"
+    edges = transform_github_commits(raw, org, update_tag)
+    counts = store.merge_edges(edges, update_tag, rels=["COMMITTED_TO"])
+    store.delete_edges(
+        "COMMITTED_TO",
+        (F.col("lastupdated") != int(update_tag))
+        & (F.col("sub_resource_label") == "GitHubOrganization")
+        & (F.col("sub_resource_id") == org_url),
+    )
+    store.record_lineage("github_commits_sync", {"update_tag": update_tag})
+    return sum(c["created"] + c["updated"] for c in counts.values())
+
+
+def transform_github_pats(
+    fg_raw: DataFrame | None,
+    saml_raw: DataFrame | None,
+    org: str,
+    update_tag: int,
+) -> tuple[DataFrame | None, DataFrame | None]:
+    org_url = f"https://github.com/{org}"
+    org_lit = F.lit(org_url)
+    sub = ("GitHubOrganization", org_lit)
+    node_frames, edge_frames = [], []
+
+    def owner_url(login_col):
+        return F.when(
+            login_col.isNotNull(),
+            F.concat(F.lit("https://github.com/"), login_col),
+        )
+
+    if fg_raw is not None:
+        toks = fg_raw.select(
+            F.explode(
+                F.from_json("payload_json", FG_TOKENS_SCHEMA)["Tokens"]
+            ).alias("t"),
+        ).filter(F.col("t.id").isNotNull()).withColumn(
+            "pat_id",
+            F.concat(org_lit, F.lit("/personal-access-tokens/"),
+                     F.col("t.id")),
+        ).withColumn("owner_url", owner_url(F.col("t.owner.login")))
+        node_frames.append(
+            _node(toks, "GitHubPersonalAccessToken", F.col("pat_id"), {
+                "token_kind": F.lit("fine_grained"),
+                "token_id": F.col("t.token_id"),
+                "token_name": F.col("t.token_name"),
+                "owner_login": F.col("t.owner.login"),
+                "repository_selection": F.col("t.repository_selection"),
+                # sorted-key JSON (:177-179 sort_keys=True)
+                "permissions": F.to_json(
+                    F.map_from_arrays(
+                        F.array_sort(F.map_keys("t.permissions")),
+                        F.transform(
+                            F.array_sort(F.map_keys("t.permissions")),
+                            lambda k: F.to_json(
+                                F.element_at("t.permissions", k)),
+                        ),
+                    )
+                ),
+                "access_granted_at": F.col("t.access_granted_at"),
+                "expires_at": F.col("t.token_expires_at"),
+                "last_used_at": F.col("t.token_last_used_at"),
+            }, update_tag))
+        edge_frames.append(_edge(toks, "GitHubOrganization", org_lit,
+                                 "RESOURCE", "GitHubPersonalAccessToken",
+                                 F.col("pat_id"), update_tag, sub))
+        owners = toks.filter(F.col("owner_url").isNotNull())
+        edge_frames.append(_edge(owners, "GitHubUser", F.col("owner_url"),
+                                 "OWNS", "GitHubPersonalAccessToken",
+                                 F.col("pat_id"), update_tag, sub))
+        edge_frames.append(_edge(owners, "GitHubPersonalAccessToken",
+                                 F.col("pat_id"), "OWNED_BY", "GitHubUser",
+                                 F.col("owner_url"), update_tag, sub))
+        repos = toks.select(
+            "pat_id",
+            F.explode(F.coalesce("t.repository_urls", F.array()))
+            .alias("repo_url"),
+        )
+        edge_frames.append(_edge(repos, "GitHubPersonalAccessToken",
+                                 F.col("pat_id"), "CAN_ACCESS",
+                                 "GitHubRepository", F.col("repo_url"),
+                                 update_tag, sub))
+
+    if saml_raw is not None:
+        creds = saml_raw.select(
+            F.explode(
+                F.from_json("payload_json", SAML_SCHEMA)
+                ["CredentialAuthorizations"]
+            ).alias("c"),
+        ).filter(
+            (F.col("c.credential_type") == "personal access token")
+            & F.col("c.credential_id").isNotNull()
+        ).withColumn(
+            "pat_id",
+            F.concat(org_lit, F.lit("/credential-authorizations/"),
+                     F.col("c.credential_id")),
+        ).withColumn("owner_url", owner_url(F.col("c.login")))
+        node_frames.append(
+            _node(creds, "GitHubPersonalAccessToken", F.col("pat_id"), {
+                "token_kind": F.lit("classic"),
+                "token_name": F.when(
+                    F.col("c.login").isNotNull(),
+                    F.concat(F.col("c.login"), F.lit(" (classic PAT)")),
+                ),
+                "owner_login": F.col("c.login"),
+                "scopes": F.to_json(F.coalesce("c.scopes", F.array())),
+                "credential_authorized_at":
+                    F.col("c.credential_authorized_at"),
+                "credential_accessed_at":
+                    F.col("c.credential_accessed_at"),
+                "expires_at": F.col("c.authorized_credential_expires_at"),
+                # auth events are NOT API usage: last_used_at stays null
+            }, update_tag))
+        edge_frames.append(_edge(creds, "GitHubOrganization", org_lit,
+                                 "RESOURCE", "GitHubPersonalAccessToken",
+                                 F.col("pat_id"), update_tag, sub))
+        owners = creds.filter(F.col("owner_url").isNotNull())
+        edge_frames.append(_edge(owners, "GitHubUser", F.col("owner_url"),
+                                 "OWNS", "GitHubPersonalAccessToken",
+                                 F.col("pat_id"), update_tag, sub))
+        edge_frames.append(_edge(owners, "GitHubPersonalAccessToken",
+                                 F.col("pat_id"), "OWNED_BY", "GitHubUser",
+                                 F.col("owner_url"), update_tag, sub))
+
+    if not node_frames:
+        return None, None
+    nodes = node_frames[0]
+    for nf in node_frames[1:]:
+        nodes = nodes.unionByName(nf)
+    edges = edge_frames[0]
+    for ef in edge_frames[1:]:
+        edges = edges.unionByName(ef)
+    return nodes, edges
+
+
+def sync_github_pats(
+    store,
+    fg_raw: DataFrame | None,
+    saml_raw: DataFrame | None,
+    org: str,
+    update_tag: int,
+) -> dict:
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    org_url = f"https://github.com/{org}"
+    nodes, edges = transform_github_pats(fg_raw, saml_raw, org, update_tag)
+    metrics: dict = {}
+    if nodes is not None:
+        metrics["nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics["edges"] = store.merge_edges(edges, update_tag)
+    if "GitHubPersonalAccessToken" in store.manifest["nodes"]:
+        metrics["gc"] = run_cleanup(
+            store,
+            NodeSchema(
+                label="GitHubPersonalAccessToken",
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=RelSchema(
+                    rel_label="RESOURCE",
+                    target_node_label="GitHubOrganization",
+                    target_node_matcher=TargetNodeMatcher(
+                        {"id": PropertyRef("ORG_URL", set_in_kwargs=True)}
+                    ),
+                    direction=LinkDirection.INWARD,
+                ),
+            ),
+            update_tag,
+            {"ORG_URL": org_url},
+        )
+    store.record_lineage("github_pats_sync", {"update_tag": update_tag})
+    return metrics

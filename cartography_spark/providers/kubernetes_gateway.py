@@ -1,0 +1,241 @@
+"""Kubernetes Gateway API: gateways + HTTPRoutes — the modern ingress
+surface (``intel/kubernetes/gateway_api.py``).
+
+Re-expresses the reference transforms:
+
+* **gateways** (``transform_gateways`` :113-140): uid-keyed,
+  ``{namespace}/{name}`` qualified names, gatewayClassName;
+* **HTTP routes** (``transform_http_routes`` :142-215): backendRefs
+  filtered to core/Service (the ``_ref_matches`` group/kind gate
+  :25-39 as column predicates), parentRefs filtered to
+  gateway.networking.k8s.io/Gateway; the backend namespace defaults
+  to the route's own;
+* **(gateway)-[:ROUTES]->(route)** resolved in-batch by qualified
+  name (the reference's ``_enrich_gateways_with_attached_routes``
+  :216-232 dict walk becomes one join);
+* **(route)-[:TARGETS]->(service)** — service ids in this engine are
+  the ``{cluster}/{ns}/{name}`` composite, so targets construct
+  directly with no join;
+* namespace CONTAINS by (cluster_name, name) against the graph;
+  cluster-scoped GC (routes before gateways, cleanup :271-278).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cartography_spark.providers.aws_ec2 import _edge, _node
+
+GATEWAY_API_GROUP = "gateway.networking.k8s.io"
+
+GATEWAYS_SCHEMA = """
+    STRUCT<Gateways: ARRAY<STRUCT<
+        metadata: STRUCT<uid: STRING, name: STRING, namespace: STRING,
+                         creationTimestamp: STRING,
+                         deletionTimestamp: STRING>,
+        spec: STRUCT<gatewayClassName: STRING>>>,
+    HTTPRoutes: ARRAY<STRUCT<
+        metadata: STRUCT<uid: STRING, name: STRING, namespace: STRING,
+                         creationTimestamp: STRING,
+                         deletionTimestamp: STRING>,
+        spec: STRUCT<
+            hostnames: ARRAY<STRING>,
+            parentRefs: ARRAY<STRUCT<group: STRING, kind: STRING,
+                                     name: STRING, namespace: STRING>>,
+            rules: ARRAY<STRUCT<backendRefs: ARRAY<STRUCT<
+                group: STRING, kind: STRING, name: STRING,
+                namespace: STRING>>>>>>>>
+"""
+
+
+def transform_gateway_api(
+    raw: DataFrame, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """``raw(cluster_id, cluster_name, payload_json)``
+    ({"Gateways": [...], "HTTPRoutes": [...]}) → (nodes, edges)."""
+    parsed = raw.select(
+        "cluster_id", "cluster_name",
+        F.from_json("payload_json", GATEWAYS_SCHEMA).alias("p"),
+    )
+    gw = parsed.select(
+        "cluster_id", "cluster_name", F.explode("p.Gateways").alias("g")
+    ).filter(F.col("g.metadata.uid").isNotNull()).withColumn(
+        "qualified_name",
+        F.concat_ws("/", F.col("g.metadata.namespace"),
+                    F.col("g.metadata.name")),
+    )
+    routes = parsed.select(
+        "cluster_id", "cluster_name", F.explode("p.HTTPRoutes").alias("r")
+    ).filter(F.col("r.metadata.uid").isNotNull()).withColumn(
+        "qualified_name",
+        F.concat_ws("/", F.col("r.metadata.namespace"),
+                    F.col("r.metadata.name")),
+    )
+
+    gw_nodes = _node(gw, "KubernetesGateway", F.col("g.metadata.uid"), {
+        "name": F.col("g.metadata.name"),
+        "namespace": F.col("g.metadata.namespace"),
+        "qualified_name": F.col("qualified_name"),
+        "gateway_class_name": F.col("g.spec.gatewayClassName"),
+        "creation_timestamp": F.col("g.metadata.creationTimestamp"),
+        "deletion_timestamp": F.col("g.metadata.deletionTimestamp"),
+        "cluster_name": F.col("cluster_name"),
+    }, update_tag)
+    route_nodes = _node(routes, "KubernetesHTTPRoute",
+                        F.col("r.metadata.uid"), {
+        "name": F.col("r.metadata.name"),
+        "namespace": F.col("r.metadata.namespace"),
+        "qualified_name": F.col("qualified_name"),
+        "hostnames": F.to_json(F.coalesce("r.spec.hostnames", F.array())),
+        "creation_timestamp": F.col("r.metadata.creationTimestamp"),
+        "deletion_timestamp": F.col("r.metadata.deletionTimestamp"),
+        "cluster_name": F.col("cluster_name"),
+    }, update_tag)
+
+    sub = ("KubernetesCluster", F.col("cluster_id"))
+    edges = (
+        _edge(gw, "KubernetesCluster", F.col("cluster_id"), "RESOURCE",
+              "KubernetesGateway", F.col("g.metadata.uid"), update_tag,
+              sub)
+        .unionByName(_edge(routes, "KubernetesCluster",
+                           F.col("cluster_id"), "RESOURCE",
+                           "KubernetesHTTPRoute",
+                           F.col("r.metadata.uid"), update_tag, sub))
+    )
+
+    # parentRefs → (gateway)-[:ROUTES]->(route), in-batch join on the
+    # qualified name within the same cluster (:216-232)
+    parents = routes.select(
+        "cluster_name",
+        F.col("r.metadata.uid").alias("route_uid"),
+        F.col("r.metadata.namespace").alias("route_ns"),
+        F.explode(F.coalesce("r.spec.parentRefs", F.array())).alias("p"),
+    ).filter(
+        (F.coalesce(F.col("p.group"), F.lit(GATEWAY_API_GROUP))
+         == GATEWAY_API_GROUP)
+        & (F.coalesce(F.col("p.kind"), F.lit("Gateway")) == "Gateway")
+        & F.col("p.name").isNotNull()
+    ).withColumn(
+        "parent_qn",
+        F.concat_ws("/", F.coalesce(F.col("p.namespace"),
+                                    F.col("route_ns")),
+                    F.col("p.name")),
+    )
+    gw_keys = gw.select(
+        "cluster_name", F.col("qualified_name").alias("parent_qn"),
+        F.col("g.metadata.uid").alias("gateway_uid"),
+    )
+    attached = parents.join(gw_keys, ["cluster_name", "parent_qn"]).join(
+        gw.select(F.col("g.metadata.uid").alias("gateway_uid"),
+                  "cluster_id"),
+        "gateway_uid",
+    )
+    edges = edges.unionByName(
+        _edge(attached, "KubernetesGateway", F.col("gateway_uid"),
+              "ROUTES", "KubernetesHTTPRoute", F.col("route_uid"),
+              update_tag, ("KubernetesCluster", F.col("cluster_id")))
+    )
+
+    # backendRefs → (route)-[:TARGETS]->(service) by the composite
+    # service id; only core/Service refs count (:152-168)
+    backends = routes.select(
+        "cluster_id", "cluster_name",
+        F.col("r.metadata.uid").alias("route_uid"),
+        F.col("r.metadata.namespace").alias("route_ns"),
+        F.explode(F.coalesce(
+            F.flatten(F.transform(
+                F.coalesce("r.spec.rules", F.array()),
+                lambda rule: F.coalesce(rule["backendRefs"], F.array()),
+            )),
+            F.array(),
+        )).alias("b"),
+    ).filter(
+        (F.coalesce(F.col("b.group"), F.lit("")) == "")
+        & (F.coalesce(F.col("b.kind"), F.lit("Service")) == "Service")
+        & F.col("b.name").isNotNull()
+    ).withColumn(
+        "service_id",
+        F.concat_ws("/", F.col("cluster_name"),
+                    F.coalesce(F.col("b.namespace"), F.col("route_ns")),
+                    F.col("b.name")),
+    )
+    edges = edges.unionByName(
+        _edge(backends, "KubernetesHTTPRoute", F.col("route_uid"),
+              "TARGETS", "KubernetesService", F.col("service_id"),
+              update_tag, ("KubernetesCluster", F.col("cluster_id"))))
+    return gw_nodes.unionByName(route_nodes), edges
+
+
+def sync_gateway_api(
+    store, raw: DataFrame, cluster_id: str, update_tag: int
+) -> dict:
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    nodes, edges = transform_gateway_api(raw, update_tag)
+    metrics = {
+        "nodes": store.merge_nodes(nodes, update_tag),
+        "edges": store.merge_edges(edges, update_tag),
+    }
+    # namespace CONTAINS by (cluster_name, namespace) against the graph
+    if "KubernetesNamespace" in store.manifest["nodes"]:
+        ns = store.nodes(["KubernetesNamespace"]).select(
+            F.col("id").alias("ns_id"),
+            F.element_at("props", "cluster_name").alias("cluster_name"),
+            F.element_at("props", "name").alias("namespace"),
+        )
+        members = nodes.select(
+            "label", "id",
+            F.element_at("props", "cluster_name").alias("cluster_name"),
+            F.element_at("props", "namespace").alias("namespace"),
+        )
+        pairs = members.join(F.broadcast(ns), ["cluster_name", "namespace"])
+        metrics["ns_contains"] = store.merge_edges(
+            pairs.select(
+                F.lit("KubernetesNamespace").alias("src_label"),
+                F.col("ns_id").alias("src_id"),
+                F.lit("CONTAINS").alias("rel_label"),
+                F.col("label").alias("dst_label"),
+                F.col("id").alias("dst_id"),
+                F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+                F.lit("KubernetesCluster").alias("sub_resource_label"),
+                F.lit(cluster_id).alias("sub_resource_id"),
+                F.lit(None).cast("map<string,string>").alias("props"),
+            ).dropDuplicates(
+                ["src_label", "src_id", "rel_label", "dst_label",
+                 "dst_id"]
+            ),
+            update_tag, rels=["CONTAINS"],
+        )
+
+    cluster_rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label="KubernetesCluster",
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("CLUSTER_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    # routes before gateways (cleanup :271-278)
+    for label in ("KubernetesHTTPRoute", "KubernetesGateway"):
+        if label not in store.manifest["nodes"]:
+            continue
+        metrics[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=cluster_rel,
+            ),
+            update_tag,
+            {"CLUSTER_ID": cluster_id},
+        )
+    store.record_lineage("kubernetes_gateway_api_sync",
+                         {"update_tag": update_tag})
+    return metrics

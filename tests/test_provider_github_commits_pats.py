@@ -1,0 +1,111 @@
+"""GitHub commit-activity matchlinks + PAT parity
+(``intel/github/{commits,personal_access_tokens}.py``)."""
+
+import json
+
+from pyspark.sql import functions as F  # noqa: F401
+
+from cartography_spark.providers.github_commits_pats import (
+    sync_github_commits,
+    sync_github_pats,
+)
+
+TAG = 123456789
+ORG = "example-org"
+ORG_URL = f"https://github.com/{ORG}"
+ALICE = "https://github.com/alice"
+BOB = "https://github.com/bob"
+
+COMMITS = {"Commits": [
+    {"committedDate": "2024-01-01T00:00:00Z",
+     "author": {"user": {"url": ALICE}}},
+    {"committedDate": "2024-03-01T00:00:00Z",
+     "author": {"user": {"url": ALICE}}},
+    # author unresolvable → committer fallback
+    {"committedDate": "2024-02-01T00:00:00Z",
+     "author": {"user": None}, "committer": {"user": {"url": BOB}}},
+    # neither resolvable → dropped
+    {"committedDate": "2024-04-01T00:00:00Z",
+     "author": {"user": None}, "committer": {"user": None}},
+]}
+FG_TOKENS = {"Tokens": [{
+    "id": 101, "token_id": "ghp_fg_101", "token_name": "deploy-token",
+    "owner": {"login": "alice"}, "repository_selection": "subset",
+    "permissions": {"contents": {"read": "read"},
+                    "actions": {"write": "write"}},
+    "access_granted_at": "2024-01-01T00:00:00Z",
+    "token_expires_at": "2025-01-01T00:00:00Z",
+    "token_last_used_at": "2024-06-01T00:00:00Z",
+    "repository_urls": [f"{ORG_URL}/service-a"],
+}]}
+SAML = {"CredentialAuthorizations": [
+    {"credential_id": 202, "credential_type": "personal access token",
+     "login": "bob", "scopes": ["repo", "read:org"],
+     "credential_authorized_at": "2023-01-01T00:00:00Z",
+     "credential_accessed_at": "2024-05-01T00:00:00Z",
+     "authorized_credential_expires_at": None},
+    # ssh keys never become PAT nodes
+    {"credential_id": 303, "credential_type": "SSH key", "login": "eve"},
+]}
+
+
+def _raw(spark, payload, repo=None):
+    if repo is not None:
+        return spark.createDataFrame(
+            [(repo, json.dumps(payload))],
+            "repo_name string, payload_json string",
+        )
+    return spark.createDataFrame(
+        [(json.dumps(payload),)], "payload_json string"
+    )
+
+
+def test_commit_matchlinks(spark, tmp_store):
+    s = tmp_store
+    sync_github_commits(s, _raw(spark, COMMITS, repo="service-a"), ORG, TAG)
+    edges = {(r["src_id"], r["dst_id"]): r["props"]
+             for r in s.edges(["COMMITTED_TO"]).collect()}
+    assert set(edges) == {(ALICE, f"{ORG_URL}/service-a"),
+                          (BOB, f"{ORG_URL}/service-a")}
+    alice = edges[(ALICE, f"{ORG_URL}/service-a")]
+    assert alice["commit_count"] == "2"
+    assert alice["first_commit_date"] == "2024-01-01T00:00:00Z"
+    assert alice["last_commit_date"] == "2024-03-01T00:00:00Z"
+
+    # stale sweep: bob stops committing
+    only_alice = {"Commits": COMMITS["Commits"][:2]}
+    sync_github_commits(s, _raw(spark, only_alice, repo="service-a"),
+                        ORG, TAG + 1)
+    left = {r["src_id"] for r in s.edges(["COMMITTED_TO"]).collect()}
+    assert left == {ALICE}
+
+
+def test_pats(spark, tmp_store):
+    s = tmp_store
+    sync_github_pats(s, _raw(spark, FG_TOKENS), _raw(spark, SAML), ORG, TAG)
+    pats = {r["id"]: r["props"]
+            for r in s.nodes(["GitHubPersonalAccessToken"]).collect()}
+    fg = pats[f"{ORG_URL}/personal-access-tokens/101"]
+    assert fg["token_kind"] == "fine_grained"
+    perms = json.loads(fg["permissions"])
+    assert list(perms) == ["actions", "contents"]  # sorted keys
+    classic = pats[f"{ORG_URL}/credential-authorizations/202"]
+    assert classic["token_kind"] == "classic"
+    assert classic["token_name"] == "bob (classic PAT)"
+    assert json.loads(classic["scopes"]) == ["repo", "read:org"]
+    assert classic.get("last_used_at") is None  # auth events != usage
+    assert len(pats) == 2  # the SSH key row never lands
+
+    rels = {(r["src_label"], r["src_id"], r["rel_label"], r["dst_id"])
+            for r in s.edges().collect()}
+    fg_id = f"{ORG_URL}/personal-access-tokens/101"
+    assert ("GitHubUser", ALICE, "OWNS", fg_id) in rels
+    assert ("GitHubPersonalAccessToken", fg_id, "OWNED_BY", ALICE) in rels
+    assert ("GitHubPersonalAccessToken", fg_id, "CAN_ACCESS",
+            f"{ORG_URL}/service-a") in rels
+
+    # org-scoped GC
+    sync_github_pats(s, _raw(spark, {"Tokens": []}),
+                     _raw(spark, {"CredentialAuthorizations": []}),
+                     ORG, TAG + 1)
+    assert s.nodes(["GitHubPersonalAccessToken"]).count() == 0

@@ -1,0 +1,90 @@
+"""Gateway API parity (``intel/kubernetes/gateway_api.py``)."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.aws_ec2 import _node
+from cartography_spark.providers.kubernetes_gateway import sync_gateway_api
+
+TAG = 123456789
+CLUSTER_ID = "cluster-uid-1"
+CLUSTER = "prod-cluster"
+RAW_DDL = "cluster_id string, cluster_name string, payload_json string"
+
+PAYLOAD = {
+    "Gateways": [{
+        "metadata": {"uid": "gw-1", "name": "edge", "namespace": "infra",
+                     "creationTimestamp": "2024-01-01T00:00:00Z"},
+        "spec": {"gatewayClassName": "istio"},
+    }],
+    "HTTPRoutes": [
+        {"metadata": {"uid": "rt-web", "name": "web-route",
+                      "namespace": "apps"},
+         "spec": {
+             "hostnames": ["www.example.com"],
+             "parentRefs": [{"name": "edge", "namespace": "infra"}],
+             "rules": [
+                 {"backendRefs": [
+                     {"name": "web-svc"},  # defaults: core/Service, ns
+                     {"kind": "Service", "name": "api-svc",
+                      "namespace": "backend"},
+                     # non-service backend: filtered out (:152-160)
+                     {"group": "gateway.networking.k8s.io",
+                      "kind": "Gateway", "name": "nested"},
+                 ]},
+             ],
+         }},
+        # parentRef kind mismatch → no ROUTES edge
+        {"metadata": {"uid": "rt-orphan", "name": "orphan",
+                      "namespace": "apps"},
+         "spec": {"parentRefs": [{"kind": "Service", "name": "edge"}],
+                  "rules": []}},
+    ],
+}
+
+
+def _raw(spark, payload=PAYLOAD):
+    return spark.createDataFrame(
+        [(CLUSTER_ID, CLUSTER, json.dumps(payload))], RAW_DDL
+    )
+
+
+def test_gateway_routes_targets(spark, tmp_store):
+    s = tmp_store
+    ns = spark.createDataFrame(
+        [("ns-infra", "infra"), ("ns-apps", "apps")],
+        "id string, name string",
+    )
+    s.merge_nodes(_node(ns, "KubernetesNamespace", F.col("id"), {
+        "name": F.col("name"), "cluster_name": F.lit(CLUSTER),
+    }, TAG), TAG)
+
+    sync_gateway_api(s, _raw(spark), CLUSTER_ID, TAG)
+
+    gws = {r["id"]: r["props"]
+           for r in s.nodes(["KubernetesGateway"]).collect()}
+    assert gws["gw-1"]["qualified_name"] == "infra/edge"
+    assert gws["gw-1"]["gateway_class_name"] == "istio"
+    routes = {r["id"]: r["props"]
+              for r in s.nodes(["KubernetesHTTPRoute"]).collect()}
+    assert json.loads(routes["rt-web"]["hostnames"]) == ["www.example.com"]
+
+    rels = {(r["src_id"], r["rel_label"], r["dst_id"])
+            for r in s.edges().collect()}
+    assert ("gw-1", "ROUTES", "rt-web") in rels
+    assert ("gw-1", "ROUTES", "rt-orphan") not in rels
+    # backend default ns = route ns; explicit ns honored; non-Service
+    # refs dropped
+    assert ("rt-web", "TARGETS", f"{CLUSTER}/apps/web-svc") in rels
+    assert ("rt-web", "TARGETS", f"{CLUSTER}/backend/api-svc") in rels
+    assert not any(r[1] == "TARGETS" and "nested" in r[2] for r in rels)
+    assert ("ns-infra", "CONTAINS", "gw-1") in rels
+    assert ("ns-apps", "CONTAINS", "rt-web") in rels
+
+    # cluster-scoped GC
+    sync_gateway_api(
+        s, _raw(spark, {"Gateways": [], "HTTPRoutes": []}),
+        CLUSTER_ID, TAG + 1)
+    assert s.nodes(["KubernetesGateway"]).count() == 0
+    assert s.nodes(["KubernetesHTTPRoute"]).count() == 0

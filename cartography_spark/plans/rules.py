@@ -2348,6 +2348,250 @@ K8S_PODS_IN_DEFAULT_NAMESPACE = Fact(
     asset_id_field="pod_id",
 )
 
+AIBOM_AGENT_INVENTORY = Fact(
+    id="aibom_nist_ai_agent_inventory",
+    name="Deployed AI agents and their dependencies",
+    description="AIBOM-discovered agents on canonical images with the "
+    "models/tools/memory/prompts/embeddings each uses "
+    "(nist_ai_rmf.py:477-565).",
+    sql_query="""
+        WITH uses AS (
+            SELECT e.src_id AS agent_id, e.rel_label AS rel,
+                   n.props['name'] AS dep_name
+            FROM edges e
+            JOIN nodes n ON n.label = 'AIBOMComponent'
+               AND n.id = e.dst_id
+            WHERE e.rel_label IN ('USES_MODEL', 'USES_TOOL',
+                                  'USES_MEMORY', 'USES_PROMPT',
+                                  'USES_EMBEDDING')
+        )
+        SELECT src.id AS source_id, src.props['image_uri'] AS image_uri,
+               img.props['_ont_digest'] AS manifest_digest,
+               src.props['scanner_name'] AS scanner_name,
+               agent.id AS agent_component_id,
+               agent.props['logical_id'] AS agent_logical_id,
+               agent.props['name'] AS agent_name,
+               agent.props['framework'] AS agent_framework,
+               agent.props['file_path'] AS agent_file_path,
+               to_json(sort_array(collect_set(
+                   CASE WHEN u.rel = 'USES_MODEL' THEN u.dep_name END)))
+                   AS model_names,
+               to_json(sort_array(collect_set(
+                   CASE WHEN u.rel = 'USES_TOOL' THEN u.dep_name END)))
+                   AS tool_names,
+               to_json(sort_array(collect_set(
+                   CASE WHEN u.rel = 'USES_MEMORY' THEN u.dep_name END)))
+                   AS memory_names,
+               to_json(sort_array(collect_set(
+                   CASE WHEN u.rel = 'USES_PROMPT' THEN u.dep_name END)))
+                   AS prompt_names,
+               to_json(sort_array(collect_set(
+                   CASE WHEN u.rel = 'USES_EMBEDDING'
+                        THEN u.dep_name END))) AS embedding_names
+        FROM nodes src
+        JOIN edges si ON si.rel_label = 'SCANNED_IMAGE'
+           AND si.src_id = src.id
+        JOIN nodes img ON img.id = si.dst_id
+           AND img.label = si.dst_label
+        JOIN edges hc ON hc.rel_label = 'HAS_COMPONENT'
+           AND hc.src_id = src.id
+        JOIN nodes agent ON agent.label = 'AIBOMComponent'
+           AND agent.id = hc.dst_id
+           AND array_contains(coalesce(agent.extra_labels, array()),
+                              'AIAgent')
+        LEFT JOIN uses u ON u.agent_id = agent.id
+        WHERE src.label = 'AIBOMSource'
+        GROUP BY src.id, src.props['image_uri'],
+                 img.props['_ont_digest'], src.props['scanner_name'],
+                 agent.id, agent.props['logical_id'],
+                 agent.props['name'], agent.props['framework'],
+                 agent.props['file_path']
+        ORDER BY image_uri, agent_name
+    """,
+    count_sql="""
+        SELECT count(DISTINCT agent.id) AS count
+        FROM nodes src
+        JOIN edges si ON si.rel_label = 'SCANNED_IMAGE'
+           AND si.src_id = src.id
+        JOIN edges hc ON hc.rel_label = 'HAS_COMPONENT'
+           AND hc.src_id = src.id
+        JOIN nodes agent ON agent.label = 'AIBOMComponent'
+           AND agent.id = hc.dst_id
+           AND array_contains(coalesce(agent.extra_labels, array()),
+                              'AIAgent')
+        WHERE src.label = 'AIBOMSource'
+    """,
+    identity_fields=("agent_component_id",),
+    asset_label="AIAgent",
+    asset_id_field="agent_component_id",
+)
+
+AIBOM_COVERAGE_GAPS = Fact(
+    id="aibom_nist_ai_coverage_gaps",
+    name="AIBOM coverage and provenance gaps",
+    description="Scans that failed or never mapped to a canonical "
+    "image (nist_ai_rmf.py:611-665).",
+    sql_query="""
+        SELECT src.id AS source_id, src.props['image_uri'] AS image_uri,
+               src.props['manifest_digests'] AS manifest_digests,
+               src.props['report_location'] AS report_location,
+               src.props['scanner_name'] AS scanner_name,
+               src.props['source_status'] AS source_status,
+               src.props['analysis_status'] AS analysis_status,
+               src.props['image_matched'] AS image_matched,
+               src.props['total_components'] AS total_components,
+               CASE
+                   WHEN coalesce(src.props['image_matched'], 'false')
+                        = 'false' THEN 'unmatched_image'
+                   WHEN lower(coalesce(src.props['source_status'],
+                                       'completed')) <> 'completed'
+                        THEN 'incomplete_source'
+                   WHEN src.props['analysis_status'] IS NOT NULL
+                        AND lower(src.props['analysis_status'])
+                            <> 'completed'
+                        THEN 'analysis_not_completed'
+               END AS gap_reason
+        FROM nodes src
+        WHERE src.label = 'AIBOMSource'
+          AND (coalesce(src.props['image_matched'], 'false') = 'false'
+               OR lower(coalesce(src.props['source_status'],
+                                 'completed')) <> 'completed'
+               OR (src.props['analysis_status'] IS NOT NULL
+                   AND lower(src.props['analysis_status'])
+                       <> 'completed'))
+        ORDER BY gap_reason, image_uri
+    """,
+    count_sql="""
+        SELECT count(*) AS count FROM nodes
+        WHERE label = 'AIBOMSource'
+    """,
+    identity_fields=("source_id",),
+    asset_label="AIBOMSource",
+    asset_id_field="source_id",
+)
+
+OPENAI_STALE_OR_UNOWNED_KEYS = Fact(
+    id="openai_nist_ai_stale_or_unowned_api_keys",
+    name="OpenAI API keys stale or lacking owner attribution",
+    description="Keys unused for ${STALE_DAYS}+ days (or never used) "
+    "or with no OWNS owner; keys in non-active projects excluded "
+    "(nist_ai_rmf.py:743-835).",
+    sql_query="""
+        WITH keys AS (
+            SELECT k.id, k.label, k.props['name'] AS name,
+                   k.props['created_at'] AS created_at,
+                   k.props['last_used_at'] AS last_used_at
+            FROM nodes k
+            WHERE k.label IN ('OpenAIApiKey', 'OpenAIAdminApiKey')
+        ), proj AS (
+            SELECT e.dst_id AS key_id, p.id AS project_id,
+                   coalesce(p.props['status'], 'active') AS status
+            FROM edges e
+            JOIN nodes p ON p.label = 'OpenAIProject'
+               AND p.id = e.src_id
+            WHERE e.rel_label = 'RESOURCE'
+              AND e.src_label = 'OpenAIProject'
+        ), org AS (
+            SELECT dst_id AS key_or_proj, src_id AS org_id FROM edges
+            WHERE rel_label = 'RESOURCE'
+              AND src_label = 'OpenAIOrganization'
+        ), owners AS (
+            SELECT DISTINCT dst_id AS key_id FROM edges
+            WHERE rel_label = 'OWNS'
+              AND src_label IN ('OpenAIUser', 'OpenAIServiceAccount')
+        )
+        SELECT 'openai' AS provider,
+               coalesce(po.org_id, ko.org_id) AS organization_id,
+               p.project_id AS project_or_workspace_id,
+               k.id AS api_key_id, k.name AS api_key_name,
+               CASE WHEN k.label = 'OpenAIAdminApiKey' THEN 'active'
+                    ELSE coalesce(p.status, 'active') END AS status,
+               k.created_at, k.last_used_at,
+               (k.last_used_at IS NULL
+                OR coalesce(CAST(k.last_used_at AS BIGINT)
+                    < CAST('${NOW_EPOCH}' AS BIGINT)
+                      - CAST('${STALE_DAYS}' AS BIGINT) * 86400, true))
+                   AS is_stale_or_unused,
+               ow.key_id IS NOT NULL AS has_owner,
+               p.project_id IS NOT NULL
+                   AS has_project_or_workspace_scope
+        FROM keys k
+        LEFT JOIN proj p ON p.key_id = k.id
+        LEFT JOIN org po ON po.key_or_proj = p.project_id
+        LEFT JOIN org ko ON ko.key_or_proj = k.id
+        LEFT JOIN owners ow ON ow.key_id = k.id
+        WHERE (k.label = 'OpenAIAdminApiKey'
+               OR coalesce(p.status, 'active') = 'active')
+          AND ((k.last_used_at IS NULL
+                OR coalesce(CAST(k.last_used_at AS BIGINT)
+                    < CAST('${NOW_EPOCH}' AS BIGINT)
+                      - CAST('${STALE_DAYS}' AS BIGINT) * 86400, true))
+               OR ow.key_id IS NULL)
+        ORDER BY provider, organization_id, api_key_name
+    """,
+    count_sql="""
+        SELECT count(*) AS count
+        FROM nodes k
+        LEFT JOIN (
+            SELECT e.dst_id AS key_id,
+                   coalesce(p.props['status'], 'active') AS status
+            FROM edges e
+            JOIN nodes p ON p.label = 'OpenAIProject'
+               AND p.id = e.src_id
+            WHERE e.rel_label = 'RESOURCE'
+              AND e.src_label = 'OpenAIProject'
+        ) p ON p.key_id = k.id
+        WHERE k.label IN ('OpenAIApiKey', 'OpenAIAdminApiKey')
+          AND (k.label = 'OpenAIAdminApiKey'
+               OR coalesce(p.status, 'active') = 'active')
+    """,
+    identity_fields=("provider", "api_key_id"),
+    asset_label="APIKey",
+    asset_id_field="api_key_id",
+    default_params={"STALE_DAYS": "90"},
+)
+
+ANTHROPIC_UNOWNED_OR_UNSCOPED_KEYS = Fact(
+    id="anthropic_nist_ai_stale_or_unscoped_api_keys",
+    name="Anthropic API keys lacking ownership or workspace scope",
+    description="Active keys with no OWNS owner or no workspace "
+    "CONTAINS scope; staleness is unavailable from the Admin API "
+    "(nist_ai_rmf.py:836-893).",
+    sql_query="""
+        SELECT 'anthropic' AS provider,
+               o.src_id AS organization_id,
+               w.src_id AS project_or_workspace_id,
+               k.id AS api_key_id, k.props['name'] AS api_key_name,
+               coalesce(k.props['status'], 'unknown') AS status,
+               k.props['created_at'] AS created_at,
+               CAST(NULL AS STRING) AS last_used_at,
+               CAST(NULL AS BOOLEAN) AS is_stale_or_unused,
+               ow.key_id IS NOT NULL AS has_owner,
+               w.src_id IS NOT NULL AS has_project_or_workspace_scope
+        FROM nodes k
+        JOIN edges o ON o.rel_label = 'RESOURCE'
+           AND o.src_label = 'AnthropicOrganization'
+           AND o.dst_id = k.id AND o.dst_label = 'AnthropicApiKey'
+        LEFT JOIN edges w ON w.rel_label = 'CONTAINS'
+           AND w.src_label = 'AnthropicWorkspace' AND w.dst_id = k.id
+        LEFT JOIN (
+            SELECT DISTINCT dst_id AS key_id FROM edges
+            WHERE rel_label = 'OWNS' AND src_label = 'AnthropicUser'
+        ) ow ON ow.key_id = k.id
+        WHERE k.label = 'AnthropicApiKey'
+          AND k.props['status'] = 'active'
+          AND (ow.key_id IS NULL OR w.src_id IS NULL)
+        ORDER BY provider, organization_id, api_key_name
+    """,
+    count_sql="""
+        SELECT count(*) AS count FROM nodes
+        WHERE label = 'AnthropicApiKey' AND props['status'] = 'active'
+    """,
+    identity_fields=("provider", "api_key_id"),
+    asset_label="AnthropicApiKey",
+    asset_id_field="api_key_id",
+)
+
 DATABRICKS_PAT_NEVER_EXPIRES = Fact(
     id="databricks_pat_never_expires",
     name="Databricks personal access tokens without expiry",
@@ -3563,6 +3807,37 @@ ALL_RULES = ALL_RULES + (
         description="cis_kubernetes_workloads.py:813-830.",
         version="1.0.0",
         facts=(K8S_PODS_IN_DEFAULT_NAMESPACE,),
+    ),
+    Rule(
+        id="aibom_agent_inventory",
+        name="Deployed AI agent inventory",
+        tags=("ai", "aibom", "inventory", "nist-ai-rmf"),
+        description="AIBOM-discovered agents on canonical images with "
+        "their model/tool/memory/prompt/embedding dependencies "
+        "(rules/data/rules/nist_ai_rmf.py:566-609).",
+        version="0.1.0",
+        facts=(AIBOM_AGENT_INVENTORY,),
+    ),
+    Rule(
+        id="aibom_coverage_gaps",
+        name="AIBOM coverage gaps",
+        tags=("ai", "aibom", "coverage", "nist-ai-rmf"),
+        description="Incomplete or image-unmatched AIBOM scans "
+        "(rules/data/rules/nist_ai_rmf.py:667-699).",
+        version="0.1.0",
+        facts=(AIBOM_COVERAGE_GAPS,),
+    ),
+    Rule(
+        id="ai_provider_api_key_hygiene",
+        name="AI provider API key hygiene",
+        tags=("ai", "identity", "credentials", "nist-ai-rmf"),
+        description="Stale/unowned OpenAI keys and unowned/unscoped "
+        "Anthropic keys (rules/data/rules/nist_ai_rmf.py:895+; the "
+        "ThirdPartyApp AUTHORIZED legs need OAuth-grant providers).",
+        version="0.1.0",
+        facts=(OPENAI_STALE_OR_UNOWNED_KEYS,
+               ANTHROPIC_UNOWNED_OR_UNSCOPED_KEYS),
+        frameworks=(iso27001_annex_a("5.17"), soc2_tsc("CC6.1")),
     ),
     Rule(
         id="databricks_pat_never_expires",

@@ -1,0 +1,337 @@
+"""AIBOM — AI bill-of-materials scan results: sources + typed AI
+components (agents, models, tools, memory, prompts, embeddings) with
+the usage graph between them. Feeds the nist_ai_rmf AIBOM rules.
+
+Re-expresses ``intel/aibom/transform.py``:
+
+* **source keys** (``_classify_source_key`` :21-36): digest-qualified
+  keys (``<uri>@sha256:<hex>``) anchor SCANNED_IMAGE to the canonical
+  ``Image`` by ``_ont_digest``; any other key is a code-repository URI
+  offered to GitHubRepository (DETECTED_IN) — only nodes that exist
+  get the edge;
+* **component ids** (``_build_component_id`` :67-96): the sha256 of
+  ``source_key|component_type|name|file_path|line_number``;
+  ``logical_id`` hashes only ``component_type|name`` so the same
+  logical component correlates across sources;
+* **category extra labels** (``models/aibom/component.py:290-299``
+  ``.when(category=...)``): agent→AIAgent, model→AIModel, tool→AITool,
+  memory→AIMemory, prompt→AIPrompt, embedding→AIEmbedding;
+* **relationships** (:317-338): typed usage edges between components
+  of one source, resolved by (component_type, name) within the batch
+  (the reference's lookup dict becomes ONE join);
+* sources carry the scanner/run metadata the coverage-gap rule reads
+  (image_matched, source_status, analysis_status, total_components);
+  tenant-scoped GC per label.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cartography_spark.providers.aws_ec2 import _edge, _node
+
+_CATEGORY_LABEL = {
+    "agent": "AIAgent", "model": "AIModel", "tool": "AITool",
+    "memory": "AIMemory", "prompt": "AIPrompt",
+    "embedding": "AIEmbedding",
+}
+_REL_TYPES = ("USES_MODEL", "USES_TOOL", "EXPOSES_TOOL", "USES_MEMORY",
+              "USES_PROMPT", "USES_EMBEDDING", "CUSTOM")
+
+AIBOM_SCHEMA = """
+    STRUCT<Sources: ARRAY<STRUCT<
+        source_key: STRING, image_uri: STRING,
+        scanner_name: STRING, scanner_version: STRING,
+        source_status: STRING, analysis_status: STRING,
+        report_location: STRING,
+        components: ARRAY<STRUCT<
+            component_type: STRING, name: STRING, instance_id: STRING,
+            file_path: STRING, line_number: INT, model_name: STRING,
+            framework: STRING, detection_source: STRING,
+            confidence: DOUBLE, description: STRING,
+            metadata: MAP<STRING, STRING>>>,
+        relationships: ARRAY<STRUCT<
+            type: STRING,
+            from_type: STRING, from_name: STRING,
+            to_type: STRING, to_name: STRING>>>>>
+"""
+
+
+def _component_id(source_key, ctype, name, file_path, line):
+    return F.sha2(F.concat_ws(
+        "|", source_key, ctype, F.coalesce(name, F.lit("")),
+        F.coalesce(file_path, F.lit("")),
+        F.coalesce(line.cast("string"), F.lit("")),
+    ), 256)
+
+
+def transform_aibom(
+    raw: DataFrame, tenant_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """``raw(payload_json)`` ({"Sources": [...]}) → (nodes, edges,
+    source-anchor frame ``(source_id, manifest_digest, repo_uri)``
+    for graph resolution at sync time)."""
+    src = raw.select(
+        F.explode(
+            F.from_json("payload_json", AIBOM_SCHEMA)["Sources"]
+        ).alias("s"),
+    ).filter(F.col("s.source_key").isNotNull()).withColumn(
+        "source_id", F.sha2(F.col("s.source_key"), 256)
+    ).withColumn(
+        # digest-qualified keys anchor images (:21-36)
+        "manifest_digest",
+        F.when(
+            F.col("s.source_key").rlike("@sha256:[0-9a-f]+$"),
+            F.regexp_extract("s.source_key", "@(sha256:[0-9a-f]+)$", 1),
+        ),
+    ).withColumn(
+        "repo_uri",
+        F.when(F.col("manifest_digest").isNull(), F.col("s.source_key")),
+    ).cache()
+    ten = F.lit(tenant_id)
+    sub = ("AIBOMTenant", ten)
+
+    comp = src.select(
+        "source_id", F.col("s.source_key").alias("source_key"),
+        F.explode(F.coalesce("s.components", F.array())).alias("c"),
+    ).withColumn(
+        "cid",
+        _component_id(F.col("source_key"), F.col("c.component_type"),
+                      F.col("c.name"), F.col("c.file_path"),
+                      F.col("c.line_number")),
+    ).withColumn(
+        "logical_id",
+        F.sha2(F.concat_ws("|", F.col("c.component_type"),
+                           F.coalesce(F.col("c.name"), F.lit(""))), 256),
+    ).cache()
+
+    src_nodes = _node(src, "AIBOMSource", F.col("source_id"), {
+        "source_key": F.col("s.source_key"),
+        "image_uri": F.col("s.image_uri"),
+        "manifest_digests": F.to_json(F.when(
+            F.col("manifest_digest").isNotNull(),
+            F.array(F.col("manifest_digest")),
+        ).otherwise(F.array().cast("array<string>"))),
+        "scanner_name": F.col("s.scanner_name"),
+        "scanner_version": F.col("s.scanner_version"),
+        "source_status": F.col("s.source_status"),
+        "analysis_status": F.col("s.analysis_status"),
+        "report_location": F.col("s.report_location"),
+        "total_components":
+            F.size(F.coalesce("s.components", F.array())),
+        # resolved at sync time against the Image graph
+        "image_matched": F.lit(False),
+    }, update_tag)
+
+    cat_map = F.create_map(*[
+        c for pair in _CATEGORY_LABEL.items() for c in
+        (F.lit(pair[0]), F.lit(pair[1]))
+    ])
+    cat_label = F.element_at(cat_map, F.col("c.component_type"))
+    label_when = F.when(cat_label.isNotNull(), F.array(cat_label))
+    comp_shaped = comp.select(
+        F.lit("AIBOMComponent").alias("label"),
+        F.col("cid").alias("id"),
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        label_when.alias("extra_labels"),
+        F.map_filter(F.map_from_arrays(
+            F.array(*[F.lit(k) for k in (
+                "logical_id", "name", "category", "component_type",
+                "instance_id", "file_path", "line_number", "model_name",
+                "framework", "detection_source", "confidence",
+                "description", "metadata_json", "source_key",
+            )]),
+            F.array(
+                F.col("logical_id"), F.col("c.name"),
+                F.col("c.component_type"), F.col("c.component_type"),
+                F.col("c.instance_id"), F.col("c.file_path"),
+                F.col("c.line_number").cast("string"),
+                F.col("c.model_name"), F.col("c.framework"),
+                F.col("c.detection_source"),
+                F.col("c.confidence").cast("string"),
+                F.col("c.description"),
+                F.to_json(F.col("c.metadata")), F.col("source_key"),
+            ),
+        ), lambda _k, v: v.isNotNull()).alias("props"),
+    )
+    nodes = src_nodes.unionByName(comp_shaped)
+
+    edges = (
+        _edge(src, "AIBOMTenant", ten, "RESOURCE", "AIBOMSource",
+              F.col("source_id"), update_tag, sub)
+        .unionByName(_edge(comp, "AIBOMTenant", ten, "RESOURCE",
+                           "AIBOMComponent", F.col("cid"),
+                           update_tag, sub))
+        .unionByName(_edge(comp, "AIBOMSource", F.col("source_id"),
+                           "HAS_COMPONENT", "AIBOMComponent",
+                           F.col("cid"), update_tag, sub))
+    )
+
+    # typed usage edges: (type,name) → component id within the source
+    rels = src.select(
+        "source_id", F.col("s.source_key").alias("source_key"),
+        F.explode(F.coalesce("s.relationships", F.array())).alias("r"),
+    ).filter(F.col("r.type").isin(*_REL_TYPES))
+    keys = comp.select(
+        "source_id",
+        F.col("c.component_type").alias("ctype"),
+        F.col("c.name").alias("cname"),
+        F.col("cid"),
+    )
+    resolved = rels.join(
+        keys.withColumnRenamed("cid", "from_cid"),
+        (rels["source_id"] == keys["source_id"])
+        & (rels["r.from_type"] == keys["ctype"])
+        & (rels["r.from_name"] == keys["cname"]),
+    ).drop(keys["source_id"]).drop("ctype", "cname")
+    keys2 = comp.select(
+        F.col("source_id").alias("sid2"),
+        F.col("c.component_type").alias("ctype2"),
+        F.col("c.name").alias("cname2"),
+        F.col("cid").alias("to_cid"),
+    )
+    resolved = resolved.join(
+        keys2,
+        (resolved["source_id"] == keys2["sid2"])
+        & (resolved["r.to_type"] == keys2["ctype2"])
+        & (resolved["r.to_name"] == keys2["cname2"]),
+    )
+    usage = resolved.select(
+        F.lit("AIBOMComponent").alias("src_label"),
+        F.col("from_cid").alias("src_id"),
+        F.col("r.type").alias("rel_label"),
+        F.lit("AIBOMComponent").alias("dst_label"),
+        F.col("to_cid").alias("dst_id"),
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit("AIBOMTenant").alias("sub_resource_label"),
+        ten.alias("sub_resource_id"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    ).dropDuplicates(
+        ["src_label", "src_id", "rel_label", "dst_label", "dst_id"]
+    )
+    edges = edges.unionByName(usage)
+
+    anchors = src.select("source_id", "manifest_digest", "repo_uri")
+    return nodes, edges, anchors
+
+
+def sync_aibom(
+    store, raw: DataFrame, tenant_id: str, update_tag: int
+) -> dict:
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    nodes, edges, anchors = transform_aibom(raw, tenant_id, update_tag)
+    tenant = store.spark.createDataFrame([(tenant_id,)], "tid string")
+    nodes = nodes.unionByName(
+        _node(tenant, "AIBOMTenant", F.col("tid"), {
+            "id": F.col("tid"),
+        }, update_tag))
+    metrics = {
+        "nodes": store.merge_nodes(nodes, update_tag),
+        "edges": store.merge_edges(edges, update_tag),
+    }
+
+    # SCANNED_IMAGE by _ont_digest (source.py:215-220); image_matched
+    # rides the same pass so the coverage-gap rule sees the truth
+    images = store.nodes().filter(
+        F.array_contains(F.coalesce("extra_labels", F.array()), "Image")
+        | F.array_contains(F.coalesce("extra_labels", F.array()),
+                           "ImageManifestList")
+    ).select(
+        F.col("label").alias("img_label"),
+        F.col("id").alias("img_id"),
+        F.coalesce(
+            F.element_at("props", "_ont_digest"),
+            F.element_at("props", "digest"),
+        ).alias("manifest_digest"),
+    ).filter(F.col("manifest_digest").isNotNull())
+    matched = anchors.filter(F.col("manifest_digest").isNotNull()).join(
+        F.broadcast(images), "manifest_digest"
+    )
+    metrics["scanned_image"] = store.merge_edges(
+        matched.select(
+            F.lit("AIBOMSource").alias("src_label"),
+            F.col("source_id").alias("src_id"),
+            F.lit("SCANNED_IMAGE").alias("rel_label"),
+            F.col("img_label").alias("dst_label"),
+            F.col("img_id").alias("dst_id"),
+            F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+            F.lit("AIBOMTenant").alias("sub_resource_label"),
+            F.lit(tenant_id).alias("sub_resource_id"),
+            F.lit(None).cast("map<string,string>").alias("props"),
+        ).dropDuplicates(
+            ["src_label", "src_id", "rel_label", "dst_label", "dst_id"]
+        ),
+        update_tag, rels=["SCANNED_IMAGE"],
+    )
+    store.merge_nodes(
+        matched.select(
+            F.lit("AIBOMSource").alias("label"),
+            F.col("source_id").alias("id"),
+            F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+            F.lit(None).cast("string").alias("content_sha256"),
+            F.lit(None).cast("array<string>").alias("extra_labels"),
+            F.map_from_arrays(F.array(F.lit("image_matched")),
+                              F.array(F.lit("true"))).alias("props"),
+        ).dropDuplicates(["label", "id"]),
+        update_tag, labels=["AIBOMSource"],
+    )
+
+    # DETECTED_IN for code-repository source keys (:29-34): only the
+    # repo nodes that exist get the edge
+    if "GitHubRepository" in store.manifest["nodes"]:
+        repos = store.nodes(["GitHubRepository"]).select(
+            F.col("id").alias("repo_uri"))
+        comp_repo = store.nodes(["AIBOMComponent"]).select(
+            F.col("id").alias("cid"),
+            F.element_at("props", "source_key").alias("repo_uri"),
+        ).join(F.broadcast(repos), "repo_uri")
+        metrics["detected_in"] = store.merge_edges(
+            comp_repo.select(
+                F.lit("AIBOMComponent").alias("src_label"),
+                F.col("cid").alias("src_id"),
+                F.lit("DETECTED_IN").alias("rel_label"),
+                F.lit("GitHubRepository").alias("dst_label"),
+                F.col("repo_uri").alias("dst_id"),
+                F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+                F.lit("AIBOMTenant").alias("sub_resource_label"),
+                F.lit(tenant_id).alias("sub_resource_id"),
+                F.lit(None).cast("map<string,string>").alias("props"),
+            ).dropDuplicates(
+                ["src_label", "src_id", "rel_label", "dst_label",
+                 "dst_id"]
+            ),
+            update_tag, rels=["DETECTED_IN"],
+        )
+
+    ten_rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label="AIBOMTenant",
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("TENANT_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    for label in ("AIBOMComponent", "AIBOMSource"):
+        if label not in store.manifest["nodes"]:
+            continue
+        metrics[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=ten_rel,
+            ),
+            update_tag,
+            {"TENANT_ID": tenant_id},
+        )
+    store.record_lineage("aibom_sync", {"update_tag": update_tag})
+    return metrics

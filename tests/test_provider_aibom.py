@@ -1,0 +1,223 @@
+"""AIBOM parity (``intel/aibom``) + the nist_ai_rmf AIBOM and
+API-key-hygiene rules."""
+
+import hashlib
+import json
+
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.aibom import sync_aibom
+from cartography_spark.providers.aws_ec2 import _node
+
+TAG = 123456789
+TENANT = "tenant-ai"
+DIGEST = "sha256:" + "d" * 64
+IMG_KEY = f"registry.example.com/ml/app@{DIGEST}"
+REPO_URL = "https://github.com/org/agent-repo"
+MISSING = "sha256:" + "e" * 64
+
+PAYLOAD = {"Sources": [
+    {"source_key": IMG_KEY, "image_uri": "registry.example.com/ml/app:1",
+     "scanner_name": "aibom", "scanner_version": "1.2",
+     "source_status": "completed", "analysis_status": "completed",
+     "components": [
+         {"component_type": "agent", "name": "support-agent",
+          "framework": "langchain", "file_path": "app/agent.py",
+          "line_number": 42, "confidence": 0.9},
+         {"component_type": "model", "name": "gpt-4o"},
+         {"component_type": "tool", "name": "web-search"},
+         {"component_type": "memory", "name": "redis-store"},
+     ],
+     "relationships": [
+         {"type": "USES_MODEL", "from_type": "agent",
+          "from_name": "support-agent", "to_type": "model",
+          "to_name": "gpt-4o"},
+         {"type": "USES_TOOL", "from_type": "agent",
+          "from_name": "support-agent", "to_type": "tool",
+          "to_name": "web-search"},
+         {"type": "USES_MEMORY", "from_type": "agent",
+          "from_name": "support-agent", "to_type": "memory",
+          "to_name": "redis-store"},
+     ]},
+    {"source_key": REPO_URL, "scanner_name": "aibom",
+     "source_status": "completed",
+     "components": [{"component_type": "prompt", "name": "sys-prompt",
+                     "file_path": "prompts/sys.txt"}],
+     "relationships": []},
+    # digest-keyed but no canonical image → coverage gap
+    {"source_key": f"registry.example.com/ml/ghost@{MISSING}",
+     "image_uri": "registry.example.com/ml/ghost:1",
+     "scanner_name": "aibom", "source_status": "failed",
+     "components": [], "relationships": []},
+]}
+
+
+def _sid(key):
+    return hashlib.sha256(key.encode()).hexdigest()
+
+
+def _raw(spark, payload=PAYLOAD):
+    return spark.createDataFrame(
+        [(json.dumps(payload),)], "payload_json string"
+    )
+
+
+def _seed(store, spark):
+    img = spark.createDataFrame([(DIGEST,)], "digest string")
+    store.merge_nodes(_node(img, "GitHubContainerImage", F.col("digest"), {
+        "digest": F.col("digest"), "_ont_digest": F.col("digest"),
+    }, TAG, extra=["Image"]), TAG)
+    repo = spark.createDataFrame([(REPO_URL,)], "url string")
+    store.merge_nodes(_node(repo, "GitHubRepository", F.col("url"), {
+        "url": F.col("url"),
+    }, TAG), TAG)
+
+
+def test_aibom_graph_and_rules(spark, tmp_store):
+    from cartography_spark.plans.rules import (
+        AIBOM_AGENT_INVENTORY,
+        AIBOM_COVERAGE_GAPS,
+        run_fact,
+    )
+
+    s = tmp_store
+    _seed(s, spark)
+    sync_aibom(s, _raw(spark), TENANT, TAG)
+
+    comps = {r["props"]["name"]: r
+             for r in s.nodes(["AIBOMComponent"]).collect()}
+    assert "AIAgent" in comps["support-agent"]["extra_labels"]
+    assert "AIModel" in comps["gpt-4o"]["extra_labels"]
+    assert "AIPrompt" in comps["sys-prompt"]["extra_labels"]
+    # logical ids correlate across sources: type|name only
+    assert comps["support-agent"]["props"]["logical_id"] == (
+        hashlib.sha256(b"agent|support-agent").hexdigest())
+
+    rels = {(r["src_id"], r["rel_label"], r["dst_id"])
+            for r in s.edges().collect()}
+    agent_id = comps["support-agent"]["id"]
+    assert (agent_id, "USES_MODEL", comps["gpt-4o"]["id"]) in rels
+    assert (agent_id, "USES_TOOL", comps["web-search"]["id"]) in rels
+    assert (_sid(IMG_KEY), "SCANNED_IMAGE", DIGEST) in rels
+    assert (comps["sys-prompt"]["id"], "DETECTED_IN", REPO_URL) in rels
+
+    inv = run_fact(s, AIBOM_AGENT_INVENTORY)
+    rows = {r["agent_name"]: r for r in inv["findings"].collect()}
+    assert set(rows) == {"support-agent"}
+    hit = rows["support-agent"]
+    assert hit["manifest_digest"] == DIGEST
+    assert json.loads(hit["model_names"]) == ["gpt-4o"]
+    assert json.loads(hit["tool_names"]) == ["web-search"]
+    assert json.loads(hit["memory_names"]) == ["redis-store"]
+    assert json.loads(hit["prompt_names"]) == []
+
+    gaps = run_fact(s, AIBOM_COVERAGE_GAPS)
+    reasons = {r["image_uri"]: r["gap_reason"]
+               for r in gaps["findings"].collect()}
+    # the ghost scan is both unmatched AND failed: unmatched wins the
+    # CASE order; the repo-keyed source is unmatched_image too (no
+    # image anchor by design)
+    assert reasons["registry.example.com/ml/ghost:1"] == "unmatched_image"
+    assert _sid(IMG_KEY) not in {
+        r["source_id"] for r in gaps["findings"].collect()}
+
+    # tenant-scoped GC
+    sync_aibom(s, _raw(spark, {"Sources": []}), TENANT, TAG + 1)
+    assert s.nodes(["AIBOMComponent"]).count() == 0
+    assert s.nodes(["AIBOMSource"]).count() == 0
+
+
+def test_ai_provider_key_hygiene(spark, tmp_store):
+    from cartography_spark.plans.rules import (
+        ANTHROPIC_UNOWNED_OR_UNSCOPED_KEYS,
+        OPENAI_STALE_OR_UNOWNED_KEYS,
+        run_fact,
+    )
+
+    s = tmp_store
+    now = 1_700_000_000
+    fresh = str(now - 5 * 86400)
+    stale = str(now - 120 * 86400)
+
+    def nodes(label, rows, extra=None):
+        df = spark.createDataFrame(
+            [(r["id"], {k: v for k, v in r.items() if k != "id"})
+             for r in rows], "id string, props map<string,string>",
+        ).select(
+            F.lit(label).alias("label"), "id",
+            F.lit(TAG).cast("long").alias("lastupdated"),
+            F.lit(None).cast("string").alias("content_sha256"),
+            (F.array(*[F.lit(x) for x in extra]) if extra
+             else F.lit(None).cast("array<string>")).alias("extra_labels"),
+            "props",
+        )
+        s.merge_nodes(df, TAG)
+
+    def edges(rows):
+        s.merge_edges(spark.createDataFrame(
+            rows, "src_label string, src_id string, rel_label string, "
+                  "dst_label string, dst_id string",
+        ).select(
+            "*", F.lit(TAG).cast("long").alias("lastupdated"),
+            F.lit(None).cast("string").alias("sub_resource_label"),
+            F.lit(None).cast("string").alias("sub_resource_id"),
+            F.lit(None).cast("map<string,string>").alias("props"),
+        ), TAG)
+
+    nodes("OpenAIOrganization", [{"id": "org-1"}])
+    nodes("OpenAIProject", [{"id": "proj-live", "status": "active"},
+                            {"id": "proj-dead", "status": "archived"}])
+    nodes("OpenAIUser", [{"id": "ou-1"}])
+    nodes("OpenAIApiKey", [
+        {"id": "key-fresh-owned", "name": "good", "last_used_at": fresh},
+        {"id": "key-stale", "name": "stale", "last_used_at": stale},
+        {"id": "key-unowned", "name": "unowned", "last_used_at": fresh},
+        {"id": "key-archived", "name": "dead", "last_used_at": stale},
+    ], extra=["APIKey"])
+    edges([
+        ("OpenAIOrganization", "org-1", "RESOURCE", "OpenAIProject",
+         "proj-live"),
+        ("OpenAIProject", "proj-live", "RESOURCE", "OpenAIApiKey",
+         "key-fresh-owned"),
+        ("OpenAIProject", "proj-live", "RESOURCE", "OpenAIApiKey",
+         "key-stale"),
+        ("OpenAIProject", "proj-live", "RESOURCE", "OpenAIApiKey",
+         "key-unowned"),
+        ("OpenAIProject", "proj-dead", "RESOURCE", "OpenAIApiKey",
+         "key-archived"),
+        ("OpenAIUser", "ou-1", "OWNS", "OpenAIApiKey",
+         "key-fresh-owned"),
+        ("OpenAIUser", "ou-1", "OWNS", "OpenAIApiKey", "key-stale"),
+    ])
+    res = run_fact(s, OPENAI_STALE_OR_UNOWNED_KEYS,
+                   {"NOW_EPOCH": str(now)})
+    rows = {r["api_key_id"]: r for r in res["findings"].collect()}
+    # fresh+owned passes; archived-project key excluded entirely
+    assert set(rows) == {"key-stale", "key-unowned"}
+    assert rows["key-stale"]["is_stale_or_unused"] is True
+    assert rows["key-unowned"]["has_owner"] is False
+    assert res["total"] == 3
+
+    nodes("AnthropicOrganization", [{"id": "aorg-1"}])
+    nodes("AnthropicWorkspace", [{"id": "ws-1"}])
+    nodes("AnthropicUser", [{"id": "au-1"}])
+    nodes("AnthropicApiKey", [
+        {"id": "ak-good", "name": "good", "status": "active"},
+        {"id": "ak-unscoped", "name": "floating", "status": "active"},
+        {"id": "ak-inactive", "name": "off", "status": "inactive"},
+    ])
+    edges([
+        ("AnthropicOrganization", "aorg-1", "RESOURCE",
+         "AnthropicApiKey", "ak-good"),
+        ("AnthropicOrganization", "aorg-1", "RESOURCE",
+         "AnthropicApiKey", "ak-unscoped"),
+        ("AnthropicOrganization", "aorg-1", "RESOURCE",
+         "AnthropicApiKey", "ak-inactive"),
+        ("AnthropicWorkspace", "ws-1", "CONTAINS", "AnthropicApiKey",
+         "ak-good"),
+        ("AnthropicUser", "au-1", "OWNS", "AnthropicApiKey", "ak-good"),
+    ])
+    res = run_fact(s, ANTHROPIC_UNOWNED_OR_UNSCOPED_KEYS)
+    rows = {r["api_key_id"] for r in res["findings"].collect()}
+    assert rows == {"ak-unscoped"}
+    assert res["total"] == 2

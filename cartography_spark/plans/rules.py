@@ -2348,6 +2348,475 @@ K8S_PODS_IN_DEFAULT_NAMESPACE = Fact(
     asset_id_field="pod_id",
 )
 
+# cis_4_0_gcp.py twins over the GCP families this engine carries
+# (VPC/firewall, instances + the CIS metadata surface, DNS zones,
+# Cloud SQL, buckets). BigQuery/KMS/flow-log facts need their
+# providers and stay absent — noted in the rule description.
+
+_GCP_NON_GKE_SQL = (
+    "i.props['instancename'] IS NOT NULL "
+    "AND i.props['instancename'] NOT LIKE 'gke-%'"
+)
+
+
+def _gcp_instance_fact(fact_id, name, description, where_sql,
+                       extra_cols_sql=""):
+    return Fact(
+        id=fact_id,
+        name=name,
+        description=description,
+        sql_query=f"""
+            SELECT i.props['instancename'] AS instance_name,
+                   i.id AS instance_id,
+                   r.src_id AS project_id{extra_cols_sql}
+            FROM nodes i
+            JOIN edges r ON r.rel_label = 'RESOURCE'
+               AND r.src_label = 'GCPProject' AND r.dst_id = i.id
+               AND r.dst_label = 'GCPInstance'
+            WHERE i.label = 'GCPInstance' AND {_GCP_NON_GKE_SQL}
+              AND ({where_sql})
+            ORDER BY instance_id
+        """,
+        count_sql=f"""
+            SELECT count(*) AS count FROM nodes i
+            WHERE i.label = 'GCPInstance' AND {_GCP_NON_GKE_SQL}
+        """,
+        identity_fields=("instance_id",),
+        asset_label="GCPInstance",
+        asset_id_field="instance_id",
+    )
+
+
+def _gcp_fw_port_fact(fact_id, name, description, port):
+    """unrestricted ssh/rdp shape (cis_4_0_gcp.py:127-323)."""
+    return Fact(
+        id=fact_id,
+        name=name,
+        description=description,
+        sql_query=f"""
+            SELECT DISTINCT fw.props['name'] AS firewall_name,
+                   fw.id AS firewall_id,
+                   pr.src_id AS project_id,
+                   rule.id AS firewall_rule_id,
+                   rule.props['fromport'] AS from_port,
+                   rule.props['toport'] AS to_port,
+                   rng.src_id AS source_range
+            FROM nodes fw
+            JOIN edges ab ON ab.rel_label = 'ALLOWED_BY'
+               AND ab.dst_id = fw.id
+            JOIN nodes rule ON rule.label = 'IpRule'
+               AND rule.id = ab.src_id
+            JOIN edges rng ON rng.rel_label = 'MEMBER_OF_IP_RULE'
+               AND rng.src_label = 'IpRange'
+               AND rng.src_id IN ('0.0.0.0/0', '::/0')
+               AND rng.dst_id = rule.id
+            JOIN edges pr ON pr.rel_label = 'RESOURCE'
+               AND pr.src_label = 'GCPProject' AND pr.dst_id = fw.id
+               AND pr.dst_label = 'GCPFirewall'
+            WHERE fw.label = 'GCPFirewall'
+              AND fw.props['direction'] = 'INGRESS'
+              AND coalesce(fw.props['disabled'], 'false') = 'false'
+              AND ((rule.props['protocol'] = 'tcp'
+                    AND CAST(rule.props['fromport'] AS INT) <= {port}
+                    AND CAST(rule.props['toport'] AS INT) >= {port})
+                   OR rule.props['protocol'] NOT IN ('tcp', 'udp'))
+            ORDER BY firewall_id, firewall_rule_id
+        """,
+        count_sql="""
+            SELECT count(*) AS count FROM nodes
+            WHERE label = 'GCPFirewall'
+        """,
+        identity_fields=("firewall_id", "firewall_rule_id"),
+        asset_label="GCPFirewall",
+        asset_id_field="firewall_id",
+    )
+
+
+def _gcp_dnssec_fact(fact_id, name, description, where_sql):
+    return Fact(
+        id=fact_id,
+        name=name,
+        description=description,
+        sql_query=f"""
+            SELECT z.id AS zone_id, z.props['name'] AS zone_name,
+                   r.src_id AS project_id,
+                   z.props['dns_name'] AS dns_name,
+                   z.props['dnssec_key_signing_algorithm']
+                       AS dnssec_key_signing_algorithm,
+                   z.props['dnssec_zone_signing_algorithm']
+                       AS dnssec_zone_signing_algorithm
+            FROM nodes z
+            JOIN edges r ON r.rel_label = 'RESOURCE'
+               AND r.src_label = 'GCPProject' AND r.dst_id = z.id
+               AND r.dst_label = 'GCPDNSZone'
+            WHERE z.label = 'GCPDNSZone'
+              AND coalesce(z.props['visibility'], 'public') = 'public'
+              AND ({where_sql})
+            ORDER BY zone_id
+        """,
+        count_sql="""
+            SELECT count(*) AS count FROM nodes
+            WHERE label = 'GCPDNSZone'
+        """,
+        identity_fields=("zone_id",),
+        asset_label="GCPDNSZone",
+        asset_id_field="zone_id",
+    )
+
+
+def _gcp_cloudsql_fact(fact_id, name, description, where_sql,
+                       extra_cols_sql=""):
+    return Fact(
+        id=fact_id,
+        name=name,
+        description=description,
+        sql_query=f"""
+            SELECT sql.id AS instance_id, sql.props['name']
+                       AS instance_name,
+                   r.src_id AS project_id{extra_cols_sql}
+            FROM nodes sql
+            JOIN edges r ON r.rel_label = 'RESOURCE'
+               AND r.src_label = 'GCPProject' AND r.dst_id = sql.id
+               AND r.dst_label = 'GCPCloudSQLInstance'
+            WHERE sql.label = 'GCPCloudSQLInstance' AND ({where_sql})
+            ORDER BY instance_id
+        """,
+        count_sql="""
+            SELECT count(*) AS count FROM nodes
+            WHERE label = 'GCPCloudSQLInstance'
+        """,
+        identity_fields=("instance_id",),
+        asset_label="GCPCloudSQLInstance",
+        asset_id_field="instance_id",
+    )
+
+
+GCP_CIS_FACTS = (
+    Fact(
+        id="gcp_default_network_exists",
+        name="Projects still carrying the default network",
+        description="cis_4_0_gcp.py:46-104 (CIS GCP 3.1).",
+        sql_query="""
+            SELECT vpc.props['name'] AS vpc_name, vpc.id AS vpc_id,
+                   r.src_id AS project_id
+            FROM nodes vpc
+            JOIN edges r ON r.rel_label = 'RESOURCE'
+               AND r.src_label = 'GCPProject' AND r.dst_id = vpc.id
+               AND r.dst_label = 'GCPVpc'
+            WHERE vpc.label = 'GCPVpc'
+              AND vpc.props['name'] = 'default'
+            ORDER BY vpc_id
+        """,
+        count_sql="SELECT count(*) AS count FROM nodes "
+                  "WHERE label = 'GCPVpc'",
+        identity_fields=("vpc_id",),
+        asset_label="GCPVpc",
+        asset_id_field="vpc_id",
+    ),
+    _gcp_fw_port_fact(
+        "gcp_unrestricted_ssh", "Firewalls open to the world on 22",
+        "cis_4_0_gcp.py:127-227 (CIS GCP 3.6).", 22),
+    _gcp_fw_port_fact(
+        "gcp_unrestricted_rdp", "Firewalls open to the world on 3389",
+        "cis_4_0_gcp.py:228-323 (CIS GCP 3.7).", 3389),
+    Fact(
+        id="gcp_instance_public_ip",
+        name="Instances with a public IP",
+        description="cis_4_0_gcp.py:324-402 (CIS GCP 4.9); terminated "
+        "instances release their ephemeral IPs and never flag.",
+        sql_query="""
+            SELECT i.props['instancename'] AS instance_name,
+                   i.id AS instance_id, r.src_id AS project_id,
+                   acc.props['nat_ip'] AS external_ip
+            FROM nodes i
+            JOIN edges ni ON ni.rel_label = 'NETWORK_INTERFACE'
+               AND ni.src_label = 'GCPInstance' AND ni.src_id = i.id
+            JOIN edges ac ON ac.rel_label = 'RESOURCE'
+               AND ac.src_label = 'GCPNetworkInterface'
+               AND ac.src_id = ni.dst_id
+               AND ac.dst_label = 'GCPNicAccessConfig'
+            JOIN nodes acc ON acc.label = 'GCPNicAccessConfig'
+               AND acc.id = ac.dst_id
+               AND acc.props['nat_ip'] IS NOT NULL
+            JOIN edges r ON r.rel_label = 'RESOURCE'
+               AND r.src_label = 'GCPProject' AND r.dst_id = i.id
+               AND r.dst_label = 'GCPInstance'
+            WHERE i.label = 'GCPInstance'
+              AND coalesce(i.props['status'], '') <> 'TERMINATED'
+            ORDER BY instance_id
+        """,
+        count_sql="SELECT count(*) AS count FROM nodes "
+                  "WHERE label = 'GCPInstance'",
+        identity_fields=("instance_id",),
+        asset_label="GCPInstance",
+        asset_id_field="instance_id",
+    ),
+    _gcp_instance_fact(
+        "gcp_instance_confidential_compute_disabled",
+        "Confidential-capable instances without confidential compute",
+        "cis_4_0_gcp.py:403-489 (CIS GCP 4.11): n2d/c2d machine types "
+        "only.",
+        "(i.props['machine_type'] LIKE 'n2d-%' "
+        " OR i.props['machine_type'] LIKE 'c2d-%') "
+        "AND coalesce(i.props['enable_confidential_compute'], 'false') "
+        "    = 'false'",
+        ", i.props['machine_type'] AS machine_type"),
+    _gcp_dnssec_fact(
+        "gcp_dnssec_disabled", "Public zones without DNSSEC",
+        "cis_4_0_gcp.py:491-558 (CIS GCP 3.3).",
+        "coalesce(z.props['dnssec_state'], 'off') <> 'on'"),
+    _gcp_dnssec_fact(
+        "gcp_dnssec_weak_ksk", "DNSSEC key-signing keys on RSASHA1",
+        "cis_4_0_gcp.py:560-625 (CIS GCP 3.4).",
+        "coalesce(z.props['dnssec_state'], 'off') = 'on' "
+        "AND z.props['dnssec_key_signing_algorithm'] = 'rsasha1'"),
+    _gcp_dnssec_fact(
+        "gcp_dnssec_weak_zsk", "DNSSEC zone-signing keys on RSASHA1",
+        "cis_4_0_gcp.py:627-697 (CIS GCP 3.5).",
+        "coalesce(z.props['dnssec_state'], 'off') = 'on' "
+        "AND z.props['dnssec_zone_signing_algorithm'] = 'rsasha1'"),
+    _gcp_cloudsql_fact(
+        "gcp_cloudsql_public_ip", "Cloud SQL instances with public IPs",
+        "cis_4_0_gcp.py:788-845 (CIS GCP 6.5): a PRIMARY entry in "
+        "ipAddresses.",
+        "sql.props['ip_addresses'] LIKE '%\"type\":\"PRIMARY\"%'",
+        ", sql.props['ip_addresses'] AS ip_addresses"),
+    _gcp_cloudsql_fact(
+        "gcp_cloudsql_backups_disabled",
+        "Cloud SQL instances without automated backups",
+        "cis_4_0_gcp.py:847-929 (CIS GCP 6.7).",
+        "coalesce(sql.props['backup_enabled'], 'false') = 'false'",
+        ", sql.props['database_version'] AS database_version"),
+    _gcp_cloudsql_fact(
+        "gcp_cloudsql_ssl_not_enforced",
+        "Cloud SQL instances accepting unencrypted connections",
+        "cis_4_0_gcp.py:1156-1217 (CIS GCP 6.4).",
+        "coalesce(sql.props['ssl_mode'], '') NOT IN "
+        "('ENCRYPTED_ONLY', 'TRUSTED_CLIENT_CERTIFICATE_REQUIRED')",
+        ", sql.props['ssl_mode'] AS ssl_mode"),
+    _gcp_cloudsql_fact(
+        "gcp_cloudsql_authorized_networks_open",
+        "Cloud SQL instances authorizing 0.0.0.0/0",
+        "cis_4_0_gcp.py:1219+ (CIS GCP 6.5).",
+        "coalesce(sql.props['authorized_networks'], '') "
+        "LIKE '%0.0.0.0/0%'",
+        ", sql.props['authorized_networks'] AS authorized_networks"),
+    Fact(
+        id="gcp_bucket_uniform_access_disabled",
+        name="Buckets without uniform bucket-level access",
+        description="cis_4_0_gcp.py:1609+ (CIS GCP 5.2).",
+        sql_query="""
+            SELECT b.id AS bucket_id, r.src_id AS project_id,
+                   b.props['location'] AS bucket_location,
+                   b.props['storage_class'] AS storage_class
+            FROM nodes b
+            JOIN edges r ON r.rel_label = 'RESOURCE'
+               AND r.src_label = 'GCPProject' AND r.dst_id = b.id
+               AND r.dst_label = 'GCPBucket'
+            WHERE b.label = 'GCPBucket'
+              AND coalesce(b.props['iam_config_bucket_policy_only'],
+                           'false') = 'false'
+            ORDER BY bucket_id
+        """,
+        count_sql="SELECT count(*) AS count FROM nodes "
+                  "WHERE label = 'GCPBucket'",
+        identity_fields=("bucket_id",),
+        asset_label="GCPBucket",
+        asset_id_field="bucket_id",
+    ),
+    _gcp_instance_fact(
+        "gcp_instance_default_service_account",
+        "Instances on the default compute service account",
+        "cis_4_0_gcp.py:1940-2004 (CIS GCP 4.1).",
+        "i.props['service_account_email'] LIKE "
+        "'%-compute@developer.gserviceaccount.com'",
+        ", i.props['service_account_email'] AS service_account_email"),
+    _gcp_instance_fact(
+        "gcp_instance_default_service_account_full_api",
+        "Default service account with cloud-platform scope",
+        "cis_4_0_gcp.py:2006-2075 (CIS GCP 4.2).",
+        "i.props['service_account_email'] LIKE "
+        "'%-compute@developer.gserviceaccount.com' "
+        "AND coalesce(i.props['service_account_scopes'], '') "
+        "    LIKE '%cloud-platform%'",
+        ", i.props['service_account_scopes'] AS service_account_scopes"),
+    _gcp_instance_fact(
+        "gcp_instance_project_wide_ssh_keys",
+        "Instances accepting project-wide SSH keys",
+        "cis_4_0_gcp.py:2077-2155 (CIS GCP 4.3); the project-level "
+        "OS Login fallback needs the compute-project metadata feed.",
+        "NOT lower(coalesce(i.props['enable_oslogin_metadata'], '')) "
+        "    = 'true' "
+        "AND NOT lower(coalesce(i.props['block_project_ssh_keys'], "
+        "    'false')) IN ('true', '1')",
+        ", i.props['block_project_ssh_keys'] AS block_project_ssh_keys"),
+    _gcp_instance_fact(
+        "gcp_instance_ip_forwarding", "Instances with IP forwarding",
+        "cis_4_0_gcp.py:2232-2300 (CIS GCP 4.6).",
+        "coalesce(i.props['can_ip_forward'], 'false') = 'true'"),
+    _gcp_instance_fact(
+        "gcp_instance_shielded_vm_disabled",
+        "Instances without full Shielded VM protections",
+        "cis_4_0_gcp.py:2302-2372 (CIS GCP 4.8).",
+        "coalesce(i.props['enable_vtpm'], 'false') = 'false' "
+        "OR coalesce(i.props['enable_integrity_monitoring'], 'false') "
+        "   = 'false'",
+        ", i.props['enable_vtpm'] AS enable_vtpm"
+        ", i.props['enable_integrity_monitoring']"
+        "  AS enable_integrity_monitoring"),
+    Fact(
+        id="gcp_instance_serial_port_enabled",
+        name="Instances with the serial console enabled",
+        description="cis_4_0_gcp.py:2374+ (CIS GCP 4.5).",
+        sql_query="""
+            SELECT i.props['instancename'] AS instance_name,
+                   i.id AS instance_id, r.src_id AS project_id,
+                   i.props['serial_port_enable'] AS serial_port_enable
+            FROM nodes i
+            JOIN edges r ON r.rel_label = 'RESOURCE'
+               AND r.src_label = 'GCPProject' AND r.dst_id = i.id
+               AND r.dst_label = 'GCPInstance'
+            WHERE i.label = 'GCPInstance'
+              AND lower(coalesce(i.props['serial_port_enable'], '0'))
+                  IN ('1', 'true')
+            ORDER BY instance_id
+        """,
+        count_sql="SELECT count(*) AS count FROM nodes "
+                  "WHERE label = 'GCPInstance'",
+        identity_fields=("instance_id",),
+        asset_label="GCPInstance",
+        asset_id_field="instance_id",
+    ),
+)
+
+GW_CIS_FACTS = (
+    Fact(
+        id="gw_user_2sv_not_enforced",
+        name="Workspace users without enforced 2-step verification",
+        description="cis_google_workspace.py:49-125.",
+        sql_query="""
+            SELECT u.id AS user_id,
+                   u.props['primary_email'] AS primary_email,
+                   u.props['is_admin'] AS is_admin,
+                   u.props['org_unit_path'] AS org_unit_path,
+                   u.props['is_enforced_in_2_sv'] AS is_enforced_in_2sv
+            FROM nodes u
+            WHERE u.label = 'GoogleWorkspaceUser'
+              AND coalesce(u.props['is_enforced_in_2_sv'], 'false')
+                  = 'false'
+            ORDER BY user_id
+        """,
+        count_sql="SELECT count(*) AS count FROM nodes "
+                  "WHERE label = 'GoogleWorkspaceUser'",
+        identity_fields=("user_id",),
+        asset_label="GoogleWorkspaceUser",
+        asset_id_field="user_id",
+    ),
+    Fact(
+        id="gw_admin_2sv_not_enforced",
+        name="Workspace admins without enforced 2-step verification",
+        description="cis_google_workspace.py:127-218.",
+        sql_query="""
+            SELECT u.id AS user_id,
+                   u.props['primary_email'] AS primary_email,
+                   u.props['is_admin'] AS is_admin,
+                   u.props['is_delegated_admin'] AS is_delegated_admin
+            FROM nodes u
+            WHERE u.label = 'GoogleWorkspaceUser'
+              AND (coalesce(u.props['is_admin'], 'false') = 'true'
+                   OR coalesce(u.props['is_delegated_admin'], 'false')
+                      = 'true')
+              AND coalesce(u.props['is_enforced_in_2_sv'], 'false')
+                  = 'false'
+            ORDER BY user_id
+        """,
+        count_sql="""
+            SELECT count(*) AS count FROM nodes
+            WHERE label = 'GoogleWorkspaceUser'
+              AND (coalesce(props['is_admin'], 'false') = 'true'
+                   OR coalesce(props['is_delegated_admin'], 'false')
+                      = 'true')
+        """,
+        identity_fields=("user_id",),
+        asset_label="GoogleWorkspaceUser",
+        asset_id_field="user_id",
+    ),
+    Fact(
+        id="gw_super_admin_count_too_low",
+        name="Tenants with at most one super admin",
+        description="cis_google_workspace.py:220-279.",
+        sql_query="""
+            SELECT t.id AS tenant_id,
+                   count(u.id) AS super_admin_count
+            FROM nodes t
+            LEFT JOIN edges r ON r.rel_label = 'RESOURCE'
+               AND r.src_id = t.id
+               AND r.dst_label = 'GoogleWorkspaceUser'
+            LEFT JOIN nodes u ON u.label = 'GoogleWorkspaceUser'
+               AND u.id = r.dst_id
+               AND coalesce(u.props['is_admin'], 'false') = 'true'
+            WHERE t.label = 'GoogleWorkspaceTenant'
+            GROUP BY t.id
+            HAVING count(u.id) <= 1
+            ORDER BY tenant_id
+        """,
+        count_sql="SELECT count(*) AS count FROM nodes "
+                  "WHERE label = 'GoogleWorkspaceTenant'",
+        identity_fields=("tenant_id",),
+        asset_label="GoogleWorkspaceTenant",
+        asset_id_field="tenant_id",
+    ),
+    Fact(
+        id="gw_super_admin_count_too_high",
+        name="Tenants with more than four super admins",
+        description="cis_google_workspace.py:281-351.",
+        sql_query="""
+            SELECT t.id AS tenant_id,
+                   count(u.id) AS super_admin_count
+            FROM nodes t
+            LEFT JOIN edges r ON r.rel_label = 'RESOURCE'
+               AND r.src_id = t.id
+               AND r.dst_label = 'GoogleWorkspaceUser'
+            LEFT JOIN nodes u ON u.label = 'GoogleWorkspaceUser'
+               AND u.id = r.dst_id
+               AND coalesce(u.props['is_admin'], 'false') = 'true'
+            WHERE t.label = 'GoogleWorkspaceTenant'
+            GROUP BY t.id
+            HAVING count(u.id) > 4
+            ORDER BY tenant_id
+        """,
+        count_sql="SELECT count(*) AS count FROM nodes "
+                  "WHERE label = 'GoogleWorkspaceTenant'",
+        identity_fields=("tenant_id",),
+        asset_label="GoogleWorkspaceTenant",
+        asset_id_field="tenant_id",
+    ),
+    Fact(
+        id="gw_super_admin_with_delegated_admin_role",
+        name="Super admins also holding delegated admin roles",
+        description="cis_google_workspace.py:353-400.",
+        sql_query="""
+            SELECT u.id AS user_id,
+                   u.props['primary_email'] AS primary_email,
+                   u.props['org_unit_path'] AS org_unit_path
+            FROM nodes u
+            WHERE u.label = 'GoogleWorkspaceUser'
+              AND coalesce(u.props['is_admin'], 'false') = 'true'
+              AND coalesce(u.props['is_delegated_admin'], 'false')
+                  = 'true'
+            ORDER BY user_id
+        """,
+        count_sql="""
+            SELECT count(*) AS count FROM nodes
+            WHERE label = 'GoogleWorkspaceUser'
+              AND coalesce(props['is_admin'], 'false') = 'true'
+        """,
+        identity_fields=("user_id",),
+        asset_label="GoogleWorkspaceUser",
+        asset_id_field="user_id",
+    ),
+)
+
 AIBOM_AGENT_INVENTORY = Fact(
     id="aibom_nist_ai_agent_inventory",
     name="Deployed AI agents and their dependencies",
@@ -3807,6 +4276,26 @@ ALL_RULES = ALL_RULES + (
         description="cis_kubernetes_workloads.py:813-830.",
         version="1.0.0",
         facts=(K8S_PODS_IN_DEFAULT_NAMESPACE,),
+    ),
+    Rule(
+        id="cis_4_0_gcp",
+        name="CIS GCP Foundations 4.0",
+        tags=("gcp", "cis", "benchmark"),
+        description="19 CIS GCP 4.0 controls over the VPC/firewall, "
+        "instance-metadata, DNS, Cloud SQL and bucket surfaces "
+        "(rules/data/rules/cis_4_0_gcp.py; the BigQuery/KMS/flow-log "
+        "controls need their providers).",
+        version="1.0.0",
+        facts=GCP_CIS_FACTS,
+    ),
+    Rule(
+        id="cis_google_workspace",
+        name="CIS Google Workspace",
+        tags=("googleworkspace", "cis", "identity"),
+        description="2SV enforcement and super-admin hygiene "
+        "(rules/data/rules/cis_google_workspace.py).",
+        version="1.0.0",
+        facts=GW_CIS_FACTS,
     ),
     Rule(
         id="aibom_agent_inventory",

@@ -123,11 +123,33 @@ def _emit_instances(e: _Emit, payload: dict) -> None:
         nic0 = nics[0] if nics else {}
         ac0 = (nic0.get("accessConfigs", []) or [{}])[0]
         mt = inst.get("machineType")
+        # CIS 4.0 surface: metadata items flatten to the keys the
+        # benchmark reads (cis_4_0_gcp.py instance facts)
+        meta = {
+            item.get("key"): item.get("value")
+            for item in (inst.get("metadata", {}) or {}).get("items", []) or []
+        }
+        shielded = inst.get("shieldedInstanceConfig", {}) or {}
+        confidential = inst.get("confidentialInstanceConfig", {}) or {}
+        sas = inst.get("serviceAccounts", []) or []
+        sa0 = sas[0] if sas else {}
         e.node("GCPInstance", pid, {
             "partial_uri": pid, "instancename": inst["name"], "zone_name": zone,
             "project_id": project, "hostname": inst.get("hostname"),
             "machine_type": mt.split("/")[-1] if mt else None,
             "status": inst.get("status"),
+            "can_ip_forward": inst.get("canIpForward"),
+            "enable_confidential_compute":
+                confidential.get("enableConfidentialCompute"),
+            "enable_vtpm": shielded.get("enableVtpm"),
+            "enable_integrity_monitoring":
+                shielded.get("enableIntegrityMonitoring"),
+            "serial_port_enable": meta.get("serial-port-enable"),
+            "enable_oslogin_metadata": meta.get("enable-oslogin"),
+            "block_project_ssh_keys": meta.get("block-project-ssh-keys"),
+            "service_account_email": sa0.get("email"),
+            "service_account_scopes": json.dumps(sa0.get("scopes"))
+            if sa0.get("scopes") is not None else None,
             "creation_timestamp": inst.get("creationTimestamp"),
             "private_ip": nic0.get("networkIP"), "public_ip": ac0.get("natIP"),
             "self_link": inst.get("selfLink"),

@@ -1,0 +1,231 @@
+"""cis_4_0_gcp + cis_google_workspace twins over the GCP compute
+metadata surface, DNS zones, Cloud SQL, buckets and Workspace users."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.aws_ec2 import _node
+from cartography_spark.providers.gcp_compute import transform_gcp
+
+TAG = 123456789
+PROJECT = "project-abc"
+ZPREFIX = f"projects/{PROJECT}/zones/z1/instances"
+
+INSTANCES = {"id": ZPREFIX, "items": [
+    {"name": "risky-vm", "status": "RUNNING",
+     "machineType": "zones/z1/machineTypes/n2d-standard-4",
+     "canIpForward": True,
+     "shieldedInstanceConfig": {"enableVtpm": True,
+                                "enableIntegrityMonitoring": False},
+     "confidentialInstanceConfig": {"enableConfidentialCompute": False},
+     "metadata": {"items": [
+         {"key": "serial-port-enable", "value": "1"},
+         {"key": "enable-oslogin", "value": "FALSE"},
+     ]},
+     "serviceAccounts": [
+         {"email": "1234-compute@developer.gserviceaccount.com",
+          "scopes": ["https://www.googleapis.com/auth/cloud-platform"]},
+     ],
+     "networkInterfaces": [
+         {"name": "nic0", "networkIP": "10.0.0.2",
+          "network": "projects/project-abc/global/networks/default",
+          "subnetwork": "projects/project-abc/regions/r/subnetworks/s",
+          "accessConfigs": [{"type": "ONE_TO_ONE_NAT",
+                             "natIP": "34.1.1.1"}]},
+     ]},
+    {"name": "gke-node-1", "status": "RUNNING",
+     "machineType": "zones/z1/machineTypes/n2d-standard-4",
+     "canIpForward": True,
+     "networkInterfaces": []},
+]}
+VPCS = {"id": f"projects/{PROJECT}/global/networks", "items": [
+    {"name": "default"}, {"name": "prod-net"},
+]}
+FIREWALLS = {"id": f"projects/{PROJECT}/global/firewalls", "items": [
+    {"name": "allow-ssh-world",
+     "network": "projects/project-abc/global/networks/default",
+     "direction": "INGRESS", "disabled": False,
+     "allowed": [{"IPProtocol": "tcp", "ports": ["22"]}],
+     "sourceRanges": ["0.0.0.0/0"]},
+    {"name": "allow-ssh-office",
+     "network": "projects/project-abc/global/networks/prod-net",
+     "direction": "INGRESS", "disabled": False,
+     "allowed": [{"IPProtocol": "tcp", "ports": ["22"]}],
+     "sourceRanges": ["203.0.113.0/24"]},
+]}
+
+
+def _seed_compute(spark, s):
+    raw = spark.createDataFrame(
+        [(PROJECT, "vpcs", json.dumps(VPCS)),
+         (PROJECT, "instances", json.dumps(INSTANCES)),
+         (PROJECT, "firewalls", json.dumps(FIREWALLS))],
+        "project_id string, dataset string, payload_json string",
+    )
+    nodes, edges = transform_gcp(raw, TAG)
+    s.merge_nodes(nodes, TAG)
+    s.merge_edges(edges, TAG)
+
+
+def test_cis_gcp_pack(spark, tmp_store):
+    from cartography_spark.plans.rules import GCP_CIS_FACTS, run_fact
+
+    s = tmp_store
+    _seed_compute(spark, s)
+    facts = {f.id: f for f in GCP_CIS_FACTS}
+    vm = f"{ZPREFIX}/risky-vm"
+
+    res = run_fact(s, facts["gcp_default_network_exists"])
+    assert {r["vpc_id"] for r in res["findings"].collect()} == {
+        f"projects/{PROJECT}/global/networks/default"}
+    assert res["total"] == 2
+
+    res = run_fact(s, facts["gcp_unrestricted_ssh"])
+    names = {r["firewall_name"] for r in res["findings"].collect()}
+    assert names == {"allow-ssh-world"}  # office CIDR never fires
+
+    res = run_fact(s, facts["gcp_instance_public_ip"])
+    rows = {r["instance_id"]: r["external_ip"]
+            for r in res["findings"].collect()}
+    assert rows == {vm: "34.1.1.1"}
+
+    # gke- instances are excluded from the metadata-surface facts
+    for fid, expect in (
+        ("gcp_instance_confidential_compute_disabled", {vm}),
+        ("gcp_instance_default_service_account", {vm}),
+        ("gcp_instance_default_service_account_full_api", {vm}),
+        ("gcp_instance_project_wide_ssh_keys", {vm}),
+        ("gcp_instance_ip_forwarding", {vm}),
+        ("gcp_instance_shielded_vm_disabled", {vm}),
+    ):
+        got = {r["instance_id"]
+               for r in run_fact(s, facts[fid])["findings"].collect()}
+        assert got == expect, fid
+    got = {r["instance_id"] for r in run_fact(
+        s, facts["gcp_instance_serial_port_enabled"])
+        ["findings"].collect()}
+    assert got == {vm}
+
+
+def test_cis_gcp_dns_sql_bucket(spark, tmp_store):
+    from cartography_spark.plans.rules import GCP_CIS_FACTS, run_fact
+    from cartography_spark.providers.gcp_cloud_sql import (
+        sync_gcp_cloud_sql,
+    )
+    from cartography_spark.providers.gcp_dns import sync_gcp_dns
+
+    s = tmp_store
+    facts = {f.id: f for f in GCP_CIS_FACTS}
+    sync_gcp_dns(s, spark.createDataFrame([(json.dumps({
+        "Zones": [
+            {"id": "zone-off", "name": "off", "visibility": "public",
+             "dnssecConfig": {"state": "off"}},
+            {"id": "zone-weak", "name": "weak", "visibility": "public",
+             "dnssecConfig": {"state": "on", "defaultKeySpecs": [
+                 {"keyType": "keySigning", "algorithm": "rsasha1"},
+                 {"keyType": "zoneSigning",
+                  "algorithm": "ecdsap256sha256"}]}},
+            {"id": "zone-private", "name": "priv",
+             "visibility": "private", "dnssecConfig": {"state": "off"}},
+        ], "RecordSets": [],
+    }),)], "payload_json string"), PROJECT, TAG)
+
+    assert {r["zone_id"] for r in run_fact(
+        s, facts["gcp_dnssec_disabled"])["findings"].collect()
+    } == {"zone-off"}
+    assert {r["zone_id"] for r in run_fact(
+        s, facts["gcp_dnssec_weak_ksk"])["findings"].collect()
+    } == {"zone-weak"}
+    assert run_fact(s, facts["gcp_dnssec_weak_zsk"])["failing"] == 0
+
+    sync_gcp_cloud_sql(s, spark.createDataFrame([(json.dumps({
+        "Instances": [{
+            "selfLink": "https://sql/inst/open-db", "name": "open-db",
+            "databaseVersion": "MYSQL_8_0",
+            "ipAddresses": [{"type": "PRIMARY", "ipAddress": "34.2.2.2"}],
+            "settings": {"ipConfiguration": {
+                "sslMode": "ALLOW_UNENCRYPTED_AND_ENCRYPTED",
+                "authorizedNetworks": [{"name": "any",
+                                        "value": "0.0.0.0/0"}],
+            }},
+        }],
+    }),)], "payload_json string"), PROJECT, TAG)
+    for fid in ("gcp_cloudsql_public_ip", "gcp_cloudsql_backups_disabled",
+                "gcp_cloudsql_ssl_not_enforced",
+                "gcp_cloudsql_authorized_networks_open"):
+        got = {r["instance_id"]
+               for r in run_fact(s, facts[fid])["findings"].collect()}
+        assert got == {"https://sql/inst/open-db"}, fid
+
+    buckets = spark.createDataFrame(
+        [("legacy-acl-bucket", "false"), ("uniform-bucket", "true")],
+        "bid string, uniform string",
+    )
+    s.merge_nodes(_node(buckets, "GCPBucket", F.col("bid"), {
+        "iam_config_bucket_policy_only": F.col("uniform"),
+    }, TAG), TAG)
+    s.merge_edges(spark.createDataFrame(
+        [("GCPProject", PROJECT, "RESOURCE", "GCPBucket", b)
+         for b in ("legacy-acl-bucket", "uniform-bucket")],
+        "src_label string, src_id string, rel_label string, "
+        "dst_label string, dst_id string",
+    ).select(
+        "*", F.lit(TAG).cast("long").alias("lastupdated"),
+        F.lit("GCPProject").alias("sub_resource_label"),
+        F.lit(PROJECT).alias("sub_resource_id"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    ), TAG)
+    got = {r["bucket_id"] for r in run_fact(
+        s, facts["gcp_bucket_uniform_access_disabled"])
+        ["findings"].collect()}
+    assert got == {"legacy-acl-bucket"}
+
+
+def test_cis_google_workspace(spark, tmp_store):
+    from cartography_spark.plans.rules import GW_CIS_FACTS, run_fact
+
+    s = tmp_store
+    facts = {f.id: f for f in GW_CIS_FACTS}
+    tenant = spark.createDataFrame([("customer-123",)], "id string")
+    s.merge_nodes(_node(tenant, "GoogleWorkspaceTenant", F.col("id"),
+                        {}, TAG), TAG)
+    users = spark.createDataFrame([
+        ("u-admin-no2sv", "root@x.io", "true", "true", "false"),
+        ("u-ok", "ok@x.io", "false", "false", "true"),
+        ("u-no2sv", "weak@x.io", "false", "false", "false"),
+    ], "id string, email string, admin string, delegated string, "
+       "enforced string")
+    s.merge_nodes(_node(users, "GoogleWorkspaceUser", F.col("id"), {
+        "primary_email": F.col("email"), "is_admin": F.col("admin"),
+        "is_delegated_admin": F.col("delegated"),
+        "is_enforced_in_2_sv": F.col("enforced"),
+    }, TAG, extra=["UserAccount"]), TAG)
+    s.merge_edges(spark.createDataFrame(
+        [("GoogleWorkspaceTenant", "customer-123", "RESOURCE",
+          "GoogleWorkspaceUser", u)
+         for u in ("u-admin-no2sv", "u-ok", "u-no2sv")],
+        "src_label string, src_id string, rel_label string, "
+        "dst_label string, dst_id string",
+    ).select(
+        "*", F.lit(TAG).cast("long").alias("lastupdated"),
+        F.lit("GoogleWorkspaceTenant").alias("sub_resource_label"),
+        F.lit("customer-123").alias("sub_resource_id"),
+        F.lit(None).cast("map<string,string>").alias("props"),
+    ), TAG)
+
+    assert {r["user_id"] for r in run_fact(
+        s, facts["gw_user_2sv_not_enforced"])["findings"].collect()
+    } == {"u-admin-no2sv", "u-no2sv"}
+    assert {r["user_id"] for r in run_fact(
+        s, facts["gw_admin_2sv_not_enforced"])["findings"].collect()
+    } == {"u-admin-no2sv"}
+    # exactly one super admin → too low fires, too high doesn't
+    low = run_fact(s, facts["gw_super_admin_count_too_low"])
+    assert [(r["tenant_id"], r["super_admin_count"])
+            for r in low["findings"].collect()] == [("customer-123", 1)]
+    assert run_fact(
+        s, facts["gw_super_admin_count_too_high"])["failing"] == 0
+    assert {r["user_id"] for r in run_fact(
+        s, facts["gw_super_admin_with_delegated_admin_role"])
+        ["findings"].collect()} == {"u-admin-no2sv"}

@@ -2665,6 +2665,36 @@ GCP_CIS_FACTS = (
         ", i.props['enable_integrity_monitoring']"
         "  AS enable_integrity_monitoring"),
     Fact(
+        id="gcp_kms_key_without_rotation_policy",
+        name="KMS encryption keys without a 90-day rotation policy",
+        description="cis_4_0_gcp.py:1728+ (CIS GCP 7.x): "
+        "ENCRYPT_DECRYPT keys with no rotationPeriod or one above "
+        "7776000s.",
+        sql_query="""
+            SELECT k.props['name'] AS key_name, k.id AS key_id,
+                   r.src_id AS project_id,
+                   k.props['key_ring_id'] AS key_ring_id,
+                   k.props['purpose'] AS purpose,
+                   k.props['rotation_period'] AS rotation_period
+            FROM nodes k
+            JOIN edges r ON r.rel_label = 'RESOURCE'
+               AND r.src_label = 'GCPProject' AND r.dst_id = k.id
+               AND r.dst_label = 'GCPCryptoKey'
+            WHERE k.label = 'GCPCryptoKey'
+              AND k.props['purpose'] = 'ENCRYPT_DECRYPT'
+              AND (k.props['rotation_period'] IS NULL
+                   OR k.props['rotation_period'] = ''
+                   OR CAST(replace(k.props['rotation_period'], 's', '')
+                           AS DOUBLE) > 7776000)
+            ORDER BY key_id
+        """,
+        count_sql="SELECT count(*) AS count FROM nodes "
+                  "WHERE label = 'GCPCryptoKey'",
+        identity_fields=("key_id",),
+        asset_label="GCPCryptoKey",
+        asset_id_field="key_id",
+    ),
+    Fact(
         id="gcp_instance_serial_port_enabled",
         name="Instances with the serial console enabled",
         description="cis_4_0_gcp.py:2374+ (CIS GCP 4.5).",

@@ -1,0 +1,202 @@
+"""GCP KMS (key rings + crypto keys) and Secret Manager (secrets +
+versions) — the data-at-rest key surface; crypto keys feed the CIS
+rotation control and extend the policy-bindings APPLIES_TO catalog.
+
+Re-expresses ``intel/gcp/kms.py`` and
+``intel/gcp/secretsmanager.py``:
+
+* **key rings** (``transform_key_rings`` :146-160): the API ``name``
+  is the id; location = 4th path segment;
+* **crypto keys** (``transform_crypto_keys`` :162-177): rotation
+  period / purpose / primary-version state; CONTAINS under the ring
+  parsed off the key path;
+* **secrets** (``transform_secrets`` :144-213): rotation flattening
+  (period seconds, next-rotation epoch), create/expire epochs,
+  replication type = automatic vs user_managed, labels/topics kept as
+  JSON;
+* **versions** (``transform_secret_versions`` :215-253): the secret
+  id is the first four path segments, VERSION_OF the secret;
+* cleanup: project-scoped GC per label (keys before rings, versions
+  before secrets — the reference's cleanup order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cartography_spark.providers.aws_ec2 import _edge, _node
+
+KMS_SCHEMA = """
+    STRUCT<
+        KeyRings: ARRAY<STRUCT<name: STRING>>,
+        CryptoKeys: ARRAY<STRUCT<
+            name: STRING, rotationPeriod: STRING, purpose: STRING,
+            primary: STRUCT<state: STRING>>>>
+"""
+SECRETS_SCHEMA = """
+    STRUCT<
+        Secrets: ARRAY<STRUCT<
+            name: STRING, createTime: STRING, expireTime: STRING,
+            etag: STRING,
+            rotation: STRUCT<rotationPeriod: STRING,
+                             nextRotationTime: STRING>,
+            replication: STRUCT<automatic: STRUCT<dummy: STRING>>,
+            labels: MAP<STRING, STRING>,
+            topics: ARRAY<STRUCT<name: STRING>>>>,
+        Versions: ARRAY<STRUCT<
+            name: STRING, state: STRING, createTime: STRING,
+            destroyTime: STRING>>>
+"""
+
+
+def _epoch(ts):
+    return F.unix_timestamp(F.to_timestamp(ts))
+
+
+def transform_gcp_kms(
+    raw: DataFrame, project_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    doc = raw.select(F.from_json("payload_json", KMS_SCHEMA).alias("d"))
+    proj = F.lit(project_id)
+    sub = ("GCPProject", proj)
+    rings = doc.select(F.explode("d.KeyRings").alias("r")).filter(
+        F.col("r.name").isNotNull())
+    ring_nodes = _node(rings, "GCPKeyRing", F.col("r.name"), {
+        "name": F.substring_index(F.col("r.name"), "/", -1),
+        "location": F.get(F.split("r.name", "/"), 3),
+        "project_id": proj,
+    }, update_tag)
+    keys = doc.select(F.explode("d.CryptoKeys").alias("k")).filter(
+        F.col("k.name").isNotNull()
+    ).withColumn(
+        # ring = everything before /cryptoKeys/ (:162-177)
+        "ring_id", F.substring_index(F.col("k.name"), "/cryptoKeys/", 1)
+    )
+    key_nodes = _node(keys, "GCPCryptoKey", F.col("k.name"), {
+        "name": F.substring_index(F.col("k.name"), "/", -1),
+        "rotation_period": F.col("k.rotationPeriod"),
+        "purpose": F.col("k.purpose"),
+        "state": F.col("k.primary.state"),
+        "key_ring_id": F.col("ring_id"),
+        "project_id": proj,
+    }, update_tag)
+    edges = (
+        _edge(rings, "GCPProject", proj, "RESOURCE", "GCPKeyRing",
+              F.col("r.name"), update_tag, sub)
+        .unionByName(_edge(keys, "GCPProject", proj, "RESOURCE",
+                           "GCPCryptoKey", F.col("k.name"),
+                           update_tag, sub))
+        .unionByName(_edge(keys, "GCPKeyRing", F.col("ring_id"),
+                           "CONTAINS", "GCPCryptoKey", F.col("k.name"),
+                           update_tag, sub))
+    )
+    return ring_nodes.unionByName(key_nodes), edges
+
+
+def transform_gcp_secrets(
+    raw: DataFrame, project_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    doc = raw.select(
+        F.from_json("payload_json", SECRETS_SCHEMA).alias("d"))
+    proj = F.lit(project_id)
+    sub = ("GCPProject", proj)
+    sec = doc.select(F.explode("d.Secrets").alias("s")).filter(
+        F.col("s.name").isNotNull())
+    rot = F.col("s.rotation")
+    sec_nodes = _node(sec, "GCPSecretManagerSecret", F.col("s.name"), {
+        "name": F.get(F.split("s.name", "/"), 3),
+        "project_id": F.get(F.split("s.name", "/"), 1),
+        "rotation_enabled": rot.isNotNull(),
+        "rotation_period": F.regexp_replace(
+            rot["rotationPeriod"], "s$", "").cast("bigint"),
+        "rotation_next_time": _epoch(rot["nextRotationTime"]),
+        "created_date": _epoch(F.col("s.createTime")),
+        "expire_time": _epoch(F.col("s.expireTime")),
+        "replication_type": F.when(
+            F.col("s.replication.automatic").isNotNull(),
+            F.lit("automatic")).otherwise(F.lit("user_managed")),
+        "etag": F.col("s.etag"),
+        "labels": F.to_json(F.col("s.labels")),
+        "topics": F.to_json(F.col("s.topics")),
+    }, update_tag)
+    ver = doc.select(
+        F.explode(F.coalesce("d.Versions", F.array())).alias("v")
+    ).filter(F.col("v.name").isNotNull()).withColumn(
+        "secret_id",
+        F.concat_ws("/", F.slice(F.split("v.name", "/"), 1, 4)),
+    )
+    ver_nodes = _node(ver, "GCPSecretManagerSecretVersion",
+                      F.col("v.name"), {
+        "version": F.get(F.split("v.name", "/"), 5),
+        "secret_id": F.col("secret_id"),
+        "state": F.col("v.state"),
+        "created_date": _epoch(F.col("v.createTime")),
+        "destroy_time": _epoch(F.col("v.destroyTime")),
+    }, update_tag)
+    edges = (
+        _edge(sec, "GCPProject", proj, "RESOURCE",
+              "GCPSecretManagerSecret", F.col("s.name"), update_tag, sub)
+        .unionByName(_edge(ver, "GCPProject", proj, "RESOURCE",
+                           "GCPSecretManagerSecretVersion",
+                           F.col("v.name"), update_tag, sub))
+        .unionByName(_edge(ver, "GCPSecretManagerSecretVersion",
+                           F.col("v.name"), "VERSION_OF",
+                           "GCPSecretManagerSecret", F.col("secret_id"),
+                           update_tag, sub))
+    )
+    return sec_nodes.unionByName(ver_nodes), edges
+
+
+def sync_gcp_kms_secrets(
+    store,
+    kms_raw: DataFrame | None,
+    secrets_raw: DataFrame | None,
+    project_id: str,
+    update_tag: int,
+) -> dict:
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    metrics: dict = {}
+    for key, raw, fn in (
+        ("kms", kms_raw, transform_gcp_kms),
+        ("secrets", secrets_raw, transform_gcp_secrets),
+    ):
+        if raw is None:
+            continue
+        nodes, edges = fn(raw, project_id, update_tag)
+        metrics[f"{key}_nodes"] = store.merge_nodes(nodes, update_tag)
+        metrics[f"{key}_edges"] = store.merge_edges(edges, update_tag)
+
+    proj_rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label="GCPProject",
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("PROJECT_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    for label in ("GCPCryptoKey", "GCPKeyRing",
+                  "GCPSecretManagerSecretVersion",
+                  "GCPSecretManagerSecret"):
+        if label not in store.manifest["nodes"]:
+            continue
+        metrics[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=proj_rel,
+            ),
+            update_tag,
+            {"PROJECT_ID": project_id},
+        )
+    store.record_lineage("gcp_kms_secrets_sync",
+                         {"update_tag": update_tag})
+    return metrics

@@ -163,6 +163,37 @@ def transform_gcp_policy_bindings(
         .when(
             F.col("resource").startswith("//storage.googleapis.com/buckets/"),
             F.regexp_extract("resource", r"buckets/([^/]+)", 1),
+        )
+        # KMS/Secret Manager full_path rules — nested types first
+        # (resource_catalog.py ordering: cryptoKeys over keyRings,
+        # versions over secrets)
+        .when(
+            F.col("resource").rlike(
+                r"^//cloudkms\.googleapis\.com/.*/cryptoKeys/"),
+            F.regexp_extract("resource",
+                             r"^//cloudkms\.googleapis\.com/"
+                             r"(.*?/cryptoKeys/[^/]+)", 1),
+        )
+        .when(
+            F.col("resource").rlike(
+                r"^//cloudkms\.googleapis\.com/.*/keyRings/"),
+            F.regexp_extract("resource",
+                             r"^//cloudkms\.googleapis\.com/"
+                             r"(.*?/keyRings/[^/]+)", 1),
+        )
+        .when(
+            F.col("resource").rlike(
+                r"^//secretmanager\.googleapis\.com/.*/versions/"),
+            F.regexp_extract("resource",
+                             r"^//secretmanager\.googleapis\.com/"
+                             r"(.*?/versions/[^/]+)", 1),
+        )
+        .when(
+            F.col("resource").rlike(
+                r"^//secretmanager\.googleapis\.com/.*/secrets/"),
+            F.regexp_extract("resource",
+                             r"^//secretmanager\.googleapis\.com/"
+                             r"(.*?/secrets/[^/]+)", 1),
         ),
     ).withColumn(
         "scope_label",
@@ -173,6 +204,26 @@ def transform_gcp_policy_bindings(
         .when(
             F.col("resource").startswith("//storage.googleapis.com/buckets/"),
             F.lit("GCPBucket"),
+        )
+        .when(
+            F.col("resource").rlike(
+                r"^//cloudkms\.googleapis\.com/.*/cryptoKeys/"),
+            F.lit("GCPCryptoKey"),
+        )
+        .when(
+            F.col("resource").rlike(
+                r"^//cloudkms\.googleapis\.com/.*/keyRings/"),
+            F.lit("GCPKeyRing"),
+        )
+        .when(
+            F.col("resource").rlike(
+                r"^//secretmanager\.googleapis\.com/.*/versions/"),
+            F.lit("GCPSecretManagerSecretVersion"),
+        )
+        .when(
+            F.col("resource").rlike(
+                r"^//secretmanager\.googleapis\.com/.*/secrets/"),
+            F.lit("GCPSecretManagerSecret"),
         ),
     ).withColumn(
         # inherited org/folder bindings belong to the org sub-resource

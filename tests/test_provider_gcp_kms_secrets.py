@@ -1,0 +1,116 @@
+"""GCP KMS + Secret Manager parity (``intel/gcp/{kms,
+secretsmanager}.py``), the KMS rotation control, and the extended
+policy-bindings catalog."""
+
+import json
+
+from pyspark.sql import functions as F  # noqa: F401
+
+from cartography_spark.providers.gcp_kms_secrets import (
+    sync_gcp_kms_secrets,
+)
+
+TAG = 123456789
+PROJECT = "project-abc"
+RING = f"projects/{PROJECT}/locations/global/keyRings/main-ring"
+KEY_STALE = f"{RING}/cryptoKeys/stale-key"
+KEY_FRESH = f"{RING}/cryptoKeys/fresh-key"
+KEY_SIGN = f"{RING}/cryptoKeys/signing-key"
+SECRET = f"projects/{PROJECT}/secrets/db-password"
+VERSION = f"{SECRET}/versions/3"
+
+KMS = {
+    "KeyRings": [{"name": RING}],
+    "CryptoKeys": [
+        {"name": KEY_STALE, "purpose": "ENCRYPT_DECRYPT",
+         "primary": {"state": "ENABLED"}},
+        {"name": KEY_FRESH, "purpose": "ENCRYPT_DECRYPT",
+         "rotationPeriod": "2592000s", "primary": {"state": "ENABLED"}},
+        {"name": KEY_SIGN, "purpose": "ASYMMETRIC_SIGN"},
+    ],
+}
+SECRETS = {
+    "Secrets": [{
+        "name": SECRET, "createTime": "2023-01-01T00:00:00Z",
+        "etag": "e1",
+        "rotation": {"rotationPeriod": "7776000s",
+                     "nextRotationTime": "2024-06-01T00:00:00Z"},
+        "replication": {"automatic": {}},
+        "labels": {"env": "prod"},
+    }],
+    "Versions": [{"name": VERSION, "state": "ENABLED",
+                  "createTime": "2024-01-01T00:00:00Z"}],
+}
+
+
+def _raw(spark, payload):
+    return spark.createDataFrame(
+        [(json.dumps(payload),)], "payload_json string"
+    )
+
+
+def test_kms_secrets_graph_and_rotation_fact(spark, tmp_store):
+    from cartography_spark.plans.rules import GCP_CIS_FACTS, run_fact
+
+    s = tmp_store
+    sync_gcp_kms_secrets(s, _raw(spark, KMS), _raw(spark, SECRETS),
+                         PROJECT, TAG)
+    rings = {r["id"]: r["props"] for r in s.nodes(["GCPKeyRing"]).collect()}
+    assert rings[RING]["name"] == "main-ring"
+    assert rings[RING]["location"] == "global"
+    keys = {r["id"]: r["props"]
+            for r in s.nodes(["GCPCryptoKey"]).collect()}
+    assert keys[KEY_FRESH]["rotation_period"] == "2592000s"
+    sec = {r["id"]: r["props"]
+           for r in s.nodes(["GCPSecretManagerSecret"]).collect()}
+    assert sec[SECRET]["rotation_period"] == "7776000"
+    assert sec[SECRET]["replication_type"] == "automatic"
+    assert sec[SECRET]["rotation_enabled"] == "true"
+    ver = {r["id"]: r["props"]
+           for r in s.nodes(["GCPSecretManagerSecretVersion"]).collect()}
+    assert ver[VERSION]["version"] == "3"
+    assert ver[VERSION]["secret_id"] == SECRET
+
+    rels = {(r["src_id"], r["rel_label"], r["dst_id"])
+            for r in s.edges().collect()}
+    assert (RING, "CONTAINS", KEY_STALE) in rels
+    assert (VERSION, "VERSION_OF", SECRET) in rels
+
+    fact = {f.id: f for f in GCP_CIS_FACTS}[
+        "gcp_kms_key_without_rotation_policy"]
+    got = {r["key_id"] for r in run_fact(s, fact)["findings"].collect()}
+    # stale: no period; fresh: 30d ok; signing key: wrong purpose
+    assert got == {KEY_STALE}
+
+    sync_gcp_kms_secrets(
+        s, _raw(spark, {"KeyRings": [], "CryptoKeys": []}),
+        _raw(spark, {"Secrets": [], "Versions": []}), PROJECT, TAG + 1)
+    for label in ("GCPKeyRing", "GCPCryptoKey", "GCPSecretManagerSecret",
+                  "GCPSecretManagerSecretVersion"):
+        assert s.nodes([label]).count() == 0, label
+
+
+def test_policy_binding_kms_secret_catalog(spark):
+    from cartography_spark.providers.gcp_policy_bindings import (
+        transform_gcp_policy_bindings,
+    )
+
+    payload = {"policy_results": [{"policies": [
+        {"attached_resource": f"//cloudkms.googleapis.com/{KEY_STALE}",
+         "policy": {"bindings": [
+             {"role": "roles/cloudkms.cryptoKeyDecrypter",
+              "members": ["user:alice@example.com"]}]}},
+        {"attached_resource":
+         f"//secretmanager.googleapis.com/{SECRET}",
+         "policy": {"bindings": [
+             {"role": "roles/secretmanager.secretAccessor",
+              "members": ["user:bob@example.com"]}]}},
+    ]}]}
+    raw = spark.createDataFrame(
+        [(json.dumps(payload),)], "payload_json string")
+    _, edges, _ = transform_gcp_policy_bindings(raw, PROJECT, TAG)
+    applies = {(r["dst_label"], r["dst_id"])
+               for r in edges.filter(
+                   F.col("rel_label") == "APPLIES_TO").collect()}
+    assert ("GCPCryptoKey", KEY_STALE) in applies
+    assert ("GCPSecretManagerSecret", SECRET) in applies

@@ -1,0 +1,314 @@
+"""Modal serverless platform: workspace, environments, apps,
+functions, sandboxes (+tunnels), images (+tags), secrets, users and
+API tokens — the identity/workload core of ``intel/modal``
+(``models/modal/*``).
+
+Re-expressed shapes:
+
+* **workspace** anchor; **environments** RESOURCE under it with the
+  concurrency/spend surface;
+* **apps** per environment; **functions** WORKLOAD_PARENT their app
+  (web endpoints carry web_url/is_web_endpoint — the exposure
+  surface); **sandboxes** WORKLOAD_PARENT + HAS_IMAGE, and
+  **tunnels** EXPOSES their sandbox with the
+  ``has_unencrypted_endpoint`` flag;
+* **images/tags**: tags IMAGE→image;
+* **secrets** with last_used_at + CREATED_BY;
+* **users** MEMBER_OF the workspace (the reference's membership rel
+  props ride the edge); **API tokens** OWNED_BY service users;
+* cleanup: workspace-scoped GC for workspace-anchored labels,
+  environment-scoped sweeps ride the same pass via the workspace
+  chain (every environment entity carries an env RESOURCE edge).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cartography_spark.providers.aws_ec2 import _edge, _node
+
+MODAL_SCHEMA = """
+    STRUCT<
+        Environments: ARRAY<STRUCT<
+            id: STRING, name: STRING, created_at: STRING,
+            is_default: BOOLEAN, environment_type: STRING,
+            max_concurrent_tasks: BIGINT, max_concurrent_gpus: BIGINT,
+            spend_limit_reached: BOOLEAN>>,
+        Apps: ARRAY<STRUCT<
+            id: STRING, name: STRING, description: STRING,
+            state: STRING, created_at: STRING, stopped_at: STRING,
+            n_running_tasks: BIGINT, environment_name: STRING>>,
+        Functions: ARRAY<STRUCT<
+            id: STRING, name: STRING, app_id: STRING, web_url: STRING,
+            is_web_endpoint: BOOLEAN, function_type: STRING,
+            environment_name: STRING>>,
+        Sandboxes: ARRAY<STRUCT<
+            id: STRING, name: STRING, app_id: STRING, state: STRING,
+            created_at: STRING, image_id: STRING, gpu_type: STRING,
+            environment_name: STRING>>,
+        SandboxTunnels: ARRAY<STRUCT<
+            id: STRING, sandbox_id: STRING, host: STRING, port: INT,
+            unencrypted_host: STRING, unencrypted_port: INT,
+            container_port: INT, environment_name: STRING>>,
+        Images: ARRAY<STRUCT<id: STRING, created_at: STRING,
+                             environment_name: STRING>>,
+        ImageTags: ARRAY<STRUCT<id: STRING, tag: STRING,
+                                image_id: STRING,
+                                environment_name: STRING>>,
+        Secrets: ARRAY<STRUCT<
+            id: STRING, name: STRING, created_at: STRING,
+            last_used_at: STRING, created_by: STRING,
+            environment_name: STRING>>,
+        Users: ARRAY<STRUCT<
+            id: STRING, email: STRING, display_name: STRING,
+            member_role: STRING, joined_at: STRING,
+            last_active_at: STRING>>,
+        ServiceUsers: ARRAY<STRUCT<id: STRING, name: STRING,
+                                   created_at: STRING,
+                                   created_by: STRING>>,
+        ApiTokens: ARRAY<STRUCT<
+            id: STRING, token_id: STRING, name: STRING,
+            created_at: STRING, last_used_at: STRING,
+            owner_service_user_id: STRING>>>
+"""
+
+WORKSPACE_LABELS = (
+    "ModalEnvironment", "ModalApp", "ModalFunction", "ModalSandbox",
+    "ModalSandboxTunnel", "ModalImage", "ModalImageTag", "ModalSecret",
+    "ModalUser", "ModalServiceUser", "ModalApiToken",
+)
+
+
+def transform_modal(
+    raw: DataFrame, workspace: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    doc = raw.select(F.from_json("payload_json", MODAL_SCHEMA).alias("d"))
+    ws = F.lit(workspace)
+    sub = ("ModalWorkspace", ws)
+    node_frames, edge_frames = [], []
+
+    envs = doc.select(F.explode(F.coalesce("d.Environments", F.array()))
+                      .alias("e"))
+    node_frames.append(_node(envs, "ModalEnvironment", F.col("e.id"), {
+        "name": F.col("e.name"),
+        "created_at": F.col("e.created_at"),
+        "is_default": F.col("e.is_default"),
+        "environment_type": F.col("e.environment_type"),
+        "max_concurrent_tasks": F.col("e.max_concurrent_tasks"),
+        "max_concurrent_gpus": F.col("e.max_concurrent_gpus"),
+        "spend_limit_reached": F.col("e.spend_limit_reached"),
+    }, update_tag))
+    edge_frames.append(_edge(envs, "ModalWorkspace", ws, "RESOURCE",
+                             "ModalEnvironment", F.col("e.id"),
+                             update_tag, sub))
+    env_by_name = envs.select(
+        F.col("e.name").alias("environment_name"),
+        F.col("e.id").alias("env_id"),
+    ).dropDuplicates(["environment_name"])
+
+    def env_family(arr_col, label, props, workload_parent=False):
+        frame = doc.select(
+            F.explode(F.coalesce(arr_col, F.array())).alias("x")
+        ).join(
+            F.broadcast(env_by_name),
+            F.col("x.environment_name") == F.col("environment_name"),
+            "left",
+        )
+        node_frames.append(_node(frame, label, F.col("x.id"),
+                                 props(frame), update_tag))
+        edge_frames.append(_edge(
+            frame.filter(F.col("env_id").isNotNull()),
+            "ModalEnvironment", F.col("env_id"), "RESOURCE", label,
+            F.col("x.id"), update_tag, sub))
+        if workload_parent:
+            edge_frames.append(_edge(
+                frame.filter(F.col("x.app_id").isNotNull()),
+                label, F.col("x.id"), "WORKLOAD_PARENT", "ModalApp",
+                F.col("x.app_id"), update_tag, sub))
+        return frame
+
+    env_family("d.Apps", "ModalApp", lambda f: {
+        "name": F.col("x.name"), "description": F.col("x.description"),
+        "state": F.col("x.state"), "created_at": F.col("x.created_at"),
+        "stopped_at": F.col("x.stopped_at"),
+        "n_running_tasks": F.col("x.n_running_tasks"),
+        "environment_name": F.col("x.environment_name"),
+    })
+    env_family("d.Functions", "ModalFunction", lambda f: {
+        "name": F.col("x.name"), "app_id": F.col("x.app_id"),
+        "web_url": F.col("x.web_url"),
+        "is_web_endpoint": F.col("x.is_web_endpoint"),
+        "function_type": F.col("x.function_type"),
+        "environment_name": F.col("x.environment_name"),
+    }, workload_parent=True)
+    sandboxes = env_family("d.Sandboxes", "ModalSandbox", lambda f: {
+        "name": F.col("x.name"), "app_id": F.col("x.app_id"),
+        "state": F.col("x.state"), "created_at": F.col("x.created_at"),
+        "image_id": F.col("x.image_id"),
+        "gpu_type": F.col("x.gpu_type"),
+        "environment_name": F.col("x.environment_name"),
+    }, workload_parent=True)
+    edge_frames.append(_edge(
+        sandboxes.filter(F.col("x.image_id").isNotNull()),
+        "ModalSandbox", F.col("x.id"), "HAS_IMAGE", "ModalImage",
+        F.col("x.image_id"), update_tag, sub))
+    tunnels = env_family("d.SandboxTunnels", "ModalSandboxTunnel",
+                         lambda f: {
+        "sandbox_id": F.col("x.sandbox_id"), "host": F.col("x.host"),
+        "port": F.col("x.port"),
+        "unencrypted_host": F.col("x.unencrypted_host"),
+        "unencrypted_port": F.col("x.unencrypted_port"),
+        "has_unencrypted_endpoint":
+            F.col("x.unencrypted_host").isNotNull(),
+        "container_port": F.col("x.container_port"),
+        "environment_name": F.col("x.environment_name"),
+    })
+    edge_frames.append(_edge(
+        tunnels.filter(F.col("x.sandbox_id").isNotNull()),
+        "ModalSandboxTunnel", F.col("x.id"), "EXPOSES", "ModalSandbox",
+        F.col("x.sandbox_id"), update_tag, sub))
+    env_family("d.Images", "ModalImage", lambda f: {
+        "created_at": F.col("x.created_at"),
+        "environment_name": F.col("x.environment_name"),
+    })
+    tags = env_family("d.ImageTags", "ModalImageTag", lambda f: {
+        "tag": F.col("x.tag"), "image_id": F.col("x.image_id"),
+        "environment_name": F.col("x.environment_name"),
+    })
+    edge_frames.append(_edge(
+        tags.filter(F.col("x.image_id").isNotNull()),
+        "ModalImageTag", F.col("x.id"), "IMAGE", "ModalImage",
+        F.col("x.image_id"), update_tag, sub))
+    secrets = env_family("d.Secrets", "ModalSecret", lambda f: {
+        "name": F.col("x.name"), "created_at": F.col("x.created_at"),
+        "last_used_at": F.col("x.last_used_at"),
+        "created_by": F.col("x.created_by"),
+        "environment_name": F.col("x.environment_name"),
+    })
+    edge_frames.append(_edge(
+        secrets.filter(F.col("x.created_by").isNotNull()),
+        "ModalSecret", F.col("x.id"), "CREATED_BY", "ModalUser",
+        F.col("x.created_by"), update_tag, sub))
+
+    users = doc.select(F.explode(F.coalesce("d.Users", F.array()))
+                       .alias("u"))
+    node_frames.append(_node(users, "ModalUser", F.col("u.id"), {
+        "email": F.col("u.email"),
+        "display_name": F.col("u.display_name"),
+        "member_role": F.col("u.member_role"),
+        "joined_at": F.col("u.joined_at"),
+        "last_active_at": F.col("u.last_active_at"),
+        "_ont_email": F.col("u.email"),
+        "_ont_source": F.lit("modal"),
+    }, update_tag, extra=["UserAccount"]))
+    edge_frames.append(_edge(users, "ModalUser", F.col("u.id"),
+                             "MEMBER_OF", "ModalWorkspace", ws,
+                             update_tag, sub))
+    # membership GC needs a workspace anchor on the user too
+    edge_frames.append(_edge(users, "ModalWorkspace", ws, "RESOURCE",
+                             "ModalUser", F.col("u.id"), update_tag, sub))
+
+    sus = doc.select(F.explode(F.coalesce("d.ServiceUsers", F.array()))
+                     .alias("s"))
+    node_frames.append(_node(sus, "ModalServiceUser", F.col("s.id"), {
+        "name": F.col("s.name"), "created_at": F.col("s.created_at"),
+        "created_by": F.col("s.created_by"),
+    }, update_tag))
+    edge_frames.append(_edge(sus, "ModalWorkspace", ws, "RESOURCE",
+                             "ModalServiceUser", F.col("s.id"),
+                             update_tag, sub))
+    toks = doc.select(F.explode(F.coalesce("d.ApiTokens", F.array()))
+                      .alias("t"))
+    node_frames.append(_node(toks, "ModalApiToken", F.col("t.id"), {
+        "token_id": F.col("t.token_id"), "name": F.col("t.name"),
+        "created_at": F.col("t.created_at"),
+        "last_used_at": F.col("t.last_used_at"),
+    }, update_tag))
+    edge_frames.append(_edge(toks, "ModalWorkspace", ws, "RESOURCE",
+                             "ModalApiToken", F.col("t.id"),
+                             update_tag, sub))
+    edge_frames.append(_edge(
+        toks.filter(F.col("t.owner_service_user_id").isNotNull()),
+        "ModalApiToken", F.col("t.id"), "OWNED_BY", "ModalServiceUser",
+        F.col("t.owner_service_user_id"), update_tag, sub))
+
+    nodes = node_frames[0]
+    for nf in node_frames[1:]:
+        nodes = nodes.unionByName(nf)
+    edges = edge_frames[0]
+    for ef in edge_frames[1:]:
+        edges = edges.unionByName(ef)
+    return nodes, edges
+
+
+def sync_modal(
+    store, raw: DataFrame, workspace: str, update_tag: int
+) -> dict:
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    nodes, edges = transform_modal(raw, workspace, update_tag)
+    ws_df = store.spark.createDataFrame([(workspace,)], "wid string")
+    nodes = nodes.unionByName(
+        _node(ws_df, "ModalWorkspace", F.col("wid"), {
+            "name": F.col("wid"),
+        }, update_tag))
+    metrics = {
+        "nodes": store.merge_nodes(nodes, update_tag),
+        "edges": store.merge_edges(edges, update_tag),
+    }
+    ws_rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label="ModalWorkspace",
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("WORKSPACE", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    # environment entities GC through THIS workspace's environments —
+    # one set-based semi-join chain, never a cross-workspace sweep.
+    # These run BEFORE the workspace-scoped cleanups: the environment
+    # cleanup sweeps the stale env→entity RESOURCE edges this chain
+    # still needs to read.
+    ws_envs = store.edges(["RESOURCE"]).filter(
+        (F.col("src_label") == "ModalWorkspace")
+        & (F.col("src_id") == workspace)
+        & (F.col("dst_label") == "ModalEnvironment")
+    ).select(F.col("dst_id").alias("env_id"))
+    for label in WORKSPACE_LABELS:
+        if label not in store.manifest["nodes"] or label in (
+            "ModalEnvironment", "ModalUser", "ModalServiceUser",
+            "ModalApiToken",
+        ):
+            continue
+        scoped = store.edges(["RESOURCE"]).filter(
+            (F.col("src_label") == "ModalEnvironment")
+            & (F.col("dst_label") == label)
+        ).join(ws_envs, F.col("src_id") == F.col("env_id"),
+               "left_semi").select(F.col("dst_id").alias("id"))
+        stale = store.nodes([label]).filter(
+            F.col("lastupdated") != int(update_tag)
+        ).join(scoped, "id", "left_semi").select("label", "id")
+        metrics[f"gc_{label}"] = store.delete_nodes(stale, detach=True)
+    for label in ("ModalEnvironment", "ModalUser", "ModalServiceUser",
+                  "ModalApiToken"):
+        if label not in store.manifest["nodes"]:
+            continue
+        metrics[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=ws_rel,
+            ),
+            update_tag,
+            {"WORKSPACE": workspace},
+        )
+    store.record_lineage("modal_sync", {"update_tag": update_tag})
+    return metrics

@@ -1,0 +1,100 @@
+"""Modal parity (``intel/modal``, ``models/modal/*``): the
+workspace/environment/app workload core."""
+
+import json
+
+from pyspark.sql import functions as F  # noqa: F401
+
+from cartography_spark.providers.modal import sync_modal
+
+TAG = 123456789
+WS = "acme-ws"
+
+PAYLOAD = {
+    "Environments": [
+        {"id": "en-1", "name": "main", "is_default": True,
+         "environment_type": "ENVIRONMENT_TYPE_MANAGED",
+         "max_concurrent_tasks": 100, "spend_limit_reached": False},
+    ],
+    "Apps": [
+        {"id": "ap-1", "name": "inference", "state": "DEPLOYED",
+         "n_running_tasks": 3, "environment_name": "main"},
+    ],
+    "Functions": [
+        {"id": "fu-1", "name": "predict", "app_id": "ap-1",
+         "web_url": "https://acme--predict.modal.run",
+         "is_web_endpoint": True, "function_type": "FUNCTION",
+         "environment_name": "main"},
+    ],
+    "Sandboxes": [
+        {"id": "sb-1", "name": "dev-box", "app_id": "ap-1",
+         "state": "RUNNING", "image_id": "im-1", "gpu_type": "A10G",
+         "environment_name": "main"},
+    ],
+    "SandboxTunnels": [
+        {"id": "tn-1", "sandbox_id": "sb-1", "host": "t.modal.host",
+         "port": 443, "unencrypted_host": "t-raw.modal.host",
+         "unencrypted_port": 8080, "container_port": 8080,
+         "environment_name": "main"},
+    ],
+    "Images": [{"id": "im-1", "environment_name": "main"}],
+    "ImageTags": [{"id": "it-1", "tag": "latest", "image_id": "im-1",
+                   "environment_name": "main"}],
+    "Secrets": [{"id": "st-1", "name": "hf-token",
+                 "last_used_at": "2024-06-01T00:00:00Z",
+                 "created_by": "us-1", "environment_name": "main"}],
+    "Users": [{"id": "us-1", "email": "alice@example.com",
+               "display_name": "Alice", "member_role": "admin"}],
+    "ServiceUsers": [{"id": "su-1", "name": "ci-bot",
+                      "created_by": "us-1"}],
+    "ApiTokens": [{"id": "tk-1", "token_id": "ak-xyz", "name": "ci",
+                   "owner_service_user_id": "su-1"}],
+}
+
+
+def _raw(spark, payload=PAYLOAD):
+    return spark.createDataFrame(
+        [(json.dumps(payload),)], "payload_json string"
+    )
+
+
+def test_modal_graph_and_gc(spark, tmp_store):
+    s = tmp_store
+    sync_modal(s, _raw(spark), WS, TAG)
+
+    envs = {r["id"]: r["props"]
+            for r in s.nodes(["ModalEnvironment"]).collect()}
+    assert envs["en-1"]["is_default"] == "true"
+    fns = {r["id"]: r["props"]
+           for r in s.nodes(["ModalFunction"]).collect()}
+    assert fns["fu-1"]["is_web_endpoint"] == "true"
+    tns = {r["id"]: r["props"]
+           for r in s.nodes(["ModalSandboxTunnel"]).collect()}
+    assert tns["tn-1"]["has_unencrypted_endpoint"] == "true"
+    users = {r["id"]: r for r in s.nodes(["ModalUser"]).collect()}
+    assert "UserAccount" in users["us-1"]["extra_labels"]
+    assert users["us-1"]["props"]["_ont_email"] == "alice@example.com"
+
+    rels = {(r["src_id"], r["rel_label"], r["dst_id"])
+            for r in s.edges().collect()}
+    assert (WS, "RESOURCE", "en-1") in rels
+    assert ("en-1", "RESOURCE", "ap-1") in rels
+    assert ("fu-1", "WORKLOAD_PARENT", "ap-1") in rels
+    assert ("sb-1", "WORKLOAD_PARENT", "ap-1") in rels
+    assert ("sb-1", "HAS_IMAGE", "im-1") in rels
+    assert ("tn-1", "EXPOSES", "sb-1") in rels
+    assert ("it-1", "IMAGE", "im-1") in rels
+    assert ("st-1", "CREATED_BY", "us-1") in rels
+    assert ("us-1", "MEMBER_OF", WS) in rels
+    assert ("tk-1", "OWNED_BY", "su-1") in rels
+
+    # dropping everything but the environment sweeps env entities
+    sync_modal(s, _raw(spark, {
+        "Environments": PAYLOAD["Environments"],
+    }), WS, TAG + 1)
+    for label in ("ModalApp", "ModalFunction", "ModalSandbox",
+                  "ModalSandboxTunnel", "ModalImage", "ModalImageTag",
+                  "ModalSecret", "ModalUser", "ModalServiceUser",
+                  "ModalApiToken"):
+        assert s.nodes([label]).count() == 0, label
+    assert s.nodes(["ModalEnvironment"]).count() == 1

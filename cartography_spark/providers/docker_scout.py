@@ -1,0 +1,331 @@
+"""Docker Scout base-image recommendations — free-text CLI reports
+parsed in ONE Arrow pass into the public-image / tag / BUILT_ON graph.
+
+Re-expresses ``intel/docker_scout``:
+
+* **report grammar** (``recommendation_parser.py``): the Target/digest
+  box, the ``Base image is <ref>`` line, the "Recommended fixes"
+  detail table, the supported-tags backtick list, and the
+  Refresh/Change recommendation blocks with per-severity
+  vulnerability deltas (``fix`` = positive C/H/M/L reductions);
+* **nodes** (``scanner.py:88-182``): DockerScoutPublicImage keyed
+  ``name:tag``; DockerScoutPublicImageTag rows for the base tag
+  (BUILT_FROM) and every recommended tag (SHOULD_UPDATE_TO), with the
+  canonical-row merge when a tag appears in both sections;
+* **BUILT_ON** (``scanner.py:230-270``): ontology Image nodes whose
+  normalized ``_ont_digest`` starts with the target digest attach to
+  the public image — one prefix-join over the graph instead of a
+  per-report Cypher query;
+* cleanup: the module's global scope (sub_resource ``DockerScout`` /
+  ``global``) sweeps stale nodes and BUILT_ON links.
+
+Scale: parsing is Arrow-batched Python (the report is a terminal
+rendering, genuinely not a job for column expressions); everything
+after the parse is joins and explodes.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+from pyspark.sql import DataFrame, functions as F
+
+from cartography_spark.providers.aws_ec2 import _edge, _node
+
+PARSED_DDL = "report_uri string, parsed_json string"
+_SEVS = ("C", "H", "M", "L")
+
+
+def _vuln_counts(value: str) -> dict:
+    out = {s: 0 for s in _SEVS}
+    for count, sev in re.findall(r"(\d+)([CHML])", value or ""):
+        out[sev] = int(count)
+    return out
+
+
+def _image_os(tag: str, flavor: str | None) -> str | None:
+    if flavor and flavor.strip().lower() in (
+        "alpine", "debian", "ubuntu", "wolfi", "distroless",
+    ):
+        return flavor.strip().lower()
+    t = (tag or "").lower()
+    if "alpine" in t:
+        return "alpine"
+    if any(n in t for n in ("bookworm", "bullseye", "buster", "trixie")):
+        return "debian"
+    if "ubuntu" in t or any(n in t for n in ("jammy", "focal", "noble")):
+        return "ubuntu"
+    return flavor.lower() if flavor else None
+
+
+def _section(text: str, title: str, stops: tuple) -> str:
+    i = text.find(title)
+    if i == -1:
+        return ""
+    ends = [text.find(s, i + len(title)) for s in stops]
+    ends = [e for e in ends if e != -1]
+    return text[i:min(ends)] if ends else text[i:]
+
+
+def _parse_one(text: str) -> dict | None:
+    m = re.search(
+        r"^\s*Target\s*│\s*(.*?)\s*$\r?\n^\s*digest\s*│\s*(.*?)\s*$",
+        text, flags=re.MULTILINE,
+    )
+    base_m = re.search(r"Base image is\s+(\S+)", text)
+    if not m or not base_m or ":" not in base_m.group(1):
+        return None
+    target = {"image": m.group(1).strip(), "digest": m.group(2).strip()}
+    name, _, base_tag = base_m.group(1).rpartition(":")
+
+    fixes = _section(text, "## Recommended fixes",
+                     ("Refresh base image",))
+    fields = dict(re.findall(r"^\s*([A-Za-z]+)\s*│\s*(.*?)\s*$", fixes,
+                             flags=re.MULTILINE))
+    vulns = _vuln_counts(fields.get("Vulnerabilities", ""))
+
+    # supported-tags list: backticked refs up to the trailing sentence
+    alt_tags = []
+    tag_m = re.search(
+        r"supported tag\(s\)\s+(.+?)\.\s+If you want to display",
+        " ".join(
+            line.split("│", 1)[1].strip()
+            for line in text.splitlines() if "│" in line
+        ),
+    )
+    if tag_m:
+        alt_tags = re.findall(r"`([^`]+)`", tag_m.group(1))
+
+    flavor = fields.get("Flavor")
+    base = {
+        "name": name, "tag": fields.get("Name", base_tag),
+        "digest": fields.get("Digest"), "size": fields.get("Size"),
+        "flavor": flavor.lower() if flavor else None,
+        "os": _image_os(base_tag, flavor),
+        "runtime": fields.get("Runtime"),
+        "is_slim": fields.get("Slim", "").strip() == "✓"
+        or "slim" in base_tag.lower(),
+        "alternative_tags": alt_tags,
+    }
+
+    def blocks(section: str):
+        out, cur = [], None
+        for line in section.splitlines():
+            if "│" not in line:
+                continue
+            parts = [p.strip() for p in line.split("│")]
+            if len(parts) < 4:
+                continue
+            if parts[1] == "Benefits:" and parts[0] \
+                    and not parts[0].startswith("• "):
+                if cur:
+                    out.append(cur)
+                cur = [line]
+            elif cur is not None:
+                cur.append(line)
+        if cur:
+            out.append(cur)
+        return out
+
+    def parse_block(block):
+        head = [p.strip() for p in block[0].split("│")]
+        tag, bvulns = head[0], _vuln_counts(head[3])
+        details, detail_on, alts = {}, False, []
+        for line in block:
+            parts = [p.strip() for p in line.split("│")]
+            if len(parts) < 4:
+                continue
+            left, mid = parts[0], parts[1]
+            if left.startswith("• "):
+                alts.append(left[2:].strip())
+            if mid == "Image details:":
+                detail_on = True
+                continue
+            if detail_on and mid.startswith("• ") and ":" in mid[2:]:
+                k, v = mid[2:].split(":", 1)
+                details[k.strip().lower()] = v.strip()
+        fl = details.get("flavor")
+        return {
+            "name": name, "tag": tag, "alternative_tags": alts,
+            "size": details.get("size"),
+            "flavor": fl.lower() if fl else None,
+            "os": _image_os(tag, fl),
+            "runtime": details.get("runtime"),
+            "is_slim": details.get("slim", "") == "✓"
+            or "slim" in tag.lower(),
+            "fix": {s: vulns.get(s, 0) - bvulns.get(s, 0)
+                    for s in _SEVS
+                    if vulns.get(s, 0) - bvulns.get(s, 0) > 0},
+        }
+
+    recs: dict = {}
+    for title, stops in (("Refresh base image", ("Change base image",)),
+                         ("Change base image", ())):
+        for block in blocks(_section(text, title, stops)):
+            rec = parse_block(block)
+            prev = recs.get(rec["tag"])
+            if prev is None or len(rec) > len(prev):
+                recs[rec["tag"]] = rec
+    return {"target": target, "base_image": base,
+            "recommendations": list(recs.values())}
+
+
+def parse_scout_reports(raw: DataFrame) -> DataFrame:
+    """``raw(report_uri, text)`` → (report_uri, parsed_json); reports
+    that fail the grammar drop (the reference skips non-Scout files)."""
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            uris, parsed = [], []
+            for uri, text in zip(pdf["report_uri"], pdf["text"]):
+                doc = _parse_one(text or "")
+                if doc is None:
+                    continue
+                uris.append(uri)
+                parsed.append(json.dumps(doc, sort_keys=True))
+            yield pd.DataFrame({"report_uri": uris,
+                                "parsed_json": parsed})
+
+    return raw.mapInPandas(gen, schema=PARSED_DDL)
+
+
+PARSED_SCHEMA = """
+    STRUCT<
+        target: STRUCT<image: STRING, digest: STRING>,
+        base_image: STRUCT<name: STRING, tag: STRING, digest: STRING,
+                           size: STRING, flavor: STRING, os: STRING,
+                           runtime: STRING, is_slim: BOOLEAN,
+                           alternative_tags: ARRAY<STRING>>,
+        recommendations: ARRAY<STRUCT<
+            name: STRING, tag: STRING,
+            alternative_tags: ARRAY<STRING>, size: STRING,
+            flavor: STRING, os: STRING, runtime: STRING,
+            is_slim: BOOLEAN, fix: MAP<STRING, INT>>>>
+"""
+
+
+def transform_docker_scout(
+    raw: DataFrame, update_tag: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """→ (nodes, edges, target-anchor frame
+    ``(public_image_id, target_digest)``)."""
+    docs = parse_scout_reports(raw).select(
+        F.from_json("parsed_json", PARSED_SCHEMA).alias("d"),
+    ).withColumn(
+        "pub_id",
+        F.concat(F.col("d.base_image.name"), F.lit(":"),
+                 F.col("d.base_image.tag")),
+    ).cache()
+    sub = ("DockerScout", F.lit("global"))
+
+    img_nodes = _node(docs, "DockerScoutPublicImage", F.col("pub_id"), {
+        "name": F.col("d.base_image.name"),
+        "tag": F.col("d.base_image.tag"),
+        "alternative_tags":
+            F.to_json(F.col("d.base_image.alternative_tags")),
+        "version": F.col("d.base_image.runtime"),
+        "digest": F.col("d.base_image.digest"),
+        "target_digest": F.col("d.target.digest"),
+        "target_image": F.col("d.target.image"),
+    }, update_tag)
+
+    def tag_nodes(frame, col):
+        return _node(frame, "DockerScoutPublicImageTag", F.concat(
+            col["name"], F.lit(":"), col["tag"]), {
+            "name": col["name"], "tag": col["tag"],
+            "alternative_tags": F.to_json(col["alternative_tags"]),
+            "size": col["size"], "flavor": col["flavor"],
+            "os": col["os"], "runtime": col["runtime"],
+            "is_slim": col["is_slim"],
+        }, update_tag)
+
+    base_tags = tag_nodes(docs, F.col("d.base_image"))
+    recs = docs.select(
+        "pub_id", F.explode(F.coalesce("d.recommendations", F.array()))
+        .alias("r"),
+    )
+    rec_tags = _node(recs, "DockerScoutPublicImageTag", F.concat(
+        F.col("r.name"), F.lit(":"), F.col("r.tag")), {
+        "name": F.col("r.name"), "tag": F.col("r.tag"),
+        "alternative_tags": F.to_json(F.col("r.alternative_tags")),
+        "size": F.col("r.size"), "flavor": F.col("r.flavor"),
+        "os": F.col("r.os"), "runtime": F.col("r.runtime"),
+        "is_slim": F.col("r.is_slim"),
+        "fix": F.to_json(F.col("r.fix")),
+    }, update_tag)
+
+    edges = (
+        _edge(docs, "DockerScoutPublicImageTag",
+              F.concat(F.col("d.base_image.name"), F.lit(":"),
+                       F.col("d.base_image.tag")),
+              "BUILT_FROM", "DockerScoutPublicImage", F.col("pub_id"),
+              update_tag, sub)
+        .unionByName(_edge(
+            recs, "DockerScoutPublicImageTag",
+            F.concat(F.col("r.name"), F.lit(":"), F.col("r.tag")),
+            "SHOULD_UPDATE_TO", "DockerScoutPublicImage",
+            F.col("pub_id"), update_tag, sub))
+    )
+    anchors = docs.select(
+        F.col("pub_id").alias("public_image_id"),
+        F.lower(F.regexp_replace(F.col("d.target.digest"),
+                                 "^sha256:", "")).alias("target_digest"),
+    ).filter(F.col("target_digest") != "")
+    return img_nodes.unionByName(base_tags).unionByName(rec_tags), \
+        edges, anchors
+
+
+def sync_docker_scout(store, raw: DataFrame, update_tag: int) -> dict:
+    nodes, edges, anchors = transform_docker_scout(raw, update_tag)
+    metrics = {
+        "nodes": store.merge_nodes(nodes, update_tag),
+        "edges": store.merge_edges(edges, update_tag),
+    }
+    # (Image)-[:BUILT_ON]->(public image) by normalized digest prefix
+    images = store.nodes().filter(
+        F.array_contains(F.coalesce("extra_labels", F.array()), "Image")
+    ).select(
+        F.col("label").alias("img_label"),
+        F.col("id").alias("img_id"),
+        F.lower(F.regexp_replace(
+            F.coalesce(F.element_at("props", "_ont_digest"),
+                       F.element_at("props", "digest"), F.lit("")),
+            "^sha256:", "")).alias("img_digest"),
+    ).filter(F.col("img_digest") != "")
+    pairs = images.join(
+        F.broadcast(anchors),
+        images["img_digest"].startswith(anchors["target_digest"]),
+    )
+    metrics["built_on"] = store.merge_edges(
+        pairs.select(
+            F.col("img_label").alias("src_label"),
+            F.col("img_id").alias("src_id"),
+            F.lit("BUILT_ON").alias("rel_label"),
+            F.lit("DockerScoutPublicImage").alias("dst_label"),
+            F.col("public_image_id").alias("dst_id"),
+            F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+            F.lit("DockerScout").alias("sub_resource_label"),
+            F.lit("global").alias("sub_resource_id"),
+            F.lit(None).cast("map<string,string>").alias("props"),
+        ).dropDuplicates(
+            ["src_label", "src_id", "rel_label", "dst_label", "dst_id"]
+        ),
+        update_tag, rels=["BUILT_ON"],
+    )
+    # global-module GC: stale Scout nodes + BUILT_ON links
+    for label in ("DockerScoutPublicImageTag", "DockerScoutPublicImage"):
+        if label not in store.manifest["nodes"]:
+            continue
+        stale = store.nodes([label]).filter(
+            F.col("lastupdated") != int(update_tag)
+        ).select("label", "id")
+        metrics[f"gc_{label}"] = store.delete_nodes(stale, detach=True)
+    store.delete_edges(
+        "BUILT_ON",
+        (F.col("lastupdated") != int(update_tag))
+        & (F.col("sub_resource_label") == "DockerScout"),
+    )
+    store.record_lineage("docker_scout_sync", {"update_tag": update_tag})
+    return metrics

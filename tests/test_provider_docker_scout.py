@@ -1,0 +1,105 @@
+"""Docker Scout report-parser parity (``intel/docker_scout``)."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.aws_ec2 import _node
+from cartography_spark.providers.docker_scout import sync_docker_scout
+
+TAG = 123456789
+FULL_DIGEST = "sha256:" + "ab12" * 16
+
+REPORT = """
+  Target   │  registry.example.test/example/app:1.2.3
+    digest │  ab12ab12ab12
+
+## Recommended fixes
+
+  Base image is  node:25-alpine
+
+  Name            │  25-alpine
+  Digest          │  sha256:%s
+  Vulnerabilities │    0C     6H     2M     1L
+  Size            │ 59 MB
+  Flavor          │ alpine
+  Runtime         │ 22
+
+  │ The base image is also available under the supported tag(s) `25-alpine3.23`, `alpine`. If you want to display recommendations specifically for a different tag, please re-run the command using the `--tag` flag.
+
+Refresh base image
+
+            Tag            │           Details            │   Pushed   │       Vulnerabilities
+───────────────────────────┼──────────────────────────────┼────────────┼──────────────────────────────
+   25-alpine               │ Benefits:                    │ 2 days ago │    0C     4H     2M     1L
+  Newer image for same tag │ • Same OS detected           │            │           -2
+  Also known as:           │ • Newer image for same tag   │            │
+  • 25.8.1-alpine          │                              │            │
+                           │ Image details:               │            │
+                           │ • Size: 60 MB                │            │
+                           │ • Flavor: alpine             │            │
+                           │ • Runtime: 25.8.1            │            │
+
+Change base image
+
+            Tag            │           Details            │   Pushed   │       Vulnerabilities
+───────────────────────────┼──────────────────────────────┼────────────┼──────────────────────────────
+   slim                    │ Benefits:                    │ 2 days ago │    0C     4H     1M    10L
+  Tag is preferred tag     │ • Tag is preferred tag       │            │           -2     -1     +9
+                           │                              │            │
+                           │ Image details:               │            │
+                           │ • Size: 75 MB                │            │
+                           │ • Flavor: debian             │            │
+                           │ • Runtime: 22                │            │
+""" % ("e" * 64)
+
+
+def _raw(spark, rows):
+    return spark.createDataFrame(rows, "report_uri string, text string")
+
+
+def test_scout_graph(spark, tmp_store):
+    s = tmp_store
+    # the canonical target image the digest prefix resolves against
+    img = spark.createDataFrame([(FULL_DIGEST,)], "digest string")
+    s.merge_nodes(_node(img, "AWSECRImage", F.col("digest"), {
+        "digest": F.col("digest"), "_ont_digest": F.col("digest"),
+    }, TAG, extra=["Image"]), TAG)
+
+    sync_docker_scout(s, _raw(spark, [
+        ("s3://reports/app.txt", REPORT),
+        ("s3://reports/not-scout.txt", "just some log output"),
+    ]), TAG)
+
+    pubs = {r["id"]: r["props"]
+            for r in s.nodes(["DockerScoutPublicImage"]).collect()}
+    assert set(pubs) == {"node:25-alpine"}
+    pub = pubs["node:25-alpine"]
+    assert pub["digest"] == "sha256:" + "e" * 64
+    assert pub["target_image"] == "registry.example.test/example/app:1.2.3"
+    assert json.loads(pub["alternative_tags"]) == ["25-alpine3.23",
+                                                   "alpine"]
+
+    tags = {r["id"]: r["props"]
+            for r in s.nodes(["DockerScoutPublicImageTag"]).collect()}
+    assert set(tags) == {"node:25-alpine", "node:slim"}
+    # the refresh recommendation shares the base tag id: canonical row
+    assert tags["node:25-alpine"]["flavor"] == "alpine"
+    slim = tags["node:slim"]
+    assert slim["is_slim"] == "true"
+    assert slim["os"] == "debian"  # flavor-driven inference
+    assert json.loads(slim["fix"]) == {"H": 2, "M": 1}  # L got worse
+
+    rels = {(r["src_id"], r["rel_label"], r["dst_id"])
+            for r in s.edges().collect()}
+    assert ("node:25-alpine", "BUILT_FROM", "node:25-alpine") in rels
+    assert ("node:slim", "SHOULD_UPDATE_TO", "node:25-alpine") in rels
+    # digest-prefix resolution onto the canonical image
+    assert (FULL_DIGEST, "BUILT_ON", "node:25-alpine") in rels
+
+    # global-module GC
+    sync_docker_scout(s, _raw(spark, [("s3://reports/empty.txt", "")]),
+                      TAG + 1)
+    assert s.nodes(["DockerScoutPublicImage"]).count() == 0
+    assert s.nodes(["DockerScoutPublicImageTag"]).count() == 0
+    assert s.edges(["BUILT_ON"]).count() == 0

@@ -1,0 +1,263 @@
+"""CVE metadata enrichment: NVD/CVSS/KEV/EPSS fields + the derived
+``effect_tags`` controlled vocabulary on CVEMetadata nodes ENRICHing
+the CVE nodes already in the graph.
+
+Re-expresses ``intel/cve_metadata``:
+
+* **graph filter** (``nvd.py:182-201``): only CVE ids present in the
+  graph enrich — ONE semi-join against the CVE node frame instead of
+  the reference's collect-ids-then-filter;
+* **effect tags** (``effect_tags.py``): the CWE→tags bootstrap table
+  becomes a broadcast map literal; derivation precedence CWE > CVSS >
+  none as column expressions — the CVSS fallback maps HIGH/COMPLETE
+  C/I/A impacts to disclose/tamper/deny and adds execute-code on the
+  network/no-priv/no-interaction/high-integrity straight shot
+  (:144-165); tags sort in the stable vocabulary order (:169-177);
+* **EPSS** (``epss.py``): score/percentile merged by cve id;
+* **KEV**: the CISA fields ride the payload (is_kev + dates);
+* nodes: ``CVEMetadata`` keyed by CVE id under a ``CVEMetadataFeed``
+  anchor, ENRICHES → CVE; feed-scoped GC.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from cartography_spark.providers.aws_ec2 import _edge, _node
+
+# effect_tags.py:12-19 controlled vocabulary, stable order (:169-177)
+_VOCAB = ("execute-code", "gain-privileges", "access-credentials",
+          "bypass-control", "disclose-data", "tamper-data",
+          "deny-service")
+
+# effect_tags.py:27+ CWE → tags bootstrap table (the engine carries the
+# hand-curated mapping as data; uninformative CWEs are absent so
+# derivation falls through to the CVSS stage)
+CWE_EFFECT_TAGS: dict[str, tuple[str, ...]] = {
+    "CWE-77": ("execute-code",), "CWE-78": ("execute-code",),
+    "CWE-88": ("execute-code",), "CWE-94": ("execute-code",),
+    "CWE-95": ("execute-code",), "CWE-98": ("execute-code",),
+    "CWE-434": ("execute-code",), "CWE-502": ("execute-code",),
+    "CWE-917": ("execute-code",), "CWE-1321": ("execute-code",),
+    "CWE-426": ("execute-code",), "CWE-427": ("execute-code",),
+    "CWE-119": ("execute-code", "tamper-data", "deny-service"),
+    "CWE-120": ("execute-code", "deny-service"),
+    "CWE-121": ("execute-code", "deny-service"),
+    "CWE-122": ("execute-code", "deny-service"),
+    "CWE-125": ("disclose-data", "deny-service"),
+    "CWE-787": ("execute-code", "tamper-data", "deny-service"),
+    "CWE-416": ("execute-code", "deny-service"),
+    "CWE-415": ("execute-code", "deny-service"),
+    "CWE-476": ("deny-service",),
+    "CWE-190": ("execute-code", "deny-service"),
+    "CWE-191": ("execute-code", "deny-service"),
+    "CWE-193": ("execute-code", "deny-service"),
+    "CWE-824": ("execute-code", "deny-service"),
+    "CWE-400": ("deny-service",), "CWE-401": ("deny-service",),
+    "CWE-404": ("deny-service",), "CWE-674": ("deny-service",),
+    "CWE-770": ("deny-service",),
+    "CWE-22": ("disclose-data", "tamper-data"),
+    "CWE-23": ("disclose-data", "tamper-data"),
+    "CWE-59": ("disclose-data", "tamper-data"),
+    "CWE-200": ("disclose-data",), "CWE-209": ("disclose-data",),
+    "CWE-532": ("disclose-data",), "CWE-538": ("disclose-data",),
+    "CWE-312": ("access-credentials",),
+    "CWE-319": ("access-credentials", "disclose-data"),
+    "CWE-522": ("access-credentials",),
+    "CWE-798": ("access-credentials", "bypass-control"),
+    "CWE-256": ("access-credentials",),
+    "CWE-287": ("bypass-control", "gain-privileges"),
+    "CWE-288": ("bypass-control",), "CWE-290": ("bypass-control",),
+    "CWE-294": ("bypass-control",), "CWE-295": ("bypass-control",),
+    "CWE-303": ("bypass-control",), "CWE-306": ("bypass-control",),
+    "CWE-307": ("bypass-control",), "CWE-347": ("bypass-control",),
+    "CWE-863": ("bypass-control",), "CWE-862": ("bypass-control",),
+    "CWE-269": ("gain-privileges",), "CWE-250": ("gain-privileges",),
+    "CWE-266": ("gain-privileges",), "CWE-732": ("gain-privileges",),
+    "CWE-89": ("disclose-data", "tamper-data", "bypass-control"),
+    "CWE-79": ("execute-code", "disclose-data"),
+    "CWE-352": ("tamper-data",), "CWE-918": ("disclose-data",),
+    "CWE-611": ("disclose-data", "deny-service"),
+    "CWE-776": ("deny-service",),
+}
+
+CVES_SCHEMA = """
+    STRUCT<Vulnerabilities: ARRAY<STRUCT<cve: STRUCT<
+        id: STRING,
+        descriptions: ARRAY<STRUCT<lang: STRING, value: STRING>>,
+        published: STRING, lastModified: STRING, vulnStatus: STRING,
+        weaknesses: ARRAY<STRUCT<description: ARRAY<STRUCT<
+            lang: STRING, value: STRING>>>>,
+        refs: ARRAY<STRUCT<url: STRING>>,
+        metrics: STRUCT<cvss: STRUCT<
+            version: STRING, vectorString: STRING,
+            attackVector: STRING, attackComplexity: STRING,
+            privilegesRequired: STRING, userInteraction: STRING,
+            scope: STRING, confidentialityImpact: STRING,
+            integrityImpact: STRING, availabilityImpact: STRING,
+            baseScore: DOUBLE, baseSeverity: STRING,
+            exploitabilityScore: DOUBLE, impactScore: DOUBLE>>,
+        cisaExploitAdd: STRING, cisaActionDue: STRING,
+        cisaRequiredAction: STRING, cisaVulnerabilityName: STRING,
+        epss_score: DOUBLE, epss_percentile: DOUBLE>>>>
+"""
+
+_HIGH_IMPACT = ("HIGH", "COMPLETE")
+
+
+def _effect_tags(weaknesses: Column, cvss) -> tuple[Column, Column]:
+    """(effect_tags json array, source) — CWE stage wins, CVSS second,
+    else none; vocabulary-ordered output."""
+    cwe_map = F.create_map(*[
+        c for k, v in CWE_EFFECT_TAGS.items()
+        for c in (F.lit(k), F.array(*[F.lit(t) for t in v]))
+    ])
+    cwe_tags = F.array_distinct(F.flatten(F.filter(
+        F.transform(weaknesses, lambda w: F.element_at(cwe_map, w)),
+        lambda arr: arr.isNotNull(),
+    )))
+    high = lambda c: c.isin(*_HIGH_IMPACT)  # noqa: E731
+    cvss_tags = F.filter(F.array(
+        F.when(
+            (cvss["attackVector"] == "NETWORK")
+            & (cvss["privilegesRequired"] == "NONE")
+            & (cvss["userInteraction"] == "NONE")
+            & high(cvss["integrityImpact"]),
+            F.lit("execute-code")),
+        F.when(high(cvss["confidentialityImpact"]),
+               F.lit("disclose-data")),
+        F.when(high(cvss["integrityImpact"]), F.lit("tamper-data")),
+        F.when(high(cvss["availabilityImpact"]), F.lit("deny-service")),
+    ), lambda t: t.isNotNull())
+
+    raw = F.when(F.size(cwe_tags) > 0, cwe_tags).otherwise(cvss_tags)
+    # vocabulary-stable ordering (:169-177): filter the vocab list
+    ordered = F.filter(
+        F.array(*[F.lit(t) for t in _VOCAB]),
+        lambda t: F.array_contains(raw, t),
+    )
+    source = F.when(F.size(cwe_tags) > 0, F.lit("cwe")).when(
+        F.size(cvss_tags) > 0, F.lit("cvss")).otherwise(F.lit("none"))
+    return F.to_json(ordered), source
+
+
+def transform_cve_metadata(
+    raw: DataFrame, feed_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """``raw(payload_json)`` ({"Vulnerabilities": [{"cve": {...}}]}) →
+    (nodes, edges); the in-graph filter happens at sync time."""
+    cve = raw.select(
+        F.explode(
+            F.from_json("payload_json", CVES_SCHEMA)["Vulnerabilities"]
+        ).alias("v"),
+    ).select(F.col("v.cve").alias("c")).filter(
+        F.col("c.id").isNotNull()
+    ).withColumn(
+        "weakness_values",
+        F.flatten(F.transform(
+            F.coalesce("c.weaknesses", F.array()),
+            lambda w: F.transform(w["description"], lambda d: d["value"]),
+        )),
+    )
+    cvss = F.col("c.metrics.cvss")
+    tags, tags_source = _effect_tags(F.col("weakness_values"), cvss)
+    feed = F.lit(feed_id)
+    sub = ("CVEMetadataFeed", feed)
+    nodes = _node(cve, "CVEMetadata", F.col("c.id"), {
+        "description": F.get(F.filter(
+            F.coalesce("c.descriptions", F.array()),
+            lambda d: d["lang"] == "en"), 0)["value"],
+        "references": F.to_json(F.transform(
+            F.coalesce("c.refs", F.array()), lambda r: r["url"])),
+        "problem_types": F.to_json(F.col("weakness_values")),
+        "effect_tags": tags,
+        "effect_tags_source": tags_source,
+        "cvss_version": cvss["version"],
+        "vector_string": cvss["vectorString"],
+        "attack_vector": cvss["attackVector"],
+        "attack_complexity": cvss["attackComplexity"],
+        "privileges_required": cvss["privilegesRequired"],
+        "user_interaction": cvss["userInteraction"],
+        "scope": cvss["scope"],
+        "confidentiality_impact": cvss["confidentialityImpact"],
+        "integrity_impact": cvss["integrityImpact"],
+        "availability_impact": cvss["availabilityImpact"],
+        "base_score": cvss["baseScore"],
+        "base_severity": cvss["baseSeverity"],
+        "exploitability_score": cvss["exploitabilityScore"],
+        "impact_score": cvss["impactScore"],
+        "published_date": F.col("c.published"),
+        "last_modified_date": F.col("c.lastModified"),
+        "vuln_status": F.col("c.vulnStatus"),
+        "is_kev": F.col("c.cisaExploitAdd").isNotNull(),
+        "cisa_exploit_add": F.col("c.cisaExploitAdd"),
+        "cisa_action_due": F.col("c.cisaActionDue"),
+        "cisa_required_action": F.col("c.cisaRequiredAction"),
+        "cisa_vulnerability_name": F.col("c.cisaVulnerabilityName"),
+        "epss_score": F.col("c.epss_score"),
+        "epss_percentile": F.col("c.epss_percentile"),
+    }, update_tag)
+    edges = (
+        _edge(cve, "CVEMetadataFeed", feed, "RESOURCE", "CVEMetadata",
+              F.col("c.id"), update_tag, sub)
+        .unionByName(_edge(cve, "CVEMetadata", F.col("c.id"), "ENRICHES",
+                           "CVE", F.col("c.id"), update_tag, sub))
+    )
+    return nodes, edges
+
+
+def sync_cve_metadata(
+    store, raw: DataFrame, feed_id: str, update_tag: int
+) -> dict:
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    nodes, edges = transform_cve_metadata(raw, feed_id, update_tag)
+    # only CVEs already in the graph enrich (nvd.py:182-201) — ONE
+    # semi-join, never a driver-side id set
+    if "CVE" in store.manifest["nodes"]:
+        in_graph = store.nodes(["CVE"]).select("id")
+        nodes = nodes.join(in_graph, "id", "left_semi")
+        # both edge legs' dst_id IS the cve id (metadata nodes share it)
+        edges = edges.join(
+            in_graph.withColumnRenamed("id", "dst_id"),
+            "dst_id", "left_semi",
+        )
+    else:
+        nodes = nodes.limit(0)
+        edges = edges.limit(0)
+    feed_df = store.spark.createDataFrame([(feed_id,)], "fid string")
+    feed_node = _node(feed_df, "CVEMetadataFeed", F.col("fid"), {
+        "id": F.col("fid"),
+    }, update_tag)
+    metrics = {
+        "feed": store.merge_nodes(feed_node, update_tag),
+        "nodes": store.merge_nodes(nodes, update_tag),
+        "edges": store.merge_edges(edges, update_tag),
+    }
+    if "CVEMetadata" in store.manifest["nodes"]:
+        metrics["gc"] = run_cleanup(
+            store,
+            NodeSchema(
+                label="CVEMetadata",
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=RelSchema(
+                    rel_label="RESOURCE",
+                    target_node_label="CVEMetadataFeed",
+                    target_node_matcher=TargetNodeMatcher(
+                        {"id": PropertyRef("FEED_ID", set_in_kwargs=True)}
+                    ),
+                    direction=LinkDirection.INWARD,
+                ),
+            ),
+            update_tag,
+            {"FEED_ID": feed_id},
+        )
+    store.record_lineage("cve_metadata_sync", {"update_tag": update_tag})
+    return metrics

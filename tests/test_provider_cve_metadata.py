@@ -1,0 +1,104 @@
+"""CVE metadata parity (``intel/cve_metadata``): graph-filtered
+enrichment + effect-tag derivation precedence."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.aws_ec2 import _node
+from cartography_spark.providers.cve_metadata import sync_cve_metadata
+
+TAG = 123456789
+FEED = "nvd"
+
+PAYLOAD = {"Vulnerabilities": [
+    # CWE stage wins even with CVSS impacts present
+    {"cve": {
+        "id": "CVE-2024-0001",
+        "descriptions": [{"lang": "fr", "value": "exécution"},
+                         {"lang": "en", "value": "RCE via deserialization"}],
+        "published": "2024-01-01T00:00:00Z", "vulnStatus": "Analyzed",
+        "weaknesses": [{"description": [{"lang": "en",
+                                         "value": "CWE-502"}]}],
+        "refs": [{"url": "https://example.com/adv"}],
+        "metrics": {"cvss": {
+            "version": "3.1", "attackVector": "NETWORK",
+            "privilegesRequired": "NONE", "userInteraction": "NONE",
+            "confidentialityImpact": "HIGH", "integrityImpact": "HIGH",
+            "availabilityImpact": "HIGH", "baseScore": 9.8,
+            "baseSeverity": "CRITICAL"}},
+        "cisaExploitAdd": "2024-02-01",
+        "epss_score": 0.97, "epss_percentile": 0.999,
+    }},
+    # no mapped CWE → CVSS fallback: straight-shot execute-code +
+    # the three high impacts, vocabulary-ordered
+    {"cve": {
+        "id": "CVE-2024-0002",
+        "descriptions": [{"lang": "en", "value": "bad"}],
+        "weaknesses": [{"description": [{"lang": "en",
+                                         "value": "NVD-CWE-noinfo"}]}],
+        "metrics": {"cvss": {
+            "version": "3.1", "attackVector": "NETWORK",
+            "privilegesRequired": "NONE", "userInteraction": "NONE",
+            "confidentialityImpact": "HIGH", "integrityImpact": "HIGH",
+            "availabilityImpact": "NONE"}},
+    }},
+    # neither stage fires
+    {"cve": {"id": "CVE-2024-0003",
+             "descriptions": [{"lang": "en", "value": "meh"}],
+             "metrics": {"cvss": {"version": "3.1",
+                                  "confidentialityImpact": "LOW"}}}},
+    # not in the graph → filtered out entirely
+    {"cve": {"id": "CVE-2024-9999",
+             "descriptions": [{"lang": "en", "value": "ghost"}]}},
+]}
+
+
+def _raw(spark, payload=PAYLOAD):
+    return spark.createDataFrame(
+        [(json.dumps(payload),)], "payload_json string"
+    )
+
+
+def test_enrichment_and_effect_tags(spark, tmp_store):
+    s = tmp_store
+    cves = spark.createDataFrame(
+        [("CVE-2024-0001",), ("CVE-2024-0002",), ("CVE-2024-0003",)],
+        "id string",
+    )
+    s.merge_nodes(_node(cves, "CVE", F.col("id"), {
+        "id": F.col("id"),
+    }, TAG), TAG)
+
+    sync_cve_metadata(s, _raw(spark), FEED, TAG)
+    meta = {r["id"]: r["props"]
+            for r in s.nodes(["CVEMetadata"]).collect()}
+    assert set(meta) == {"CVE-2024-0001", "CVE-2024-0002",
+                         "CVE-2024-0003"}  # the ghost never lands
+
+    m1 = meta["CVE-2024-0001"]
+    assert m1["description"] == "RCE via deserialization"
+    assert json.loads(m1["effect_tags"]) == ["execute-code"]  # CWE-502
+    assert m1["effect_tags_source"] == "cwe"
+    assert m1["is_kev"] == "true"
+    assert m1["epss_score"] == "0.97"
+    assert m1["base_severity"] == "CRITICAL"
+
+    m2 = meta["CVE-2024-0002"]
+    assert m2["effect_tags_source"] == "cvss"
+    # straight-shot + C/I high, vocabulary order; availability NONE
+    assert json.loads(m2["effect_tags"]) == [
+        "execute-code", "disclose-data", "tamper-data"]
+
+    m3 = meta["CVE-2024-0003"]
+    assert m3["effect_tags_source"] == "none"
+    assert json.loads(m3["effect_tags"]) == []
+
+    rels = {(r["src_id"], r["rel_label"], r["dst_id"])
+            for r in s.edges(["ENRICHES"]).collect()}
+    assert ("CVE-2024-0001", "ENRICHES", "CVE-2024-0001") in rels
+
+    # feed-scoped GC
+    sync_cve_metadata(s, _raw(spark, {"Vulnerabilities": []}), FEED,
+                      TAG + 1)
+    assert s.nodes(["CVEMetadata"]).count() == 0

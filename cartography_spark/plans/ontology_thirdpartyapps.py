@@ -41,6 +41,14 @@ class AppSource:
 
 THIRD_PARTY_APP_SOURCES: tuple[AppSource, ...] = (
     AppSource(
+        label="GoogleWorkspaceOAuthApp",
+        source="googleworkspace",
+        client_id=lambda: F.element_at("props", "client_id"),
+        name=lambda: F.element_at("props", "display_text"),
+        # protocol: static oauth2 (thirdpartyapps.py:33-39)
+        protocol=lambda: F.lit("oauth2"),
+    ),
+    AppSource(
         label="KeycloakClient",
         source="keycloak",
         client_id=lambda: F.element_at("props", "client_id"),

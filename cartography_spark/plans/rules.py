@@ -2847,6 +2847,164 @@ GW_CIS_FACTS = (
     ),
 )
 
+# nist_ai_rmf.py AI-app matcher: curated allowlist + heuristic regex
+_AI_TERMS_SQL = (
+    "array('openai', 'chatgpt', 'anthropic', 'claude', 'gemini', "
+    "'perplexity', 'midjourney', 'cohere', 'huggingface', "
+    "'hugging face', 'notegpt')"
+)
+_AI_REGEX = (
+    ".*(openai|anthropic|gpt|claude|gemini|perplexity|midjourney|cohere|"
+    "hugging ?face|genai|generative ai|llm|ai assistant).*"
+)
+_AI_APP_MATCH_SQL = f"""
+            WITH app_names AS (
+                SELECT app.id AS app_node_id,
+                       coalesce(app.props['_ont_name'],
+                                app.props['display_name'],
+                                app.props['display_text'],
+                                app.props['name']) AS app_name,
+                       coalesce(app.props['_ont_client_id'],
+                                app.props['client_id'], app.id)
+                           AS app_client_id,
+                       app.props['_ont_source'] AS app_source,
+                       lower(coalesce(app.props['_ont_name'],
+                                app.props['display_name'],
+                                app.props['display_text'],
+                                app.props['name'], '')) AS nname,
+                       lower(coalesce(app.props['_ont_client_id'],
+                                app.props['client_id'], app.id, ''))
+                           AS ncid
+                FROM nodes app
+                WHERE array_contains(coalesce(app.extra_labels, array()),
+                                     'ThirdPartyApp')
+            ), ai_apps AS (
+                SELECT *,
+                       exists({_AI_TERMS_SQL},
+                              t -> nname LIKE concat('%', t, '%')
+                                OR ncid LIKE concat('%', t, '%'))
+                           AS allowlist_match,
+                       (nname rlike '{_AI_REGEX}'
+                        OR ncid rlike '{_AI_REGEX}') AS heuristic_match
+                FROM app_names
+            )"""
+_RISKY_SCOPES_SQL = (
+    "(scope IN ('https://mail.google.com/', "
+    "'https://www.googleapis.com/auth/drive', "
+    "'https://www.googleapis.com/auth/gmail.modify', "
+    "'https://www.googleapis.com/auth/gmail.send', "
+    "'https://www.googleapis.com/auth/calendar', "
+    "'https://www.googleapis.com/auth/cloud-platform') "
+    "OR scope LIKE 'https://www.googleapis.com/auth/gmail%' "
+    "OR scope LIKE 'https://www.googleapis.com/auth/drive%' "
+    "OR scope LIKE 'https://www.googleapis.com/auth/calendar%')"
+)
+
+AI_APP_INVENTORY = Fact(
+    id="cross_cloud_nist_ai_app_inventory",
+    name="AI-related third-party app inventory",
+    description="Hybrid allowlist+heuristic matcher over ThirdPartyApp "
+    "with adoption counts from AUTHORIZED grants "
+    "(nist_ai_rmf.py:94-167).",
+    sql_query=f"""
+        {_AI_APP_MATCH_SQL}
+        SELECT a.app_name, a.app_node_id AS asset_node_id,
+               a.app_client_id, a.app_source,
+               CASE WHEN a.allowlist_match THEN 'allowlist'
+                    WHEN a.heuristic_match THEN 'heuristic'
+                    ELSE 'unknown' END AS match_method,
+               count(DISTINCT auth.src_id) AS authorized_identity_count,
+               count(auth.src_id) AS authorization_event_count
+        FROM ai_apps a
+        LEFT JOIN edges auth ON auth.rel_label = 'AUTHORIZED'
+           AND auth.dst_id = a.app_node_id
+        WHERE a.allowlist_match OR a.heuristic_match
+        GROUP BY a.app_name, a.app_node_id, a.app_client_id,
+                 a.app_source, a.allowlist_match, a.heuristic_match
+        ORDER BY authorization_event_count DESC, app_name
+    """,
+    count_sql="""
+        SELECT count(*) AS count FROM nodes
+        WHERE array_contains(coalesce(extra_labels, array()),
+                             'ThirdPartyApp')
+    """,
+    identity_fields=("asset_node_id",),
+    asset_label="ThirdPartyApp",
+    asset_id_field="asset_node_id",
+)
+
+AI_APP_SENSITIVE_SCOPES = Fact(
+    id="cross_cloud_nist_ai_app_sensitive_scopes",
+    name="AI-related apps holding sensitive OAuth scopes",
+    description="AI apps whose AUTHORIZED grants include Drive/Gmail/"
+    "Calendar/cloud-platform scopes (nist_ai_rmf.py:195-277).",
+    sql_query=f"""
+        {_AI_APP_MATCH_SQL}
+        SELECT a.app_name, a.app_node_id AS asset_node_id,
+               a.app_client_id, a.app_source,
+               count(DISTINCT auth.src_id) AS authorized_identity_count,
+               count(DISTINCT rs.scope) AS risky_scope_count,
+               to_json(sort_array(collect_set(rs.scope)))
+                   AS risky_scopes
+        FROM ai_apps a
+        JOIN edges auth ON auth.rel_label = 'AUTHORIZED'
+           AND auth.dst_id = a.app_node_id
+        LATERAL VIEW explode(coalesce(
+            from_json(auth.props['scopes'], 'array<string>'),
+            array())) rs AS scope
+        WHERE (a.allowlist_match OR a.heuristic_match)
+          AND {_RISKY_SCOPES_SQL}
+        GROUP BY a.app_name, a.app_node_id, a.app_client_id,
+                 a.app_source
+        ORDER BY risky_scope_count DESC,
+                 authorized_identity_count DESC, app_name
+    """,
+    count_sql="""
+        SELECT count(*) AS count FROM nodes
+        WHERE array_contains(coalesce(extra_labels, array()),
+                             'ThirdPartyApp')
+    """,
+    identity_fields=("asset_node_id",),
+    asset_label="ThirdPartyApp",
+    asset_id_field="asset_node_id",
+)
+
+GW_AI_ADMIN_APP_AUTHORIZATIONS = Fact(
+    id="gw_nist_ai_admin_app_authorizations",
+    name="Workspace admins authorizing AI-related apps",
+    description="Admin or delegated-admin users with AUTHORIZED grants "
+    "to AI-matched apps (nist_ai_rmf.py:330-414).",
+    sql_query=f"""
+        {_AI_APP_MATCH_SQL}
+        SELECT a.app_name, a.app_node_id AS asset_node_id,
+               a.app_client_id, a.app_source,
+               count(DISTINCT u.id) AS admin_user_count,
+               count(auth.src_id) AS authorization_event_count
+        FROM ai_apps a
+        JOIN edges auth ON auth.rel_label = 'AUTHORIZED'
+           AND auth.src_label = 'GoogleWorkspaceUser'
+           AND auth.dst_id = a.app_node_id
+        JOIN nodes u ON u.label = 'GoogleWorkspaceUser'
+           AND u.id = auth.src_id
+        WHERE (a.allowlist_match OR a.heuristic_match)
+          AND (coalesce(u.props['is_admin'], 'false') = 'true'
+               OR coalesce(u.props['is_delegated_admin'], 'false')
+                  = 'true')
+        GROUP BY a.app_name, a.app_node_id, a.app_client_id,
+                 a.app_source
+        ORDER BY admin_user_count DESC,
+                 authorization_event_count DESC, app_name
+    """,
+    count_sql="""
+        SELECT count(*) AS count FROM nodes
+        WHERE array_contains(coalesce(extra_labels, array()),
+                             'ThirdPartyApp')
+    """,
+    identity_fields=("asset_node_id",),
+    asset_label="ThirdPartyApp",
+    asset_id_field="asset_node_id",
+)
+
 AIBOM_AGENT_INVENTORY = Fact(
     id="aibom_nist_ai_agent_inventory",
     name="Deployed AI agents and their dependencies",
@@ -4326,6 +4484,35 @@ ALL_RULES = ALL_RULES + (
         "(rules/data/rules/cis_google_workspace.py).",
         version="1.0.0",
         facts=GW_CIS_FACTS,
+    ),
+    Rule(
+        id="ai_third_party_app_inventory",
+        name="AI third-party app inventory",
+        tags=("ai", "saas", "inventory", "nist-ai-rmf"),
+        description="AI-related apps and adoption counts "
+        "(rules/data/rules/nist_ai_rmf.py:160-193).",
+        version="0.1.0",
+        facts=(AI_APP_INVENTORY,),
+    ),
+    Rule(
+        id="ai_third_party_app_sensitive_scopes",
+        name="AI apps with sensitive OAuth scopes",
+        tags=("ai", "saas", "oauth", "nist-ai-rmf",
+              "stride:information_disclosure"),
+        description="AI apps granted Drive/Gmail/Calendar/"
+        "cloud-platform scopes "
+        "(rules/data/rules/nist_ai_rmf.py:270-328).",
+        version="0.1.0",
+        facts=(AI_APP_SENSITIVE_SCOPES,),
+    ),
+    Rule(
+        id="ai_admin_app_authorizations",
+        name="Admins authorizing AI apps",
+        tags=("ai", "googleworkspace", "identity", "nist-ai-rmf"),
+        description="Workspace admins granting AI apps access "
+        "(rules/data/rules/nist_ai_rmf.py:407-475).",
+        version="0.1.0",
+        facts=(GW_AI_ADMIN_APP_AUTHORIZATIONS,),
     ),
     Rule(
         id="aibom_agent_inventory",

@@ -71,6 +71,11 @@ GOOGLEWORKSPACE_DEVICE_USERS_STRUCT = (
     "createTime:string>>"
 )
 
+GOOGLEWORKSPACE_TOKENS_STRUCT = (
+    "array<struct<clientId:string, user_id:string, displayText:string, "
+    "anonymous:boolean, nativeApp:boolean, scopes:array<string>>>"
+)
+
 
 def _props_map(pairs: list[tuple[str, Column]]) -> Column:
     return F.map_filter(
@@ -365,6 +370,89 @@ def _scoped_gc(store, labels: tuple[str, ...], customer_id: str,
             {"CUSTOMER_ID": customer_id},
         )
     return out
+
+
+def transform_googleworkspace_oauth_apps(
+    raw: DataFrame, customer_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """OAuth token objects → unique app nodes + per-user AUTHORIZED
+    edges carrying the token's scopes
+    (``intel/googleworkspace/oauth_apps.py:88-134``: the per-token
+    dict walk becomes one dropDuplicates on clientId + one edge
+    select; tokens without clientId/user_id drop)."""
+    tokens = raw.select(
+        F.explode(
+            F.from_json("payload_json", GOOGLEWORKSPACE_TOKENS_STRUCT)
+        ).alias("t")
+    ).select("t.*").where(
+        F.col("clientId").isNotNull() & F.col("user_id").isNotNull()
+    )
+    apps = tokens.dropDuplicates(["clientId"])
+    nodes = _shape_nodes(
+        apps.select(
+            F.lit("GoogleWorkspaceOAuthApp").alias("label"),
+            F.col("clientId").alias("id"),
+            _props_map([
+                ("client_id", F.col("clientId")),
+                ("display_text", F.col("displayText")),
+                ("anonymous", F.coalesce(F.col("anonymous"),
+                                         F.lit(False))),
+                ("native_app", F.coalesce(F.col("nativeApp"),
+                                          F.lit(False))),
+                ("customer_id", F.lit(customer_id)),
+            ]).alias("props"),
+        ),
+        update_tag,
+    )
+    resource = _shape_edges(
+        _resource_edges(apps.select(F.col("clientId").alias("id")),
+                        customer_id, "GoogleWorkspaceOAuthApp"),
+        update_tag, customer_id,
+    )
+    authorized = tokens.select(
+        F.lit("GoogleWorkspaceUser").alias("src_label"),
+        F.col("user_id").alias("src_id"),
+        F.lit("AUTHORIZED").alias("rel_label"),
+        F.lit("GoogleWorkspaceOAuthApp").alias("dst_label"),
+        F.col("clientId").alias("dst_id"),
+        F.lit(int(update_tag)).cast("long").alias("lastupdated"),
+        F.lit(TENANT_LABEL).alias("sub_resource_label"),
+        F.lit(customer_id).alias("sub_resource_id"),
+        F.map_from_arrays(
+            F.array(F.lit("scopes")),
+            F.array(F.to_json(F.coalesce("scopes", F.array()))),
+        ).alias("props"),
+    ).dropDuplicates(
+        ["src_label", "src_id", "rel_label", "dst_label", "dst_id"]
+    )
+    return nodes, resource.unionByName(authorized)
+
+
+def sync_googleworkspace_oauth_apps(
+    store, tokens_raw: DataFrame, customer_id: str, update_tag: int
+) -> dict:
+    nodes, edges = transform_googleworkspace_oauth_apps(
+        tokens_raw, customer_id, update_tag
+    )
+    metrics = {
+        "tenant": store.merge_nodes(
+            _tenant_node(store.spark, customer_id, update_tag), update_tag
+        ),
+        "nodes": store.merge_nodes(nodes, update_tag),
+        "edges": store.merge_edges(edges, update_tag),
+    }
+    metrics.update(_scoped_gc(store, ("GoogleWorkspaceOAuthApp",),
+                              customer_id, update_tag))
+    # stale AUTHORIZED grants of this tenant sweep like matchlinks
+    store.delete_edges(
+        "AUTHORIZED",
+        (F.col("lastupdated") != int(update_tag))
+        & (F.col("sub_resource_label") == TENANT_LABEL)
+        & (F.col("sub_resource_id") == customer_id),
+    )
+    store.record_lineage("googleworkspace_oauth_apps_sync",
+                         {"update_tag": update_tag})
+    return metrics
 
 
 def sync_googleworkspace(store, users_raw, devices_raw, device_users_raw,

@@ -1,0 +1,104 @@
+"""Google Workspace OAuth apps (``intel/googleworkspace/
+oauth_apps.py``) + the three NIST AI RMF app rules."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from cartography_spark.plans.ontology_thirdpartyapps import (
+    sync_ontology_thirdpartyapps,
+)
+from cartography_spark.providers.aws_ec2 import _node
+from cartography_spark.providers.googleworkspace import (
+    sync_googleworkspace_oauth_apps,
+)
+
+TAG = 123456789
+CUSTOMER = "customer-123"
+
+TOKENS = [
+    {"clientId": "openai-client-1", "user_id": "u-admin",
+     "displayText": "ChatGPT", "nativeApp": False,
+     "scopes": ["https://www.googleapis.com/auth/drive.readonly",
+                "openid"]},
+    {"clientId": "openai-client-1", "user_id": "u-user",
+     "displayText": "ChatGPT",
+     "scopes": ["https://mail.google.com/"]},
+    # heuristic-only match (no allowlist term)
+    {"clientId": "notetaker-7", "user_id": "u-user",
+     "displayText": "Acme LLM Notetaker",
+     "scopes": ["openid", "email"]},
+    # not AI: never flagged by the AI rules
+    {"clientId": "crm-1", "user_id": "u-user", "displayText": "SomeCRM",
+     "scopes": ["https://www.googleapis.com/auth/drive"]},
+    # dropped: no user id
+    {"clientId": "ghost", "displayText": "ghost"},
+]
+
+
+def _raw(spark, tokens=TOKENS):
+    return spark.createDataFrame(
+        [(json.dumps(tokens),)], "payload_json string"
+    )
+
+
+def _mk_users(store, spark):
+    users = spark.createDataFrame(
+        [("u-admin", "true"), ("u-user", "false")],
+        "id string, admin string",
+    )
+    store.merge_nodes(_node(users, "GoogleWorkspaceUser", F.col("id"), {
+        "is_admin": F.col("admin"),
+    }, TAG, extra=["UserAccount"]), TAG)
+
+
+def test_oauth_apps_and_ai_rules(spark, tmp_store):
+    from cartography_spark.plans.rules import (
+        AI_APP_INVENTORY,
+        AI_APP_SENSITIVE_SCOPES,
+        GW_AI_ADMIN_APP_AUTHORIZATIONS,
+        run_fact,
+    )
+
+    s = tmp_store
+    _mk_users(s, spark)
+    sync_googleworkspace_oauth_apps(s, _raw(spark), CUSTOMER, TAG)
+    sync_ontology_thirdpartyapps(s, TAG)
+
+    apps = {r["id"]: r for r in
+            s.nodes(["GoogleWorkspaceOAuthApp"]).collect()}
+    assert set(apps) == {"openai-client-1", "notetaker-7", "crm-1"}
+    assert "ThirdPartyApp" in apps["openai-client-1"]["extra_labels"]
+    assert apps["openai-client-1"]["props"]["_ont_protocol"] == "oauth2"
+
+    auth = {(r["src_id"], r["dst_id"]): json.loads(r["props"]["scopes"])
+            for r in s.edges(["AUTHORIZED"]).collect()}
+    assert auth[("u-admin", "openai-client-1")] == [
+        "https://www.googleapis.com/auth/drive.readonly", "openid"]
+    assert len(auth) == 4
+
+    inv = run_fact(s, AI_APP_INVENTORY)
+    rows = {r["asset_node_id"]: r for r in inv["findings"].collect()}
+    assert set(rows) == {"openai-client-1", "notetaker-7"}
+    assert rows["openai-client-1"]["match_method"] == "allowlist"
+    assert rows["openai-client-1"]["authorized_identity_count"] == 2
+    assert rows["notetaker-7"]["match_method"] == "heuristic"
+
+    sens = run_fact(s, AI_APP_SENSITIVE_SCOPES)
+    rows = {r["asset_node_id"]: r for r in sens["findings"].collect()}
+    # drive.readonly (prefix) + mail.google.com (exact); the CRM's
+    # risky scope never fires (not an AI app); notetaker has none
+    assert set(rows) == {"openai-client-1"}
+    assert json.loads(rows["openai-client-1"]["risky_scopes"]) == [
+        "https://mail.google.com/",
+        "https://www.googleapis.com/auth/drive.readonly"]
+
+    adm = run_fact(s, GW_AI_ADMIN_APP_AUTHORIZATIONS)
+    rows = {r["asset_node_id"]: r for r in adm["findings"].collect()}
+    assert set(rows) == {"openai-client-1"}  # only the admin grant
+    assert rows["openai-client-1"]["admin_user_count"] == 1
+
+    # tenant-scoped GC + AUTHORIZED sweep
+    sync_googleworkspace_oauth_apps(s, _raw(spark, []), CUSTOMER, TAG + 1)
+    assert s.nodes(["GoogleWorkspaceOAuthApp"]).count() == 0
+    assert s.edges(["AUTHORIZED"]).count() == 0

@@ -2665,6 +2665,93 @@ GCP_CIS_FACTS = (
         ", i.props['enable_integrity_monitoring']"
         "  AS enable_integrity_monitoring"),
     Fact(
+        id="gcp_bigquery_dataset_public",
+        name="BigQuery datasets shared with allUsers",
+        description="cis_4_0_gcp.py:931+ (CIS GCP 7.1): access entries "
+        "naming allUsers/allAuthenticatedUsers.",
+        sql_query="""
+            SELECT coalesce(d.props['friendly_name'],
+                            d.props['dataset_id']) AS dataset_name,
+                   d.id AS dataset_id, r.src_id AS project_id,
+                   d.props['access_entries'] AS access_entries
+            FROM nodes d
+            JOIN edges r ON r.rel_label = 'RESOURCE'
+               AND r.src_label = 'GCPProject' AND r.dst_id = d.id
+               AND r.dst_label = 'GCPBigQueryDataset'
+            WHERE d.label = 'GCPBigQueryDataset'
+              AND (coalesce(d.props['access_entries'], '')
+                       LIKE '%allUsers%'
+                   OR coalesce(d.props['access_entries'], '')
+                       LIKE '%allAuthenticatedUsers%')
+            ORDER BY dataset_id
+        """,
+        count_sql="SELECT count(*) AS count FROM nodes "
+                  "WHERE label = 'GCPBigQueryDataset'",
+        identity_fields=("dataset_id",),
+        asset_label="GCPBigQueryDataset",
+        asset_id_field="dataset_id",
+    ),
+    Fact(
+        id="gcp_bigquery_table_cmek_missing",
+        name="BigQuery datasets with tables lacking CMEK",
+        description="cis_4_0_gcp.py:1014+ (CIS GCP 7.2): permanent "
+        "base tables with no kms_key_name, grouped per dataset with a "
+        "bounded sample.",
+        sql_query="""
+            SELECT coalesce(d.props['friendly_name'],
+                            d.props['dataset_id']) AS dataset_name,
+                   d.id AS dataset_id, r.src_id AS project_id,
+                   count(t.id) AS tables_without_cmek,
+                   to_json(slice(sort_array(collect_set(
+                       coalesce(t.props['friendly_name'],
+                                t.props['table_id']))), 1, 10))
+                       AS sample_tables
+            FROM nodes t
+            JOIN nodes d ON d.label = 'GCPBigQueryDataset'
+               AND d.id = t.props['dataset_id']
+            JOIN edges r ON r.rel_label = 'RESOURCE'
+               AND r.src_label = 'GCPProject' AND r.dst_id = d.id
+               AND r.dst_label = 'GCPBigQueryDataset'
+            WHERE t.label = 'GCPBigQueryTable'
+              AND coalesce(t.props['kms_key_name'], '') = ''
+              AND coalesce(t.props['expiration_time'], '') = ''
+              AND (t.props['type'] IS NULL
+                   OR t.props['type'] NOT IN ('VIEW', 'EXTERNAL'))
+            GROUP BY d.props['friendly_name'], d.props['dataset_id'],
+                     d.id, r.src_id
+            ORDER BY dataset_id
+        """,
+        count_sql="SELECT count(*) AS count FROM nodes "
+                  "WHERE label = 'GCPBigQueryDataset'",
+        identity_fields=("dataset_id",),
+        asset_label="GCPBigQueryDataset",
+        asset_id_field="dataset_id",
+    ),
+    Fact(
+        id="gcp_bigquery_dataset_cmek_missing",
+        name="BigQuery datasets without a default CMEK key",
+        description="cis_4_0_gcp.py:1097+ (CIS GCP 7.3).",
+        sql_query="""
+            SELECT coalesce(d.props['friendly_name'],
+                            d.props['dataset_id']) AS dataset_name,
+                   d.id AS dataset_id, r.src_id AS project_id,
+                   d.props['default_kms_key_name']
+                       AS default_kms_key_name
+            FROM nodes d
+            JOIN edges r ON r.rel_label = 'RESOURCE'
+               AND r.src_label = 'GCPProject' AND r.dst_id = d.id
+               AND r.dst_label = 'GCPBigQueryDataset'
+            WHERE d.label = 'GCPBigQueryDataset'
+              AND coalesce(d.props['default_kms_key_name'], '') = ''
+            ORDER BY dataset_id
+        """,
+        count_sql="SELECT count(*) AS count FROM nodes "
+                  "WHERE label = 'GCPBigQueryDataset'",
+        identity_fields=("dataset_id",),
+        asset_label="GCPBigQueryDataset",
+        asset_id_field="dataset_id",
+    ),
+    Fact(
         id="gcp_kms_key_without_rotation_policy",
         name="KMS encryption keys without a 90-day rotation policy",
         description="cis_4_0_gcp.py:1728+ (CIS GCP 7.x): "
@@ -4469,10 +4556,10 @@ ALL_RULES = ALL_RULES + (
         id="cis_4_0_gcp",
         name="CIS GCP Foundations 4.0",
         tags=("gcp", "cis", "benchmark"),
-        description="19 CIS GCP 4.0 controls over the VPC/firewall, "
-        "instance-metadata, DNS, Cloud SQL and bucket surfaces "
-        "(rules/data/rules/cis_4_0_gcp.py; the BigQuery/KMS/flow-log "
-        "controls need their providers).",
+        description="23 CIS GCP 4.0 controls over the VPC/firewall, "
+        "instance-metadata, DNS, Cloud SQL, bucket, KMS and BigQuery "
+        "surfaces (rules/data/rules/cis_4_0_gcp.py; the flow-log "
+        "control needs the subnet-log feed).",
         version="1.0.0",
         facts=GCP_CIS_FACTS,
     ),

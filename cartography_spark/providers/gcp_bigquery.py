@@ -1,0 +1,158 @@
+"""GCP BigQuery: datasets + tables — the analytics data surface and
+the feeder for the CIS BigQuery controls.
+
+Re-expresses ``intel/gcp/{bigquery_dataset,bigquery_table}.py``:
+
+* **datasets** (``transform_datasets`` :82-111):
+  ``{project}:{dataset}`` ids, default table/partition expirations,
+  the default CMEK key, and the raw access entries kept as JSON (the
+  allUsers/allAuthenticatedUsers probe in the CIS public-dataset
+  control reads the string);
+* **tables** (``transform_tables`` :124-154):
+  ``{project}:{dataset}.{table}`` ids under HAS_TABLE, type /
+  expiration / CMEK key / external-connection id;
+* cleanup: project-scoped GC, tables before datasets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cartography_spark.providers.aws_ec2 import _edge, _node
+
+BIGQUERY_SCHEMA = """
+    STRUCT<Datasets: ARRAY<STRUCT<
+        datasetReference: STRUCT<datasetId: STRING>,
+        friendlyName: STRING, description: STRING, location: STRING,
+        creationTime: STRING, lastModifiedTime: STRING,
+        defaultTableExpirationMs: STRING,
+        defaultPartitionExpirationMs: STRING,
+        defaultEncryptionConfiguration: STRUCT<kmsKeyName: STRING>,
+        access: ARRAY<STRUCT<role: STRING, specialGroup: STRING,
+                             userByEmail: STRING, iamMember: STRING>>,
+        tables: ARRAY<STRUCT<
+            tableReference: STRUCT<tableId: STRING>,
+            type: STRING, creationTime: STRING, expirationTime: STRING,
+            numBytes: STRING, numRows: STRING, description: STRING,
+            friendlyName: STRING,
+            encryptionConfiguration: STRUCT<kmsKeyName: STRING>,
+            externalDataConfiguration: STRUCT<connectionId: STRING>>>>>>
+"""
+
+
+def transform_bigquery(
+    raw: DataFrame, project_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """``raw(payload_json)`` ({"Datasets": [...]}, each dataset
+    carrying its tables) → (nodes, edges)."""
+    ds = raw.select(
+        F.explode(
+            F.from_json("payload_json", BIGQUERY_SCHEMA)["Datasets"]
+        ).alias("d"),
+    ).filter(
+        F.col("d.datasetReference.datasetId").isNotNull()
+    ).withColumn(
+        "ds_id",
+        F.concat(F.lit(f"{project_id}:"),
+                 F.col("d.datasetReference.datasetId")),
+    )
+    proj = F.lit(project_id)
+    sub = ("GCPProject", proj)
+    nodes = _node(ds, "GCPBigQueryDataset", F.col("ds_id"), {
+        "dataset_id": F.col("d.datasetReference.datasetId"),
+        "friendly_name": F.col("d.friendlyName"),
+        "description": F.col("d.description"),
+        "location": F.col("d.location"),
+        "creation_time": F.col("d.creationTime"),
+        "last_modified_time": F.col("d.lastModifiedTime"),
+        "default_table_expiration_ms":
+            F.col("d.defaultTableExpirationMs"),
+        "default_partition_expiration_ms":
+            F.col("d.defaultPartitionExpirationMs"),
+        "default_kms_key_name":
+            F.col("d.defaultEncryptionConfiguration.kmsKeyName"),
+        "access_entries": F.when(
+            F.size(F.coalesce("d.access", F.array())) > 0,
+            F.to_json(F.col("d.access")),
+        ),
+        "project_id": proj,
+    }, update_tag)
+
+    tables = ds.select(
+        "ds_id",
+        F.explode(F.coalesce("d.tables", F.array())).alias("t"),
+    ).filter(F.col("t.tableReference.tableId").isNotNull()).withColumn(
+        "tbl_id",
+        F.concat(F.col("ds_id"), F.lit("."),
+                 F.col("t.tableReference.tableId")),
+    )
+    nodes = nodes.unionByName(
+        _node(tables, "GCPBigQueryTable", F.col("tbl_id"), {
+            "table_id": F.col("t.tableReference.tableId"),
+            "dataset_id": F.col("ds_id"),
+            "type": F.col("t.type"),
+            "creation_time": F.col("t.creationTime"),
+            "expiration_time": F.col("t.expirationTime"),
+            "num_bytes": F.col("t.numBytes"),
+            "num_rows": F.col("t.numRows"),
+            "description": F.col("t.description"),
+            "friendly_name": F.col("t.friendlyName"),
+            "connection_id":
+                F.col("t.externalDataConfiguration.connectionId"),
+            "kms_key_name":
+                F.col("t.encryptionConfiguration.kmsKeyName"),
+        }, update_tag))
+
+    edges = (
+        _edge(ds, "GCPProject", proj, "RESOURCE", "GCPBigQueryDataset",
+              F.col("ds_id"), update_tag, sub)
+        .unionByName(_edge(tables, "GCPProject", proj, "RESOURCE",
+                           "GCPBigQueryTable", F.col("tbl_id"),
+                           update_tag, sub))
+        .unionByName(_edge(tables, "GCPBigQueryDataset", F.col("ds_id"),
+                           "HAS_TABLE", "GCPBigQueryTable",
+                           F.col("tbl_id"), update_tag, sub))
+    )
+    return nodes, edges
+
+
+def sync_gcp_bigquery(
+    store, raw: DataFrame, project_id: str, update_tag: int
+) -> dict:
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    nodes, edges = transform_bigquery(raw, project_id, update_tag)
+    metrics = {
+        "nodes": store.merge_nodes(nodes, update_tag),
+        "edges": store.merge_edges(edges, update_tag),
+    }
+    proj_rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label="GCPProject",
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("PROJECT_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    for label in ("GCPBigQueryTable", "GCPBigQueryDataset"):
+        if label not in store.manifest["nodes"]:
+            continue
+        metrics[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=proj_rel,
+            ),
+            update_tag,
+            {"PROJECT_ID": project_id},
+        )
+    store.record_lineage("gcp_bigquery_sync", {"update_tag": update_tag})
+    return metrics

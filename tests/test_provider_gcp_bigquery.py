@@ -1,0 +1,78 @@
+"""BigQuery parity (``intel/gcp/bigquery_{dataset,table}.py``) and the
+three CIS BigQuery controls."""
+
+import json
+
+from pyspark.sql import functions as F  # noqa: F401
+
+from cartography_spark.providers.gcp_bigquery import sync_gcp_bigquery
+
+TAG = 123456789
+PROJECT = "project-abc"
+
+PAYLOAD = {"Datasets": [
+    {"datasetReference": {"datasetId": "analytics"},
+     "friendlyName": "Analytics", "location": "US",
+     "defaultEncryptionConfiguration": {"kmsKeyName": "projects/p/k"},
+     "access": [{"role": "READER", "specialGroup": "allUsers"}],
+     "tables": [
+         {"tableReference": {"tableId": "events"}, "type": "TABLE",
+          "encryptionConfiguration": {"kmsKeyName": "projects/p/k"}},
+     ]},
+    {"datasetReference": {"datasetId": "raw"},
+     "access": [{"role": "OWNER", "userByEmail": "a@x.io"}],
+     "tables": [
+         # permanent base table, no CMEK → flagged
+         {"tableReference": {"tableId": "logs"}, "type": "TABLE"},
+         # views and expiring tables never flag
+         {"tableReference": {"tableId": "v_logs"}, "type": "VIEW"},
+         {"tableReference": {"tableId": "tmp"}, "type": "TABLE",
+          "expirationTime": "1700000000000"},
+     ]},
+]}
+
+
+def _raw(spark, payload=PAYLOAD):
+    return spark.createDataFrame(
+        [(json.dumps(payload),)], "payload_json string"
+    )
+
+
+def test_bigquery_graph_and_cis_facts(spark, tmp_store):
+    from cartography_spark.plans.rules import GCP_CIS_FACTS, run_fact
+
+    s = tmp_store
+    sync_gcp_bigquery(s, _raw(spark), PROJECT, TAG)
+    facts = {f.id: f for f in GCP_CIS_FACTS}
+
+    ds = {r["id"]: r["props"]
+          for r in s.nodes(["GCPBigQueryDataset"]).collect()}
+    assert set(ds) == {f"{PROJECT}:analytics", f"{PROJECT}:raw"}
+    assert ds[f"{PROJECT}:analytics"]["default_kms_key_name"] == (
+        "projects/p/k")
+    tbl = {r["id"]: r["props"]
+           for r in s.nodes(["GCPBigQueryTable"]).collect()}
+    assert f"{PROJECT}:raw.logs" in tbl
+    rels = {(r["src_id"], r["rel_label"], r["dst_id"])
+            for r in s.edges(["HAS_TABLE"]).collect()}
+    assert (f"{PROJECT}:analytics", "HAS_TABLE",
+            f"{PROJECT}:analytics.events") in rels
+
+    got = {r["dataset_id"] for r in run_fact(
+        s, facts["gcp_bigquery_dataset_public"])["findings"].collect()}
+    assert got == {f"{PROJECT}:analytics"}
+
+    res = run_fact(s, facts["gcp_bigquery_table_cmek_missing"])
+    rows = {r["dataset_id"]: r for r in res["findings"].collect()}
+    assert set(rows) == {f"{PROJECT}:raw"}
+    assert rows[f"{PROJECT}:raw"]["tables_without_cmek"] == 1
+    assert json.loads(rows[f"{PROJECT}:raw"]["sample_tables"]) == ["logs"]
+
+    got = {r["dataset_id"] for r in run_fact(
+        s, facts["gcp_bigquery_dataset_cmek_missing"])
+        ["findings"].collect()}
+    assert got == {f"{PROJECT}:raw"}
+
+    sync_gcp_bigquery(s, _raw(spark, {"Datasets": []}), PROJECT, TAG + 1)
+    assert s.nodes(["GCPBigQueryDataset"]).count() == 0
+    assert s.nodes(["GCPBigQueryTable"]).count() == 0

@@ -1,0 +1,320 @@
+"""AWS API Gateway (REST): APIs + stages + client certificates +
+resources + methods + integrations, with the two-axis exposure model.
+
+Re-expresses ``intel/aws/apigateway.py``:
+
+* **REST APIs** (``transform_apigateway_rest_apis`` :216-269): the two
+  distinct security axes — ``anonymous_access`` (resource-policy
+  analysis) and ``exposed_internet`` (endpoint configuration: EDGE and
+  REGIONAL are internet-reachable, PRIVATE is VPC-only, unset is
+  unknown/null);
+* **policy analysis** (``parse_policy`` :495-517): the reference runs
+  policyuniverse at fetch time; here ONE Arrow pass evaluates the
+  policy JSON — internet-accessible when an Allow statement names the
+  wildcard principal (bare ``"*"`` or ``{"AWS": "*"}``/list forms)
+  without a Condition, collecting those statements' actions;
+* **details** (``transform_rest_api_details`` :323-392): stage arns
+  ``arn:aws:apigateway:::{api}/{stage}``, certificates under
+  HAS_CERTIFICATE, resources under the api, ``{api}/{resource}/
+  {method}`` method/integration ids under HAS_METHOD /
+  HAS_INTEGRATION;
+* cleanup: account-scoped GC, children before APIs.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, functions as F
+
+from cartography_spark.providers.aws_ec2 import _edge, _node
+
+APIGW_SCHEMA = """
+    STRUCT<RestApis: ARRAY<STRUCT<
+        id: STRING, name: STRING, createdDate: STRING, version: STRING,
+        minimumCompressionSize: INT, disableExecuteApiEndpoint: BOOLEAN,
+        endpointConfiguration: STRUCT<types: ARRAY<STRING>>,
+        policy: STRING,
+        stages: ARRAY<STRUCT<stageName: STRING, createdDate: STRING,
+                             deploymentId: STRING,
+                             clientCertificateId: STRING,
+                             cacheClusterEnabled: BOOLEAN,
+                             tracingEnabled: BOOLEAN,
+                             webAclArn: STRING>>,
+        certificate: STRUCT<clientCertificateId: STRING,
+                            createdDate: STRING,
+                            expirationDate: STRING,
+                            stageName: STRING>,
+        resources: ARRAY<STRUCT<id: STRING, path: STRING,
+                                pathPart: STRING, parentId: STRING>>,
+        methods: ARRAY<STRUCT<resourceId: STRING, httpMethod: STRING,
+                              authorizationType: STRING,
+                              authorizerId: STRING,
+                              operationName: STRING,
+                              apiKeyRequired: BOOLEAN>>,
+        integrations: ARRAY<STRUCT<resourceId: STRING,
+                                   httpMethod: STRING, type: STRING,
+                                   uri: STRING, connectionType: STRING,
+                                   connectionId: STRING,
+                                   credentials: STRING>>>>>
+"""
+_POLICY_DDL = ("api_id string, internet_accessible boolean, "
+               "accessible_actions string")
+
+
+def _analyze_policies(policies: DataFrame) -> DataFrame:
+    """(api_id, policy) → policy-level anonymous-access verdicts."""
+    def gen(batches):
+        import pandas as pd
+
+        def wildcard_principal(p) -> bool:
+            if p == "*":
+                return True
+            if isinstance(p, dict):
+                aws = p.get("AWS")
+                vals = aws if isinstance(aws, list) else [aws]
+                return any(v == "*" for v in vals)
+            return False
+
+        for pdf in batches:
+            ids, access, actions = [], [], []
+            for api_id, policy in zip(pdf["api_id"], pdf["policy"]):
+                if not policy:
+                    continue
+                try:
+                    doc = json.loads(policy.replace("\\", ""))
+                except (json.JSONDecodeError, AttributeError):
+                    continue
+                stmts = doc.get("Statement") or []
+                if isinstance(stmts, dict):
+                    stmts = [stmts]
+                open_actions: set[str] = set()
+                hit = False
+                for s in stmts:
+                    if s.get("Effect") != "Allow" or s.get("Condition"):
+                        continue
+                    if not wildcard_principal(s.get("Principal")):
+                        continue
+                    hit = True
+                    act = s.get("Action") or []
+                    for a in act if isinstance(act, list) else [act]:
+                        open_actions.add(a)
+                if hit:
+                    ids.append(api_id)
+                    access.append(True)
+                    actions.append(json.dumps(sorted(open_actions)))
+            yield pd.DataFrame({"api_id": ids,
+                                "internet_accessible": access,
+                                "accessible_actions": actions})
+
+    return policies.mapInPandas(gen, schema=_POLICY_DDL)
+
+
+def transform_apigateway(
+    raw: DataFrame, account_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """``raw(region, payload_json)`` ({"RestApis": [...]}) →
+    (nodes, edges)."""
+    apis = raw.select(
+        "region",
+        F.explode(
+            F.from_json("payload_json", APIGW_SCHEMA)["RestApis"]
+        ).alias("a"),
+    ).filter(F.col("a.id").isNotNull()).withColumn(
+        "endpoint_type", F.get(F.col("a.endpointConfiguration.types"), 0)
+    ).cache()
+    acct = F.lit(account_id)
+    sub = ("AWSAccount", acct)
+    aid = F.col("a.id")
+
+    verdicts = _analyze_policies(
+        apis.select(aid.alias("api_id"), F.col("a.policy").alias("policy"))
+    )
+    apis_v = apis.join(
+        F.broadcast(verdicts), apis["a.id"] == verdicts["api_id"], "left"
+    )
+    nodes = _node(apis_v, "AWSAPIGatewayRestAPI", aid, {
+        "name": F.col("a.name"),
+        "createddate": F.col("a.createdDate"),
+        "version": F.col("a.version"),
+        "minimumcompressionsize": F.col("a.minimumCompressionSize"),
+        "disableexecuteapiendpoint":
+            F.col("a.disableExecuteApiEndpoint"),
+        "anonymous_access":
+            F.coalesce("internet_accessible", F.lit(False)),
+        "anonymous_actions":
+            F.coalesce("accessible_actions", F.lit("[]")),
+        "endpoint_type": F.col("endpoint_type"),
+        # EDGE/REGIONAL reach the internet; PRIVATE is VPC-only;
+        # unknown endpoint type stays null (:249-253)
+        "exposed_internet": F.when(
+            F.col("endpoint_type").isNotNull(),
+            F.col("endpoint_type").isin("EDGE", "REGIONAL"),
+        ),
+        "region": F.col("region"),
+    }, update_tag)
+    edges = _edge(apis, "AWSAccount", acct, "RESOURCE",
+                  "AWSAPIGatewayRestAPI", aid, update_tag, sub)
+
+    stages = apis.select(
+        aid.alias("api_id"),
+        F.explode(F.coalesce("a.stages", F.array())).alias("s"),
+    ).withColumn(
+        "stage_arn",
+        F.concat(F.lit("arn:aws:apigateway:::"), F.col("api_id"),
+                 F.lit("/"), F.col("s.stageName")),
+    )
+    nodes = nodes.unionByName(
+        _node(stages, "AWSAPIGatewayStage", F.col("stage_arn"), {
+            "stagename": F.col("s.stageName"),
+            "createddate": F.col("s.createdDate"),
+            "deploymentid": F.col("s.deploymentId"),
+            "clientcertificateid": F.col("s.clientCertificateId"),
+            "cacheclusterenabled": F.col("s.cacheClusterEnabled"),
+            "tracingenabled": F.col("s.tracingEnabled"),
+            "webaclarn": F.col("s.webAclArn"),
+        }, update_tag))
+    edges = edges.unionByName(
+        _edge(stages, "AWSAccount", acct, "RESOURCE",
+              "AWSAPIGatewayStage", F.col("stage_arn"), update_tag, sub)
+    ).unionByName(
+        _edge(stages, "AWSAPIGatewayStage", F.col("stage_arn"),
+              "ASSOCIATED_WITH", "AWSAPIGatewayRestAPI",
+              F.col("api_id"), update_tag, sub))
+
+    certs = apis.filter(
+        F.col("a.certificate.clientCertificateId").isNotNull()
+    ).select(
+        aid.alias("api_id"), F.col("a.certificate").alias("c"),
+    ).withColumn(
+        "stage_arn",
+        F.concat(F.lit("arn:aws:apigateway:::"), F.col("api_id"),
+                 F.lit("/"), F.col("c.stageName")),
+    )
+    nodes = nodes.unionByName(
+        _node(certs, "AWSAPIGatewayClientCertificate",
+              F.col("c.clientCertificateId"), {
+            "createddate": F.col("c.createdDate"),
+            "expirationdate": F.col("c.expirationDate"),
+        }, update_tag))
+    edges = edges.unionByName(
+        _edge(certs, "AWSAccount", acct, "RESOURCE",
+              "AWSAPIGatewayClientCertificate",
+              F.col("c.clientCertificateId"), update_tag, sub)
+    ).unionByName(
+        _edge(certs, "AWSAPIGatewayStage", F.col("stage_arn"),
+              "HAS_CERTIFICATE", "AWSAPIGatewayClientCertificate",
+              F.col("c.clientCertificateId"), update_tag, sub))
+
+    resources = apis.select(
+        aid.alias("api_id"),
+        F.explode(F.coalesce("a.resources", F.array())).alias("r"),
+    )
+    nodes = nodes.unionByName(
+        _node(resources, "AWSAPIGatewayResource", F.col("r.id"), {
+            "path": F.col("r.path"),
+            "pathpart": F.col("r.pathPart"),
+            "parentid": F.col("r.parentId"),
+        }, update_tag))
+    edges = edges.unionByName(
+        _edge(resources, "AWSAccount", acct, "RESOURCE",
+              "AWSAPIGatewayResource", F.col("r.id"), update_tag, sub)
+    ).unionByName(
+        _edge(resources, "AWSAPIGatewayRestAPI", F.col("api_id"),
+              "RESOURCE", "AWSAPIGatewayResource", F.col("r.id"),
+              update_tag, sub))
+
+    def composite(frame, kind, rel, props):
+        nonlocal nodes, edges
+        label = ("AWSAPIGatewayMethod" if kind == "m"
+                 else "AWSAPIGatewayIntegration")
+        frame = frame.withColumn(
+            "cid",
+            F.concat(F.col("api_id"), F.lit("/"),
+                     F.col(f"{kind}.resourceId"), F.lit("/"),
+                     F.col(f"{kind}.httpMethod")),
+        )
+        nodes = nodes.unionByName(_node(frame, label, F.col("cid"),
+                                        props, update_tag))
+        edges = edges.unionByName(
+            _edge(frame, "AWSAccount", acct, "RESOURCE", label,
+                  F.col("cid"), update_tag, sub)
+        ).unionByName(
+            _edge(frame, "AWSAPIGatewayResource",
+                  F.col(f"{kind}.resourceId"), rel, label, F.col("cid"),
+                  update_tag, sub))
+
+    methods = apis.select(
+        aid.alias("api_id"),
+        F.explode(F.coalesce("a.methods", F.array())).alias("m"),
+    )
+    composite(methods, "m", "HAS_METHOD", {
+        "httpmethod": F.col("m.httpMethod"),
+        "resource_id": F.col("m.resourceId"),
+        "api_id": F.col("api_id"),
+        "authorization_type": F.col("m.authorizationType"),
+        "authorizer_id": F.col("m.authorizerId"),
+        "operation_name": F.col("m.operationName"),
+        "api_key_required":
+            F.coalesce(F.col("m.apiKeyRequired"), F.lit(False)),
+    })
+    integrations = apis.select(
+        aid.alias("api_id"),
+        F.explode(F.coalesce("a.integrations", F.array())).alias("i"),
+    )
+    composite(integrations, "i", "HAS_INTEGRATION", {
+        "httpmethod": F.col("i.httpMethod"),
+        "resource_id": F.col("i.resourceId"),
+        "api_id": F.col("api_id"),
+        "type": F.col("i.type"),
+        "uri": F.col("i.uri"),
+        "connection_type": F.col("i.connectionType"),
+        "connection_id": F.col("i.connectionId"),
+        "credentials": F.col("i.credentials"),
+    })
+    return nodes, edges
+
+
+def sync_apigateway(
+    store, raw: DataFrame, account_id: str, update_tag: int
+) -> dict:
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    nodes, edges = transform_apigateway(raw, account_id, update_tag)
+    metrics = {
+        "nodes": store.merge_nodes(nodes, update_tag),
+        "edges": store.merge_edges(edges, update_tag),
+    }
+    acct_rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label="AWSAccount",
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("AWS_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    for label in ("AWSAPIGatewayIntegration", "AWSAPIGatewayMethod",
+                  "AWSAPIGatewayResource",
+                  "AWSAPIGatewayClientCertificate", "AWSAPIGatewayStage",
+                  "AWSAPIGatewayRestAPI"):
+        if label not in store.manifest["nodes"]:
+            continue
+        metrics[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=acct_rel,
+            ),
+            update_tag,
+            {"AWS_ID": account_id},
+        )
+    store.record_lineage("aws_apigateway_sync", {"update_tag": update_tag})
+    return metrics

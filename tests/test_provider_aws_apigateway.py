@@ -1,0 +1,107 @@
+"""API Gateway parity (``intel/aws/apigateway.py``): two-axis
+exposure, the detail families, and GC."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.aws_apigateway import sync_apigateway
+from cartography_spark.providers.aws_ec2 import _node
+
+TAG = 123456789
+ACCOUNT = "000000000000"
+
+OPEN_POLICY = json.dumps({
+    "Version": "2012-10-17",
+    "Statement": [
+        {"Effect": "Allow", "Principal": "*",
+         "Action": ["execute-api:Invoke"], "Resource": "*"},
+    ],
+})
+SCOPED_POLICY = json.dumps({
+    "Statement": [
+        {"Effect": "Allow", "Principal": {"AWS": "*"},
+         "Action": "execute-api:Invoke",
+         "Condition": {"IpAddress": {"aws:SourceIp": "10.0.0.0/8"}}},
+    ],
+})
+
+PAYLOAD = {"RestApis": [
+    {"id": "api-edge", "name": "public-api",
+     "createdDate": "2023-01-01T00:00:00Z",
+     "endpointConfiguration": {"types": ["EDGE"]},
+     "policy": OPEN_POLICY,
+     "stages": [{"stageName": "prod",
+                 "createdDate": "2023-02-01T00:00:00Z",
+                 "deploymentId": "dep-1",
+                 "clientCertificateId": "cert-1",
+                 "cacheClusterEnabled": False,
+                 "tracingEnabled": True}],
+     "certificate": {"clientCertificateId": "cert-1",
+                     "createdDate": "2023-02-01T00:00:00Z",
+                     "expirationDate": "2024-02-01T00:00:00Z",
+                     "stageName": "prod"},
+     "resources": [{"id": "res-1", "path": "/items",
+                    "pathPart": "items", "parentId": "root"}],
+     "methods": [{"resourceId": "res-1", "httpMethod": "GET",
+                  "authorizationType": "NONE"}],
+     "integrations": [{"resourceId": "res-1", "httpMethod": "GET",
+                       "type": "AWS_PROXY",
+                       "uri": "arn:aws:lambda:...:fn"}]},
+    # PRIVATE endpoint + conditioned wildcard policy → neither axis
+    {"id": "api-private", "name": "internal-api",
+     "endpointConfiguration": {"types": ["PRIVATE"]},
+     "policy": SCOPED_POLICY},
+]}
+
+
+def _raw(spark, payload=PAYLOAD):
+    return spark.createDataFrame(
+        [("us-east-1", json.dumps(payload))],
+        "region string, payload_json string",
+    )
+
+
+def _mk_account(store, spark):
+    acct = spark.createDataFrame([(ACCOUNT,)], "aid string")
+    store.merge_nodes(
+        _node(acct, "AWSAccount", F.col("aid"), {
+            "name": F.lit("test-account"),
+        }, TAG, extra=["Tenant"]), TAG)
+
+
+def test_apigateway_graph(spark, tmp_store):
+    s = tmp_store
+    _mk_account(s, spark)
+    sync_apigateway(s, _raw(spark), ACCOUNT, TAG)
+
+    apis = {r["id"]: r["props"]
+            for r in s.nodes(["AWSAPIGatewayRestAPI"]).collect()}
+    edge = apis["api-edge"]
+    assert edge["exposed_internet"] == "true"  # EDGE endpoint
+    assert edge["anonymous_access"] == "true"  # wildcard principal
+    assert json.loads(edge["anonymous_actions"]) == [
+        "execute-api:Invoke"]
+    private = apis["api-private"]
+    assert private["exposed_internet"] == "false"  # PRIVATE = VPC-only
+    # the Condition on the wildcard statement blocks anonymous access
+    assert private["anonymous_access"] == "false"
+
+    stage_arn = "arn:aws:apigateway:::api-edge/prod"
+    rels = {(r["src_id"], r["rel_label"], r["dst_id"])
+            for r in s.edges().collect()}
+    assert (stage_arn, "ASSOCIATED_WITH", "api-edge") in rels
+    assert (stage_arn, "HAS_CERTIFICATE", "cert-1") in rels
+    assert ("api-edge", "RESOURCE", "res-1") in rels
+    assert ("res-1", "HAS_METHOD", "api-edge/res-1/GET") in rels
+    assert ("res-1", "HAS_INTEGRATION", "api-edge/res-1/GET") in rels
+    methods = {r["id"]: r["props"]
+               for r in s.nodes(["AWSAPIGatewayMethod"]).collect()}
+    assert methods["api-edge/res-1/GET"]["authorization_type"] == "NONE"
+
+    sync_apigateway(s, _raw(spark, {"RestApis": []}), ACCOUNT, TAG + 1)
+    for label in ("AWSAPIGatewayRestAPI", "AWSAPIGatewayStage",
+                  "AWSAPIGatewayClientCertificate",
+                  "AWSAPIGatewayResource", "AWSAPIGatewayMethod",
+                  "AWSAPIGatewayIntegration"):
+        assert s.nodes([label]).count() == 0, label

@@ -62,8 +62,9 @@ _POLICY_DDL = ("api_id string, internet_accessible boolean, "
                "accessible_actions string")
 
 
-def _analyze_policies(policies: DataFrame) -> DataFrame:
-    """(api_id, policy) → policy-level anonymous-access verdicts."""
+def analyze_wildcard_policies(policies: DataFrame) -> DataFrame:
+    """(api_id, policy) → policy-level anonymous-access verdicts
+    (shared by API Gateway and the Elasticsearch exposure probe)."""
     def gen(batches):
         import pandas as pd
 
@@ -127,7 +128,7 @@ def transform_apigateway(
     sub = ("AWSAccount", acct)
     aid = F.col("a.id")
 
-    verdicts = _analyze_policies(
+    verdicts = analyze_wildcard_policies(
         apis.select(aid.alias("api_id"), F.col("a.policy").alias("policy"))
     )
     apis_v = apis.join(

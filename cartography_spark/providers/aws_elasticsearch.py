@@ -1,0 +1,167 @@
+"""AWS Elasticsearch / OpenSearch Service domains — the search-engine
+surface and the node family the Route53 DNS_POINTS_TO stage joins on
+(``providers/aws_route53.py`` AWSESDomain.endpoint leg).
+
+Re-expresses ``intel/aws/elasticsearch.py``:
+
+* **transform** (``_transform_es_domains`` :55-160): the nested
+  cluster/EBS/encryption/log-publishing config flattens to the
+  model's prefixed scalars; the engine derives from
+  ElasticsearchVersion ("OpenSearch_*" → opensearch, else
+  elasticsearch, unset stays null — a wrong label downstream is
+  harder to debug than a missing one, the reference's note);
+* **exposure** (``_is_internet_exposed`` :24-28): a domain with an
+  endpoint whose access policy is internet-accessible — the shared
+  Arrow wildcard-policy analysis from the API Gateway module;
+* **VPC attachments**: one-to-many PART_OF_SUBNET /
+  MEMBER_OF_EC2_SECURITY_GROUP from VPCOptions;
+* cleanup: account-scoped GC. The Route53 sync's equi-join against
+  ``AWSESDomain.endpoint`` resolves DNS records onto these nodes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cartography_spark.providers.aws_apigateway import (
+    analyze_wildcard_policies,
+)
+from cartography_spark.providers.aws_ec2 import _edge, _node
+
+ES_SCHEMA = """
+    STRUCT<DomainStatusList: ARRAY<STRUCT<
+        DomainId: STRING, DomainName: STRING, ARN: STRING,
+        Deleted: BOOLEAN, Created: BOOLEAN, Endpoint: STRING,
+        ElasticsearchVersion: STRING, AccessPolicies: STRING,
+        ElasticsearchClusterConfig: STRUCT<
+            InstanceType: STRING, InstanceCount: INT,
+            DedicatedMasterEnabled: BOOLEAN,
+            ZoneAwarenessEnabled: BOOLEAN,
+            DedicatedMasterType: STRING, DedicatedMasterCount: INT>,
+        EBSOptions: STRUCT<EBSEnabled: BOOLEAN, VolumeType: STRING,
+                           VolumeSize: INT, Iops: INT>,
+        EncryptionAtRestOptions: STRUCT<Enabled: BOOLEAN,
+                                        KmsKeyId: STRING>,
+        VPCOptions: STRUCT<VPCId: STRING, SubnetIds: ARRAY<STRING>,
+                           SecurityGroupIds: ARRAY<STRING>>>>>
+"""
+
+
+def transform_es_domains(
+    raw: DataFrame, account_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    """``raw(region, payload_json)`` (DescribeElasticsearchDomains
+    shape) → (nodes, edges)."""
+    d = raw.select(
+        "region",
+        F.explode(
+            F.from_json("payload_json", ES_SCHEMA)["DomainStatusList"]
+        ).alias("d"),
+    ).filter(F.col("d.DomainId").isNotNull()).cache()
+    acct = F.lit(account_id)
+    sub = ("AWSAccount", acct)
+    did = F.col("d.DomainId")
+
+    verdicts = analyze_wildcard_policies(
+        d.filter(F.col("d.Endpoint").isNotNull()).select(
+            did.alias("api_id"),
+            F.col("d.AccessPolicies").alias("policy"),
+        )
+    ).withColumnRenamed("api_id", "domain_key")
+    dv = d.join(F.broadcast(verdicts),
+                d["d.DomainId"] == verdicts["domain_key"], "left")
+
+    cc = F.col("d.ElasticsearchClusterConfig")
+    ebs = F.col("d.EBSOptions")
+    enc = F.col("d.EncryptionAtRestOptions")
+    ver = F.col("d.ElasticsearchVersion")
+    nodes = _node(dv, "AWSESDomain", did, {
+        "domainid": did,
+        "arn": F.col("d.ARN"),
+        "name": F.col("d.DomainName"),
+        "deleted": F.col("d.Deleted"),
+        "created": F.col("d.Created"),
+        "endpoint": F.col("d.Endpoint"),
+        "elasticsearch_version": ver,
+        "engine": F.when(ver.startswith("OpenSearch"),
+                         F.lit("opensearch"))
+        .when(ver.isNotNull(), F.lit("elasticsearch")),
+        "exposed_internet":
+            F.coalesce("internet_accessible", F.lit(False)),
+        "elasticsearch_cluster_config_instancetype": cc["InstanceType"],
+        "elasticsearch_cluster_config_instancecount":
+            cc["InstanceCount"],
+        "elasticsearch_cluster_config_dedicatedmasterenabled":
+            cc["DedicatedMasterEnabled"],
+        "elasticsearch_cluster_config_zoneawarenessenabled":
+            cc["ZoneAwarenessEnabled"],
+        "ebs_options_ebsenabled": ebs["EBSEnabled"],
+        "ebs_options_volumetype": ebs["VolumeType"],
+        "ebs_options_volumesize": ebs["VolumeSize"],
+        "encryption_at_rest_options_enabled": enc["Enabled"],
+        "encryption_at_rest_options_kms_key_id": enc["KmsKeyId"],
+        "region": F.col("region"),
+    }, update_tag)
+
+    subnets = d.select(
+        did.alias("domain_id"),
+        F.explode(F.coalesce("d.VPCOptions.SubnetIds", F.array()))
+        .alias("subnet_id"),
+    )
+    sgs = d.select(
+        did.alias("domain_id"),
+        F.explode(F.coalesce("d.VPCOptions.SecurityGroupIds", F.array()))
+        .alias("sg_id"),
+    )
+    edges = (
+        _edge(d, "AWSAccount", acct, "RESOURCE", "AWSESDomain", did,
+              update_tag, sub)
+        .unionByName(_edge(subnets, "AWSESDomain", F.col("domain_id"),
+                           "PART_OF_SUBNET", "AWSEC2Subnet",
+                           F.col("subnet_id"), update_tag, sub))
+        .unionByName(_edge(sgs, "AWSESDomain", F.col("domain_id"),
+                           "MEMBER_OF_EC2_SECURITY_GROUP",
+                           "AWSEC2SecurityGroup", F.col("sg_id"),
+                           update_tag, sub))
+    )
+    return nodes, edges
+
+
+def sync_es_domains(
+    store, raw: DataFrame, account_id: str, update_tag: int
+) -> dict:
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    nodes, edges = transform_es_domains(raw, account_id, update_tag)
+    metrics = {
+        "nodes": store.merge_nodes(nodes, update_tag),
+        "edges": store.merge_edges(edges, update_tag),
+    }
+    if "AWSESDomain" in store.manifest["nodes"]:
+        metrics["gc"] = run_cleanup(
+            store,
+            NodeSchema(
+                label="AWSESDomain",
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=RelSchema(
+                    rel_label="RESOURCE",
+                    target_node_label="AWSAccount",
+                    target_node_matcher=TargetNodeMatcher(
+                        {"id": PropertyRef("AWS_ID", set_in_kwargs=True)}
+                    ),
+                    direction=LinkDirection.INWARD,
+                ),
+            ),
+            update_tag,
+            {"AWS_ID": account_id},
+        )
+    store.record_lineage("aws_elasticsearch_sync",
+                         {"update_tag": update_tag})
+    return metrics

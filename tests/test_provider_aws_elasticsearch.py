@@ -1,0 +1,90 @@
+"""Elasticsearch/OpenSearch domain parity
+(``intel/aws/elasticsearch.py``) incl. the Route53 DNS join."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.aws_ec2 import _node
+from cartography_spark.providers.aws_elasticsearch import sync_es_domains
+
+TAG = 123456789
+ACCOUNT = "000000000000"
+ENDPOINT = "search-prod-abc123.us-east-1.es.amazonaws.com"
+
+OPEN_POLICY = json.dumps({"Statement": [
+    {"Effect": "Allow", "Principal": {"AWS": "*"},
+     "Action": "es:*", "Resource": "*"},
+]})
+
+PAYLOAD = {"DomainStatusList": [
+    {"DomainId": f"{ACCOUNT}/prod", "DomainName": "prod",
+     "ARN": f"arn:aws:es:us-east-1:{ACCOUNT}:domain/prod",
+     "Deleted": False, "Created": True, "Endpoint": ENDPOINT,
+     "ElasticsearchVersion": "OpenSearch_2.5",
+     "AccessPolicies": OPEN_POLICY,
+     "ElasticsearchClusterConfig": {"InstanceType": "m5.large.search",
+                                    "InstanceCount": 3,
+                                    "DedicatedMasterEnabled": True,
+                                    "ZoneAwarenessEnabled": True},
+     "EBSOptions": {"EBSEnabled": True, "VolumeType": "gp3",
+                    "VolumeSize": 100},
+     "EncryptionAtRestOptions": {"Enabled": True,
+                                 "KmsKeyId": "arn:kms:key/1"}},
+    {"DomainId": f"{ACCOUNT}/internal", "DomainName": "internal",
+     "ElasticsearchVersion": "7.10",
+     "VPCOptions": {"VPCId": "vpc-1", "SubnetIds": ["subnet-1"],
+                    "SecurityGroupIds": ["sg-1"]}},
+]}
+
+
+def _raw(spark, payload=PAYLOAD):
+    return spark.createDataFrame(
+        [("us-east-1", json.dumps(payload))],
+        "region string, payload_json string",
+    )
+
+
+def test_es_domains(spark, tmp_store):
+    s = tmp_store
+    acct = spark.createDataFrame([(ACCOUNT,)], "aid string")
+    s.merge_nodes(_node(acct, "AWSAccount", F.col("aid"), {
+        "name": F.lit("test-account"),
+    }, TAG, extra=["Tenant"]), TAG)
+    sync_es_domains(s, _raw(spark), ACCOUNT, TAG)
+
+    doms = {r["id"]: r["props"] for r in s.nodes(["AWSESDomain"]).collect()}
+    prod = doms[f"{ACCOUNT}/prod"]
+    assert prod["engine"] == "opensearch"
+    assert prod["exposed_internet"] == "true"
+    assert prod["endpoint"] == ENDPOINT
+    internal = doms[f"{ACCOUNT}/internal"]
+    assert internal["engine"] == "elasticsearch"
+    assert internal["exposed_internet"] == "false"  # no endpoint/policy
+
+    rels = {(r["src_id"], r["rel_label"], r["dst_id"])
+            for r in s.edges().collect()}
+    assert (f"{ACCOUNT}/internal", "PART_OF_SUBNET", "subnet-1") in rels
+    assert (f"{ACCOUNT}/internal", "MEMBER_OF_EC2_SECURITY_GROUP",
+            "sg-1") in rels
+
+    # the Route53 DNS stage resolves CNAMEs onto the endpoint
+    from cartography_spark.providers.aws_route53 import sync_route53
+
+    zones = [{
+        "zone": {"Id": "/hostedzone/Z1", "Name": "example.com.",
+                 "Config": {"PrivateZone": False}},
+        "record_sets": [{"Name": "search.example.com.", "Type": "CNAME",
+                         "ResourceRecords": [{"Value": ENDPOINT}]}],
+    }]
+    sync_route53(s, spark.createDataFrame(
+        [(ACCOUNT, json.dumps(zones))],
+        "account_id string, payload_json string"), ACCOUNT, TAG)
+    pts = {(r["src_id"], r["dst_label"], r["dst_id"])
+           for r in s.edges(["DNS_POINTS_TO"]).collect()
+           if r["dst_label"] == "AWSESDomain"}
+    assert any(d == f"{ACCOUNT}/prod" for _, _, d in pts)
+
+    sync_es_domains(s, _raw(spark, {"DomainStatusList": []}), ACCOUNT,
+                    TAG + 1)
+    assert s.nodes(["AWSESDomain"]).count() == 0

@@ -1,0 +1,156 @@
+"""AWS Secrets Manager: secrets + versions — the AWS secret surface
+mirroring the GCP Secret Manager family.
+
+Re-expresses ``intel/aws/secretsmanager.py``:
+
+* **secrets** (``transform_secrets`` :37-65): date fields to epochs,
+  ``RotationRules.AutomaticallyAfterDays`` flattened, ENCRYPTED_BY to
+  the KMS key;
+* **versions** (``transform_secret_versions`` :147-172): ARN-keyed,
+  VERSION_OF the secret, per-version KMS keys exploded into
+  ENCRYPTED_BY edges, stage list kept as JSON;
+* cleanup: account-scoped GC, versions before secrets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cartography_spark.providers.aws_ec2 import _edge, _node
+
+SECRETS_SCHEMA = """
+    STRUCT<
+        SecretList: ARRAY<STRUCT<
+            ARN: STRING, Name: STRING, Description: STRING,
+            RotationEnabled: BOOLEAN, RotationLambdaARN: STRING,
+            RotationRules: STRUCT<AutomaticallyAfterDays: BIGINT>,
+            CreatedDate: STRING, LastRotatedDate: STRING,
+            LastChangedDate: STRING, LastAccessedDate: STRING,
+            DeletedDate: STRING, KmsKeyId: STRING,
+            OwningService: STRING, PrimaryRegion: STRING>>,
+        Versions: ARRAY<STRUCT<
+            ARN: STRING, SecretId: STRING, VersionId: STRING,
+            VersionStages: ARRAY<STRING>, CreatedDate: STRING,
+            KmsKeyIds: ARRAY<STRING>>>>
+"""
+
+
+def _epoch(ts):
+    return F.unix_timestamp(F.to_timestamp(ts))
+
+
+def transform_secretsmanager(
+    raw: DataFrame, account_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    doc = raw.select(
+        "region", F.from_json("payload_json", SECRETS_SCHEMA).alias("d"))
+    acct = F.lit(account_id)
+    sub = ("AWSAccount", acct)
+
+    sec = doc.select(
+        "region", F.explode(F.coalesce("d.SecretList", F.array()))
+        .alias("s"),
+    ).filter(F.col("s.ARN").isNotNull())
+    nodes = _node(sec, "AWSSecretsManagerSecret", F.col("s.ARN"), {
+        "arn": F.col("s.ARN"),
+        "name": F.col("s.Name"),
+        "description": F.col("s.Description"),
+        "rotation_enabled": F.col("s.RotationEnabled"),
+        "rotation_lambda_arn": F.col("s.RotationLambdaARN"),
+        "rotation_rules_automatically_after_days":
+            F.col("s.RotationRules.AutomaticallyAfterDays"),
+        "created_date": _epoch(F.col("s.CreatedDate")),
+        "last_rotated_date": _epoch(F.col("s.LastRotatedDate")),
+        "last_changed_date": _epoch(F.col("s.LastChangedDate")),
+        "last_accessed_date": _epoch(F.col("s.LastAccessedDate")),
+        "deleted_date": _epoch(F.col("s.DeletedDate")),
+        "kms_key_id": F.col("s.KmsKeyId"),
+        "owning_service": F.col("s.OwningService"),
+        "primary_region": F.col("s.PrimaryRegion"),
+        "region": F.col("region"),
+    }, update_tag)
+    edges = (
+        _edge(sec, "AWSAccount", acct, "RESOURCE",
+              "AWSSecretsManagerSecret", F.col("s.ARN"), update_tag, sub)
+        .unionByName(_edge(
+            sec.filter(F.col("s.KmsKeyId").isNotNull()),
+            "AWSSecretsManagerSecret", F.col("s.ARN"), "ENCRYPTED_BY",
+            "AWSKMSKey", F.col("s.KmsKeyId"), update_tag, sub))
+    )
+
+    ver = doc.select(
+        "region", F.explode(F.coalesce("d.Versions", F.array()))
+        .alias("v"),
+    ).filter(F.col("v.ARN").isNotNull())
+    nodes = nodes.unionByName(
+        _node(ver, "AWSSecretsManagerSecretVersion", F.col("v.ARN"), {
+            "arn": F.col("v.ARN"),
+            "secret_id": F.col("v.SecretId"),
+            "version_id": F.col("v.VersionId"),
+            "version_stages": F.to_json(F.col("v.VersionStages")),
+            "created_date": _epoch(F.col("v.CreatedDate")),
+            "kms_key_ids": F.to_json(F.col("v.KmsKeyIds")),
+            "region": F.col("region"),
+        }, update_tag))
+    ver_keys = ver.select(
+        F.col("v.ARN").alias("ver_arn"),
+        F.explode(F.coalesce("v.KmsKeyIds", F.array())).alias("kms"),
+    )
+    edges = (
+        edges
+        .unionByName(_edge(ver, "AWSAccount", acct, "RESOURCE",
+                           "AWSSecretsManagerSecretVersion",
+                           F.col("v.ARN"), update_tag, sub))
+        .unionByName(_edge(ver, "AWSSecretsManagerSecretVersion",
+                           F.col("v.ARN"), "VERSION_OF",
+                           "AWSSecretsManagerSecret", F.col("v.SecretId"),
+                           update_tag, sub))
+        .unionByName(_edge(ver_keys, "AWSSecretsManagerSecretVersion",
+                           F.col("ver_arn"), "ENCRYPTED_BY", "AWSKMSKey",
+                           F.col("kms"), update_tag, sub))
+    )
+    return nodes, edges
+
+
+def sync_secretsmanager(
+    store, raw: DataFrame, account_id: str, update_tag: int
+) -> dict:
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    nodes, edges = transform_secretsmanager(raw, account_id, update_tag)
+    metrics = {
+        "nodes": store.merge_nodes(nodes, update_tag),
+        "edges": store.merge_edges(edges, update_tag),
+    }
+    acct_rel = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label="AWSAccount",
+        target_node_matcher=TargetNodeMatcher(
+            {"id": PropertyRef("AWS_ID", set_in_kwargs=True)}
+        ),
+        direction=LinkDirection.INWARD,
+    )
+    for label in ("AWSSecretsManagerSecretVersion",
+                  "AWSSecretsManagerSecret"):
+        if label not in store.manifest["nodes"]:
+            continue
+        metrics[f"gc_{label}"] = run_cleanup(
+            store,
+            NodeSchema(
+                label=label,
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=acct_rel,
+            ),
+            update_tag,
+            {"AWS_ID": account_id},
+        )
+    store.record_lineage("aws_secretsmanager_sync",
+                         {"update_tag": update_tag})
+    return metrics

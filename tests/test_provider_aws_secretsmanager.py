@@ -1,0 +1,70 @@
+"""Secrets Manager parity (``intel/aws/secretsmanager.py``)."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.aws_ec2 import _node
+from cartography_spark.providers.aws_secretsmanager import (
+    sync_secretsmanager,
+)
+
+TAG = 123456789
+ACCOUNT = "000000000000"
+ARN = f"arn:aws:secretsmanager:us-east-1:{ACCOUNT}:secret:db-pass-AbCdEf"
+VER = f"{ARN}/version/v1"
+
+PAYLOAD = {
+    "SecretList": [{
+        "ARN": ARN, "Name": "db-pass", "Description": "prod db",
+        "RotationEnabled": True,
+        "RotationLambdaARN": f"arn:aws:lambda:us-east-1:{ACCOUNT}:rot",
+        "RotationRules": {"AutomaticallyAfterDays": 30},
+        "CreatedDate": "2023-01-01T00:00:00Z",
+        "LastRotatedDate": "2024-01-01T00:00:00Z",
+        "KmsKeyId": "arn:kms:key/1",
+    }],
+    "Versions": [{
+        "ARN": VER, "SecretId": ARN, "VersionId": "v1",
+        "VersionStages": ["AWSCURRENT"],
+        "CreatedDate": "2024-01-01T00:00:00Z",
+        "KmsKeyIds": ["arn:kms:key/1"],
+    }],
+}
+
+
+def _raw(spark, payload=PAYLOAD):
+    return spark.createDataFrame(
+        [("us-east-1", json.dumps(payload))],
+        "region string, payload_json string",
+    )
+
+
+def test_secrets_graph_and_gc(spark, tmp_store):
+    s = tmp_store
+    acct = spark.createDataFrame([(ACCOUNT,)], "aid string")
+    s.merge_nodes(_node(acct, "AWSAccount", F.col("aid"), {
+        "name": F.lit("test-account"),
+    }, TAG, extra=["Tenant"]), TAG)
+    sync_secretsmanager(s, _raw(spark), ACCOUNT, TAG)
+
+    secrets = {r["id"]: r["props"]
+               for r in s.nodes(["AWSSecretsManagerSecret"]).collect()}
+    sec = secrets[ARN]
+    assert sec["rotation_rules_automatically_after_days"] == "30"
+    assert sec["created_date"] == "1672531200"  # epoch conversion
+    vers = {r["id"]: r["props"] for r in
+            s.nodes(["AWSSecretsManagerSecretVersion"]).collect()}
+    assert json.loads(vers[VER]["version_stages"]) == ["AWSCURRENT"]
+
+    rels = {(r["src_id"], r["rel_label"], r["dst_id"])
+            for r in s.edges().collect()}
+    assert (ARN, "ENCRYPTED_BY", "arn:kms:key/1") in rels
+    assert (VER, "VERSION_OF", ARN) in rels
+    assert (VER, "ENCRYPTED_BY", "arn:kms:key/1") in rels
+
+    sync_secretsmanager(
+        s, _raw(spark, {"SecretList": [], "Versions": []}), ACCOUNT,
+        TAG + 1)
+    assert s.nodes(["AWSSecretsManagerSecret"]).count() == 0
+    assert s.nodes(["AWSSecretsManagerSecretVersion"]).count() == 0

@@ -1,0 +1,191 @@
+"""AWS CloudFront distributions — the CDN edge of the exposure
+surface, linking back to S3 origins and Lambda@Edge functions.
+
+Re-expresses ``intel/aws/cloudfront.py``
+(``transform_cloudfront_distributions`` :101-199):
+
+* aliases / viewer-certificate / geo-restriction flattening, the
+  default cache behavior's viewer protocol policy;
+* **S3 origins** (``_extract_s3_bucket_name`` :68-82): bucket names
+  parsed out of S3(-website) origin domains with the reference's
+  anchored pattern → SERVES_FROM;
+* **Lambda@Edge** (:85-98): every cache behavior's
+  LambdaFunctionAssociations flatten → USES_LAMBDA_EDGE;
+* USES_CERTIFICATE to the ACM cert when one is attached;
+* cleanup: account-scoped GC.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cartography_spark.providers.aws_ec2 import _edge, _node
+
+_S3_ORIGIN_RE = (
+    r"^([a-z0-9][a-z0-9.-]*[a-z0-9])\.s3(?:-website)?"
+    r"(?:[.-][a-z0-9-]+)?\.amazonaws\.com$"
+)
+
+CF_SCHEMA = """
+    STRUCT<DistributionList: ARRAY<STRUCT<
+        Id: STRING, ARN: STRING, ETag: STRING, DomainName: STRING,
+        Comment: STRING, Status: STRING, Enabled: BOOLEAN,
+        PriceClass: STRING, HttpVersion: STRING,
+        IsIPV6Enabled: BOOLEAN, Staging: BOOLEAN,
+        LastModifiedTime: STRING, WebACLId: STRING,
+        Aliases: STRUCT<Items: ARRAY<STRING>>,
+        DefaultCacheBehavior: STRUCT<
+            ViewerProtocolPolicy: STRING,
+            LambdaFunctionAssociations: STRUCT<Items: ARRAY<STRUCT<
+                LambdaFunctionARN: STRING>>>>,
+        CacheBehaviors: STRUCT<Items: ARRAY<STRUCT<
+            LambdaFunctionAssociations: STRUCT<Items: ARRAY<STRUCT<
+                LambdaFunctionARN: STRING>>>>>>,
+        ViewerCertificate: STRUCT<
+            ACMCertificateArn: STRING,
+            CloudFrontDefaultCertificate: BOOLEAN,
+            MinimumProtocolVersion: STRING, SSLSupportMethod: STRING,
+            IAMCertificateId: STRING>,
+        Restrictions: STRUCT<GeoRestriction: STRUCT<
+            RestrictionType: STRING, Items: ARRAY<STRING>>>,
+        Origins: STRUCT<Items: ARRAY<STRUCT<DomainName: STRING>>>>>>
+"""
+
+
+def transform_cloudfront(
+    raw: DataFrame, account_id: str, update_tag: int
+) -> tuple[DataFrame, DataFrame]:
+    d = raw.select(
+        F.explode(
+            F.from_json("payload_json", CF_SCHEMA)["DistributionList"]
+        ).alias("d"),
+    ).filter(F.col("d.ARN").isNotNull()).cache()
+    acct = F.lit(account_id)
+    sub = ("AWSAccount", acct)
+    arn = F.col("d.ARN")
+    cert = F.col("d.ViewerCertificate")
+    geo = F.col("d.Restrictions.GeoRestriction")
+
+    nodes = _node(d, "AWSCloudFrontDistribution", arn, {
+        "arn": arn,
+        "distribution_id": F.col("d.Id"),
+        "etag": F.col("d.ETag"),
+        "domain_name": F.col("d.DomainName"),
+        "aliases": F.when(
+            F.size(F.coalesce("d.Aliases.Items", F.array())) > 0,
+            F.to_json(F.col("d.Aliases.Items")),
+        ),
+        "comment": F.col("d.Comment"),
+        "status": F.col("d.Status"),
+        "enabled": F.col("d.Enabled"),
+        "price_class": F.col("d.PriceClass"),
+        "http_version": F.col("d.HttpVersion"),
+        "is_ipv6_enabled": F.col("d.IsIPV6Enabled"),
+        "staging": F.col("d.Staging"),
+        "last_modified_time": F.col("d.LastModifiedTime"),
+        "viewer_protocol_policy":
+            F.col("d.DefaultCacheBehavior.ViewerProtocolPolicy"),
+        "acm_certificate_arn": cert["ACMCertificateArn"],
+        "cloudfront_default_certificate":
+            cert["CloudFrontDefaultCertificate"],
+        "minimum_protocol_version": cert["MinimumProtocolVersion"],
+        "ssl_support_method": cert["SSLSupportMethod"],
+        "iam_certificate_id": cert["IAMCertificateId"],
+        "geo_restriction_type": geo["RestrictionType"],
+        "geo_restriction_locations": F.when(
+            F.size(F.coalesce(geo["Items"],
+                              F.array().cast("array<string>"))) > 0,
+            F.to_json(geo["Items"]),
+        ),
+        "web_acl_id": F.col("d.WebACLId"),
+    }, update_tag)
+
+    s3_origins = d.select(
+        arn.alias("dist_arn"),
+        F.explode(F.coalesce("d.Origins.Items", F.array())).alias("o"),
+    ).withColumn(
+        "bucket",
+        F.regexp_extract(F.lower(F.col("o.DomainName")),
+                         _S3_ORIGIN_RE, 1),
+    ).filter(F.col("bucket") != "")
+    lambdas = d.select(
+        arn.alias("dist_arn"),
+        F.explode(F.flatten(F.array(
+            F.coalesce(
+                F.col("d.DefaultCacheBehavior"
+                      ".LambdaFunctionAssociations.Items"),
+                F.array().cast(
+                    "array<struct<LambdaFunctionARN:string>>"),
+            ),
+            F.coalesce(
+                F.flatten(F.transform(
+                    F.coalesce("d.CacheBehaviors.Items", F.array()),
+                    lambda cb: F.coalesce(
+                        cb["LambdaFunctionAssociations"]["Items"],
+                        F.array().cast(
+                            "array<struct<LambdaFunctionARN:string>>"),
+                    ),
+                )),
+                F.array().cast(
+                    "array<struct<LambdaFunctionARN:string>>"),
+            ),
+        ))).alias("l"),
+    ).filter(F.col("l.LambdaFunctionARN").isNotNull())
+
+    edges = (
+        _edge(d, "AWSAccount", acct, "RESOURCE",
+              "AWSCloudFrontDistribution", arn, update_tag, sub)
+        .unionByName(_edge(s3_origins, "AWSCloudFrontDistribution",
+                           F.col("dist_arn"), "SERVES_FROM",
+                           "AWSS3Bucket", F.col("bucket"),
+                           update_tag, sub))
+        .unionByName(_edge(
+            d.filter(cert["ACMCertificateArn"].isNotNull()),
+            "AWSCloudFrontDistribution", arn, "USES_CERTIFICATE",
+            "AWSACMCertificate", cert["ACMCertificateArn"],
+            update_tag, sub))
+        .unionByName(_edge(lambdas, "AWSCloudFrontDistribution",
+                           F.col("dist_arn"), "USES_LAMBDA_EDGE",
+                           "AWSLambda", F.col("l.LambdaFunctionARN"),
+                           update_tag, sub))
+    )
+    return nodes, edges
+
+
+def sync_cloudfront(
+    store, raw: DataFrame, account_id: str, update_tag: int
+) -> dict:
+    from cartography_spark.models.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.operators.gc import run_cleanup
+
+    nodes, edges = transform_cloudfront(raw, account_id, update_tag)
+    metrics = {
+        "nodes": store.merge_nodes(nodes, update_tag),
+        "edges": store.merge_edges(edges, update_tag),
+    }
+    if "AWSCloudFrontDistribution" in store.manifest["nodes"]:
+        metrics["gc"] = run_cleanup(
+            store,
+            NodeSchema(
+                label="AWSCloudFrontDistribution",
+                properties={"id": PropertyRef("id")},
+                sub_resource_relationship=RelSchema(
+                    rel_label="RESOURCE",
+                    target_node_label="AWSAccount",
+                    target_node_matcher=TargetNodeMatcher(
+                        {"id": PropertyRef("AWS_ID", set_in_kwargs=True)}
+                    ),
+                    direction=LinkDirection.INWARD,
+                ),
+            ),
+            update_tag,
+            {"AWS_ID": account_id},
+        )
+    store.record_lineage("aws_cloudfront_sync", {"update_tag": update_tag})
+    return metrics

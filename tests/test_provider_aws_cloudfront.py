@@ -1,0 +1,80 @@
+"""CloudFront parity (``intel/aws/cloudfront.py``)."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from cartography_spark.providers.aws_cloudfront import sync_cloudfront
+from cartography_spark.providers.aws_ec2 import _node
+
+TAG = 123456789
+ACCOUNT = "000000000000"
+ARN = f"arn:aws:cloudfront::{ACCOUNT}:distribution/E1ABCDEF"
+
+PAYLOAD = {"DistributionList": [{
+    "Id": "E1ABCDEF", "ARN": ARN, "ETag": "etag-1",
+    "DomainName": "d111.cloudfront.net", "Status": "Deployed",
+    "Enabled": True, "PriceClass": "PriceClass_100",
+    "HttpVersion": "http2", "IsIPV6Enabled": True,
+    "Aliases": {"Items": ["www.example.com"]},
+    "DefaultCacheBehavior": {
+        "ViewerProtocolPolicy": "redirect-to-https",
+        "LambdaFunctionAssociations": {"Items": [
+            {"LambdaFunctionARN": "arn:aws:lambda:us-east-1:fn:1"},
+        ]},
+    },
+    "CacheBehaviors": {"Items": [
+        {"LambdaFunctionAssociations": {"Items": [
+            {"LambdaFunctionARN": "arn:aws:lambda:us-east-1:fn:2"},
+        ]}},
+    ]},
+    "ViewerCertificate": {"ACMCertificateArn": "arn:acm:cert/1",
+                          "MinimumProtocolVersion": "TLSv1.2_2021",
+                          "SSLSupportMethod": "sni-only"},
+    "Restrictions": {"GeoRestriction": {"RestrictionType": "blacklist",
+                                        "Items": ["KP"]}},
+    "Origins": {"Items": [
+        {"DomainName": "assets.s3.us-east-1.amazonaws.com"},
+        {"DomainName": "api.example.com"},  # not an S3 origin
+        {"DomainName": "site.s3-website-eu-west-1.amazonaws.com"},
+    ]},
+}]}
+
+
+def _raw(spark, payload=PAYLOAD):
+    return spark.createDataFrame(
+        [(json.dumps(payload),)], "payload_json string"
+    )
+
+
+def test_cloudfront(spark, tmp_store):
+    s = tmp_store
+    acct = spark.createDataFrame([(ACCOUNT,)], "aid string")
+    s.merge_nodes(_node(acct, "AWSAccount", F.col("aid"), {
+        "name": F.lit("test-account"),
+    }, TAG, extra=["Tenant"]), TAG)
+    sync_cloudfront(s, _raw(spark), ACCOUNT, TAG)
+
+    dists = {r["id"]: r["props"]
+             for r in s.nodes(["AWSCloudFrontDistribution"]).collect()}
+    d = dists[ARN]
+    assert json.loads(d["aliases"]) == ["www.example.com"]
+    assert d["viewer_protocol_policy"] == "redirect-to-https"
+    assert d["minimum_protocol_version"] == "TLSv1.2_2021"
+    assert d["geo_restriction_type"] == "blacklist"
+    assert json.loads(d["geo_restriction_locations"]) == ["KP"]
+
+    rels = {(r["src_id"], r["rel_label"], r["dst_id"])
+            for r in s.edges().collect()}
+    assert (ARN, "SERVES_FROM", "assets") in rels
+    assert (ARN, "SERVES_FROM", "site") in rels
+    assert not any(r[1] == "SERVES_FROM" and "api" in r[2] for r in rels)
+    assert (ARN, "USES_LAMBDA_EDGE", "arn:aws:lambda:us-east-1:fn:1") \
+        in rels
+    assert (ARN, "USES_LAMBDA_EDGE", "arn:aws:lambda:us-east-1:fn:2") \
+        in rels
+    assert (ARN, "USES_CERTIFICATE", "arn:acm:cert/1") in rels
+
+    sync_cloudfront(s, _raw(spark, {"DistributionList": []}), ACCOUNT,
+                    TAG + 1)
+    assert s.nodes(["AWSCloudFrontDistribution"]).count() == 0
